@@ -1,0 +1,121 @@
+package graft.engine
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model/DAG layer — the reference's dbt lifecycle (SURVEY §3) without Jinja:
+  * a model is a named Scala function of its resolved dependencies; the
+  * registry topo-sorts and the materializer interprets each model's config
+  * into DataFrame actions against a Warehouse.
+  *
+  * Materialization semantics (dbt_project.yml:19-33 + per-model config):
+  *  - View: lazy DataFrame registered under the model name (no I/O).
+  *  - Table: eager swap-write (S4/S5).
+  *  - Inc: first run CTAS, later runs strategy-DML (incremental.sql:67-186);
+  *    the model fn receives `isIncremental` + the existing target (I6).
+  *  - Snap: SCD2 history maintenance (§2.6).
+  */
+final case class ModelContext(
+    spark: SparkSession,
+    deps: Map[String, DataFrame],
+    isIncremental: Boolean,
+    existingTarget: Option[DataFrame]) {
+  def ref(name: String): DataFrame = deps(name)
+}
+
+sealed trait Materialization
+case object ViewMat extends Materialization
+final case class TableMat(clusterBy: Seq[String] = Nil) extends Materialization
+final case class IncrementalMat(
+    strategy: Incremental.Strategy,
+    uniqueKey: Seq[String],
+    onSchemaChange: Incremental.OnSchemaChange = Incremental.IgnoreChange) extends Materialization
+final case class SnapshotMat(
+    keys: Seq[String],
+    strategy: Snapshot.Strategy,
+    hardDeletes: Snapshot.HardDeletes,
+    snapshotTime: Timestamp) extends Materialization
+
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    mat: Materialization,
+    build: ModelContext => DataFrame)
+
+final class Registry(spark: SparkSession, wh: Warehouse) {
+  private var models = Vector.empty[Model]
+  private val materialized = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  def register(m: Model): this.type = { models :+= m; this }
+
+  /** Seed a source relation directly (dbt source / seed node). */
+  def source(name: String, df: DataFrame): this.type = { materialized(name) = df; this }
+
+  def relation(name: String): DataFrame = materialized(name)
+
+  /** Kahn topo-sort (dbt DAG semantics; cycles are an authoring error). */
+  private def topoSorted: Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val visited = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = byName.get(n).foreach { m =>
+      if (!visited.contains(n)) {
+        require(visiting.add(n), s"model cycle at $n")
+        m.deps.foreach(visit)
+        visiting -= n
+        visited += n
+      }
+    }
+    models.foreach(m => visit(m.name))
+    visited.toSeq.map(byName)
+  }
+
+  /** Run the DAG (`dbt run`). fullRefresh forces incremental targets to
+    * rebuild from scratch (incremental.sql:40-46).
+    */
+  def run(fullRefresh: Boolean = false): Map[String, DataFrame] = {
+    topoSorted.foreach { m =>
+      val deps = (m.deps.map(d => d -> materialized(d))).toMap
+      val targetExists = wh.exists(m.name)
+      val isInc = m.mat.isInstanceOf[IncrementalMat] && targetExists && !fullRefresh
+      val ctx = ModelContext(spark, deps, isInc,
+        if (targetExists) Some(wh.read(m.name)) else None)
+      val df = m.build(ctx)
+      materialized(m.name) = m.mat match {
+        case ViewMat =>
+          df.createOrReplaceTempView(m.name)
+          df
+        case TableMat(clusterBy) =>
+          wh.writeSwap(m.name, df, clusterBy)
+          wh.read(m.name)
+        case IncrementalMat(strategy, keys, onSchema) =>
+          if (!isInc) wh.writeSwap(m.name, df)
+          else {
+            val target = Incremental.reconcileSchema(wh.read(m.name), df, onSchema)
+            // multi-action strategies re-read the source: snapshot it for
+            // identical inputs (temp-relation rule I8, incremental.sql:2-65)
+            val src = df.cache()
+            val next = strategy match {
+              case Incremental.Append          => null // handled below without rewrite
+              case Incremental.Merge           => Incremental.merge(target, src, keys)
+              case Incremental.DeleteInsert    => Incremental.deleteInsert(target, src, keys)
+              case Incremental.InsertOverwrite => Incremental.insertOverwrite(src)
+              case Incremental.Microbatch(_)   =>
+                throw new IllegalArgumentException("use runMicrobatch with explicit bounds")
+            }
+            if (strategy == Incremental.Append) wh.append(m.name, src)
+            else wh.writeSwap(m.name, next)
+            src.unpersist()
+          }
+          wh.read(m.name)
+        case SnapshotMat(keys, strategy, hard, ts) =>
+          val next =
+            if (!targetExists) Snapshot.firstRun(df, keys, strategy, hard)
+            else Snapshot.apply(wh.read(m.name), df, keys, strategy, hard, ts)
+          wh.writeSwap(m.name, next)
+          wh.read(m.name)
+      }
+    }
+    materialized.toMap
+  }
+}

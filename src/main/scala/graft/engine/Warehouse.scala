@@ -1,0 +1,61 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-dir warehouse with the reference's backup/swap replace protocol
+  * (dbt-adapters/macros/materializations/models/table.sql:5-22 and the
+  * incremental full-refresh path incremental.sql:83-87): write the new data to
+  * an intermediate location, swap it in, keep the old data until the swap
+  * completes. Spark has no multi-table transaction (SURVEY §4) — an atomic
+  * directory rename is the strongest single-table guarantee available and is
+  * exactly what the reference's rename dance provides.
+  *
+  * No Delta in this environment (SURVEY §7.4.1), so MERGE-family operators
+  * rewrite via this swap path.
+  */
+final class Warehouse(val root: String, spark: SparkSession) {
+  Files.createDirectories(Paths.get(root))
+
+  private def dir(name: String): Path = Paths.get(root, name)
+
+  def exists(name: String): Boolean = Files.exists(dir(name))
+
+  def read(name: String): DataFrame = spark.read.parquet(dir(name).toString)
+
+  /** CTAS / full overwrite with swap (S4+S5). `clusterBy` reproduces the
+    * Snowflake `cluster_by` semantics (relations/table/create.sql:78-139):
+    * range-partition + sort within partitions so min/max file stats enable
+    * scan pruning on the cluster keys.
+    */
+  def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val out = if (clusterBy.nonEmpty)
+      df.repartitionByRange(clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
+    else df
+
+    val tmp     = dir(name + "__tmp")
+    val target  = dir(name)
+    val backup  = dir(name + "__backup")
+    deleteRec(tmp); deleteRec(backup)
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(target))
+      Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(backup)
+  }
+
+  /** Append-only sink (incremental strategy I1): new part-files land next to
+    * existing ones; no rewrite of existing data.
+    */
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir(name).toString)
+
+  def drop(name: String): Unit = deleteRec(dir(name))
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level utility surface of the reference engine, re-expressed as pure
+  * Spark `Column` combinators (codegen-friendly, no UDFs).
+  *
+  * Reference provenance (all paths under /root/reference/):
+  *  - ageAt: models/intermediate/gaps/col/int_gap_col_status.sql:39-43
+  *    (Snowflake `datediff('year')` counts calendar-year boundaries; the model
+  *    subtracts 1 when the anniversary hasn't passed — we reproduce the
+  *    composed semantics, i.e. true age in completed years).
+  *  - surrogateKey: models/marts/gaps/fct_gap_exceptions.sql:9-16 and
+  *    dbt_internal_packages/dbt-adapters/.../snapshots/strategies.sql:45-50:
+  *    `md5(coalesce(cast(x as varchar),'') || '|' || ...)`.
+  *  - dateSpine / generateSeries: dbt_internal_packages/dbt-adapters/macros/
+  *    utils/date_spine.sql:26-74, generate_series.sql:18-52 — re-done with
+  *    `sequence()` (no powers-of-two cross-join needed on Spark).
+  *  - listAgg: dbt-adapters/macros/utils/listagg.sql:5-29.
+  *  - safeCast: dbt-snowflake/macros/utils/safe_cast.sql:2-14 (try_cast).
+  *  - boolOr / anyValue: dbt-adapters/macros/utils/bool_or.sql, any_value.sql.
+  */
+object Functions {
+
+  /** Age in completed years at `asOf` with Snowflake year-boundary + anniversary
+    * adjustment semantics (int_gap_col_status.sql:39-43). Do NOT replace with
+    * months_between/12 — month-length drift diverges from the oracle.
+    */
+  def ageAt(birth: Column, asOf: Column): Column = {
+    val diff = year(asOf) - year(birth)
+    when(add_months(birth, diff * lit(12)) > asOf, diff - lit(1)).otherwise(diff)
+  }
+
+  /** Snowflake `dateadd('year', -n, d)`: calendar-year shift with month-end
+    * clamping — `add_months` has identical clamping semantics.
+    */
+  def yearsBack(d: Column, n: Int): Column = add_months(d, -12 * n)
+
+  /** Byte-compatible md5 surrogate key (fct_gap_exceptions.sql:9-16):
+    * `md5(coalesce(cast(c1 as string),'') || '|' || ...)`. Keep inputs to
+    * string/integral/date types — float formatting is engine-specific.
+    */
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
+  /** Tri-state flag builder (int_gap_col_status.sql:196-203): NULL when not
+    * qualified, 1 when closed-evidence present, else 0. NULL is a meaningful
+    * third state — callers must not coalesce it away.
+    */
+  def triStateFlag(qualified: Column, closed: Column): Column =
+    when(!qualified, lit(null).cast("int"))
+      .when(closed, lit(1))
+      .otherwise(lit(0))
+
+  /** Ordered string-agg with optional head limit (listagg.sql:5-29). */
+  def listAgg(c: Column, delim: String, limit: Option[Int] = None): Column = {
+    val sorted = array_sort(collect_list(c))
+    val sliced = limit.fold(sorted)(n => slice(sorted, 1, n))
+    array_join(sliced, delim)
+  }
+
+  /** bool_or aggregate (utils/bool_or.sql). */
+  def boolOr(c: Column): Column = max(c.cast("boolean"))
+
+  /** Contiguous date spine at day or month grain (date_spine.sql:26-74).
+    * Implemented as a single `sequence` + `explode` — fully parallel, no
+    * powers-of-two cross join, no window over constant order.
+    */
+  def dateSpine(spark: SparkSession, start: String, end: String, grain: String): DataFrame = {
+    val step = grain match {
+      case "day"   => expr("interval 1 day")
+      case "month" => expr("interval 1 month")
+      case "year"  => expr("interval 1 year")
+      case other   => throw new IllegalArgumentException(s"grain: $other")
+    }
+    spark.range(1).select(
+      explode(sequence(to_date(lit(start)), to_date(lit(end)), step)).as("date_" + grain))
+  }
+
+  /** 1..n series (generate_series.sql:18-52) — `spark.range`, distributed. */
+  def generateSeries(spark: SparkSession, n: Long): DataFrame =
+    spark.range(1, n + 1).select(col("id").as("generated_number"))
+
+  /** try_cast (safe_cast.sql): NULL on conversion failure. */
+  def safeCast(c: Column, to: String): Column = c.try_cast(to)
+
+  /** Audit columns (macros/audit_columns.sql is an empty stub in the
+    * reference; semantics per dbt convention). Deterministic: timestamps are
+    * injected, never wall-clock.
+    */
+  def withAuditColumns(df: DataFrame, runTs: java.sql.Timestamp, runId: String): DataFrame =
+    df.withColumn("audit_loaded_at", lit(runTs))
+      .withColumn("audit_run_id", lit(runId))
+
+  /** Typed-NULL trick from snapshots/helpers.sql:272-276:
+    * `coalesce(nullif(x,x), fallback)` — a NULL with x's type.
+    */
+  def typedNull(like: Column): Column = nullif(like, like)
+}

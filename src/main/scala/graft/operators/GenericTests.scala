@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt's generic declarative tests as engine operators
+  * (dbt-adapters/macros/generic_test_sql/{unique,not_null,accepted_values,
+  * relationships}.sql) plus the threshold harness
+  * (materializations/tests/helpers.sql:7-16) and the optional `where` wrapper
+  * (where_subquery.sql:6-16).
+  *
+  * Each test returns the FAILING rows (empty == pass), mirroring the
+  * reference: the test materialization counts rows of the rendered query.
+  */
+object GenericTests {
+
+  sealed trait Severity
+  case object Pass extends Severity
+  case object Warn extends Severity
+  case object Error extends Severity
+
+  final case class TestResult(name: String, failures: Long, severity: Severity)
+
+  private def applyWhere(df: DataFrame, where: Option[String]): DataFrame =
+    where.fold(df)(w => df.filter(expr(w)))
+
+  /** unique.sql:3-10 — values with count(*) > 1. */
+  def unique(df: DataFrame, column: String, where: Option[String] = None): DataFrame =
+    applyWhere(df, where)
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).as("unique_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > 1)
+
+  /** not_null.sql — rows with a NULL in the column. */
+  def notNull(df: DataFrame, column: String, where: Option[String] = None): DataFrame =
+    applyWhere(df, where).filter(col(column).isNull)
+
+  /** accepted_values.sql:4-26 — grouped values outside the accepted set. */
+  def acceptedValues(df: DataFrame, column: String, values: Seq[Any],
+      where: Option[String] = None): DataFrame =
+    applyWhere(df, where)
+      .groupBy(col(column).as("value_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(!col("value_field").isin(values: _*))
+
+  /** relationships.sql:14-21 — child keys with no parent (left-anti; J5).
+    * Parent side is distinct-projected first so Catalyst can broadcast it
+    * when small.
+    */
+  def relationships(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String, where: Option[String] = None): DataFrame = {
+    val parents = parent.select(col(parentCol).as(childCol)).distinct()
+    applyWhere(child, where)
+      .filter(col(childCol).isNotNull)
+      .select(col(childCol).as("from_field"))
+      .join(parents.withColumnRenamed(childCol, "from_field"), Seq("from_field"), "left_anti")
+  }
+
+  /** tests/helpers.sql:7-16 — fail_calc + warn_if/error_if thresholds.
+    * `failCalc` is a SQL aggregate over the failing rows (default count(*)).
+    */
+  def evaluate(name: String, failing: DataFrame,
+      failCalc: String = "count(*)",
+      warnIf: Long => Boolean = _ > 0,
+      errorIf: Long => Boolean = _ > 0,
+      limit: Option[Int] = None): TestResult = {
+    val limited = limit.fold(failing)(failing.limit)
+    val n = limited.agg(expr(failCalc).cast("long")).collect()(0).getLong(0)
+    val sev = if (errorIf(n)) Error else if (warnIf(n)) Warn else Pass
+    TestResult(name, n, sev)
+  }
+
+  /** Unit-test compare (tests/helpers.sql:24-45 / unit.sql): symmetric
+    * multiset difference is empty.
+    */
+  def unitCompare(actual: DataFrame, expected: DataFrame): Boolean =
+    actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty
+}

@@ -1,0 +1,440 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Functions._
+import graft.operators.{GapEngine, GapExceptions, GenericTests, MeasureSpec, Scenario, TriStateRules}
+import graft.engine.Incremental
+import graft.sources.Sources.table
+
+/** The reference DAG (stg -> int_gap_col_status -> violations -> exceptions)
+  * and every §2 relational operator, instantiated over the driver's TPC-H-ish
+  * star schema (TESTDATA.md): customer -> members, orders -> claims/events,
+  * order priority -> procedure code.
+  *
+  * Every query has a value-exact DuckDB oracle. Parity rules used throughout:
+  *  - money math in DECIMAL(18,2) then CAST AS DOUBLE at the end (exact in
+  *    both engines; raw double aggregation would diverge in last bits);
+  *  - counts CAST AS BIGINT (DuckDB sum/count would give HUGEINT);
+  *  - year() CAST AS INTEGER (DuckDB year() is BIGINT, Spark's is INT);
+  *  - no raw-nanosecond timestamps in outputs.
+  */
+object CoreQueries extends QuerySet {
+
+  // ---- shared model fragments (Spark side) --------------------------------
+
+  private val AsOf = LocalDate.of(2000, 12, 31)
+
+  /** stg_members analog (stg_members.sql:1-5 generalized): member spine from
+    * customer with a deterministic synthetic birth_date.
+    */
+  def members(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("member_id"),
+      date_add(to_date(lit("1940-01-01")), (col("c_custkey") % 20000).cast("int")).as("birth_date"))
+
+  /** stg_claim_lines analog (stg_claim_lines.sql:3-8, P1 typed projection). */
+  def claims(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(
+      col("o_orderkey").cast("long").as("claim_id"),
+      col("o_custkey").cast("long").as("member_id"),
+      col("o_orderdate").cast("date").as("service_date"),
+      upper(col("o_orderpriority")).as("proc_code"))
+
+  /** COL measure mapped onto order priorities (int_gap_col_status.sql:19-22). */
+  val colSpec: MeasureSpec = MeasureSpec(
+    measureId = "COL", minAge = 45, maxAge = 75,
+    scenarios = Seq(
+      Scenario("COLONOSCOPY",     Seq("1-URGENT"),        Some(6), 1),
+      Scenario("SIGMOIDOSCOPY",   Seq("2-HIGH"),          Some(4), 2),
+      Scenario("CT_COLONOGRAPHY", Seq("3-MEDIUM"),        Some(3), 3),
+      Scenario("STOOL_DNA_FIT",   Seq("4-NOT SPECIFIED"), Some(2), 4),
+      Scenario("FIT_FOBT",        Seq("5-LOW"),           None,    5)),
+    ruleVersion = "COL_V1")
+
+  def gapStatus(spark: SparkSession, dir: String): DataFrame = {
+    val hospice = table(spark, dir, "customer")
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").cast("long").as("member_id"))
+    val events = claims(spark, dir).select(
+      col("claim_id").as("evidence_id"), col("member_id"),
+      col("service_date").as("event_date"), col("proc_code").as("code"))
+    GapEngine.status(spark, members(spark, dir), events, colSpec,
+      Seq("in_hospice" -> hospice), AsOf)
+  }
+
+  // ---- shared oracle fragments (DuckDB side) ------------------------------
+
+  private val membersSql =
+    """SELECT CAST(c_custkey AS BIGINT) AS member_id,
+      |       DATE '1940-01-01' + CAST(c_custkey % 20000 AS INTEGER) AS birth_date
+      |FROM customer""".stripMargin
+
+  private val claimsSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS claim_id,
+      |       CAST(o_custkey AS BIGINT) AS member_id,
+      |       CAST(o_orderdate AS DATE) AS service_date,
+      |       UPPER(o_orderpriority) AS proc_code
+      |FROM orders""".stripMargin
+
+  /** The full COL tri-state pipeline as one DuckDB CTE chain — the oracle for
+    * q03/q04/q05.
+    */
+  private val gapSql =
+    s"""WITH members AS ($membersSql),
+       |hospice AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_acctbal < 0),
+       |elig AS (
+       |  SELECT m.member_id,
+       |         CASE WHEN (CASE WHEN m.birth_date + to_months(CAST(12*(2000 - year(m.birth_date)) AS INTEGER)) > DATE '2000-12-31'
+       |                         THEN 2000 - year(m.birth_date) - 1 ELSE 2000 - year(m.birth_date) END) BETWEEN 45 AND 75
+       |              THEN 1 ELSE 0 END AS is_age_eligible,
+       |         CASE WHEN h.member_id IS NOT NULL THEN 1 ELSE 0 END AS in_hospice
+       |  FROM members m LEFT JOIN hospice h ON m.member_id = h.member_id),
+       |ev AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS evidence_id, CAST(o_custkey AS BIGINT) AS member_id,
+       |         CAST(o_orderdate AS DATE) AS event_date, UPPER(o_orderpriority) AS code
+       |  FROM orders),
+       |scen(code, closure_reason, reason_rank, lookback_years) AS (
+       |  VALUES ('1-URGENT','COLONOSCOPY',1,6), ('2-HIGH','SIGMOIDOSCOPY',2,4),
+       |         ('3-MEDIUM','CT_COLONOGRAPHY',3,3), ('4-NOT SPECIFIED','STOOL_DNA_FIT',4,2),
+       |         ('5-LOW','FIT_FOBT',5,NULL)),
+       |qualified AS (
+       |  SELECT e.member_id, e.event_date, e.evidence_id, s.closure_reason, s.reason_rank
+       |  FROM ev e JOIN scen s ON e.code = s.code
+       |  WHERE e.event_date <= DATE '2000-12-31'
+       |    AND e.event_date >= CASE WHEN s.lookback_years IS NULL THEN DATE '2000-01-01'
+       |                             ELSE CAST(DATE '2000-12-31' - to_months(CAST(12*s.lookback_years AS INTEGER)) AS DATE) END),
+       |best AS (
+       |  SELECT member_id, event_date AS closure_date, closure_reason, evidence_id
+       |  FROM (SELECT q.*, row_number() OVER (PARTITION BY member_id ORDER BY reason_rank ASC, event_date DESC, evidence_id ASC) AS rn
+       |        FROM qualified q) ranked
+       |  WHERE rn = 1),
+       |gap AS (
+       |  SELECT e.member_id, 'COL' AS measure_id, CAST(2000 AS INTEGER) AS measurement_year,
+       |         e.is_age_eligible, e.in_hospice,
+       |         CASE WHEN e.is_age_eligible = 0 OR e.in_hospice = 1 THEN NULL
+       |              WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS gap_flag,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_date END AS closure_date,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_reason END AS closure_reason,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.evidence_id END AS evidence_id,
+       |         DATE '2000-01-01' AS period_start, DATE '2000-12-31' AS period_end,
+       |         'COL_V1' AS rule_version
+       |  FROM elig e LEFT JOIN best b ON e.member_id = b.member_id)""".stripMargin
+
+  /** Deterministic corruption of the gap model so every tri-state rule family
+    * fires (FIXTURES.md §4 adversarial vectors, scaled up).
+    */
+  private val corruptSql =
+    """corrupt AS (
+      |  SELECT member_id, measure_id, measurement_year,
+      |         CASE WHEN member_id % 89 = 0 THEN 7 ELSE gap_flag END AS gap_flag,
+      |         closure_date,
+      |         CASE WHEN gap_flag = 1 AND member_id % 7 = 0 THEN NULL ELSE closure_reason END AS closure_reason,
+      |         CASE WHEN gap_flag IS NULL AND member_id % 11 = 0 THEN 4242 ELSE evidence_id END AS evidence_id
+      |  FROM gap)""".stripMargin
+
+  private val violationsSql =
+    s"""$gapSql,
+       |$corruptSql,
+       |v AS (
+       |  SELECT 'A_FLAG_NOT_0_1_NULL' AS violation_reason, member_id, measure_id, measurement_year, gap_flag
+       |  FROM corrupt WHERE gap_flag IS NOT NULL AND gap_flag NOT IN (0, 1)
+       |  UNION ALL
+       |  SELECT 'C_CLOSED_MISSING_REQUIRED', member_id, measure_id, measurement_year, gap_flag
+       |  FROM corrupt WHERE gap_flag = 1 AND (closure_date IS NULL OR closure_reason IS NULL OR evidence_id IS NULL)
+       |  UNION ALL
+       |  SELECT 'D_NOT_QUALIFIED_HAS_FORBIDDEN', member_id, measure_id, measurement_year, gap_flag
+       |  FROM corrupt WHERE gap_flag IS NULL AND (closure_date IS NOT NULL OR closure_reason IS NOT NULL OR evidence_id IS NOT NULL)),
+       |viol AS (
+       |  SELECT TIMESTAMP '2001-01-15 00:00:00' AS exception_ts, 'COL_V1' AS rule_version,
+       |         'COL_TRI_STATE' AS rule_id, 'COL' AS measure_id, v.violation_reason, v.member_id,
+       |         v.measure_id AS source_measure_id, v.measurement_year, v.gap_flag
+       |  FROM v)""".stripMargin
+
+  private def corrupt(gap: DataFrame): DataFrame =
+    gap.select(
+      col("member_id"), col("measure_id"), col("measurement_year"),
+      when(col("member_id") % 89 === 0, lit(7)).otherwise(col("gap_flag")).as("gap_flag"),
+      col("closure_date"),
+      when(col("gap_flag") === 1 && col("member_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("closure_reason")).as("closure_reason"),
+      when(col("gap_flag").isNull && col("member_id") % 11 === 0, lit(4242L))
+        .otherwise(col("evidence_id")).as("evidence_id"))
+
+  private val exceptionTs = Timestamp.valueOf("2001-01-15 00:00:00")
+
+  def gapViolations(spark: SparkSession, dir: String): DataFrame = {
+    val rules = TriStateRules(
+      flagCol = "gap_flag",
+      pkCols = Seq("member_id", "measure_id", "measurement_year"),
+      closedRequires = Seq("closure_date", "closure_reason", "evidence_id"),
+      notQualifiedForbids = Seq("closure_date", "closure_reason", "evidence_id"))
+    GapExceptions.violationsModel(
+      rules.violations(corrupt(gapStatus(spark, dir))),
+      exceptionTs, "COL_V1", "COL_TRI_STATE", "COL")
+  }
+
+  // ---- the query set ------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_stg_claim_lines", (s, d) => claims(s, d), Some(claimsSql)),
+
+    QueryDef("q02_stg_members", (s, d) => members(s, d), Some(membersSql)),
+
+    QueryDef("q03_gap_col_status", (s, d) => gapStatus(s, d),
+      Some(s"$gapSql\nSELECT * FROM gap")),
+
+    QueryDef("q04_gap_col_violations", (s, d) => gapViolations(s, d),
+      Some(s"$violationsSql\nSELECT * FROM viol")),
+
+    QueryDef("q05_fct_gap_exceptions", (s, d) => {
+      val withKey = GapExceptions.withExceptionKey(gapViolations(s, d))
+      val existing = withKey.filter(col("member_id") % 2 === 0).select("exception_key")
+      GapExceptions.newExceptions(withKey, existing)
+    }, Some(
+      s"""$violationsSql,
+         |keyed AS (
+         |  SELECT md5(coalesce(cast(member_id as varchar), '') || '|' ||
+         |             coalesce(cast(source_measure_id as varchar), '') || '|' ||
+         |             coalesce(cast(measurement_year as varchar), '') || '|' ||
+         |             coalesce(cast(gap_flag as varchar), '') || '|' ||
+         |             coalesce(rule_id, '') || '|' ||
+         |             coalesce(violation_reason, '')) AS exception_key, *
+         |  FROM viol)
+         |SELECT * FROM keyed
+         |WHERE exception_key NOT IN (SELECT exception_key FROM keyed WHERE member_id % 2 = 0)""".stripMargin)),
+
+    QueryDef("q06_test_unique", (s, d) =>
+      GenericTests.unique(table(s, d, "orders"), "o_custkey"),
+      Some("""SELECT o_custkey AS unique_field, CAST(count(*) AS BIGINT) AS n_records
+             |FROM orders WHERE o_custkey IS NOT NULL
+             |GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
+    QueryDef("q07_test_relationships", (s, d) =>
+      GenericTests.relationships(
+        table(s, d, "lineitem"), "l_partkey",
+        table(s, d, "part").filter(col("p_size") <= 25), "p_partkey"),
+      Some("""SELECT l_partkey AS from_field FROM lineitem
+             |WHERE l_partkey IS NOT NULL
+             |  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)""".stripMargin)),
+
+    QueryDef("q08_test_accepted_values", (s, d) =>
+      GenericTests.acceptedValues(table(s, d, "orders"), "o_orderstatus", Seq("F", "O")),
+      Some("""SELECT o_orderstatus AS value_field, CAST(count(*) AS BIGINT) AS n_records
+             |FROM orders GROUP BY 1 HAVING o_orderstatus NOT IN ('F','O')""".stripMargin)),
+
+    QueryDef("q09_listagg", (s, d) =>
+      table(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(listAgg(col("c_name"), "|", Some(5)).as("top_names"),
+             count(lit(1)).as("n_customers")),
+      Some("""SELECT c_nationkey AS nation_key,
+             |       array_to_string(list_slice(list_sort(list(c_name)), 1, 5), '|') AS top_names,
+             |       CAST(count(*) AS BIGINT) AS n_customers
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    QueryDef("q10_date_spine", (s, d) => {
+      val spine = dateSpine(s, "1995-01-01", "2001-08-01", "month")
+        .select(col("date_month").as("month_start"))
+      val perMonth = table(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(perMonth, Seq("month_start"), "left")
+        .select(col("month_start"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }, Some(
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE) AS month_start),
+        |o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1)
+        |SELECT s.month_start, COALESCE(o.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN o ON s.month_start = o.m""".stripMargin)),
+
+    QueryDef("q11_claim_rollups", (s, d) =>
+      table(s, d, "orders").groupBy(col("o_custkey").cast("long").as("member_id"))
+        .agg(
+          count(lit(1)).as("n_claims"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_billed"),
+          min(col("o_orderdate").cast("date")).as("first_service"),
+          max(col("o_orderdate").cast("date")).as("last_service")),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS member_id,
+             |       CAST(count(*) AS BIGINT) AS n_claims,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_billed,
+             |       CAST(min(o_orderdate) AS DATE) AS first_service,
+             |       CAST(max(o_orderdate) AS DATE) AS last_service
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    QueryDef("q12_member_cost_summary", (s, d) => {
+      val rev = table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("member_id"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_claims"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("net_revenue"))
+      val cust = table(s, d, "customer")
+      val nation = table(s, d, "nation")
+      rev.join(cust, col("member_id") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("member_id"), col("n_name").as("nation"), col("n_claims"), col("net_revenue"))
+    }, Some(
+      """WITH rev AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_claims,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT r.member_id, n.n_name AS nation, r.n_claims, r.net_revenue
+        |FROM rev r JOIN customer c ON r.member_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)),
+
+    QueryDef("q13_incremental_merge", (s, d) => {
+      val tgt = table(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("total"),
+          col("o_orderdate").cast("date").as("service_date"))
+      val src = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-07-01").cast("date") &&
+                col("o_orderdate") < lit("2000-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          lit("R").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          col("o_orderdate").cast("date").as("service_date"))
+      Incremental.merge(tgt, src, Seq("claim_id"))
+    }, Some(
+      """WITH tgt AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         o_orderstatus AS status, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |         CAST(o_orderdate AS DATE) AS service_date
+        |  FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+        |src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         'R' AS status, CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |         CAST(o_orderdate AS DATE) AS service_date
+        |  FROM orders WHERE o_orderdate >= DATE '1998-07-01' AND o_orderdate < DATE '2000-01-01')
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT * FROM tgt WHERE claim_id NOT IN (SELECT claim_id FROM src)""".stripMargin)),
+
+    QueryDef("q14_incremental_delete_insert", (s, d) => {
+      val tgt = table(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderdate").cast("date").as("service_date"))
+      val src = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
+                col("o_orderdate") < lit("2000-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderdate").cast("date").as("service_date"))
+      Incremental.deleteInsert(tgt, src, Seq("claim_id"),
+        incrementalPredicates = Seq(col("service_date") >= lit("1998-07-01").cast("date")))
+    }, Some(
+      """WITH tgt AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(o_orderdate AS DATE) AS service_date
+        |  FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+        |src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(o_orderdate AS DATE) AS service_date
+        |  FROM orders WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '2000-01-01')
+        |SELECT * FROM tgt WHERE NOT (service_date >= DATE '1998-07-01')
+        |UNION ALL
+        |SELECT * FROM tgt WHERE service_date >= DATE '1998-07-01' AND claim_id NOT IN (SELECT claim_id FROM src)
+        |UNION ALL
+        |SELECT * FROM src""".stripMargin)),
+
+    QueryDef("q16_window_top_claim", (s, d) =>
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").cast("long").as("member_id"),
+          col("o_orderkey").cast("long").as("top_claim_id"),
+          col("o_totalprice").as("top_total")),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS member_id,
+             |       CAST(o_orderkey AS BIGINT) AS top_claim_id,
+             |       o_totalprice AS top_total
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |      FROM orders) t
+             |WHERE rn = 1""".stripMargin)),
+
+    QueryDef("q17_set_ops", (s, d) => {
+      val rich = table(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").cast("long").as("member_id"))
+      val south = table(s, d, "customer").filter(col("c_nationkey") < 5)
+        .select(col("c_custkey").cast("long").as("member_id"))
+      rich.except(south).withColumn("op", lit("except"))
+        .unionByName(rich.intersect(south).withColumn("op", lit("intersect")))
+    }, Some(
+      """WITH rich AS (SELECT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_acctbal > 5000),
+        |south AS (SELECT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_nationkey < 5)
+        |SELECT member_id, 'except' AS op FROM (SELECT * FROM rich EXCEPT SELECT * FROM south) a
+        |UNION ALL
+        |SELECT member_id, 'intersect' AS op FROM (SELECT * FROM rich INTERSECT SELECT * FROM south) b""".stripMargin)),
+
+    QueryDef("q18_age_at", (s, d) =>
+      members(s, d).select(col("member_id"), col("birth_date"),
+        ageAt(col("birth_date"), to_date(lit("2000-12-31"))).as("age")),
+      Some(s"""WITH m AS ($membersSql)
+              |SELECT member_id, birth_date,
+              |       CAST(CASE WHEN birth_date + to_months(CAST(12*(2000 - year(birth_date)) AS INTEGER)) > DATE '2000-12-31'
+              |            THEN 2000 - year(birth_date) - 1 ELSE 2000 - year(birth_date) END AS INTEGER) AS age
+              |FROM m""".stripMargin)),
+
+    QueryDef("q19_surrogate_key", (s, d) =>
+      table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("claim_id"),
+        col("l_linenumber").as("line_number"),
+        surrogateKey(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate").cast("date")).as("line_key")),
+      Some("""SELECT CAST(l_orderkey AS BIGINT) AS claim_id, l_linenumber AS line_number,
+             |       md5(coalesce(cast(l_orderkey as varchar),'') || '|' ||
+             |           coalesce(cast(l_linenumber as varchar),'') || '|' ||
+             |           coalesce(cast(l_returnflag as varchar),'') || '|' ||
+             |           coalesce(cast(CAST(l_shipdate AS DATE) as varchar),'')) AS line_key
+             |FROM lineitem""".stripMargin)),
+
+    QueryDef("q20_safe_cast", (s, d) =>
+      table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        safeCast(substring(col("o_orderpriority"), 1, 1), "int").as("priority_num"),
+        safeCast(col("o_orderpriority"), "int").as("bad_cast")),
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS claim_id,
+             |       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+             |       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+             |FROM orders""".stripMargin)),
+
+    QueryDef("q21_bool_any_agg", (s, d) =>
+      table(s, d, "orders").groupBy(col("o_custkey").cast("long").as("member_id"))
+        .agg(
+          expr("bool_or(o_totalprice > 200000)").as("has_big_claim"),
+          any_value(col("o_custkey") % 5).cast("long").as("cohort"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS member_id,
+             |       bool_or(o_totalprice > 200000) AS has_big_claim,
+             |       CAST(any_value(o_custkey % 5) AS BIGINT) AS cohort,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    QueryDef("q22_events_hourly", (s, d) =>
+      graft.sources.Sources.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

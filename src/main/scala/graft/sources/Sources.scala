@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Readers for the driver-generated star schema (/root/repo/TESTDATA.md) and
+  * CSV seeds (reference: dbt seed, dbt-adapters/.../seeds/helpers.sql:7-27 —
+  * infer types once, then pin the schema).
+  */
+object Sources {
+
+  /** Parquet table from a scale-factor dir. Column pruning + predicate
+    * pushdown reach the scan because this stays fully declarative.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table ships with nanosecond parquet timestamps, which Spark
+    * surfaces as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in our session builders). Normalize to a proper TimestampType column
+    * `ts` at microsecond precision so downstream windowing/oracles agree with
+    * engines that read nanos natively.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      case _      => raw
+    }
+  }
+
+  /** CSV seed loader (S1/S2): header CSV -> typed table. Types are inferred on
+    * first read (agate-style), then the schema is pinned by the caller for
+    * reproducible reloads. Seed full-refresh == overwrite of the target dir.
+    */
+  def seed(spark: SparkSession, path: String, pinned: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    pinned match {
+      case Some(st) => r.schema(st).csv(path)
+      case None     => r.option("inferSchema", "true").csv(path)
+    }
+  }
+}
