@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): media as opaque `binary`
+  * columns with typed metadata, batch feature extraction via `mapPartitions`
+  * (the Scala analogue of a vectorized/batched UDF: one decode context per
+  * partition, amortized over rows).
+  *
+  * The actual codec is STUBBED — no image/audio libraries ship in this
+  * container. `decodeStub` is a deterministic fake standing in for e.g. a
+  * JPEG decode; the Spark-side contract (schema, partitioning, batch shape)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata, mirroring how a 100 TB corpus
+    * stores media (payload column stays opaque; metadata is columnar and
+    * prunable so metadata-only queries never touch bytes).
+    */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
+      aspect_ratio: Double, feature: Array[Float])
+
+  /** STUB standing in for a real decoder (`???`-equivalent, deterministic):
+    * derives a fake 4-dim feature from payload bytes. Replace with an actual
+    * codec call; the signature (bytes -> fixed-dim float vector) is the
+    * production contract.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    Array(
+      (h & 0xffff).toFloat / 65535f,
+      ((h >>> 16) & 0xffff).toFloat / 65535f,
+      ((h >>> 32) & 0xffff).toFloat / 65535f,
+      bytes.length.toFloat)
+  }
+
+  /** Batched feature extraction: one pass per partition, decoder state would
+    * be initialized once per partition in a real codec (the expensive part
+    * this shape amortizes).
+    */
+  def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — once per partition
+      rows.map { r =>
+        val feat = decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.media.length.toLong, r.format,
+          if (r.height == 0) 0.0 else r.width.toDouble / r.height, feat)
+      }
+    }
+  }
+
+  /** Build a media table from the documents corpus (payload = utf8 bytes —
+    * the deterministic stand-in for real image bytes).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long"),
+      col("text").cast("binary").as("media"),
+      lit("utf8").as("format"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480 + 1).cast("int").as("height"))
+
+  /** Metadata-only projection — must prune the payload column at scan time
+    * (verify via explain: ReadSchema excludes `media`).
+    */
+  def metadataStats(media: DataFrame): DataFrame =
+    media.groupBy(col("format"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
+}

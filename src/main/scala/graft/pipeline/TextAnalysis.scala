@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (builder
+  * brief; additive to the reference surface, designed stateless/partitionable
+  * so they scale linearly with input splits — no shuffles except final aggs).
+  *
+  * Everything is a pure `Column` combinator over Spark's codegen'd
+  * higher-order array functions: no UDFs, whole-stage codegen keeps these in
+  * one pass over the text.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the corpus is space-separated; a BPE-ish regex
+    * variant is `tokensRegex`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenizer: word pieces, numbers, or single non-space
+    * symbols — the shape GPT-style pre-tokenizers use.
+    */
+  def tokensRegex(text: Column): Column =
+    // drop empty leading match artifacts
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9 ])"), t => length(trim(t)) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Fraction of tokens in `stopwords`; exact int/int -> double division. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Deterministic quality score: length saturation x (1 - stopword load).
+    * Matches the "length/punct/stopword ratios" heuristic family.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) *
+      (lit(1.0) - stopwordRatio(text, stopwords))
+
+  /** Marker-stopword language ID: score each language by marker-token hits,
+    * argmax with deterministic tie-break on declaration order; 'und' when no
+    * marker hits.
+    */
+  def langGuess(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Normalized content fingerprint (exact-dup key): md5 of lowercased,
+    * space-collapsed text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, " +", " ")))
+
+  /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array(text)))
+  }
+}

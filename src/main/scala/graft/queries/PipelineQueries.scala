@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.sources.Sources.{events, table}
+
+/** Training-data pipeline operators (builder brief) over the `documents`,
+  * `embeddings` and `events` tables, each with a value-exact DuckDB oracle.
+  *
+  * Engine-portability tricks used by the oracles:
+  *  - all set arithmetic (Jaccard, minhash, simhash) runs on exact
+  *    integers/strings; doubles appear only in single final divisions;
+  *  - embedding math quantizes components to ints (x1000) so dot/norms are
+  *    exact — one IEEE divide+sqrt at the end is bit-identical everywhere;
+  *  - md5-as-permutation makes minhash signatures portable strings.
+  */
+object PipelineQueries extends QuerySet {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+  private val Markers = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "des"))
+
+  private val stopwordsSql = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared DuckDB fragments. */
+  private val toksSql = "string_split(text, ' ')"
+  private val shinglesSql =
+    s"""CASE WHEN len($toksSql) >= 3
+       |     THEN list_distinct(list_transform(generate_series(1, len($toksSql)-2),
+       |            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+       |     ELSE [text] END""".stripMargin
+
+  private def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a,$b)) AS DOUBLE) / (CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - CAST(len(list_intersect($a,$b)) AS DOUBLE))"
+
+  /** Quantized-int embedding vector. */
+  private val qvecSql =
+    "list_transform(CAST(embedding AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a,$b), p -> p[1]*p[2])) AS DOUBLE)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q30_text_stats", (s, d) => {
+      val toks = TA.tokens(col("text"))
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TA.stopwordRatio(col("text"), Stopwords).as("stopword_ratio"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"))
+    }, Some(
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |       CAST(len(list_filter($toksSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |         / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+         |       least(CAST(1.0 AS DOUBLE), CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |         * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($toksSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |              / CAST(len($toksSql) AS DOUBLE)) AS quality
+         |FROM documents""".stripMargin)),
+
+    QueryDef("q31_lang_guess", (s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langGuess(col("text"), Markers).as("lang_guess")),
+      Some {
+        val scores = Markers.map { case (lang, words) =>
+          lang -> s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val cases = scores.map { case (lang, sc) =>
+          s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+        }.mkString("\n             ")
+        s"""SELECT doc_id, lang,
+           |       CASE $cases
+           |            ELSE 'und' END AS lang_guess
+           |FROM documents""".stripMargin
+      }),
+
+    QueryDef("q32_fingerprint", (s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"), TA.fingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    QueryDef("q33_dedup_exact", (s, d) => Dedup.exact(table(s, d, "documents")),
+      Some("""SELECT md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS content_hash,
+             |       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    QueryDef("q34_dedup_ngram_jaccard", (s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("block", concat_ws("/", col("lang"), col("source")))
+      Dedup.ngramJaccardPairs(docs, "block", n = 3, threshold = 0.5)
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT lang || '/' || source AS block, CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh
+         |  FROM documents)
+         |SELECT a.block, a.id AS id_a, b.id AS id_b, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+         |FROM docs a JOIN docs b ON a.block = b.block AND a.id < b.id
+         |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin)),
+
+    QueryDef("q35_dedup_minhash", (s, d) =>
+      Dedup.minhashPairs(table(s, d, "documents"), n = 3, k = 8, bandSize = 2, threshold = 0.5),
+      Some(
+        s"""WITH docs AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+           |sigs AS (
+           |  SELECT id, sh,
+           |         list_transform(generate_series(0, 7),
+           |           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+           |  FROM docs),
+           |banded AS (
+           |  SELECT id, sh, b.band, sig[2*b.band + 1] || '|' || sig[2*b.band + 2] AS value
+           |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+           |  WHERE sig[2*b.band + 1] || '|' || sig[2*b.band + 2] IS NOT NULL),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id)
+           |SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+           |FROM pairs WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5""".stripMargin)),
+
+    QueryDef("q36_knn_cosine", (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }, Some(
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qvecSql AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qvecSql AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.neighbor_id, ${cosSql("q.qv", "c.cv")} AS score
+         |  FROM c, q WHERE c.neighbor_id <> q.query_id)
+         |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin)),
+
+    QueryDef("q37_knn_lsh", (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, signBits = 3)
+    }, Some(
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v,
+         |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.v", "c.v")} AS score
+         |  FROM e c JOIN e q ON c.bucket = q.bucket AND q.id < 10 AND c.id <> q.id)
+         |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 3""".stripMargin)),
+
+    QueryDef("q38_embedding_neardup", (s, d) =>
+      Similarity.nearDupPairs(table(s, d, "embeddings"), "label", threshold = 0.4),
+      Some(
+        s"""WITH e AS (SELECT label, CAST(vec_id AS BIGINT) AS id, $qvecSql AS v FROM embeddings)
+           |SELECT a.label, a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS score
+           |FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+           |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
+
+    QueryDef("q39_dedup_simhash", (s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("block", concat_ws("/", col("lang"), col("source")))
+      Dedup.simhashPairs(docs, "block", maxDist = 3)
+    }, Some {
+      val hashesSql = s"list_transform($toksSql, t -> ('0x' || substr(md5(t), 1, 4))::INTEGER)"
+      val sketchSql = (0 until 16).map { b =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      val hammSql = (0 until 16).map(b => s"((xor(a.sketch, b.sketch) >> $b) & 1)").mkString(" + ")
+      s"""WITH hs AS (
+         |  SELECT lang || '/' || source AS block, CAST(doc_id AS BIGINT) AS id, $hashesSql AS hs
+         |  FROM documents),
+         |sk AS (SELECT block, id, CAST($sketchSql AS INTEGER) AS sketch FROM hs)
+         |SELECT a.block, a.id AS id_a, b.id AS id_b, CAST($hammSql AS INTEGER) AS hamming
+         |FROM sk a JOIN sk b ON a.block = b.block AND a.id < b.id
+         |WHERE $hammSql <= 3""".stripMargin
+    }),
+
+    QueryDef("q40_multimodal_meta", (s, d) =>
+      Multimodal.metadataStats(Multimodal.mediaFromDocuments(table(s, d, "documents"))),
+      Some("""SELECT 'utf8' AS format, CAST(count(*) AS BIGINT) AS n_items,
+             |       CAST(sum(CAST(n_chars % 640 AS BIGINT) * CAST(n_chars % 480 + 1 AS BIGINT)) AS BIGINT) AS total_pixels
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    QueryDef("q23_sessionize", (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val gap30m = 30L * 60 * 1000000
+      val sessions = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gap30m, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us, event_id,
+        |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       max(n_events) AS max_session_events
+        |FROM per_session GROUP BY 1""".stripMargin))
+  )
+}
