@@ -38,7 +38,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(blockCol), col(idCol).cast("long").as("id"),
-      wordShingles(col(textCol), n).as("sh"))
+        col(textCol).as("__text"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(blockCol), col("id"),
+        TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n).as("sh"))
+      .localCheckpoint(false) // shingle pass shared by both self-join branches
     val a = sh.select(col(blockCol), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(blockCol), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq(blockCol))
@@ -48,13 +51,31 @@ object Dedup {
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: sig[i] = min over shingles s of md5(i ':' s).
-    * md5-as-hash keeps the signature engine-portable (string min), and k
-    * independent permutations come from the seed prefix.
+  /** 32-bit base hash of a shingle: first 8 md5 hex digits as a long.
+    * Engine-portable and computed ONCE per shingle — the k permutations
+    * below are cheap integer ops, not k md5 passes.
+    */
+  def shingleHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: sig[i] = min over shingle hashes h of
+    * (h*(2i+1) + i) mod 2^31-1 — exact integer math, identical on any engine
+    * (h < 2^32, multiplier <= 2k-1 stays in Long).
+    *
+    * Implemented as a SINGLE fold over the shingles (one md5 per shingle,
+    * k cheap mins per step via zip_with) rather than k separate array_min
+    * passes: Catalyst collapses single-use projections into lambdas, so a
+    * "materialize hashes then min k times" shape silently re-runs the md5
+    * pass k times. The fold shape cannot be unfused.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+    aggregate(
+      transform(shingles, shingleHash32 _),
+      array_repeat(lit(2147483647L), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          (h * (i * lit(2L) + lit(1L)) + i.cast("long")) % lit(2147483647L)),
+        (a, b) => least(a, b)))
 
   /** LSH band values: adjacent signature slots concatenated; identical band
     * value in any band -> candidate pair.
@@ -62,7 +83,8 @@ object Dedup {
   def lshBands(sig: Column, bandSize: Int, nBands: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)), b =>
       struct(b.as("band"),
-        array_join(slice(sig, b * bandSize + 1, lit(bandSize)), "|").as("value")))
+        array_join(transform(slice(sig, b * bandSize + 1, lit(bandSize)),
+          (x: Column) => x.cast("string")), "|").as("value")))
 
   /** MinHash+LSH candidate pairs verified with true Jaccard.
     * Output: id_a, id_b (a<b), jaccard (>= threshold).
@@ -70,31 +92,50 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int, k: Int, bandSize: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nBands = k / bandSize
+    // lazy local checkpoint: shingles+signatures computed ONCE and reused by
+    // all four consumers (two banded branches + two shingle re-joins) —
+    // without it each self-join branch re-runs the md5 pass over the corpus
     val sh = docs.select(col(idCol).cast("long").as("id"),
-        wordShingles(col(textCol), n).as("sh"))
+        col(textCol).as("__text"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
+      .localCheckpoint(false)
+    // explicit exchange on the join key: the self-join below then reuses ONE
+    // shuffle (ReusedExchange) instead of recomputing signatures per branch
+    val banded = sh.select(col("id"),
         explode(lshBands(col("sig"), bandSize, nBands)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.value").as("value"))
+      .select(col("id"), col("b.band").as("band"), col("b.value").as("value"))
       .filter(col("value").isNotNull)
-    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "value"))
+      .repartition(col("band"), col("value"))
+    // candidate pairs dedupe on IDS ONLY (shuffling the shingle arrays
+    // through a distinct would dominate the cost); shingles re-join after
+    val a = banded.select(col("band"), col("value"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("value"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "value"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // same pair may collide in several bands
+    val shOnly = sh.select(col("id"), col("sh"))
+    pairs
+      .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOnly.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash in pure integer arithmetic (engine-portable): token hash
-    * = first 4 md5 hex digits as int; bit b of the sketch is set iff the
-    * +1/-1 vote sum over tokens at bit b is positive.
+  /** Token hash: first 4 md5 hex digits as an int in [0, 65535]. */
+  def tokenHash16(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("int")
+
+  /** 16-bit SimHash in pure integer arithmetic (engine-portable): bit b of
+    * the sketch is set iff the +1/-1 vote sum over token hashes at bit b is
+    * positive. Callers should materialize the hash array ONCE (a column) —
+    * passing `transform(tokens, md5...)` directly would recompute every md5
+    * 16 times, once per bit.
     */
-  def simhash16(tokens: Column): Column = {
-    val hashes = transform(tokens, t =>
-      conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+  def simhash16FromHashes(hashes: Column): Column = {
     val bitCols = (0 until 16).map { b =>
       val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -102,6 +143,9 @@ object Dedup {
     }
     bitCols.reduce(_ + _)
   }
+
+  def simhash16(tokens: Column): Column =
+    simhash16FromHashes(transform(tokens, tokenHash16 _))
 
   /** Hamming distance between two simhash sketches (bit-count of xor). */
   def hamming16(a: Column, b: Column): Column =
@@ -111,8 +155,11 @@ object Dedup {
   /** SimHash near-dup pairs within a blocking column: hamming <= maxDist. */
   def simhashPairs(docs: DataFrame, blockCol: String, maxDist: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // materialize token hashes behind a projection boundary so the 16
+    // per-bit aggregates share one md5 pass
     val sh = docs.select(col(blockCol), col(idCol).cast("long").as("id"),
-      simhash16(TextAnalysis.tokens(col(textCol))).as("sketch"))
+        transform(TextAnalysis.tokens(col(textCol)), tokenHash16 _).as("hs"))
+      .select(col(blockCol), col("id"), simhash16FromHashes(col("hs")).as("sketch"))
     val a = sh.select(col(blockCol), col("id").as("id_a"), col("sketch").as("sk_a"))
     val b = sh.select(col(blockCol), col("id").as("id_b"), col("sketch").as("sk_b"))
     a.join(b, Seq(blockCol))

@@ -50,16 +50,34 @@ object Similarity {
       when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Quantized vector + exact squared norm, computed ONCE per row — pairwise
+    * operators must never recompute per pair (at N^2 pair volume the
+    * per-row prep dominates if it leaks into the join).
+    */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val q = quantize(col(vecCol))
+    df.select(col(idCol).cast("long").as(idAs), q.as(vecAs))
+      .withColumn(normAs, dotQ(col(vecAs), col(vecAs)))
+  }
+
+  /** Cosine from precomputed quantized vectors + squared norms: same math as
+    * cosineQ, dot only per pair.
+    */
+  private def pairScore: Column =
+    dotQ(col("qv"), col("cv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
+
   /** Brute-force top-k neighbors for `queries` (small, broadcast) against
     * `corpus`. Output: query_id, neighbor_id, score, rank.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosineQ(quantize(col("q_vec")), quantize(col("c_vec"))))
+      .withColumn("score", pairScore)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -71,13 +89,18 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      signBucket(col(vecCol), signBits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      signBucket(col(vecCol), signBits).as("bucket"))
+    // bucket from the RAW float sign (quantization would shift exact-zero ties)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), quantize(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), signBits).as("bucket"))
+      .withColumn("qn", dotQ(col("qv"), col("qv")))
+    val c = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), quantize(col(vecCol)).as("cv"),
+        signBucket(col(vecCol), signBits).as("bucket"))
+      .withColumn("cn", dotQ(col("cv"), col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosineQ(quantize(col("q_vec")), quantize(col("c_vec"))))
+      .withColumn("score", pairScore)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -89,11 +112,14 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val p = emb.select(col(blockCol), col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("n", dotQ(col("v"), col("v")))
+    val a = p.select(col(blockCol), col("id").as("id_a"), col("v").as("qv"), col("n").as("qn"))
+    val b = p.select(col(blockCol), col("id").as("id_b"), col("v").as("cv"), col("n").as("cn"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosineQ(quantize(col("vec_a")), quantize(col("vec_b"))))
+      .withColumn("score", pairScore)
       .filter(col("score") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("score"))
   }

@@ -62,13 +62,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, " +", " ")))
 
-  /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup).
+    *
+    * PERFORMANCE: `toks` must be a MATERIALIZED column (an attribute), not a
+    * raw `split(...)` expression — Spark does no common-subexpression
+    * elimination inside higher-order-function lambdas, so an inline split
+    * would be recomputed per shingle position (O(tokens^2) per document).
+    * Callers: `.select(tokens(col).as("toks"))` first, then shingle from
+    * `col("toks")` in a SECOND projection (the multi-reference of a non-cheap
+    * alias keeps CollapseProject from merging the two).
+    */
+  def shinglesFromTokens(text: Column, toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n), i =>
           concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
         .otherwise(array(text)))
-  }
+
+  /** Convenience single-expression form — ONLY for tiny inputs/tests; see
+    * shinglesFromTokens for the production two-projection shape.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(text, tokens(text), n)
 }

@@ -117,12 +117,15 @@ object PipelineQueries extends QuerySet {
            |sigs AS (
            |  SELECT id, sh,
            |         list_transform(generate_series(0, 7),
-           |           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+           |           i -> list_min(list_transform(
+           |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+           |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
            |  FROM docs),
            |banded AS (
-           |  SELECT id, sh, b.band, sig[2*b.band + 1] || '|' || sig[2*b.band + 2] AS value
+           |  SELECT id, sh, b.band,
+           |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
            |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
-           |  WHERE sig[2*b.band + 1] || '|' || sig[2*b.band + 2] IS NOT NULL),
+           |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
            |pairs AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
            |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id)

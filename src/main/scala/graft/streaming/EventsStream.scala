@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10): the reference has no streams;
+  * its nearest constructs are microbatch event-time windows (I5) and dynamic
+  * tables (S8). We expose:
+  *  - a watermarked tumbling-window aggregate over the events table
+  *    (readStream -> transform -> writeStream), and
+  *  - a stateful sessionizer via flatMapGroupsWithState — the engine-level
+  *    analogue of the batch sessionize query (q23).
+  *
+  * Scale notes: the window aggregate is a streaming shuffle keyed by
+  * (window, event_type); the watermark bounds state. Sessionization keys by
+  * user_id; state per key is O(1). Both run identically on a real cluster —
+  * `Trigger.AvailableNow` drives the same code as a live source.
+  */
+object EventsStream {
+
+  /** Events parquet schema as stored (ns timestamps surface as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events dir with ts normalized to
+    * TimestampType (micros).
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // the events table is a single parquet file; FileStreamSource needs a
+      // directory, so stream the dir with a name filter
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+
+  /** Watermarked tumbling-window aggregate (the S8 dynamic-table analogue). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Run a streaming aggregate to completion over the (finite) file source
+    * and return the result as a batch DataFrame. `AvailableNow` processes all
+    * available data then stops — same operator graph as a live stream.
+    */
+  def runToBatch(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class Event(event_id: Long, user_id: Long, us: Long)
+  final case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+      duration_us: Long)
+
+  /** Stateful sessionization: emit a session row when the 30-min gap elapses.
+    * State per user is a single running session (mapGroupsWithState family,
+    * the reference-free "custom state" capability from the brief).
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // within a microbatch, order by event time (files arrive unordered)
+          val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.us - st.lastUs <= gapUs =>
+                cur = Some(st.copy(lastUs = e.us, nEvents = st.nEvents + 1))
+              case Some(st) =>
+                out += SessionOut(userId, st.sessionStartUs, st.nEvents, st.lastUs - st.sessionStartUs)
+                cur = Some(SessionState(e.us, e.us, 1))
+              case None =>
+                cur = Some(SessionState(e.us, e.us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** Unit vectors for the Snowflake-semantics helpers (SURVEY §2.7 caveats). */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ageOf(birth: String, asOf: String): Int =
+    Seq((birth, asOf)).toDF("b", "a")
+      .select(ageAt(to_date($"b"), to_date($"a")).as("age"))
+      .collect()(0).getInt(0)
+
+  test("ageAt: anniversary adjustment (int_gap_col_status.sql:39-43 semantics)") {
+    assert(ageOf("1970-01-01", "2025-12-31") === 55)
+    // birthday exactly on asOf: anniversary passed -> full year counts
+    assert(ageOf("1950-06-15", "2025-06-15") === 75)
+    // day before birthday: not yet
+    assert(ageOf("1950-06-15", "2025-06-14") === 74)
+    // leap-day birth: add_months clamps to Feb-28 in non-leap years,
+    // so the anniversary counts on Feb-28 (FIXTURES.md §4 vector)
+    assert(ageOf("1980-02-29", "2025-02-28") === 45)
+    assert(ageOf("1980-02-29", "2025-02-27") === 44)
+  }
+
+  test("surrogateKey: exact md5 recipe incl. NULL coalesce (fct_gap_exceptions.sql:9-16)") {
+    val got = Seq((Some(1L), "COL")).toDF("member_id", "measure_id")
+      .select(surrogateKey($"member_id", $"measure_id").as("k"))
+      .collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("1|COL".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === md)
+    // NULL -> '' per the coalesce path (FIXTURES.md §4)
+    val gotNull = Seq(Tuple1[java.lang.Long](null)).toDF("member_id")
+      .select(surrogateKey($"member_id", lit("COL")).as("k"))
+      .collect()(0).getString(0)
+    val mdNull = java.security.MessageDigest.getInstance("MD5")
+      .digest("|COL".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(gotNull === mdNull)
+  }
+
+  test("dateSpine month grain is inclusive of both endpoints") {
+    assert(dateSpine(spark, "1995-01-01", "1995-12-01", "month").count() === 12)
+    assert(dateSpine(spark, "1995-01-01", "1995-01-10", "day").count() === 10)
+  }
+
+  test("listAgg sorts, slices, joins") {
+    val got = Seq(("g", "b"), ("g", "c"), ("g", "a")).toDF("g", "v")
+      .groupBy($"g").agg(listAgg($"v", "|", Some(2)).as("l"))
+      .collect()(0).getString(1)
+    assert(got === "a|b")
+  }
+
+  test("triStateFlag keeps NULL as the third state") {
+    val rows = Seq((true, true), (true, false), (false, false))
+      .toDF("q", "c")
+      .select(triStateFlag($"q", $"c").as("f"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(rows.toSeq === Seq(Some(1), Some(0), None))
+  }
+
+  test("generateSeries matches spark.range semantics") {
+    assert(generateSeries(spark, 5).as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+}

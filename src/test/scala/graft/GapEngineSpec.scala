@@ -1,0 +1,100 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{GapEngine, MeasureSpec, Scenario}
+
+/** Golden-path smoke on the reference's own demo seeds (FIXTURES.md §1-2):
+  * the COL pipeline must reproduce int_gap_col_status on the 9 demo rows.
+  */
+class GapEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // exact copies of /root/reference/seeds (data, not code)
+  private def members = Seq(
+    (1L, "1970-01-01"), (2L, "1950-06-15"), (3L, "2000-05-20"),
+    (4L, "1940-03-03"), (5L, "1965-11-11"))
+    .toDF("member_id", "bd")
+    .select($"member_id", to_date($"bd").as("birth_date"))
+
+  private def events = Seq(
+    (1001L, 1L, "2025-07-01", "82274"),
+    (1002L, 2L, "2025-02-10", "12345"),
+    (1003L, 5L, "2025-03-15", "82274"))
+    .toDF("evidence_id", "member_id", "sd", "code")
+    .select($"evidence_id", $"member_id", to_date($"sd").as("event_date"), upper($"code").as("code"))
+
+  private val spec = MeasureSpec("COL", 45, 75,
+    Seq(Scenario("FIT_FOBT", Seq("82274"), None, 5)), "COL_V1")
+
+  test("demo-seed golden rows (FIXTURES.md §2)") {
+    val out = GapEngine.status(spark, members, events, spec, Nil, LocalDate.of(2025, 12, 31))
+      .orderBy("member_id").collect()
+    assert(out.length === 5)
+    def flag(i: Int): Option[Int] =
+      if (out(i).isNullAt(out(i).fieldIndex("gap_flag"))) None
+      else Some(out(i).getInt(out(i).fieldIndex("gap_flag")))
+
+    // member 1: age 55, FIT in measurement year -> closed
+    assert(flag(0) === Some(1))
+    assert(out(0).getAs[String]("closure_reason") === "FIT_FOBT")
+    assert(out(0).getAs[java.sql.Date]("closure_date").toString === "2025-07-01")
+    assert(out(0).getAs[Long]("evidence_id") === 1001L)
+    assert(out(0).getAs[String]("rule_version") === "COL_V1")
+    assert(out(0).getAs[java.sql.Date]("period_start").toString === "2025-01-01")
+    assert(out(0).getAs[java.sql.Date]("period_end").toString === "2025-12-31")
+    // member 2: age 75 (eligible), code 12345 not in set -> open
+    assert(flag(1) === Some(0))
+    assert(out(1).isNullAt(out(1).fieldIndex("closure_reason")))
+    // member 3: age 25 -> not qualified, closure cols forbidden-null
+    assert(flag(2) === None)
+    assert(out(2).isNullAt(out(2).fieldIndex("evidence_id")))
+    // member 4: age 85 -> not qualified
+    assert(flag(3) === None)
+    // member 5: age 60, FIT in year -> closed
+    assert(flag(4) === Some(1))
+    assert(out(4).getAs[Long]("evidence_id") === 1003L)
+  }
+
+  test("durability beats recency (int_gap_col_status.sql:159-171)") {
+    val twoScen = MeasureSpec("COL", 45, 75, Seq(
+      Scenario("COLONOSCOPY", Seq("45378"), Some(10), 1),
+      Scenario("FIT_FOBT", Seq("82274"), None, 5)), "COL_V1")
+    val ev = Seq(
+      (2001L, 1L, "2025-11-01", "82274"),  // recent FIT
+      (2002L, 1L, "2018-01-01", "45378"))  // old colonoscopy, more durable
+      .toDF("evidence_id", "member_id", "sd", "code")
+      .select($"evidence_id", $"member_id", to_date($"sd").as("event_date"), $"code".as("code"))
+    val out = GapEngine.status(spark, members.filter($"member_id" === 1), ev, twoScen,
+      Nil, LocalDate.of(2025, 12, 31)).collect()(0)
+    assert(out.getAs[String]("closure_reason") === "COLONOSCOPY")
+    assert(out.getAs[Long]("evidence_id") === 2002L)
+  }
+
+  test("lookback boundary is inclusive (FIXTURES.md §4)") {
+    val scen = MeasureSpec("COL", 45, 75,
+      Seq(Scenario("COLONOSCOPY", Seq("45378"), Some(10), 1)), "COL_V1")
+    // exactly 10 years before period end (2015-12-31) qualifies; a day earlier doesn't
+    def run(day: String): Option[Int] = {
+      val ev = Seq((3001L, 1L, day, "45378")).toDF("evidence_id", "member_id", "sd", "code")
+        .select($"evidence_id", $"member_id", to_date($"sd").as("event_date"), $"code".as("code"))
+      val r = GapEngine.status(spark, members.filter($"member_id" === 1), ev, scen,
+        Nil, LocalDate.of(2025, 12, 31)).collect()(0)
+      if (r.isNullAt(r.fieldIndex("gap_flag"))) None else Some(r.getInt(r.fieldIndex("gap_flag")))
+    }
+    assert(run("2015-12-31") === Some(1))
+    assert(run("2015-12-30") === Some(0))
+  }
+
+  test("exclusion set nulls the flag and closure columns") {
+    val hospice = Seq(Tuple1(1L)).toDF("member_id")
+    val out = GapEngine.status(spark, members, events, spec,
+      Seq("in_hospice" -> hospice), LocalDate.of(2025, 12, 31))
+      .filter($"member_id" === 1).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("gap_flag")))
+    assert(out.isNullAt(out.fieldIndex("closure_reason")))
+    assert(out.getAs[Int]("in_hospice") === 1)
+  }
+}

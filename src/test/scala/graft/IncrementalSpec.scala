@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Incremental
+import graft.engine.Incremental._
+
+/** Strategy semantics per dbt-adapters incremental/strategies.sql +
+  * dbt-snowflake incremental/merge.sql (SURVEY §2.5).
+  */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tgt = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v")
+  private def src = Seq((2L, "B", 200), (4L, "D", 400)).toDF("k", "s", "v")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Int)] =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+
+  test("merge: matched rows take source values, unmatched kept, new inserted") {
+    val out = asMap(merge(tgt, src, Seq("k")))
+    assert(out === Map(1L -> ("a", 10), 2L -> ("B", 200), 3L -> ("c", 30), 4L -> ("D", 400)))
+  }
+
+  test("merge without keys degrades to insert-only (merge.sql:17-33)") {
+    assert(merge(tgt, src, Nil).count() === 5)
+  }
+
+  test("merge honors update-column list (merge_update_columns, merge.sql:12-14)") {
+    val out = asMap(merge(tgt, src, Seq("k"), updateCols = Some(Seq("v"))))
+    // s keeps target value on match; v updates
+    assert(out(2L) === ("b", 200))
+    assert(out(4L) === ("D", 400))
+  }
+
+  test("merge honors exclude-column list (merge_exclude_columns)") {
+    val out = asMap(merge(tgt, src, Seq("k"), excludeCols = Seq("v")))
+    assert(out(2L) === ("B", 20)) // v excluded -> target's value survives
+  }
+
+  test("deleteInsert with scope predicate keeps out-of-scope rows") {
+    val out = asMap(deleteInsert(tgt, src, Seq("k"),
+      incrementalPredicates = Seq(col("v") >= 20)))
+    // k=1 out of scope (v=10) survives untouched even though not in src
+    assert(out(1L) === ("a", 10))
+    assert(out(2L) === ("B", 200))
+    assert(out(3L) === ("c", 30))
+    assert(out(4L) === ("D", 400))
+  }
+
+  test("merge is idempotent on identical source (property)") {
+    val once = merge(tgt, src, Seq("k"))
+    val twice = merge(once, src, Seq("k"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("microbatch replaces only the event-time slice") {
+    val t = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("k", "d").select($"k", to_date($"d").as("d"))
+    val b = Seq((9L, "2024-01-02")).toDF("k", "d").select($"k", to_date($"d").as("d"))
+    val out = microbatch(t, b, "d",
+      to_date(lit("2024-01-02")), to_date(lit("2024-01-03")))
+      .select("k").as[Long].collect().toSet
+    assert(out === Set(1L, 9L, 3L))
+  }
+
+  test("on_schema_change modes (on_schema_change.sql:2-143)") {
+    val target = Seq((1L, "a")).toDF("k", "s")
+    val source = Seq((2L, "b", 5)).toDF("k", "s", "extra")
+    assert(reconcileSchema(target, source, IgnoreChange).columns.toSeq === Seq("k", "s"))
+    assertThrows[IllegalStateException](reconcileSchema(target, source, FailChange))
+    val appended = reconcileSchema(target, source, AppendNewColumns)
+    assert(appended.columns.toSeq === Seq("k", "s", "extra"))
+    assert(appended.collect()(0).isNullAt(2))
+    val synced = reconcileSchema(Seq((1L, "a", true)).toDF("k", "s", "gone"), source, SyncAllColumns)
+    assert(synced.columns.toSeq === Seq("k", "s", "extra"))
+  }
+}

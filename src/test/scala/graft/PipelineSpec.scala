@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Dedup/similarity/text/multimodal behavior on controlled inputs. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "en", "s0"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale", "en", "s0"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs).filter($"n_copies" > 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("canonical_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhash+LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup in (0,1)") {
+    val out = Dedup.ngramJaccardPairs(docs, "lang", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) > 0.3 && out((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs have distance 0, near dups small, different large") {
+    val out = Dedup.simhashPairs(docs, "lang", maxDist = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(out((1L, 2L)) === 0)
+    assert(out((1L, 3L)) < out((1L, 4L)))
+  }
+
+  test("cosineQ: orthogonal=0, identical=1, opposite=-1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(col("embedding"))
+    val out = vecs.crossJoin(vecs.select($"vec_id".as("b_id"), $"embedding".as("b_emb")))
+      .select($"vec_id", $"b_id",
+        Similarity.cosineQ(q, Similarity.quantize(col("b_emb"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 1L)) === 1.0)
+    assert(out((1L, 2L)) === 0.0)
+    assert(out((1L, 3L)) === -1.0)
+  }
+
+  test("bruteForceTopK ranks by true cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("langGuess picks marker language; und when no markers") {
+    val out = Seq((1L, "the cat of a hat"), (2L, "el gato la casa los perros"), (3L, "xyz abc"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.langGuess($"text",
+        Seq("en" -> Seq("the", "a", "of"), "es" -> Seq("el", "la", "los"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("multimodal: mapPartitions featurization is deterministic; metadata scan prunes payload") {
+    import Multimodal._
+    implicit val s = spark
+    val media = mediaFromDocuments(
+      docs.withColumn("n_chars", length($"text"))).as[MediaRow]
+    val f1 = extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.n_bytes > 0))
+    // metadata-only query must not read the payload column
+    val plan = metadataStats(mediaFromDocuments(docs.withColumn("n_chars", length($"text"))))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("media"))
+  }
+}

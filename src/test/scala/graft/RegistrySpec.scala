@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.operators.GapExceptions
+
+/** End-to-end DAG runs against a real warehouse dir: view/table/incremental
+  * materializations, the is_incremental gate, and the reference's
+  * second-run-adds-zero-rows exceptions property (FIXTURES.md §2).
+  */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("view/table/incremental-merge DAG over two runs") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+
+    def mkRegistry(sourceRows: Seq[(Long, String, Int)]) = {
+      val reg = new Registry(spark, wh)
+      reg.source("raw", sourceRows.toDF("k", "s", "v"))
+      reg.register(Model("stg", Seq("raw"), ViewMat,
+        ctx => ctx.ref("raw").withColumn("s", upper(col("s")))))
+      reg.register(Model("tbl", Seq("stg"), TableMat(clusterBy = Seq("k")),
+        ctx => ctx.ref("stg").filter(col("v") > 0)))
+      reg.register(Model("inc", Seq("tbl"),
+        IncrementalMat(Incremental.Merge, Seq("k")),
+        ctx => ctx.ref("tbl")))
+      reg
+    }
+
+    // run 1
+    mkRegistry(Seq((1L, "a", 10), (2L, "b", 20))).run()
+    assert(wh.read("inc").count() === 2)
+    // run 2: k=2 updated, k=3 new -> merge
+    mkRegistry(Seq((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30))).run()
+    val out = wh.read("inc").collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out === Map(1L -> ("A", 10), 2L -> ("B2", 99), 3L -> ("C", 30)))
+    // swap protocol left no debris
+    assert(!Files.exists(java.nio.file.Paths.get(root, "inc__tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "inc__backup")))
+  }
+
+  test("fct_gap_exceptions incremental property: identical second run adds 0 rows") {
+    val ts = Timestamp.valueOf("2025-01-01 00:00:00")
+    val viol = Seq((1L, "COL", 2025, 7), (2L, "COL", 2025, 7))
+      .toDF("member_id", "source_measure_id", "measurement_year", "gap_flag")
+      .select(lit(ts).as("exception_ts"), lit("COL_V1").as("rule_version"),
+        lit("COL_TRI_STATE").as("rule_id"), lit("COL").as("measure_id"),
+        lit("A_FLAG_NOT_0_1_NULL").as("violation_reason"),
+        col("member_id"), col("source_measure_id"), col("measurement_year"), col("gap_flag"))
+    val keyed = GapExceptions.withExceptionKey(viol)
+    val firstRun = keyed // no existing target
+    val secondRun = GapExceptions.newExceptions(keyed, firstRun)
+    assert(firstRun.count() === 2)
+    assert(secondRun.count() === 0)
+  }
+
+  test("full refresh rebuilds an incremental target") {
+    val root = Files.createTempDirectory("graft_wh2").toString
+    val wh = new Warehouse(root, spark)
+    def reg(v: Int) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", Seq((1L, v)).toDF("k", "v"))
+      r.register(Model("inc", Seq("raw"), IncrementalMat(Incremental.Append, Nil),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(1).run()
+    reg(2).run()              // append
+    assert(wh.read("inc").count() === 2)
+    reg(3).run(fullRefresh = true)
+    assert(wh.read("inc").count() === 1)
+  }
+}

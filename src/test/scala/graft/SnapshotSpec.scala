@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.engine.Snapshot
+import graft.engine.Snapshot._
+
+/** SCD2 scenario vectors per FIXTURES.md §3: new key -> insert; changed row ->
+  * close + insert; unchanged -> no-op; hard deletes under
+  * ignore/invalidate/new_record (strategies.sql:56-187, helpers.sql:98-205).
+  */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  private def s1 = Seq((1L, "gold", t1), (2L, "silver", t1), (3L, "bronze", t1))
+    .toDF("member_id", "plan", "updated_at")
+  // 1 changed, 2 unchanged, 3 deleted, 4 new
+  private def s2 = Seq((1L, "platinum", t2), (2L, "silver", t1), (4L, "new", t2))
+    .toDF("member_id", "plan", "updated_at")
+
+  private def openPlans(df: DataFrame): Map[Long, String] =
+    df.filter("dbt_valid_to IS NULL").collect()
+      .map(r => r.getAs[Long]("member_id") -> r.getAs[String]("plan")).toMap
+
+  test("check strategy: full lifecycle with invalidate deletes") {
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
+    assert(hist1.count() === 3)
+    assert(hist1.filter("dbt_valid_to IS NOT NULL").count() === 0)
+
+    val hist2 = Snapshot.apply(hist1, s2, Seq("member_id"),
+      CheckStrategy(Seq("plan"), t2), Invalidate, t2)
+    // 3 original rows (1 closed, 2 open-unchanged?) -> rows: closed v1 of member1,
+    // new open member1, open member2, closed member3, open member4
+    assert(hist2.count() === 5)
+    assert(openPlans(hist2) === Map(1L -> "platinum", 2L -> "silver", 4L -> "new"))
+    val closed = hist2.filter("dbt_valid_to IS NOT NULL").collect()
+      .map(r => r.getAs[Long]("member_id")).toSet
+    assert(closed === Set(1L, 3L))
+  }
+
+  test("timestamp strategy: row changed iff valid_from < updated_at (strategies.sql:56-88)") {
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"), TimestampStrategy("updated_at"))
+    val hist2 = Snapshot.apply(hist1, s2, Seq("member_id"),
+      TimestampStrategy("updated_at"), IgnoreDeletes, t2)
+    // member2's updated_at not newer -> unchanged; member3 kept open (ignore deletes)
+    assert(openPlans(hist2) === Map(1L -> "platinum", 2L -> "silver", 3L -> "bronze", 4L -> "new"))
+    assert(hist2.count() === 5)
+  }
+
+  test("hard_deletes=new_record adds a tombstone (helpers.sql:170-205)") {
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1), NewRecord)
+    val hist2 = Snapshot.apply(hist1, s2, Seq("member_id"),
+      CheckStrategy(Seq("plan"), t2), NewRecord, t2)
+    val m3 = hist2.filter("member_id = 3").collect()
+    assert(m3.length === 2)
+    val tomb = m3.filter(_.getAs[String]("dbt_is_deleted") == "True")
+    assert(tomb.length === 1)
+    assert(tomb(0).isNullAt(tomb(0).fieldIndex("dbt_valid_to"))) // tombstone is the open row
+    val closedV1 = m3.filter(_.getAs[String]("dbt_is_deleted") == "False")
+    assert(closedV1(0).getAs[Timestamp]("dbt_valid_to") === t2)
+  }
+
+  test("unchanged second run is a no-op (idempotence)") {
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
+    val hist2 = Snapshot.apply(hist1, s1, Seq("member_id"),
+      CheckStrategy(Seq("plan"), t2), Invalidate, t2)
+    assert(hist2.exceptAll(hist1).isEmpty && hist1.exceptAll(hist2).isEmpty)
+  }
+
+  test("scd_id matches the surrogate-key md5 recipe (strategies.sql:40-50)") {
+    val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
+    val got = hist.filter("member_id = 1").collect()(0).getAs[String]("dbt_scd_id")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("1|2024-01-01 00:00:00".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === expect)
+  }
+}

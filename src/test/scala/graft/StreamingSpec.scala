@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream._
+
+/** Streaming surface: the file-driven windowed aggregate must agree with its
+  * batch equivalent, and stateful sessionization must split on the gap.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming hourly counts == batch hourly counts (sf0.001 events)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.hourlyCounts(EventsStream.readEvents(spark, dir)), "hourly_test")
+    val batch = graft.sources.Sources.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful sessionization splits on the 30-min gap") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Event]
+    val min = 60L * 1000000
+    mem.addData(
+      Event(1, 10, 0), Event(2, 10, 5 * min), Event(3, 10, 50 * min), // gap after 5min
+      Event(4, 20, 0))
+    val out = EventsStream.sessionize(mem.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // only COMPLETED sessions are emitted (append mode): user 10's first session
+    val rows = spark.table("sessions_test").as[SessionOut].collect()
+    assert(rows.length === 1)
+    assert(rows(0).user_id === 10L)
+    assert(rows(0).n_events === 2L)
+    assert(rows(0).duration_us === 5 * min)
+  }
+}
