@@ -39,8 +39,28 @@ object Incremental {
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       updateCols: Option[Seq[String]] = None,
-      excludeCols: Seq[String] = Nil): DataFrame = {
+      excludeCols: Seq[String] = Nil,
+      nullSafeKeys: Boolean = false): DataFrame = {
     if (keys.isEmpty) return target.unionByName(source)
+    if (nullSafeKeys) {
+      // J9 (dbt-adapters/macros/utils/equals.sql:9-17): `(a = b) or (a is
+      // null and b is null)` == Spark's <=>. NULL keys then match each other
+      // instead of always inserting.
+      val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__src_$k")).reduce(_ && _)
+      val updated = target.join(src, cond, "inner")
+        .select(target.columns.map { c =>
+          if (keys.contains(c) || excludeCols.contains(c) ||
+              updateCols.exists(u => !u.contains(c))) target(c)
+          else col(s"__src_$c").as(c)
+        }: _*)
+      val untouched = target.join(source.select(keys.map(col): _*).distinct(),
+        keys.map(k => target(k) <=> source(k)).reduce(_ && _), "left_anti")
+      val inserted = source.select(target.columns.map(col): _*)
+        .join(target.select(keys.map(col): _*).distinct(),
+          keys.map(k => source(k) <=> target(k)).reduce(_ && _), "left_anti")
+      return untouched.unionByName(updated).unionByName(inserted)
+    }
     val updated = (updateCols, excludeCols) match {
       case (Some(cols), _) =>
         // only listed columns take the source value; others keep target's

@@ -81,9 +81,13 @@ object Snapshot {
   def apply(history: DataFrame, source: DataFrame, keys: Seq[String],
       strategy: Strategy, hardDeletes: HardDeletes, snapshotTime: Timestamp): DataFrame = {
 
-    val hasTombstones = hardDeletes == NewRecord && history.columns.contains("dbt_is_deleted")
+    // SN8 schema drift (snapshot.sql:47-63): columns added to the source are
+    // added (null-backfilled) to the history before merging
+    val drifted = source.schema.fields.filterNot(f => history.columns.contains(f.name))
+      .foldLeft(history)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val hasTombstones = hardDeletes == NewRecord && drifted.columns.contains("dbt_is_deleted")
     val histAll = if (hardDeletes == NewRecord && !hasTombstones)
-      history.withColumn("dbt_is_deleted", lit("False")) else history
+      drifted.withColumn("dbt_is_deleted", lit("False")) else drifted
 
     val open   = histAll.filter(col("dbt_valid_to").isNull)       // snapshotted_data
     val closed = histAll.filter(col("dbt_valid_to").isNotNull)

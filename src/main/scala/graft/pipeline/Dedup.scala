@@ -147,10 +147,11 @@ object Dedup {
   def simhash16(tokens: Column): Column =
     simhash16FromHashes(transform(tokens, tokenHash16 _))
 
-  /** Hamming distance between two simhash sketches (bit-count of xor). */
+  /** Hamming distance between two simhash sketches: one codegen'd popcount
+    * (Spark bit_count) over the xor — not 16 shift/mask ops.
+    */
   def hamming16(a: Column, b: Column): Column =
-    (0 until 16).map(bit =>
-      shiftright(a.bitwiseXOR(b), bit).bitwiseAND(1)).reduce(_ + _)
+    bit_count(a.bitwiseXOR(b)).cast("int")
 
   /** SimHash near-dup pairs within a blocking column: hamming <= maxDist. */
   def simhashPairs(docs: DataFrame, blockCol: String, maxDist: Int,

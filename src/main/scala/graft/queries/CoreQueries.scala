@@ -478,6 +478,31 @@ object CoreQueries extends QuerySet {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q24_scalar_funcs", (s, d) =>
+      // the §2.7 cross-database scalar utility surface in one projection
+      table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("pri_code"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("pri_snake"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        instr(col("o_orderpriority"), "URGENT").cast("long").as("urgent_pos"),
+        expr("right(o_orderpriority, 3)").as("pri_tail"),
+        pow(lit(2), col("o_orderkey") % 5).as("pow5"),
+        (col("o_totalprice") > 100000).cast("string").as("big_flag_text")),
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS claim_id,
+             |       split_part(o_orderpriority, '-', 1) AS pri_code,
+             |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+             |       replace(o_orderpriority, '-', '_') AS pri_snake,
+             |       CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+             |       CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS urgent_pos,
+             |       right(o_orderpriority, 3) AS pri_tail,
+             |       power(2, o_orderkey % 5) AS pow5,
+             |       CAST((o_totalprice > 100000) AS VARCHAR) AS big_flag_text
+             |FROM orders""".stripMargin)),
+
     QueryDef("q22_events_hourly", (s, d) =>
       graft.sources.Sources.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))

@@ -181,7 +181,7 @@ object PipelineQueries extends QuerySet {
       val sketchSql = (0 until 16).map { b =>
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END"
       }.mkString(" + ")
-      val hammSql = (0 until 16).map(b => s"((xor(a.sketch, b.sketch) >> $b) & 1)").mkString(" + ")
+      val hammSql = "bit_count(xor(a.sketch, b.sketch))"
       s"""WITH hs AS (
          |  SELECT lang || '/' || source AS block, CAST(doc_id AS BIGINT) AS id, $hashesSql AS hs
          |  FROM documents),

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{Incremental, Snapshot}
+import graft.operators.Fixtures
+import graft.pipeline.TextAnalysis
+
+/** J9 null-safe keys, SN8 schema drift, C5 fixtures, regex tokenizer. */
+class EdgeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("merge with nullSafeKeys matches NULL keys (equals.sql:9-17 / <=>)") {
+    val tgt = Seq((Some(1L), "a"), (None, "n")).toDF("k", "s")
+    val src = Seq((Some(1L), "A"), (None, "N")).toDF("k", "s")
+    val strict = Incremental.merge(tgt, src, Seq("k"))
+    // default SQL equality: NULL key never matches -> old NULL row kept + new inserted
+    assert(strict.count() === 3)
+    val nullSafe = Incremental.merge(tgt, src, Seq("k"), nullSafeKeys = true)
+    val out = nullSafe.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(nullSafe.count() === 2)
+    assert(out === Map(Some(1L) -> "A", None -> "N"))
+  }
+
+  test("snapshot schema drift: new source column null-backfills history (SN8)") {
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val s1 = Seq((1L, "gold")).toDF("member_id", "plan")
+    val s2 = Seq((1L, "gold", "NY")).toDF("member_id", "plan", "state")
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"), Snapshot.CheckStrategy(Seq("plan"), t1))
+    val hist2 = Snapshot.apply(hist1, s2, Seq("member_id"),
+      Snapshot.CheckStrategy(Seq("plan", "state"), t2), Snapshot.Invalidate, t2)
+    assert(hist2.columns.contains("state"))
+    // plan unchanged but state NULL->NY counts as changed under check strategy
+    val open = hist2.filter("dbt_valid_to IS NULL").collect()
+    assert(open.length === 1 && open(0).getAs[String]("state") === "NY")
+    val closed = hist2.filter("dbt_valid_to IS NOT NULL").collect()
+    assert(closed.length === 1 && closed(0).isNullAt(closed(0).fieldIndex("state")))
+  }
+
+  test("fixture relation defaults missing columns to typed NULLs (C5)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", IntegerType)))
+    val df = Fixtures.relation(spark, schema, Seq(
+      Map("id" -> 1L, "name" -> "a", "score" -> 10),
+      Map("id" -> 2L)))
+    val r2 = df.filter("id = 2").collect()(0)
+    assert(r2.isNullAt(1) && r2.isNullAt(2))
+    assert(df.schema === schema)
+  }
+
+  test("regex tokenizer splits word pieces and symbols (BPE-ish)") {
+    val toks = Seq("hello, world-42!").toDF("t")
+      .select(TextAnalysis.tokensRegex($"t").as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(toks.contains("hello") && toks.contains(",") && toks.contains("42"))
+  }
+
+  test("unit compare harness (C6) detects equal and unequal relations") {
+    import graft.operators.GenericTests
+    val a = Seq((1, "x"), (2, "y")).toDF("i", "s")
+    val b = Seq((2, "y"), (1, "x")).toDF("i", "s")
+    assert(GenericTests.unitCompare(a, b))
+    assert(!GenericTests.unitCompare(a, b.filter($"i" === 1)))
+  }
+}
