@@ -24,9 +24,13 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, e => floor(e.cast("double") * scale + lit(0.5)).cast("long"))
 
-  /** Exact-integer dot product of two long vectors. */
+  /** Exact-integer dot product of two long vectors — native codegen'd
+    * expression (graft.plans.LongArrayDot); semantically identical to
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` but without per-pair lambda
+    * interpretation or intermediate array allocation.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.Expressions.longArrayDot(a, b)
 
   /** Deterministic quantized cosine: exact int dot/norms, one double op. */
   def cosineQ(a: Column, b: Column): Column =

@@ -478,6 +478,51 @@ object CoreQueries extends QuerySet {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q25_member_enrollment", (s, d) => {
+      // int_member_enrollment stub (SURVEY §0.3): contiguous activity spans
+      // via gaps-and-islands — month_index minus row_number groups runs
+      val months = table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("member_id"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m")).distinct()
+      val w = Window.partitionBy("member_id").orderBy("m")
+      months
+        .withColumn("grp",
+          (year(col("m")) * 12 + month(col("m"))).cast("long") - row_number().over(w))
+        .groupBy(col("member_id"), col("grp"))
+        .agg(min(col("m")).as("span_start"), max(col("m")).as("span_end"),
+             count(lit(1)).as("n_months"))
+        .select(col("member_id"), col("span_start"), col("span_end"), col("n_months"))
+    }, Some(
+      """WITH months AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders),
+        |idx AS (
+        |  SELECT member_id, m,
+        |         CAST(year(m)*12 + month(m) AS BIGINT) - row_number() OVER (PARTITION BY member_id ORDER BY m) AS grp
+        |  FROM months)
+        |SELECT member_id, min(m) AS span_start, max(m) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_months
+        |FROM idx GROUP BY member_id, grp""".stripMargin)),
+
+    QueryDef("q26_claim_status", (s, d) =>
+      // int_claim_status stub (SURVEY §0.3): conditional-aggregate rollup
+      table(s, d, "lineitem").groupBy(col("l_orderkey").cast("long").as("claim_id"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+        .withColumn("status",
+          when(col("n_returned") === col("n_lines"), lit("RETURNED"))
+            .when(col("n_returned") > 0, lit("PARTIAL_RETURN"))
+            .otherwise(lit("CLEAN"))),
+      Some("""SELECT CAST(l_orderkey AS BIGINT) AS claim_id,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+             |       CASE WHEN sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = count(*) THEN 'RETURNED'
+             |            WHEN sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0 THEN 'PARTIAL_RETURN'
+             |            ELSE 'CLEAN' END AS status
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     QueryDef("q24_scalar_funcs", (s, d) =>
       // the §2.7 cross-database scalar utility surface in one projection
       table(s, d, "orders").select(
