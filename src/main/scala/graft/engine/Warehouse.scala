@@ -51,6 +51,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir(name).toString)
 
+  /** Bucketed catalog table: co-locates future joins/aggregations on the
+    * bucket keys — the 100 TB answer to repeated shuffles on a stable key
+    * (both sides bucketed by the same keys+count join with ZERO exchanges).
+    * Uses the session catalog (`saveAsTable`; bucketing metadata doesn't
+    * survive in plain parquet dirs).
+    */
+  def writeBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRec(dir(table)) // external location under this warehouse root
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .option("path", dir(table).toString)
+      .saveAsTable(table)
+  }
+
   def drop(name: String): Unit = deleteRec(dir(name))
 
   private def deleteRec(p: Path): Unit =

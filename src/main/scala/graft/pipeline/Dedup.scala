@@ -44,9 +44,16 @@ object Dedup {
       .localCheckpoint(false) // shingle pass shared by both self-join branches
     val a = sh.select(col(blockCol), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(blockCol), col("id").as("id_b"), col("sh").as("sh_b"))
+    // intersect size computed ONCE in its own projection; the threshold
+    // filter then only touches cheap integer attributes (the filter+project
+    // pair would otherwise each evaluate the array_intersect)
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).cast("double").as("na"),
+        size(col("sh_b")).cast("double").as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -478,6 +478,21 @@ object CoreQueries extends QuerySet {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q27_stg_providers", (s, d) =>
+      // stg_providers stub (SURVEY §0.3): typed staging + broadcast dim join
+      table(s, d, "supplier")
+        .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(
+          col("s_suppkey").cast("long").as("provider_id"),
+          upper(col("s_name")).as("provider_name"),
+          col("n_name").as("nation"),
+          col("s_acctbal").cast("decimal(18,2)").cast("double").as("balance")),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) AS provider_id,
+             |       UPPER(s_name) AS provider_name,
+             |       n_name AS nation,
+             |       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
     QueryDef("q25_member_enrollment", (s, d) => {
       // int_member_enrollment stub (SURVEY §0.3): contiguous activity spans
       // via gaps-and-islands — month_index minus row_number groups runs

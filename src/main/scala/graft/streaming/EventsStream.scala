@@ -68,6 +68,27 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming-incremental bridge (the dbt microbatch strategy I5 driven by a
+    * live source): each microbatch MERGEs into a warehouse table via
+    * foreachBatch — dedup on key across batches, latest batch wins.
+    */
+  def mergeStream(events: DataFrame, wh: graft.engine.Warehouse, table: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      // offsets checkpoint under the warehouse: a restarted query resumes
+      // instead of replaying (exactly-once upserts given unique keys/batch)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!wh.exists(table)) wh.writeSwap(table, batch)
+        else {
+          val merged = graft.engine.Incremental.merge(wh.read(table), batch, keys)
+          wh.writeSwap(table, merged)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, user_id: Long, us: Long)
   final case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,

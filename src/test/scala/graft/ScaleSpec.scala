@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Skew, Warehouse}
+
+/** Scale-path utilities: salted joins must be result-equivalent to plain
+  * joins; bucketed tables must join without exchanges.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin is result-equivalent to a plain join") {
+    // skewed fact: 90% of rows on key 1
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 7, i.toLong))
+      .toDF("k", "fact_id")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), k = 8, factUniquifier = "fact_id")
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_bkt").toString, spark)
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    wh.writeBucketed("bkt_left", left, Seq("k"), nBuckets = 4)
+    wh.writeBucketed("bkt_right", right, Seq("k"), nBuckets = 4)
+    // small tables would broadcast (hiding the bucketing); force the
+    // shuffle-join path the tables would take at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() === 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("streaming merge upserts into the warehouse across microbatches") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val wh = new Warehouse(Files.createTempDirectory("graft_stream_wh").toString, spark)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("k", "v")
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = EventsStream.mergeStream(stream, wh, "merged", Seq("k"))
+    q1.awaitTermination()
+    assert(wh.read("merged").count() === 2)
+    mem.addData((2L, "B2"), (3L, "c"))
+    val q2 = EventsStream.mergeStream(stream, wh, "merged", Seq("k"))
+    q2.awaitTermination()
+    val out = wh.read("merged").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+}
