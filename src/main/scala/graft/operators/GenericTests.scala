@@ -76,4 +76,18 @@ object GenericTests {
     */
   def unitCompare(actual: DataFrame, expected: DataFrame): Boolean =
     actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty
+
+  /** `--store-failures` (tests/test.sql:1-65 store_failures path): persist
+    * the failing rows of a test run into an audit table, tagged with the run
+    * timestamp and test name, appended across runs.
+    */
+  def storeFailures(wh: graft.engine.Warehouse, testName: String,
+      failing: DataFrame, runTs: java.sql.Timestamp): Unit = {
+    val tagged = failing
+      .withColumn("dq_test_name", lit(testName))
+      .withColumn("dq_run_ts", lit(runTs))
+    val target = s"dq_failures_$testName"
+    if (wh.exists(target)) wh.append(target, tagged)
+    else wh.writeSwap(target, tagged)
+  }
 }

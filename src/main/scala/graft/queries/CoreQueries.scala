@@ -403,6 +403,31 @@ object CoreQueries extends QuerySet {
         |       dbt_updated_at, dbt_valid_from, dbt_valid_to
         |FROM rows_out""".stripMargin)),
 
+    QueryDef("q28_incremental_microbatch", (s, d) => {
+      // I5: replace exactly the [1999-01-01, 1999-07-01) event-time slice
+      val cols = Seq(
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("service_date"),
+        col("o_orderstatus").as("status"))
+      val tgt = table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("2000-01-01").cast("date")).select(cols: _*)
+      val batch = table(s, d, "orders")
+        .select(cols: _*).withColumn("status", lit("REPROCESSED"))
+      Incremental.microbatch(tgt, batch, "service_date",
+        lit("1999-01-01").cast("date"), lit("1999-07-01").cast("date"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(o_orderdate AS DATE) AS service_date, o_orderstatus AS status
+        |  FROM orders)
+        |SELECT * FROM base
+        |WHERE service_date < DATE '2000-01-01'
+        |  AND (service_date < DATE '1999-01-01' OR service_date >= DATE '1999-07-01')
+        |UNION ALL
+        |SELECT claim_id, member_id, service_date, 'REPROCESSED' AS status FROM base
+        |WHERE service_date >= DATE '1999-01-01' AND service_date < DATE '1999-07-01'""".stripMargin)),
+
     QueryDef("q16_window_top_claim", (s, d) =>
       table(s, d, "orders")
         .withColumn("rn", row_number().over(

@@ -1,0 +1,83 @@
+package graft
+
+import java.time.LocalDate
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{GapEngine, MeasureSpec, Scenario, TriStateRules}
+import graft.engine.{Incremental, Snapshot}
+
+/** Property-style tests (SURVEY §5) over deterministic random inputs (fixed
+  * seeds): tri-state invariants hold BY CONSTRUCTION on arbitrary inputs;
+  * merge is idempotent; SCD2 validity intervals never overlap per key.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val spec = MeasureSpec("COL", 45, 75, Seq(
+    Scenario("COLONOSCOPY", Seq("C1"), Some(10), 1),
+    Scenario("FIT_FOBT", Seq("F1"), None, 5)), "COL_V1")
+  private val rules = TriStateRules("gap_flag",
+    Seq("member_id", "measure_id", "measurement_year"),
+    closedRequires = Seq("closure_date", "closure_reason", "evidence_id"),
+    notQualifiedForbids = Seq("closure_date", "closure_reason", "evidence_id"))
+
+  test("gap engine output never violates the tri-state rules (A/C/D by construction)") {
+    (1 to 8).foreach { seed =>
+      val rnd = new Random(seed)
+      val nM = 1 + rnd.nextInt(30)
+      val members = (1 to nM).map(i =>
+          (i.toLong, LocalDate.of(1970, 1, 1).plusDays(rnd.between(-20000, 25000)).toString))
+        .toDF("member_id", "bd").select($"member_id", to_date($"bd").as("birth_date"))
+      val events = (0 until rnd.nextInt(60)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(nM),
+          Seq("C1", "F1", "XX")(rnd.nextInt(3)),
+          LocalDate.of(2025, 12, 31).minusDays(rnd.nextInt(4000)).toString)
+      }.toDF("evidence_id", "member_id", "code", "dt")
+        .select($"evidence_id", $"member_id", $"code", to_date($"dt").as("event_date"))
+      val status = GapEngine.status(spark, members, events, spec, Nil, LocalDate.of(2025, 12, 31))
+      assert(rules.violations(status).isEmpty, s"violations at seed $seed")
+    }
+  }
+
+  test("merge idempotence: applying the same batch twice is a fixpoint") {
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val tgt = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      val src = (0 until rnd.nextInt(15))
+        .map(_ => (1L + rnd.nextInt(20), rnd.alphanumeric.take(4).mkString))
+        .toDF("k", "v").dropDuplicates("k")
+      val once = Incremental.merge(tgt, src, Seq("k"))
+      val twice = Incremental.merge(once, src, Seq("k"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("SCD2 validity intervals never overlap per key (random change sequences)") {
+    def t(n: Int) = java.sql.Timestamp.valueOf(f"2024-${n + 1}%02d-01 00:00:00")
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val s0 = Seq((1L, "init"), (2L, "init")).toDF("k", "v")
+      var hist = Snapshot.firstRun(s0, Seq("k"), Snapshot.CheckStrategy(Seq("v"), t(0)))
+      (1 to 3).foreach { i =>
+        val src = (1L to 8L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, Seq("x", "y", "z")(rnd.nextInt(3))))
+          .toDF("k", "v")
+        hist = Snapshot.apply(hist, src, Seq("k"),
+          Snapshot.CheckStrategy(Seq("v"), t(i)), Snapshot.Invalidate, t(i))
+      }
+      val rows = hist.select("k", "dbt_valid_from", "dbt_valid_to").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+      rows.groupBy(_._1).foreach { case (k, versions) =>
+        assert(versions.count(_._3.isEmpty) <= 1, s"seed $seed key $k: >1 open row")
+        val sorted = versions.sortBy(_._2.getTime)
+        sorted.sliding(2).foreach {
+          case Array((_, _, Some(closedTo)), (_, from2, _)) =>
+            assert(!from2.before(closedTo), s"seed $seed key $k: overlapping versions")
+          case _ => ()
+        }
+      }
+    }
+  }
+}
