@@ -26,7 +26,10 @@ object Incremental {
   case object Merge           extends Strategy // merge.sql:9-54
   case object DeleteInsert    extends Strategy // merge.sql:57-92
   case object InsertOverwrite extends Strategy // dbt-snowflake insert_overwrite.sql:1-52
-  final case class Microbatch(eventTimeCol: String) extends Strategy // merge.sql:73-101
+  /** merge.sql:73-101 — replace the [start, end) event-time slice; bounds are
+    * ISO dates (the dbt runner derives them per batch from event_time).
+    */
+  final case class Microbatch(eventTimeCol: String, start: String, end: String) extends Strategy
 
   /** MERGE (I2): match on `keys` -> source row wins (all columns, minus
     * `excludeCols`, or only `updateCols` when given — merge.sql:12-14);

@@ -95,16 +95,20 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
             // multi-action strategies re-read the source: snapshot it for
             // identical inputs (temp-relation rule I8, incremental.sql:2-65)
             val src = df.cache()
-            val next = strategy match {
-              case Incremental.Append          => null // handled below without rewrite
-              case Incremental.Merge           => Incremental.merge(target, src, keys)
-              case Incremental.DeleteInsert    => Incremental.deleteInsert(target, src, keys)
-              case Incremental.InsertOverwrite => Incremental.insertOverwrite(src)
-              case Incremental.Microbatch(_)   =>
-                throw new IllegalArgumentException("use runMicrobatch with explicit bounds")
+            strategy match {
+              case Incremental.Append =>
+                wh.append(m.name, src)
+              case Incremental.Merge =>
+                wh.writeSwap(m.name, Incremental.merge(target, src, keys))
+              case Incremental.DeleteInsert =>
+                wh.writeSwap(m.name, Incremental.deleteInsert(target, src, keys))
+              case Incremental.InsertOverwrite =>
+                wh.writeSwap(m.name, Incremental.insertOverwrite(src))
+              case Incremental.Microbatch(eventCol, start, end) =>
+                import org.apache.spark.sql.functions.{lit, to_date}
+                wh.writeSwap(m.name, Incremental.microbatch(target, src, eventCol,
+                  to_date(lit(start)), to_date(lit(end))))
             }
-            if (strategy == Incremental.Append) wh.append(m.name, src)
-            else wh.writeSwap(m.name, next)
             src.unpersist()
           }
           wh.read(m.name)

@@ -59,6 +59,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(secondRun.count() === 0)
   }
 
+  test("microbatch materialization replaces only its event-time slice across runs") {
+    val root = Files.createTempDirectory("graft_wh3").toString
+    val wh = new Warehouse(root, spark)
+    def reg(rows: Seq[(Long, String, String)]) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", rows.toDF("k", "d", "v")
+        .select(col("k"), to_date(col("d")).as("d"), col("v")))
+      r.register(Model("mb", Seq("raw"),
+        IncrementalMat(Incremental.Microbatch("d", "2024-01-02", "2024-01-03"), Nil),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"))).run()
+    // second run: slice day-2 replaced with the new batch row, day-1 untouched
+    reg(Seq((9L, "2024-01-02", "B2"), (8L, "2024-01-01", "ignored-out-of-slice"))).run()
+    val out = wh.read("mb").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 9L -> "B2"))
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
