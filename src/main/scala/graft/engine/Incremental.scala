@@ -27,7 +27,11 @@ object Incremental {
   case object DeleteInsert    extends Strategy // merge.sql:57-92
   case object InsertOverwrite extends Strategy // dbt-snowflake insert_overwrite.sql:1-52
   /** merge.sql:73-101 — replace the [start, end) event-time slice; bounds are
-    * ISO dates (the dbt runner derives them per batch from event_time).
+    * ISO dates or timestamps ("2024-01-02" / "2024-01-02T13:00:00"). These are
+    * DEFAULT bounds — a long-lived Registry advances the window per run via
+    * `Registry.run(microbatchWindows = ...)` (the dbt runner derives bounds
+    * per batch). Bounds are validated at materialization (fail fast; an
+    * unparseable bound must never silently become NULL and wipe the target).
     */
   final case class Microbatch(eventTimeCol: String, start: String, end: String) extends Strategy
 
@@ -114,12 +118,18 @@ object Incremental {
 
   /** microbatch (I5): replace the [start, end) event-time slice. At scale the
     * target is partitioned by event time so only the slice rewrites.
+    *
+    * NULL event times: the reference's `DELETE WHERE et >= start AND et < end`
+    * does NOT match NULL rows — they survive in the target. The keep-filter
+    * is therefore null-safe (`coalesce(in-window, false)`), not the naive
+    * `c < start || c >= end` (which evaluates NULL and silently drops them).
     */
   def microbatch(target: DataFrame, batch: DataFrame, eventTimeCol: String,
       start: Column, end: Column): DataFrame = {
     val c = col(eventTimeCol)
-    target.filter(c < start || c >= end)
-      .unionByName(batch.filter(c >= start && c < end).select(target.columns.map(col): _*))
+    val inWindow = coalesce(c >= start && c < end, lit(false))
+    target.filter(!inWindow)
+      .unionByName(batch.filter(inWindow).select(target.columns.map(col): _*))
   }
 
   /** on_schema_change (I7, on_schema_change.sql:2-143). Returns the

@@ -70,10 +70,26 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     visited.toSeq.map(byName)
   }
 
-  /** Run the DAG (`dbt run`). fullRefresh forces incremental targets to
-    * rebuild from scratch (incremental.sql:40-46).
+  /** Parse a microbatch bound eagerly — an unparseable bound must FAIL here,
+    * never flow into the plan as a NULL literal (a NULL bound would filter
+    * out every row and silently replace the target with an empty table).
+    * Timestamp precision is preserved (hourly windows stay hourly).
     */
-  def run(fullRefresh: Boolean = false): Map[String, DataFrame] = {
+  private def parseBound(s: String): java.sql.Timestamp = {
+    val t = scala.util.Try(java.time.LocalDateTime.parse(s))
+      .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay()))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable microbatch bound '$s' (want ISO date or date-time)"))
+    java.sql.Timestamp.valueOf(t)
+  }
+
+  /** Run the DAG (`dbt run`). fullRefresh forces incremental targets to
+    * rebuild from scratch (incremental.sql:40-46). `microbatchWindows`
+    * overrides Microbatch bounds per model name for this run — the per-batch
+    * window a scheduler advances between runs.
+    */
+  def run(fullRefresh: Boolean = false,
+      microbatchWindows: Map[String, (String, String)] = Map.empty): Map[String, DataFrame] = {
     topoSorted.foreach { m =>
       val deps = (m.deps.map(d => d -> materialized(d))).toMap
       val targetExists = wh.exists(m.name)
@@ -91,25 +107,41 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         case IncrementalMat(strategy, keys, onSchema) =>
           if (!isInc) wh.writeSwap(m.name, df)
           else {
-            val target = Incremental.reconcileSchema(wh.read(m.name), df, onSchema)
-            // multi-action strategies re-read the source: snapshot it for
-            // identical inputs (temp-relation rule I8, incremental.sql:2-65)
-            val src = df.cache()
+            import org.apache.spark.sql.functions.{col, lit}
+            val stored = wh.read(m.name)
+            val target = Incremental.reconcileSchema(stored, df, onSchema)
             strategy match {
               case Incremental.Append =>
-                wh.append(m.name, src)
-              case Incremental.Merge =>
-                wh.writeSwap(m.name, Incremental.merge(target, src, keys))
-              case Incremental.DeleteInsert =>
-                wh.writeSwap(m.name, Incremental.deleteInsert(target, src, keys))
-              case Incremental.InsertOverwrite =>
-                wh.writeSwap(m.name, Incremental.insertOverwrite(src))
-              case Incremental.Microbatch(eventCol, start, end) =>
-                import org.apache.spark.sql.functions.{lit, to_date}
-                wh.writeSwap(m.name, Incremental.microbatch(target, src, eventCol,
-                  to_date(lit(start)), to_date(lit(end))))
+                // if reconcileSchema reshaped the target, persist the reshape
+                // first — appending mismatched-schema part-files would make
+                // reads nondeterministic (parquet takes one file's schema)
+                if (target.columns.toSeq != stored.columns.toSeq)
+                  wh.writeSwap(m.name, target)
+                val aligned = wh.read(m.name).columns.map(c =>
+                  if (df.columns.contains(c)) col(c)
+                  else lit(null).cast(wh.read(m.name).schema(c).dataType).as(c))
+                wh.append(m.name, df.select(aligned.toSeq: _*))
+              case multi =>
+                // merge/delete+insert scan the source more than once: snapshot
+                // it for identical inputs (temp-relation rule I8,
+                // incremental.sql:2-65); single-scan strategies skip the cache
+                val multiScan = multi == Incremental.Merge || multi == Incremental.DeleteInsert
+                val src = if (multiScan) df.cache() else df
+                multi match {
+                  case Incremental.Merge =>
+                    wh.writeSwap(m.name, Incremental.merge(target, src, keys))
+                  case Incremental.DeleteInsert =>
+                    wh.writeSwap(m.name, Incremental.deleteInsert(target, src, keys))
+                  case Incremental.InsertOverwrite =>
+                    wh.writeSwap(m.name, Incremental.insertOverwrite(src))
+                  case Incremental.Microbatch(eventCol, defStart, defEnd) =>
+                    val (s0, e0) = microbatchWindows.getOrElse(m.name, (defStart, defEnd))
+                    wh.writeSwap(m.name, Incremental.microbatch(target, src, eventCol,
+                      lit(parseBound(s0)), lit(parseBound(e0))))
+                  case _ => ()
+                }
+                if (multiScan) src.unpersist()
             }
-            src.unpersist()
           }
           wh.read(m.name)
         case SnapshotMat(keys, strategy, hard, ts) =>

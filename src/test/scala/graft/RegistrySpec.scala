@@ -78,6 +78,53 @@ class RegistrySpec extends AnyFunSuite {
     assert(out === Map(1L -> "a", 9L -> "B2"))
   }
 
+  test("microbatch: bad bounds fail fast; per-run windows advance the slice; NULLs survive") {
+    val root = Files.createTempDirectory("graft_wh4").toString
+    val wh = new Warehouse(root, spark)
+    def reg(rows: Seq[(Long, Option[String], String)], start: String, end: String) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", rows.toDF("k", "d", "v")
+        .select(col("k"), to_date(col("d")).as("d"), col("v")))
+      r.register(Model("mb2", Seq("raw"),
+        IncrementalMat(Incremental.Microbatch("d", start, end), Nil),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, Some("2024-01-01"), "a"), (2L, None, "late"),
+      (3L, Some("2024-01-02"), "b")), "2024-01-02", "2024-01-03").run()
+    // unparseable bound -> loud failure, target untouched
+    val ex = intercept[IllegalArgumentException] {
+      reg(Seq((9L, Some("2024-01-02"), "x")), "01/02/2024", "01/03/2024").run()
+    }
+    assert(ex.getMessage.contains("microbatch bound"))
+    assert(wh.read("mb2").count() === 3)
+    // per-run window override advances the slice; NULL event-time row survives
+    reg(Seq((7L, Some("2024-01-03"), "c")), "2024-01-02", "2024-01-03")
+      .run(microbatchWindows = Map("mb2" -> ("2024-01-03", "2024-01-04")))
+    val out = wh.read("mb2").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 2L -> "late", 3L -> "b", 7L -> "c"))
+  }
+
+  test("append with AppendNewColumns reshapes the stored target before appending") {
+    val root = Files.createTempDirectory("graft_wh5").toString
+    val wh = new Warehouse(root, spark)
+    def reg(df: org.apache.spark.sql.DataFrame) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", df)
+      r.register(Model("app", Seq("raw"),
+        IncrementalMat(Incremental.Append, Nil, Incremental.AppendNewColumns),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, "a")).toDF("k", "s")).run()
+    reg(Seq((2L, "b", 42)).toDF("k", "s", "extra")).run()
+    val out = wh.read("app")
+    assert(out.columns.toSet === Set("k", "s", "extra"))
+    val r1 = out.filter("k = 1").collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("extra")))
+    assert(out.filter("k = 2").collect()(0).getAs[Int]("extra") === 42)
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
