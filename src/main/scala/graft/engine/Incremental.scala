@@ -102,7 +102,11 @@ object Incremental {
   def deleteInsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       incrementalPredicates: Seq[Column] = Nil): DataFrame = {
     val doomedKeys = source.select(keys.map(col): _*).distinct()
-    val deletePred = incrementalPredicates.reduceOption(_ && _).getOrElse(lit(true))
+    // null-safe split: DELETE WHERE pred only removes rows where pred is
+    // TRUE — a NULL predicate (e.g. NULL event date) must keep the row, not
+    // drop it from both branches
+    val deletePred = coalesce(
+      incrementalPredicates.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
     val keptByPred = target.filter(!deletePred) // rows outside the predicate scope survive
     val inScope    = target.filter(deletePred)
     keptByPred

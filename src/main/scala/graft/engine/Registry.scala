@@ -114,13 +114,21 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
               case Incremental.Append =>
                 // if reconcileSchema reshaped the target, persist the reshape
                 // first — appending mismatched-schema part-files would make
-                // reads nondeterministic (parquet takes one file's schema)
-                if (target.columns.toSeq != stored.columns.toSeq)
-                  wh.writeSwap(m.name, target)
-                val aligned = wh.read(m.name).columns.map(c =>
-                  if (df.columns.contains(c)) col(c)
-                  else lit(null).cast(wh.read(m.name).schema(c).dataType).as(c))
-                wh.append(m.name, df.select(aligned.toSeq: _*))
+                // reads nondeterministic (parquet takes one file's schema).
+                // The batch is materialized BEFORE the swap: the model build
+                // may reference ctx.existingTarget, whose file index dies in
+                // the swap (stale-scan FileNotFound otherwise).
+                val src =
+                  if (target.columns.toSeq != stored.columns.toSeq) {
+                    val snap = df.localCheckpoint(true)
+                    wh.writeSwap(m.name, target)
+                    snap
+                  } else df
+                val schemaNow = wh.read(m.name).schema
+                val aligned = schemaNow.fields.map(f =>
+                  if (src.columns.contains(f.name)) col(f.name)
+                  else lit(null).cast(f.dataType).as(f.name))
+                wh.append(m.name, src.select(aligned.toSeq: _*))
               case multi =>
                 // merge/delete+insert scan the source more than once: snapshot
                 // it for identical inputs (temp-relation rule I8,

@@ -17,8 +17,16 @@ object Skew {
   /** Deterministic salt from a uniquifier column (e.g. the fact's PK). */
   def salt(uniquifier: Column, k: Int): Column = pmod(hash(uniquifier), lit(k))
 
+  /** Fact-preserving join types only: the dim side is replicated k times, so
+    * a dim-preserving join (right/full outer) would emit k copies of every
+    * unmatched dim row.
+    */
+  private val factPreserving = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String], k: Int,
       factUniquifier: String, joinType: String = "inner"): DataFrame = {
+    require(factPreserving.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin requires a fact-preserving join type, got '$joinType'")
     val salted = fact.withColumn("__salt", salt(col(factUniquifier), k))
     val exploded = dim.withColumn("__salt", explode(sequence(lit(0), lit(k - 1))))
     salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")

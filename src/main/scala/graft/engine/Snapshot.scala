@@ -82,9 +82,16 @@ object Snapshot {
       strategy: Strategy, hardDeletes: HardDeletes, snapshotTime: Timestamp): DataFrame = {
 
     // SN8 schema drift (snapshot.sql:47-63): columns added to the source are
-    // added (null-backfilled) to the history before merging
+    // added (null-backfilled) to the history before merging; columns REMOVED
+    // from the source are null-backfilled on the source side (the reference
+    // keeps the column and inserts NULL — a narrowing source must not abort
+    // every subsequent snapshot run)
     val drifted = source.schema.fields.filterNot(f => history.columns.contains(f.name))
       .foldLeft(history)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val meta = Set("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_is_deleted")
+    val source1 = history.schema.fields
+      .filterNot(f => meta.contains(f.name) || source.columns.contains(f.name))
+      .foldLeft(source)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
     val hasTombstones = hardDeletes == NewRecord && drifted.columns.contains("dbt_is_deleted")
     val histAll = if (hardDeletes == NewRecord && !hasTombstones)
       drifted.withColumn("dbt_is_deleted", lit("False")) else drifted
@@ -93,7 +100,7 @@ object Snapshot {
     val closed = histAll.filter(col("dbt_valid_to").isNotNull)
 
     val srcPref  = "s_"
-    val src = source.select(source.columns.map(c => col(c).as(srcPref + c)): _*)
+    val src = source1.select(source1.columns.map(c => col(c).as(srcPref + c)): _*)
     val joinCond = keys.map(k => col(k) === col(srcPref + k)).reduce(_ && _)
     val snapC: String => Column = c => col(c)
     val srcC:  String => Column = c => col(srcPref + c)
@@ -106,7 +113,7 @@ object Snapshot {
 
     // insertions (helpers.sql:107-124): brand-new key, or changed row -> new open version
     val insertions0 = j.filter(snapKeyNull || (!srcKeyNull && changed))
-      .select(source.columns.map(c => col(srcPref + c).as(c)): _*)
+      .select(source1.columns.map(c => col(srcPref + c).as(c)): _*)
     val insertions = {
       val s: String => Column = insertions0.apply
       val base = insertions0

@@ -66,7 +66,10 @@ object GenericTests {
       errorIf: Long => Boolean = _ > 0,
       limit: Option[Int] = None): TestResult = {
     val limited = limit.fold(failing)(failing.limit)
-    val n = limited.agg(expr(failCalc).cast("long")).collect()(0).getLong(0)
+    // NULL fail_calc over zero failing rows (e.g. sum on an empty set) counts
+    // as 0 failures, matching the reference harness
+    val n = limited.agg(coalesce(expr(failCalc).cast("long"), lit(0L)))
+      .collect()(0).getLong(0)
     val sev = if (errorIf(n)) Error else if (warnIf(n)) Warn else Pass
     TestResult(name, n, sev)
   }

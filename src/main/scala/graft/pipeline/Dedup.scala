@@ -21,7 +21,9 @@ object Dedup {
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).cast("long").as("canonical_id"),
+      // cast BEFORE min: a string id column would otherwise pick the
+      // lexicographic minimum ("10" < "9")
+      .agg(min(col(idCol).cast("long")).as("canonical_id"),
            count(lit(1)).as("n_copies"))
 
   /** Jaccard over distinct word-shingle sets: |A ∩ B| / |A u B|, exact

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -16,6 +16,15 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Epoch-nanos long -> TimestampType at microsecond precision.
+    * INTEGRAL division only: `col / lit(1000L)` is double division in Spark,
+    * and epoch-nanos (~9.5e17) exceed 2^53 — the long->double round makes
+    * ~1.6% of values land 1 microsecond off vs an engine that divides
+    * integrally (oracle mismatch on exact window/gap boundaries).
+    */
+  def nsToTimestamp(ns: Column): Column =
+    timestamp_micros(ns.cast("decimal(20,0)").divide(lit(1000L)).cast("long"))
+
   /** The events table ships with nanosecond parquet timestamps, which Spark
     * surfaces as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
     * (set in our session builders). Normalize to a proper TimestampType column
@@ -25,7 +34,7 @@ object Sources {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      case "long" => raw.withColumn("ts", nsToTimestamp(col("ts")))
       case _      => raw
     }
   }

@@ -41,7 +41,7 @@ object EventsStream {
       // directory, so stream the dir with a name filter
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", graft.sources.Sources.nsToTimestamp(col("ts")))
 
   /** Watermarked tumbling-window aggregate (the S8 dynamic-table analogue). */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -61,6 +61,56 @@ class EdgeSpec extends AnyFunSuite {
     assert(toks.contains("hello") && toks.contains(",") && toks.contains("42"))
   }
 
+  test("deleteInsert keeps target rows whose scope predicate is NULL") {
+    val tgt = Seq((1L, Some("2024-01-01")), (2L, None), (3L, Some("2024-06-01")))
+      .toDF("k", "d").select($"k", to_date($"d").as("d"))
+    val src = Seq((3L, Some("2024-06-02"))).toDF("k", "d")
+      .select($"k", to_date($"d").as("d"))
+    val out = Incremental.deleteInsert(tgt, src, Seq("k"),
+      incrementalPredicates = Seq(col("d") >= to_date(lit("2024-06-01"))))
+    // NULL-date row 2 must survive (DELETE WHERE pred only removes TRUE rows)
+    assert(out.select("k").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
+  test("nsToTimestamp divides integrally (no double rounding at epoch-nanos)") {
+    // 9.5e17-magnitude nanos where double division rounds a microsecond low
+    val ns = Seq(1704067200000000999L, 1706745599999999001L).toDF("ns")
+    val us = ns.select(graft.sources.Sources.nsToTimestamp($"ns").as("ts"))
+      .select(unix_micros($"ts")).as[Long].collect().toSeq
+    assert(us === Seq(1704067200000000L, 1706745599999999L))
+  }
+
+  test("snapshot survives a narrowing source (removed column -> NULL inserts)") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val s1 = Seq((1L, "gold", "NY")).toDF("member_id", "plan", "state")
+    val s2 = Seq((1L, "plat")).toDF("member_id", "plan") // state removed
+    val hist1 = Snapshot.firstRun(s1, Seq("member_id"),
+      Snapshot.CheckStrategy(Seq("plan"), t1))
+    val hist2 = Snapshot.apply(hist1, s2, Seq("member_id"),
+      Snapshot.CheckStrategy(Seq("plan"), t2), Snapshot.Invalidate, t2)
+    val open = hist2.filter("dbt_valid_to IS NULL").collect()
+    assert(open.length === 1)
+    assert(open(0).getAs[String]("plan") === "plat")
+    assert(open(0).isNullAt(open(0).fieldIndex("state")))
+  }
+
+  test("evaluate handles NULL fail_calc as zero failures") {
+    import graft.operators.GenericTests
+    val empty = Seq.empty[(Long, Long)].toDF("unique_field", "n_records")
+    val res = GenericTests.evaluate("t", empty, failCalc = "sum(n_records)")
+    assert(res.failures === 0L && res.severity === GenericTests.Pass)
+  }
+
+  test("saltedJoin rejects dim-preserving join types") {
+    import graft.engine.Skew
+    val f = Seq((1L, 1L)).toDF("k", "id")
+    val d = Seq((1L, "x")).toDF("k", "v")
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(f, d, Seq("k"), 4, "id", joinType = "full_outer"))
+  }
+
   test("unit compare harness (C6) detects equal and unequal relations") {
     import graft.operators.GenericTests
     val a = Seq((1, "x"), (2, "y")).toDF("i", "s")
