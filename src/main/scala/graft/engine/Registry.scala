@@ -89,15 +89,46 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     * window a scheduler advances between runs.
     */
   def run(fullRefresh: Boolean = false,
-      microbatchWindows: Map[String, (String, String)] = Map.empty): Map[String, DataFrame] = {
-    topoSorted.foreach { m =>
+      microbatchWindows: Map[String, (String, String)] = Map.empty,
+      threads: Int = 1): Map[String, DataFrame] = {
+    // dbt-style DAG parallelism (SURVEY §3: independent nodes on separate
+    // threads): models grouped into topological levels; within a level all
+    // deps are already materialized, so models run concurrently. Spark's
+    // scheduler handles concurrent jobs from one driver.
+    val ordered = topoSorted
+    val level = scala.collection.mutable.Map.empty[String, Int]
+    ordered.foreach { m =>
+      level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
+    }
+    val byLevel = ordered.groupBy(m => level(m.name)).toSeq.sortBy(_._1)
+    byLevel.foreach { case (_, ms) =>
+      val results: Seq[(String, DataFrame)] =
+        if (threads <= 1 || ms.size == 1) ms.map(m => m.name -> materialize(m, fullRefresh, microbatchWindows))
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(threads, ms.size))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(ms.map(m => Future(m.name -> materialize(m, fullRefresh, microbatchWindows)))),
+            Duration.Inf)
+          finally pool.shutdown()
+        }
+      results.foreach { case (n, df) => materialized(n) = df }
+    }
+    materialized.toMap
+  }
+
+  private def materialize(m: Model, fullRefresh: Boolean,
+      microbatchWindows: Map[String, (String, String)]): DataFrame = {
+    {
       val deps = (m.deps.map(d => d -> materialized(d))).toMap
       val targetExists = wh.exists(m.name)
       val isInc = m.mat.isInstanceOf[IncrementalMat] && targetExists && !fullRefresh
       val ctx = ModelContext(spark, deps, isInc,
         if (targetExists) Some(wh.read(m.name)) else None)
       val df = m.build(ctx)
-      materialized(m.name) = m.mat match {
+      m.mat match {
         case ViewMat =>
           df.createOrReplaceTempView(m.name)
           df
@@ -160,6 +191,5 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           wh.read(m.name)
       }
     }
-    materialized.toMap
   }
 }

@@ -55,16 +55,29 @@ object CoreQueries extends QuerySet {
       Scenario("FIT_FOBT",        Seq("5-LOW"),           None,    5)),
     ruleVersion = "COL_V1")
 
-  def gapStatus(spark: SparkSession, dir: String): DataFrame = {
+  /** A second measure over the same event stream — the engine is spec-driven,
+    * not COL-hardcoded (BCS: narrower age band, 2 scenarios, its own ranks).
+    */
+  val bcsSpec: MeasureSpec = MeasureSpec(
+    measureId = "BCS", minAge = 50, maxAge = 74,
+    scenarios = Seq(
+      Scenario("MAMMOGRAPHY",        Seq("2-HIGH"),   Some(2), 1),
+      Scenario("DIGITAL_TOMO",       Seq("3-MEDIUM"), None,    2)),
+    ruleVersion = "BCS_V1")
+
+  def gapStatusFor(spec: MeasureSpec)(spark: SparkSession, dir: String): DataFrame = {
     val hospice = table(spark, dir, "customer")
       .filter(col("c_acctbal") < 0)
       .select(col("c_custkey").cast("long").as("member_id"))
     val events = claims(spark, dir).select(
       col("claim_id").as("evidence_id"), col("member_id"),
       col("service_date").as("event_date"), col("proc_code").as("code"))
-    GapEngine.status(spark, members(spark, dir), events, colSpec,
+    GapEngine.status(spark, members(spark, dir), events, spec,
       Seq("in_hospice" -> hospice), AsOf)
   }
+
+  def gapStatus(spark: SparkSession, dir: String): DataFrame =
+    gapStatusFor(colSpec)(spark, dir)
 
   // ---- shared oracle fragments (DuckDB side) ------------------------------
 
@@ -80,16 +93,21 @@ object CoreQueries extends QuerySet {
       |       UPPER(o_orderpriority) AS proc_code
       |FROM orders""".stripMargin
 
-  /** The full COL tri-state pipeline as one DuckDB CTE chain — the oracle for
-    * q03/q04/q05.
+  /** DuckDB oracle for any MeasureSpec — generated from the SAME spec object
+    * the Spark engine runs, so the two can never drift (single source of
+    * truth for scenarios, age band, rule version).
     */
-  private val gapSql =
+  def gapOracleSql(spec: MeasureSpec): String = {
+    val my = AsOf.getYear
+    val scenRows = spec.scenarios.flatMap(s => s.codes.map(c =>
+      s"('$c','${s.reason}',${s.durabilityRank},${s.lookbackYears.map(_.toString).getOrElse("NULL")})"))
+      .mkString(",\n         ")
     s"""WITH members AS ($membersSql),
        |hospice AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_acctbal < 0),
        |elig AS (
        |  SELECT m.member_id,
-       |         CASE WHEN (CASE WHEN m.birth_date + to_months(CAST(12*(2000 - year(m.birth_date)) AS INTEGER)) > DATE '2000-12-31'
-       |                         THEN 2000 - year(m.birth_date) - 1 ELSE 2000 - year(m.birth_date) END) BETWEEN 45 AND 75
+       |         CASE WHEN (CASE WHEN m.birth_date + to_months(CAST(12*($my - year(m.birth_date)) AS INTEGER)) > DATE '$my-12-31'
+       |                         THEN $my - year(m.birth_date) - 1 ELSE $my - year(m.birth_date) END) BETWEEN ${spec.minAge} AND ${spec.maxAge}
        |              THEN 1 ELSE 0 END AS is_age_eligible,
        |         CASE WHEN h.member_id IS NOT NULL THEN 1 ELSE 0 END AS in_hospice
        |  FROM members m LEFT JOIN hospice h ON m.member_id = h.member_id),
@@ -98,31 +116,32 @@ object CoreQueries extends QuerySet {
        |         CAST(o_orderdate AS DATE) AS event_date, UPPER(o_orderpriority) AS code
        |  FROM orders),
        |scen(code, closure_reason, reason_rank, lookback_years) AS (
-       |  VALUES ('1-URGENT','COLONOSCOPY',1,6), ('2-HIGH','SIGMOIDOSCOPY',2,4),
-       |         ('3-MEDIUM','CT_COLONOGRAPHY',3,3), ('4-NOT SPECIFIED','STOOL_DNA_FIT',4,2),
-       |         ('5-LOW','FIT_FOBT',5,NULL)),
+       |  VALUES $scenRows),
        |qualified AS (
        |  SELECT e.member_id, e.event_date, e.evidence_id, s.closure_reason, s.reason_rank
        |  FROM ev e JOIN scen s ON e.code = s.code
-       |  WHERE e.event_date <= DATE '2000-12-31'
-       |    AND e.event_date >= CASE WHEN s.lookback_years IS NULL THEN DATE '2000-01-01'
-       |                             ELSE CAST(DATE '2000-12-31' - to_months(CAST(12*s.lookback_years AS INTEGER)) AS DATE) END),
+       |  WHERE e.event_date <= DATE '$my-12-31'
+       |    AND e.event_date >= CASE WHEN s.lookback_years IS NULL THEN DATE '$my-01-01'
+       |                             ELSE CAST(DATE '$my-12-31' - to_months(CAST(12*s.lookback_years AS INTEGER)) AS DATE) END),
        |best AS (
        |  SELECT member_id, event_date AS closure_date, closure_reason, evidence_id
        |  FROM (SELECT q.*, row_number() OVER (PARTITION BY member_id ORDER BY reason_rank ASC, event_date DESC, evidence_id ASC) AS rn
        |        FROM qualified q) ranked
        |  WHERE rn = 1),
        |gap AS (
-       |  SELECT e.member_id, 'COL' AS measure_id, CAST(2000 AS INTEGER) AS measurement_year,
+       |  SELECT e.member_id, '${spec.measureId}' AS measure_id, CAST($my AS INTEGER) AS measurement_year,
        |         e.is_age_eligible, e.in_hospice,
        |         CASE WHEN e.is_age_eligible = 0 OR e.in_hospice = 1 THEN NULL
        |              WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS gap_flag,
        |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_date END AS closure_date,
        |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_reason END AS closure_reason,
        |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.evidence_id END AS evidence_id,
-       |         DATE '2000-01-01' AS period_start, DATE '2000-12-31' AS period_end,
-       |         'COL_V1' AS rule_version
+       |         DATE '$my-01-01' AS period_start, DATE '$my-12-31' AS period_end,
+       |         '${spec.ruleVersion}' AS rule_version
        |  FROM elig e LEFT JOIN best b ON e.member_id = b.member_id)""".stripMargin
+  }
+
+  private val gapSql = gapOracleSql(colSpec)
 
   /** Deterministic corruption of the gap model so every tri-state rule family
     * fires (FIXTURES.md §4 adversarial vectors, scaled up).
@@ -187,6 +206,9 @@ object CoreQueries extends QuerySet {
 
     QueryDef("q03_gap_col_status", (s, d) => gapStatus(s, d),
       Some(s"$gapSql\nSELECT * FROM gap")),
+
+    QueryDef("q29_gap_bcs_status", (s, d) => gapStatusFor(bcsSpec)(s, d),
+      Some(s"${gapOracleSql(bcsSpec)}\nSELECT * FROM gap")),
 
     QueryDef("q04_gap_col_violations", (s, d) => gapViolations(s, d),
       Some(s"$violationsSql\nSELECT * FROM viol")),

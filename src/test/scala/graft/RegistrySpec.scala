@@ -125,6 +125,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(out.filter("k = 2").collect()(0).getAs[Int]("extra") === 42)
   }
 
+  test("parallel DAG run (threads=4) produces the same state as sequential") {
+    def build(root: String, threads: Int): Map[Long, (String, Long)] = {
+      val wh = new Warehouse(root, spark)
+      val r = new Registry(spark, wh)
+      r.source("raw", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v"))
+      // diamond: raw -> {up, low} -> joined
+      r.register(Model("up", Seq("raw"), TableMat(),
+        ctx => ctx.ref("raw").select(col("k"), upper(col("s")).as("s"))))
+      r.register(Model("low", Seq("raw"), TableMat(),
+        ctx => ctx.ref("raw").select(col("k"), (col("v") * 2).as("v2"))))
+      r.register(Model("joined", Seq("up", "low"), TableMat(),
+        ctx => ctx.ref("up").join(ctx.ref("low"), Seq("k"))))
+      r.run(threads = threads)
+      wh.read("joined").collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    }
+    val seq = build(Files.createTempDirectory("graft_seq").toString, 1)
+    val par = build(Files.createTempDirectory("graft_par").toString, 4)
+    assert(seq === par)
+    assert(seq === Map(1L -> ("A", 20L), 2L -> ("B", 40L), 3L -> ("C", 60L)))
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
