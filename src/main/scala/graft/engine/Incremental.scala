@@ -96,6 +96,13 @@ object Incremental {
     untouched.unionByName(updated).unionByName(inserted)
   }
 
+  /** append (I1, strategies.sql:93-103): insert the full source batch with no
+    * key matching — the physical path is `Warehouse.append` (new part-files
+    * only, zero target rewrite); this combinator is the logical equivalent.
+    */
+  def append(target: DataFrame, source: DataFrame): DataFrame =
+    target.unionByName(source.select(target.columns.map(col): _*))
+
   /** delete+insert (I3): drop ALL target rows whose key appears in source
     * (plus optional extra predicates), then insert the full source batch.
     */

@@ -111,6 +111,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** IVF-style ANN (coarse quantizer + probed inverted lists): the first
+    * `nCentroids` corpus vectors stand in for trained centroids (a k-means
+    * fit would slot in here unchanged — deterministic for the oracle); every
+    * corpus vector is assigned to its nearest centroid, forming one inverted
+    * list per cell; each query probes its `nProbe` nearest cells and scores
+    * only those lists.
+    *
+    * Scale: assignment is a broadcast nested-loop over nCentroids rows then a
+    * per-row argmax (no corpus shuffle beyond the window); candidate scoring
+    * is an equi-join on cell id with the tiny probe side broadcast, so the
+    * inverted lists never move. Recall < 1 by design — brute force is the
+    * exactness baseline.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int = 8,
+      nProbe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = prepped(corpus.filter(col(idCol) < nCentroids), idCol, vecCol,
+      "cent_id", "cv", "cn")
+    def nearestCells(df: DataFrame, idAs: String, limit: Int): DataFrame = {
+      val p = prepped(df, idCol, vecCol, idAs, "qv", "qn")
+      val w = Window.partitionBy(idAs).orderBy(col("score").desc, col("cent_id").asc)
+      p.crossJoin(broadcast(cent))
+        .withColumn("score", pairScore)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= limit)
+    }
+    val assigned = nearestCells(corpus, "neighbor_id", 1)
+      .select(col("cent_id"), col("neighbor_id"), col("qv").as("cv"), col("qn").as("cn"))
+    val probes = nearestCells(queries, "query_id", nProbe)
+      .select(col("cent_id"), col("query_id"), col("qv"), col("qn"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", pairScore)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine within a blocking column
     * (label/cluster id): a < b, score >= threshold.
     */

@@ -68,6 +68,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(top === Seq(1L, 2L))
   }
 
+  test("ivfTopK with nProbe == nCentroids degenerates to brute force") {
+    // probing every cell scores every corpus vector -> identical to exact knn
+    val vecs = (0L until 24L).map(i =>
+      (i, Array((math.cos(i * 0.7)).toFloat, (math.sin(i * 0.7)).toFloat, (i % 5 / 4.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 4, nCentroids = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === exact)
+  }
+
+  test("ivfTopK with fewer probes returns a subset of candidates, k per query") {
+    val vecs = (0L until 24L).map(i =>
+      (i, Array((math.cos(i * 0.7)).toFloat, (math.sin(i * 0.7)).toFloat, (i % 5 / 4.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 3), k = 4,
+      nCentroids = 4, nProbe = 1).collect()
+    assert(out.map(_.getAs[Long]("query_id")).distinct.length === 3)
+    assert(out.groupBy(_.getAs[Long]("query_id")).forall(_._2.length <= 4))
+  }
+
   test("langGuess picks marker language; und when no markers") {
     val out = Seq((1L, "the cat of a hat"), (2L, "el gato la casa los perros"), (3L, "xyz abc"))
       .toDF("doc_id", "text")
