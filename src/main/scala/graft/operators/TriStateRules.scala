@@ -24,27 +24,36 @@ final case class TriStateRules(
     closedRequires: Seq[String] = Nil,
     notQualifiedForbids: Seq[String] = Nil) {
 
-  private def rule(base: DataFrame, reason: String, cond: Column): DataFrame =
-    base.filter(cond).select(
-      lit(reason).as("violation_reason") +:
-      pkCols.map(col) :+
-      col(flagCol): _*)
-
   private def anyNull(cols: Seq[String]): Column =
     cols.map(col(_).isNull).reduce(_ || _)
   private def anyNotNull(cols: Seq[String]): Column =
     cols.map(col(_).isNotNull).reduce(_ || _)
 
+  /** The reference macro emits UNION ALL of one filtered scan per rule family
+    * — executed literally that re-runs the (possibly expensive) upstream model
+    * once per family. Spark-first form: evaluate every family predicate in ONE
+    * pass and `explode` the fired reasons. Same output multiset (a NULL
+    * predicate fires nothing, like a filter), but a single scan of `base` no
+    * matter how many families are configured — this is what makes DQ-as-data
+    * affordable on a 100 TB model.
+    */
   def violations(base: DataFrame): DataFrame = {
     val f = col(flagCol)
-    val a = rule(base, "A_FLAG_NOT_0_1_NULL", f.isNotNull && !f.isin(0, 1))
-    val b = if (qualifiedRequires.nonEmpty)
-      Seq(rule(base, "B_QUALIFIED_MISSING_REQUIRED", f === 0 && anyNull(qualifiedRequires))) else Nil
-    val c = if (closedRequires.nonEmpty)
-      Seq(rule(base, "C_CLOSED_MISSING_REQUIRED", f === 1 && anyNull(closedRequires))) else Nil
-    val d = if (notQualifiedForbids.nonEmpty)
-      Seq(rule(base, "D_NOT_QUALIFIED_HAS_FORBIDDEN", f.isNull && anyNotNull(notQualifiedForbids))) else Nil
-    (Seq(a) ++ b ++ c ++ d).reduce(_ unionByName _)
+    val checks: Seq[(String, Column)] =
+      Seq("A_FLAG_NOT_0_1_NULL" -> (f.isNotNull && !f.isin(0, 1))) ++
+      (if (qualifiedRequires.nonEmpty)
+        Seq("B_QUALIFIED_MISSING_REQUIRED" -> (f === 0 && anyNull(qualifiedRequires))) else Nil) ++
+      (if (closedRequires.nonEmpty)
+        Seq("C_CLOSED_MISSING_REQUIRED" -> (f === 1 && anyNull(closedRequires))) else Nil) ++
+      (if (notQualifiedForbids.nonEmpty)
+        Seq("D_NOT_QUALIFIED_HAS_FORBIDDEN" -> (f.isNull && anyNotNull(notQualifiedForbids))) else Nil)
+    val fired = filter(
+      array(checks.map { case (reason, cond) => when(cond, lit(reason)) }: _*),
+      _.isNotNull)
+    base.select(
+      explode(fired).as("violation_reason") +:
+      pkCols.map(col) :+
+      col(flagCol): _*)
   }
 }
 

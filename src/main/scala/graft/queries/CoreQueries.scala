@@ -214,7 +214,11 @@ object CoreQueries extends QuerySet {
       Some(s"$violationsSql\nSELECT * FROM viol")),
 
     QueryDef("q05_fct_gap_exceptions", (s, d) => {
+      // both sides of the NOT-IN self-anti-join read the same violations
+      // model — lazy localCheckpoint materializes the gap+violations pass
+      // once instead of twice (I8's identical-inputs rule, applied to a query)
       val withKey = GapExceptions.withExceptionKey(gapViolations(s, d))
+        .localCheckpoint(false)
       val existing = withKey.filter(col("member_id") % 2 === 0).select("exception_key")
       GapExceptions.newExceptions(withKey, existing)
     }, Some(
@@ -289,14 +293,20 @@ object CoreQueries extends QuerySet {
              |FROM orders GROUP BY 1""".stripMargin)),
 
     QueryDef("q12_member_cost_summary", (s, d) => {
-      val rev = table(s, d, "lineitem")
+      // pre-aggregate lineitem per order, then count orders per member —
+      // replaces countDistinct(o_orderkey) (whose distinct-expand would
+      // re-shuffle every lineitem row) with two narrow partial-agg shuffles
+      val perOrder = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("order_revenue"))
+      val rev = perOrder
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").cast("long").as("member_id"))
         .agg(
-          countDistinct(col("o_orderkey")).as("n_claims"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("net_revenue"))
+          count(lit(1)).as("n_claims"),
+          sum(col("order_revenue")).cast("double").as("net_revenue"))
       val cust = table(s, d, "customer")
       val nation = table(s, d, "nation")
       rev.join(cust, col("member_id") === col("c_custkey"))
