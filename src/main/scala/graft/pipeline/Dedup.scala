@@ -43,14 +43,23 @@ object Dedup {
         col(textCol).as("__text"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(blockCol), col("id"),
         TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
       .localCheckpoint(false) // shingle pass shared by both self-join branches
-    val a = sh.select(col(blockCol), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col(blockCol), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = sh.select(col(blockCol), col("id").as("id_a"), col("sh").as("sh_a"),
+      col("n_sh").as("na_i"))
+    val b = sh.select(col(blockCol), col("id").as("id_b"), col("sh").as("sh_b"),
+      col("n_sh").as("nb_i"))
+    // size filter (AllPairs/PPJoin): J >= t forces t*|A| <= |B| <= |A|/t —
+    // exact (no false negatives), and it prunes pairs BEFORE the O(len)
+    // array_intersect, which dominates the pairwise cost
+    val sizeCompatible =
+      col("nb_i").cast("double") >= col("na_i").cast("double") * threshold &&
+      col("nb_i").cast("double") <= col("na_i").cast("double") / threshold
     // intersect size computed ONCE in its own projection; the threshold
     // filter then only touches cheap integer attributes (the filter+project
     // pair would otherwise each evaluate the array_intersect)
     a.join(b, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && sizeCompatible)
       .select(col(blockCol), col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).cast("double").as("na"),

@@ -69,9 +69,13 @@ object CoverageQueries extends QuerySet {
         .groupBy(nullif(col("o_custkey") % 1000, lit(8)).cast("long").as("bucket_key"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      // I8 identical-inputs rule: merge reads each side from three branches
+      // (updated/untouched/inserted) — materialize the tiny aggregates once
       val tgt = agg(table(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("date")))
+        .localCheckpoint(false)
       val src = agg(table(s, d, "orders").filter(col("o_orderdate") >= lit("1999-01-01").cast("date") &&
         (col("o_custkey") % 1000) % 2 === 0))
+        .localCheckpoint(false)
       Incremental.merge(tgt, src, Seq("bucket_key"), nullSafeKeys = true)
     }, Some(
       """WITH tgt AS (
