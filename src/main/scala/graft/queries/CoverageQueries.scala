@@ -216,6 +216,26 @@ object CoverageQueries extends QuerySet {
          |WHERE rank <= 5""".stripMargin
     }),
 
+    QueryDef("q49_salted_join", (s, d) => {
+      // the explicit-salting scale path must be result-identical to the plain
+      // join the oracle runs (ScaleSpec proves equivalence on controlled skew;
+      // this gates it at benchmark scale)
+      val fact = table(s, d, "lineitem").select(
+        col("l_partkey").as("part_id"),
+        col("l_orderkey").cast("long").as("claim_id"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val dim = table(s, d, "part").select(
+        col("p_partkey").as("part_id"), col("p_brand").as("brand"))
+      graft.engine.Skew.saltedJoin(fact, dim, Seq("part_id"), k = 8,
+          factUniquifier = "claim_id")
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qty")).cast("double").as("total_qty"))
+    }, Some(
+      """SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin)),
+
     QueryDef("q48_seed_codes", (s, d) => {
       // S1: header CSV -> pinned StructType, joined as a broadcast code dim
       val codes = Sources.seed(s, SeedPath, Some(procCodesSchema))

@@ -47,6 +47,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("tri-state violations compiles to a single pass, not a union of scans") {
+    import graft.operators.TriStateRules
+    val base = Seq(
+      (1L, Some(7), Some("r")), (2L, Some(1), None), (3L, None, Some("x")))
+      .toDF("member_id", "gap_flag", "closure_reason")
+    val rules = TriStateRules("gap_flag", Seq("member_id"),
+      closedRequires = Seq("closure_reason"),
+      notQualifiedForbids = Seq("closure_reason"))
+    val out = rules.violations(base)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"expected single-pass plan, got:\n$plan")
+    assert(plan.contains("Generate"))
+    // and the semantics still match the per-family filters
+    val reasons = out.collect().map(r => r.getLong(1) -> r.getString(0)).toSet
+    assert(reasons === Set(
+      1L -> "A_FLAG_NOT_0_1_NULL",
+      2L -> "C_CLOSED_MISSING_REQUIRED",
+      3L -> "D_NOT_QUALIFIED_HAS_FORBIDDEN"))
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
