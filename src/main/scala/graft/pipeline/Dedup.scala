@@ -36,30 +36,46 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard within a blocking column. Output:
     * block, id_a, id_b (a<b), jaccard.
+    *
+    * Candidate generation is an AllPairs/PPJoin prefix-filter join (Bayardo
+    * et al., WWW'07), not an all-pairs cross join: shingle sets are sorted
+    * into a canonical global order, and any pair with J >= t must contain its
+    * SMALLEST common shingle within the first `n - ceil(t*n) + 1` shingles of
+    * BOTH sets (if it sat later in either, the >= ceil(t*n) required common
+    * shingles could not fit in the remaining suffix). Equi-joining the
+    * exploded prefixes on (block, shingle) therefore finds every qualifying
+    * pair — EXACT, verified with the true Jaccard afterwards. The per-block
+    * O(N^2) cross join becomes a join keyed on near-unique shingles: at
+    * corpus scale the shuffle is by shingle (uniform), not by block (hot
+    * blocks explode), and candidate volume tracks the real duplicate rate.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     val sh = docs.select(col(blockCol), col(idCol).cast("long").as("id"),
         col(textCol).as("__text"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(blockCol), col("id"),
-        TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n).as("sh"))
+        array_sort(TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint(false) // shingle pass shared by both self-join branches
-    val a = sh.select(col(blockCol), col("id").as("id_a"), col("sh").as("sh_a"),
-      col("n_sh").as("na_i"))
-    val b = sh.select(col(blockCol), col("id").as("id_b"), col("sh").as("sh_b"),
-      col("n_sh").as("nb_i"))
-    // size filter (AllPairs/PPJoin): J >= t forces t*|A| <= |B| <= |A|/t —
-    // exact (no false negatives), and it prunes pairs BEFORE the O(len)
-    // array_intersect, which dominates the pairwise cost
+      .withColumn("prefix", slice(col("sh"), lit(1), prefixLen))
+      .localCheckpoint(false) // shingle pass shared by all self-join branches
+    val pa = sh.select(col(blockCol), col("id").as("id_a"), col("n_sh").as("na_i"),
+      explode(col("prefix")).as("tok"))
+    val pb = sh.select(col(blockCol), col("id").as("id_b"), col("n_sh").as("nb_i"),
+      explode(col("prefix")).as("tok"))
+    // size filter (J >= t forces t*|A| <= |B| <= |A|/t) prunes candidates
+    // before the pair-dedup and the O(len) verification
     val sizeCompatible =
       col("nb_i").cast("double") >= col("na_i").cast("double") * threshold &&
       col("nb_i").cast("double") <= col("na_i").cast("double") / threshold
-    // intersect size computed ONCE in its own projection; the threshold
-    // filter then only touches cheap integer attributes (the filter+project
-    // pair would otherwise each evaluate the array_intersect)
-    a.join(b, Seq(blockCol))
+    val candidates = pa.join(pb, Seq(blockCol, "tok"))
       .filter(col("id_a") < col("id_b") && sizeCompatible)
+      .select(col(blockCol), col("id_a"), col("id_b"))
+      .distinct() // a pair may share several prefix shingles
+    val shOnly = sh.select(col("id"), col("sh"))
+    candidates
+      .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOnly.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col(blockCol), col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).cast("double").as("na"),
@@ -171,18 +187,61 @@ object Dedup {
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs within a blocking column: hamming <= maxDist. */
+  /** SimHash near-dup pairs within a blocking column: hamming <= maxDist.
+    *
+    * Candidate generation is a pigeonhole band join, not all-pairs: the
+    * 16-bit sketch splits into `maxDist + 1` bands, and two sketches within
+    * maxDist bit flips MUST agree exactly on at least one band (maxDist flips
+    * cannot touch maxDist+1 bands) — an EXACT pruning, verified with the true
+    * popcount afterwards. Turns the per-block O(N^2) cross join into an
+    * equi-join on (block, band, bits); at corpus scale that is the difference
+    * between a shuffle on block (hot blocks explode) and a shuffle on band
+    * values (uniform).
+    */
   def simhashPairs(docs: DataFrame, blockCol: String, maxDist: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = maxDist + 1
+    val bandBits = 16 / nBands            // trailing band gets the remainder
     // materialize token hashes behind a projection boundary so the 16
     // per-bit aggregates share one md5 pass
     val sh = docs.select(col(blockCol), col(idCol).cast("long").as("id"),
         transform(TextAnalysis.tokens(col(textCol)), tokenHash16 _).as("hs"))
       .select(col(blockCol), col("id"), simhash16FromHashes(col("hs")).as("sketch"))
-    val a = sh.select(col(blockCol), col("id").as("id_a"), col("sketch").as("sk_a"))
-    val b = sh.select(col(blockCol), col("id").as("id_b"), col("sketch").as("sk_b"))
-    a.join(b, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
+    if (bandBits == 0) {
+      // maxDist >= 16 admits every pair — banding can't prune, go all-pairs
+      val a = sh.select(col(blockCol), col("id").as("id_a"), col("sketch").as("sk_a"))
+      val b = sh.select(col(blockCol), col("id").as("id_b"), col("sketch").as("sk_b"))
+      return a.join(b, Seq(blockCol))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", hamming16(col("sk_a"), col("sk_b")))
+        .filter(col("hamming") <= maxDist)
+        .select(col(blockCol), col("id_a"), col("id_b"), col("hamming"))
+    }
+    val bandArr = array((0 until nBands).map { i =>
+      val bits = if (i == nBands - 1) shiftright(col("sketch"), i * bandBits)
+                 else shiftright(col("sketch"), i * bandBits).bitwiseAND(lit((1 << bandBits) - 1))
+      struct(lit(i).as("band"), bits.as("bits"))
+    }: _*)
+    val banded = sh.select(col(blockCol), col("id"), col("sketch"),
+        explode(bandArr).as("b"))
+      .select(col(blockCol), col("id"), col("sketch"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    val a = banded.select(col(blockCol), col("band"), col("bits"),
+      col("id").as("id_a"), col("sketch").as("sk_a"))
+    val b = banded.select(col(blockCol), col("band"), col("bits"),
+      col("id").as("id_b"), col("sketch").as("sk_b"))
+    // dedupe without a distinct (that would be a second shuffle of every
+    // candidate): emit a pair only from its FIRST agreeing band — for band i
+    // require some bit to differ in every band j < i (cheap bit math on the
+    // sketches already carried by the join)
+    def bandOf(sk: Column, j: Int): Column =
+      if (j == nBands - 1) shiftright(sk, j * bandBits)
+      else shiftright(sk, j * bandBits).bitwiseAND(lit((1 << bandBits) - 1))
+    val firstAgreeingBand = (0 until nBands - 1).map { j =>
+      (col("band") <= j) || (bandOf(col("sk_a"), j) =!= bandOf(col("sk_b"), j))
+    }.reduce(_ && _)
+    a.join(b, Seq(blockCol, "band", "bits"))
+      .filter(col("id_a") < col("id_b") && firstAgreeingBand)
       .withColumn("hamming", hamming16(col("sk_a"), col("sk_b")))
       .filter(col("hamming") <= maxDist)
       .select(col(blockCol), col("id_a"), col("id_b"), col("hamming"))
