@@ -517,7 +517,7 @@ object CoreQueries extends QuerySet {
       table(s, d, "orders").select(
         col("o_orderkey").cast("long").as("claim_id"),
         safeCast(substring(col("o_orderpriority"), 1, 1), "int").as("priority_num"),
-        safeCast(col("o_orderpriority"), "int").as("bad_cast")),
+        safeCastIntegral(col("o_orderpriority"), "int").as("bad_cast")),
       Some("""SELECT CAST(o_orderkey AS BIGINT) AS claim_id,
              |       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
              |       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast

@@ -42,6 +42,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(gotNull === mdNull)
   }
 
+  test("safeCastIntegral agrees with try_cast on every string shape") {
+    val vectors = Seq("123", " 42 ", "+7", "-0", "5-LOW", "", "12.5", "1e3",
+      "99999999999999999999", "0x1F", "  ", "\t9\t", "９")
+    val df = vectors.toDF("s")
+      .select($"s", safeCastIntegral($"s", "int").as("fast"),
+        safeCast($"s", "int").as("slow"))
+    df.collect().foreach { r =>
+      assert(r.get(1) === r.get(2), s"diverged on '${r.getString(0)}'")
+    }
+  }
+
   test("dateSpine month grain is inclusive of both endpoints") {
     assert(dateSpine(spark, "1995-01-01", "1995-12-01", "month").count() === 12)
     assert(dateSpine(spark, "1995-01-01", "1995-01-10", "day").count() === 10)
