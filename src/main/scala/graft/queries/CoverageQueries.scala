@@ -216,6 +216,42 @@ object CoverageQueries extends QuerySet {
          |WHERE rank <= 5""".stripMargin
     }),
 
+    QueryDef("q50_dim_member_current", (s, d) => {
+      // dim_member stub (SURVEY §0.3): the current-row view over the SCD2
+      // snapshot history — open version (valid_to IS NULL) per key
+      val t1 = Timestamp.valueOf("2000-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2000-02-01 00:00:00")
+      val s1 = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("member_id"),
+        col("c_mktsegment").as("segment"))
+      val s2 = s1.filter(col("member_id") % 17 =!= 3)
+        .select(col("member_id"),
+          when(col("member_id") % 10 === 0, lit("CHANGED")).otherwise(col("segment")).as("segment"))
+        .unionByName(s1.filter(col("member_id") % 13 === 5)
+          .select((col("member_id") + 1000000).as("member_id"), lit("NEW").as("segment")))
+      val history = Snapshot.firstRun(s1, Seq("member_id"),
+        Snapshot.CheckStrategy(Seq("segment"), t1))
+      Snapshot.apply(history, s2, Seq("member_id"),
+          Snapshot.CheckStrategy(Seq("segment"), t2), Snapshot.Invalidate, t2)
+        .filter(col("dbt_valid_to").isNull)
+        .select(col("member_id"), col("segment"),
+          col("dbt_valid_from").as("member_since"))
+    }, Some(
+      """WITH s1 AS (SELECT CAST(c_custkey AS BIGINT) AS member_id, c_mktsegment AS segment FROM customer),
+        |s2 AS (SELECT member_id, CASE WHEN member_id % 10 = 0 THEN 'CHANGED' ELSE segment END AS segment
+        |       FROM s1 WHERE member_id % 17 <> 3
+        |       UNION ALL
+        |       SELECT member_id + 1000000, 'NEW' FROM s1 WHERE member_id % 13 = 5),
+        |j AS (SELECT s1.member_id AS m1, s1.segment AS seg1, s2.member_id AS m2, s2.segment AS seg2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.member_id = s2.member_id)
+        |SELECT m1 AS member_id, seg1 AS segment, TIMESTAMP '2000-01-01 00:00:00' AS member_since
+        |FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 = seg2
+        |UNION ALL
+        |SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00'
+        |FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 <> seg2
+        |UNION ALL
+        |SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00' FROM j WHERE m1 IS NULL""".stripMargin)),
+
     QueryDef("q49_salted_join", (s, d) => {
       // the explicit-salting scale path must be result-identical to the plain
       // join the oracle runs (ScaleSpec proves equivalence on controlled skew;
