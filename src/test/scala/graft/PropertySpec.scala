@@ -80,4 +80,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Random word-soup corpus with planted near-duplicates. */
+  private def randomDocs(seed: Int, nDocs: Int) = {
+    val rnd = new Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc() = (1 to 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1 to nDocs).map(i => (i.toLong, doc()))
+    // plant near-dups: copy an earlier doc with one word appended
+    val dups = base.take(nDocs / 3).map { case (i, t) =>
+      (i + 1000L, t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    (base ++ dups).map { case (i, t) => (i, t, "b0") }
+      .toDF("doc_id", "text", "blk")
+  }
+
+  test("prefix-filter Jaccard join == naive all-pairs (random corpora)") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    (1 to 4).foreach { seed =>
+      val docs = randomDocs(seed, 24)
+      val t = 0.4
+      val fast = Dedup.ngramJaccardPairs(docs, "blk", n = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      // naive reference: explicit cross join + exact jaccard
+      val sh = docs.select($"doc_id".as("id"),
+        TextAnalysis.shinglesFromTokens($"text", TextAnalysis.tokens($"text"), 3).as("sh"))
+      val naive = sh.select($"id".as("id_a"), $"sh".as("sh_a"))
+        .crossJoin(sh.select($"id".as("id_b"), $"sh".as("sh_b")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+        .filter($"jaccard" >= t)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(fast === naive, s"prefix-filter join diverged from naive at seed $seed")
+    }
+  }
+
+  test("simhash band join == naive all-pairs (random corpora)") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    (1 to 4).foreach { seed =>
+      val docs = randomDocs(seed, 24)
+      val fast = Dedup.simhashPairs(docs, "blk", maxDist = 3)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sk = docs.select($"doc_id".as("id"),
+        Dedup.simhash16(TextAnalysis.tokens($"text")).as("sketch"))
+      val naive = sk.select($"id".as("id_a"), $"sketch".as("sk_a"))
+        .crossJoin(sk.select($"id".as("id_b"), $"sketch".as("sk_b")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("hamming", Dedup.hamming16($"sk_a", $"sk_b"))
+        .filter($"hamming" <= 3)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fast === naive, s"band join diverged from naive at seed $seed")
+    }
+  }
 }
