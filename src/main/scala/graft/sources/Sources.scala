@@ -12,9 +12,19 @@ object Sources {
 
   /** Parquet table from a scale-factor dir. Column pruning + predicate
     * pushdown reach the scan because this stays fully declarative.
+    *
+    * The DataFrame (an immutable logical plan) is cached per (session, path):
+    * `spark.read.parquet` builds a fresh file index per call — file listing
+    * is a fixed per-query tax across a 50-query run, and on object stores at
+    * corpus scale it is a real round-trip cost. Read-only inputs, so the
+    * cached listing can never go stale mid-run.
     */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   /** Epoch-nanos long -> TimestampType at microsecond precision.
     * INTEGRAL division only: `col / lit(1000L)` is double division in Spark,
