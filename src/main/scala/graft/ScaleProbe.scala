@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+import graft.sources.Sources.table
+
+/** Scale-up probe: times the pairwise dedup family on the documents table
+  * replicated Nx (ids shifted so replicas are near-dups of each other, the
+  * worst case for candidate volume). Usage:
+  *   runMain graft.ScaleProbe [sfDir] [replicas]
+  * Prints per-operator seconds at 1x and Nx — the growth RATIO is the
+  * scalability signal (a quadratic path grows ~N^2, the banded/prefix paths
+  * should grow near-linearly in candidate volume).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps  = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = table(spark, sfDir, "documents")
+      .withColumn("block", concat_ws("/", col("lang"), col("source")))
+    val docsN = (0 until reps).map { r =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+    }.reduce(_ unionByName _).localCheckpoint()
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+
+    for ((label, docs) <- Seq("1x" -> docs1.localCheckpoint(), s"${reps}x" -> docsN)) {
+      time(s"ngram_jaccard_prefix  $label") {
+        Dedup.ngramJaccardPairs(docs, "block", n = 3, threshold = 0.5).count()
+      }
+      time(s"minhash_lsh           $label") {
+        Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2, threshold = 0.5).count()
+      }
+      time(s"simhash_bands         $label") {
+        Dedup.simhashPairs(docs, "block", maxDist = 3).count()
+      }
+    }
+    spark.stop()
+  }
+}

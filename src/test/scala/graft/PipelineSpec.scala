@@ -37,6 +37,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((1L, 3L)) > 0.3 && out((1L, 3L)) < 1.0)
   }
 
+  test("ngram jaccard at threshold 1.0 returns exactly the identical shingle sets") {
+    // prefix length degenerates to 1 (only the smallest shingle is indexed) —
+    // identical sets must still pair up, near-dups must not
+    val out = Dedup.ngramJaccardPairs(docs, "lang", n = 3, threshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("simhash: identical docs have distance 0, near dups small, different large") {
     val out = Dedup.simhashPairs(docs, "lang", maxDist = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
