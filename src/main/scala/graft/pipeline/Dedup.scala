@@ -136,20 +136,31 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), k))
       .localCheckpoint(false)
     // explicit exchange on the join key: the self-join below then reuses ONE
-    // shuffle (ReusedExchange) instead of recomputing signatures per branch
-    val banded = sh.select(col("id"),
+    // shuffle (ReusedExchange) instead of recomputing signatures per branch.
+    // The signature rides along (k longs) so pair dedup needs no distinct.
+    val banded = sh.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bandSize, nBands)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.value").as("value"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.value").as("value"))
       .filter(col("value").isNotNull)
       .repartition(col("band"), col("value"))
-    // candidate pairs dedupe on IDS ONLY (shuffling the shingle arrays
-    // through a distinct would dominate the cost); shingles re-join after
-    val a = banded.select(col("band"), col("value"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("value"), col("id").as("id_b"))
+    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // dedupe collisions across bands WITHOUT a distinct (that second shuffle
+    // grows with pair-x-band volume): keep a pair only in its FIRST agreeing
+    // band — for band i, some signature slot must differ in every band j < i.
+    // A null slot means that band never matched in the join (banded filters
+    // null values), so null comparisons count as "differs".
+    def bandDiffers(j: Int): Column = coalesce(
+      (0 until bandSize).map { bi =>
+        element_at(col("sig_a"), j * bandSize + bi + 1) =!=
+          element_at(col("sig_b"), j * bandSize + bi + 1)
+      }.reduce(_ || _), lit(true))
+    val firstAgreeingBand = (0 until nBands - 1)
+      .map(j => (col("band") <= j) || bandDiffers(j))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val pairs = a.join(b, Seq("band", "value"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && firstAgreeingBand)
       .select(col("id_a"), col("id_b"))
-      .distinct() // same pair may collide in several bands
     val shOnly = sh.select(col("id"), col("sh"))
     pairs
       .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
