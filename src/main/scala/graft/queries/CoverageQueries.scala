@@ -216,6 +216,54 @@ object CoverageQueries extends QuerySet {
          |WHERE rank <= 5""".stripMargin
     }),
 
+    QueryDef("q51_table_roundtrip", (s, d) => {
+      // S4/S5 oracle gate: CTAS through the swap-write protocol (tmp dir ->
+      // atomic move -> drop backup) with cluster_by, then read the files back
+      // — the oracle sees only the logical content, so any write/read skew
+      // (schema, encoding, lost rows) fails the hash
+      val wh = new graft.engine.Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q51").toString, s)
+      val df = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+        .select(claimCols: _*)
+      wh.writeSwap("claims_1998", df, clusterBy = Seq("member_id"))
+      wh.read("claims_1998")
+    }, Some(
+      s"""WITH base AS ($claimBaseSql)
+         |SELECT * FROM base WHERE service_date >= DATE '1998-01-01'""".stripMargin)),
+
+    QueryDef("q52_registry_incremental", (s, d) => {
+      // end-to-end dbt lifecycle gate: the SAME model function run twice
+      // through the Registry — first run CTAS, second run merge-on-key
+      // against the persisted target (is_incremental branch, I6) — then the
+      // stored table is read back and hash-compared
+      import graft.engine.{IncrementalMat, Model, Registry, Warehouse}
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q52").toString, s)
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("fct_claims_inc", Seq("orders_src"),
+        IncrementalMat(Incremental.Merge, Seq("claim_id")),
+        ctx => {
+          val o = ctx.ref("orders_src").select(claimCols: _*)
+          if (ctx.isIncremental)
+            o.filter(col("service_date") >= lit("1998-07-01").cast("date") &&
+                     col("service_date") < lit("2000-01-01").cast("date"))
+              .withColumn("status", lit("R"))
+          else o.filter(col("service_date") < lit("1999-01-01").cast("date"))
+        }))
+      reg.run()
+      reg.run()
+      wh.read("fct_claims_inc")
+    }, Some(
+      s"""WITH base AS ($claimBaseSql),
+         |tgt AS (SELECT * FROM base WHERE service_date < DATE '1999-01-01'),
+         |src AS (SELECT claim_id, member_id, service_date, 'R' AS status FROM base
+         |        WHERE service_date >= DATE '1998-07-01' AND service_date < DATE '2000-01-01')
+         |SELECT * FROM src
+         |UNION ALL
+         |SELECT * FROM tgt WHERE claim_id NOT IN (SELECT claim_id FROM src)""".stripMargin)),
+
     QueryDef("q50_dim_member_current", (s, d) => {
       // dim_member stub (SURVEY §0.3): the current-row view over the SCD2
       // snapshot history — open version (valid_to IS NULL) per key
