@@ -264,6 +264,64 @@ object CoverageQueries extends QuerySet {
          |UNION ALL
          |SELECT * FROM tgt WHERE claim_id NOT IN (SELECT claim_id FROM src)""".stripMargin)),
 
+    QueryDef("q53_registry_snapshot", (s, d) => {
+      // two `dbt snapshot` invocations through the Registry (distinct
+      // snapshot times, drifted source), history persisted between runs —
+      // the stored SCD2 table must hash-match the pure-function oracle (q15)
+      import graft.engine.{Model, Registry, SnapshotMat, Warehouse}
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q53").toString, s)
+      val t1 = Timestamp.valueOf("2000-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2000-02-01 00:00:00")
+      val s1 = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("member_id"),
+        col("c_mktsegment").as("segment"))
+      val s2 = s1.filter(col("member_id") % 17 =!= 3)
+        .select(col("member_id"),
+          when(col("member_id") % 10 === 0, lit("CHANGED")).otherwise(col("segment")).as("segment"))
+        .unionByName(s1.filter(col("member_id") % 13 === 5)
+          .select((col("member_id") + 1000000).as("member_id"), lit("NEW").as("segment")))
+      def snapModel(ts: Timestamp) = Model("snap_dim_member", Seq("members_src"),
+        SnapshotMat(Seq("member_id"), Snapshot.CheckStrategy(Seq("segment"), ts),
+          Snapshot.Invalidate, ts),
+        ctx => ctx.ref("members_src"))
+      new Registry(s, wh).source("members_src", s1).register(snapModel(t1)).run()
+      new Registry(s, wh).source("members_src", s2).register(snapModel(t2)).run()
+      wh.read("snap_dim_member")
+    }, Some(
+      """WITH s1 AS (SELECT CAST(c_custkey AS BIGINT) AS member_id, c_mktsegment AS segment FROM customer),
+        |s2 AS (SELECT member_id, CASE WHEN member_id % 10 = 0 THEN 'CHANGED' ELSE segment END AS segment
+        |       FROM s1 WHERE member_id % 17 <> 3
+        |       UNION ALL
+        |       SELECT member_id + 1000000, 'NEW' FROM s1 WHERE member_id % 13 = 5),
+        |j AS (SELECT s1.member_id AS m1, s1.segment AS seg1, s2.member_id AS m2, s2.segment AS seg2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.member_id = s2.member_id),
+        |rows_out AS (
+        |  SELECT m1 AS member_id, seg1 AS segment,
+        |         TIMESTAMP '2000-01-01 00:00:00' AS dbt_updated_at,
+        |         TIMESTAMP '2000-01-01 00:00:00' AS dbt_valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 = seg2
+        |  UNION ALL
+        |  SELECT m1, seg1, TIMESTAMP '2000-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+        |         TIMESTAMP '2000-02-01 00:00:00'
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 <> seg2
+        |  UNION ALL
+        |  SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00', TIMESTAMP '2000-02-01 00:00:00', NULL
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 <> seg2
+        |  UNION ALL
+        |  SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00', TIMESTAMP '2000-02-01 00:00:00', NULL
+        |  FROM j WHERE m1 IS NULL
+        |  UNION ALL
+        |  SELECT m1, seg1, TIMESTAMP '2000-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+        |         TIMESTAMP '2000-02-01 00:00:00'
+        |  FROM j WHERE m2 IS NULL)
+        |SELECT member_id, segment,
+        |       md5(coalesce(cast(member_id as varchar),'') || '|' ||
+        |           coalesce(cast(dbt_valid_from as varchar),'')) AS dbt_scd_id,
+        |       dbt_updated_at, dbt_valid_from, dbt_valid_to
+        |FROM rows_out""".stripMargin)),
+
     QueryDef("q50_dim_member_current", (s, d) => {
       // dim_member stub (SURVEY §0.3): the current-row view over the SCD2
       // snapshot history — open version (valid_to IS NULL) per key
