@@ -47,13 +47,19 @@ object TextAnalysis {
     */
   def langGuess(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
-    val scores = markers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words)))
+    // each per-language score is evaluated exactly ONCE (inside the array
+    // literal); the argmax is a fold over that array — the greatest+when
+    // chain shape would re-evaluate every score per comparison branch
+    val entries = markers.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("s"),
+        lit(lang).as("lang"))
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
+    // strict > keeps the FIRST maximal language (declaration-order tie-break);
+    // the zero seed means a language needs s > 0 to beat 'und'
+    val best = aggregate(array(entries: _*),
+      struct(lit(0).as("s"), lit("und").as("lang")),
+      (acc, e) => when(e("s") > acc("s"), e).otherwise(acc))
+    best("lang")
   }
 
   /** Normalized content fingerprint (exact-dup key): md5 of lowercased,

@@ -22,9 +22,17 @@ object Sources {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict entries whose session is stopped (test suites / repeated probe
+    // runs create many short-lived sessions in one JVM — strong refs to dead
+    // SparkSessions would otherwise accumulate for the process lifetime)
+    if (tableCache.size > 64) {
+      val it = tableCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
     tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   /** Epoch-nanos long -> TimestampType at microsecond precision.
     * INTEGRAL division only: `col / lit(1000L)` is double division in Spark,
