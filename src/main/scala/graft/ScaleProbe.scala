@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity}
 import graft.sources.Sources.table
 
 /** Scale-up probe: times the pairwise dedup family on the documents table
@@ -49,6 +49,19 @@ object ScaleProbe {
       }
       time(s"simhash_bands         $label") {
         Dedup.simhashPairs(docs, "block", maxDist = 3).count()
+      }
+    }
+
+    // ANN: centroid assignment must grow linearly with the corpus (the
+    // codebook is broadcast; a shuffling assignment would grow superlinearly)
+    val emb1 = table(spark, sfDir, "embeddings")
+    val embN = (0 until reps).map { r =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+    }.reduce(_ unionByName _).localCheckpoint()
+    for ((label, emb) <- Seq("1x" -> emb1.localCheckpoint(), s"${reps}x" -> embN)) {
+      time(s"ivf_ann               $label") {
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nCentroids = 32, nProbe = 2).count()
       }
     }
     spark.stop()

@@ -118,28 +118,39 @@ object Similarity {
     * list per cell; each query probes its `nProbe` nearest cells and scores
     * only those lists.
     *
-    * Scale: assignment is a broadcast nested-loop over nCentroids rows then a
-    * per-row argmax (no corpus shuffle beyond the window); candidate scoring
-    * is an equi-join on cell id with the tiny probe side broadcast, so the
-    * inverted lists never move. Recall < 1 by design — brute force is the
-    * exactness baseline.
+    * Scale: the codebook is broadcast-small BY DEFINITION (nCentroids ~
+    * sqrt(N) vectors), so assignment is ZERO-shuffle — the codebook rides a
+    * 1-row broadcast, each corpus row scores every centroid inside one
+    * projection (array of (neg_score, cent_id) structs) and takes its cells
+    * with a local array_sort + slice; no Exchange, no Window over a
+    * near-unique key. Candidate scoring is then an equi-join on cell id with
+    * the tiny probe side broadcast, so the inverted lists never move.
+    * Recall < 1 by design — brute force is the exactness baseline.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int = 8,
       nProbe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = prepped(corpus.filter(col(idCol) < nCentroids), idCol, vecCol,
-      "cent_id", "cv", "cn")
+    // deterministic, id-layout-independent centroid choice: the nCentroids
+    // lowest-id vectors (ids need not be dense or 0-based; a trained k-means
+    // codebook would slot in here unchanged)
+    val cent = prepped(corpus, idCol, vecCol, "cent_id", "cv", "cn")
+      .orderBy(col("cent_id")).limit(nCentroids)
+    val codebook = cent.agg(collect_list(struct(col("cent_id"), col("cv"), col("cn"))).as("cents"))
     def nearestCells(df: DataFrame, idAs: String, limit: Int): DataFrame = {
       val p = prepped(df, idCol, vecCol, idAs, "qv", "qn")
-      val w = Window.partitionBy(idAs).orderBy(col("score").desc, col("cent_id").asc)
-      p.crossJoin(broadcast(cent))
-        .withColumn("score", pairScore)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= limit)
+      // ascending struct sort on (neg_score, cent_id) == score DESC, cent ASC
+      val scoredCells = transform(col("cents"), c =>
+        struct(
+          (-(dotQ(col("qv"), c("cv")).cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(c("cn").cast("double"))))).as("neg_score"),
+          c("cent_id").as("cent_id")))
+      p.crossJoin(broadcast(codebook))
+        .select(col(idAs), col("qv"), col("qn"),
+          explode(slice(array_sort(scoredCells), 1, limit)).as("cell"))
+        .select(col("cell.cent_id").as("cent_id"), col(idAs), col("qv"), col("qn"))
     }
     val assigned = nearestCells(corpus, "neighbor_id", 1)
       .select(col("cent_id"), col("neighbor_id"), col("qv").as("cv"), col("qn").as("cn"))
     val probes = nearestCells(queries, "query_id", nProbe)
-      .select(col("cent_id"), col("query_id"), col("qv"), col("qn"))
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", pairScore)

@@ -195,7 +195,7 @@ object CoverageQueries extends QuerySet {
       def cos(a: String, b: String) =
         s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
       s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvec AS v FROM embeddings),
-         |cent AS (SELECT id AS cent_id, v AS cv FROM e WHERE id < 8),
+         |cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT 8),
          |asg AS (
          |  SELECT id, v, cent_id FROM (
          |    SELECT e.id, e.v, c.cent_id,
