@@ -9,7 +9,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val sets: Seq[QuerySet] = Seq(CoreQueries, PipelineQueries, CoverageQueries)
+  private val sets: Seq[QuerySet] = Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full COL gap-closure pipeline (int_gap_col_status analog).

@@ -145,6 +145,15 @@ object Incremental {
 
   /** on_schema_change (I7, on_schema_change.sql:2-143). Returns the
     * (possibly reshaped) target aligned to handle `source`'s schema.
+    *
+    * Change detection matches check_for_schema_changes (on_schema_change.sql:
+    * 20-62): added columns, removed columns, AND data-type drift on shared
+    * names all count as a change. Mode semantics match sync_column_schemas
+    * (:65-103): `append_new_columns` only ADDS columns (type drift is left in
+    * place, as in the reference); `sync_all_columns` adds + removes + ALTERs
+    * drifted columns to the source type; `fail` raises, naming all three
+    * diffs (a widened int->long source must never silently keep the old
+    * target type — the next merge would corrupt or throw).
     */
   sealed trait OnSchemaChange
   case object IgnoreChange     extends OnSchemaChange
@@ -153,21 +162,30 @@ object Incremental {
   case object SyncAllColumns   extends OnSchemaChange
 
   def reconcileSchema(target: DataFrame, source: DataFrame, mode: OnSchemaChange): DataFrame = {
-    val tCols = target.columns.toSet
-    val sCols = source.columns.toSet
-    if (tCols == sCols) return target
+    val tTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val sTypes = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val added   = source.schema.fields.filter(f => !tTypes.contains(f.name))
+    val removed = target.schema.fields.filter(f => !sTypes.contains(f.name))
+    val retyped = source.schema.fields.filter(f =>
+      tTypes.get(f.name).exists(_ != f.dataType))
+    if (added.isEmpty && removed.isEmpty && retyped.isEmpty) return target
     mode match {
       case IgnoreChange => target
       case FailChange =>
         throw new IllegalStateException(
-          s"schema changed: +${(sCols -- tCols).mkString(",")} -${(tCols -- sCols).mkString(",")}")
+          "schema changed: " +
+            s"source columns not in target [${added.map(_.name).mkString(",")}]; " +
+            s"target columns not in source [${removed.map(_.name).mkString(",")}]; " +
+            s"new column types [${retyped.map(f =>
+              s"${f.name}: ${tTypes(f.name).simpleString} -> ${f.dataType.simpleString}").mkString(",")}]")
       case AppendNewColumns =>
-        val missing = source.schema.fields.filter(f => !tCols.contains(f.name))
-        missing.foldLeft(target)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+        added.foldLeft(target)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
       case SyncAllColumns =>
-        val added = source.schema.fields.filter(f => !tCols.contains(f.name))
-        val kept  = added.foldLeft(target)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-        kept.select(source.columns.map(col): _*)
+        val widened = added.foldLeft(target)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        val retypedDf = retyped.foldLeft(widened)((df, f) =>
+          df.withColumn(f.name, col(f.name).cast(f.dataType)))
+        retypedDf.select(source.columns.map(col): _*)
     }
   }
 }

@@ -119,6 +119,44 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     materialized.toMap
   }
 
+  /** The dbt microbatch batch-series loop (dbt-core batch builder +
+    * dbt-snowflake merge.sql:73-101): split [start, end) into consecutive
+    * `grain`-sized windows and run the DAG once per window, advancing the
+    * named model's microbatch bounds each run. The final window is clamped
+    * to `end`. Returns the relations after the last batch.
+    *
+    * Scale note: each batch's DML touches only its event-time slice; with
+    * the target partitioned on event time the rewrite is partition-pruned —
+    * the loop itself is driver-side orchestration, identical to dbt's.
+    */
+  def runMicrobatches(modelName: String, start: String, end: String,
+      grain: String, threads: Int = 1): Map[String, DataFrame] = {
+    def parse(s: String): java.time.LocalDateTime =
+      scala.util.Try(java.time.LocalDateTime.parse(s))
+        .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay()))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unparseable microbatch bound '$s' (want ISO date or date-time)"))
+    val step: java.time.LocalDateTime => java.time.LocalDateTime = grain match {
+      case "hour"  => _.plusHours(1)
+      case "day"   => _.plusDays(1)
+      case "month" => _.plusMonths(1)
+      case "year"  => _.plusYears(1)
+      case other   => throw new IllegalArgumentException(s"microbatch grain: $other")
+    }
+    var cur = parse(start)
+    val fin = parse(end)
+    require(cur.isBefore(fin), s"empty microbatch range [$start, $end)")
+    var out = Map.empty[String, DataFrame]
+    while (cur.isBefore(fin)) {
+      val stepped = step(cur)
+      val next = if (stepped.isAfter(fin)) fin else stepped
+      out = run(microbatchWindows = Map(modelName -> (cur.toString, next.toString)),
+        threads = threads)
+      cur = next
+    }
+    out
+  }
+
   private def materialize(m: Model, fullRefresh: Boolean,
       microbatchWindows: Map[String, (String, String)]): DataFrame = {
     {

@@ -19,9 +19,28 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   private def dir(name: String): Path = Paths.get(root, name)
 
-  def exists(name: String): Boolean = Files.exists(dir(name))
+  /** Crash recovery for the swap window: a process that died between
+    * `target -> backup` and `tmp -> target` leaves the backup as the ONLY
+    * complete copy (the reference's rename dance has the same window and
+    * relies on warehouse transactionality we don't have). On the next open,
+    * restore the backup and discard the possibly-incomplete tmp — the failed
+    * write simply never happened.
+    */
+  private def recover(name: String): Unit = {
+    val target = dir(name)
+    val backup = dir(name + "__backup")
+    if (!Files.exists(target) && Files.exists(backup)) {
+      Files.move(backup, target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRec(dir(name + "__tmp"))
+    }
+  }
 
-  def read(name: String): DataFrame = spark.read.parquet(dir(name).toString)
+  def exists(name: String): Boolean = { recover(name); Files.exists(dir(name)) }
+
+  def read(name: String): DataFrame = {
+    recover(name)
+    spark.read.parquet(dir(name).toString)
+  }
 
   /** CTAS / full overwrite with swap (S4+S5). `clusterBy` reproduces the
     * Snowflake `cluster_by` semantics (relations/table/create.sql:78-139):
@@ -50,6 +69,38 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir(name).toString)
+
+  /** Partition-pruned upsert (the long-running-stream merge path): the
+    * target lives partitioned by a key-hash bucket column, and a batch
+    * rewrites ONLY the buckets its keys touch (dynamic partition overwrite)
+    * — per-batch I/O is O(batch's buckets), never O(target). The bucket is
+    * a pure function of the key columns, so every version of a key lands in
+    * the same bucket and the bucket-restricted merge is globally correct.
+    * Reads of the target see one extra engine column, `part_bucket`.
+    */
+  def upsertPartitioned(name: String, batch: DataFrame, keys: Seq[String],
+      nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
+    val partCol = "part_bucket"
+    require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
+    val withPart = batch.withColumn(partCol, pmod(hash(keys.map(col): _*), lit(nBuckets)))
+    val merged =
+      if (!exists(name)) withPart
+      else {
+        val touched = withPart.select(partCol).distinct()
+        // left-semi on the broadcast bucket list partition-prunes the scan:
+        // untouched buckets are never read, let alone rewritten
+        val target = read(name).join(broadcast(touched), Seq(partCol), "left_semi")
+        // eager materialization breaks the lineage to the files the dynamic
+        // overwrite below replaces (Spark refuses to overwrite a path its
+        // own plan still reads); volume is the touched buckets only
+        Incremental.merge(target, withPart, keys).localCheckpoint(true)
+      }
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(dir(name).toString)
+  }
 
   /** Bucketed catalog table: co-locates future joins/aggregations on the
     * bucket keys — the 100 TB answer to repeated shuffles on a stable key

@@ -53,11 +53,28 @@ object Functions {
       .when(closed, lit(1))
       .otherwise(lit(0))
 
-  /** Ordered string-agg with optional head limit (listagg.sql:5-29). */
+  /** Ordered string-agg with optional head limit (listagg.sql:5-29), sorted
+    * by the aggregated value itself.
+    */
   def listAgg(c: Column, delim: String, limit: Option[Int] = None): Column = {
     val sorted = array_sort(collect_list(c))
     val sliced = limit.fold(sorted)(n => slice(sorted, 1, n))
     array_join(sliced, delim)
+  }
+
+  /** listagg with an ARBITRARY order-by clause (listagg.sql:5-29
+    * order_by_clause) + optional head limit: values ride a (key, value)
+    * struct through collect_list, the struct sort orders by key with the
+    * value as deterministic tie-break, `desc` reverses both. One aggregate,
+    * no window — collect_list is a map-side partial aggregate, so the
+    * shuffle carries per-group partial arrays, never raw rows.
+    */
+  def listAggBy(c: Column, orderBy: Column, delim: String,
+      limit: Option[Int] = None, desc: Boolean = false): Column = {
+    val sorted0 = array_sort(collect_list(struct(orderBy.as("k"), c.as("v"))))
+    val sorted = if (desc) reverse(sorted0) else sorted0
+    val sliced = limit.fold(sorted)(n => slice(sorted, 1, n))
+    array_join(transform(sliced, p => p("v").cast("string")), delim)
   }
 
   /** bool_or aggregate (utils/bool_or.sql). */
@@ -81,6 +98,23 @@ object Functions {
   /** 1..n series (generate_series.sql:18-52) — `spark.range`, distributed. */
   def generateSeries(spark: SparkSession, n: Long): DataFrame =
     spark.range(1, n + 1).select(col("id").as("generated_number"))
+
+  /** get_intervals_between (C4, date_spine.sql:1-21): the reference runs an
+    * EAGER scalar `datediff` query to size the spine's codegen; pure Scala
+    * date math replaces the round-trip. Snowflake datediff counts BOUNDARY
+    * CROSSINGS (month: month-slot delta; year: year delta), not elapsed
+    * periods.
+    */
+  def intervalsBetween(start: String, end: String, grain: String): Long = {
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(end)
+    grain match {
+      case "day"   => java.time.temporal.ChronoUnit.DAYS.between(s, e)
+      case "month" => (e.getYear - s.getYear) * 12L + (e.getMonthValue - s.getMonthValue)
+      case "year"  => (e.getYear - s.getYear).toLong
+      case other   => throw new IllegalArgumentException(s"grain: $other")
+    }
+  }
 
   /** try_cast (safe_cast.sql): NULL on conversion failure. */
   def safeCast(c: Column, to: String): Column = c.try_cast(to)

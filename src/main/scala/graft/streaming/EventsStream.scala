@@ -71,20 +71,22 @@ object EventsStream {
   /** Streaming-incremental bridge (the dbt microbatch strategy I5 driven by a
     * live source): each microbatch MERGEs into a warehouse table via
     * foreachBatch — dedup on key across batches, latest batch wins.
+    *
+    * Scale path: the target is key-hash-bucket partitioned and each batch
+    * rewrites only its touched buckets ([[graft.engine.Warehouse
+    * .upsertPartitioned]]) — per-batch I/O is O(batch), not O(target), which
+    * is what keeps a long-running stream viable at 100 TB targets.
     */
   def mergeStream(events: DataFrame, wh: graft.engine.Warehouse, table: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String], nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       // offsets checkpoint under the warehouse: a restarted query resumes
-      // instead of replaying (exactly-once upserts given unique keys/batch)
+      // instead of replaying; batch replays after a mid-write crash are
+      // idempotent (same batch -> same buckets -> same bucket contents)
       .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!wh.exists(table)) wh.writeSwap(table, batch)
-        else {
-          val merged = graft.engine.Incremental.merge(wh.read(table), batch, keys)
-          wh.writeSwap(table, merged)
-        }
+        wh.upsertPartitioned(table, batch, keys, nBuckets)
       }
       .trigger(Trigger.AvailableNow())
       .start()

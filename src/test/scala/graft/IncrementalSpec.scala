@@ -76,4 +76,33 @@ class IncrementalSpec extends AnyFunSuite {
     val synced = reconcileSchema(Seq((1L, "a", true)).toDF("k", "s", "gone"), source, SyncAllColumns)
     assert(synced.columns.toSeq === Seq("k", "s", "extra"))
   }
+
+  test("on_schema_change detects DATA TYPE drift, not just names (on_schema_change.sql:20-62)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val target = Seq((1, "a")).toDF("k", "s")            // k: int
+    val source = Seq((2L, "b")).toDF("k", "s")           // k: long (widened)
+    // fail names the drift
+    val ex = intercept[IllegalStateException](reconcileSchema(target, source, FailChange))
+    assert(ex.getMessage.contains("k: int -> bigint"), ex.getMessage)
+    // sync casts the target column to the source type
+    val synced = reconcileSchema(target, source, SyncAllColumns)
+    assert(synced.schema("k").dataType === LongType)
+    assert(synced.select("k").as[Long].collect().toSeq === Seq(1L))
+    // append_new_columns leaves type drift in place (sync_column_schemas only
+    // adds columns in that mode)
+    assert(reconcileSchema(target, source, AppendNewColumns).schema("k").dataType === IntegerType)
+    // ignore leaves everything
+    assert(reconcileSchema(target, source, IgnoreChange).schema("k").dataType === IntegerType)
+  }
+
+  test("on_schema_change: type drift combined with added+removed columns under sync") {
+    import org.apache.spark.sql.types.DoubleType
+    val target = Seq((1, 10.toShort, "gone")).toDF("k", "v", "dead")
+    val source = Seq((2, 1.5d, true)).toDF("k", "v", "flag")
+    val synced = reconcileSchema(target, source, SyncAllColumns)
+    assert(synced.columns.toSeq === Seq("k", "v", "flag"))
+    assert(synced.schema("v").dataType === DoubleType)
+    val row = synced.collect()(0)
+    assert(row.getDouble(1) === 10.0 && row.isNullAt(2))
+  }
 }

@@ -146,6 +146,48 @@ class RegistrySpec extends AnyFunSuite {
     assert(seq === Map(1L -> ("A", 20L), 2L -> ("B", 40L), 3L -> ("C", 60L)))
   }
 
+  test("swap crash window: backup-only state restores on next open") {
+    val root = Files.createTempDirectory("graft_crash").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("t", Seq((1L, "old")).toDF("k", "v"))
+    // simulate dying between `target -> backup` and `tmp -> target`: the
+    // backup holds the only complete copy, a stale tmp holds a partial write
+    val target = java.nio.file.Paths.get(root, "t")
+    val backup = java.nio.file.Paths.get(root, "t__backup")
+    val tmp    = java.nio.file.Paths.get(root, "t__tmp")
+    Files.move(target, backup)
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("part-garbage.parquet"), "incomplete")
+    // next open restores the backup and discards the dead tmp
+    assert(wh.exists("t"))
+    assert(wh.read("t").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq === Seq(1L -> "old"))
+    assert(!Files.exists(backup) && !Files.exists(tmp))
+    // and a subsequent swap-write over the recovered table works
+    wh.writeSwap("t", Seq((2L, "new")).toDF("k", "v"))
+    assert(wh.read("t").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("runMicrobatches drives consecutive windows through the DAG") {
+    val root = Files.createTempDirectory("graft_mb_series").toString
+    val wh = new Warehouse(root, spark)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val base = Seq(
+      (1L, day("2024-01-01"), "keep"), (2L, day("2024-01-02"), "keep"),
+      (3L, day("2024-01-03"), "keep"), (4L, day("2024-01-04"), "outside"))
+    val reg = new Registry(spark, wh)
+    reg.source("src", base.toDF("k", "d", "tag"))
+    reg.register(Model("mb", Seq("src"),
+      IncrementalMat(Incremental.Microbatch("d", "2024-01-01", "2024-01-02"), Nil),
+      ctx =>
+        if (ctx.isIncremental) ctx.ref("src").withColumn("tag", lit("batched"))
+        else ctx.ref("src")))
+    reg.run() // CTAS
+    // three one-day batches replace the [01-01, 01-04) slices one at a time
+    reg.runMicrobatches("mb", "2024-01-01", "2024-01-04", "day")
+    val out = wh.read("mb").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "batched", 2L -> "batched", 3L -> "batched", 4L -> "outside"))
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)

@@ -67,6 +67,44 @@ class ScaleSpec extends AnyFunSuite {
       3L -> "D_NOT_QUALIFIED_HAS_FORBIDDEN"))
   }
 
+  test("partitioned upsert rewrites ONLY touched buckets (untouched files byte-identical)") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_upsert_part").toString
+    val wh = new Warehouse(root, spark)
+    val batch1 = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    wh.upsertPartitioned("t", batch1, Seq("k"), nBuckets = 8)
+
+    def fileState(): Map[String, (Long, String)] = {
+      val dir = java.nio.file.Paths.get(root, "t")
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          dir.relativize(p).toString -> (Files.size(p), md.map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val before = fileState()
+    assert(before.keySet.map(_.split("/")(0)).size === 8, "expected 8 bucket dirs")
+
+    // second batch: one updated key + one new key -> at most 2 buckets touched
+    val batch2 = Seq((1L, "V1-upd"), (9001L, "new")).toDF("k", "v")
+    wh.upsertPartitioned("t", batch2, Seq("k"), nBuckets = 8)
+    val after = fileState()
+
+    val touchedBuckets = batch2
+      .select(org.apache.spark.sql.functions.pmod(hash(col("k")), lit(8)).as("b"))
+      .distinct().collect().map(r => s"part_bucket=${r.getInt(0)}").toSet
+    val untouchedBefore = before.filterNot { case (p, _) => touchedBuckets.contains(p.split("/")(0)) }
+    val untouchedAfter  = after.filterNot { case (p, _) => touchedBuckets.contains(p.split("/")(0)) }
+    assert(untouchedBefore === untouchedAfter,
+      s"untouched bucket files changed; touched=$touchedBuckets")
+
+    // and the merge semantics are intact
+    val out = wh.read("t").select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 201 && out(1L) === "V1-upd" && out(9001L) === "new" && out(2L) === "v2")
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
