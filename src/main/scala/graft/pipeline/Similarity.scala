@@ -162,9 +162,26 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine within a blocking column
     * (label/cluster id): a < b, score >= threshold.
+    *
+    * This is the VERIFICATION path — within-block all-pairs is O(n²) per
+    * block, so a single hot block degenerates. `maxBlockRows` is the guard
+    * rail: when set, a cheap pre-flight aggregate bails with the offending
+    * blocks before any pair is generated, steering callers to the banded
+    * operators (lshTopK / minhashPairs / simhashPairs) that shuffle on
+    * uniform band keys instead of the hot block.
     */
   def nearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBlockRows: Option[Int] = None): DataFrame = {
+    maxBlockRows.foreach { cap =>
+      val hot = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).orderBy(col("n").desc).limit(5).collect()
+      if (hot.nonEmpty) throw new IllegalStateException(
+        s"nearDupPairs: block(s) exceed maxBlockRows=$cap (" +
+          hot.map(r => s"${r.get(0)}=${r.getLong(1)} rows").mkString(", ") +
+          ") — within-block all-pairs is O(n^2); use a banded operator " +
+          "(lshTopK/minhashPairs/simhashPairs) for these blocks")
+    }
     val p = emb.select(col(blockCol), col(idCol).cast("long").as("id"),
         quantize(col(vecCol)).as("v"))
       .withColumn("n", dotQ(col("v"), col("v")))

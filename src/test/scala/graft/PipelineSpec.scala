@@ -99,6 +99,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.groupBy(_.getAs[Long]("query_id")).forall(_._2.length <= 4))
   }
 
+  test("nearDupPairs hot-block guard bails on a pathological block") {
+    // one block holds 50 of 53 rows — all-pairs there is 1225 pairs and grows
+    // quadratically; the guard must name the block, and the capped call must
+    // not have generated any pairs
+    val rows = (1L to 50L).map(i => ("hot", i, Array(1.0f, i.toFloat / 100))) ++
+      Seq(("cold", 101L, Array(1.0f, 0.0f)), ("cold", 102L, Array(1.0f, 0.01f)),
+        ("cool", 103L, Array(0.0f, 1.0f)))
+    val emb = rows.toDF("block", "vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.nearDupPairs(emb, "block", 0.9, maxBlockRows = Some(10)).count()
+    }
+    assert(ex.getMessage.contains("hot=50 rows"), ex.getMessage)
+    // uncapped (and capped-but-under) paths still work
+    assert(Similarity.nearDupPairs(emb.filter($"block" =!= "hot"), "block", 0.9,
+      maxBlockRows = Some(10)).count() === 1)
+  }
+
   test("langGuess picks marker language; und when no markers") {
     val out = Seq((1L, "the cat of a hat"), (2L, "el gato la casa los perros"), (3L, "xyz abc"))
       .toDF("doc_id", "text")
