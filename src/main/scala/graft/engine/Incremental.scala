@@ -32,8 +32,15 @@ object Incremental {
     * `Registry.run(microbatchWindows = ...)` (the dbt runner derives bounds
     * per batch). Bounds are validated at materialization (fail fast; an
     * unparseable bound must never silently become NULL and wipe the target).
+    *
+    * `grain` is dbt's batch_size (hour/day/month/year): the Registry stores
+    * the target PARTITIONED by the event-time period at this grain, so a
+    * run replaces only its window's partition dirs — per-batch I/O is
+    * O(batch), never O(target). Windows must be grain-aligned (dbt batches
+    * are whole periods); the Registry rejects misaligned bounds.
     */
-  final case class Microbatch(eventTimeCol: String, start: String, end: String) extends Strategy
+  final case class Microbatch(eventTimeCol: String, start: String, end: String,
+      grain: String = "day") extends Strategy
 
   /** MERGE (I2): match on `keys` -> source row wins (all columns, minus
     * `excludeCols`, or only `updateCols` when given — merge.sql:12-14);

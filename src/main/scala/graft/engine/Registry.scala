@@ -83,6 +83,45 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     java.sql.Timestamp.valueOf(t)
   }
 
+  /** Event-time period helpers for the partitioned microbatch layout. The
+    * period string doubles as the partition directory value, so it must be
+    * filesystem-safe and identically derivable from Scala (window
+    * enumeration) and Spark (`date_format` on the event column).
+    */
+  private object Period {
+    def pattern(grain: String): String = grain match {
+      case "hour"  => "yyyy-MM-dd'T'HH"
+      case "day"   => "yyyy-MM-dd"
+      case "month" => "yyyy-MM"
+      case "year"  => "yyyy"
+      case other   => throw new IllegalArgumentException(s"microbatch grain: $other")
+    }
+    def step(t: java.time.LocalDateTime, grain: String): java.time.LocalDateTime = grain match {
+      case "hour" => t.plusHours(1); case "day" => t.plusDays(1)
+      case "month" => t.plusMonths(1); case "year" => t.plusYears(1)
+    }
+    def aligned(t: java.time.LocalDateTime, grain: String): Boolean = {
+      val midnight = t.toLocalTime == java.time.LocalTime.MIDNIGHT
+      grain match {
+        case "hour"  => t.getMinute == 0 && t.getSecond == 0 && t.getNano == 0
+        case "day"   => midnight
+        case "month" => t.getDayOfMonth == 1 && midnight
+        case "year"  => t.getDayOfYear == 1 && midnight
+      }
+    }
+    /** The period partition values covered by the grain-aligned [start, end). */
+    def values(start: java.time.LocalDateTime, end: java.time.LocalDateTime,
+        grain: String): Seq[String] = {
+      require(aligned(start, grain) && aligned(end, grain),
+        s"microbatch window [$start, $end) must be whole $grain periods " +
+          "(dbt batches are period-aligned; a partial period cannot be " +
+          "replaced by partition swap)")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern(grain))
+      Iterator.iterate(start)(step(_, grain)).takeWhile(_.isBefore(end))
+        .map(fmt.format).toSeq
+    }
+  }
+
   /** Run the DAG (`dbt run`). fullRefresh forces incremental targets to
     * rebuild from scratch (incremental.sql:40-46). `microbatchWindows`
     * overrides Microbatch bounds per model name for this run — the per-batch
@@ -174,7 +213,19 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           wh.writeSwap(m.name, df, clusterBy)
           wh.read(m.name)
         case IncrementalMat(strategy, keys, onSchema) =>
-          if (!isInc) wh.writeSwap(m.name, df)
+          if (!isInc) strategy match {
+            case Incremental.Microbatch(eventCol, _, _, grain) =>
+              // microbatch targets live PARTITIONED by event-time period from
+              // the first run, so later runs replace whole partition dirs
+              // instead of rewriting the target (NULL event times land in the
+              // default partition and are never touched by a window)
+              import org.apache.spark.sql.functions.{col, date_format}
+              val pc = wh.enginePrefix + "period"
+              wh.writeSwap(m.name,
+                df.withColumn(pc, date_format(col(eventCol), Period.pattern(grain))),
+                partitionBy = Seq(pc))
+            case _ => wh.writeSwap(m.name, df)
+          }
           else {
             import org.apache.spark.sql.functions.{col, lit}
             val stored = wh.read(m.name)
@@ -211,10 +262,26 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                     wh.writeSwap(m.name, Incremental.deleteInsert(target, src, keys))
                   case Incremental.InsertOverwrite =>
                     wh.writeSwap(m.name, Incremental.insertOverwrite(src))
-                  case Incremental.Microbatch(eventCol, defStart, defEnd) =>
+                  case Incremental.Microbatch(eventCol, defStart, defEnd, grain) =>
+                    // physical form of Incremental.microbatch: the slice's
+                    // period partitions are dropped and the in-window batch
+                    // rows land in their place — O(slice) I/O, the rest of
+                    // the target is neither read nor rewritten
+                    import org.apache.spark.sql.functions.{coalesce, date_format}
                     val (s0, e0) = microbatchWindows.getOrElse(m.name, (defStart, defEnd))
-                    wh.writeSwap(m.name, Incremental.microbatch(target, src, eventCol,
-                      lit(parseBound(s0)), lit(parseBound(e0))))
+                    val (start, end) = (parseBound(s0), parseBound(e0))
+                    val periods = Period.values(
+                      start.toLocalDateTime, end.toLocalDateTime, grain)
+                    val pc = wh.enginePrefix + "period"
+                    val c = col(eventCol)
+                    val inWindow = coalesce(c >= lit(start) && c < lit(end), lit(false))
+                    // partitioned slices must share one schema: align the
+                    // batch to the stored logical columns, loudly failing on
+                    // drift (reconcileSchema already ran for the other modes)
+                    val slice = src.filter(inWindow)
+                      .select(target.columns.map(col).toSeq: _*)
+                      .withColumn(pc, date_format(c, Period.pattern(grain)))
+                    wh.overwritePeriods(m.name, slice, pc, periods)
                   case _ => ()
                 }
                 if (multiScan) src.unpersist()

@@ -37,9 +37,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   def exists(name: String): Boolean = { recover(name); Files.exists(dir(name)) }
 
+  /** Columns with this prefix are engine-internal physical-layout columns
+    * (e.g. the microbatch period partition); `read` strips them so the
+    * logical relation is exactly what the model produced.
+    */
+  val enginePrefix = "__graft_"
+
   def read(name: String): DataFrame = {
     recover(name)
-    spark.read.parquet(dir(name).toString)
+    val df = spark.read.parquet(dir(name).toString)
+    df.drop(df.columns.filter(_.startsWith(enginePrefix)).toSeq: _*)
   }
 
   /** CTAS / full overwrite with swap (S4+S5). `clusterBy` reproduces the
@@ -47,7 +54,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * range-partition + sort within partitions so min/max file stats enable
     * scan pruning on the cluster keys.
     */
-  def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil): Unit = {
+  def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val out = if (clusterBy.nonEmpty)
       df.repartitionByRange(clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
@@ -57,11 +65,28 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val target  = dir(name)
     val backup  = dir(name + "__backup")
     deleteRec(tmp); deleteRec(backup)
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = out.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
     if (Files.exists(target))
       Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRec(backup)
+  }
+
+  /** Partition-dir slice replacement (the microbatch physical path): drop the
+    * ENUMERATED period partitions, then land the batch's files under their
+    * period dirs. Exactly dbt's DELETE-slice + INSERT-batch, with I/O bounded
+    * by the slice — the rest of the target is never read or rewritten. An
+    * in-window period with no batch rows ends EMPTY (deleted, nothing
+    * appended), which dynamic partition overwrite alone would miss. Reruns of
+    * the same window are idempotent (same deletes, same rows).
+    */
+  def overwritePeriods(name: String, batch: DataFrame, partCol: String,
+      periodValues: Seq[String]): Unit = {
+    recover(name)
+    periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
+    batch.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(name).toString)
   }
 
   /** Append-only sink (incremental strategy I1): new part-files land next to

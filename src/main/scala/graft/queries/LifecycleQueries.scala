@@ -199,7 +199,8 @@ object LifecycleQueries extends QuerySet {
       val reg = new Registry(s, wh)
       reg.source("orders_src", table(s, d, "orders"))
       reg.register(Model("mb_claims", Seq("orders_src"),
-        IncrementalMat(Incremental.Microbatch("service_date", "1998-01-01", "1998-02-01"), Nil),
+        IncrementalMat(Incremental.Microbatch("service_date", "1998-01-01", "1998-02-01",
+          grain = "month"), Nil),
         ctx => {
           val o = ctx.ref("orders_src").select(
             col("o_orderkey").cast("long").as("claim_id"),

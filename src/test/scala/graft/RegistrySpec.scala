@@ -146,6 +146,44 @@ class RegistrySpec extends AnyFunSuite {
     assert(seq === Map(1L -> ("A", 20L), 2L -> ("B", 40L), 3L -> ("C", 60L)))
   }
 
+  test("microbatch run leaves out-of-window period partitions byte-identical") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_mb_prune").toString
+    val wh = new Warehouse(root, spark)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def reg(rows: Seq[(Long, java.sql.Date, String)]) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", rows.toDF("k", "d", "v"))
+      r.register(Model("mbp", Seq("raw"),
+        IncrementalMat(Incremental.Microbatch("d", "2024-01-02", "2024-01-03"), Nil),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, day("2024-01-01"), "a"), (2L, day("2024-01-02"), "b"),
+      (3L, day("2024-01-03"), "c"))).run()
+    def fileState(): Map[String, String] = {
+      val dir = java.nio.file.Paths.get(root, "mbp")
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(p))
+          dir.relativize(p).toString -> md.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fileState()
+    assert(before.keySet.exists(_.startsWith("__graft_period=2024-01-01/")))
+    // second run replaces only the 01-02 slice
+    reg(Seq((9L, day("2024-01-02"), "B2"))).run()
+    val after = fileState()
+    def outside(m: Map[String, String]) =
+      m.filterNot { case (p, _) => p.startsWith("__graft_period=2024-01-02/") }
+    assert(outside(before) === outside(after),
+      "out-of-window partition files were rewritten")
+    val out = wh.read("mbp").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 9L -> "B2", 3L -> "c"))
+  }
+
   test("swap crash window: backup-only state restores on next open") {
     val root = Files.createTempDirectory("graft_crash").toString
     val wh = new Warehouse(root, spark)
