@@ -36,6 +36,40 @@ final case class SnapshotMat(
     hardDeletes: Snapshot.HardDeletes,
     snapshotTime: Timestamp) extends Materialization
 
+/** S8 dynamic table (dbt-snowflake dynamic_table.sql:1-66): a continuously
+  * refreshed materialized view whose MATERIALIZATION run manages only the
+  * DDL/config — data refresh belongs to the refresher (our streaming
+  * analogue, EventsStream). `targetLag` is the declared freshness budget
+  * (drives the refresher's trigger interval); `clusterBy` is the physical
+  * layout. A run over an existing table with an UNCHANGED config is a no-op,
+  * exactly like the reference ('No configuration changes ... Continuing.').
+  */
+final case class DynamicTableConfig(targetLag: String = "1 hour",
+    clusterBy: Seq[String] = Nil) {
+  def serialize: String = s"targetLag=$targetLag\nclusterBy=${clusterBy.mkString(",")}"
+}
+object DynamicTableConfig {
+  def deserialize(s: String): DynamicTableConfig = {
+    val kv = s.linesIterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    DynamicTableConfig(kv.getOrElse("targetLag", "1 hour"),
+      kv.get("clusterBy").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+  }
+}
+
+/** on_configuration_change (dynamic_table.sql:40-60): apply rebuilds with
+  * the new config, continue keeps the existing table and warns, fail raises.
+  */
+sealed trait OnConfigChange
+case object ApplyConfig    extends OnConfigChange
+case object ContinueConfig extends OnConfigChange
+case object FailConfig     extends OnConfigChange
+
+final case class DynamicTableMat(
+    config: DynamicTableConfig = DynamicTableConfig(),
+    onConfigurationChange: OnConfigChange = ApplyConfig) extends Materialization
+
 final case class Model(
     name: String,
     deps: Seq[String],
@@ -286,6 +320,36 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                 }
                 if (multiScan) src.unpersist()
             }
+          }
+          wh.read(m.name)
+        case DynamicTableMat(cfg, onChange) =>
+          // scenario dispatch per dynamic_table_get_build_sql
+          // (dynamic_table.sql:27-66): create / replace / alter / no-op
+          val stored = if (targetExists) wh.getMeta(m.name).map(DynamicTableConfig.deserialize)
+                       else None
+          if (!targetExists || fullRefresh || stored.isEmpty) {
+            // create, full refresh, or existing relation isn't a dynamic
+            // table (no stored config) -> (re)build with the model config
+            wh.writeSwap(m.name, df, clusterBy = cfg.clusterBy)
+            wh.putMeta(m.name, cfg.serialize)
+          } else if (stored.contains(cfg)) {
+            // 'No configuration changes were identified ... Continuing.' —
+            // a config-clean run is a NO-OP: data freshness belongs to the
+            // refresher (the streaming analogue), not the materialization
+            ()
+          } else onChange match {
+            case ApplyConfig =>
+              // the ALTER analogue: re-lay the table under the new config
+              wh.writeSwap(m.name, df, clusterBy = cfg.clusterBy)
+              wh.putMeta(m.name, cfg.serialize)
+            case ContinueConfig =>
+              () // keep the existing table + config (reference warns)
+            case FailConfig =>
+              throw new IllegalStateException(
+                s"Configuration changes were identified and on_configuration_change " +
+                  s"was set to fail for '${m.name}' (stored: " +
+                  s"${stored.map(_.serialize.replace('\n', ' ')).getOrElse("<none>")}; " +
+                  s"model: ${cfg.serialize.replace('\n', ' ')})")
           }
           wh.read(m.name)
         case SnapshotMat(keys, strategy, hard, ts) =>

@@ -147,6 +147,22 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   def drop(name: String): Unit = deleteRec(dir(name))
 
+  /** Tiny sidecar metadata (e.g. the dynamic-table config the reference
+    * stores as Snowflake DDL properties). Written atomically via tmp+move.
+    */
+  def putMeta(name: String, content: String): Unit = {
+    val p = dir(name + "__meta")
+    val tmp = dir(name + "__meta.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def getMeta(name: String): Option[String] = {
+    val p = dir(name + "__meta")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -3,7 +3,8 @@ package graft.queries
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.{Incremental, IncrementalMat, Model, Registry, Snapshot, Warehouse}
+import graft.engine.{ApplyConfig, DynamicTableConfig, DynamicTableMat, Incremental,
+  IncrementalMat, Model, OnConfigChange, Registry, Snapshot, Warehouse}
 import graft.functions.Functions
 import graft.operators.Fixtures
 import graft.sources.Sources
@@ -254,6 +255,35 @@ object LifecycleQueries extends QuerySet {
         |       TIMESTAMP '2000-02-01 00:00:00', TIMESTAMP '2000-02-01 00:00:00',
         |       CAST(NULL AS TIMESTAMP), region_key
         |FROM s1 WHERE member_id % 10 = 0""".stripMargin)),
+
+    QueryDef("q64_dynamic_table", (s, d) => {
+      // S8 dynamic-table lifecycle (dynamic_table.sql:27-66): create, then a
+      // config-clean NO-OP run, then an on_configuration_change=apply run
+      // that re-lays the table under a new cluster key; the stored result
+      // must hash-match the plain aggregation
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q64").toString, s)
+      def reg(cfg: DynamicTableConfig, onChange: OnConfigChange) = {
+        val r = new Registry(s, wh)
+        r.source("orders_src", table(s, d, "orders"))
+        r.register(Model("dt_claims_daily", Seq("orders_src"),
+          DynamicTableMat(cfg, onChange),
+          ctx => ctx.ref("orders_src")
+            .groupBy(col("o_orderdate").cast("date").as("service_date"))
+            .agg(count(lit(1)).as("n_claims"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_amount"))))
+        r
+      }
+      reg(DynamicTableConfig("1 hour"), ApplyConfig).run()
+      reg(DynamicTableConfig("1 hour"), ApplyConfig).run() // config-clean no-op
+      reg(DynamicTableConfig("5 minutes", clusterBy = Seq("service_date")),
+        ApplyConfig).run()                                 // alter analogue
+      wh.read("dt_claims_daily")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS service_date,
+        |       CAST(count(*) AS BIGINT) AS n_claims,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+        |FROM orders GROUP BY 1""".stripMargin)),
 
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,

@@ -226,6 +226,46 @@ class RegistrySpec extends AnyFunSuite {
     assert(out === Map(1L -> "batched", 2L -> "batched", 3L -> "batched", 4L -> "outside"))
   }
 
+  test("dynamic table: create / no-op / continue / fail / apply (dynamic_table.sql:27-66)") {
+    val root = Files.createTempDirectory("graft_dt").toString
+    val wh = new Warehouse(root, spark)
+    def reg(cfg: DynamicTableConfig, onChange: OnConfigChange, tag: String) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", Seq((1L, tag)).toDF("k", "v"))
+      r.register(Model("dt", Seq("raw"), DynamicTableMat(cfg, onChange),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    def content: String = wh.read("dt").collect()(0).getString(1)
+    val c1 = DynamicTableConfig("1 hour")
+    val c2 = DynamicTableConfig("5 minutes", clusterBy = Seq("k"))
+
+    reg(c1, ApplyConfig, "v1").run() // create
+    assert(content === "v1" && wh.getMeta("dt").contains(c1.serialize))
+
+    // unchanged config -> NO-OP even though the source moved: data freshness
+    // belongs to the refresher, the materialization only manages config
+    reg(c1, ApplyConfig, "v2").run()
+    assert(content === "v1")
+
+    // changed config + continue -> keep table AND old config
+    reg(c2, ContinueConfig, "v3").run()
+    assert(content === "v1" && wh.getMeta("dt").contains(c1.serialize))
+
+    // changed config + fail -> loud error, nothing touched
+    val ex = intercept[IllegalStateException](reg(c2, FailConfig, "v4").run())
+    assert(ex.getMessage.contains("on_configuration_change"))
+    assert(content === "v1")
+
+    // changed config + apply -> ALTER analogue: rebuilt under the new config
+    reg(c2, ApplyConfig, "v5").run()
+    assert(content === "v5" && wh.getMeta("dt").contains(c2.serialize))
+
+    // full refresh forces a rebuild even with a clean config
+    reg(c2, ApplyConfig, "v6").run(fullRefresh = true)
+    assert(content === "v6")
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
