@@ -252,11 +252,17 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
               // microbatch targets live PARTITIONED by event-time period from
               // the first run, so later runs replace whole partition dirs
               // instead of rewriting the target (NULL event times land in the
-              // default partition and are never touched by a window)
+              // default partition and are never touched by a window).
+              // Clustering by the period column before the write keeps file
+              // count O(periods), not O(periods x tasks) — a full-history
+              // CTAS over years of periods would otherwise spray thousands
+              // of small files. (Slice appends skip this: a batch covers few
+              // periods and benefits from parallel writers per dir.)
               import org.apache.spark.sql.functions.{col, date_format}
               val pc = wh.enginePrefix + "period"
               wh.writeSwap(m.name,
-                df.withColumn(pc, date_format(col(eventCol), Period.pattern(grain))),
+                df.withColumn(pc, date_format(col(eventCol), Period.pattern(grain)))
+                  .repartition(col(pc)),
                 partitionBy = Seq(pc))
             case _ => wh.writeSwap(m.name, df)
           }

@@ -43,10 +43,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   val enginePrefix = "__graft_"
 
+  /** Reads are cached per table and invalidated by every write through this
+    * Warehouse (which owns all writes to its root): `spark.read.parquet`
+    * builds a fresh file index per call, and partition-discovery listings
+    * are a real per-call tax — multi-read lifecycles (incremental runs,
+    * snapshot rebuilds) would otherwise re-list the same directories many
+    * times per run. On object stores at corpus scale each listing is a
+    * round-trip storm.
+    */
+  private val readCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def invalidate(name: String): Unit = readCache.remove(name)
+
   def read(name: String): DataFrame = {
     recover(name)
-    val df = spark.read.parquet(dir(name).toString)
-    df.drop(df.columns.filter(_.startsWith(enginePrefix)).toSeq: _*)
+    readCache.getOrElseUpdate(name, {
+      val df = spark.read.parquet(dir(name).toString)
+      df.drop(df.columns.filter(_.startsWith(enginePrefix)).toSeq: _*)
+    })
   }
 
   /** CTAS / full overwrite with swap (S4+S5). `clusterBy` reproduces the
@@ -72,6 +86,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRec(backup)
+    invalidate(name)
   }
 
   /** Partition-dir slice replacement (the microbatch physical path): drop the
@@ -87,13 +102,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
     recover(name)
     periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
     batch.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(name).toString)
+    invalidate(name)
   }
 
   /** Append-only sink (incremental strategy I1): new part-files land next to
     * existing ones; no rewrite of existing data.
     */
-  def append(name: String, df: DataFrame): Unit =
+  def append(name: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(dir(name).toString)
+    invalidate(name)
+  }
 
   /** Partition-pruned upsert (the long-running-stream merge path): the
     * target lives partitioned by a key-hash bucket column, and a batch
@@ -125,6 +143,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(dir(name).toString)
+    invalidate(name)
   }
 
   /** Bucketed catalog table: co-locates future joins/aggregations on the
@@ -145,7 +164,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .saveAsTable(table)
   }
 
-  def drop(name: String): Unit = deleteRec(dir(name))
+  def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }
 
   /** Tiny sidecar metadata (e.g. the dynamic-table config the reference
     * stores as Snowflake DDL properties). Written atomically via tmp+move.
