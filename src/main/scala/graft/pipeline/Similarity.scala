@@ -160,6 +160,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Banded sign-LSH near-duplicate pairs — the SCALE path beside the
+    * within-block all-pairs verifier [[nearDupPairs]]: the first
+    * bandBits*nBands embedding components become a sign sketch, candidates
+    * must agree exactly on at least one band (random-hyperplane LSH: each
+    * agreeing sign bit is evidence of a small angle), and every candidate is
+    * verified with the EXACT quantized cosine. Recall < 1 by design.
+    *
+    * Scale shape mirrors [[Dedup.simhashPairs]]: the join shuffles on
+    * uniform (band, bits) keys — never on a hot block — and cross-band
+    * duplicates are suppressed by the first-agreeing-band filter (cheap bit
+    * math on sketches the join already carries), not a distinct shuffle.
+    */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, bandBits: Int = 4,
+      nBands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val totalBits = bandBits * nBands
+    require(totalBits <= 31, "sketch must fit an int")
+    // sign from the RAW float (quantization would shift exact-zero ties)
+    val sketch = (0 until totalBits).map(i =>
+      when(element_at(col("__fv"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val p = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("__fv"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("n", dotQ(col("v"), col("v")))
+      .withColumn("sketch", sketch)
+      .drop("__fv")
+    val bandArr = array((0 until nBands).map { t =>
+      struct(lit(t).as("band"),
+        shiftright(col("sketch"), t * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bits"))
+    }: _*)
+    val banded = p.select(col("id"), col("v"), col("n"), col("sketch"),
+        explode(bandArr).as("b"))
+      .select(col("id"), col("v"), col("n"), col("sketch"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"),
+      col("v").as("qv"), col("n").as("qn"), col("sketch").as("sk_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"),
+      col("v").as("cv"), col("n").as("cn"), col("sketch").as("sk_b"))
+    def bandOf(sk: Column, j: Int): Column =
+      shiftright(sk, j * bandBits).bitwiseAND(lit((1 << bandBits) - 1))
+    val firstAgreeingBand = (0 until nBands - 1)
+      .map(j => (col("band") <= j) || (bandOf(col("sk_a"), j) =!= bandOf(col("sk_b"), j)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b") && firstAgreeingBand)
+      .withColumn("score", pairScore)
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** Near-duplicate pairs by embedding cosine within a blocking column
     * (label/cluster id): a < b, score >= threshold.
     *

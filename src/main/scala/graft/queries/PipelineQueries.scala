@@ -172,6 +172,34 @@ object PipelineQueries extends QuerySet {
            |FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
            |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
+    QueryDef("q65_embedding_neardup_lsh", (s, d) =>
+      // the banded SCALE path beside q38's within-block verifier: sign-LSH
+      // bands (shuffle on uniform band keys, no block hotspots), exact
+      // cosine verification, recall < 1 by design
+      Similarity.nearDupPairsLsh(table(s, d, "embeddings"), threshold = 0.4),
+      Some {
+        val bandBits = 4; val nBands = 4; val mask = (1 << bandBits) - 1
+        val sketchSql = (0 until bandBits * nBands)
+          .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        def bandOf(side: String, j: Int) =
+          s"(($side.sketch >> ${j * bandBits}) & $mask)"
+        val firstAgree = (0 until nBands - 1)
+          .map(j => s"(a.band <= $j OR ${bandOf("a", j)} <> ${bandOf("b", j)})")
+          .mkString(" AND ")
+        s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v, $sketchSql AS sketch
+           |           FROM embeddings),
+           |banded AS (SELECT id, v, sketch, t.band AS band,
+           |                  (sketch >> (t.band * $bandBits)) & $mask AS bits
+           |           FROM e, (VALUES ${(0 until nBands).map(t => s"($t)").mkString(",")}) t(band)),
+           |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+           |          FROM banded a JOIN banded b
+           |            ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+           |          WHERE $firstAgree)
+           |SELECT id_a, id_b, ${cosSql("va", "vb")} AS score
+           |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4""".stripMargin
+      }),
+
     QueryDef("q39_dedup_simhash", (s, d) => {
       val docs = table(s, d, "documents")
         .withColumn("block", concat_ws("/", col("lang"), col("source")))

@@ -117,6 +117,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sign-LSH near-dup band join == naive sketch-agreement all-pairs (random vectors)") {
+    import graft.pipeline.Similarity
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed)
+      val vecs = (0 until 40).map { i =>
+        (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val t = 0.3
+      val fast = Similarity.nearDupPairsLsh(vecs, threshold = t)
+        .select("id_a", "id_b", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      // naive reference: explicit cross join, pair kept iff SOME 4-bit band
+      // of the sign sketch agrees, scored with the same quantized cosine
+      val sk = vecs.select($"vec_id".as("id"),
+        Similarity.quantize($"embedding").as("v"),
+        (0 until 16).map(i =>
+          when(element_at($"embedding", i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _).as("sketch"))
+      val anyBand = (0 until 4).map { j =>
+        shiftright($"sk_a", j * 4).bitwiseAND(lit(15)) ===
+          shiftright($"sk_b", j * 4).bitwiseAND(lit(15))
+      }.reduce(_ || _)
+      val naive = sk.select($"id".as("id_a"), $"v".as("va"), $"sketch".as("sk_a"))
+        .crossJoin(sk.select($"id".as("id_b"), $"v".as("vb"), $"sketch".as("sk_b")))
+        .filter($"id_a" < $"id_b" && anyBand)
+        .withColumn("score", Similarity.cosineQ($"va", $"vb"))
+        .filter($"score" >= t)
+        .select("id_a", "id_b", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(fast === naive, s"sign-LSH band join diverged from naive at seed $seed")
+    }
+  }
+
   test("simhash band join == naive all-pairs (random corpora)") {
     import graft.pipeline.{Dedup, TextAnalysis}
     (1 to 4).foreach { seed =>
