@@ -46,6 +46,32 @@ object PipelineQueries extends QuerySet {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** CTE body reproducing Similarity.nearDupPairsLsh's candidate generation
+    * (16-bit sign sketch, 4x4-bit bands, first-agreeing-band dedup); yields
+    * `pairs(id_a, id_b, va, vb)`. Shared by q65 (pairs) and q66 (clusters).
+    */
+  private val lshPairsCtesBody: String = {
+    val bandBits = 4; val nBands = 4; val mask = (1 << bandBits) - 1
+    val sketchSql = (0 until bandBits * nBands)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    def bandOf(side: String, j: Int) = s"(($side.sketch >> ${j * bandBits}) & $mask)"
+    val firstAgree = (0 until nBands - 1)
+      .map(j => s"(a.band <= $j OR ${bandOf("a", j)} <> ${bandOf("b", j)})")
+      .mkString(" AND ")
+    s"""e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v, $sketchSql AS sketch
+       |      FROM embeddings),
+       |banded AS (SELECT id, v, sketch, t.band AS band,
+       |                  (sketch >> (t.band * $bandBits)) & $mask AS bits
+       |           FROM e, (VALUES ${(0 until nBands).map(t => s"($t)").mkString(",")}) t(band)),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+       |          FROM banded a JOIN banded b
+       |            ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+       |          WHERE $firstAgree)""".stripMargin
+  }
+
+  private val lshPairsCtes: String = s"WITH $lshPairsCtesBody"
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q30_text_stats", (s, d) => {
@@ -177,28 +203,55 @@ object PipelineQueries extends QuerySet {
       // bands (shuffle on uniform band keys, no block hotspots), exact
       // cosine verification, recall < 1 by design
       Similarity.nearDupPairsLsh(table(s, d, "embeddings"), threshold = 0.4),
-      Some {
-        val bandBits = 4; val nBands = 4; val mask = (1 << bandBits) - 1
-        val sketchSql = (0 until bandBits * nBands)
-          .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-          .mkString(" + ")
-        def bandOf(side: String, j: Int) =
-          s"(($side.sketch >> ${j * bandBits}) & $mask)"
-        val firstAgree = (0 until nBands - 1)
-          .map(j => s"(a.band <= $j OR ${bandOf("a", j)} <> ${bandOf("b", j)})")
-          .mkString(" AND ")
-        s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v, $sketchSql AS sketch
-           |           FROM embeddings),
-           |banded AS (SELECT id, v, sketch, t.band AS band,
-           |                  (sketch >> (t.band * $bandBits)) & $mask AS bits
-           |           FROM e, (VALUES ${(0 until nBands).map(t => s"($t)").mkString(",")}) t(band)),
-           |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
-           |          FROM banded a JOIN banded b
-           |            ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
-           |          WHERE $firstAgree)
+      Some(
+        s"""$lshPairsCtes
            |SELECT id_a, id_b, ${cosSql("va", "vb")} AS score
-           |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4""".stripMargin
-      }),
+           |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4""".stripMargin)),
+
+    QueryDef("q66_dedup_clusters", (s, d) => {
+      // pairs -> CLUSTERS: connected components (alternating star) over the
+      // sign-LSH near-dup graph, labeling each doc with its component's
+      // minimum id — the canonical-doc assignment step of corpus dedup
+      val pairs = Similarity.nearDupPairsLsh(table(s, d, "embeddings"), threshold = 0.4)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+    }, Some(
+      s"""WITH RECURSIVE $lshPairsCtesBody,
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4),
+         |und AS (SELECT id_a AS u, id_b AS v FROM verified
+         |        UNION SELECT id_b, id_a FROM verified),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u)
+         |SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin)),
+
+    QueryDef("q67_hash_sample", (s, d) =>
+      // deterministic hash sampling: pure function of (id, salt) — a rerun
+      // or a different engine selects the identical rows (no RNG, no shuffle)
+      graft.pipeline.Sampling.hashSample(
+        table(s, d, "documents"), col("doc_id"), fraction = 0.25, salt = "r2")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("source")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source FROM documents
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'r2'), 1, 8))::BIGINT
+          |      % 1000000 < 250000""".stripMargin)),
+
+    QueryDef("q68_cap_per_group", (s, d) =>
+      // per-group quota sampling: at most 10 docs per (lang, source), chosen
+      // by deterministic hash order — the data-mixing cap of a training
+      // pipeline; rank filter compiles to WindowGroupLimit (map-side prune)
+      graft.pipeline.Sampling.capPerGroup(
+        table(s, d, "documents"), Seq("lang", "source"), n = 10, col("doc_id"))
+        .select(col("lang"), col("source"), col("doc_id").cast("long").as("doc_id")),
+      Some(
+        """SELECT lang, source, CAST(doc_id AS BIGINT) AS doc_id FROM (
+          |  SELECT lang, source, doc_id,
+          |         row_number() OVER (PARTITION BY lang, source
+          |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ''), 1, 8))::BIGINT
+          |                    % 1000000 ASC, doc_id ASC) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 10""".stripMargin)),
 
     QueryDef("q39_dedup_simhash", (s, d) => {
       val docs = table(s, d, "documents")

@@ -116,6 +116,26 @@ class PipelineSpec extends AnyFunSuite {
       maxBlockRows = Some(10)).count() === 1)
   }
 
+  test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
+    import graft.pipeline.Sampling
+    val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val s1 = Sampling.hashSample(df, $"id", 0.3, "s").select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df.orderBy($"id".desc).repartition(7), $"id", 0.3, "s")
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2, "sample must not depend on ordering/partitioning")
+    assert(math.abs(s1.size - 300) < 60, s"fraction far off: ${s1.size}")
+    // different salt -> different (but deterministic) sample
+    val s3 = Sampling.hashSample(df, $"id", 0.3, "other").select("id").as[Long].collect().toSet
+    assert(s1 !== s3)
+
+    val capped = Sampling.capPerGroup(df, Seq("grp"), 5, $"id")
+    val byGrp = capped.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.forall(_ === 5) && byGrp.size === 7)
+    val capped2 = Sampling.capPerGroup(df.repartition(13), Seq("grp"), 5, $"id")
+    assert(capped.select("id").as[Long].collect().toSet ===
+      capped2.select("id").as[Long].collect().toSet, "cap choice must be stable")
+  }
+
   test("langGuess picks marker language; und when no markers") {
     val out = Seq((1L, "the cat of a hat"), (2L, "el gato la casa los perros"), (3L, "xyz abc"))
       .toDF("doc_id", "text")

@@ -117,6 +117,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents == driver-side union-find (random graphs)") {
+    import graft.pipeline.Dedup
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 5 + rnd.nextInt(60)
+      // mix of chains (worst case for label propagation), random edges, and
+      // isolated pairs
+      val edges = ((0 until n).flatMap { _ =>
+        val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+        if (a == b) None else Some((a, b))
+      } ++ (0 until 5).map(i => (1000L + i, 1001L + i))).distinct
+      val out = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      assert(out === expected, s"components diverged at seed $seed")
+    }
+  }
+
   test("sign-LSH near-dup band join == naive sketch-agreement all-pairs (random vectors)") {
     import graft.pipeline.Similarity
     (1 to 4).foreach { seed =>
