@@ -70,11 +70,24 @@ final case class DynamicTableMat(
     config: DynamicTableConfig = DynamicTableConfig(),
     onConfigurationChange: OnConfigChange = ApplyConfig) extends Materialization
 
+/** A generic test declared ON a model (dbt schema tests / `dbt build`):
+  * `failing` renders the failing-rows relation over the materialized result;
+  * thresholds follow the test harness (tests/helpers.sql:7-16). An Error
+  * verdict aborts the run before downstream models build, like dbt build.
+  */
+final case class ModelTest(
+    name: String,
+    failing: DataFrame => DataFrame,
+    failCalc: String = "count(*)",
+    warnIf: Long => Boolean = _ > 0,
+    errorIf: Long => Boolean = _ > 0)
+
 final case class Model(
     name: String,
     deps: Seq[String],
     mat: Materialization,
-    build: ModelContext => DataFrame)
+    build: ModelContext => DataFrame,
+    tests: Seq[ModelTest] = Nil)
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
@@ -156,19 +169,43 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     }
   }
 
+  /** Generic-test verdicts from the most recent `run` (dbt build's test
+    * report). Error-severity tests also abort the run.
+    */
+  @volatile private var lastTestResults = Vector.empty[graft.operators.GenericTests.TestResult]
+  def testResults: Seq[graft.operators.GenericTests.TestResult] = lastTestResults
+
   /** Run the DAG (`dbt run`). fullRefresh forces incremental targets to
     * rebuild from scratch (incremental.sql:40-46). `microbatchWindows`
     * overrides Microbatch bounds per model name for this run — the per-batch
-    * window a scheduler advances between runs.
+    * window a scheduler advances between runs. `select` restricts the run to
+    * the named models PLUS their transitive ancestors (dbt `--select +m`);
+    * `exclude` drops nodes from that set (an excluded node that a selected
+    * model still needs fails fast at dependency lookup, as in dbt).
     */
   def run(fullRefresh: Boolean = false,
       microbatchWindows: Map[String, (String, String)] = Map.empty,
-      threads: Int = 1): Map[String, DataFrame] = {
+      threads: Int = 1,
+      select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil): Map[String, DataFrame] = {
     // dbt-style DAG parallelism (SURVEY §3: independent nodes on separate
     // threads): models grouped into topological levels; within a level all
     // deps are already materialized, so models run concurrently. Spark's
     // scheduler handles concurrent jobs from one driver.
-    val ordered = topoSorted
+    lastTestResults = Vector.empty
+    val selected: Option[Set[String]] =
+      if (select.isEmpty) None
+      else {
+        val byName = models.map(m => m.name -> m).toMap
+        select.foreach(s => require(byName.contains(s), s"unknown model in select: $s"))
+        val seen = scala.collection.mutable.Set.empty[String]
+        def ancestors(n: String): Unit = if (seen.add(n))
+          byName.get(n).foreach(_.deps.foreach(ancestors))
+        select.foreach(ancestors)
+        Some(seen.toSet)
+      }
+    val ordered = topoSorted.filter(m =>
+      selected.forall(_.contains(m.name)) && !exclude.contains(m.name))
     val level = scala.collection.mutable.Map.empty[String, Int]
     ordered.foreach { m =>
       level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
@@ -232,7 +269,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
 
   private def materialize(m: Model, fullRefresh: Boolean,
       microbatchWindows: Map[String, (String, String)]): DataFrame = {
-    {
+    val result = {
       val deps = (m.deps.map(d => d -> materialized(d))).toMap
       val targetExists = wh.exists(m.name)
       val isInc = m.mat.isInstanceOf[IncrementalMat] && targetExists && !fullRefresh
@@ -366,5 +403,17 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           wh.read(m.name)
       }
     }
+    // declared tests run against the MATERIALIZED relation, before any
+    // downstream model builds (dbt build semantics); Error severity aborts
+    import graft.operators.GenericTests
+    m.tests.foreach { t =>
+      val res = GenericTests.evaluate(s"${m.name}.${t.name}", t.failing(result),
+        t.failCalc, t.warnIf, t.errorIf)
+      synchronized { lastTestResults :+= res }
+      if (res.severity == GenericTests.Error)
+        throw new IllegalStateException(
+          s"test ${res.name}: ${res.failures} failures (error threshold)")
+    }
+    result
   }
 }

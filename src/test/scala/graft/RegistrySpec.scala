@@ -266,6 +266,49 @@ class RegistrySpec extends AnyFunSuite {
     assert(content === "v6")
   }
 
+  test("node selection runs the model plus ancestors only; exclude drops nodes") {
+    val root = Files.createTempDirectory("graft_sel").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    reg.source("raw", Seq((1L, "x")).toDF("k", "v"))
+    reg.register(Model("a", Seq("raw"), TableMat(), ctx => ctx.ref("raw")))
+    reg.register(Model("b", Seq("a"), TableMat(), ctx => ctx.ref("a")))
+    reg.register(Model("c", Seq("b"), TableMat(), ctx => ctx.ref("b")))
+    reg.register(Model("d", Seq("raw"), TableMat(), ctx => ctx.ref("raw")))
+    reg.run(select = Seq("b"))
+    assert(wh.exists("a") && wh.exists("b") && !wh.exists("c") && !wh.exists("d"))
+    reg.run(select = Seq("d"), exclude = Seq("c"))
+    assert(wh.exists("d") && !wh.exists("c"))
+    assertThrows[IllegalArgumentException](reg.run(select = Seq("nope")))
+  }
+
+  test("declared tests run after materialization; error severity aborts the run") {
+    import graft.operators.{GenericTests => GT}
+    val root = Files.createTempDirectory("graft_build").toString
+    val wh = new Warehouse(root, spark)
+    def mkReg(errorIf: Long => Boolean) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"))
+      r.register(Model("m", Seq("raw"), TableMat(),
+        ctx => ctx.ref("raw"),
+        tests = Seq(ModelTest("unique_k", df => GT.unique(df, "k"),
+          errorIf = errorIf))))
+      r.register(Model("down", Seq("m"), TableMat(), ctx => ctx.ref("m")))
+      r
+    }
+    // duplicate k=1 -> 1 failing group; error threshold aborts BEFORE `down`
+    val ex = intercept[IllegalStateException](mkReg(_ > 0).run())
+    assert(ex.getMessage.contains("m.unique_k"))
+    assert(!wh.exists("down"))
+    // warn-only: run completes, verdict recorded
+    val reg2 = mkReg(_ > 10)
+    reg2.run()
+    assert(wh.exists("down"))
+    val res = reg2.testResults
+    assert(res.map(_.name) === Seq("m.unique_k"))
+    assert(res.head.failures === 1L && res.head.severity === GT.Warn)
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
