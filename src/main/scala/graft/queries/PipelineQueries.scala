@@ -253,6 +253,49 @@ object PipelineQueries extends QuerySet {
           |  FROM documents) t
           |WHERE rn <= 10""".stripMargin)),
 
+    QueryDef("q69_corpus_clean_pipeline", (s, d) => {
+      // the ops COMPOSE: quality gate -> exact-dup canonicalization ->
+      // per-source quota -> deterministic mix sample, one declarative plan
+      // end-to-end (quality/fingerprint/hash all stay inside codegen; the
+      // only shuffles are the two windows and they both group-limit prune)
+      import graft.pipeline.Sampling
+      val gated = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("text"),
+          TA.qualityScore(col("text"), Stopwords).as("q"))
+        .filter(col("q") >= 0.35)
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id").asc)
+      val canonical = gated.withColumn("__fp", TA.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      val capped = Sampling.capPerGroup(canonical, Seq("source"), 50, col("doc_id"))
+      Sampling.hashSample(capped, col("doc_id"), 0.5, "mix")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }, Some {
+      val qualitySql =
+        s"""least(CAST(1.0 AS DOUBLE), CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+           | * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($toksSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+           |      / CAST(len($toksSql) AS DOUBLE))""".stripMargin
+      s"""WITH gated AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text
+         |  FROM documents WHERE $qualitySql >= 0.35),
+         |canon AS (
+         |  SELECT doc_id, lang, source FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(text, ' +', ' ', 'g')))
+         |      ORDER BY doc_id ASC) AS rn
+         |    FROM gated) t WHERE rn = 1),
+         |capped AS (
+         |  SELECT doc_id, lang, source FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ''), 1, 8))::BIGINT
+         |               % 1000000 ASC, doc_id ASC) AS rn
+         |    FROM canon) t WHERE rn <= 50)
+         |SELECT doc_id, lang, source FROM capped
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'mix'), 1, 8))::BIGINT
+         |      % 1000000 < 500000""".stripMargin
+    }),
+
     QueryDef("q39_dedup_simhash", (s, d) => {
       val docs = table(s, d, "documents")
         .withColumn("block", concat_ws("/", col("lang"), col("source")))

@@ -91,6 +91,18 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup (the training-pipeline "drop repeated documents"
+    * op on a live feed): first occurrence of each key wins; duplicates
+    * arriving within the watermark horizon are dropped and state older than
+    * the watermark is evicted — bounded state, unlike a plain
+    * dropDuplicates whose key set grows forever on an unbounded stream.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], eventTimeCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class Event(event_id: Long, user_id: Long, us: Long)
   final case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,

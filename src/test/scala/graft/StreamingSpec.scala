@@ -46,4 +46,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).n_events === 2L)
     assert(rows(0).duration_us === 5 * min)
   }
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((1L, "first", ts(0)), (1L, "dup-same-batch", ts(1)),
+      (2L, "first", ts(2)))
+    val deduped = EventsStream.dedupStream(
+      mem.toDF().toDF("k", "v", "ts"), Seq("k"), "ts", "1 hour")
+    val cp = java.nio.file.Files.createTempDirectory("graft_dedup_cp").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def runOnce(): Unit = {
+      // foreachBatch sink: supports checkpoint RECOVERY (memory sink does not)
+      val q = deduped.writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0) -> r.getString(1)))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap === Map(1L -> "first", 2L -> "first"))
+    // a restart from the SAME checkpoint carries the key state: the later
+    // duplicate of key 1 is dropped, only the new key 3 appears
+    got.clear()
+    mem.addData((1L, "dup-later-batch", ts(3)), (3L, "first", ts(4)))
+    runOnce()
+    assert(got.asScala.toMap === Map(3L -> "first"))
+  }
 }
