@@ -75,4 +75,41 @@ object Multimodal {
     media.groupBy(col("format"))
       .agg(count(lit(1)).as("n_items"),
            sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, ts_sec: Double,
+      feature: Array[Float])
+
+  /** STUB for a per-frame decode (seek + decode one frame): deterministic
+    * fake keyed by (payload, frame index). Signature is the production
+    * contract — a real codec opens the container once per row and seeks.
+    */
+  def decodeFrameStub(bytes: Array[Byte], frameIdx: Int): Array[Float] = {
+    val base = decodeStub(bytes)
+    base.indices.map(i => base(i) + frameIdx.toFloat / 1000f).toArray
+  }
+
+  /** Video frame sampling: every `stride`-th frame index is derived from
+    * METADATA alone (`n_frames` — a columnar sequence+explode, the payload
+    * untouched), then only the selected frames batch-decode in
+    * `mapPartitions`. At 100 TB the payload is fetched once per doc row and
+    * the per-frame decode loop is the amortized hot path; frame selection
+    * itself never reads a byte of media.
+    */
+  def sampleFrames(videos: DataFrame, stride: Int)(
+      implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(stride > 0, s"stride: $stride")
+    videos.select(col("doc_id").cast("long"), col("media"),
+        col("fps").cast("double"),
+        explode(sequence(lit(0), col("n_frames").cast("int") - 1, lit(stride)))
+          .as("frame_idx"))
+      .as[(Long, Array[Byte], Double, Int)]
+      .mapPartitions { rows =>
+        // real impl: container opened once per doc_id run, seek per frame
+        rows.map { case (id, media, fps, idx) =>
+          FrameRow(id, idx, if (fps == 0) 0.0 else idx / fps,
+            decodeFrameStub(media, idx))
+        }
+      }
+  }
 }

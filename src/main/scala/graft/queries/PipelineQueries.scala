@@ -253,6 +253,28 @@ object PipelineQueries extends QuerySet {
           |  FROM documents) t
           |WHERE rn <= 10""".stripMargin)),
 
+    QueryDef("q70_frame_sampling", (s, d) => {
+      // video frame-sample plumbing: stride indices derived from METADATA
+      // only (payload untouched until the batched per-frame decode); the
+      // oracle gates selection + timestamps, the stub decode is spec-tested
+      implicit val sp: SparkSession = s
+      val vids = table(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("binary").as("media"),
+        (col("doc_id") % 100 + 1).cast("int").as("n_frames"),
+        lit(24.0).as("fps"))
+      Multimodal.sampleFrames(vids, stride = 7)
+        .select(col("doc_id"), col("frame_idx"), col("ts_sec"),
+          size(col("feature")).as("feature_dim"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(f AS INTEGER) AS frame_idx,
+        |       CAST(f AS DOUBLE) / CAST(24.0 AS DOUBLE) AS ts_sec,
+        |       CAST(4 AS INTEGER) AS feature_dim
+        |FROM (SELECT doc_id,
+        |             unnest(generate_series(0, CAST(doc_id % 100 AS INTEGER), 7)) AS f
+        |      FROM documents) t""".stripMargin)),
+
     QueryDef("q69_corpus_clean_pipeline", (s, d) => {
       // the ops COMPOSE: quality gate -> exact-dup canonicalization ->
       // per-source quota -> deterministic mix sample, one declarative plan

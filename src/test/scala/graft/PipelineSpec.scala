@@ -136,6 +136,24 @@ class PipelineSpec extends AnyFunSuite {
       capped2.select("id").as[Long].collect().toSet, "cap choice must be stable")
   }
 
+  test("sampleFrames: stride indices from metadata, deterministic stub features") {
+    import graft.pipeline.Multimodal
+    implicit val sp = spark
+    val vids = Seq((1L, "payload-one", 10, 5.0), (2L, "p2", 1, 0.0))
+      .toDF("doc_id", "media", "n_frames", "fps")
+      .withColumn("media", col("media").cast("binary"))
+    val out = Multimodal.sampleFrames(vids, stride = 3).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(out.keySet === Set((1L, 0), (1L, 3), (1L, 6), (1L, 9), (2L, 0)))
+    assert(out((1L, 3)).ts_sec === 0.6)
+    assert(out((2L, 0)).ts_sec === 0.0) // fps 0 guard
+    // frame features differ per index but are deterministic
+    val again = Multimodal.sampleFrames(vids, stride = 3).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.feature.toSeq).toMap
+    assert(out.forall { case (k, v) => again(k) === v.feature.toSeq })
+    assert(out((1L, 0)).feature.toSeq !== out((1L, 3)).feature.toSeq)
+  }
+
   test("langGuess picks marker language; und when no markers") {
     val out = Seq((1L, "the cat of a hat"), (2L, "el gato la casa los perros"), (3L, "xyz abc"))
       .toDF("doc_id", "text")
