@@ -280,9 +280,18 @@ object Dedup {
     *
     * Output: (id, component) for every node that appears in `pairs`;
     * component = min node id of the connected component.
+    *
+    * `driverUnionFindMaxEdges` is the broadcast-threshold analogue: a pair
+    * graph at or under it (16 MB at the default — near-dup graphs are
+    * usually a tiny fraction of corpus size) short-circuits to driver-side
+    * union-find in one job instead of paying per-round scheduling for a
+    * graph that fits in memory; the distributed star iteration engages
+    * beyond it. Both paths produce identical labels (PropertySpec pins each
+    * against the other and against naive union-find).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 50,
+      driverUnionFindMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
 
     // canonical big->small directed edges, deduped
@@ -324,6 +333,29 @@ object Dedup {
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))).localCheckpoint(false)
     var sig = checksum(edges)
+
+    if (sig._1 <= driverUnionFindMaxEdges) {
+      // small-graph short-circuit: one collect + union-find, zero rounds
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression (a 1M-edge chain would blow the
+      // stack recursively)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("id", "component").repartition(col("component"))
+    }
+
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIter) {

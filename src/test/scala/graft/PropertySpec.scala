@@ -128,8 +128,14 @@ class PropertySpec extends AnyFunSuite {
         val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
         if (a == b) None else Some((a, b))
       } ++ (0 until 5).map(i => (1000L + i, 1001L + i))).distinct
+      // default path (driver union-find under the threshold)
       val out = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // distributed star iteration (threshold 0 forces it) must agree
+      val outDist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          driverUnionFindMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === outDist, s"driver vs distributed CC diverged at seed $seed")
       // naive union-find
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
