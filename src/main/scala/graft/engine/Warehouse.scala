@@ -162,6 +162,38 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .format("parquet")
       .option("path", dir(table).toString)
       .saveAsTable(table)
+    putMeta(table + "__bktgen", "")
+  }
+
+  /** Bucket-co-located incremental MERGE (the 100 TB stable-key path): the
+    * target lives as a bucketed catalog table on the merge keys, so the
+    * TARGET side of every per-run merge join arrives pre-partitioned and
+    * pre-sorted — zero Exchange/Sort on the big side, only the batch
+    * shuffles. The rewrite lands in an alternating generation path and takes
+    * over the table name via catalog rename (data never moves), so a reader
+    * holding the old generation keeps a consistent view and a crash before
+    * the rename leaves the old generation intact.
+    */
+  def mergeBucketed(table: String, source: DataFrame, keys: Seq[String],
+      nBuckets: Int): Unit = {
+    require(spark.catalog.tableExists(table), s"bucketed target $table missing")
+    val merged = Incremental.merge(spark.table(table), source, keys)
+    val genNow = getMeta(table + "__bktgen").getOrElse("")
+    val genNext = if (genNow == "a") "b" else "a"
+    val prevPath = dir(if (genNow.isEmpty) table else s"$table@$genNow")
+    val nextName = s"${table}__gen_$genNext"
+    spark.sql(s"DROP TABLE IF EXISTS $nextName")
+    deleteRec(dir(s"$table@$genNext"))
+    merged.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .option("path", dir(s"$table@$genNext").toString)
+      .saveAsTable(nextName)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $nextName RENAME TO $table")
+    putMeta(table + "__bktgen", genNext)
+    deleteRec(prevPath)
   }
 
   def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }

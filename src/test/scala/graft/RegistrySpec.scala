@@ -184,6 +184,32 @@ class RegistrySpec extends AnyFunSuite {
     assert(out === Map(1L -> "a", 9L -> "B2", 3L -> "c"))
   }
 
+  test("hour-grain microbatch partitions by hour and replaces one hour per run") {
+    val root = Files.createTempDirectory("graft_mb_hour").toString
+    val wh = new Warehouse(root, spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def reg(rows: Seq[(Long, java.sql.Timestamp, String)]) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", rows.toDF("k", "et", "v"))
+      r.register(Model("mbh", Seq("raw"),
+        IncrementalMat(Incremental.Microbatch("et",
+          "2024-01-01T10:00", "2024-01-01T11:00", grain = "hour"), Nil),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, ts("2024-01-01 09:30:00"), "a"), (2L, ts("2024-01-01 10:15:00"), "b"))).run()
+    // replace ONLY the 10:00 hour slice
+    reg(Seq((9L, ts("2024-01-01 10:45:00"), "B2"))).run()
+    val out = wh.read("mbh").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 9L -> "B2"))
+    // misaligned window -> loud failure (partial periods can't be swapped)
+    val ex = intercept[IllegalArgumentException] {
+      reg(Seq((7L, ts("2024-01-01 10:50:00"), "x")))
+        .run(microbatchWindows = Map("mbh" -> ("2024-01-01T10:30", "2024-01-01T11:30")))
+    }
+    assert(ex.getMessage.contains("whole hour periods"))
+  }
+
   test("swap crash window: backup-only state restores on next open") {
     val root = Files.createTempDirectory("graft_crash").toString
     val wh = new Warehouse(root, spark)

@@ -47,6 +47,34 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed incremental merge keeps bucket metadata across generations; zero-exchange self-join") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_bkt_inc").toString, spark)
+    try {
+      wh.writeBucketed("bkt_inc", (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        Seq("k"), nBuckets = 4)
+      wh.mergeBucketed("bkt_inc", Seq((1L, "V1"), (9001L, "new")).toDF("k", "v"),
+        Seq("k"), nBuckets = 4)
+      val out = spark.table("bkt_inc").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size === 501 && out(1L) === "V1" && out(9001L) === "new" && out(2L) === "v2")
+      // second merge cycles back to the other generation path
+      wh.mergeBucketed("bkt_inc", Seq((2L, "V2")).toDF("k", "v"), Seq("k"), nBuckets = 4)
+      val out2 = spark.table("bkt_inc").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out2(2L) === "V2")
+      // bucket layout survived the generation swaps: a key self-join plans
+      // with ZERO exchanges (the property the per-run merge join rides)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("bkt_inc")
+          .join(spark.table("bkt_inc").withColumnRenamed("v", "v2"), Seq("k"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"expected exchange-free bucketed self-join:\n$plan")
+        assert(j.count() === 501)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_inc")
+  }
+
   test("tri-state violations compiles to a single pass, not a union of scans") {
     import graft.operators.TriStateRules
     val base = Seq(
