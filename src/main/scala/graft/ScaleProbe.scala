@@ -52,6 +52,16 @@ object ScaleProbe {
       }
     }
 
+    // connected components over the minhash pair graph: the DISTRIBUTED star
+    // iteration (threshold 0 disables the small-graph short-circuit) must
+    // track pair volume, converging in O(log n) rounds
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"cc_distributed        $label") {
+        val pairs = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2, threshold = 0.5)
+        Dedup.connectedComponents(pairs, driverUnionFindMaxEdges = 0L).count()
+      }
+    }
+
     // ANN: centroid assignment must grow linearly with the corpus (the
     // codebook is broadcast; a shuffling assignment would grow superlinearly)
     val emb1 = table(spark, sfDir, "embeddings")
