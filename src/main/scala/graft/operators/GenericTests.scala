@@ -80,6 +80,25 @@ object GenericTests {
   def unitCompare(actual: DataFrame, expected: DataFrame): Boolean =
     actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty
 
+  /** dbt source freshness (dbt-adapters/macros/adapters/freshness.sql:7-18 +
+    * core threshold evaluation): collect max(loaded_at) and the snapshot
+    * time, grade the age against warn_after/error_after. `snapshottedAt` is
+    * INJECTED (the reference's current_timestamp()), never wall-clock; a
+    * NULL max (empty source) grades error, matching dbt's runtime failure.
+    */
+  def sourceFreshness(df: DataFrame, loadedAtCol: String,
+      snapshottedAt: java.sql.Timestamp, warnAfterSec: Long, errorAfterSec: Long,
+      where: Option[String] = None): DataFrame =
+    applyWhere(df, where)
+      .agg(max(col(loadedAtCol)).as("max_loaded_at"))
+      .select(col("max_loaded_at"),
+        lit(snapshottedAt).as("snapshotted_at"),
+        (lit(snapshottedAt).cast("long") - col("max_loaded_at").cast("long")).as("age_sec"))
+      .withColumn("freshness_status",
+        when(col("age_sec").isNull || col("age_sec") > errorAfterSec, lit("error"))
+          .when(col("age_sec") > warnAfterSec, lit("warn"))
+          .otherwise(lit("pass")))
+
   /** `--store-failures` (tests/test.sql:1-65 store_failures path): persist
     * the failing rows of a test run into an audit table, tagged with the run
     * timestamp and test name, appended across runs.

@@ -285,6 +285,26 @@ object LifecycleQueries extends QuerySet {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q71_source_freshness", (s, d) =>
+      // dbt source freshness over the events feed: age of max(loaded_at)
+      // vs an injected snapshot time, graded warn (12h < age < 7d)
+      graft.operators.GenericTests.sourceFreshness(
+        graft.sources.Sources.events(s, d), "ts",
+        Timestamp.valueOf("2024-02-01 00:00:00"),
+        warnAfterSec = 43200L, errorAfterSec = 604800L),
+      Some(
+        """SELECT CAST(max(ts) AS TIMESTAMP) AS max_loaded_at,
+          |       TIMESTAMP '2024-02-01 00:00:00' AS snapshotted_at,
+          |       CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+          |            - floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT) AS age_sec,
+          |       CASE WHEN max(ts) IS NULL
+          |              OR floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+          |                 - floor(epoch(CAST(max(ts) AS TIMESTAMP))) > 604800 THEN 'error'
+          |            WHEN floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+          |                 - floor(epoch(CAST(max(ts) AS TIMESTAMP))) > 43200 THEN 'warn'
+          |            ELSE 'pass' END AS freshness_status
+          |FROM events""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)
