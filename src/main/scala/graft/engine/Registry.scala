@@ -241,6 +241,12 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     */
   def runMicrobatches(modelName: String, start: String, end: String,
       grain: String, threads: Int = 1): Map[String, DataFrame] = {
+    // an unknown name would silently run the whole DAG once per window with
+    // the model's DEFAULT bounds — fail loudly instead
+    require(models.exists(m => m.name == modelName &&
+        m.mat.isInstanceOf[IncrementalMat] &&
+        m.mat.asInstanceOf[IncrementalMat].strategy.isInstanceOf[Incremental.Microbatch]),
+      s"runMicrobatches: no microbatch model named '$modelName'")
     def parse(s: String): java.time.LocalDateTime =
       scala.util.Try(java.time.LocalDateTime.parse(s))
         .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay()))

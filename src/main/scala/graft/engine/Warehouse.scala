@@ -121,8 +121,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * the same bucket and the bucket-restricted merge is globally correct.
     * Reads of the target see one extra engine column, `part_bucket`.
     */
+  /** `nullSafeKeys`: a NULL key hashes to a stable bucket either way, but
+    * without null-safe matching every batch INSERTS its NULL-key rows anew
+    * (SQL equality never matches NULL) — enable when the stream can carry
+    * NULL keys and latest-wins should apply to them too.
+    */
   def upsertPartitioned(name: String, batch: DataFrame, keys: Seq[String],
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, nullSafeKeys: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
     val partCol = "part_bucket"
     require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
@@ -137,7 +142,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
         // eager materialization breaks the lineage to the files the dynamic
         // overwrite below replaces (Spark refuses to overwrite a path its
         // own plan still reads); volume is the touched buckets only
-        Incremental.merge(target, withPart, keys).localCheckpoint(true)
+        Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
+          .localCheckpoint(true)
       }
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
