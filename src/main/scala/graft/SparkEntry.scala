@@ -11,6 +11,14 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] = Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries)
 
+  // a duplicated query name would silently shadow one implementation in the
+  // toMap below — fail at class-init instead
+  locally {
+    val names = sets.flatMap(_.all.map(_.name))
+    val dups = names.groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full COL gap-closure pipeline (int_gap_col_status analog).
     */
