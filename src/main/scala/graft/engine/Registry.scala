@@ -356,15 +356,28 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                     val periods = Period.values(
                       start.toLocalDateTime, end.toLocalDateTime, grain)
                     val pc = wh.enginePrefix + "period"
+                    val periodOf = date_format(col(eventCol), Period.pattern(grain))
                     val c = col(eventCol)
                     val inWindow = coalesce(c >= lit(start) && c < lit(end), lit(false))
-                    // partitioned slices must share one schema: align the
-                    // batch to the stored logical columns, loudly failing on
-                    // drift (reconcileSchema already ran for the other modes)
                     val slice = src.filter(inWindow)
                       .select(target.columns.map(col).toSeq: _*)
-                      .withColumn(pc, date_format(c, Period.pattern(grain)))
-                    wh.overwritePeriods(m.name, slice, pc, periods)
+                      .withColumn(pc, periodOf)
+                    if (target.schema != stored.schema) {
+                      // partitioned slices must share ONE schema: when
+                      // on_schema_change reshaped the target (added column /
+                      // retyped), persist the reshape BEFORE the slice lands
+                      // — appending drifted-schema files would make reads
+                      // take a random footer's schema and silently drop the
+                      // new column. The slice is materialized first: the
+                      // model may reference the existing target, whose file
+                      // index dies in the swap.
+                      val snap = slice.localCheckpoint(true)
+                      wh.writeSwap(m.name,
+                        target.withColumn(pc, periodOf).repartition(col(pc)),
+                        partitionBy = Seq(pc))
+                      wh.overwritePeriods(m.name, snap, pc, periods)
+                    } else
+                      wh.overwritePeriods(m.name, slice, pc, periods)
                   case _ => ()
                 }
                 if (multiScan) src.unpersist()

@@ -184,6 +184,31 @@ class RegistrySpec extends AnyFunSuite {
     assert(out === Map(1L -> "a", 9L -> "B2", 3L -> "c"))
   }
 
+  test("microbatch + AppendNewColumns reshapes the whole target before the slice lands") {
+    val root = Files.createTempDirectory("graft_mb_drift").toString
+    val wh = new Warehouse(root, spark)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def reg(df: org.apache.spark.sql.DataFrame) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", df)
+      r.register(Model("mbd", Seq("raw"),
+        IncrementalMat(Incremental.Microbatch("d", "2024-01-02", "2024-01-03"),
+          Nil, Incremental.AppendNewColumns),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, day("2024-01-01"), "a"), (2L, day("2024-01-02"), "b"))
+      .toDF("k", "d", "v")).run()
+    // run 2 source ADDS a column: every partition must carry the new schema
+    // (old rows null-backfilled), not just the replaced slice
+    reg(Seq((9L, day("2024-01-02"), "B2", 42)).toDF("k", "d", "v", "extra")).run()
+    val out = wh.read("mbd")
+    assert(out.columns.toSet === Set("k", "d", "v", "extra"))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(2), if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(rows === Map(1L -> ("a", None), 9L -> ("B2", Some(42))))
+  }
+
   test("hour-grain microbatch partitions by hour and replaces one hour per run") {
     val root = Files.createTempDirectory("graft_mb_hour").toString
     val wh = new Warehouse(root, spark)
