@@ -200,6 +200,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
     spark.sql(s"ALTER TABLE $nextName RENAME TO $table")
     putMeta(table + "__bktgen", genNext)
     deleteRec(prevPath)
+    // bucketed tables are CATALOG tables (read via spark.table, where the
+    // bucket metadata lives); a path-read cache entry would now dangle
+    invalidate(table)
   }
 
   def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }
