@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketch (HyperLogLog, Flajolet et al. 2007) built
+  * from pure column ops — the 100 TB COUNT DISTINCT path: registers are
+  * (bucket -> max rho) rows, associatively combinable at ANY granularity
+  * (partition, partition-file, day, shard) with a plain max-regroup, so a
+  * corpus-wide distinct estimate never shuffles raw values, only m rows per
+  * group.
+  *
+  * Engine-portable determinism (the property the DuckDB oracle gates):
+  * registers derive from md5 (identical everywhere); the estimator uses only
+  * exact arithmetic — 2^-rho terms are exact doubles, their sums stay exact
+  * (<= 41 mantissa bits), and the final single division is IEEE
+  * correctly-rounded — so the ESTIMATE is bit-identical on any engine, with
+  * no pow/ln in the hot path. The small-range linear-counting correction is
+  * deliberately omitted (it needs ln, which is not correctly-rounded across
+  * libms); callers below ~3m distinct values should use exact counting.
+  */
+object Sketches {
+
+  /** Register bucket: first b bits of md5 (b a multiple of 4 so the bucket
+    * aligns to hex digits). NULL values hash to NULL and must be filtered by
+    * the caller (COUNT DISTINCT ignores NULLs).
+    */
+  def hllBucket(v: Column, b: Int = 8): Column = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b: $b (multiple of 4, 4..16)")
+    conv(substring(md5(v.cast("string")), 1, b / 4), 16, 10).cast("int")
+  }
+
+  /** rho = 1 + leading zeros of the next 32 hash bits (33 when all zero). */
+  def hllRho(v: Column, b: Int = 8): Column = {
+    val bin = lpad(conv(substring(md5(v.cast("string")), b / 4 + 1, 8), 16, 2), 32, "0")
+    coalesce(nullif(instr(bin, "1"), lit(0)), lit(33)).cast("int")
+  }
+
+  /** Per-group register table: one row per (groupCols, bucket) carrying the
+    * max rho — the sketch in relational form. Registers from ANY partition
+    * of the data merge by the same groupBy+max (associative, idempotent).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], v: Column,
+      b: Int = 8): DataFrame =
+    df.filter(v.isNotNull)
+      .groupBy((groupCols.map(col) :+ hllBucket(v, b).as("hll_bucket")): _*)
+      .agg(max(hllRho(v, b)).as("hll_rho"))
+
+  /** alpha_m * m^2 for the raw HLL estimator. */
+  def alphaM2(b: Int): Double = {
+    val m = (1 << b).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m
+  }
+
+  /** Raw HLL estimate per group from a register table: alpha*m^2 / S where
+    * S = sum(2^-rho) over present registers + 1.0 per EMPTY register (rho 0).
+    * The sparse form needs no dense array — absent buckets contribute
+    * exactly 1.0 each.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+      b: Int = 8): DataFrame = {
+    val m = 1 << b
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(
+        // variable-amount shift: the DSL shiftleft only takes a literal
+        // count, the underlying SQL expression takes a column
+        sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), hll_rho) as double)")).as("__s"),
+        count(lit(1)).as("__nb"))
+      .withColumn("hll_estimate",
+        lit(alphaM2(b)) / (col("__s") + (lit(m) - col("__nb")).cast("double")))
+      .drop("__s", "__nb")
+  }
+}

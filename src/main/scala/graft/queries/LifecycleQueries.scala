@@ -305,6 +305,53 @@ object LifecycleQueries extends QuerySet {
           |            ELSE 'pass' END AS freshness_status
           |FROM events""".stripMargin)),
 
+    QueryDef("q72_hll_distinct", (s, d) => {
+      // mergeable HLL distinct-count sketch: per-priority register tables,
+      // merged into a global sketch by plain bucket-max regroup (the
+      // associative 100 TB COUNT DISTINCT path — registers move, raw values
+      // never do). countDistinct here is the exact REFERENCE the sketch is
+      // judged against, not the scale path.
+      import graft.functions.Sketches
+      val vals = table(s, d, "orders").select(
+        col("o_orderpriority").as("scope"), col("o_orderkey").cast("long").as("k"))
+      val regs = Sketches.hllRegisters(vals, Seq("scope"), col("k"))
+      val globalRegs = regs.groupBy(col("hll_bucket"))
+        .agg(max(col("hll_rho")).as("hll_rho"))
+        .withColumn("scope", lit("ALL"))
+      val est = Sketches.hllEstimate(regs, Seq("scope"))
+        .unionByName(Sketches.hllEstimate(globalRegs, Seq("scope")))
+      val exact = vals.groupBy("scope").agg(countDistinct(col("k")).as("n_exact"))
+        .unionByName(vals.agg(countDistinct(col("k")).as("n_exact"))
+          .withColumn("scope", lit("ALL")))
+      est.join(exact, "scope")
+        .select(col("scope"), col("n_exact"), col("hll_estimate"))
+    }, Some(
+      """WITH vals AS (SELECT o_orderpriority AS scope, CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |regs AS (
+        |  SELECT scope,
+        |         ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2))::INT AS hll_bucket,
+        |         max(coalesce(nullif(strpos(
+        |           lpad(bin(('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 8))::BIGINT), 32, '0'),
+        |           '1'), 0), 33)) AS hll_rho
+        |  FROM vals GROUP BY 1, 2),
+        |allregs AS (
+        |  SELECT scope, hll_bucket, hll_rho FROM regs
+        |  UNION ALL
+        |  SELECT 'ALL', hll_bucket, max(hll_rho) FROM regs GROUP BY 2),
+        |est AS (
+        |  SELECT scope,
+        |         0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |           * 256.0::DOUBLE * 256.0::DOUBLE
+        |           / (sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << hll_rho AS DOUBLE))
+        |              + CAST(256 - count(*) AS DOUBLE)) AS hll_estimate
+        |  FROM allregs GROUP BY 1),
+        |exact AS (
+        |  SELECT scope, CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM vals GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(DISTINCT k) AS BIGINT) FROM vals)
+        |SELECT e.scope, x.n_exact, e.hll_estimate
+        |FROM est e JOIN exact x ON e.scope = x.scope""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)

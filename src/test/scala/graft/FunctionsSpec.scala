@@ -76,4 +76,33 @@ class FunctionsSpec extends AnyFunSuite {
   test("generateSeries matches spark.range semantics") {
     assert(generateSeries(spark, 5).as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("listAggBy orders by the key with value tie-break; desc reverses") {
+    val df = Seq(("g", "x", 2), ("g", "y", 1), ("g", "z", 2)).toDF("g", "v", "k")
+    def agg(desc: Boolean, limit: Option[Int] = None) = df.groupBy($"g")
+      .agg(listAggBy($"v", $"k", ",", limit, desc).as("l")).collect()(0).getString(1)
+    assert(agg(desc = false) === "y,x,z") // k asc, v asc within k=2
+    assert(agg(desc = true) === "z,x,y")  // k desc, v desc within k=2
+    assert(agg(desc = true, Some(2)) === "z,x")
+  }
+
+  test("HLL sketch: estimate within 3 sigma of exact; register merge is associative") {
+    import graft.functions.Sketches
+    val n = 20000
+    val vals = spark.range(n).select((col("id") * 2654435761L % 1000003L).as("v"))
+    val regs = Sketches.hllRegisters(vals, Nil, $"v")
+    val est = Sketches.hllEstimate(regs, Nil).collect()(0).getDouble(0)
+    val exact = vals.distinct().count().toDouble
+    // sigma = 1.04/sqrt(256) ~ 6.5%
+    assert(math.abs(est - exact) / exact < 0.195, s"est=$est exact=$exact")
+    // registers from two disjoint halves merge (bucket max) to the whole
+    val h1 = Sketches.hllRegisters(vals.filter($"v" % 2 === 0), Nil, $"v")
+    val h2 = Sketches.hllRegisters(vals.filter($"v" % 2 =!= 0), Nil, $"v")
+    val merged = h1.unionByName(h2).groupBy($"hll_bucket")
+      .agg(max($"hll_rho").as("hll_rho"))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    // NULLs are ignored like COUNT DISTINCT
+    val withNulls = vals.unionByName(spark.range(5).select(lit(null).cast("long").as("v")))
+    assert(Sketches.hllRegisters(withNulls, Nil, $"v").exceptAll(regs).isEmpty)
+  }
 }
