@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join — an operator Spark lacks natively (builder
+  * brief): for each left row, attach the single LATEST right row with
+  * right.ts <= left.ts within the key. The healthcare shape: a claim joined
+  * to the enrollment/plan record in force on the service date.
+  *
+  * Composition (preference order (a) — existing ops express it exactly):
+  * both sides union into one stream tagged by side, and one window pass
+  * carries the last-seen right payload forward onto every left row. ONE
+  * shuffle on the key, sort by (ts, side) within — no per-pair range
+  * cross-join, no interval explosion; the window is a linear scan per key.
+  * At skewed-key scale the same salting/bucketing levers as any keyed
+  * window apply.
+  *
+  * Ties: a right row AT the left row's timestamp matches (<= semantics,
+  * right sorts before left at equal ts). Multiple right rows on the same
+  * (key, ts) resolve by `rightTieBreak` (last one wins) — pass a unique
+  * column for determinism.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c))
+    require(payloadCols.nonEmpty, "right side carries no payload columns")
+    val overlap = left.columns.toSet.intersect(payloadCols.toSet) - rightTs
+    require(overlap.isEmpty, s"ambiguous columns on both sides: ${overlap.mkString(",")}")
+
+    val ts = "__asof_ts"
+    val side = "__asof_side"
+    val payload = "__asof_payload"
+    val tie = "__asof_tie"
+
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
+        rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as(tie) :+
+        struct(payloadCols.map(col): _*).as(payload)): _*)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as(ts) :+ lit(1).as(side) :+
+        lit(0L).as(tie) :+
+        lit(null).cast(r.schema(payload).dataType).as(payload) :+
+        struct(left.columns.map(col): _*).as("__asof_left")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.withColumn("__asof_left",
+        lit(null).cast(l.schema("__asof_left").dataType))
+      .unionByName(l)
+      .withColumn("__asof_match", last(col(payload), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+
+    val leftCols = left.columns.map(c => col(s"__asof_left.$c").as(c))
+    val rightOut = payloadCols.map(c => col(s"__asof_match.$c").as(c))
+    carried.select(leftCols ++ rightOut: _*)
+  }
+}

@@ -352,6 +352,41 @@ object LifecycleQueries extends QuerySet {
         |SELECT e.scope, x.n_exact, e.hll_estimate
         |FROM est e JOIN exact x ON e.scope = x.scope""".stripMargin)),
 
+    QueryDef("q73_asof_join", (s, d) => {
+      // point-in-time join: each claim picks the enrollment record in force
+      // on its service date (latest eff_date <= service_date per member);
+      // DuckDB's native ASOF LEFT JOIN is the oracle
+      val cust = table(s, d, "customer")
+      def enroll(offsetDays: Int, plan: String) = cust.select(
+        col("c_custkey").cast("long").as("member_id"),
+        date_add(lit("1992-01-01").cast("date"),
+          (col("c_custkey") % 1000).cast("int") + lit(offsetDays)).as("eff_date"),
+        lit(plan).as("plan"))
+      val enrollment = enroll(0, "BASIC").unionByName(enroll(1500, "PREMIUM"))
+      val claims = table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_orderdate").cast("date").as("service_date"))
+      graft.operators.AsOfJoin.asOf(claims, enrollment,
+        Seq("member_id"), "service_date", "eff_date")
+    }, Some(
+      """WITH enroll AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS member_id,
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 AS INTEGER) AS eff_date,
+        |         'BASIC' AS plan
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT),
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 + 1500 AS INTEGER),
+        |         'PREMIUM'
+        |  FROM customer),
+        |claims AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS member_id, CAST(o_orderkey AS BIGINT) AS claim_id,
+        |         CAST(o_orderdate AS DATE) AS service_date FROM orders)
+        |SELECT c.member_id, c.claim_id, c.service_date, e.eff_date, e.plan
+        |FROM claims c ASOF LEFT JOIN enroll e
+        |  ON c.member_id = e.member_id AND c.service_date >= e.eff_date""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)

@@ -13,6 +13,35 @@ class EdgeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("asOf join: <= semantics, ties, and no-match NULLs") {
+    import graft.operators.AsOfJoin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq(
+      (1L, 10L, d("2024-01-05")),  // between eff dates -> BASIC
+      (1L, 11L, d("2024-02-01")),  // exactly ON the 2nd eff date -> PREMIUM (<=)
+      (1L, 12L, d("2024-03-01")),  // after both -> PREMIUM
+      (2L, 20L, d("2023-12-31")),  // before any enrollment -> NULLs
+      (3L, 30L, d("2024-06-01")))  // key with no right rows -> NULLs
+      .toDF("member_id", "claim_id", "service_date")
+    val right = Seq(
+      (1L, d("2024-01-01"), "BASIC"), (1L, d("2024-02-01"), "PREMIUM"),
+      (2L, d("2024-01-15"), "BASIC"))
+      .toDF("member_id", "eff_date", "plan")
+    val out = AsOfJoin.asOf(left, right, Seq("member_id"), "service_date", "eff_date")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
+    assert(out === Map(10L -> Some("BASIC"), 11L -> Some("PREMIUM"),
+      12L -> Some("PREMIUM"), 20L -> None, 30L -> None))
+    // same-(key, ts) right duplicates resolve by the tie-break column
+    val dup = Seq((1L, d("2024-01-01"), "v1", 1L), (1L, d("2024-01-01"), "v2", 2L))
+      .toDF("member_id", "eff_date", "plan", "seq")
+    val got = AsOfJoin.asOf(
+      Seq((1L, 99L, d("2024-01-02"))).toDF("member_id", "claim_id", "service_date"),
+      dup, Seq("member_id"), "service_date", "eff_date", rightTieBreak = Some("seq"))
+      .collect()(0).getString(4)
+    assert(got === "v2")
+  }
+
   test("merge with nullSafeKeys matches NULL keys (equals.sql:9-17 / <=>)") {
     val tgt = Seq((Some(1L), "a"), (None, "n")).toDF("k", "s")
     val src = Seq((Some(1L), "A"), (None, "N")).toDF("k", "s")
