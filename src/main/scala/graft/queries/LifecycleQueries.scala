@@ -387,6 +387,47 @@ object LifecycleQueries extends QuerySet {
         |FROM claims c ASOF LEFT JOIN enroll e
         |  ON c.member_id = e.member_id AND c.service_date >= e.eff_date""".stripMargin)),
 
+    QueryDef("q74_range_join", (s, d) => {
+      // bucketized point-in-interval join: claims x the coverage spans
+      // active on the service date (inclusive bounds, overlaps allowed);
+      // oracle is the plain BETWEEN join
+      val cust = table(s, d, "customer")
+      def span(offsetDays: Int, lenDays: Int, plan: String) = cust.select(
+        col("c_custkey").cast("long").as("member_id"),
+        date_add(lit("1992-01-01").cast("date"),
+          (col("c_custkey") % 1000).cast("int") + lit(offsetDays)).as("span_start"),
+        date_add(lit("1992-01-01").cast("date"),
+          (col("c_custkey") % 1000).cast("int") + lit(offsetDays + lenDays)).as("span_end"),
+        lit(plan).as("plan"))
+      val spans = span(0, 900, "BASIC").unionByName(span(600, 900, "PREMIUM"))
+      val claims = table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_orderdate").cast("date").as("service_date"))
+      graft.operators.RangeJoin.pointInInterval(claims, spans,
+        Seq("member_id"), "service_date", "span_start", "span_end",
+        bucketWidthDays = 365)
+    }, Some(
+      """WITH spans AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS member_id,
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 AS INTEGER) AS span_start,
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 + 900 AS INTEGER) AS span_end,
+        |         'BASIC' AS plan
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT),
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 + 600 AS INTEGER),
+        |         DATE '1992-01-01' + CAST(c_custkey % 1000 + 1500 AS INTEGER),
+        |         'PREMIUM'
+        |  FROM customer),
+        |claims AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS member_id, CAST(o_orderkey AS BIGINT) AS claim_id,
+        |         CAST(o_orderdate AS DATE) AS service_date FROM orders)
+        |SELECT c.member_id, c.claim_id, c.service_date, s.span_start, s.span_end, s.plan
+        |FROM claims c JOIN spans s
+        |  ON c.member_id = s.member_id
+        | AND c.service_date BETWEEN s.span_start AND s.span_end""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)

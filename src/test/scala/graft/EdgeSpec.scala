@@ -13,6 +13,29 @@ class EdgeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("range join: inclusive bounds, overlaps multiply, multi-bucket spans match once") {
+    import graft.operators.RangeJoin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val points = Seq(
+      (1L, 10L, d("2024-01-01")),  // exactly on a span start
+      (1L, 11L, d("2024-03-31")),  // exactly on a span end
+      (1L, 12L, d("2024-03-01")),  // inside BOTH overlapping spans
+      (1L, 13L, d("2025-06-01")),  // inside a span that covers many buckets
+      (2L, 20L, d("2024-02-01")))  // no span for this key
+      .toDF("member_id", "claim_id", "p")
+    val spans = Seq(
+      (1L, d("2024-01-01"), d("2024-03-31"), "A"),
+      (1L, d("2024-02-15"), d("2024-04-30"), "B"),
+      (1L, d("2025-01-01"), d("2026-12-31"), "C"))
+      .toDF("member_id", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(points, spans, Seq("member_id"),
+        "p", "s", "e", bucketWidthDays = 30)
+      .collect().groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getString(5)).sorted.toSeq).toMap
+    assert(out === Map(10L -> Seq("A"), 11L -> Seq("A", "B"),
+      12L -> Seq("A", "B"), 13L -> Seq("C")))
+  }
+
   test("asOf join: <= semantics, ties, and no-match NULLs") {
     import graft.operators.AsOfJoin
     def d(s: String) = java.sql.Date.valueOf(s)
