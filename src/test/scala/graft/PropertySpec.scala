@@ -117,6 +117,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asOf join == naive join-then-latest (random timelines)") {
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.expressions.Window
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed)
+      val points = (0 until 80).map(i =>
+        (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(1000))).toDF("k", "pid", "pts")
+      val intervals = (0 until 40).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000), s"v$i")).toDF("k", "rts", "tag")
+      val fast = AsOfJoin.asOf(points, intervals, Seq("k"), "pts", "rts",
+          rightTieBreak = None)
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getInt(3) -> r.getString(4)))).toMap
+      // naive: inner join on k && rts <= pts, latest rts per point; points
+      // with no qualifying interval re-attach with None via the left join
+      val w = Window.partitionBy("pid").orderBy(col("rts").desc, col("tag").desc)
+      val matched = points.join(intervals, Seq("k"))
+        .filter(col("rts") <= col("pts"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("pid"), col("rts"), col("tag"))
+      val naive = points.join(matched, Seq("pid"), "left")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getInt(3) -> r.getString(4)))).toMap
+      assert(fast.keySet === naive.keySet, s"row sets diverged at seed $seed")
+      // compare the matched timestamp (the tag may differ on exact (k, ts)
+      // duplicates without an explicit tie-break — that case is documented)
+      fast.foreach { case (pid, m) =>
+        assert(m.map(_._1) === naive(pid).map(_._1), s"ts diverged at seed $seed pid $pid")
+      }
+    }
+  }
+
   test("connectedComponents == driver-side union-find (random graphs)") {
     import graft.pipeline.Dedup
     (1 to 6).foreach { seed =>
