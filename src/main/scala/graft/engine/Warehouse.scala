@@ -205,6 +205,33 @@ final class Warehouse(val root: String, spark: SparkSession) {
     invalidate(table)
   }
 
+  /** Small-file compaction (the OPTIMIZE maintenance op): append-heavy
+    * targets accumulate part-files per batch; compaction rewrites the table
+    * at `rowsPerFile` granularity through the same atomic swap, preserving
+    * a partition layout if one exists (files regroup WITHIN partitions —
+    * `repartition(partCols)` keeps each partition's rows on one writer).
+    * Logical content is untouched; only the file layout changes.
+    */
+  def compact(name: String, rowsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    recover(name)
+    // partition columns come from the DIRECTORY layout (works for any
+    // partitioned table — microbatch periods, upsert buckets), never from
+    // naming conventions
+    import scala.jdk.CollectionConverters._
+    val partCols = Files.list(dir(name)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map(_.getFileName.toString.split("=", 2)(0)).toSeq.distinct
+    val raw = spark.read.parquet(dir(name).toString)
+    val out =
+      if (partCols.nonEmpty) raw.repartition(partCols.map(col): _*)
+      else {
+        val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
+        raw.repartition(n)
+      }
+    writeSwap(name, out, partitionBy = partCols)
+  }
+
   def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }
 
   /** Tiny sidecar metadata (e.g. the dynamic-table config the reference

@@ -133,6 +133,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.size === 201 && out(1L) === "V1-upd" && out(9001L) === "new" && out(2L) === "v2")
   }
 
+  test("compact collapses append debris and preserves partition layout") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_compact").toString
+    val wh = new Warehouse(root, spark)
+    def parquetFiles(name: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(root, name)
+      Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => d.relativize(p).toString).toSeq
+    }
+    // plain table: 12 appends -> many files -> one
+    wh.writeSwap("t", Seq((0L, "v")).toDF("k", "v"))
+    (1 to 12).foreach(i => wh.append("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(parquetFiles("t").size >= 13)
+    val before = wh.read("t").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    wh.compact("t")
+    assert(parquetFiles("t").size === 1)
+    assert(wh.read("t").collect().map(r => r.getLong(0) -> r.getString(1)).toMap === before)
+
+    // partitioned (streaming upsert) table: layout survives, files per bucket drop
+    val big = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+    wh.upsertPartitioned("p", big, Seq("k"), nBuckets = 4)
+    (1 to 6).foreach(i =>
+      wh.upsertPartitioned("p", Seq((i.toLong, s"u$i")).toDF("k", "v"), Seq("k"), nBuckets = 4))
+    val contentBefore = wh.read("p").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    wh.compact("p")
+    val files = parquetFiles("p")
+    assert(files.forall(_.startsWith("part_bucket=")), s"layout lost: $files")
+    assert(files.map(_.split("/")(0)).distinct.size === 4)
+    assert(files.size === 4, s"expected one file per bucket: $files")
+    assert(wh.read("p").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === contentBefore)
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
