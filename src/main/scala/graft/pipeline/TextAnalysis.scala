@@ -68,6 +68,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, " +", " ")))
 
+  /** Corpus vocabulary: per-token term frequency + document frequency.
+    * Shaped as two NARROW shuffles — (token, doc) pre-aggregation rolls up
+    * to (token) — instead of a countDistinct whose distinct-expand would
+    * re-shuffle every occurrence row (the q12 lesson at corpus scale).
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+
   /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup).
     *
     * PERFORMANCE: `toks` must be a MATERIALIZED column (an attribute), not a

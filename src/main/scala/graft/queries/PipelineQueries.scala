@@ -253,6 +253,18 @@ object PipelineQueries extends QuerySet {
           |  FROM documents) t
           |WHERE rn <= 10""".stripMargin)),
 
+    QueryDef("q75_vocabulary", (s, d) =>
+      // corpus token statistics: top-100 tokens by term frequency with doc
+      // frequency; ties at the cut broken by token so the limit is
+      // deterministic on any engine
+      TA.vocabulary(table(s, d, "documents"))
+        .orderBy(col("tf").desc, col("token").asc).limit(100),
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |per AS (SELECT token, doc_id, count(*) AS n FROM tok GROUP BY 1, 2)
+          |SELECT token, CAST(sum(n) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+          |FROM per GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin)),
+
     QueryDef("q70_frame_sampling", (s, d) => {
       // video frame-sample plumbing: stride indices derived from METADATA
       // only (payload untouched until the batched per-frame decode); the
