@@ -180,8 +180,10 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     * overrides Microbatch bounds per model name for this run — the per-batch
     * window a scheduler advances between runs. `select` restricts the run to
     * the named models PLUS their transitive ancestors (dbt `--select +m`);
-    * `exclude` drops nodes from that set (an excluded node that a selected
-    * model still needs fails fast at dependency lookup, as in dbt).
+    * `exclude` drops nodes from that set. A dependency that this run skips
+    * resolves to its relation from a PREVIOUS run of this Registry when one
+    * exists (the dbt --defer analogue) and fails fast at dependency lookup
+    * otherwise.
     */
   def run(fullRefresh: Boolean = false,
       microbatchWindows: Map[String, (String, String)] = Map.empty,
@@ -262,12 +264,18 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     var cur = parse(start)
     val fin = parse(end)
     require(cur.isBefore(fin), s"empty microbatch range [$start, $end)")
+    // validate alignment BEFORE any batch commits: a trailing partial
+    // period would only fail at materialization, mid-series, with earlier
+    // windows already written (dbt batches are whole periods)
+    require(Period.aligned(cur, grain) && Period.aligned(fin, grain),
+      s"microbatch series [$start, $end) must cover whole $grain periods")
     var out = Map.empty[String, DataFrame]
     while (cur.isBefore(fin)) {
-      val stepped = step(cur)
-      val next = if (stepped.isAfter(fin)) fin else stepped
+      val next = step(cur)
+      // only the microbatch model (+ its ancestors) re-runs per window —
+      // dbt's batch loop does not re-materialize sibling models N times
       out = run(microbatchWindows = Map(modelName -> (cur.toString, next.toString)),
-        threads = threads)
+        threads = threads, select = Seq(modelName))
       cur = next
     }
     out
@@ -352,13 +360,24 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                     // the target is neither read nor rewritten
                     import org.apache.spark.sql.functions.{coalesce, date_format}
                     val (s0, e0) = microbatchWindows.getOrElse(m.name, (defStart, defEnd))
-                    val (start, end) = (parseBound(s0), parseBound(e0))
-                    val periods = Period.values(
-                      start.toLocalDateTime, end.toLocalDateTime, grain)
+                    val (startLdt, endLdt) =
+                      (parseBound(s0).toLocalDateTime, parseBound(e0).toLocalDateTime)
+                    val periods = Period.values(startLdt, endLdt, grain)
                     val pc = wh.enginePrefix + "period"
                     val periodOf = date_format(col(eventCol), Period.pattern(grain))
+                    // bound literals go through a SESSION-TZ string cast, the
+                    // same clock date_format uses — a java.sql.Timestamp
+                    // literal would be interpreted in the JVM default zone,
+                    // and on a non-UTC host the filter and the period
+                    // enumeration would disagree about which period a row
+                    // near midnight belongs to
+                    val tsFmt = java.time.format.DateTimeFormatter
+                      .ofPattern("yyyy-MM-dd HH:mm:ss")
+                    def tsLit(t: java.time.LocalDateTime) =
+                      lit(tsFmt.format(t)).cast("timestamp")
                     val c = col(eventCol)
-                    val inWindow = coalesce(c >= lit(start) && c < lit(end), lit(false))
+                    val inWindow =
+                      coalesce(c >= tsLit(startLdt) && c < tsLit(endLdt), lit(false))
                     val slice = src.filter(inWindow)
                       .select(target.columns.map(col).toSeq: _*)
                       .withColumn(pc, periodOf)

@@ -100,8 +100,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def overwritePeriods(name: String, batch: DataFrame, partCol: String,
       periodValues: Seq[String]): Unit = {
     recover(name)
+    // materialize the batch BEFORE deleting: a lazy plan may still scan this
+    // very target (a model referencing its existing state), and evaluating
+    // it after the deletes would hit dead files — or fail mid-write having
+    // already destroyed the window's old data. Volume is the slice only.
+    val snap = batch.localCheckpoint(true)
     periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
-    batch.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(name).toString)
+    snap.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(name).toString)
     invalidate(name)
   }
 
@@ -114,14 +119,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   /** Partition-pruned upsert (the long-running-stream merge path): the
-    * target lives partitioned by a key-hash bucket column, and a batch
-    * rewrites ONLY the buckets its keys touch (dynamic partition overwrite)
-    * — per-batch I/O is O(batch's buckets), never O(target). The bucket is
-    * a pure function of the key columns, so every version of a key lands in
-    * the same bucket and the bucket-restricted merge is globally correct.
-    * Reads of the target see one extra engine column, `part_bucket`.
-    */
-  /** `nullSafeKeys`: a NULL key hashes to a stable bucket either way, but
+    * target lives partitioned by an engine-internal key-hash bucket column
+    * (`__graft_bucket`, stripped from logical reads like every engine
+    * column), and a batch rewrites ONLY the buckets its keys touch (dynamic
+    * partition overwrite) — per-batch I/O is O(batch's buckets), never
+    * O(target). The bucket is a pure function of the key columns, so every
+    * version of a key lands in the same bucket and the bucket-restricted
+    * merge is globally correct.
+    *
+    * `nullSafeKeys`: a NULL key hashes to a stable bucket either way, but
     * without null-safe matching every batch INSERTS its NULL-key rows anew
     * (SQL equality never matches NULL) — enable when the stream can carry
     * NULL keys and latest-wins should apply to them too.
@@ -129,16 +135,19 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def upsertPartitioned(name: String, batch: DataFrame, keys: Seq[String],
       nBuckets: Int = 64, nullSafeKeys: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
-    val partCol = "part_bucket"
+    val partCol = enginePrefix + "bucket"
     require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
     val withPart = batch.withColumn(partCol, pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val merged =
       if (!exists(name)) withPart
       else {
         val touched = withPart.select(partCol).distinct()
+        // raw path read: the engine bucket column must survive for the
+        // semi-join prune + merge (logical `read` strips it)
+        val raw = spark.read.parquet(dir(name).toString)
         // left-semi on the broadcast bucket list partition-prunes the scan:
         // untouched buckets are never read, let alone rewritten
-        val target = read(name).join(broadcast(touched), Seq(partCol), "left_semi")
+        val target = raw.join(broadcast(touched), Seq(partCol), "left_semi")
         // eager materialization breaks the lineage to the files the dynamic
         // overwrite below replaces (Spark refuses to overwrite a path its
         // own plan still reads); volume is the touched buckets only

@@ -29,7 +29,9 @@ object AsOfJoin {
       rightTieBreak: Option[String] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c))
     require(payloadCols.nonEmpty, "right side carries no payload columns")
-    val overlap = left.columns.toSet.intersect(payloadCols.toSet) - rightTs
+    // every payload column lands in the output, INCLUDING rightTs — any
+    // left column sharing a name would emit duplicated-name columns
+    val overlap = left.columns.toSet.intersect(payloadCols.toSet)
     require(overlap.isEmpty, s"ambiguous columns on both sides: ${overlap.mkString(",")}")
 
     val ts = "__asof_ts"
@@ -37,7 +39,9 @@ object AsOfJoin {
     val payload = "__asof_payload"
     val tie = "__asof_tie"
 
-    val r = right.select(
+    // a NULL right timestamp satisfies no `rts <= lts` predicate — it must
+    // not sort first (nulls-first asc) and get carried onto every left row
+    val r = right.filter(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
         rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as(tie) :+
         struct(payloadCols.map(col): _*).as(payload)): _*)

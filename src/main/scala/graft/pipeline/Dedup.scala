@@ -360,7 +360,10 @@ object Dedup {
     var done = edges.isEmpty
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextSig = checksum(next)
+      val nextSig = checksum(next) // materializes next's checkpoint
+      // the superseded generation's blocks are dead — without the unpersist
+      // a long-converging graph pins up to maxIter checkpointed edge sets
+      edges.unpersist()
       done = nextSig == sig
       edges = next; sig = nextSig; iter += 1
     }

@@ -99,9 +99,13 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
     require(stride > 0, s"stride: $stride")
+    // zero/negative-frame rows (corrupt containers) emit NO frames instead
+    // of killing the job: sequence(0, -1, +stride) is a runtime error
     videos.select(col("doc_id").cast("long"), col("media"),
         col("fps").cast("double"),
-        explode(sequence(lit(0), col("n_frames").cast("int") - 1, lit(stride)))
+        explode(when(col("n_frames") > 0,
+            sequence(lit(0), col("n_frames").cast("int") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
           .as("frame_idx"))
       .as[(Long, Array[Byte], Double, Int)]
       .mapPartitions { rows =>

@@ -50,7 +50,11 @@ class EdgeSpec extends AnyFunSuite {
       (1L, d("2024-01-01"), "BASIC"), (1L, d("2024-02-01"), "PREMIUM"),
       (2L, d("2024-01-15"), "BASIC"))
       .toDF("member_id", "eff_date", "plan")
-    val out = AsOfJoin.asOf(left, right, Seq("member_id"), "service_date", "eff_date")
+    // a NULL right timestamp can never satisfy rts <= lts — it must not be
+    // carried onto anything
+    val rightWithNull = right.unionByName(
+      Seq((2L, Option.empty[java.sql.Date], "GHOST")).toDF("member_id", "eff_date", "plan"))
+    val out = AsOfJoin.asOf(left, rightWithNull, Seq("member_id"), "service_date", "eff_date")
       .collect().map(r => r.getLong(1) ->
         (if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
     assert(out === Map(10L -> Some("BASIC"), 11L -> Some("PREMIUM"),

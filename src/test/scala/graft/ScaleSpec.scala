@@ -122,7 +122,7 @@ class ScaleSpec extends AnyFunSuite {
 
     val touchedBuckets = batch2
       .select(org.apache.spark.sql.functions.pmod(hash(col("k")), lit(8)).as("b"))
-      .distinct().collect().map(r => s"part_bucket=${r.getInt(0)}").toSet
+      .distinct().collect().map(r => s"__graft_bucket=${r.getInt(0)}").toSet
     val untouchedBefore = before.filterNot { case (p, _) => touchedBuckets.contains(p.split("/")(0)) }
     val untouchedAfter  = after.filterNot { case (p, _) => touchedBuckets.contains(p.split("/")(0)) }
     assert(untouchedBefore === untouchedAfter,
@@ -161,7 +161,7 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     wh.compact("p")
     val files = parquetFiles("p")
-    assert(files.forall(_.startsWith("part_bucket=")), s"layout lost: $files")
+    assert(files.forall(_.startsWith("__graft_bucket=")), s"layout lost: $files")
     assert(files.map(_.split("/")(0)).distinct.size === 4)
     assert(files.size === 4, s"expected one file per bucket: $files")
     assert(wh.read("p").select("k", "v").collect()
