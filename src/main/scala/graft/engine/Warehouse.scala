@@ -100,13 +100,22 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def overwritePeriods(name: String, batch: DataFrame, partCol: String,
       periodValues: Seq[String]): Unit = {
     recover(name)
-    // materialize the batch BEFORE deleting: a lazy plan may still scan this
-    // very target (a model referencing its existing state), and evaluating
-    // it after the deletes would hit dead files — or fail mid-write having
-    // already destroyed the window's old data. Volume is the slice only.
-    val snap = batch.localCheckpoint(true)
+    // stage the slice to a tmp dir BEFORE deleting: a lazy plan may still
+    // scan this very target (a model referencing its existing state), and
+    // evaluating it after the deletes would hit dead files — or fail
+    // mid-write having already destroyed the window's old data. The staged
+    // period dirs then take their place by rename (no second
+    // materialization); a rerun of the same window is idempotent.
+    val tmp = dir(name + "__slice_tmp")
+    deleteRec(tmp)
+    batch.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
-    snap.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(name).toString)
+    import scala.jdk.CollectionConverters._
+    Files.list(tmp).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+      .foreach(p => Files.move(p, dir(name).resolve(p.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE))
+    deleteRec(tmp)
     invalidate(name)
   }
 
