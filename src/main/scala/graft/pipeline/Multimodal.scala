@@ -76,6 +76,27 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
            sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
 
+  /** STUB for a resize ((bytes, w, h) -> bytes): deterministic proportional
+    * byte sampling standing in for a nearest-neighbor downscale; the
+    * signature is the production contract.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val n = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+    Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt))
+  }
+
+  /** Batched resize over the media table: payload replaced, metadata kept in
+    * sync — same one-codec-context-per-partition shape as extractFeatures.
+    */
+  def resizeMedia(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(media = resizeStub(r.media, targetW, targetH),
+        width = targetW, height = targetH))
+    }
+  }
+
   final case class FrameRow(doc_id: Long, frame_idx: Int, ts_sec: Double,
       feature: Array[Float])
 

@@ -253,6 +253,43 @@ object PipelineQueries extends QuerySet {
           |  FROM documents) t
           |WHERE rn <= 10""".stripMargin)),
 
+    QueryDef("q76_doc_keywords", (s, d) => {
+      // per-doc top-3 keywords by a BM25-ish rarity weight: tf_doc *
+      // (N - df + 0.5)/(df + 0.5). Deliberately log-free — every operation
+      // is exact or correctly-rounded IEEE, so the score (and the cut) is
+      // bit-identical on any engine; rank filter compiles to
+      // WindowGroupLimit
+      val docs = table(s, d, "documents")
+      val n = docs.count().toDouble
+      val vocab = TA.vocabulary(docs).select(col("token"), col("df"))
+      val perDoc = docs.select(col("doc_id").cast("long").as("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf_doc"))
+      val scored = perDoc.join(vocab, "token")
+        .withColumn("score", col("tf_doc").cast("double") *
+          ((lit(n) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("score"), col("rank").cast("int").as("rank"))
+    }, Some(
+      """WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                    unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_doc FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT p.doc_id, p.token,
+        |         CAST(p.tf_doc AS DOUBLE) *
+        |           ((n.n - CAST(v.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            / (CAST(v.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS score
+        |  FROM per p JOIN vocab v USING (token), n)
+        |SELECT doc_id, token, score, CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token ASC) AS rank FROM scored) t
+        |WHERE rank <= 3""".stripMargin)),
+
     QueryDef("q75_vocabulary", (s, d) =>
       // corpus token statistics: top-100 tokens by term frequency with doc
       // frequency; ties at the cut broken by token so the limit is

@@ -136,6 +136,21 @@ class PipelineSpec extends AnyFunSuite {
       capped2.select("id").as[Long].collect().toSet, "cap choice must be stable")
   }
 
+  test("resizeMedia: payload shrinks deterministically, metadata tracks the target size") {
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRow
+    implicit val sp = spark
+    val media = Seq(
+      MediaRow(1L, ("x" * 4096).getBytes, "utf8", 640, 480),
+      MediaRow(2L, "tiny".getBytes, "utf8", 10, 10)).toDS()
+    val out = Multimodal.resizeMedia(media, 64, 64).collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).width === 64 && out(1L).height === 64)
+    assert(out(1L).media.length === 64 * 64 / 64)
+    assert(out(2L).media.length === math.min(4, 64))
+    val again = Multimodal.resizeMedia(media, 64, 64).collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(out.forall { case (k, v) => again(k) === v.media.toSeq })
+  }
+
   test("sampleFrames: stride indices from metadata, deterministic stub features") {
     import graft.pipeline.Multimodal
     implicit val sp = spark
