@@ -233,9 +233,12 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
 
   /** The dbt microbatch batch-series loop (dbt-core batch builder +
     * dbt-snowflake merge.sql:73-101): split [start, end) into consecutive
-    * `grain`-sized windows and run the DAG once per window, advancing the
-    * named model's microbatch bounds each run. The final window is clamped
-    * to `end`. Returns the relations after the last batch.
+    * whole-`grain` windows (both bounds must be period-aligned — validated
+    * BEFORE any batch commits) and run the microbatch model (+ its
+    * ancestors) once per window. Models DOWNSTREAM of it then run ONCE
+    * against the final state, like dbt building each model a single time
+    * with the batch loop inside the microbatch materialization. Returns the
+    * relations after the downstream pass.
     *
     * Scale note: each batch's DML touches only its event-time slice; with
     * the target partitioned on event time the rewrite is partition-pruned —
@@ -278,6 +281,17 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         threads = threads, select = Seq(modelName))
       cur = next
     }
+    // downstream models see the final state exactly once (the microbatch
+    // model itself is excluded — its relation defers to the last window)
+    val downstream = {
+      val dependents = scala.collection.mutable.Set(modelName)
+      topoSorted.foreach { m =>
+        if (m.deps.exists(dependents.contains)) dependents += m.name
+      }
+      (dependents - modelName).toSeq
+    }
+    if (downstream.nonEmpty)
+      out = run(threads = threads, select = downstream, exclude = Seq(modelName))
     out
   }
 

@@ -110,8 +110,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     deleteRec(tmp)
     batch.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
-    import scala.jdk.CollectionConverters._
-    Files.list(tmp).iterator().asScala
+    listDir(tmp)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
       .foreach(p => Files.move(p, dir(name).resolve(p.getFileName.toString),
         StandardCopyOption.ATOMIC_MOVE))
@@ -154,6 +153,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
         // raw path read: the engine bucket column must survive for the
         // semi-join prune + merge (logical `read` strips it)
         val raw = spark.read.parquet(dir(name).toString)
+        require(!raw.columns.contains("part_bucket"),
+          s"'$name' uses the legacy part_bucket layout — rewrite it (read + " +
+            "upsertPartitioned into a fresh table) before upserting")
         // left-semi on the broadcast bucket list partition-prunes the scan:
         // untouched buckets are never read, let alone rewritten
         val target = raw.join(broadcast(touched), Seq(partCol), "left_semi")
@@ -225,29 +227,35 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   /** Small-file compaction (the OPTIMIZE maintenance op): append-heavy
     * targets accumulate part-files per batch; compaction rewrites the table
-    * at `rowsPerFile` granularity through the same atomic swap, preserving
-    * a partition layout if one exists (files regroup WITHIN partitions —
-    * `repartition(partCols)` keeps each partition's rows on one writer).
-    * Logical content is untouched; only the file layout changes.
+    * through the same atomic swap. Partition layouts are preserved (files
+    * regroup WITHIN partitions, one writer per partition value — for
+    * partitioned tables `rowsPerFile` does not apply); unpartitioned tables
+    * regroup to `rowsPerFile` granularity. A clusterBy sort order from the
+    * original writeSwap is NOT retained implicitly — pass `clusterBy` to
+    * re-establish it (unpartitioned tables only). Logical content is
+    * untouched.
     */
-  def compact(name: String, rowsPerFile: Long = 1000000L): Unit = {
+  def compact(name: String, rowsPerFile: Long = 1000000L,
+      clusterBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     recover(name)
     // partition columns come from the DIRECTORY layout (works for any
     // partitioned table — microbatch periods, upsert buckets), never from
     // naming conventions
-    import scala.jdk.CollectionConverters._
-    val partCols = Files.list(dir(name)).iterator().asScala
+    val partCols = listDir(dir(name))
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .map(_.getFileName.toString.split("=", 2)(0)).toSeq.distinct
+      .map(_.getFileName.toString.split("=", 2)(0)).distinct
+    require(partCols.isEmpty || clusterBy.isEmpty,
+      "clusterBy applies to unpartitioned tables only")
     val raw = spark.read.parquet(dir(name).toString)
-    val out =
-      if (partCols.nonEmpty) raw.repartition(partCols.map(col): _*)
-      else {
-        val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
-        raw.repartition(n)
-      }
-    writeSwap(name, out, partitionBy = partCols)
+    if (partCols.nonEmpty)
+      writeSwap(name, raw.repartition(partCols.map(col): _*), partitionBy = partCols)
+    else if (clusterBy.nonEmpty)
+      writeSwap(name, raw, clusterBy = clusterBy)
+    else {
+      val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
+      writeSwap(name, raw.repartition(n))
+    }
   }
 
   def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }
@@ -268,9 +276,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Directory listing with the stream CLOSED (Files.list leaks an open
+    * DirectoryStream fd otherwise — one per microbatch window in a
+    * long-lived driver).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val st = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } finally st.close()
     }
 }

@@ -39,9 +39,19 @@ object AsOfJoin {
     val payload = "__asof_payload"
     val tie = "__asof_tie"
 
+    // the tie-break must actually order: a silent cast-to-NULL (e.g. a
+    // string id) would make the duplicate winner partition-order-dependent
+    rightTieBreak.foreach { c =>
+      require(right.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"rightTieBreak '$c' must be numeric (got ${right.schema(c).dataType.simpleString})")
+    }
+    // SQL-equality key semantics: a NULL key (any component) matches nothing
+    // — window partitioning would group NULL keys together and match them;
     // a NULL right timestamp satisfies no `rts <= lts` predicate — it must
     // not sort first (nulls-first asc) and get carried onto every left row
-    val r = right.filter(col(rightTs).isNotNull).select(
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(
       (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
         rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as(tie) :+
         struct(payloadCols.map(col): _*).as(payload)): _*)

@@ -80,10 +80,14 @@ object Multimodal {
     * byte sampling standing in for a nearest-neighbor downscale; the
     * signature is the production contract.
     */
-  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val n = math.max(1, math.min(bytes.length, targetW * targetH / 64))
-    Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt))
-  }
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    // empty/corrupt payloads pass through empty instead of indexing into a
+    // zero-length array
+    if (bytes.isEmpty) bytes
+    else {
+      val n = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+      Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt))
+    }
 
   /** Batched resize over the media table: payload replaced, metadata kept in
     * sync — same one-codec-context-per-partition shape as extractFeatures.

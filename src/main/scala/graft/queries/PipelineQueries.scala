@@ -261,11 +261,14 @@ object PipelineQueries extends QuerySet {
       // WindowGroupLimit
       val docs = table(s, d, "documents")
       val n = docs.count().toDouble
-      val vocab = TA.vocabulary(docs).select(col("token"), col("df"))
+      // ONE tokenize+explode pass: df rolls up from the same (doc, token)
+      // aggregate the per-doc tf needs (vocabulary() would re-scan)
       val perDoc = docs.select(col("doc_id").cast("long").as("doc_id"),
           explode(TA.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf_doc"))
+        .localCheckpoint(false) // shared by the df roll-up and the join below
+      val vocab = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val scored = perDoc.join(vocab, "token")
         .withColumn("score", col("tf_doc").cast("double") *
           ((lit(n) - col("df").cast("double") + lit(0.5)) /

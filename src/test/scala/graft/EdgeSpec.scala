@@ -54,6 +54,9 @@ class EdgeSpec extends AnyFunSuite {
     // carried onto anything
     val rightWithNull = right.unionByName(
       Seq((2L, Option.empty[java.sql.Date], "GHOST")).toDF("member_id", "eff_date", "plan"))
+      // NULL join keys never match under SQL equality either
+      .unionByName(Seq((Option.empty[Long], d("2024-01-01"), "NOKEY"))
+        .toDF("member_id", "eff_date", "plan"))
     val out = AsOfJoin.asOf(left, rightWithNull, Seq("member_id"), "service_date", "eff_date")
       .collect().map(r => r.getLong(1) ->
         (if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap

@@ -270,11 +270,26 @@ class RegistrySpec extends AnyFunSuite {
       ctx =>
         if (ctx.isIncremental) ctx.ref("src").withColumn("tag", lit("batched"))
         else ctx.ref("src")))
+    // downstream of the microbatch model: must be rebuilt ONCE, after all
+    // windows, against the final state — and a SIBLING append model must
+    // not be touched by the loop at all
+    reg.register(Model("mb_agg", Seq("mb"), TableMat(),
+      ctx => ctx.ref("mb").groupBy(col("tag")).agg(count(lit(1)).as("n"))))
+    reg.register(Model("sibling", Seq("src"),
+      IncrementalMat(Incremental.Append, Nil), ctx => ctx.ref("src")))
     reg.run() // CTAS
     // three one-day batches replace the [01-01, 01-04) slices one at a time
     reg.runMicrobatches("mb", "2024-01-01", "2024-01-04", "day")
     val out = wh.read("mb").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out === Map(1L -> "batched", 2L -> "batched", 3L -> "batched", 4L -> "outside"))
+    val agg = wh.read("mb_agg").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg === Map("batched" -> 3L, "outside" -> 1L))
+    // the sibling saw exactly its initial CTAS; the three window runs did
+    // not append to it three more times
+    assert(wh.read("sibling").count() === 4)
+    // misaligned series bounds fail BEFORE any batch commits
+    assertThrows[IllegalArgumentException](
+      reg.runMicrobatches("mb", "2024-01-01", "2024-01-04T12:00", "day"))
   }
 
   test("dynamic table: create / no-op / continue / fail / apply (dynamic_table.sql:27-66)") {
