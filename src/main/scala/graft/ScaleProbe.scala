@@ -62,6 +62,27 @@ object ScaleProbe {
       }
     }
 
+    // streaming upsert: per-batch cost must track the BATCH, not the target
+    // — successive small batches into a large bucket-partitioned target
+    {
+      val wh = new graft.engine.Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_probe_upsert").toString, spark)
+      val events = graft.sources.Sources.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      time("upsert_initial        1x") {
+        wh.upsertPartitioned("stream_tgt", events, Seq("event_id"), nBuckets = 64)
+        wh.read("stream_tgt").count()
+      }
+      (1 to 3).foreach { i =>
+        time(s"upsert_batch          #$i") {
+          val batch = events.filter(col("event_id") % 1000 === i)
+            .withColumn("value", col("value") * 2)
+          wh.upsertPartitioned("stream_tgt", batch, Seq("event_id"), nBuckets = 64)
+          batch.count()
+        }
+      }
+    }
+
     // ANN: centroid assignment must grow linearly with the corpus (the
     // codebook is broadcast; a shuffling assignment would grow superlinearly)
     val emb1 = table(spark, sfDir, "embeddings")
