@@ -149,16 +149,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val merged =
       if (!exists(name)) withPart
       else {
-        val touched = withPart.select(partCol).distinct()
+        // STATIC partition pruning: the touched bucket ids (at most nBuckets
+        // values) collect in one tiny job and become an isin partition
+        // filter the scan provably honors — a broadcast semi-join looks
+        // equivalent but Spark's dynamic partition pruning declines it
+        // without stats, silently re-reading the whole target every batch
+        val touchedVals = withPart.select(partCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
         // raw path read: the engine bucket column must survive for the
-        // semi-join prune + merge (logical `read` strips it)
+        // prune + merge (logical `read` strips it)
         val raw = spark.read.parquet(dir(name).toString)
         require(!raw.columns.contains("part_bucket"),
           s"'$name' uses the legacy part_bucket layout — rewrite it (read + " +
             "upsertPartitioned into a fresh table) before upserting")
-        // left-semi on the broadcast bucket list partition-prunes the scan:
-        // untouched buckets are never read, let alone rewritten
-        val target = raw.join(broadcast(touched), Seq(partCol), "left_semi")
+        val target = raw.filter(col(partCol).isin(touchedVals: _*))
         // eager materialization breaks the lineage to the files the dynamic
         // overwrite below replaces (Spark refuses to overwrite a path its
         // own plan still reads); volume is the touched buckets only
