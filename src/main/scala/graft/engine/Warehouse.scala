@@ -162,12 +162,19 @@ final class Warehouse(val root: String, spark: SparkSession) {
         require(!raw.columns.contains("part_bucket"),
           s"'$name' uses the legacy part_bucket layout — rewrite it (read + " +
             "upsertPartitioned into a fresh table) before upserting")
+        // lazy checkpoint: merge's three branches (updated/untouched/
+        // inserted) would otherwise scan the touched buckets three times;
+        // volume is bucket-bounded so caching is safe (unlike a full-table
+        // merge, where re-scanning parquet beats caching)
         val target = raw.filter(col(partCol).isin(touchedVals: _*))
+          .localCheckpoint(false)
         // eager materialization breaks the lineage to the files the dynamic
         // overwrite below replaces (Spark refuses to overwrite a path its
         // own plan still reads); volume is the touched buckets only
-        Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
+        val m = Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
           .localCheckpoint(true)
+        target.unpersist()
+        m
       }
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
