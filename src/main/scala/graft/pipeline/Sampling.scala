@@ -28,6 +28,22 @@ object Sampling {
     df.filter(hashBucket(idCol, salt) < math.round(fraction * 1000000L))
   }
 
+  /** Mixture sampling ("40% web, 90% books, 5% logs"): per-group keep
+    * fractions over one deterministic hash — the data-mixing knob of a
+    * training pipeline, reproducible like [[hashSample]]. Groups absent
+    * from `weights` default to `defaultFraction` (0 = drop). Still a pure
+    * filter: no shuffle, pushes to the scan.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, weights: Map[String, Double],
+      idCol: Column, defaultFraction: Double = 0.0, salt: String = ""): DataFrame = {
+    (weights.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction: $f"))
+    val cut = weights.foldLeft(lit(math.round(defaultFraction * 1000000L))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(math.round(f * 1000000L))).otherwise(acc)
+    }
+    df.filter(hashBucket(idCol, salt) < cut)
+  }
+
   /** Per-group quota ("cap each domain/source at n docs"): keep the n rows
     * with the smallest (hash, id) per group — a uniform within-group choice
     * that is stable under reruns and data reordering.

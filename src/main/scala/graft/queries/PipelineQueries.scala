@@ -293,6 +293,21 @@ object PipelineQueries extends QuerySet {
         |        ORDER BY score DESC, token ASC) AS rank FROM scored) t
         |WHERE rank <= 3""".stripMargin)),
 
+    QueryDef("q77_mixture_sample", (s, d) =>
+      // weighted data mixing: different keep-rates per source over ONE
+      // deterministic hash; unknown sources fall to the default rate
+      graft.pipeline.Sampling.mixtureSample(
+        table(s, d, "documents"), "source",
+        Map("src1" -> 0.8, "src2" -> 0.3), col("doc_id"),
+        defaultFraction = 0.05, salt = "mix2")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'mix2'), 1, 8))::BIGINT
+          |      % 1000000
+          |      < CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 300000
+          |                    ELSE 50000 END""".stripMargin)),
+
     QueryDef("q75_vocabulary", (s, d) =>
       // corpus token statistics: top-100 tokens by term frequency with doc
       // frequency; ties at the cut broken by token so the limit is
