@@ -74,11 +74,16 @@ object ScaleProbe {
         wh.read("stream_tgt").count()
       }
       (1 to 3).foreach { i =>
+        // ~5 distinct keys per batch -> ~5 of 64 buckets touched; a batch
+        // with ~100 keys would touch ~80% of buckets and the probe could
+        // not distinguish pruned from full-target I/O. The count stays
+        // OUTSIDE the timed block: upsertPartitioned is its own action.
+        val batch = events.filter(col("event_id") % 20000 === i)
+          .withColumn("value", col("value") * 2)
+        val nRows = batch.count()
         time(s"upsert_batch          #$i") {
-          val batch = events.filter(col("event_id") % 1000 === i)
-            .withColumn("value", col("value") * 2)
           wh.upsertPartitioned("stream_tgt", batch, Seq("event_id"), nBuckets = 64)
-          batch.count()
+          nRows
         }
       }
     }

@@ -409,6 +409,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                         target.withColumn(pc, periodOf).repartition(col(pc)),
                         partitionBy = Seq(pc))
                       wh.overwritePeriods(m.name, snap, pc, periods)
+                      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(snap)
                     } else
                       wh.overwritePeriods(m.name, slice, pc, periods)
                   case _ => ()

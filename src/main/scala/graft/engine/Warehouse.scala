@@ -140,9 +140,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * (SQL equality never matches NULL) — enable when the stream can carry
     * NULL keys and latest-wins should apply to them too.
     */
+  /** The pruned target read the upsert merge runs on — the raw path read
+    * keeps the engine bucket column (logical `read` strips it) and the isin
+    * filter reaches the scan as a static partition filter. private[graft]
+    * so the spec asserts the PRODUCTION read path's plan, not a replica.
+    */
+  private[graft] def touchedBucketScan(name: String, partCol: String,
+      touchedVals: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(dir(name).toString)
+    require(!raw.columns.contains("part_bucket"),
+      s"'$name' uses the legacy part_bucket layout — rewrite it (read + " +
+        "upsertPartitioned into a fresh table) before upserting")
+    raw.filter(col(partCol).isin(touchedVals: _*))
+  }
+
   def upsertPartitioned(name: String, batch: DataFrame, keys: Seq[String],
       nBuckets: Int = 64, nullSafeKeys: Boolean = false): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val partCol = enginePrefix + "bucket"
     require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
     val withPart = batch.withColumn(partCol, pmod(hash(keys.map(col): _*), lit(nBuckets)))
@@ -156,30 +171,28 @@ final class Warehouse(val root: String, spark: SparkSession) {
         // without stats, silently re-reading the whole target every batch
         val touchedVals = withPart.select(partCol).distinct()
           .collect().map(_.getInt(0)).toSeq
-        // raw path read: the engine bucket column must survive for the
-        // prune + merge (logical `read` strips it)
-        val raw = spark.read.parquet(dir(name).toString)
-        require(!raw.columns.contains("part_bucket"),
-          s"'$name' uses the legacy part_bucket layout — rewrite it (read + " +
-            "upsertPartitioned into a fresh table) before upserting")
         // lazy checkpoint: merge's three branches (updated/untouched/
         // inserted) would otherwise scan the touched buckets three times;
         // volume is bucket-bounded so caching is safe (unlike a full-table
         // merge, where re-scanning parquet beats caching)
-        val target = raw.filter(col(partCol).isin(touchedVals: _*))
+        val target = touchedBucketScan(name, partCol, touchedVals)
           .localCheckpoint(false)
         // eager materialization breaks the lineage to the files the dynamic
         // overwrite below replaces (Spark refuses to overwrite a path its
         // own plan still reads); volume is the touched buckets only
         val m = Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
           .localCheckpoint(true)
-        target.unpersist()
+        // Dataset.unpersist is a NO-OP for checkpoint storage (CacheManager
+        // never saw it) — free the RDD blocks directly, or a long-running
+        // stream accumulates dead touched-bucket copies every batch
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
         m
       }
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(dir(name).toString)
+    org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(merged)
     invalidate(name)
   }
 

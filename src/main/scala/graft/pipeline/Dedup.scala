@@ -361,9 +361,10 @@ object Dedup {
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = checksum(next) // materializes next's checkpoint
-      // the superseded generation's blocks are dead — without the unpersist
-      // a long-converging graph pins up to maxIter checkpointed edge sets
-      edges.unpersist()
+      // the superseded generation's blocks are dead — free the checkpoint
+      // RDD directly (Dataset.unpersist is a no-op for checkpoint storage),
+      // else a long-converging graph pins up to maxIter edge-set copies
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(edges)
       done = nextSig == sig
       edges = next; sig = nextSig; iter += 1
     }

@@ -14,9 +14,14 @@ object Sampling {
 
   /** Uniform hash bucket in [0, 1e6): first 8 md5 hex digits of
     * "id|salt" mod 1e6 — engine-portable exact integer arithmetic.
+    * NULL-PROPAGATING (concat, not concat_ws): a NULL id yields a NULL
+    * bucket, so every sample filter DROPS NULL-id rows on any engine —
+    * concat_ws would silently hash just the salt and admit them under one
+    * engine but not a SQL `||` oracle. Quota ordering (capPerGroup)
+    * requires non-null ids for the same reason.
     */
   def hashBucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat_ws("|", id.cast("string"), lit(salt))), 1, 8), 16, 10)
+    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 8), 16, 10)
       .cast("long") % 1000000L
 
   /** Keep ~fraction of rows, chosen by id hash. Stateless, no shuffle, no

@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the storage behind a localCheckpoint'd Dataset NOW. `Dataset
+    * .unpersist` only clears CacheManager entries (persist/cache);
+    * localCheckpoint persists the underlying RDD directly, so its blocks
+    * otherwise live until ContextCleaner notices the RDD is unreachable
+    * after a JVM GC — unbounded dead storage in iterative algorithms and
+    * long-running per-batch loops.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -132,12 +132,12 @@ class ScaleSpec extends AnyFunSuite {
     val out = wh.read("t").select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.size === 201 && out(1L) === "V1-upd" && out(9001L) === "new" && out(2L) === "v2")
 
-    // READ side of the upsert: the touched-bucket restriction must reach
-    // the scan as a STATIC partition filter — inputFiles proves untouched
-    // buckets are never read either (a broadcast semi-join looks right but
-    // DPP declines it without stats and re-reads the whole target)
-    val restricted = spark.read.parquet(s"$root/t")
-      .filter(col("__graft_bucket").isin(1, 3))
+    // READ side of the upsert: the PRODUCTION pruned-read path
+    // (touchedBucketScan, the exact scan upsertPartitioned merges over)
+    // must reach the scan as a STATIC partition filter — a broadcast
+    // semi-join looks right but DPP declines it without stats and re-reads
+    // the whole target
+    val restricted = wh.touchedBucketScan("t", "__graft_bucket", Seq(1, 3))
     val planStr = restricted.queryExecution.executedPlan.toString
     val partFilters = "PartitionFilters: \\[[^\\]]*".r
       .findFirstIn(planStr).getOrElse("")
