@@ -145,6 +145,18 @@ class ScaleSpec extends AnyFunSuite {
       s"expected a static IN partition filter on the scan, got: $partFilters")
   }
 
+  test("freeLocalCheckpoint actually releases checkpoint blocks (unpersist does not)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    val base = persistedRdds
+    val cp = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").localCheckpoint(true)
+    assert(persistedRdds === base + 1, "checkpoint should register a persistent RDD")
+    cp.unpersist() // the trap: clears nothing for checkpoint storage
+    assert(persistedRdds === base + 1, "Dataset.unpersist must be a no-op here")
+    GraftSqlBridge.freeLocalCheckpoint(cp)
+    assert(persistedRdds === base, "freeLocalCheckpoint must release the RDD")
+  }
+
   test("compact collapses append debris and preserves partition layout") {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("graft_compact").toString
