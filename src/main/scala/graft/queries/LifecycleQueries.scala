@@ -428,6 +428,41 @@ object LifecycleQueries extends QuerySet {
         |  ON c.member_id = s.member_id
         | AND c.service_date BETWEEN s.span_start AND s.span_end""".stripMargin)),
 
+    QueryDef("q78_pivot", (s, d) =>
+      // dbt_utils.pivot analogue (the reference pins dbt_utils in
+      // packages.yml): status categories become columns via conditional
+      // aggregation — the EXPLICIT value list keeps the output schema
+      // static, as dbt's compile-time pivot requires
+      table(s, d, "orders")
+        .groupBy(year(col("o_orderdate").cast("date")).cast("int").as("claim_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("claim_year"), col("F").as("n_final"),
+          col("O").as("n_open"), col("P").as("n_pending")),
+      Some(
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS claim_year,
+          |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_final,
+          |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+          |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending
+          |FROM orders GROUP BY 1""".stripMargin)),
+
+    QueryDef("q79_unpivot", (s, d) =>
+      // dbt_utils.unpivot analogue: wide per-part metrics melt into
+      // (metric, value) rows — Spark's native unpivot, UNION ALL oracle
+      table(s, d, "part")
+        .select(col("p_partkey").cast("long").as("part_id"),
+          col("p_size").cast("long").as("size_units"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .unpivot(Array(col("part_id")),
+          Array(col("size_units"), col("name_len")),
+          "metric", "value"),
+      Some(
+        """SELECT CAST(p_partkey AS BIGINT) AS part_id, 'size_units' AS metric,
+          |       CAST(p_size AS BIGINT) AS value FROM part
+          |UNION ALL
+          |SELECT CAST(p_partkey AS BIGINT), 'name_len',
+          |       CAST(length(p_name) AS BIGINT) FROM part""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)
