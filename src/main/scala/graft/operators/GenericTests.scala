@@ -80,6 +80,29 @@ object GenericTests {
   def unitCompare(actual: DataFrame, expected: DataFrame): Boolean =
     actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty
 
+  /** dbt_utils.union_relations (the reference pins dbt_utils in
+    * packages.yml): align relations BY NAME into the column superset,
+    * null-backfilling what each side lacks, tagged with its source relation.
+    */
+  def unionRelations(relations: Seq[(String, DataFrame)],
+      sourceCol: String = "_dbt_source_relation"): DataFrame =
+    relations.map { case (name, df) =>
+      df.withColumn(sourceCol, lit(name))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** dbt_utils.deduplicate: keep the LATEST row per key by an order column
+    * (ties broken by the tie column for determinism). The rank filter
+    * compiles to WindowGroupLimit — map-side pruned before the shuffle.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Column,
+      tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.desc, tieBreak.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** dbt source freshness (dbt-adapters/macros/adapters/freshness.sql:7-18 +
     * core threshold evaluation): collect max(loaded_at) and the snapshot
     * time, grade the age against warn_after/error_after. `snapshottedAt` is

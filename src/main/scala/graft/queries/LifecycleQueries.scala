@@ -463,6 +463,53 @@ object LifecycleQueries extends QuerySet {
           |SELECT CAST(p_partkey AS BIGINT), 'name_len',
           |       CAST(length(p_name) AS BIGINT) FROM part""".stripMargin)),
 
+    QueryDef("q80_union_relations", (s, d) => {
+      // dbt_utils.union_relations: two differently-shaped claim extracts
+      // align by name into the column superset, each row tagged with its
+      // source; missing columns null-backfill
+      val legacy = table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderdate").cast("date").as("service_date"))
+      val modern = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date"))
+        .select(col("o_orderkey").cast("long").as("claim_id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderdate").cast("date").as("service_date"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+      graft.operators.GenericTests.unionRelations(
+        Seq("claims_legacy" -> legacy, "claims_modern" -> modern))
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(o_orderdate AS DATE) AS service_date,
+        |       'claims_legacy' AS _dbt_source_relation,
+        |       CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+        |       CAST(o_orderdate AS DATE), 'claims_modern', o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderdate >= DATE '1995-01-01'""".stripMargin)),
+
+    QueryDef("q81_dedup_latest", (s, d) =>
+      // dbt_utils.deduplicate: one row per member — the LATEST claim by
+      // service date, claim id as the deterministic tie-break
+      graft.operators.GenericTests.latestPerKey(
+        table(s, d, "orders").select(
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_orderkey").cast("long").as("claim_id"),
+          col("o_orderdate").cast("date").as("service_date"),
+          col("o_orderstatus").as("status")),
+        Seq("member_id"), col("service_date"), col("claim_id")),
+      Some(
+        """SELECT member_id, claim_id, service_date, status FROM (
+          |  SELECT CAST(o_custkey AS BIGINT) AS member_id, CAST(o_orderkey AS BIGINT) AS claim_id,
+          |         CAST(o_orderdate AS DATE) AS service_date, o_orderstatus AS status,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |  FROM orders) t WHERE rn = 1""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)
