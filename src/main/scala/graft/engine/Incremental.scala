@@ -60,17 +60,17 @@ object Incremental {
       // J9 (dbt-adapters/macros/utils/equals.sql:9-17): `(a = b) or (a is
       // null and b is null)` == Spark's <=>. NULL keys then match each other
       // instead of always inserting.
-      val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")): _*)
+      val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
       val cond = keys.map(k => col(k) <=> col(s"__src_$k")).reduce(_ && _)
       val updated = target.join(src, cond, "inner")
         .select(target.columns.map { c =>
           if (keys.contains(c) || excludeCols.contains(c) ||
               updateCols.exists(u => !u.contains(c))) target(c)
           else col(s"__src_$c").as(c)
-        }: _*)
+        }.toSeq: _*)
       val untouched = target.join(source.select(keys.map(col): _*).distinct(),
         keys.map(k => target(k) <=> source(k)).reduce(_ && _), "left_anti")
-      val inserted = source.select(target.columns.map(col): _*)
+      val inserted = source.select(target.columns.map(col).toSeq: _*)
         .join(target.select(keys.map(col): _*).distinct(),
           keys.map(k => source(k) <=> target(k)).reduce(_ && _), "left_anti")
       return untouched.unionByName(updated).unionByName(inserted)
@@ -83,22 +83,22 @@ object Incremental {
           keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _), "inner")
         joined.select(target.columns.map { c =>
           if (cols.contains(c)) col(s"__src_$c").as(c) else target(c)
-        }: _*)
+        }.toSeq: _*)
       case (None, excl) =>
         // all source columns win (minus exclusions, which keep target values)
         if (excl.isEmpty)
-          source.select(target.columns.map(col): _*)
+          source.select(target.columns.map(col).toSeq: _*)
             .join(target.select(keys.map(col): _*), keys, "left_semi")
         else {
-          val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")): _*)
+          val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
           target.join(src, keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _), "inner")
             .select(target.columns.map { c =>
               if (excl.contains(c) || keys.contains(c)) target(c) else col(s"__src_$c").as(c)
-            }: _*)
+            }.toSeq: _*)
         }
     }
     val untouched = target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val inserted  = source.select(target.columns.map(col): _*)
+    val inserted  = source.select(target.columns.map(col).toSeq: _*)
       .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
     untouched.unionByName(updated).unionByName(inserted)
   }
@@ -108,7 +108,7 @@ object Incremental {
     * only, zero target rewrite); this combinator is the logical equivalent.
     */
   def append(target: DataFrame, source: DataFrame): DataFrame =
-    target.unionByName(source.select(target.columns.map(col): _*))
+    target.unionByName(source.select(target.columns.map(col).toSeq: _*))
 
   /** delete+insert (I3): drop ALL target rows whose key appears in source
     * (plus optional extra predicates), then insert the full source batch.
@@ -125,7 +125,7 @@ object Incremental {
     val inScope    = target.filter(deletePred)
     keptByPred
       .unionByName(inScope.join(doomedKeys, keys, "left_anti"))
-      .unionByName(source.select(target.columns.map(col): _*))
+      .unionByName(source.select(target.columns.map(col).toSeq: _*))
   }
 
   /** insert_overwrite (I4): Snowflake semantics — full truncate + insert,
@@ -147,7 +147,7 @@ object Incremental {
     val c = col(eventTimeCol)
     val inWindow = coalesce(c >= start && c < end, lit(false))
     target.filter(!inWindow)
-      .unionByName(batch.filter(inWindow).select(target.columns.map(col): _*))
+      .unionByName(batch.filter(inWindow).select(target.columns.map(col).toSeq: _*))
   }
 
   /** on_schema_change (I7, on_schema_change.sql:2-143). Returns the
@@ -192,7 +192,7 @@ object Incremental {
           df.withColumn(f.name, lit(null).cast(f.dataType)))
         val retypedDf = retyped.foldLeft(widened)((df, f) =>
           df.withColumn(f.name, col(f.name).cast(f.dataType)))
-        retypedDf.select(source.columns.map(col): _*)
+        retypedDf.select(source.columns.map(col).toSeq: _*)
     }
   }
 }

@@ -100,7 +100,7 @@ object Snapshot {
     val closed = histAll.filter(col("dbt_valid_to").isNotNull)
 
     val srcPref  = "s_"
-    val src = source1.select(source1.columns.map(c => col(c).as(srcPref + c)): _*)
+    val src = source1.select(source1.columns.map(c => col(c).as(srcPref + c)).toSeq: _*)
     val joinCond = keys.map(k => col(k) === col(srcPref + k)).reduce(_ && _)
     val snapC: String => Column = c => col(c)
     val srcC:  String => Column = c => col(srcPref + c)

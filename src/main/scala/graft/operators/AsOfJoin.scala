@@ -54,12 +54,12 @@ object AsOfJoin {
       .select(
       (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
         rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as(tie) :+
-        struct(payloadCols.map(col): _*).as(payload)): _*)
+        struct(payloadCols.map(col).toSeq: _*).as(payload)): _*)
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as(ts) :+ lit(1).as(side) :+
         lit(0L).as(tie) :+
         lit(null).cast(r.schema(payload).dataType).as(payload) :+
-        struct(left.columns.map(col): _*).as("__asof_left")): _*)
+        struct(left.columns.map(col).toSeq: _*).as("__asof_left")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
@@ -72,6 +72,6 @@ object AsOfJoin {
 
     val leftCols = left.columns.map(c => col(s"__asof_left.$c").as(c))
     val rightOut = payloadCols.map(c => col(s"__asof_match.$c").as(c))
-    carried.select(leftCols ++ rightOut: _*)
+    carried.select((leftCols ++ rightOut).toSeq: _*)
   }
 }

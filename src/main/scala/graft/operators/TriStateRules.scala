@@ -85,7 +85,7 @@ object GapExceptions {
     v.select(
       surrogateKey(col("member_id"), col("source_measure_id"),
         col("measurement_year"), col("gap_flag"), col("rule_id"),
-        col("violation_reason")).as("exception_key") +: v.columns.map(col): _*)
+        col("violation_reason")).as("exception_key") +: v.columns.map(col).toSeq: _*)
 
   /** Incremental dedup (fct_gap_exceptions.sql:32-33): `NOT IN (subquery)`
     * over a never-null md5 key == left_anti (NULL caveat documented in
