@@ -91,6 +91,24 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming distinct-count sketch: HLL registers as a WINDOWED streaming
+    * aggregate — the register table (bucket -> max rho) is exactly the
+    * mergeable state a stream can maintain incrementally; the estimate is a
+    * cheap batch roll-up over the materialized registers
+    * ([[graft.functions.Sketches.hllEstimate]]). COUNT(DISTINCT) itself is
+    * not incrementally maintainable at bounded state; the sketch is.
+    */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame = {
+    import graft.functions.Sketches
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"),
+        Sketches.hllBucket(col("user_id")).as("hll_bucket"))
+      .agg(max(Sketches.hllRho(col("user_id"))).as("hll_rho"))
+      .select(col("window.start").as("hour_start"), col("hll_bucket"), col("hll_rho"))
+  }
+
   /** Streaming exact dedup (the training-pipeline "drop repeated documents"
     * op on a live feed): first occurrence of each key wins; duplicates
     * arriving within the watermark horizon are dropped and state older than

@@ -47,6 +47,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).duration_us === 5 * min)
   }
 
+  test("streaming HLL registers == batch registers (sf0.001 events)") {
+    import graft.functions.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.hourlyDistinctUsers(EventsStream.readEvents(spark, dir)), "hll_stream_test")
+    val batchEvents = graft.sources.Sources.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val batch = Sketches.hllRegisters(batchEvents, Seq("hour_start"), col("user_id"))
+    // the register tables must agree EXACTLY — the sketch state a stream
+    // maintains is the same mergeable relation the batch path derives
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // sf0.001 has ~15 users — far below the raw estimator's validity range
+    // (Sketches doc: use exact counting under ~3m), so assert DETERMINISM,
+    // not accuracy: the streamed-register estimate must equal the
+    // batch-register estimate bit-for-bit
+    def estimate(regs: org.apache.spark.sql.DataFrame): Double = Sketches.hllEstimate(
+      regs.groupBy("hll_bucket").agg(max("hll_rho").as("hll_rho")), Nil)
+      .collect()(0).getDouble(0)
+    assert(estimate(streamed) === estimate(batch))
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
