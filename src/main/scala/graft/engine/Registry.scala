@@ -288,7 +288,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       topoSorted.foreach { m =>
         if (m.deps.exists(dependents.contains)) dependents += m.name
       }
-      dependents.toSet.diff(Set(modelName)).toSeq
+      dependents.diff(Set(modelName)).toSeq
     }
     if (downstream.nonEmpty)
       out = run(threads = threads, select = downstream, exclude = Seq(modelName))

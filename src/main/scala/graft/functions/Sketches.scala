@@ -42,8 +42,17 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], v: Column,
       b: Int = 8): DataFrame =
+    hllRegistersBy(df, groupCols.map(col), v, b)
+
+  /** Column-keyed form — the ONE register derivation batch and streaming
+    * share (a streaming caller groups by `window(...)`, which has no string
+    * name); a second copy of the null filter / bucket / max-rho recipe would
+    * silently drift.
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[Column], v: Column,
+      b: Int = 8): DataFrame =
     df.filter(v.isNotNull)
-      .groupBy((groupCols.map(col) :+ hllBucket(v, b).as("hll_bucket")): _*)
+      .groupBy((groupCols :+ hllBucket(v, b).as("hll_bucket")): _*)
       .agg(max(hllRho(v, b)).as("hll_rho"))
 
   /** alpha_m * m^2 for the raw HLL estimator. */

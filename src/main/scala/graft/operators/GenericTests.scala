@@ -85,10 +85,12 @@ object GenericTests {
     * null-backfilling what each side lacks, tagged with its source relation.
     */
   def unionRelations(relations: Seq[(String, DataFrame)],
-      sourceCol: String = "_dbt_source_relation"): DataFrame =
+      sourceCol: String = "_dbt_source_relation"): DataFrame = {
+    require(relations.nonEmpty, "union_relations: no relations given")
     relations.map { case (name, df) =>
       df.withColumn(sourceCol, lit(name))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** dbt_utils.deduplicate: keep the LATEST row per key by an order column
     * (ties broken by the tie column for determinism). The rank filter
@@ -96,6 +98,8 @@ object GenericTests {
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Column,
       tieBreak: Column): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "latestPerKey: input already carries the internal column __rn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(orderBy.desc, tieBreak.desc)

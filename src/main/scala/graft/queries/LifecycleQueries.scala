@@ -437,8 +437,13 @@ object LifecycleQueries extends QuerySet {
         .groupBy(year(col("o_orderdate").cast("date")).cast("int").as("claim_year"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
-        .select(col("claim_year"), col("F").as("n_final"),
-          col("O").as("n_open"), col("P").as("n_pending")),
+        // empty cells surface as NULL from Spark's pivot but 0 from the
+        // oracle's count FILTER — normalize (latent on uniform test data,
+        // live on any year missing a status)
+        .select(col("claim_year"),
+          coalesce(col("F"), lit(0L)).as("n_final"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("P"), lit(0L)).as("n_pending")),
       Some(
         """SELECT CAST(year(o_orderdate) AS INTEGER) AS claim_year,
           |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_final,

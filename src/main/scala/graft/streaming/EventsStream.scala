@@ -98,16 +98,11 @@ object EventsStream {
     * ([[graft.functions.Sketches.hllEstimate]]). COUNT(DISTINCT) itself is
     * not incrementally maintainable at bounded state; the sketch is.
     */
-  def hourlyDistinctUsers(events: DataFrame): DataFrame = {
-    import graft.functions.Sketches
-    events
-      .withWatermark("ts", "2 hours")
-      .filter(col("user_id").isNotNull)
-      .groupBy(window(col("ts"), "1 hour"),
-        Sketches.hllBucket(col("user_id")).as("hll_bucket"))
-      .agg(max(Sketches.hllRho(col("user_id"))).as("hll_rho"))
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    graft.functions.Sketches.hllRegistersBy(
+      events.withWatermark("ts", "2 hours"),
+      Seq(window(col("ts"), "1 hour")), col("user_id"))
       .select(col("window.start").as("hour_start"), col("hll_bucket"), col("hll_rho"))
-  }
 
   /** Streaming exact dedup (the training-pipeline "drop repeated documents"
     * op on a live feed): first occurrence of each key wins; duplicates

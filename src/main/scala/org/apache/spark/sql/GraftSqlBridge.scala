@@ -25,4 +25,13 @@ object GraftSqlBridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** The ids of the checkpoint RDDs backing `df` (for tests that need to
+    * assert against sparkContext.getPersistentRDDs without racing the
+    * ContextCleaner on the global count).
+    */
+  def localCheckpointRddIds(df: Dataset[_]): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
 }

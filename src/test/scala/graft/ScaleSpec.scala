@@ -147,14 +147,17 @@ class ScaleSpec extends AnyFunSuite {
 
   test("freeLocalCheckpoint actually releases checkpoint blocks (unpersist does not)") {
     import org.apache.spark.sql.GraftSqlBridge
-    def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
-    val base = persistedRdds
+    // assert on the SPECIFIC checkpoint RDD id — global persistent-RDD
+    // counts race the asynchronous ContextCleaner
+    def registered(ids: Seq[Int]): Boolean =
+      ids.exists(spark.sparkContext.getPersistentRDDs.contains)
     val cp = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").localCheckpoint(true)
-    assert(persistedRdds === base + 1, "checkpoint should register a persistent RDD")
+    val ids = GraftSqlBridge.localCheckpointRddIds(cp)
+    assert(ids.nonEmpty && registered(ids), "checkpoint should register a persistent RDD")
     cp.unpersist() // the trap: clears nothing for checkpoint storage
-    assert(persistedRdds === base + 1, "Dataset.unpersist must be a no-op here")
+    assert(registered(ids), "Dataset.unpersist must be a no-op here")
     GraftSqlBridge.freeLocalCheckpoint(cp)
-    assert(persistedRdds === base, "freeLocalCheckpoint must release the RDD")
+    assert(!registered(ids), "freeLocalCheckpoint must release the RDD")
   }
 
   test("compact collapses append debris and preserves partition layout") {
