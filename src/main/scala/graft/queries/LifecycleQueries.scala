@@ -515,6 +515,64 @@ object LifecycleQueries extends QuerySet {
           |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
           |  FROM orders) t WHERE rn = 1""".stripMargin)),
 
+    QueryDef("q82_delete_insert_scoped", (s, d) => {
+      // I3 with incremental_predicates (merge.sql:57-92): the DELETE is
+      // scoped to recent rows — an out-of-scope row with a matching key
+      // SURVIVES, the in-scope match is replaced, new keys insert
+      val base = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("service_date"),
+        col("o_orderstatus").as("status"))
+      val tgt = base.filter(col("service_date") < lit("1998-01-01").cast("date"))
+      val src = base.filter(col("service_date") >= lit("1997-01-01").cast("date"))
+        .withColumn("status", lit("R"))
+      Incremental.deleteInsert(tgt, src, Seq("claim_id"),
+        incrementalPredicates = Seq(col("service_date") >= lit("1997-07-01").cast("date")))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(o_orderdate AS DATE) AS service_date, o_orderstatus AS status
+        |  FROM orders),
+        |tgt AS (SELECT * FROM base WHERE service_date < DATE '1998-01-01'),
+        |src AS (SELECT claim_id, member_id, service_date, 'R' AS status FROM base
+        |        WHERE service_date >= DATE '1997-01-01')
+        |SELECT * FROM tgt
+        |WHERE service_date < DATE '1997-07-01'
+        |   OR claim_id NOT IN (SELECT claim_id FROM src)
+        |UNION ALL
+        |SELECT * FROM src""".stripMargin)),
+
+    QueryDef("q83_merge_update_columns", (s, d) => {
+      // I2 merge_update_columns (merge.sql:12-14): only the LISTED columns
+      // take source values on a key match; everything else keeps the
+      // target's value. New keys insert whole rows.
+      val base = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("service_date"),
+        col("o_orderstatus").as("status"))
+      val tgt = base.filter(col("service_date") < lit("1998-01-01").cast("date"))
+      val src = base.filter(col("service_date") >= lit("1997-01-01").cast("date"))
+        .withColumn("status", lit("R"))
+        .withColumn("member_id", col("member_id") + 9000000L)
+      Incremental.merge(tgt, src, Seq("claim_id"),
+        updateCols = Some(Seq("status")))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |         CAST(o_orderdate AS DATE) AS service_date, o_orderstatus AS status
+        |  FROM orders),
+        |tgt AS (SELECT * FROM base WHERE service_date < DATE '1998-01-01'),
+        |src AS (SELECT claim_id, member_id + 9000000 AS member_id, service_date, 'R' AS status
+        |        FROM base WHERE service_date >= DATE '1997-01-01')
+        |SELECT t.claim_id, t.member_id, t.service_date, 'R' AS status
+        |FROM tgt t WHERE t.claim_id IN (SELECT claim_id FROM src)
+        |UNION ALL
+        |SELECT t.* FROM tgt t WHERE t.claim_id NOT IN (SELECT claim_id FROM src)
+        |UNION ALL
+        |SELECT s.* FROM src s WHERE s.claim_id NOT IN (SELECT claim_id FROM tgt)""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)
