@@ -33,7 +33,39 @@ final class Warehouse(val root: String, spark: SparkSession) {
       Files.move(backup, target, StandardCopyOption.ATOMIC_MOVE)
       deleteRec(dir(name + "__tmp"))
     }
+    // a slice swap (overwritePeriods) that died mid-commit left an intent
+    // marker — finish it before anyone reads the half-swapped layout
+    completeSliceSwap(name)
   }
+
+  /** Complete (or resume) a staged slice swap recorded by the intent marker:
+    * for every enumerated partition value, a STAGED dir still in the tmp area
+    * replaces the target dir; a staged dir already gone was moved in by the
+    * crashed attempt (keep the target); an enumerated value with NO staged
+    * dir means the slice is empty there (the target dir is deleted). Runs
+    * only when the marker exists, so the per-read cost is one file probe.
+    */
+  private def completeSliceSwap(name: String): Unit =
+    getMeta(name + "__slice_intent").foreach { m =>
+      val lines = m.split("\n", -1)
+      val (partCol, enumerated, staged) =
+        (lines(0), lines(1).split(",").filter(_.nonEmpty).toSeq,
+          lines(2).split(",").filter(_.nonEmpty).toSet)
+      val tmp = dir(name + "__slice_tmp")
+      enumerated.foreach { v =>
+        val dirName = s"$partCol=$v"
+        val st = tmp.resolve(dirName)
+        if (staged.contains(dirName)) {
+          if (Files.exists(st)) {
+            deleteRec(dir(name).resolve(dirName))
+            Files.move(st, dir(name).resolve(dirName), StandardCopyOption.ATOMIC_MOVE)
+          } // else: already moved by the attempt that wrote the marker
+        } else deleteRec(dir(name).resolve(dirName))
+      }
+      deleteRec(tmp)
+      Files.deleteIfExists(dir(name + "__slice_intent__meta"))
+      invalidate(name)
+    }
 
   def exists(name: String): Boolean = { recover(name); Files.exists(dir(name)) }
 
@@ -109,13 +141,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val tmp = dir(name + "__slice_tmp")
     deleteRec(tmp)
     batch.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
-    periodValues.foreach(v => deleteRec(dir(name).resolve(s"$partCol=$v")))
-    listDir(tmp)
+    val staged = listDir(tmp)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-      .foreach(p => Files.move(p, dir(name).resolve(p.getFileName.toString),
-        StandardCopyOption.ATOMIC_MOVE))
-    deleteRec(tmp)
-    invalidate(name)
+      .map(_.getFileName.toString)
+    val enumeratedDirs = periodValues.map(v => s"$partCol=$v").toSet
+    require(staged.forall(enumeratedDirs.contains),
+      s"slice rows outside the enumerated periods: ${staged.filterNot(enumeratedDirs.contains)}")
+    // intent marker AFTER staging, BEFORE any delete: a crash anywhere in
+    // the commit below is finished by completeSliceSwap on the next open —
+    // the marker records which period dirs are replaced vs emptied, so
+    // recovery never re-deletes a dir whose staged replacement already
+    // moved in
+    putMeta(name + "__slice_intent",
+      s"$partCol\n${periodValues.mkString(",")}\n${staged.mkString(",")}")
+    completeSliceSwap(name)
   }
 
   /** Append-only sink (incremental strategy I1): new part-files land next to
@@ -129,8 +168,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
   /** Partition-pruned upsert (the long-running-stream merge path): the
     * target lives partitioned by an engine-internal key-hash bucket column
     * (`__graft_bucket`, stripped from logical reads like every engine
-    * column), and a batch rewrites ONLY the buckets its keys touch (dynamic
-    * partition overwrite) — per-batch I/O is O(batch's buckets), never
+    * column), and a batch rewrites ONLY the buckets its keys touch (staged
+    * per-bucket swap) — per-batch I/O is O(batch's buckets), never
     * O(target). The bucket is a pure function of the key columns, so every
     * version of a key lands in the same bucket and the bucket-restricted
     * merge is globally correct.
@@ -161,39 +200,37 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val partCol = enginePrefix + "bucket"
     require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
     val withPart = batch.withColumn(partCol, pmod(hash(keys.map(col): _*), lit(nBuckets)))
-    val merged =
-      if (!exists(name)) withPart
-      else {
-        // STATIC partition pruning: the touched bucket ids (at most nBuckets
-        // values) collect in one tiny job and become an isin partition
-        // filter the scan provably honors — a broadcast semi-join looks
-        // equivalent but Spark's dynamic partition pruning declines it
-        // without stats, silently re-reading the whole target every batch
-        val touchedVals = withPart.select(partCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        // lazy checkpoint: merge's three branches (updated/untouched/
-        // inserted) would otherwise scan the touched buckets three times;
-        // volume is bucket-bounded so caching is safe (unlike a full-table
-        // merge, where re-scanning parquet beats caching)
-        val target = touchedBucketScan(name, partCol, touchedVals)
-          .localCheckpoint(false)
-        // eager materialization breaks the lineage to the files the dynamic
-        // overwrite below replaces (Spark refuses to overwrite a path its
-        // own plan still reads); volume is the touched buckets only
-        val m = Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
-          .localCheckpoint(true)
-        // Dataset.unpersist is a NO-OP for checkpoint storage (CacheManager
-        // never saw it) — free the RDD blocks directly, or a long-running
-        // stream accumulates dead touched-bucket copies every batch
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
-        m
-      }
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(dir(name).toString)
-    org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(merged)
-    invalidate(name)
+    if (!exists(name)) {
+      withPart.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(dir(name).toString)
+      invalidate(name)
+    } else {
+      // STATIC partition pruning: the touched bucket ids (at most nBuckets
+      // values) collect in one tiny job and become an isin partition
+      // filter the scan provably honors — a broadcast semi-join looks
+      // equivalent but Spark's dynamic partition pruning declines it
+      // without stats, silently re-reading the whole target every batch
+      val touchedVals = withPart.select(partCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // lazy checkpoint: merge's three branches (updated/untouched/
+      // inserted) would otherwise scan the touched buckets three times;
+      // volume is bucket-bounded so caching is safe (unlike a full-table
+      // merge, where re-scanning parquet beats caching)
+      val target = touchedBucketScan(name, partCol, touchedVals)
+        .localCheckpoint(false)
+      val merged = Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
+      // commit via the staged slice swap (stage to tmp, intent marker,
+      // per-bucket rename): a crash mid-commit is finished by recover() —
+      // the in-place dynamic partition overwrite this replaces could lose a
+      // touched bucket's pre-batch keys if it died between delete and land.
+      // Staging also means the plan never overwrites files it still reads,
+      // so the merge result needs no eager checkpoint.
+      overwritePeriods(name, merged, partCol, touchedVals.map(_.toString))
+      // Dataset.unpersist is a NO-OP for checkpoint storage (CacheManager
+      // never saw it) — free the RDD blocks directly, or a long-running
+      // stream accumulates dead touched-bucket copies every batch
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
+    }
   }
 
   /** Bucketed catalog table: co-locates future joins/aggregations on the
@@ -224,11 +261,47 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * holding the old generation keeps a consistent view and a crash before
     * the rename leaves the old generation intact.
     */
+  /** Catalog-level crash recovery for the generation swap below: the rename
+    * dance has two windows — (1) after DROP TABLE but before RENAME the
+    * catalog has no table under the target name while the finished
+    * `__gen_*` table holds the new generation; (2) after RENAME but before
+    * the meta write the table exists but the recorded generation is stale
+    * (the next merge would otherwise delete the LIVE generation's path).
+    * Both repair deterministically from catalog + path state; returns the
+    * trusted current generation.
+    */
+  private def recoverBucketedGen(table: String): String = {
+    val meta = getMeta(table + "__bktgen").getOrElse("")
+    if (!spark.catalog.tableExists(table)) {
+      val flip = if (meta == "a") "b" else "a"
+      val lingering = s"${table}__gen_$flip"
+      if (spark.catalog.tableExists(lingering)) { // window (1): finish the rename
+        spark.sql(s"ALTER TABLE $lingering RENAME TO $table")
+        putMeta(table + "__bktgen", flip)
+        deleteRec(dir(if (meta.isEmpty) table else s"$table@$meta"))
+        invalidate(table)
+        return flip
+      }
+      return meta // nothing to recover; the caller's require reports it
+    }
+    // window (2): the table's ACTUAL location wins over the recorded meta
+    val base = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath).getName
+    val actual = if (base.contains("@")) base.substring(base.lastIndexOf("@") + 1) else ""
+    if (actual != meta) {
+      putMeta(table + "__bktgen", actual)
+      deleteRec(dir(if (meta.isEmpty) table else s"$table@$meta"))
+      invalidate(table)
+    }
+    actual
+  }
+
   def mergeBucketed(table: String, source: DataFrame, keys: Seq[String],
       nBuckets: Int): Unit = {
+    val genNow = recoverBucketedGen(table)
     require(spark.catalog.tableExists(table), s"bucketed target $table missing")
     val merged = Incremental.merge(spark.table(table), source, keys)
-    val genNow = getMeta(table + "__bktgen").getOrElse("")
     val genNext = if (genNow == "a") "b" else "a"
     val prevPath = dir(if (genNow.isEmpty) table else s"$table@$genNow")
     val nextName = s"${table}__gen_$genNext"

@@ -361,11 +361,16 @@ object Dedup {
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = checksum(next) // materializes next's checkpoint
+      // checksum equality is confirmed with ONE exact set comparison (both
+      // sides are distinct canonical edges and the counts already match, so
+      // a single-direction exceptAll decides equality) — a checksum
+      // collision between different edge sets must keep iterating, never
+      // end with wrong labels. Runs only at the (usually single) equality.
+      done = nextSig == sig && next.exceptAll(edges).isEmpty
       // the superseded generation's blocks are dead — free the checkpoint
       // RDD directly (Dataset.unpersist is a no-op for checkpoint storage),
       // else a long-converging graph pins up to maxIter edge-set copies
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(edges)
-      done = nextSig == sig
       edges = next; sig = nextSig; iter += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
