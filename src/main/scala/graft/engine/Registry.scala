@@ -272,17 +272,32 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     // windows already written (dbt batches are whole periods)
     require(Period.aligned(cur, grain) && Period.aligned(fin, grain),
       s"microbatch series [$start, $end) must cover whole $grain periods")
+    // dbt's batch loop runs UPSTREAM models exactly once — only the
+    // microbatch materialization itself iterates the windows. Ancestors
+    // materialize in one pass up front; every later pass excludes them
+    // (their relations resolve from this run's materialized state), so a
+    // side-effecting incremental ancestor (e.g. Append strategy) gets its
+    // DML applied once, not once per window.
+    val byName = models.map(m => m.name -> m).toMap
+    val ancestorSet = scala.collection.mutable.Set.empty[String]
+    def collectAnc(n: String): Unit =
+      byName.get(n).foreach(_.deps.foreach(d =>
+        if (ancestorSet.add(d)) collectAnc(d)))
+    collectAnc(modelName)
+    val ancestors = ancestorSet.filter(byName.contains).toSeq
+    if (ancestors.nonEmpty) run(threads = threads, select = ancestors)
     var out = Map.empty[String, DataFrame]
     while (cur.isBefore(fin)) {
       val next = step(cur)
-      // only the microbatch model (+ its ancestors) re-runs per window —
-      // dbt's batch loop does not re-materialize sibling models N times
+      // only the microbatch model re-runs per window — neither siblings
+      // nor (already-materialized) ancestors are touched by the loop
       out = run(microbatchWindows = Map(modelName -> (cur.toString, next.toString)),
-        threads = threads, select = Seq(modelName))
+        threads = threads, select = Seq(modelName), exclude = ancestors)
       cur = next
     }
     // downstream models see the final state exactly once (the microbatch
-    // model itself is excluded — its relation defers to the last window)
+    // model and its ancestors are excluded — their relations defer to the
+    // states materialized above)
     val downstream = {
       val dependents = scala.collection.mutable.Set(modelName)
       topoSorted.foreach { m =>
@@ -291,7 +306,8 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       dependents.diff(Set(modelName)).toSeq
     }
     if (downstream.nonEmpty)
-      out = run(threads = threads, select = downstream, exclude = Seq(modelName))
+      out = run(threads = threads, select = downstream,
+        exclude = modelName +: ancestors)
     out
   }
 

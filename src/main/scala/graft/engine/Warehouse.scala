@@ -19,6 +19,28 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   private def dir(name: String): Path = Paths.get(root, name)
 
+  /** Test-only crash injection: the swap protocols invoke this at named
+    * commit points so specs can simulate a process dying between protocol
+    * steps (kill-window coverage for every recovery path). Production never
+    * installs a hook — the default is a no-op called once per commit STEP,
+    * never per row.
+    */
+  private[graft] var failpoint: String => Unit = _ => ()
+
+  /** getMeta probe counter — observability for the marker-absence cache
+    * below (specs assert the hot read path stops probing).
+    */
+  private[graft] val metaProbes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Names whose slice-intent marker is known ABSENT. recover() runs on
+    * every read/exists, and on an object store each marker probe is a
+    * round-trip — the common no-interrupted-swap case must not pay it per
+    * read. Entries are invalidated by the only marker writer
+    * (overwritePeriods) before it stages a new swap.
+    */
+  private val sliceMarkerAbsent =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Crash recovery for the swap window: a process that died between
     * `target -> backup` and `tmp -> target` leaves the backup as the ONLY
     * complete copy (the reference's rename dance has the same window and
@@ -45,27 +67,35 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * dir means the slice is empty there (the target dir is deleted). Runs
     * only when the marker exists, so the per-read cost is one file probe.
     */
-  private def completeSliceSwap(name: String): Unit =
-    getMeta(name + "__slice_intent").foreach { m =>
-      val lines = m.split("\n", -1)
-      val (partCol, enumerated, staged) =
-        (lines(0), lines(1).split(",").filter(_.nonEmpty).toSeq,
-          lines(2).split(",").filter(_.nonEmpty).toSet)
-      val tmp = dir(name + "__slice_tmp")
-      enumerated.foreach { v =>
-        val dirName = s"$partCol=$v"
-        val st = tmp.resolve(dirName)
-        if (staged.contains(dirName)) {
-          if (Files.exists(st)) {
-            deleteRec(dir(name).resolve(dirName))
-            Files.move(st, dir(name).resolve(dirName), StandardCopyOption.ATOMIC_MOVE)
-          } // else: already moved by the attempt that wrote the marker
-        } else deleteRec(dir(name).resolve(dirName))
-      }
-      deleteRec(tmp)
-      Files.deleteIfExists(dir(name + "__slice_intent__meta"))
-      invalidate(name)
+  private def completeSliceSwap(name: String): Unit = {
+    if (sliceMarkerAbsent.contains(name)) return
+    getMeta(name + "__slice_intent") match {
+      case None =>
+        sliceMarkerAbsent.add(name); ()
+      case Some(m) =>
+        val lines = m.split("\n", -1)
+        val (partCol, enumerated, staged) =
+          (lines(0), lines(1).split(",").filter(_.nonEmpty).toSeq,
+            lines(2).split(",").filter(_.nonEmpty).toSet)
+        val tmp = dir(name + "__slice_tmp")
+        enumerated.foreach { v =>
+          val dirName = s"$partCol=$v"
+          val st = tmp.resolve(dirName)
+          if (staged.contains(dirName)) {
+            if (Files.exists(st)) {
+              deleteRec(dir(name).resolve(dirName))
+              Files.move(st, dir(name).resolve(dirName), StandardCopyOption.ATOMIC_MOVE)
+            } // else: already moved by the attempt that wrote the marker
+          } else deleteRec(dir(name).resolve(dirName))
+          failpoint(s"slice:applied:$dirName")
+        }
+        deleteRec(tmp)
+        failpoint("slice:cleaned")
+        Files.deleteIfExists(dir(name + "__slice_intent__meta"))
+        sliceMarkerAbsent.add(name)
+        invalidate(name)
     }
+  }
 
   def exists(name: String): Boolean = { recover(name); Files.exists(dir(name)) }
 
@@ -114,9 +144,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val writer = out.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
-    if (Files.exists(target))
+    failpoint("swap:staged")
+    if (Files.exists(target)) {
       Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+      failpoint("swap:backed-up")
+    }
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    failpoint("swap:swapped")
     deleteRec(backup)
     invalidate(name)
   }
@@ -147,13 +181,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val enumeratedDirs = periodValues.map(v => s"$partCol=$v").toSet
     require(staged.forall(enumeratedDirs.contains),
       s"slice rows outside the enumerated periods: ${staged.filterNot(enumeratedDirs.contains)}")
+    failpoint("slice:staged")
     // intent marker AFTER staging, BEFORE any delete: a crash anywhere in
     // the commit below is finished by completeSliceSwap on the next open —
     // the marker records which period dirs are replaced vs emptied, so
     // recovery never re-deletes a dir whose staged replacement already
     // moved in
+    sliceMarkerAbsent.remove(name)
     putMeta(name + "__slice_intent",
       s"$partCol\n${periodValues.mkString(",")}\n${staged.mkString(",")}")
+    failpoint("slice:marker")
     completeSliceSwap(name)
   }
 
@@ -313,9 +350,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .format("parquet")
       .option("path", dir(s"$table@$genNext").toString)
       .saveAsTable(nextName)
+    failpoint("bktgen:staged")
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    failpoint("bktgen:dropped")
     spark.sql(s"ALTER TABLE $nextName RENAME TO $table")
+    failpoint("bktgen:renamed")
     putMeta(table + "__bktgen", genNext)
+    failpoint("bktgen:meta")
     deleteRec(prevPath)
     // bucketed tables are CATALOG tables (read via spark.table, where the
     // bucket metadata lives); a path-read cache entry would now dangle
@@ -355,7 +396,14 @@ final class Warehouse(val root: String, spark: SparkSession) {
     }
   }
 
-  def drop(name: String): Unit = { deleteRec(dir(name)); invalidate(name) }
+  def drop(name: String): Unit = {
+    deleteRec(dir(name))
+    // a pending slice swap dies with its table — a stale marker must never
+    // replay onto a later table recreated under the same name
+    deleteRec(dir(name + "__slice_tmp"))
+    Files.deleteIfExists(dir(name + "__slice_intent__meta"))
+    invalidate(name)
+  }
 
   /** Tiny sidecar metadata (e.g. the dynamic-table config the reference
     * stores as Snowflake DDL properties). Written atomically via tmp+move.
@@ -369,6 +417,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   def getMeta(name: String): Option[String] = {
+    metaProbes.incrementAndGet()
     val p = dir(name + "__meta")
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }

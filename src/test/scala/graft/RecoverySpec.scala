@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Warehouse
+
+/** Kill-window coverage for every swap protocol's crash-recovery path
+  * (VERDICT r3 §wrong-2: recovery code that has never executed a crash is
+  * where data-loss bugs hide). Each protocol is killed at EVERY commit point
+  * it exposes (the failpoint names are discovered from a clean run, so a new
+  * commit step added to Warehouse is automatically covered), then:
+  *
+  *  1. a fresh Warehouse on the same root must see a CONSISTENT state —
+  *     exactly the before-image or the after-image, never a partial mix;
+  *  2. re-running the same operation must converge to the after-image
+  *     (crash-then-retry is the actual production story: the scheduler or
+  *     stream replays the batch).
+  */
+class RecoverySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def crashAt(wh: Warehouse, point: String): Unit =
+    wh.failpoint = p =>
+      if (p == point) throw new RuntimeException(s"injected crash at $p")
+
+  /** One swap protocol under test: set up initial state, run the op, read
+    * the logical state back. `catalogRead` protos (bucketed tables) may be
+    * unreadable mid-recovery (the catalog swap window) — consistency is
+    * then asserted only when the table exists.
+    */
+  private final case class Proto(
+      name: String,
+      setup: Warehouse => Unit,
+      op: Warehouse => Unit,
+      state: Warehouse => Map[Long, String],
+      before: Map[Long, String],
+      after: Map[Long, String],
+      readable: Warehouse => Boolean = _ => true)
+
+  /** Discover the failpoint names a clean run of the protocol passes. */
+  private def discoverPoints(p: Proto): Seq[String] = {
+    val wh = new Warehouse(Files.createTempDirectory("graft_rec_d").toString, spark)
+    p.setup(wh)
+    val rec = scala.collection.mutable.ArrayBuffer.empty[String]
+    wh.failpoint = rec += _
+    p.op(wh)
+    wh.failpoint = _ => ()
+    assert(p.state(wh) === p.after, s"${p.name}: clean run must produce the after-image")
+    rec.toSeq
+  }
+
+  private def runMatrix(p: Proto): Unit = {
+    val points = discoverPoints(p)
+    assert(points.nonEmpty, s"${p.name}: expected at least one commit point")
+    points.foreach { point =>
+      val root = Files.createTempDirectory("graft_rec").toString
+      val wh = new Warehouse(root, spark)
+      p.setup(wh)
+      crashAt(wh, point)
+      val ex = intercept[Exception](p.op(wh))
+      assert(ex.getMessage != null && ex.getMessage.contains("injected crash"),
+        s"${p.name}@$point: expected the injected crash, got $ex")
+      // next open: a FRESH Warehouse (the crashed process is gone)
+      val wh2 = new Warehouse(root, spark)
+      if (p.readable(wh2)) {
+        val st = p.state(wh2)
+        assert(st == p.before || st == p.after,
+          s"${p.name}@$point: recovered state is a partial mix:\n$st")
+      }
+      // retry converges (the production replay path)
+      p.op(wh2)
+      assert(p.state(wh2) === p.after,
+        s"${p.name}@$point: retry after crash must reach the after-image")
+    }
+  }
+
+  private def kvState(wh: Warehouse, name: String): Map[Long, String] =
+    wh.read(name).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
+    }
+
+  test("writeSwap survives a kill at every commit point") {
+    runMatrix(Proto(
+      name = "writeSwap",
+      setup = wh => wh.writeSwap("t", Seq((1L, "old")).toDF("k", "v")),
+      op = wh => wh.writeSwap("t", Seq((2L, "new")).toDF("k", "v")),
+      state = kvState(_, "t"),
+      before = Map(1L -> "old"),
+      after = Map(2L -> "new")))
+  }
+
+  test("overwritePeriods slice swap survives a kill at every commit point (zero/some/all dirs moved)") {
+    // target: three period partitions; the op replaces p=2 and EMPTIES p=3
+    // (an enumerated period with no batch rows), p=1 is out of scope
+    def part(k: Long, v: String, p: String) = (k, v, p)
+    runMatrix(Proto(
+      name = "overwritePeriods",
+      setup = wh => wh.writeSwap("s",
+        Seq(part(1L, "old1", "1"), part(2L, "old2", "2"), part(3L, "old3", "3"))
+          .toDF("k", "v", "p"),
+        partitionBy = Seq("p")),
+      op = wh => wh.overwritePeriods("s",
+        Seq(part(20L, "new2", "2")).toDF("k", "v", "p"), "p", Seq("2", "3")),
+      state = kvState(_, "s"),
+      before = Map(1L -> "old1", 2L -> "old2", 3L -> "old3"),
+      after = Map(1L -> "old1", 20L -> "new2")))
+  }
+
+  test("upsertPartitioned staged commit survives a kill at every commit point") {
+    val batch1 = (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+    val batch2 = Seq((1L, "V1-upd"), (41L, "new")).toDF("k", "v")
+    val beforeM = (1L to 40L).map(k => k -> s"v$k").toMap
+    runMatrix(Proto(
+      name = "upsertPartitioned",
+      setup = wh => wh.upsertPartitioned("u", batch1, Seq("k"), nBuckets = 4),
+      op = wh => wh.upsertPartitioned("u", batch2, Seq("k"), nBuckets = 4),
+      state = kvState(_, "u"),
+      before = beforeM,
+      after = beforeM + (1L -> "V1-upd") + (41L -> "new")))
+  }
+
+  test("mergeBucketed generation swap survives a kill at every commit point") {
+    val table = "rec_bkt_matrix"
+    val batch1 = (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+    val batch2 = Seq((1L, "V1-upd"), (41L, "new")).toDF("k", "v")
+    val beforeM = (1L to 40L).map(k => k -> s"v$k").toMap
+    try {
+      runMatrix(Proto(
+        name = "mergeBucketed",
+        setup = wh => wh.writeBucketed(table, batch1, Seq("k"), nBuckets = 4),
+        op = wh => wh.mergeBucketed(table, batch2, Seq("k"), nBuckets = 4),
+        state = _ => spark.table(table).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap,
+        before = beforeM,
+        after = beforeM + (1L -> "V1-upd") + (41L -> "new"),
+        // the DROP->RENAME window leaves no table under the target name;
+        // recovery is defined to happen on the next mergeBucketed
+        readable = _ => spark.catalog.tableExists(table)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__gen_a")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__gen_b")
+    }
+  }
+
+  test("slice-intent marker replay: zero, some, and all staged dirs moved") {
+    // the three completeSliceSwap entry states, constructed EXPLICITLY (the
+    // matrix above reaches them through live crashes; this pins the replay
+    // semantics on hand-built directory layouts, independent of the writer)
+    def mkTarget(wh: Warehouse): Unit = wh.writeSwap("r",
+      Seq((1L, "old1", "1"), (2L, "old2", "2"), (3L, "old3", "3"))
+        .toDF("k", "v", "p"),
+      partitionBy = Seq("p"))
+    val afterM = Map(1L -> "old1", 20L -> "new2")
+    Seq("zero", "some", "all").foreach { phase =>
+      val root = Files.createTempDirectory(s"graft_marker_$phase").toString
+      val wh = new Warehouse(root, spark)
+      mkTarget(wh)
+      // stage the replacement slice exactly as overwritePeriods does
+      val tmp = java.nio.file.Paths.get(root, "r__slice_tmp")
+      Seq((20L, "new2", "2")).toDF("k", "v", "p")
+        .write.partitionBy("p").parquet(tmp.toString)
+      wh.putMeta("r__slice_intent", "p\n2,3\np=2")
+      if (phase == "some" || phase == "all") { // p=2 already moved in
+        val dest = java.nio.file.Paths.get(root, "r", "p=2")
+        deleteRec(dest)
+        Files.move(tmp.resolve("p=2"), dest)
+      }
+      if (phase == "all") { // p=3 already emptied, tmp cleaned
+        deleteRec(java.nio.file.Paths.get(root, "r", "p=3"))
+        deleteRec(tmp)
+      }
+      // next open replays the marker to completion
+      val wh2 = new Warehouse(root, spark)
+      assert(kvState(wh2, "r") === afterM, s"marker replay failed at phase=$phase")
+      assert(!Files.exists(tmp), s"tmp dir must be cleaned (phase=$phase)")
+      assert(wh2.getMeta("r__slice_intent").isEmpty,
+        s"marker must be consumed (phase=$phase)")
+    }
+  }
+
+  test("marker-absence probe is cached: repeated reads do not re-probe meta") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_probe").toString, spark)
+    wh.writeSwap("t", Seq((1L, "a")).toDF("k", "v"))
+    wh.read("t") // first read may probe (and caches absence)
+    val p0 = wh.metaProbes.get()
+    wh.read("t"); wh.exists("t"); wh.read("t")
+    assert(wh.metaProbes.get() === p0,
+      "hot read path must not probe the slice-intent marker again")
+    // a new slice swap invalidates the cache and the marker is honored
+    wh.writeSwap("s",
+      Seq((1L, "old1", "1"), (2L, "old2", "2")).toDF("k", "v", "p"),
+      partitionBy = Seq("p"))
+    wh.overwritePeriods("s", Seq((20L, "new2", "2")).toDF("k", "v", "p"),
+      "p", Seq("2"))
+    assert(kvState(wh, "s") === Map(1L -> "old1", 20L -> "new2"))
+  }
+}

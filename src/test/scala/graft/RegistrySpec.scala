@@ -292,6 +292,40 @@ class RegistrySpec extends AnyFunSuite {
       reg.runMicrobatches("mb", "2024-01-01", "2024-01-04T12:00", "day"))
   }
 
+  test("runMicrobatches materializes a side-effecting ancestor exactly once") {
+    val root = Files.createTempDirectory("graft_mb_anc").toString
+    val wh = new Warehouse(root, spark)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val reg = new Registry(spark, wh)
+    reg.source("src", Seq(
+      (1L, day("2024-01-01"), "a"), (2L, day("2024-01-02"), "b"),
+      (3L, day("2024-01-03"), "c")).toDF("k", "d", "tag"))
+    // Append-strategy ancestor: every materialization APPENDS the full
+    // source — if the window loop re-ran it per window, rows would triple
+    reg.register(Model("anc", Seq("src"),
+      IncrementalMat(Incremental.Append, Nil), ctx => ctx.ref("src")))
+    reg.register(Model("mb", Seq("anc"),
+      IncrementalMat(Incremental.Microbatch("d", "2024-01-01", "2024-01-02"), Nil),
+      ctx =>
+        if (ctx.isIncremental) ctx.ref("anc").dropDuplicates("k")
+          .withColumn("tag", lit("batched"))
+        else ctx.ref("anc")))
+    // downstream model: must ALSO not re-trigger the ancestor in its pass
+    reg.register(Model("down", Seq("mb"), TableMat(),
+      ctx => ctx.ref("mb").groupBy(col("tag")).agg(count(lit(1)).as("n"))))
+    reg.run() // CTAS: anc = 3 rows (first-run swap), mb, down
+    assert(wh.read("anc").count() === 3)
+    // three one-day windows: the ancestor appends ONCE (the up-front pass),
+    // not three times — dbt's batch loop runs upstream models a single time
+    reg.runMicrobatches("mb", "2024-01-01", "2024-01-04", "day")
+    assert(wh.read("anc").count() === 6,
+      "ancestor must materialize exactly once across the window series")
+    val out = wh.read("mb").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "batched", 2L -> "batched", 3L -> "batched"))
+    val down = wh.read("down").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(down === Map("batched" -> 3L))
+  }
+
   test("dynamic table: create / no-op / continue / fail / apply (dynamic_table.sql:27-66)") {
     val root = Files.createTempDirectory("graft_dt").toString
     val wh = new Warehouse(root, spark)

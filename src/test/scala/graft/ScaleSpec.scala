@@ -195,6 +195,34 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === contentBefore)
   }
 
+  test("streaming merge resumes after a mid-commit crash (checkpoint replay + marker recovery)") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val wh = new Warehouse(Files.createTempDirectory("graft_stream_crash").toString, spark)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("k", "v")
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = EventsStream.mergeStream(stream, wh, "m", Seq("k"), nBuckets = 4)
+    q1.awaitTermination()
+    assert(wh.read("m").count() === 2)
+    // the second batch dies right after the intent marker — the worst
+    // window of the staged upsert commit (old bucket data deleted next)
+    mem.addData((2L, "B2"), (3L, "c"))
+    wh.failpoint = p =>
+      if (p == "slice:marker") throw new RuntimeException(s"injected crash at $p")
+    val q2 = EventsStream.mergeStream(stream, wh, "m", Seq("k"), nBuckets = 4)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q2.awaitTermination())
+    // restart: the failed batch's offsets were never committed, so
+    // foreachBatch replays it; recover() first completes the interrupted
+    // swap, then the replayed merge is idempotent on the recovered state
+    wh.failpoint = _ => ()
+    val q3 = EventsStream.mergeStream(stream, wh, "m", Seq("k"), nBuckets = 4)
+    q3.awaitTermination()
+    val out = wh.read("m").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
