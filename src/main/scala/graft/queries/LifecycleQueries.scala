@@ -573,6 +573,70 @@ object LifecycleQueries extends QuerySet {
         |UNION ALL
         |SELECT s.* FROM src s WHERE s.claim_id NOT IN (SELECT claim_id FROM tgt)""".stripMargin)),
 
+    QueryDef("q84_bucketed_merge", (s, d) => {
+      // the 100 TB stable-key merge path through the DRIVER GATE (VERDICT r3
+      // item 4): a bucketed catalog target takes two merge batches through
+      // the alternating-generation catalog swap (mergeBucketed exercises
+      // BOTH generation directions); the final table must hash-match the
+      // declarative merge result
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q84").toString, s)
+      val tbl = "q84_bkt_claims"
+      val base = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("service_date"),
+        col("o_orderstatus").as("status"))
+      wh.writeBucketed(tbl,
+        base.filter(col("service_date") < lit("1998-01-01").cast("date")),
+        Seq("claim_id"), nBuckets = 8)
+      wh.mergeBucketed(tbl,
+        base.filter(col("service_date") >= lit("1997-06-01").cast("date"))
+          .withColumn("status", lit("R")),
+        Seq("claim_id"), nBuckets = 8)
+      wh.mergeBucketed(tbl,
+        base.filter(col("service_date") >= lit("1998-03-01").cast("date"))
+          .withColumn("status", lit("X")),
+        Seq("claim_id"), nBuckets = 8)
+      s.table(tbl)
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(o_orderdate AS DATE) AS service_date,
+        |       CASE WHEN o_orderdate >= DATE '1998-03-01' THEN 'X'
+        |            WHEN o_orderdate >= DATE '1997-06-01' THEN 'R'
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin)),
+
+    QueryDef("q85_upsert_partitioned", (s, d) => {
+      // the long-running-stream upsert path through the driver gate: a
+      // key-hash-bucket partitioned target absorbs two batches with
+      // cross-cutting key sets (date-sliced, then member-sliced — the second
+      // touches most buckets), each rewriting only its touched buckets; the
+      // stored read-back must hash-match the declarative two-step merge
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q85").toString, s)
+      val base = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("claim_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("service_date"),
+        col("o_orderstatus").as("status"))
+      wh.upsertPartitioned("q85_claims", base, Seq("claim_id"), nBuckets = 16)
+      wh.upsertPartitioned("q85_claims",
+        base.filter(col("service_date") >= lit("1997-06-01").cast("date"))
+          .withColumn("status", lit("R")),
+        Seq("claim_id"), nBuckets = 16)
+      wh.upsertPartitioned("q85_claims",
+        base.filter(col("member_id") % 10 === 0).withColumn("status", lit("U")),
+        Seq("claim_id"), nBuckets = 16)
+      wh.read("q85_claims")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS claim_id, CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(o_orderdate AS DATE) AS service_date,
+        |       CASE WHEN o_custkey % 10 = 0 THEN 'U'
+        |            WHEN o_orderdate >= DATE '1997-06-01' THEN 'R'
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin)),
+
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,
       // ad-hoc SQL executed against them (`dbt show` / run-operation analog)
