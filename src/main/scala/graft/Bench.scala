@@ -5,11 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every query executed end-to-end (noop sink — a plain
   * count() would let Catalyst prune the projections and undercount the real
   * work). Prints ONE JSON line.
+  *
+  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3):
+  * single-shot numbers on a shared VM carry ±20% noise plus first-run
+  * plan-compile/JIT cost, which round-over-round comparisons then misread as
+  * regressions (VERDICT r3 — the "lifecycle drift" was exactly this).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,15 +31,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query must surface as an err entry + nonzero exit, never as a
       // silently fast ~0s row that IMPROVES the total
-      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-      catch { case e: Throwable =>
-        Some(e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+      var err: Option[String] = None
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          err = Some(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+          None
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val median =
+        if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      (name, median, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

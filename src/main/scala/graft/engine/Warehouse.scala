@@ -344,6 +344,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val nextName = s"${table}__gen_$genNext"
     spark.sql(s"DROP TABLE IF EXISTS $nextName")
     deleteRec(dir(s"$table@$genNext"))
+    // a crash after the meta write but before the prev-generation delete
+    // leaks the first-generation plain dir forever (gen names alternate a/b
+    // afterwards, so no later run reuses it) — at corpus scale that is a
+    // full stale copy of the table; sweep it here
+    if (genNow.nonEmpty) deleteRec(dir(table))
     merged.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -188,6 +188,101 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("double crash: dying again DURING marker replay still converges") {
+    // crash the slice commit right after the marker, then crash the
+    // RECOVERY itself mid-replay (after the first dir applies) — the third
+    // open must still converge: the marker is only consumed after a
+    // complete replay, so replay is resumable from any prefix
+    val root = Files.createTempDirectory("graft_rec_double").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("s",
+      Seq((1L, "old1", "1"), (2L, "old2", "2"), (3L, "old3", "3"))
+        .toDF("k", "v", "p"),
+      partitionBy = Seq("p"))
+    crashAt(wh, "slice:marker")
+    intercept[Exception](wh.overwritePeriods("s",
+      Seq((20L, "new2", "2")).toDF("k", "v", "p"), "p", Seq("2", "3")))
+    val wh2 = new Warehouse(root, spark)
+    crashAt(wh2, "slice:applied:p=2")
+    intercept[Exception](wh2.read("s")) // recovery itself dies mid-replay
+    val wh3 = new Warehouse(root, spark)
+    assert(kvState(wh3, "s") === Map(1L -> "old1", 20L -> "new2"))
+    assert(wh3.getMeta("s__slice_intent").isEmpty, "marker must be consumed")
+  }
+
+  test("seeded random crash/op sequences converge to the model state") {
+    // generalizes the per-point matrix to SEQUENCES: a crash's debris (stale
+    // backup, pending marker, staged tmp) must not corrupt the NEXT
+    // operation on the same table. Each iteration runs a random op sequence
+    // against a plain in-memory model; every op may crash at a random
+    // commit point and is then retried on a fresh Warehouse (the production
+    // replay story). Fixed seed -> reproducible failures.
+    val rnd = new scala.util.Random(260812L)
+    val partVals = Seq("1", "2", "3")
+    (1 to 12).foreach { iter =>
+      val root = Files.createTempDirectory("graft_rec_rand").toString
+      var wh = new Warehouse(root, spark)
+      var modelT = Set.empty[(Long, String, String)] // table "t" rows
+      var modelU = Map.empty[Long, String]           // upsert table "u"
+      def randRows(ps: Seq[String]): Seq[(Long, String, String)] =
+        rnd.shuffle((1 to 20).toList).take(1 + rnd.nextInt(5))
+          .map(k => (k.toLong, s"v${rnd.nextInt(1000)}", ps(rnd.nextInt(ps.size))))
+      def runOp(op: Warehouse => Unit, points: Seq[String]): Unit = {
+        val crashPoint =
+          if (rnd.nextBoolean()) Some(points(rnd.nextInt(points.size))) else None
+        crashPoint match {
+          case Some(pt) =>
+            crashAt(wh, pt)
+            try { op(wh); wh.failpoint = _ => () } // point may not fire (e.g. no backup step on first write)
+            catch { case e: Exception =>
+              assert(e.getMessage != null && e.getMessage.contains("injected crash"), e.toString)
+              wh = new Warehouse(root, spark) // next process: recover + retry
+              op(wh)
+            }
+          case None => op(wh)
+        }
+      }
+      val swapPoints  = Seq("swap:staged", "swap:backed-up", "swap:swapped")
+      def slicePoints(ps: Seq[String]) =
+        Seq("slice:staged", "slice:marker", "slice:cleaned") ++
+          ps.map(v => s"slice:applied:p=$v")
+      val upsertPoints = Seq("slice:staged", "slice:marker", "slice:cleaned")
+
+      // op 1 always creates "t"
+      val init = randRows(partVals)
+      runOp(w => w.writeSwap("t", init.toDF("k", "v", "p"), partitionBy = Seq("p")),
+        swapPoints)
+      modelT = init.toSet
+      (1 to 4).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // full replace
+            val rows = randRows(partVals)
+            runOp(w => w.writeSwap("t", rows.toDF("k", "v", "p"),
+              partitionBy = Seq("p")), swapPoints)
+            modelT = rows.toSet
+          case 1 => // slice replace (batch rows confined to the periods)
+            val ps = rnd.shuffle(partVals).take(1 + rnd.nextInt(partVals.size))
+            val batch = randRows(ps)
+            runOp(w => w.overwritePeriods("t", batch.toDF("k", "v", "p"), "p", ps),
+              slicePoints(ps))
+            modelT = modelT.filterNot(r => ps.contains(r._3)) ++ batch
+          case 2 => // keyed upsert into "u"
+            val batch = randRows(partVals).map(r => (r._1, r._2))
+            runOp(w => w.upsertPartitioned("u", batch.toDF("k", "v"),
+              Seq("k"), nBuckets = 4), upsertPoints)
+            modelU = modelU ++ batch
+        }
+      }
+      val gotT = wh.read("t").select(col("k"), col("v"), col("p").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(gotT === modelT, s"iter $iter: table t diverged from model")
+      if (modelU.nonEmpty) {
+        val gotU = kvState(wh, "u")
+        assert(gotU === modelU, s"iter $iter: table u diverged from model")
+      }
+    }
+  }
+
   test("marker-absence probe is cached: repeated reads do not re-probe meta") {
     val wh = new Warehouse(Files.createTempDirectory("graft_probe").toString, spark)
     wh.writeSwap("t", Seq((1L, "a")).toDF("k", "v"))
