@@ -66,4 +66,36 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic EXACT stratified split (train/val/test): within each
+    * stratum, rows ordered by (hash, id) are assigned to the named splits at
+    * exact per-mille cutoffs — every stratum lands within one row of its
+    * declared proportions (a plain id-hash split only holds proportions in
+    * expectation, which skews small strata). The cutoff comparison
+    * `rn * 1000 <= total * mille` is pure integer arithmetic, so assignments
+    * reproduce bit-identically on any engine (no float-literal ceil
+    * mismatches between decimal- and double-defaulting dialects).
+    *
+    * One shuffle on the strata columns (both window functions share it).
+    */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String], idCol: Column,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), s"fractions: $fractions")
+    val milles = fractions.map { case (name, f) => name -> math.round(f * 1000) }
+    require(milles.map(_._2).sum == 1000L,
+      s"fractions must sum to 1.0 (per-mille): $fractions")
+    val wOrd = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashBucket(idCol, salt).asc, idCol.asc)
+    val wAll = Window.partitionBy(strataCols.map(col): _*)
+    val rn  = row_number().over(wOrd).cast("long")
+    val tot = count(lit(1)).over(wAll)
+    val cum = milles.scanLeft(0L)(_ + _._2).tail
+    // CASE chain first-cutoff-first: each row takes the FIRST cumulative
+    // band it falls into; the last split is the otherwise-branch
+    val assigned = milles.init.zip(cum.init).reverse.foldLeft(lit(milles.last._1)) {
+      case (acc, ((name, _), cumMille)) =>
+        when(rn * 1000L <= tot * cumMille, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
 }

@@ -103,4 +103,46 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(text, tokens(text), n)
+
+  /** PII scrubbing patterns, deliberately engine-portable (plain character
+    * classes + \b, identical under java.util.regex and RE2-family engines).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact email- and phone-shaped spans with typed placeholders — the
+    * pre-training PII scrub. Pure codegen'd regexp columns, one pass per
+    * pattern, embarrassingly parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Fixed-size token chunking with overlap (the context-window packing
+    * primitive): consecutive `chunkTokens`-token windows advancing by
+    * `stride` tokens; the tail window may be shorter. Returns an array of
+    * (chunk_id, chunk, n_tokens) structs — `explode` it for one row per
+    * chunk. All arithmetic is exact integers, so chunk boundaries reproduce
+    * identically on any engine.
+    *
+    * `toks` must be a materialized attribute (same no-CSE-in-lambdas rule as
+    * [[shinglesFromTokens]]).
+    */
+  def chunksFromTokens(toks: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"chunkTokens=$chunkTokens stride=$stride")
+    // nChunks = 1 for n <= chunk, else 1 + ceil((n - chunk) / stride) —
+    // integer ceil-div keeps both engines bit-identical
+    val n = size(toks)
+    // ceil-div on exact small ints via double floor (IEEE-exact below 2^53)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(lit(1) +
+        floor((n - chunkTokens + stride - 1).cast("double") / lit(stride)).cast("int"))
+    transform(sequence(lit(0), nChunks - 1), i => struct(
+      i.cast("long").as("chunk_id"),
+      concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk"),
+      least(lit(chunkTokens), n - i * stride).cast("long").as("n_tokens")))
+  }
 }

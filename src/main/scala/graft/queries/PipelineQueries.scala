@@ -441,6 +441,106 @@ object PipelineQueries extends QuerySet {
         |  FROM sess GROUP BY 1, 2)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |       max(n_events) AS max_session_events
-        |FROM per_session GROUP BY 1""".stripMargin))
+        |FROM per_session GROUP BY 1""".stripMargin)),
+
+    QueryDef("q86_contamination", (s, d) => {
+      // benchmark-contamination check (train/test overlap): the "benchmark"
+      // is a small slice of the corpus itself (every 50th doc), so exact
+      // self-hits and near-dup hits must both surface; benchmark shingles
+      // broadcast, the corpus is never shuffled by shingle
+      val docs = table(s, d, "documents")
+      graft.pipeline.Contamination.ngramOverlap(
+        docs, docs.filter(col("doc_id") % 50 === 0), n = 3, minShared = 5)
+    }, Some(
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $shinglesSql AS sh FROM documents),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, sh AS bsh FROM corpus WHERE doc_id % 50 = 0)
+         |SELECT c.doc_id, b.bench_id,
+         |       CAST(len(list_intersect(c.sh, b.bsh)) AS BIGINT) AS n_shared
+         |FROM corpus c JOIN bench b
+         |  ON len(list_intersect(c.sh, b.bsh)) >= 5""".stripMargin)),
+
+    QueryDef("q87_pii_redaction", (s, d) => {
+      // pre-training PII scrub: docs are salted with synthetic email/phone
+      // spans (the corpus itself is clean), then redacted with typed
+      // placeholders; match counts prove the patterns fired where expected
+      import graft.pipeline.{TextAnalysis => T}
+      val salted = table(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@ex.org or 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      salted.select(
+        col("doc_id"),
+        T.redactPii(col("text")).as("clean_text"),
+        T.piiCount(col("text"), T.EmailRe).as("n_emails"),
+        T.piiCount(col("text"), T.PhoneRe).as("n_phones"))
+    }, Some(
+      """WITH salted AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |                   || '@ex.org or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+        |FROM salted""".stripMargin)),
+
+    QueryDef("q88_doc_chunking", (s, d) => {
+      // context-window packing primitive: 8-token chunks, stride 6 (2-token
+      // overlap); exact integer boundaries so any engine re-derives the
+      // identical chunking. Two-projection token materialization (no CSE
+      // inside higher-order lambdas).
+      import graft.pipeline.{TextAnalysis => T}
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(T.chunksFromTokens(col("toks"), chunkTokens = 8, stride = 6)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_tokens"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+         |sized AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |         CASE WHEN len(toks) <= 8 THEN 1
+         |              ELSE 1 + CAST(floor(CAST(len(toks) - 8 + 5 AS DOUBLE) / 6.0) AS BIGINT)
+         |         END AS n_chunks
+         |  FROM docs)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |       array_to_string(list_slice(toks, i*6 + 1, i*6 + 8), ' ') AS chunk,
+         |       CAST(least(8, n - i*6) AS BIGINT) AS n_tokens
+         |FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g""".stripMargin)),
+
+    QueryDef("q89_stratified_split", (s, d) =>
+      // deterministic EXACT train/val/test split per (lang, source) stratum:
+      // hash-ordered rows cut at integer per-mille boundaries — proportions
+      // hold within one row in EVERY stratum, and both engines re-derive
+      // identical assignments (pure integer cutoff arithmetic)
+      graft.pipeline.Sampling.stratifiedSplit(
+        table(s, d, "documents"), Seq("lang", "source"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r4")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("split")),
+      Some(
+        """SELECT doc_id, lang, source,
+          |       CASE WHEN rn * 1000 <= tot * 800 THEN 'train'
+          |            WHEN rn * 1000 <= tot * 900 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+          |         CAST(row_number() OVER w AS BIGINT) AS rn,
+          |         count(*) OVER (PARTITION BY lang, source) AS tot
+          |  FROM documents
+          |  WINDOW w AS (PARTITION BY lang, source
+          |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'r4'), 1, 8))::BIGINT
+          |             % 1000000 ASC, doc_id ASC)) t""".stripMargin))
   )
 }

@@ -192,4 +192,66 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("media"))
   }
+
+  test("contamination: exact dup and near dup hit the benchmark; unrelated doc does not") {
+    // bench = doc 1; doc 2 (exact dup) shares ALL shingles, doc 3 (near dup)
+    // shares most, doc 4 none
+    val out = Contamination.ngramOverlap(docs, docs.filter($"doc_id" === 1),
+        n = 3, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === out(2L), "exact dup must share the full shingle set")
+    assert(out(3L) < out(1L) && out(3L) >= 3)
+    // benchmark side broadcasts (the corpus must never shuffle by shingle)
+    val plan = Contamination.ngramOverlap(docs, docs.filter($"doc_id" === 1), 3, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bench side:\n$plan")
+  }
+
+  test("PII redaction replaces emails/phones and counts match") {
+    val rows = Seq(
+      (1L, "write to alice.smith+x@corp.example.com or call 415-555-0042 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org and 123-456-7890 999-888-7777"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.redactPii($"text").as("clean"),
+        TextAnalysis.piiCount($"text", TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.piiCount($"text", TextAnalysis.PhoneRe).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._1 === "write to <EMAIL> or call <PHONE> now")
+    assert(rows(1L)._2 === 1L && rows(1L)._3 === 1L)
+    assert(rows(2L) === ("no pii here at all", 0L, 0L))
+    assert(rows(3L)._1 === "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+    assert(rows(3L)._2 === 2L && rows(3L)._3 === 2L)
+  }
+
+  test("chunking covers every token with the declared overlap; short docs yield one chunk") {
+    val out = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"id", explode(TextAnalysis.chunksFromTokens($"toks", 4, 3)).as("c"))
+      .select($"id", $"c.chunk_id", $"c.chunk", $"c.n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 10 tokens, chunk 4, stride 3 -> 3 chunks: [1..4], [4..7], [7..10]
+    assert(d1.map(_._3).toSeq === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq === Seq(4L, 4L, 4L))
+    // every token appears in some chunk (full coverage)
+    assert(d1.flatMap(_._3.split(" ")).toSet === (1 to 10).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+  }
+
+  test("stratified split holds exact per-stratum proportions and is rerun-stable") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "stratum")
+    def run() = Sampling.stratifiedSplit(df, Seq("stratum"), $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = run()
+    assert(a.toSet === run().toSet, "split must be deterministic across runs")
+    Seq("even", "odd").foreach { st =>
+      val counts = a.filter(_._2 == st).groupBy(_._3).view.mapValues(_.size).toMap
+      assert(counts === Map("train" -> 80, "val" -> 10, "test" -> 10), s"stratum $st: $counts")
+    }
+  }
 }
