@@ -34,18 +34,22 @@ object Bench {
       // a failed query must surface as an err entry + nonzero exit, never as a
       // silently fast ~0s row that IMPROVES the total
       var err: Option[String] = None
-      val times = (1 to reps).flatMap { _ =>
+      val ok = Seq.newBuilder[Double]
+      val failed = Seq.newBuilder[Double]
+      (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9) }
+          ok += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           err = Some(e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
-          None
+          failed += (System.nanoTime() - t0) / 1e9
         }
       }
-      val median =
-        if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      // a query failing EVERY rep reports its failed-attempt median, not a
+      // ~0s row that would make the total look faster than a clean round
+      val times = { val s = ok.result(); if (s.nonEmpty) s else failed.result() }
+      val median = times.sorted.apply((times.size - 1) / 2)
       (name, median, err)
     }
     def jstr(s: String): String =

@@ -36,10 +36,19 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * every read/exists, and on an object store each marker probe is a
     * round-trip — the common no-interrupted-swap case must not pay it per
     * read. Entries are invalidated by the only marker writer
-    * (overwritePeriods) before it stages a new swap.
+    * (overwritePeriods). Like the read cache, this assumes the single-owner
+    * contract: THIS Warehouse performs every write under its root.
+    *
+    * `sliceLock` serializes cache-check+probe+replay against the writer's
+    * invalidate+marker-write pair: without it a reader probing between the
+    * writer's cache-remove and its putMeta would re-cache "absent", and if
+    * the writer then died mid-commit every later read in this JVM would
+    * skip the replay and serve the half-swapped layout. Driver-side
+    * metadata-rate operations only — never held around a Spark action.
     */
   private val sliceMarkerAbsent =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val sliceLock = new Object
 
   /** Crash recovery for the swap window: a process that died between
     * `target -> backup` and `tmp -> target` leaves the backup as the ONLY
@@ -67,9 +76,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * dir means the slice is empty there (the target dir is deleted). Runs
     * only when the marker exists, so the per-read cost is one file probe.
     */
-  private def completeSliceSwap(name: String): Unit = {
-    if (sliceMarkerAbsent.contains(name)) return
-    getMeta(name + "__slice_intent") match {
+  private def completeSliceSwap(name: String): Unit = sliceLock.synchronized {
+    if (!sliceMarkerAbsent.contains(name)) getMeta(name + "__slice_intent") match {
       case None =>
         sliceMarkerAbsent.add(name); ()
       case Some(m) =>
@@ -187,9 +195,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // the marker records which period dirs are replaced vs emptied, so
     // recovery never re-deletes a dir whose staged replacement already
     // moved in
-    sliceMarkerAbsent.remove(name)
-    putMeta(name + "__slice_intent",
-      s"$partCol\n${periodValues.mkString(",")}\n${staged.mkString(",")}")
+    sliceLock.synchronized {
+      sliceMarkerAbsent.remove(name)
+      putMeta(name + "__slice_intent",
+        s"$partCol\n${periodValues.mkString(",")}\n${staged.mkString(",")}")
+    }
     failpoint("slice:marker")
     completeSliceSwap(name)
   }
@@ -262,11 +272,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
       // touched bucket's pre-batch keys if it died between delete and land.
       // Staging also means the plan never overwrites files it still reads,
       // so the merge result needs no eager checkpoint.
-      overwritePeriods(name, merged, partCol, touchedVals.map(_.toString))
-      // Dataset.unpersist is a NO-OP for checkpoint storage (CacheManager
-      // never saw it) — free the RDD blocks directly, or a long-running
-      // stream accumulates dead touched-bucket copies every batch
-      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
+      try overwritePeriods(name, merged, partCol, touchedVals.map(_.toString))
+      finally
+        // Dataset.unpersist is a NO-OP for checkpoint storage (CacheManager
+        // never saw it) — free the RDD blocks directly, or a long-running
+        // stream accumulates dead touched-bucket copies every batch. In a
+        // finally: a commit that THROWS gets its batch replayed (the
+        // production story), and each failed attempt would otherwise pin
+        // its checkpoint blocks for the JVM's lifetime.
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
     }
   }
 
@@ -403,8 +417,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   def drop(name: String): Unit = {
     deleteRec(dir(name))
-    // a pending slice swap dies with its table — a stale marker must never
-    // replay onto a later table recreated under the same name
+    // ALL stale swap state dies with its table: a leftover writeSwap backup
+    // would otherwise RESURRECT the dropped table on the next recover()
+    // (backup present + target missing = restore), and a pending slice
+    // marker must never replay onto a later table recreated under the name
+    deleteRec(dir(name + "__backup"))
+    deleteRec(dir(name + "__tmp"))
     deleteRec(dir(name + "__slice_tmp"))
     Files.deleteIfExists(dir(name + "__slice_intent__meta"))
     invalidate(name)
@@ -439,7 +457,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     } finally st.close()
   }
 
-  private def deleteRec(p: Path): Unit =
+  private[graft] def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       val st = Files.walk(p)
       try {

@@ -77,6 +77,10 @@ object Sampling {
     * mismatches between decimal- and double-defaulting dialects).
     *
     * One shuffle on the strata columns (both window functions share it).
+    *
+    * `idCol` must be UNIQUE (a document id): duplicate ids tie on both
+    * ordering keys, and a tied pair straddling a cutoff would land in
+    * arbitrary splits per run/engine — same contract as [[capPerGroup]].
     */
   def stratifiedSplit(df: DataFrame, strataCols: Seq[String], idCol: Column,
       fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {

@@ -80,13 +80,6 @@ class RecoverySpec extends AnyFunSuite {
     wh.read(name).select("k", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val st = Files.walk(p)
-      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally st.close()
-    }
 
   test("writeSwap survives a kill at every commit point") {
     runMatrix(Proto(
@@ -172,12 +165,12 @@ class RecoverySpec extends AnyFunSuite {
       wh.putMeta("r__slice_intent", "p\n2,3\np=2")
       if (phase == "some" || phase == "all") { // p=2 already moved in
         val dest = java.nio.file.Paths.get(root, "r", "p=2")
-        deleteRec(dest)
+        wh.deleteRec(dest)
         Files.move(tmp.resolve("p=2"), dest)
       }
       if (phase == "all") { // p=3 already emptied, tmp cleaned
-        deleteRec(java.nio.file.Paths.get(root, "r", "p=3"))
-        deleteRec(tmp)
+        wh.deleteRec(java.nio.file.Paths.get(root, "r", "p=3"))
+        wh.deleteRec(tmp)
       }
       // next open replays the marker to completion
       val wh2 = new Warehouse(root, spark)
@@ -186,6 +179,33 @@ class RecoverySpec extends AnyFunSuite {
       assert(wh2.getMeta("r__slice_intent").isEmpty,
         s"marker must be consumed (phase=$phase)")
     }
+  }
+
+  test("drop() after a swap crash does not resurrect the table from its backup") {
+    // crash writeSwap in the backup-only window, then DROP the table: the
+    // leftover backup must die with it — recover() restoring it on the next
+    // open would resurrect a table the operator deliberately deleted
+    val root = Files.createTempDirectory("graft_drop_res").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("t", Seq((1L, "old")).toDF("k", "v"))
+    crashAt(wh, "swap:backed-up")
+    intercept[Exception](wh.writeSwap("t", Seq((2L, "new")).toDF("k", "v")))
+    val wh2 = new Warehouse(root, spark)
+    wh2.drop("t")
+    val wh3 = new Warehouse(root, spark)
+    assert(!wh3.exists("t"), "dropped table resurrected from stale backup")
+    // and a pending slice marker also dies with its table
+    wh3.writeSwap("s",
+      Seq((1L, "a", "1"), (2L, "b", "2")).toDF("k", "v", "p"),
+      partitionBy = Seq("p"))
+    crashAt(wh3, "slice:marker")
+    intercept[Exception](wh3.overwritePeriods("s",
+      Seq((9L, "B", "2")).toDF("k", "v", "p"), "p", Seq("2")))
+    val wh4 = new Warehouse(root, spark)
+    wh4.drop("s")
+    val wh5 = new Warehouse(root, spark)
+    assert(!wh5.exists("s"))
+    assert(wh5.getMeta("s__slice_intent").isEmpty)
   }
 
   test("double crash: dying again DURING marker replay still converges") {
