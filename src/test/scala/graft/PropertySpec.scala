@@ -235,4 +235,64 @@ class PropertySpec extends AnyFunSuite {
       assert(fast === naive, s"band join diverged from naive at seed $seed")
     }
   }
+
+  test("chunking invariants on random docs: count formula, coverage, reconstruction") {
+    import graft.pipeline.TextAnalysis
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val chunk = 2 + rnd.nextInt(6)           // 2..7
+      val stride = 1 + rnd.nextInt(chunk)      // 1..chunk
+      val docs = (1 to 20).map { id =>
+        (id.toLong, (1 to (1 + rnd.nextInt(25))).map(i => s"w$i").mkString(" "))
+      }
+      val out = docs.toDF("id", "text")
+        .select($"id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"id", explode(TextAnalysis.chunksFromTokens($"toks", chunk, stride)).as("c"))
+        .select($"id", $"c.chunk_id", $"c.chunk", $"c.n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val n = toks.length
+        val chunks = out(id).sortBy(_._2)
+        val expected = if (n <= chunk) 1 else 1 + math.ceil((n - chunk).toDouble / stride).toInt
+        assert(chunks.length === expected, s"seed $seed doc $id: chunk count")
+        // every chunk is the exact token window it claims to be
+        chunks.foreach { case (_, i, c, nt) =>
+          val want = toks.slice((i * stride).toInt, (i * stride).toInt + chunk)
+          assert(c === want.mkString(" "), s"seed $seed doc $id chunk $i")
+          assert(nt === want.length.toLong)
+        }
+        // full coverage: union of windows is the whole doc
+        assert(chunks.flatMap(_._3.split(" ")).toSet === toks.toSet,
+          s"seed $seed doc $id: coverage")
+      }
+    }
+  }
+
+  test("stratified split proportions hold within one row per stratum on random sizes") {
+    import graft.pipeline.Sampling
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val strata = (1 to (2 + rnd.nextInt(4))).map(s => s"s$s" -> (1 + rnd.nextInt(40)))
+      val rows = strata.flatMap { case (name, sz) =>
+        (1 to sz).map(i => (name.hashCode.toLong * 1000 + i, name))
+      }
+      val out = Sampling.stratifiedSplit(rows.toDF("id", "stratum"),
+          Seq("stratum"), $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = s"seed$seed")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      strata.foreach { case (name, sz) =>
+        val counts = out.filter(_._1 == name).groupBy(_._2).view.mapValues(_.size).toMap
+        // exact integer cutoffs: train = floor(0.8 n), train+val = floor(0.9 n)
+        val train = sz * 800 / 1000
+        val trainVal = sz * 900 / 1000
+        assert(counts.getOrElse("train", 0) === train,
+          s"seed $seed stratum $name ($sz rows): $counts")
+        assert(counts.getOrElse("val", 0) === trainVal - train)
+        assert(counts.getOrElse("test", 0) === sz - trainVal)
+        assert(counts.values.sum === sz)
+      }
+    }
+  }
 }
