@@ -26,6 +26,7 @@ object LifecycleQueries extends QuerySet {
     StructField("effective_date", DateType)))
 
   private val SeedPath = "/root/repo/seeds/proc_codes.csv"
+  private val JsonlPath = "/root/repo/seeds/docs_sample.jsonl"
 
   private val t1 = Timestamp.valueOf("2000-01-01 00:00:00")
   private val t2 = Timestamp.valueOf("2000-02-01 00:00:00")
@@ -636,6 +637,31 @@ object LifecycleQueries extends QuerySet {
         |            WHEN o_orderdate >= DATE '1997-06-01' THEN 'R'
         |            ELSE o_orderstatus END AS status
         |FROM orders""".stripMargin)),
+
+    QueryDef("q90_jsonl_source", (s, _) => {
+      // JSONL ingestion (the raw-corpus arrival format) with an EXPLICIT
+      // pinned schema — no inference scan at 100 TB — and nested-field
+      // flattening: struct member extraction + array ops in one projection
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("quality", DoubleType),
+          StructField("tags", ArrayType(StringType)))))))
+      Sources.jsonl(s, JsonlPath, schema).select(
+        col("doc_id"), col("text"), col("lang"),
+        col("meta.quality").as("quality"),
+        size(col("meta.tags")).cast("long").as("n_tags"),
+        element_at(col("meta.tags"), 1).as("first_tag"))
+    }, Some(
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+         |       CAST(meta.quality AS DOUBLE) AS quality,
+         |       CAST(len(meta.tags) AS BIGINT) AS n_tags,
+         |       meta.tags[1] AS first_tag
+         |FROM read_json('$JsonlPath', format='newline_delimited',
+         |  columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+         |           meta: 'STRUCT(quality DOUBLE, tags VARCHAR[])'})""".stripMargin)),
 
     QueryDef("q63_sql_runner", (s, d) => {
       // S10 introspective query runner: relations registered as temp views,

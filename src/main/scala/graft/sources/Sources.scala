@@ -68,4 +68,14 @@ object Sources {
       case None     => r.option("inferSchema", "true").csv(path)
     }
   }
+
+  /** JSONL (newline-delimited JSON) source — the arrival format of most raw
+    * training corpora. An EXPLICIT schema is required: schema inference
+    * would scan the full 100 TB input once just to type it, and a drifting
+    * field would silently retype the table between runs. Unknown fields are
+    * dropped by the schema projection; `mode=FAILFAST` surfaces corrupt
+    * lines instead of nulling them into the corpus.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 }

@@ -195,6 +195,17 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === contentBefore)
   }
 
+  test("stratifiedSplit plans one shared exchange for both window functions") {
+    import graft.pipeline.Sampling
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "st")
+    val out = Sampling.stratifiedSplit(df, Seq("st"), $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1,
+      s"expected the rank and count windows to share ONE shuffle:\n$plan")
+  }
+
   test("streaming merge resumes after a mid-commit crash (checkpoint replay + marker recovery)") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
