@@ -314,7 +314,14 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   private def materialize(m: Model, fullRefresh: Boolean,
       microbatchWindows: Map[String, (String, String)]): DataFrame = {
     val result = {
-      val deps = (m.deps.map(d => d -> materialized(d))).toMap
+      // a dep this run skipped (select/exclude) resolves to its relation
+      // from a previous run (the --defer analogue); failing that, explain
+      // the contract instead of surfacing a bare key-not-found
+      val deps = m.deps.map(d => d -> materialized.getOrElse(d,
+        throw new IllegalStateException(
+          s"dependency '$d' of model '${m.name}' is not materialized: it was " +
+            "not selected in this run and no previous run of this Registry " +
+            "produced it (register it, select it, or run it first)"))).toMap
       val targetExists = wh.exists(m.name)
       val isInc = m.mat.isInstanceOf[IncrementalMat] && targetExists && !fullRefresh
       val ctx = ModelContext(spark, deps, isInc,
