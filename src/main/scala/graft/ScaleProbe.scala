@@ -50,6 +50,13 @@ object ScaleProbe {
       time(s"simhash_bands         $label") {
         Dedup.simhashPairs(docs, "block", maxDist = 3).count()
       }
+      // corpus grows, benchmark stays fixed (the realistic shape): the
+      // broadcast bench side + map-side partial agg must grow ~linearly
+      // with the corpus, never with corpus x bench
+      time(s"contamination         $label") {
+        graft.pipeline.Contamination.ngramOverlap(docs,
+          docs1.filter(col("doc_id") % 50 === 0), n = 3, minShared = 5).count()
+      }
     }
 
     // connected components over the minhash pair graph: the DISTRIBUTED star
