@@ -32,6 +32,26 @@ class SeedSpec extends AnyFunSuite {
       && r.getString(3) === "82274")
   }
 
+  test("jsonl source: pinned schema projects known fields, FAILFAST rejects corrupt lines") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val good = Files.createTempDirectory("graft_jsonl").resolve("docs.jsonl")
+    Files.writeString(good,
+      """{"doc_id": 1, "text": "a b", "unknown_field": true}
+        |{"doc_id": 2, "text": "c"}
+        |""".stripMargin)
+    val out = Sources.jsonl(spark, good.toString, schema)
+    assert(out.schema === schema) // unknown fields dropped by the projection
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a b", 2L -> "c"))
+    // corrupt line -> loud failure, never a silent null row in the corpus
+    val bad = good.getParent.resolve("bad.jsonl")
+    Files.writeString(bad, "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n")
+    assertThrows[org.apache.spark.SparkException](
+      Sources.jsonl(spark, bad.toString, schema).collect())
+  }
+
   test("store_failures persists tagged failing rows across runs") {
     val wh = new Warehouse(Files.createTempDirectory("graft_dq").toString, spark)
     val failing = Seq((7L, 2L)).toDF("unique_field", "n_records")
