@@ -17,6 +17,21 @@ import graft.engine.Warehouse
   *     (crash-then-retry is the actual production story: the scheduler or
   *     stream replays the batch).
   */
+/** One swap protocol under test: set up initial state, run the op, read the
+  * logical state back. Bucketed-table protos may be unreadable mid-recovery
+  * (the catalog swap window) — consistency is then asserted only when
+  * `readable` holds. (Top-level: a spec-nested case class trips the
+  * unchecked-outer-reference warning in pattern contexts.)
+  */
+private[graft] final case class Proto(
+    name: String,
+    setup: Warehouse => Unit,
+    op: Warehouse => Unit,
+    state: Warehouse => Map[Long, String],
+    before: Map[Long, String],
+    after: Map[Long, String],
+    readable: Warehouse => Boolean = _ => true)
+
 class RecoverySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -24,20 +39,6 @@ class RecoverySpec extends AnyFunSuite {
   private def crashAt(wh: Warehouse, point: String): Unit =
     wh.failpoint = p =>
       if (p == point) throw new RuntimeException(s"injected crash at $p")
-
-  /** One swap protocol under test: set up initial state, run the op, read
-    * the logical state back. `catalogRead` protos (bucketed tables) may be
-    * unreadable mid-recovery (the catalog swap window) — consistency is
-    * then asserted only when the table exists.
-    */
-  private final case class Proto(
-      name: String,
-      setup: Warehouse => Unit,
-      op: Warehouse => Unit,
-      state: Warehouse => Map[Long, String],
-      before: Map[Long, String],
-      after: Map[Long, String],
-      readable: Warehouse => Boolean = _ => true)
 
   /** Discover the failpoint names a clean run of the protocol passes. */
   private def discoverPoints(p: Proto): Seq[String] = {
