@@ -55,6 +55,11 @@ object Incremental {
       updateCols: Option[Seq[String]] = None,
       excludeCols: Seq[String] = Nil,
       nullSafeKeys: Boolean = false): DataFrame = {
+    // dbt treats merge_update_columns and merge_exclude_columns as mutually
+    // exclusive (merge.sql:12-14 picks one) — accepting both would silently
+    // apply whichever this implementation happened to consult first
+    require(updateCols.isEmpty || excludeCols.isEmpty,
+      "updateCols and excludeCols are mutually exclusive (dbt merge contract)")
     if (keys.isEmpty) return target.unionByName(source)
     if (nullSafeKeys) {
       // J9 (dbt-adapters/macros/utils/equals.sql:9-17): `(a = b) or (a is
@@ -73,7 +78,8 @@ object Incremental {
       val inserted = source.select(target.columns.map(col).toSeq: _*)
         .join(target.select(keys.map(col): _*).distinct(),
           keys.map(k => source(k) <=> target(k)).reduce(_ && _), "left_anti")
-      return untouched.unionByName(updated).unionByName(inserted)
+      return untouched.unionByName(assertDeterministicMatch(updated, keys))
+        .unionByName(inserted)
     }
     val updated = (updateCols, excludeCols) match {
       case (Some(cols), _) =>
@@ -100,7 +106,29 @@ object Incremental {
     val untouched = target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val inserted  = source.select(target.columns.map(col).toSeq: _*)
       .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    untouched.unionByName(updated).unionByName(inserted)
+    untouched.unionByName(assertDeterministicMatch(updated, keys)).unionByName(inserted)
+  }
+
+  /** Snowflake raises ERROR_ON_NONDETERMINISTIC_MERGE when one target row
+    * matches multiple source rows; silently emitting both would duplicate
+    * the unique key and compound on every later run. Checked INSIDE the
+    * plan (an eager probe would re-scan the target): a per-key count over
+    * the matched subset only — batch-sized, rides the join's key
+    * partitioning — with `assert_true` raising at execution. Unmatched
+    * duplicate source rows still insert as separate rows, as in the
+    * reference's MERGE INSERT clause. Callers with legitimately duplicated
+    * batches must dedupe first (e.g. latestPerKey).
+    */
+  private def assertDeterministicMatch(updated: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    updated.withColumn("__graft_nmatch", count(lit(1)).over(w))
+      // assert_true is NULL when the predicate holds — the filter keeps
+      // every row and cannot be pruned away (a projected-then-dropped
+      // assert column would be column-pruned before it ever ran)
+      .filter(assert_true(col("__graft_nmatch") <= 1,
+        lit(s"nondeterministic merge: a target row matches multiple source " +
+          s"rows on (${keys.mkString(", ")}); dedupe the batch first")).isNull)
+      .drop("__graft_nmatch")
   }
 
   /** append (I1, strategies.sql:93-103): insert the full source batch with no

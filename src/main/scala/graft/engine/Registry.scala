@@ -360,23 +360,34 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
             val target = Incremental.reconcileSchema(stored, df, onSchema)
             strategy match {
               case Incremental.Append =>
-                // if reconcileSchema reshaped the target, persist the reshape
-                // first — appending mismatched-schema part-files would make
-                // reads nondeterministic (parquet takes one file's schema).
-                // The batch is materialized BEFORE the swap: the model build
-                // may reference ctx.existingTarget, whose file index dies in
-                // the swap (stale-scan FileNotFound otherwise).
+                // if reconcileSchema reshaped the target — ADDED columns OR
+                // retyped them (SyncAllColumns int->long) — persist the
+                // reshape first: appending mismatched-schema part-files
+                // would make reads nondeterministic (parquet takes one
+                // file's schema), and a name-only comparison would miss the
+                // type-only drift entirely. The batch is materialized BEFORE
+                // the swap: the model build may reference
+                // ctx.existingTarget, whose file index dies in the swap
+                // (stale-scan FileNotFound otherwise).
                 val src =
-                  if (target.columns.toSeq != stored.columns.toSeq) {
+                  if (target.schema != stored.schema) {
                     val snap = df.localCheckpoint(true)
                     wh.writeSwap(m.name, target)
                     snap
                   } else df
                 val schemaNow = wh.read(m.name).schema
+                // cast every appended column to the STORED type (the
+                // warehouse-coercion dbt relies on): an int batch landing
+                // in a long column must not write int-typed files
                 val aligned = schemaNow.fields.map(f =>
-                  if (src.columns.contains(f.name)) col(f.name)
+                  if (src.columns.contains(f.name)) col(f.name).cast(f.dataType)
                   else lit(null).cast(f.dataType).as(f.name))
                 wh.append(m.name, src.select(aligned.toSeq: _*))
+                // checkpoint blocks are invisible to Dataset.unpersist —
+                // free them or each schema-change append pins a batch copy
+                // for the JVM's lifetime
+                if (src ne df)
+                  org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(src)
               case multi =>
                 // merge/delete+insert scan the source more than once: snapshot
                 // it for identical inputs (temp-relation rule I8,

@@ -27,6 +27,9 @@ object Skew {
       factUniquifier: String, joinType: String = "inner"): DataFrame = {
     require(factPreserving.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin requires a fact-preserving join type, got '$joinType'")
+    // k = 0 would salt every fact row with pmod-by-zero NULL and explode the
+    // dim to salts [0,-1]: an inner join silently returns ZERO rows
+    require(k >= 1, s"saltedJoin salt count must be >= 1, got $k")
     val salted = fact.withColumn("__salt", salt(col(factUniquifier), k))
     val exploded = dim.withColumn("__salt", explode(sequence(lit(0), lit(k - 1))))
     salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")

@@ -101,15 +101,22 @@ object Snapshot {
 
     val srcPref  = "s_"
     val src = source1.select(source1.columns.map(c => col(c).as(srcPref + c)).toSeq: _*)
+      .withColumn("__src_present", lit(true))
     val joinCond = keys.map(k => col(k) === col(srcPref + k)).reduce(_ && _)
     val snapC: String => Column = c => col(c)
     val srcC:  String => Column = c => col(srcPref + c)
     val changed = strategy.rowChanged(snapC, srcC)
     val updAt   = strategy.updatedAt(srcC)
 
-    val j = open.join(src, joinCond, "full_outer")
-    val srcKeyNull  = col(srcPref + keys.head).isNull
-    val snapKeyNull = col(keys.head).isNull
+    // row presence is marked with literal flags, NOT key-NULL sentinels: an
+    // open history row whose key column is genuinely NULL never joins (SQL
+    // `=`), and a key-NULL sentinel would misread it as "no snapshot row"
+    // and replace it with an all-NULL insert — the row's data would vanish.
+    // (dbt's NULL-key semantics are preserved: a NULL-key source row
+    // re-inserts each run, a NULL-key history row takes the vanished path.)
+    val j = open.withColumn("__snap_present", lit(true)).join(src, joinCond, "full_outer")
+    val srcAbsent  = coalesce(col("__src_present"), lit(false)) === false
+    val snapAbsent = coalesce(col("__snap_present"), lit(false)) === false
 
     // SINGLE-PASS changeset (helpers.sql:107-205): each joined row maps to
     // its output rows via one explode — the branch-per-filter form would
@@ -143,14 +150,14 @@ object Snapshot {
       "dbt_scd_id"     -> surrogateKey(col("dbt_scd_id"), lit(snapshotTime)),
       "dbt_is_deleted" -> lit("True")))
 
-    val matched = !snapKeyNull && !srcKeyNull
+    val matched = !snapAbsent && !srcAbsent
     val changedTrue = coalesce(changed, lit(false))
     val vanishedOuts = hardDeletes match {
       case IgnoreDeletes => array(untouchedRow)
       case Invalidate    => array(closedAtSnap)
       case NewRecord     => array(closedAtSnap, tombstoneRow)
     }
-    val outs = when(snapKeyNull, array(insertRow))
+    val outs = when(snapAbsent, array(insertRow))
       .when(matched && changedTrue, array(closedAtUpdAt, insertRow))
       .when(matched && !changedTrue, array(untouchedRow))
       .otherwise(vanishedOuts)

@@ -141,6 +141,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
+    // recover FIRST: in the backup-only crash state the backup is the sole
+    // complete copy, and the deleteRec(backup) below would destroy it
+    // before the new data is safely staged — a second failure then loses
+    // everything. Restoring first makes the old state an ordinary target.
+    recover(name)
     val out = if (clusterBy.nonEmpty)
       df.repartitionByRange(clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
     else df
@@ -208,6 +213,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * existing ones; no rewrite of existing data.
     */
   def append(name: String, df: DataFrame): Unit = {
+    // recover first: appending into the backup-only crash state would
+    // recreate the target dir with ONLY the batch, permanently shadowing
+    // the backup copy of everything before it
+    recover(name)
     df.write.mode(SaveMode.Append).parquet(dir(name).toString)
     invalidate(name)
   }
@@ -248,16 +257,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
     require(!batch.columns.contains(partCol), s"column name '$partCol' is reserved")
     val withPart = batch.withColumn(partCol, pmod(hash(keys.map(col): _*), lit(nBuckets)))
     if (!exists(name)) {
-      withPart.write.mode(SaveMode.Overwrite).partitionBy(partCol)
-        .parquet(dir(name).toString)
-      invalidate(name)
+      // staged like every other creation path (writeSwap = tmp + atomic
+      // rename): a direct write that died mid-stream would leave a partial
+      // dir that every later open accepts as the complete first batch
+      writeSwap(name, withPart, partitionBy = Seq(partCol))
     } else {
+      // the batch is scanned up to four times below (touched-ids collect +
+      // merge's three branches): cache it for identical inputs across
+      // scans — the temp-relation rule I8 the Registry enforces for the
+      // same strategies; a nondeterministic source re-evaluated per branch
+      // could disagree with itself about which keys matched
+      val batchC = withPart.cache()
+      try {
       // STATIC partition pruning: the touched bucket ids (at most nBuckets
       // values) collect in one tiny job and become an isin partition
       // filter the scan provably honors — a broadcast semi-join looks
       // equivalent but Spark's dynamic partition pruning declines it
       // without stats, silently re-reading the whole target every batch
-      val touchedVals = withPart.select(partCol).distinct()
+      val touchedVals = batchC.select(partCol).distinct()
         .collect().map(_.getInt(0)).toSeq
       // lazy checkpoint: merge's three branches (updated/untouched/
       // inserted) would otherwise scan the touched buckets three times;
@@ -265,7 +282,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       // merge, where re-scanning parquet beats caching)
       val target = touchedBucketScan(name, partCol, touchedVals)
         .localCheckpoint(false)
-      val merged = Incremental.merge(target, withPart, keys, nullSafeKeys = nullSafeKeys)
+      val merged = Incremental.merge(target, batchC, keys, nullSafeKeys = nullSafeKeys)
       // commit via the staged slice swap (stage to tmp, intent marker,
       // per-bucket rename): a crash mid-commit is finished by recover() —
       // the in-place dynamic partition overwrite this replaces could lose a
@@ -281,6 +298,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
         // production story), and each failed attempt would otherwise pin
         // its checkpoint blocks for the JVM's lifetime.
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(target)
+      } finally batchC.unpersist()
     }
   }
 
@@ -352,6 +370,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
       nBuckets: Int): Unit = {
     val genNow = recoverBucketedGen(table)
     require(spark.catalog.tableExists(table), s"bucketed target $table missing")
+    // same identical-inputs rule as upsertPartitioned: merge's three
+    // branches each scan the source within the one saveAsTable action
+    val src = source.cache()
+    try mergeBucketedImpl(table, src, keys, nBuckets, genNow)
+    finally src.unpersist()
+  }
+
+  private def mergeBucketedImpl(table: String, source: DataFrame,
+      keys: Seq[String], nBuckets: Int, genNow: String): Unit = {
     val merged = Incremental.merge(spark.table(table), source, keys)
     val genNext = if (genNow == "a") "b" else "a"
     val prevPath = dir(if (genNow.isEmpty) table else s"$table@$genNow")
@@ -425,6 +452,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     deleteRec(dir(name + "__tmp"))
     deleteRec(dir(name + "__slice_tmp"))
     Files.deleteIfExists(dir(name + "__slice_intent__meta"))
+    // the config sidecar too: a later table recreated under this name must
+    // not inherit the dropped table's dynamic-table config (a config-clean
+    // first run would silently no-op instead of building)
+    Files.deleteIfExists(dir(name + "__meta"))
     invalidate(name)
   }
 

@@ -105,4 +105,25 @@ class IncrementalSpec extends AnyFunSuite {
     val row = synced.collect()(0)
     assert(row.getDouble(1) === 10.0 && row.isNullAt(2))
   }
+
+  test("merge raises on a nondeterministic match; unmatched duplicates still insert") {
+    val target = Seq((1L, "t1"), (2L, "t2")).toDF("k", "v")
+    // duplicate key 1 MATCHES the target -> Snowflake's
+    // ERROR_ON_NONDETERMINISTIC_MERGE analogue must raise at execution
+    val dupMatched = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Incremental.merge(target, dupMatched, Seq("k")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("nondeterministic merge"))
+    // duplicate key 9 matches NOTHING -> both rows insert (MERGE INSERT
+    // clause semantics), no error
+    val dupNew = Seq((9L, "a"), (9L, "b")).toDF("k", "v")
+    val out = Incremental.merge(target, dupNew, Seq("k")).collect()
+    assert(out.length === 4)
+    // updateCols + excludeCols together is a contract error (dbt treats
+    // them as mutually exclusive)
+    assertThrows[IllegalArgumentException](
+      Incremental.merge(target, dupNew, Seq("k"),
+        updateCols = Some(Seq("v")), excludeCols = Seq("v")))
+  }
 }

@@ -125,6 +125,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(out.filter("k = 2").collect()(0).getAs[Int]("extra") === 42)
   }
 
+  test("append with SyncAllColumns persists a TYPE-only reshape before appending") {
+    val root = Files.createTempDirectory("graft_wh6").toString
+    val wh = new Warehouse(root, spark)
+    def reg(df: org.apache.spark.sql.DataFrame) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", df)
+      r.register(Model("appT", Seq("raw"),
+        IncrementalMat(Incremental.Append, Nil, Incremental.SyncAllColumns),
+        ctx => ctx.ref("raw")))
+      r
+    }
+    reg(Seq((1L, 10)).toDF("k", "v")).run()                 // v: int
+    // run 2 WIDENS v to long with a value that does not fit in int: the
+    // name-only reshape check would skip the rewrite and append long-typed
+    // files next to int-typed ones (nondeterministic reads)
+    reg(Seq((2L, 9999999999L)).toDF("k", "v")).run()
+    val out = wh.read("appT")
+    assert(out.schema("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 10L, 2L -> 9999999999L))
+  }
+
   test("parallel DAG run (threads=4) produces the same state as sequential") {
     def build(root: String, threads: Int): Map[Long, (String, Long)] = {
       val wh = new Warehouse(root, spark)

@@ -22,6 +22,10 @@ class ScaleSpec extends AnyFunSuite {
     val salted = Skew.saltedJoin(fact, dim, Seq("k"), k = 8, factUniquifier = "fact_id")
     assert(salted.count() === plain.count())
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // k = 0 would pmod-by-zero every salt to NULL and silently join to
+    // nothing — must fail loudly instead
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(fact, dim, Seq("k"), k = 0, factUniquifier = "fact_id"))
   }
 
   test("bucketed tables join with zero exchanges") {

@@ -72,6 +72,31 @@ class SnapshotSpec extends AnyFunSuite {
     assert(hist2.exceptAll(hist1).isEmpty && hist1.exceptAll(hist2).isEmpty)
   }
 
+  test("a NULL-key open history row survives subsequent runs intact") {
+    // NULL keys never join under SQL `=`, so the row must take the
+    // VANISHED path (kept open under IgnoreDeletes), never be misread as
+    // "no snapshot row" and replaced by an all-NULL insert
+    val withNull = Seq((Some(1L), "a"), (None, "null-key"))
+      .toDF("member_id", "plan")
+    val h1 = Snapshot.firstRun(withNull, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
+    assert(h1.count() === 2)
+    // run 2: source still carries the NULL-key row (it re-inserts, dbt NULL
+    // semantics) and key 1 unchanged
+    val h2 = Snapshot.apply(h1, withNull, Seq("member_id"),
+      CheckStrategy(Seq("plan"), t2), IgnoreDeletes, t2)
+    val nullRows = h2.filter("member_id IS NULL").collect()
+    // original open row intact (data preserved!) + the re-inserted version
+    assert(nullRows.length === 2)
+    assert(nullRows.forall(_.getAs[String]("plan") === "null-key"),
+      "NULL-key history row lost its data")
+    val origOpen = nullRows.filter(r =>
+      r.getAs[java.sql.Timestamp]("dbt_valid_from") === t1 &&
+        r.isNullAt(r.fieldIndex("dbt_valid_to")))
+    assert(origOpen.length === 1, "the t1 open version must remain open and intact")
+    // key 1 unchanged: exactly one open version
+    assert(h2.filter("member_id = 1").count() === 1)
+  }
+
   test("scd_id matches the surrogate-key md5 recipe (strategies.sql:40-50)") {
     val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
     val got = hist.filter("member_id = 1").collect()(0).getAs[String]("dbt_scd_id")
