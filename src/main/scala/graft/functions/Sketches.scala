@@ -50,10 +50,21 @@ object Sketches {
     * silently drift.
     */
   def hllRegistersBy(df: DataFrame, groupCols: Seq[Column], v: Column,
-      b: Int = 8): DataFrame =
+      b: Int = 8): DataFrame = {
+    require(!df.columns.contains("__hll_md5"), "column name '__hll_md5' is reserved")
+    // ONE md5 per row: bucket and rho both derive from the same digest
+    // materialized behind a projection — the per-expression form (hllBucket
+    // + hllRho each calling md5) hashes every value twice, and hashing is
+    // the dominant per-row cost of the 100 TB COUNT DISTINCT path. Recipes
+    // stay byte-identical to hllBucket/hllRho (the oracle-gated forms).
+    val bucket = conv(substring(col("__hll_md5"), 1, b / 4), 16, 10).cast("int")
+    val bin = lpad(conv(substring(col("__hll_md5"), b / 4 + 1, 8), 16, 2), 32, "0")
+    val rho = coalesce(nullif(instr(bin, "1"), lit(0)), lit(33)).cast("int")
     df.filter(v.isNotNull)
-      .groupBy((groupCols :+ hllBucket(v, b).as("hll_bucket")): _*)
-      .agg(max(hllRho(v, b)).as("hll_rho"))
+      .withColumn("__hll_md5", md5(v.cast("string")))
+      .groupBy((groupCols :+ bucket.as("hll_bucket")): _*)
+      .agg(max(rho).as("hll_rho"))
+  }
 
   /** alpha_m * m^2 for the raw HLL estimator. */
   def alphaM2(b: Int): Double = {

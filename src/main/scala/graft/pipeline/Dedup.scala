@@ -84,6 +84,9 @@ object Dedup {
     candidates
       .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shOnly.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // inter/na/nb materialize behind a projection boundary (guaranteed
+      // one array_intersect per pair); the jaccard() helper's repeated
+      // `inter` subtree would lean on codegen subexpression elimination
       .select(col(blockCol), col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).cast("double").as("na"),
@@ -133,6 +136,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int, k: Int, bandSize: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // bandSize > k would give nBands = 0 and a phantom band slicing an EMPTY
+    // signature — every doc then shares band value "" and the band join
+    // degenerates into the all-pairs cross join this operator exists to
+    // avoid; a non-dividing bandSize would silently ignore trailing slots
+    require(bandSize >= 1 && k % bandSize == 0,
+      s"bandSize must divide k (k=$k, bandSize=$bandSize)")
     val nBands = k / bandSize
     // lazy local checkpoint: shingles+signatures computed ONCE and reused by
     // all four consumers (two banded branches + two shingle re-joins) —

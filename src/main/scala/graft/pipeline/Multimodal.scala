@@ -127,7 +127,11 @@ object Multimodal {
     // zero/negative-frame rows (corrupt containers) emit NO frames instead
     // of killing the job: sequence(0, -1, +stride) is a runtime error
     videos.select(col("doc_id").cast("long"), col("media"),
-        col("fps").cast("double"),
+        // NULL fps is the same corrupt-container class as n_frames <= 0:
+        // the typed tuple below decodes fps into a PRIMITIVE double, and a
+        // NULL would fail the encoder and kill the job instead of
+        // degrading to ts 0.0 like the fps == 0 guard
+        coalesce(col("fps").cast("double"), lit(0.0)),
         explode(when(col("n_frames") > 0,
             sequence(lit(0), col("n_frames").cast("int") - 1, lit(stride)))
           .otherwise(array().cast("array<int>")))

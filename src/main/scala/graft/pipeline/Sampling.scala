@@ -60,6 +60,7 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCols: Seq[String], n: Int, idCol: Column,
       salt: String = ""): DataFrame = {
     require(n > 0, s"n: $n")
+    require(!df.columns.contains("__rn"), "column name '__rn' is reserved")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(hashBucket(idCol, salt).asc, idCol.asc)
     df.withColumn("__rn", row_number().over(w))
@@ -85,6 +86,8 @@ object Sampling {
   def stratifiedSplit(df: DataFrame, strataCols: Seq[String], idCol: Column,
       fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0), s"fractions: $fractions")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column (it would be silently replaced)")
     val milles = fractions.map { case (name, f) => name -> math.round(f * 1000) }
     require(milles.map(_._2).sum == 1000L,
       s"fractions must sum to 1.0 (per-mille): $fractions")

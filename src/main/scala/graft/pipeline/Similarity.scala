@@ -50,8 +50,11 @@ object Similarity {
     * near-orthogonal directions).
     */
   def signBucket(vec: Column, bits: Int): Column =
+    // `get` (0-based) returns NULL out of bounds where ANSI `element_at`
+    // THROWS — one truncated embedding row must score a 0-bit, not abort
+    // the whole job
     (0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      when(get(vec, lit(i)) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** Quantized vector + exact squared norm, computed ONCE per row — pairwise
@@ -66,11 +69,17 @@ object Similarity {
   }
 
   /** Cosine from precomputed quantized vectors + squared norms: same math as
-    * cosineQ, dot only per pair.
+    * cosineQ, dot only per pair. A zero-norm side (failed encoder output, or
+    * a vector quantized to all zeros) has NO defined cosine — guard it to
+    * NULL, which sorts after every real score and fails `>= threshold`
+    * filters; the unguarded 0/0 is NaN, which Spark ranks ABOVE all real
+    * doubles, putting the degenerate row at rank 1 of every query and
+    * pairing it with every doc in its block.
     */
   private def pairScore: Column =
-    dotQ(col("qv"), col("cv")).cast("double") /
-      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
+    when(col("qn") > 0 && col("cn") > 0,
+      dotQ(col("qv"), col("cv")).cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
 
   /** Brute-force top-k neighbors for `queries` (small, broadcast) against
     * `corpus`. Output: query_id, neighbor_id, score, rank.
@@ -176,9 +185,11 @@ object Similarity {
       nBands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val totalBits = bandBits * nBands
     require(totalBits <= 31, "sketch must fit an int")
-    // sign from the RAW float (quantization would shift exact-zero ties)
+    // sign from the RAW float (quantization would shift exact-zero ties);
+    // `get` returns NULL (-> 0-bit) where ANSI element_at would throw on a
+    // truncated row
     val sketch = (0 until totalBits).map(i =>
-      when(element_at(col("__fv"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      when(get(col("__fv"), lit(i)) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
     val p = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("__fv"),
         quantize(col(vecCol)).as("v"))

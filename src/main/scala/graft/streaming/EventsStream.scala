@@ -121,34 +121,66 @@ object EventsStream {
   final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
       duration_us: Long)
 
-  /** Stateful sessionization: emit a session row when the 30-min gap elapses.
-    * State per user is a single running session (mapGroupsWithState family,
-    * the reference-free "custom state" capability from the brief).
+  /** Stateful sessionization: emit a session row when the 30-min gap
+    * elapses — either because a LATER event from the same user arrives, or
+    * because the event-time watermark passes the gap horizon
+    * (EventTimeTimeout). Without the timeout an idle user's final session
+    * would sit in state forever on a live stream, never emitted and never
+    * evicted (a liveness leak the finite-input tests cannot see). State per
+    * user is a single running session (mapGroupsWithState family, the
+    * reference-free "custom state" capability from the brief).
     */
-  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)(
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000,
+      watermarkDelay: String = "2 hours")(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    // EventTimeTimeout requires a watermark upstream of the stateful op
+    val marked = events
+      .withColumn("__ts", timestamp_micros(col("us")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[Event]
+    marked.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // within a microbatch, order by event time (files arrive unordered)
-          val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.us - st.lastUs <= gapUs =>
-                cur = Some(st.copy(lastUs = e.us, nEvents = st.nEvents + 1))
-              case Some(st) =>
-                out += SessionOut(userId, st.sessionStartUs, st.nEvents, st.lastUs - st.sessionStartUs)
-                cur = Some(SessionState(e.us, e.us, 1))
-              case None =>
-                cur = Some(SessionState(e.us, e.us, 1))
+          if (state.hasTimedOut) {
+            // the watermark passed lastUs + gap with no new events: the
+            // open session is complete — emit it and free the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionStartUs, st.nEvents,
+              st.lastUs - st.sessionStartUs))
+          } else {
+            // within a microbatch, order by event time (files arrive unordered)
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.us - st.lastUs <= gapUs =>
+                  // max: a LATE cross-batch event inside the gap must not
+                  // regress the session's frontier (which could wrongly
+                  // split it at the next on-time event)
+                  cur = Some(st.copy(lastUs = math.max(st.lastUs, e.us),
+                    nEvents = st.nEvents + 1))
+                case Some(st) =>
+                  out += SessionOut(userId, st.sessionStartUs, st.nEvents,
+                    st.lastUs - st.sessionStartUs)
+                  cur = Some(SessionState(e.us, e.us, 1))
+                case None =>
+                  cur = Some(SessionState(e.us, e.us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark passes the gap horizon; clamp above
+              // the current watermark (setting a timeout at-or-below it is
+              // an error — the session then times out on the NEXT batch)
+              state.setTimeoutTimestamp(math.max(st.lastUs / 1000 + gapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

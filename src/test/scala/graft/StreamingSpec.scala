@@ -31,20 +31,51 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sc = s.sqlContext
     val mem = MemoryStream[Event]
     val min = 60L * 1000000
+    // modern base time: an event at epoch 0 sits exactly ON the initial
+    // watermark and is discarded as late — an artifact no real feed has
+    val base = 1700000000L * 1000000
     mem.addData(
-      Event(1, 10, 0), Event(2, 10, 5 * min), Event(3, 10, 50 * min), // gap after 5min
-      Event(4, 20, 0))
+      Event(1, 10, base), Event(2, 10, base + 5 * min),
+      Event(3, 10, base + 50 * min), // gap after 5min
+      Event(4, 20, base))
     val out = EventsStream.sessionize(mem.toDS())
     val q = out.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("sessions_test")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // only COMPLETED sessions are emitted (append mode): user 10's first session
+    // only COMPLETED sessions are emitted (append mode): user 10's first
+    // session closes via the in-stream gap; the open sessions at [50min]
+    // and user 20 stay in state (the watermark has not passed their gap
+    // horizon when the finite input ends)
     val rows = spark.table("sessions_test").as[SessionOut].collect()
     assert(rows.length === 1)
     assert(rows(0).user_id === 10L)
     assert(rows(0).n_events === 2L)
     assert(rows(0).duration_us === 5 * min)
+  }
+
+  test("sessionize emits an idle user's session when the watermark passes the gap (timeout liveness)") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Event]
+    val min = 60L * 1000000
+    val base = 1700000000L * 1000000
+    val out = EventsStream.sessionize(mem.toDS(), watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_timeout_test").start()
+    try {
+      mem.addData(Event(1, 30, base), Event(2, 30, base + 5 * min))
+      q.processAllAvailable()
+      // a LATER batch from an unrelated user advances the watermark past
+      // user 30's gap horizon; the timeout must flush the idle session
+      // even though user 30 never sends another event
+      mem.addData(Event(9, 99, base + 10L * 60 * 60 * 1000000))
+      q.processAllAvailable()
+      val flushed = spark.table("sessions_timeout_test").as[SessionOut].collect()
+        .filter(_.user_id == 30L)
+      assert(flushed.length === 1, "idle user's session must flush on timeout")
+      assert(flushed(0).n_events === 2L && flushed(0).duration_us === 5 * min)
+    } finally q.stop()
   }
 
   test("streaming HLL registers == batch registers (sf0.001 events)") {
