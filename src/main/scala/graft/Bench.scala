@@ -34,6 +34,7 @@ object Bench {
       // a failed query must surface as an err entry + nonzero exit, never as a
       // silently fast ~0s row that IMPROVES the total
       var err: Option[String] = None
+      var nFailed = 0
       val ok = Seq.newBuilder[Double]
       val failed = Seq.newBuilder[Double]
       (1 to reps).foreach { _ =>
@@ -43,6 +44,7 @@ object Bench {
         catch { case e: Throwable =>
           err = Some(e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+          nFailed += 1
           failed += (System.nanoTime() - t0) / 1e9
         }
       }
@@ -50,7 +52,12 @@ object Bench {
       // ~0s row that would make the total look faster than a clean round
       val times = { val s = ok.result(); if (s.nonEmpty) s else failed.result() }
       val median = times.sorted.apply((times.size - 1) / 2)
-      (name, median, err)
+      // only an every-rep failure is a hard error (errors map + exit 1); a
+      // transient failure with later successful reps is flaky, not broken —
+      // it reports its successful-rep median under "flaky" with the count
+      val hardErr = if (nFailed == reps) err else None
+      val flaky = if (nFailed > 0 && nFailed < reps) Some((nFailed, err.get)) else None
+      (name, median, hardErr, flaky)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -58,12 +65,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val flaky = results.collect { case (k, _, _, Some((n, e))) =>
+      "\"" + k + "\":" + jstr(s"$n/$reps reps failed: $e") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

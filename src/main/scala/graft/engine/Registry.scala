@@ -382,11 +382,12 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                 val aligned = schemaNow.fields.map(f =>
                   if (src.columns.contains(f.name)) col(f.name).cast(f.dataType)
                   else lit(null).cast(f.dataType).as(f.name))
-                wh.append(m.name, src.select(aligned.toSeq: _*))
                 // checkpoint blocks are invisible to Dataset.unpersist —
-                // free them or each schema-change append pins a batch copy
-                // for the JVM's lifetime
-                if (src ne df)
+                // free them even when the append throws, or each
+                // schema-change attempt pins a batch copy for the JVM's
+                // lifetime
+                try wh.append(m.name, src.select(aligned.toSeq: _*))
+                finally if (src ne df)
                   org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(src)
               case multi =>
                 // merge/delete+insert scan the source more than once: snapshot

@@ -51,6 +51,10 @@ object Sketches {
     */
   def hllRegistersBy(df: DataFrame, groupCols: Seq[Column], v: Column,
       b: Int = 8): DataFrame = {
+    // b must align to whole hex digits: bucket is substring(md5, 1, b/4).
+    // A misaligned b (e.g. 10) would silently shear the bucket/rho substrings
+    // and corrupt the estimate (alphaM2 assumes exactly 2^b buckets).
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be a multiple of 4 in [4,16], got $b")
     require(!df.columns.contains("__hll_md5"), "column name '__hll_md5' is reserved")
     // ONE md5 per row: bucket and rho both derive from the same digest
     // materialized behind a projection — the per-expression form (hllBucket

@@ -89,6 +89,10 @@ object Sampling {
     require(!df.columns.contains("split"),
       "input already has a 'split' column (it would be silently replaced)")
     val milles = fractions.map { case (name, f) => name -> math.round(f * 1000) }
+    // a fraction in (0, 0.0005) passes the f > 0 check but rounds to 0
+    // per-mille — its split would silently never receive a row
+    require(milles.forall(_._2 >= 1),
+      s"every fraction must round to >= 1 per-mille (0.001): $fractions")
     require(milles.map(_._2).sum == 1000L,
       s"fractions must sum to 1.0 (per-mille): $fractions")
     val wOrd = Window.partitionBy(strataCols.map(col): _*)

@@ -129,6 +129,14 @@ object EventsStream {
     * evicted (a liveness leak the finite-input tests cannot see). State per
     * user is a single running session (mapGroupsWithState family, the
     * reference-free "custom state" capability from the brief).
+    *
+    * LATE-DATA TRADEOFF: the watermark this liveness fix requires also
+    * DROPS events arriving more than `watermarkDelay` behind the max seen
+    * event time — they never reach the stateful op. A replay-style caller
+    * feeding historical data out of order must raise `watermarkDelay` to
+    * cover the worst-case disorder (the timeout then just fires later);
+    * the old NoTimeout form processed arbitrarily late events but leaked
+    * state on live streams.
     */
   def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000,
       watermarkDelay: String = "2 hours")(

@@ -104,5 +104,9 @@ class FunctionsSpec extends AnyFunSuite {
     // NULLs are ignored like COUNT DISTINCT
     val withNulls = vals.unionByName(spark.range(5).select(lit(null).cast("long").as("v")))
     assert(Sketches.hllRegisters(withNulls, Nil, $"v").exceptAll(regs).isEmpty)
+    // hex-misaligned b must raise, not silently shear the bucket substring
+    Seq(0, 3, 10, 20).foreach { bad =>
+      intercept[IllegalArgumentException](Sketches.hllRegisters(vals, Nil, $"v", b = bad))
+    }
   }
 }

@@ -253,5 +253,10 @@ class PipelineSpec extends AnyFunSuite {
       val counts = a.filter(_._2 == st).groupBy(_._3).view.mapValues(_.size).toMap
       assert(counts === Map("train" -> 80, "val" -> 10, "test" -> 10), s"stratum $st: $counts")
     }
+    // a fraction that rounds to 0 per-mille would silently starve its split
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, Seq("stratum"), $"id",
+        Seq("train" -> 0.9996, "tiny" -> 0.0004))
+    }
   }
 }
