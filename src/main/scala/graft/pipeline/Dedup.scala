@@ -275,6 +275,47 @@ object Dedup {
       .select(col(blockCol), col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** CCNet-style paragraph-level dedup ACROSS documents: split every doc on
+    * `delim`, keep only the globally-FIRST occurrence of each normalized
+    * paragraph (ordered by (doc id, position)), reassemble the surviving
+    * paragraphs in original order. This is the inter-document repetition
+    * scrub (boilerplate headers, license blocks, navigation chrome) that
+    * document-level dedup cannot see.
+    *
+    * Output: doc_id, text (deduped; "" when every paragraph was a repeat),
+    * n_paragraphs, n_kept. Callers typically drop rows with n_kept = 0.
+    *
+    * Scale shape: two shuffles, both on high-cardinality uniform keys —
+    * posexplode is map-side; the first-occurrence rank shuffles on the
+    * paragraph md5 (near-unique, no hot keys); the reassembly groupBy
+    * shuffles on doc id. No distinct, no self-join, no collect. A paragraph
+    * repeated N times still lands in ONE rank partition — for corpus-scale
+    * boilerplate (the same cookie banner a billion times) that key carries
+    * its duplicate volume, which is exactly the data the operator must see
+    * to order; the carried payload is (id, pos) plus the paragraph itself.
+    */
+  def dropRepeatedParagraphs(docs: DataFrame, delim: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val paras = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "para")))
+    // rank occurrences of each paragraph by global (doc, position) order;
+    // normalization = exact content (callers pre-normalize if needed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col("doc_id").asc, col("pos").asc)
+    paras.withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list skips NULLs: only first occurrences ride; struct sort
+        // restores original in-doc order before the join
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("pos"), col("para"))))),
+          p => p.getField("para")), delim).as("text"),
+        count(lit(1)).as("n_paragraphs"),
+        count(when(col("__rn") === 1, lit(1))).as("n_kept"))
+  }
+
   /** Dedup CLUSTER formation: connected components over a near-dup pair
     * graph, labeling every node with the minimum id of its component (the
     * canonical document). This is the step that turns pairwise operators

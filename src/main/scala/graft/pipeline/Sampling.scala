@@ -109,4 +109,68 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `shard` in [0, nShards) and a dense `pos` within its shard, both pure
+    * functions of (id, salt) — the "shuffle the corpus before training" step,
+    * reproducible across runs and engines. Write with
+    * `.write.partitionBy("shard")` for one file set per shard.
+    *
+    * Scale shape: NO global total order (a full-corpus range sort) — shard
+    * assignment is a map-side hash and only the per-shard position needs a
+    * sort, partitioned nShards-wide. Intra-shard order reuses the same hash
+    * (values stride nShards apart, still pseudorandom), tie-broken by id.
+    *
+    * `idCol` must be unique and non-null (NULL hashes propagate and those
+    * rows would collapse into one tie-group; same contract as capPerGroup).
+    */
+  def shuffleShards(df: DataFrame, idCol: Column, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1 && nShards <= 1000000, s"nShards: $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "column names 'shard'/'pos' are reserved")
+    val bucket = hashBucket(idCol, salt)
+    val shard = (bucket % nShards).cast("int")
+    val w = Window.partitionBy(shard).orderBy(bucket.asc, idCol.asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Inter-document sequence packing (the concat-then-chunk training-data
+    * layout): documents are laid end-to-end in deterministic pseudorandom
+    * order within each shard, and the resulting token stream is cut every
+    * `seqLen` tokens. Each doc gets the training sequence its FIRST token
+    * lands in (`seq_id`) and its offset inside that sequence (`seq_offset`)
+    * — downstream writers emit one packed row per (shard, seq_id). Docs
+    * longer than seqLen simply span sequences, like the real layout.
+    *
+    * Adds: shard, seq_id, seq_offset. Pure integer cumulative arithmetic.
+    *
+    * Scale shape: one shuffle — shard assignment is map-side and the
+    * position + running-token windows share the identical
+    * (partition, order) spec, so Catalyst plans a single exchange+sort.
+    */
+  def packSequences(df: DataFrame, idCol: Column, tokenCountCol: Column,
+      seqLen: Int, nShards: Int, salt: String = ""): DataFrame = {
+    require(seqLen >= 1, s"seqLen: $seqLen")
+    require(nShards >= 1 && nShards <= 1000000, s"nShards: $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("seq_id")
+        && !df.columns.contains("seq_offset"),
+      "column names 'shard'/'seq_id'/'seq_offset' are reserved")
+    val bucket = hashBucket(idCol, salt)
+    val shard = (bucket % nShards).cast("int")
+    val w = Window.partitionBy(shard).orderBy(bucket.asc, idCol.asc)
+    val before = coalesce(
+      sum(tokenCountCol.cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    // BOTH window-derived columns in ONE projection: chained withColumn
+    // would extract two separate Window operators (two exchanges) even for
+    // the identical window spec. Integer `div`, not `/`: Column division is
+    // DOUBLE division, exact only below 2^53 — a long token stream must not
+    // round its seq ids.
+    df.select(col("*"), shard.as("shard"),
+      call_function("div", before, lit(seqLen.toLong)).as("seq_id"),
+      (before % seqLen).as("seq_offset"))
+  }
 }

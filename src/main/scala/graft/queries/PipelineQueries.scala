@@ -519,6 +519,122 @@ object PipelineQueries extends QuerySet {
          |       CAST(least(8, n - i*6) AS BIGINT) AS n_tokens
          |FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g""".stripMargin)),
 
+    QueryDef("q91_paragraph_dedup", (s, d) =>
+      // CCNet-style inter-document paragraph dedup: the corpus has no
+      // newlines, so the delimiter is the token separator — every repeated
+      // "paragraph" after its globally-first (doc, pos) occurrence is
+      // scrubbed and docs are reassembled in original order
+      Dedup.dropRepeatedParagraphs(table(s, d, "documents"), delim = " "),
+      Some(
+        """WITH p AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, g.i AS pos, toks[g.i] AS para
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+          |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+          |f AS (
+          |  SELECT doc_id, pos, para,
+          |         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+          |  FROM p)
+          |SELECT doc_id,
+          |       coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS text,
+          |       CAST(count(*) AS BIGINT) AS n_paragraphs,
+          |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+          |FROM f GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("q92_repetition_quality", (s, d) =>
+      // Gopher-style repetition gate: top-token load + duplicate-bigram
+      // fraction, computed per doc with NO shuffle (pure column fold over
+      // the sorted token array); thresholds cast to DOUBLE on both engines
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.repetitionStats(col("toks"), n = 2).as("r"))
+        .select(col("doc_id"),
+          col("r.top_token_frac").as("top_token_frac"),
+          col("r.dup_ngram_frac").as("dup_ngram_frac"),
+          (col("r.top_token_frac") > lit(0.2) || col("r.dup_ngram_frac") > lit(0.4))
+            .as("flagged")),
+      Some(
+        s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toksSql AS toks FROM documents),
+           |cnt AS (SELECT doc_id, tok, count(*) AS c
+           |        FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM cnt GROUP BY 1),
+           |g AS (SELECT doc_id,
+           |             CASE WHEN len(toks) >= 2
+           |                  THEN list_transform(generate_series(1, len(toks)-1),
+           |                         i -> toks[i] || ' ' || toks[i+1])
+           |                  ELSE [] END AS grams
+           |      FROM d),
+           |fr AS (
+           |  SELECT t.doc_id,
+           |         CASE WHEN t.n > 0 THEN CAST(t.top_c AS DOUBLE) / CAST(t.n AS DOUBLE)
+           |              ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac,
+           |         CASE WHEN len(g.grams) > 0
+           |              THEN CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE)
+           |                   / CAST(len(g.grams) AS DOUBLE)
+           |              ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_frac
+           |  FROM top t JOIN g ON t.doc_id = g.doc_id)
+           |SELECT doc_id, top_token_frac, dup_ngram_frac,
+           |       (top_token_frac > CAST(0.2 AS DOUBLE)
+           |        OR dup_ngram_frac > CAST(0.4 AS DOUBLE)) AS flagged
+           |FROM fr""".stripMargin)),
+
+    QueryDef("q93_bloom_decontaminate", (s, d) => {
+      // exact-dup decontamination behind a portable Bloom prefilter: the
+      // answer is EXACTLY the anti-join (bloom false positives are killed by
+      // the confirm join — m=256/k=2 is deliberately small so FPs occur);
+      // bloom-negative docs never reach an exchange
+      val docs = table(s, d, "documents")
+      graft.pipeline.Contamination.decontaminate(
+        docs, docs.filter(col("doc_id") % 50 === 0), m = 256, k = 2)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("source"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+        |FROM documents
+        |WHERE md5(lower(regexp_replace(text, ' +', ' ', 'g'))) NOT IN
+        |      (SELECT md5(lower(regexp_replace(text, ' +', ' ', 'g')))
+        |       FROM documents WHERE doc_id % 50 = 0)""".stripMargin)),
+
+    QueryDef("q94_shuffle_shards", (s, d) =>
+      // deterministic pre-training corpus shuffle: hash-assigned shard +
+      // dense pseudorandom position, no global sort — both re-derivable by
+      // any engine from (id, salt)
+      graft.pipeline.Sampling.shuffleShards(
+        table(s, d, "documents"), col("doc_id"), nShards = 8, salt = "sh5")
+        .select(col("doc_id").cast("long").as("doc_id"), col("shard"), col("pos")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(b % 8 AS INTEGER) AS shard,
+          |       CAST(row_number() OVER (PARTITION BY b % 8 ORDER BY b ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+          |FROM (SELECT doc_id,
+          |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'sh5'), 1, 8))::BIGINT
+          |             % 1000000 AS b
+          |      FROM documents) t""".stripMargin)),
+
+    QueryDef("q95_pack_sequences", (s, d) => {
+      // concat-then-chunk sequence packing: each doc mapped to the training
+      // sequence its first token lands in; running token offsets are exact
+      // integer window sums sharing ONE exchange+sort with the shard layout
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      graft.pipeline.Sampling.packSequences(docs, col("doc_id"),
+        TA.tokenCount(col("text")), seqLen = 256, nShards = 4, salt = "pk5")
+        .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'pk5'), 1, 8))::BIGINT
+         |         % 1000000 AS b
+         |  FROM documents)
+         |SELECT doc_id, CAST(b % 4 AS INTEGER) AS shard,
+         |       CAST(bef // 256 AS BIGINT) AS seq_id,
+         |       CAST(bef % 256 AS BIGINT) AS seq_offset
+         |FROM (
+         |  SELECT doc_id, b,
+         |         coalesce(sum(ntok) OVER (PARTITION BY b % 4 ORDER BY b ASC, doc_id ASC
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM t) w""".stripMargin)),
+
     QueryDef("q89_stratified_split", (s, d) =>
       // deterministic EXACT train/val/test split per (lang, source) stratum:
       // hash-ordered rows cut at integer per-mille boundaries — proportions

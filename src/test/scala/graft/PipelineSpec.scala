@@ -259,4 +259,87 @@ class PipelineSpec extends AnyFunSuite {
         Seq("train" -> 0.9996, "tiny" -> 0.0004))
     }
   }
+
+  test("paragraph dedup keeps globally-first occurrences and reassembles in order") {
+    val corpus = Seq(
+      (1L, "intro\nboiler\nbody one"),
+      (2L, "boiler\nbody two"),
+      (3L, "boiler")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(corpus, delim = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("intro\nboiler\nbody one", 3L, 3L)))
+    assert(out(2L) === (("body two", 2L, 1L)))
+    // every paragraph a repeat -> empty text, row retained for the caller
+    assert(out(3L) === (("", 1L, 0L)))
+  }
+
+  test("repetition stats: top-token and duplicate-bigram fractions are exact") {
+    val df = Seq((1L, "a a a b"), (2L, "x"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.repetitionStats($"toks", n = 2).as("r"))
+      .select($"doc_id", $"r.top_token_frac", $"r.dup_ngram_frac")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // "a a a b": top token 3/4; bigrams [a a, a a, a b] -> 1 repeat of 3
+    assert(df(1L) === ((0.75, 1.0 / 3.0)))
+    // single token: top 1/1, no bigrams -> 0.0
+    assert(df(2L) === ((1.0, 0.0)))
+    // all distinct: top 1/4, all bigrams distinct
+    assert(df(3L) === ((0.25, 0.0)))
+  }
+
+  test("bloom decontaminate equals the exact anti-join even with forced false positives") {
+    val corpus = (0L until 200L).map(i => (i, s"document body number $i", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = corpus.filter($"doc_id" % 40 === 0) // 5 contaminated docs
+    // m=64, k=1: ~5/64 fill, so some of the 195 clean docs MUST probe positive
+    val kept = Contamination.decontaminate(corpus, bench, m = 64, k = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = (0L until 200L).filterNot(_ % 40 == 0).toSet
+    assert(kept === exact)
+    // prove the confirm path was exercised: the bloom alone over-matches
+    val fp = TextAnalysis.fingerprint($"text")
+    val bits = Contamination.bloomBitsOf(
+      bench.select(fp.as("f")), "f", m = 64, k = 1)
+    val positives = corpus
+      .filter(Contamination.bloomMightContain(bits, 64, 1, fp))
+      .count()
+    assert(positives > 5, s"expected bloom false positives at m=64, got $positives total")
+    // distributed bitset build is bit-identical to the driver-side build
+    val fps = bench.select(fp.as("f")).as[String].collect()
+    assert(bits.toSeq === Contamination.bloomBits(fps, m = 64, k = 1).toSeq)
+  }
+
+  test("shuffleShards: dense per-shard positions, lossless, deterministic") {
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "payload")
+    def run() = Sampling.shuffleShards(df, $"id", nShards = 7, salt = "t")
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    val a = run()
+    assert(a.toSet === run().toSet, "shard/pos must be deterministic")
+    assert(a.map(_._1).toSet === (1L to 500L).toSet, "no row lost or duplicated")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 7)
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.size).toSeq,
+        s"positions in shard $shard must be dense from 0")
+    }
+  }
+
+  test("packSequences: cumulative token offsets cut exact seqLen boundaries") {
+    // single shard so the layout is one deterministic stream
+    val df = Seq((1L, 4L), (2L, 3L), (3L, 6L), (4L, 2L))
+      .toDF("id", "ntok")
+    val out = Sampling.packSequences(df, $"id", $"ntok", seqLen = 5, nShards = 1, salt = "t")
+      .select($"id", $"shard", $"seq_id", $"seq_offset")
+      .as[(Long, Int, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // stream order is by (hash, id): recompute it from the op itself
+    val order = Sampling.shuffleShards(df, $"id", nShards = 1, salt = "t")
+      .orderBy($"pos").select($"id", $"ntok").as[(Long, Long)].collect()
+    var off = 0L
+    order.foreach { case (id, ntok) =>
+      assert(out(id) === ((0, off / 5, off % 5)), s"doc $id at offset $off")
+      off += ntok
+    }
+    assert(off === 15L)
+  }
 }

@@ -210,6 +210,34 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the rank and count windows to share ONE shuffle:\n$plan")
   }
 
+  test("packSequences plans ONE exchange shared by the position and token windows") {
+    import graft.pipeline.Sampling
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "ntok")
+    val out = Sampling.packSequences(df, $"id", $"ntok", seqLen = 16, nShards = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected one shared shuffle:\n$plan")
+  }
+
+  test("bloom decontaminate: the clean branch reads map-side only (no exchange before the union)") {
+    import graft.pipeline.Contamination
+    val corpus = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" % 60 === 0)
+    val out = Contamination.decontaminate(corpus, bench, m = 256, k = 2)
+    // sparkPlan, not executedPlan: AQE hides the tree behind
+    // AdaptiveSparkPlanExec until execution
+    val plan = out.queryExecution.sparkPlan
+    // the union's FIRST child (bloom-negatives) must be exchange-free: those
+    // rows are proven clean map-side and never shuffle
+    val union = plan.collectFirst {
+      case u: org.apache.spark.sql.execution.UnionExec => u }.get
+    val cleanBranch = union.children.head
+    val exchanges = cleanBranch.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"bloom-negative branch must not shuffle:\n$cleanBranch")
+  }
+
   test("streaming merge resumes after a mid-commit crash (checkpoint replay + marker recovery)") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
