@@ -295,4 +295,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("paragraph dedup == naive global first-occurrence scan (random corpora)") {
+    import graft.pipeline.Dedup
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed)
+      val paraPool = (0 until 8).map(i => s"para$i")
+      val corpus = (1L to (5 + rnd.nextInt(20)).toLong).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        (id, Seq.fill(n)(paraPool(rnd.nextInt(paraPool.size))).mkString("\n"))
+      }
+      val out = Dedup.dropRepeatedParagraphs(corpus.toDF("doc_id", "text"), delim = "\n")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // naive reference: walk docs in (id, pos) order, keep first sightings
+      val seen = scala.collection.mutable.Set.empty[String]
+      corpus.foreach { case (id, text) =>
+        val paras = text.split("\n", -1)
+        val kept = paras.filter(seen.add) // add returns true on first sighting
+        assert(out(id) === ((kept.mkString("\n"), paras.length.toLong, kept.length.toLong)),
+          s"seed $seed doc $id")
+      }
+    }
+  }
+
+  test("bloom filter never yields a false NEGATIVE (random fp sets, all m/k)") {
+    import graft.pipeline.Contamination
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed)
+      val inserted = (0 until 1 + rnd.nextInt(40))
+        .map(i => s"seed$seed doc $i ${rnd.nextInt()}")
+      val fps = inserted.toDF("text")
+        .select(graft.pipeline.TextAnalysis.fingerprint($"text").as("f"))
+      Seq((64, 1), (128, 3), (1024, 5)).foreach { case (m, k) =>
+        val bits = Contamination.bloomBitsOf(fps, "f", m, k)
+        val probed = fps.filter(Contamination.bloomMightContain(bits, m, k, $"f")).count()
+        assert(probed === inserted.size.toLong,
+          s"seed $seed m=$m k=$k: an inserted fingerprint probed negative")
+      }
+    }
+  }
+
+  test("packSequences offsets are the exact running token sums (random corpora)") {
+    import graft.pipeline.Sampling
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val rows = (1L to (10 + rnd.nextInt(60)).toLong).map(i => (i, 1L + rnd.nextInt(20)))
+      val seqLen = 1 + rnd.nextInt(30)
+      val nShards = 1 + rnd.nextInt(4)
+      val out = Sampling.packSequences(rows.toDF("id", "ntok"), $"id", $"ntok",
+          seqLen, nShards, salt = s"s$seed")
+        .select($"id", $"ntok", $"shard", $"seq_id", $"seq_offset")
+        .as[(Long, Long, Int, Long, Long)].collect()
+      out.groupBy(_._3).foreach { case (shard, docs) =>
+        // reconstruct the stream order from shuffleShards (the same layout)
+        val order = Sampling.shuffleShards(rows.toDF("id", "ntok"), $"id", nShards,
+            salt = s"s$seed")
+          .filter($"shard" === shard).orderBy($"pos")
+          .select($"id").as[Long].collect()
+        var off = 0L
+        order.foreach { id =>
+          val d = docs.find(_._1 == id).get
+          assert((d._4, d._5) === ((off / seqLen, off % seqLen)),
+            s"seed $seed shard $shard doc $id offset $off")
+          off += d._2
+        }
+      }
+    }
+  }
 }
