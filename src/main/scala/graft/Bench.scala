@@ -31,8 +31,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // a failed query must surface as an err entry + nonzero exit, never as a
-      // silently fast ~0s row that IMPROVES the total
+      // an every-rep failure must surface as an errors entry + nonzero exit,
+      // never as a silently fast ~0s row that IMPROVES the total; a rep that
+      // fails while others succeed is reported separately as flaky (exit 0)
       var err: Option[String] = None
       var nFailed = 0
       val ok = Seq.newBuilder[Double]

@@ -49,6 +49,11 @@ object Contamination {
     * integer recipe runs driver-side (build) and as codegen'd Columns
     * (probe), so membership answers are bit-reproducible on any engine —
     * unlike an opaque library sketch.
+    *
+    * SIZING: ~10 bits per expected entry with k=3 gives ~1-2% false
+    * positives; a saturated bitset (fill ratio near 1) stays CORRECT but
+    * stops pruning — every row falls through to the exact confirm join.
+    * Check [[bloomFillRatio]] when the benchmark cardinality is unknown.
     */
   def bloomBits(fps: Iterable[String], m: Int, k: Int): Array[Long] = {
     require(m >= 64 && m % 64 == 0, s"m must be a positive multiple of 64: $m")
@@ -67,6 +72,13 @@ object Contamination {
     }
     bits
   }
+
+  /** Fraction of set bits — the operational health signal of a bitset:
+    * above ~0.5 the false-positive rate climbs steeply and the prune stops
+    * paying for itself (resize m and rebuild).
+    */
+  def bloomFillRatio(bits: Array[Long]): Double =
+    bits.map(java.lang.Long.bitCount).sum.toDouble / (bits.length * 64.0)
 
   /** Distributed build of the SAME bitset as [[bloomBits]]: each fingerprint
     * explodes to its k probe positions map-side, a bit_or aggregation packs
@@ -136,11 +148,14 @@ object Contamination {
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(!corpus.columns.contains("__fp") && !corpus.columns.contains("__maybe"),
       "column names '__fp'/'__maybe' are reserved")
-    // localCheckpoint: the fingerprint set feeds both the bitset build (an
-    // action) and the confirm join — without it the distinct re-shuffles
+    // the fingerprint set feeds both the bitset build (an action) and the
+    // confirm join; the join side recomputes the distinct — one extra
+    // benchmark-sized scan, bounded and small next to the corpus. NOT
+    // localCheckpoint'ed: the returned lazy plan would pin the checkpoint
+    // blocks with no caller-visible way to free them (the leak class fixed
+    // in Registry's schema-reshape append).
     val benchFps = bench.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
-      .localCheckpoint(false)
     val bits = bloomBitsOf(benchFps, "__fp", m, k)
     val probed = corpus.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__maybe",
@@ -150,6 +165,12 @@ object Contamination {
     // at real scale this join sees only the positive sliver
     val confirmed = probed.filter(col("__maybe"))
       .join(benchFps, Seq("__fp"), "left_anti")
+    // KNOWN TRADE: the union's two branches each scan the corpus (two
+    // map-side passes, fingerprint + probes computed twice) — deliberately
+    // cheaper than the single-pass alternative of shuffling the ENTIRE
+    // corpus through the join, which is the exact cost this operator
+    // exists to avoid. Callers that can afford materialization can persist
+    // `corpus` before calling.
     clean.unionByName(confirmed).drop("__fp", "__maybe")
   }
 }

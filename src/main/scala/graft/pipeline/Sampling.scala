@@ -132,8 +132,12 @@ object Sampling {
     val bucket = hashBucket(idCol, salt)
     val shard = (bucket % nShards).cast("int")
     val w = Window.partitionBy(shard).orderBy(bucket.asc, idCol.asc)
+    // running LONG count, not row_number(): row_number is IntegerType and a
+    // shard past 2^31-1 rows (a 100 TB corpus on few shards) would silently
+    // wrap to negative positions
     df.withColumn("shard", shard)
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("pos",
+        sum(lit(1L)).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
   }
 
   /** Inter-document sequence packing (the concat-then-chunk training-data

@@ -565,14 +565,17 @@ object PipelineQueries extends QuerySet {
            |                  ELSE [] END AS grams
            |      FROM d),
            |fr AS (
-           |  SELECT t.doc_id,
+           |  -- LEFT joins from d: a NULL-text doc has no unnested tokens, but
+           |  -- the Spark side still emits its (0.0, 0.0, false) row
+           |  SELECT d.doc_id,
            |         CASE WHEN t.n > 0 THEN CAST(t.top_c AS DOUBLE) / CAST(t.n AS DOUBLE)
            |              ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac,
            |         CASE WHEN len(g.grams) > 0
            |              THEN CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE)
            |                   / CAST(len(g.grams) AS DOUBLE)
            |              ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_frac
-           |  FROM top t JOIN g ON t.doc_id = g.doc_id)
+           |  FROM d LEFT JOIN top t ON d.doc_id = t.doc_id
+           |         LEFT JOIN g ON d.doc_id = g.doc_id)
            |SELECT doc_id, top_token_frac, dup_ngram_frac,
            |       (top_token_frac > CAST(0.2 AS DOUBLE)
            |        OR dup_ngram_frac > CAST(0.4 AS DOUBLE)) AS flagged
@@ -590,9 +593,10 @@ object PipelineQueries extends QuerySet {
     }, Some(
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
         |FROM documents
-        |WHERE md5(lower(regexp_replace(text, ' +', ' ', 'g'))) NOT IN
+        |WHERE text IS NULL  -- decontaminate keeps NULL-text rows (matches nothing)
+        |   OR md5(lower(regexp_replace(text, ' +', ' ', 'g'))) NOT IN
         |      (SELECT md5(lower(regexp_replace(text, ' +', ' ', 'g')))
-        |       FROM documents WHERE doc_id % 50 = 0)""".stripMargin)),
+        |       FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL)""".stripMargin)),
 
     QueryDef("q94_shuffle_shards", (s, d) =>
       // deterministic pre-training corpus shuffle: hash-assigned shard +
@@ -616,13 +620,17 @@ object PipelineQueries extends QuerySet {
       // integer window sums sharing ONE exchange+sort with the shard layout
       val docs = table(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // greatest(0, ...): size(NULL) is -1 under legacy sizeOfNull — a NULL
+      // text must contribute 0 tokens to the stream, like the oracle's
+      // NULL-skipping window sum
       graft.pipeline.Sampling.packSequences(docs, col("doc_id"),
-        TA.tokenCount(col("text")), seqLen = 256, nShards = 4, salt = "pk5")
+        greatest(lit(0L), TA.tokenCount(col("text"))), seqLen = 256, nShards = 4,
+        salt = "pk5")
         .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
     }, Some(
       s"""WITH t AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |         CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         coalesce(CAST(len($toksSql) AS BIGINT), 0) AS ntok,
          |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'pk5'), 1, 8))::BIGINT
          |         % 1000000 AS b
          |  FROM documents)
