@@ -70,16 +70,31 @@ object Sketches {
       .agg(max(rho).as("hll_rho"))
   }
 
-  /** alpha_m * m^2 for the raw HLL estimator. */
+  /** alpha_m * m^2 for the raw HLL estimator. The asymptotic formula
+    * 0.7213/(1 + 1.079/m) holds for m >= 128; smaller register counts use
+    * the paper's fixed constants (Flajolet et al. 2007, Fig. 3:
+    * alpha_16 = 0.673, alpha_32 = 0.697, alpha_64 = 0.709) — applying the
+    * formula there would bias every estimate deterministically high.
+    */
   def alphaM2(b: Int): Double = {
     val m = (1 << b).toDouble
-    0.7213 / (1.0 + 1.079 / m) * m * m
+    val alpha = (1 << b) match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m
   }
 
   /** Raw HLL estimate per group from a register table: alpha*m^2 / S where
     * S = sum(2^-rho) over present registers + 1.0 per EMPTY register (rho 0).
     * The sparse form needs no dense array — absent buckets contribute
     * exactly 1.0 each.
+    *
+    * `b` must MATCH the registers' build parameter: a mismatch silently
+    * corrupts the estimate (wrong m, possibly negative empty-bucket count),
+    * so the estimate expression raises when a bucket id is out of range.
     */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
       b: Int = 8): DataFrame = {
@@ -89,9 +104,14 @@ object Sketches {
         // variable-amount shift: the DSL shiftleft only takes a literal
         // count, the underlying SQL expression takes a column
         sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), hll_rho) as double)")).as("__s"),
-        count(lit(1)).as("__nb"))
+        count(lit(1)).as("__nb"),
+        max(col("hll_bucket")).as("__maxb"))
       .withColumn("hll_estimate",
-        lit(alphaM2(b)) / (col("__s") + (lit(m) - col("__nb")).cast("double")))
-      .drop("__s", "__nb")
+        when(col("__maxb") >= m, raise_error(concat(
+          lit(s"hll_bucket out of range for b=$b (m=$m): registers were built with a larger b, got bucket "),
+          col("__maxb").cast("string"))).cast("double"))
+          .otherwise(lit(alphaM2(b)) /
+            (col("__s") + (lit(m) - col("__nb")).cast("double"))))
+      .drop("__s", "__nb", "__maxb")
   }
 }

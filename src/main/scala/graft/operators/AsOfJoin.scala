@@ -49,15 +49,22 @@ object AsOfJoin {
     // — window partitioning would group NULL keys together and match them;
     // a NULL right timestamp satisfies no `rts <= lts` predicate — it must
     // not sort first (nulls-first asc) and get carried onto every left row
+    // the tie-break keeps its NATIVE numeric type: a cast to long would
+    // truncate fractional values (1.2 and 1.9 both -> 1L) and silently
+    // reintroduce the partition-order-dependent winner the require above
+    // guards against. Left rows carry a typed NULL — tie only orders right
+    // rows among themselves (side sorts left after right first).
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val r = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(
       (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
-        rightTieBreak.fold(lit(0L))(c => col(c).cast("long")).as(tie) :+
+        rightTieBreak.fold(lit(0L).cast(tieType))(c => col(c)).as(tie) :+
         struct(payloadCols.map(col).toSeq: _*).as(payload)): _*)
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as(ts) :+ lit(1).as(side) :+
-        lit(0L).as(tie) :+
+        lit(null).cast(tieType).as(tie) :+
         lit(null).cast(r.schema(payload).dataType).as(payload) :+
         struct(left.columns.map(col).toSeq: _*).as("__asof_left")): _*)
 

@@ -15,6 +15,15 @@ object Fixtures {
     */
   def relation(spark: SparkSession, schema: StructType,
       rows: Seq[Map[String, Any]]): DataFrame = {
+    // a typo'd fixture column must FAIL, not silently become a NULL in some
+    // other column's place (dbt raises a parsing error for fixture columns
+    // not present in the model)
+    val known = schema.fieldNames.toSet
+    rows.zipWithIndex.foreach { case (m, i) =>
+      val bad = m.keys.filterNot(known)
+      require(bad.isEmpty,
+        s"fixture row $i has columns not in the schema: ${bad.mkString(",")}")
+    }
     val data = rows.map { m =>
       Row.fromSeq(schema.fields.map(f => m.getOrElse(f.name, null)).toSeq)
     }

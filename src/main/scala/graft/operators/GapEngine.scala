@@ -122,9 +122,7 @@ object GapEngine {
           col("is_age_eligible")) ++
         exclNames.map(col) ++
         Seq(
-          when(!qualifiedMember, lit(null).cast("int"))
-            .when(col("evidence_id").isNotNull, lit(1))
-            .otherwise(lit(0)).as("gap_flag"),
+          triStateFlag(qualifiedMember, col("evidence_id").isNotNull).as("gap_flag"),
           when(qualifiedMember, col("closure_date")).as("closure_date"),
           when(qualifiedMember, col("closure_reason")).as("closure_reason"),
           when(qualifiedMember, col("evidence_id")).as("evidence_id"),

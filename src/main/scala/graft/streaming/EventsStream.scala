@@ -159,27 +159,36 @@ object EventsStream {
             Iterator.single(SessionOut(userId, st.sessionStartUs, st.nEvents,
               st.lastUs - st.sessionStartUs))
           } else {
-            // within a microbatch, order by event time (files arrive unordered)
+            // INTERVAL MERGE over (open-session state + batch events) in
+            // event-time order: a cross-batch late event (inside the
+            // watermark horizon) then lands exactly where the batch
+            // sessionizer (q23) would put it — inside the open session,
+            // extending it BACKWARDS when it precedes sessionStart by at
+            // most the gap, or as its own earlier session when it precedes
+            // by more. The old frontier-only comparison absorbed every
+            // earlier event into the open session regardless of distance
+            // and never regressed sessionStart. (Residual divergence,
+            // inherent to append-mode streaming: a late event can no longer
+            // merge sessions that were already EMITTED.)
             val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-            var cur = state.getOption
+            val intervals =
+              (state.getOption.map(st => (st.sessionStartUs, st.lastUs, st.nEvents)) ++
+                sorted.map(e => (e.us, e.us, 1L))).toSeq.sortBy(iv => (iv._1, iv._2))
+            var cur: Option[(Long, Long, Long)] = None
             val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
+            intervals.foreach { iv =>
               cur match {
-                case Some(st) if e.us - st.lastUs <= gapUs =>
-                  // max: a LATE cross-batch event inside the gap must not
-                  // regress the session's frontier (which could wrongly
-                  // split it at the next on-time event)
-                  cur = Some(st.copy(lastUs = math.max(st.lastUs, e.us),
-                    nEvents = st.nEvents + 1))
-                case Some(st) =>
-                  out += SessionOut(userId, st.sessionStartUs, st.nEvents,
-                    st.lastUs - st.sessionStartUs)
-                  cur = Some(SessionState(e.us, e.us, 1))
+                case Some(a) if iv._1 - a._2 <= gapUs =>
+                  // sorted by start, so iv never begins before a: merge
+                  cur = Some((a._1, math.max(a._2, iv._2), a._3 + iv._3))
+                case Some(a) =>
+                  out += SessionOut(userId, a._1, a._3, a._2 - a._1)
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(e.us, e.us, 1))
+                  cur = Some(iv)
               }
             }
-            cur.foreach { st =>
+            cur.map { case (s0, s1, n) => SessionState(s0, s1, n) }.foreach { st =>
               state.update(st)
               // fire once the watermark passes the gap horizon; clamp above
               // the current watermark (setting a timeout at-or-below it is

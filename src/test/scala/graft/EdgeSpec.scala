@@ -177,4 +177,42 @@ class EdgeSpec extends AnyFunSuite {
     assert(GenericTests.unitCompare(a, b))
     assert(!GenericTests.unitCompare(a, b.filter($"i" === 1)))
   }
+
+  test("fixture relation rejects columns not in the schema (typo'd fixture keys)") {
+    import graft.operators.Fixtures
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("member_id", LongType),
+      StructField("gap_flag", IntegerType)))
+    val ex = intercept[IllegalArgumentException] {
+      Fixtures.relation(spark, schema, Seq(Map("member_id" -> 1L, "gapflag" -> 1)))
+    }
+    assert(ex.getMessage.contains("gapflag"))
+  }
+
+  test("asOf tie-break preserves fractional ordering (no long truncation)") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L)).toDF("k", "lts")
+    // two right rows at the SAME (key, ts); versions 1.2 vs 1.9 must order
+    // by their real values (a long cast would collapse both to 1)
+    val right = Seq((1L, 100L, 1.9, "high"), (1L, 100L, 1.2, "low"))
+      .toDF("k", "rts", "version", "payload")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+      rightTieBreak = Some("version")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("payload") === "high")
+  }
+
+  test("hllEstimate raises on registers built with a larger b than the estimator's") {
+    import graft.functions.Sketches
+    val vals = spark.range(2000).select(($"id" * 31L % 997L).as("v"))
+    val regs = Sketches.hllRegisters(vals, Nil, $"v", b = 12)
+    val ex = intercept[Exception] {
+      Sketches.hllEstimate(regs, Nil, b = 8).collect()
+    }
+    assert(ex.getMessage.contains("out of range") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of range")))
+    // small-m alpha uses the paper's fixed constants, not the asymptotic formula
+    assert(Sketches.alphaM2(4) === 0.673 * 16 * 16)
+    assert(Sketches.alphaM2(8) === 0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
+  }
 }

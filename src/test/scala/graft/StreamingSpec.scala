@@ -54,6 +54,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).duration_us === 5 * min)
   }
 
+  test("sessionize places cross-batch LATE events like the batch sessionizer") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Event]
+    val min = 60L * 1000000
+    val base = 1700000000L * 1000000
+    val out = EventsStream.sessionize(mem.toDS()) // default 2h watermark
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_late_test").start()
+    try {
+      mem.addData(Event(1, 40, base + 200 * min))
+      q.processAllAvailable() // watermark -> 80min; open session [200, 200]
+      // both late, both above the watermark: 185min is within the 30-min gap
+      // BEFORE the open session (must extend it backwards); 100min is 85min
+      // before it (must become its own, already-complete session)
+      mem.addData(Event(2, 40, base + 185 * min), Event(3, 40, base + 100 * min))
+      q.processAllAvailable()
+      // flush the open session via an unrelated user far in the future
+      mem.addData(Event(9, 99, base + 20L * 60 * min))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late_test").as[SessionOut].collect()
+        .filter(_.user_id == 40L).sortBy(_.session_start_us)
+      assert(rows.length === 2, s"got: ${rows.toSeq}")
+      assert(rows(0).session_start_us === base + 100 * min)
+      assert(rows(0).n_events === 1L && rows(0).duration_us === 0L)
+      assert(rows(1).session_start_us === base + 185 * min,
+        "the in-gap late event must extend the session START backwards")
+      assert(rows(1).n_events === 2L && rows(1).duration_us === 15 * min)
+    } finally q.stop()
+  }
+
   test("sessionize emits an idle user's session when the watermark passes the gap (timeout liveness)") {
     implicit val s = spark
     implicit val sc = s.sqlContext
