@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over the corpus (builder brief; additive to the
+  * reference surface). Exact — not sketch-based — but shaped so the heavy
+  * lifting happens on ROLLED-UP (group, value) counts rather than raw rows:
+  * the window sort that makes naive exact quantiles unusable at corpus scale
+  * here runs over distinct values per group, which for bounded-cardinality
+  * metrics (lengths, token counts, scores) is orders of magnitude smaller
+  * than the row count.
+  */
+object Stats {
+
+  /** Exact per-group discrete quantiles (`percentile_disc` semantics): for
+    * each requested per-mille point `qm`, the smallest value whose
+    * cumulative row count reaches rank `ceil(qm * n / 1000)` in ascending
+    * value order.
+    *
+    * Two-phase plan: (1) one shuffle rolling raw rows up to
+    * (group, value) -> cnt; (2) a per-group cumulative-sum window over the
+    * DISTINCT values only, then an all-integer rank-cut filter — exactly one
+    * output row per (group, quantile), bit-identical on any engine (no
+    * floating-point rank arithmetic; quantiles are per-mille ints).
+    *
+    * At 100 TB: phase 1 is a standard partial-agg shuffle keyed on
+    * (group, value) — no skew amplification beyond the data's own; phase 2's
+    * window partitions carry one row per distinct value, so even a
+    * billion-row group with a bounded value domain sorts thousands of rows,
+    * not billions. Unbounded-cardinality doubles should be binned or
+    * sketched instead (HLL-style, see [[graft.functions.Sketches]]).
+    *
+    * @param qMilles quantile points in per-mille (500 = median, 990 = p99);
+    *                each must be in (0, 1000].
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      qMilles: Seq[Int]): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q > 0 && q <= 1000),
+      s"qMilles must be in (0, 1000]: $qMilles")
+    require(qMilles.distinct == qMilles, s"duplicate quantiles: $qMilles")
+    val gcols = groupCols.map(col)
+    val counts = df.groupBy(gcols :+ valueCol.as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .select(gcols ++ Seq(col("v"), col("cnt"), col("cum"), col("tot"),
+        explode(array(qMilles.map(q => lit(q)): _*)).as("q_mille")): _*)
+      // first value whose cumulative count reaches rank ceil(qm*tot/1000):
+      // cum*1000 >= qm*tot and the previous cumulative (cum-cnt) hasn't
+      .filter(col("cum") * 1000L >= col("q_mille").cast("long") * col("tot") &&
+        (col("cum") - col("cnt")) * 1000L < col("q_mille").cast("long") * col("tot"))
+      .select(gcols ++ Seq(col("q_mille"), col("v").as("value")): _*)
+  }
+}

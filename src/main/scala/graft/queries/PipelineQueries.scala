@@ -665,6 +665,89 @@ object PipelineQueries extends QuerySet {
           |  FROM documents
           |  WINDOW w AS (PARTITION BY lang, source
           |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'r4'), 1, 8))::BIGINT
-          |             % 1000000 ASC, doc_id ASC)) t""".stripMargin))
+          |             % 1000000 ASC, doc_id ASC)) t""".stripMargin)),
+
+    QueryDef("q96_gopher_quality", (s, d) =>
+      // Gopher word-level quality gate (Rae et al. 2021 §A1.1): exact
+      // integer counts, ratios as single int/int divisions — per-row map,
+      // no shuffle, linear at any corpus size
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.gopherStats(col("text"), col("toks")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.frac_alpha_words"), col("g.symbol_ratio"),
+          col("g.stopword_hits"),
+          TA.gopherPass(col("g")).as("pass")),
+      Some(
+        s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+           |                  $toksSql AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |         CASE WHEN text IS NULL THEN 0 ELSE len(toks) END AS n_words,
+           |         CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS DOUBLE) AS sum_len,
+           |         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) AS alpha,
+           |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS symbols,
+           |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+           |                              w -> list_contains(toks, w))) AS BIGINT) AS hits
+           |  FROM d),
+           |m AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |         CAST(n_words AS BIGINT) AS n_words,
+           |         CASE WHEN n_words > 0 THEN sum_len / CAST(n_words AS DOUBLE)
+           |              ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+           |         CASE WHEN n_words > 0 THEN alpha / CAST(n_words AS DOUBLE)
+           |              ELSE CAST(0.0 AS DOUBLE) END AS frac_alpha_words,
+           |         CASE WHEN n_words > 0 THEN symbols / CAST(n_words AS DOUBLE)
+           |              ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
+           |         CASE WHEN n_words > 0 THEN hits ELSE 0 END AS stopword_hits
+           |  FROM s)
+           |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+           |       stopword_hits,
+           |       (n_words BETWEEN 50 AND 100000
+           |        AND mean_word_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+           |        AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+           |        AND frac_alpha_words >= CAST(0.8 AS DOUBLE)
+           |        AND stopword_hits >= 2) AS pass
+           |FROM m""".stripMargin)),
+
+    QueryDef("q99_exact_quantiles", (s, d) =>
+      // exact per-source length quantiles (percentile_disc semantics): the
+      // cumsum window runs over ROLLED-UP (source, value) counts, not raw
+      // rows, and the rank cut is all-integer per-mille arithmetic
+      graft.pipeline.Stats.exactQuantiles(
+        table(s, d, "documents"), Seq("source"), col("n_chars"),
+        Seq(500, 900, 990)),
+      Some(
+        """WITH c AS (
+          |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM documents GROUP BY 1, 2),
+          |w AS (
+          |  SELECT source, v, cnt,
+          |         sum(cnt) OVER (PARTITION BY source ORDER BY v ASC) AS cum,
+          |         sum(cnt) OVER (PARTITION BY source) AS tot
+          |  FROM c)
+          |SELECT source, CAST(q_mille AS INTEGER) AS q_mille, v AS value
+          |FROM w, LATERAL (SELECT unnest([500, 900, 990]) AS q_mille) q
+          |WHERE cum * 1000 >= q_mille * tot
+          |  AND (cum - cnt) * 1000 < q_mille * tot""".stripMargin)),
+
+    QueryDef("q100_inverted_index", (s, d) =>
+      // retrieval-side index build: doc frequency + head-capped posting
+      // list per token; the cap is a WindowGroupLimit rank filter, so the
+      // agg never buffers a stopword's full posting list
+      TA.invertedIndex(table(s, d, "documents"), minDf = 5, maxPostings = 20),
+      Some(
+        """WITH tok AS (
+          |  SELECT DISTINCT doc, token FROM (
+          |    SELECT CAST(doc_id AS BIGINT) AS doc,
+          |           unnest(string_split(text, ' ')) AS token FROM documents) t),
+          |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+          |post AS (SELECT token,
+          |                array_to_string(list_slice(list(doc ORDER BY doc ASC), 1, 20), ',') AS postings
+          |         FROM tok GROUP BY 1)
+          |SELECT token, df, postings
+          |FROM dfs JOIN post USING (token) WHERE df >= 5""".stripMargin))
   )
 }

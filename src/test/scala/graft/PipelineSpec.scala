@@ -342,4 +342,57 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(off === 15L)
   }
+
+  test("gopherStats/gopherPass: metrics exact, each rule gates independently") {
+    val words100 = (1 to 25).map(_ => "the fox and dog").mkString(" ") // 100 words, mean 3.0, 2 stopwords
+    val rows = Seq(
+      (1L, words100),                                  // passes all rules
+      (2L, "the fox of dog"),                          // too short (4 words)
+      (3L, (1 to 25).map(_ => "zz ####").mkString(" ")), // symbol-heavy, no stopwords
+      (4L, null.asInstanceOf[String]))                 // NULL text -> zero row
+      .toDF("doc_id", "text")
+    val out = rows
+      .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.gopherStats($"text", $"toks").as("g"))
+      .select($"doc_id", $"g.n_words", $"g.mean_word_len", $"g.symbol_ratio",
+        $"g.stopword_hits", TextAnalysis.gopherPass($"g").as("pass"))
+      .as[(Long, Long, Double, Double, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(out(1L) === ((1L, 100L, 3.0, 0.0, 2L, true)))
+    assert(out(2L)._2 === 4L && !out(2L)._6)
+    // doc 3: 50 words, 25 "####" tokens -> 100 '#' matches / 50 words = 2.0
+    assert(out(3L)._4 === 2.0 && out(3L)._5 === 0L && !out(3L)._6)
+    assert(out(4L) === ((4L, 0L, 0.0, 0.0, 0L, false)))
+  }
+
+  test("exactQuantiles matches a naive sorted-rank scan per group") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", rng.nextInt(20).toLong)) // heavy value ties on purpose
+    val df = rows.toDF("g", "v")
+    val qs = Seq(1, 250, 500, 900, 1000)
+    val got = Stats.exactQuantiles(df, Seq("g"), $"v", qs)
+      .as[(String, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      qs.map { qm =>
+        val rank = math.ceil(qm.toDouble * sorted.size / 1000.0).toInt
+        (g, qm) -> sorted(rank - 1)
+      }
+    }
+    assert(got.size === expect.size)
+    expect.foreach { case (k, v) => assert(got(k) === v, s"at $k") }
+  }
+
+  test("invertedIndex: df counts docs once, postings capped and ascending") {
+    val df = Seq(
+      (3L, "b a b"), (1L, "a b"), (2L, "a a a"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, minDf = 2, maxPostings = 2)
+      .as[(String, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("a") === ((3L, "1,2")))   // df=3 docs, postings capped at 2
+    assert(out("b") === ((2L, "1,3")))   // repeated token counted once per doc
+    assert(!out.contains("c"))           // minDf=2 drops hapax
+  }
 }
