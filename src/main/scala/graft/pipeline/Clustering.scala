@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering for training-data pipelines (builder brief):
+  * Lloyd's k-means over QUANTIZED integer vectors, the codebook-training
+  * step upstream of IVF ANN ([[Similarity.ivfTopK]]) and cluster-balanced
+  * data mixing.
+  *
+  * Engine-portability design (same trick as the quantized cosine family in
+  * [[Similarity]]): components quantize to `floor(x*1000 + 0.5)` longs, a
+  * centroid is the exact rational (component-sum vector, member count), and
+  * the squared distance to centroid `S/c` is compared via the exact integer
+  * `sum_i (c*x_i - S_i)^2` — one final cast-to-double division by `c^2`
+  * normalizes it (correctly-rounded IEEE on any engine). No floating-point
+  * accumulation anywhere, so assignments reproduce bit-identically
+  * regardless of partitioning, row order, or engine.
+  *
+  * Integer-exactness bound: `c*max|x| + |S|` must stay below 2^31.5-ish so
+  * the per-dimension square fits a long — with unit-norm embeddings
+  * (|x| <= 1000) that holds to ~3M members per cluster. Past that scale,
+  * train the codebook on a [[Sampling.hashSample]] (standard k-means
+  * practice) rather than widening the arithmetic.
+  */
+object Clustering {
+
+  /** One exact-rational centroid: component sums + member count. */
+  final case class Centroid(num: Array[Long], den: Long)
+
+  /** Argmin-over-centroids assignment column: squared distance as the exact
+    * integer fold above, strict `<` so ties go to the LOWEST centroid index
+    * on every engine.
+    */
+  private def assignCol(vec: Column, cents: Seq[Centroid]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val diffs = zip_with(vec, array(c.num.map(lit(_)).toSeq: _*), (x, n) => {
+        val t = lit(c.den) * x - n
+        t * t
+      })
+      val dist = aggregate(diffs, lit(0L), (a, e) => a + e)
+      struct((dist.cast("double") / lit((c.den * c.den).toDouble)).as("d"),
+        lit(j).as("j"))
+    }
+    val best = aggregate(array(entries: _*),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("j")),
+      (acc, e) => when(e("d") < acc("d"), e).otherwise(acc))
+    best("j")
+  }
+
+  /** Lloyd's k-means assignment: seed centroids from the `k` smallest-id
+    * rows (deterministic, gap-tolerant), run `iters` update rounds, emit the
+    * final assignment `(id, cluster)`. A cluster that loses all members
+    * keeps its previous centroid (the standard empty-cluster policy).
+    *
+    * Scale shape per round: one corpus scan computing the assignment (the
+    * centroid literals are broadcast inside the plan — no join, no
+    * exchange), then a posexplode + groupBy(cluster, pos) whose map-side
+    * partial aggregation means the shuffle carries at most k*dim rows per
+    * task; the k*dim centroid update is a bounded driver collect (same
+    * class as the IVF codebook). Total: `iters + 1` scans, zero wide
+    * shuffles of row data.
+    */
+  def kMeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, quantScale: Int = 1000): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(iters >= 0, s"iters: $iters")
+    // eager-materialized once and re-read by every round AND the returned
+    // plan — the caller that wants the blocks back frees them after
+    // materializing its result (GraftSqlBridge.freeLocalCheckpoint), the
+    // same contract as the q76 keyword scan
+    val q = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        e => floor(e * quantScale + 0.5).cast("long")).as("v"))
+      .localCheckpoint(false)
+    val seedRows = q.orderBy(col("id").asc).limit(k).collect()
+    require(seedRows.length == k, s"need >= $k rows to seed, got ${seedRows.length}")
+    var cents: Seq[Centroid] =
+      seedRows.map(r => Centroid(r.getSeq[Long](1).toArray, 1L)).toSeq
+    for (_ <- 0 until iters) {
+      val updates = q.select(assignCol(col("v"), cents).as("cluster"), col("v"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect() // bounded: k * dim rows
+        .groupBy(_.getAs[Int]("cluster"))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        updates.get(j).fold(old) { rows =>
+          val num = new Array[Long](old.num.length)
+          rows.foreach(r => num(r.getAs[Int]("pos")) = r.getAs[Long]("s"))
+          Centroid(num, rows.head.getAs[Long]("cnt"))
+        }
+      }
+    }
+    q.select(col("id"), assignCol(col("v"), cents).as("cluster"))
+  }
+}

@@ -429,4 +429,33 @@ object Dedup {
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
   }
+
+  /** End-to-end dedup keep-list: label every item with its duplicate-cluster
+    * id ([[connectedComponents]] over `pairs`; unpaired items are singleton
+    * clusters of themselves) and keep exactly ONE representative per cluster
+    * — the row ranking first by `quality` descending, then id ascending
+    * (deterministic on any engine). Emits ALL rows with an `is_kept` flag so
+    * the drop set stays auditable; filter `is_kept` for the surviving corpus.
+    *
+    * Scale shape: the component labels cover only PAIRED vertices — at a
+    * realistic dup rate that's a small fraction of the corpus, so the left
+    * join back is broadcast-able and AQE picks that up at runtime; otherwise
+    * it's one shuffle on id. The representative window partitions by
+    * cluster; cluster sizes are bounded by the upstream pair generator's
+    * hot-block bail-outs, never by corpus size.
+    */
+  def keepBestInCluster(items: DataFrame, pairs: DataFrame, idCol: String,
+      quality: Column, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val labeled = items
+      .select(col(idCol).cast("long").as("id"), quality.as("quality"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"),
+        col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("id").asc)
+    labeled.withColumn("rn", row_number().over(w))
+      .select(col("id"), col("cluster_id"), (col("rn") === 1).as("is_kept"))
+  }
 }

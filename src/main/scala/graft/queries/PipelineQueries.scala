@@ -712,6 +712,72 @@ object PipelineQueries extends QuerySet {
            |        AND stopword_hits >= 2) AS pass
            |FROM m""".stripMargin)),
 
+    QueryDef("q97_keep_best_in_cluster", (s, d) => {
+      // clusters -> KEEP-LIST: the final step of corpus dedup — one
+      // representative per near-dup cluster (quality DESC, id ASC; label is
+      // the deterministic quality proxy on this table), every row labeled
+      // kept/dropped for auditability
+      val emb = table(s, d, "embeddings")
+      val pairs = Similarity.nearDupPairsLsh(emb, threshold = 0.4)
+      Dedup.keepBestInCluster(emb, pairs, "vec_id", col("label").cast("long"))
+        .select(col("id").as("vec_id"), col("cluster_id"), col("is_kept"))
+    }, Some(
+      s"""WITH RECURSIVE $lshPairsCtesBody,
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4),
+         |und AS (SELECT id_a AS u, id_b AS v FROM verified
+         |        UNION SELECT id_b, id_a FROM verified),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |items AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS q
+         |          FROM embeddings),
+         |lab AS (SELECT i.id, coalesce(c.comp, i.id) AS cluster_id, i.q
+         |        FROM items i LEFT JOIN comp c USING (id))
+         |SELECT id AS vec_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY q DESC, id ASC) = 1) AS is_kept
+         |FROM lab""".stripMargin)),
+
+    QueryDef("q98_kmeans_assign", (s, d) =>
+      // codebook training (Lloyd's, 1 round unrolled in the oracle):
+      // exact-integer rational-centroid distances make the assignment
+      // bit-reproducible on any engine/partitioning; broadcast centroid
+      // literals — no join or exchange on the corpus path
+      graft.pipeline.Clustering.kMeansAssign(
+        table(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 1)
+        .select(col("id").as("vec_id"), col("cluster")),
+      Some(
+        s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v FROM embeddings),
+           |init AS (SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INTEGER) AS j,
+           |                v AS c, CAST(1 AS BIGINT) AS den
+           |         FROM (SELECT id, v FROM e ORDER BY id ASC LIMIT 4)),
+           |d1 AS (SELECT e.id, e.v, i.j,
+           |              CAST(list_sum(list_transform(list_zip(e.v, i.c),
+           |                     p -> (i.den*p[1] - p[2]) * (i.den*p[1] - p[2]))) AS DOUBLE)
+           |              / CAST(i.den*i.den AS DOUBLE) AS d
+           |       FROM e, init i),
+           |a1 AS (SELECT id, v, j FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, j ASC) AS rn
+           |         FROM d1) t WHERE rn = 1),
+           |upd AS (SELECT j, pos, sum(x) AS s, count(*) AS cnt
+           |        FROM (SELECT j, unnest(generate_series(1, len(v))) AS pos,
+           |                     unnest(v) AS x FROM a1) t
+           |        GROUP BY 1, 2),
+           |c2 AS (SELECT j, list(s ORDER BY pos ASC) AS c,
+           |              CAST(max(cnt) AS BIGINT) AS den FROM upd GROUP BY j),
+           |cf AS (SELECT i.j, coalesce(c2.c, i.c) AS c, coalesce(c2.den, i.den) AS den
+           |       FROM init i LEFT JOIN c2 USING (j)),
+           |d2 AS (SELECT e.id, f.j,
+           |              CAST(list_sum(list_transform(list_zip(e.v, f.c),
+           |                     p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+           |              / CAST(f.den*f.den AS DOUBLE) AS d
+           |       FROM e, cf f)
+           |SELECT id AS vec_id, CAST(j AS INTEGER) AS cluster
+           |FROM (SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d ASC, j ASC) AS rn
+           |      FROM d2) t WHERE rn = 1""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

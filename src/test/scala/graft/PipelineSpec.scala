@@ -343,6 +343,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(off === 15L)
   }
 
+  test("keepBestInCluster: one representative per cluster, singletons kept") {
+    val items = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7), (6L, 0.2))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestInCluster(items, pairs, "doc_id", $"quality")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)), // best quality wins
+      4L -> ((4L, true)), 5L -> ((4L, false)),                      // tie -> lower id
+      6L -> ((6L, true))))                                          // singleton cluster
+    val kept = out.count(_._2._2)
+    assert(kept === 3, "exactly one survivor per cluster")
+  }
+
+  test("kMeansAssign separates well-separated clusters and is partition-invariant") {
+    val rng = new scala.util.Random(11)
+    // two tight blobs far apart; seeds (ids 0,1) land one in each blob
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Array(base + rng.nextDouble() * 0.1f, base - rng.nextDouble() * 0.1))
+    }
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val out = Clustering.kMeansAssign(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    pts.foreach { case (id, v) =>
+      assert(out(id) === (if (v(0) < 5) 0 else 1), s"point $id")
+    }
+    // byte-identical assignment under a different partitioning
+    val out2 = Clustering.kMeansAssign(df.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 3).as[(Long, Int)].collect().toMap
+    assert(out === out2)
+  }
+
+  test("kMeansAssign: a cluster that loses all members keeps its centroid") {
+    // seeds are ids 0 and 1, both in the left blob; everything assigns to
+    // cluster 0 or 1 in round 1, then cluster 1 may empty — must not throw
+    // and must still emit k-valued assignments
+    val df = (0 until 10).map(i => (i.toLong, Array(i.toFloat / 100, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kMeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out.size === 10)
+    assert(out.values.forall(c => c == 0 || c == 1))
+  }
+
   test("gopherStats/gopherPass: metrics exact, each rule gates independently") {
     val words100 = (1 to 25).map(_ => "the fox and dog").mkString(" ") // 100 words, mean 3.0, 2 stopwords
     val rows = Seq(
