@@ -114,4 +114,76 @@ object Sketches {
             (col("__s") + (lit(m) - col("__nb")).cast("double"))))
       .drop("__s", "__nb", "__maxb")
   }
+
+  // ------------------------------------------------------------------
+  // Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
+  // ------------------------------------------------------------------
+
+  /** Counter column for hash row `row`: first 32 md5 bits of
+    * `value || "|cm" || row` mod `w` — engine-portable like
+    * [[graft.pipeline.Sampling.hashBucket]].
+    */
+  def cmCol(v: Column, row: Int, w: Int): Column =
+    conv(substring(md5(concat(v.cast("string"), lit("|cm" + row))), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Mergeable frequency sketch in relational form: `d` independent hash
+    * rows x `w` counters; a register row is (group..., cm_row, cm_col,
+    * cm_count). Registers built over ANY partition of the data combine with
+    * the same groupBy+sum — associative and commutative, so a corpus-wide
+    * frequency table shuffles at most d*w rows per group, never raw values.
+    * Error bound: a point lookup overestimates by at most 2N/w with
+    * probability 1 - 2^-d (never underestimates).
+    *
+    * NULL values are filtered (a frequency query on NULL is meaningless);
+    * counts are exact longs, so sketches are bit-identical on any engine.
+    */
+  def cmRegisters(df: DataFrame, groupCols: Seq[String], v: Column,
+      d: Int = 4, w: Int = 256): DataFrame =
+    cmRegistersBy(df, groupCols.map(col), v, d, w)
+
+  /** Column-keyed form — the ONE register derivation batch and streaming
+    * share (streaming groups by `window(...)`), mirroring
+    * [[hllRegistersBy]].
+    */
+  def cmRegistersBy(df: DataFrame, groupCols: Seq[Column], v: Column,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1,16], got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in [2,2^20], got $w")
+    Seq("__cm_v", "__cm_cell").foreach(n =>
+      require(!df.columns.contains(n), s"column name '$n' is reserved"))
+    val cells = array((0 until d).map(i =>
+      struct(lit(i).as("cm_row"), cmCol(col("__cm_v"), i, w).as("cm_col"))): _*)
+    // withColumn (not select): group expressions like window(ts) must still
+    // see their source columns at the groupBy below
+    df.filter(v.isNotNull)
+      .withColumn("__cm_v", v.cast("string"))
+      .withColumn("__cm_cell", explode(cells))
+      .groupBy((groupCols :+ col("__cm_cell.cm_row").as("cm_row"))
+        :+ col("__cm_cell.cm_col").as("cm_col"): _*)
+      .agg(count(lit(1)).as("cm_count"))
+  }
+
+  /** Point-frequency estimates for a set of probe keys against an
+    * UNGROUPED register table: min over the d counters each key hashes to.
+    * An untouched counter reads 0 — correct, since a key that was ever
+    * added incremented all d of its cells. The probe side is tiny by
+    * construction, so the register join broadcasts.
+    *
+    * `d`/`w` must MATCH the registers' build parameters (same contract as
+    * [[hllEstimate]]'s `b`).
+    */
+  def cmEstimate(registers: DataFrame, keys: DataFrame, v: Column,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    val cells = array((0 until d).map(i =>
+      struct(lit(i).as("cm_row"), cmCol(col("key"), i, w).as("cm_col"))): _*)
+    keys.select(v.cast("string").as("key")).filter(col("key").isNotNull)
+      .distinct()
+      .select(col("key"), explode(cells).as("__cm_cell"))
+      .select(col("key"), col("__cm_cell.cm_row").as("cm_row"),
+        col("__cm_cell.cm_col").as("cm_col"))
+      .join(registers, Seq("cm_row", "cm_col"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cm_count"), lit(0L))).as("cm_est"))
+  }
 }

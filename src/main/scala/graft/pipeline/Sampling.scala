@@ -49,6 +49,45 @@ object Sampling {
     df.filter(hashBucket(idCol, salt) < cut)
   }
 
+  /** Temperature-flattened mixture (alpha = 0.5): per-group keep rates
+    * proportional to sqrt(group size) — the standard size^alpha
+    * re-weighting that up-samples small sources and down-samples dominant
+    * ones (multilingual/multi-corpus pre-training mixes), targeting
+    * `budget` expected kept rows overall.
+    *
+    * Unlike [[mixtureSample]] the rates derive FROM the data: one bounded
+    * groupBy-count collect (one row per source — mixture groups are few by
+    * definition), then the same pushed-down hash filter. All rate
+    * arithmetic is exact integers: w_g = floor(sqrt(n_g * 10^6)) is an
+    * exact isqrt (sqrt is correctly-rounded IEEE on every engine, floor
+    * snaps the last ulp), and the per-mille cut is one BigInt floor
+    * division — so the selected row set reproduces bit-identically on any
+    * engine. alpha is pinned to 0.5 because general pow() is NOT
+    * correctly-rounded across libms; other temperatures need a rational
+    * exponent ladder of sqrt calls.
+    *
+    * NULL-group rows are dropped (no principled rate exists for them).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: Column,
+      budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ws = counts.map { case (g, n) =>
+      (g, n, BigInt(math.sqrt((n * 1000000L).toDouble).toLong))
+    }
+    val totalW = ws.map(_._3).sum
+    val cuts = ws.map { case (g, n, w) =>
+      val cut = (BigInt(1000000) * budget * w) / (BigInt(n) * totalW)
+      g -> cut.min(BigInt(1000000)).toLong
+    }
+    val cut = cuts.foldLeft(lit(0L)) { case (acc, (g, c)) =>
+      when(col(groupCol) === g, lit(c)).otherwise(acc)
+    }
+    df.filter(col(groupCol).isNotNull && hashBucket(idCol, salt) < cut)
+  }
+
   /** Per-group quota ("cap each domain/source at n docs"): keep the n rows
     * with the smallest (hash, id) per group — a uniform within-group choice
     * that is stable under reruns and data reordering.

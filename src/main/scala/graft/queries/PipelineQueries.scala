@@ -778,6 +778,65 @@ object PipelineQueries extends QuerySet {
            |FROM (SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d ASC, j ASC) AS rn
            |      FROM d2) t WHERE rn = 1""".stripMargin)),
 
+    QueryDef("q101_countmin_freq", (s, d) => {
+      // mergeable Count-Min frequency sketch over the token stream +
+      // point-lookup probes vs exact truth: registers are (row, col, count)
+      // rows combinable by plain sum — the 100 TB frequency-table path
+      // shuffles d*w rows, never tokens
+      import graft.functions.Sketches
+      val probeKeys = Seq("the", "a", "of", "and", "in", "table", "spark", "zzz_absent")
+      val toks = table(s, d, "documents")
+        .select(explode(TA.tokens(col("text"))).as("t"))
+      val reg = Sketches.cmRegisters(toks, Seq.empty, col("t"), d = 4, w = 256)
+      val probes = { import s.implicits._; probeKeys.toDF("key") }
+      val truth = toks.filter(col("t").isInCollection(probeKeys))
+        .groupBy(col("t").as("key")).agg(count(lit(1)).as("true_count"))
+      Sketches.cmEstimate(reg, probes, col("key"), d = 4, w = 256)
+        .join(truth, Seq("key"), "left")
+        .select(col("key"), col("cm_est"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"))
+    }, Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |reg AS (SELECT r AS cm_row,
+        |               ('0x' || substr(md5(t || '|cm' || CAST(r AS VARCHAR)), 1, 8))::BIGINT % 256 AS cm_col,
+        |               CAST(count(*) AS BIGINT) AS cm_count
+        |        FROM tok, rows_ GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['the','a','of','and','in','table','spark','zzz_absent']) AS key),
+        |cells AS (SELECT key, r AS cm_row,
+        |                 ('0x' || substr(md5(key || '|cm' || CAST(r AS VARCHAR)), 1, 8))::BIGINT % 256 AS cm_col
+        |          FROM probes, rows_),
+        |est AS (SELECT key, min(coalesce(reg.cm_count, 0)) AS cm_est
+        |        FROM cells LEFT JOIN reg USING (cm_row, cm_col) GROUP BY key),
+        |tru AS (SELECT t AS key, CAST(count(*) AS BIGINT) AS true_count FROM tok GROUP BY 1)
+        |SELECT e.key, e.cm_est, coalesce(t.true_count, 0) AS true_count
+        |FROM est e LEFT JOIN tru t USING (key)""".stripMargin)),
+
+    QueryDef("q102_temperature_mix", (s, d) =>
+      // data-derived mixture rates (size^0.5 temperature flattening):
+      // exact-isqrt weights + BigInt floor-division cuts make the kept set
+      // engine-exact; the filter itself still pushes to the scan
+      graft.pipeline.Sampling.temperatureSample(
+        table(s, d, "documents"), "source", col("doc_id"),
+        budget = 200, salt = "tm5")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source")),
+      Some(
+        """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+          |w AS (SELECT source, n,
+          |             CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w
+          |      FROM n),
+          |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w),
+          |cut AS (SELECT source,
+          |               least(CAST(1000000 AS HUGEINT),
+          |                     (CAST(1000000 AS HUGEINT) * 200 * w) // (CAST(n AS HUGEINT) * tw)) AS cut
+          |        FROM w, tot)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+          |FROM documents d JOIN cut c USING (source)
+          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || 'tm5'), 1, 8))::BIGINT
+          |      % 1000000 < c.cut""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

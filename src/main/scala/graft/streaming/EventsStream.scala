@@ -104,6 +104,22 @@ object EventsStream {
       Seq(window(col("ts"), "1 hour")), col("user_id"))
       .select(col("window.start").as("hour_start"), col("hll_bucket"), col("hll_rho"))
 
+  /** Streaming per-hour event-type frequency sketch: the Count-Min register
+    * relation (row, col -> count) is maintained incrementally by the same
+    * windowed groupBy+count a batch build uses
+    * ([[graft.functions.Sketches.cmRegistersBy]] — ONE shared derivation),
+    * so stream state is bounded at d*w rows per open window while point
+    * lookups stay O(d) against the materialized registers. An exact
+    * per-value count table is unbounded on a high-cardinality stream; the
+    * sketch is not.
+    */
+  def hourlyEventTypeFreq(events: DataFrame): DataFrame =
+    graft.functions.Sketches.cmRegistersBy(
+      events.withWatermark("ts", "2 hours"),
+      Seq(window(col("ts"), "1 hour")), col("event_type"))
+      .select(col("window.start").as("hour_start"), col("cm_row"),
+        col("cm_col"), col("cm_count"))
+
   /** Streaming exact dedup (the training-pipeline "drop repeated documents"
     * op on a live feed): first occurrence of each key wins; duplicates
     * arriving within the watermark horizon are dropped and state older than

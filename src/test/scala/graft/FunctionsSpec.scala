@@ -109,4 +109,37 @@ class FunctionsSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](Sketches.hllRegisters(vals, Nil, $"v", b = bad))
     }
   }
+
+  test("Count-Min sketch: never undercounts, exact sans collision, sum-mergeable") {
+    import graft.functions.Sketches
+    // skewed: value v appears (21 - v) times, heavy collisions at w=8
+    val vals = spark.range(1, 21).select(explode(sequence(lit(1), col("id"))).as("x"))
+      .select(col("x"), col("x").cast("string").as("v"))
+    val truth = (1L to 20L).map(v => v.toString -> (21L - v)).toMap
+    def check(d: Int, w: Int, expectExact: Boolean): Unit = {
+      val regs = Sketches.cmRegisters(vals, Nil, $"v", d, w)
+      val probes = vals.select($"v").distinct()
+      val est = Sketches.cmEstimate(regs, probes, $"v", d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"undercount at d=$d w=$w key $k")
+        if (expectExact) assert(est(k) === n, s"collision at d=$d w=$w key $k")
+      }
+    }
+    check(d = 4, w = 1024, expectExact = true) // 20 keys in 1024 cols: no shared cell survives 4 rows
+    check(d = 2, w = 8, expectExact = false)   // forced collisions still never undercount
+    // registers from disjoint halves merge by SUM to the whole
+    val regs = Sketches.cmRegisters(vals, Nil, $"v", 4, 64)
+    val h1 = Sketches.cmRegisters(vals.filter($"x" % 2 === 0), Nil, $"v", 4, 64)
+    val h2 = Sketches.cmRegisters(vals.filter($"x" % 2 =!= 0), Nil, $"v", 4, 64)
+    val merged = h1.unionByName(h2).groupBy($"cm_row", $"cm_col")
+      .agg(sum($"cm_count").as("cm_count"))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    // absent key reads 0 through min(coalesce)
+    val absent = Sketches.cmEstimate(regs,
+      Seq("nope").toDF("v"), $"v", 4, 64).collect()
+    assert(absent.length === 1 && absent(0).getLong(1) >= 0L)
+    intercept[IllegalArgumentException](Sketches.cmRegisters(vals, Nil, $"v", d = 0))
+    intercept[IllegalArgumentException](Sketches.cmRegisters(vals, Nil, $"v", d = 4, w = 1))
+  }
 }

@@ -388,6 +388,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.forall(c => c == 0 || c == 1))
   }
 
+  test("temperatureSample flattens the mix toward small sources, deterministically") {
+    val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (1601 to 1700).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureSample(df, "src", $"id", budget = 400, salt = "t")
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // sqrt weights: w(big)=4*w(small), so big's target is 4/5*400=320 at
+    // rate .2, small's 80 at rate .8 — small's keep RATE must be ~4x big's
+    val rateBig = bySrc("big").toDouble / 1600
+    val rateSmall = bySrc("small").toDouble / 100
+    assert(rateSmall > 2.5 * rateBig, s"small=$rateSmall big=$rateBig")
+    assert(math.abs(kept.length - 400) < 80, s"kept ${kept.length} of budget 400")
+    // deterministic: same salt -> same rows
+    val again = Sampling.temperatureSample(df, "src", $"id", budget = 400, salt = "t")
+      .as[(Long, String)].collect()
+    assert(kept.toSet === again.toSet)
+    // a budget above the corpus caps every rate at 1.0 (keeps everything)
+    val all = Sampling.temperatureSample(df, "src", $"id", budget = 100000, salt = "t")
+    assert(all.count() === 1700L)
+  }
+
   test("gopherStats/gopherPass: metrics exact, each rule gates independently") {
     val words100 = (1 to 25).map(_ => "the fox and dog").mkString(" ") // 100 words, mean 3.0, 2 stopwords
     val rows = Seq(

@@ -131,6 +131,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(estimate(streamed) === estimate(batch))
   }
 
+  test("streaming Count-Min registers == batch registers (sf0.001 events)") {
+    import graft.functions.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.hourlyEventTypeFreq(EventsStream.readEvents(spark, dir)), "cm_stream_test")
+    val batchEvents = graft.sources.Sources.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val batch = Sketches.cmRegisters(batchEvents, Seq("hour_start"), col("event_type"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // merged global lookup: estimate must never undercount the exact truth
+    val merged = streamed.groupBy("cm_row", "cm_col")
+      .agg(sum("cm_count").as("cm_count"))
+    val types = batchEvents.select(col("event_type")).distinct()
+    val est = Sketches.cmEstimate(merged, types, col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = batchEvents.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"undercount for $k") }
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
