@@ -114,6 +114,40 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Directional token co-occurrence pairs within a `window`-token
+    * lookahead: (t[i], t[i+j]) for j in 1..window — the raw statistic under
+    * PMI/word-vector/collocation analyses. Exact integer positions, so the
+    * pair multiset reproduces identically on any engine. `toks` must be a
+    * materialized attribute (no-CSE-in-lambdas rule, see
+    * [[shinglesFromTokens]]); docs shorter than 2 tokens (and NULL text)
+    * contribute nothing.
+    */
+  def cooccurPairs(toks: Column, window: Int): Column = {
+    require(window >= 1, s"window: $window")
+    // guard BOTH sequence() calls: Spark's sequence(1, 0) counts DOWN
+    when(size(toks) >= 2,
+      flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+        transform(sequence(lit(1), least(lit(window), size(toks) - i)), j =>
+          struct(element_at(toks, i).as("a"), element_at(toks, i + j).as("b"))))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
+  /** Corpus collocation table: co-occurrence counts over [[cooccurPairs]],
+    * thresholded at `minCount`. One explode + one partially-aggregated
+    * shuffle on (a, b) — the count rollup combines map-side, so the
+    * exchange carries distinct pairs per task, not the window-expanded
+    * stream. PMI itself is left to the caller (it needs log, which is not
+    * correctly-rounded across engines; the COUNTS are the portable part —
+    * marginals come from [[vocabulary]]).
+    */
+  def cooccurrence(docs: org.apache.spark.sql.DataFrame, window: Int,
+      minCount: Long, textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(tokens(col(textCol)).as("toks"))
+      .select(explode(cooccurPairs(col("toks"), window)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+
   /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup).
     *
     * PERFORMANCE: `toks` must be a MATERIALIZED column (an attribute), not a

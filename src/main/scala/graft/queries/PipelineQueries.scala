@@ -837,6 +837,21 @@ object PipelineQueries extends QuerySet {
           |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || 'tm5'), 1, 8))::BIGINT
           |      % 1000000 < c.cut""".stripMargin)),
 
+    QueryDef("q103_cooccurrence", (s, d) =>
+      // collocation counts (PMI numerators): directional pairs within a
+      // 2-token lookahead, one explode + one partial-agg shuffle on (a,b)
+      TA.cooccurrence(table(s, d, "documents"), window = 2, minCount = 5),
+      Some(
+        """WITH d AS (SELECT string_split(text, ' ') AS toks
+          |           FROM documents WHERE text IS NOT NULL),
+          |p AS (SELECT toks[i.i] AS a, toks[i.i + j.j] AS b
+          |      FROM d,
+          |           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i,
+          |           LATERAL (SELECT unnest(generate_series(1, least(2, len(toks) - i.i))) AS j) j
+          |      WHERE len(toks) >= 2)
+          |SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+          |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

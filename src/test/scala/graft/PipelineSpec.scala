@@ -409,6 +409,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.count() === 1700L)
   }
 
+  test("cooccurrence counts directional windowed pairs exactly") {
+    val df = Seq((1L, "a b c a b"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(df, window = 2, minCount = 1)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // doc 1 pairs: (a,b)x2 (a,c) (b,c) (b,a) (c,a) (c,b); docs 2/3: none
+    assert(out === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "a") -> 1L, ("c", "a") -> 1L, ("c", "b") -> 1L))
+    val filtered = TextAnalysis.cooccurrence(df, window = 2, minCount = 2)
+      .as[(String, String, Long)].collect()
+    assert(filtered.toSeq === Seq(("a", "b", 2L)))
+  }
+
   test("gopherStats/gopherPass: metrics exact, each rule gates independently") {
     val words100 = (1 to 25).map(_ => "the fox and dog").mkString(" ") // 100 words, mean 3.0, 2 stopwords
     val rows = Seq(
