@@ -238,6 +238,46 @@ class ScaleSpec extends AnyFunSuite {
       s"bloom-negative branch must not shuffle:\n$cleanBranch")
   }
 
+  test("invertedIndex posting cap is a map-side WindowGroupLimit, df rollup partial-aggregates") {
+    import graft.pipeline.TextAnalysis
+    val df = (1L to 200L).map(i => (i, s"tok${i % 9} tok${i % 5} filler$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, minDf = 2, maxPostings = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // partial (pre-shuffle) + final group-limit: a stopword token's posting
+    // list must be pruned to maxPostings in the map task, not the reducer
+    val nGroupLimits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(nGroupLimits === 2, s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("temperatureSample's derived-rate filter pushes to the scan (no exchange)") {
+    import graft.pipeline.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("graft_temp_scan").toString
+    try {
+      (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "src")
+        .write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val out = Sampling.temperatureSample(stored, "src", $"id", budget = 100, salt = "p")
+      val plan = out.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, s"sampling filter must be a pure scan filter:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("Count-Min register build partial-aggregates before its single exchange") {
+    import graft.functions.Sketches
+    val df = (1L to 500L).map(i => (i, s"v${i % 40}")).toDF("id", "v")
+    val out = Sketches.cmRegisters(df, Nil, $"v", d = 4, w = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"one shuffle on (row,col):\n$plan")
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"map-side combine must precede the exchange:\n$plan")
+  }
+
   test("streaming merge resumes after a mid-commit crash (checkpoint replay + marker recovery)") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
