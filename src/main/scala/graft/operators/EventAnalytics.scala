@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic event-stream analytics over the `events` table (builder brief;
+  * additive to the reference surface): ordered-funnel progression and
+  * cohort retention. Both are exact integer/date arithmetic end to end —
+  * no floats anywhere — so results reproduce identically on any engine.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: how far each user progressed through `steps`, where
+    * every later step must occur STRICTLY after the previous one
+    * (`ts > lastTs`; equal timestamps do not advance — both engines agree
+    * exactly). Emits one row per user with `reached` in [0, steps.size].
+    *
+    * Shape: irrelevant event types are pruned BEFORE the shuffle, each user
+    * folds a time-sorted event list through a greedy state machine (greedy
+    * earliest-transition is optimal for ordered funnels: taking a step
+    * earlier only widens what can follow), and zero-progress users come
+    * back via a left join from the distinct-user roll-up — two narrow
+    * aggregations instead of shuffling the unfiltered stream.
+    *
+    * Per-user step-event counts bound the collected list; a pathological
+    * single user with millions of step events would need a pre-cap
+    * ([[graft.pipeline.Sampling.capPerGroup]]) upstream.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"repeated step types are ambiguous: $steps")
+    val stepArr = array(steps.map(lit): _*)
+    val zero = struct(lit(0).as("reached"),
+      lit(null).cast("timestamp").as("lastTs"))
+    val folded = aggregate(col("evs"), zero, (acc, e) => {
+      val canAdvance = acc("reached") < steps.size &&
+        e("t") === element_at(stepArr, acc("reached") + 1) &&
+        (acc("reached") === 0 || e("ts") > acc("lastTs"))
+      when(canAdvance,
+        struct((acc("reached") + 1).as("reached"), e("ts").as("lastTs")))
+        .otherwise(acc)
+    })
+    val progressed = events
+      .filter(col(typeCol).isInCollection(steps))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("ts"), col(typeCol).as("t")))).as("evs"))
+      .select(col("user_id"), folded.getField("reached").as("reached"))
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(progressed, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("reached"), lit(0)).as("reached"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * subsequent active day up to `horizonDays` out. Emits
+    * (cohort_day, k, n_users); the user-day activity set is de-duplicated
+    * first, so the final count is a plain COUNT(*) — no distinct-expand on
+    * the wide aggregate.
+    *
+    * Shape: two aggregations and the join all hash on user_id (AQE reuses
+    * the co-partitioning), then one narrow roll-up on (cohort_day, k).
+    */
+  def retention(events: DataFrame, horizonDays: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays: $horizonDays")
+    val firstDay = events.groupBy(col(userCol).as("user_id"))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    events.select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .filter(col("k") <= horizonDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

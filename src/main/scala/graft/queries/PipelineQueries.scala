@@ -852,6 +852,44 @@ object PipelineQueries extends QuerySet {
           |SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
           |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
 
+    QueryDef("q104_funnel", (s, d) =>
+      // ordered-funnel progression: greedy state machine over time-sorted
+      // per-user events (strictly-after semantics); type prune before the
+      // shuffle, zero-progress users restored by a narrow distinct join
+      graft.operators.EventAnalytics.funnel(
+        events(s, d), Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("reached")),
+      Some(
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+          |SELECT u.user_id,
+          |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+          |                 WHEN t2 IS NOT NULL THEN 2
+          |                 WHEN t1 IS NOT NULL THEN 1
+          |                 ELSE 0 END AS INTEGER) AS reached
+          |FROM (SELECT DISTINCT user_id FROM events) u
+          |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+          |LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    QueryDef("q105_retention", (s, d) =>
+      // cohort retention: first-active-day cohorts counted on each active
+      // day within the horizon; user-day activity deduped up front so the
+      // wide roll-up is a plain COUNT(*)
+      graft.operators.EventAnalytics.retention(events(s, d), horizonDays = 7),
+      Some(
+        """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          |           FROM events GROUP BY 1),
+          |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+          |SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS k,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM a JOIN f USING (user_id)
+          |WHERE datediff('day', f.cohort_day, a.day) <= 7
+          |GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

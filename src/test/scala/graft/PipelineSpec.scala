@@ -424,6 +424,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(filtered.toSeq === Seq(("a", "b", 2L)))
   }
 
+  test("funnel: ordered progression, strict-after ties, zero-progress users") {
+    import graft.operators.EventAnalytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)), // full funnel
+      (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)), // purchase too early
+      (3L, "click", ts(1)), (3L, "view", ts(2)),                          // click before view
+      (4L, "view", ts(1)), (4L, "click", ts(1)),                          // tie: not strictly after
+      (5L, "error", ts(1)))                                               // no funnel events
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
+  test("retention: cohorts by first-active day, horizon-bounded") {
+    import graft.operators.EventAnalytics
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(2)), (1L, ts(20)), // dup day collapses; day 20 beyond horizon
+      (2L, ts(1)), (2L, ts(3)),
+      (3L, ts(2)))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retention(events, horizonDays = 7)
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(t => (t._1.toString, t._2) -> t._3).toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 2L,  // users 1,2 on their cohort day
+      ("2024-01-01", 1) -> 1L,  // user 1 back next day
+      ("2024-01-01", 2) -> 1L,  // user 2 back on day 3
+      ("2024-01-02", 0) -> 1L)) // user 3's own cohort
+  }
+
   test("gopherStats/gopherPass: metrics exact, each rule gates independently") {
     val words100 = (1 to 25).map(_ => "the fox and dog").mkString(" ") // 100 words, mean 3.0, 2 stopwords
     val rows = Seq(
