@@ -48,4 +48,41 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
       .drop(b)
   }
+
+  /** Interval-overlap join (interval x interval, inclusive bounds): left
+    * rows pair with right rows of the same keys whose [start, end] spans
+    * intersect. Both sides replicate to their covered buckets and meet in
+    * an EQUI-join on (keys, bucket); since an overlapping pair shares every
+    * bucket its overlap region covers, it is emitted exactly ONCE at the
+    * FIRST shared bucket — `greatest` of the two interval-start buckets,
+    * the same first-agreement dedup the LSH band join uses — so no distinct
+    * pass ever runs over the pair stream. Shuffle keys stay near-uniform
+    * (keys x time bucket); replication is O(span / bucketWidthDays) copies
+    * per row, so pick the width near the typical span length.
+    *
+    * Self-joins: pass two renamed projections and filter the reflexive /
+    * symmetric half by id afterward (the op emits plain inner-join pairs).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      bucketWidthDays: Int = 365): DataFrame = {
+    require(bucketWidthDays > 0, s"bucketWidthDays: $bucketWidthDays")
+    val overlapCols = left.columns.toSet
+      .intersect(right.columns.toSet).diff(keys.toSet)
+    require(overlapCols.isEmpty,
+      s"ambiguous non-key columns on both sides: ${overlapCols.mkString(",")}")
+    val (b, bl0, br0) = ("__ol_b", "__ol_bl0", "__ol_br0")
+    def valid(s: String, e: String) =
+      col(s).isNotNull && col(e).isNotNull && col(s) <= col(e)
+    val l = left.filter(valid(leftStart, leftEnd))
+      .withColumn(bl0, bucketOf(col(leftStart), bucketWidthDays))
+      .withColumn(b, explode(sequence(col(bl0), bucketOf(col(leftEnd), bucketWidthDays))))
+    val r = right.filter(valid(rightStart, rightEnd))
+      .withColumn(br0, bucketOf(col(rightStart), bucketWidthDays))
+      .withColumn(b, explode(sequence(col(br0), bucketOf(col(rightEnd), bucketWidthDays))))
+    l.join(r, keys :+ b)
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd) &&
+        col(b) === greatest(col(bl0), col(br0)))
+      .drop(b, bl0, br0)
+  }
 }

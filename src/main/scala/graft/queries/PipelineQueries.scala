@@ -890,6 +890,43 @@ object PipelineQueries extends QuerySet {
           |WHERE datediff('day', f.cohort_day, a.day) <= 7
           |GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q106_interval_overlap", (s, d) => {
+      // interval x interval overlap join: same-(supplier, part) shipping
+      // windows that intersect — bucketized equi-join with first-shared-
+      // bucket dedup, never a cross join; spans are <= 50 days so width 60
+      // keeps replication at <= 2 copies per row
+      val li = table(s, d, "lineitem").select(
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_partkey").cast("long").as("partkey"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"),
+        to_date(col("l_shipdate")).as("st"),
+        date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("en"))
+      val a = li.select(col("suppkey"), col("partkey"), col("ok").as("a_orderkey"),
+        col("ln").as("a_linenumber"), col("st").as("a_start"), col("en").as("a_end"))
+      val b = li.select(col("suppkey"), col("partkey"), col("ok").as("b_orderkey"),
+        col("ln").as("b_linenumber"), col("st").as("b_start"), col("en").as("b_end"))
+      graft.operators.RangeJoin.intervalOverlap(a, b, Seq("suppkey", "partkey"),
+        "a_start", "a_end", "b_start", "b_end", bucketWidthDays = 60)
+        .filter(col("a_orderkey") < col("b_orderkey") ||
+          (col("a_orderkey") === col("b_orderkey") &&
+            col("a_linenumber") < col("b_linenumber")))
+        .select(col("suppkey"), col("partkey"), col("a_orderkey"),
+          col("a_linenumber"), col("b_orderkey"), col("b_linenumber"))
+    }, Some(
+      """WITH l AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS suppkey, CAST(l_partkey AS BIGINT) AS partkey,
+        |         CAST(l_orderkey AS BIGINT) AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+        |         CAST(l_shipdate AS DATE) AS st,
+        |         CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INTEGER)) AS en
+        |  FROM lineitem)
+        |SELECT a.suppkey, a.partkey, a.ok AS a_orderkey, a.ln AS a_linenumber,
+        |       b.ok AS b_orderkey, b.ln AS b_linenumber
+        |FROM l a JOIN l b
+        |  ON a.suppkey = b.suppkey AND a.partkey = b.partkey
+        | AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        | AND a.st <= b.en AND b.st <= a.en""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

@@ -36,6 +36,27 @@ class EdgeSpec extends AnyFunSuite {
       12L -> Seq("A", "B"), 13L -> Seq("C")))
   }
 
+  test("intervalOverlap: exactly-once across bucket seams, inclusive ends, NULL bounds") {
+    import graft.operators.RangeJoin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq(
+      (1L, 100L, d("2024-01-01"), d("2024-03-15")), // spans 3 monthly buckets
+      (1L, 101L, d("2024-05-01"), d("2024-05-10")),
+      (2L, 102L, d("2024-01-01"), d("2024-01-31")))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq(
+      (1L, 200L, d("2024-02-20"), d("2024-04-01")), // overlaps 100 in 2 shared buckets -> ONE row
+      (1L, 201L, d("2024-03-15"), d("2024-03-20")), // touches 100's endpoint (inclusive)
+      (1L, 202L, d("2024-05-11"), d("2024-05-20")), // adjacent to 101, no overlap
+      (2L, 203L, null.asInstanceOf[java.sql.Date], d("2024-01-15")), // NULL start dropped
+      (3L, 204L, d("2024-01-01"), d("2024-12-31"))) // key with no left rows
+      .toDF("k", "b_id", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlap(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", bucketWidthDays = 30)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out === Seq((100L, 200L), (100L, 201L)))
+  }
+
   test("asOf join: <= semantics, ties, and no-match NULLs") {
     import graft.operators.AsOfJoin
     def d(s: String) = java.sql.Date.valueOf(s)
