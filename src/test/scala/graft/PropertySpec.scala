@@ -363,4 +363,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("intervalOverlap == naive theta join (random interval sets)") {
+    import graft.operators.RangeJoin
+    val epoch = LocalDate.of(2024, 1, 1)
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      def intervals(n: Int) = (1 to n).map { i =>
+        val s = rnd.nextInt(400)
+        (i.toLong, 1L + rnd.nextInt(4),
+          java.sql.Date.valueOf(epoch.plusDays(s)),
+          java.sql.Date.valueOf(epoch.plusDays(s + rnd.nextInt(90))))
+      }
+      val as = intervals(40)
+      val bs = intervals(40)
+      val aDf = as.toDF("a_id", "k", "a_s", "a_e")
+      val bDf = bs.toDF("b_id", "k", "b_s", "b_e")
+      // bucket width deliberately SMALLER than max span: multi-bucket
+      // replication and the first-shared-bucket dedup both get exercised
+      val got = RangeJoin.intervalOverlap(aDf, bDf, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidthDays = 14)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for {
+        (ai, ak, asd, aed) <- as
+        (bi, bk, bsd, bed) <- bs
+        if ak == bk && !asd.after(bed) && !bsd.after(aed)
+      } yield (ai, bi)).sorted
+      assert(got === want, s"seed $seed")
+      assert(got.distinct === got, s"seed $seed emitted a pair twice")
+    }
+  }
+
+  test("funnel == naive per-user scan (random event streams)") {
+    import graft.operators.EventAnalytics
+    val steps = Seq("A", "B", "C")
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      val events = (1 to 300).map { i =>
+        (1L + rnd.nextInt(20), Seq("A", "B", "C", "X")(rnd.nextInt(4)),
+          // coarse timestamps force plenty of exact ties
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(50) * 1000L))
+      }
+      val got = EventAnalytics.funnel(events.toDF("user_id", "event_type", "ts"),
+        steps).as[(Long, Int)].collect().toMap
+      val want = events.groupBy(_._1).map { case (u, evs) =>
+        var reached = 0
+        var lastTs = Long.MinValue
+        // same deterministic order the engine folds in: (ts, type)
+        evs.map(e => (e._3.getTime, e._2)).sorted.foreach { case (t, ty) =>
+          if (reached < steps.size && ty == steps(reached) &&
+            (reached == 0 || t > lastTs)) { reached += 1; lastTs = t }
+        }
+        u -> reached
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
