@@ -186,4 +186,72 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cm_count"), lit(0L))).as("cm_est"))
   }
+
+  // ------------------------------------------------------------------
+  // Log2-histogram sketch (order statistics at stream scale)
+  // ------------------------------------------------------------------
+
+  /** Power-of-two bin for a non-negative long: the bit length of v — bin 1
+    * covers {0, 1}, bin b >= 2 covers [2^(b-1), 2^b - 1]. Computed as the
+    * length of the binary string — exact integer arithmetic, NO log2 (libm
+    * log is not correctly-rounded across engines; this is, and DuckDB's
+    * bin() prints the identical unpadded form).
+    */
+  def histBin(v: Column): Column = length(bin(v)).cast("int")
+
+  /** Mergeable log2-histogram registers (group..., hist_bin, hist_count)
+    * for quantile estimation over NON-NEGATIVE longs (latencies, lengths,
+    * token counts — quantize money/doubles first). Registers from any
+    * partition of the data merge by groupBy+sum, so a stream can maintain
+    * them with a windowed count where an exact quantile would need the full
+    * value multiset. At most 64 bins per group bounds both state and
+    * shuffle. Negative values raise rather than silently corrupting every
+    * downstream quantile; NULLs are ignored.
+    *
+    * The companion estimator is [[histQuantile]]; exact quantiles (when the
+    * value domain is small enough to roll up) are
+    * [[graft.pipeline.Stats.exactQuantiles]].
+    */
+  def histRegisters(df: DataFrame, groupCols: Seq[String], v: Column): DataFrame =
+    histRegistersBy(df, groupCols.map(col), v)
+
+  /** Column-keyed form shared by batch and streaming (same contract as
+    * [[hllRegistersBy]]/[[cmRegistersBy]]).
+    */
+  def histRegistersBy(df: DataFrame, groupCols: Seq[Column], v: Column): DataFrame = {
+    val checked = when(v < 0, raise_error(concat(
+      lit("histRegisters requires non-negative values, got "), v.cast("string"))))
+      .otherwise(v.cast("long"))
+    df.filter(v.isNotNull)
+      .groupBy((groupCols :+ histBin(checked).as("hist_bin")): _*)
+      .agg(count(lit(1)).as("hist_count"))
+  }
+
+  /** Quantile UPPER BOUNDS from a register table: the same all-integer
+    * per-mille rank cut as [[graft.pipeline.Stats.exactQuantiles]], taken
+    * over bins; returns 2^bin - 1, the largest value the rank's bin can
+    * hold. One-sided guarantee: estimate >= true quantile > estimate / 2
+    * (a factor-2 bound; for tighter bounds use more, narrower sketches —
+    * e.g. quantize inputs upward before binning).
+    */
+  def histQuantile(registers: DataFrame, groupCols: Seq[String],
+      qMilles: Seq[Int]): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q > 0 && q <= 1000),
+      s"qMilles must be in (0, 1000]: $qMilles")
+    val gcols = groupCols.map(col)
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("hist_bin").asc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    registers
+      .withColumn("cum", sum(col("hist_count")).over(byBin))
+      .withColumn("tot", sum(col("hist_count")).over(whole))
+      .select(gcols ++ Seq(col("hist_bin"), col("hist_count"), col("cum"),
+        col("tot"), explode(array(qMilles.map(q => lit(q)): _*)).as("q_mille")): _*)
+      .filter(col("cum") * 1000L >= col("q_mille").cast("long") * col("tot") &&
+        (col("cum") - col("hist_count")) * 1000L <
+          col("q_mille").cast("long") * col("tot"))
+      .select(gcols ++ Seq(col("q_mille"),
+        (expr("cast(shiftleft(cast(1 as bigint), hist_bin) as bigint)") - 1L)
+          .as("value_upper")): _*)
+  }
 }

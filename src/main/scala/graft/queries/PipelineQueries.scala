@@ -927,6 +927,32 @@ object PipelineQueries extends QuerySet {
         | AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
         | AND a.st <= b.en AND b.st <= a.en""".stripMargin)),
 
+    QueryDef("q107_hist_quantiles", (s, d) => {
+      // stream-scale order statistics: log2-histogram registers (<= 64 bins
+      // per group, sum-mergeable) + per-mille rank cut over bins — the
+      // approximate sibling of q99's exact path, libm-free on both engines
+      import graft.functions.Sketches
+      val cents = events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val regs = Sketches.histRegisters(cents, Seq("event_type"), col("c"))
+      Sketches.histQuantile(regs, Seq("event_type"), Seq(500, 990))
+    }, Some(
+      """WITH v AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        |reg AS (SELECT event_type, CAST(length(bin(c)) AS INTEGER) AS hist_bin,
+        |               CAST(count(*) AS BIGINT) AS hist_count
+        |        FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, hist_bin, hist_count,
+        |             sum(hist_count) OVER (PARTITION BY event_type ORDER BY hist_bin ASC) AS cum,
+        |             sum(hist_count) OVER (PARTITION BY event_type) AS tot
+        |      FROM reg)
+        |SELECT event_type, CAST(q_mille AS INTEGER) AS q_mille,
+        |       CAST((CAST(1 AS BIGINT) << hist_bin) - 1 AS BIGINT) AS value_upper
+        |FROM w, LATERAL (SELECT unnest([500, 990]) AS q_mille) q
+        |WHERE cum * 1000 >= q_mille * tot
+        |  AND (cum - hist_count) * 1000 < q_mille * tot""".stripMargin)),
+
     QueryDef("q99_exact_quantiles", (s, d) =>
       // exact per-source length quantiles (percentile_disc semantics): the
       // cumsum window runs over ROLLED-UP (source, value) counts, not raw

@@ -120,6 +120,21 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("cm_row"),
         col("cm_col"), col("cm_count"))
 
+  /** Streaming per-hour value-quantile sketch: log2-histogram registers
+    * ([[graft.functions.Sketches.histRegistersBy]], shared batch/stream
+    * derivation) maintained by the windowed count — at most 64 bins of
+    * state per open window where an exact quantile would buffer the full
+    * value multiset. Roll quantile upper bounds up from the materialized
+    * registers with [[graft.functions.Sketches.histQuantile]].
+    */
+  def hourlyValueHist(events: DataFrame): DataFrame =
+    graft.functions.Sketches.histRegistersBy(
+      events.withWatermark("ts", "2 hours"),
+      Seq(window(col("ts"), "1 hour")),
+      floor(col("value") * 100 + 0.5).cast("long"))
+      .select(col("window.start").as("hour_start"), col("hist_bin"),
+        col("hist_count"))
+
   /** Streaming exact dedup (the training-pipeline "drop repeated documents"
     * op on a live feed): first occurrence of each key wins; duplicates
     * arriving within the watermark horizon are dropped and state older than

@@ -142,4 +142,33 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.cmRegisters(vals, Nil, $"v", d = 0))
     intercept[IllegalArgumentException](Sketches.cmRegisters(vals, Nil, $"v", d = 4, w = 1))
   }
+
+  test("log2-histogram sketch: factor-2 quantile bound, mergeable, rejects negatives") {
+    import graft.functions.Sketches
+    val rng = new scala.util.Random(13)
+    val raw = (1 to 2000).map(_ => math.abs(rng.nextLong()) % 50000L) :+ 0L
+    val vals = raw.toDF("v")
+    val regs = Sketches.histRegisters(vals, Nil, $"v")
+    val qs = Seq(100, 500, 900, 1000)
+    val got = Sketches.histQuantile(regs, Nil, qs)
+      .as[(Int, Long)].collect().toMap
+    val sorted = raw.sorted
+    qs.foreach { qm =>
+      val exact = sorted(math.ceil(qm.toDouble * sorted.size / 1000.0).toInt - 1)
+      val est = got(qm)
+      assert(est >= exact, s"q$qm: upper bound $est below exact $exact")
+      assert(exact == 0L || est < 2 * exact, s"q$qm: $est not within 2x of $exact")
+    }
+    // registers from disjoint halves merge by SUM to the whole
+    val h1 = Sketches.histRegisters(vals.filter($"v" % 2 === 0), Nil, $"v")
+    val h2 = Sketches.histRegisters(vals.filter($"v" % 2 =!= 0), Nil, $"v")
+    val merged = h1.unionByName(h2).groupBy($"hist_bin")
+      .agg(sum($"hist_count").as("hist_count"))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    // a negative value must raise, not corrupt quantiles silently
+    val ex = intercept[Exception] {
+      Sketches.histRegisters(Seq(-1L).toDF("v"), Nil, $"v").collect()
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }

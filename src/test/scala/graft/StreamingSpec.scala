@@ -152,6 +152,19 @@ class StreamingSpec extends AnyFunSuite {
     truth.foreach { case (k, n) => assert(est(k) >= n, s"undercount for $k") }
   }
 
+  test("streaming log2-histogram registers == batch registers (sf0.001 events)") {
+    import graft.functions.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.hourlyValueHist(EventsStream.readEvents(spark, dir)), "hist_stream_test")
+    val batchEvents = graft.sources.Sources.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val batch = Sketches.histRegisters(batchEvents, Seq("hour_start"),
+      floor(col("value") * 100 + 0.5).cast("long"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
