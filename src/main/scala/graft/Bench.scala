@@ -30,7 +30,11 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional iteration filter: regex over query names (full-run default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       // an every-rep failure must surface as an errors entry + nonzero exit,
       // never as a silently fast ~0s row that IMPROVES the total; a rep that
       // fails while others succeed is reported separately as flaky (exit 0)

@@ -251,7 +251,10 @@ object Sketches {
         (col("cum") - col("hist_count")) * 1000L <
           col("q_mille").cast("long") * col("tot"))
       .select(gcols ++ Seq(col("q_mille"),
-        (expr("cast(shiftleft(cast(1 as bigint), hist_bin) as bigint)") - 1L)
+        // bin 63 (values >= 2^62) would overflow 1<<63 - 1: non-ANSI wraps,
+        // ANSI (and DuckDB) throw — clamp to the type's true upper bound
+        when(col("hist_bin") >= 63, lit(Long.MaxValue))
+          .otherwise(expr("cast(shiftleft(cast(1 as bigint), hist_bin) as bigint)") - 1L)
           .as("value_upper")): _*)
   }
 }

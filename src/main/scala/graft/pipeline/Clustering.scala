@@ -75,10 +75,27 @@ object Clustering {
       .localCheckpoint(false)
     val seedRows = q.orderBy(col("id").asc).limit(k).collect()
     require(seedRows.length == k, s"need >= $k rows to seed, got ${seedRows.length}")
+    val seedVecs = seedRows.map(r => Option(r.getSeq[Any](1)))
+    seedVecs.zip(seedRows).foreach { case (v, r) =>
+      require(v.exists(s => s.nonEmpty && !s.contains(null)),
+        s"kMeansAssign: seed vector for id ${r.get(0)} is NULL/empty/has NULL components")
+    }
+    val dim = seedVecs.head.get.length
+    require(seedVecs.forall(_.get.length == dim),
+      s"kMeansAssign: seed vectors disagree on dimension (expected $dim)")
+    // fail-loud on corrupt vectors (histRegisters' policy): a short/null-
+    // padded vector would otherwise yield NULL distances, lose every `<`
+    // comparison to the (Infinity, -1) seed, and silently emit cluster = -1
+    val malformed = coalesce(
+      size(col("v")) =!= dim || exists(col("v"), _.isNull), lit(true))
+    val qc = q.select(col("id"),
+      when(malformed, raise_error(concat(
+        lit(s"kMeansAssign: malformed vector (expected $dim non-NULL components) for id "),
+        col("id").cast("string")))).otherwise(col("v")).as("v"))
     var cents: Seq[Centroid] =
       seedRows.map(r => Centroid(r.getSeq[Long](1).toArray, 1L)).toSeq
     for (_ <- 0 until iters) {
-      val updates = q.select(assignCol(col("v"), cents).as("cluster"), col("v"))
+      val updates = qc.select(assignCol(col("v"), cents).as("cluster"), col("v"))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
@@ -92,6 +109,6 @@ object Clustering {
         }
       }
     }
-    q.select(col("id"), assignCol(col("v"), cents).as("cluster"))
+    qc.select(col("id"), assignCol(col("v"), cents).as("cluster"))
   }
 }

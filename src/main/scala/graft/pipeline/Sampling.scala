@@ -71,21 +71,25 @@ object Sampling {
   def temperatureSample(df: DataFrame, groupCol: String, idCol: Column,
       budget: Long, salt: String = ""): DataFrame = {
     require(budget >= 0, s"budget: $budget")
-    val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // group keys normalized to string ONCE, in both the rollup and the cut
+    // CASE below: a non-string groupCol (int lang id, …) would otherwise
+    // throw on getString and compare via implicit casts in the filter
+    val g = col(groupCol).cast("string")
+    val counts = df.filter(g.isNotNull)
+      .groupBy(g.as("__g")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val ws = counts.map { case (g, n) =>
-      (g, n, BigInt(math.sqrt((n * 1000000L).toDouble).toLong))
+    val ws = counts.map { case (key, n) =>
+      (key, n, BigInt(math.sqrt((n * 1000000L).toDouble).toLong))
     }
     val totalW = ws.map(_._3).sum
-    val cuts = ws.map { case (g, n, w) =>
+    val cuts = ws.map { case (key, n, w) =>
       val cut = (BigInt(1000000) * budget * w) / (BigInt(n) * totalW)
-      g -> cut.min(BigInt(1000000)).toLong
+      key -> cut.min(BigInt(1000000)).toLong
     }
-    val cut = cuts.foldLeft(lit(0L)) { case (acc, (g, c)) =>
-      when(col(groupCol) === g, lit(c)).otherwise(acc)
+    val cut = cuts.foldLeft(lit(0L)) { case (acc, (key, c)) =>
+      when(g === key, lit(c)).otherwise(acc)
     }
-    df.filter(col(groupCol).isNotNull && hashBucket(idCol, salt) < cut)
+    df.filter(g.isNotNull && hashBucket(idCol, salt) < cut)
   }
 
   /** Per-group quota ("cap each domain/source at n docs"): keep the n rows

@@ -41,7 +41,11 @@ object Stats {
       s"qMilles must be in (0, 1000]: $qMilles")
     require(qMilles.distinct == qMilles, s"duplicate quantiles: $qMilles")
     val gcols = groupCols.map(col)
-    val counts = df.groupBy(gcols :+ valueCol.as("v"): _*)
+    // percentile_disc ignores NULL inputs; without this filter NULLs would
+    // count into `tot` AND sort first in Spark (vs last in other engines),
+    // skewing low quantiles and breaking cross-engine bit-identity
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.as("v"): _*)
       .agg(count(lit(1)).as("cnt"))
     val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
     val whole = Window.partitionBy(gcols: _*)

@@ -948,7 +948,8 @@ object PipelineQueries extends QuerySet {
         |             sum(hist_count) OVER (PARTITION BY event_type) AS tot
         |      FROM reg)
         |SELECT event_type, CAST(q_mille AS INTEGER) AS q_mille,
-        |       CAST((CAST(1 AS BIGINT) << hist_bin) - 1 AS BIGINT) AS value_upper
+        |       CAST(CASE WHEN hist_bin >= 63 THEN 9223372036854775807
+        |                 ELSE (CAST(1 AS BIGINT) << hist_bin) - 1 END AS BIGINT) AS value_upper
         |FROM w, LATERAL (SELECT unnest([500, 990]) AS q_mille) q
         |WHERE cum * 1000 >= q_mille * tot
         |  AND (cum - hist_count) * 1000 < q_mille * tot""".stripMargin)),
@@ -963,7 +964,7 @@ object PipelineQueries extends QuerySet {
       Some(
         """WITH c AS (
           |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-          |  FROM documents GROUP BY 1, 2),
+          |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
           |w AS (
           |  SELECT source, v, cnt,
           |         sum(cnt) OVER (PARTITION BY source ORDER BY v ASC) AS cum,

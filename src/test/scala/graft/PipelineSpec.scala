@@ -509,4 +509,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("b") === ((2L, "1,3")))   // repeated token counted once per doc
     assert(!out.contains("c"))           // minDf=2 drops hapax
   }
+
+  test("exactQuantiles ignores NULL values (percentile_disc semantics)") {
+    val df = Seq[(String, java.lang.Long)](
+      ("g", null), ("g", null), ("g", null), ("g", 10L), ("g", 20L), ("g", 30L))
+      .toDF("g", "v")
+    val got = Stats.exactQuantiles(df, Seq("g"), $"v", Seq(1, 500, 1000))
+      .as[(String, Int, Long)].collect().map(t => t._2 -> t._3).toMap
+    // with NULLs counted/sorted-first, p0.1 would be NULL and p50 would be 10
+    assert(got === Map(1 -> 10L, 500 -> 20L, 1000 -> 30L))
+  }
+
+  test("histQuantile clamps bin >= 63 to Long.MaxValue instead of overflowing") {
+    import graft.functions.Sketches
+    val df = Seq(("g", Long.MaxValue), ("g", Long.MaxValue), ("g", 1L))
+      .toDF("g", "v")
+    val regs = Sketches.histRegisters(df, Seq("g"), $"v")
+    val got = Sketches.histQuantile(regs, Seq("g"), Seq(990))
+      .as[(String, Int, Long)].collect()
+    assert(got.toSeq === Seq(("g", 990, Long.MaxValue)))
+  }
+
+  test("temperatureSample accepts a non-string group column") {
+    val df = ((1 to 800).map(i => (i.toLong, 1)) ++
+      (801 to 900).map(i => (i.toLong, 2))).toDF("id", "lang_id")
+    val kept = Sampling.temperatureSample(df, "lang_id", $"id", budget = 300, salt = "t")
+      .as[(Long, Int)].collect()
+    assert(kept.nonEmpty)
+    assert(kept.map(_._2).toSet === Set(1, 2))
+  }
+
+  test("kMeansAssign fails loud on malformed vectors instead of emitting -1") {
+    // row 5's vector is shorter than the seed dimension
+    val df = (Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)), (5L, Array(1f))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Clustering.kMeansAssign(df, "vec_id", "embedding", k = 2, iters = 1).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: causes(x.getCause))
+    assert(causes(e).exists(_.contains("malformed vector")), e.toString)
+  }
 }
