@@ -32,36 +32,41 @@ object Bench {
     }
     // optional iteration filter: regex over query names (full-run default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-      .map { case (name, fn) =>
-      // an every-rep failure must surface as an errors entry + nonzero exit,
-      // never as a silently fast ~0s row that IMPROVES the total; a rep that
-      // fails while others succeed is reported separately as flaky (exit 0)
-      var err: Option[String] = None
-      var nFailed = 0
-      val ok = Seq.newBuilder[Double]
-      val failed = Seq.newBuilder[Double]
-      (1 to reps).foreach { _ =>
+    // reps run ROUND-ROBIN (rep 1 of every query, then rep 2, ...), not
+    // back-to-back per query: a transient VM stall (GC storm, noisy
+    // neighbor) then inflates one rep of many queries — which the median
+    // absorbs — instead of every rep of the few queries unlucky enough to
+    // run inside the stall window (VERDICT r5's q58-q60 "regression" was
+    // exactly that: unreproducible in isolation, in neighborhood order,
+    // and in a full local re-run)
+    val okTimes = Array.fill(queries.size)(Seq.newBuilder[Double])
+    val failTimes = Array.fill(queries.size)(Seq.newBuilder[Double])
+    val nFailed = Array.fill(queries.size)(0)
+    val lastErr = Array.fill[Option[String]](queries.size)(None)
+    (1 to reps).foreach { _ =>
+      queries.zipWithIndex.foreach { case ((_, fn), i) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          ok += (System.nanoTime() - t0) / 1e9 }
+          okTimes(i) += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          err = Some(e.getClass.getSimpleName + ": " +
+          lastErr(i) = Some(e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
-          nFailed += 1
-          failed += (System.nanoTime() - t0) / 1e9
+          nFailed(i) += 1
+          failTimes(i) += (System.nanoTime() - t0) / 1e9
         }
       }
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
       // a query failing EVERY rep reports its failed-attempt median, not a
-      // ~0s row that would make the total look faster than a clean round
-      val times = { val s = ok.result(); if (s.nonEmpty) s else failed.result() }
+      // ~0s row that would make the total look faster than a clean round;
+      // an every-rep failure is a hard error (errors map + exit 1), a
+      // transient failure with successful reps is flaky (exit 0)
+      val times = { val s = okTimes(i).result(); if (s.nonEmpty) s else failTimes(i).result() }
       val median = times.sorted.apply((times.size - 1) / 2)
-      // only an every-rep failure is a hard error (errors map + exit 1); a
-      // transient failure with later successful reps is flaky, not broken —
-      // it reports its successful-rep median under "flaky" with the count
-      val hardErr = if (nFailed == reps) err else None
-      val flaky = if (nFailed > 0 && nFailed < reps) Some((nFailed, err.get)) else None
+      val hardErr = if (nFailed(i) == reps) lastErr(i) else None
+      val flaky = if (nFailed(i) > 0 && nFailed(i) < reps) Some((nFailed(i), lastErr(i).get)) else None
       (name, median, hardErr, flaky)
     }
     def jstr(s: String): String =
