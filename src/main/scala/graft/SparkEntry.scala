@@ -9,7 +9,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val sets: Seq[QuerySet] = Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries)
+  private val sets: Seq[QuerySet] =
+    Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries, AnalyticsQueries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

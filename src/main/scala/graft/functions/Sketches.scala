@@ -115,6 +115,33 @@ object Sketches {
       .drop("__s", "__nb", "__maxb")
   }
 
+  /** HLL set-operation estimates from TWO ungrouped register tables built
+    * with the same `b`: |A|, |B|, |A union B| (register-wise max — the HLL
+    * union is EXACT over sketches), and |A intersect B| by
+    * inclusion-exclusion (est_a + est_b - est_union, floored at 0 since
+    * sketch noise can push the difference negative). The overlap estimate
+    * inherits the union's relative error SCALED BY the set sizes — for
+    * small true overlaps it is a rough signal, not a count; use bloom/exact
+    * joins when the overlap itself must be precise.
+    *
+    * This is the 100 TB audience-overlap path: both inputs stay sketched
+    * (m rows each), so comparing two billion-user sets moves 2m register
+    * rows and zero raw values. Same exact-arithmetic estimator as
+    * [[hllEstimate]], hence engine-portable.
+    */
+  def hllSetOps(regsA: DataFrame, regsB: DataFrame, b: Int = 8): DataFrame = {
+    val est = (r: DataFrame, name: String) =>
+      hllEstimate(r.groupBy(col("hll_bucket")).agg(max(col("hll_rho")).as("hll_rho")),
+        Seq.empty, b).select(col("hll_estimate").as(name))
+    val union = regsA.select(col("hll_bucket"), col("hll_rho"))
+      .unionByName(regsB.select(col("hll_bucket"), col("hll_rho")))
+    est(regsA, "est_a")
+      .crossJoin(est(regsB, "est_b"))
+      .crossJoin(est(union, "est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
   // ------------------------------------------------------------------
   // Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
   // ------------------------------------------------------------------

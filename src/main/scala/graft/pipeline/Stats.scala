@@ -60,4 +60,37 @@ object Stats {
         (col("cum") - col("cnt")) * 1000L < col("q_mille").cast("long") * col("tot"))
       .select(gcols ++ Seq(col("q_mille"), col("v").as("value")): _*)
   }
+
+  /** Robust per-group outlier detection via median/MAD: flag rows where
+    * `|v - median| > k * MAD` (MAD = median of absolute deviations from the
+    * median). Unlike mean/stddev z-scores, both statistics have a 50%
+    * breakdown point — the outliers being hunted cannot drag the threshold
+    * toward themselves, which is why corpus length/score gates use MAD.
+    *
+    * Integer-exact end to end for integral `valueCol` (both medians are
+    * actual data values via [[exactQuantiles]]'s percentile_disc rank cut;
+    * `k` is an integer multiplier), so flags reproduce bit-identically on
+    * any engine. NULL values are never flagged (no deviation exists).
+    *
+    * Scale shape: two [[exactQuantiles]] passes (rolled-up window each, no
+    * raw-row sort) + two broadcast joins of the tiny per-group medians —
+    * the raw table shuffles only for its own (group, value) rollups.
+    * A degenerate group (MAD = 0, >= 50% identical values) flags every
+    * deviating row — the correct robust-statistics reading.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val gcols = groupCols.map(col)
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    val med = exactQuantiles(df, groupCols, valueCol, Seq(500))
+      .select(gcols :+ col("value").as("med"): _*)
+    val withDev = df.filter(valueCol.isNotNull)
+      .join(broadcast(med), groupCols)
+      .withColumn("abs_dev", abs(valueCol.cast("long") - col("med")))
+    val mad = exactQuantiles(withDev, groupCols, col("abs_dev"), Seq(500))
+      .select(gcols :+ col("value").as("mad"): _*)
+    withDev.join(broadcast(mad), groupCols)
+      .filter(col("abs_dev") > lit(k) * col("mad"))
+  }
 }

@@ -179,6 +179,69 @@ object TextAnalysis {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(text, tokens(text), n)
 
+  /** Corpus n-gram counts (the count table under count-based LM smoothing,
+    * n-gram novelty filters, and collocation mining; generalizes
+    * [[cooccurrence]] from pairs to contiguous grams). One explode + one
+    * partially-aggregated shuffle on the gram string — map-side combine
+    * means the exchange carries distinct grams per task, not the
+    * position-expanded stream. `minCount` bounds the long tail (hapax grams
+    * dominate any corpus; filtering after the agg is exact).
+    */
+  def ngramCounts(docs: org.apache.spark.sql.DataFrame, n: Int, minCount: Long,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n: $n")
+    docs.select(tokens(col(textCol)).as("toks")) // materialized: no-CSE-in-lambdas
+      .select(explode(ngramsFromTokens(col("toks"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_gram"))
+      .filter(col("n_gram") >= minCount)
+  }
+
+  /** Log-free BM25 term scores for a literal query over the corpus: one row
+    * per (doc, term) with the BM25 term-frequency saturation
+    * `tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` and the raw idf
+    * odds ratio `(N - df + 0.5) / (df + 0.5)` — the standard formula WITHOUT
+    * the final ln(): libm logs are not correctly-rounded across engines, and
+    * since ln is monotone the ranking (and any threshold expressed in odds
+    * space) is unchanged. Every double op here is a single IEEE
+    * mul/div/add chain in a fixed order, so scores are bit-identical on any
+    * engine. Callers wanting classic BM25 sum `ln(idf_odds + 1) * tf_norm`
+    * per doc themselves.
+    *
+    * Scale shape: corpus stats (N, avgdl) are one bounded agg broadcast into
+    * the plan; per-term df comes from a narrow (term-filtered!) doc rollup
+    * that is broadcast onto the tf rows — query terms are few by definition,
+    * so nothing wide ever shuffles: the tf table is pre-filtered to docs
+    * containing at least one query term.
+    */
+  def bm25TermScores(docs: org.apache.spark.sql.DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      s"queryTerms must be non-empty and distinct: $queryTerms")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    // per-doc tf for each query term, docs with a hit only
+    val tf = base
+      .select(col("doc"), size(col("toks")).cast("long").as("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(queryTerms))).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+          .as("tf_norm"),
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("idf_odds"))
+  }
+
   /** PII scrubbing patterns, deliberately engine-portable (plain character
     * classes + \b, identical under java.util.regex and RE2-family engines).
     */

@@ -58,9 +58,81 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bit-interleaved z-order key of two non-negative ints (Morton code):
+  * bit i of x lands at bit 2i, bit i of y at bit 2i+1, over the low 16 bits
+  * of each — a 32-bit space-filling curve key.
+  *
+  * Why custom (builder-brief preference order (b)): the composed form is a
+  * 32-term shift/mask/add chain per row — semantically fine, but the layout
+  * writer evaluates it for EVERY row of a 100 TB rewrite, and a codegen'd
+  * magic-number spread (the standard Morton bit-twiddle) is ~16x fewer ops.
+  * The whole point of the key is data layout: `repartitionByRange` on it
+  * co-locates rows that are close in BOTH dimensions, so multi-dimensional
+  * range scans prune files on either predicate (the DeltaLake/Iceberg
+  * OPTIMIZE ZORDER technique, built from public bit-twiddling only).
+  *
+  * Inputs outside [0, 2^16) raise: truncating silently would interleave
+  * garbage and destroy the locality property the caller is buying.
+  */
+case class ZOrder16(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def spread(v: Long): Long = {
+    // 0x0000xxxx -> one zero bit between each of the 16 payload bits
+    var x = v & 0xffffL
+    x = (x | (x << 8)) & 0x00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0fL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[Long]
+    val y = r.asInstanceOf[Long]
+    if (x < 0 || x > 0xffffL || y < 0 || y > 0xffffL)
+      throw new IllegalArgumentException(
+        s"ZOrder16 inputs must be in [0, 65535], got ($x, $y)")
+    spread(x) | (spread(y) << 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val sp = (v: String) =>
+        s"""$v = ($v | ($v << 8)) & 0x00ff00ffL;
+           |$v = ($v | ($v << 4)) & 0x0f0f0f0fL;
+           |$v = ($v | ($v << 2)) & 0x33333333L;
+           |$v = ($v | ($v << 1)) & 0x55555555L;""".stripMargin
+      s"""
+         |if ($a < 0L || $a > 65535L || $b < 0L || $b > 65535L) {
+         |  throw new IllegalArgumentException(
+         |    "ZOrder16 inputs must be in [0, 65535], got (" + $a + ", " + $b + ")");
+         |}
+         |long $x = $a & 0xffffL;
+         |long $y = $b & 0xffffL;
+         |${sp(x)}
+         |${sp(y)}
+         |${ev.value} = $x | ($y << 1);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder16 =
+    copy(left = newLeft, right = newRight)
+}
+
 object Expressions {
   /** Exact-integer dot product of two array<long> columns (codegen'd). */
   def longArrayDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       LongArrayDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** 32-bit Morton z-order key of two long columns in [0, 2^16) (codegen'd). */
+  def zorder16(x: Column, y: Column): Column =
+    GraftSqlBridge.column(
+      ZOrder16(GraftSqlBridge.expression(x.cast("long")),
+        GraftSqlBridge.expression(y.cast("long"))))
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Profile, Stats, TextAnalysis => TA}
+import graft.sources.Sources.{events, table}
+
+/** Round-6 additions: OLAP hierarchy totals, sort-free global ranking,
+  * log-free BM25, column profiling, median/MAD outliers, n-gram LM counts,
+  * HLL set operations, typed JSON extraction, lag-window event deltas, and
+  * the codegen'd z-order layout key — each with a value-exact DuckDB oracle
+  * (doubles only as single fixed-order IEEE expressions, everything else
+  * exact integers/strings).
+  */
+object AnalyticsQueries extends QuerySet {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q108_rollup_totals", (s, d) =>
+      // GROUP BY ROLLUP hierarchy (detail -> per-flag subtotal -> grand
+      // total) with grouping_id disambiguating real NULL keys from
+      // subtotal rows — the OLAP report shape. One shuffle: Spark expands
+      // the grouping sets map-side and aggregates them in a single pass.
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping_id().as("gid")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    QueryDef("q109_value_ranks", (s, d) =>
+      // sort-free ranking (Ranking scaladoc): rank()/dense_rank() per
+      // distinct value from a rollup + cumsum — no single-partition
+      // whole-table window sort. The oracle derives the same numbers from
+      // actual rank() window calls over raw rows (independent recipe).
+      graft.operators.Ranking.valueRanks(
+        table(s, d, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity").cast("long")),
+      Some(
+        """WITH r AS (
+          |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+          |         rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS rnk,
+          |         dense_rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS drnk
+          |  FROM lineitem)
+          |SELECT l_returnflag, v, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(min(rnk) AS BIGINT) AS rnk, CAST(min(drnk) AS BIGINT) AS dense_rnk
+          |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q110_bm25_terms", (s, d) =>
+      TA.bm25TermScores(table(s, d, "documents"),
+        Seq("the", "of", "and", "table")),
+      Some(
+        """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc, string_split(text, ' ') AS toks
+          |              FROM documents WHERE text IS NOT NULL),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM base),
+          |tf AS (SELECT doc, CAST(len(toks) AS BIGINT) AS dl, t AS term,
+          |              CAST(count(*) AS BIGINT) AS tf
+          |       FROM base, LATERAL (SELECT unnest(list_filter(toks,
+          |              x -> x IN ('the','of','and','table'))) AS t) u
+          |       GROUP BY 1, 2, 3),
+          |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+          |SELECT doc, term, tf, df,
+          |       CAST(tf AS DOUBLE) * (1.2 + 1.0)
+          |         / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+          |              (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+          |         AS tf_norm,
+          |       (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          |         / (CAST(df AS DOUBLE) + 0.5) AS idf_odds
+          |FROM tf JOIN dfs USING (term), stats""".stripMargin)),
+
+    QueryDef("q111_profile", (s, d) =>
+      Profile.profileColumns(table(s, d, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")), {
+      val blocks = Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       CAST(min($c) AS VARCHAR) AS min_value,
+             |       CAST(max($c) AS VARCHAR) AS max_value
+             |FROM lineitem""".stripMargin)
+      Some(blocks.mkString("\nUNION ALL\n"))
+    }),
+
+    QueryDef("q112_mad_outliers", (s, d) =>
+      Stats.madOutliers(table(s, d, "documents"), Seq("source"),
+        col("n_chars"), k = 3)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("med"), col("mad")),
+      Some(
+        // independent recipe: DuckDB's quantile_disc(0.5) (verified to share
+        // the ceil-rank lower-median definition with exactQuantiles)
+        """WITH med AS (SELECT source, quantile_disc(n_chars, 0.5) AS med
+          |             FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          |dev AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+          |               abs(d.n_chars - m.med) AS abs_dev
+          |        FROM documents d JOIN med m USING (source)
+          |        WHERE d.n_chars IS NOT NULL),
+          |mad AS (SELECT source, quantile_disc(abs_dev, 0.5) AS mad FROM dev GROUP BY 1)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |       CAST(n_chars AS BIGINT) AS n_chars, CAST(med AS BIGINT) AS med,
+          |       CAST(mad AS BIGINT) AS mad
+          |FROM dev JOIN mad USING (source) WHERE abs_dev > 3 * mad""".stripMargin)),
+
+    QueryDef("q113_trigram_counts", (s, d) =>
+      TA.ngramCounts(table(s, d, "documents"), n = 3, minCount = 3),
+      Some(
+        """WITH dd AS (SELECT string_split(text, ' ') AS toks
+          |            FROM documents WHERE text IS NOT NULL),
+          |g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+          |      FROM dd, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) i
+          |      WHERE len(toks) >= 3)
+          |SELECT gram, CAST(count(*) AS BIGINT) AS n_gram
+          |FROM g GROUP BY 1 HAVING count(*) >= 3""".stripMargin)),
+
+    QueryDef("q114_hll_overlap", (s, d) => {
+      // audience overlap at sketch scale: |viewers|, |purchasers|, union and
+      // intersection of distinct user_ids — registers only, inclusion-
+      // exclusion for the overlap (Sketches.hllSetOps scaladoc caveats).
+      import graft.functions.Sketches
+      val ev = events(s, d)
+      val regs = (t: String) => Sketches.hllRegisters(
+        ev.filter(col("event_type") === t), Seq.empty, col("user_id"))
+      Sketches.hllSetOps(regs("view"), regs("purchase"))
+    }, Some {
+      def regsSql(t: String, as: String) =
+        s"""$as AS (
+           |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT AS hll_bucket,
+           |         max(coalesce(nullif(strpos(
+           |           lpad(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))::BIGINT), 32, '0'),
+           |           '1'), 0), 33)) AS hll_rho
+           |  FROM events WHERE event_type = '$t' AND user_id IS NOT NULL GROUP BY 1)""".stripMargin
+      val estSql = (src: String) =>
+        s"""(SELECT 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+           |   * 256.0::DOUBLE * 256.0::DOUBLE
+           |   / (sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << hll_rho AS DOUBLE))
+           |      + CAST(256 - count(*) AS DOUBLE)) FROM $src)""".stripMargin
+      s"""WITH ${regsSql("view", "ra")},
+         |${regsSql("purchase", "rb")},
+         |ru AS (SELECT hll_bucket, max(hll_rho) AS hll_rho
+         |       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         |e AS (SELECT ${estSql("ra")} AS est_a, ${estSql("rb")} AS est_b,
+         |             ${estSql("ru")} AS est_union)
+         |SELECT est_a, est_b, est_union,
+         |       greatest(0.0::DOUBLE, est_a + est_b - est_union) AS est_intersect
+         |FROM e""".stripMargin
+    }),
+
+    QueryDef("q115_json_props", (s, d) =>
+      // typed JSON extraction with a PINNED schema (from_json, not
+      // get_json_object: one parse per row into a typed struct, codegen'd,
+      // and a malformed document yields typed NULL rather than a stringly
+      // propagation) + exact integer rollup per event type
+      events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some(
+        """SELECT event_type, CAST(count(k) AS BIGINT) AS n_k,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
+          |       CAST(min(k) AS INTEGER) AS min_k, CAST(max(k) AS INTEGER) AS max_k
+          |FROM (SELECT event_type,
+          |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          |      FROM events)
+          |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q116_event_deltas", (s, d) =>
+      // per-user inter-event gaps (lag window): the dwell-time/inactivity
+      // statistic under sessionization and bot detection. One shuffle on
+      // user_id; exact integer microseconds ((ts, event_id) tie-break makes
+      // the lag deterministic under same-timestamp events).
+      events(s, d)
+        .withColumn("prev_event_id", lag(col("event_id"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .filter(col("prev_event_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("prev_event_id"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+          |         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+          |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |  FROM events)
+          |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+          |       CAST(prev_event_id AS BIGINT) AS prev_event_id,
+          |       CAST(us - prev_us AS BIGINT) AS gap_us
+          |FROM o WHERE prev_event_id IS NOT NULL""".stripMargin)),
+
+    QueryDef("q117_zorder_key", (s, d) =>
+      // 32-bit Morton key over (partkey, suppkey) grid cells — the
+      // multi-dimensional layout key (ZOrder16 scaladoc); the query emits
+      // the key itself, the layout writer would repartitionByRange on it
+      table(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          graft.plans.Expressions.zorder16(
+            col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zkey")), {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})"))
+      Some(
+        s"""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+           |FROM lineitem""".stripMargin)
+    })
+  )
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Ranking
+import graft.pipeline.{Profile, Stats, TextAnalysis}
+import graft.functions.Sketches
+import graft.plans.Expressions
+
+/** Round-6 operators on controlled inputs. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("valueRanks matches naive rank/dense_rank per group") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 300).map(_ => (s"g${rng.nextInt(3)}", rng.nextInt(15).toLong))
+    val df = rows.toDF("g", "v")
+    val got = Ranking.valueRanks(df, Seq("g"), $"v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vals = grp.map(_._2)
+      vals.distinct.foreach { v =>
+        val n = vals.count(_ == v).toLong
+        val rnk = vals.count(_ < v).toLong + 1
+        val drnk = vals.distinct.count(_ < v).toLong + 1
+        assert(got((g, v)) === ((n, rnk, drnk)), s"at ($g,$v)")
+      }
+    }
+  }
+
+  test("valueRanks ignores NULL values") {
+    val df = Seq[(String, java.lang.Long)](("g", null), ("g", 5L), ("g", 5L), ("g", 9L))
+      .toDF("g", "v")
+    val got = Ranking.valueRanks(df, Seq("g"), $"v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq(("g", 5L, 2L, 1L, 1L), ("g", 9L, 1L, 3L, 2L)))
+  }
+
+  test("bm25TermScores: correct tf/df, saturation increasing in tf") {
+    val df = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat fish"),
+      (3L, "bird bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TermScores(df, Seq("cat", "dog"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out((1L, "cat"))._1 === 3L)         // tf
+    assert(out((1L, "cat"))._2 === 2L)         // df: docs 1 and 2
+    assert(out((2L, "cat"))._1 === 1L)
+    assert(out((1L, "dog"))._2 === 1L)
+    assert(!out.contains((3L, "cat")))         // no hit, no row
+    // same doc length => tf_norm strictly increases with tf
+    assert(out((1L, "cat"))._3 > out((1L, "dog"))._3)
+    // rarer term => larger idf odds
+    assert(out((1L, "dog"))._4 > out((1L, "cat"))._4)
+  }
+
+  test("profileColumns: exact counts, null-safe bounds, unknown column raises") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, null))
+      .toDF("id", "s")
+      .withColumn("all_null", lit(null).cast("int"))
+    val out = Profile.profileColumns(df, Seq("id", "s", "all_null"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") === ((3L, 0L, 2L, "1", "2")))
+    assert(out("s") === ((3L, 2L, 1L, "a", "a")))
+    assert(out("all_null") === ((3L, 3L, 0L, null, null)))
+    intercept[IllegalArgumentException] {
+      Profile.profileColumns(df, Seq("nope"))
+    }
+  }
+
+  test("madOutliers flags only far-out rows, exact group stats") {
+    // group g: median 10, MAD 1 -> |v-10| > 3 flags 50 only
+    val df = Seq(("g", 9L), ("g", 9L), ("g", 10L), ("g", 11L), ("g", 12L),
+      ("g", 50L)).toDF("src", "v")
+    val out = Stats.madOutliers(df, Seq("src"), $"v", k = 3)
+      .select($"src", $"v", $"med", $"mad")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("g", 50L, 10L, 1L)))
+  }
+
+  test("madOutliers: zero-MAD group flags every deviating row") {
+    val df = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 6L)).toDF("src", "v")
+    val out = Stats.madOutliers(df, Seq("src"), $"v", k = 3)
+      .select($"v").as[Long].collect()
+    assert(out.toSeq === Seq(6L))
+  }
+
+  test("ngramCounts: exact bigram multiset with threshold") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(df, n = 2, minCount = 1)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("a b" -> 3L, "b a" -> 1L))
+    val thresholded = TextAnalysis.ngramCounts(df, n = 2, minCount = 2)
+      .as[(String, Long)].collect().toMap
+    assert(thresholded === Map("a b" -> 3L))
+  }
+
+  test("hllSetOps: identical sets -> zero-ish intersection error; disjoint -> near-zero overlap") {
+    val a = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = (1501 to 3500).map(i => Tuple1(i.toLong)).toDF("v")
+    val ra = Sketches.hllRegisters(a, Seq.empty, $"v")
+    val rb = Sketches.hllRegisters(b, Seq.empty, $"v")
+    val same = Sketches.hllSetOps(ra, ra).collect()(0)
+    assert(math.abs(same.getDouble(3) - same.getDouble(0)) < 1e-9,
+      "A intersect A == |A| exactly (identical registers)")
+    val over = Sketches.hllSetOps(ra, rb).collect()(0)
+    // true overlap 500 of 2000/2000; b=8 gives ~6.5% per-estimate error,
+    // inclusion-exclusion compounds it — just pin the broad shape
+    assert(over.getDouble(3) > 0.0 && over.getDouble(3) < 1500.0,
+      s"overlap estimate ${over.getDouble(3)}")
+    assert(over.getDouble(2) > over.getDouble(0), "union > |A|")
+  }
+
+  test("zorder16 interleaves bits; out-of-range raises") {
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xffffL, 0L), (0L, 0xffffL),
+      (12345L, 54321L), (0xffffL, 0xffffL))
+    val df = cases.toDF("x", "y")
+      .select($"x", $"y", Expressions.zorder16($"x", $"y").as("z"))
+    df.as[(Long, Long, Long)].collect().foreach { case (x, y, z) =>
+      assert(z === naive(x, y), s"at ($x,$y)")
+    }
+    val e = intercept[Exception] {
+      Seq((70000L, 0L)).toDF("x", "y")
+        .select(Expressions.zorder16($"x", $"y")).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: causes(x.getCause))
+    assert(causes(e).exists(_.contains("ZOrder16")), e.toString)
+  }
+
+  test("zorder16 preserves 2-d locality better than a concatenated key") {
+    // rows adjacent in BOTH dims land in the same small zkey range; the
+    // point of the layout key — check a 4x4 neighborhood spans < the
+    // equivalent concat-key span
+    val pts = for { x <- 100L to 103L; y <- 200L to 203L } yield (x, y)
+    val zs = pts.toDF("x", "y").select(Expressions.zorder16($"x", $"y"))
+      .as[Long].collect()
+    val concat = pts.map { case (x, y) => x * 65536 + y }
+    assert((zs.max - zs.min) < (concat.max - concat.min))
+  }
+}
