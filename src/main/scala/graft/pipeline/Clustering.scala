@@ -70,8 +70,7 @@ object Clustering {
     // materializing its result (GraftSqlBridge.freeLocalCheckpoint), the
     // same contract as the q76 keyword scan
     val q = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol).cast("array<double>"),
-        e => floor(e * quantScale + 0.5).cast("long")).as("v"))
+      graft.plans.Expressions.quantizeDoubles(col(vecCol), quantScale).as("v"))
       .localCheckpoint(false)
     val seedRows = q.orderBy(col("id").asc).limit(k).collect()
     require(seedRows.length == k, s"need >= $k rows to seed, got ${seedRows.length}")

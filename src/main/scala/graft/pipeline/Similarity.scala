@@ -20,9 +20,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Quantize a float vector to exact integers: round-half-up(e * scale). */
+  /** Quantize a float vector to exact integers: round-half-up(e * scale) —
+    * native codegen'd expression (graft.plans.QuantizeDoubles); semantically
+    * identical to `transform(vec, e -> floor(e*scale + 0.5))` but without
+    * per-element interpreted-lambda cost (HOFs are CodegenFallback), which
+    * dominates per-row time when quantizing an embedding corpus.
+    */
   def quantize(vec: Column, scale: Int = 1000): Column =
-    transform(vec, e => floor(e.cast("double") * scale + lit(0.5)).cast("long"))
+    graft.plans.Expressions.quantizeDoubles(vec, scale)
 
   /** Exact-integer dot product of two long vectors — native codegen'd
     * expression (graft.plans.LongArrayDot); semantically identical to

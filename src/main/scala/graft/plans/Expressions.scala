@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expressions for the pairwise similarity hot path.
   *
@@ -56,6 +56,58 @@ case class LongArrayDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongArrayDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Quantize an array<double> to array<long> via floor(x*scale + 0.5) —
+  * the shared vector-quantization recipe of the similarity/clustering
+  * family ([[graft.pipeline.Similarity.quantize]]).
+  *
+  * Why custom (builder-brief preference order (b)): the composed form is
+  * `transform(vec, x -> floor(x*scale + 0.5))` — Spark's higher-order
+  * functions are CodegenFallback, so every embedding component pays
+  * interpreted lambda-variable plumbing, and the expression breaks the
+  * whole-stage-codegen span it sits in. This is the per-row dominant cost
+  * of quantizing a 100 TB embedding corpus. Bit-identical semantics: the
+  * same IEEE multiply/add/floor per element ((SQL FLOOR(double) IS
+  * Math.floor), NULL elements propagate as NULL elements.
+  */
+case class QuantizeDoubles(child: Expression, scale: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(
+          math.floor(a.getDouble(i) * scale + 0.5).toLong)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $arr = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $arr[$i] = Long.valueOf((long) Math.floor($a.getDouble($i) * $scale + 0.5));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeDoubles =
+    copy(child = newChild)
 }
 
 /** Bit-interleaved z-order key of two non-negative ints (Morton code):
@@ -135,4 +187,11 @@ object Expressions {
     GraftSqlBridge.column(
       ZOrder16(GraftSqlBridge.expression(x.cast("long")),
         GraftSqlBridge.expression(y.cast("long"))))
+
+  /** floor(x*scale + 0.5) per element, array<double> -> array<long>
+    * (codegen'd).
+    */
+  def quantizeDoubles(vec: Column, scale: Int): Column =
+    GraftSqlBridge.column(
+      QuantizeDoubles(GraftSqlBridge.expression(vec.cast("array<double>")), scale))
 }
