@@ -135,6 +135,23 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("hist_bin"),
         col("hist_count"))
 
+  /** Stream-static enrichment: each micro-batch joins the (small) static
+    * dimension, broadcast so no state and no shuffle of the stream side —
+    * the canonical "attach dim attributes to a live fact feed" shape.
+    * Left join: a fact with no dim row flows through with NULL attributes
+    * rather than silently dropping (inner would stall late-arriving dim
+    * backfills forever).
+    *
+    * The static side is a SNAPSHOT for file sources: Spark caches the file
+    * listing at query start, so a dim overwritten in place is NOT picked up
+    * (and in-place rewrites of the same dir fail the cached listing). To
+    * follow a dim maintained through the Warehouse swap protocol, re-read
+    * it inside a foreachBatch sink (the [[mergeStream]] pattern) or restart
+    * the query on swap.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup (the training-pipeline "drop repeated documents"
     * op on a live feed): first occurrence of each key wins; duplicates
     * arriving within the watermark horizon are dropped and state older than

@@ -195,4 +195,30 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
     assert(got.asScala.toMap === Map(3L -> "first"))
   }
+
+  test("stream-static enrichment == batch join, left-NULL passthrough") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq(("click", "engage"), ("view", "passive")).toDF("event_type", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "click"), (2L, "view"), (3L, "signup"))
+    val enriched = EventsStream.enrichStream(
+      mem.toDF().toDF("event_id", "event_type"), dim, Seq("event_type"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(
+          r.getAs[Long]("event_id") -> r.getAs[String]("tier")))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // left join: unknown type flows through with NULL tier, not dropped,
+    // and the values match the batch join exactly
+    assert(got.asScala.toMap ===
+      Map(1L -> "engage", 2L -> "passive", 3L -> null))
+  }
 }
