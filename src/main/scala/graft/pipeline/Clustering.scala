@@ -48,6 +48,26 @@ object Clustering {
     best("j")
   }
 
+  /** Exact per-label centroid components: posexplode the quantized vectors
+    * and roll (label, pos) up to (sum, count) — the mean-pooling /
+    * class-prototype aggregate of an embedding pipeline, exposed as the
+    * exact rational plus one final IEEE division (`mean_q = sum_q / n_vecs`,
+    * engine-portable like every quantized-similarity op).
+    *
+    * Scale shape: one explode + one partial-agg shuffle keyed (label, pos)
+    * — map-side combine rolls each task to labels x dim rows, so the
+    * exchange never carries per-vector data. No driver collect (unlike the
+    * k-means codebook, the centroid TABLE may be large: labels x dim).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      quantScale: Int = 1000): DataFrame =
+    df.select(col(labelCol).as("label"),
+      posexplode(graft.plans.Expressions.quantizeDoubles(col(vecCol), quantScale))
+        .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sum_q"), count(lit(1)).as("n_vecs"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
+
   /** Lloyd's k-means assignment: seed centroids from the `k` smallest-id
     * rows (deterministic, gap-tolerant), run `iters` update rounds, emit the
     * final assignment `(id, cluster)`. A cluster that loses all members

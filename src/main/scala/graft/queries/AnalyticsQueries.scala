@@ -217,6 +217,51 @@ object AnalyticsQueries extends QuerySet {
            |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
            |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
            |FROM lineitem""".stripMargin)
-    })
+    }),
+
+    QueryDef("q118_rolling_window", (s, d) =>
+      // trailing-24h per-user activity at every event (RANGE frame, not
+      // ROWS: equal-timestamp peers all join the frame, so the result is
+      // deterministic under ties). One shuffle on user_id; counts and
+      // cent-quantized sums are exact integers.
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+              .orderBy(col("us")).rangeBetween(-86399999999L, 0))
+            .as("n_24h"),
+          sum(col("cents")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+              .orderBy(col("us")).rangeBetween(-86399999999L, 0))
+            .as("sum_cents_24h")),
+      Some(
+        """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+          |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_24h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+          |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QueryDef("q119_label_centroids", (s, d) =>
+      // embedding mean-pooling per label (class prototypes): exact rational
+      // (sum, count) per component + one final IEEE division
+      graft.pipeline.Clustering.labelCentroids(
+        table(s, d, "embeddings"), "label", "embedding")
+        .select(col("label").cast("int").as("label"),
+          (col("pos") + 1).as("pos"), col("sum_q"), col("n_vecs"), col("mean_q")),
+      Some(
+        """WITH q AS (
+          |  SELECT label,
+          |         list_transform(CAST(embedding AS DOUBLE[]),
+          |           e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |c AS (SELECT label, i AS pos, v[i] AS x
+          |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i)
+          |SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
+          |       CAST(sum(x) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs,
+          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+          |FROM c GROUP BY 1, 2""".stripMargin))
   )
 }

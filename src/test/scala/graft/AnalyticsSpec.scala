@@ -136,6 +136,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(causes(e).exists(_.contains("ZOrder16")), e.toString)
   }
 
+  test("labelCentroids: exact component sums and rational means") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)), (1, Array(-1.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val out = graft.pipeline.Clustering.labelCentroids(df, "label", "embedding")
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(out((0, 0)) === ((4000L, 2L, 2000.0)))  // (1000+3000)/2
+    assert(out((0, 1)) === ((6000L, 2L, 3000.0)))
+    assert(out((1, 0)) === ((-1000L, 1L, -1000.0)))
+    assert(out((1, 1)) === ((500L, 1L, 500.0)))
+  }
+
   test("zorder16 preserves 2-d locality better than a concatenated key") {
     // rows adjacent in BOTH dims land in the same small zkey range; the
     // point of the layout key — check a 4x4 neighborhood spans < the
