@@ -178,16 +178,20 @@ object AnalyticsQueries extends QuerySet {
       // statistic under sessionization and bot detection. One shuffle on
       // user_id; exact integer microseconds ((ts, event_id) tie-break makes
       // the lag deterministic under same-timestamp events).
-      events(s, d)
-        .withColumn("prev_event_id", lag(col("event_id"), 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").asc, col("event_id").asc)))
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").asc, col("event_id").asc)))
-        .filter(col("prev_event_id").isNotNull)
-        .select(col("user_id"), col("event_id"), col("prev_event_id"),
-          (unix_micros(col("ts")) - col("prev_us")).as("gap_us")),
+      {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        // BOTH lags in ONE projection: chained withColumn stacks two Window
+        // operators (two passes over each partition buffer) even for the
+        // identical spec — the packSequences lesson
+        events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"),
+            lag(unix_micros(col("ts")), 1).over(w).as("prev_us"))
+          .filter(col("prev_event_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("prev_event_id"),
+            (col("us") - col("prev_us")).as("gap_us"))
+      },
       Some(
         """WITH o AS (
           |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
