@@ -306,6 +306,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("valueRanks windows the ROLLED-UP values: HashAggregate strictly below Window") {
+    import graft.operators.Ranking
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i % 20)).toDF("g", "v")
+    val out = Ranking.valueRanks(df, Seq("g"), $"v")
+    val plan = out.queryExecution.executedPlan.toString
+    // the raw-row rollup must happen BEFORE the window (the point of the
+    // operator: the cumsum sorts distinct values, never raw rows)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"expected Window ABOVE (printed before) HashAggregate:\n$plan")
+    // both rank columns share one Window operator / one sort
+    assert("Window \\[".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("bm25TermScores broadcasts stats and df - the corpus side never shuffles wide") {
+    import graft.pipeline.TextAnalysis
+    val df = (1L to 200L).map(i => (i, s"the doc $i of words")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TermScores(df, Seq("the", "of"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"df and corpus stats must ride broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no wide join expected:\n$plan")
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
