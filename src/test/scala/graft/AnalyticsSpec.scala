@@ -72,6 +72,14 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("profileColumns on an empty table reports zero counts, not NULLs") {
+    val df = Seq((1L, "a")).toDF("id", "s").filter(lit(false))
+    val out = Profile.profileColumns(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map("id" -> ((0L, 0L, 0L)), "s" -> ((0L, 0L, 0L))))
+  }
+
   test("madOutliers flags only far-out rows, exact group stats") {
     // group g: median 10, MAD 1 -> |v-10| > 3 flags 50 only
     val df = Seq(("g", 9L), ("g", 9L), ("g", 10L), ("g", 11L), ("g", 12L),
