@@ -266,6 +266,71 @@ object AnalyticsQueries extends QuerySet {
           |SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
           |       CAST(sum(x) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs,
           |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
-          |FROM c GROUP BY 1, 2""".stripMargin))
+          |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q120_window_stats", (s, d) => {
+      // the remaining SQL window-function battery over one shared
+      // (partition, total-order) spec — ntile quartiles, percent_rank,
+      // cume_dist, first/last over the full frame. The TOTAL order
+      // ((qty, orderkey, linenumber) is unique) makes every function
+      // deterministic; percent_rank/cume_dist are single integer-ratio IEEE
+      // divisions, identical on any engine. One exchange on l_returnflag;
+      // all five functions share the one sort.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("qty").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val full = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("qty")).over(full).as("min_qty"),
+          last(col("qty")).over(full).as("max_qty"))
+    }, Some(
+      """SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       CAST(first_value(l_quantity) OVER wf AS BIGINT) AS min_qty,
+        |       CAST(last_value(l_quantity) OVER wf AS BIGINT) AS max_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber),
+        |       wf AS (PARTITION BY l_returnflag
+        |              ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
+    QueryDef("q121_regex_extract", (s, d) =>
+      // log/text span extraction: ALL matches per document (not just the
+      // first), exploded and rolled up to per-pattern-hit doc/occurrence
+      // counts. Pattern uses portable syntax (character class + bounded
+      // repetition, identical under java.util.regex and RE2); pure
+      // map-side explode + one partial-agg shuffle.
+      // (word, doc) pre-rollup then word rollup — the q75 vocabulary shape:
+      // a countDistinct here would Expand-replicate every occurrence row
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))).as("word"))
+        .groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_occurrences")),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{5,}')) AS word
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM m GROUP BY 1""".stripMargin))
   )
 }
