@@ -419,4 +419,62 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("madOutliers == naive median/MAD scan (random groups)") {
+    import graft.pipeline.Stats
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.size - 1) / 2) // rank ceil(n/2), 1-based == index (n-1)/2
+    }
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val rows = (1 to 400).map { i =>
+        (s"g${rnd.nextInt(3)}", (rnd.nextInt(40) + (if (rnd.nextInt(20) == 0) 500 else 0)).toLong, i.toLong)
+      }
+      val got = Stats.madOutliers(rows.toDF("src", "v", "id"), Seq("src"), $"v", k = 3)
+        .select($"id").as[Long].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        val med = lowerMedian(grp.map(_._2))
+        val mad = lowerMedian(grp.map(r => math.abs(r._2 - med)))
+        grp.filter(r => math.abs(r._2 - med) > 3 * mad).map(_._3)
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("bm25TermScores == naive driver-side computation (random corpora)") {
+    import graft.pipeline.TextAnalysis
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "pad")
+    val terms = Seq("alpha", "gamma")
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(400 + seed)
+      val docs = (1L to 50L).map(i =>
+        (i, (1 to (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val got = TextAnalysis.bm25TermScores(docs.toDF("doc_id", "text"), terms)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val nDocs = docs.size.toLong
+      val sumDl = toks.values.map(_.size.toLong).sum
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+      val want = (for {
+        (id, tk) <- toks.toSeq; term <- terms
+        tf = tk.count(_ == term).toLong if tf > 0
+      } yield {
+        val df = toks.values.count(_.contains(term)).toLong
+        val dl = tk.size.toLong
+        val tfNorm = tf.toDouble * (1.2 + 1.0) /
+          (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble / avgdl)))
+        val idf = (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+        (id, term) -> ((tf, df, tfNorm, idf))
+      }).toMap
+      assert(got.keySet === want.keySet, s"seed $seed")
+      got.foreach { case (k, (tf, df, tn, io)) =>
+        val (wtf, wdf, wtn, wio) = want(k)
+        assert(tf === wtf && df === wdf, s"seed $seed at $k")
+        assert(tn === wtn && io === wio, s"seed $seed at $k (bitwise doubles)")
+      }
+    }
+  }
 }
