@@ -331,6 +331,27 @@ object AnalyticsQueries extends QuerySet {
           |  FROM documents WHERE text IS NOT NULL)
           |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
           |       CAST(count(*) AS BIGINT) AS n_occurrences
-          |FROM m GROUP BY 1""".stripMargin))
+          |FROM m GROUP BY 1""".stripMargin)),
+
+    QueryDef("q122_sliding_window", (s, d) =>
+      // SLIDING-window counts (1h window every 30min — each event lands in
+      // exactly window/slide = 2 frames): Spark's window() expands
+      // map-side, then one partial-agg shuffle on (window, type). The
+      // tumbling sibling is q22; the same agg runs streaming with a
+      // watermark (EventsStream.slidingCounts, StreamingSpec parity).
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events")),
+      Some(
+        """WITH off AS (SELECT unnest([0, 1]) AS k),
+          |w AS (SELECT event_type,
+          |             make_timestamp((CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000.0) AS BIGINT) - k)
+          |                            * CAST(1800000000 AS BIGINT)) AS win_start
+          |      FROM events, off)
+          |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events
+          |FROM w GROUP BY 1, 2""".stripMargin))
   )
 }

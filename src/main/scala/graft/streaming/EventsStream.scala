@@ -135,6 +135,19 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("hist_bin"),
         col("hist_count"))
 
+  /** Watermarked SLIDING-window counts (1h window advancing every 30min):
+    * each event lands in window/slide frames, state is bounded by the
+    * watermark horizon x open windows. Same aggregate as the q122 batch
+    * query — StreamingSpec pins stream == batch.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
   /** Stream-static enrichment: each micro-batch joins the (small) static
     * dimension, broadcast so no state and no shuffle of the stream side —
     * the canonical "attach dim attributes to a live fact feed" shape.

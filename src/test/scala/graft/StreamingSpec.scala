@@ -26,6 +26,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sliding counts == batch sliding counts (sf0.001 events)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.slidingCounts(EventsStream.readEvents(spark, dir)), "sliding_test")
+    val batch = graft.sources.Sources.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful sessionization splits on the 30-min gap") {
     implicit val s = spark
     implicit val sc = s.sqlContext
