@@ -115,6 +115,32 @@ object Sketches {
       .drop("__s", "__nb", "__maxb")
   }
 
+  /** Order-independent content checksum per group: sum (exact, DECIMAL) of
+    * each row's 60-bit md5 prefix over the given columns. Because addition
+    * is commutative/associative, the checksum is independent of row order,
+    * partitioning, and merge order — two tables (or a table and its
+    * post-swap/post-migration copy) match iff their checksums match, up to
+    * the 2^-60-per-row collision bound. Mergeable: shard checksums ADD.
+    *
+    * This is the 100 TB table-equality primitive: comparing a trillion rows
+    * moves one DECIMAL per group, where EXCEPT ALL would shuffle both
+    * tables. NULL columns fold as empty strings (surrogateKey's recipe), so
+    * (NULL) and ('') collide deliberately — byte-level fidelity needs typed
+    * columns, not checksums. 60 bits (15 hex digits) keeps the per-row term
+    * exactly representable as a long; DECIMAL(38,0) absorbs ~2^65 rows
+    * without overflow.
+    */
+  def groupChecksum(df: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "no columns to checksum")
+    val rowHash = conv(substring(
+      md5(concat_ws("|", valueCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)),
+      1, 15), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(rowHash.cast("decimal(38,0)")).as("checksum"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** HLL set-operation estimates from TWO ungrouped register tables built
     * with the same `b`: |A|, |B|, |A union B| (register-wise max — the HLL
     * union is EXACT over sketches), and |A intersect B| by

@@ -352,6 +352,26 @@ object AnalyticsQueries extends QuerySet {
           |      FROM events, off)
           |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
           |       CAST(count(*) AS BIGINT) AS n_events
-          |FROM w GROUP BY 1, 2""".stripMargin))
+          |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q123_table_checksum", (s, d) =>
+      // order/partitioning-independent content checksum per group (the
+      // table-equality primitive for validating swaps/migrations without
+      // shuffling both sides) — sum of 60-bit row-hash prefixes, exact
+      // DECIMAL accumulation
+      graft.functions.Sketches.groupChecksum(
+        table(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+        .select(col("l_returnflag"),
+          col("checksum").cast("string").as("checksum"), col("n_rows")),
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(sum(('0x' || substr(md5(
+          |         coalesce(CAST(l_orderkey AS VARCHAR), '') || '|' ||
+          |         coalesce(CAST(l_linenumber AS VARCHAR), '') || '|' ||
+          |         coalesce(CAST(l_quantity AS VARCHAR), '') || '|' ||
+          |         coalesce(CAST(l_shipdate AS VARCHAR), '')), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
+          |       CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem GROUP BY 1""".stripMargin))
   )
 }

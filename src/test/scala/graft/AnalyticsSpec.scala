@@ -157,6 +157,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((1, 1)) === ((500L, 1L, 500.0)))
   }
 
+  test("groupChecksum: order/partition-invariant, detects any value change") {
+    import graft.functions.Sketches
+    val rows = (1L to 200L).map(i => (s"g${i % 2}", i, s"v$i"))
+    val df = rows.toDF("g", "id", "v")
+    val base = Sketches.groupChecksum(df, Seq("g"), Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    // shuffled row order + different partitioning -> identical checksums
+    val shuffled = Sketches.groupChecksum(
+      scala.util.Random.shuffle(rows).toDF("g", "id", "v").repartition(7),
+      Seq("g"), Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(base === shuffled)
+    // a single changed value changes its group's checksum only
+    val tweaked = Sketches.groupChecksum(
+      rows.map { case (g, i, v) => (g, i, if (i == 7) "CHANGED" else v) }
+        .toDF("g", "id", "v"), Seq("g"), Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(tweaked("g1") !== base("g1"))
+    assert(tweaked("g0") === base("g0"))
+  }
+
   test("zorder16 preserves 2-d locality better than a concatenated key") {
     // rows adjacent in BOTH dims land in the same small zkey range; the
     // point of the layout key — check a 4x4 neighborhood spans < the
