@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the native expressions (builder-brief
+  * extension point (c): `SparkSessionExtensions`): makes the codegen'd
+  * primitives callable from `spark.sql` text — the API a SQL-first caller
+  * (or the S10 introspective runner) uses.
+  *
+  *  - cluster/submit use: `--conf spark.sql.extensions=graft.plans.GraftSparkExtensions`
+  *  - existing session (tests, the driver gate): [[GraftSparkExtensions.register]]
+  *
+  * Functions (names prefixed to never shadow builtins):
+  *  - `graft_zorder16(x, y)` — Morton key, [[ZOrder16]]
+  *  - `graft_quantize(vec, scale)` — floor(e*scale + 0.5) per element,
+  *    [[QuantizeDoubles]]; `scale` must be a foldable integer
+  *  - `graft_long_array_dot(a, b)` — exact long dot product, [[LongArrayDot]]
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftSparkExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftSparkExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "", "", "", "internal")
+
+  private def requireArgs(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$name takes $n arguments, got ${args.length}")
+
+  /** (identifier, info, builder) triples in the shape injectFunction and
+    * FunctionRegistry.registerFunction share.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_zorder16"),
+      info("graft_zorder16", "graft_zorder16(x, y) - 32-bit Morton z-order key of two longs in [0, 65536)"),
+      args => { requireArgs("graft_zorder16", 2, args); ZOrder16(args(0), args(1)) }),
+    (FunctionIdentifier("graft_quantize"),
+      info("graft_quantize", "graft_quantize(vec, scale) - floor(e*scale + 0.5) per element to array<long>"),
+      args => {
+        requireArgs("graft_quantize", 2, args)
+        val scale = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_quantize scale must be an integer literal, got $other")
+        }
+        QuantizeDoubles(args(0), scale)
+      }),
+    (FunctionIdentifier("graft_long_array_dot"),
+      info("graft_long_array_dot", "graft_long_array_dot(a, b) - exact integer dot product of two array<long>"),
+      args => { requireArgs("graft_long_array_dot", 2, args); LongArrayDot(args(0), args(1)) }))
+
+  /** Install on an ALREADY-BUILT session (builder-time extensions can't
+    * apply retroactively through getOrCreate).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, fnInfo, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, fnInfo, builder)
+    }
+}

@@ -372,6 +372,26 @@ object AnalyticsQueries extends QuerySet {
           |         coalesce(CAST(l_quantity AS VARCHAR), '') || '|' ||
           |         coalesce(CAST(l_shipdate AS VARCHAR), '')), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
           |       CAST(count(*) AS BIGINT) AS n_rows
-          |FROM lineitem GROUP BY 1""".stripMargin))
+          |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    QueryDef("q124_sql_function", (s, d) => {
+      // the SparkSessionExtensions surface end-to-end: native expressions
+      // registered into the session's FunctionRegistry and invoked from
+      // SQL TEXT (the S10 runner's API), aggregated per group
+      graft.plans.GraftSparkExtensions.register(s)
+      table(s, d, "lineitem").createOrReplaceTempView("q124_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |       sum(graft_zorder16(l_partkey % 65536, l_suppkey % 65536)) AS zkey_sum
+          |FROM q124_lineitem GROUP BY l_returnflag""".stripMargin)
+    }, {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})"))
+      Some(
+        s"""SELECT l_returnflag,
+           |       CAST(sum(${terms.mkString(" + ")}) AS BIGINT) AS zkey_sum
+           |FROM lineitem GROUP BY 1""".stripMargin)
+    })
   )
 }

@@ -124,6 +124,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(over.getDouble(2) > over.getDouble(0), "union > |A|")
   }
 
+  test("SQL function registration: graft_* callable from spark.sql, codegen values match DSL") {
+    graft.plans.GraftSparkExtensions.register(spark)
+    val z = spark.sql("SELECT graft_zorder16(3L, 5L) AS z").as[Long].head()
+    assert(z === (Expressions.zorder16(lit(3L), lit(5L)) match { case c =>
+      Seq(1).toDF("x").select(c).as[Long].head() }))
+    val viaSql = spark.sql(
+      """SELECT graft_long_array_dot(graft_quantize(array(0.5D, -1.0D), 1000),
+        |                            graft_quantize(array(2.0D,  3.0D), 1000)) AS d""".stripMargin)
+      .as[Long].head()
+    assert(viaSql === (500L * 2000L + -1000L * 3000L))
+    // arity and non-literal scale fail loud at analysis, not silently
+    intercept[Exception] { spark.sql("SELECT graft_zorder16(1L)").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT graft_quantize(array(1.0D), cast(rand()*10 as int))").collect()
+    }
+  }
+
   test("zorder16 interleaves bits; out-of-range raises") {
     def naive(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L)((acc, i) =>
