@@ -148,6 +148,45 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"))
 
+  /** [[runToBatch]] for APPEND-mode graphs (joins, watermark-expired
+    * aggregates): Complete mode is aggregate-only in Spark.
+    */
+  def runToBatchAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stream-STREAM inner join with an event-time range bound: match each
+    * left event to right events for the same key within `withinSeconds`
+    * AFTER it (click-through attribution, request/response pairing). Both
+    * sides carry watermarks, and the time-range predicate is what lets
+    * Spark bound the join state: left rows are dropped from state once the
+    * right watermark passes their ts + withinSeconds, right rows once the
+    * left watermark passes their ts — without the range bound the state
+    * would grow forever. Inner join only here: outer stream-stream joins
+    * emit NULL matches when the watermark closes, which changes semantics
+    * vs the batch twin the spec pins against.
+    *
+    * The caller pre-projects each side to disjoint column names including
+    * `l_key`/`l_ts` and `r_key`/`r_ts` (both sides usually share a source
+    * schema, so prefixing is the caller's one obligation).
+    */
+  def timeBoundJoin(left: DataFrame, right: DataFrame,
+      withinSeconds: Long, watermark: String): DataFrame = {
+    require(withinSeconds >= 1, s"withinSeconds: $withinSeconds")
+    Seq("l_key" -> left, "l_ts" -> left, "r_key" -> right, "r_ts" -> right)
+      .foreach { case (c, df) => require(df.columns.contains(c), s"missing column $c") }
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"))
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small) static
     * dimension, broadcast so no state and no shuffle of the stream side —
     * the canonical "attach dim attributes to a live fact feed" shape.

@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream time-bound join == batch range join (sf0.001 events)") {
+    val dir = "/root/testdata/sf0.001"
+    def side(prefix: String, eventType: String) = {
+      val raw = EventsStream.readEvents(spark, dir).filter(col("event_type") === eventType)
+      raw.select(col("user_id").as(s"${prefix}_key"), col("ts").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_event_id"))
+    }
+    val joined = EventsStream.timeBoundJoin(
+      side("l", "view"), side("r", "click"), withinSeconds = 3600, watermark = "2 hours")
+      .select(col("l_event_id"), col("r_event_id"))
+    val streamed = EventsStream.runToBatchAppend(spark, joined, "ssj_test")
+    def bside(prefix: String, eventType: String) =
+      graft.sources.Sources.events(spark, dir).filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_key"), col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_event_id"))
+    val batch = bside("l", "view").join(bside("r", "click"),
+      expr("l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval 3600 seconds"))
+      .select(col("l_event_id"), col("r_event_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful sessionization splits on the 30-min gap") {
     implicit val s = spark
     implicit val sc = s.sqlContext
