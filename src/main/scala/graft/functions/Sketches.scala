@@ -110,6 +110,11 @@ object Sketches {
         when(col("__maxb") >= m, raise_error(concat(
           lit(s"hll_bucket out of range for b=$b (m=$m): registers were built with a larger b, got bucket "),
           col("__maxb").cast("string"))).cast("double"))
+          // a global agg over an EMPTY register table yields one row with
+          // NULL sum: zero registers means zero values seen — estimate 0.0,
+          // not NULL (the raw estimator's alpha*m "empty" asymptote is an
+          // artifact of its nonzero-cardinality domain)
+          .when(col("__nb") === 0, lit(0.0))
           .otherwise(lit(alphaM2(b)) /
             (col("__s") + (lit(m) - col("__nb")).cast("double"))))
       .drop("__s", "__nb", "__maxb")
@@ -124,9 +129,14 @@ object Sketches {
     *
     * This is the 100 TB table-equality primitive: comparing a trillion rows
     * moves one DECIMAL per group, where EXCEPT ALL would shuffle both
-    * tables. NULL columns fold as empty strings (surrogateKey's recipe), so
-    * (NULL) and ('') collide deliberately — byte-level fidelity needs typed
-    * columns, not checksums. 60 bits (15 hex digits) keeps the per-row term
+    * tables. The row encoding is INJECTIVE, not delimiter-joined: each
+    * column contributes its value's md5 (32 hex chars) or the literal
+    * `null` for NULL, and the row hash is the md5 of that concatenation.
+    * A separator-based encoding ("a|" , "b" vs "a", "|b") collides with
+    * probability 1 when a separator shifts between columns; here every
+    * token is either exactly-32 hex chars or the hex-disjoint `null`, so
+    * the token stream parses uniquely and distinct rows collide only with
+    * md5 probability. 60 bits (15 hex digits) keeps the per-row term
     * exactly representable as a long; DECIMAL(38,0) absorbs ~2^65 rows
     * without overflow.
     */
@@ -134,7 +144,8 @@ object Sketches {
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "no columns to checksum")
     val rowHash = conv(substring(
-      md5(concat_ws("|", valueCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)),
+      md5(concat(valueCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("null"))): _*)),
       1, 15), 16, 10).cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(rowHash.cast("decimal(38,0)")).as("checksum"),

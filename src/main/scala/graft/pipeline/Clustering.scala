@@ -65,7 +65,11 @@ object Clustering {
       posexplode(graft.plans.Expressions.quantizeDoubles(col(vecCol), quantScale))
         .as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("x")).as("sum_q"), count(lit(1)).as("n_vecs"))
+      // count(x), not count(1): sum() skips NULL components, so counting
+      // the NULL rows too would silently bias mean_q low — the mean is
+      // over PRESENT components (a corrupt all-NULL position yields
+      // sum NULL / count 0 -> NULL mean, visible, not skewed)
+      .agg(sum(col("x")).as("sum_q"), count(col("x")).as("n_vecs"))
       .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
 
   /** Lloyd's k-means assignment: seed centroids from the `k` smallest-id

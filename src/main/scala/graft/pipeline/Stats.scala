@@ -83,6 +83,14 @@ object Stats {
     require(k >= 1, s"k: $k")
     val gcols = groupCols.map(col)
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    // integral values only: the old silent cast("long") TRUNCATED doubles
+    // in abs_dev while the median came from the raw values — mismatched
+    // quantities, wrong flags. Quantize non-integral metrics first (the
+    // q107 cents recipe).
+    val vType = df.select(valueCol).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"madOutliers requires an integral value column, got $vType — " +
+        "quantize doubles first (e.g. cents = floor(v*100 + 0.5))")
     val med = exactQuantiles(df, groupCols, valueCol, Seq(500))
       .select(gcols :+ col("value").as("med"): _*)
     val withDev = df.filter(valueCol.isNotNull)

@@ -219,8 +219,10 @@ object TextAnalysis {
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       s"queryTerms must be non-empty and distinct: $queryTerms")
+    // the id keeps its source type: a cast("long") would NULL out string
+    // ids and silently merge every such doc into one tf/df group
     val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks")).cast("long")).as("sum_dl"))
     // per-doc tf for each query term, docs with a hit only

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** SQL-surface registration for the native expressions (builder-brief
   * extension point (c): `SparkSessionExtensions`): makes the codegen'd
@@ -36,26 +37,43 @@ object GraftSparkExtensions {
 
   /** (identifier, info, builder) triples in the shape injectFunction and
     * FunctionRegistry.registerFunction share.
+    *
+    * Every argument is wrapped in an explicit Cast to the expression's
+    * expected input type — the native expressions carry no
+    * ExpectsInputTypes (AbstractDataType is private[sql] outside the spark
+    * package), so an INT argument would otherwise ClassCastException in
+    * interpreted eval while silently working under codegen, and an
+    * array<int> fed to QuantizeDoubles would reinterpret 4-byte slots as
+    * doubles. The Scala-API wrappers in [[Expressions]] insert the same
+    * casts.
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_zorder16"),
       info("graft_zorder16", "graft_zorder16(x, y) - 32-bit Morton z-order key of two longs in [0, 65536)"),
-      args => { requireArgs("graft_zorder16", 2, args); ZOrder16(args(0), args(1)) }),
+      args => { requireArgs("graft_zorder16", 2, args)
+        ZOrder16(Cast(args(0), LongType), Cast(args(1), LongType)) }),
     (FunctionIdentifier("graft_quantize"),
-      info("graft_quantize", "graft_quantize(vec, scale) - floor(e*scale + 0.5) per element to array<long>"),
+      info("graft_quantize", "graft_quantize(vec, scale) - floor(e*scale + 0.5) per element to array<long>; scale is a foldable integer"),
       args => {
         requireArgs("graft_quantize", 2, args)
         val scale = args(1) match {
-          case Literal(v: Int, _) => v
+          case e if e.foldable => e.eval() match {
+            case n: java.lang.Number
+                if n.longValue() == n.intValue() && n.longValue() == n.doubleValue() =>
+              n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_quantize scale must be an integral value, got $other")
+          }
           case other => throw new IllegalArgumentException(
-            s"graft_quantize scale must be an integer literal, got $other")
+            s"graft_quantize scale must be a foldable integer, got $other")
         }
-        QuantizeDoubles(args(0), scale)
+        QuantizeDoubles(Cast(args(0), ArrayType(DoubleType)), scale)
       }),
     (FunctionIdentifier("graft_long_array_dot"),
       info("graft_long_array_dot", "graft_long_array_dot(a, b) - exact integer dot product of two array<long>"),
-      args => { requireArgs("graft_long_array_dot", 2, args); LongArrayDot(args(0), args(1)) }))
+      args => { requireArgs("graft_long_array_dot", 2, args)
+        LongArrayDot(Cast(args(0), ArrayType(LongType)), Cast(args(1), ArrayType(LongType))) }))
 
   /** Install on an ALREADY-BUILT session (builder-time extensions can't
     * apply retroactively through getOrCreate).

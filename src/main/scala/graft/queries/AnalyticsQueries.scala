@@ -264,8 +264,8 @@ object AnalyticsQueries extends QuerySet {
           |c AS (SELECT label, i AS pos, v[i] AS x
           |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i)
           |SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
-          |       CAST(sum(x) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs,
-          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+          |       CAST(sum(x) AS BIGINT) AS sum_q, CAST(count(x) AS BIGINT) AS n_vecs,
+          |       CAST(sum(x) AS DOUBLE) / CAST(count(x) AS DOUBLE) AS mean_q
           |FROM c GROUP BY 1, 2""".stripMargin)),
 
     QueryDef("q120_window_stats", (s, d) => {
@@ -367,10 +367,10 @@ object AnalyticsQueries extends QuerySet {
       Some(
         """SELECT l_returnflag,
           |       CAST(sum(('0x' || substr(md5(
-          |         coalesce(CAST(l_orderkey AS VARCHAR), '') || '|' ||
-          |         coalesce(CAST(l_linenumber AS VARCHAR), '') || '|' ||
-          |         coalesce(CAST(l_quantity AS VARCHAR), '') || '|' ||
-          |         coalesce(CAST(l_shipdate AS VARCHAR), '')), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
+          |         coalesce(md5(CAST(l_orderkey AS VARCHAR)), 'null') ||
+          |         coalesce(md5(CAST(l_linenumber AS VARCHAR)), 'null') ||
+          |         coalesce(md5(CAST(l_quantity AS VARCHAR)), 'null') ||
+          |         coalesce(md5(CAST(l_shipdate AS VARCHAR)), 'null')), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
           |       CAST(count(*) AS BIGINT) AS n_rows
           |FROM lineitem GROUP BY 1""".stripMargin)),
 

@@ -126,6 +126,13 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("SQL function registration: graft_* callable from spark.sql, codegen values match DSL") {
     graft.plans.GraftSparkExtensions.register(spark)
+    // INT (not LONG) literals: the registration wraps args in explicit
+    // casts, so interpreted eval must not ClassCastException
+    assert(spark.sql("SELECT graft_zorder16(3, 5) AS z").as[Long].head() ===
+      spark.sql("SELECT graft_zorder16(3L, 5L) AS z").as[Long].head())
+    // foldable (non-bare-literal) scale accepted
+    assert(spark.sql("SELECT graft_quantize(array(1.5D), CAST(1000 AS INT))[0] AS q")
+      .as[Long].head() === 1500L)
     val z = spark.sql("SELECT graft_zorder16(3L, 5L) AS z").as[Long].head()
     assert(z === (Expressions.zorder16(lit(3L), lit(5L)) match { case c =>
       Seq(1).toDF("x").select(c).as[Long].head() }))
@@ -193,6 +200,44 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
     assert(tweaked("g1") !== base("g1"))
     assert(tweaked("g0") === base("g0"))
+    // injective encoding: a separator shifting between adjacent columns,
+    // and NULL vs empty string, must all checksum differently
+    def one(a: String, b: String) = Sketches.groupChecksum(
+      Seq(("g", a, b)).toDF("g", "a", "b"), Seq("g"), Seq("a", "b"))
+      .collect()(0).getDecimal(1)
+    assert(one("a|", "b") !== one("a", "|b"))
+    assert(one(null, "x") !== one("", "x"))
+  }
+
+  test("hllSetOps with an empty side: est 0.0 and consistent overlap, not NULL") {
+    import graft.functions.Sketches
+    val a = (1 to 500).map(i => Tuple1(i.toLong)).toDF("v")
+    val empty = a.filter(lit(false))
+    val row = Sketches.hllSetOps(
+      Sketches.hllRegisters(a, Seq.empty, $"v"),
+      Sketches.hllRegisters(empty, Seq.empty, $"v")).collect()(0)
+    assert(row.getDouble(1) === 0.0)                 // est_b
+    assert(row.getDouble(2) === row.getDouble(0))    // union == |A|
+    assert(row.getDouble(3) === 0.0)                 // intersect
+  }
+
+  test("madOutliers rejects non-integral value columns") {
+    val df = Seq(("g", 1.5), ("g", 2.5)).toDF("src", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.madOutliers(df, Seq("src"), $"v", k = 3)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("labelCentroids: NULL components excluded from the mean, not averaged in as zero") {
+    val df = Seq(
+      (0, Array[java.lang.Float](1.0f, null)),
+      (0, Array[java.lang.Float](3.0f, 4.0f))).toDF("label", "embedding")
+    val out = graft.pipeline.Clustering.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((0, 0)) === ((4000L, 2L)))
+    assert(out((0, 1)) === ((4000L, 1L))) // the NULL component is not a vector
   }
 
   test("zorder16 preserves 2-d locality better than a concatenated key") {
