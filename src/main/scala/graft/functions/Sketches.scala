@@ -130,23 +130,25 @@ object Sketches {
     * This is the 100 TB table-equality primitive: comparing a trillion rows
     * moves one DECIMAL per group, where EXCEPT ALL would shuffle both
     * tables. The row encoding is INJECTIVE, not delimiter-joined: each
-    * column contributes its value's md5 (32 hex chars) or the literal
-    * `null` for NULL, and the row hash is the md5 of that concatenation.
-    * A separator-based encoding ("a|" , "b" vs "a", "|b") collides with
-    * probability 1 when a separator shifts between columns; here every
-    * token is either exactly-32 hex chars or the hex-disjoint `null`, so
-    * the token stream parses uniquely and distinct rows collide only with
-    * md5 probability. 60 bits (15 hex digits) keeps the per-row term
-    * exactly representable as a long; DECIMAL(38,0) absorbs ~2^65 rows
-    * without overflow.
+    * column contributes a LENGTH-PREFIXED token `<len>:<value>` (NULL is
+    * the token `n;`). A separator-based encoding ("a|", "b" vs "a", "|b")
+    * collides with probability 1 when a separator shifts between columns;
+    * length-prefixed tokens parse uniquely (a token starts with `n` or
+    * with its digit-run length), so distinct rows collide only with md5
+    * probability — and the row still pays exactly ONE md5 (hashing each
+    * column separately would double+ the per-row cost, the dominant term).
+    * 60 bits (15 hex digits) keeps the per-row term exactly representable
+    * as a long; DECIMAL(38,0) absorbs ~2^65 rows without overflow.
     */
   def groupChecksum(df: DataFrame, groupCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "no columns to checksum")
-    val rowHash = conv(substring(
-      md5(concat(valueCols.map(c =>
-        coalesce(md5(col(c).cast("string")), lit("null"))): _*)),
-      1, 15), 16, 10).cast("long")
+    val tokens = valueCols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("n;"))
+    }
+    val rowHash = conv(substring(md5(concat(tokens: _*)), 1, 15), 16, 10)
+      .cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(rowHash.cast("decimal(38,0)")).as("checksum"),
         count(lit(1)).as("n_rows"))

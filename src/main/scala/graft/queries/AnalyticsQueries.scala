@@ -364,15 +364,15 @@ object AnalyticsQueries extends QuerySet {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
         .select(col("l_returnflag"),
           col("checksum").cast("string").as("checksum"), col("n_rows")),
-      Some(
-        """SELECT l_returnflag,
-          |       CAST(sum(('0x' || substr(md5(
-          |         coalesce(md5(CAST(l_orderkey AS VARCHAR)), 'null') ||
-          |         coalesce(md5(CAST(l_linenumber AS VARCHAR)), 'null') ||
-          |         coalesce(md5(CAST(l_quantity AS VARCHAR)), 'null') ||
-          |         coalesce(md5(CAST(l_shipdate AS VARCHAR)), 'null')), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
-          |       CAST(count(*) AS BIGINT) AS n_rows
-          |FROM lineitem GROUP BY 1""".stripMargin)),
+      Some {
+      def tok(c: String) =
+        s"coalesce(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || CAST($c AS VARCHAR), 'n;')"
+      s"""SELECT l_returnflag,
+         |       CAST(sum(('0x' || substr(md5(
+         |         ${Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate").map(tok).mkString(" ||\n         ")}), 1, 15))::BIGINT) AS VARCHAR) AS checksum,
+         |       CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem GROUP BY 1""".stripMargin
+    }),
 
     QueryDef("q124_sql_function", (s, d) => {
       // the SparkSessionExtensions surface end-to-end: native expressions
