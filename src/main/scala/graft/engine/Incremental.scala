@@ -42,6 +42,44 @@ object Incremental {
   final case class Microbatch(eventTimeCol: String, start: String, end: String,
       grain: String = "day") extends Strategy
 
+  /** Incremental AGGREGATE maintenance: combine a stored per-key aggregate
+    * state table with the NEW batch's partials — the materialization that
+    * keeps a rollup current without ever re-reading history (a row-level
+    * merge can only REPLACE a key's row; an aggregate needs its
+    * combine function). `combiners` maps each state column to how two
+    * partials merge: `sum` (counts/sums), `min`, `max`. Columns under
+    * `sum`/`count` semantics must be stored pre-aggregated (the caller
+    * rolls the raw batch up by the same keys first).
+    *
+    * Scale shape: union + one partial-agg shuffle keyed on the GROUP —
+    * per-run cost is O(batch partials + state), never O(raw history).
+    * Associativity is what makes this correct at any batch granularity:
+    * avg-style non-mergeable metrics must be carried as (sum, count)
+    * pairs and finalized at read time.
+    */
+  def mergeAggregates(target: DataFrame, batchPartials: DataFrame,
+      keys: Seq[String], combiners: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "mergeAggregates needs group keys")
+    require(combiners.nonEmpty, "no aggregate columns to combine")
+    val bad = combiners.collect { case (c, how) if !Seq("sum", "min", "max").contains(how) => s"$c -> $how" }
+    require(bad.isEmpty, s"unsupported combiners (sum/min/max): ${bad.mkString(", ")}")
+    val expected = (keys ++ combiners.map(_._1)).toSet
+    Seq("target" -> target, "batch" -> batchPartials).foreach { case (side, df) =>
+      require(df.columns.toSet == expected,
+        s"$side columns ${df.columns.mkString(",")} != keys + aggregate columns")
+    }
+    val aggs = combiners.map { case (c, how) =>
+      (how match {
+        case "sum" => sum(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+      }).as(c)
+    }
+    target.unionByName(batchPartials)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MERGE (I2): match on `keys` -> source row wins (all columns, minus
     * `excludeCols`, or only `updateCols` when given — merge.sql:12-14);
     * unmatched target rows kept; unmatched source rows inserted.

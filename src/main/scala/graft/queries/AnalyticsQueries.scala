@@ -374,6 +374,37 @@ object AnalyticsQueries extends QuerySet {
          |FROM lineitem GROUP BY 1""".stripMargin
     }),
 
+    QueryDef("q125_incremental_agg", (s, d) => {
+      // incremental AGGREGATE maintenance through the warehouse: a per-
+      // member rollup (n_claims, cents, last_date) stays current across
+      // two batches by combining stored state with the new slice's
+      // partials — per-run cost O(batch + state), history never re-read.
+      // The oracle recomputes from scratch; associativity makes them equal.
+      import graft.engine.{Incremental, Warehouse}
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q125").toString, s)
+      val combiners = Seq("n_claims" -> "sum", "cents" -> "sum", "last_date" -> "max")
+      def partials(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("o_custkey").cast("long").as("member_id"))
+        .agg(count(lit(1)).as("n_claims"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"),
+          max(col("o_orderdate").cast("date")).as("last_date"))
+      val orders = table(s, d, "orders")
+      val cut = lit("1997-01-01").cast("date")
+      wh.writeSwap("agg_state", partials(orders.filter(col("o_orderdate") < cut)))
+      val merged = Incremental.mergeAggregates(
+        wh.read("agg_state"),
+        partials(orders.filter(col("o_orderdate") >= cut)),
+        Seq("member_id"), combiners)
+      wh.writeSwap("agg_state", merged)
+      wh.read("agg_state")
+    }, Some(
+      """SELECT CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(count(*) AS BIGINT) AS n_claims,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(max(o_orderdate) AS DATE) AS last_date
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     QueryDef("q124_sql_function", (s, d) => {
       // the SparkSessionExtensions surface end-to-end: native expressions
       // registered into the session's FunctionRegistry and invoked from

@@ -126,4 +126,30 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.merge(target, dupNew, Seq("k"),
         updateCols = Some(Seq("v")), excludeCols = Seq("v")))
   }
+
+  test("mergeAggregates: batch-split invariance (associativity) and column validation") {
+    val rows = (1 to 300).map(i => (s"m${i % 7}", 1L, (i * 3).toLong, i.toLong))
+    def partials(rs: Seq[(String, Long, Long, Long)]) =
+      rs.toDF("k", "n", "s", "mx").groupBy($"k")
+        .agg(sum($"n").as("n"), sum($"s").as("s"), max($"mx").as("mx"))
+    val combiners = Seq("n" -> "sum", "s" -> "sum", "mx" -> "max")
+    val full = partials(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // ANY split point yields the same state as one-shot aggregation
+    Seq(1, 100, 299).foreach { cut =>
+      val (a, b) = rows.splitAt(cut)
+      val merged = Incremental.mergeAggregates(partials(a), partials(b),
+        Seq("k"), combiners).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(merged === full, s"cut $cut")
+    }
+    // schema drift between state and batch fails loud
+    assertThrows[IllegalArgumentException](
+      Incremental.mergeAggregates(partials(rows).withColumnRenamed("s", "zz"),
+        partials(rows), Seq("k"), combiners))
+    // unsupported combiner fails loud (avg is not mergeable - carry sum+count)
+    assertThrows[IllegalArgumentException](
+      Incremental.mergeAggregates(partials(rows), partials(rows),
+        Seq("k"), Seq("n" -> "avg")))
+  }
 }
