@@ -91,6 +91,36 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming AGGREGATE-state bridge: each micro-batch rolls its raw rows
+    * up to per-key partials and combines them into a stored rollup via
+    * [[graft.engine.Incremental.mergeAggregates]] — a continuously-current
+    * aggregate table at O(batch + state) per trigger, with no watermark
+    * bound on how old a key may be updated (unlike an in-plan streaming
+    * aggregation, whose state either grows forever or drops late keys).
+    *
+    * NOT exactly-once: writeSwap commits the whole state atomically, but a
+    * crash AFTER the swap and BEFORE the offset commit replays the batch
+    * and double-counts it (sum combiners are not idempotent, unlike
+    * mergeStream's row upserts). The checkpoint makes that window small;
+    * exactly-once needs a batch-id ledger (mergeStream's protocol) — the
+    * trade is documented, not hidden.
+    */
+  def aggStream(events: DataFrame, wh: graft.engine.Warehouse, table: String,
+      keys: Seq[String], combiners: Seq[(String, String)])(
+      partials: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val p = partials(batch)
+        val merged = if (wh.exists(table))
+          graft.engine.Incremental.mergeAggregates(wh.read(table), p, keys, combiners)
+        else p
+        wh.writeSwap(table, merged)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming distinct-count sketch: HLL registers as a WINDOWED streaming
     * aggregate — the register table (bucket -> max rho) is exactly the
     * mergeable state a stream can maintain incrementally; the estimate is a

@@ -230,6 +230,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.asScala.toMap === Map(3L -> "first"))
   }
 
+  test("streaming aggregate state stays current across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val wh = new graft.engine.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft_aggstream").toString, spark)
+    val mem = MemoryStream[(String, Long)]
+    val combiners = Seq("n" -> "sum", "total" -> "sum")
+    def run() = {
+      val q = EventsStream.aggStream(mem.toDF().toDF("k", "v"), wh, "agg",
+        Seq("k"), combiners) { b =>
+        b.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      }
+      q.awaitTermination()
+    }
+    mem.addData(("a", 10L), ("a", 20L), ("b", 5L))
+    run()
+    mem.addData(("a", 1L), ("c", 7L))
+    run()
+    val out = wh.read("agg").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 31L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+  }
+
   test("stream-static enrichment == batch join, left-NULL passthrough") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
