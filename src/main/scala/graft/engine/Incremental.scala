@@ -57,17 +57,35 @@ object Incremental {
     * avg-style non-mergeable metrics must be carried as (sum, count)
     * pairs and finalized at read time.
     */
-  def mergeAggregates(target: DataFrame, batchPartials: DataFrame,
-      keys: Seq[String], combiners: Seq[(String, String)]): DataFrame = {
+  /** The schema contract [[mergeAggregates]] enforces, exposed so creation
+    * paths (a stream's FIRST batch, a CTAS) can fail before committing
+    * malformed durable state that only the second batch would reject.
+    */
+  def validateAggSchema(df: DataFrame, keys: Seq[String],
+      combiners: Seq[(String, String)], side: String = "input"): Unit = {
     require(keys.nonEmpty, "mergeAggregates needs group keys")
     require(combiners.nonEmpty, "no aggregate columns to combine")
     val bad = combiners.collect { case (c, how) if !Seq("sum", "min", "max").contains(how) => s"$c -> $how" }
     require(bad.isEmpty, s"unsupported combiners (sum/min/max): ${bad.mkString(", ")}")
     val expected = (keys ++ combiners.map(_._1)).toSet
-    Seq("target" -> target, "batch" -> batchPartials).foreach { case (side, df) =>
-      require(df.columns.toSet == expected,
-        s"$side columns ${df.columns.mkString(",")} != keys + aggregate columns")
-    }
+    require(df.columns.toSet == expected,
+      s"$side columns ${df.columns.mkString(",")} != keys + aggregate columns ${expected.mkString(",")}")
+  }
+
+  def mergeAggregates(target: DataFrame, batchPartials: DataFrame,
+      keys: Seq[String], combiners: Seq[(String, String)]): DataFrame = {
+    validateAggSchema(target, keys, combiners, "target")
+    validateAggSchema(batchPartials, keys, combiners, "batch")
+    // types must match exactly, not just names: unionByName would silently
+    // COERCE drift (DATE vs STRING widens to STRING and max() goes
+    // lexicographic; int vs long widens the persisted state schema between
+    // writes, breaking typed readers) — the reconcileSchema hazard
+    val tTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bTypes = batchPartials.schema.fields.map(f => f.name -> f.dataType).toMap
+    val drift = (keys ++ combiners.map(_._1))
+      .filter(c => tTypes(c) != bTypes(c))
+      .map(c => s"$c: target ${tTypes(c)} vs batch ${bTypes(c)}")
+    require(drift.isEmpty, s"state/batch type drift: ${drift.mkString("; ")}")
     val aggs = combiners.map { case (c, how) =>
       (how match {
         case "sum" => sum(col(c))

@@ -456,6 +456,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // not inherit the dropped table's dynamic-table config (a config-clean
     // first run would silently no-op instead of building)
     Files.deleteIfExists(dir(name + "__meta"))
+    // and any streaming-bridge checkpoint (mergeStream/aggStream plant one
+    // under root/_checkpoints/<name>): a retained checkpoint says every
+    // source offset is processed, so a restarted stream against the
+    // dropped-and-recreated table would process NOTHING and the state
+    // would silently stay empty — unrecoverable for non-idempotent
+    // (sum-combined) aggregate state, whose only rebuild is a replay
+    deleteRec(java.nio.file.Paths.get(root, "_checkpoints", name))
     invalidate(name)
   }
 

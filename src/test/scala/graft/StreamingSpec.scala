@@ -251,6 +251,21 @@ class StreamingSpec extends AnyFunSuite {
     val out = wh.read("agg").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out === Map("a" -> ((3L, 31L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+    // drop kills the checkpoint with the table: a retained checkpoint
+    // would claim every offset processed, so a rebuilt stream against the
+    // recreated table would silently process nothing (a MemoryStream purges
+    // committed entries so full replay can't be shown here; a file source
+    // re-reads everything)
+    val cp = java.nio.file.Paths.get(wh.root, "_checkpoints", "agg")
+    assert(java.nio.file.Files.exists(cp), "checkpoint dir expected after runs")
+    wh.drop("agg")
+    assert(!java.nio.file.Files.exists(cp), "drop must delete the stream checkpoint")
+    // a post-drop batch rebuilds the table from scratch (fresh checkpoint)
+    mem.addData(("d", 2L))
+    run()
+    val rebuilt = wh.read("agg").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rebuilt("d") === ((1L, 2L)))
   }
 
   test("stream-static enrichment == batch join, left-NULL passthrough") {
