@@ -236,4 +236,50 @@ class EdgeSpec extends AnyFunSuite {
     assert(Sketches.alphaM2(4) === 0.673 * 16 * 16)
     assert(Sketches.alphaM2(8) === 0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
   }
+  test("valueRanks with no group columns ranks over the global distinct-value rollup") {
+    import graft.operators.Ranking
+    val df = Seq(5L, 5L, 9L, 1L).toDF("v")
+    val got = Ranking.valueRanks(df, Seq.empty, $"v")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 1L, 1L), (5L, 2L, 2L, 2L), (9L, 1L, 4L, 3L)))
+  }
+
+  test("ngramCounts where every doc is shorter than n yields empty, not error") {
+    val df = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(TextAnalysis.ngramCounts(df, n = 5, minCount = 1).count() === 0L)
+  }
+
+  test("bm25TermScores with zero term hits yields empty output") {
+    val df = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(TextAnalysis.bm25TermScores(df, Seq("zzz")).count() === 0L)
+  }
+
+  test("groupChecksum with no group columns produces one global row") {
+    import graft.functions.Sketches
+    val out = Sketches.groupChecksum(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"), Seq.empty, Seq("id", "v"))
+      .collect()
+    assert(out.length === 1 && out(0).getLong(1) === 2L)
+  }
+
+  test("hllSetOps raises on register b-mismatch instead of corrupting the estimate") {
+    import graft.functions.Sketches
+    val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val wide = Sketches.hllRegisters(df, Seq.empty, $"v", b = 12)
+    val ex = intercept[Exception] {
+      Sketches.hllSetOps(wide, wide, b = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("out of range")), ex.toString)
+  }
+
+  test("zorder16 propagates NULL inputs as NULL keys") {
+    import graft.plans.Expressions
+    val out = Seq[(java.lang.Long, java.lang.Long)]((3L, null), (null, 5L), (3L, 5L))
+      .toDF("x", "y")
+      .select(Expressions.zorder16($"x", $"y").as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.count(_.isEmpty) === 2 && out.count(_.isDefined) === 1)
+  }
 }
