@@ -36,6 +36,18 @@ final case class SnapshotMat(
     hardDeletes: Snapshot.HardDeletes,
     snapshotTime: Timestamp) extends Materialization
 
+/** Incremental AGGREGATE materialization ([[Incremental.mergeAggregates]]
+  * as a Registry strategy): the model build returns per-key PARTIALS —
+  * the full history's on the first run, the new slice's when
+  * `ctx.isIncremental` — and incremental runs combine them into the stored
+  * rollup by the declared per-column combiners (sum/min/max). The rollup
+  * a row-level IncrementalMat cannot express: merge REPLACES a key's row,
+  * an aggregate needs its combine function. Per-run cost O(batch + state).
+  */
+final case class AggregateMat(
+    keys: Seq[String],
+    combiners: Seq[(String, String)]) extends Materialization
+
 /** S8 dynamic table (dbt-snowflake dynamic_table.sql:1-66): a continuously
   * refreshed materialized view whose MATERIALIZATION run manages only the
   * DDL/config — data refresh belongs to the refresher (our streaming
@@ -323,7 +335,8 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
             "not selected in this run and no previous run of this Registry " +
             "produced it (register it, select it, or run it first)"))).toMap
       val targetExists = wh.exists(m.name)
-      val isInc = m.mat.isInstanceOf[IncrementalMat] && targetExists && !fullRefresh
+      val isInc = (m.mat.isInstanceOf[IncrementalMat] ||
+        m.mat.isInstanceOf[AggregateMat]) && targetExists && !fullRefresh
       val ctx = ModelContext(spark, deps, isInc,
         if (targetExists) Some(wh.read(m.name)) else None)
       val df = m.build(ctx)
@@ -333,6 +346,15 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           df
         case TableMat(clusterBy) =>
           wh.writeSwap(m.name, df, clusterBy)
+          wh.read(m.name)
+        case AggregateMat(keys, combiners) =>
+          // validate BEFORE the CTAS commits durable state a later
+          // incremental run would reject (the aggStream lesson)
+          Incremental.validateAggSchema(df, keys, combiners,
+            s"model '${m.name}' build")
+          if (!isInc) wh.writeSwap(m.name, df)
+          else wh.writeSwap(m.name,
+            Incremental.mergeAggregates(wh.read(m.name), df, keys, combiners))
           wh.read(m.name)
         case IncrementalMat(strategy, keys, onSchema) =>
           if (!isInc) strategy match {

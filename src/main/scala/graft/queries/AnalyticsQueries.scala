@@ -405,6 +405,39 @@ object AnalyticsQueries extends QuerySet {
         |       CAST(max(o_orderdate) AS DATE) AS last_date
         |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q126_registry_aggregate", (s, d) => {
+      // the same maintenance through the REGISTRY lifecycle (dbt-style):
+      // one model function, two runs — CTAS partials, then the
+      // is_incremental branch returns only the new slice's partials and
+      // the AggregateMat combines them into the stored rollup
+      import graft.engine.{AggregateMat, Model, Registry, Warehouse}
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_q126").toString, s)
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      val cut = lit("1997-01-01").cast("date")
+      reg.register(Model("agg_member_claims", Seq("orders_src"),
+        AggregateMat(Seq("member_id"),
+          Seq("n_claims" -> "sum", "cents" -> "sum", "last_date" -> "max")),
+        ctx => {
+          val slice =
+            if (ctx.isIncremental) ctx.ref("orders_src").filter(col("o_orderdate") >= cut)
+            else ctx.ref("orders_src").filter(col("o_orderdate") < cut)
+          slice.groupBy(col("o_custkey").cast("long").as("member_id"))
+            .agg(count(lit(1)).as("n_claims"),
+              sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"),
+              max(col("o_orderdate").cast("date")).as("last_date"))
+        }))
+      reg.run()
+      reg.run()
+      wh.read("agg_member_claims")
+    }, Some(
+      """SELECT CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(count(*) AS BIGINT) AS n_claims,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(max(o_orderdate) AS DATE) AS last_date
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     QueryDef("q124_sql_function", (s, d) => {
       // the SparkSessionExtensions surface end-to-end: native expressions
       // registered into the session's FunctionRegistry and invoked from

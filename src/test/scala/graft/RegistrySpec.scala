@@ -447,4 +447,34 @@ class RegistrySpec extends AnyFunSuite {
     reg(3).run(fullRefresh = true)
     assert(wh.read("inc").count() === 1)
   }
+
+  test("AggregateMat combines partials across runs; fullRefresh resets; bad schema fails the CTAS") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_aggmat").toString, spark)
+    def reg(slice: Seq[(String, Long)], inc: Seq[(String, Long)]) = {
+      val r = new Registry(spark, wh)
+      r.source("raw_full", slice.toDF("k", "v"))
+      r.source("raw_inc", inc.toDF("k", "v"))
+      r.register(Model("rollup", Seq("raw_full", "raw_inc"),
+        AggregateMat(Seq("k"), Seq("n" -> "sum", "total" -> "sum")),
+        ctx => (if (ctx.isIncremental) ctx.ref("raw_inc") else ctx.ref("raw_full"))
+          .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("total"))))
+      r
+    }
+    reg(Seq("a" -> 10L, "a" -> 20L, "b" -> 5L), Nil).run()
+    reg(Nil, Seq("a" -> 1L, "c" -> 7L)).run() // incremental: combine
+    val out = wh.read("rollup").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 31L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+    // fullRefresh recomputes from the non-incremental branch only
+    reg(Seq("z" -> 2L), Nil).run(fullRefresh = true)
+    assert(wh.read("rollup").collect().map(_.getString(0)).toSeq === Seq("z"))
+    // a build whose columns don't match keys+combiners fails the FIRST run
+    val bad = new Registry(spark,
+      new Warehouse(Files.createTempDirectory("graft_aggmat_bad").toString, spark))
+    bad.source("raw", Seq(("a", 1L)).toDF("k", "v"))
+    bad.register(Model("rollup_bad", Seq("raw"),
+      AggregateMat(Seq("k"), Seq("n" -> "sum")),
+      ctx => ctx.ref("raw").groupBy($"k").agg(count(lit(1)).as("wrong_name"))))
+    assertThrows[IllegalArgumentException](bad.run())
+  }
 }
