@@ -331,6 +331,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no wide join expected:\n$plan")
   }
 
+  test("window battery (q120 shape): all five functions share ONE exchange and one Window pair") {
+    val df = (1L to 400L).map(i => (s"f${i % 3}", i, i % 20)).toDF("g", "id", "qty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"qty".asc, $"id".asc)
+    val full = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val out = df.select($"g", $"id", $"qty",
+      ntile(4).over(w).as("q4"), percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      first($"qty").over(full).as("mn"), last($"qty").over(full).as("mx"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"five window functions over one (partition, order) must share one shuffle:\n$plan")
+    // running-frame and full-frame functions need two Window operators max
+    assert("Window \\[".r.findAllIn(plan).length <= 2, plan)
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
