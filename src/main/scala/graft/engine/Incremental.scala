@@ -42,6 +42,41 @@ object Incremental {
   final case class Microbatch(eventTimeCol: String, start: String, end: String,
       grain: String = "day") extends Strategy
 
+  /** The schema contract [[mergeAggregates]] enforces, exposed so creation
+    * paths (a stream's FIRST batch, a CTAS) can fail before committing
+    * malformed durable state that only the second batch would reject.
+    *
+    * For `sum` columns the type must be a SUM-STABLE fixed point (long,
+    * double, or decimal(38,s)): Spark widens sum result types (int -> long,
+    * float -> double, decimal(p,s) -> decimal(min(38,p+10),s)), so any
+    * other type would pass the first merge and then fail the NEXT run's
+    * type check against its own widened output — on a stream that batch
+    * replays forever. Failing the creation run with a cast instruction is
+    * the loud version of that wedge.
+    */
+  def validateAggSchema(df: DataFrame, keys: Seq[String],
+      combiners: Seq[(String, String)], side: String = "input"): Unit = {
+    require(keys.nonEmpty, "mergeAggregates needs group keys")
+    require(combiners.nonEmpty, "no aggregate columns to combine")
+    val bad = combiners.collect { case (c, how) if !Seq("sum", "min", "max").contains(how) => s"$c -> $how" }
+    require(bad.isEmpty, s"unsupported combiners (sum/min/max): ${bad.mkString(", ")}")
+    val expected = (keys ++ combiners.map(_._1)).toSet
+    require(df.columns.toSet == expected,
+      s"$side columns ${df.columns.mkString(",")} != keys + aggregate columns ${expected.mkString(",")}")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val unstable = combiners.collect {
+      case (c, "sum") if !(types(c) match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.precision == 38
+        case _ => false
+      }) => s"$c: ${types(c)}"
+    }
+    require(unstable.isEmpty,
+      s"$side sum columns must be sum-stable types (long, double, or decimal(38,s)) " +
+        s"or each run's sum() would widen the state schema: ${unstable.mkString("; ")} — " +
+        "cast the partials (e.g. .cast(\"long\"))")
+  }
+
   /** Incremental AGGREGATE maintenance: combine a stored per-key aggregate
     * state table with the NEW batch's partials — the materialization that
     * keeps a rollup current without ever re-reading history (a row-level
@@ -57,21 +92,6 @@ object Incremental {
     * avg-style non-mergeable metrics must be carried as (sum, count)
     * pairs and finalized at read time.
     */
-  /** The schema contract [[mergeAggregates]] enforces, exposed so creation
-    * paths (a stream's FIRST batch, a CTAS) can fail before committing
-    * malformed durable state that only the second batch would reject.
-    */
-  def validateAggSchema(df: DataFrame, keys: Seq[String],
-      combiners: Seq[(String, String)], side: String = "input"): Unit = {
-    require(keys.nonEmpty, "mergeAggregates needs group keys")
-    require(combiners.nonEmpty, "no aggregate columns to combine")
-    val bad = combiners.collect { case (c, how) if !Seq("sum", "min", "max").contains(how) => s"$c -> $how" }
-    require(bad.isEmpty, s"unsupported combiners (sum/min/max): ${bad.mkString(", ")}")
-    val expected = (keys ++ combiners.map(_._1)).toSet
-    require(df.columns.toSet == expected,
-      s"$side columns ${df.columns.mkString(",")} != keys + aggregate columns ${expected.mkString(",")}")
-  }
-
   def mergeAggregates(target: DataFrame, batchPartials: DataFrame,
       keys: Seq[String], combiners: Seq[(String, String)]): DataFrame = {
     validateAggSchema(target, keys, combiners, "target")

@@ -348,12 +348,14 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           wh.writeSwap(m.name, df, clusterBy)
           wh.read(m.name)
         case AggregateMat(keys, combiners) =>
-          // validate BEFORE the CTAS commits durable state a later
-          // incremental run would reject (the aggStream lesson)
-          Incremental.validateAggSchema(df, keys, combiners,
-            s"model '${m.name}' build")
-          if (!isInc) wh.writeSwap(m.name, df)
-          else wh.writeSwap(m.name,
+          if (!isInc) {
+            // validate BEFORE the CTAS commits durable state a later
+            // incremental run would reject (the aggStream lesson); the
+            // incremental branch is validated inside mergeAggregates
+            Incremental.validateAggSchema(df, keys, combiners,
+              s"model '${m.name}' build")
+            wh.writeSwap(m.name, df)
+          } else wh.writeSwap(m.name,
             Incremental.mergeAggregates(wh.read(m.name), df, keys, combiners))
           wh.read(m.name)
         case IncrementalMat(strategy, keys, onSchema) =>

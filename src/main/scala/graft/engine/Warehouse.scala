@@ -443,6 +443,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   def drop(name: String): Unit = {
+    // streaming-bridge checkpoint FIRST (mergeStream/aggStream plant one
+    // under root/_checkpoints/<name>): a retained checkpoint says every
+    // source offset is processed, so a restarted stream against the
+    // dropped-and-recreated table would process NOTHING and the state
+    // would silently stay empty — unrecoverable for non-idempotent
+    // (sum-combined) aggregate state. Ordering matters for the crash
+    // window: checkpoint-gone + table-present merely replays (visible,
+    // re-droppable); table-gone + checkpoint-present is the silent-empty
+    // hazard above.
+    deleteRec(java.nio.file.Paths.get(root, "_checkpoints", name))
     deleteRec(dir(name))
     // ALL stale swap state dies with its table: a leftover writeSwap backup
     // would otherwise RESURRECT the dropped table on the next recover()
@@ -456,13 +466,18 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // not inherit the dropped table's dynamic-table config (a config-clean
     // first run would silently no-op instead of building)
     Files.deleteIfExists(dir(name + "__meta"))
-    // and any streaming-bridge checkpoint (mergeStream/aggStream plant one
-    // under root/_checkpoints/<name>): a retained checkpoint says every
-    // source offset is processed, so a restarted stream against the
-    // dropped-and-recreated table would process NOTHING and the state
-    // would silently stay empty — unrecoverable for non-idempotent
-    // (sum-combined) aggregate state, whose only rebuild is a replay
-    deleteRec(java.nio.file.Paths.get(root, "_checkpoints", name))
+    // bucketed-catalog state dies too: the catalog entry (either the live
+    // name or a mid-rename __gen_* survivor), BOTH generation data dirs,
+    // and the generation sidecar — otherwise a "dropped" bucketed table
+    // stays fully readable via spark.table from its @a/@b dir, or a later
+    // writeBucketed under the name inherits a stale generation pointer
+    if (getMeta(name + "__bktgen").isDefined) {
+      Seq(name, s"${name}__gen_a", s"${name}__gen_b")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      deleteRec(dir(s"$name@a"))
+      deleteRec(dir(s"$name@b"))
+      Files.deleteIfExists(dir(name + "__bktgen__meta"))
+    }
     invalidate(name)
   }
 

@@ -113,13 +113,15 @@ object EventsStream {
       .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val p = partials(batch)
-        // validate on the CREATION path too: a malformed first batch would
-        // otherwise commit bad durable state + its offsets, and every
-        // restart replays batch 2 against it — permanently wedged
-        graft.engine.Incremental.validateAggSchema(p, keys, combiners, "batch partials")
         val merged = if (wh.exists(table))
           graft.engine.Incremental.mergeAggregates(wh.read(table), p, keys, combiners)
-        else p
+        else {
+          // validate on the CREATION path too: a malformed first batch
+          // would otherwise commit bad durable state + its offsets, and
+          // every restart replays batch 2 against it — permanently wedged
+          graft.engine.Incremental.validateAggSchema(p, keys, combiners, "batch partials")
+          p
+        }
         wh.writeSwap(table, merged)
       }
       .trigger(Trigger.AvailableNow())

@@ -152,4 +152,26 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.mergeAggregates(partials(rows), partials(rows),
         Seq("k"), Seq("n" -> "avg")))
   }
+
+  test("mergeAggregates rejects sum columns whose type Spark's sum() would widen") {
+    // an INT sum column passes run 1 and 2 but run 2's output is LONG -
+    // run 3 would hit the type-drift check forever (a stream replays the
+    // same batch against the same widened state); the creation-time check
+    // turns the wedge into a first-run error with a cast instruction
+    val ints = Seq(("a", 1)).toDF("k", "n")
+    val e = intercept[IllegalArgumentException](
+      Incremental.mergeAggregates(ints, ints, Seq("k"), Seq("n" -> "sum")))
+    assert(e.getMessage.contains("sum-stable"))
+    // the stable fixed points pass: long, double, decimal(38,s)
+    val longs = Seq(("a", 1L)).toDF("k", "n")
+    val sumLong = Incremental.mergeAggregates(longs, longs, Seq("k"), Seq("n" -> "sum"))
+    assert(sumLong.schema("n").dataType.typeName === "long")
+    val dec = Seq(("a", BigDecimal(1))).toDF("k", "n")
+      .select($"k", $"n".cast("decimal(38,2)").as("n"))
+    val sumDec = Incremental.mergeAggregates(dec, dec, Seq("k"), Seq("n" -> "sum"))
+    assert(sumDec.schema("n").dataType.sql === "DECIMAL(38,2)")
+    // min/max do not widen - int state is fine there
+    val viaMin = Incremental.mergeAggregates(ints, ints, Seq("k"), Seq("n" -> "min"))
+    assert(viaMin.schema("n").dataType.typeName === "integer")
+  }
 }

@@ -331,6 +331,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no wide join expected:\n$plan")
   }
 
+  test("drop removes bucketed-table state: catalog entry, generation dirs, gen sidecar") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_bktdrop").toString, spark)
+    val rows = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    wh.writeBucketed("bkt_drop_t", rows, Seq("k"), nBuckets = 4)
+    wh.mergeBucketed("bkt_drop_t", rows.filter($"k" <= 10), Seq("k"), nBuckets = 4)
+    assert(spark.table("bkt_drop_t").count() === 100)
+    wh.drop("bkt_drop_t")
+    // a "dropped" bucketed table must not stay readable from its @a/@b
+    // generation dir, and a recreate must not inherit a stale gen pointer
+    assert(!spark.catalog.tableExists("bkt_drop_t"))
+    assert(!Files.exists(java.nio.file.Paths.get(wh.root, "bkt_drop_t@a")))
+    assert(!Files.exists(java.nio.file.Paths.get(wh.root, "bkt_drop_t@b")))
+    assert(wh.getMeta("bkt_drop_t__bktgen").isEmpty)
+    // the name is immediately reusable through the full lifecycle
+    wh.writeBucketed("bkt_drop_t", rows.filter($"k" <= 5), Seq("k"), nBuckets = 4)
+    assert(spark.table("bkt_drop_t").count() === 5)
+    wh.drop("bkt_drop_t")
+  }
+
   test("window battery (q120 shape): all five functions share ONE exchange and one Window pair") {
     val df = (1L to 400L).map(i => (s"f${i % 3}", i, i % 20)).toDF("g", "id", "qty")
     val w = org.apache.spark.sql.expressions.Window
