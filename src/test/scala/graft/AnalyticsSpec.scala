@@ -207,6 +207,15 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect()(0).getDecimal(1)
     assert(one("a|", "b") !== one("a", "|b"))
     assert(one(null, "x") !== one("", "x"))
+    // mergeable: shard checksums ADD to the global checksum (the scaladoc's
+    // distributed-validation contract)
+    val shardSum = (0 until 3).map(s =>
+      Sketches.groupChecksum(rows.filter(_._2 % 3 == s).toDF("g", "id", "v"),
+        Seq("g"), Seq("id", "v"))
+        .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap)
+      .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, BigDecimal(0)) + b.getOrElse(k, BigDecimal(0)))).toMap)
+    assert(shardSum === base.map { case (k, v) => k -> BigDecimal(v) })
   }
 
   test("hllSetOps with an empty side: est 0.0 and consistent overlap, not NULL") {
