@@ -456,6 +456,51 @@ object AnalyticsQueries extends QuerySet {
         s"""SELECT l_returnflag,
            |       CAST(sum(${terms.mkString(" + ")}) AS BIGINT) AS zkey_sum
            |FROM lineitem GROUP BY 1""".stripMargin)
-    })
+    }),
+
+    QueryDef("q127_retrieval_pipeline", (s, d) => {
+      // composite retrieval path: exact-dedup the corpus (canonical doc per
+      // content hash), BM25-score a query over the survivors, rank top-5
+      // docs per term (WindowGroupLimit prunes map-side) — three operators
+      // composing in ONE lazy plan: the dedup keep-list broadcasts into a
+      // semi join, nothing materializes in between
+      val docs = table(s, d, "documents")
+      val keep = graft.pipeline.Dedup.exact(docs)
+        .select(col("canonical_id").as("doc_id"))
+      val surviving = docs.join(broadcast(keep), Seq("doc_id"), "left_semi")
+      val scored = TA.bm25TermScores(surviving, Seq("the", "table", "spark"))
+        .withColumn("score", col("tf_norm") * col("idf_odds"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("score").desc, col("doc").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("term"), col("doc"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }, Some(
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(regexp_replace(text, ' +', ' ', 'g')))),
+        |base AS (SELECT CAST(d.doc_id AS BIGINT) AS doc, string_split(text, ' ') AS toks
+        |         FROM documents d JOIN keep USING (doc_id) WHERE text IS NOT NULL),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM base),
+        |tf AS (SELECT doc, CAST(len(toks) AS BIGINT) AS dl, t AS term,
+        |              CAST(count(*) AS BIGINT) AS tf
+        |       FROM base, LATERAL (SELECT unnest(list_filter(toks,
+        |              x -> x IN ('the','table','spark'))) AS t) u
+        |       GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc, term,
+        |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |           / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |                (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |           / (CAST(df AS DOUBLE) + 0.5)) AS score
+        |  FROM tf JOIN dfs USING (term), stats)
+        |SELECT term, doc, CAST(rank AS BIGINT) AS rank, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc ASC) AS rank
+        |      FROM scored) t
+        |WHERE rank <= 5""".stripMargin))
   )
 }
