@@ -37,7 +37,7 @@ object Bench {
     // a filter matching nothing must fail loud, not print total=0/exit 0 —
     // the same masquerade the every-rep-failure handling below exists for
     require(queries.nonEmpty,
-      s"SPARK_GRAFT_BENCH_ONLY=${sys.env("SPARK_GRAFT_BENCH_ONLY")} matches no query")
+      s"SPARK_GRAFT_BENCH_ONLY=${sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "<unset>")} matches no query")
     // reps run ROUND-ROBIN (rep 1 of every query, then rep 2, ...), not
     // back-to-back per query: a transient VM stall (GC storm, noisy
     // neighbor) then inflates one rep of many queries — which the median

@@ -58,6 +58,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * write simply never happened.
     */
   private def recover(name: String): Unit = {
+    // a drop() that died mid-deletion left a drop-intent marker — finish
+    // the drop FIRST: a half-dropped table (checkpoint gone, table present)
+    // must never be restored or read as live. Checked before the backup
+    // restore below so a dropped table's leftover backup cannot resurrect.
+    completeDrop(name)
     val target = dir(name)
     val backup = dir(name + "__backup")
     if (!Files.exists(target) && Files.exists(backup)) {
@@ -67,6 +72,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // a slice swap (overwritePeriods) that died mid-commit left an intent
     // marker — finish it before anyone reads the half-swapped layout
     completeSliceSwap(name)
+  }
+
+  /** Names whose drop-intent marker is known ABSENT — same per-read probe
+    * economics (and the same writer-side lock discipline) as
+    * [[sliceMarkerAbsent]].
+    */
+  private val dropMarkerAbsent =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def completeDrop(name: String): Unit = sliceLock.synchronized {
+    if (!dropMarkerAbsent.contains(name)) getMeta(name + "__drop_intent") match {
+      case None => dropMarkerAbsent.add(name); ()
+      case Some(_) => dropBody(name)
+    }
   }
 
   /** Complete (or resume) a staged slice swap recorded by the intent marker:
@@ -443,17 +462,38 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   def drop(name: String): Unit = {
+    // drop-intent marker FIRST (ADVICE r6): the checkpoint-before-table
+    // ordering below still leaves a crash window — checkpoint gone, table
+    // present — where a restarted aggStream would REPLAY into the surviving
+    // table and silently double-count its sum-combined state. The marker
+    // makes a half-finished drop complete itself on the next Warehouse
+    // open (recover() runs completeDrop before anything reads the name)
+    // instead of relying on someone noticing and re-dropping.
+    sliceLock.synchronized {
+      dropMarkerAbsent.remove(name)
+      putMeta(name + "__drop_intent", "")
+    }
+    dropBody(name)
+  }
+
+  /** The deletion sequence shared by [[drop]] and crash recovery
+    * ([[completeDrop]]) — every step idempotent, marker removed LAST.
+    */
+  private def dropBody(name: String): Unit = {
     // streaming-bridge checkpoint FIRST (mergeStream/aggStream plant one
     // under root/_checkpoints/<name>): a retained checkpoint says every
     // source offset is processed, so a restarted stream against the
     // dropped-and-recreated table would process NOTHING and the state
     // would silently stay empty — unrecoverable for non-idempotent
     // (sum-combined) aggregate state. Ordering matters for the crash
-    // window: checkpoint-gone + table-present merely replays (visible,
-    // re-droppable); table-gone + checkpoint-present is the silent-empty
-    // hazard above.
+    // window: checkpoint-gone + table-present merely replays — and the
+    // intent marker guarantees that replay can never land, because the
+    // half-dropped table is finished off before any reader or stream
+    // reopens the name.
     deleteRec(java.nio.file.Paths.get(root, "_checkpoints", name))
+    failpoint("drop:checkpoint-deleted")
     deleteRec(dir(name))
+    failpoint("drop:table-deleted")
     // ALL stale swap state dies with its table: a leftover writeSwap backup
     // would otherwise RESURRECT the dropped table on the next recover()
     // (backup present + target missing = restore), and a pending slice
@@ -479,6 +519,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
       Files.deleteIfExists(dir(name + "__bktgen__meta"))
     }
     invalidate(name)
+    // marker LAST: every deletion above is idempotent, so a crash anywhere
+    // before this line re-runs the whole body on the next open
+    sliceLock.synchronized {
+      Files.deleteIfExists(dir(name + "__drop_intent__meta"))
+      dropMarkerAbsent.add(name)
+    }
   }
 
   /** Tiny sidecar metadata (e.g. the dynamic-table config the reference

@@ -68,7 +68,29 @@ object Sketches {
       .withColumn("__hll_md5", md5(v.cast("string")))
       .groupBy((groupCols :+ bucket.as("hll_bucket")): _*)
       .agg(max(rho).as("hll_rho"))
+      // the build parameter rides WITH the sketch: estimator-side b
+      // mismatches in BOTH directions (larger b raises via the bucket-range
+      // guard; smaller b would silently shrink m and systematically
+      // underestimate) become in-plan raises wherever the register table is
+      // consumed. One literal per row of an m-row table — free.
+      .withColumn("hll_b", lit(b))
   }
+
+  /** In-plan b validation for a register table that carries `hll_b`
+    * ([[hllRegistersBy]] output): any register row recording a different
+    * build parameter raises during the scan — no extra job, no extra
+    * shuffle. Tables without the column (externally built registers) pass
+    * through and rely on [[hllEstimate]]'s bucket-range guard, which
+    * catches larger-b registers only.
+    */
+  private def validateB(registers: DataFrame, b: Int): DataFrame =
+    if (!registers.columns.contains("hll_b")) registers
+    else registers.withColumn("hll_rho",
+      when(col("hll_b") =!= b, raise_error(concat(
+        lit(s"hll register b mismatch: estimator called with b=$b, registers built with b="),
+        col("hll_b").cast("string"))).cast("int"))
+        .otherwise(col("hll_rho")))
+      .drop("hll_b")
 
   /** alpha_m * m^2 for the raw HLL estimator. The asymptotic formula
     * 0.7213/(1 + 1.079/m) holds for m >= 128; smaller register counts use
@@ -99,7 +121,7 @@ object Sketches {
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
       b: Int = 8): DataFrame = {
     val m = 1 << b
-    registers.groupBy(groupCols.map(col): _*)
+    validateB(registers, b).groupBy(groupCols.map(col): _*)
       .agg(
         // variable-amount shift: the DSL shiftleft only takes a literal
         // count, the underlying SQL expression takes a column
@@ -169,13 +191,18 @@ object Sketches {
     * [[hllEstimate]], hence engine-portable.
     */
   def hllSetOps(regsA: DataFrame, regsB: DataFrame, b: Int = 8): DataFrame = {
+    // validate BOTH inputs up front (both directions when hll_b rides
+    // along): the per-side re-rollup below would otherwise drop the carried
+    // build parameter before the estimator could check it
+    val va = validateB(regsA, b)
+    val vb = validateB(regsB, b)
     val est = (r: DataFrame, name: String) =>
       hllEstimate(r.groupBy(col("hll_bucket")).agg(max(col("hll_rho")).as("hll_rho")),
         Seq.empty, b).select(col("hll_estimate").as(name))
-    val union = regsA.select(col("hll_bucket"), col("hll_rho"))
-      .unionByName(regsB.select(col("hll_bucket"), col("hll_rho")))
-    est(regsA, "est_a")
-      .crossJoin(est(regsB, "est_b"))
+    val union = va.select(col("hll_bucket"), col("hll_rho"))
+      .unionByName(vb.select(col("hll_bucket"), col("hll_rho")))
+    est(va, "est_a")
+      .crossJoin(est(vb, "est_b"))
       .crossJoin(est(union, "est_union"))
       .withColumn("est_intersect",
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))

@@ -22,14 +22,22 @@ object EventAnalytics {
     * back via a left join from the distinct-user roll-up — two narrow
     * aggregations instead of shuffling the unfiltered stream.
     *
-    * Per-user step-event counts bound the collected list; a pathological
-    * single user with millions of step events would need a pre-cap
-    * ([[graft.pipeline.Sampling.capPerGroup]]) upstream.
+    * `maxEventsPerUser` bounds the per-user collected list IN-OP: each user
+    * keeps only their `maxEventsPerUser` EARLIEST step events (by (ts,
+    * type, then any column) — a rank filter that compiles to
+    * WindowGroupLimit, so overflow rows are pruned map-side before the
+    * collect). Keeping the earliest is conservative for an ordered funnel:
+    * progression through the kept prefix is exact, and a user whose
+    * progression needed an event beyond the cap under-reports rather than
+    * fabricating progress. One pathological user (a bot with millions of
+    * step events) can no longer blow the collect_list buffer.
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
-      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+      typeCol: String = "event_type", tsCol: String = "ts",
+      maxEventsPerUser: Int = 100000): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"repeated step types are ambiguous: $steps")
+    require(maxEventsPerUser >= 1, s"maxEventsPerUser: $maxEventsPerUser")
     val stepArr = array(steps.map(lit): _*)
     val zero = struct(lit(0).as("reached"),
       lit(null).cast("timestamp").as("lastTs"))
@@ -41,8 +49,13 @@ object EventAnalytics {
         struct((acc("reached") + 1).as("reached"), e("ts").as("lastTs")))
         .otherwise(acc)
     })
+    val capWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(typeCol).asc)
     val progressed = events
       .filter(col(typeCol).isInCollection(steps))
+      .withColumn("__rn", row_number().over(capWindow))
+      .filter(col("__rn") <= maxEventsPerUser)
       .groupBy(col(userCol).as("user_id"))
       .agg(sort_array(collect_list(
         struct(col(tsCol).as("ts"), col(typeCol).as("t")))).as("evs"))

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * With `groupCols` the window partitions on the group (fully parallel).
   * With NO groupCols the cum-sum window is single-partition over DISTINCT
   * values — fine for bounded-cardinality metrics (the quantile caveat in
-  * Stats applies verbatim: bin or sketch unbounded doubles first).
+  * Stats applies verbatim: bin or sketch unbounded doubles first), and
+  * GUARDED: the plan raises once the distinct-value stream exceeds
+  * `maxDistinctUngrouped`, so an ungrouped call on unbounded doubles fails
+  * loud instead of silently funneling a corpus through one task.
   */
 object Ranking {
 
@@ -28,15 +31,32 @@ object Ranking {
     * `dense_rnk` is dense_rank(), both ascending. NULL values are ignored
     * (SQL window frames rank them, but a NULL rank is meaningless for the
     * rollup consumers and Spark/other engines disagree on NULL order).
+    *
+    * `maxDistinctUngrouped` applies only when `groupCols` is empty: the
+    * single-partition cum-sum window already streams every distinct value
+    * through one task, so the guard is an in-plan `raise_error` on the
+    * row_number it computes anyway — zero extra jobs, zero extra shuffles;
+    * it converts the silent single-task funnel into a hard error telling
+    * the caller to bin or sketch first ([[graft.pipeline.Stats]]).
     */
-  def valueRanks(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+  def valueRanks(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      maxDistinctUngrouped: Long = 2000000L): DataFrame = {
+    require(maxDistinctUngrouped >= 1, s"maxDistinctUngrouped: $maxDistinctUngrouped")
     val gcols = groupCols.map(col)
     val counts = df.filter(valueCol.isNotNull)
       .groupBy(gcols :+ valueCol.as("v"): _*)
       .agg(count(lit(1)).as("n_rows"))
     val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val denseRnk = row_number().over(byVal).cast("long")
+    val guardedDense =
+      if (groupCols.nonEmpty) denseRnk
+      else when(denseRnk > maxDistinctUngrouped, raise_error(lit(
+        s"valueRanks with no groupCols exceeded $maxDistinctUngrouped distinct " +
+          "values — the ungrouped cum-sum window is single-partition; bin or " +
+          "sketch the value first (graft.pipeline.Stats)")).cast("long"))
+        .otherwise(denseRnk)
     counts
       .withColumn("rnk", sum(col("n_rows")).over(byVal) - col("n_rows") + 1L)
-      .withColumn("dense_rnk", row_number().over(byVal).cast("long"))
+      .withColumn("dense_rnk", guardedDense)
   }
 }

@@ -267,7 +267,10 @@ object TextAnalysis {
     * [[shinglesFromTokens]]); the sort is per-row, O(n log n) in tokens.
     */
   def topTokenCount(toks: Column): Column = {
-    val zero = struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    // NUL sentinel written as an escape (a raw control byte makes the file
+    // binary to git); harmless even if a token IS NUL: run = 0+1 = 1 on
+    // either branch of the first fold step
+    val zero = struct(lit("\u0000").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val folded = aggregate(array_sort(toks), zero, (acc, t) => {
       val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
       struct(t.as("prev"), run.as("run"),

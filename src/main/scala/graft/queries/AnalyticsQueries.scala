@@ -134,11 +134,14 @@ object AnalyticsQueries extends QuerySet {
            |           lpad(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))::BIGINT), 32, '0'),
            |           '1'), 0), 33)) AS hll_rho
            |  FROM events WHERE event_type = '$t' AND user_id IS NOT NULL GROUP BY 1)""".stripMargin
+      // coalesce mirrors the Spark side's empty-register branch (hllEstimate
+      // __nb==0 -> 0.0): sum() over an empty register CTE is NULL, and a
+      // dataset lacking one event type must not NULL-fail the comparison
       val estSql = (src: String) =>
-        s"""(SELECT 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        s"""(SELECT coalesce(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
            |   * 256.0::DOUBLE * 256.0::DOUBLE
            |   / (sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << hll_rho AS DOUBLE))
-           |      + CAST(256 - count(*) AS DOUBLE)) FROM $src)""".stripMargin
+           |      + CAST(256 - count(*) AS DOUBLE)), 0.0::DOUBLE) FROM $src)""".stripMargin
       s"""WITH ${regsSql("view", "ra")},
          |${regsSql("purchase", "rb")},
          |ru AS (SELECT hll_bucket, max(hll_rho) AS hll_rho
@@ -380,9 +383,8 @@ object AnalyticsQueries extends QuerySet {
       // two batches by combining stored state with the new slice's
       // partials — per-run cost O(batch + state), history never re-read.
       // The oracle recomputes from scratch; associativity makes them equal.
-      import graft.engine.{Incremental, Warehouse}
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q125").toString, s)
+      import graft.engine.Incremental
+      val wh = Scratch.warehouse("q125", d, s, Seq("agg_state"))
       val combiners = Seq("n_claims" -> "sum", "cents" -> "sum", "last_date" -> "max")
       def partials(src: org.apache.spark.sql.DataFrame) = src
         .groupBy(col("o_custkey").cast("long").as("member_id"))
@@ -410,9 +412,8 @@ object AnalyticsQueries extends QuerySet {
       // one model function, two runs — CTAS partials, then the
       // is_incremental branch returns only the new slice's partials and
       // the AggregateMat combines them into the stored rollup
-      import graft.engine.{AggregateMat, Model, Registry, Warehouse}
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q126").toString, s)
+      import graft.engine.{AggregateMat, Model, Registry}
+      val wh = Scratch.warehouse("q126", d, s, Seq("agg_member_claims"))
       val reg = new Registry(s, wh)
       reg.source("orders_src", table(s, d, "orders"))
       val cut = lit("1997-01-01").cast("date")

@@ -221,8 +221,7 @@ object CoverageQueries extends QuerySet {
       // atomic move -> drop backup) with cluster_by, then read the files back
       // — the oracle sees only the logical content, so any write/read skew
       // (schema, encoding, lost rows) fails the hash
-      val wh = new graft.engine.Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q51").toString, s)
+      val wh = Scratch.warehouse("q51", d, s, Seq("claims_1998"))
       val df = table(s, d, "orders")
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
         .select(claimCols: _*)
@@ -238,8 +237,7 @@ object CoverageQueries extends QuerySet {
       // against the persisted target (is_incremental branch, I6) — then the
       // stored table is read back and hash-compared
       import graft.engine.{IncrementalMat, Model, Registry, Warehouse}
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q52").toString, s)
+      val wh = Scratch.warehouse("q52", d, s, Seq("fct_claims_inc"))
       val reg = new Registry(s, wh)
       reg.source("orders_src", table(s, d, "orders"))
       reg.register(Model("fct_claims_inc", Seq("orders_src"),
@@ -269,8 +267,7 @@ object CoverageQueries extends QuerySet {
       // snapshot times, drifted source), history persisted between runs —
       // the stored SCD2 table must hash-match the pure-function oracle (q15)
       import graft.engine.{Model, Registry, SnapshotMat, Warehouse}
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q53").toString, s)
+      val wh = Scratch.warehouse("q53", d, s, Seq("snap_dim_member"))
       val t1 = Timestamp.valueOf("2000-01-01 00:00:00")
       val t2 = Timestamp.valueOf("2000-02-01 00:00:00")
       val s1 = table(s, d, "customer").select(

@@ -91,8 +91,7 @@ object LifecycleQueries extends QuerySet {
       // run's source WIDENS claim_id int->bigint and ADDS a column; under
       // sync_all_columns the stored target is retyped + null-backfilled
       // before the merge
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q56").toString, s)
+      val wh = Scratch.warehouse("q56", d, s, Seq("fct_claims_sync"))
       val reg = new Registry(s, wh)
       reg.source("orders_src", table(s, d, "orders"))
       reg.register(Model("fct_claims_sync", Seq("orders_src"),
@@ -138,8 +137,7 @@ object LifecycleQueries extends QuerySet {
       // S2 (dbt seed --full-refresh): reload truncates and repopulates the
       // stored seed table through the swap protocol; the second write must
       // leave the logical content identical to a single load
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q57").toString, s)
+      val wh = Scratch.warehouse("q57", d, s, Seq("seed_codes"))
       val codes = Sources.seed(s, SeedPath, Some(procCodesSchema))
       wh.writeSwap("seed_codes", codes)
       wh.writeSwap("seed_codes", codes) // full refresh
@@ -196,8 +194,7 @@ object LifecycleQueries extends QuerySet {
       // the dbt microbatch BATCH-SERIES loop: after a CTAS first run, three
       // consecutive month windows advance through the registry, each
       // replacing only its event-time slice
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q61").toString, s)
+      val wh = Scratch.warehouse("q61", d, s, Seq("mb_claims"))
       val reg = new Registry(s, wh)
       reg.source("orders_src", table(s, d, "orders"))
       reg.register(Model("mb_claims", Seq("orders_src"),
@@ -262,8 +259,7 @@ object LifecycleQueries extends QuerySet {
       // config-clean NO-OP run, then an on_configuration_change=apply run
       // that re-lays the table under a new cluster key; the stored result
       // must hash-match the plain aggregation
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q64").toString, s)
+      val wh = Scratch.warehouse("q64", d, s, Seq("dt_claims_daily"))
       def reg(cfg: DynamicTableConfig, onChange: OnConfigChange) = {
         val r = new Registry(s, wh)
         r.source("orders_src", table(s, d, "orders"))
@@ -580,8 +576,7 @@ object LifecycleQueries extends QuerySet {
       // the alternating-generation catalog swap (mergeBucketed exercises
       // BOTH generation directions); the final table must hash-match the
       // declarative merge result
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q84").toString, s)
+      val wh = Scratch.warehouse("q84", d, s, Seq("q84_bkt_claims"))
       val tbl = "q84_bkt_claims"
       val base = table(s, d, "orders").select(
         col("o_orderkey").cast("long").as("claim_id"),
@@ -614,8 +609,7 @@ object LifecycleQueries extends QuerySet {
       // cross-cutting key sets (date-sliced, then member-sliced — the second
       // touches most buckets), each rewriting only its touched buckets; the
       // stored read-back must hash-match the declarative two-step merge
-      val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft_q85").toString, s)
+      val wh = Scratch.warehouse("q85", d, s, Seq("q85_claims"))
       val base = table(s, d, "orders").select(
         col("o_orderkey").cast("long").as("claim_id"),
         col("o_custkey").cast("long").as("member_id"),

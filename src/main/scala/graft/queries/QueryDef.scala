@@ -19,3 +19,22 @@ trait QuerySet {
   final def oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
+
+/** Stable scratch warehouse roots for lifecycle queries, keyed on
+  * (tag, input dir): bench reps and verify passes invoke each query many
+  * times, and a fresh `createTempDirectory` per invocation would leak a
+  * full warehouse copy of the query's tables every rep (ADVICE r6). One
+  * reused root per (tag, sfDir); each invocation drops its tables first —
+  * which the multi-run lifecycle queries REQUIRE anyway (run 1 must CTAS
+  * from clean state, not merge into a previous invocation's leftovers).
+  */
+object Scratch {
+  def warehouse(tag: String, sfDir: String, s: SparkSession,
+      tables: Seq[String]): graft.engine.Warehouse = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_scratch_${tag}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    val wh = new graft.engine.Warehouse(root.toString, s)
+    tables.foreach(wh.drop)
+    wh
+  }
+}

@@ -138,7 +138,10 @@ object EventsStream {
     graft.functions.Sketches.hllRegistersBy(
       events.withWatermark("ts", "2 hours"),
       Seq(window(col("ts"), "1 hour")), col("user_id"))
-      .select(col("window.start").as("hour_start"), col("hll_bucket"), col("hll_rho"))
+      // hll_b rides along like the batch relation — the streamed register
+      // table stays the SAME mergeable relation the batch path derives
+      .select(col("window.start").as("hour_start"), col("hll_bucket"),
+        col("hll_rho"), col("hll_b"))
 
   /** Streaming per-hour event-type frequency sketch: the Count-Min register
     * relation (row, col -> count) is maintained incrementally by the same

@@ -230,8 +230,17 @@ class EdgeSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       Sketches.hllEstimate(regs, Nil, b = 8).collect()
     }
-    assert(ex.getMessage.contains("out of range") ||
-      Option(ex.getCause).exists(_.getMessage.contains("out of range")))
+    // carried hll_b raises first; the bucket-range guard remains the
+    // fallback for externally built registers without the column
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(m => m.contains("b mismatch") || m.contains("out of range")),
+      ex.toString)
+    val stripped = regs.drop("hll_b") // externally built shape
+    val ex2 = intercept[Exception] {
+      Sketches.hllEstimate(stripped, Nil, b = 8).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("out of range")), ex2.toString)
     // small-m alpha uses the paper's fixed constants, not the asymptotic formula
     assert(Sketches.alphaM2(4) === 0.673 * 16 * 16)
     assert(Sketches.alphaM2(8) === 0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
@@ -271,7 +280,55 @@ class EdgeSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(ex).exists(_.contains("out of range")), ex.toString)
+    assert(msgs(ex).exists(m => m.contains("b mismatch") || m.contains("out of range")),
+      ex.toString)
+    // the OTHER direction (ADVICE r6): registers built with a SMALLER b
+    // used to pass silently and systematically underestimate — the carried
+    // hll_b now raises in both hllSetOps and hllEstimate
+    val narrow = Sketches.hllRegisters(df, Seq.empty, $"v", b = 8)
+    val exS = intercept[Exception] {
+      Sketches.hllSetOps(narrow, narrow, b = 12).collect()
+    }
+    assert(msgs(exS).exists(_.contains("b mismatch")), exS.toString)
+    val exE = intercept[Exception] {
+      Sketches.hllEstimate(narrow, Nil, b = 12).collect()
+    }
+    assert(msgs(exE).exists(_.contains("b mismatch")), exE.toString)
+  }
+
+  test("funnel maxEventsPerUser cap is enforced in-op (pathological user bounded)") {
+    import graft.operators.EventAnalytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1's 'b' arrives as their THIRD step event: reachable uncapped,
+    // out of reach with cap 2 (earliest events kept — conservative)
+    val ev = Seq(
+      ("u1", "a", ts(1)), ("u1", "a", ts(2)), ("u1", "b", ts(3)),
+      ("u2", "a", ts(1)), ("u2", "b", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val uncapped = EventAnalytics.funnel(ev, Seq("a", "b"))
+      .as[(String, Int)].collect().toMap
+    assert(uncapped === Map("u1" -> 2, "u2" -> 2))
+    val capped = EventAnalytics.funnel(ev, Seq("a", "b"), maxEventsPerUser = 2)
+      .as[(String, Int)].collect().toMap
+    assert(capped === Map("u1" -> 1, "u2" -> 2))
+    intercept[IllegalArgumentException](
+      EventAnalytics.funnel(ev, Seq("a", "b"), maxEventsPerUser = 0))
+  }
+
+  test("valueRanks ungrouped raises beyond maxDistinctUngrouped instead of silently funneling") {
+    import graft.operators.Ranking
+    val df = spark.range(100).toDF("v")
+    val ex = intercept[Exception](
+      Ranking.valueRanks(df, Seq.empty, $"v", maxDistinctUngrouped = 10).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("valueRanks")), ex.toString)
+    // under the bound: intact results, and GROUPED calls are never guarded
+    assert(Ranking.valueRanks(df, Seq.empty, $"v", maxDistinctUngrouped = 100)
+      .count() === 100L)
+    val grouped = df.withColumn("g", $"v" % 2)
+    assert(Ranking.valueRanks(grouped, Seq("g"), $"v", maxDistinctUngrouped = 1)
+      .count() === 100L)
   }
 
   test("zorder16 propagates NULL inputs as NULL keys") {

@@ -209,6 +209,32 @@ class RecoverySpec extends AnyFunSuite {
     assert(wh5.getMeta("s__slice_intent").isEmpty)
   }
 
+  test("drop() kill windows: a half-finished drop completes on the next open") {
+    // the ADVICE r6 hazard: checkpoint deleted, crash, table still present —
+    // a restarted aggStream would replay into the surviving table and
+    // silently double-count its sum-combined state. The drop-intent marker
+    // must finish the drop before any reader/stream reopens the name.
+    for (point <- Seq("drop:checkpoint-deleted", "drop:table-deleted")) {
+      val root = Files.createTempDirectory("graft_rec_drop").toString
+      val wh = new Warehouse(root, spark)
+      wh.writeSwap("t", Seq((1L, "x")).toDF("k", "v"))
+      // plant a stand-in stream checkpoint like mergeStream/aggStream do
+      val cp = java.nio.file.Paths.get(root, "_checkpoints", "t")
+      Files.createDirectories(cp)
+      Files.writeString(cp.resolve("offsets"), "1")
+      crashAt(wh, point)
+      intercept[Exception](wh.drop("t"))
+      // next open: the half-dropped table is gone BEFORE exists() answers
+      val wh2 = new Warehouse(root, spark)
+      assert(!wh2.exists("t"), s"$point: half-dropped table still visible")
+      assert(!Files.exists(cp), s"$point: stream checkpoint survived the drop")
+      assert(wh2.getMeta("t__drop_intent").isEmpty, s"$point: marker not consumed")
+      // the name is cleanly reusable afterwards
+      wh2.writeSwap("t", Seq((2L, "y")).toDF("k", "v"))
+      assert(kvState(wh2, "t") === Map(2L -> "y"))
+    }
+  }
+
   test("double crash: dying again DURING marker replay still converges") {
     // crash the slice commit right after the marker, then crash the
     // RECOVERY itself mid-replay (after the first dir applies) — the third
