@@ -316,6 +316,72 @@ object Dedup {
         count(when(col("__rn") === 1, lit(1))).as("n_kept"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", §2.2 ExactSubstr): scrub every token
+    * that lies inside a >= k-token span shared with an EARLIER occurrence
+    * anywhere in the corpus (other docs or earlier in the same doc),
+    * keeping the globally-first occurrence. Document-level dedup (q33/q35)
+    * misses a license block pasted into otherwise-distinct pages; paragraph
+    * dedup (q91) misses spans that cross its delimiter — this is the
+    * contamination-grade operator that catches any shared run of tokens.
+    *
+    * Mechanics: a span of length L >= k is shared iff each of its k-token
+    * windows is shared, so OVERLAPPING k-shingles (position-ordered, NOT
+    * distinct — [[TextAnalysis.ngramsFromTokens]]) are ranked globally by
+    * (doc, pos) per shingle hash; every rank-2+ occurrence marks its k
+    * token positions as duplicated, and marked positions merge naturally
+    * (union of covered positions == union of the shared spans, so spans
+    * longer than k and overlapping spans need no interval bookkeeping).
+    *
+    * Output: doc_id, text (surviving tokens in original order; "" when the
+    * whole doc was a repeat), n_tokens, n_kept. NULL-text docs are dropped
+    * (same contract as [[dropRepeatedParagraphs]]). Suffix-automaton
+    * approaches find the same spans in O(n) single-node; this shape trades
+    * constant factors for shuffle-parallelism — the reference
+    * implementation's suffix array is a single-machine design.
+    *
+    * Scale shape: four shuffles, all on high-cardinality uniform keys —
+    * the first-occurrence rank shuffles on the shingle hash (near-unique;
+    * a billion-fold-repeated boilerplate shingle lands on one key, but
+    * that key IS the data the rank must order), the coverage distinct and
+    * the anti-join shuffle on (doc, pos), the reassembly on doc. No
+    * self-join, no distinct-expand, no collect; candidate volume is k x
+    * the true duplicated-token volume, never O(N^2).
+    */
+  def exactSubstringScrub(docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k: $k (a 1-token 'span' would scrub every repeated word)")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false) // one tokenize pass shared by grams + reassembly
+    // 0-based gram index p0: the gram at p0 covers 1-based tokens p0+1..p0+k
+    val grams = toks.select(col("doc_id"),
+      posexplode(TextAnalysis.ngramsFromTokens(col("toks"), k)).as(Seq("p0", "gram")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("gram"))).orderBy(col("doc_id").asc, col("p0").asc)
+    val covered = grams.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + k)).as("pos"))
+      .distinct() // up to k dup shingles cover one position
+    val tokensPos = toks.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    tokensPos.join(covered.withColumn("__dup", lit(true)),
+        Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list skips NULLs: only surviving tokens ride; struct sort
+        // restores original order (same recipe as dropRepeatedParagraphs)
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("pos"), col("tok"))))),
+          p => p.getField("tok")), " ").as("text"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__dup").isNull, lit(1))).as("n_kept"))
+  }
+
   /** Dedup CLUSTER formation: connected components over a near-dup pair
     * graph, labeling every node with the minimum id of its component (the
     * canonical document). This is the step that turns pairwise operators

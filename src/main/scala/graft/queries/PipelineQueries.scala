@@ -990,6 +990,39 @@ object PipelineQueries extends QuerySet {
           |                array_to_string(list_slice(list(doc ORDER BY doc ASC), 1, 20), ',') AS postings
           |         FROM tok GROUP BY 1)
           |SELECT token, df, postings
-          |FROM dfs JOIN post USING (token) WHERE df >= 5""".stripMargin))
+          |FROM dfs JOIN post USING (token) WHERE df >= 5""".stripMargin)),
+
+    QueryDef("q128_exact_substring_dedup", (s, d) =>
+      // Lee et al. 2021 exact-substring scrub: every token inside a >=
+      // 8-token span shared with an earlier (doc, pos) occurrence is
+      // dropped, first occurrence kept; spans that cross q91's paragraph
+      // delimiter and license blocks inside otherwise-unique docs both
+      // surface here and nowhere else in the dedup family
+      Dedup.exactSubstringScrub(table(s, d, "documents"), k = 8),
+      Some(
+        s"""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |                   $toksSql AS toks
+           |            FROM documents WHERE text IS NOT NULL),
+           |g AS (SELECT doc_id, i.i AS p,
+           |             array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS gram
+           |      FROM dd, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) i
+           |      WHERE len(toks) >= 8),
+           |r AS (SELECT doc_id, p,
+           |             row_number() OVER (PARTITION BY md5(gram)
+           |                                ORDER BY doc_id ASC, p ASC) AS rn
+           |      FROM g),
+           |cov AS (SELECT DISTINCT doc_id, p + j.j AS pos
+           |        FROM r, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+           |        WHERE rn > 1),
+           |tok AS (SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+           |        FROM dd, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+           |j AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NULL) AS keep
+           |      FROM tok t LEFT JOIN cov c
+           |        ON t.doc_id = c.doc_id AND t.pos = c.pos)
+           |SELECT doc_id,
+           |       coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE keep), ' '), '') AS text,
+           |       CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+           |FROM j GROUP BY doc_id""".stripMargin))
   )
 }

@@ -117,6 +117,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exactSubstringScrub == naive first-occurrence scan (random corpora with planted spans)") {
+    import graft.pipeline.Dedup
+    val k = 5
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed * 31)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (1 to 20).map(i => (i.toLong, doc(4 + rnd.nextInt(25))))
+      // plant shared spans: later docs embed an earlier doc's full text
+      // inside fresh noise (span crosses no delimiter — the case paragraph
+      // dedup cannot see), plus one exact whole-doc copy
+      val planted = base.take(6).map { case (i, t) =>
+        (i + 100L, doc(3) + " " + t + " " + doc(3))
+      }
+      val rows = (base ++ planted) :+ ((999L, base.head._2))
+      val got = Dedup.exactSubstringScrub(rows.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // naive reference: sequential scan in global (doc, pos) order with a
+      // seen-gram set; a gram seen before covers its k positions
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val toks = t.split(" ")
+        val covered = Array.fill(toks.length)(false)
+        for (p <- 0 to toks.length - k) {
+          val gram = toks.slice(p, p + k).mkString(" ")
+          if (seen.contains(gram)) (p until p + k).foreach(covered(_) = true)
+          else seen += gram
+        }
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, kept.mkString(" "), toks.length.toLong,
+          kept.length.toLong)
+      }
+      assert(got === expected, s"exactSubstringScrub diverged from naive at seed $seed")
+      // planted copies must be scrubbed: the whole-doc copy survives with
+      // nothing (its text was seen at doc 1) when long enough to shingle
+      val copyRow = got.find(_._1 == 999L).get
+      if (base.head._2.split(" ").length >= k)
+        assert(copyRow._2 === "" && copyRow._4 === 0L, s"copy not scrubbed: $copyRow")
+      // docs shorter than k tokens survive whole
+      got.filter(_._3 < k).foreach(r => assert(r._4 === r._3, s"short doc scrubbed: $r"))
+    }
+  }
+
   test("asOf join == naive join-then-latest (random timelines)") {
     import graft.operators.AsOfJoin
     import org.apache.spark.sql.expressions.Window
