@@ -340,6 +340,29 @@ final class Warehouse(val root: String, spark: SparkSession) {
     putMeta(table + "__bktgen", "")
   }
 
+  /** Append-only batch into a bucketed catalog table created by
+    * [[writeBucketed]]: new part-files land in their buckets (each sorted
+    * within itself — Spark validates the spec against the table), existing
+    * data is never read or rewritten. This is the INDEX-GROWTH path (e.g.
+    * the incremental-dedup signature index): per-run I/O is O(batch), and
+    * later bucket-joins still see one coherent bucketing. Not valid after
+    * [[mergeBucketed]] has moved the table into generation dirs — merge
+    * and append are different lifecycle disciplines for a bucketed name.
+    */
+  def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    require(spark.catalog.tableExists(table), s"bucketed target $table missing")
+    require(getMeta(table + "__bktgen").contains(""),
+      s"$table has entered the mergeBucketed generation lifecycle; append is " +
+        "only defined for writeBucketed-plain tables")
+    df.write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    invalidate(table)
+  }
+
   /** Bucket-co-located incremental MERGE (the 100 TB stable-key path): the
     * target lives as a bucketed catalog table on the merge keys, so the
     * TARGET side of every per-run merge join arrives pre-partitioned and

@@ -131,60 +131,89 @@ object Dedup {
         array_join(transform(slice(sig, b * bandSize + 1, lit(bandSize)),
           (x: Column) => x.cast("string")), "|").as("value")))
 
-  /** MinHash+LSH candidate pairs verified with true Jaccard.
-    * Output: id_a, id_b (a<b), jaccard (>= threshold).
+  /** `bandSize > k` would give nBands = 0 and a phantom band slicing an
+    * EMPTY signature — every doc then shares band value "" and the band
+    * join degenerates into the all-pairs cross join the operator exists to
+    * avoid; a non-dividing bandSize would silently ignore trailing slots.
     */
-  def minhashPairs(docs: DataFrame, n: Int, k: Int, bandSize: Int, threshold: Double,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // bandSize > k would give nBands = 0 and a phantom band slicing an EMPTY
-    // signature — every doc then shares band value "" and the band join
-    // degenerates into the all-pairs cross join this operator exists to
-    // avoid; a non-dividing bandSize would silently ignore trailing slots
+  private[pipeline] def requireBandParams(k: Int, bandSize: Int): Int = {
     require(bandSize >= 1 && k % bandSize == 0,
       s"bandSize must divide k (k=$k, bandSize=$bandSize)")
-    val nBands = k / bandSize
-    // lazy local checkpoint: shingles+signatures computed ONCE and reused by
-    // all four consumers (two banded branches + two shingle re-joins) —
-    // without it each self-join branch re-runs the md5 pass over the corpus
-    val sh = docs.select(col(idCol).cast("long").as("id"),
+    k / bandSize
+  }
+
+  /** Per-doc MinHash state: (id, sh, sig) — ONE tokenize+md5 pass, lazily
+    * checkpointed because every caller fans it into multiple consumers
+    * (banded branches + shingle re-joins) that would otherwise each re-run
+    * the md5 pass over the corpus.
+    */
+  private[pipeline] def minhashSigned(docs: DataFrame, n: Int, k: Int,
+      textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
         col(textCol).as("__text"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .localCheckpoint(false)
-    // explicit exchange on the join key: the self-join below then reuses ONE
-    // shuffle (ReusedExchange) instead of recomputing signatures per branch.
-    // The signature rides along (k longs) so pair dedup needs no distinct.
-    val banded = sh.select(col("id"), col("sig"),
+
+  /** (id, sig, band, value) band rows for a signed relation. */
+  private[pipeline] def explodeSigBands(signed: DataFrame, bandSize: Int,
+      nBands: Int): DataFrame =
+    signed.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bandSize, nBands)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.value").as("value"))
       .filter(col("value").isNotNull)
-      .repartition(col("band"), col("value"))
-    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // dedupe collisions across bands WITHOUT a distinct (that second shuffle
-    // grows with pair-x-band volume): keep a pair only in its FIRST agreeing
-    // band — for band i, some signature slot must differ in every band j < i.
-    // A null slot means that band never matched in the join (banded filters
-    // null values), so null comparisons count as "differs".
+
+  /** Cross-band pair dedup WITHOUT a distinct (that second shuffle grows
+    * with pair-x-band volume): keep a pair only in its FIRST agreeing band
+    * — for band i, some signature slot must differ in every band j < i.
+    * A null slot means that band never matched in the join (band rows
+    * filter null values), so null comparisons count as "differs".
+    * Symmetric in (sigA, sigB); `band` is the joined band column.
+    */
+  private[pipeline] def firstAgreeingBand(sigA: Column, sigB: Column,
+      band: Column, bandSize: Int, nBands: Int): Column = {
     def bandDiffers(j: Int): Column = coalesce(
       (0 until bandSize).map { bi =>
-        element_at(col("sig_a"), j * bandSize + bi + 1) =!=
-          element_at(col("sig_b"), j * bandSize + bi + 1)
+        element_at(sigA, j * bandSize + bi + 1) =!=
+          element_at(sigB, j * bandSize + bi + 1)
       }.reduce(_ || _), lit(true))
-    val firstAgreeingBand = (0 until nBands - 1)
-      .map(j => (col("band") <= j) || bandDiffers(j))
+    (0 until nBands - 1)
+      .map(j => (band <= j) || bandDiffers(j))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val pairs = a.join(b, Seq("band", "value"))
-      .filter(col("id_a") < col("id_b") && firstAgreeingBand)
-      .select(col("id_a"), col("id_b"))
-    val shOnly = sh.select(col("id"), col("sh"))
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against a shingle
+    * relation (id, sh): pairs with J >= threshold survive, with the score.
+    */
+  private[pipeline] def verifyJaccard(pairs: DataFrame, shingles: DataFrame,
+      threshold: Double): DataFrame =
     pairs
-      .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shOnly.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** MinHash+LSH candidate pairs verified with true Jaccard.
+    * Output: id_a, id_b (a<b), jaccard (>= threshold).
+    */
+  def minhashPairs(docs: DataFrame, n: Int, k: Int, bandSize: Int, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = requireBandParams(k, bandSize)
+    val sh = minhashSigned(docs, n, k, textCol, idCol)
+    // explicit exchange on the join key: the self-join below then reuses ONE
+    // shuffle (ReusedExchange) instead of recomputing signatures per branch.
+    // The signature rides along (k longs) so pair dedup needs no distinct.
+    val banded = explodeSigBands(sh, bandSize, nBands)
+      .repartition(col("band"), col("value"))
+    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "value"))
+      .filter(col("id_a") < col("id_b") &&
+        firstAgreeingBand(col("sig_a"), col("sig_b"), col("band"), bandSize, nBands))
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(pairs, sh.select(col("id"), col("sh")), threshold)
   }
 
   /** Token hash: first 4 md5 hex digits as an int in [0, 65535]. */

@@ -1023,6 +1023,49 @@ object PipelineQueries extends QuerySet {
            |       coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE keep), ' '), '') AS text,
            |       CAST(count(*) AS BIGINT) AS n_tokens,
            |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
-           |FROM j GROUP BY doc_id""".stripMargin))
+           |FROM j GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("q129_incremental_dedup", (s, d) => {
+      // corpus-delta dedup through the warehouse lifecycle: run 1 signs the
+      // corpus (doc_id % 5 != 0) and persists the band/shingle index as
+      // bucketed tables; run 2 signs ONLY the delta (doc_id % 5 == 0),
+      // probes the index, and emits exactly the pairs with >= 1 delta side
+      // — the corpus is never re-signatured (ScaleSpec proves run 2
+      // survives deletion of the corpus source). Oracle: the batch q35
+      // recipe over the FULL corpus, filtered to delta-touching pairs —
+      // LSH band agreement is a pairwise property independent of when
+      // each side was signed, so incremental == batch exactly.
+      import graft.pipeline.IncrementalDedup
+      val wh = Scratch.warehouse("q129", d, s,
+        Seq("q129_idx_bands", "q129_idx_sh"))
+      val docs = table(s, d, "documents")
+      IncrementalDedup.initRun(wh, "q129_idx",
+        docs.filter(col("doc_id") % 5 =!= 0), n = 3, k = 8, bandSize = 2,
+        threshold = 0.5)
+      IncrementalDedup.deltaRun(wh, "q129_idx",
+        docs.filter(col("doc_id") % 5 === 0), n = 3, k = 8, bandSize = 2,
+        threshold = 0.5)
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id)
+         |SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+         |FROM pairs
+         |WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
+         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin))
   )
 }

@@ -161,6 +161,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup two-run == batch minhashPairs (random corpora)") {
+    import graft.pipeline.{Dedup, IncrementalDedup}
+    import graft.engine.Warehouse
+    (1 to 3).foreach { seed =>
+      val docs = randomDocs(seed + 50, 30).select($"doc_id", $"text")
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft_incdedup_p").toString, spark)
+      val name = s"incdd_p$seed"
+      try {
+        def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+        val corpus = docs.filter($"doc_id" % 3 =!= 0)
+        val delta = docs.filter($"doc_id" % 3 === 0)
+        val p1 = pairSet(IncrementalDedup.initRun(wh, name, corpus,
+          n = 3, k = 8, bandSize = 2, threshold = 0.4, nBuckets = 4))
+        val p2 = pairSet(IncrementalDedup.deltaRun(wh, name, delta,
+          n = 3, k = 8, bandSize = 2, threshold = 0.4, nBuckets = 4))
+        val batch = pairSet(Dedup.minhashPairs(docs,
+          n = 3, k = 8, bandSize = 2, threshold = 0.4))
+        assert(p1.union(p2) === batch, s"two-run != batch at seed $seed")
+        // run 2 emits EXACTLY the delta-touching pairs, run 1 the rest
+        assert(p2 === batch.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0), s"seed $seed")
+        assert(p1 === batch.filter(p => p._1 % 3 != 0 && p._2 % 3 != 0), s"seed $seed")
+      } finally Seq(s"${name}_bands", s"${name}_sh").foreach(wh.drop)
+    }
+  }
+
   test("asOf join == naive join-then-latest (random timelines)") {
     import graft.operators.AsOfJoin
     import org.apache.spark.sql.expressions.Window

@@ -51,6 +51,44 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup run 2 never re-signatures the corpus (survives corpus-source deletion)") {
+    // the O(delta) claim, proven black-box: after run 1 builds the index,
+    // the corpus SOURCE files are deleted outright — run 2 must still
+    // produce its delta-touching pairs, because it reads only the delta
+    // and the persisted band/shingle index, never corpus text
+    import graft.pipeline.IncrementalDedup
+    val tmp = Files.createTempDirectory("graft_incdd_s").toString
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"alpha beta gamma delta eps zeta token$i tail$i")).toDF("doc_id", "text")
+    // doc 100 duplicates corpus doc 1's text exactly; doc 101 is novel
+    val corpus = mk(1L to 8L)
+    val delta = mk(Seq(101L)).unionByName(
+      Seq((100L, "alpha beta gamma delta eps zeta token1 tail1")).toDF("doc_id", "text"))
+    corpus.write.parquet(s"$tmp/corpus")
+    delta.write.parquet(s"$tmp/delta")
+    val wh = new Warehouse(s"$tmp/wh", spark)
+    try {
+      IncrementalDedup.initRun(wh, "incdd_s", spark.read.parquet(s"$tmp/corpus"),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+      // delete the corpus source — any run-2 read of it now throws
+      wh.deleteRec(java.nio.file.Paths.get(tmp, "corpus"))
+      val pairs = IncrementalDedup.deltaRun(wh, "incdd_s",
+        spark.read.parquet(s"$tmp/delta"),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSet === Set((1L, 100L)),
+        s"expected the planted delta-vs-corpus pair, got ${pairs.toSeq}")
+      // and the index grew: a THIRD run's delta pairs against doc 100 work
+      val pairs3 = IncrementalDedup.deltaRun(wh, "incdd_s",
+        Seq((200L, "alpha beta gamma delta eps zeta token1 tail1"))
+          .toDF("doc_id", "text"),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs3 === Set((1L, 200L), (100L, 200L)),
+        s"appended signatures not visible to the next run: $pairs3")
+    } finally Seq("incdd_s_bands", "incdd_s_sh").foreach(wh.drop)
+  }
+
   test("bucketed incremental merge keeps bucket metadata across generations; zero-exchange self-join") {
     val wh = new Warehouse(Files.createTempDirectory("graft_bkt_inc").toString, spark)
     try {
