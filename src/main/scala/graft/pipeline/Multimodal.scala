@@ -8,12 +8,94 @@ import org.apache.spark.sql.functions._
   * (the Scala analogue of a vectorized/batched UDF: one decode context per
   * partition, amortized over rows).
   *
-  * The actual codec is STUBBED — no image/audio libraries ship in this
-  * container. `decodeStub` is a deterministic fake standing in for e.g. a
-  * JPEG decode; the Spark-side contract (schema, partitioning, batch shape)
-  * is real and tested.
+  * IMAGE decode is REAL: [[decodeImage]]/[[decodeImages]] run the JDK's
+  * `javax.imageio` readers (PNG/JPEG/GIF/BMP ship in every JRE) over the
+  * payload bytes — container format, dimensions, and exact per-channel
+  * pixel sums from the decoded raster. Only the VIDEO frame codec remains
+  * stubbed (`decodeFrameStub` — no container/codec library ships in the
+  * JDK); its Spark-side contract (schema, partitioning, batch shape) is
+  * real and tested.
   */
 object Multimodal {
+
+  /** One decoded image: format from the container's reader, exact integer
+    * channel sums from the raster (sums, not means: integer arithmetic is
+    * bit-portable across engines; a mean is one division away).
+    */
+  final case class DecodedImage(doc_id: Long, format: String, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL single-image decode via `javax.imageio`: the reader is chosen by
+    * container sniffing (so one pipeline handles PNG/JPEG/GIF/BMP mixed),
+    * `format` is the reader's name lowercased, and the channel sums walk
+    * the decoded raster — a header-only peek could not produce them.
+    * Undecodable payloads raise (callers running untrusted corpora filter
+    * or quarantine first; silently zeroed pixels would poison downstream
+    * stats).
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no image reader recognizes payload of doc $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, fmt, img.getWidth, img.getHeight, sr, sg, sb)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Batched real decode over a media table (doc_id, media): same
+    * one-context-per-partition `mapPartitions` shape as the stubs — the
+    * imageio reader registry lookup is amortized per partition by the
+    * JDK's static registry, and payload bytes never enter an exchange.
+    */
+  def decodeImages(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** Real PNG encode (the test/fixture side of [[decodeImage]]): pixel
+    * (x, y) gets the RGB triple from `px`. PNG is lossless, so
+    * encode-then-decode round-trips sums exactly.
+    */
+  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"w=$w h=$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** One media row: payload + typed metadata, mirroring how a 100 TB corpus
     * stores media (payload column stays opaque; metadata is columnar and
@@ -25,10 +107,11 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
       aspect_ratio: Double, feature: Array[Float])
 
-  /** STUB standing in for a real decoder (`???`-equivalent, deterministic):
-    * derives a fake 4-dim feature from payload bytes. Replace with an actual
-    * codec call; the signature (bytes -> fixed-dim float vector) is the
-    * production contract.
+  /** STUB standing in for a real EMBEDDING model (deterministic): derives a
+    * fake 4-dim feature from payload bytes — feature extraction needs a
+    * trained model, which no JDK ships. Actual image DECODE is real
+    * ([[decodeImage]]); this stub remains only where a learned feature
+    * vector is the contract (extractFeatures, the video frame path).
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L

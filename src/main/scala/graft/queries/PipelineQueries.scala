@@ -1066,6 +1066,40 @@ object PipelineQueries extends QuerySet {
          |SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
          |FROM pairs
          |WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
-         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin))
+         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin)),
+
+    QueryDef("q130_image_decode", (s, d) => {
+      // REAL image decode (javax.imageio, no stub): per doc, a PNG is
+      // encoded with a doc_id-keyed gradient red channel and solid
+      // green/blue, then decoded back through the container-sniffing
+      // reader — format, dimensions, and exact per-channel pixel sums all
+      // come from the decoded raster, and the oracle re-derives them from
+      // doc_id arithmetic alone. Both codec passes run inside
+      // mapPartitions (payload bytes never enter an exchange).
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val imgs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          (id, Multimodal.encodePng(w, h, (x, y) =>
+            (((x * 7 + y * 13 + id) % 256).toInt,
+              ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)))
+        }).toDF("doc_id", "media")
+      Multimodal.decodeImages(imgs).toDF()
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 31 + 1 AS INTEGER) AS w,
+        |                  CAST(doc_id % 17 + 1 AS INTEGER) AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |       FROM d, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        |               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y)
+        |SELECT doc_id, 'png' AS format, w AS width, h AS height,
+        |       CAST(sum((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(((doc_id*7) % 256) * w * h AS BIGINT) AS sum_g,
+        |       CAST(((doc_id*13) % 256) * w * h AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin))
   )
 }

@@ -193,6 +193,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("media"))
   }
 
+  test("real image decode: PNG/BMP round-trip exact sums, GIF/JPEG dims, corrupt raises") {
+    import graft.pipeline.Multimodal
+    implicit val s = spark
+    // deterministic 5x3 pattern with <= 256 distinct colors
+    val (w, h) = (5, 3)
+    val px = (x: Int, y: Int) => (x * 40 + y, 200 - x, (x * y * 7) % 256)
+    val expected = (for { x <- 0 until w; y <- 0 until h } yield px(x, y))
+      .foldLeft((0L, 0L, 0L)) { case ((r, g, b), (pr, pg, pb)) =>
+        (r + pr, g + pg, b + pb) }
+    // PNG is lossless: exact dims + exact channel sums through the raster
+    val png = Multimodal.decodeImage(1L, Multimodal.encodePng(w, h, px))
+    assert(png.format === "png" && png.width === w && png.height === h)
+    assert((png.sum_r, png.sum_g, png.sum_b) === expected)
+    // other JDK writers: BMP lossless too; GIF palettizes and JPEG is
+    // lossy, so assert container + dimensions only
+    def encodeAs(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for { x <- 0 until w; y <- 0 until h } {
+        val (r, g, b) = px(x, y); img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val bmp = Multimodal.decodeImage(2L, encodeAs("bmp"))
+    assert(bmp.format === "bmp" && bmp.width === w && bmp.height === h)
+    assert((bmp.sum_r, bmp.sum_g, bmp.sum_b) === expected)
+    Seq("gif", "jpg").foreach { fmt =>
+      val dec = Multimodal.decodeImage(3L, encodeAs(fmt))
+      assert(dec.width === w && dec.height === h, s"$fmt dims")
+    }
+    // the distributed path decodes the same values
+    val mediaDf = Seq((7L, Multimodal.encodePng(w, h, px))).toDF("doc_id", "media")
+    val viaDs = Multimodal.decodeImages(mediaDf).collect()(0)
+    assert(viaDs === Multimodal.DecodedImage(7L, "png", w, h,
+      expected._1, expected._2, expected._3))
+    // corrupt payloads fail LOUD, not as zeroed stats
+    intercept[Exception](Multimodal.decodeImage(9L, Array[Byte](1, 2, 3)))
+  }
+
   test("contamination: exact dup and near dup hit the benchmark; unrelated doc does not") {
     // bench = doc 1; doc 2 (exact dup) shares ALL shingles, doc 3 (near dup)
     // shares most, doc 4 none
