@@ -197,6 +197,42 @@ object TextAnalysis {
       .filter(col("n_gram") >= minCount)
   }
 
+  /** Byte-Pair-Encoding of ONE pre-token (Sennrich et al. 2016): start from
+    * characters, apply each merge rule in RANK ORDER as one greedy
+    * left-to-right pass (fold: merge when the accumulator's last symbol is
+    * `a` and the incoming symbol is `b`). Sequential rank-order application
+    * is exactly the classic lowest-rank-pair loop: a merge at rank r only
+    * creates pairs involving its NEW symbol, and every rule mentioning that
+    * symbol was necessarily learned — hence ranked — after r, so no
+    * earlier-ranked pair can appear once rank r has passed.
+    *
+    * Pure Column fold over the merge table embedded as an array literal
+    * (the broadcast-constant discipline of [[graft.pipeline.Dedup
+    * .minhashSignature]]): expression depth is CONSTANT in the rule count —
+    * one outer fold over rules, one inner fold over symbols — so a
+    * 50k-rule production table plans the same shape as a 9-rule fixture.
+    * Exact string ops only; encodings are bit-identical on any engine.
+    * Per-word cost O(rules x len^2) from immutable array appends — for
+    * huge merge tables a rank-indexed scan beats rule-order passes, but
+    * that is a constant-factor trade, not a distribution one.
+    */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "empty merge table")
+    require(merges.distinct == merges, s"duplicate merge rules: $merges")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty, s"empty symbol in merge rule ($a, $b)") }
+    val mergesArr = array(merges.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"), lit(a + b).as("ab")) }: _*)
+    aggregate(mergesArr, split(word, ""), (syms, m) =>
+      aggregate(syms, array().cast("array<string>"), (acc, s) =>
+        // && short-circuits, so element_at never sees an empty array
+        when(size(acc) > 0 &&
+            element_at(acc, size(acc)) === m.getField("a") &&
+            s === m.getField("b"),
+          concat(slice(acc, lit(1), size(acc) - 1), array(m.getField("ab"))))
+          .otherwise(concat(acc, array(s)))))
+  }
+
   /** Log-free BM25 term scores for a literal query over the corpus: one row
     * per (doc, term) with the BM25 term-frequency saturation
     * `tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` and the raw idf

@@ -72,6 +72,33 @@ object PipelineQueries extends QuerySet {
 
   private val lshPairsCtes: String = s"WITH $lshPairsCtesBody"
 
+  /** BPE merge-table fixture, rank order. Chained multi-char rules ('d'+'at',
+    * 'dat'+'a') only fire if earlier ranks already merged — the oracle
+    * therefore gates rank ordering, not just pair matching. Vocabulary is
+    * pure [a-z0-9] (checked against the corpus), so '/' and the oracle's
+    * chr(1) separator never collide with symbol content.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "e" -> "r", "i" -> "n", "o" -> "u", "d" -> "at",
+    "dat" -> "a", "q" -> "u", "s" -> "t", "in" -> "g")
+
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.bpeEncodeWord]]: the
+    * word's chars joined by chr(1), then one greedy left-to-right reduce
+    * pass per rule (unrolled — the fixture is literal, so each rule is one
+    * nested `reduce`). The '' seed means every appended symbol carries a
+    * leading chr(1); a merge appends the `b` side WITHOUT a separator
+    * (last symbol `a` becomes `ab` in place); substr(..., 2) strips the
+    * leading separator between passes. `ends_with(acc, chr(1) || a)` is an
+    * exact last-SYMBOL match because symbols never contain the separator.
+    */
+  private def bpeEncodedSql(wordExpr: String): String =
+    BpeMerges.foldLeft(
+      s"array_to_string(string_split($wordExpr, ''), chr(1))") { case (acc, (a, b)) =>
+      s"""substr(reduce(list_prepend('', string_split($acc, chr(1))),
+         |  (acc, x) -> CASE WHEN ends_with(acc, chr(1) || '$a') AND x = '$b'
+         |              THEN acc || x ELSE acc || chr(1) || x END), 2)""".stripMargin
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q30_text_stats", (s, d) => {
@@ -1100,6 +1127,84 @@ object PipelineQueries extends QuerySet {
         |       CAST(sum((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
         |       CAST(((doc_id*7) % 256) * w * h AS BIGINT) AS sum_g,
         |       CAST(((doc_id*13) % 256) * w * h AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, w, h""".stripMargin))
+        |FROM px GROUP BY doc_id, w, h""".stripMargin)),
+
+    QueryDef("q131_bpe_encode", (s, d) => {
+      // merge-rule BPE over the corpus: rank-ordered rules (with chained
+      // multi-char merges — 'd'+'at' and 'dat'+'a' require earlier ranks
+      // to have fired) applied per word as a Column fold; output is the
+      // per-doc BPE token count (the packing currency) plus the full
+      // encoding, so the oracle gates every merge decision, not a tail
+      // statistic
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+      val enc = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          filter(col("toks"), w => length(w) > 0).as("words"))
+        .select(col("doc_id"), col("words"),
+          transform(col("words"), w => TA.bpeEncodeWord(w, BpeMerges)).as("encs"))
+      enc.select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        aggregate(col("encs"), lit(0L), (a, e) => a + size(e).cast("long"))
+          .as("n_bpe_tokens"),
+        array_join(transform(col("encs"), e => array_join(e, "/")), " ")
+          .as("encoded"))
+    }, Some(
+      s"""WITH dd AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, words,
+         |             list_transform(words, w -> ${bpeEncodedSql("w")}) AS encs
+         |      FROM dd)
+         |SELECT doc_id,
+         |       CAST(len(words) AS BIGINT) AS n_words,
+         |       CAST(coalesce(list_sum(list_transform(encs,
+         |              e -> len(string_split(e, chr(1))))), 0) AS BIGINT) AS n_bpe_tokens,
+         |       array_to_string(list_transform(encs, e -> replace(e, chr(1), '/')), ' ')
+         |         AS encoded
+         |FROM w""".stripMargin)),
+
+    QueryDef("q132_pack_bpe", (s, d) => {
+      // q95's packing driven by REAL BPE token counts instead of the
+      // whitespace approximation: the merge-rule encoding supplies the
+      // budget currency, packSequences lays docs into fixed 256-token
+      // training sequences — same one-exchange window layout as q95
+      val counts = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          filter(col("toks"), w => length(w) > 0).as("words"))
+        .select(col("doc_id"),
+          transform(col("words"), w => TA.bpeEncodeWord(w, BpeMerges)).as("encs"))
+        .select(col("doc_id"),
+          aggregate(col("encs"), lit(0L), (a, e) => a + size(e).cast("long"))
+            .as("n_bpe"))
+      graft.pipeline.Sampling.packSequences(counts, col("doc_id"),
+        col("n_bpe"), seqLen = 256, nShards = 4, salt = "bpe7")
+        .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
+    }, Some(
+      s"""WITH dd AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |             list_transform(words, w -> ${bpeEncodedSql("w")}) AS encs
+         |      FROM dd),
+         |t AS (SELECT doc_id,
+         |             CAST(coalesce(list_sum(list_transform(encs,
+         |                    e -> len(string_split(e, chr(1))))), 0) AS BIGINT) AS ntok,
+         |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'bpe7'), 1, 8))::BIGINT
+         |             % 1000000 AS b
+         |      FROM w)
+         |SELECT doc_id, CAST(b % 4 AS INTEGER) AS shard,
+         |       CAST(bef // 256 AS BIGINT) AS seq_id,
+         |       CAST(bef % 256 AS BIGINT) AS seq_offset
+         |FROM (
+         |  SELECT doc_id, b,
+         |         coalesce(sum(ntok) OVER (PARTITION BY b % 4 ORDER BY b ASC, doc_id ASC
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM t) x""".stripMargin))
   )
 }

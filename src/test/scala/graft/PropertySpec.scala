@@ -188,6 +188,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncodeWord == classic lowest-rank-first BPE (random words, learned-shape rules)") {
+    import graft.pipeline.TextAnalysis
+    // classic encoder: repeatedly merge the lowest-ranked pair present,
+    // one greedy left-to-right sweep per iteration
+    def classic(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toVector
+      var changed = true
+      while (changed) {
+        val present = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))))
+        changed = present.nonEmpty
+        if (changed) {
+          val (a, b) = merges(present.min)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed * 17)
+      val alphabet = Vector("a", "b", "c")
+      // learned-shape rules: each rule merges two symbols already in the
+      // pool, and its product joins the pool (so chained rules occur)
+      val pool = scala.collection.mutable.ArrayBuffer(alphabet: _*)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (merges.size < 8) {
+        val r = (pool(rnd.nextInt(pool.size)), pool(rnd.nextInt(pool.size)))
+        if (!merges.contains(r)) { merges += r; pool += (r._1 + r._2) }
+      }
+      val words = (1 to 40).map(_ =>
+        (1 to 1 + rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      val got = words.toDF("w")
+        .select($"w", TextAnalysis.bpeEncodeWord($"w", merges.toSeq).as("enc"))
+        .as[(String, Seq[String])].collect().toMap
+      words.distinct.foreach { w =>
+        assert(got(w) === classic(w, merges.toSeq),
+          s"seed $seed word $w rules $merges: ${got(w)} != ${classic(w, merges.toSeq)}")
+      }
+    }
+  }
+
   test("asOf join == naive join-then-latest (random timelines)") {
     import graft.operators.AsOfJoin
     import org.apache.spark.sql.expressions.Window
