@@ -86,6 +86,25 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs3 === Set((1L, 200L), (100L, 200L)),
         s"appended signatures not visible to the next run: $pairs3")
+      // plan shape of the index probe: the corpus band table arrives
+      // bucketed (zero corpus-side exchange) — only the delta shuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val dBanded = Seq((300L, "alpha beta gamma delta eps zeta fresh new"))
+          .toDF("doc_id", "text")
+          .select($"doc_id".as("id"),
+            graft.pipeline.Dedup.minhashSignature(
+              graft.pipeline.TextAnalysis.wordShingles($"text", 3), 8).as("sig"))
+          .select($"id", $"sig",
+            explode(graft.pipeline.Dedup.lshBands($"sig", 2, 4)).as("b"))
+          .select($"id", $"b.band".as("band"), $"b.value".as("value"))
+        val probe = dBanded.join(spark.table("incdd_s_bands"), Seq("band", "value"))
+        val plan = probe.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+        val nExchanges = plan.linesIterator.count(_.contains("Exchange"))
+        assert(nExchanges === 1, s"expected the delta-side exchange only:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally Seq("incdd_s_bands", "incdd_s_sh").foreach(wh.drop)
   }
 
