@@ -220,4 +220,84 @@ object Sampling {
       call_function("div", before, lit(seqLen.toLong)).as("seq_id"),
       (before % seqLen).as("seq_offset"))
   }
+
+  /** Epoch/repetition sampling (the data-recipe UPSAMPLING knob, dual of
+    * [[mixtureSample]]'s sub-sampling): a group with epochs = 2.5 emits
+    * every row twice plus a third copy for a deterministic-hash-chosen 50%
+    * of rows — the "books x2.5, web x1, logs x0.3" recipe of LLM
+    * pre-training mixes, with fractional epochs realized per-row instead of
+    * in expectation-over-reruns. Output repeats each surviving input row
+    * with `copy` in 1..n (n = 0 rows vanish, so epochs < 1 subsumes
+    * mixture-style downsampling).
+    *
+    * Scale shape: pure map — a per-row CASE for the rate, one bounded
+    * explode(sequence) for the copies; no shuffle, no RNG, reruns emit the
+    * identical multiset. Fractional parts use the same exact per-million
+    * integer cuts as [[hashSample]].
+    */
+  def repeatSample(df: DataFrame, groupCol: String, epochs: Map[String, Double],
+      idCol: Column, defaultEpochs: Double = 1.0, salt: String = ""): DataFrame = {
+    (epochs.values ++ Seq(defaultEpochs)).foreach(e =>
+      require(e >= 0 && e <= 100, s"epochs out of [0,100]: $e"))
+    require(!df.columns.contains("copy"), "column name 'copy' is reserved")
+    def whole(e: Double): Long = math.floor(e).toLong
+    def fracCut(e: Double): Long = math.round((e - math.floor(e)) * 1000000L)
+    val (wholeCol, fracCol) = epochs.foldLeft(
+      (lit(whole(defaultEpochs)), lit(fracCut(defaultEpochs)))) {
+      case ((wAcc, fAcc), (g, e)) =>
+        (when(col(groupCol) === g, lit(whole(e))).otherwise(wAcc),
+          when(col(groupCol) === g, lit(fracCut(e))).otherwise(fAcc))
+    }
+    val n = wholeCol + when(hashBucket(idCol, salt) < fracCol, 1L).otherwise(0L)
+    // sequence(1, 0) counts DOWN in Spark — emit the empty array explicitly
+    df.withColumn("copy",
+        explode(when(n >= 1, sequence(lit(1L), n))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Token-budget corpus selection: keep the highest-quality docs whose
+    * cumulative token count fits `budget`, in the exact global order
+    * (quality DESC, id ASC) — "give me the best 10B tokens" as one
+    * deterministic operator. Emits the kept rows with `cum_tokens` (the
+    * running total INCLUDING the row, <= budget).
+    *
+    * Scale shape: the naive `sum() OVER (ORDER BY quality DESC)` is a
+    * single-partition window over the WHOLE corpus. Here the running total
+    * decomposes like [[graft.operators.Ranking.valueRanks]]: a
+    * partial-agg rollup to per-quality-value token sums, a cum-sum window
+    * over DISTINCT quality values only (bounded cardinality — quantize
+    * scores first, same caveat as Stats), and a per-value window ordered by
+    * id for the boundary value, all other values being kept or dropped
+    * wholesale by their group prefix sum. The corpus shuffles twice on
+    * high-cardinality keys ((quality) rollup, (quality) re-join) and never
+    * funnels through one task.
+    *
+    * `quality` must be non-NULL bounded-cardinality (NULL rows are
+    * dropped); ties inside a quality value break by id ascending, so the
+    * kept set is engine-exact.
+    */
+  def tokenBudgetSelect(df: DataFrame, quality: Column, tokenCount: Column,
+      budget: Long, idCol: Column): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    Seq("__q", "__ntok", "__gtok", "__cum_before", "__run").foreach(c =>
+      require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    require(!df.columns.contains("cum_tokens"), "column name 'cum_tokens' is reserved")
+    val rows = df.filter(quality.isNotNull)
+      .withColumn("__q", quality)
+      .withColumn("__ntok", tokenCount.cast("long"))
+    val groups = rows.groupBy(col("__q")).agg(sum(col("__ntok")).as("__gtok"))
+    val wq = Window.orderBy(col("__q").desc)
+    val groupCums = groups.withColumn("__cum_before",
+      coalesce(sum(col("__gtok")).over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__q"), col("__cum_before"))
+    val wid = Window.partitionBy(col("__q")).orderBy(idCol.asc)
+    rows
+      // distinct quality values are few by contract — broadcast the offsets
+      .join(broadcast(groupCums), Seq("__q"))
+      .withColumn("__run", sum(col("__ntok")).over(wid))
+      .withColumn("cum_tokens", col("__cum_before") + col("__run"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__q", "__ntok", "__gtok", "__cum_before", "__run")
+  }
 }

@@ -1205,6 +1205,59 @@ object PipelineQueries extends QuerySet {
          |  SELECT doc_id, b,
          |         coalesce(sum(ntok) OVER (PARTITION BY b % 4 ORDER BY b ASC, doc_id ASC
          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-         |  FROM t) x""".stripMargin))
+         |  FROM t) x""".stripMargin)),
+
+    QueryDef("q133_repeat_sample", (s, d) =>
+      // data-recipe UPSAMPLING (dual of q77's mixture): src1 runs 2.5
+      // epochs (every doc twice, a deterministic-hash-chosen half a third
+      // time), src2 0.8 epochs (downsample), everything else 1.0 — pure
+      // map (CASE + bounded explode), no shuffle, no RNG
+      graft.pipeline.Sampling.repeatSample(
+        table(s, d, "documents"), "source",
+        Map("src1" -> 2.5, "src2" -> 0.8), col("doc_id"),
+        defaultEpochs = 1.0, salt = "ep7")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("copy")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(c.c AS BIGINT) AS copy
+          |FROM (
+          |  SELECT doc_id, source,
+          |         CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END
+          |         + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'ep7'), 1, 8))::BIGINT
+          |                     % 1000000
+          |                     < CASE source WHEN 'src1' THEN 500000
+          |                                   WHEN 'src2' THEN 800000 ELSE 0 END
+          |                THEN 1 ELSE 0 END AS n
+          |  FROM documents) t,
+          |LATERAL (SELECT unnest(generate_series(1, n)) AS c) c""".stripMargin)),
+
+    QueryDef("q134_token_budget", (s, d) => {
+      // "the best 20k tokens": greedy highest-quality-first selection under
+      // a global token budget, with the running total decomposed via a
+      // distinct-quality rollup + per-value windows (tokenBudgetSelect) —
+      // never a single-partition whole-corpus window. Quality is the
+      // quantized q30 score (bounded cardinality by construction).
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          floor(TA.qualityScore(col("text"), Stopwords) * 100).cast("long").as("q"),
+          greatest(lit(0L), TA.tokenCount(col("text"))).as("ntok"))
+      graft.pipeline.Sampling.tokenBudgetSelect(
+        docs, col("q"), col("ntok"), budget = 20000, col("doc_id"))
+        .select(col("doc_id"), col("q"), col("ntok"), col("cum_tokens"))
+    }, Some {
+      val qualitySql =
+        s"""least(CAST(1.0 AS DOUBLE), CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+           | * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($toksSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+           |      / CAST(len($toksSql) AS DOUBLE))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         CAST(floor(($qualitySql) * 100) AS BIGINT) AS q,
+         |         greatest(0, CAST(len($toksSql) AS BIGINT)) AS ntok
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, q, ntok, cum AS cum_tokens FROM (
+         |  SELECT doc_id, q, ntok,
+         |         sum(ntok) OVER (ORDER BY q DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t) x
+         |WHERE cum <= 20000""".stripMargin
+    })
   )
 }

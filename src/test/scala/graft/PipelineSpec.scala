@@ -429,6 +429,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.forall(c => c == 0 || c == 1))
   }
 
+  test("repeatSample: whole epochs exact, fractional epochs per-row deterministic") {
+    import graft.pipeline.Sampling
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) "books" else if (i <= 150) "logs" else "web"))
+      .toDF("doc_id", "source")
+    val out = Sampling.repeatSample(df, "source",
+      Map("books" -> 2.5, "logs" -> 0.4), $"doc_id",
+      defaultEpochs = 1.0, salt = "t")
+      .select($"doc_id", $"source", $"copy")
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // books: every doc 2 or 3 copies, numbered 1..n; ~half get the third
+    val bookCounts = (1L to 100L).map(i => byDoc(i).size)
+    assert(bookCounts.forall(n => n == 2 || n == 3))
+    assert(bookCounts.count(_ == 3) > 20 && bookCounts.count(_ == 3) < 80)
+    (1L to 100L).foreach(i => assert(byDoc(i) === (1L to byDoc(i).size)))
+    // logs: 0 or 1 copies; web (default 1.0): exactly one
+    (101L to 150L).foreach(i => assert(byDoc.getOrElse(i, Nil).size <= 1))
+    (151L to 200L).foreach(i => assert(byDoc(i) === Seq(1L)))
+    // deterministic on rerun
+    val again = Sampling.repeatSample(df, "source",
+      Map("books" -> 2.5, "logs" -> 0.4), $"doc_id",
+      defaultEpochs = 1.0, salt = "t")
+      .select($"doc_id", $"source", $"copy")
+      .as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.repeatSample(df, "source", Map("books" -> -1.0), $"doc_id"))
+  }
+
+  test("tokenBudgetSelect == naive global-order greedy; boundary group partial, ties by id") {
+    import graft.pipeline.Sampling
+    val rows = Seq(
+      // (id, quality, tokens)
+      (1L, 9L, 50L), (2L, 9L, 50L), (3L, 9L, 50L),     // q=9 group: 150 tokens
+      (4L, 5L, 40L), (5L, 5L, 40L), (6L, 5L, 40L),     // q=5 group: 120
+      (7L, 2L, 100L), (8L, 2L, 100L))                  // q=2 group: 200
+    val df = rows.toDF("doc_id", "q", "ntok")
+    def naive(budget: Long) = {
+      var cum = 0L
+      rows.sortBy(r => (-r._2, r._1)).flatMap { case (id, q, n) =>
+        cum += n; if (cum <= budget) Some((id, q, n, cum)) else None
+      }
+    }
+    for (budget <- Seq(0L, 100L, 150L, 230L, 270L, 470L, 1000L)) {
+      val got = Sampling.tokenBudgetSelect(df, $"q", $"ntok", budget, $"doc_id")
+        .select($"doc_id", $"q", $"ntok", $"cum_tokens")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === naive(budget).sortBy(_._1), s"budget $budget")
+    }
+    // budget 230 cuts INSIDE the q=5 group: docs 4,5 kept (230), doc 6 not
+    val cut = Sampling.tokenBudgetSelect(df, $"q", $"ntok", 230L, $"doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(cut === Seq(1L, 2L, 3L, 4L, 5L))
+    // NULL quality rows are dropped
+    val withNull = df.unionByName(
+      Seq((99L, Option.empty[Long], 10L)).toDF("doc_id", "q", "ntok"))
+    assert(Sampling.tokenBudgetSelect(withNull, $"q", $"ntok", 10000L, $"doc_id")
+      .filter($"doc_id" === 99L).isEmpty)
+  }
+
   test("temperatureSample flattens the mix toward small sources, deterministically") {
     val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
       (1601 to 1700).map(i => (i.toLong, "small"))).toDF("id", "src")
