@@ -159,9 +159,50 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
            sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
 
-  /** STUB for a resize ((bytes, w, h) -> bytes): deterministic proportional
-    * byte sampling standing in for a nearest-neighbor downscale; the
-    * signature is the production contract.
+  /** REAL image resize via the JDK: decode ([[decodeImage]]'s reader path),
+    * nearest-neighbor rescale into a fresh RGB raster (explicit source-pixel
+    * arithmetic `sx = x*srcW/dstW` — exact integer floor division, so the
+    * mapping is bit-deterministic and engine-independent, unlike
+    * Graphics2D's interpolation pipeline), re-encode as PNG (lossless).
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW >= 1 && targetH >= 1, s"targetW=$targetW targetH=$targetH")
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "payload is not a decodable image")
+    val dst = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * src.getHeight / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * src.getWidth / targetW).toInt
+        dst.setRGB(x, y, src.getRGB(sx, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Batched real image resize: payload replaced by the re-encoded PNG,
+    * metadata kept in sync — same one-context-per-partition shape as
+    * [[decodeImages]].
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(r =>
+      r.copy(media = resizeImage(r.media, targetW, targetH),
+        format = "png", width = targetW, height = targetH)))
+  }
+
+  /** STUB for a resize of NON-image media ((bytes, w, h) -> bytes):
+    * deterministic proportional byte sampling standing in for a codec-aware
+    * downscale; the signature is the production contract. Image payloads
+    * use the REAL [[resizeImage]].
     */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
     // empty/corrupt payloads pass through empty instead of indexing into a

@@ -1258,6 +1258,40 @@ object PipelineQueries extends QuerySet {
          |         sum(ntok) OVER (ORDER BY q DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM t) x
          |WHERE cum <= 20000""".stripMargin
-    })
+    }),
+
+    QueryDef("q135_image_resize", (s, d) => {
+      // REAL resize: q130's gradient PNG nearest-neighbor-rescaled to 8x5
+      // with explicit integer source mapping (sx = x*srcW/dstW), re-encoded
+      // PNG, decoded back — the oracle re-derives every resized pixel from
+      // doc_id arithmetic, so interpolation handwaving can't pass
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val imgs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          Multimodal.MediaRow(id, Multimodal.encodePng(w, h, (x, y) =>
+            (((x * 7 + y * 13 + id) % 256).toInt,
+              ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)),
+            "png", w, h)
+        })
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(imgs, targetW = 8, targetH = 5).toDF()).toDF()
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |                  CAST(doc_id % 17 + 1 AS BIGINT) AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |       FROM d, LATERAL (SELECT unnest(generate_series(0, 7)) AS x) x,
+        |               LATERAL (SELECT unnest(generate_series(0, 4)) AS y) y)
+        |SELECT doc_id, 'png' AS format,
+        |       CAST(8 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |       CAST(sum(((x*w//8)*7 + (y*h//5)*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(((doc_id*7) % 256) * 40 AS BIGINT) AS sum_g,
+        |       CAST(((doc_id*13) % 256) * 40 AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin))
   )
 }

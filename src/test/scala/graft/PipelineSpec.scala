@@ -234,6 +234,24 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception](Multimodal.decodeImage(9L, Array[Byte](1, 2, 3)))
   }
 
+  test("real image resize: integer nearest-neighbor mapping, up/downscale, corrupt raises") {
+    import graft.pipeline.Multimodal
+    val src = Multimodal.encodePng(6, 4, (x, y) => (x * 40, y * 60, 17))
+    // downscale 3x2: pixel (x,y) <- src(x*6/3, y*4/2) = src(2x, 2y)
+    val down = Multimodal.decodeImage(1L, Multimodal.resizeImage(src, 3, 2))
+    assert(down.width === 3 && down.height === 2 && down.format === "png")
+    val expR = (for { x <- 0 until 3; y <- 0 until 2 } yield (2 * x) * 40).sum
+    val expG = (for { x <- 0 until 3; y <- 0 until 2 } yield (2 * y) * 60).sum
+    assert((down.sum_r, down.sum_g, down.sum_b) === (expR.toLong, expG.toLong, 17L * 6))
+    // upscale replicates source pixels; a solid image stays solid
+    val solid = Multimodal.encodePng(2, 2, (_, _) => (9, 8, 7))
+    val up = Multimodal.decodeImage(2L, Multimodal.resizeImage(solid, 7, 5))
+    assert(up.width === 7 && up.height === 5)
+    assert((up.sum_r, up.sum_g, up.sum_b) === (9L * 35, 8L * 35, 7L * 35))
+    intercept[Exception](Multimodal.resizeImage(Array[Byte](1, 2), 4, 4))
+    intercept[IllegalArgumentException](Multimodal.resizeImage(src, 0, 4))
+  }
+
   test("contamination: exact dup and near dup hit the benchmark; unrelated doc does not") {
     // bench = doc 1; doc 2 (exact dup) shares ALL shingles, doc 3 (near dup)
     // shares most, doc 4 none
