@@ -176,6 +176,90 @@ case class ZOrder16(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** General N-dimensional z-order key: bit i of dimension j lands at output
+  * bit i*nDims + j, over `bitsPer` bits per dimension (nDims * bitsPer <=
+  * 63, so the key fits a signed long). The 2-dim x 16-bit case stays on
+  * [[ZOrder16]]'s magic-number spread (fewer ops on the hottest layout
+  * shape); this form covers the rest of the (dims, resolution) plane —
+  * 3-dim x 21-bit, 4-dim x 15-bit, coarse 8-dim keys — with one plain
+  * codegen'd bit loop (<= 63 iterations, fully unrollable by the JIT).
+  *
+  * The child is an `array(dim...)` of longs (CreateArray is codegen'd), so
+  * the expression stays unary and the arity lives in data — same bridge
+  * discipline as [[QuantizeDoubles]]. NULL array or NULL element -> NULL
+  * key; out-of-range values raise (truncation would silently destroy the
+  * locality the caller is buying — the [[ZOrder16]] argument verbatim).
+  */
+case class ZOrderArray(child: Expression, nDims: Int, bitsPer: Int)
+    extends UnaryExpression {
+
+  require(nDims >= 2, s"nDims: $nDims (a 1-dim z-order is the identity)")
+  require(bitsPer >= 1 && nDims * bitsPer <= 63,
+    s"nDims * bitsPer must fit a signed long: $nDims * $bitsPer")
+
+  override def dataType: DataType = LongType
+
+  // the child array (CreateArray) is itself never null, but a null ELEMENT
+  // yields a NULL key — without this override codegen plants a FalseLiteral
+  // isNull and the null silently materializes as 0
+  override def nullable: Boolean = true
+
+  private val limit = 1L << bitsPer
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != nDims)
+      throw new IllegalArgumentException(
+        s"ZOrderArray expects $nDims dims, got ${a.numElements()}")
+    var out = 0L
+    var j = 0
+    while (j < nDims) {
+      if (a.isNullAt(j)) return null
+      val x = a.getLong(j)
+      if (x < 0L || x >= limit)
+        throw new IllegalArgumentException(
+          s"ZOrderArray dim $j out of [0, $limit): $x")
+      var i = 0
+      while (i < bitsPer) {
+        out |= ((x >> i) & 1L) << (i * nDims + j)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($a.numElements() != $nDims) {
+         |  throw new IllegalArgumentException(
+         |    "ZOrderArray expects $nDims dims, got " + $a.numElements());
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $nDims && !${ev.isNull}; $j++) {
+         |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $x = $a.getLong($j);
+         |  if ($x < 0L || $x >= ${limit}L) {
+         |    throw new IllegalArgumentException(
+         |      "ZOrderArray dim " + $j + " out of [0, ${limit}): " + $x);
+         |  }
+         |  for (int $i = 0; $i < $bitsPer; $i++) {
+         |    $out |= (($x >> $i) & 1L) << ($i * $nDims + $j);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ZOrderArray =
+    copy(child = newChild)
+}
+
 object Expressions {
   /** Exact-integer dot product of two array<long> columns (codegen'd). */
   def longArrayDot(a: Column, b: Column): Column =
@@ -194,4 +278,16 @@ object Expressions {
   def quantizeDoubles(vec: Column, scale: Int): Column =
     GraftSqlBridge.column(
       QuantizeDoubles(GraftSqlBridge.expression(vec.cast("array<double>")), scale))
+
+  /** General N-dim z-order key over long columns in [0, 2^bitsPer)
+    * (codegen'd; nDims * bitsPer <= 63). zorderN(16, x, y) equals
+    * [[zorder16]] bit-for-bit — the 2x16 case just has a faster spread.
+    */
+  def zorderN(bitsPer: Int, dims: Column*): Column = {
+    require(dims.size >= 2, s"need >= 2 dims, got ${dims.size}")
+    GraftSqlBridge.column(ZOrderArray(
+      GraftSqlBridge.expression(
+        org.apache.spark.sql.functions.array(dims.map(_.cast("long")): _*)),
+      dims.size, bitsPer))
+  }
 }

@@ -502,6 +502,27 @@ object AnalyticsQueries extends QuerySet {
         |SELECT term, doc, CAST(rank AS BIGINT) AS rank, score
         |FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc ASC) AS rank
         |      FROM scored) t
-        |WHERE rank <= 5""".stripMargin))
+        |WHERE rank <= 5""".stripMargin)),
+
+    QueryDef("q136_zorder3", (s, d) =>
+      // N-dim z-order layout key (q117's 2-dim sibling generalized): 3
+      // dimensions x 10 bits interleaved into a 30-bit key by the
+      // codegen'd ZOrderArray loop — the repartitionByRange target for
+      // 3-dimensional file pruning; the oracle re-derives every bit
+      table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        graft.plans.Expressions.zorderN(10,
+          col("l_suppkey") % 1024, col("l_partkey") % 1024,
+          col("l_orderkey") % 1024).as("zkey")),
+      Some(
+        """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |       CAST(list_sum(list_transform(generate_series(0, 9), i ->
+          |           (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (i*3))
+          |         + (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (i*3 + 1))
+          |         + (((l_orderkey % 1024) >> i) & 1) * (1::BIGINT << (i*3 + 2))))
+          |         AS BIGINT) AS zkey
+          |FROM lineitem""".stripMargin))
   )
 }

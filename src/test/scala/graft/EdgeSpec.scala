@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.{Incremental, Snapshot}
@@ -329,6 +330,35 @@ class EdgeSpec extends AnyFunSuite {
     val grouped = df.withColumn("g", $"v" % 2)
     assert(Ranking.valueRanks(grouped, Seq("g"), $"v", maxDistinctUngrouped = 1)
       .count() === 100L)
+  }
+
+  test("zorderN: 2x16 equals zorder16 bit-for-bit; 3-dim matches naive interleave; range/NULL") {
+    import graft.plans.Expressions
+    val rnd = new Random(99)
+    val pairs = (1 to 200).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val two = pairs.toDF("x", "y")
+      .select(Expressions.zorder16($"x", $"y").as("a"),
+        Expressions.zorderN(16, $"x", $"y").as("b"))
+      .as[(Long, Long)].collect()
+    two.foreach { case (a, b) => assert(a === b) }
+    // 3-dim x 5-bit vs a naive scala interleave
+    def naive3(vs: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(i => vs.zipWithIndex.map { case (v, j) =>
+        ((v >> i) & 1L) << (i * vs.size + j) }).sum
+    val triples = (1 to 100).map(_ =>
+      (rnd.nextInt(32).toLong, rnd.nextInt(32).toLong, rnd.nextInt(32).toLong))
+    val got3 = triples.toDF("x", "y", "z")
+      .select($"x", $"y", $"z", Expressions.zorderN(5, $"x", $"y", $"z").as("k"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (x, y, z, k) => assert(k === naive3(Seq(x, y, z), 5)) }
+    // out-of-range raises; NULL element -> NULL key; bad params raise
+    intercept[Exception](Seq((32L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Expressions.zorderN(5, $"x", $"y", $"z")).collect())
+    val nul = Seq((Some(3L), Option.empty[Long])).toDF("x", "y")
+      .select(Expressions.zorderN(8, $"x", $"y")).collect()(0)
+    assert(nul.isNullAt(0))
+    intercept[IllegalArgumentException](Expressions.zorderN(32, $"x", $"y"))
+    intercept[IllegalArgumentException](Expressions.zorderN(8, $"x"))
   }
 
   test("zorder16 propagates NULL inputs as NULL keys") {
