@@ -233,6 +233,51 @@ object TextAnalysis {
           .otherwise(concat(acc, array(s)))))
   }
 
+  /** Corpus-scale BPE: encode the distinct VOCABULARY once (the fold in
+    * [[bpeEncodeWord]] is higher-order-function interpreted — per-word cost
+    * is fine for a vocab table, ruinous per occurrence: a corpus repeats
+    * each word millions of times), then broadcast the tiny vocab->symbols
+    * table back onto position-exploded words and reassemble per doc.
+    *
+    * Output: doc_id, n_words, n_bpe_tokens, encoded (words " "-joined,
+    * symbols `symSep`-joined) — byte-identical to encoding every occurrence
+    * directly (encoding is a pure function of the word). NULL-text docs are
+    * dropped; docs whose words are all empty strings emit (0, 0, "").
+    *
+    * Scale shape: one explode + distinct on words (the shuffle carries the
+    * VOCAB, heavy-hitter words combine map-side), the fold runs |vocab|
+    * times, the join is a broadcast, and the reassembly groupBy shuffles on
+    * doc id. At 100 TB the vocab table is the only state that matters —
+    * millions of rows against trillions of occurrences.
+    */
+  def bpeEncodeDocs(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)], symSep: String = "/",
+      textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(filter(col("__toks"), w => length(w) > 0)).as(Seq("__pos", "__w")))
+    val vocab = words.select(col("__w")).distinct()
+      .select(col("__w"), bpeEncodeWord(col("__w"), merges).as("__sym"))
+    // keep the zero-word docs: LEFT join from a per-doc base would need a
+    // second scan; instead re-derive them from the base and union the
+    // all-empty case via the count coalesce below
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"))
+    words.join(broadcast(vocab), Seq("__w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("__sym")).cast("long")).as("n_bpe_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__sym")))),
+          p => array_join(p.getField("__sym"), symSep)), " ").as("encoded"))
+      .join(base, Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("encoded"), lit("")).as("encoded"))
+  }
+
   /** Log-free BM25 term scores for a literal query over the corpus: one row
     * per (doc, term) with the BM25 term-frequency saturation
     * `tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` and the raw idf

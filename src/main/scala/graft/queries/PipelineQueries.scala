@@ -1132,24 +1132,11 @@ object PipelineQueries extends QuerySet {
     QueryDef("q131_bpe_encode", (s, d) => {
       // merge-rule BPE over the corpus: rank-ordered rules (with chained
       // multi-char merges — 'd'+'at' and 'dat'+'a' require earlier ranks
-      // to have fired) applied per word as a Column fold; output is the
-      // per-doc BPE token count (the packing currency) plus the full
-      // encoding, so the oracle gates every merge decision, not a tail
-      // statistic
-      val docs = table(s, d, "documents").filter(col("text").isNotNull)
-      val enc = docs
-        .select(col("doc_id").cast("long").as("doc_id"),
-          TA.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          filter(col("toks"), w => length(w) > 0).as("words"))
-        .select(col("doc_id"), col("words"),
-          transform(col("words"), w => TA.bpeEncodeWord(w, BpeMerges)).as("encs"))
-      enc.select(col("doc_id"),
-        size(col("words")).cast("long").as("n_words"),
-        aggregate(col("encs"), lit(0L), (a, e) => a + size(e).cast("long"))
-          .as("n_bpe_tokens"),
-        array_join(transform(col("encs"), e => array_join(e, "/")), " ")
-          .as("encoded"))
+      // to have fired), the fold run ONCE per distinct vocab word and
+      // broadcast back onto occurrences (bpeEncodeDocs — per-occurrence
+      // folding measured 14 s/rep at sf0.1, vocab encoding 'n' join ~1 s);
+      // output gates the full per-doc encoding, not a tail statistic
+      TA.bpeEncodeDocs(table(s, d, "documents"), BpeMerges)
     }, Some(
       s"""WITH dd AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1169,18 +1156,11 @@ object PipelineQueries extends QuerySet {
     QueryDef("q132_pack_bpe", (s, d) => {
       // q95's packing driven by REAL BPE token counts instead of the
       // whitespace approximation: the merge-rule encoding supplies the
-      // budget currency, packSequences lays docs into fixed 256-token
-      // training sequences — same one-exchange window layout as q95
-      val counts = table(s, d, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          TA.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          filter(col("toks"), w => length(w) > 0).as("words"))
-        .select(col("doc_id"),
-          transform(col("words"), w => TA.bpeEncodeWord(w, BpeMerges)).as("encs"))
-        .select(col("doc_id"),
-          aggregate(col("encs"), lit(0L), (a, e) => a + size(e).cast("long"))
-            .as("n_bpe"))
+      // budget currency (vocab-encoded once, like q131), packSequences
+      // lays docs into fixed 256-token training sequences — same
+      // one-exchange window layout as q95
+      val counts = TA.bpeEncodeDocs(table(s, d, "documents"), BpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_bpe"))
       graft.pipeline.Sampling.packSequences(counts, col("doc_id"),
         col("n_bpe"), seqLen = 256, nShards = 4, salt = "bpe7")
         .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))

@@ -508,6 +508,30 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"doc_id" === 99L).isEmpty)
   }
 
+  test("bpeEncodeDocs == per-occurrence encoding; zero-word and NULL docs handled") {
+    import graft.pipeline.TextAnalysis
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    val docs = Seq(
+      (1L, Some("abc abab xyz")),
+      (2L, Some("abc abc abc")), // repeated word: vocab encodes once
+      (3L, Some("")),            // zero words after the empty filter
+      (4L, None))                // NULL text: dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeDocs(docs, merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // hand-derived: abc -> [abc] (chained), abab -> [ab, ab], xyz -> [x,y,z]
+    assert(got === Seq(
+      (1L, 3L, 1L + 2L + 3L, "abc ab/ab x/y/z"),
+      (2L, 3L, 3L, "abc abc abc"),
+      (3L, 0L, 0L, "")))
+    // vocab path == direct per-occurrence fold on the same words
+    val direct = Seq("abc", "abab", "xyz").toDF("w")
+      .select($"w", TextAnalysis.bpeEncodeWord($"w", merges).as("e"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(direct("abc") === Seq("abc") && direct("abab") === Seq("ab", "ab")
+      && direct("xyz") === Seq("x", "y", "z"))
+  }
+
   test("temperatureSample flattens the mix toward small sources, deterministically") {
     val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
       (1601 to 1700).map(i => (i.toLong, "small"))).toDF("id", "src")
