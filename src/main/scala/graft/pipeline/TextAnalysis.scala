@@ -233,6 +233,62 @@ object TextAnalysis {
           .otherwise(concat(acc, array(s)))))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, learn-side): greedily
+    * learn `k` merge rules from the corpus — at each step, count every
+    * adjacent symbol pair across the current encoding of the VOCABULARY
+    * (weighted by word frequency, overlapping occurrences counted, exactly
+    * the original algorithm's word-frequency-table formulation) and adopt
+    * the most frequent pair, ties broken (count DESC, a ASC, b ASC) so the
+    * learned table is engine-exact.
+    *
+    * Scale shape: the corpus collapses to the (word, freq) vocabulary in
+    * ONE partial-agg shuffle; each learning step is then a bounded job
+    * over vocab rows — re-encode with the rules so far ([[bpeEncodeWord]]'s
+    * fold), explode adjacent pairs, partial-agg count, and collect exactly
+    * ONE row (the argmax). Driver state is the k-row merge table, never
+    * data. Re-encoding from scratch each step costs O(k^2 x vocab) folds —
+    * the standard trade for keeping steps stateless; production tables
+    * (k ~ 50k) would incrementalize the pair counts instead, a
+    * constant-factor (not distribution) change.
+    *
+    * Returns the learned rules in rank order with their winning counts.
+    */
+  def bpeLearn(docs: org.apache.spark.sql.DataFrame, k: Int,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(k >= 1 && k <= 1000, s"k: $k")
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
+      .localCheckpoint(false) // reused k times; keep the corpus scan out of the loop
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < k && !exhausted) {
+      val rules = learned.toSeq.map { case (a, b, _) => (a, b) }
+      val syms = if (rules.isEmpty) split(col("__w"), "")
+                 else bpeEncodeWord(col("__w"), rules)
+      val best = vocab
+        .select(col("__freq"), syms.as("__sym"))
+        .filter(size(col("__sym")) >= 2)
+        .select(col("__freq"), explode(transform(
+          sequence(lit(1), size(col("__sym")) - 1), i =>
+            struct(element_at(col("__sym"), i).as("a"),
+              element_at(col("__sym"), i + 1).as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("__freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
   /** Corpus-scale BPE: encode the distinct VOCABULARY once (the fold in
     * [[bpeEncodeWord]] is higher-order-function interpreted — per-word cost
     * is fine for a vocab table, ruinous per occurrence: a corpus repeats

@@ -82,6 +82,41 @@ object PipelineQueries extends QuerySet {
     "a" -> "t", "e" -> "r", "i" -> "n", "o" -> "u", "d" -> "at",
     "dat" -> "a", "q" -> "u", "s" -> "t", "in" -> "g")
 
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.bpeLearn]]: the k-step
+    * greedy argmax chain, each step counting adjacent symbol pairs over the
+    * previous step's encoding (weighted by word frequency) and applying the
+    * winner via the same separator-sentinel reduce as [[bpeEncodedSql]] —
+    * the rule comes from the step's own argmax CTE (lambdas capture outer
+    * columns), so the oracle RE-LEARNS the table rather than trusting it.
+    */
+  private def bpeLearnOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE length(w) > 0 GROUP BY w),
+       |e0 AS (SELECT w, freq, array_to_string(string_split(w, ''), chr(1)) AS s FROM v)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+         |p$i AS (SELECT sym[j.j] AS a, sym[j.j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |        FROM (SELECT freq, string_split(s, chr(1)) AS sym FROM e${i - 1}) t,
+         |             LATERAL (SELECT unnest(generate_series(1, len(sym)-1)) AS j) j
+         |        GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      if (i < k) sb ++= s""",
+         |e$i AS (SELECT w, freq,
+         |          substr(reduce(list_prepend('', string_split(s, chr(1))),
+         |            (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m$i.a) AND x = m$i.b
+         |                        THEN acc || x ELSE acc || chr(1) || x END), 2) AS s
+         |        FROM e${i - 1}, m$i)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, a, b, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** DuckDB mirror of [[graft.pipeline.TextAnalysis.bpeEncodeWord]]: the
     * word's chars joined by chr(1), then one greedy left-to-right reduce
     * pass per rule (unrolled — the fixture is literal, so each rule is one
@@ -1272,6 +1307,19 @@ object PipelineQueries extends QuerySet {
         |       CAST(sum(((x*w//8)*7 + (y*h//5)*13 + doc_id) % 256) AS BIGINT) AS sum_r,
         |       CAST(((doc_id*7) % 256) * 40 AS BIGINT) AS sum_g,
         |       CAST(((doc_id*13) % 256) * 40 AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id""".stripMargin))
+        |FROM px GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("q137_bpe_learn", (s, d) => {
+      // distributed BPE tokenizer TRAINING: five merge rules learned
+      // greedily from the corpus (pair counts over the frequency-weighted
+      // vocabulary, deterministic tie-break) — the learn side of q131's
+      // encoder. Each step is a bounded vocab-sized job collecting exactly
+      // one argmax row; the oracle independently re-learns the chain.
+      import s.implicits._
+      TA.bpeLearn(table(s, d, "documents"), k = 5)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("rank", "a", "b", "n")
+    }, Some(bpeLearnOracleSql(5)))
   )
 }

@@ -508,6 +508,26 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"doc_id" === 99L).isEmpty)
   }
 
+  test("bpeLearn: greedy argmax chain with chained symbols, tie-break, exhaustion") {
+    import graft.pipeline.TextAnalysis
+    // vocab: aaa x2, ab x1. step1: (a,a) 2 per word x2 = 4 beats (a,b) 1;
+    // step2 encodes aaa -> [aa, a] so the LEARNED symbol chains into
+    // (aa, a) 2; step3 picks (a, b) 1; step4 finds no pairs -> stops early
+    val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "ab")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeLearn(docs, k = 5)
+    assert(learned === Seq(("a", "a", 4L), ("aa", "a", 2L), ("a", "b", 1L)))
+    // the learned table drives the encoder end-to-end
+    val enc = Seq("aaa", "ab", "aab").toDF("w")
+      .select($"w", TextAnalysis.bpeEncodeWord($"w",
+        learned.map { case (a, b, _) => (a, b) }).as("e"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc("aaa") === Seq("aaa") && enc("ab") === Seq("ab"))
+    assert(enc("aab") === Seq("aa", "b")) // rank order: (a,a) fires before (a,b)
+    // deterministic tie-break: equal counts resolve (a ASC, b ASC)
+    val ties = Seq((1L, "xy"), (2L, "pq")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeLearn(ties, k = 1) === Seq(("p", "q", 1L)))
+  }
+
   test("bpeEncodeDocs == per-occurrence encoding; zero-word and NULL docs handled") {
     import graft.pipeline.TextAnalysis
     val merges = Seq("a" -> "b", "ab" -> "c")
