@@ -87,7 +87,11 @@ object IncrementalDedup {
       .select(col("band"), col("value"), col("id").as("id_d"), col("sig").as("sig_d"))
       .join(corpus.select(col("band"), col("value"), col("id").as("id_c"), col("sig").as("sig_c")),
         Seq("band", "value"))
-      .filter(Dedup.firstAgreeingBand(col("sig_d"), col("sig_c"), col("band"), bandSize, nBands))
+      // id_d != id_c: impossible under the new-ids contract, REAL under an
+      // at-least-once replay (the batch's own signatures already in the
+      // index) — a doc must never pair with itself
+      .filter(col("id_d") =!= col("id_c") &&
+        Dedup.firstAgreeingBand(col("sig_d"), col("sig_c"), col("band"), bandSize, nBands))
       .select(least(col("id_d"), col("id_c")).as("id_a"),
         greatest(col("id_d"), col("id_c")).as("id_b"))
     // delta-vs-delta: the batch self-join over the (small) delta bands

@@ -91,6 +91,42 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming NEAR-DUP bridge: each micro-batch of arriving documents is
+    * MinHash-deduped against the persisted signature index via
+    * [[graft.pipeline.IncrementalDedup.deltaRun]] — pairs with >= 1 side in
+    * the batch append to `pairsTable`, and the batch's signatures join the
+    * index, so the stream continuously maintains exactly the state the
+    * batch path would have built ([[graft.pipeline.IncrementalDedup]]'s
+    * two-run == batch equivalence, PropertySpec). This is dedup-on-ingest
+    * for a corpus that arrives as a stream: per-trigger cost is O(batch +
+    * index-probe), never O(corpus).
+    *
+    * Same at-least-once trade as [[aggStream]]: a crash between the index
+    * append and the offset commit replays the batch against an index that
+    * already holds its signatures — replayed docs then pair with
+    * THEMSELVES (same id both sides). deltaRun's id_a < id_b
+    * canonicalization drops self-pairs, and the pairs append is re-run, so
+    * the only replay artifact is duplicate pair rows (dedupe on read);
+    * index growth is idempotent per (id, band) by content.
+    *
+    * The index must exist ([[graft.pipeline.IncrementalDedup.initRun]] on
+    * the initial corpus — possibly empty) before the stream starts.
+    */
+  def minhashDedupStream(docs: DataFrame, wh: graft.engine.Warehouse,
+      indexName: String, pairsTable: String, n: Int, k: Int, bandSize: Int,
+      threshold: Double, nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$pairsTable")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = graft.pipeline.IncrementalDedup.deltaRun(
+          wh, indexName, batch, n, k, bandSize, threshold, nBuckets)
+        if (wh.exists(pairsTable)) wh.append(pairsTable, pairs)
+        else wh.writeSwap(pairsTable, pairs)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming AGGREGATE-state bridge: each micro-batch rolls its raw rows
     * up to per-key partials and combines them into a stored rollup via
     * [[graft.engine.Incremental.mergeAggregates]] — a continuously-current

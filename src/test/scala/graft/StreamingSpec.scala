@@ -143,6 +143,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup == batch minhashPairs (multi-batch ingest vs index)") {
+    import graft.engine.Warehouse
+    import graft.pipeline.{Dedup, IncrementalDedup}
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_stream").toString
+    val wh = new Warehouse(root, spark)
+    val mkText = (i: Long) => s"alpha beta gamma delta eps zeta token$i tail$i"
+    // corpus 1..6; the stream delivers 101..104 in two triggers, with 102
+    // duplicating corpus doc 2 and 104 duplicating streamed doc 101
+    val corpus = (1L to 6L).map(i => (i, mkText(i))).toDF("doc_id", "text")
+    try {
+      IncrementalDedup.initRun(wh, "mhs_idx", corpus,
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+      // AvailableNow runs drain-then-terminate: two separate starts over
+      // the SAME checkpoint model the production periodic-ingest shape
+      // (and prove offset resume — run 2 must process only batch 2)
+      val mem = MemoryStream[(Long, String)]
+      def runOnce(): Unit = {
+        val q = EventsStream.minhashDedupStream(
+          mem.toDS().toDF("doc_id", "text"), wh, "mhs_idx", "mhs_pairs",
+          n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+        try q.awaitTermination() finally q.stop()
+      }
+      mem.addData((101L, mkText(101)), (102L, mkText(2)))
+      runOnce()
+      mem.addData((103L, mkText(103)), (104L, mkText(101)))
+      runOnce()
+      val streamed = wh.read("mhs_pairs").select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+      // reference: the batch operator over corpus + everything streamed
+      val all = corpus.unionByName(Seq((101L, mkText(101)), (102L, mkText(2)),
+        (103L, mkText(103)), (104L, mkText(101))).toDF("doc_id", "text"))
+      val batch = Dedup.minhashPairs(all, n = 3, k = 8, bandSize = 2, threshold = 0.9)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      // every batch pair with >= 1 streamed side must be found by the stream
+      val streamedSide = batch.filter(p => p._1 > 100 || p._2 > 100)
+      assert(streamed === streamedSide,
+        s"stream found $streamed, batch reference says $streamedSide")
+      assert(streamed.contains((2L, 102L)) && streamed.contains((101L, 104L)))
+    } finally {
+      Seq("mhs_idx_bands", "mhs_idx_sh", "mhs_pairs").foreach(wh.drop)
+    }
+  }
+
   test("streaming HLL registers == batch registers (sf0.001 events)") {
     import graft.functions.Sketches
     val dir = "/root/testdata/sf0.001"
