@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics. PageRank is the classic corpus-quality
+  * signal for web-scale training data (a page linked from high-rank pages
+  * is itself likely quality): Page, Brin, Motwani, Winograd, "The PageRank
+  * Citation Ranking" (1999).
+  *
+  * All rank arithmetic is FIXED-POINT INTEGER (a `scale`-denominated Long
+  * per node, `div` for every division): Long sums are associative, so the
+  * result is bit-identical regardless of partitioning, merge order, or
+  * engine — the same portability discipline as the minhash/BM25 oracles.
+  * Floating-point PageRank cannot hash-compare across engines; fixed-point
+  * can.
+  */
+object Graph {
+
+  /** Simplified-damping PageRank over a directed edge list.
+    *
+    * Semantics (per node v, per iteration, all integer arithmetic):
+    * {{{
+    *   pr'(v) = scale*(100-dampingPct)/100
+    *          + dampingPct * sum_{u -> v} (pr(u) div outdeg(u)) div 100
+    * }}}
+    * starting from `pr0 = scale` for every node that appears as a source
+    * or destination. Duplicate edges count once (the edge list is
+    * `distinct`-ed — a link is a link, not a vote per repetition).
+    * Dangling nodes (no out-edges) leak their damped mass rather than
+    * redistributing it — the standard simplified variant; redistribution
+    * would add an all-to-one aggregate per iteration for a constant shift.
+    *
+    * Scale shape per iteration: one shuffle joining `pr` onto edges by
+    * source, one partial-aggregated shuffle summing contributions by
+    * destination, one join back to the node set — all on the (small,
+    * node-sized) rank table; the (large) edge table is scanned once per
+    * iteration and never re-keyed. On a real cluster, pre-partition the
+    * edge table by source and the per-iteration exchange touches only
+    * rank rows. Iteration count is a parameter, not a convergence loop.
+    * Each round ends in a `localCheckpoint` on the NODE-sized rank table
+    * (GraphX-style lineage truncation — without it the plan re-derives
+    * the edge/degree subtrees once per level and grows multiplicatively;
+    * `localCheckpoint` blocks are ContextCleaner-collected when the
+    * result is dropped, unlike `persist`, which pins the CacheManager).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, s"iterations: $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct: $dampingPct")
+    require(scale >= 100, s"scale: $scale")
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(src, dst).distinct()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val teleport = scale / 100 * (100 - dampingPct) +
+      scale % 100 * (100 - dampingPct) / 100
+    // (teleport = scale*(100-dampingPct)/100 without overflow for any
+    // scale <= Long.Max/100 split; exact when 100 | scale, as the default)
+    var pr = nodes.select(col("node_id"), lit(scale).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node_id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr div deg")).as("in_mass"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(teleport) +
+            expr(s"$dampingPct * coalesce(in_mass, 0L) div 100")).as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    pr
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.Graph
 import graft.pipeline.{Profile, Stats, TextAnalysis => TA}
 import graft.sources.Sources.{events, table}
 
@@ -523,6 +524,45 @@ object AnalyticsQueries extends QuerySet {
           |         + (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (i*3 + 1))
           |         + (((l_orderkey % 1024) >> i) & 1) * (1::BIGINT << (i*3 + 2))))
           |         AS BIGINT) AS zkey
-          |FROM lineitem""".stripMargin))
+          |FROM lineitem""".stripMargin)),
+
+    QueryDef("q140_pagerank", (s, d) =>
+      // fixed-point integer PageRank (3 damped iterations) over the
+      // customer -> supplier link graph: the classic linked-from-quality
+      // signal for web-corpus curation, in exact Long arithmetic so the
+      // result hash-compares across engines (float PageRank cannot) —
+      // per-iteration cost is one edge-scan + two node-sized shuffles.
+      // Supplier ids are offset into their own namespace (custkey and
+      // suppkey would otherwise collide into merged nodes).
+      Graph.pageRank(
+        table(s, d, "orders").join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src_id"),
+            (col("l_suppkey") + lit(1000000)).as("dst_id")),
+        srcCol = "src_id", dstCol = "dst_id", iterations = 3),
+      Some(pageRankOracleSql(iterations = 3)))
   )
+
+  /** DuckDB mirror of [[Graph.pageRank]] on the orders->lineitem link
+    * graph, iterations unrolled as CTEs (p0..pK) in the same fixed-point
+    * integer arithmetic (`//` == `div` for the nonnegative ranks).
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""p$i AS (SELECT n.id, 150000000000 + (85 * coalesce(s.m, 0)) // 100 AS pr
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT e.dst, sum(p.pr // deg.d) AS m
+         |          FROM e JOIN p${i - 1} p ON p.id = e.src
+         |                 JOIN deg ON deg.src = e.src
+         |          GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |                           CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+       |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT id AS node_id, CAST(pr AS BIGINT) AS pr FROM p$iterations""".stripMargin
+  }
 }

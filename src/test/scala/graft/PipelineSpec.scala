@@ -714,4 +714,68 @@ class PipelineSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => x.toString +: causes(x.getCause))
     assert(causes(e).exists(_.contains("malformed vector")), e.toString)
   }
+
+  test("WAV audio encode-decode round-trips exact amplitude sums (mono + stereo)") {
+    val mono = Array.tabulate(100)(i => ((i * 37 + 11) % 65536 - 32768).toShort)
+    val d = Multimodal.decodeAudio(7L, Multimodal.encodeWav(8000, 1, mono))
+    assert(d === Multimodal.DecodedAudio(7L, 8000, 1, 100,
+      mono.map(_.toLong).sum, mono.map(s => math.abs(s.toLong)).sum,
+      mono.map(_.toInt).max))
+    val stereo = Array.tabulate(64)(i => (i * 101 % 4000 - 2000).toShort)
+    val d2 = Multimodal.decodeAudio(8L, Multimodal.encodeWav(16000, 2, stereo))
+    assert(d2.sample_rate === 16000 && d2.channels === 2 && d2.n_samples === 64)
+    assert(d2.sum_amp === stereo.map(_.toLong).sum)
+    intercept[IllegalArgumentException](
+      Multimodal.encodeWav(8000, 2, new Array[Short](63))) // ragged frames
+  }
+
+  test("decodeAudio reads big-endian PCM (AIFF container) via the header, not an assumption") {
+    val samples = Array.tabulate(50)(i => ((i * 997 + 3) % 65536 - 32768).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+      pcm(2 * i + 1) = (samples(i) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val d = Multimodal.decodeAudio(1L, out.toByteArray)
+    assert(d.sum_amp === samples.map(_.toLong).sum)
+    assert(d.sum_abs_amp === samples.map(s => math.abs(s.toLong)).sum)
+    // undecodable payload raises (quarantine-first, same as decodeImage)
+    intercept[Exception](Multimodal.decodeAudio(1L, Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("animated GIF frames round-trip exactly, including the JDK tiny-interlace sizes") {
+    // heights 2..4 are the zone where the JDK reader mis-decodes
+    // INTERLACED frames; encodeGif writes sequential scan order
+    for ((w, h) <- Seq((2, 2), (1, 4), (3, 3), (7, 5))) {
+      val gif = Multimodal.encodeGif(w, h, 3, (f, x, y) =>
+        ((x * 7 + y * 13 + f * 29) % 256, f * 3 % 256, 13))
+      val frames = Multimodal.decodeFrames(5L, gif, 1)
+      assert(frames.size === 3)
+      for (fr <- frames) {
+        val f = fr.frame_idx
+        val expR = (for (y <- 0 until h; x <- 0 until w)
+          yield (x * 7 + y * 13 + f * 29) % 256).sum.toLong
+        assert((fr.width, fr.height, fr.sum_r, fr.sum_g, fr.sum_b) ===
+          ((w, h, expR, (f * 3 % 256).toLong * w * h, 13L * w * h)))
+      }
+    }
+  }
+
+  test("decodeFrames strides from the container's own frame count; guards raise") {
+    val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
+    assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
+    assert(Multimodal.decodeFrames(1L, gif, 10).map(_.frame_idx) === Seq(0))
+    // >256 distinct colors cannot be an exact GIF frame: raise, not quantize
+    intercept[IllegalArgumentException](Multimodal.encodeGif(32, 9, 1,
+      (_, x, y) => { val v = x + 32 * y; (v % 256, v / 256, 0) }))
+    // single-frame containers the JDK reads but that are not GIF: raise
+    val png = Multimodal.encodePng(2, 2, (_, _) => (1, 2, 3))
+    intercept[IllegalArgumentException](Multimodal.decodeFrames(1L, png, 1))
+  }
 }
