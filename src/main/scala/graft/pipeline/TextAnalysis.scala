@@ -522,4 +522,70 @@ object TextAnalysis {
       concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk"),
       least(lit(chunkTokens), n - i * stride).cast("long").as("n_tokens")))
   }
+
+  /** HTML -> text: the first op of every web-corpus pipeline. Drops
+    * script/style/comment blocks (content and all — `1 < 2` inside a
+    * script must not survive as text), then tags, then decodes the six
+    * HTML entities that dominate real corpora, then collapses whitespace.
+    * Pure `regexp_replace`/`replace` chain — codegen'd, no UDF, and every
+    * pattern is written in the regex subset Java and RE2 share
+    * (`[\s\S]*?` instead of DOTALL-mode `.`), so a SQL oracle can run the
+    * identical chain. `&amp;` decodes LAST: real encoders escape `&`
+    * first, so `&amp;lt;` means a literal "&lt;", not "<".
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--[\\s\\S]*?-->", " ")
+    // tags become spaces so `</td><td>` doesn't weld adjacent cell text
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Main-content extraction, jusText-style line heuristic: a line of a
+    * stripped page is CONTENT if it has at least `minWords` words and at
+    * least one function word (`stopwords`) — navigation chrome
+    * ("Home | About | Contact"), copyright footers, and button labels
+    * fail one or both. Splits on `lineSep`, filters, rejoins: a pure
+    * narrow map over the text column, no shuffle, scan-prunable.
+    */
+  def mainContent(text: Column, stopwords: Seq[String],
+      minWords: Int = 4, lineSep: String = "\n"): Column = {
+    require(minWords >= 1, s"minWords: $minWords")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val sw = array(stopwords.map(s => lit(s.toLowerCase)): _*)
+    val kept = filter(split(text, java.util.regex.Pattern.quote(lineSep)), line => {
+      val words = filter(split(trim(line), " +"), w => length(w) > 0)
+      size(words) >= minWords && arrays_overlap(transform(words, lower _), sw)
+    })
+    array_join(kept, lineSep)
+  }
+
+  /** URL canonicalization for crawl dedup/joins: one canonical string per
+    * logical resource. Lowercases scheme and host, strips the scheme's
+    * default port (:80 http, :443 https), drops the fragment, and sorts
+    * query parameters byte-wise (`a=1&b=2` == `b=2&a=1`). Path case and
+    * param VALUES are preserved — they are semantic. Pure
+    * `regexp_extract`/`array_sort` composition, engine-portable.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#[\\s\\S]*)?$"
+    val scheme = lower(regexp_extract(url, pat, 1))
+    val hostPort = lower(regexp_extract(url, pat, 2))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(url, pat, 3)
+    val query = regexp_extract(url, pat, 4)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    // unparseable urls (no scheme://host) pass through untouched — a
+    // quarantine-filter upstream decides their fate, not a silent rewrite
+    when(regexp_extract(url, pat, 1) === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(length(sortedQuery) > 0, concat(lit("?"), sortedQuery))
+          .otherwise(lit(""))))
+  }
 }

@@ -1395,6 +1395,103 @@ object PipelineQueries extends QuerySet {
         |       CAST(sum((x*7 + y*13 + f*29 + doc_id) % 256) AS BIGINT) AS sum_r,
         |       CAST(((doc_id*7 + f*3) % 256) * w * h AS BIGINT) AS sum_g,
         |       CAST(((doc_id*13 + f*5) % 256) * w * h AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, f, w, h""".stripMargin))
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin)),
+
+    QueryDef("q141_html_strip", (s, d) => {
+      // HTML -> text (the web-corpus front door): each doc is wrapped in a
+      // deterministic page — script with embedded `<`/`&&`, style,
+      // comment, tags, and the six common entities (including the
+      // &amp;lt; double-escape trap) — then stripHtml recovers the text.
+      // The regex chain is written in the Java/RE2 shared subset, so the
+      // oracle runs the IDENTICAL chain; entity decode order (amp last)
+      // and decode-after-tag-removal are both load-bearing.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && y > 3;</script>"),
+        lit("<style>p { color: red; }</style></head><body><!-- nav --><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.stripHtml(html).as("content"))
+    }, Some {
+      val h = """'<html><head><title>Doc ' || doc_id ||
+                |'</title><script type="text/javascript">var x = 1 < 2 && y > 3;</script>' ||
+                |'<style>p { color: red; }</style></head><body><!-- nav --><h1>Doc ' ||
+                |doc_id || '</h1><p>' || text ||
+                |' &amp; more &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'"""
+        .stripMargin.linesIterator.mkString(" ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace($h, '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+         |            '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+         |          '<!--[\\s\\S]*?-->', ' ', 'g'),
+         |        '<[^>]+>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS content
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    }),
+
+    QueryDef("q142_main_content", (s, d) => {
+      // jusText-style main-content extraction: each doc becomes a 4-line
+      // page (real text + nav chrome + copyright footer + a closing
+      // sentence); lines survive only with >= 4 words AND >= 1 function
+      // word — the two heuristics that kill boilerplate. Narrow map, no
+      // shuffle; the oracle re-runs the line filter in list algebra.
+      val page = concat_ws("\n", col("text"),
+        lit("Home | About | Contact"),
+        lit("Copyright 2026 Example Corp"),
+        lit("a summary of the doc contents here"))
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.mainContent(page, Stopwords, minWords = 4).as("content"))
+    }, Some(
+      s"""WITH pages AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         [text, 'Home | About | Contact', 'Copyright 2026 Example Corp',
+         |          'a summary of the doc contents here'] AS lines
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(lines, l ->
+         |    len(list_filter(string_split(trim(l), ' '), w -> len(w) > 0)) >= 4
+         |    AND len(list_filter(string_split(trim(l), ' '),
+         |          w -> lower(w) IN ($stopwordsSql))) > 0), chr(10)) AS content
+         |FROM pages""".stripMargin)),
+
+    QueryDef("q143_url_canonicalize", (s, d) => {
+      // crawl-URL canonicalization: mixed-case scheme/host, default ports,
+      // unsorted query params, fragments — plus an unparseable slice that
+      // must pass through untouched. The oracle re-derives each canonical
+      // form from doc_id arithmetic (independent derivation, not a regex
+      // mirror), so a lazy normalization can't agree with it by accident.
+      val url = when(col("doc_id") % 7 === 0,
+          concat(lit("not a url "), col("doc_id")))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://Example"), col("doc_id") % 5, lit(".COM:80/Path"),
+            col("doc_id"), lit("/?z=26&b="), col("doc_id") % 3,
+            lit("&a=1#frag"), col("doc_id")))
+        .otherwise(
+          concat(lit("https://www.Example"), col("doc_id") % 5,
+            lit(".com:443/Path"), col("doc_id"), lit("/?z=26&b="),
+            col("doc_id") % 3, lit("&a=1#frag"), col("doc_id")))
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.canonicalizeUrl(url).as("url"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'not a url ' || doc_id
+        |       WHEN doc_id % 2 = 0 THEN
+        |         'http://example' || (doc_id % 5) || '.com/Path' || doc_id ||
+        |         '/?a=1&b=' || (doc_id % 3) || '&z=26'
+        |       ELSE
+        |         'https://www.example' || (doc_id % 5) || '.com/Path' || doc_id ||
+        |         '/?a=1&b=' || (doc_id % 3) || '&z=26'
+        |  END AS url
+        |FROM documents""".stripMargin))
   )
 }

@@ -767,6 +767,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stripHtml: block content dies, entity decode order and timing hold") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextAnalysis.stripHtml($"h")).as[String].head()
+    // script/style/comment CONTENT must die, including embedded < and >
+    assert(strip("<script>if (a < b && c > d) { x(); }</script>hi") === "hi")
+    assert(strip("a<style>p { color: red; }</style>b") === "a b")
+    assert(strip("a<!-- <b>not text</b> -->c") === "a c")
+    // tags become spaces so adjacent cell text doesn't weld
+    assert(strip("<td>x</td><td>y</td>") === "x y")
+    // &amp; decodes LAST: &amp;lt; is a literal "&lt;", not "<"
+    assert(strip("&amp;lt;") === "&lt;")
+    // decode runs AFTER tag removal: an entity-encoded tag stays text
+    assert(strip("&lt;script&gt;alert&lt;/script&gt;") === "<script>alert</script>")
+    assert(strip("a &nbsp;&nbsp; b") === "a b")
+    assert(strip("") === "")
+  }
+
+  test("mainContent keeps sentence lines, kills chrome/footers; guards raise") {
+    val sw = Seq("the", "a", "of")
+    def mc(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.mainContent($"t", sw)).as[String].head()
+    val page = Seq(
+      "the quick brown fox jumps over lazy dogs",  // content: long + stopword
+      "Home | About | Contact",                    // chrome: no stopword
+      "Buy now",                                   // short
+      "Copyright 2026 Example Corp",               // footer: no stopword
+      "a closing sentence about the data").mkString("\n")
+    assert(mc(page) ===
+      "the quick brown fox jumps over lazy dogs\na closing sentence about the data")
+    assert(mc("Home | About | Contact") === "")   // nothing survives
+    // multi-space lines: empty words don't count toward minWords
+    assert(mc("the   x    y") === "")             // 3 words < 4
+    intercept[IllegalArgumentException](
+      TextAnalysis.mainContent(lit("x"), sw, minWords = 0))
+    intercept[IllegalArgumentException](TextAnalysis.mainContent(lit("x"), Nil))
+  }
+
+  test("canonicalizeUrl: ports are scheme-conditional, params sort, junk passes through") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextAnalysis.canonicalizeUrl($"u")).as[String].head()
+    assert(canon("HTTP://Example.COM:80/Path/X?b=2&a=1#frag") ===
+      "http://example.com/Path/X?a=1&b=2")
+    // :443 is NOT default for http — it must survive
+    assert(canon("http://x.com:443/p") === "http://x.com:443/p")
+    assert(canon("https://x.com:443/p") === "https://x.com/p")
+    // no query, no fragment: no trailing '?'
+    assert(canon("https://A.B/path") === "https://a.b/path")
+    // path case and param values preserved
+    assert(canon("https://a.b/CaSe?K=V") === "https://a.b/CaSe?K=V")
+    // unparseable: untouched, not silently rewritten
+    assert(canon("not a url 42") === "not a url 42")
+    assert(canon("") === "")
+  }
+
   test("decodeFrames strides from the container's own frame count; guards raise") {
     val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
     assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
