@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Crawl-curation column ops: link extraction and domain filtering — the
+  * steps between [[TextAnalysis.stripHtml]] (page -> text) and
+  * [[graft.operators.Graph.pageRank]] (link graph -> quality signal).
+  * Everything here is a narrow map (regexp/array algebra per row, no
+  * shuffle), so it composes into scan-time pruned pipelines at any scale.
+  */
+object Web {
+
+  /** Lowercased host of a URL, port stripped; empty string when the value
+    * does not parse as scheme://host... (callers quarantine-filter on
+    * `urlHost(c) =!= ""` — mirrors [[TextAnalysis.canonicalizeUrl]]'s
+    * pass-through discipline).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+
+  /** The suffix chain of a dotted host: "a.b.com" -> ["a.b.com", "b.com",
+    * "com"]. Blocklists are written against registrable domains
+    * ("example.com" must block "cdn.example.com"), so membership tests
+    * run against every suffix, not the literal host.
+    */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+  }
+
+  /** True when the URL's host matches any blocklist entry by suffix. The
+    * blocklist rides into the expression as a LITERAL array — a pure map,
+    * no join, right for the common curated-list sizes (hundreds to low
+    * thousands). A registry-scale blocklist (millions of domains) should
+    * instead explode [[domainSuffixes]] and broadcast-semi-join a
+    * blocklist table — same semantics, hash lookup per suffix.
+    */
+  def blockedByDomain(url: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "blocked list must be non-empty")
+    arrays_overlap(domainSuffixes(urlHost(url)),
+      array(blocked.map(b => lit(b.toLowerCase)): _*))
+  }
+
+  /** All anchor links of an HTML page as `array<struct<href, anchor>>`:
+    * double-quoted hrefs with inline (tag-free) anchor text — the form
+    * crawl corpora overwhelmingly carry; nested-markup anchors surface
+    * only their text-free prefix and malformed/unquoted tags are skipped
+    * rather than guessed at. Two `regexp_extract_all` passes over ONE
+    * pattern (Spark extracts a single group per call) zipped positionally,
+    * so href[i] and anchor[i] always come from the same `<a>` tag.
+    */
+  def extractLinks(html: Column): Column = {
+    val pat = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val hrefs = regexp_extract_all(html, lit(pat), lit(1))
+    val anchors = regexp_extract_all(html, lit(pat), lit(2))
+    zip_with(hrefs, anchors, (h, a) => struct(h.as("href"), a.as("anchor")))
+  }
+}

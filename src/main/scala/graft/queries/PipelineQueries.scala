@@ -1492,6 +1492,84 @@ object PipelineQueries extends QuerySet {
         |         'https://www.example' || (doc_id % 5) || '.com/Path' || doc_id ||
         |         '/?a=1&b=' || (doc_id % 3) || '&z=26'
         |  END AS url
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    QueryDef("q144_domain_blocklist", (s, d) => {
+      // crawl blocklist by registrable-domain SUFFIX: "example.com" must
+      // catch "ads.example.com" but not "example.org" or "clean.io" — the
+      // suffix-chain expansion runs as a literal-array map (no join); the
+      // oracle re-derives each verdict from doc_id arithmetic alone
+      val url = concat(lit("https://"),
+        element_at(array(lit("ads.example.com"), lit("www.example.org"),
+          lit("cdn.tracker.net"), lit("blog.example.com"), lit("data.clean.io")),
+          (col("doc_id") % 5 + 1).cast("int")),
+        lit("/p"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          graft.pipeline.Web.blockedByDomain(url,
+            Seq("example.com", "tracker.net")).as("blocked"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       doc_id % 5 IN (0, 2, 3) AS blocked
+        |FROM documents""".stripMargin)),
+
+    QueryDef("q145_link_extract", (s, d) => {
+      // anchor-link extraction + canonicalization: the page -> edge-list
+      // step that feeds q140's PageRank. Each doc carries two well-formed
+      // links (mixed-case host, default port, unsorted params on the
+      // first) plus a nested-markup anchor the extractor must SKIP, not
+      // mangle; the oracle rebuilds both edges from doc_id arithmetic.
+      val html = concat(
+        lit("<html><body><a class=\"x\" href=\"HTTP://Example.COM:80/doc/"),
+        col("doc_id") * 7 % 100, lit("?b=2&a=1#f\">to "), col("doc_id") * 7 % 100,
+        lit("</a> filler <a href=\"https://other.net/p/"), col("doc_id") % 10,
+        lit("\">other "), col("doc_id") % 10,
+        lit("</a><a href=\"https://x.y/z\"><b>nested</b></a></body></html>"))
+      val links = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(graft.pipeline.Web.extractLinks(html)).as("link"))
+      links.select(col("doc_id"),
+        TA.canonicalizeUrl(col("link.href")).as("href"),
+        col("link.anchor").as("anchor"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       'http://example.com/doc/' || (doc_id*7 % 100) || '?a=1&b=2' AS href,
+        |       'to ' || (doc_id*7 % 100) AS anchor
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       'https://other.net/p/' || (doc_id % 10) AS href,
+        |       'other ' || (doc_id % 10) AS anchor
+        |FROM documents""".stripMargin)),
+
+    QueryDef("q146_web_pipeline", (s, d) => {
+      // the web ops COMPOSE, shuffle-free: page -> stripHtml -> token
+      // count, page -> extractLinks -> canonicalize -> blocklist filter ->
+      // link count — everything runs inside ONE projection (the blocklist
+      // test applies INSIDE the higher-order filter lambda, so even the
+      // per-link filtering never leaves the row). One scan, zero
+      // exchanges: the 100 TB shape for per-page curation.
+      import graft.pipeline.Web
+      val html = concat(lit("<p>"), col("text"), lit("</p><a href=\""),
+        when(col("doc_id") % 3 === 0, lit("https://ads.tracker.net/x"))
+          .otherwise(lit("https://ok.site/p")),
+        col("doc_id"), lit("\"></a><a href=\"https://Other.NET:443/q"),
+        col("doc_id") % 10, lit("\"></a>"))
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TA.tokenCount(TA.stripHtml(html)).as("n_tokens"),
+          size(filter(Web.extractLinks(html), l =>
+            !Web.blockedByDomain(TA.canonicalizeUrl(l.getField("href")),
+              Seq("tracker.net")))).cast("long").as("n_links_kept"))
+    }, Some(
+      // independent derivation: the stripped content of '<p>'||text||'</p>'
+      // plus two empty anchors is exactly trim(text) whitespace-collapsed,
+      // and the kept-link count falls out of doc_id arithmetic
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' '))
+        |         AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |         AS n_links_kept
+        |FROM documents WHERE text IS NOT NULL""".stripMargin))
   )
 }

@@ -821,6 +821,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(canon("") === "")
   }
 
+  test("blockedByDomain matches by label suffix, not substring; extractLinks pairs positionally") {
+    def blocked(u: String): Boolean = Seq(u).toDF("u")
+      .select(Web.blockedByDomain($"u", Seq("example.com"))).as[Boolean].head()
+    assert(blocked("https://example.com/x"))
+    assert(blocked("https://ads.CDN.Example.com/x"))      // any-depth subdomain, any case
+    assert(!blocked("https://example.org/x"))
+    assert(!blocked("https://notexample.com/x"))          // label boundary, not substring
+    assert(!blocked("https://example.com.evil.net/x"))    // suffix of HOST, not prefix
+    assert(!blocked("junk without a url"))                // unparseable: host "" -> no match
+    def links(h: String): Seq[(String, String)] = Seq(h).toDF("h")
+      .select(explode(Web.extractLinks($"h")).as("l"))
+      .select($"l.href", $"l.anchor").as[(String, String)].collect().toSeq
+    assert(links("""<a href="u1">one</a>x<a class="c" href="u2">two</a>""") ===
+      Seq(("u1", "one"), ("u2", "two")))
+    // nested markup and unquoted hrefs are SKIPPED, never mispaired
+    assert(links("""<a href="u1"><b>bold</b></a><a href="u2">ok</a>""") ===
+      Seq(("u2", "ok")))
+    assert(links("<a href=u3>bare</a>") === Seq.empty)
+    assert(links("no links at all") === Seq.empty)
+  }
+
   test("decodeFrames strides from the container's own frame count; guards raise") {
     val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
     assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
