@@ -540,7 +540,21 @@ object AnalyticsQueries extends QuerySet {
           .select(col("o_custkey").as("src_id"),
             (col("l_suppkey") + lit(1000000)).as("dst_id")),
         srcCol = "src_id", dstCol = "dst_id", iterations = 3),
-      Some(pageRankOracleSql(iterations = 3)))
+      Some(pageRankOracleSql(iterations = 3))),
+
+    QueryDef("q147_hits", (s, d) =>
+      // HITS hubs/authorities on the same customer->supplier link graph:
+      // exact integer power-of-two max-normalization per half-step (see
+      // Graph.hits) keeps the scores hash-comparable; customers are pure
+      // hubs (no in-links), suppliers pure authorities — both sides ranked
+      // in one result
+      Graph.hits(
+        table(s, d, "orders").join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src_id"),
+            (col("l_suppkey") + lit(1000000)).as("dst_id")),
+        srcCol = "src_id", dstCol = "dst_id", iterations = 2),
+      Some(hitsOracleSql(iterations = 2)))
   )
 
   /** DuckDB mirror of [[Graph.pageRank]] on the orders->lineitem link
@@ -564,5 +578,36 @@ object AnalyticsQueries extends QuerySet {
        |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
        |$iterCtes
        |SELECT id AS node_id, CAST(pr AS BIGINT) AS pr FROM p$iterations""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Graph.hits]] on the same link graph: per
+    * half-step, raw sums over the edge join then the identical
+    * power-of-two shift normalization (`length(bin(max)) - 31` for the
+    * default 2^30 scale), iterations unrolled as CTE pairs.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    def norm(out: String, in: String): String =
+      s"""$out AS (SELECT id, v >> greatest(0, length(bin(mx)) - 31) AS v
+         |          FROM $in, (SELECT max(v) AS mx FROM $in) m)""".stripMargin
+    def half(outRaw: String, scores: String, from: String, to: String): String =
+      s"""$outRaw AS (SELECT n.id, coalesce(s.m, 0) AS v
+         |            FROM nodes n LEFT JOIN (
+         |              SELECT e.$to AS id, sum(x.v) AS m
+         |              FROM e JOIN $scores x ON x.id = e.$from
+         |              GROUP BY e.$to) s ON s.id = n.id)""".stripMargin
+    val iterCtes = (1 to iterations).map { i =>
+      Seq(half(s"a${i}r", s"h${i - 1}", "src", "dst"), norm(s"a$i", s"a${i}r"),
+        half(s"h${i}r", s"a$i", "dst", "src"), norm(s"h$i", s"h${i}r"))
+        .mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |                           CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+       |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST(1073741824 AS BIGINT) AS v FROM nodes),
+       |$iterCtes
+       |SELECT h.id AS node_id, CAST(h.v AS BIGINT) AS hub,
+       |       CAST(a.v AS BIGINT) AS auth
+       |FROM h$iterations h JOIN a$iterations a ON a.id = h.id""".stripMargin
   }
 }

@@ -284,6 +284,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.removed(2L).values.forall(_ > out(2L)))
   }
 
+  test("hits matches a naive shift-normalized reference exactly") {
+    // 1 is the strongest hub (2 out-links incl. the top authority);
+    // 10 the strongest authority (3 in-links); duplicate edge counts once
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L),
+      (1L, 10L)).toDF("s", "t")
+    val out = graft.operators.Graph.hits(edges, "s", "t", iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e = Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L))
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val scale = 1L << 30
+    def normShift(m: Map[Long, Long]): Map[Long, Long] = {
+      val k = math.max(0, java.lang.Long.toBinaryString(m.values.max).length - 31)
+      m.map { case (n, v) => n -> (v >> k) }
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      auth = normShift(nodes.map(v =>
+        v -> e.filter(_._2 == v).toSeq.map(x => hub(x._1)).sum).toMap)
+      hub = normShift(nodes.map(u =>
+        u -> e.filter(_._1 == u).toSeq.map(x => auth(x._2)).sum).toMap)
+    }
+    assert(out === nodes.map(n => n -> ((hub(n), auth(n)))).toMap)
+    assert(out(10L)._2 === out.values.map(_._2).max)
+    assert(out(1L)._1 === out.values.map(_._1).max)
+    // non-power-of-two scale cannot shift-normalize exactly: raise
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.hits(edges, "s", "t", 1, scale = 1000))
+  }
+
   test("pageRank with zero iterations returns uniform scale; guards raise") {
     val edges = Seq((1L, 2L)).toDF("s", "t")
     val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 0)

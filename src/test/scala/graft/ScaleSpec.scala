@@ -425,6 +425,25 @@ class ScaleSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(plan).length <= 2, plan)
   }
 
+  test("web curation ops are exchange-free narrow maps (q141/q143/q144/q146 shape)") {
+    import graft.pipeline.{TextAnalysis, Web}
+    val docs = Seq((1L, "the quick brown fox"), (2L, "spark at scale"))
+      .toDF("doc_id", "text")
+    val html = concat(lit("<p>"), $"text",
+      lit("</p><a href=\"https://ads.tracker.net/x\"></a><a href=\"https://OK.site:443/p\"></a>"))
+    val out = docs.select($"doc_id",
+      TextAnalysis.tokenCount(TextAnalysis.stripHtml(html)).as("n_tokens"),
+      TextAnalysis.canonicalizeUrl(lit("HTTP://A.B:80/x?b=2&a=1#f")).as("u"),
+      Web.blockedByDomain(lit("https://cdn.example.com/x"), Seq("example.com")).as("b"),
+      size(filter(Web.extractLinks(html), l =>
+        !Web.blockedByDomain(TextAnalysis.canonicalizeUrl(l.getField("href")),
+          Seq("tracker.net")))).as("n_links"))
+    out.collect() // force execution so executedPlan is final
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-page curation must stay a narrow map:\n$plan")
+  }
+
   test("streaming merge upserts into the warehouse across microbatches") {
     import graft.streaming.EventsStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
