@@ -107,6 +107,27 @@ object ScaleProbe {
           nCentroids = 32, nProbe = 2).count()
       }
     }
+
+    // iterative graph ops: per-iteration cost must track the EDGE count
+    // (shuffles keyed on uniformly-distributed node ids), never edges^2.
+    // Replicas are node-shifted disjoint subgraphs — Nx edges = Nx work.
+    val edges1 = table(spark, sfDir, "orders")
+      .join(table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("s"),
+        (col("l_suppkey") + 1000000L).cast("long").as("t"))
+    val edgesN = (0 until reps).map { r =>
+      edges1.select((col("s") + lit(r * 10000000L)).as("s"),
+        (col("t") + lit(r * 10000000L)).as("t"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    for ((label, ed) <- Seq("1x" -> edges1.localCheckpoint(), s"${reps}x" -> edgesN)) {
+      time(s"pagerank              $label") {
+        graft.operators.Graph.pageRank(ed, "s", "t", iterations = 3).count()
+      }
+      time(s"hits                  $label") {
+        graft.operators.Graph.hits(ed, "s", "t", iterations = 2).count()
+      }
+    }
     spark.stop()
   }
 }
