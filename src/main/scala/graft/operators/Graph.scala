@@ -163,4 +163,60 @@ object Graph {
     }
     hub.join(auth, Seq("node_id"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED graph (direction and
+    * duplicates in the input are erased; self-loops dropped), by
+    * degree-ordered orientation — Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer" (WWW 2011).
+    *
+    * Each undirected edge is oriented from its lower-(degree, id) endpoint
+    * to its higher one; every triangle then has exactly ONE vertex with
+    * two out-edges, so wedges built from co-sourced oriented edge pairs
+    * enumerate each triangle once. The orientation is the scale move: a
+    * degree-d hub contributes `C(d, 2)` wedges unoriented but only
+    * `C(out-deg, 2)` oriented, and oriented out-degree is O(sqrt(m)) —
+    * the star-graph worst case that melts a naive node-iterator becomes
+    * flat. Shape: two node-sized joins to attach (degree, id) ranks, one
+    * self-join on the wedge apex, one closing equi-join against the
+    * oriented edge set — all equi-joins on uniformly-hashed keys.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val und = edges.filter(a.isNotNull && b.isNotNull && a =!= b)
+      .select(least(a, b).as("u"), greatest(a, b).as("v")).distinct()
+    val nodes = und.select(col("u").as("node_id"))
+      .union(und.select(col("v").as("node_id"))).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    // orient lower (deg, id) -> higher; keep the head's rank for the
+    // wedge ordering below
+    val oriented = und
+      .join(deg.select(col("node_id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node_id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"),
+        // the head's degree: degrees differ -> the greater one; equal ->
+        // the shared value either way
+        greatest(col("du"), col("dv")).as("dhi"))
+    val e1 = oriented.select(col("lo"), col("hi").as("h1"), col("dhi").as("d1"))
+    val e2 = oriented.select(col("lo"), col("hi").as("h2"), col("dhi").as("d2"))
+    val wedges = e1.join(e2, Seq("lo"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("h1") < col("h2")))
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("h1"), col("hi").as("h2")), Seq("h1", "h2"))
+      .select(col("lo"), col("h1"), col("h2"))
+    val perNode = triangles
+      .select(explode(array(col("lo"), col("h1"), col("h2"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

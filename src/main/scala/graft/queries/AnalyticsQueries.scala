@@ -554,7 +554,42 @@ object AnalyticsQueries extends QuerySet {
           .select(col("o_custkey").as("src_id"),
             (col("l_suppkey") + lit(1000000)).as("dst_id")),
         srcCol = "src_id", dstCol = "dst_id", iterations = 2),
-      Some(hitsOracleSql(iterations = 2)))
+      Some(hitsOracleSql(iterations = 2))),
+
+    QueryDef("q148_triangles", (s, d) => {
+      // degree-ordered triangle counting (Suri-Vassilvitskii) on a
+      // deterministic pseudo-random graph over the documents ids (two
+      // arithmetic edges per doc mod 97 nodes — dense enough for
+      // thousands of triangles); the oracle counts triangles the naive
+      // way (3-way id-ordered self-join), so the orientation trick is
+      // verified against the definition, not against itself
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val raw = docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 7 + 1) % 97).as("y"))
+        .union(docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 13 + 5) % 97).as("y")))
+      Graph.triangleCounts(raw, "x", "y")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT doc_id % 97 AS x, (doc_id * 7 + 1) % 97 AS y
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97 AS x, (doc_id * 13 + 5) % 97 AS y
+        |  FROM documents),
+        |e AS (SELECT DISTINCT CAST(least(x, y) AS BIGINT) AS u,
+        |                      CAST(greatest(x, y) AS BIGINT) AS v
+        |      FROM raw WHERE x <> y),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |members AS (SELECT a AS id FROM tri UNION ALL
+        |            SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |counts AS (SELECT id, count(*) AS n FROM members GROUP BY id)
+        |SELECT n.id AS node_id,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN counts c ON c.id = n.id""".stripMargin))
   )
 
   /** DuckDB mirror of [[Graph.pageRank]] on the orders->lineitem link

@@ -314,6 +314,16 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.operators.Graph.hits(edges, "s", "t", 1, scale = 1000))
   }
 
+  test("triangleCounts: K4 plus pendant, mixed directions, dups and self-loops erased") {
+    // K4 on {1,2,3,4}: 4 triangles, every member in 3; node 5 pendant
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 3L), (4L, 5L), (5L, 5L))
+      .toDF("a", "b")
+    val out = graft.operators.Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
   test("pageRank with zero iterations returns uniform scale; guards raise") {
     val edges = Seq((1L, 2L)).toDF("s", "t")
     val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 0)
