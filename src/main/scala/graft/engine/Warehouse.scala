@@ -329,6 +329,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   def writeBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
       nBuckets: Int): Unit = {
+    // finish any crashed drop() of this name FIRST (same discipline as
+    // writeSwap): without this, a stale drop-intent marker survives the
+    // rebuild and the next exists()/read() would complete the old drop
+    // against the freshly written live table
+    recover(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     deleteRec(dir(table)) // external location under this warehouse root
     df.write.mode(SaveMode.Overwrite)
@@ -351,6 +356,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
     */
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
       nBuckets: Int): Unit = {
+    // a crashed drop() must fail the require below loudly (table gone),
+    // never append into half-dropped state
+    recover(table)
     require(spark.catalog.tableExists(table), s"bucketed target $table missing")
     require(getMeta(table + "__bktgen").contains(""),
       s"$table has entered the mergeBucketed generation lifecycle; append is " +

@@ -31,6 +31,15 @@ object Graph {
     * redistributing it — the standard simplified variant; redistribution
     * would add an all-to-one aggregate per iteration for a constant shift.
     *
+    * Overflow bound: a node's incoming mass is at most `inDegree * scale`,
+    * and the damping multiply needs `dampingPct * inMass` to fit in a
+    * Long — so the maximum supported in-degree is about
+    * `Long.MaxValue / (dampingPct * scale)` (~10^5 at the defaults).
+    * Exceeding it fails LOUD (Spark 4 runs ANSI mode: Long overflow
+    * raises ARITHMETIC_OVERFLOW, never wraps silently). For hub-heavy
+    * graphs (web crawls, social follows), pass a smaller `scale` — 10^6
+    * supports ~10^11 in-degree at the cost of rank resolution.
+    *
     * Scale shape per iteration: one shuffle joining `pr` onto edges by
     * source, one partial-aggregated shuffle summing contributions by
     * destination, one join back to the node set — all on the (small,

@@ -207,13 +207,27 @@ object Dedup {
     // The signature rides along (k longs) so pair dedup needs no distinct.
     val banded = explodeSigBands(sh, bandSize, nBands)
       .repartition(col("band"), col("value"))
-    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "value"))
+    val pairs = bandedSelfJoinPairs(banded, bandSize, nBands)
+    verifyJaccard(pairs, sh.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Banded LSH self-join over an [[explodeSigBands]] relation: candidate
+    * pairs (id_a < id_b) from co-bucketed (band, value) rows, attributed
+    * to each pair's FIRST agreeing band so every pair emerges exactly once
+    * without a distinct. Shared by [[minhashPairs]] and the incremental
+    * index lifecycle ([[IncrementalDedup]]) — one definition of pair
+    * semantics, not three.
+    */
+  private[pipeline] def bandedSelfJoinPairs(banded: DataFrame, bandSize: Int,
+      nBands: Int): DataFrame = {
+    val a = banded.select(col("band"), col("value"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("value"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "value"))
       .filter(col("id_a") < col("id_b") &&
         firstAgreeingBand(col("sig_a"), col("sig_b"), col("band"), bandSize, nBands))
       .select(col("id_a"), col("id_b"))
-    verifyJaccard(pairs, sh.select(col("id"), col("sh")), threshold)
   }
 
   /** Token hash: first 4 md5 hex digits as an int in [0, 65535]. */

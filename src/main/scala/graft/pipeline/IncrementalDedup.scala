@@ -58,12 +58,7 @@ object IncrementalDedup {
     wh.writeBucketed(shTable(name), signed.select(col("id"), col("sh")),
       Seq("id"), nBuckets)
     // corpus-internal pairs from the SAME banded relation the index stores
-    val a = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "value"))
-      .filter(col("id_a") < col("id_b") &&
-        Dedup.firstAgreeingBand(col("sig_a"), col("sig_b"), col("band"), bandSize, nBands))
-      .select(col("id_a"), col("id_b"))
+    val pairs = Dedup.bandedSelfJoinPairs(banded, bandSize, nBands)
     Dedup.verifyJaccard(pairs, signed.select(col("id"), col("sh")), threshold)
   }
 
@@ -95,12 +90,7 @@ object IncrementalDedup {
       .select(least(col("id_d"), col("id_c")).as("id_a"),
         greatest(col("id_d"), col("id_c")).as("id_b"))
     // delta-vs-delta: the batch self-join over the (small) delta bands
-    val a = dBanded.select(col("band"), col("value"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = dBanded.select(col("band"), col("value"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val dvd = a.join(b, Seq("band", "value"))
-      .filter(col("id_a") < col("id_b") &&
-        Dedup.firstAgreeingBand(col("sig_a"), col("sig_b"), col("band"), bandSize, nBands))
-      .select(col("id_a"), col("id_b"))
+    val dvd = Dedup.bandedSelfJoinPairs(dBanded, bandSize, nBands)
     // disjoint by the new-ids contract (one side in the index, both in the
     // delta) — no cross-branch dedup needed. Lazily checkpointed: consumed
     // twice below (pair verification + the semi-join id set), and each

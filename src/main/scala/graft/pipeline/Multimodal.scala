@@ -49,22 +49,30 @@ object Multimodal {
         reader.setInput(iis)
         val fmt = reader.getFormatName.toLowerCase
         val img = reader.read(0)
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff
-            sg += (rgb >> 8) & 0xff
-            sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
+        val (sr, sg, sb) = sumChannels(img)
         DecodedImage(id, fmt, img.getWidth, img.getHeight, sr, sg, sb)
       } finally reader.dispose()
     } finally iis.close()
+  }
+
+  /** Exact per-channel pixel sums over a decoded raster — the shared hot
+    * loop of [[decodeImage]] and [[decodeFrames]].
+    */
+  private def sumChannels(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
   }
 
   /** Batched real decode over a media table (doc_id, media): same
@@ -466,19 +474,7 @@ object Multimodal {
         var idx = 0
         while (idx < nFrames) {
           val img = reader.read(idx)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (sr, sg, sb) = sumChannels(img)
           frames += DecodedFrame(id, idx, img.getWidth, img.getHeight, sr, sg, sb)
           idx += stride
         }

@@ -277,8 +277,10 @@ object Sampling {
     * kept set is engine-exact.
     */
   def tokenBudgetSelect(df: DataFrame, quality: Column, tokenCount: Column,
-      budget: Long, idCol: Column): DataFrame = {
+      budget: Long, idCol: Column,
+      maxDistinctQuality: Long = 2000000L): DataFrame = {
     require(budget >= 0, s"budget: $budget")
+    require(maxDistinctQuality >= 1, s"maxDistinctQuality: $maxDistinctQuality")
     Seq("__q", "__ntok", "__gtok", "__cum_before", "__run").foreach(c =>
       require(!df.columns.contains(c), s"column name '$c' is reserved"))
     require(!df.columns.contains("cum_tokens"), "column name 'cum_tokens' is reserved")
@@ -287,9 +289,18 @@ object Sampling {
       .withColumn("__ntok", tokenCount.cast("long"))
     val groups = rows.groupBy(col("__q")).agg(sum(col("__ntok")).as("__gtok"))
     val wq = Window.orderBy(col("__q").desc)
+    // same raise-or-bin contract as Ranking.valueRanks' ungrouped path:
+    // the cross-group cum-sum window is single-partition BY DESIGN over
+    // the distinct-quality rollup, so an unquantized double quality
+    // column (the docstring's warned-against misuse) must fail loud, not
+    // silently funnel the corpus through one task
+    val guard = when(row_number().over(wq) > maxDistinctQuality,
+      raise_error(lit(s"tokenBudgetSelect exceeded $maxDistinctQuality " +
+        "distinct quality values — quantize/bin the quality column first " +
+        "(e.g. floor(q * 100))")).cast("long")).otherwise(lit(0L))
     val groupCums = groups.withColumn("__cum_before",
       coalesce(sum(col("__gtok")).over(wq.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+        lit(0L)) + guard)
       .select(col("__q"), col("__cum_before"))
     val wid = Window.partitionBy(col("__q")).orderBy(idCol.asc)
     rows

@@ -565,26 +565,37 @@ object TextAnalysis {
   }
 
   /** URL canonicalization for crawl dedup/joins: one canonical string per
-    * logical resource. Lowercases scheme and host, strips the scheme's
-    * default port (:80 http, :443 https), drops the fragment, and sorts
-    * query parameters byte-wise (`a=1&b=2` == `b=2&a=1`). Path case and
-    * param VALUES are preserved — they are semantic. Pure
-    * `regexp_extract`/`array_sort` composition, engine-portable.
+    * logical resource. Lowercases scheme and host (NOT userinfo, which is
+    * case-sensitive and preserved verbatim), strips the scheme's default
+    * port (:80 http, :443 https) and any trailing FQDN dot on the host,
+    * drops the fragment, and sorts query parameters byte-wise
+    * (`a=1&b=2` == `b=2&a=1`). Path case and param VALUES are preserved —
+    * they are semantic. Pure `regexp_extract`/`array_sort` composition,
+    * engine-portable.
     */
   def canonicalizeUrl(url: Column): Column = {
     val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#[\\s\\S]*)?$"
     val scheme = lower(regexp_extract(url, pat, 1))
-    val hostPort = lower(regexp_extract(url, pat, 2))
-    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .otherwise(hostPort)
+    val auth = regexp_extract(url, pat, 2)
+    // userinfo ends at the first '@' (a raw '@' cannot appear in a host);
+    // reading the authority naively would let user:pass@blocked.host slip
+    // past host-based comparisons
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostPort = regexp_replace(auth, "^[^@]*@", "")
+    val host = regexp_replace(
+      lower(regexp_replace(hostPort, ":[0-9]*$", "")), "\\.$", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portSuffix = when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(port =!= "", concat(lit(":"), port))
+      .otherwise(lit(""))
     val path = regexp_extract(url, pat, 3)
     val query = regexp_extract(url, pat, 4)
     val sortedQuery = array_join(array_sort(split(query, "&")), "&")
     // unparseable urls (no scheme://host) pass through untouched — a
     // quarantine-filter upstream decides their fate, not a silent rewrite
     when(regexp_extract(url, pat, 1) === "", url)
-      .otherwise(concat(scheme, lit("://"), host, path,
+      .otherwise(concat(scheme, lit("://"), userinfo, host, portSuffix, path,
         when(length(sortedQuery) > 0, concat(lit("?"), sortedQuery))
           .otherwise(lit(""))))
   }

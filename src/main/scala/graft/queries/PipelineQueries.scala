@@ -917,7 +917,11 @@ object PipelineQueries extends QuerySet {
     QueryDef("q104_funnel", (s, d) =>
       // ordered-funnel progression: greedy state machine over time-sorted
       // per-user events (strictly-after semantics); type prune before the
-      // shuffle, zero-progress users restored by a narrow distinct join
+      // shuffle, zero-progress users restored by a narrow distinct join.
+      // The oracle does NOT model funnel's maxEventsPerUser cap (default
+      // 100k, r5 verdict task #8): no TESTDATA scale approaches it, and a
+      // capped user would be a deliberate divergence — the cap exists to
+      // bound per-user state against bot tails, not to change analytics
       graft.operators.EventAnalytics.funnel(
         events(s, d), Seq("view", "click", "purchase"))
         .select(col("user_id"), col("reached")),

@@ -29,10 +29,18 @@ trait QuerySet {
   * from clean state, not merge into a previous invocation's leftovers).
   */
 object Scratch {
+  /** One scratch warehouse per (tag, sfDir) PER JVM: reuse across bench
+    * reps/warmups inside a run (the ADVICE r6 temp-dir leak), but never
+    * shared between concurrently running JVMs — a test pass and a bench
+    * resolving to the same path would drop each other's live lifecycle
+    * tables mid-read. The per-process dir is bounded by process count,
+    * not invocation count.
+    */
   def warehouse(tag: String, sfDir: String, s: SparkSession,
       tables: Seq[String]): graft.engine.Warehouse = {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_scratch_${tag}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      s"graft_scratch_${tag}_${java.lang.Integer.toHexString(sfDir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}")
     val wh = new graft.engine.Warehouse(root.toString, s)
     tables.foreach(wh.drop)
     wh

@@ -235,6 +235,32 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("crashed drop + bucketed rebuild: the stale marker must not kill the new table") {
+    // writeBucketed/appendBucketed bypass the read-side completeDrop, so
+    // they must run recover() themselves — without it, a drop() that died
+    // after deleting the table leaves its intent marker, the rebuild
+    // succeeds, and the NEXT exists()/read() completes the old drop
+    // against the freshly written live table
+    val root = Files.createTempDirectory("graft_rec_bkt_drop").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeBucketed("bt", Seq((1L, "x")).toDF("k", "v"), Seq("k"), 4)
+    crashAt(wh, "drop:table-deleted")
+    intercept[Exception](wh.drop("bt"))
+    val wh2 = new Warehouse(root, spark)
+    wh2.writeBucketed("bt", Seq((2L, "y")).toDF("k", "v"), Seq("k"), 4)
+    val wh3 = new Warehouse(root, spark)
+    assert(wh3.exists("bt"), "stale drop-intent destroyed the rebuilt table")
+    assert(wh3.read("bt").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(2L -> "y"))
+    // appendBucketed after a crashed drop: fail the missing-target require
+    // loudly, never append into half-dropped state
+    crashAt(wh3, "drop:table-deleted")
+    intercept[Exception](wh3.drop("bt"))
+    val wh4 = new Warehouse(root, spark)
+    intercept[IllegalArgumentException](
+      wh4.appendBucketed("bt", Seq((3L, "z")).toDF("k", "v"), Seq("k"), 4))
+  }
+
   test("double crash: dying again DURING marker replay still converges") {
     // crash the slice commit right after the marker, then crash the
     // RECOVERY itself mid-replay (after the first dir applies) — the third
