@@ -375,4 +375,84 @@ object EventsStream {
           }
       }
   }
+
+  final case class PendingStep(us: Long, step: Int)
+  final case class FunnelState(pending: Seq[PendingStep], reached: Int,
+      lastUs: Long, finalizedUs: Long)
+  final case class FunnelProgress(user_id: Long, reached: Int)
+
+  /** Streaming ordered funnel — the stateful twin of
+    * [[graft.operators.EventAnalytics.funnel]] (q104), with EVENT-TIME
+    * correctness under out-of-order arrival: step events BUFFER in state
+    * until the watermark passes them, then fold through the greedy state
+    * machine in event-time order (batch tie-break parity included: equal
+    * timestamps order by the type STRING, as `sort_array` does). A naive
+    * incremental fold is wrong the moment a user's 'view' arrives after
+    * their 'click' — the buffer-until-watermark design is what makes
+    * stream == batch hold.
+    *
+    * Semantics and bounds:
+    *  - emits (user_id, reached) in UPDATE mode — the latest row per user
+    *    is the answer; rows re-emit on every invocation of that user;
+    *  - non-step events flow through (un-buffered) so zero-progress users
+    *    surface with reached 0, matching batch's distinct-user restore;
+    *  - events at or below the already-finalized horizon are late beyond
+    *    the watermark contract: dropped, like any watermarked operator;
+    *  - state per user = reached + the within-watermark-lag buffer (the
+    *    same bound as a sliding-window agg) plus one record that persists
+    *    for the stream's lifetime — funnels have no natural expiry; a
+    *    deployment that wants one composes a timeout policy on top.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      watermarkDelay: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"repeated step types are ambiguous: $steps")
+    val stepOf = map(steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    // the watermark column must SURVIVE into the stateful operator's input
+    // (a later projection that drops it silently discards the watermark
+    // tag and EventTimeTimeout then fails analysis) — project first,
+    // watermark last, carry __ts through the encoder
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        coalesce(element_at(stepOf, col("event_type")), lit(-1)).as("step"),
+        col("ts").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelState(Nil, 0, Long.MinValue, Long.MinValue))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000
+          val fresh = rows.collect {
+            case (_, us, s, _) if s >= 0 && us > st0.finalizedUs => PendingStep(us, s)
+          }.toSeq
+          val (ready, still) = (st0.pending ++ fresh).partition(_.us <= horizonUs)
+          var reached = st0.reached
+          var lastUs = st0.lastUs
+          ready.sortBy(p => (p.us, steps(p.step))).foreach { p =>
+            // the batch fold verbatim: next step in sequence, strictly
+            // after the previous advance (first step exempt)
+            if (reached < steps.size && p.step == reached &&
+                (reached == 0 || p.us > lastUs)) {
+              reached += 1
+              lastUs = p.us
+            }
+          }
+          // state persists even when complete: a later re-invocation must
+          // re-emit the achieved level, never regress to a fresh 0
+          state.update(FunnelState(still, reached, lastUs,
+            math.max(st0.finalizedUs, horizonUs)))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(math.max(still.map(_.us).min / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+          Iterator.single(FunnelProgress(userId, reached))
+      }
+  }
 }

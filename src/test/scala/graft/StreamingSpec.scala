@@ -119,6 +119,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream == batch funnel under cross-batch out-of-order steps") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    import EventsStream.FunnelProgress
+    val min = 60L * 1000000
+    val base = 1700000000L * 1000000
+    val mem = MemoryStream[(Long, Long, String)] // (user_id, us, event_type)
+    val stream = mem.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+    val results = scala.collection.concurrent.TrieMap[Long, Int]()
+    val q = EventsStream.funnelStream(stream, Seq("view", "click", "purchase"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+        b.collect().foreach(p => results(p.user_id) = p.reached); ()
+      }
+      .start()
+    // u1's click+purchase arrive BEFORE its view (the view lands late in a
+    // later batch) — a naive incremental fold locks u1 at 0 forever; the
+    // buffer-until-watermark fold must recover the full progression.
+    // u2 has a click at the SAME ts as its view: equal ts must not advance
+    // (and the batch tie-break folds 'click' before 'view').
+    val events = Seq(
+      (1L, base + 20 * min, "click"), (1L, base + 30 * min, "purchase"),
+      (2L, base + 10 * min, "view"), (2L, base + 10 * min, "click"),
+      (3L, base + 5 * min, "browse"))
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData((1L, base + 10 * min, "view")) // late, within the horizon
+      q.processAllAvailable()
+      // sentinel advances the watermark past every buffered step; the
+      // timeout no-data batch then finalizes the folds
+      mem.addData((99L, base + 20L * 60 * min, "browse"))
+      q.processAllAvailable()
+      // late BEYOND the horizon: this click would advance u2 to 2 if
+      // folded, but its region is finalized — the watermark contract says
+      // drop, and reached must not regress or jump
+      mem.addData((2L, base + 11 * min, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = events ++ Seq((1L, base + 10 * min, "view"),
+      (99L, base + 20L * 60 * min, "browse"))
+    val batch = graft.operators.EventAnalytics.funnel(
+      all.toDF("user_id", "us", "event_type")
+        .withColumn("ts", timestamp_micros($"us")),
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(results.toMap === batch)
+    assert(batch === Map(1L -> 3, 2L -> 1, 3L -> 0, 99L -> 0))
+  }
+
   test("sessionize emits an idle user's session when the watermark passes the gap (timeout liveness)") {
     implicit val s = spark
     implicit val sc = s.sqlContext
