@@ -357,12 +357,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
       nBuckets: Int): Unit = {
     // a crashed drop() must fail the require below loudly (table gone),
-    // never append into half-dropped state
+    // never append into half-dropped state; a crashed generation swap is
+    // settled first so the append lands in the CURRENT generation
     recover(table)
+    recoverBucketedGen(table)
     require(spark.catalog.tableExists(table), s"bucketed target $table missing")
-    require(getMeta(table + "__bktgen").contains(""),
-      s"$table has entered the mergeBucketed generation lifecycle; append is " +
-        "only defined for writeBucketed-plain tables")
     df.write.mode(SaveMode.Append)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -427,9 +426,40 @@ final class Warehouse(val root: String, spark: SparkSession) {
     finally src.unpersist()
   }
 
+  /** Bucketed-table compaction: every [[appendBucketed]] batch adds one
+    * part-file per touched bucket, and at corpus scale an append-heavy
+    * index (e.g. the incremental-dedup signature tables) degrades into
+    * thousands of small files per bucket. Rewrites the table through the
+    * SAME crash-safe generation swap as [[mergeBucketed]], content
+    * untouched and SHUFFLE-FREE: with the bucketed scan forced on (Spark
+    * auto-disables it when no join/agg would benefit — here the benefit
+    * is the write), each task reads exactly one bucket's files and the
+    * writer emits exactly ONE file per bucket, with no exchange between
+    * scan and write. Appends keep working afterwards (they target the
+    * current generation through the catalog).
+    */
+  def compactBucketed(table: String, keys: Seq[String], nBuckets: Int): Unit = {
+    recover(table)
+    val genNow = recoverBucketedGen(table)
+    require(spark.catalog.tableExists(table), s"bucketed target $table missing")
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoScan)
+    spark.conf.set(autoScan, "false")
+    try writeBucketedGen(table, spark.table(table), keys, nBuckets, genNow)
+    finally spark.conf.set(autoScan, prev)
+  }
+
   private def mergeBucketedImpl(table: String, source: DataFrame,
+      keys: Seq[String], nBuckets: Int, genNow: String): Unit =
+    writeBucketedGen(table,
+      Incremental.merge(spark.table(table), source, keys), keys, nBuckets, genNow)
+
+  /** Stage a new generation of a bucketed table from `df` and swap it in —
+    * the crash-safe rewrite shared by [[mergeBucketed]] and
+    * [[compactBucketed]] (kill-tested at every bktgen:* failpoint).
+    */
+  private def writeBucketedGen(table: String, merged: DataFrame,
       keys: Seq[String], nBuckets: Int, genNow: String): Unit = {
-    val merged = Incremental.merge(spark.table(table), source, keys)
     val genNext = if (genNow == "a") "b" else "a"
     val prevPath = dir(if (genNow.isEmpty) table else s"$table@$genNow")
     val nextName = s"${table}__gen_$genNext"

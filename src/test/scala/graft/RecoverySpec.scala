@@ -146,6 +146,33 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("compactBucketed survives a kill at every commit point (content-neutral swap)") {
+    // compaction rides the same generation-swap protocol as mergeBucketed;
+    // its before- and after-images are IDENTICAL (content untouched), so
+    // every kill point must converge back to exactly the original rows
+    val table = "rec_bkt_compact"
+    val rows = (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+    val content = (1L to 40L).map(k => k -> s"v$k").toMap
+    try {
+      runMatrix(Proto(
+        name = "compactBucketed",
+        setup = wh => {
+          wh.writeBucketed(table, rows, Seq("k"), nBuckets = 4)
+          wh.appendBucketed(table, Seq((41L, "a")).toDF("k", "v"), Seq("k"), 4)
+        },
+        op = wh => wh.compactBucketed(table, Seq("k"), nBuckets = 4),
+        state = _ => spark.table(table).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap,
+        before = content + (41L -> "a"),
+        after = content + (41L -> "a"),
+        readable = _ => spark.catalog.tableExists(table)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__gen_a")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__gen_b")
+    }
+  }
+
   test("slice-intent marker replay: zero, some, and all staged dirs moved") {
     // the three completeSliceSwap entry states, constructed EXPLICITLY (the
     // matrix above reaches them through live crashes; this pins the replay

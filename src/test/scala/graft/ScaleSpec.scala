@@ -28,6 +28,46 @@ class ScaleSpec extends AnyFunSuite {
       Skew.saltedJoin(fact, dim, Seq("k"), k = 0, factUniquifier = "fact_id"))
   }
 
+  test("compactBucketed: one file per bucket, content identical, appends keep working") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_compact_bkt").toString
+    val wh = new Warehouse(root, spark)
+    def parquetFiles(): Seq[java.nio.file.Path] =
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")
+          && p.toString.contains("cb"))
+        .toSeq
+    try {
+      wh.writeBucketed("cb", (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"),
+        Seq("k"), nBuckets = 4)
+      (1 to 5).foreach(i => wh.appendBucketed("cb",
+        Seq((1000L + i, s"a$i")).toDF("k", "v"), Seq("k"), nBuckets = 4))
+      val before = spark.table("cb").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(parquetFiles().size > 4, "appends should have left debris")
+      wh.compactBucketed("cb", Seq("k"), nBuckets = 4)
+      // repartition(nBuckets, keys) aligns tasks to buckets 1:1 (identical
+      // pmod(murmur3) placement), so the rewrite is exactly one file/bucket
+      assert(parquetFiles().size === 4,
+        s"expected one file per bucket: ${parquetFiles()}")
+      assert(spark.table("cb").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap === before)
+      // the bucketing survives the rewrite: self-join stays exchange-free
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("cb").join(spark.table("cb").select(col("k"),
+          col("v").as("v2")), Seq("k"))
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+        assert(j.count() === 205)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // append-after-compaction: the generation table keeps accepting
+      wh.appendBucketed("cb", Seq((2000L, "post")).toDF("k", "v"),
+        Seq("k"), nBuckets = 4)
+      assert(spark.table("cb").count() === 206)
+    } finally spark.sql("DROP TABLE IF EXISTS cb")
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = new Warehouse(Files.createTempDirectory("graft_bkt").toString, spark)
     val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
