@@ -52,6 +52,98 @@ object Web {
       array(blocked.map(b => lit(b.toLowerCase)): _*))
   }
 
+  /** One robots.txt rule: allow/disallow + the path pattern (RFC 9309
+    * syntax: literal prefix, `*` wildcards, optional `$` end anchor).
+    */
+  final case class RobotsRule(allow: Boolean, path: String)
+
+  /** Parse a robots.txt body into the rule group governing `agent`, per
+    * RFC 9309: consecutive `User-agent` lines head a group; an exact
+    * (case-insensitive) agent match beats the `*` group; multiple groups
+    * naming the same agent MERGE; comments strip at `#`; empty
+    * Allow/Disallow values are no-ops; unknown directives (Crawl-delay,
+    * Sitemap) are ignored. An empty result means "allow everything" —
+    * both for a missing/empty file and for an agent no group names.
+    */
+  def parseRobots(txt: String, agent: String): Seq[RobotsRule] = {
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    var headerAgents = Set.empty[String]
+    var current: Option[scala.collection.mutable.ArrayBuffer[RobotsRule]] = None
+    for (raw <- txt.split("\n", -1)) {
+      val line = raw.takeWhile(_ != '#').trim
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val key = line.substring(0, idx).trim.toLowerCase
+        val value = line.substring(idx + 1).trim
+        key match {
+          case "user-agent" =>
+            // a user-agent line AFTER rules starts a fresh group header
+            if (current.isDefined) { headerAgents = Set.empty; current = None }
+            headerAgents += value.toLowerCase
+          case "allow" | "disallow" =>
+            if (current.isEmpty) {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+              groups += ((headerAgents, buf))
+              current = Some(buf)
+            }
+            if (value.nonEmpty) current.get += RobotsRule(key == "allow", value)
+          case _ => ()
+        }
+      }
+    }
+    val a = agent.toLowerCase
+    val exact = groups.filter(_._1.contains(a))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
+    chosen.iterator.flatMap(_._2).toSeq
+  }
+
+  /** Does `pattern` (RFC 9309: prefix + `*` wildcards + optional `$`
+    * anchor) match `path`? Wildcard segments compile to `.*` between
+    * quoted literals; an unanchored pattern matches any path PREFIX
+    * (`lookingAt`), an anchored one the whole path (`matches`) — regex
+    * backtracking handles the placements a greedy scan gets wrong
+    * (e.g. a slash-star-x-dollar pattern against "/axbx").
+    */
+  private[pipeline] def robotsPatternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    val rx = p.split("\\*", -1).map(seg =>
+      if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
+    val m = java.util.regex.Pattern.compile(rx).matcher(path)
+    if (anchored) m.matches() else m.lookingAt()
+  }
+
+  /** RFC 9309 decision: the longest matching pattern wins; on a length
+    * tie the least restrictive (allow) rule wins; no matching rule means
+    * allowed.
+    */
+  def robotsAllowed(rules: Seq[RobotsRule], path: String): Boolean = {
+    val matching = rules.filter(r => robotsPatternMatches(r.path, path))
+    if (matching.isEmpty) true
+    else {
+      val maxLen = matching.map(_.path.length).max
+      matching.exists(r => r.path.length == maxLen && r.allow)
+    }
+  }
+
+  /** Batched robots evaluation over (doc_id, robots_txt, path): the real
+    * parser runs once per row inside `mapPartitions` (same
+    * one-context-per-partition shape as the media codecs; at scale the
+    * natural refinement is one parse per DOMAIN run after a sort within
+    * partitions — the contract is unchanged).
+    */
+  def robotsFilter(pages: org.apache.spark.sql.DataFrame, agent: String)(
+      implicit spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("robots_txt"), col("path"))
+      .as[(Long, String, String)]
+      .mapPartitions(rows => rows.map { case (id, txt, path) =>
+        (id, path, robotsAllowed(parseRobots(txt, agent), path))
+      }).toDF("doc_id", "path", "allowed")
+  }
+
   /** All anchor links of an HTML page as `array<struct<href, anchor>>`:
     * double-quoted hrefs with inline (tag-free) anchor text — the form
     * crawl corpora overwhelmingly carry; nested-markup anchors surface

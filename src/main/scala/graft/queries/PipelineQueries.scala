@@ -1546,6 +1546,42 @@ object PipelineQueries extends QuerySet {
         |       'other ' || (doc_id % 10) AS anchor
         |FROM documents""".stripMargin)),
 
+    QueryDef("q149_robots", (s, d) => {
+      // RFC 9309 robots.txt evaluation (crawl politeness — the protocol
+      // sibling of q144's manual blocklist): per doc, a deterministic
+      // robots body (a '*' group with a disallow/allow-override pair,
+      // plus an agent-specific group for every third doc that must WIN by
+      // exact-match precedence) is parsed by the real parser and a
+      // doc-keyed path is judged; the oracle re-derives every verdict
+      // from doc_id arithmetic — group choice, longest-match, and the
+      // allow tie-break all have to be right for the CASE to agree
+      implicit val sp: SparkSession = s
+      val robots = concat(
+        lit("# crawl policy\nUser-agent: *\nDisallow: /private"),
+        col("doc_id") % 5,
+        lit("/\nAllow: /private"), col("doc_id") % 5, lit("/pub\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nUser-agent: graftbot\nDisallow: /\nAllow: /ok\n"))
+          .otherwise(lit("")))
+      val path = element_at(array(
+        concat(lit("/private"), col("doc_id") % 5, lit("/x")),
+        concat(lit("/private"), col("doc_id") % 5, lit("/pub/x")),
+        lit("/open/x"), lit("/ok/y")), (col("doc_id") % 4 + 1).cast("int"))
+      graft.pipeline.Web.robotsFilter(
+        table(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
+          robots.as("robots_txt"), path.as("path")),
+        agent = "GraftBot")
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN '/private' || (doc_id % 5) || '/x'
+        |         WHEN 1 THEN '/private' || (doc_id % 5) || '/pub/x'
+        |         WHEN 2 THEN '/open/x'
+        |         ELSE '/ok/y' END AS path,
+        |       CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 = 3
+        |            ELSE doc_id % 4 <> 0 END AS allowed
+        |FROM documents""".stripMargin)),
+
     QueryDef("q146_web_pipeline", (s, d) => {
       // the web ops COMPOSE, shuffle-free: page -> stripHtml -> token
       // count, page -> extractLinks -> canonicalize -> blocklist filter ->

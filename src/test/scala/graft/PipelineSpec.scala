@@ -856,6 +856,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(links("no links at all") === Seq.empty)
   }
 
+  test("robots.txt: RFC 9309 group choice, longest-match, allow tie-break, wildcards") {
+    import Web.{parseRobots, robotsAllowed, RobotsRule}
+    // a single-disallow rule set turns the matcher inside-out: the path
+    // matches the pattern iff the path is NOT allowed
+    def matches(pattern: String, path: String): Boolean =
+      !robotsAllowed(Seq(RobotsRule(false, pattern)), path)
+    val txt =
+      """# policy
+        |User-agent: OtherBot
+        |User-agent: GraftBot
+        |Disallow: /a
+        |Allow: /a/pub
+        |
+        |User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /b    # merged second group for the same agent
+        |Crawl-delay: 10
+        |""".stripMargin
+    // exact agent match (case-insensitive) beats '*'; same-agent groups merge
+    val rules = parseRobots(txt, "graftbot")
+    assert(rules === Seq(RobotsRule(false, "/a"), RobotsRule(true, "/a/pub"),
+      RobotsRule(false, "/b")))
+    assert(robotsAllowed(rules, "/a/x") === false)
+    assert(robotsAllowed(rules, "/a/pub/x") === true)  // longest match wins
+    assert(robotsAllowed(rules, "/c") === true)        // no match -> allow
+    assert(robotsAllowed(rules, "/b/z") === false)     // merged group applies
+    // unknown agent falls to '*' (disallow everything)
+    assert(robotsAllowed(parseRobots(txt, "nobody"), "/a") === false)
+    // empty/missing file: everything allowed
+    assert(parseRobots("", "graftbot") === Nil)
+    assert(robotsAllowed(Nil, "/anything") === true)
+    // length tie between allow and disallow -> allow (least restrictive)
+    assert(robotsAllowed(Seq(RobotsRule(false, "/p"), RobotsRule(true, "/p")), "/p/x"))
+    // RFC wildcards: * spans segments, $ anchors the end (with backtracking)
+    assert(matches("/*.gif$", "/img/x.gif"))
+    assert(!matches("/*.gif$", "/img/x.gif?v=1"))
+    assert(matches("/*x$", "/axbx"))
+    assert(matches("/a*b", "/a-zz-b-tail"))
+    assert(!matches("/a$", "/a/b"))
+  }
+
   test("decodeFrames strides from the container's own frame count; guards raise") {
     val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
     assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
