@@ -589,8 +589,49 @@ object AnalyticsQueries extends QuerySet {
         |counts AS (SELECT id, count(*) AS n FROM members GROUP BY id)
         |SELECT n.id AS node_id,
         |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
-        |FROM nodes n LEFT JOIN counts c ON c.id = n.id""".stripMargin))
+        |FROM nodes n LEFT JOIN counts c ON c.id = n.id""".stripMargin)),
+
+    QueryDef("q150_kcore", (s, d) => {
+      // k-core peeling (3 rounds, k=4) on q148's pseudo-random graph
+      // (~4-regular: both endpoints are linear in doc_id mod 97, so the
+      // edge set is bounded by the modulus, not the doc count): k=4
+      // leaves a 65-node core with 32 peeled — both the cascade and the
+      // survivors are exercised; the oracle unrolls the identical rounds
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val raw = docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 7 + 1) % 97).as("y"))
+        .union(docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 13 + 5) % 97).as("y")))
+      Graph.kCorePeel(raw, "x", "y", k = 4, rounds = 3)
+    }, Some(kCoreOracleSql(k = 4, rounds = 3)))
   )
+
+  /** DuckDB mirror of [[Graph.kCorePeel]] on the q148 fixture graph,
+    * rounds unrolled as (degree filter -> edge restriction) CTE pairs.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT n FROM (
+         |          SELECT n, count(*) AS d FROM (
+         |            SELECT u AS n FROM e${i - 1}
+         |            UNION ALL SELECT v FROM e${i - 1}) x GROUP BY n)
+         |        WHERE d >= $k),
+         |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON a.n = e.u JOIN k$i b ON b.n = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id % 97 AS x, (doc_id * 7 + 1) % 97 AS y FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 97 AS x, (doc_id * 13 + 5) % 97 AS y FROM documents),
+       |e0 AS (SELECT DISTINCT CAST(least(x, y) AS BIGINT) AS u,
+       |                       CAST(greatest(x, y) AS BIGINT) AS v
+       |       FROM raw WHERE x <> y),
+       |$iterCtes
+       |SELECT n AS node_id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds) x
+       |GROUP BY n""".stripMargin
+  }
 
   /** DuckDB mirror of [[Graph.pageRank]] on the orders->lineitem link
     * graph, iterations unrolled as CTEs (p0..pK) in the same fixed-point

@@ -324,6 +324,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("kCorePeel cascades: K4 core survives, tail chain peels away round by round") {
+    // K4 on {1,2,3,4} + a chain 4-5-6: round 1 drops 6 (deg 1) and 5
+    // (deg 2 < 3); round 2 then drops nothing — node 4's degree fell to 3
+    // only AFTER 5 left, which is exactly the cascade a one-shot degree
+    // filter misses (a chain long enough needs its own round per link)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = graft.operators.Graph.kCorePeel(edges, "a", "b", k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round is NOT enough on a longer chain: 4-5-6-7 peels one node
+    // per round from the far end
+    val chain = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val r1 = graft.operators.Graph.kCorePeel(chain, "a", "b", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    val r2 = graft.operators.Graph.kCorePeel(chain, "a", "b", k = 2, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 === Set(1L, 2L, 3L, 4L, 5L, 6L)) // 7 (deg 1) gone
+    assert(r2 === Set(1L, 2L, 3L, 4L, 5L))     // then 6 follows
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.kCorePeel(chain, "a", "b", k = 0, rounds = 1))
+  }
+
   test("pageRank with zero iterations returns uniform scale; guards raise") {
     val edges = Seq((1L, 2L)).toDF("s", "t")
     val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 0)
