@@ -350,9 +350,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * within itself — Spark validates the spec against the table), existing
     * data is never read or rewritten. This is the INDEX-GROWTH path (e.g.
     * the incremental-dedup signature index): per-run I/O is O(batch), and
-    * later bucket-joins still see one coherent bucketing. Not valid after
-    * [[mergeBucketed]] has moved the table into generation dirs — merge
-    * and append are different lifecycle disciplines for a bucketed name.
+    * later bucket-joins still see one coherent bucketing. Works on plain
+    * AND generation-lifecycle tables alike (the append targets whatever
+    * generation the catalog currently names, after settling any crashed
+    * swap), so append -> [[compactBucketed]] -> append cycles compose.
     */
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
       nBuckets: Int): Unit = {

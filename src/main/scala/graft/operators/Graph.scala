@@ -189,50 +189,8 @@ object Graph {
     * self-join on the wedge apex, one closing equi-join against the
     * oriented edge set — all equi-joins on uniformly-hashed keys.
     */
-  /** `rounds` rounds of k-core peeling over an UNDIRECTED graph
-    * (direction/duplicates erased, self-loops dropped): each round
-    * removes every node whose degree in the REMAINING graph is below `k`,
-    * the classic dense-subgraph extraction (Seidman, "Network structure
-    * and minimum degree", 1983). Returns the surviving nodes with their
-    * degree in the surviving subgraph. A fixed round count keeps the
-    * result exactly oracle-comparable; peeling converges once no round
-    * removes a node (survivor degrees all >= k then certify convergence —
-    * callers needing the exact fixed point iterate until that holds).
-    * Shape per round: one degree aggregation + two semi-joins, all
-    * equi-keyed on node ids. Unlike [[pageRank]]'s linear lineage, each
-    * round references the PREVIOUS edge set three times (degree rollup +
-    * both semi-join probes), so a lazy loop re-derives it 3^rounds times
-    * — the default per-round `localCheckpoint` measured 2.75x faster on
-    * the q150 shape at sf0.1 (4.4 s lazy -> 1.6 s).
-    */
-  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
-    require(k >= 1, s"k: $k")
-    require(rounds >= 1, s"rounds: $rounds")
-    require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
-    val a = col(aCol).cast("long")
-    val b = col(bCol).cast("long")
-    var e = edges.filter(a.isNotNull && b.isNotNull && a =!= b)
-      .select(least(a, b).as("u"), greatest(a, b).as("v")).distinct()
-    var i = 0
-    while (i < rounds) {
-      val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-      i += 1
-      if (i % checkpointEvery == 0 && i < rounds) e = e.localCheckpoint()
-    }
-    e.select(explode(array(col("u"), col("v"))).as("node_id"))
-      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
-  }
-
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val a = col(aCol).cast("long")
-    val b = col(bCol).cast("long")
-    val und = edges.filter(a.isNotNull && b.isNotNull && a =!= b)
-      .select(least(a, b).as("u"), greatest(a, b).as("v")).distinct()
+    val und = normalizeUndirected(edges, aCol, bCol)
     val nodes = und.select(col("u").as("node_id"))
       .union(und.select(col("v").as("node_id"))).distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node_id"))
@@ -266,5 +224,54 @@ object Graph {
     nodes.join(perNode, Seq("node_id"), "left")
       .select(col("node_id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** The shared undirected-graph normalization of [[triangleCounts]] and
+    * [[kCorePeel]]: nulls and self-loops out, direction and duplicates
+    * erased via (least, greatest) + distinct — one definition of what an
+    * undirected edge IS.
+    */
+  private def normalizeUndirected(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    edges.filter(a.isNotNull && b.isNotNull && a =!= b)
+      .select(least(a, b).as("u"), greatest(a, b).as("v")).distinct()
+  }
+
+  /** `rounds` rounds of k-core peeling over an UNDIRECTED graph
+    * (direction/duplicates erased, self-loops dropped): each round
+    * removes every node whose degree in the REMAINING graph is below `k`,
+    * the classic dense-subgraph extraction (Seidman, "Network structure
+    * and minimum degree", 1983). Returns the surviving nodes with their
+    * degree in the surviving subgraph. A fixed round count keeps the
+    * result exactly oracle-comparable; peeling converges once no round
+    * removes a node (survivor degrees all >= k then certify convergence —
+    * callers needing the exact fixed point iterate until that holds).
+    * Shape per round: one degree aggregation + two semi-joins, all
+    * equi-keyed on node ids. Unlike [[pageRank]]'s linear lineage, each
+    * round references the PREVIOUS edge set three times (degree rollup +
+    * both semi-join probes), so a lazy loop re-derives it 3^rounds times
+    * — the default per-round `localCheckpoint` measured 2.75x faster on
+    * the q150 shape at sf0.1 (4.4 s lazy -> 1.6 s).
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(rounds >= 1, s"rounds: $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
+    var e = normalizeUndirected(edges, aCol, bCol)
+    var i = 0
+    while (i < rounds) {
+      val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
   }
 }

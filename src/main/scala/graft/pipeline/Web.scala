@@ -58,19 +58,23 @@ object Web {
   final case class RobotsRule(allow: Boolean, path: String)
 
   /** Parse a robots.txt body into the rule group governing `agent`, per
-    * RFC 9309: consecutive `User-agent` lines head a group; an exact
-    * (case-insensitive) agent match beats the `*` group; multiple groups
-    * naming the same agent MERGE; comments strip at `#`; empty
-    * Allow/Disallow values are no-ops; unknown directives (Crawl-delay,
-    * Sitemap) are ignored. An empty result means "allow everything" —
-    * both for a missing/empty file and for an agent no group names.
+    * RFC 9309: CONSECUTIVE `User-agent` lines head a group (any other
+    * line — including ignored directives like Crawl-delay — ends the
+    * header, so a later User-agent starts a NEW group, never extends the
+    * old header); an exact (case-insensitive) agent match beats the `*`
+    * group EVEN when the matched group carries no rules (a rule-less
+    * group means "no restrictions" for its agents, not "fall back to
+    * *"); multiple groups naming the same agent MERGE; comments strip at
+    * `#`; empty Allow/Disallow values and rules before any group are
+    * no-ops. An empty result means "allow everything" — for a missing /
+    * empty / null file and for an agent no group names alike.
     */
   def parseRobots(txt: String, agent: String): Seq[RobotsRule] = {
     val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(Set[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
-    var headerAgents = Set.empty[String]
-    var current: Option[scala.collection.mutable.ArrayBuffer[RobotsRule]] = None
-    for (raw <- txt.split("\n", -1)) {
+      .empty[(scala.collection.mutable.Set[String],
+        scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    var lastWasAgent = false
+    for (raw <- Option(txt).getOrElse("").split("\n", -1)) {
       val line = raw.takeWhile(_ != '#').trim
       val idx = line.indexOf(':')
       if (idx > 0) {
@@ -78,17 +82,16 @@ object Web {
         val value = line.substring(idx + 1).trim
         key match {
           case "user-agent" =>
-            // a user-agent line AFTER rules starts a fresh group header
-            if (current.isDefined) { headerAgents = Set.empty; current = None }
-            headerAgents += value.toLowerCase
+            if (!lastWasAgent) groups += ((scala.collection.mutable.Set.empty,
+              scala.collection.mutable.ArrayBuffer.empty))
+            groups.last._1 += value.toLowerCase
+            lastWasAgent = true
           case "allow" | "disallow" =>
-            if (current.isEmpty) {
-              val buf = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
-              groups += ((headerAgents, buf))
-              current = Some(buf)
-            }
-            if (value.nonEmpty) current.get += RobotsRule(key == "allow", value)
-          case _ => ()
+            lastWasAgent = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += RobotsRule(key == "allow", value)
+          case _ =>
+            lastWasAgent = false
         }
       }
     }
@@ -99,19 +102,39 @@ object Web {
   }
 
   /** Does `pattern` (RFC 9309: prefix + `*` wildcards + optional `$`
-    * anchor) match `path`? Wildcard segments compile to `.*` between
-    * quoted literals; an unanchored pattern matches any path PREFIX
-    * (`lookingAt`), an anchored one the whole path (`matches`) — regex
-    * backtracking handles the placements a greedy scan gets wrong
-    * (e.g. a slash-star-x-dollar pattern against "/axbx").
+    * anchor) match `path`? Literal segments place greedily left-to-right
+    * (leftmost placement leaves maximal room for what follows, so it
+    * never misses an existing placement); an anchored pattern's LAST
+    * segment instead pins to the path's END — the one case greedy-left
+    * gets wrong (a slash-star-x-dollar pattern against "/axbx"). Plain
+    * indexOf scanning, O(|path| * segments): robots.txt is UNTRUSTED
+    * remote content, and a backtracking regex built from it is a
+    * catastrophic-backtracking DoS vector (a Disallow pattern of many
+    * star-separated 'a' segments ending in an anchor, matched against
+    * long runs of 'a').
     */
   private[pipeline] def robotsPatternMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.dropRight(1) else pattern
-    val rx = p.split("\\*", -1).map(seg =>
-      if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
-    val m = java.util.regex.Pattern.compile(rx).matcher(path)
-    if (anchored) m.matches() else m.lookingAt()
+    val parts = p.split("\\*", -1)
+    if (!path.startsWith(parts.head)) return false
+    var pos = parts.head.length
+    val middleEnd = if (anchored) parts.length - 1 else parts.length
+    var i = 1
+    while (i < middleEnd) {
+      val at = path.indexOf(parts(i), pos)
+      if (at < 0) return false
+      pos = at + parts(i).length
+      i += 1
+    }
+    if (!anchored) true
+    else if (parts.length == 1) pos == path.length // no wildcard: exact end
+    else {
+      val tail = parts.last
+      // the anchored tail must sit at the very end, at or after the
+      // greedily-placed middle
+      path.endsWith(tail) && path.length - tail.length >= pos
+    }
   }
 
   /** RFC 9309 decision: the longest matching pattern wins; on a length
@@ -131,7 +154,10 @@ object Web {
     * parser runs once per row inside `mapPartitions` (same
     * one-context-per-partition shape as the media codecs; at scale the
     * natural refinement is one parse per DOMAIN run after a sort within
-    * partitions — the contract is unchanged).
+    * partitions — the contract is unchanged). A NULL robots_txt is the
+    * common crawl case — site has no robots.txt — and means allow
+    * everything; a NULL path has nothing to judge and passes through
+    * allowed (no rule can match it).
     */
   def robotsFilter(pages: org.apache.spark.sql.DataFrame, agent: String)(
       implicit spark: org.apache.spark.sql.SparkSession):
@@ -140,7 +166,10 @@ object Web {
     pages.select(col("doc_id").cast("long"), col("robots_txt"), col("path"))
       .as[(Long, String, String)]
       .mapPartitions(rows => rows.map { case (id, txt, path) =>
-        (id, path, robotsAllowed(parseRobots(txt, agent), path))
+        val allowed =
+          if (path == null) true
+          else robotsAllowed(parseRobots(txt, agent), path)
+        (id, path, allowed)
       }).toDF("doc_id", "path", "allowed")
   }
 

@@ -429,7 +429,15 @@ object EventsStream {
             state: GroupState[FunnelState]) =>
           val st0 = state.getOption.getOrElse(
             FunnelState(Nil, 0, Long.MinValue, Long.MinValue))
-          val horizonUs = state.getCurrentWatermarkMs() * 1000
+          // getCurrentWatermarkMs() == 0 means NO watermark yet, not a
+          // real epoch-1970 watermark: the guard keeps finalizedUs from
+          // claiming the ts <= 0 region before any watermark has passed
+          // it. (Events that far back never actually arrive — Spark's own
+          // late-record filter compares against the initial watermark
+          // value 0 upstream of every watermarked stateful operator — so
+          // this is bookkeeping honesty, not a reachable fold path.)
+          val wmMs = state.getCurrentWatermarkMs()
+          val horizonUs = if (wmMs == 0) Long.MinValue else wmMs * 1000
           val fresh = rows.collect {
             case (_, us, s, _) if s >= 0 && us > st0.finalizedUs => PendingStep(us, s)
           }.toSeq

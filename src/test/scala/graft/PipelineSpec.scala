@@ -886,9 +886,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(robotsAllowed(rules, "/b/z") === false)     // merged group applies
     // unknown agent falls to '*' (disallow everything)
     assert(robotsAllowed(parseRobots(txt, "nobody"), "/a") === false)
-    // empty/missing file: everything allowed
+    // empty/missing/null file: everything allowed
     assert(parseRobots("", "graftbot") === Nil)
+    assert(parseRobots(null, "graftbot") === Nil)
     assert(robotsAllowed(Nil, "/anything") === true)
+    // a RULE-LESS exact-match group means "no restrictions" for its
+    // agent — never a fallback to '*'
+    val ruleless = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n"
+    assert(parseRobots(ruleless, "graftbot") === Nil)
+    assert(robotsAllowed(parseRobots(ruleless, "graftbot"), "/x"))
+    // an ignored directive ENDS a group header: the next User-agent opens
+    // a NEW group instead of extending the old header (else graftbot
+    // would inherit the '*' group's Disallow)
+    val split = "User-agent: graftbot\nCrawl-delay: 10\nUser-agent: *\nDisallow: /\n"
+    assert(robotsAllowed(parseRobots(split, "graftbot"), "/x"))
+    assert(!robotsAllowed(parseRobots(split, "nobody"), "/x"))
     // length tie between allow and disallow -> allow (least restrictive)
     assert(robotsAllowed(Seq(RobotsRule(false, "/p"), RobotsRule(true, "/p")), "/p/x"))
     // RFC wildcards: * spans segments, $ anchors the end (with backtracking)

@@ -46,8 +46,9 @@ class ScaleSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(parquetFiles().size > 4, "appends should have left debris")
       wh.compactBucketed("cb", Seq("k"), nBuckets = 4)
-      // repartition(nBuckets, keys) aligns tasks to buckets 1:1 (identical
-      // pmod(murmur3) placement), so the rewrite is exactly one file/bucket
+      // the forced bucketed scan (autoBucketedScan disabled inside
+      // compactBucketed) gives one task per bucket, so the rewrite is
+      // exactly one file per bucket with no exchange
       assert(parquetFiles().size === 4,
         s"expected one file per bucket: ${parquetFiles()}")
       assert(spark.table("cb").collect()

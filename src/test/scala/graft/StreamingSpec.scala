@@ -170,6 +170,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === Map(1L -> 3, 2L -> 1, 3L -> 0, 99L -> 0))
   }
 
+  test("funnelStream near the epoch: ts>0 late arrivals fold; ts<=0 is an ENGINE boundary") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    import EventsStream.FunnelProgress
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+    val results = scala.collection.concurrent.TrieMap[Long, Int]()
+    val q = EventsStream.funnelStream(stream, Seq("view", "click"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+        b.collect().foreach(p => results(p.user_id) = p.reached); ()
+      }
+      .start()
+    try {
+      // getCurrentWatermarkMs() == 0 before any watermark exists: the
+      // horizon guard must not mark the ts<=0 region finalized, and a
+      // late ts>0 arrival in the 0-watermark regime must still fold
+      mem.addData((1L, 2000L, "click"), (2L, 0L, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, 1000L, "view")) // late, watermark still unset
+      q.processAllAvailable()
+      mem.addData((99L, 20L * 3600 * 1000000, "browse")) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results(1L) === 2, results.toMap.toString)
+    // DOCUMENTED engine boundary (not this operator's choice): Spark's own
+    // late-record filter compares against the INITIAL watermark value 0,
+    // so ts <= 0 events (u2's view) never reach any watermarked stateful
+    // operator at all — verified via handler instrumentation; batch funnel
+    // counts them, streams structurally cannot
+    assert(!results.contains(2L), results.toMap.toString)
+  }
+
   test("sessionize emits an idle user's session when the watermark passes the gap (timeout liveness)") {
     implicit val s = spark
     implicit val sc = s.sqlContext
