@@ -732,6 +732,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(d2.sum_amp === stereo.map(_.toLong).sum)
     intercept[IllegalArgumentException](
       Multimodal.encodeWav(8000, 2, new Array[Short](63))) // ragged frames
+    // a zero-sample clip decodes to all-zero stats, peak 0 (not MinValue)
+    val empty = Multimodal.decodeAudio(9L, Multimodal.encodeWav(8000, 1, Array.empty))
+    assert(empty === Multimodal.DecodedAudio(9L, 8000, 1, 0, 0, 0, 0))
   }
 
   test("decodeAudio reads big-endian PCM (AIFF container) via the header, not an assumption") {
@@ -804,6 +807,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(mc("Home | About | Contact") === "")   // nothing survives
     // multi-space lines: empty words don't count toward minWords
     assert(mc("the   x    y") === "")             // 3 words < 4
+    // a regex-special separator must split literally (Pattern.quote)
+    val bySep = Seq("the quick brown fox|Home Menu Nav Bar|a tale of two cities")
+      .toDF("t").select(TextAnalysis.mainContent($"t", sw, 4, lineSep = "|"))
+      .as[String].head()
+    assert(bySep === "the quick brown fox|a tale of two cities")
     intercept[IllegalArgumentException](
       TextAnalysis.mainContent(lit("x"), sw, minWords = 0))
     intercept[IllegalArgumentException](TextAnalysis.mainContent(lit("x"), Nil))
