@@ -604,8 +604,54 @@ object AnalyticsQueries extends QuerySet {
         .union(docs.select((col("doc_id") % 97).as("x"),
           ((col("doc_id") * 13 + 5) % 97).as("y")))
       Graph.kCorePeel(raw, "x", "y", k = 4, rounds = 3)
-    }, Some(kCoreOracleSql(k = 4, rounds = 3)))
+    }, Some(kCoreOracleSql(k = 4, rounds = 3))),
+
+    QueryDef("q151_pagerank_seeded", (s, d) =>
+      // personalized PageRank: teleport only to the "trusted" suppliers
+      // (every 10th) — rank becomes seed-set proximity, the corpus
+      // seed-expansion signal; same fixed-point integer recipe as q140,
+      // oracle unrolled with the seed-conditional teleport
+      Graph.pageRankPersonalized(
+        table(s, d, "orders").join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src_id"),
+            (col("l_suppkey") + lit(1000000)).as("dst_id")),
+        srcCol = "src_id", dstCol = "dst_id",
+        seeds = table(s, d, "lineitem")
+          .filter(col("l_suppkey") % 10 === 0)
+          .select((col("l_suppkey") + lit(1000000)).as("node_id")),
+        iterations = 3),
+      Some(seededPageRankOracleSql(iterations = 3)))
   )
+
+  /** DuckDB mirror of [[Graph.pageRankPersonalized]]: the q140 recipe
+    * with the teleport term made seed-conditional.
+    */
+  private def seededPageRankOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""p$i AS (SELECT m.id,
+         |          CASE WHEN m.seed THEN 150000000000 ELSE 0 END
+         |          + (85 * coalesce(s.m, 0)) // 100 AS pr
+         |        FROM m LEFT JOIN (
+         |          SELECT e.dst, sum(p.pr // deg.d) AS m
+         |          FROM e JOIN p${i - 1} p ON p.id = e.src
+         |                 JOIN deg ON deg.src = e.src
+         |          GROUP BY e.dst) s ON s.dst = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |                           CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+       |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |seeds AS (SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS id
+       |          FROM lineitem WHERE l_suppkey % 10 = 0),
+       |m AS (SELECT n.id, (s.id IS NOT NULL) AS seed
+       |      FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+       |p0 AS (SELECT id, CAST(CASE WHEN seed THEN 150000000000 ELSE 0 END
+       |                       AS BIGINT) AS pr FROM m),
+       |$iterCtes
+       |SELECT id AS node_id, CAST(pr AS BIGINT) AS pr FROM p$iterations""".stripMargin
+  }
 
   /** DuckDB mirror of [[Graph.kCorePeel]] on the q148 fixture graph,
     * rounds unrolled as (degree filter -> edge restriction) CTE pairs.

@@ -284,6 +284,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.removed(2L).values.forall(_ > out(2L)))
   }
 
+  test("pageRankPersonalized matches a naive seeded reference; non-seeds start at 0") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "t")
+    val seedDf = Seq(3L, 99L).toDF("node_id") // 99 is not in the graph
+    val out = graft.operators.Graph.pageRankPersonalized(
+      edges, "s", "t", seedDf, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Set((1L, 3L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val seeds = Set(3L)
+    def tp(n: Long): Long = if (seeds(n)) 150000000000L else 0L
+    var pr = nodes.map(n => n -> tp(n)).toMap
+    for (_ <- 1 to 4) {
+      val in = e.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(ed => pr(ed._1) / deg(ed._1)).sum }
+      pr = nodes.map(v => v -> (tp(v) + 85 * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    assert(out === pr)
+    // node 2 is unreachable from the seed and gets no teleport: rank 0;
+    // the phantom seed 99 contributes nothing (absent from the graph)
+    assert(out(2L) === 0L)
+    assert(!out.contains(99L))
+    assert(out(3L) > 0L && out(1L) > 0L) // mass flows 3 -> 1
+  }
+
   test("hits matches a naive shift-normalized reference exactly") {
     // 1 is the strongest hub (2 out-links incl. the top authority);
     // 10 the strongest authority (3 in-links); duplicate edge counts once
