@@ -564,6 +564,41 @@ object TextAnalysis {
     array_join(kept, lineSep)
   }
 
+  /** Corpus-frequency boilerplate-line removal (the CCNet recipe, Wenzek
+    * et al. 2020): a line that appears in at least `minDocFreq` DISTINCT
+    * documents is boilerplate ("Subscribe to our newsletter", cookie
+    * banners, copyright footers) and is dropped from every document;
+    * surviving lines reassemble in original order. Distinct from
+    * paragraph dedup (q91), which keeps FIRST occurrences — boilerplate
+    * removal keeps none.
+    *
+    * Shape: one posexplode + distinct-doc count shuffled on the line
+    * value (near-uniform keys — boilerplate lines are the hot ones, and
+    * they aggregate to a single row each), one join back on the line,
+    * one per-doc regroup. Returns (idCol, text) with the cleaned text;
+    * a document whose every line was boilerplate has nothing left and is
+    * DROPPED from the output, not emitted empty.
+    */
+  def dropFrequentLines(docs: org.apache.spark.sql.DataFrame, minDocFreq: Long,
+      textCol: String = "text", idCol: String = "doc_id",
+      lineSep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq: $minDocFreq (1 would drop every line)")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
+        .as(Seq("__pos", "__line")))
+    val frequent = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__line"))
+    lines.join(frequent, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(
+        struct(col("__pos"), col("__line")))).getField("__line"), lineSep)
+        .as(textCol))
+  }
+
   /** URL canonicalization for crawl dedup/joins: one canonical string per
     * logical resource. Lowercases scheme and host (NOT userinfo, which is
     * case-sensitive and preserved verbatim), strips the scheme's default

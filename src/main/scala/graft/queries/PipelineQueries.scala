@@ -1582,6 +1582,35 @@ object PipelineQueries extends QuerySet {
         |            ELSE doc_id % 4 <> 0 END AS allowed
         |FROM documents""".stripMargin)),
 
+    QueryDef("q152_boilerplate_lines", (s, d) => {
+      // CCNet-style corpus-frequency line removal: every doc carries two
+      // lines shared by the WHOLE corpus (newsletter bait + copyright)
+      // plus its real text and a unique trailer — the shared lines must
+      // vanish from every doc while both unique lines survive in order;
+      // duplicate-text docs make their text line frequent too, which the
+      // oracle mirrors exactly (count DISTINCT docs per line, not rows)
+      val page = concat_ws("\n", col("text"),
+        lit("Subscribe to our newsletter"),
+        lit("All rights reserved"),
+        concat(lit("unique line "), col("doc_id")))
+      TA.dropFrequentLines(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"), page.as("text")),
+        minDocFreq = 10)
+    }, Some(
+      """WITH pages AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         [text, 'Subscribe to our newsletter', 'All rights reserved',
+        |          'unique line ' || doc_id] AS ls
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i.i AS pos, ls[i.i] AS line
+        |          FROM pages, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.pos, l.line
+        |         FROM lines l JOIN freq f USING (line) WHERE f.df < 10)
+        |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin)),
+
     QueryDef("q146_web_pipeline", (s, d) => {
       // the web ops COMPOSE, shuffle-free: page -> stripHtml -> token
       // count, page -> extractLinks -> canonicalize -> blocklist filter ->

@@ -864,6 +864,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(links("no links at all") === Seq.empty)
   }
 
+  test("dropFrequentLines: corpus-frequent lines die, order survives, empty docs vanish") {
+    val corpus = Seq(
+      (1L, "real content one\nCOOKIE BANNER\nmore real text"),
+      (2L, "COOKIE BANNER\nsecond doc body"),
+      (3L, "third doc text\nCOOKIE BANNER"),
+      (4L, "COOKIE BANNER"), // boilerplate-only: must DISAPPEAR
+      (5L, "repeated interior\nCOOKIE BANNER\nrepeated interior"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dropFrequentLines(corpus, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "real content one\nmore real text",
+      2L -> "second doc body",
+      3L -> "third doc text",
+      // within-doc repetition counts ONE doc toward frequency (df=1 < 3)
+      5L -> "repeated interior\nrepeated interior"))
+    // minDocFreq = 1 would drop every line: refuse
+    intercept[IllegalArgumentException](
+      TextAnalysis.dropFrequentLines(corpus, minDocFreq = 1))
+  }
+
   test("robots.txt: RFC 9309 group choice, longest-match, allow tie-break, wildcards") {
     import Web.{parseRobots, robotsAllowed, RobotsRule}
     // a single-disallow rule set turns the matcher inside-out: the path
