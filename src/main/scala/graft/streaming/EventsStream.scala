@@ -376,6 +376,35 @@ object EventsStream {
       }
   }
 
+  /** Materialized streaming "trending now": the top-`k` event types per
+    * sliding window, kept current in a warehouse table. Append-mode
+    * window rows arrive exactly when the watermark FINALIZES them, so
+    * each micro-batch unions the new windows into the table and re-ranks
+    * — per-batch work is O(batch + table) and the table stays bounded at
+    * k rows per finalized window. Crash-replay caveat shared with
+    * [[minhashDedupStream]]: an at-least-once re-delivery of a finalized
+    * window would double its rows before ranking; the checkpoint makes
+    * that a crash-window event, not steady-state behavior.
+    */
+  def trendingStream(events: DataFrame, wh: graft.engine.Warehouse,
+      table: String, k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1, s"k: $k")
+    slidingCounts(events).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val all = if (wh.exists(table)) wh.read(table).unionByName(batch) else batch
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start"))
+          .orderBy(col("n_events").desc, col("event_type").asc)
+        wh.writeSwap(table, all
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class PendingStep(us: Long, step: Int)
   final case class FunnelState(pending: Seq[PendingStep], reached: Int,
       lastUs: Long, finalizedUs: Long)

@@ -170,6 +170,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === Map(1L -> 3, 2L -> 1, 3L -> 0, 99L -> 0))
   }
 
+  test("trendingStream materializes top-k per finalized window == batch rank") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    import java.nio.file.Files
+    val min = 60L * 1000000
+    val base = 1700000000L * 1000000
+    val wh = new graft.engine.Warehouse(
+      Files.createTempDirectory("graft_trend").toString, spark)
+    val mem = MemoryStream[(Long, String)] // (us, event_type)
+    def stream = mem.toDF().toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+    // two ingest runs (AvailableNow drains then stops), then a sentinel
+    // run that advances the watermark past every real window
+    val real = Seq(
+      (base + 5 * min, "view"), (base + 10 * min, "view"), (base + 12 * min, "click"),
+      (base + 15 * min, "view"), (base + 20 * min, "click"), (base + 40 * min, "scroll"),
+      (base + 41 * min, "scroll"), (base + 42 * min, "scroll"), (base + 44 * min, "buy"))
+    mem.addData(real.take(5): _*)
+    EventsStream.trendingStream(stream, wh, "trending", k = 2).awaitTermination()
+    mem.addData(real.drop(5): _*)
+    EventsStream.trendingStream(stream, wh, "trending", k = 2).awaitTermination()
+    mem.addData((base + 30L * 60 * min, "browse")) // watermark far ahead
+    EventsStream.trendingStream(stream, wh, "trending", k = 2).awaitTermination()
+    val got = wh.read("trending")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // batch twin over the real events: same window/agg/rank recipe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"win_start").orderBy($"n_events".desc, $"event_type".asc)
+    val expected = real.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("win_start"), $"event_type", $"n_events")
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" <= 2).drop("__rn")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected, s"got: $got")
+    assert(got.nonEmpty)
+  }
+
   test("funnelStream near the epoch: ts>0 late arrivals fold; ts<=0 is an ENGINE boundary") {
     implicit val s = spark
     implicit val sc = s.sqlContext
