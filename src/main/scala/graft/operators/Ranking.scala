@@ -59,4 +59,42 @@ object Ranking {
       .withColumn("rnk", sum(col("n_rows")).over(byVal) - col("n_rows") + 1L)
       .withColumn("dense_rnk", guardedDense)
   }
+
+  /** Contiguous global row indices 0..N-1 by `sortCols` order WITHOUT the
+    * single-partition window a bare `row_number() OVER (ORDER BY ...)`
+    * plans: range-partition on the sort key, rank WITHIN each partition
+    * (parallel), then shift each partition by the total row count of the
+    * partitions before it — a partition-count-sized offset table computed
+    * in one narrow aggregation and broadcast back. The classic use is
+    * assigning stable contiguous sample ids to a training corpus.
+    *
+    * `sortCols` must be a UNIQUE total order (ties would make the index
+    * assignment partition-placement-dependent) — uniqueness is the
+    * caller's contract, same as every deterministic-sampling op here. The
+    * driver-side collect is bounded by the partition COUNT, never the
+    * data (same bound class as Clustering's k x dim centroids).
+    */
+  def globalRowNumbers(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "row_idx"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumbers needs a sort order")
+    require(!df.columns.contains(outCol), s"column name '$outCol' is reserved")
+    Seq("__pid", "__offset").foreach(c =>
+      require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    val offsetByPid = counts.map { case (pid, n) =>
+      val offset = cum; cum += n; (pid, offset)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsetByPid.toSeq.toDF("__pid", "__offset")
+    val within = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    parted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(outCol,
+        row_number().over(within).cast("long") + col("__offset") - 1L)
+      .drop("__pid", "__offset")
+  }
 }

@@ -621,7 +621,23 @@ object AnalyticsQueries extends QuerySet {
           .filter(col("l_suppkey") % 10 === 0)
           .select((col("l_suppkey") + lit(1000000)).as("node_id")),
         iterations = 3),
-      Some(seededPageRankOracleSql(iterations = 3)))
+      Some(seededPageRankOracleSql(iterations = 3))),
+
+    QueryDef("q153_global_index", (s, d) =>
+      // contiguous sample ids 0..N-1 by (source, doc_id) order with NO
+      // single-partition window: range partition + within-partition rank
+      // + broadcast partition offsets (Ranking.globalRowNumbers); the
+      // oracle is the naive global row_number the operator refuses to plan
+      graft.operators.Ranking.globalRowNumbers(
+        table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source")),
+        Seq(col("source").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("row_idx")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+          |         AS row_idx
+          |FROM documents""".stripMargin))
   )
 
   /** DuckDB mirror of [[Graph.pageRankPersonalized]]: the q140 recipe

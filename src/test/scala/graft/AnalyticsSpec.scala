@@ -284,6 +284,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.removed(2L).values.forall(_ > out(2L)))
   }
 
+  test("globalRowNumbers: contiguous 0..N-1 by sort order, windows stay partition-parallel") {
+    val df = (1L to 500L).map(i => ((i * 37) % 1000, i)).toDF("k", "id")
+    val out = graft.operators.Ranking.globalRowNumbers(
+      df, Seq(col("k").asc, col("id").asc))
+    out.collect() // materialize so executedPlan is final
+    val got = out.orderBy(col("row_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (1L to 500L).map(i => ((i * 37) % 1000, i))
+      .sortBy(identity).zipWithIndex
+      .map { case ((k, id), idx) => (k, id, idx.toLong) }
+    assert(got.toSeq === expected)
+    // every Window in the plan partitions on __pid — no global sort funnel
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"),
+      s"global index must never plan a single-partition exchange:\n$plan")
+    intercept[IllegalArgumentException](
+      graft.operators.Ranking.globalRowNumbers(df, Nil))
+    intercept[IllegalArgumentException](graft.operators.Ranking.globalRowNumbers(
+      df.withColumn("row_idx", lit(1)), Seq(col("k"))))
+  }
+
   test("pageRankPersonalized matches a naive seeded reference; non-seeds start at 0") {
     val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "t")
     val seedDf = Seq(3L, 99L).toDF("node_id") // 99 is not in the graph
