@@ -930,6 +930,9 @@ class PipelineSpec extends AnyFunSuite {
     val split = "User-agent: graftbot\nCrawl-delay: 10\nUser-agent: *\nDisallow: /\n"
     assert(robotsAllowed(parseRobots(split, "graftbot"), "/x"))
     assert(!robotsAllowed(parseRobots(split, "nobody"), "/x"))
+    // rules BEFORE any group header belong to no group: ignored
+    assert(parseRobots("Disallow: /x\nUser-agent: *\nAllow: /ok\n", "bot")
+      === Seq(RobotsRule(true, "/ok")))
     // length tie between allow and disallow -> allow (least restrictive)
     assert(robotsAllowed(Seq(RobotsRule(false, "/p"), RobotsRule(true, "/p")), "/p/x"))
     // RFC wildcards: * spans segments, $ anchors the end (with backtracking)
