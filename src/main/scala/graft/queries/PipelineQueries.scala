@@ -1611,6 +1611,53 @@ object PipelineQueries extends QuerySet {
         |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
         |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    QueryDef("q154_corpus_prep", (s, d) => {
+      // END-TO-END corpus preparation, the round's ops composing: page
+      // (text + corpus-wide footer) -> boilerplate-line removal
+      // (dropFrequentLines: footer dies everywhere, heavily-duplicated
+      // text lines die too) -> quality gate -> exact-dedup first-keep ->
+      // contiguous sample ids (globalRowNumbers, no single-partition
+      // window). The oracle rebuilds the whole chain in CTEs.
+      import graft.operators.Ranking
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat_ws("\n", col("text"), lit("All rights reserved")).as("text"))
+      val cleaned = TA.dropFrequentLines(docs, minDocFreq = 10)
+      val gated = cleaned
+        .filter(TA.qualityScore(col("text"), Stopwords) >= 0.35)
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id").asc)
+      val canonical = gated.withColumn("__fp", TA.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      Ranking.globalRowNumbers(canonical, Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("row_idx"))
+    }, Some {
+      val qualitySql =
+        s"""least(CAST(1.0 AS DOUBLE), CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+           | * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($toksSql, t -> t IN ($stopwordsSql))) AS DOUBLE)
+           |      / CAST(len($toksSql) AS DOUBLE))""".stripMargin
+      s"""WITH pages AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         [text, 'All rights reserved'] AS ls
+         |  FROM documents WHERE text IS NOT NULL),
+         |lns AS (SELECT doc_id, i.i AS pos, ls[i.i] AS line
+         |        FROM pages, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY line),
+         |cleaned AS (
+         |  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
+         |  FROM lns JOIN freq USING (line) WHERE df < 10 GROUP BY doc_id),
+         |gated AS (SELECT doc_id, text FROM cleaned WHERE $qualitySql >= 0.35),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(text, ' +', ' ', 'g')))
+         |      ORDER BY doc_id ASC) AS rn
+         |    FROM gated) t WHERE rn = 1)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx
+         |FROM canon""".stripMargin
+    }),
+
     QueryDef("q146_web_pipeline", (s, d) => {
       // the web ops COMPOSE, shuffle-free: page -> stripHtml -> token
       // count, page -> extractLinks -> canonicalize -> blocklist filter ->
