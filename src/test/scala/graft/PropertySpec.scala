@@ -597,4 +597,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("robots wildcard matcher == regex reference on random patterns and paths") {
+    // the hand-rolled linear matcher (DoS-safe) must agree everywhere with
+    // the regex semantics it replaced: quoted literals joined by .*,
+    // lookingAt for unanchored prefixes, matches() for $-anchored — the
+    // greedy-left middle placement + end-pinned anchored tail is the
+    // subtle part this pins
+    import graft.pipeline.Web
+    def regexRef(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val p = if (anchored) pattern.dropRight(1) else pattern
+      val rx = p.split("\\*", -1).map(seg =>
+        if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
+      val m = java.util.regex.Pattern.compile(rx).matcher(path)
+      if (anchored) m.matches() else m.lookingAt()
+    }
+    def matcher(pattern: String, path: String): Boolean =
+      !Web.robotsAllowed(Seq(Web.RobotsRule(allow = false, pattern)), path)
+    val alphabet = "ab/"
+    var checked = 0
+    (1 to 3000).foreach { seed =>
+      val rnd = new Random(seed)
+      def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val pattern = (1 to 1 + rnd.nextInt(4)).map(_ => randStr(rnd.nextInt(3)))
+        .mkString("*") + (if (rnd.nextBoolean()) "$" else "")
+      val path = randStr(rnd.nextInt(12))
+      assert(matcher(pattern, path) === regexRef(pattern, path),
+        s"pattern='$pattern' path='$path'")
+      checked += 1
+    }
+    assert(checked === 3000)
+  }
 }
