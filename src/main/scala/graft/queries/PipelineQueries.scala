@@ -1272,7 +1272,7 @@ object PipelineQueries extends QuerySet {
          |         CAST(floor(($qualitySql) * 100) AS BIGINT) AS q,
          |         greatest(0, CAST(len($toksSql) AS BIGINT)) AS ntok
          |  FROM documents WHERE text IS NOT NULL)
-         |SELECT doc_id, q, ntok, cum AS cum_tokens FROM (
+         |SELECT doc_id, q, ntok, CAST(cum AS BIGINT) AS cum_tokens FROM (
          |  SELECT doc_id, q, ntok,
          |         sum(ntok) OVER (ORDER BY q DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM t) x
