@@ -23,10 +23,15 @@ object EventAnalytics {
     * aggregations instead of shuffling the unfiltered stream.
     *
     * `maxEventsPerUser` bounds the per-user collected list IN-OP: each user
-    * keeps only their `maxEventsPerUser` EARLIEST step events (by (ts,
-    * type, then any column) — a rank filter that compiles to
-    * WindowGroupLimit, so overflow rows are pruned map-side before the
-    * collect). Keeping the earliest is conservative for an ordered funnel:
+    * keeps only their `maxEventsPerUser` EARLIEST step events by (ts, type)
+    * — a rank filter that compiles to WindowGroupLimit, so overflow rows
+    * are pruned map-side before the collect. (ts, type) is NOT a total
+    * order over rows, so WHICH physical row survives a tie at the cap
+    * boundary is partition-placement-dependent — but the fold consumes
+    * only the projected (ts, type) pair, and any prefix of a
+    * sorted-by-(ts, type) sequence has the same (ts, type) MULTISET no
+    * matter how ties permute, so `reached` is engine-deterministic anyway.
+    * Keeping the earliest is conservative for an ordered funnel:
     * progression through the kept prefix is exact, and a user whose
     * progression needed an event beyond the cap under-reports rather than
     * fabricating progress. One pathological user (a bot with millions of

@@ -80,8 +80,18 @@ object Ranking {
     require(!df.columns.contains(outCol), s"column name '$outCol' is reserved")
     Seq("__pid", "__offset").foreach(c =>
       require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    // localCheckpoint BEFORE the counts collect: repartitionByRange samples
+    // its range boundaries per-execution (RangePartitioner's reservoir seed
+    // is the RDD id, and AQE may re-coalesce), so running the plan twice —
+    // once for counts, once for the output join — can place rows in
+    // DIFFERENT partitions whenever the sampler doesn't see every row. The
+    // broadcast offsets would then disagree with actual partition contents
+    // and row_idx silently gets duplicates/gaps. Pinning the partitioning
+    // once makes both jobs read the same materialized layout (same
+    // discipline as Dedup.minhashSigned / bpeLearn).
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val counts = parted.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var cum = 0L
