@@ -450,6 +450,36 @@ final class Warehouse(val root: String, spark: SparkSession) {
     finally spark.conf.set(autoScan, prev)
   }
 
+  /** Crash-safe full rewrite of a bucketed catalog table from `df` via the
+    * same generation swap as [[mergeBucketed]]/[[compactBucketed]] — the
+    * repair path for index surgeries (e.g. [[graft.pipeline.IncrementalDedup]]'s
+    * torn-ingest orphan removal). `df` may read from the table itself: the
+    * new generation is staged in the alternate path before the catalog flips.
+    */
+  def rewriteBucketed(table: String, df: DataFrame, keys: Seq[String],
+      nBuckets: Int): Unit = {
+    recover(table)
+    val genNow = recoverBucketedGen(table)
+    require(spark.catalog.tableExists(table), s"bucketed target $table missing")
+    writeBucketedGen(table, df, keys, nBuckets, genNow)
+  }
+
+  /** Data part-file count of a bucketed catalog table's CURRENT generation —
+    * the compaction-cadence signal ([[appendBucketed]] adds up to one file
+    * per bucket per batch; callers compact when this crosses their
+    * files-per-bucket budget). One directory listing, no Spark job.
+    */
+  def bucketedFileCount(table: String): Int = {
+    recover(table)
+    val gen = recoverBucketedGen(table)
+    val p = dir(if (gen.isEmpty) table else s"$table@$gen")
+    if (!Files.exists(p)) 0
+    else listDir(p).count { f =>
+      val n = f.getFileName.toString
+      Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   private def mergeBucketedImpl(table: String, source: DataFrame,
       keys: Seq[String], nBuckets: Int, genNow: String): Unit =
     writeBucketedGen(table,
@@ -521,6 +551,52 @@ final class Warehouse(val root: String, spark: SparkSession) {
       val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
       writeSwap(name, raw.repartition(n))
     }
+  }
+
+  /** Zero-copy table clone (dbt clone, dbt-adapters
+    * macros/materializations/models/clone/clone.sql — Snowflake's
+    * metadata-only CREATE TABLE CLONE): hard-link every data file of
+    * `src` into a staged dir and swap it in as `dst`. O(file count)
+    * metadata ops, zero data bytes moved; falls back to a byte copy when
+    * the filesystem refuses links (cross-device). Safe because this
+    * warehouse never mutates a committed data file in place — every
+    * rewrite stages a fresh directory and renames, so the clone and the
+    * source may age independently. Bucketed CATALOG tables are excluded
+    * (their identity lives in the session catalog, not the directory).
+    */
+  def cloneTable(src: String, dst: String): Unit = {
+    recover(src); recover(dst)
+    require(Files.exists(dir(src)), s"clone source '$src' missing")
+    require(getMeta(src + "__bktgen").isEmpty,
+      s"'$src' is a bucketed catalog table — clone its logical content via " +
+        "read + writeBucketed instead")
+    val tmp = dir(dst + "__tmp")
+    val target = dir(dst)
+    val backup = dir(dst + "__backup")
+    deleteRec(tmp); deleteRec(backup)
+    val s0 = dir(src)
+    val st = Files.walk(s0)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.foreach { p =>
+        val t = tmp.resolve(s0.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else try Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    } finally st.close()
+    // the writeSwap commit protocol (same failpoints, same recover() path)
+    failpoint("swap:staged")
+    if (Files.exists(target)) {
+      Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+      failpoint("swap:backed-up")
+    }
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    failpoint("swap:swapped")
+    deleteRec(backup)
+    invalidate(dst)
   }
 
   def drop(name: String): Unit = {
@@ -599,6 +675,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Delete a sidecar written by [[putMeta]] (idempotent). */
+  def removeMeta(name: String): Unit =
+    Files.deleteIfExists(dir(name + "__meta"))
 
   def getMeta(name: String): Option[String] = {
     metaProbes.incrementAndGet()

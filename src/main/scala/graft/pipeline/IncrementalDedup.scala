@@ -43,6 +43,35 @@ object IncrementalDedup {
 
   private def bandsTable(name: String) = s"${name}_bands"
   private def shTable(name: String) = s"${name}_sh"
+  private def ingestMarker(name: String) = s"${name}__dedup_ingest"
+
+  /** Repair a TORN ingest: deltaRun's two appends (bands, then shingles)
+    * are separate jobs, and a crash between them leaves band rows whose
+    * ids have no shingle rows. Later deltas would then probe those ids
+    * into candidates that verifyJaccard's inner shingle join silently
+    * drops — MISSING pairs, worse than the documented duplicate-pair
+    * replay. deltaRun brackets the appends with an intent marker (same
+    * discipline as Warehouse.drop's drop-intent), and this runs at the
+    * top of every deltaRun: marker present -> delete the orphaned band
+    * rows (generation-swap rewrite, only when orphans actually exist), so
+    * the index returns to its pre-batch state and the caller's replay of
+    * the failed batch lands whole. The orphan probe joins on id, where
+    * the shingle table's bucketing already lives — no corpus-side
+    * exchange. A stale marker over a consistent index is a no-op (one
+    * count job, no rewrite).
+    */
+  private def repairTornIngest(wh: Warehouse, name: String, nBuckets: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (wh.getMeta(ingestMarker(name)).isEmpty) return
+    val bands = spark.table(bandsTable(name))
+    val shIds = spark.table(shTable(name)).select(col("id"))
+    if (bands.join(shIds, Seq("id"), "left_anti").limit(1).count() > 0)
+      wh.rewriteBucketed(bandsTable(name),
+        bands.join(shIds, Seq("id"), "left_semi")
+          .select(bands.columns.map(col).toSeq: _*),
+        Seq("band", "value"), nBuckets)
+    wh.removeMeta(ingestMarker(name))
+  }
 
   /** First run: build the index from the initial corpus and return the
     * corpus-internal pairs (the batch semantics of [[Dedup.minhashPairs]],
@@ -57,6 +86,10 @@ object IncrementalDedup {
     wh.writeBucketed(bandsTable(name), banded, Seq("band", "value"), nBuckets)
     wh.writeBucketed(shTable(name), signed.select(col("id"), col("sh")),
       Seq("id"), nBuckets)
+    // a stale ingest marker from a crashed deltaRun of a PREVIOUS index
+    // under this name is moot after the full rebuild — clear it so the
+    // first deltaRun doesn't pay the (no-op) orphan probe
+    wh.removeMeta(ingestMarker(name))
     // corpus-internal pairs from the SAME banded relation the index stores
     val pairs = Dedup.bandedSelfJoinPairs(banded, bandSize, nBands)
     Dedup.verifyJaccard(pairs, signed.select(col("id"), col("sh")), threshold)
@@ -66,11 +99,27 @@ object IncrementalDedup {
     * append the delta's signatures so the next run sees corpus ∪ delta.
     * Returns exactly the pairs with >= 1 delta side (id_a < id_b,
     * jaccard >= threshold).
+    *
+    * The two index appends are bracketed by an intent marker so a crash
+    * between them is repaired at the top of the NEXT run (see
+    * [[repairTornIngest]]); the failed batch must then be replayed — the
+    * at-least-once story the `id_d != id_c` filter already supports.
+    *
+    * `compactAboveFilesPerBucket`: every run appends up to one part-file
+    * per touched bucket, so an append-only index accretes small files
+    * linearly in run count — the classic corpus-scale file-count
+    * explosion. When a table's current generation exceeds
+    * `nBuckets * compactAboveFilesPerBucket` data files, it is rewritten
+    * in place via [[Warehouse.compactBucketed]] (shuffle-free, one file
+    * per bucket, crash-safe generation swap). The check is one directory
+    * listing per run; 0 disables compaction.
     */
   def deltaRun(wh: Warehouse, name: String, delta: DataFrame, n: Int, k: Int,
       bandSize: Int, threshold: Double, nBuckets: Int = 16,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      compactAboveFilesPerBucket: Int = 32): DataFrame = {
     val spark = delta.sparkSession
+    repairTornIngest(wh, name, nBuckets, spark)
     val nBands = Dedup.requireBandParams(k, bandSize)
     val signed = Dedup.minhashSigned(delta, n, k, textCol, idCol)
     val dBanded = Dedup.explodeSigBands(signed, bandSize, nBands)
@@ -111,9 +160,19 @@ object IncrementalDedup {
     val verified = Dedup.verifyJaccard(candidates, shAll, threshold)
       .localCheckpoint(true)
 
+    wh.putMeta(ingestMarker(name), "")
     wh.appendBucketed(bandsTable(name), dBanded, Seq("band", "value"), nBuckets)
+    wh.failpoint("dedupingest:bands-appended")
     wh.appendBucketed(shTable(name), signed.select(col("id"), col("sh")),
       Seq("id"), nBuckets)
+    wh.removeMeta(ingestMarker(name))
+    if (compactAboveFilesPerBucket > 0) {
+      val budget = nBuckets.toLong * compactAboveFilesPerBucket
+      if (wh.bucketedFileCount(bandsTable(name)) > budget)
+        wh.compactBucketed(bandsTable(name), Seq("band", "value"), nBuckets)
+      if (wh.bucketedFileCount(shTable(name)) > budget)
+        wh.compactBucketed(shTable(name), Seq("id"), nBuckets)
+    }
     verified
   }
 }

@@ -383,6 +383,52 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental-dedup torn ingest (crash between band and shingle appends) self-repairs") {
+    // ADVICE r7: a crash between deltaRun's two index appends leaves band
+    // rows whose ids have no shingle rows — later deltas probe those ids
+    // into candidates that verifyJaccard's inner join silently DROPS
+    // (missing pairs). The intent marker must make the next run repair the
+    // torn state so the replayed batch lands whole.
+    import graft.pipeline.IncrementalDedup
+    val wh = new Warehouse(Files.createTempDirectory("graft_rec_dd").toString, spark)
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"alpha beta gamma delta eps zeta token$i tail$i")).toDF("doc_id", "text")
+    try {
+      IncrementalDedup.initRun(wh, "dd", mk(1L to 8L),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+      val delta = Seq((100L, "alpha beta gamma delta eps zeta token1 tail1"))
+        .toDF("doc_id", "text")
+      crashAt(wh, "dedupingest:bands-appended")
+      val e = intercept[RuntimeException](IncrementalDedup.deltaRun(
+        wh, "dd", delta, n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4))
+      assert(e.getMessage.contains("injected crash"))
+      wh.failpoint = _ => ()
+      // the torn state is REAL: bands knows id 100, shingles do not
+      val bandIds = spark.table("dd_bands").select("id").as[Long].collect().toSet
+      val shIds = spark.table("dd_sh").select("id").as[Long].collect().toSet
+      assert(bandIds.contains(100L) && !shIds.contains(100L),
+        s"crash injection did not produce the torn state (bands=$bandIds sh=$shIds)")
+      // production story: replay the failed batch — repair runs first
+      // (orphaned band rows removed), then the batch lands whole
+      val pairs = IncrementalDedup.deltaRun(wh, "dd", delta,
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L)), s"replayed batch pairs: $pairs")
+      // the index is whole again: no band orphans, and a LATER delta
+      // matching doc 100's text sees BOTH historical copies — this is
+      // exactly the pair the un-repaired torn state would silently lose
+      val bandIds2 = spark.table("dd_bands").select("id").as[Long].collect().toSet
+      val shIds2 = spark.table("dd_sh").select("id").as[Long].collect().toSet
+      assert((bandIds2 -- shIds2).isEmpty, s"band orphans survive: ${bandIds2 -- shIds2}")
+      val pairs3 = IncrementalDedup.deltaRun(wh, "dd",
+        Seq((200L, "alpha beta gamma delta eps zeta token1 tail1")).toDF("doc_id", "text"),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs3 === Set((1L, 200L), (100L, 200L)),
+        s"post-repair index must serve both historical copies: $pairs3")
+    } finally Seq("dd_bands", "dd_sh").foreach(wh.drop)
+  }
+
   test("marker-absence probe is cached: repeated reads do not re-probe meta") {
     val wh = new Warehouse(Files.createTempDirectory("graft_probe").toString, spark)
     wh.writeSwap("t", Seq((1L, "a")).toDF("k", "v"))

@@ -149,6 +149,46 @@ class ScaleSpec extends AnyFunSuite {
     } finally Seq("incdd_s_bands", "incdd_s_sh").foreach(wh.drop)
   }
 
+  test("incremental-dedup index compaction bounds file count across delta runs") {
+    // VERDICT r7 next-7: an append-only signature index accretes one
+    // part-file per bucket per run — linear file growth, the corpus-scale
+    // small-file explosion. With the cadence wired into deltaRun, the
+    // data-file count must stay bounded by the budget no matter how many
+    // runs land, and correctness must survive the generation rewrites.
+    import graft.pipeline.IncrementalDedup
+    val wh = new Warehouse(Files.createTempDirectory("graft_incdd_c").toString, spark)
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"alpha beta gamma delta eps zeta token$i tail$i")).toDF("doc_id", "text")
+    try {
+      IncrementalDedup.initRun(wh, "incdd_c", mk(1L to 8L),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4)
+      val budget = 4 * 2 // nBuckets * compactAboveFilesPerBucket
+      (1 to 6).foreach { i =>
+        IncrementalDedup.deltaRun(wh, "incdd_c", mk(Seq(1000L + i)),
+          n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4,
+          compactAboveFilesPerBucket = 2).count()
+        // invariant AFTER every run: at most one uncompacted batch over
+        // budget (the compaction check runs post-append)
+        Seq("incdd_c_bands", "incdd_c_sh").foreach { t =>
+          val n = wh.bucketedFileCount(t)
+          assert(n <= budget + 4, s"run $i: $t at $n files (budget $budget + one batch)")
+        }
+      }
+      // without the cadence, 1 init + 6 appends at up to 4 files each would
+      // sit near 28 files; compaction must have actually fired
+      assert(wh.bucketedFileCount("incdd_c_bands") < 28)
+      // correctness across generation rewrites: a delta matching doc 1's
+      // text still pairs against the original corpus signature
+      val pairs = IncrementalDedup.deltaRun(wh, "incdd_c",
+        Seq((9000L, "alpha beta gamma delta eps zeta token1 tail1"))
+          .toDF("doc_id", "text"),
+        n = 3, k = 8, bandSize = 2, threshold = 0.9, nBuckets = 4,
+        compactAboveFilesPerBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 9000L)), s"post-compaction probe pairs: $pairs")
+    } finally Seq("incdd_c_bands", "incdd_c_sh").foreach(wh.drop)
+  }
+
   test("bucketed incremental merge keeps bucket metadata across generations; zero-exchange self-join") {
     val wh = new Warehouse(Files.createTempDirectory("graft_bkt_inc").toString, spark)
     try {
@@ -483,6 +523,30 @@ class ScaleSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"per-page curation must stay a narrow map:\n$plan")
+  }
+
+  test("q69 corpus-clean composite: one scan, two group-limited shuffles (plan pin)") {
+    // VERDICT r7 next-5: q69 regressed in the driver bench without a code
+    // change — pin its plan shape so a real regression (extra scan, lost
+    // group-limit prune, a third shuffle) fails HERE instead of surfacing
+    // as a bench surprise. Shape: quality gate + fingerprint + hash all in
+    // the scan's project; the ONLY wide ops are the two dedup/quota
+    // windows, both group-limit pruned map-side.
+    val out = SparkEntry.queries("q69_corpus_clean_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    out.collect() // force execution so executedPlan (and AQE) is final
+    // AQE's toString prints BOTH the final and the initial plan — count
+    // operators in the final section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"composite must read documents exactly once:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2,
+      s"only the fingerprint window and the per-source cap may shuffle:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filters must prune map-side (WindowGroupLimit):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
   }
 
   test("streaming merge upserts into the warehouse across microbatches") {
