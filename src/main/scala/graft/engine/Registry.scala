@@ -82,6 +82,32 @@ final case class DynamicTableMat(
     config: DynamicTableConfig = DynamicTableConfig(),
     onConfigurationChange: OnConfigChange = ApplyConfig) extends Materialization
 
+/** Hook execution context (dbt's `this`/`target` Jinja surface, Scala-first):
+  * `relation` is the existing target for pre-hooks and the materialized
+  * result for post-hooks (None when the model has never materialized);
+  * run-level hooks get `model = None`.
+  */
+final case class HookContext(
+    spark: SparkSession,
+    wh: Warehouse,
+    model: Option[String],
+    relation: Option[DataFrame])
+
+/** Model/run hooks (dbt pre_hook/post_hook + on-run-start/on-run-end;
+  * dbt-snowflake/macros/materializations/incremental.sql:74-76,172-182 run
+  * them inside every materialization). A hook is any side-effecting action
+  * over the context — audit inserts, grants DDL, pruning — expressed as a
+  * Scala function; [[Hook.sql]] gives the reference's string-SQL form.
+  */
+object Hook {
+  type Hook = HookContext => Unit
+
+  /** The dbt string-SQL hook: one statement run through the session
+    * (temp views registered by earlier models/hooks are visible).
+    */
+  def sql(statement: String): Hook = ctx => { ctx.spark.sql(statement); () }
+}
+
 /** A generic test declared ON a model (dbt schema tests / `dbt build`):
   * `failing` renders the failing-rows relation over the materialized result;
   * thresholds follow the test harness (tests/helpers.sql:7-16). An Error
@@ -94,18 +120,64 @@ final case class ModelTest(
     warnIf: Long => Boolean = _ > 0,
     errorIf: Long => Boolean = _ > 0)
 
+/** `preHooks`/`postHooks`: run around THIS model's materialization, in
+  * declaration order, on the model's scheduler thread (DAG order holds:
+  * a downstream model's pre-hook never runs before an upstream post-hook).
+  * Microbatch models fire them once per batch window, like dbt.
+  *
+  * `grants`/`docs` are the S9 metadata surface (dbt-adapters
+  * apply_grants.sql / persist_docs): accepted and PERSISTED as sidecar
+  * metadata, with the intent logged to [[Registry.metadataOps]] — this
+  * warehouse has no ACL store or catalog comment DDL to enforce them
+  * against, so they must never alter data (RegistrySpec pins that).
+  */
 final case class Model(
     name: String,
     deps: Seq[String],
     mat: Materialization,
     build: ModelContext => DataFrame,
-    tests: Seq[ModelTest] = Nil)
+    tests: Seq[ModelTest] = Nil,
+    preHooks: Seq[Hook.Hook] = Nil,
+    postHooks: Seq[Hook.Hook] = Nil,
+    grants: Map[String, Seq[String]] = Map.empty,
+    docs: Option[String] = None)
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
   private val materialized = scala.collection.mutable.Map.empty[String, DataFrame]
+  private var runStartHooks = Vector.empty[Hook.Hook]
+  private var runEndHooks = Vector.empty[Hook.Hook]
 
   def register(m: Model): this.type = { models :+= m; this }
+
+  /** Project-level hooks (dbt on-run-start / on-run-end): run once per
+    * [[run]] invocation, before the first / after the last model, in
+    * registration order. A failing model aborts the run WITHOUT the end
+    * hooks, like dbt aborting the invocation.
+    */
+  def onRunStart(h: Hook.Hook): this.type = { runStartHooks :+= h; this }
+  def onRunEnd(h: Hook.Hook): this.type = { runEndHooks :+= h; this }
+
+  /** S9 metadata-operation acknowledgment log (grants / persist_docs /
+    * clone): one line per accepted op, for observability and specs — the
+    * ops themselves persist as sidecar metadata only and never touch data.
+    */
+  @volatile private var metaOps = Vector.empty[String]
+  def metadataOps: Seq[String] = metaOps
+  private def ackMetaOp(line: String): Unit = synchronized { metaOps :+= line }
+
+  /** dbt clone (dbt-adapters/macros/materializations/models/clone/clone.sql):
+    * point-in-time copy of a materialized relation under a new name. Real,
+    * and zero-copy at the file level ([[Warehouse.cloneTable]] hard-links
+    * data files) — the closest filesystem analogue to Snowflake's
+    * metadata-only CLONE.
+    */
+  def cloneRelation(src: String, dst: String): this.type = {
+    wh.cloneTable(src, dst)
+    ackMetaOp(s"clone: $src -> $dst (hard-linked data files)")
+    materialized(dst) = wh.read(dst)
+    this
+  }
 
   /** Seed a source relation directly (dbt source / seed node). */
   def source(name: String, df: DataFrame): this.type = { materialized(name) = df; this }
@@ -225,6 +297,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
     }
     val byLevel = ordered.groupBy(m => level(m.name)).toSeq.sortBy(_._1)
+    runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
     byLevel.foreach { case (_, ms) =>
       val results: Seq[(String, DataFrame)] =
         if (threads <= 1 || ms.size == 1) ms.map(m => m.name -> materialize(m, fullRefresh, microbatchWindows))
@@ -240,6 +313,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         }
       results.foreach { case (n, df) => materialized(n) = df }
     }
+    runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
     materialized.toMap
   }
 
@@ -339,6 +413,9 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         m.mat.isInstanceOf[AggregateMat]) && targetExists && !fullRefresh
       val ctx = ModelContext(spark, deps, isInc,
         if (targetExists) Some(wh.read(m.name)) else None)
+      // pre-hooks see the PRE-materialization state of `this`
+      // (incremental.sql:74-76 runs them before the strategy DML)
+      m.preHooks.foreach(_(HookContext(spark, wh, Some(m.name), ctx.existingTarget)))
       val df = m.build(ctx)
       m.mat match {
         case ViewMat =>
@@ -514,6 +591,24 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           wh.writeSwap(m.name, next)
           wh.read(m.name)
       }
+    }
+    // post-hooks see the materialized relation (incremental.sql:172-182:
+    // main DML, then hooks, then grants/docs, then commit)
+    m.postHooks.foreach(_(HookContext(spark, wh, Some(m.name), Some(result))))
+    // S9 metadata ops: persisted as sidecars + acknowledged in the op log;
+    // no ACL store / comment DDL exists here, so data is never touched
+    if (m.grants.nonEmpty) {
+      wh.putMeta(m.name + "__grants",
+        m.grants.toSeq.sortBy(_._1)
+          .map { case (p, to) => s"$p=${to.mkString(",")}" }.mkString("\n"))
+      ackMetaOp(s"apply_grants ${m.name}: " +
+        m.grants.toSeq.sortBy(_._1)
+          .map { case (p, to) => s"$p -> ${to.mkString(",")}" }.mkString("; ") +
+        " (sidecar only: no ACL store)")
+    }
+    m.docs.foreach { text =>
+      wh.putMeta(m.name + "__docs", text)
+      ackMetaOp(s"persist_docs ${m.name}: ${text.length} chars (sidecar)")
     }
     // declared tests run against the MATERIALIZED relation, before any
     // downstream model builds (dbt build semantics); Error severity aborts

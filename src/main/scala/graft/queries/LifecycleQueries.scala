@@ -669,6 +669,146 @@ object LifecycleQueries extends QuerySet {
     }, Some(
       """SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_name""".stripMargin))
+        |GROUP BY r.r_name""".stripMargin)),
+
+    QueryDef("q155_hooks_audit", (s, d) => {
+      // model/run hooks (dbt pre_hook/post_hook + on-run-start/on-run-end;
+      // dbt-snowflake incremental.sql:74-76,172-182): a full run's hook
+      // firings land as audit rows in a warehouse table — the classic
+      // audit-insert post-hook — and the stored audit is the hash-compared
+      // result. Counts, not wall-clock, so the audit is engine-exact.
+      import graft.engine.{Hook, HookContext, TableMat}
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val wh = Scratch.warehouse("q155", d, s, Seq("mart_recent", "audit_log"))
+      def audit(event: String, n: Long): Unit =
+        wh.append("audit_log", Seq((event, n)).toDF("event", "n"))
+      val reg = new Registry(s, wh)
+      reg.onRunStart(_ => audit("on_run_start", -1L))
+      reg.onRunEnd(ctx => audit("on_run_end", ctx.wh.read("mart_recent").count()))
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("mart_recent", Seq("orders_src"), TableMat(),
+        ctx => ctx.ref("orders_src")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+          .select(col("o_orderkey").cast("long").as("id"), col("o_orderstatus").as("st")),
+        preHooks = Seq(ctx =>
+          audit("pre:mart_recent", ctx.relation.map(_.count()).getOrElse(-1L))),
+        postHooks = Seq(ctx =>
+          audit("post:mart_recent", ctx.relation.get.count()))))
+      reg.run()
+      wh.read("audit_log")
+    }, Some(
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+        |           WHERE o_orderdate >= DATE '1998-01-01')
+        |SELECT 'on_run_start' AS event, CAST(-1 AS BIGINT) AS n
+        |UNION ALL SELECT 'pre:mart_recent', -1
+        |UNION ALL SELECT 'post:mart_recent', c FROM n
+        |UNION ALL SELECT 'on_run_end', c FROM n""".stripMargin)),
+
+    QueryDef("q156_clone_relation", (s, d) => {
+      // S9 clone (dbt-adapters clone.sql): hard-link clone of a materialized
+      // table, then the SOURCE is overwritten — the clone must still serve
+      // the point-in-time content (zero-copy snapshot independence)
+      import graft.engine.TableMat
+      val wh = Scratch.warehouse("q156", d, s, Seq("base_claims", "base_claims_clone"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("base_claims", Seq("orders_src"), TableMat(),
+        ctx => ctx.ref("orders_src")
+          .filter(col("o_orderdate") >= lit("1998-06-01").cast("date"))
+          .select(col("o_orderkey").cast("long").as("id"),
+            col("o_custkey").cast("long").as("member_id"),
+            col("o_orderdate").as("service_date"))))
+      reg.run()
+      reg.cloneRelation("base_claims", "base_claims_clone")
+      // the source moves on; the clone is the frozen point-in-time copy
+      wh.writeSwap("base_claims",
+        wh.read("base_claims_clone").filter(col("id") % 2 === 0))
+      wh.read("base_claims_clone")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(o_custkey AS BIGINT) AS member_id,
+        |       o_orderdate AS service_date
+        |FROM orders WHERE o_orderdate >= DATE '1998-06-01'""".stripMargin)),
+
+    // §2.10 streaming ops, oracle-gated (VERDICT r7 next-8): each runs the
+    // REAL streaming operator graph over the events file source with
+    // Trigger.AvailableNow (same code path as a live source) and
+    // hash-compares the terminal state against a batch-SQL oracle. The one
+    // op left spec-only is funnelStream: its buffered steps finalize only
+    // when a LATER batch advances the watermark past them, which a
+    // single-file AvailableNow source cannot provide — StreamingSpec
+    // drives it with a multi-batch MemoryStream instead (stream == batch
+    // pinned there).
+
+    QueryDef("q157_stream_dedup", (s, d) => {
+      // dedup-on-ingest: first occurrence per key wins inside the
+      // watermark horizon. Only the KEY columns are emitted — which
+      // physical duplicate row survives is arrival-order-dependent, the
+      // kept key set is not.
+      import graft.streaming.EventsStream
+      val deduped = EventsStream.dedupStream(
+        EventsStream.readEvents(s, d), Seq("user_id", "event_type"),
+        "ts", "2 hours")
+        .select(col("user_id"), col("event_type"))
+      EventsStream.runToBatchAppend(s, deduped, "q157_sink")
+    }, Some(
+      "SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type FROM events")),
+
+    QueryDef("q158_stream_enrich", (s, d) => {
+      // stream-static broadcast enrichment; left join so facts with no dim
+      // row flow through with NULL attributes
+      import graft.streaming.EventsStream
+      val dim = table(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val enriched = EventsStream.enrichStream(
+        EventsStream.readEvents(s, d), dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("segment"))
+      EventsStream.runToBatchAppend(s, enriched, "q158_sink")
+    }, Some(
+      """SELECT CAST(e.event_id AS BIGINT) AS event_id,
+        |       CAST(e.user_id AS BIGINT) AS user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
+    QueryDef("q159_stream_timebound_join", (s, d) => {
+      // stream-stream inner join bounded by an event-time range (the
+      // attribution shape); the range bound is what lets Spark evict state
+      import graft.streaming.EventsStream
+      def side(prefix: String, eventType: String) =
+        EventsStream.readEvents(s, d).filter(col("event_type") === eventType)
+          .select(col("user_id").as(s"${prefix}_key"), col("ts").as(s"${prefix}_ts"),
+            col("event_id").as(s"${prefix}_event_id"))
+      val joined = EventsStream.timeBoundJoin(
+        side("l", "view"), side("r", "click"),
+        withinSeconds = 3600, watermark = "2 hours")
+        .select(col("l_event_id"), col("r_event_id"))
+      EventsStream.runToBatchAppend(s, joined, "q159_sink")
+    }, Some(
+      """SELECT CAST(l.event_id AS BIGINT) AS l_event_id,
+        |       CAST(r.event_id AS BIGINT) AS r_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'view' AND r.event_type = 'click'
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin)),
+
+    QueryDef("q160_stream_agg", (s, d) => {
+      // unbounded-key streaming aggregate state: per-batch partials
+      // sum-combined into a stored rollup (integer cents — exact under any
+      // batch split, unlike double addition)
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q160", d, s, Seq("evt_rollup"))
+      val q = EventsStream.aggStream(
+        EventsStream.readEvents(s, d), wh, "evt_rollup",
+        Seq("event_type"), Seq("n" -> "sum", "cents" -> "sum")) { batch =>
+        batch.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      }
+      q.awaitTermination()
+      wh.read("evt_rollup")
+    }, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1""".stripMargin))
   )
 }

@@ -477,4 +477,71 @@ class RegistrySpec extends AnyFunSuite {
       ctx => ctx.ref("raw").groupBy($"k").agg(count(lit(1)).as("wrong_name"))))
     assertThrows[IllegalArgumentException](bad.run())
   }
+
+  test("hooks: on-run-start/end once per run, pre/post per model in DAG order") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_hooks").toString, spark)
+    val log = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    def rec(tag: String): Hook.Hook = ctx =>
+      { log.add(s"$tag:${ctx.model.getOrElse("-")}"); () }
+    val reg = new Registry(spark, wh)
+    reg.onRunStart(rec("start")).onRunEnd(rec("end"))
+    reg.source("raw", Seq((1L, 5), (2L, 0)).toDF("k", "v"))
+    reg.register(Model("up", Seq("raw"), ViewMat,
+      ctx => ctx.ref("raw"),
+      preHooks = Seq(rec("pre")), postHooks = Seq(rec("post"))))
+    reg.register(Model("down", Seq("up"), TableMat(),
+      ctx => ctx.ref("up").filter(col("v") > 0),
+      preHooks = Seq(rec("pre")), postHooks = Seq(rec("post"))))
+    reg.run()
+    import scala.jdk.CollectionConverters._
+    assert(log.asScala.toSeq === Seq("start:-", "pre:up", "post:up",
+      "pre:down", "post:down", "end:-"),
+      s"hook order: ${log.asScala.toSeq}")
+    // a post-hook sees the materialized relation; a pre-hook on run 2 sees
+    // the PRE-run state (run-1 rows), and Hook.sql runs real statements
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val reg2 = new Registry(spark, wh)
+    reg2.source("raw", Seq((1L, 5), (2L, 7), (3L, 9)).toDF("k", "v"))
+    reg2.register(Model("down", Seq("raw"), TableMat(),
+      ctx => ctx.ref("raw"),
+      preHooks = Seq(ctx => { seen += (("pre", ctx.relation.get.count())); () }),
+      postHooks = Seq(
+        ctx => { seen += (("post", ctx.relation.get.count())); () },
+        Hook.sql("CREATE OR REPLACE TEMP VIEW hook_audit AS SELECT 42 AS ok"))))
+    reg2.run()
+    assert(seen.toSeq === Seq(("pre", 1L), ("post", 3L)))
+    assert(spark.table("hook_audit").collect().map(_.getInt(0)).toSeq === Seq(42))
+  }
+
+  test("S9: grants/docs persist as sidecars with zero data effect; clone hard-links") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_s9").toString, spark)
+    val reg = new Registry(spark, wh)
+    reg.source("raw", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    reg.register(Model("tbl", Seq("raw"), TableMat(),
+      ctx => ctx.ref("raw"),
+      grants = Map("select" -> Seq("role_bi", "role_etl")),
+      docs = Some("the demo table")))
+    reg.run()
+    // accepted + logged + persisted; data untouched
+    assert(reg.metadataOps.exists(_.startsWith("apply_grants tbl")), reg.metadataOps)
+    assert(reg.metadataOps.exists(_.startsWith("persist_docs tbl")), reg.metadataOps)
+    assert(wh.getMeta("tbl__grants").contains("select=role_bi,role_etl"))
+    assert(wh.getMeta("tbl__docs").contains("the demo table"))
+    assert(wh.read("tbl").count() === 2)
+    // clone: same logical content, zero data bytes copied (same inode)
+    reg.cloneRelation("tbl", "tbl_clone")
+    assert(wh.read("tbl_clone").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val srcFile = java.nio.file.Files.walk(java.nio.file.Paths.get(wh.root, "tbl"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val dstFile = java.nio.file.Paths.get(wh.root, "tbl_clone")
+      .resolve(java.nio.file.Paths.get(wh.root, "tbl").relativize(srcFile))
+    assert(java.nio.file.Files.getAttribute(srcFile, "unix:ino") ===
+      java.nio.file.Files.getAttribute(dstFile, "unix:ino"),
+      "clone must hard-link, not copy")
+    // clones age independently: overwriting the source leaves the clone
+    wh.writeSwap("tbl", Seq((9L, "z")).toDF("k", "s"))
+    assert(wh.read("tbl_clone").count() === 2)
+    assert(reg.metadataOps.exists(_.startsWith("clone: tbl -> tbl_clone")))
+  }
 }
