@@ -273,7 +273,21 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       microbatchWindows: Map[String, (String, String)] = Map.empty,
       threads: Int = 1,
       select: Seq[String] = Nil,
-      exclude: Seq[String] = Nil): Map[String, DataFrame] = {
+      exclude: Seq[String] = Nil): Map[String, DataFrame] =
+    runImpl(fullRefresh, microbatchWindows, threads, select, exclude,
+      fireRunHooks = true)
+
+  /** [[run]] minus the run-level hooks — the internal passes of
+    * [[runMicrobatches]] (ancestors, one pass per window, downstream) are
+    * ONE dbt invocation, so on-run-start/end must fire once around the
+    * whole series, not once per window.
+    */
+  private def runImpl(fullRefresh: Boolean,
+      microbatchWindows: Map[String, (String, String)],
+      threads: Int,
+      select: Seq[String],
+      exclude: Seq[String],
+      fireRunHooks: Boolean): Map[String, DataFrame] = {
     // dbt-style DAG parallelism (SURVEY §3: independent nodes on separate
     // threads): models grouped into topological levels; within a level all
     // deps are already materialized, so models run concurrently. Spark's
@@ -297,7 +311,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
     }
     val byLevel = ordered.groupBy(m => level(m.name)).toSeq.sortBy(_._1)
-    runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
+    if (fireRunHooks) runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
     byLevel.foreach { case (_, ms) =>
       val results: Seq[(String, DataFrame)] =
         if (threads <= 1 || ms.size == 1) ms.map(m => m.name -> materialize(m, fullRefresh, microbatchWindows))
@@ -313,7 +327,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         }
       results.foreach { case (n, df) => materialized(n) = df }
     }
-    runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
+    if (fireRunHooks) runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
     materialized.toMap
   }
 
@@ -371,14 +385,20 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         if (ancestorSet.add(d)) collectAnc(d)))
     collectAnc(modelName)
     val ancestors = ancestorSet.filter(byName.contains).toSeq
-    if (ancestors.nonEmpty) run(threads = threads, select = ancestors)
+    // the whole series is ONE invocation: run-level hooks fire here once,
+    // and every internal pass below suppresses them
+    runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
+    if (ancestors.nonEmpty)
+      runImpl(fullRefresh = false, Map.empty, threads, ancestors, Nil,
+        fireRunHooks = false)
     var out = Map.empty[String, DataFrame]
     while (cur.isBefore(fin)) {
       val next = step(cur)
       // only the microbatch model re-runs per window — neither siblings
       // nor (already-materialized) ancestors are touched by the loop
-      out = run(microbatchWindows = Map(modelName -> (cur.toString, next.toString)),
-        threads = threads, select = Seq(modelName), exclude = ancestors)
+      out = runImpl(fullRefresh = false,
+        Map(modelName -> (cur.toString, next.toString)),
+        threads, Seq(modelName), ancestors, fireRunHooks = false)
       cur = next
     }
     // downstream models see the final state exactly once (the microbatch
@@ -392,8 +412,9 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       dependents.diff(Set(modelName)).toSeq
     }
     if (downstream.nonEmpty)
-      out = run(threads = threads, select = downstream,
-        exclude = modelName +: ancestors)
+      out = runImpl(fullRefresh = false, Map.empty, threads, downstream,
+        modelName +: ancestors, fireRunHooks = false)
+    runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
     out
   }
 

@@ -299,9 +299,15 @@ class RegistrySpec extends AnyFunSuite {
       ctx => ctx.ref("mb").groupBy(col("tag")).agg(count(lit(1)).as("n"))))
     reg.register(Model("sibling", Seq("src"),
       IncrementalMat(Incremental.Append, Nil), ctx => ctx.ref("src")))
+    // run-level hooks fire once per INVOCATION — the window series below
+    // is one invocation, never once-per-window (dbt on-run-start/end)
+    var starts = 0; var ends = 0
+    reg.onRunStart(_ => starts += 1).onRunEnd(_ => ends += 1)
     reg.run() // CTAS
     // three one-day batches replace the [01-01, 01-04) slices one at a time
     reg.runMicrobatches("mb", "2024-01-01", "2024-01-04", "day")
+    assert((starts, ends) === ((2, 2)),
+      s"run + runMicrobatches = 2 invocations, got starts=$starts ends=$ends")
     val out = wh.read("mb").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out === Map(1L -> "batched", 2L -> "batched", 3L -> "batched", 4L -> "outside"))
     val agg = wh.read("mb_agg").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
