@@ -258,4 +258,44 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("score"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by within-cluster cosine pruning. Embeddings are clustered first (the
+    * paper uses k-means; any blocking column works — [[Clustering
+    * .kMeansAssign]] output, or [[signBucket]] for a model-free split), then
+    * ONLY within-cluster pairs are scored — never all-pairs, which is what
+    * makes the method viable at corpus scale: pair volume is
+    * sum(cluster_size^2), bounded by the clustering, not N^2.
+    *
+    * Keep rule: a row is dropped iff SOME earlier row (lower id) in its
+    * cluster has cosine >= `threshold` to it — dominance by any earlier
+    * neighbor, kept or dropped. When near-duplicate similarity is
+    * transitive inside the threshold ball (the regime the paper targets:
+    * tight semantic-duplicate groups), every group collapses to exactly its
+    * earliest member — the paper's "keep one per duplicate group" with
+    * min-id as the deterministic, engine-portable representative choice.
+    * The paper's centroid-distance representative is the [[Dedup
+    * .keepBestInCluster]] composition (pairs -> connectedComponents ->
+    * quality rank) when that ordering matters.
+    *
+    * Emits every input row with its verdict — (blockCol, id, kept) — so
+    * both the keep-list (`kept`) and the audit of what was pruned are one
+    * filter away; no second scan of the corpus to reconstruct either.
+    *
+    * Scale shape: [[nearDupPairs]] generates the within-cluster candidates
+    * (same hot-cluster guard rail via `maxBlockRows`), the dominated set
+    * rolls up to distinct ids with map-side partial aggregation, and the
+    * verdict join is one shuffle on id. The dominated side is at most the
+    * duplicate count — far smaller than the corpus — so AQE broadcasts it
+    * in the common mostly-unique regime.
+    */
+  def semDeDup(emb: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBlockRows: Option[Int] = None): DataFrame = {
+    val dominated = nearDupPairs(emb, blockCol, threshold, idCol, vecCol, maxBlockRows)
+      .groupBy(col("id_b").as("__rm_id")).agg(count(lit(1)).as("__nd"))
+    emb.select(col(blockCol), col(idCol).cast("long").as(idCol))
+      .join(dominated, col(idCol) === col("__rm_id"), "left")
+      .select(col(blockCol), col(idCol), col("__rm_id").isNull.as("kept"))
+  }
 }

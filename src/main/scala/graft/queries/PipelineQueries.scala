@@ -1686,6 +1686,29 @@ object PipelineQueries extends QuerySet {
         |         AS BIGINT) AS n_tokens,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
         |         AS n_links_kept
-        |FROM documents WHERE text IS NOT NULL""".stripMargin))
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+
+    QueryDef("q161_semdedup", (s, d) => {
+      // SemDeDup (Abbas et al. 2023): cluster embeddings, prune
+      // within-cluster cosine near-dups to one representative. Clustered
+      // here by the model-free sign-LSH bucket (64 clusters) so the oracle
+      // can re-derive the clustering exactly; kMeansAssign plugs into the
+      // same blockCol seat in production.
+      val emb = table(s, d, "embeddings")
+        .withColumn("cluster", Similarity.signBucket(col("embedding"), 6))
+      Similarity.semDeDup(emb, "cluster", threshold = 0.4)
+    }, Some {
+      val clusterSql = (0 until 6)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT CAST($clusterSql AS INTEGER) AS cluster,
+         |                  CAST(vec_id AS BIGINT) AS vec_id, $qvecSql AS v
+         |           FROM embeddings),
+         |rm AS (SELECT DISTINCT b.vec_id AS id
+         |       FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |       WHERE ${cosSql("a.v", "b.v")} >= 0.4)
+         |SELECT e.cluster, e.vec_id, (rm.id IS NULL) AS kept
+         |FROM e LEFT JOIN rm ON e.vec_id = rm.id""".stripMargin
+    })
   )
 }

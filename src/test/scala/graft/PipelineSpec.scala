@@ -116,6 +116,22 @@ class PipelineSpec extends AnyFunSuite {
       maxBlockRows = Some(10)).count() === 1)
   }
 
+  test("semDeDup keeps earliest per duplicate group, cross-cluster twins untouched") {
+    // cluster A: ids 1,2,3 mutually near (keep 1 only); id 4 is in A but
+    // orthogonal to the trio (kept). cluster B: id 5 duplicates id 1's
+    // direction but sits in ANOTHER cluster — SemDeDup by contract never
+    // compares across clusters, so it survives. id 6 is B's singleton tail.
+    val rows = Seq(
+      ("A", 1L, Array(1.0f, 0.0f, 0.0f)), ("A", 2L, Array(0.99f, 0.01f, 0.0f)),
+      ("A", 3L, Array(0.98f, 0.02f, 0.0f)), ("A", 4L, Array(0.0f, 1.0f, 0.0f)),
+      ("B", 5L, Array(1.0f, 0.0f, 0.0f)), ("B", 6L, Array(0.0f, 0.0f, 1.0f)))
+    val out = Similarity.semDeDup(rows.toDF("cluster", "vec_id", "embedding"),
+      "cluster", threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> true, 6L -> true))
+  }
+
   test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
     import graft.pipeline.Sampling
     val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
