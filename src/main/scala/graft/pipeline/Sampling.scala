@@ -311,4 +311,76 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__q", "__ntok", "__gtok", "__cum_before", "__run")
   }
+
+  /** Hashed feature bucket in [0, nBuckets): the [[hashBucket]] md5 idiom
+    * with a caller-chosen modulus — the "hashing trick" feature map of
+    * DSIR / fasttext-style linear models, engine-portable like every
+    * sampling hash here.
+    */
+  def featureBucket(gram: Column, nBuckets: Int, salt: String): Column =
+    conv(substring(md5(concat(gram, lit("|" + salt))), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * each document by how much more likely its hashed-n-gram features are
+    * under the TARGET distribution (rows where `isTarget`) than under the
+    * raw corpus — the data-selection signal for "pick web data that looks
+    * like the high-quality target". Features are hashed unigrams+bigrams
+    * (`featureBucket`, add-1-smoothed counts); the paper's per-feature
+    * log-likelihood-ratio is replaced by the CENTERED-LINEAR exact-integer
+    * ratio score
+    *
+    *   s_w = (scale * (t_w+1) * (R+B)) div ((r_w+1) * (T+B)) - scale
+    *
+    * (t/r = target/raw bucket counts, T/R their totals, B = nBuckets) and
+    * a document's weight is the exact BIGINT `sum(c_w * s_w)` over its
+    * buckets. The centering is the first-order log (log x ~= x - 1 around
+    * 1): a feature MORE likely under the target contributes positively, a
+    * LESS likely one negatively — without it, every token adds a positive
+    * term and long off-target documents out-accumulate short on-target
+    * ones, inverting the selection. Monotone per feature like the log
+    * form, reproducible bit-for-bit on any engine (the repo-wide log-free
+    * policy; see bm25TermScores' odds-ratio idf for the same trade).
+    * Select by (weight DESC, doc_id) and the ranking is total.
+    *
+    * Integer-exactness bound: `scale * T * R` must stay under 2^63 —
+    * holds to ~10^9 target grams x 10^6 raw/target ratio at the default
+    * scale. Past that, train the bucket stats on a [[hashSample]] of the
+    * raw side (the paper itself fits hashed models on a subsample).
+    *
+    * Scale shape: one scan explodes grams to (doc, bucket) counts
+    * (partial-agg shuffle on uniform md5 buckets), bucket stats roll up to
+    * <= nBuckets rows, totals ride along as a broadcast 1-row cross join
+    * (never a driver collect), and the per-doc weight is one more
+    * partial-agg shuffle on doc_id. Nothing is ever keyed by a skewed
+    * value; nothing driver-side scales with the corpus.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
+      scale: Long = 1000L, salt: String = "dsir",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets: $nBuckets")
+    require(scale >= 1, s"scale: $scale")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("__tgt"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val grams = concat(col("__tk"), TextAnalysis.ngramsFromTokens(col("__tk"), 2))
+    val feat = base
+      .select(col("doc_id"), col("__tgt"), explode(grams).as("__g"))
+      .select(col("doc_id"), col("__tgt"),
+        featureBucket(col("__g"), nBuckets, salt).as("__bucket"))
+      .groupBy(col("doc_id"), col("__tgt"), col("__bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = feat.groupBy(col("__bucket")).agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(lit(0L))).as("__t"),
+      sum(col("__c")).as("__r"))
+    val totals = stats.agg(sum(col("__t")).as("__bigT"), sum(col("__r")).as("__bigR"))
+    val scored = stats.crossJoin(broadcast(totals))
+      .select(col("__bucket"),
+        expr(s"(${scale}L * (__t + 1) * (__bigR + $nBuckets)) div " +
+          s"((__r + 1) * (__bigT + $nBuckets)) - ${scale}L").as("__s"))
+    feat.join(scored, Seq("__bucket"))
+      .groupBy(col("doc_id"), col("__tgt"))
+      .agg(sum(col("__c") * col("__s")).as("weight"))
+      .select(col("doc_id"), col("__tgt").as("is_target"), col("weight"))
+  }
 }

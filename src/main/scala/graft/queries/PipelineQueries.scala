@@ -1709,6 +1709,46 @@ object PipelineQueries extends QuerySet {
          |       WHERE ${cosSql("a.v", "b.v")} >= 0.4)
          |SELECT e.cluster, e.vec_id, (rm.id IS NULL) AS kept
          |FROM e LEFT JOIN rm ON e.vec_id = rm.id""".stripMargin
-    })
+    }),
+
+    QueryDef("q162_dsir_weights", (s, d) =>
+      // DSIR (Xie et al. 2023): importance weight of every doc vs the
+      // target distribution "docs from src1" — hashed unigram+bigram
+      // features, add-1-smoothed target/raw ratio scores, exact BIGINT
+      // weights (the linearized log-free form; Sampling.dsirWeights doc)
+      graft.pipeline.Sampling.dsirWeights(table(s, d, "documents"),
+        isTarget = col("source") === "src1", nBuckets = 4096, salt = "dsir"),
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, (source = 'src1') AS tgt,
+          |         string_split(text, ' ') AS tk
+          |  FROM documents WHERE text IS NOT NULL),
+          |grams AS (
+          |  SELECT doc_id, tgt, unnest(list_concat(tk,
+          |           CASE WHEN len(tk) >= 2
+          |                THEN list_transform(generate_series(1, len(tk) - 1),
+          |                       i -> tk[i] || ' ' || tk[i + 1])
+          |                ELSE [] END)) AS g
+          |  FROM base),
+          |feat AS (
+          |  SELECT doc_id, tgt,
+          |         ('0x' || substr(md5(g || '|dsir'), 1, 8))::BIGINT % 4096 AS bucket,
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM grams GROUP BY 1, 2, 3),
+          |stats AS (
+          |  SELECT bucket,
+          |         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS t,
+          |         CAST(sum(c) AS BIGINT) AS r
+          |  FROM feat GROUP BY 1),
+          |tot AS (SELECT CAST(sum(t) AS BIGINT) AS bigt,
+          |               CAST(sum(r) AS BIGINT) AS bigr FROM stats),
+          |scored AS (
+          |  SELECT bucket,
+          |         CAST((1000 * (t + 1) * (bigr + 4096)) // ((r + 1) * (bigt + 4096))
+          |           - 1000 AS BIGINT) AS s
+          |  FROM stats, tot)
+          |SELECT f.doc_id, f.tgt AS is_target, CAST(sum(f.c * s.s) AS BIGINT) AS weight
+          |FROM feat f JOIN scored s USING (bucket)
+          |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -132,6 +132,28 @@ class PipelineSpec extends AnyFunSuite {
       5L -> true, 6L -> true))
   }
 
+  test("dsirWeights ranks target-like docs above unrelated ones; NULL text dropped") {
+    import graft.pipeline.Sampling
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "tgt"), (2L, "alpha beta gamma", "tgt"),
+      (3L, "alpha beta", "raw"), // resembles the target vocabulary
+      (4L, "xx yy zz ww", "raw"), // disjoint from it
+      (5L, null.asInstanceOf[String], "raw"))
+      .toDF("doc_id", "text", "source")
+    val w = Sampling.dsirWeights(docs, isTarget = $"source" === "tgt")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L), "NULL-text doc must be dropped")
+    assert(w(1L)._1 && w(2L)._1 && !w(3L)._1 && !w(4L)._1)
+    // the centered score makes off-target tokens PENALIZE: doc 4 (4 tokens
+    // of never-seen-in-target vocabulary) accumulates negative terms and
+    // must fall below doc 3 (target-heavy vocabulary)
+    assert(w(3L)._2 > w(4L)._2, s"target-like ${w(3L)} vs unrelated ${w(4L)}")
+    // deterministic: a rerun over a different partitioning is identical
+    val w2 = Sampling.dsirWeights(docs.repartition(7), $"source" === "tgt")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(w2 === w)
+  }
+
   test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
     import graft.pipeline.Sampling
     val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
