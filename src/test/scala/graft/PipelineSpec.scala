@@ -154,6 +154,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(w2 === w)
   }
 
+  test("linearTextScore: exact logits from broadcast weights, threshold gate, no shuffle") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // one bucket collapses the hash: logit = bias + ntokens * w[0]
+    val out = TextAnalysis.linearTextScore(docs, Array(2L), bias = -3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(1L -> ((3L, true)), 2L -> ((-1L, false))))
+    val plan = TextAnalysis.linearTextScore(docs, Array(2L), bias = -3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"model inference must be a narrow map:\n$plan")
+  }
+
   test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
     import graft.pipeline.Sampling
     val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
