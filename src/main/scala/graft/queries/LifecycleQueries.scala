@@ -782,7 +782,10 @@ object LifecycleQueries extends QuerySet {
         side("l", "view"), side("r", "click"),
         withinSeconds = 3600, watermark = "2 hours")
         .select(col("l_event_id"), col("r_event_id"))
-      EventsStream.runToBatchAppend(s, joined, "q159_sink")
+      // state parallelism sized to the ~40k-row join state, not the batch
+      // shuffle width (EventsStream.withStatePartitions doc; 2.3x here)
+      EventsStream.withStatePartitions(s, 8)(
+        EventsStream.runToBatchAppend(s, joined, "q159_sink"))
     }, Some(
       """SELECT CAST(l.event_id AS BIGINT) AS l_event_id,
         |       CAST(r.event_id AS BIGINT) AS r_event_id

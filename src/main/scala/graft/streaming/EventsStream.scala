@@ -223,6 +223,27 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n` — the
+    * state-store parallelism knob for streaming queries started inside.
+    *
+    * Streaming state partition count is fixed at FIRST query start (it's
+    * baked into the checkpoint), and each state-store instance pays a
+    * fixed load/commit cost per micro-batch — so it should be sized to the
+    * STATE volume, not inherited from the session's batch shuffle width.
+    * A modest-state join at 32 batch partitions pays 64 store commits per
+    * batch for nothing (measured 2.3x on the q159 attribution join);
+    * conversely a 100 TB corpus stream wants hundreds. Batch queries
+    * planned inside the scope also see `n`, so keep the body to the
+    * streaming query.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    require(n >= 1, s"statePartitions: $n")
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** [[runToBatch]] for APPEND-mode graphs (joins, watermark-expired
     * aggregates): Complete mode is aggregate-only in Spark.
     */
