@@ -82,6 +82,21 @@ final case class DynamicTableMat(
     config: DynamicTableConfig = DynamicTableConfig(),
     onConfigurationChange: OnConfigChange = ApplyConfig) extends Materialization
 
+/** dbt `function` materialization (dbt-adapters
+  * macros/materializations/functions/, dbt-snowflake
+  * macros/materializations/functions/scalar.sql): the model materializes a
+  * SCALAR SQL FUNCTION instead of a relation. Spark-native form: a SQL UDF
+  * (`CREATE OR REPLACE TEMPORARY FUNCTION name(args) RETURNS type RETURN
+  * body`, Spark 4) — declarative SQL Catalyst INLINES into every caller's
+  * plan, so downstream models pay zero black-box-UDF cost: the body
+  * optimizes, pushes down, and codegens like any expression. The model's
+  * `build` is ignored (dbt's is too — the body lives in config); the
+  * relation seat in the DAG is a one-row acknowledgment so hooks, tests,
+  * and `ref` composition keep working uniformly.
+  */
+final case class FunctionMat(args: String, returns: String,
+    body: String) extends Materialization
+
 /** Hook execution context (dbt's `this`/`target` Jinja surface, Scala-first):
   * `relation` is the existing target for pre-hooks and the materialized
   * result for post-hooks (None when the model has never materialized);
@@ -605,6 +620,14 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                   s"model: ${cfg.serialize.replace('\n', ' ')})")
           }
           wh.read(m.name)
+        case FunctionMat(args, returns, body) =>
+          // session-scoped like a temp view; re-running REPLACES (the
+          // scalar.sql CREATE OR REPLACE semantics)
+          spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${m.name}($args) " +
+            s"RETURNS $returns RETURN $body")
+          ackMetaOp(s"create_function ${m.name}($args) RETURNS $returns")
+          import spark.implicits._
+          Seq((m.name, args, returns)).toDF("function", "args", "returns")
         case SnapshotMat(keys, strategy, hard, ts) =>
           val next =
             if (!targetExists) Snapshot.firstRun(df, keys, strategy, hard)

@@ -812,6 +812,33 @@ object LifecycleQueries extends QuerySet {
     }, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("q164_function_model", (s, d) => {
+      // dbt `function` materialization (dbt-snowflake functions/scalar.sql):
+      // a model materializes a scalar SQL UDF; the downstream model calls
+      // it from SQL and Catalyst inlines the body into the caller's plan
+      import graft.engine.{FunctionMat, TableMat}
+      val wh = Scratch.warehouse("q164", d, s, Seq("order_bands"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("q164_price_band", Nil, FunctionMat(
+        "p DOUBLE", "STRING",
+        "CASE WHEN p < 50000 THEN 'low' WHEN p < 150000 THEN 'mid' ELSE 'high' END"),
+        ctx => ctx.spark.emptyDataFrame))
+      reg.register(Model("order_bands", Seq("orders_src", "q164_price_band"),
+        TableMat(), ctx => {
+          ctx.ref("orders_src").createOrReplaceTempView("q164_orders_tv")
+          ctx.spark.sql("SELECT CAST(o_orderkey AS BIGINT) AS id, " +
+            "q164_price_band(o_totalprice) AS band FROM q164_orders_tv")
+        }))
+      reg.run()
+      wh.read("order_bands")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |       CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS band
+        |FROM orders""".stripMargin))
   )
 }

@@ -550,4 +550,33 @@ class RegistrySpec extends AnyFunSuite {
     assert(wh.read("tbl_clone").count() === 2)
     assert(reg.metadataOps.exists(_.startsWith("clone: tbl -> tbl_clone")))
   }
+
+  test("function materialization: SQL UDF usable downstream, inlined, replaced on rerun") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_fn").toString, spark)
+    def mkRegistry(body: String) = {
+      val reg = new Registry(spark, wh)
+      reg.source("raw", Seq((1L, 10.0), (2L, 200.0)).toDF("k", "v"))
+      reg.register(Model("fn_double_it", Nil,
+        FunctionMat("x DOUBLE", "DOUBLE", body), ctx => ctx.spark.emptyDataFrame))
+      reg.register(Model("applied", Seq("raw", "fn_double_it"), TableMat(), ctx => {
+        ctx.ref("raw").createOrReplaceTempView("fn_raw_tv")
+        ctx.spark.sql("SELECT k, fn_double_it(v) AS dv FROM fn_raw_tv")
+      }))
+      reg
+    }
+    val reg1 = mkRegistry("x * 2")
+    reg1.run()
+    assert(wh.read("applied").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      === Map(1L -> 20.0, 2L -> 400.0))
+    assert(reg1.metadataOps.exists(_.startsWith("create_function fn_double_it")))
+    // the SQL UDF must INLINE into the caller's plan — a black-box UDF
+    // node would defeat pushdown/codegen for every downstream model
+    val plan = spark.sql("SELECT fn_double_it(v) FROM fn_raw_tv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    // rerun with a new body REPLACES (scalar.sql CREATE OR REPLACE)
+    mkRegistry("x * 3").run()
+    assert(wh.read("applied").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      === Map(1L -> 30.0, 2L -> 600.0))
+  }
 }
