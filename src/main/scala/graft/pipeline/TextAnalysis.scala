@@ -101,6 +101,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, " +", " ")))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the MOSS
+    * algorithm): character-k-gram hashes, one selected per window of `w`
+    * consecutive grams — the RIGHTMOST minimal hash, the paper's robust
+    * winnowing rule, so near-identical passages in different documents
+    * select the same (local) fingerprints regardless of their offset. The
+    * guarantee: any shared substring of length >= w + k - 1 contributes at
+    * least one common fingerprint, while per-doc fingerprint density stays
+    * ~2/(w+1) — the partial, position-robust overlap signal that whole-doc
+    * [[fingerprint]] and position-anchored shingle ranks don't give.
+    *
+    * Emits one row per distinct selected fingerprint: (idCol, pos, fp) —
+    * `pos` the 0-based gram offset. Fewer than `w` grams collapse to ONE
+    * window (the paper's short-doc convention); sub-k and NULL texts emit
+    * nothing. Everything is exact integer arithmetic on the md5 idiom, and
+    * the whole computation is per-row narrow — a corpus-wide dedup joins
+    * docs on `fp` afterwards, shuffling fingerprints (the sampled
+    * ~2n/(w+1) stream), never raw text.
+    *
+    * Shape note: the gram-hash array materializes in its OWN projection
+    * before the window pass references it per window — inlined, the md5
+    * per gram would re-evaluate for every window touching it (interpreted
+    * HOFs get no common-subexpression elimination; measured catastrophic).
+    * CollapseProject leaves the split alone because the hash column is
+    * referenced more than once and is non-cheap. The per-window
+    * rightmost-min itself uses only codegen'd array built-ins
+    * (slice/array_min/reverse/array_position), no lambda fold.
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, k: Int, w: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(w >= 1, s"w: $w")
+    val text = col(textCol)
+    val n = length(text) - (k - 1) // gram count
+    val hashes = transform(sequence(lit(0), n - 1), i =>
+      conv(substring(md5(text.substr(i + 1, lit(k))), 1, 8), 16, 10).cast("long"))
+    // window t covers gram positions [t, t+w-1]; rightmost min = last
+    // occurrence of the slice minimum, found through the reversed slice
+    def sl(t: Column) = slice(col("__hs"), t + 1, lit(w))
+    val selected = transform(sequence(lit(0), greatest(col("__n") - w, lit(0))), t =>
+      struct(
+        (t + size(sl(t)) - array_position(reverse(sl(t)), array_min(sl(t))))
+          .cast("int").as("pos"),
+        array_min(sl(t)).as("fp")))
+    docs.filter(text.isNotNull && n >= 1)
+      .select(col(idCol).cast("long").as(idCol), hashes.as("__hs"), n.as("__n"))
+      .select(col(idCol), explode(array_distinct(selected)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
   /** Corpus vocabulary: per-token term frequency + document frequency.
     * Shaped as two NARROW shuffles — (token, doc) pre-aggregation rolls up
     * to (token) — instead of a countDistinct whose distinct-expand would

@@ -1771,6 +1771,34 @@ object PipelineQueries extends QuerySet {
         |           (('0x' || substr(md5(CAST((('0x' || substr(md5(t || '|lin'), 1, 8))::BIGINT
         |                % 512) AS VARCHAR) || '|w'), 1, 8))::BIGINT % 2001) - 1000))
         |           AS BIGINT) AS logit
-        |  FROM documents WHERE text IS NOT NULL) t""".stripMargin))
+        |  FROM documents WHERE text IS NOT NULL) t""".stripMargin)),
+
+    QueryDef("q165_winnow_fingerprints", (s, d) =>
+      // winnowing (Schleimer et al. 2003): char-4-gram hashes, rightmost
+      // min per 5-gram window — the position-robust partial-overlap
+      // fingerprints; the oracle re-runs the fold per window in DuckDB
+      graft.pipeline.TextAnalysis.winnowFingerprints(
+        table(s, d, "documents"), k = 4, w = 5),
+      Some(
+        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+          |                  length(text) - 3 AS n
+          |           FROM documents WHERE text IS NOT NULL),
+          |h AS (SELECT doc_id, n,
+          |             list_transform(generate_series(0, n - 1), i ->
+          |               ('0x' || substr(md5(substr(text, i + 1, 4)), 1, 8))::BIGINT) AS hs
+          |      FROM d WHERE n >= 1),
+          |sel AS (SELECT doc_id,
+          |  -- rightmost-min via built-ins (a struct-fold reduce is ~100x
+          |  -- slower in DuckDB): min of the window slice, position of its
+          |  -- LAST occurrence through list_reverse
+          |  list_transform(generate_series(0, greatest(n - 5, 0)), t ->
+          |    {'pos': t + len(list_slice(hs, t + 1, least(t + 5, n)))
+          |          - list_position(list_reverse(list_slice(hs, t + 1, least(t + 5, n))),
+          |                          list_min(list_slice(hs, t + 1, least(t + 5, n)))),
+          |     'fp': list_min(list_slice(hs, t + 1, least(t + 5, n)))}) AS sels
+          |  FROM h)
+          |SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos,
+          |       CAST(u.fp AS BIGINT) AS fp
+          |FROM (SELECT doc_id, unnest(sels) AS u FROM sel) t""".stripMargin))
   )
 }

@@ -167,6 +167,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"model inference must be a narrow map:\n$plan")
   }
 
+  test("winnowFingerprints: offset-shifted shared substrings share fingerprints") {
+    import graft.pipeline.TextAnalysis
+    // any shared substring of length >= w + k - 1 = 8 must contribute >= 1
+    // common fingerprint regardless of its offset in each doc
+    val common = "the winnowing guarantee holds for this passage"
+    val docs = Seq(
+      (1L, "XX " + common + " YYYYY"),
+      (2L, "a much longer and different prefix before " + common),
+      (3L, "zzz"), // sub-k: no grams, no rows
+      (4L, "abcdef")) // 3 grams < w: ONE window, one fingerprint
+      .toDF("doc_id", "text")
+    val by = TextAnalysis.winnowFingerprints(docs, k = 4, w = 5)
+      .collect().groupBy(_.getLong(0))
+    val f1 = by(1L).map(_.getLong(2)).toSet
+    val f2 = by(2L).map(_.getLong(2)).toSet
+    assert((f1 intersect f2).nonEmpty, "shifted shared passage must overlap")
+    assert(!by.contains(3L))
+    assert(by(4L).length === 1, by.get(4L).mkString)
+    // winnowing SAMPLES: far fewer fingerprints than grams (density ~2/(w+1))
+    val grams1 = ("XX " + common + " YYYYY").length - 3
+    assert(by(1L).length < grams1 / 2, s"${by(1L).length} of $grams1 grams")
+  }
+
   test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
     import graft.pipeline.Sampling
     val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
