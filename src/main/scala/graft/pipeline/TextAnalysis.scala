@@ -151,6 +151,40 @@ object TextAnalysis {
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
+  /** Near-duplicate candidate pairs from shared winnowing fingerprints
+    * (the MOSS pairing step): docs sharing at least `minShared` distinct
+    * selected fingerprints, with fingerprints appearing in more than
+    * `maxDocFreq` docs dropped BEFORE pairing — those are boilerplate
+    * (headers, license blocks) whose buckets would both flood the
+    * candidate set with false pairs and blow the equi-join up
+    * quadratically on a hot key. With the cap, per-fingerprint pair
+    * volume is bounded by maxDocFreq^2 — the same guard-by-construction
+    * as the banded dedup family, keyed on uniform md5 values.
+    *
+    * Emits (id_a, id_b, n_shared), id_a < id_b. n_shared counts DISTINCT
+    * shared fingerprint values (positions don't matter across docs).
+    */
+  def winnowNearDupPairs(docs: org.apache.spark.sql.DataFrame, k: Int, w: Int,
+      minShared: Int = 2, maxDocFreq: Long = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq: $maxDocFreq (pairs need >= 2)")
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(keep, Seq("fp"), "left_semi")
+    val a = kept.select(col("fp"), col("__id").as("id_a"))
+    val b = kept.select(col("fp"), col("__id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Corpus vocabulary: per-token term frequency + document frequency.
     * Shaped as two NARROW shuffles — (token, doc) pre-aggregation rolls up
     * to (token) — instead of a countDistinct whose distinct-expand would

@@ -72,6 +72,31 @@ object PipelineQueries extends QuerySet {
 
   private val lshPairsCtes: String = s"WITH $lshPairsCtesBody"
 
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.winnowFingerprints]]
+    * (k=4, w=5): char-4-gram md5 hashes, rightmost-min per 5-window via
+    * list built-ins (a struct-fold reduce is ~100x slower in DuckDB) —
+    * yields `wfp(doc_id, pos, fp)`. Shared by q165 (fingerprints) and
+    * q166 (near-dup pairing).
+    */
+  private val winnowCtesBody: String =
+    """d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |                  length(text) - 3 AS n
+      |           FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id, n,
+      |             list_transform(generate_series(0, n - 1), i ->
+      |               ('0x' || substr(md5(substr(text, i + 1, 4)), 1, 8))::BIGINT) AS hs
+      |      FROM d WHERE n >= 1),
+      |sel AS (SELECT doc_id,
+      |  list_transform(generate_series(0, greatest(n - 5, 0)), t ->
+      |    {'pos': t + len(list_slice(hs, t + 1, least(t + 5, n)))
+      |          - list_position(list_reverse(list_slice(hs, t + 1, least(t + 5, n))),
+      |                          list_min(list_slice(hs, t + 1, least(t + 5, n)))),
+      |     'fp': list_min(list_slice(hs, t + 1, least(t + 5, n)))}) AS sels
+      |  FROM h),
+      |wfp AS (SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos,
+      |               CAST(u.fp AS BIGINT) AS fp
+      |        FROM (SELECT doc_id, unnest(sels) AS u FROM sel) t)""".stripMargin
+
   /** BPE merge-table fixture, rank order. Chained multi-char rules ('d'+'at',
     * 'dat'+'a') only fire if earlier ranks already merged — the oracle
     * therefore gates rank ordering, not just pair matching. Vocabulary is
@@ -1779,26 +1804,23 @@ object PipelineQueries extends QuerySet {
       // fingerprints; the oracle re-runs the fold per window in DuckDB
       graft.pipeline.TextAnalysis.winnowFingerprints(
         table(s, d, "documents"), k = 4, w = 5),
+      Some(s"WITH $winnowCtesBody\nSELECT doc_id, pos, fp FROM wfp")),
+
+    QueryDef("q166_winnow_neardup_pairs", (s, d) =>
+      // MOSS pairing: docs sharing >= 2 rare winnowing fingerprints;
+      // boilerplate fps (doc freq > 10) dropped before pairing — both the
+      // precision filter and the hot-bucket guard
+      graft.pipeline.TextAnalysis.winnowNearDupPairs(
+        table(s, d, "documents"), k = 4, w = 5, minShared = 2, maxDocFreq = 10),
       Some(
-        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-          |                  length(text) - 3 AS n
-          |           FROM documents WHERE text IS NOT NULL),
-          |h AS (SELECT doc_id, n,
-          |             list_transform(generate_series(0, n - 1), i ->
-          |               ('0x' || substr(md5(substr(text, i + 1, 4)), 1, 8))::BIGINT) AS hs
-          |      FROM d WHERE n >= 1),
-          |sel AS (SELECT doc_id,
-          |  -- rightmost-min via built-ins (a struct-fold reduce is ~100x
-          |  -- slower in DuckDB): min of the window slice, position of its
-          |  -- LAST occurrence through list_reverse
-          |  list_transform(generate_series(0, greatest(n - 5, 0)), t ->
-          |    {'pos': t + len(list_slice(hs, t + 1, least(t + 5, n)))
-          |          - list_position(list_reverse(list_slice(hs, t + 1, least(t + 5, n))),
-          |                          list_min(list_slice(hs, t + 1, least(t + 5, n)))),
-          |     'fp': list_min(list_slice(hs, t + 1, least(t + 5, n)))}) AS sels
-          |  FROM h)
-          |SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos,
-          |       CAST(u.fp AS BIGINT) AS fp
-          |FROM (SELECT doc_id, unnest(sels) AS u FROM sel) t""".stripMargin))
+        s"""WITH $winnowCtesBody,
+           |wfpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+           |keep AS (SELECT fp FROM wfpd GROUP BY fp HAVING count(*) <= 10),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |      FROM (SELECT * FROM wfpd JOIN keep USING (fp)) a
+           |      JOIN (SELECT * FROM wfpd JOIN keep USING (fp)) b USING (fp)
+           |      WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
   )
 }

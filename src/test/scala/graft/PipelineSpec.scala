@@ -190,6 +190,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(by(1L).length < grams1 / 2, s"${by(1L).length} of $grams1 grams")
   }
 
+  test("winnowNearDupPairs pairs on rare shared fingerprints, boilerplate capped out") {
+    import graft.pipeline.TextAnalysis
+    val passage = "an unmistakably distinctive shared passage of text"
+    val boiler = "COMMON LICENSE HEADER " // in every doc: df cap must kill it
+    val docs = (Seq(
+      (1L, boiler + "left " + passage),
+      (2L, boiler + "a different frame around " + passage + " indeed")) ++
+      (3L to 20L).map(i => (i, boiler + s"unique content number $i with nothing shared")))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowNearDupPairs(docs, k = 4, w = 5,
+      minShared = 2, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"only the planted pair may survive the df cap: $pairs")
+  }
+
   test("hashSample is deterministic and order-independent; capPerGroup caps and is stable") {
     import graft.pipeline.Sampling
     val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
