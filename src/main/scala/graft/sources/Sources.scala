@@ -53,7 +53,13 @@ object Sources {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType.typeName match {
       case "long" => raw.withColumn("ts", nsToTimestamp(col("ts")))
-      case _      => raw
+      // tz-naive parquet timestamps (timestamp[us] written without a zone)
+      // surface as TIMESTAMP_NTZ; normalize to TimestampType so event-time
+      // streaming (watermarks reject NTZ) and every downstream query see
+      // the SAME type the ns-long generations produced via timestamp_micros.
+      // Sessions run UTC, so the cast is a pure reinterpretation.
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
     }
   }
 

@@ -20,28 +20,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** Events parquet schema as stored (ns timestamps surface as LongType under
-    * spark.sql.legacy.parquet.nanosAsLong).
+  /** Events parquet schema as stored, with `ts` typed the way THIS dataset's
+    * files encode it: generations of the driver testdata have shipped both
+    * int64-nanos (surfacing as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong) and native timestamp[us]. A
+    * streaming source must pin a schema up front, so sniff one batch footer
+    * and pin what the files actually contain — one footer read per query
+    * start, not a per-batch cost, and the same adaptivity the batch reader
+    * ([[graft.sources.Sources.events]]) applies per-DataFrame.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, sfDir: String): StructType =
+    graft.sources.Sources.table(spark, sfDir, "events").schema
 
   /** Streaming source over the events dir with ts normalized to
-    * TimestampType (micros).
+    * TimestampType (micros) regardless of on-disk encoding.
     */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pinned = eventsSchema(spark, sfDir)
+    val raw = spark.readStream
+      .schema(pinned)
       // the events table is a single parquet file; FileStreamSource needs a
       // directory, so stream the dir with a name filter
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", graft.sources.Sources.nsToTimestamp(col("ts")))
+    pinned("ts").dataType.typeName match {
+      case "long"          => raw.withColumn("ts", graft.sources.Sources.nsToTimestamp(col("ts")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
+    }
+  }
 
   /** Watermarked tumbling-window aggregate (the S8 dynamic-table analogue). */
   def hourlyCounts(events: DataFrame): DataFrame =
