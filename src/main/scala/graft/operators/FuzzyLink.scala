@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Entity resolution / record linkage: approximate string matching between a
+  * dirty feed and a master registry (or a table against itself) under an edit
+  * distance threshold — the classic "same provider, typo'd name" problem the
+  * reference's healthcare domain deals with upstream of every member/provider
+  * join (builder brief; additive to the reference surface).
+  *
+  * NEVER all-pairs: candidate pairs come from BLOCKING — each key emits two
+  * compact blocking tokens, its first and last `blockLen` characters. For a
+  * single edit (insert/delete/substitute) not touching both ends, at least
+  * one of the two tokens survives unchanged on keys longer than
+  * 2*`blockLen`, so single-typo recall is structural; multi-edit recall is
+  * the standard approximate-blocking tradeoff, documented not hidden. Block
+  * membership is tiny (tag + token), so the exploded candidate stream stays
+  * narrow until the hash join on the token.
+  *
+  * Skew/precision guard: blocking tokens shared by more than `maxBlockSize`
+  * right-side rows are dropped BEFORE the join — a token that common ("Inc",
+  * "Corp" prefixes at corpus scale) is boilerplate, not identity signal, and
+  * its block would produce maxBlockSize x |left-block| candidate pairs. Same
+  * discipline as the banded-dedup hot-bucket guards (Dedup.scala).
+  *
+  * The edit-distance filter runs Spark's THRESHOLDED levenshtein — the
+  * banded O(maxDist * min(len)) early-exit DP, not the full quadratic
+  * matrix — and a length-difference prune runs before it (|len(a) - len(b)|
+  * > maxDist can never match; it skips the DP entirely for most of a
+  * block's cross product).
+  *
+  * Output: per left row, the single best match — lowest distance, ties to
+  * the smallest right id, so results are engine-deterministic. Unmatched
+  * left rows are absent (inner semantics; callers left-join back if they
+  * need the misses).
+  */
+object FuzzyLink {
+
+  /** All candidate pairs within the edit-distance threshold:
+    * (left_id, right_id, dist), deduped across blocks, un-ranked.
+    */
+  def candidates(
+      left: DataFrame, leftId: Column, leftKey: Column,
+      right: DataFrame, rightId: Column, rightKey: Column,
+      maxDist: Int = 2, blockLen: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist: $maxDist")
+    require(blockLen >= 1, s"blockLen: $blockLen")
+    require(maxBlockSize >= 1, s"maxBlockSize: $maxBlockSize")
+
+    def tokens(k: Column): Column = array(
+      struct(lit("p").as("tag"), substring(k, 1, blockLen).as("tok")),
+      struct(lit("s").as("tag"), substring(k, -blockLen, blockLen).as("tok")))
+
+    def blocked(df: DataFrame, id: Column, key: Column,
+        idName: String, keyName: String): DataFrame =
+      df.select(id.as(idName), key.as(keyName))
+        .filter(col(keyName).isNotNull)
+        .select(col(idName), col(keyName),
+          explode(array_distinct(tokens(col(keyName)))).as("b"))
+        .select(col(idName), col(keyName), col("b.tag"), col("b.tok"))
+
+    val lb = blocked(left, leftId, leftKey, "left_id", "lk")
+    val rb = blocked(right, rightId, rightKey, "right_id", "rk")
+
+    // hot-block guard on the RIGHT (registry) side: the bound callers size
+    // against; one narrow aggregate over the compact (tag, tok) stream
+    val keep = rb.groupBy(col("tag"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBlockSize)
+      .select(col("tag"), col("tok"))
+
+    lb.join(rb.join(keep, Seq("tag", "tok")), Seq("tag", "tok"))
+      .filter(abs(length(col("lk")) - length(col("rk"))) <= maxDist)
+      .filter(levenshtein(col("lk"), col("rk"), maxDist) >= 0)
+      // a pair can surface from both its prefix and suffix blocks
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("lk"), col("rk"), maxDist).as("dist"))
+      .distinct()
+  }
+
+  /** Best match per left row (see object doc). */
+  def link(
+      left: DataFrame, leftId: Column, leftKey: Column,
+      right: DataFrame, rightId: Column, rightKey: Column,
+      maxDist: Int = 2, blockLen: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val cand = candidates(left, leftId, leftKey, right, rightId, rightKey,
+      maxDist, blockLen, maxBlockSize)
+    val best = Window.partitionBy(col("left_id"))
+      .orderBy(col("dist").asc, col("right_id").asc)
+    cand
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
+
+  /** Self-linkage (fuzzy DEDUP): every unordered pair within `df` at edit
+    * distance <= maxDist, via the same blocking machinery; `id_a < id_b`
+    * canonicalizes pair direction. Feeds [[graft.pipeline.Dedup
+    * .connectedComponents]] for cluster formation like the banded families.
+    */
+  def selfPairs(df: DataFrame, id: Column, key: Column,
+      maxDist: Int = 2, blockLen: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame =
+    candidates(df, id, key, df, id, key, maxDist, blockLen, maxBlockSize)
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id").as("id_a"), col("right_id").as("id_b"),
+        col("dist"))
+}

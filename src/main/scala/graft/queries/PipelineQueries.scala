@@ -1821,6 +1821,46 @@ object PipelineQueries extends QuerySet {
            |      JOIN (SELECT * FROM wfpd JOIN keep USING (fp)) b USING (fp)
            |      WHERE a.doc_id < b.doc_id)
            |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
-           |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
+           |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    QueryDef("q167_fuzzy_link", (s, d) => {
+      // entity resolution: a dirty feed (every 30-char title with one
+      // deterministically-deleted character) linked back to the master
+      // registry under edit distance <= 2 via prefix/suffix blocking —
+      // never all-pairs (operators/FuzzyLink.scala). The deletion position
+      // doc_id % 20 + 3 always leaves the suffix block intact, so recall
+      // here is structural, not probabilistic.
+      val master = table(s, d, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 30)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          substring(col("text"), 1, 30).as("title"))
+      val p = (col("doc_id") % 20 + 3).cast("int")
+      val dirty = master.select(col("doc_id"),
+        concat(substring(col("title"), lit(1), p - 1),
+          col("title").substr(p + 1, lit(30))).as("title"))
+      graft.operators.FuzzyLink.link(
+        dirty, col("doc_id"), col("title"),
+        master, col("doc_id"), col("title"),
+        maxDist = 2, blockLen = 4, maxBlockSize = 1000)
+    }, Some(
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 30) AS k
+        |           FROM documents WHERE text IS NOT NULL AND len(text) >= 30),
+        |d AS (SELECT id, substr(k, 1, CAST(id % 20 + 2 AS INTEGER))
+        |              || substr(k, CAST(id % 20 + 4 AS INTEGER)) AS k FROM m),
+        |lb AS (SELECT id, k, 'p' AS tag, substr(k, 1, 4) AS tok FROM d
+        |       UNION ALL SELECT id, k, 's', right(k, 4) FROM d),
+        |rb AS (SELECT id, k, 'p' AS tag, substr(k, 1, 4) AS tok FROM m
+        |       UNION ALL SELECT id, k, 's', right(k, 4) FROM m),
+        |keep AS (SELECT tag, tok FROM rb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cand AS (SELECT DISTINCT lb.id AS left_id, rb.id AS right_id,
+        |                CAST(levenshtein(lb.k, rb.k) AS INTEGER) AS dist
+        |         FROM lb JOIN rb USING (tag, tok) JOIN keep USING (tag, tok)
+        |         WHERE abs(len(lb.k) - len(rb.k)) <= 2
+        |           AND levenshtein(lb.k, rb.k) <= 2)
+        |SELECT left_id, right_id, dist FROM (
+        |  SELECT left_id, right_id, dist,
+        |         row_number() OVER (PARTITION BY left_id
+        |                            ORDER BY dist ASC, right_id ASC) AS rn
+        |  FROM cand) x WHERE rn = 1""".stripMargin))
   )
 }

@@ -1033,6 +1033,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!matches("/a$", "/a/b"))
   }
 
+  test("fuzzyLink: single edits link through blocking; guard drops hot blocks") {
+    import graft.operators.FuzzyLink
+    val master = Seq(
+      (1L, "mercy general hospital dept"),
+      (2L, "sunrise family clinic north"),
+      (3L, "completely unrelated practice")).toDF("id", "name")
+    val dirty = Seq(
+      (10L, "mercy generl hospital dept"),   // deletion mid-string
+      (11L, "sunrise family clinic norht"),  // transposition = 2 edits
+      (12L, "no such entity in the master")).toDF("id", "name")
+    val out = FuzzyLink.link(dirty, $"id", $"name", master, $"id", $"name",
+      maxDist = 2, blockLen = 4, maxBlockSize = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out === Map(10L -> (1L, 1), 11L -> (2L, 2)))
+    // best-match rank: equal-distance candidates resolve to the SMALLEST
+    // right id, deterministically
+    val tied = FuzzyLink.link(
+      Seq((9L, "abcdefgh")).toDF("id", "k"), $"id", $"k",
+      Seq((5L, "abcdefghX"), (4L, "abcdefghY")).toDF("id", "k"), $"id", $"k",
+      maxDist = 2, blockLen = 4, maxBlockSize = 100).collect()
+    assert(tied.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      === Seq((9L, 4L, 1)))
+    // hot-block guard: a right side of N identical names exceeds
+    // maxBlockSize and produces zero candidates instead of N^2 pairs
+    val hot = (1L to 20L).map(i => (i, "the same boilerplate name")).toDF("id", "k")
+    assert(FuzzyLink.link(hot, $"id", $"k", hot, $"id", $"k",
+      maxDist = 2, blockLen = 4, maxBlockSize = 10).count() === 0)
+    // selfPairs canonicalizes and excludes self-matches
+    val self = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamm"),
+      (3L, "omega psi chi")).toDF("id", "k")
+    val pairs = FuzzyLink.selfPairs(self, $"id", $"k",
+      maxDist = 2, blockLen = 4, maxBlockSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1)))
+  }
+
   test("decodeFrames strides from the container's own frame count; guards raise") {
     val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
     assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
