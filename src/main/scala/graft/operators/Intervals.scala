@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gaps-and-islands: collapse overlapping/touching intervals per key into
+  * maximal merged spans. The warehouse classic behind "continuous enrollment
+  * spells" (the reference's member_months/enrollment domain builds exactly
+  * this shape from month-grain rows) and, pipeline-side, behind merging
+  * near-duplicate time ranges (session spans, crawl-visit windows) before
+  * range joins.
+  *
+  * Shape: one shuffle on the key, then two window passes over the same
+  * sorted run (running max-end to flag island starts, running sum to number
+  * islands) and a final narrow per-(key, island) aggregate — Catalyst plans
+  * the two windows plus the groupBy into a single sort/exchange because all
+  * three share the (key, start) ordering. Per-key data never needs to fit
+  * in memory beyond the window buffer; no driver state anywhere.
+  *
+  * Semantics: intervals TOUCHING at a boundary (next.start == prev.end)
+  * merge — [1,3) + [3,5) is continuous coverage, the enrollment-spell
+  * convention. Pass strict = true to keep touching intervals separate.
+  * Ordering ties on `start` are totalized by `tieBreak` so island numbering
+  * is engine-deterministic even with duplicate starts.
+  */
+object Intervals {
+
+  def mergeIntervals(df: DataFrame, keys: Seq[String],
+      start: Column, end: Column, tieBreak: Column,
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "mergeIntervals needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(start.asc, end.asc, tieBreak.asc)
+    val prevMaxEnd = max(end)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val gapped = if (strict) start >= prevMaxEnd else start > prevMaxEnd
+    df.withColumn("__new", when(prevMaxEnd.isNull || gapped, 1L).otherwise(0L))
+      .withColumn("island_id", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) :+ col("island_id"): _*)
+      .agg(min(start).as("island_start"), max(end).as("island_end"),
+        count(lit(1)).as("n_rows"))
+  }
+}

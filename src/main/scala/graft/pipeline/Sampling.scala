@@ -383,4 +383,39 @@ object Sampling {
       .agg(sum(col("__c") * col("__s")).as("weight"))
       .select(col("doc_id"), col("__tgt").as("is_target"), col("weight"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+    * sample WITHOUT replacement of k rows — each row draws a uniform
+    * u in [1, 1e6] from the [[hashBucket]] hash and competes with priority
+    * q = (weight * 1e6) div u; the k highest priorities win. Heavier rows
+    * draw proportionally higher priorities, and the scheme's subset-sum
+    * estimator is provably near-optimal — the principled way to pick "k
+    * documents, weighted by token count" for a training mix without an RNG
+    * or a with-replacement bias.
+    *
+    * EXACT integer arithmetic end to end (no u^(1/w) floats — pow() is not
+    * bit-identical across engines); ties totalize on id so the selected
+    * set is engine-deterministic. Top-k runs as orderBy+limit, which Spark
+    * executes as per-partition TakeOrdered + a k-row driver merge — no
+    * single-partition window, no global sort materialization.
+    *
+    * Zero/negative weights never win (priority 0); NULL ids hash to NULL
+    * and drop, matching every sampler here.
+    */
+  def prioritySample(df: DataFrame, idCol: Column, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k: $k")
+    Seq("priority", "__w", "__u").foreach(c =>
+      require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    df.withColumn("__w", greatest(weight.cast("long"), lit(0L)))
+      .withColumn("__u", hashBucket(idCol, salt) + 1L)
+      // `div`, not `/`: Column `/` is DOUBLE division, and at priority
+      // magnitudes (~1e12) the correctly-rounded double can still land on
+      // the wrong side of an integer vs an engine that divides integrally
+      .withColumn("priority", expr("(__w * 1000000) div __u"))
+      .filter(col("priority") > 0)
+      .orderBy(col("priority").desc, idCol.asc)
+      .limit(k)
+      .drop("__w", "__u")
+  }
 }

@@ -231,6 +231,46 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Positional postings (doc_id, pos, term): the position-aware inverted
+    * index under phrase and proximity retrieval. One narrow posexplode —
+    * build once, write bucketed/sorted by term, reuse across every phrase
+    * query (the index-amortization argument for the join-based
+    * [[phraseSearch]] below).
+    */
+  def positionalPostings(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("term"))
+
+  /** Exact-phrase retrieval over positional postings: occurrences of the
+    * consecutive token sequence `phrase`, as (doc_id, n_occurrences,
+    * first_pos). Classic positional-index adjacency: the i-th term's
+    * postings shift left by i and equi-join on (doc_id, pos) — every join
+    * after the term filters is co-keyed, and a selective first term prunes
+    * the stream before any exchange (filters push into the postings scan;
+    * against a term-bucketed index they prune files). For a ONE-OFF phrase
+    * over raw text a narrow per-doc array scan wins — this shape is for a
+    * built-once index serving many queries.
+    */
+  def phraseSearch(postings: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(postings.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("pos")).as("first_pos"))
+  }
+
   /** Directional token co-occurrence pairs within a `window`-token
     * lookahead: (t[i], t[i+j]) for j in 1..window — the raw statistic under
     * PMI/word-vector/collocation analyses. Exact integer positions, so the
@@ -312,6 +352,62 @@ object TextAnalysis {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_gram"))
       .filter(col("n_gram") >= minCount)
+  }
+
+  /** CCNet-style count-based LM quality scoring (Wenzek et al. 2020,
+    * arXiv:1911.00359): train a word-bigram model on the REFERENCE slice
+    * (rows where `isRef` — CCNet uses Wikipedia) and score every document
+    * by how surprising its bigrams are under that model. CCNet ranks by
+    * perplexity; this keeps the equivalent ORDERING with exact-integer
+    * "inverse probability" terms instead of log-space floats (the same
+    * linearization [[graft.pipeline.Sampling.dsirWeights]] applies to its
+    * likelihood ratios — ln() is not bit-identical across engines):
+    * each bigram (w1,w2) contributes
+    * term = (scale * (C(w1) + V)) div (C(w1,w2) + 1) — the integer
+    * reciprocal of its add-1-smoothed conditional probability
+    * p = (C(w1,w2)+1)/(C(w1)+V) — and a document's score is the
+    * bigram-count-weighted mean term (div). High score = surprising under
+    * the reference = low quality for CCNet's "keep what looks like
+    * Wikipedia" gate.
+    *
+    * Shape: the model is two hash aggregates over the reference's bigram
+    * stream (context counts + bigram counts, both map-side combined); V
+    * (distinct continuations) is a one-row broadcast; scoring joins the
+    * per-doc DISTINCT bigram roll-up against the model on the bigram key —
+    * the per-occurrence stream never crosses an exchange unaggregated.
+    * Unseen contexts degrade smoothly (C=0 rows via left join + coalesce).
+    * Docs with fewer than 2 tokens have no bigrams and are absent, like
+    * every bigram-based gate here.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, isRef: Column,
+      scale: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(scale >= 1, s"scale: $scale")
+    val bi = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), isRef.as("__ref"),
+        tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), col("__ref"),
+        explode(ngramsFromTokens(col("__tk"), 2)).as("__g"))
+      .select(col("doc_id"), col("__ref"),
+        substring_index(col("__g"), " ", 1).as("__w1"), col("__g"))
+    val ref = bi.filter(col("__ref"))
+    val bigramCounts = ref.groupBy(col("__g")).agg(count(lit(1)).as("__cbg"))
+    val ctxCounts = ref.groupBy(col("__w1")).agg(count(lit(1)).as("__cw1"))
+    val vocab = bigramCounts.agg(
+      count_distinct(substring_index(col("__g"), " ", -1)).as("__v"))
+    val perDoc = bi.groupBy(col("doc_id"), col("__w1"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc
+      .join(bigramCounts, Seq("__g"), "left")
+      .join(ctxCounts, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__term", expr(
+        s"($scale * (coalesce(__cw1, 0) + __v)) div (coalesce(__cbg, 0) + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * col("__term")).as("score_sum"))
+      .withColumn("lm_score", expr("score_sum div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
   }
 
   /** Byte-Pair-Encoding of ONE pre-token (Sennrich et al. 2016): start from

@@ -1861,6 +1861,109 @@ object PipelineQueries extends QuerySet {
         |  SELECT left_id, right_id, dist,
         |         row_number() OVER (PARTITION BY left_id
         |                            ORDER BY dist ASC, right_id ASC) AS rn
-        |  FROM cand) x WHERE rn = 1""".stripMargin))
+        |  FROM cand) x WHERE rn = 1""".stripMargin)),
+
+    QueryDef("q168_bigram_lm_score", (s, d) =>
+      // CCNet-style LM quality gate: word-bigram model trained on the
+      // src1 reference slice, every document scored by its add-1-smoothed
+      // inverse-probability mean — exact-integer linearization of the
+      // perplexity ordering (TextAnalysis.bigramLmScore doc)
+      TA.bigramLmScore(table(s, d, "documents"), col("source") === "src1"),
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, (source = 'src1') AS ref,
+          |         string_split(text, ' ') AS tk
+          |  FROM documents WHERE text IS NOT NULL),
+          |bi AS (
+          |  SELECT doc_id, ref, unnest(CASE WHEN len(tk) >= 2
+          |           THEN list_transform(generate_series(1, len(tk) - 1),
+          |                  i -> tk[i] || ' ' || tk[i + 1])
+          |           ELSE [] END) AS g
+          |  FROM base),
+          |bi2 AS (SELECT doc_id, ref, g, split_part(g, ' ', 1) AS w1 FROM bi),
+          |bc AS (SELECT g, CAST(count(*) AS BIGINT) AS cbg FROM bi2 WHERE ref GROUP BY 1),
+          |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1 FROM bi2 WHERE ref GROUP BY 1),
+          |v AS (SELECT CAST(count(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS nv
+          |      FROM bi2 WHERE ref),
+          |pd AS (SELECT doc_id, w1, g, CAST(count(*) AS BIGINT) AS c
+          |       FROM bi2 GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |       CAST(sum(c * ((1000000 * (coalesce(cw1, 0) + nv))
+          |                     // (coalesce(cbg, 0) + 1))) // sum(c) AS BIGINT)
+          |         AS lm_score
+          |FROM pd LEFT JOIN bc USING (g) LEFT JOIN cc USING (w1) CROSS JOIN v
+          |GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("q169_priority_sample", (s, d) =>
+      // weighted sampling WITHOUT replacement: Duffield-Lund-Thorup
+      // priority sampling — "the best-weighted 100 docs by token count",
+      // hash-deterministic, exact-integer priorities, distributed top-k
+      // (per-partition TakeOrdered + k-row merge, no global sort)
+      graft.pipeline.Sampling.prioritySample(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            TA.tokenCount(col("text")).as("ntok")),
+        col("doc_id"), col("ntok"), k = 100, salt = "ps8"),
+      Some(
+        """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          |           FROM documents WHERE text IS NOT NULL),
+          |p AS (SELECT doc_id, ntok,
+          |             (greatest(ntok, 0) * 1000000)
+          |               // ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ps8'), 1, 8))::BIGINT
+          |                   % 1000000) + 1) AS priority
+          |      FROM t)
+          |SELECT doc_id, ntok, CAST(priority AS BIGINT) AS priority FROM p
+          |WHERE priority > 0
+          |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
+    QueryDef("q170_interval_merge", (s, d) =>
+      // gaps-and-islands: per-user activity spells from 10-minute event
+      // intervals, overlapping/touching spans merged into maximal islands
+      // (operators/Intervals.scala) — the continuous-enrollment shape of
+      // the reference's member-months domain, on the events table
+      graft.operators.Intervals.mergeIntervals(
+        events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("te")),
+        Seq("user_id"), col("ts"), col("te"), col("event_id"))
+        .select(col("user_id"), col("island_id"), col("island_start"),
+          col("island_end"), col("n_rows")),
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                  CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS te
+          |           FROM events),
+          |w AS (SELECT user_id, event_id, ts, te,
+          |             max(te) OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |      FROM e),
+          |f AS (SELECT user_id, event_id, ts, te,
+          |             CASE WHEN pme IS NULL OR ts > pme THEN 1 ELSE 0 END AS nw
+          |      FROM w),
+          |i AS (SELECT user_id, ts, te,
+          |             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |               AS island_id
+          |      FROM f)
+          |SELECT user_id, island_id, min(ts) AS island_start,
+          |       max(te) AS island_end, CAST(count(*) AS BIGINT) AS n_rows
+          |FROM i GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q171_phrase_search", (s, d) =>
+      // exact-phrase retrieval over positional postings: adjacency
+      // equi-joins with shifted positions (TextAnalysis.phraseSearch) —
+      // the positional-inverted-index shape that amortizes across queries
+      TA.phraseSearch(
+        TA.positionalPostings(table(s, d, "documents")), Seq("data", "query")),
+      Some(
+        """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |                     string_split(text, ' ') AS tk
+          |              FROM documents WHERE text IS NOT NULL),
+          |p AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, tk[i.i] AS term
+          |      FROM base, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i),
+          |a AS (SELECT doc_id, pos FROM p WHERE term = 'data'),
+          |b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'query')
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+          |       CAST(min(pos) AS BIGINT) AS first_pos
+          |FROM a JOIN b USING (doc_id, pos) GROUP BY 1""".stripMargin))
   )
 }

@@ -1069,6 +1069,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1)))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, ties deterministic") {
+    import graft.operators.Intervals
+    val rows = Seq(
+      // user 1: [0,10) + [5,15) overlap, [15,25) touches -> one island;
+      // [40,50) gaps -> second island
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L), (1L, 3L, 15L, 25L), (1L, 4L, 40L, 50L),
+      // user 2: a contained interval must not re-open the island
+      (2L, 5L, 0L, 100L), (2L, 6L, 10L, 20L), (2L, 7L, 30L, 40L))
+      .toDF("u", "id", "st", "en")
+    val out = Intervals.mergeIntervals(rows, Seq("u"), $"st", $"en", $"id")
+      .orderBy($"u", $"island_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 0L, 25L, 3L), (1L, 2L, 40L, 50L, 1L),
+      (2L, 1L, 0L, 100L, 3L)))
+    // strict mode: touching intervals stay separate
+    val strict = Intervals.mergeIntervals(
+      Seq((1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L)).toDF("u", "id", "st", "en"),
+      Seq("u"), $"st", $"en", $"id", strict = true)
+    assert(strict.count() === 2)
+  }
+
+  test("prioritySample: heavier rows win more; k bound; zero weights never win") {
+    import graft.pipeline.Sampling
+    val df = (1L to 1000L).map(i => (i, if (i <= 50) 10000L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.prioritySample(df, $"id", $"w", k = 60, salt = "t")
+      .collect().map(_.getLong(0))
+    assert(picked.length === 60)
+    // 50 heavy rows at 10000x weight should essentially all be selected
+    assert(picked.count(_ <= 50L) >= 45)
+    // determinism: same salt, same set
+    val again = Sampling.prioritySample(df, $"id", $"w", k = 60, salt = "t")
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq === again.toSeq)
+    val zeros = Sampling.prioritySample(
+      Seq((1L, 0L), (2L, 5L)).toDF("id", "w"), $"id", $"w", k = 5, salt = "t")
+    assert(zeros.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("bigramLmScore: reference-familiar docs score low, alien bigrams high") {
+    val d = Seq(
+      (1L, "a b a b a b", "ref"),     // trains the model: C(a b)=3, C(b a)=2
+      (2L, "a b a b", "other"),       // all bigrams seen -> low score
+      (3L, "x y x y", "other"))       // no bigram/context seen -> high score
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.bigramLmScore(d, $"source" === "ref", scale = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // V = distinct continuations in ref = {b, a} = 2
+    // doc2: bigrams (a b)x2 c=3.. positions: "a b","b a","a b" -> terms:
+    //   a b: (1000*(3+2)) div (3+1) = 1250 ; b a: (1000*(2+2)) div (2+1) = 1333
+    //   score = (2*1250 + 1*1333) div 3 = 1277
+    assert(out(2L) === (3L, 1277L))
+    // doc3: unseen context/bigram -> (1000*(0+2)) div 1 = 2000 every term
+    assert(out(3L) === (3L, 2000L))
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
+  test("phraseSearch counts exact adjacent occurrences only") {
+    val d = Seq(
+      (1L, "data query engine data query"),   // two occurrences
+      (2L, "query data"),                     // reversed: none
+      (3L, "data x query"),                   // gap: none
+      (4L, "data query")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(
+      TextAnalysis.positionalPostings(d), Seq("data", "query"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> (2L, 0L), 4L -> (1L, 0L)))
+    // 3-term phrase exercises the L-way join path
+    val tri = TextAnalysis.phraseSearch(
+      TextAnalysis.positionalPostings(d), Seq("data", "query", "engine"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L))
+  }
+
   test("decodeFrames strides from the container's own frame count; guards raise") {
     val gif = Multimodal.encodeGif(4, 4, 7, (f, _, _) => (f, 0, 0))
     assert(Multimodal.decodeFrames(1L, gif, 3).map(_.frame_idx) === Seq(0, 3, 6))
