@@ -155,7 +155,8 @@ final case class Model(
     preHooks: Seq[Hook.Hook] = Nil,
     postHooks: Seq[Hook.Hook] = Nil,
     grants: Map[String, Seq[String]] = Map.empty,
-    docs: Option[String] = None)
+    docs: Option[String] = None,
+    tags: Seq[String] = Nil)
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
@@ -288,9 +289,63 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       microbatchWindows: Map[String, (String, String)] = Map.empty,
       threads: Int = 1,
       select: Seq[String] = Nil,
-      exclude: Seq[String] = Nil): Map[String, DataFrame] =
+      exclude: Seq[String] = Nil,
+      selector: String = ""): Map[String, DataFrame] =
     runImpl(fullRefresh, microbatchWindows, threads, select, exclude,
-      fireRunHooks = true)
+      selector, fireRunHooks = true)
+
+  /** dbt node-selection syntax (`dbt run --select` / `--exclude`;
+    * dbt-core node selector docs — the slim-CI surface): space-separated
+    * tokens UNION, comma-joined atoms within a token INTERSECT, and each
+    * atom is `model`, `+model` (with ancestors), `model+` (with
+    * descendants), `+model+`, `@model` (descendants plus ALL their
+    * ancestors — the "rebuild everything this touches" operator), or
+    * `tag:name`. Unlike the legacy `select` parameter, a bare `model`
+    * selects ONLY that node — dbt semantics — and its skipped upstream
+    * deps must already be materialized (a previous run of this Registry),
+    * or [[materialize]] raises the defer-contract error.
+    */
+  def resolveSelector(spec: String): Set[String] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val children: Map[String, Seq[String]] = models
+      .flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def walk(n: String, next: String => Seq[String],
+        acc: scala.collection.mutable.Set[String]): Unit =
+      next(n).foreach(d => if (acc.add(d)) walk(d, next, acc))
+    def closure(n: String, next: String => Seq[String]): Set[String] = {
+      val acc = scala.collection.mutable.Set.empty[String]
+      walk(n, next, acc)
+      acc.toSet
+    }
+    def anc(n: String): Set[String] =
+      closure(n, x => byName.get(x).map(_.deps).getOrElse(Nil))
+    def desc(n: String): Set[String] =
+      closure(n, x => children.getOrElse(x, Nil))
+    def atom(a: String): Set[String] =
+      if (a.startsWith("tag:")) {
+        val t = a.stripPrefix("tag:")
+        models.filter(_.tags.contains(t)).map(_.name).toSet
+      } else {
+        val at = a.startsWith("@")
+        val pre = a.startsWith("+")
+        val post = a.endsWith("+")
+        val core = a.stripPrefix("@").stripPrefix("+").stripSuffix("+")
+        require(byName.contains(core), s"unknown model in selector: '$core'")
+        var s = Set(core)
+        if (pre) s ++= anc(core)
+        if (post || at) s ++= desc(core)
+        if (at) s = s ++ s.flatMap(anc)
+        s
+      }
+    spec.trim.split("\\s+").filter(_.nonEmpty)
+      .map(tok => tok.split(",").filter(_.nonEmpty).map(atom)
+        .reduceOption(_ intersect _).getOrElse(Set.empty[String]))
+      .foldLeft(Set.empty[String])(_ union _)
+      // ancestor walks reach SOURCE relations (registered data, not
+      // models); they're implicitly available, not runnable nodes
+      .intersect(byName.keySet)
+  }
 
   /** [[run]] minus the run-level hooks — the internal passes of
     * [[runMicrobatches]] (ancestors, one pass per window, downstream) are
@@ -302,14 +357,24 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       threads: Int,
       select: Seq[String],
       exclude: Seq[String],
+      selector: String,
       fireRunHooks: Boolean): Map[String, DataFrame] = {
     // dbt-style DAG parallelism (SURVEY §3: independent nodes on separate
     // threads): models grouped into topological levels; within a level all
     // deps are already materialized, so models run concurrently. Spark's
     // scheduler handles concurrent jobs from one driver.
     lastTestResults = Vector.empty
+    require(selector.isEmpty || select.isEmpty,
+      "pass either selector (dbt syntax) or select (legacy), not both")
     val selected: Option[Set[String]] =
-      if (select.isEmpty) None
+      if (selector.nonEmpty) {
+        // dbt semantics: the spec IS the run set (no implicit ancestors);
+        // exclude tokens use the same selector syntax
+        val excluded =
+          if (exclude.isEmpty) Set.empty[String]
+          else resolveSelector(exclude.mkString(" "))
+        Some(resolveSelector(selector) -- excluded)
+      } else if (select.isEmpty) None
       else {
         val byName = models.map(m => m.name -> m).toMap
         select.foreach(s => require(byName.contains(s), s"unknown model in select: $s"))
@@ -320,7 +385,8 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         Some(seen.toSet)
       }
     val ordered = topoSorted.filter(m =>
-      selected.forall(_.contains(m.name)) && !exclude.contains(m.name))
+      selected.forall(_.contains(m.name)) &&
+        (selector.nonEmpty || !exclude.contains(m.name)))
     val level = scala.collection.mutable.Map.empty[String, Int]
     ordered.foreach { m =>
       level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
@@ -405,7 +471,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
     if (ancestors.nonEmpty)
       runImpl(fullRefresh = false, Map.empty, threads, ancestors, Nil,
-        fireRunHooks = false)
+        selector = "", fireRunHooks = false)
     var out = Map.empty[String, DataFrame]
     while (cur.isBefore(fin)) {
       val next = step(cur)
@@ -413,7 +479,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       // nor (already-materialized) ancestors are touched by the loop
       out = runImpl(fullRefresh = false,
         Map(modelName -> (cur.toString, next.toString)),
-        threads, Seq(modelName), ancestors, fireRunHooks = false)
+        threads, Seq(modelName), ancestors, selector = "", fireRunHooks = false)
       cur = next
     }
     // downstream models see the final state exactly once (the microbatch
@@ -428,7 +494,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     }
     if (downstream.nonEmpty)
       out = runImpl(fullRefresh = false, Map.empty, threads, downstream,
-        modelName +: ancestors, fireRunHooks = false)
+        modelName +: ancestors, selector = "", fireRunHooks = false)
     runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
     out
   }

@@ -125,6 +125,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Recall@k of an ANN result against the brute-force ground truth — the
+    * evaluation loop every approximate index needs before it replaces the
+    * exact path at scale (tune signBits/nProbe until recall clears the
+    * bar, THEN deploy). Both inputs are (query_id, neighbor_id, ...) top-k
+    * sets ([[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] output shape);
+    * per query: hits = |approx ∩ exact|, recall = hits / k. Queries the
+    * approx index missed entirely still appear (recall 0) via the left
+    * join from the exact side's query set. One co-keyed equi-join + two
+    * narrow aggregates — evaluation cost is O(k · |queries|), independent
+    * of corpus size.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF-style ANN (coarse quantizer + probed inverted lists): the first
     * `nCentroids` corpus vectors stand in for trained centroids (a k-means
     * fit would slot in here unchanged — deterministic for the oracle); every

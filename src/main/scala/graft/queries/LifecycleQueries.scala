@@ -705,6 +705,53 @@ object LifecycleQueries extends QuerySet {
         |UNION ALL SELECT 'post:mart_recent', c FROM n
         |UNION ALL SELECT 'on_run_end', c FROM n""".stripMargin)),
 
+    QueryDef("q172_node_selection", (s, d) => {
+      // dbt node-selection syntax (Registry.resolveSelector): a full run
+      // builds staging + two marts; the source then REFRESHES and a
+      // selector-scoped `tag:mart` re-run rebuilds ONLY the tagged mart.
+      // The result proves both halves of the semantics at once: the mart
+      // re-ran (n_builds = 2 from its post-hook audit) AND it deferred to
+      // the PREVIOUS run's staging relation rather than re-running staging
+      // against the refreshed source (totals still reflect the run-1
+      // <1998-01-01 slice; a broken selector that re-ran staging would
+      // hash-mismatch every total).
+      import graft.engine.TableMat
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val wh = Scratch.warehouse("q172", d, s,
+        Seq("stg_orders", "mart_member_totals", "mart_status_counts", "mart_audit"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src",
+        table(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("date")))
+      reg.register(Model("stg_orders", Seq("orders_src"), TableMat(),
+        ctx => ctx.ref("orders_src").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_custkey").cast("long").as("member_id"),
+          col("o_totalprice").as("amt"))))
+      reg.register(Model("mart_member_totals", Seq("stg_orders"), TableMat(),
+        ctx => ctx.ref("stg_orders").groupBy(col("member_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("amt").cast("decimal(18,2)")).cast("double").as("total_amt")),
+        postHooks = Seq(ctx =>
+          ctx.wh.append("mart_audit", Seq(("built", 1L)).toDF("event", "n"))),
+        tags = Seq("mart")))
+      reg.register(Model("mart_status_counts", Seq("stg_orders"), TableMat(),
+        ctx => ctx.ref("stg_orders").groupBy(col("id") % 7).count(),
+        tags = Seq("meta")))
+      reg.run()
+      // source refreshes; slim re-run touches only the tagged mart
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.run(selector = "tag:mart")
+      wh.read("mart_member_totals")
+        .withColumn("n_builds", lit(wh.read("mart_audit").count()))
+    }, Some(
+      """SELECT CAST(o_custkey AS BIGINT) AS member_id,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+        |       CAST(2 AS BIGINT) AS n_builds
+        |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin)),
+
     QueryDef("q156_clone_relation", (s, d) => {
       // S9 clone (dbt-adapters clone.sql): hard-link clone of a materialized
       // table, then the SOURCE is overwritten — the clone must still serve

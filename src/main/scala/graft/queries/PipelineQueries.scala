@@ -277,6 +277,45 @@ object PipelineQueries extends QuerySet {
          |      FROM scored) t
          |WHERE rank <= 3""".stripMargin)),
 
+    QueryDef("q173_ann_recall", (s, d) => {
+      // ANN index evaluation: recall@5 of the sign-LSH index against the
+      // brute-force ground truth, per query — the tuning loop that gates
+      // an approximate index replacing the exact path (Similarity
+      // .recallAtK). Recall < 1 by design for bucketed LSH.
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, q, k = 5),
+        Similarity.lshTopK(emb, q, k = 5, signBits = 3), k = 5)
+    }, Some(
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qvecSql AS qv,
+         |                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |                 + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |                 + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qvecSql AS cv,
+         |             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+         |      FROM embeddings),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT q.query_id, c.neighbor_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+         |         FROM c, q WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5),
+         |lt AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT q.query_id, c.neighbor_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+         |         FROM c JOIN q ON c.bucket = q.bucket
+         |         WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5),
+         |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM bt JOIN lt USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) q
+         |LEFT JOIN h USING (query_id)""".stripMargin)),
+
     QueryDef("q38_embedding_neardup", (s, d) =>
       Similarity.nearDupPairs(table(s, d, "embeddings"), "label", threshold = 0.4),
       Some(

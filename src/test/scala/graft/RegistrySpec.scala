@@ -410,6 +410,43 @@ class RegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](reg.run(select = Seq("nope")))
   }
 
+  test("dbt selector syntax: graph operators, tags, intersection, defer contract") {
+    val root = Files.createTempDirectory("graft_dbtsel").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    // raw -> a -> b -> c ; raw -> d ; b,d tagged "mart"
+    reg.source("raw", Seq((1L, "x")).toDF("k", "v"))
+    reg.register(Model("a", Seq("raw"), TableMat(), ctx => ctx.ref("raw")))
+    reg.register(Model("b", Seq("a"), TableMat(), ctx => ctx.ref("a"),
+      tags = Seq("mart")))
+    reg.register(Model("c", Seq("b"), TableMat(), ctx => ctx.ref("b")))
+    reg.register(Model("d", Seq("raw"), TableMat(), ctx => ctx.ref("raw"),
+      tags = Seq("mart")))
+
+    // resolution is pure — assert the sets before any run
+    assert(reg.resolveSelector("b") === Set("b"))
+    assert(reg.resolveSelector("+b") === Set("a", "b"))
+    assert(reg.resolveSelector("b+") === Set("b", "c"))
+    assert(reg.resolveSelector("+b+") === Set("a", "b", "c"))
+    assert(reg.resolveSelector("@a") === Set("a", "b", "c"))
+    assert(reg.resolveSelector("tag:mart") === Set("b", "d"))
+    assert(reg.resolveSelector("tag:mart,+c") === Set("b")) // intersection
+    assert(reg.resolveSelector("d +b") === Set("a", "b", "d")) // union
+    assertThrows[IllegalArgumentException](reg.resolveSelector("+nope"))
+
+    // bare-name selection does NOT pull ancestors (dbt semantics): the
+    // defer contract raises because no previous run materialized 'a'
+    val err = intercept[IllegalStateException](reg.run(selector = "b"))
+    assert(err.getMessage.contains("not materialized"))
+    // with ancestors materialized first, the narrow re-run works
+    reg.run(selector = "+b")
+    assert(wh.exists("a") && wh.exists("b") && !wh.exists("c") && !wh.exists("d"))
+    reg.run(selector = "b") // now defers to the previous run's 'a'
+    // selector-syntax exclude: everything from @a except c's subtree
+    reg.run(selector = "@a tag:mart", exclude = Seq("c+"))
+    assert(wh.exists("d") && !wh.exists("c"))
+  }
+
   test("declared tests run after materialization; error severity aborts the run") {
     import graft.operators.{GenericTests => GT}
     val root = Files.createTempDirectory("graft_build").toString
