@@ -402,6 +402,29 @@ object Sampling {
     * Zero/negative weights never win (priority 0); NULL ids hash to NULL
     * and drop, matching every sampler here.
     */
+  /** [[prioritySample]] within every group: "the best-weighted k docs PER
+    * DOMAIN" — the weighted refinement of [[capPerGroup]]'s uniform quota.
+    * Same integer priorities; the per-group top-k is a rank filter that
+    * compiles to WindowGroupLimit, so overflow rows prune map-side before
+    * the shuffle, exactly like capPerGroup.
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(groupCols.nonEmpty, "prioritySamplePerGroup needs group columns")
+    Seq("priority", "__w", "__u", "__rn").foreach(c =>
+      require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("priority").desc, idCol.asc)
+    df.withColumn("__w", greatest(weight.cast("long"), lit(0L)))
+      .withColumn("__u", hashBucket(idCol, salt) + 1L)
+      .withColumn("priority", expr("(__w * 1000000) div __u"))
+      .filter(col("priority") > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__w", "__u", "__rn")
+  }
+
   def prioritySample(df: DataFrame, idCol: Column, weight: Column, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k: $k")

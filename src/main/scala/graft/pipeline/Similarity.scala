@@ -125,6 +125,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1
+    * database-friendly form): compress quantized embeddings to `outDim`
+    * dimensions via a deterministic md5-derived sign matrix — the
+    * dimensionality-reduction front end that makes downstream ANN/
+    * clustering/dedup cheaper at corpus scale while approximately
+    * preserving pairwise distances (distortion bounds are the JL lemma's).
+    *
+    * The sign matrix is built ON THE DRIVER (outDim x inDim literals, the
+    * broadcast-constant discipline of the q163 classifier weights) so rows
+    * pay ZERO per-row hashing — each output component is one codegen'd
+    * [[graft.plans.Expressions.longArrayDot]] against a literal row. Pure
+    * narrow map: no shuffle, no UDF, exact integer arithmetic (the
+    * quantize-then-integer convention of every embedding op here).
+    */
+  def randomProjection(df: DataFrame, inDim: Int, outDim: Int,
+      salt: String = "jl", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"inDim=$inDim outDim=$outDim")
+    def h8(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val signs: Seq[Seq[Long]] = (0 until outDim).map(j =>
+      (0 until inDim).map(i => if (h8(s"$i|$j|$salt") % 2 == 0) 1L else -1L))
+    import org.apache.spark.sql.functions.typedLit
+    df.select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol)).as("__qv"))
+      .select(col("vec_id"), array((0 until outDim).map(j =>
+        graft.plans.Expressions.longArrayDot(col("__qv"), typedLit(signs(j)))): _*)
+        .as("proj"))
+  }
+
   /** Recall@k of an ANN result against the brute-force ground truth — the
     * evaluation loop every approximate index needs before it replaces the
     * exact path at scale (tune signBits/nProbe until recall clears the

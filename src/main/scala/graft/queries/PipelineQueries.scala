@@ -316,6 +316,47 @@ object PipelineQueries extends QuerySet {
          |FROM (SELECT DISTINCT query_id FROM q) q
          |LEFT JOIN h USING (query_id)""".stripMargin)),
 
+    QueryDef("q174_random_projection", (s, d) =>
+      // JL compression 64 -> 16 dims: driver-built ±1 sign matrix, one
+      // codegen'd integer dot per output component, zero per-row hashing,
+      // zero shuffle (Similarity.randomProjection). The oracle re-derives
+      // every sign from the same md5 stream.
+      Similarity.randomProjection(table(s, d, "embeddings"),
+        inDim = 64, outDim = 16, salt = "jl8"),
+      Some(
+        s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |       list_transform(generate_series(0, 15), j ->
+           |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+           |           ($qvecSql)[i] *
+           |             (CASE WHEN (('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '|' ||
+           |                           CAST(j AS VARCHAR) || '|jl8'), 1, 8))::BIGINT % 2) = 0
+           |                   THEN 1 ELSE -1 END))) AS BIGINT)) AS proj
+           |FROM embeddings""".stripMargin)),
+
+    QueryDef("q175_priority_per_group", (s, d) =>
+      // weighted per-domain quota: the 20 best-weighted docs per source by
+      // Duffield-Lund-Thorup priority — capPerGroup's uniform quota with
+      // weights; WindowGroupLimit prunes overflow map-side
+      graft.pipeline.Sampling.prioritySamplePerGroup(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            TA.tokenCount(col("text")).as("ntok")),
+        Seq("source"), col("doc_id"), col("ntok"), k = 20, salt = "ps8"),
+      Some(
+        """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          |           FROM documents WHERE text IS NOT NULL),
+          |p AS (SELECT doc_id, source, ntok,
+          |             (greatest(ntok, 0) * 1000000)
+          |               // ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ps8'), 1, 8))::BIGINT
+          |                   % 1000000) + 1) AS priority
+          |      FROM t)
+          |SELECT doc_id, source, ntok, CAST(priority AS BIGINT) AS priority FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY source
+          |              ORDER BY priority DESC, doc_id ASC) AS rn
+          |  FROM p WHERE priority > 0) x
+          |WHERE rn <= 20""".stripMargin)),
+
     QueryDef("q38_embedding_neardup", (s, d) =>
       Similarity.nearDupPairs(table(s, d, "embeddings"), "label", threshold = 0.4),
       Some(

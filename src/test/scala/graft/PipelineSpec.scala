@@ -1109,6 +1109,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(zeros.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("randomProjection: deterministic, sign-exact, linear in the input") {
+    import graft.pipeline.Similarity
+    val vecs = Seq((1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(2.0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, inDim = 4, outDim = 8, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // linearity: doubling the vector doubles every component exactly
+    assert(out(2L) === out(1L).map(_ * 2))
+    assert(out(3L).forall(_ === 0L))
+    // each component of e1's projection is ±1000 (quantized 1.0 x a sign)
+    assert(out(1L).forall(v => v == 1000L || v == -1000L))
+    // both signs appear over 8 components (md5 parity isn't constant)
+    assert(out(1L).toSet.size === 2)
+  }
+
+  test("prioritySamplePerGroup: per-group k bound with weighted preference") {
+    import graft.pipeline.Sampling
+    val df = (1L to 200L).map(i =>
+      (if (i <= 100) "a" else "b", i, if (i % 10 == 0) 1000L else 1L))
+      .toDF("g", "id", "w")
+    val out = Sampling.prioritySamplePerGroup(df, Seq("g"), $"id", $"w", k = 12, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "a") === 12 && out.count(_._1 == "b") === 12)
+    // the 10 heavy ids per group (1000x weight) should dominate the picks
+    assert(out.count { case (_, id) => id % 10 == 0 } >= 16)
+  }
+
   test("bigramLmScore: reference-familiar docs score low, alien bigrams high") {
     val d = Seq(
       (1L, "a b a b a b", "ref"),     // trains the model: C(a b)=3, C(b a)=2
