@@ -260,7 +260,47 @@ case class ZOrderArray(child: Expression, nDims: Int, bitsPer: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string — the canonicalization step that
+  * belongs UPSTREAM of every hash-based text operator here: "é" as one
+  * codepoint and "e"+combining-acute are different byte strings (different
+  * md5, different shingles, different dedup verdict) for the same rendered
+  * text, and a 100 TB web corpus contains both encodings of everything.
+  *
+  * Why custom (builder-brief preference order (b)): Spark has NO unicode
+  * normalization builtin — the alternatives are a black-box Scala UDF
+  * (breaks codegen, opaque to Catalyst) or shipping text to Python. This is
+  * a one-call codegen'd expression around the JDK's java.text.Normalizer
+  * (ICU-equivalent NFC tables); NULL propagates like any unary expression.
+  * DuckDB's nfc_normalize() applies the same canonical composition, which
+  * is what makes oracle parity possible at all.
+  */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($a.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+}
+
 object Expressions {
+  /** Unicode NFC canonical composition (codegen'd; see [[NormalizeNfc]]). */
+  def normalizeNfc(s: Column): Column =
+    GraftSqlBridge.column(NormalizeNfc(GraftSqlBridge.expression(s)))
+
   /** Exact-integer dot product of two array<long> columns (codegen'd). */
   def longArrayDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(

@@ -357,6 +357,30 @@ object PipelineQueries extends QuerySet {
           |  FROM p WHERE priority > 0) x
           |WHERE rn <= 20""".stripMargin)),
 
+    QueryDef("q176_nfc_canonicalize", (s, d) => {
+      // unicode canonicalization ahead of hashing: titles decorated with
+      // DECOMPOSED sequences (E+combining-acute, o+combining-diaeresis)
+      // canonicalize through the codegen'd NFC expression + lower — the
+      // composed byte string both engines agree on. Spark has no
+      // normalization builtin; plans/Expressions.NormalizeNfc is the
+      // custom-Expression seat (brief preference (b)).
+      val deco = concat(substring(col("text"), 1, 12), lit(" "),
+        lit("E\u0301o\u0308")) // decomposed: 4 codepoints raw, 2 after NFC
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          length(deco).cast("long").as("len_raw"),
+          lower(graft.plans.Expressions.normalizeNfc(deco)).as("canon"))
+        .withColumn("len_nfc", length(col("canon")).cast("long"))
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(length(substr(text, 1, 12) || ' E' || chr(769) || 'o' || chr(776))
+        |         AS BIGINT) AS len_raw,
+        |       lower(nfc_normalize(substr(text, 1, 12) || ' E' || chr(769) || 'o' || chr(776)))
+        |         AS canon,
+        |       CAST(length(lower(nfc_normalize(substr(text, 1, 12) || ' E' || chr(769)
+        |         || 'o' || chr(776)))) AS BIGINT) AS len_nfc
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+
     QueryDef("q38_embedding_neardup", (s, d) =>
       Similarity.nearDupPairs(table(s, d, "embeddings"), "label", threshold = 0.4),
       Some(

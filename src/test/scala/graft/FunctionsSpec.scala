@@ -173,4 +173,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-negative"))
   }
+
+  test("NormalizeNfc composes decomposed sequences; equal bytes after canon") {
+    import graft.plans.Expressions
+    val df = Seq(
+      ("e\u0301", "\u00e9"), // e + combining acute vs precomposed
+      ("A\u030a", "\u00c5"), // A + combining ring vs precomposed
+      ("plain ascii", "plain ascii")) // NFC is identity on ASCII
+      .toDF("decomposed", "composed")
+    val out = df.select(
+      Expressions.normalizeNfc($"decomposed").as("n"),
+      $"composed", length($"decomposed").as("lr"), length(col("n")).as("ln"))
+    out.collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+    }
+    // md5 equality after canon — the dedup-relevant property
+    val hashes = df.select(
+      md5(Expressions.normalizeNfc($"decomposed")) === md5($"composed"))
+      .collect().map(_.getBoolean(0))
+    assert(hashes.forall(identity))
+    // NULL propagates
+    assert(df.select(Expressions.normalizeNfc(lit(null).cast("string")))
+      .collect()(0).isNullAt(0))
+  }
 }

@@ -525,6 +525,30 @@ class ScaleSpec extends AnyFunSuite {
       s"per-page curation must stay a narrow map:\n$plan")
   }
 
+  test("randomProjection is an exchange-free narrow map (q174 shape)") {
+    import graft.pipeline.Similarity
+    val vecs = Seq((1L, Array(1.0f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, inDim = 4, outDim = 8, salt = "t")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"JL projection must stay a narrow map:\n$plan")
+    // the sign matrix rides as literals, never as a per-row md5
+    assert(!plan.toLowerCase.contains("md5"), s"per-row hashing crept in:\n$plan")
+  }
+
+  test("fuzzyLink never degenerates to a cartesian/broadcast-nested-loop") {
+    import graft.operators.FuzzyLink
+    val m = Seq((1L, "mercy general hospital")).toDF("id", "k")
+    val out = FuzzyLink.link(m, $"id", $"k", m, $"id", $"k",
+      maxDist = 2, blockLen = 4, maxBlockSize = 100)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"blocking must keep the candidate join an equi-join:\n$plan")
+  }
+
   test("q69 corpus-clean composite: one scan, two group-limited shuffles (plan pin)") {
     // VERDICT r7 next-5: q69 regressed in the driver bench without a code
     // change — pin its plan shape so a real regression (extra scan, lost
