@@ -135,19 +135,29 @@ object TextAnalysis {
     require(w >= 1, s"w: $w")
     val text = col(textCol)
     val n = length(text) - (k - 1) // gram count
-    val hashes = transform(sequence(lit(0), n - 1), i =>
-      conv(substring(md5(text.substr(i + 1, lit(k))), 1, 8), 16, 10).cast("long"))
-    // window t covers gram positions [t, t+w-1]; rightmost min = last
-    // occurrence of the slice minimum, found through the reversed slice
-    def sl(t: Column) = slice(col("__hs"), t + 1, lit(w))
-    val selected = transform(sequence(lit(0), greatest(col("__n") - w, lit(0))), t =>
-      struct(
-        (t + size(sl(t)) - array_position(reverse(sl(t)), array_min(sl(t))))
-          .cast("int").as("pos"),
-        array_min(sl(t)).as("fp")))
-    docs.filter(text.isNotNull && n >= 1)
-      .select(col(idCol).cast("long").as(idCol), hashes.as("__hs"), n.as("__n"))
-      .select(col(idCol), explode(array_distinct(selected)).as("__s"))
+    // both stages are custom eval-only expressions (brief preference (b)):
+    // the composed transform/slice/array_min formulation pays interpreted
+    // lambda plumbing PER GRAM and O(n*w) re-slicing PER WINDOW — measured
+    // 10s/20s (q165/q166) at sf0.1; the tight-loop expressions (one reused
+    // MessageDigest + a monotonic deque, value-identical, oracles
+    // unchanged) run the same queries at a fraction of that. Per-row
+    // interpretation overhead is one call per document, not per gram.
+    val base = docs.filter(text.isNotNull && n >= 1)
+      .select(col(idCol).cast("long").as(idCol), text.as("__t"))
+    // byte-based file splitting undersizes this stage: the map is
+    // per-CHARACTER CPU (one md5 per gram), so a few-MB documents file
+    // lands on 1-2 partitions and serializes the whole corpus hash on one
+    // core (measured: the dominant q165 cost). One tiny shuffle of
+    // (id, text) buys full-width parallelism; inputs already wider than
+    // the session default are left alone.
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val sized = if (base.rdd.getNumPartitions < target)
+      base.repartition(target) else base
+    sized
+      .select(col(idCol),
+        graft.plans.Expressions.md5GramHashes(col("__t"), k).as("__hs"))
+      .select(col(idCol), explode(array_distinct(
+        graft.plans.Expressions.winnowSelect(col("__hs"), w))).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
@@ -172,6 +182,11 @@ object TextAnalysis {
     require(maxDocFreq >= 2, s"maxDocFreq: $maxDocFreq (pairs need >= 2)")
     val fps = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol).as("__id"), col("fp")).distinct()
+      // shared by the doc-freq roll-up AND both join sides: without a
+      // materialization the gram-hash pipeline re-runs per consumer
+      // (measured ~2x q166); compact (id, fp) rows checkpoint cheaply —
+      // the invertedIndex discipline
+      .localCheckpoint(false)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select(col("fp"))

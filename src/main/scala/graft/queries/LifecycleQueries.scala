@@ -752,6 +752,65 @@ object LifecycleQueries extends QuerySet {
         |FROM orders WHERE o_orderdate < DATE '1998-01-01'
         |GROUP BY 1""".stripMargin)),
 
+    QueryDef("q177_pipeline_dag", (s, d) => {
+      // the LLM corpus pipeline AS a dbt DAG: staging view -> quality gate
+      // -> exact-dedup canonicalization -> deterministic sample, each a
+      // tagged Registry model, driven by one selector run — proving the
+      // runner surface (§2.1/§3) and the pipeline operators compose. The
+      // stored sample is the hash-compared result; every stage's logic has
+      // its own oracle elsewhere (q30/q32/q33/q67), this one pins the
+      // COMPOSITION through the materialization layer.
+      import graft.engine.{TableMat, ViewMat}
+      import org.apache.spark.sql.expressions.Window
+      import graft.pipeline.{Sampling, TextAnalysis => TA}
+      val stops = Seq("the", "a", "of", "and", "in")
+      val wh = Scratch.warehouse("q177", d, s,
+        Seq("corpus_gate", "corpus_canon", "corpus_sample"))
+      val reg = new Registry(s, wh)
+      reg.source("docs_src", table(s, d, "documents"))
+      reg.register(Model("stg_docs", Seq("docs_src"), ViewMat, ctx =>
+        ctx.ref("docs_src").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            TA.tokenCount(col("text")).as("ntok"),
+            TA.fingerprint(col("text")).as("fp"),
+            floor(TA.qualityScore(col("text"), stops) * 100).cast("long").as("q"))))
+      reg.register(Model("corpus_gate", Seq("stg_docs"), TableMat(),
+        ctx => ctx.ref("stg_docs").filter(col("q") >= 30 && col("ntok") >= 20),
+        tags = Seq("clean")))
+      reg.register(Model("corpus_canon", Seq("corpus_gate"), TableMat(),
+        ctx => {
+          val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+          ctx.ref("corpus_gate").withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }, tags = Seq("clean")))
+      reg.register(Model("corpus_sample", Seq("corpus_canon"), TableMat(),
+        ctx => Sampling.hashSample(ctx.ref("corpus_canon"), col("doc_id"),
+          fraction = 0.5, salt = "dag8").drop("fp"),
+        tags = Seq("sample")))
+      reg.run(selector = "@stg_docs")
+      wh.read("corpus_sample")
+    }, Some {
+      val toks = "string_split(text, ' ')"
+      val stopsSql = "'the', 'a', 'of', 'and', 'in'"
+      val qSql =
+        s"""least(CAST(1.0 AS DOUBLE), CAST(len($toks) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+           | * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($toks, t -> t IN ($stopsSql))) AS DOUBLE)
+           |      / CAST(len($toks) AS DOUBLE))""".stripMargin
+      s"""WITH stg AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |         CAST(len($toks) AS BIGINT) AS ntok,
+         |         md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp,
+         |         CAST(floor(($qSql) * 100) AS BIGINT) AS q
+         |  FROM documents WHERE text IS NOT NULL),
+         |gate AS (SELECT * FROM stg WHERE q >= 30 AND ntok >= 20),
+         |canon AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+         |  FROM gate) x WHERE rn = 1)
+         |SELECT doc_id, source, ntok, q FROM canon
+         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dag8'), 1, 8))::BIGINT
+         |       % 1000000) < 500000""".stripMargin
+    }),
+
     QueryDef("q156_clone_relation", (s, d) => {
       // S9 clone (dbt-adapters clone.sql): hard-link clone of a materialized
       // table, then the SOURCE is overwritten — the clone must still serve
