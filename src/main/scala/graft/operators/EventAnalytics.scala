@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classic event-stream analytics over the `events` table (builder brief;
@@ -68,6 +68,67 @@ object EventAnalytics {
     events.select(col(userCol).as("user_id")).distinct()
       .join(progressed, Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("reached"), lit(0)).as("reached"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts and conditional probabilities of (from_type -> to_type) steps,
+    * ordered by event time with an id tie-break (total order — the funnel
+    * tie-break lesson). The behavioral-model summary behind "what follows
+    * a view?" analyses and synthetic-sequence generators.
+    *
+    * Shape: one shuffle on the user key for the lag window, then a narrow
+    * roll-up on the (from, to) pair; probabilities come from a
+    * BROADCAST-joined per-from total (the from-type cardinality is the
+    * event-type vocabulary — tiny by construction), not a second window
+    * over the pair table.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__tot")).as("p"))
+  }
+
+  /** CUSUM drift detection over a per-key daily series: the running sum of
+    * scaled deviations from the key's own mean, the classic changepoint
+    * statistic (Page 1954) — a sustained rate shift accumulates linearly
+    * while noise cancels. Exact integer arithmetic: values scale by
+    * `scale`, the mean is an integer division, and the cumsum is a window
+    * sum — engine-identical everywhere, no floats.
+    *
+    * One shuffle on the key; the mean rides a broadcast join (key
+    * cardinality = the monitored dimension, small by construction); the
+    * cumsum shares the key partitioning.
+    */
+  def cusum(series: DataFrame, keys: Seq[String], orderCol: Column,
+      valueCol: Column, scale: Long = 1000L): DataFrame = {
+    require(keys.nonEmpty, "cusum needs at least one key column")
+    require(scale >= 1, s"scale: $scale")
+    val base = series.select(
+      keys.map(col) :+ orderCol.as("__ord") :+
+        (valueCol.cast("long") * scale).as("__v"): _*)
+    val means = base.groupBy(keys.map(col): _*)
+      .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
+      .select(keys.map(col) :+ expr("__sum div __n").as("__mean"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(broadcast(means), keys)
+      .withColumn("cusum", sum(col("__v") - col("__mean")).over(w))
+      .select(keys.map(col) :+ col("__ord").as("ord") :+
+        (col("__v")).as("scaled_value") :+ col("cusum"): _*)
   }
 
   /** Cohort retention: users grouped by first-active day, counted on each

@@ -1070,6 +1070,44 @@ object PipelineQueries extends QuerySet {
           |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
           |LEFT JOIN s3 USING (user_id)""".stripMargin)),
 
+    QueryDef("q178_event_transitions", (s, d) =>
+      // first-order Markov matrix of per-user event sequences: counts +
+      // conditional p per (from, to) step, time-ordered with id tie-break
+      graft.operators.EventAnalytics.transitionMatrix(events(s, d)),
+      Some(
+        """WITH seq AS (
+          |  SELECT event_type AS from_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts ASC, event_id ASC) AS to_type
+          |  FROM events),
+          |pairs AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          |          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+          |FROM pairs""".stripMargin)),
+
+    QueryDef("q179_cusum_drift", (s, d) =>
+      // CUSUM changepoint statistic over each event type's daily volume:
+      // integer scaled deviations from the type's own mean, cumulated in
+      // day order — drift accumulates, noise cancels (EventAnalytics.cusum)
+      graft.operators.EventAnalytics.cusum(
+        events(s, d).groupBy(col("event_type"),
+          to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_events")),
+        Seq("event_type"), col("day"), col("n_events")),
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) * 1000 AS v
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, CAST(sum(v) AS BIGINT) // count(*) AS mean
+          |      FROM daily GROUP BY 1)
+          |SELECT d.event_type, d.day AS ord, d.v AS scaled_value,
+          |       CAST(sum(d.v - m.mean) OVER (PARTITION BY d.event_type
+          |              ORDER BY d.day ASC
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |         AS cusum
+          |FROM daily d JOIN m USING (event_type)""".stripMargin)),
+
     QueryDef("q105_retention", (s, d) =>
       // cohort retention: first-active-day cohorts counted on each active
       // day within the horizon; user-day activity deduped up front so the

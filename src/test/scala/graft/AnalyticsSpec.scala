@@ -395,6 +395,41 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.operators.Graph.kCorePeel(chain, "a", "b", k = 0, rounds = 1))
   }
 
+  test("transitionMatrix: exact step counts, per-from probabilities sum to 1") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), "view"), (1L, 11L, ts(1), "click"), (1L, 12L, ts(2), "view"),
+      (2L, 20L, ts(0), "view"), (2L, 21L, ts(1), "view"),
+      (3L, 30L, ts(0), "buy")) // single event: no transition
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.EventAnalytics.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("view", "click")) === (1L, 0.5))
+    assert(out(("view", "view")) === (1L, 0.5))
+    assert(out(("click", "view")) === (1L, 1.0))
+    assert(out.size === 3)
+    // ties on ts resolve by event_id: same-ts events order deterministically
+    val tied = Seq((1L, 2L, ts(0), "b"), (1L, 1L, ts(0), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val t = graft.operators.EventAnalytics.transitionMatrix(tied).collect()
+    assert(t.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("a", "b")))
+  }
+
+  test("cusum: constant series stays at zero, a level shift accumulates") {
+    val flat = (1 to 10).map(i => ("k", i, 5L)).toDF("key", "t", "v")
+    val f = graft.operators.EventAnalytics.cusum(flat, Seq("key"), $"t", $"v")
+      .collect().map(_.getLong(3))
+    assert(f.forall(_ === 0L))
+    // 5 days at 10, then 5 days at 20: mean 15, drift ramps down then back
+    val shift = ((1 to 5).map(i => ("k", i, 10L)) ++ (6 to 10).map(i => ("k", i, 20L)))
+      .toDF("key", "t", "v")
+    val c = graft.operators.EventAnalytics.cusum(shift, Seq("key"), $"t", $"v")
+      .orderBy($"ord").collect().map(_.getLong(3))
+    assert(c.take(5) === Array(-5000L, -10000L, -15000L, -20000L, -25000L))
+    assert(c.last === 0L)
+  }
+
   test("pageRank with zero iterations returns uniform scale; guards raise") {
     val edges = Seq((1L, 2L)).toDF("s", "t")
     val out = graft.operators.Graph.pageRank(edges, "s", "t", iterations = 0)
