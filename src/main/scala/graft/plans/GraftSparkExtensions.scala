@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `graft_quantize(vec, scale)` — floor(e*scale + 0.5) per element,
   *    [[QuantizeDoubles]]; `scale` must be a foldable integer
   *  - `graft_long_array_dot(a, b)` — exact long dot product, [[LongArrayDot]]
+  *  - `graft_nfc(s)` — unicode NFC canonical composition, [[NormalizeNfc]]
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
@@ -73,7 +74,11 @@ object GraftSparkExtensions {
     (FunctionIdentifier("graft_long_array_dot"),
       info("graft_long_array_dot", "graft_long_array_dot(a, b) - exact integer dot product of two array<long>"),
       args => { requireArgs("graft_long_array_dot", 2, args)
-        LongArrayDot(Cast(args(0), ArrayType(LongType)), Cast(args(1), ArrayType(LongType))) }))
+        LongArrayDot(Cast(args(0), ArrayType(LongType)), Cast(args(1), ArrayType(LongType))) }),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - unicode NFC canonical composition of a string"),
+      args => { requireArgs("graft_nfc", 1, args)
+        NormalizeNfc(Cast(args(0), org.apache.spark.sql.types.StringType)) }))
 
   /** Install on an ALREADY-BUILT session (builder-time extensions can't
     * apply retroactively through getOrCreate).

@@ -146,6 +146,11 @@ class AnalyticsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT graft_quantize(array(1.0D), cast(rand()*10 as int))").collect()
     }
+    // graft_nfc: decomposed e + U+0301 composes to precomposed U+00E9
+    // (the combining mark rides in from a Scala escape; Spark SQL
+    // string literals have no \u escapes and chr() is byte-bound)
+    val nfcQ = "SELECT graft_nfc('e\u0301') AS n"
+    assert(spark.sql(nfcQ).as[String].head() === "\u00e9")
   }
 
   test("zorder16 interleaves bits; out-of-range raises") {

@@ -117,6 +117,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyLink selfPairs: exact precision; structural recall for single edits") {
+    import graft.operators.FuzzyLink
+    val rnd = new scala.util.Random(11)
+    def randStr(len: Int) = (1 to len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 => // substitute
+        val i = rnd.nextInt(s.length)
+        s.updated(i, ('a' + rnd.nextInt(6)).toChar)
+      case 1 => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case _ => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + ('a' + rnd.nextInt(6)).toChar + s.drop(i)
+    }
+    (1 to 3).foreach { _ =>
+      val bases = (0 until 14).map(i => (i.toLong, randStr(12 + rnd.nextInt(6))))
+      val dirty = bases.take(6).map { case (i, s) => (100L + i, edit(s)) }
+      val df = (bases ++ dirty).toDF("id", "k")
+      val fast = FuzzyLink.selfPairs(df, $"id", $"k", maxDist = 2,
+        blockLen = 4, maxBlockSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val naive = df.select($"id".as("id_a"), $"k".as("ka"))
+        .crossJoin(df.select($"id".as("id_b"), $"k".as("kb")))
+        .filter($"id_a" < $"id_b" && levenshtein($"ka", $"kb") <= 2)
+        .select($"id_a", $"id_b", levenshtein($"ka", $"kb").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // precision is exact: every reported pair is a true <=2-edit pair
+      assert(fast.subsetOf(naive), s"false positives: ${fast -- naive}")
+      // recall is STRUCTURAL at distance 1 (keys > 2*blockLen): a single
+      // edit cannot disturb both the first-4 and the last-4 characters
+      val dist1 = naive.filter(_._3 <= 1)
+      assert(dist1.subsetOf(fast), s"missed single-edit pairs: ${dist1 -- fast}")
+    }
+  }
+
   test("exactSubstringScrub == naive first-occurrence scan (random corpora with planted spans)") {
     import graft.pipeline.Dedup
     val k = 5
