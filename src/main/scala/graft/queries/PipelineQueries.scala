@@ -1070,6 +1070,70 @@ object PipelineQueries extends QuerySet {
           |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
           |LEFT JOIN s3 USING (user_id)""".stripMargin)),
 
+    QueryDef("q180_systematic_sample", (s, d) =>
+      // systematic sampling: every 7th document by stable global index —
+      // the equal-interval design (fixed stride over an ordered frame)
+      // that pairs with q153's shuffle-free global indexing; no
+      // single-partition window anywhere
+      graft.operators.Ranking.globalRowNumbers(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"), col("source")),
+        Seq(col("doc_id")))
+        .filter(col("row_idx") % 7 === 0),
+      Some(
+        """SELECT doc_id, source, row_idx FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |         row_number() OVER (ORDER BY doc_id ASC) - 1 AS row_idx
+          |  FROM documents WHERE text IS NOT NULL) t
+          |WHERE row_idx % 7 = 0""".stripMargin)),
+
+    QueryDef("q181_dedup_agreement", (s, d) => {
+      // dedup-method agreement matrix: which families flag each pair —
+      // banded MinHash (approximate; band-collision recall < 1 at this
+      // threshold BY DESIGN) vs the exact prefix-filter Jaccard join as
+      // ground truth. The evaluation harness for choosing k/bands at
+      // corpus scale, exactly like q173 gates an ANN index. Ground truth
+      // runs GLOBALLY via a constant blocking key — the AllPairs prefix
+      // filter is what makes exact global pairing feasible.
+      val docs = table(s, d, "documents")
+      val mh = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2,
+        threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(true).as("mh"))
+      val jc = Dedup.ngramJaccardPairs(
+        docs.withColumn("block", lit("all")), "block", n = 3, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(true).as("jc"))
+      mh.join(jc, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("mh"), lit(false)).as("by_minhash"),
+          coalesce(col("jc"), lit(false)).as("by_jaccard"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |mhp AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id
+         |  WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.4),
+         |jcp AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM docs a JOIN docs b ON a.id < b.id
+         |  WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.4)
+         |SELECT id_a, id_b,
+         |       (mhp.id_a IS NOT NULL) AS by_minhash,
+         |       (jcp.id_a IS NOT NULL) AS by_jaccard
+         |FROM mhp FULL OUTER JOIN jcp USING (id_a, id_b)""".stripMargin)),
+
     QueryDef("q178_event_transitions", (s, d) =>
       // first-order Markov matrix of per-user event sequences: counts +
       // conditional p per (from, to) step, time-ordered with id tie-break

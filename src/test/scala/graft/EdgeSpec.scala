@@ -369,4 +369,35 @@ class EdgeSpec extends AnyFunSuite {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(out.count(_.isEmpty) === 2 && out.count(_.isDefined) === 1)
   }
+
+  test("round-8 operators on degenerate inputs: empty, short, oversized k") {
+    import graft.operators.{FuzzyLink, Intervals}
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    assert(FuzzyLink.link(empty, $"id", $"k", empty, $"id", $"k").count() === 0)
+    assert(Intervals.mergeIntervals(
+      Seq.empty[(Long, Long, Long)].toDF("u", "st", "en"),
+      Seq("u"), $"st", $"en", $"st").count() === 0)
+    // k larger than the population returns everything, no error
+    val tiny = Seq((1L, 5L), (2L, 3L)).toDF("id", "w")
+    assert(Sampling.prioritySample(tiny, $"id", $"w", k = 100).count() === 2)
+    // winnowing on strings shorter than the gram size contributes nothing
+    val short = Seq((1L, "ab"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(short, k = 4, w = 5)
+    assert(fp.filter($"doc_id" === 1L).count() === 0)
+    assert(fp.filter($"doc_id" === 2L).count() >= 1)
+    // n < w: the clamped single window still selects exactly one entry
+    // per distinct (pos, fp) — 8 chars, k=4 -> 5 grams, w=5 -> 1 window
+    assert(fp.filter($"doc_id" === 2L).count() === 1)
+    // single-term phrase degenerates to term lookup
+    val one = TextAnalysis.phraseSearch(
+      TextAnalysis.positionalPostings(Seq((1L, "x y x")).toDF("doc_id", "text")),
+      Seq("x")).collect()(0)
+    assert(one.getLong(1) === 2L && one.getLong(2) === 0L)
+    // LM scoring with an EMPTY reference: every bigram unseen, uniform max
+    val lm = TextAnalysis.bigramLmScore(
+      Seq((1L, "a b c", "x")).toDF("doc_id", "text", "source"),
+      $"source" === "nope", scale = 1000L).collect()(0)
+    assert(lm.getLong(2) === 0L) // V = 0, C = 0 -> term (1000*0) div 1 = 0
+  }
 }
