@@ -319,16 +319,29 @@ case class Md5GramHashes(child: Expression, k: Int) extends UnaryExpression
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val n = s.numChars() - (k - 1)
+    val nChars = s.numChars()
+    val n = nChars - (k - 1)
     if (n < 1) return new GenericArrayData(Array.empty[Any])
+    // one-pass codepoint offset table, then each gram digests a byte
+    // slice directly — the same bytes per-gram substringSQL would
+    // produce, without its walk-from-the-start O(n^2) on multibyte text
+    val bytes = s.getBytes
+    val offsets = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      offsets(ci) = bi
+      bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offsets(nChars) = bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      // substringSQL is the same codepoint slice `Column.substr` takes,
-      // so multi-byte text hashes identically to the composed form
       md.reset()
-      val d = md.digest(s.substringSQL(i + 1, k).getBytes)
+      md.update(bytes, offsets(i), offsets(i + k) - offsets(i))
+      val d = md.digest()
       // first 8 hex digits == first 4 digest bytes, big-endian unsigned
       out(i) = java.lang.Long.valueOf(
         ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

@@ -1095,7 +1095,12 @@ object PipelineQueries extends QuerySet {
       // corpus scale, exactly like q173 gates an ANN index. Ground truth
       // runs GLOBALLY via a constant blocking key — the AllPairs prefix
       // filter is what makes exact global pairing feasible.
-      val docs = table(s, d, "documents")
+      // evaluated on a deterministic 25% holdout sample: exact ground
+      // truth is QUADRATIC in the evaluated docs (prefix-filter candidate
+      // volume), so at corpus scale you tune on a sample, never the full
+      // corpus; the hash sample keeps the oracle reproducible
+      val docs = graft.pipeline.Sampling.hashSample(
+        table(s, d, "documents"), col("doc_id"), fraction = 0.25, salt = "agree8")
       val mh = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2,
         threshold = 0.4)
         .select(col("id_a"), col("id_b"), lit(true).as("mh"))
@@ -1108,7 +1113,9 @@ object PipelineQueries extends QuerySet {
           coalesce(col("jc"), lit(false)).as("by_jaccard"))
     }, Some(
       s"""WITH docs AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents
+         |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|agree8'), 1, 8))::BIGINT
+         |         % 1000000) < 250000),
          |sigs AS (
          |  SELECT id, sh,
          |         list_transform(generate_series(0, 7),
@@ -1344,7 +1351,9 @@ object PipelineQueries extends QuerySet {
         threshold = 0.5)
     }, Some(
       s"""WITH docs AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents
+         |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|agree8'), 1, 8))::BIGINT
+         |         % 1000000) < 250000),
          |sigs AS (
          |  SELECT id, sh,
          |         list_transform(generate_series(0, 7),

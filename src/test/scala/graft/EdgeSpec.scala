@@ -370,6 +370,29 @@ class EdgeSpec extends AnyFunSuite {
     assert(out.count(_.isEmpty) === 2 && out.count(_.isDefined) === 1)
   }
 
+  test("md5GramHashes slices by codepoint, not byte (multibyte parity)") {
+    import graft.plans.Expressions
+    // 1-, 2-, and 3-byte codepoints: byte-offset slicing would corrupt
+    // every gram after the first multibyte char
+    val str = "a\u00e9\u2206b" // a, e-acute (2 bytes), increment (3 bytes), b
+    def h(gram: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = (0 to 2).map(i => h(str.substring(i, i + 2)))
+    val got = Seq(Tuple1(str)).toDF("t")
+      .select(Expressions.md5GramHashes($"t", 2).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(got === expected)
+    // and the composed-form equivalence Column.substr would give
+    val viaSubstr = Seq(Tuple1(str)).toDF("t").select(
+      (0 to 2).map(i => conv(substring(md5($"t".substr(lit(i + 1), lit(2))), 1, 8), 16, 10)
+        .cast("long").as(s"g$i")): _*).collect()(0)
+    assert(got === (0 to 2).map(viaSubstr.getLong))
+  }
+
   test("round-8 operators on degenerate inputs: empty, short, oversized k") {
     import graft.operators.{FuzzyLink, Intervals}
     import graft.pipeline.{Sampling, TextAnalysis}
