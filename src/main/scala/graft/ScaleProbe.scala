@@ -59,6 +59,27 @@ object ScaleProbe {
       }
     }
 
+    // round-8 candidate-generation ops: growth must track candidate/pair
+    // volume (replicas are exact dups of each other — worst case for every
+    // blocking family), never the quadratic corpus cross product
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"fuzzy_selfpairs       $label") {
+        graft.operators.FuzzyLink.selfPairs(
+          docs.filter(length(col("text")) >= 30)
+            .select(col("doc_id"), substring(col("text"), 1, 30).as("k")),
+          col("doc_id"), col("k"),
+          maxDist = 2, blockLen = 4, maxBlockSize = 10000).count()
+      }
+      time(s"winnow_pairs          $label") {
+        graft.pipeline.TextAnalysis.winnowNearDupPairs(
+          docs, k = 4, w = 5, minShared = 2, maxDocFreq = 10).count()
+      }
+      time(s"bigram_lm_score       $label") {
+        graft.pipeline.TextAnalysis.bigramLmScore(
+          docs, col("source") === "src1").count()
+      }
+    }
+
     // connected components over the minhash pair graph: the DISTRIBUTED star
     // iteration (threshold 0 disables the small-graph short-circuit) must
     // track pair volume, converging in O(log n) rounds

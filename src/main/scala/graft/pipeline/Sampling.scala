@@ -402,6 +402,56 @@ object Sampling {
     * Zero/negative weights never win (priority 0); NULL ids hash to NULL
     * and drop, matching every sampler here.
     */
+  /** Water-filling budget allocation: the maximal uniform per-group token
+    * cap `c` such that `sum_g min(T_g, c) <= budget`, plus each group's
+    * allocation under it — the mixture-design answer to "spread 1T tokens
+    * across domains as evenly as the small domains allow" (small domains
+    * keep everything, large ones truncate at the shared water line;
+    * "uniform-cap" allocation, the fairness dual of [[mixtureSample]]'s
+    * fixed ratios).
+    *
+    * Exact integer arithmetic over the GROUP-TOTALS rollup: sort totals
+    * ascending, walk the prefix until the remaining groups at the current
+    * total would exceed the budget — the cap is an integer division of the
+    * remaining budget. The cross-group windows are single-partition BY
+    * DESIGN over bounded-cardinality group totals (domains/sources), with
+    * the same raise-don't-funnel guard as [[tokenBudgetSelect]]. When the
+    * corpus fits the budget, cap is NULL and every group keeps its total.
+    *
+    * Output: (group, total_tokens, cap, alloc_tokens).
+    */
+  def waterFillAllocation(df: DataFrame, groupCol: String, tokens: Column,
+      budget: Long, maxGroups: Long = 2000000L): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    require(maxGroups >= 1, s"maxGroups: $maxGroups")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(tokens.cast("long")).as("total_tokens"))
+    val w = Window.orderBy(col("total_tokens").asc, col(groupCol).asc)
+    val guard = when(row_number().over(w) > maxGroups,
+      raise_error(lit(s"waterFillAllocation exceeded $maxGroups groups — " +
+        "the cross-group window is single-partition by contract; " +
+        "pre-aggregate to a bounded grouping first")).cast("long"))
+      .otherwise(lit(0L))
+    val ranked = totals
+      .withColumn("__cum_before", coalesce(sum(col("total_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + guard)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val capRow = ranked
+      .filter(col("__cum_before") +
+        (col("__ng") - col("__rk") + 1L) * col("total_tokens") >= budget)
+      .orderBy(col("total_tokens").asc, col(groupCol).asc)
+      .limit(1)
+      .select(expr(s"(${budget}L - __cum_before) div (__ng - __rk + 1)").as("cap"))
+    totals
+      .join(broadcast(capRow), lit(true), "left")
+      .select(col(groupCol), col("total_tokens"), col("cap"),
+        least(col("total_tokens"), coalesce(col("cap"), col("total_tokens")))
+          .as("alloc_tokens"))
+  }
+
   /** [[prioritySample]] within every group: "the best-weighted k docs PER
     * DOMAIN" — the weighted refinement of [[capPerGroup]]'s uniform quota.
     * Same integer priorities; the per-group top-k is a rank filter that

@@ -1141,6 +1141,32 @@ object PipelineQueries extends QuerySet {
          |       (jcp.id_a IS NOT NULL) AS by_jaccard
          |FROM mhp FULL OUTER JOIN jcp USING (id_a, id_b)""".stripMargin)),
 
+    QueryDef("q182_water_fill", (s, d) =>
+      // water-filling mixture design: the maximal uniform per-source token
+      // cap under a 20k global budget — small sources keep everything,
+      // large ones truncate at the shared water line
+      // (Sampling.waterFillAllocation)
+      graft.pipeline.Sampling.waterFillAllocation(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("source"), TA.tokenCount(col("text")).as("ntok")),
+        "source", col("ntok"), budget = 20000),
+      Some(
+        """WITH t AS (SELECT source,
+          |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+          |r AS (SELECT source, total_tokens,
+          |             coalesce(sum(total_tokens) OVER (ORDER BY total_tokens ASC, source ASC
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          |             row_number() OVER (ORDER BY total_tokens ASC, source ASC) AS rk,
+          |             count(*) OVER () AS ng
+          |      FROM t),
+          |c AS (SELECT CAST((20000 - cb) // (ng - rk + 1) AS BIGINT) AS cap
+          |      FROM r WHERE cb + (ng - rk + 1) * total_tokens >= 20000
+          |      ORDER BY total_tokens ASC, source ASC LIMIT 1)
+          |SELECT source, total_tokens, c.cap AS cap,
+          |       least(total_tokens, coalesce(c.cap, total_tokens)) AS alloc_tokens
+          |FROM t LEFT JOIN c ON TRUE""".stripMargin)),
+
     QueryDef("q178_event_transitions", (s, d) =>
       // first-order Markov matrix of per-user event sequences: counts +
       // conditional p per (from, to) step, time-ordered with id tie-break

@@ -1137,6 +1137,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count { case (_, id) => id % 10 == 0 } >= 16)
   }
 
+  test("waterFillAllocation: cap placement, fits-in-budget, tiny budgets") {
+    import graft.pipeline.Sampling
+    val df = Seq(("a", 10L), ("b", 50L), ("c", 100L)).toDF("g", "tok")
+    def run(budget: Long) = Sampling.waterFillAllocation(df, "g", $"tok", budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))).toMap
+    // budget 120: a and b fit whole, c truncates at the 60-token water line
+    val m = run(120)
+    assert(m("a") === ((10L, Some(60L), 10L)))
+    assert(m("b") === ((50L, Some(60L), 50L)))
+    assert(m("c") === ((100L, Some(60L), 60L)))
+    assert(m.values.map(_._3).sum === 120L)
+    // corpus fits: no cap, everything kept
+    assert(run(200).values.forall(v => v._2.isEmpty && v._3 === v._1))
+    // tiny budget: uniform cap budget/G
+    val tiny = run(15)
+    assert(tiny.values.forall(_._2 === Some(5L)))
+    assert(tiny.values.map(_._3).sum === 15L)
+  }
+
   test("bigramLmScore: reference-familiar docs score low, alien bigrams high") {
     val d = Seq(
       (1L, "a b a b a b", "ref"),     // trains the model: C(a b)=3, C(b a)=2
