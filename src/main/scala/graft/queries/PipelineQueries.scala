@@ -1377,9 +1377,7 @@ object PipelineQueries extends QuerySet {
         threshold = 0.5)
     }, Some(
       s"""WITH docs AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents
-         |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|agree8'), 1, 8))::BIGINT
-         |         % 1000000) < 250000),
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
          |sigs AS (
          |  SELECT id, sh,
          |         list_transform(generate_series(0, 7),
