@@ -26,6 +26,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Intervals {
 
+  /** The complement of [[mergeIntervals]]: the GAPS between a key's merged
+    * coverage islands — "periods with no enrollment", the other half of
+    * every continuous-coverage analysis. One lead() window over the
+    * (already tiny) island relation; a key with a single island emits
+    * nothing. Output: keys, gap_start (= island end), gap_end (= next
+    * island start), gap after island `island_id`.
+    */
+  def coverageGaps(df: DataFrame, keys: Seq[String],
+      start: Column, end: Column, tieBreak: Column): DataFrame = {
+    val islands = mergeIntervals(df, keys, start, end, tieBreak)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("island_id").asc)
+    islands
+      .withColumn("__next_start", lead(col("island_start"), 1).over(w))
+      .filter(col("__next_start").isNotNull)
+      .select(keys.map(col) :+ col("island_id") :+
+        col("island_end").as("gap_start") :+
+        col("__next_start").as("gap_end"): _*)
+  }
+
   def mergeIntervals(df: DataFrame, keys: Seq[String],
       start: Column, end: Column, tieBreak: Column,
       strict: Boolean = false): DataFrame = {

@@ -1141,6 +1141,38 @@ object PipelineQueries extends QuerySet {
          |       (jcp.id_a IS NOT NULL) AS by_jaccard
          |FROM mhp FULL OUTER JOIN jcp USING (id_a, id_b)""".stripMargin)),
 
+    QueryDef("q183_coverage_gaps", (s, d) =>
+      // the complement of q170: inactivity gaps between each user's merged
+      // 10-minute activity islands — "periods without coverage", the other
+      // half of the continuous-enrollment analysis
+      graft.operators.Intervals.coverageGaps(
+        events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("te")),
+        Seq("user_id"), col("ts"), col("te"), col("event_id")),
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                  CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS te
+          |           FROM events),
+          |w AS (SELECT user_id, event_id, ts, te,
+          |             max(te) OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |      FROM e),
+          |f AS (SELECT user_id, event_id, ts, te,
+          |             CASE WHEN pme IS NULL OR ts > pme THEN 1 ELSE 0 END AS nw
+          |      FROM w),
+          |i AS (SELECT user_id, ts, te,
+          |             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |               AS island_id
+          |      FROM f),
+          |isl AS (SELECT user_id, island_id, min(ts) AS island_start, max(te) AS island_end
+          |        FROM i GROUP BY 1, 2)
+          |SELECT user_id, island_id, gap_start, gap_end FROM (
+          |  SELECT user_id, island_id, island_end AS gap_start,
+          |         lead(island_start) OVER (PARTITION BY user_id ORDER BY island_id) AS gap_end
+          |  FROM isl) g
+          |WHERE gap_end IS NOT NULL""".stripMargin)),
+
     QueryDef("q182_water_fill", (s, d) =>
       // water-filling mixture design: the maximal uniform per-source token
       // cap under a 20k global budget — small sources keep everything,

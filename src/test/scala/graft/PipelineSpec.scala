@@ -1089,6 +1089,11 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L)).toDF("u", "id", "st", "en"),
       Seq("u"), $"st", $"en", $"id", strict = true)
     assert(strict.count() === 2)
+    // coverageGaps: exactly the holes between islands; single-island
+    // keys emit nothing
+    val gaps = Intervals.coverageGaps(rows, Seq("u"), $"st", $"en", $"id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(gaps.toSeq === Seq((1L, 25L, 40L)))
   }
 
   test("prioritySample: heavier rows win more; k bound; zero weights never win") {
