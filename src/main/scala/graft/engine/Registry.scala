@@ -200,6 +200,47 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
 
   def relation(name: String): DataFrame = materialized(name)
 
+  /** dbt docs-generate catalog (catalog.json semantics): one row per
+    * (node, column) over every relation this registry has materialized or
+    * sourced, joining the DAG's declared metadata (deps, materialization,
+    * tags, test count, persisted doc) to the relation's ACTUAL schema —
+    * dbt's catalog likewise reflects what is in the warehouse, so call it
+    * after [[run]]. Unrun models (registered but never materialized) are
+    * absent, exactly as dbt omits relations the warehouse doesn't have.
+    *
+    * Driver-side metadata only — the row count is O(models x columns),
+    * a DAG-sized constant independent of data scale, so building it as a
+    * local Seq is the right plan at any corpus size. All columns are flat
+    * scalars (deps/tags comma-joined) for the harness compare.
+    */
+  def catalog(): DataFrame = {
+    import spark.implicits._
+    def matLabel(m: Materialization): String = m match {
+      case ViewMat              => "view"
+      case _: TableMat          => "table"
+      case _: IncrementalMat    => "incremental"
+      case _: SnapshotMat       => "snapshot"
+      case _: AggregateMat      => "aggregate"
+      case _: DynamicTableMat   => "dynamic_table"
+      case _: FunctionMat       => "function"
+    }
+    val byName = models.map(m => m.name -> m).toMap
+    val rows = materialized.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      val m = byName.get(name)
+      val mat   = m.map(x => matLabel(x.mat)).getOrElse("source")
+      val deps  = m.map(_.deps.sorted.mkString(",")).getOrElse("")
+      val tags  = m.map(_.tags.sorted.mkString(",")).getOrElse("")
+      val nTst  = m.map(_.tests.size.toLong).getOrElse(0L)
+      val doc   = m.flatMap(_.docs)
+      df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        (name, mat, deps, tags, nTst, doc, i.toLong, f.name,
+          f.dataType.simpleString)
+      }
+    }
+    rows.toDF("node_name", "materialization", "deps", "tags", "n_tests",
+      "doc", "column_index", "column_name", "column_type")
+  }
+
   /** Kahn topo-sort (dbt DAG semantics; cycles are an authoring error). */
   private def topoSorted: Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap

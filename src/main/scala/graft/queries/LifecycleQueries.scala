@@ -836,6 +836,57 @@ object LifecycleQueries extends QuerySet {
         |       o_orderdate AS service_date
         |FROM orders WHERE o_orderdate >= DATE '1998-06-01'""".stripMargin)),
 
+    QueryDef("q184_catalog", (s, d) => {
+      // dbt docs-generate catalog (Registry.catalog): a three-node DAG is
+      // run, then the catalog artifact — one row per (node, column) with
+      // deps / materialization / tags / test count / persisted doc joined
+      // to the ACTUAL materialized schema — is the hash-compared result.
+      // The oracle re-declares the expected catalog as literals: any drift
+      // in schema capture, dep wiring, or doc persistence hash-mismatches.
+      import graft.engine.{ModelTest, TableMat, ViewMat}
+      val wh = Scratch.warehouse("q184", d, s, Seq("mart_totals"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("order_id"),
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_totalprice").cast("double").as("amt"),
+        col("o_orderdate").cast("date").as("odate")))
+      reg.register(Model("stg_orders", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src")
+          .filter(col("odate") >= lit("1997-01-01").cast("date")),
+        docs = Some("orders 1997 onward"), tags = Seq("staging")))
+      reg.register(Model("mart_totals", Seq("stg_orders"), TableMat(),
+        ctx => ctx.ref("stg_orders").groupBy(col("member_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("amt").cast("decimal(18,2)")).cast("double").as("total_amt")),
+        tests = Seq(ModelTest("unique_member",
+          df => df.groupBy(col("member_id")).count().filter(col("count") > 1))),
+        docs = Some("order totals per member"),
+        tags = Seq("mart", "monthly")))
+      reg.run()
+      reg.catalog()
+    }, Some {
+      def node(n: String, mat: String, deps: String, tags: String,
+          nTests: Int, doc: String, cols: Seq[(String, String)]): String =
+        cols.zipWithIndex.map { case ((cn, ct), i) =>
+          s"SELECT '$n' AS node_name, '$mat' AS materialization, " +
+            s"'$deps' AS deps, '$tags' AS tags, CAST($nTests AS BIGINT) AS n_tests, " +
+            s"$doc AS doc, CAST($i AS BIGINT) AS column_index, " +
+            s"'$cn' AS column_name, '$ct' AS column_type"
+        }.mkString("\nUNION ALL ")
+      val srcCols = Seq("order_id" -> "bigint", "member_id" -> "bigint",
+        "amt" -> "double", "odate" -> "date")
+      Seq(
+        node("mart_totals", "table", "stg_orders", "mart,monthly", 1,
+          "'order totals per member'",
+          Seq("member_id" -> "bigint", "n_orders" -> "bigint",
+            "total_amt" -> "double")),
+        node("orders_src", "source", "", "", 0, "CAST(NULL AS VARCHAR)", srcCols),
+        node("stg_orders", "view", "orders_src", "staging", 0,
+          "'orders 1997 onward'", srcCols)
+      ).mkString("\nUNION ALL ")
+    }),
+
     // §2.10 streaming ops, oracle-gated (VERDICT r7 next-8): each runs the
     // REAL streaming operator graph over the events file source with
     // Trigger.AvailableNow (same code path as a live source) and

@@ -320,18 +320,25 @@ object PipelineQueries extends QuerySet {
       // JL compression 64 -> 16 dims: driver-built ±1 sign matrix, one
       // codegen'd integer dot per output component, zero per-row hashing,
       // zero shuffle (Similarity.randomProjection). The oracle re-derives
-      // every sign from the same md5 stream.
+      // every sign from the same md5 stream. Output is flattened to one
+      // (vec_id, j, component) row per output dimension — the driver's
+      // compare harness sorts columns with pandas, which cannot order
+      // array cells, so no query may emit an ARRAY-typed column.
       Similarity.randomProjection(table(s, d, "embeddings"),
-        inDim = 64, outDim = 16, salt = "jl8"),
+        inDim = 64, outDim = 16, salt = "jl8")
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("j", "component")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          col("component")),
       Some(
         s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           |       list_transform(generate_series(0, 15), j ->
-           |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+           |       CAST(j AS BIGINT) AS j,
+           |       CAST(list_sum(list_transform(generate_series(1, 64), i ->
            |           ($qvecSql)[i] *
            |             (CASE WHEN (('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '|' ||
            |                           CAST(j AS VARCHAR) || '|jl8'), 1, 8))::BIGINT % 2) = 0
-           |                   THEN 1 ELSE -1 END))) AS BIGINT)) AS proj
-           |FROM embeddings""".stripMargin)),
+           |                   THEN 1 ELSE -1 END))) AS BIGINT) AS component
+           |FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS j)""".stripMargin)),
 
     QueryDef("q175_priority_per_group", (s, d) =>
       // weighted per-domain quota: the 20 best-weighted docs per source by

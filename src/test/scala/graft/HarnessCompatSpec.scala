@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-harness compatibility guard.
+  *
+  * The driver's correctness gate loads each query's parquet output into
+  * pandas and lexsorts over ALL columns before hashing. pandas cannot
+  * order array/map/struct cells (`TypeError: unhashable type:
+  * 'numpy.ndarray'`), so ANY query emitting a nested-typed column is
+  * recorded as `err` — a hard FAIL regardless of whether the values are
+  * right (round-8 q174 post-mortem). This spec builds every
+  * [[SparkEntry.queries]] plan at sf0.001 and asserts the output schema
+  * is flat: top-level columns only, no ArrayType/MapType/StructType.
+  * Flatten with posexplode / inline / per-field projection instead.
+  */
+class HarnessCompatSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("no query output column is array/map/struct-typed (driver pandas sort)") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, dir).schema
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"nested-typed output columns break the driver compare:\n  " +
+        offenders.mkString("\n  "))
+  }
+}
