@@ -971,6 +971,36 @@ object LifecycleQueries extends QuerySet {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1""".stripMargin)),
 
+    QueryDef("q185_stream_trending", (s, d) => {
+      // materialized streaming "trending now" (EventsStream.trendingStream):
+      // append-mode sliding windows finalize when the watermark passes
+      // window end, and each micro-batch re-ranks the warehouse table to
+      // top-k per window. Only FINALIZED windows land — the oracle mirrors
+      // the watermark contract exactly: windows with end <= max(ts) - 2h
+      // (Spark's append-mode eviction predicate is window.end <=
+      // watermark), ranked by (n_events DESC, event_type ASC).
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q185", d, s, Seq("q185_trending"))
+      Scratch.resetCheckpoint(wh, "q185_trending")
+      EventsStream.trendingStream(EventsStream.readEvents(s, d), wh,
+        "q185_trending", k = 3).awaitTermination()
+      wh.read("q185_trending")
+    }, Some(
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+        |off AS (SELECT unnest([0, 1]) AS k),
+        |w AS (SELECT event_type,
+        |             make_timestamp((CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000.0) AS BIGINT) - k)
+        |                            * CAST(1800000000 AS BIGINT)) AS win_start
+        |      FROM events, off),
+        |c AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM w GROUP BY 1, 2),
+        |fin AS (SELECT c.* FROM c, mx
+        |        WHERE win_start + INTERVAL 1 HOUR <= mt - INTERVAL 2 HOUR)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type, n_events
+        |FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+        |        ORDER BY n_events DESC, event_type ASC) AS rn FROM fin)
+        |WHERE rn <= 3""".stripMargin)),
+
     QueryDef("q164_function_model", (s, d) => {
       // dbt `function` materialization (dbt-snowflake functions/scalar.sql):
       // a model materializes a scalar SQL UDF; the downstream model calls

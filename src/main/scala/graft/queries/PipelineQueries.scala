@@ -1437,6 +1437,52 @@ object PipelineQueries extends QuerySet {
          |WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
          |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin)),
 
+    QueryDef("q186_stream_minhash_dedup", (s, d) => {
+      // dedup-on-ingest driven by a LIVE streaming source (the §2.10 twin
+      // of q129): the corpus (doc_id % 5 != 0) is indexed up front, then
+      // the delta (doc_id % 5 == 0) arrives through a file STREAM and
+      // minhashDedupStream probes the persisted band index per micro-batch
+      // — same AvailableNow code path as production periodic ingest. The
+      // appended pairs table is the hash-compared result; the oracle is
+      // q129's batch recipe (LSH band agreement is pairwise, independent
+      // of when each side was signed), so stream == incremental == batch.
+      import graft.pipeline.IncrementalDedup
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q186", d, s,
+        Seq("q186_idx_bands", "q186_idx_sh", "q186_pairs"))
+      Scratch.resetCheckpoint(wh, "q186_pairs")
+      val docs = table(s, d, "documents")
+      IncrementalDedup.initRun(wh, "q186_idx",
+        docs.filter(col("doc_id") % 5 =!= 0), n = 3, k = 8, bandSize = 2,
+        threshold = 0.5)
+      EventsStream.minhashDedupStream(
+        EventsStream.readDocuments(s, d).filter(col("doc_id") % 5 === 0),
+        wh, "q186_idx", "q186_pairs", n = 3, k = 8, bandSize = 2,
+        threshold = 0.5).awaitTermination()
+      wh.read("q186_pairs")
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id)
+         |SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+         |FROM pairs
+         |WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
+         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin)),
+
     QueryDef("q130_image_decode", (s, d) => {
       // REAL image decode (javax.imageio, no stub): per doc, a PNG is
       // encoded with a doc_id-keyed gradient red channel and solid

@@ -36,6 +36,20 @@ object Scratch {
     * tables mid-read. The per-process dir is bounded by process count,
     * not invocation count.
     */
+  /** Delete a streaming checkpoint under the scratch warehouse so a
+    * repeat invocation (bench warmup/reps share the per-JVM scratch dir)
+    * re-ingests from offset zero instead of silently no-op'ing against
+    * committed offsets — the streaming twin of the table drops above.
+    */
+  def resetCheckpoint(wh: graft.engine.Warehouse, name: String): Unit = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(); ()
+    }
+    val d = new java.io.File(s"${wh.root}/_checkpoints/$name")
+    if (d.exists()) del(d)
+  }
+
   def warehouse(tag: String, sfDir: String, s: SparkSession,
       tables: Seq[String]): graft.engine.Warehouse = {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),

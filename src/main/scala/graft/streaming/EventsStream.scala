@@ -50,6 +50,17 @@ object EventsStream {
     }
   }
 
+  /** Streaming source over the documents table (same single-file glob
+    * discipline as [[readEvents]]) — the ingest shape of a corpus arriving
+    * continuously, for the dedup-on-ingest operators. Schema pinned from
+    * one batch footer read at query start.
+    */
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
   /** Watermarked tumbling-window aggregate (the S8 dynamic-table analogue). */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
