@@ -46,6 +46,26 @@ final case class MeasureSpec(
   */
 object GapEngine {
 
+  /** Continuous-enrollment eligibility (the reference's declared
+    * int_member_enrollment domain, models/intermediate/members/): a member
+    * is continuously enrolled iff ONE merged coverage island spans the
+    * whole requirement window — coverage intervals that touch or overlap
+    * count as unbroken (the enrollment-spell convention of
+    * [[Intervals.mergeIntervals]], which does the heavy lifting: one
+    * shuffle on member_id, two shared-sort windows, no driver state).
+    *
+    * `spans`: (member_id, cov_start, cov_end). Returns the DISTINCT
+    * member_ids whose coverage contains [reqStart, reqEnd]; feed the
+    * complement to [[status]] as an exclusion set, so non-enrolled
+    * members surface tri-state NULL like any other denominator exit.
+    */
+  def continuouslyEnrolled(spans: DataFrame, reqStart: Column,
+      reqEnd: Column): DataFrame =
+    Intervals.mergeIntervals(spans, Seq("member_id"),
+        col("cov_start"), col("cov_end"), col("cov_start"))
+      .filter(col("island_start") <= reqStart && col("island_end") >= reqEnd)
+      .select(col("member_id")).distinct()
+
   /** members: (member_id, birth_date); events: (evidence_id, member_id,
     * event_date, code); exclusions: name -> DataFrame[member_id].
     * Output schema mirrors int_gap_col_status.sql:185-221 with the measure's

@@ -97,20 +97,31 @@ object CoreQueries extends QuerySet {
     * the Spark engine runs, so the two can never drift (single source of
     * truth for scenarios, age band, rule version).
     */
-  def gapOracleSql(spec: MeasureSpec): String = {
+  def gapOracleSql(spec: MeasureSpec,
+      extraExcl: Seq[(String, String)] = Nil): String = {
     val my = AsOf.getYear
     val scenRows = spec.scenarios.flatMap(s => s.codes.map(c =>
       s"('$c','${s.reason}',${s.durabilityRank},${s.lookbackYears.map(_.toString).getOrElse("NULL")})"))
       .mkString(",\n         ")
+    // extra exclusion sets compose exactly like hospice: a member_id CTE,
+    // a left join, a 0/1 flag, and a seat in the denominator-exit predicate
+    val exCtes  = extraExcl.map { case (n, q) => s",\n$n AS ($q)" }.mkString
+    val exFlags = extraExcl.map { case (n, _) =>
+      s",\n       |         CASE WHEN x_$n.member_id IS NOT NULL THEN 1 ELSE 0 END AS $n" }.mkString
+    val exJoins = extraExcl.map { case (n, _) =>
+      s" LEFT JOIN $n x_$n ON m.member_id = x_$n.member_id" }.mkString
+    val exOut   = extraExcl.map { case (n, _) => s", e.$n" }.mkString
+    val anyEx   = extraExcl.map { case (n, _) => s" OR e.$n = 1" }.mkString
+    val noEx    = extraExcl.map { case (n, _) => s" AND e.$n = 0" }.mkString
     s"""WITH members AS ($membersSql),
-       |hospice AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_acctbal < 0),
+       |hospice AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS member_id FROM customer WHERE c_acctbal < 0)$exCtes,
        |elig AS (
        |  SELECT m.member_id,
        |         CASE WHEN (CASE WHEN m.birth_date + to_months(CAST(12*($my - year(m.birth_date)) AS INTEGER)) > DATE '$my-12-31'
        |                         THEN $my - year(m.birth_date) - 1 ELSE $my - year(m.birth_date) END) BETWEEN ${spec.minAge} AND ${spec.maxAge}
        |              THEN 1 ELSE 0 END AS is_age_eligible,
-       |         CASE WHEN h.member_id IS NOT NULL THEN 1 ELSE 0 END AS in_hospice
-       |  FROM members m LEFT JOIN hospice h ON m.member_id = h.member_id),
+       |         CASE WHEN h.member_id IS NOT NULL THEN 1 ELSE 0 END AS in_hospice$exFlags
+       |  FROM members m LEFT JOIN hospice h ON m.member_id = h.member_id$exJoins),
        |ev AS (
        |  SELECT CAST(o_orderkey AS BIGINT) AS evidence_id, CAST(o_custkey AS BIGINT) AS member_id,
        |         CAST(o_orderdate AS DATE) AS event_date, UPPER(o_orderpriority) AS code
@@ -130,12 +141,12 @@ object CoreQueries extends QuerySet {
        |  WHERE rn = 1),
        |gap AS (
        |  SELECT e.member_id, '${spec.measureId}' AS measure_id, CAST($my AS INTEGER) AS measurement_year,
-       |         e.is_age_eligible, e.in_hospice,
-       |         CASE WHEN e.is_age_eligible = 0 OR e.in_hospice = 1 THEN NULL
+       |         e.is_age_eligible, e.in_hospice$exOut,
+       |         CASE WHEN e.is_age_eligible = 0 OR e.in_hospice = 1$anyEx THEN NULL
        |              WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS gap_flag,
-       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_date END AS closure_date,
-       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.closure_reason END AS closure_reason,
-       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0 THEN b.evidence_id END AS evidence_id,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0$noEx THEN b.closure_date END AS closure_date,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0$noEx THEN b.closure_reason END AS closure_reason,
+       |         CASE WHEN e.is_age_eligible = 1 AND e.in_hospice = 0$noEx THEN b.evidence_id END AS evidence_id,
        |         DATE '$my-01-01' AS period_start, DATE '$my-12-31' AS period_end,
        |         '${spec.ruleVersion}' AS rule_version
        |  FROM elig e LEFT JOIN best b ON e.member_id = b.member_id)""".stripMargin
@@ -209,6 +220,55 @@ object CoreQueries extends QuerySet {
 
     QueryDef("q29_gap_bcs_status", (s, d) => gapStatusFor(bcsSpec)(s, d),
       Some(s"${gapOracleSql(bcsSpec)}\nSELECT * FROM gap")),
+
+    QueryDef("q187_continuous_enrollment", (s, d) => {
+      // islands -> eligibility -> tri-state (the reference's declared
+      // int_member_enrollment domain, models/intermediate/members/): each
+      // order grants 180 days of coverage; Intervals.mergeIntervals
+      // collapses the per-member coverage into enrollment spells, and the
+      // COL measure then requires ONE spell to span all of 1997 — members
+      // without continuous coverage exit the denominator exactly like a
+      // hospice exclusion (tri-state NULL), closing the loop between the
+      // interval operator family and the gap engine.
+      val spans = table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("cov_start"),
+        date_add(col("o_orderdate").cast("date"), 180).as("cov_end"))
+      val enrolled = GapEngine.continuouslyEnrolled(spans,
+        to_date(lit("1997-01-01")), to_date(lit("1997-12-31")))
+      val notEnrolled = members(s, d).select(col("member_id"))
+        .join(enrolled, Seq("member_id"), "left_anti")
+      val hospice = table(s, d, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").cast("long").as("member_id"))
+      val events = claims(s, d).select(
+        col("claim_id").as("evidence_id"), col("member_id"),
+        col("service_date").as("event_date"), col("proc_code").as("code"))
+      GapEngine.status(s, members(s, d), events, colSpec,
+        Seq("in_hospice" -> hospice, "not_cont_enrolled" -> notEnrolled),
+        AsOf)
+    }, Some {
+      val notEnrolledSql =
+        """SELECT m.member_id
+          |FROM (SELECT CAST(c_custkey AS BIGINT) AS member_id FROM customer) m
+          |LEFT JOIN (SELECT member_id FROM (
+          |    SELECT member_id, min(cs) AS i_start, max(ce) AS i_end FROM (
+          |      SELECT member_id, cs, ce,
+          |             sum(CASE WHEN pme IS NULL OR cs > pme THEN 1 ELSE 0 END)
+          |               OVER (PARTITION BY member_id ORDER BY cs ASC, ce ASC ROWS UNBOUNDED PRECEDING) AS gid
+          |      FROM (
+          |        SELECT member_id, cs, ce,
+          |               max(ce) OVER (PARTITION BY member_id ORDER BY cs ASC, ce ASC
+          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |        FROM (SELECT CAST(o_custkey AS BIGINT) AS member_id,
+          |                     CAST(o_orderdate AS DATE) AS cs,
+          |                     CAST(o_orderdate AS DATE) + 180 AS ce FROM orders)))
+          |    GROUP BY member_id, gid)
+          |  WHERE i_start <= DATE '1997-01-01' AND i_end >= DATE '1997-12-31') en
+          |  ON m.member_id = en.member_id
+          |WHERE en.member_id IS NULL""".stripMargin
+      s"${gapOracleSql(colSpec, Seq("not_cont_enrolled" -> notEnrolledSql))}\nSELECT * FROM gap"
+    }),
 
     QueryDef("q04_gap_col_violations", (s, d) => gapViolations(s, d),
       Some(s"$violationsSql\nSELECT * FROM viol")),

@@ -97,4 +97,26 @@ class GapEngineSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("closure_reason")))
     assert(out.getAs[Int]("in_hospice") === 1)
   }
+
+  test("continuouslyEnrolled: touching spans merge, gaps and short islands exit") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // requirement window: all of 2024
+    val spans = Seq(
+      // A: two TOUCHING spans covering the window -> enrolled
+      (1L, "2023-12-01", "2024-06-01"), (1L, "2024-06-01", "2025-01-15"),
+      // B: one-day hole at 2024-06-01 -> two islands, neither covers -> out
+      (2L, "2023-12-01", "2024-06-01"), (2L, "2024-06-02", "2025-01-15"),
+      // C: single span covering EXACTLY [reqStart, reqEnd] -> enrolled
+      (3L, "2024-01-01", "2024-12-31"),
+      // D: overlapping spans, but coverage starts after Jan 1 -> out
+      (4L, "2024-01-02", "2024-08-01"), (4L, "2024-07-01", "2025-02-01"),
+      // E: covers the window inside a longer overlapping chain -> enrolled
+      (5L, "2023-01-01", "2024-05-01"), (5L, "2024-04-15", "2026-01-01"))
+      .toDF("member_id", "cs", "ce")
+      .select($"member_id", to_date($"cs").as("cov_start"), to_date($"ce").as("cov_end"))
+    val got = GapEngine.continuouslyEnrolled(spans,
+        lit(d("2024-01-01")), lit(d("2024-12-31")))
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 3L, 5L))
+  }
 }
