@@ -95,11 +95,16 @@ object Bench {
     println(line)
     // ALSO persist the whole line: the driver's log capture keeps only a
     // short tail, so the judge could read a fraction of the per-query
-    // medians — the repo copy survives whole (driver commits the workdir)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () } // bench output must not fail the run
+    // medians — the repo copy survives whole (driver commits the workdir).
+    // An unpersistable artifact is a FAILED bench (exit 1), not a warning:
+    // the timings printed above would otherwise look recorded when the
+    // only durable copy silently vanished (VERDICT r8 item 8).
+    val persisted =
+      try { java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n"); true }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH_FULL.json write failed: $e"); false }
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._3.isDefined) || !persisted) sys.exit(1)
   }
 }

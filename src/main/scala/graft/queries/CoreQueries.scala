@@ -270,6 +270,29 @@ object CoreQueries extends QuerySet {
       s"${gapOracleSql(colSpec, Seq("not_cont_enrolled" -> notEnrolledSql))}\nSELECT * FROM gap"
     }),
 
+    QueryDef("q188_dbt_utils", (s, d) => {
+      // the dbt_utils conveniences the reference pins (packages.yml:1-4)
+      // but never calls — star / get_column_values / safe_add — exercised
+      // together: star prunes the projection at the scan, get_column_values
+      // runs at "compile time" (bounded driver list, dbt's macro
+      // semantics) and its sorted 1-based position is spliced back in as a
+      // literal array, safe_add treats NULL as 0.
+      import graft.functions.Functions.{getColumnValues, safeAdd, starExcept}
+      val cust = table(s, d, "customer")
+      val segs = getColumnValues(cust, "c_mktsegment")
+      starExcept(cust, Seq("c_comment", "c_address", "c_phone"))
+        .withColumn("bal_pair", safeAdd(col("c_acctbal"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal"))))
+        .withColumn("seg_idx",
+          array_position(typedLit(segs), col("c_mktsegment")))
+    }, Some(
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+        |       coalesce(c_acctbal, 0) +
+        |         coalesce(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END, 0) AS bal_pair,
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT c_mktsegment AS s FROM customer) d
+        |             WHERE d.s <= customer.c_mktsegment) AS BIGINT) AS seg_idx
+        |FROM customer""".stripMargin)),
+
     QueryDef("q04_gap_col_violations", (s, d) => gapViolations(s, d),
       Some(s"$violationsSql\nSELECT * FROM viol")),
 

@@ -57,8 +57,16 @@ object Sources {
       // surface as TIMESTAMP_NTZ; normalize to TimestampType so event-time
       // streaming (watermarks reject NTZ) and every downstream query see
       // the SAME type the ns-long generations produced via timestamp_micros.
-      // Sessions run UTC, so the cast is a pure reinterpretation.
-      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      // The cast is a pure reinterpretation ONLY under a UTC session zone —
+      // any other zone would silently shift every event timestamp, so
+      // enforce the assumption instead of documenting it.
+      case "timestamp_ntz" =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events NTZ->timestamp reinterpretation requires a UTC session " +
+            s"(spark.sql.session.timeZone is '$tz'); set it to UTC or the " +
+            "cast will shift every event time")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _               => raw
     }
   }

@@ -30,7 +30,20 @@ object EventsStream {
     * ([[graft.sources.Sources.events]]) applies per-DataFrame.
     */
   def eventsSchema(spark: SparkSession, sfDir: String): StructType =
-    graft.sources.Sources.table(spark, sfDir, "events").schema
+    if (new java.io.File(s"$sfDir/events.parquet").exists())
+      graft.sources.Sources.table(spark, sfDir, "events").schema
+    else
+      // empty-at-start streaming: no file to sniff yet, so pin the
+      // documented generator schema (ts native timestamp[us] — the current
+      // testdata encoding); files later arriving as int64-nanos against a
+      // schema pinned this way are a re-generation event, restart the query
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
 
   /** Streaming source over the events dir with ts normalized to
     * TimestampType (micros) regardless of on-disk encoding.

@@ -196,4 +196,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(Expressions.normalizeNfc(lit(null).cast("string")))
       .collect()(0).isNullAt(0))
   }
+
+  test("dbt_utils surface: starExcept / getColumnValues / safeAdd") {
+    import graft.functions.Functions.{getColumnValues, safeAdd, starExcept}
+    val df = Seq((1L, "a", Some(2.0), "X"), (2L, "b", None, "Y"),
+      (3L, "c", Some(5.0), "X")).toDF("id", "name", "v", "seg")
+    // star: case-insensitive except, order preserved
+    assert(starExcept(df, Seq("NAME", "v")).columns.toSeq === Seq("id", "seg"))
+    assertThrows[IllegalArgumentException](
+      starExcept(df, Seq("id", "name", "v", "seg")))
+    // get_column_values: sorted distinct, NULLs dropped, cap raises
+    assert(getColumnValues(df, "seg") === Seq("X", "Y"))
+    assert(getColumnValues(df.withColumn("seg",
+      when($"id" === 1, lit(null)).otherwise($"seg")), "seg") === Seq("X", "Y"))
+    assertThrows[IllegalArgumentException](
+      getColumnValues(df, "id", maxValues = 2))
+    // safe_add: NULL as 0, single column passes through
+    val sums = df.select(safeAdd($"v", $"id")).collect().map(_.getDouble(0))
+    assert(sums.toSeq === Seq(3.0, 2.0, 8.0))
+    assertThrows[IllegalArgumentException](safeAdd())
+  }
 }

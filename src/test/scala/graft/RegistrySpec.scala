@@ -433,6 +433,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg.resolveSelector("tag:mart,+c") === Set("b")) // intersection
     assert(reg.resolveSelector("d +b") === Set("a", "b", "d")) // union
     assertThrows[IllegalArgumentException](reg.resolveSelector("+nope"))
+    // graph operators on tag atoms are valid dbt syntax this engine does
+    // not implement — they must raise, never silently resolve to nothing
+    assertThrows[IllegalArgumentException](reg.resolveSelector("+tag:mart"))
+    assertThrows[IllegalArgumentException](reg.resolveSelector("tag:mart+"))
+    assertThrows[IllegalArgumentException](reg.resolveSelector("@tag:mart"))
 
     // bare-name selection does NOT pull ancestors (dbt semantics): the
     // defer contract raises because no previous run materialized 'a'
@@ -586,6 +591,27 @@ class RegistrySpec extends AnyFunSuite {
     wh.writeSwap("tbl", Seq((9L, "z")).toDF("k", "s"))
     assert(wh.read("tbl_clone").count() === 2)
     assert(reg.metadataOps.exists(_.startsWith("clone: tbl -> tbl_clone")))
+  }
+
+  test("catalog(): one row per (node, column) with DAG metadata and actual schema") {
+    val root = Files.createTempDirectory("graft_catalog").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    reg.source("src", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    reg.register(Model("m1", Seq("src"), TableMat(),
+      ctx => ctx.ref("src").withColumn("n", lit(1)),
+      docs = Some("the mart"), tags = Seq("mart", "daily")))
+    reg.run()
+    val cat = reg.catalog().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), Option(r.getString(5)), r.getLong(6), r.getString(7),
+        r.getString(8))).toSet
+    assert(cat === Set(
+      ("m1", "table", "src", "daily,mart", 0L, Some("the mart"), 0L, "k", "bigint"),
+      ("m1", "table", "src", "daily,mart", 0L, Some("the mart"), 1L, "v", "string"),
+      ("m1", "table", "src", "daily,mart", 0L, Some("the mart"), 2L, "n", "int"),
+      ("src", "source", "", "", 0L, None, 0L, "k", "bigint"),
+      ("src", "source", "", "", 0L, None, 1L, "v", "string")))
   }
 
   test("function materialization: SQL UDF usable downstream, inlined, replaced on rerun") {
