@@ -982,8 +982,11 @@ object LifecycleQueries extends QuerySet {
       import graft.streaming.EventsStream
       val wh = Scratch.warehouse("q185", d, s, Seq("q185_trending"))
       Scratch.resetCheckpoint(wh, "q185_trending")
-      EventsStream.trendingStream(EventsStream.readEvents(s, d), wh,
-        "q185_trending", k = 3).awaitTermination()
+      // modest window-count state: size the state stores to the state, not
+      // the session's batch shuffle width (withStatePartitions doc; q159)
+      EventsStream.withStatePartitions(s, 8)(
+        EventsStream.trendingStream(EventsStream.readEvents(s, d), wh,
+          "q185_trending", k = 3)).awaitTermination()
       wh.read("q185_trending")
     }, Some(
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
