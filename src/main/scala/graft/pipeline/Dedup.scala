@@ -567,4 +567,31 @@ object Dedup {
     labeled.withColumn("rn", row_number().over(w))
       .select(col("id"), col("cluster_id"), (col("rn") === 1).as("is_kept"))
   }
+
+  /** Train/test split LEAKAGE audit: near-duplicate pairs whose two sides
+    * landed in DIFFERENT splits — the eval-contamination check every
+    * training-data split needs before the test loss means anything (a
+    * test doc with a train-side near-dup is memorization, not
+    * generalization; Lee 2021's dedup motivation applied to the split
+    * boundary). Compose any pair generator ([[minhashPairs]],
+    * [[simhashPairs]], winnowing, embedding near-dup) with any split
+    * assignment ([[Sampling.stratifiedSplit]], hash split).
+    *
+    * `pairs`: (aCol, bCol, ...carried columns); `splits`: (idCol, split).
+    * Output: the offending pairs with both split labels, every carried
+    * pair column preserved. Two equi-joins on uniformly-hashed ids — the
+    * pair side is the small one at any realistic dup rate, so AQE
+    * broadcasts it; the audit never rescans text. Empty result = clean
+    * split, the state a production pipeline asserts on.
+    */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val sp = splits.select(col(idCol).cast("long").as("__id"),
+      col(splitCol).cast("string").as("__sp"))
+    pairs
+      .join(sp.select(col("__id").as(aCol), col("__sp").as("split_a")), Seq(aCol))
+      .join(sp.select(col("__id").as(bCol), col("__sp").as("split_b")), Seq(bCol))
+      .filter(col("split_a") =!= col("split_b"))
+  }
 }

@@ -1483,6 +1483,60 @@ object PipelineQueries extends QuerySet {
          |WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
          |  AND (id_a % 5 = 0 OR id_b % 5 = 0)""".stripMargin)),
 
+    QueryDef("q189_split_leakage", (s, d) => {
+      // eval-contamination audit on the split boundary: the q35 minhash
+      // pair generator composed with the q89 stratified split — pairs
+      // whose sides landed in different splits are memorization leaks, the
+      // thing a test loss must not contain. Two id-keyed equi-joins over
+      // the (small) pair set; text is never rescanned.
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2,
+        threshold = 0.5)
+      val splits = graft.pipeline.Sampling.stratifiedSplit(docs,
+        Seq("lang", "source"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r4")
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+      Dedup.splitLeakage(pairs, splits)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("split_a"), col("split_b"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |pr AS (
+         |  SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+         |  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |        FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id) p
+         |  WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN rn * 1000 <= tot * 800 THEN 'train'
+         |                      WHEN rn * 1000 <= tot * 900 THEN 'val'
+         |                      ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |           CAST(row_number() OVER w AS BIGINT) AS rn,
+         |           count(*) OVER (PARTITION BY lang, source) AS tot
+         |    FROM documents
+         |    WINDOW w AS (PARTITION BY lang, source
+         |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'r4'), 1, 8))::BIGINT
+         |               % 1000000 ASC, doc_id ASC)) t)
+         |SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+         |FROM pr p
+         |JOIN sp sa ON p.id_a = sa.doc_id
+         |JOIN sp sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split""".stripMargin)),
+
     QueryDef("q130_image_decode", (s, d) => {
       // REAL image decode (javax.imageio, no stub): per doc, a PNG is
       // encoded with a doc_id-keyed gradient red channel and solid

@@ -1208,4 +1208,22 @@ class PipelineSpec extends AnyFunSuite {
     val png = Multimodal.encodePng(2, 2, (_, _) => (1, 2, 3))
     intercept[IllegalArgumentException](Multimodal.decodeFrames(1L, png, 1))
   }
+
+  test("splitLeakage: cross-split pairs only, carried columns preserved") {
+    import graft.pipeline.Dedup
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "test")).toDF("doc_id", "split")
+    val got = Dedup.splitLeakage(pairs, splits)
+      .select($"id_a", $"id_b", $"jaccard", $"split_a", $"split_b")
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    // (3,4) is train/train -> clean; the other two cross the boundary
+    assert(got === Set((1L, 2L, 0.9, "train", "test"),
+      (5L, 6L, 0.7, "val", "test")))
+    // a pair with an id absent from the split table drops (inner join):
+    // auditing docs outside the split universe is a caller error, not leak
+    val dangling = Seq((1L, 99L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    assert(Dedup.splitLeakage(dangling, splits).count() === 0)
+  }
 }
