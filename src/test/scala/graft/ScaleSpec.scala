@@ -537,6 +537,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("md5"), s"per-row hashing crept in:\n$plan")
   }
 
+  test("continuouslyEnrolled: islands pay ONE member-keyed shuffle (q187 shape)") {
+    import graft.operators.GapEngine
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val spans = (1L to 200L).map(i =>
+      (i % 40, d(s"2024-0${(i % 6) + 1}-01"), d(s"2024-0${(i % 6) + 2}-15")))
+      .toDF("member_id", "cov_start", "cov_end")
+    val out = GapEngine.continuouslyEnrolled(spans,
+      lit(d("2024-02-01")), lit(d("2024-05-01")))
+    // no collect: a finalized AQE plan stringifies final+initial subtrees
+    // and double-counts every Exchange (q120 pin does the same)
+    val plan = out.queryExecution.executedPlan.toString
+    // both mergeIntervals windows + the island aggregate + the distinct
+    // share the member_id partitioning: exactly one hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"islands -> eligibility must reuse one member-keyed shuffle:\n$plan")
+  }
+
   test("fuzzyLink never degenerates to a cartesian/broadcast-nested-loop") {
     import graft.operators.FuzzyLink
     val m = Seq((1L, "mercy general hospital")).toDF("id", "k")
