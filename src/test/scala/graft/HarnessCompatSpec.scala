@@ -23,15 +23,21 @@ class HarnessCompatSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val schema = fn(spark, dir).schema
-        schema.fields.collect {
+        val nested = schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||
             f.dataType.isInstanceOf[StructType] =>
             s"$name.${f.name}: ${f.dataType.simpleString}"
         }
+        // pandas mangles duplicate column labels (a.1) and the DuckDB
+        // oracle can't produce the mangled name — fail here instead
+        val dups = schema.fieldNames.groupBy(_.toLowerCase).collect {
+          case (n, fs) if fs.length > 1 => s"$name: duplicate column '$n'"
+        }
+        nested ++ dups
     }
     assert(offenders.isEmpty,
-      s"nested-typed output columns break the driver compare:\n  " +
+      s"output schemas the driver compare cannot hash:\n  " +
         offenders.mkString("\n  "))
   }
 }
