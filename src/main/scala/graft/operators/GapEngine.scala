@@ -66,6 +66,43 @@ object GapEngine {
       .filter(col("island_start") <= reqStart && col("island_end") >= reqEnd)
       .select(col("member_id")).distinct()
 
+  /** [[continuouslyEnrolled]] with the ALLOWABLE-GAP refinement real HEDIS
+    * specs use ("continuously enrolled during the measurement year with no
+    * more than one gap of up to 45 days"): coverage is clipped to the
+    * requirement window, merged into islands, and a member qualifies iff
+    * the clipped coverage is anchored at BOTH window ends and the interior
+    * gaps number at most `maxGaps`, each spanning at most `maxGapDays`
+    * days.
+    *
+    * Same single member-keyed shuffle as the strict form: the clip is a
+    * narrow map, the island windows and the island-gap lead() share the
+    * member_id partitioning, and the verdict aggregate is per-member.
+    */
+  def continuouslyEnrolledTolerant(spans: DataFrame, reqStart: Column,
+      reqEnd: Column, maxGapDays: Int, maxGaps: Int): DataFrame = {
+    require(maxGapDays >= 0, s"maxGapDays: $maxGapDays")
+    require(maxGaps >= 0, s"maxGaps: $maxGaps")
+    val clipped = spans.select(col("member_id"),
+        greatest(col("cov_start"), reqStart).as("cov_start"),
+        least(col("cov_end"), reqEnd).as("cov_end"))
+      .filter(col("cov_start") <= col("cov_end"))
+    val islands = Intervals.mergeIntervals(clipped, Seq("member_id"),
+      col("cov_start"), col("cov_end"), col("cov_start"))
+    val w = Window.partitionBy(col("member_id")).orderBy(col("island_id").asc)
+    islands
+      .withColumn("__next_start", lead(col("island_start"), 1).over(w))
+      .groupBy(col("member_id"))
+      .agg(min(col("island_start")).as("__fs"),
+        max(col("island_end")).as("__le"),
+        sum(when(col("__next_start").isNotNull, 1L).otherwise(0L)).as("__n_gaps"),
+        max(when(col("__next_start").isNotNull,
+          datediff(col("__next_start"), col("island_end")))).as("__max_gap"))
+      .filter(col("__fs") <= reqStart && col("__le") >= reqEnd &&
+        col("__n_gaps") <= maxGaps &&
+        coalesce(col("__max_gap"), lit(0)) <= maxGapDays)
+      .select(col("member_id"))
+  }
+
   /** members: (member_id, birth_date); events: (evidence_id, member_id,
     * event_date, code); exclusions: name -> DataFrame[member_id].
     * Output schema mirrors int_gap_col_status.sql:185-221 with the measure's

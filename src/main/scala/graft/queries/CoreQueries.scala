@@ -270,6 +270,70 @@ object CoreQueries extends QuerySet {
       s"${gapOracleSql(colSpec, Seq("not_cont_enrolled" -> notEnrolledSql))}\nSELECT * FROM gap"
     }),
 
+    QueryDef("q190_enrollment_tolerant", (s, d) => {
+      // the ALLOWABLE-GAP enrollment rule real HEDIS specs use: coverage
+      // clipped to 1997, anchored at both ends, at most ONE interior gap
+      // of at most 45 days (continuouslyEnrolledTolerant — islands + the
+      // island-gap lead() sharing one member-keyed shuffle). Same
+      // denominator composition as q187; the looser screen admits members
+      // the strict rule rejects, and the oracle re-derives every island
+      // and gap from scratch.
+      val spans = table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("member_id"),
+        col("o_orderdate").cast("date").as("cov_start"),
+        date_add(col("o_orderdate").cast("date"), 120).as("cov_end"))
+      val enrolled = GapEngine.continuouslyEnrolledTolerant(spans,
+        to_date(lit("1997-01-01")), to_date(lit("1997-12-31")),
+        maxGapDays = 45, maxGaps = 1)
+      val notEnrolled = members(s, d).select(col("member_id"))
+        .join(enrolled, Seq("member_id"), "left_anti")
+      val hospice = table(s, d, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").cast("long").as("member_id"))
+      val events = claims(s, d).select(
+        col("claim_id").as("evidence_id"), col("member_id"),
+        col("service_date").as("event_date"), col("proc_code").as("code"))
+      GapEngine.status(s, members(s, d), events, colSpec,
+        Seq("in_hospice" -> hospice, "not_cont_enrolled" -> notEnrolled),
+        AsOf)
+    }, Some {
+      val notEnrolledSql =
+        """SELECT m.member_id
+          |FROM (SELECT CAST(c_custkey AS BIGINT) AS member_id FROM customer) m
+          |LEFT JOIN (
+          |  SELECT member_id FROM (
+          |    SELECT member_id, min(i_start) AS fs, max(i_end) AS le,
+          |           sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+          |           max(CASE WHEN nxt IS NOT NULL THEN nxt - i_end END) AS max_gap
+          |    FROM (
+          |      SELECT member_id, i_start, i_end,
+          |             lead(i_start) OVER (PARTITION BY member_id ORDER BY gid) AS nxt
+          |      FROM (
+          |        SELECT member_id, gid, min(cs) AS i_start, max(ce) AS i_end
+          |        FROM (
+          |          SELECT member_id, cs, ce,
+          |                 sum(CASE WHEN pme IS NULL OR cs > pme THEN 1 ELSE 0 END)
+          |                   OVER (PARTITION BY member_id ORDER BY cs ASC, ce ASC ROWS UNBOUNDED PRECEDING) AS gid
+          |          FROM (
+          |            SELECT member_id, cs, ce,
+          |                   max(ce) OVER (PARTITION BY member_id ORDER BY cs ASC, ce ASC
+          |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |            FROM (
+          |              SELECT member_id, cs, ce FROM (
+          |                SELECT CAST(o_custkey AS BIGINT) AS member_id,
+          |                       greatest(CAST(o_orderdate AS DATE), DATE '1997-01-01') AS cs,
+          |                       least(CAST(o_orderdate AS DATE) + 120, DATE '1997-12-31') AS ce
+          |                FROM orders)
+          |              WHERE cs <= ce)))
+          |        GROUP BY member_id, gid))
+          |    GROUP BY member_id)
+          |  WHERE fs <= DATE '1997-01-01' AND le >= DATE '1997-12-31'
+          |    AND n_gaps <= 1 AND coalesce(max_gap, 0) <= 45) en
+          |  ON m.member_id = en.member_id
+          |WHERE en.member_id IS NULL""".stripMargin
+      s"${gapOracleSql(colSpec, Seq("not_cont_enrolled" -> notEnrolledSql))}\nSELECT * FROM gap"
+    }),
+
     QueryDef("q188_dbt_utils", (s, d) => {
       // the dbt_utils conveniences the reference pins (packages.yml:1-4)
       // but never calls — star / get_column_values / safe_add — exercised

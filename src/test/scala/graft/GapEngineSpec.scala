@@ -119,4 +119,35 @@ class GapEngineSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(got === Set(1L, 3L, 5L))
   }
+
+  test("continuouslyEnrolledTolerant: gap count/length bounds, anchoring, clipping") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val spans = Seq(
+      // A: continuous, zero gaps -> in
+      (1L, "2023-12-01", "2025-01-15"),
+      // B: ONE interior 31-day gap (Jun 1 -> Jul 2) -> in under (45, 1)
+      (2L, "2023-12-15", "2024-06-01"), (2L, "2024-07-02", "2025-01-10"),
+      // C: one 60-day gap -> out (too long)
+      (3L, "2023-12-15", "2024-05-01"), (3L, "2024-06-30", "2025-01-10"),
+      // D: two 20-day gaps -> out (too many)
+      (4L, "2024-01-01", "2024-04-01"), (4L, "2024-04-21", "2024-08-01"),
+      (4L, "2024-08-21", "2024-12-31"),
+      // E: not anchored at Jan 1 (starts Jan 10) -> out even with no gaps
+      (5L, "2024-01-10", "2025-02-01"),
+      // F: anchored only via clipping (covers 2023-2026) -> in
+      (6L, "2023-01-01", "2026-01-01"))
+      .toDF("member_id", "cs", "ce")
+      .select($"member_id", to_date($"cs").as("cov_start"), to_date($"ce").as("cov_end"))
+    val got = GapEngine.continuouslyEnrolledTolerant(spans,
+        lit(d("2024-01-01")), lit(d("2024-12-31")), maxGapDays = 45, maxGaps = 1)
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 6L))
+    // zero tolerance degenerates to the strict rule
+    val strict = GapEngine.continuouslyEnrolledTolerant(spans,
+        lit(d("2024-01-01")), lit(d("2024-12-31")), maxGapDays = 0, maxGaps = 0)
+      .as[Long].collect().toSet
+    assert(strict === GapEngine.continuouslyEnrolled(spans,
+        lit(d("2024-01-01")), lit(d("2024-12-31")))
+      .as[Long].collect().toSet)
+  }
 }
