@@ -209,6 +209,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("append-mode eviction boundary: window.end == watermark IS finalized (q185 oracle pin)") {
+    // The q185 oracle mirrors the watermark contract as `window end <=
+    // max(ts) - delay`. No driver testdata generation has landed max(ts)
+    // exactly on a half-hour boundary, so the <= vs < choice is untested
+    // by data — this pins the engine's actual semantics: a sentinel whose
+    // watermark equals a window end exactly must finalize that window.
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val hr = 3600L * 1000000
+    val b0 = 1700000000L * 1000000 / (1800L * 1000000) * (1800L * 1000000)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+    val wh = new graft.engine.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft_bnd").toString, spark)
+    mem.addData((b0 + 10, "a"))
+    EventsStream.trendingStream(stream, wh, "bnd", 2).awaitTermination()
+    // watermark after the sentinel = b0+3h - 2h = b0+1h == end of BOTH
+    // windows holding 'a' ([b0-30m, b0+30m] ends earlier; [b0, b0+1h]
+    // ends exactly at the watermark)
+    mem.addData((b0 + 3 * hr, "z"))
+    EventsStream.trendingStream(stream, wh, "bnd", 2).awaitTermination()
+    val got = wh.read("bnd").collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000, r.getString(1))).toSet
+    assert(got === Set((b0 - 1800L * 1000000, "a"), (b0, "a")),
+      s"window.end == watermark must finalize (eviction is <=): $got")
+  }
+
   test("funnelStream near the epoch: ts>0 late arrivals fold; ts<=0 is an ENGINE boundary") {
     implicit val s = spark
     implicit val sc = s.sqlContext
