@@ -552,6 +552,14 @@ class ScaleSpec extends AnyFunSuite {
     // share the member_id partitioning: exactly one hash exchange
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
       s"islands -> eligibility must reuse one member-keyed shuffle:\n$plan")
+    // the tolerant variant adds the island-gap lead() + verdict aggregate,
+    // which must ALSO ride the same partitioning (a re-sort, never a
+    // second exchange)
+    val tol = GapEngine.continuouslyEnrolledTolerant(spans,
+      lit(d("2024-02-01")), lit(d("2024-05-01")), maxGapDays = 30, maxGaps = 1)
+    val tolPlan = tol.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tolPlan).length === 1,
+      s"tolerant enrollment must stay one member-keyed shuffle:\n$tolPlan")
   }
 
   test("fuzzyLink never degenerates to a cartesian/broadcast-nested-loop") {
