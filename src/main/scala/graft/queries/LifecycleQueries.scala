@@ -971,6 +971,54 @@ object LifecycleQueries extends QuerySet {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1""".stripMargin)),
 
+    QueryDef("q191_stream_funnel", (s, d) => {
+      // the LAST §2.10 op without an oracle row (r8 accepted a documented
+      // limitation; this closes it): funnelStream's terminal state IS
+      // deterministic under a single-file AvailableNow source — the data
+      // batch buffers every step (watermark 0), then the no-data batch
+      // fires the event-time timeouts at watermark = max(ts) - 2h and
+      // folds exactly the steps at-or-below it (ms-truncated, the
+      // engine's watermark precision). Update-mode emissions upsert into
+      // a bucketed warehouse table, latest row per user wins; the oracle
+      // is the q104 batch funnel with step events clipped at the final
+      // watermark and the user universe unclipped (non-step passthrough
+      // surfaces every user at reached 0).
+      import graft.streaming.EventsStream
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val wh = Scratch.warehouse("q191", d, s, Seq("q191_funnel"))
+      Scratch.resetCheckpoint(wh, "q191_funnel")
+      val prog = EventsStream.funnelStream(EventsStream.readEvents(s, d),
+        Seq("view", "click", "purchase"))
+      val q = prog.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .option("checkpointLocation", s"${wh.root}/_checkpoints/q191_funnel")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          wh.upsertPartitioned("q191_funnel", b, Seq("user_id"), nBuckets = 16)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      wh.read("q191_funnel").select(col("user_id"), col("reached"))
+    }, Some(
+      """WITH wm AS (SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000 - 7200000) * 1000 AS hus
+        |            FROM events),
+        |se AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |       FROM events, wm WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= wm.hus),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM se WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM se e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM se e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 WHEN t1 IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS reached
+        |FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
     QueryDef("q185_stream_trending", (s, d) => {
       // materialized streaming "trending now" (EventsStream.trendingStream):
       // append-mode sliding windows finalize when the watermark passes
