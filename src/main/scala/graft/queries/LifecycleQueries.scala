@@ -989,14 +989,16 @@ object LifecycleQueries extends QuerySet {
       Scratch.resetCheckpoint(wh, "q191_funnel")
       val prog = EventsStream.funnelStream(EventsStream.readEvents(s, d),
         Seq("view", "click", "purchase"))
-      val q = prog.toDF().writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .option("checkpointLocation", s"${wh.root}/_checkpoints/q191_funnel")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          wh.upsertPartitioned("q191_funnel", b, Seq("user_id"), nBuckets = 16)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // user-count state, not corpus state: size the stores to it (q159/q185)
+      val q = EventsStream.withStatePartitions(s, 8)(
+        prog.toDF().writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .option("checkpointLocation", s"${wh.root}/_checkpoints/q191_funnel")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            wh.upsertPartitioned("q191_funnel", b, Seq("user_id"), nBuckets = 16)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       q.awaitTermination()
       wh.read("q191_funnel").select(col("user_id"), col("reached"))
     }, Some(
