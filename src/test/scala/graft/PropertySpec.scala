@@ -664,4 +664,53 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(checked === 3000)
   }
+
+  test("enrollment eligibility == sequential-fold reference on random span sets") {
+    // independent implementation: a plain sorted fold merges touching
+    // spans and applies the anchored-with-bounded-gaps rule — a different
+    // code path from the window-plan islands, so a planner-level bug in
+    // either diverges here
+    def refEligible(spans: Seq[(Int, Int)], lo: Int, hi: Int,
+        maxGapDays: Int, maxGaps: Int): Boolean = {
+      val clipped = spans.map { case (s, e) => (s.max(lo), e.min(hi)) }
+        .filter { case (s, e) => s <= e }.sorted
+      if (clipped.isEmpty) return false
+      val islands = clipped.tail.foldLeft(Vector(clipped.head)) {
+        case (acc, (s, e)) =>
+          val (is, ie) = acc.last
+          if (s <= ie) acc.init :+ (is, ie.max(e)) else acc :+ (s, e)
+      }
+      val gaps = islands.sliding(2).collect {
+        case Vector((_, e1), (s2, _)) => s2 - e1 }.toSeq
+      islands.head._1 <= lo && islands.last._2 >= hi &&
+        gaps.size <= maxGaps && gaps.forall(_ <= maxGapDays)
+    }
+    val rnd = new Random(191)
+    val base = LocalDate.of(2024, 1, 1)
+    def d(off: Int) = java.sql.Date.valueOf(base.plusDays(off))
+    val (lo, hi) = (10, 70) // 60-day requirement window as day offsets
+    for (round <- 1 to 20) {
+      val members = (1L to 50L).map { m =>
+        val spans = (0 until 1 + rnd.nextInt(5)).map { _ =>
+          val s = rnd.nextInt(90)
+          (s, s + 1 + rnd.nextInt(30))
+        }
+        m -> spans
+      }
+      val maxGapDays = rnd.nextInt(12)
+      val maxGaps = rnd.nextInt(3)
+      val df = members.flatMap { case (m, ss) =>
+        ss.map { case (s, e) => (m, d(s), d(e)) } }
+        .toDF("member_id", "cov_start", "cov_end")
+      val got = GapEngine.continuouslyEnrolledTolerant(df,
+          lit(d(lo)), lit(d(hi)), maxGapDays, maxGaps)
+        .as[Long].collect().toSet
+      val want = members.collect {
+        case (m, ss) if refEligible(ss, lo, hi, maxGapDays, maxGaps) => m
+      }.toSet
+      assert(got === want,
+        s"round $round maxGapDays=$maxGapDays maxGaps=$maxGaps: " +
+          s"engine=${got.toSeq.sorted} ref=${want.toSeq.sorted}")
+    }
+  }
 }
