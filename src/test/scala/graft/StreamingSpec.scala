@@ -209,6 +209,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("eventsSchema falls back to the generator schema when no file exists yet") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_noevents").toString
+    val st = EventsStream.eventsSchema(spark, empty)
+    assert(st.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(st("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    // and a stream can START against the empty dir (empty-at-start ingest)
+    val q = EventsStream.readEvents(spark, empty).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("noevents_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table("noevents_sink").count() === 0)
+  }
+
   test("append-mode eviction boundary: window.end == watermark IS finalized (q185 oracle pin)") {
     // The q185 oracle mirrors the watermark contract as `window end <=
     // max(ts) - delay`. No driver testdata generation has landed max(ts)
