@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private val sets: Seq[QuerySet] =
-    Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries, AnalyticsQueries)
+    Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries,
+      AnalyticsQueries, ExtensionQueries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

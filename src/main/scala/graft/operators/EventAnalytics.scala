@@ -131,6 +131,106 @@ object EventAnalytics {
         (col("__v")).as("scaled_value") :+ col("cusum"): _*)
   }
 
+  /** Multi-touch conversion attribution: for every conversion event, the
+    * touch events of the same user inside a lookback window share the
+    * credit — first-touch and last-touch counts plus LINEAR credit, the
+    * three classic models, rolled up per touch type. Linear credit is
+    * exact integer milli-units: each conversion hands every touch
+    * `cnt * 1000 div total` (integer division, deterministic on any
+    * engine — no float fractions to drift).
+    *
+    * Shape: conversions and touches join on the USER key with the window
+    * predicate riding along (user-keyed equi join — never a time theta
+    * join), then all per-conversion statistics (first/last picks and the
+    * touch total) come from windows over ONE conv-keyed shuffle; the
+    * final per-type roll-up is narrow. First/last picks tie-break on
+    * (ts, event_id) — a total order, so the attribution is exact, not
+    * partition-luck. A user with no touches before a conversion simply
+    * contributes nothing (no NULL credit rows).
+    */
+  def attribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"'$conversionType' cannot be both conversion and touch")
+    require(lookbackDays >= 1, s"lookbackDays: $lookbackDays")
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(idCol).as("__conv"),
+        col(tsCol).as("__cts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("touch"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+    val joined = touches.join(convs, Seq("__u"))
+      .filter(col("__ts") < col("__cts") &&
+        col("__ts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__conv"))
+    val fw = byConv.orderBy(col("__ts").asc, col("__id").asc)
+    val lw = byConv.orderBy(col("__ts").desc, col("__id").desc)
+    joined
+      .withColumn("__rf", row_number().over(fw))
+      .withColumn("__rl", row_number().over(lw))
+      .withColumn("__total", count(lit(1)).over(byConv))
+      .groupBy(col("__conv"), col("touch"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__total")).as("__tot"),
+        max(when(col("__rf") === 1, 1L).otherwise(0L)).as("__isf"),
+        max(when(col("__rl") === 1, 1L).otherwise(0L)).as("__isl"))
+      .groupBy(col("touch").as("event_type"))
+      .agg(sum(col("__isf")).as("first_touch"),
+        sum(col("__isl")).as("last_touch"),
+        sum(expr("__cnt * 1000 div __tot")).as("linear_milli"))
+  }
+
+  /** Top-k frequent session paths: sessionize on an inactivity gap, read
+    * off each session's first `maxSteps` event types in time order as a
+    * `a>b>c` path string, and count sessions per path. The classic
+    * "what do users actually do" report, and the batch twin of the
+    * stateful sessionizer in [[graft.streaming.EventsStream]].
+    *
+    * Shape: session ids are a gap-flag cumsum and step ranks a second
+    * window over the SAME (user-keyed, time-ordered) sort — one shuffle,
+    * one sort for both. The path string is built by an in-group
+    * array_sort on the (ts, event_id) total order (collect_list order is
+    * partition-dependent; the sort makes it deterministic), and the
+    * final (path, count) roll-up is narrow. `orderBy(n desc, path)`
+    * + limit compiles to TakeOrdered — no single-partition window.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int, maxSteps: Int,
+      topK: Int, userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes: $gapMinutes")
+    require(maxSteps >= 1, s"maxSteps: $maxSteps")
+    require(topK >= 1, s"topK: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val sessioned = events
+      // exact integer microseconds (unix_micros), not cast-to-seconds:
+      // second truncation would disagree with an exact-interval oracle on
+      // sub-second boundary gaps
+      .withColumn("__gap",
+        when(unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+          > gapMinutes * 60000000L, 1L).otherwise(
+          when(lag(col(tsCol), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("__sess", sum(col("__gap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__step", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol), col("__sess"))
+          .orderBy(col(tsCol).asc, col(idCol).asc)))
+      .filter(col("__step") <= maxSteps)
+    sessioned
+      .groupBy(col(userCol), col("__sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("ts"),
+          col(idCol).as("id"), col(typeCol).as("t")))),
+        e => e("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Cohort retention: users grouped by first-active day, counted on each
     * subsequent active day up to `horizonDays` out. Emits
     * (cohort_day, k, n_users); the user-day activity set is de-duplicated

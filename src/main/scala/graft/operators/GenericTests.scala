@@ -126,6 +126,42 @@ object GenericTests {
           .when(col("age_sec") > warnAfterSec, lit("warn"))
           .otherwise(lit("pass")))
 
+  /** Benford first-digit profile — the forensic DQ test for "does this
+    * amount column look organically generated?" (fabricated or truncated
+    * feeds flunk it). Emits per leading digit d in 1..9 the observed count,
+    * observed frequency in ppm, and Benford's expected ppm
+    * (floor(log10(1+1/d) * 1e6) — fixed public constants, so no engine's
+    * libm is in the hash path).
+    *
+    * Exactness: the digit comes from the DECIMAL(18,2) cent count's string
+    * form — never from float log arithmetic; frequencies are integer `div`
+    * ppm. Shape: one narrow roll-up to <= 9 rows; the total rides a window
+    * over those 9 rows. Non-positive amounts are excluded (Benford is
+    * defined on positive magnitudes).
+    */
+  def benfordProfile(df: DataFrame, amount: Column): DataFrame = {
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val expectedCol = expected.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (ppm, i)) =>
+        when(col("digit") === (i + 1).toString, lit(ppm)).otherwise(acc)
+    }
+    val tw = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select((amount.cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+        .cast("string").as("__cents"))
+      .filter(!col("__cents").startsWith("-") && col("__cents") =!= "0")
+      .select(substring(col("__cents"), 1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(tw))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div __tot").as("observed_ppm"),
+        expectedCol.as("expected_ppm"))
+  }
+
   /** `--store-failures` (tests/test.sql:1-65 store_failures path): persist
     * the failing rows of a test run into an audit table, tagged with the run
     * timestamp and test name, appended across runs.

@@ -491,4 +491,54 @@ object Sampling {
       .limit(k)
       .drop("__w", "__u")
   }
+
+  /** Deterministic negative-pair mining for contrastive training: every
+    * document (anchor) gets `kNeg` pseudo-random partners that are NOT
+    * its known positives — the (anchor, negative) pairs a bi-encoder
+    * trains against. No RNG: candidate choice is the same md5 hash family
+    * as [[hashSample]], so a rerun (or the DuckDB oracle) mines the
+    * identical pairs.
+    *
+    * Scale shape: the full cross product is never formed. Docs land in
+    * `nBuckets` hash buckets; each anchor probes ONE pseudo-random bucket
+    * and ranks only that bucket's members — candidates per anchor ~ N/B,
+    * so the pair volume is N·(N/B), tuned by `nBuckets` exactly like the
+    * banded dedup family. Known positives (both orientations) die in an
+    * anti-join BEFORE the rank; self-pairs die in the probe filter. The
+    * per-anchor top-k compiles to WindowGroupLimit (rank pruned map-side).
+    *
+    * Negatives are uniform-at-random w.r.t. the hash family — "easy"
+    * negatives; feed [[graft.pipeline.Similarity]] ANN output as
+    * `positives` to harden them.
+    *
+    * Output: (anchor_id, negative_id, rank) with rank in [1, kNeg].
+    */
+  def negativePairs(docs: DataFrame, idCol: String, positives: DataFrame,
+      aCol: String, bCol: String, kNeg: Int, nBuckets: Int,
+      salt: String = ""): DataFrame = {
+    require(kNeg >= 1, s"kNeg: $kNeg")
+    require(nBuckets >= 1, s"nBuckets: $nBuckets")
+    val cands = docs.select(col(idCol).cast("long").as("negative_id"),
+      (hashBucket(col(idCol), salt) % nBuckets).as("__b"))
+    val anchors = docs.select(col(idCol).cast("long").as("anchor_id"),
+      (hashBucket(col(idCol), salt + "p") % nBuckets).as("__b"))
+    val pos = positives.select(
+      least(col(aCol), col(bCol)).cast("long").as("__pa"),
+      greatest(col(aCol), col(bCol)).cast("long").as("__pb"))
+    val paired = anchors.join(cands, Seq("__b"))
+      .filter(col("anchor_id") =!= col("negative_id"))
+      .join(pos,
+        least(col("anchor_id"), col("negative_id")) === col("__pa") &&
+          greatest(col("anchor_id"), col("negative_id")) === col("__pb"),
+        "left_anti")
+      .withColumn("__h", hashBucket(
+        concat(col("anchor_id").cast("string"), lit("~"),
+          col("negative_id").cast("string")), salt))
+    paired
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("anchor_id"))
+        .orderBy(col("__h").asc, col("negative_id").asc)))
+      .filter(col("rank") <= kNeg)
+      .select(col("anchor_id"), col("negative_id"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -92,4 +92,22 @@ object Sources {
     */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** ORC interchange (read side). ORC is the other columnar format a data
+    * platform must speak (Hive/Trino-era warehouses hand corpora over as
+    * ORC); Spark's native vectorized ORC reader keeps predicate pushdown
+    * and column pruning exactly like the parquet path, so downstream plans
+    * are format-agnostic. Schema comes from the ORC footer — no inference
+    * scan.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC interchange (write side): zstd-compressed, the modern default.
+    * Timestamps/decimals/arrays round-trip losslessly through ORC's typed
+    * columns (q192 pins this with a byte-exact oracle over the source
+    * parquet).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
 }

@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Skew
+import graft.operators.{BloomPrune, EventAnalytics, GenericTests}
+import graft.pipeline.Sampling
+import graft.sources.Sources
+
+/** Round-9 late operators on controlled inputs: attribution, session
+  * paths, Benford profiling, skew diagnosis, bloom join pruning,
+  * contrastive negative mining, ORC interchange.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  // ---- attribution ----
+
+  private def evDf(rows: Seq[(Long, Long, String, String)]) =
+    rows.map { case (id, u, t, tstr) => (id, u, t, ts(tstr)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+  test("attribution: first/last/linear vectors incl. window clipping") {
+    // user 1: touches a(view) b(click) c(view) then purchase; d outside 3d
+    val df = evDf(Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),   // outside 3-day lookback
+      (2L, 1L, "view", "2024-01-08 10:00:00"),   // first in window
+      (3L, 1L, "click", "2024-01-09 10:00:00"),
+      (4L, 1L, "view", "2024-01-10 09:00:00"),   // last before conv
+      (5L, 1L, "purchase", "2024-01-10 12:00:00"),
+      (6L, 2L, "purchase", "2024-01-10 12:00:00") // zero-touch conversion
+    ))
+    val byType = EventAnalytics.attribution(df, "purchase", Seq("view", "click"), 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 3 touches in window: first=view(#2), last=view(#4); linear: view 2/3, click 1/3
+    assert(byType("view") === ((1L, 1L, 666L)))
+    assert(byType("click") === ((0L, 0L, 333L)))
+  }
+
+  test("attribution: equal-ts touches tie-break on event_id; conv ts excluded") {
+    val df = evDf(Seq(
+      (10L, 1L, "click", "2024-01-10 10:00:00"),
+      (11L, 1L, "view", "2024-01-10 10:00:00"),  // same ts, higher id => last
+      (12L, 1L, "view", "2024-01-10 12:00:00"),  // ts == conv ts: excluded
+      (13L, 1L, "purchase", "2024-01-10 12:00:00")
+    ))
+    val byType = EventAnalytics.attribution(df, "purchase", Seq("view", "click"), 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byType("click") === ((1L, 0L, 500L))) // first by id tie-break
+    assert(byType("view") === ((0L, 1L, 500L)))
+  }
+
+  // ---- session paths ----
+
+  test("sessionPaths: gap split, step cap, deterministic top-k") {
+    val df = evDf(Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "b", "2024-01-01 10:10:00"),
+      (3L, 1L, "c", "2024-01-01 11:00:00"),   // 50 min gap -> new session
+      (4L, 2L, "a", "2024-01-01 10:00:00"),
+      (5L, 2L, "b", "2024-01-01 10:20:00"),
+      (6L, 3L, "a", "2024-01-01 09:00:00"),
+      (7L, 3L, "b", "2024-01-01 09:05:00"),
+      (8L, 3L, "x", "2024-01-01 09:06:00"),
+      (9L, 3L, "y", "2024-01-01 09:07:00"),
+      (10L, 3L, "z", "2024-01-01 09:08:00"),
+      (11L, 3L, "w", "2024-01-01 09:09:00")   // 6th event: beyond maxSteps=5
+    ))
+    val got = EventAnalytics.sessionPaths(df, gapMinutes = 30, maxSteps = 5, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a>b", 2L), ("a>b>x>y>z", 1L), ("c", 1L)))
+  }
+
+  test("sessionPaths: exact 30-min gap does NOT split (strictly greater)") {
+    val df = evDf(Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "b", "2024-01-01 10:30:00")))
+    val got = EventAnalytics.sessionPaths(df, 30, 5, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a>b", 1L)))
+  }
+
+  // ---- Benford ----
+
+  test("benfordProfile: digit extraction, ppm, exclusions") {
+    val df = Seq(123.45, 1.23, 19.99, 2.50, 0.0, -55.0, 900.0)
+      .toDF("amt") // digits: 1,1,1,2,excluded,excluded,9
+    val got = GenericTests.benfordProfile(df, col("amt"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("1") === ((3L, 600000L, 301029L)))
+    assert(got("2") === ((1L, 200000L, 176091L)))
+    assert(got("9") === ((1L, 200000L, 45757L)))
+    assert(got.size === 3)
+  }
+
+  test("benfordProfile: sub-unit amounts use the cent count's first digit") {
+    val df = Seq(0.07).toDF("amt") // 7 cents -> digit 7
+    val got = GenericTests.benfordProfile(df, col("amt")).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("7"))
+  }
+
+  // ---- skew diagnosis ----
+
+  test("Skew.diagnose: exact report on a known distribution") {
+    // key a: 5 rows, b/c/d: 1 row each => 8 rows, 4 keys, max 5
+    // top-1% keys: K = ceil(4/100) = 1 heaviest key -> 5 rows
+    // recommended salt = ceil(5 * 4 / 8) = 3
+    val df = (Seq.fill(5)("a") ++ Seq("b", "c", "d")).toDF("k")
+    val got = Skew.diagnose(df, Seq("k")).as[(Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got === ((8L, 4L, 5L, 5L, 3L)))
+  }
+
+  test("Skew.diagnose: uniform keys recommend salt 1") {
+    val df = (1 to 100).flatMap(i => Seq(i, i)).toDF("k")
+    val got = Skew.diagnose(df, Seq("k")).as[(Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got === ((200L, 100L, 2L, 2L, 1L)))
+  }
+
+  test("Skew.diagnose: histogram guard raises instead of funneling") {
+    val df = (1L to 200L).flatMap(i => Seq.fill(i.toInt % 7 + 1)(i)).toDF("k")
+    val e = intercept[Exception] {
+      Skew.diagnose(df, Seq("k"), maxDistinctCounts = 2).collect()
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  // ---- bloom pruning ----
+
+  test("bloom: no false negatives — every build key passes the probe") {
+    val build = (1L to 500L).map(_ * 7919L).toDF("k")
+    val words = BloomPrune.buildBits(build, col("k"), k = 3, mBits = 1 << 14)
+    val misses = build.filter(!BloomPrune.mightContain(col("k"), words, 3)).count()
+    assert(misses === 0L)
+  }
+
+  test("bloom: prunes most non-members at sane fp rates") {
+    val build = (1L to 100L).toDF("k")
+    val words = BloomPrune.buildBits(build, col("k"), k = 3, mBits = 1 << 14)
+    val probe = (10001L to 30000L).toDF("k")
+    val passed = probe.filter(BloomPrune.mightContain(col("k"), words, 3)).count()
+    // 100 keys in 16384 bits: fp ~ (1-e^(-300/16384))^3 ~ 6e-6/probe; allow slack
+    assert(passed <= 20L, s"false-positive blowup: $passed of 20000 passed")
+  }
+
+  test("semiJoinWithBloom == plain semi join (bloom is transparent)") {
+    val probe = (1L to 2000L).map(i => (i % 700L, i)).toDF("k", "payload")
+    val build = (1L to 50L).map(_ * 13L % 700L).toDF("bk")
+    val got = BloomPrune.semiJoinWithBloom(probe, build, "k", "bk")
+      .as[(Long, Long)].collect().toSet
+    val want = probe.join(build.select(col("bk")).distinct(),
+      col("k") === col("bk"), "left_semi").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  // ---- negative mining ----
+
+  test("negativePairs: no self pairs, no positives, ranks dense from 1") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pos = Seq((1L, 2L), (3L, 4L), (10L, 20L)).toDF("pa", "pb")
+    val got = Sampling.negativePairs(docs, "doc_id", pos, "pa", "pb",
+      kNeg = 3, nBuckets = 4, salt = "t").as[(Long, Long, Long)].collect()
+    assert(got.forall { case (a, n, _) => a != n })
+    val posSet = Set((1L, 2L), (3L, 4L), (10L, 20L))
+    assert(got.forall { case (a, n, _) =>
+      !posSet.contains((math.min(a, n), math.max(a, n))) })
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.length <= 3)
+    }
+  }
+
+  test("negativePairs: deterministic across reruns") {
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pos = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    def run() = Sampling.negativePairs(docs, "doc_id", pos, "pa", "pb", 2, 4, "s")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run() === run())
+  }
+
+  // ---- ORC interchange ----
+
+  test("ORC roundtrip preserves schema, timestamps, and doubles exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    val src = Seq(
+      (1L, ts("2024-03-01 01:02:03.123456"), 0.1 + 0.2, "a"),
+      (2L, ts("2024-03-02 23:59:59.999999"), -1.5e-300, "b"))
+      .toDF("id", "t", "v", "s")
+    Sources.writeOrc(src, s"$dir/t")
+    val back = Sources.orc(spark, s"$dir/t")
+    // names + types must survive; nullability relaxes to true on ANY file
+    // source read-back (parquet does the same) — not an ORC fidelity issue
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, java.sql.Timestamp, Double, String)].collect().toSet ===
+      src.as[(Long, java.sql.Timestamp, Double, String)].collect().toSet)
+  }
+}
