@@ -162,6 +162,59 @@ object GenericTests {
         expectedCol.as("expected_ppm"))
   }
 
+  /** dbt audit-helper `compare_relations`: row-level reconciliation of two
+    * relations sharing a schema — the migration/refactor gate ("prove the
+    * rewritten model emits the same table"). Each key is classified
+    * added (target only) / removed (source only) / modified / identical,
+    * rolled up to counts. NULL-safe per-column compare (`<=>`), so a
+    * NULL-vs-value drift counts as modified, NULL-vs-NULL as identical.
+    *
+    * Shape: one full-outer key join (the comparison's intrinsic shuffle);
+    * non-key columns ride packed in a struct per side, and the narrow
+    * status roll-up follows. No collect, no per-column join fan-out.
+    */
+  def compareRelations(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val (j, nonKeys) = comparisonJoin(a, b, keys)
+    val same = nonKeys.map(c => col("__a")(c) <=> col("__b")(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    j.select(when(col("__a").isNull, "added")
+        .when(col("__b").isNull, "removed")
+        .when(same, "identical").otherwise("modified").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** dbt audit-helper `compare_all_columns`: for keys present on BOTH
+    * sides, per-column match/mismatch counts — which columns the refactor
+    * actually changed. Same single full-outer join as
+    * [[compareRelations]]; the per-column fan-out is one explode of a
+    * bounded (n_columns) array, not n_columns scans.
+    */
+  def compareColumns(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val (j, nonKeys) = comparisonJoin(a, b, keys)
+    require(nonKeys.nonEmpty, "compareColumns needs at least one non-key column")
+    val flags = nonKeys.map(c => struct(lit(c).as("column_name"),
+      (col("__a")(c) <=> col("__b")(c)).as("ok")))
+    j.filter(col("__a").isNotNull && col("__b").isNotNull)
+      .select(explode(array(flags: _*)).as("f"))
+      .groupBy(col("f.column_name").as("column_name"))
+      .agg(sum(when(col("f.ok"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("f.ok"), 0L).otherwise(1L)).as("n_mismatch"))
+  }
+
+  private def comparisonJoin(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): (DataFrame, Seq[String]) = {
+    require(keys.nonEmpty, "comparison needs at least one key column")
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"schemas must align: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val nonKeys = a.columns.toSeq.filterNot(keys.contains)
+    // key-only relations still need a non-null presence marker per side
+    val fields = if (nonKeys.isEmpty) Seq(lit(1).as("__present"))
+      else nonKeys.map(col)
+    def pack(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(fields: _*).as(as): _*)
+    (pack(a, "__a").join(pack(b, "__b"), keys, "full_outer"), nonKeys)
+  }
+
   /** `--store-failures` (tests/test.sql:1-65 store_failures path): persist
     * the failing rows of a test run into an audit table, tagged with the run
     * timestamp and test name, appended across runs.

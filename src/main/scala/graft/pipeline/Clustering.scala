@@ -32,7 +32,7 @@ object Clustering {
     * integer fold above, strict `<` so ties go to the LOWEST centroid index
     * on every engine.
     */
-  private def assignCol(vec: Column, cents: Seq[Centroid]): Column = {
+  private[pipeline] def assignCol(vec: Column, cents: Seq[Centroid]): Column = {
     val entries = cents.zipWithIndex.map { case (c, j) =>
       val diffs = zip_with(vec, array(c.num.map(lit(_)).toSeq: _*), (x, n) => {
         val t = lit(c.den) * x - n
@@ -87,6 +87,24 @@ object Clustering {
     */
   def kMeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, quantScale: Int = 1000): DataFrame = {
+    val (qc, cents) = trainQuantized(df, idCol, vecCol, k, iters, quantScale)
+    qc.select(col("id"), assignCol(col("v"), cents).as("cluster"))
+  }
+
+  /** The trained codebook alone — for callers that assign in their OWN
+    * scan (product quantization trains one codebook per sub-block, then
+    * encodes every block in a single corpus pass).
+    */
+  def kMeansCodebook(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, quantScale: Int = 1000): Seq[Centroid] =
+    trainQuantized(df, idCol, vecCol, k, iters, quantScale)._2
+
+  /** Training internals shared by [[kMeansAssign]] / [[kMeansCodebook]]:
+    * returns the guarded quantized relation and the final centroids.
+    */
+  private[pipeline] def trainQuantized(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int,
+      quantScale: Int = 1000): (DataFrame, Seq[Centroid]) = {
     require(k >= 1, s"k: $k")
     require(iters >= 0, s"iters: $iters")
     // eager-materialized once and re-read by every round AND the returned
@@ -132,6 +150,6 @@ object Clustering {
         }
       }
     }
-    qc.select(col("id"), assignCol(col("v"), cents).as("cluster"))
+    (qc, cents)
   }
 }

@@ -353,4 +353,118 @@ object Similarity {
       .join(dominated, col(idCol) === col("__rm_id"), "left")
       .select(col(blockCol), col(idCol), col("__rm_id").isNull.as("kept"))
   }
+
+  // ---- Product quantization (Jégou et al. 2011, "Product quantization
+  // for nearest neighbor search") ----
+
+  /** Train PQ codebooks: one exact-rational k-means codebook per
+    * contiguous `blockLen`-dim sub-block (Lloyd's via
+    * [[Clustering.kMeansCodebook]], smallest-id seeding — deterministic,
+    * engine-portable). At corpus scale, train on a
+    * [[Sampling.hashSample]] and encode the full corpus with the result —
+    * codebook quality needs thousands of vectors, not billions.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      blockLen: Int, nBlocks: Int, k: Int, iters: Int,
+      quantScale: Int = 1000): Seq[Seq[Clustering.Centroid]] = {
+    require(blockLen >= 1 && nBlocks >= 1, s"blockLen $blockLen nBlocks $nBlocks")
+    (0 until nBlocks).map { b =>
+      Clustering.kMeansCodebook(
+        df.select(col(idCol),
+          slice(col(vecCol), b * blockLen + 1, blockLen).as("__blk")),
+        idCol, "__blk", k, iters, quantScale)
+    }
+  }
+
+  /** PQ-encode the corpus: ONE scan emits every sub-block's nearest
+    * centroid index as `code_0..code_{nBlocks-1}` — the m-byte code that
+    * replaces a 4·dim-byte float vector (the 100 TB memory story: 64-dim
+    * floats -> nBlocks codes is a 32x shrink at nBlocks=2, k<=256).
+    * Codebooks ride as broadcast literals inside the plan: no join, no
+    * shuffle, nothing but the scan. Assignment distance is the same
+    * exact-integer rational arithmetic as [[Clustering.kMeansAssign]], so
+    * codes are bit-reproducible on any engine/partitioning. Malformed
+    * vectors (wrong dim / NULL components) raise rather than silently
+    * encoding garbage.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, blockLen: Int,
+      books: Seq[Seq[Clustering.Centroid]],
+      quantScale: Int = 1000): DataFrame = {
+    val dim = blockLen * books.length
+    val malformed = coalesce(
+      size(col("__v")) =!= dim || exists(col("__v"), _.isNull), lit(true))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol), quantScale).as("__v"))
+      .select(col("id"),
+        when(malformed, raise_error(concat(
+          lit(s"pqCodes: malformed vector (expected $dim non-NULL components) for id "),
+          col("id").cast("string")))).otherwise(col("__v")).as("__v"))
+    val codeCols = books.zipWithIndex.map { case (cents, b) =>
+      Clustering.assignCol(
+        slice(col("__v"), b * blockLen + 1, blockLen), cents).as(s"code_$b")
+    }
+    base.select(col("id") +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, each
+    * sub-block's distance to every centroid is computed ONCE on the
+    * driver (exact integer numerator, one IEEE division — mirroring the
+    * in-plan k-means arithmetic term for term), flattened into one
+    * array literal per query, and the corpus scan sums `nBlocks` table
+    * lookups per row — no vector arithmetic touches the corpus at query
+    * time, which is the entire point of PQ. Ranking ties break on
+    * neighbor id; the query set is a bounded driver collect by contract
+    * (`maxQueries` raises on abuse).
+    *
+    * Output: (query_id, neighbor_id, adc_rank), rank 1..topK by
+    * approximate distance.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, blockLen: Int, books: Seq[Seq[Clustering.Centroid]],
+      topK: Int, quantScale: Int = 1000, maxQueries: Int = 10000): DataFrame = {
+    require(topK >= 1, s"topK: $topK")
+    val k = books.head.length
+    val codes = pqCodes(df, idCol, vecCol, blockLen, books, quantScale)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"),
+        quantize(col(vecCol), quantScale).as("qv"))
+      .collect()
+    require(qRows.length <= maxQueries,
+      s"pqTopK collected ${qRows.length} queries (max $maxQueries) — the " +
+        "query side is a bounded probe set by contract")
+    val qData = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      require(qv.length == blockLen * books.length,
+        s"pqTopK: query $qid has dim ${qv.length}, expected ${blockLen * books.length}")
+      val dt = books.zipWithIndex.flatMap { case (cents, b) =>
+        cents.map { c =>
+          var num = 0L
+          var i = 0
+          while (i < blockLen) {
+            val t = c.den * qv(b * blockLen + i) - c.num(i)
+            num += t * t
+            i += 1
+          }
+          num.toDouble / (c.den * c.den).toDouble
+        }
+      }.toArray
+      (qid, dt)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = qData.toDF("query_id", "__dt")
+    val dist = books.indices.map(b =>
+      element_at(col("__dt"), col(s"code_$b") + lit(b * k) + 1))
+      .reduce(_ + _)
+    codes.crossJoin(broadcast(qdf))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("__dist", dist)
+      .withColumn("adc_rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__dist").asc, col("id").asc)))
+      .filter(col("adc_rank") <= topK)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_rank").cast("long").as("adc_rank"))
+  }
 }

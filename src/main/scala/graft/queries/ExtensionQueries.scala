@@ -13,6 +13,53 @@ import graft.sources.Sources.{events, table}
   */
 object ExtensionQueries extends QuerySet {
 
+  /** Quantized-int embedding vector (shared with PipelineQueries' oracles:
+    * round-half-up to 1e-3, the QuantizeDoubles recipe).
+    */
+  private val qvecSql =
+    "list_transform(CAST(embedding AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+
+  /** One-iteration Lloyd's chain per PQ sub-block, the q98 oracle recipe
+    * instantiated on a sliced vector relation `b<X>` (suffix X): seed from
+    * the 4 smallest ids, assign, exact-rational centroid update with
+    * empty-cluster fallback, final assignment = the block's PQ code.
+    */
+  private def pqBlockSql(x: Int): String =
+    s"""init$x AS (SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INTEGER) AS j,
+       |                 v AS c, CAST(1 AS BIGINT) AS den
+       |          FROM (SELECT id, v FROM b$x ORDER BY id ASC LIMIT 4)),
+       |d1$x AS (SELECT b.id, b.v, i.j,
+       |               CAST(list_sum(list_transform(list_zip(b.v, i.c),
+       |                      p -> (i.den*p[1] - p[2]) * (i.den*p[1] - p[2]))) AS DOUBLE)
+       |               / CAST(i.den*i.den AS DOUBLE) AS d
+       |        FROM b$x b, init$x i),
+       |a1$x AS (SELECT id, v, j FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, j ASC) AS rn
+       |          FROM d1$x) t WHERE rn = 1),
+       |upd$x AS (SELECT j, pos, sum(x) AS s, count(*) AS cnt
+       |         FROM (SELECT j, unnest(generate_series(1, len(v))) AS pos,
+       |                      unnest(v) AS x FROM a1$x) t
+       |         GROUP BY 1, 2),
+       |c2$x AS (SELECT j, list(s ORDER BY pos ASC) AS c,
+       |               CAST(max(cnt) AS BIGINT) AS den FROM upd$x GROUP BY j),
+       |cf$x AS (SELECT i.j, coalesce(c2.c, i.c) AS c, coalesce(c2.den, i.den) AS den
+       |        FROM init$x i LEFT JOIN c2$x c2 USING (j)),
+       |d2$x AS (SELECT b.id, f.j,
+       |               CAST(list_sum(list_transform(list_zip(b.v, f.c),
+       |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+       |               / CAST(f.den*f.den AS DOUBLE) AS d
+       |        FROM b$x b, cf$x f),
+       |code$x AS (SELECT id, j AS code FROM (
+       |            SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d ASC, j ASC) AS rn
+       |            FROM d2$x) t WHERE rn = 1)""".stripMargin
+
+  private val pqPrefixSql =
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v FROM embeddings),
+       |b0 AS (SELECT id, v[1:32] AS v FROM e),
+       |b1 AS (SELECT id, v[33:64] AS v FROM e),
+       |${pqBlockSql(0)},
+       |${pqBlockSql(1)}""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q192_orc_roundtrip", (s, d) => {
@@ -220,6 +267,168 @@ object ExtensionQueries extends QuerySet {
         |         row_number() OVER (PARTITION BY anchor_id ORDER BY h, negative_id) AS rk
         |  FROM p)
         |SELECT anchor_id, negative_id, CAST(rk AS BIGINT) AS neg_rank
-        |FROM r WHERE rk <= 2""".stripMargin))
+        |FROM r WHERE rk <= 2""".stripMargin)),
+
+    QueryDef("q199_pq_codes", (s, d) => {
+      // product quantization encode: per 32-dim sub-block, nearest
+      // codebook centroid (exact-rational Lloyd's, 1 round) — the m-byte
+      // code that stands in for the float vector at 100 TB. Codebooks are
+      // broadcast literals; the encode is ONE scan, zero shuffles.
+      val emb = table(s, d, "embeddings")
+      val books = graft.pipeline.Similarity.pqCodebooks(
+        emb, "vec_id", "embedding", blockLen = 32, nBlocks = 2, k = 4, iters = 1)
+      graft.pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", 32, books)
+        .select(col("id").as("vec_id"), col("code_0"), col("code_1"))
+    }, Some(
+      s"""$pqPrefixSql
+         |SELECT c0.id AS vec_id, CAST(c0.code AS INTEGER) AS code_0,
+         |       CAST(c1.code AS INTEGER) AS code_1
+         |FROM code0 c0 JOIN code1 c1 USING (id)""".stripMargin)),
+
+    QueryDef("q200_pq_adc_topk", (s, d) => {
+      // asymmetric-distance top-5 over the PQ codes: per query the
+      // distance TABLE (4 centroids x 2 blocks) is built once on the
+      // driver and the corpus scan does two array lookups per row — the
+      // query-time shape that makes PQ the billion-vector ANN seat
+      val emb = table(s, d, "embeddings")
+      val books = graft.pipeline.Similarity.pqCodebooks(
+        emb, "vec_id", "embedding", blockLen = 32, nBlocks = 2, k = 4, iters = 1)
+      graft.pipeline.Similarity.pqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), blockLen = 32, books, topK = 5)
+    }, Some(
+      s"""$pqPrefixSql,
+         |q0 AS (SELECT id AS query_id, v FROM b0 WHERE id < 3),
+         |q1 AS (SELECT id AS query_id, v FROM b1 WHERE id < 3),
+         |dt0 AS (SELECT q.query_id, f.j,
+         |               CAST(list_sum(list_transform(list_zip(q.v, f.c),
+         |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+         |               / CAST(f.den*f.den AS DOUBLE) AS d
+         |        FROM q0 q, cf0 f),
+         |dt1 AS (SELECT q.query_id, f.j,
+         |               CAST(list_sum(list_transform(list_zip(q.v, f.c),
+         |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+         |               / CAST(f.den*f.den AS DOUBLE) AS d
+         |        FROM q1 q, cf1 f),
+         |adc AS (SELECT d0.query_id, c0.id, d0.d + d1.d AS dist
+         |        FROM code0 c0 JOIN code1 c1 USING (id)
+         |          JOIN dt0 d0 ON d0.j = c0.code
+         |          JOIN dt1 d1 ON d1.j = c1.code AND d1.query_id = d0.query_id
+         |        WHERE c0.id <> d0.query_id)
+         |SELECT query_id, id AS neighbor_id, CAST(rn AS BIGINT) AS adc_rank
+         |FROM (SELECT query_id, id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rn
+         |      FROM adc) t
+         |WHERE rn <= 5""".stripMargin)),
+
+    QueryDef("q201_matryoshka_recall", (s, d) => {
+      // matryoshka-truncation evaluation: recall@5 of brute-force search
+      // on the FIRST 16 dims vs the full 64-dim ground truth — the
+      // dimension-pruning decision (store 4x less, rerank later) measured
+      // the same way q173 gates the LSH index
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      graft.pipeline.Similarity.recallAtK(
+        graft.pipeline.Similarity.bruteForceTopK(emb, q, k = 5),
+        graft.pipeline.Similarity.bruteForceTopK(trunc(emb), trunc(q), k = 5),
+        k = 5)
+    }, Some {
+      val qv = qvecSql
+      val qv16 =
+        "list_transform(CAST(embedding[1:16] AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a,$b), p -> p[1]*p[2])) AS DOUBLE)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qv AS qv, $qv16 AS qv16
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qv AS cv, $qv16 AS cv16
+         |      FROM embeddings),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT q.query_id, c.neighbor_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY ${cos("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+         |         FROM c, q WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5),
+         |mt AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT q.query_id, c.neighbor_id,
+         |                row_number() OVER (PARTITION BY q.query_id
+         |                  ORDER BY ${cos("q.qv16", "c.cv16")} DESC, c.neighbor_id ASC) AS rn
+         |         FROM c, q WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5),
+         |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM bt JOIN mt USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) q
+         |LEFT JOIN h USING (query_id)""".stripMargin
+    }),
+
+    QueryDef("q202_compare_relations", (s, d) => {
+      // audit-helper compare_relations: the migration gate. The "new"
+      // relation is a deterministic perturbation of orders (drop %97
+      // keys, redact %89 priorities, add %101 clones under shifted keys) so
+      // every status bucket is exercised and the oracle rebuilds b
+      // identically
+      val o = table(s, d, "orders")
+      val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_orderpriority", when(pmod(col("o_orderkey"), lit(89)) === 0,
+          lit("0-REDACTED")).otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      graft.operators.GenericTests.compareRelations(o, b, Seq("o_orderkey"))
+    }, Some(compareFixtureSql(
+      """SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM cmp GROUP BY 1""".stripMargin))),
+
+    QueryDef("q203_compare_columns", (s, d) => {
+      // audit-helper compare_all_columns: per-column mismatch counts over
+      // the SAME perturbed fixture — only o_orderpriority should drift
+      val o = table(s, d, "orders")
+      val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_orderpriority", when(pmod(col("o_orderkey"), lit(89)) === 0,
+          lit("0-REDACTED")).otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      graft.operators.GenericTests.compareColumns(o, b, Seq("o_orderkey"))
+    }, Some(compareFixtureSql(
+      """SELECT f.cn AS column_name,
+        |       CAST(sum(CASE WHEN f.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |       CAST(sum(CASE WHEN f.ok THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
+        |FROM (SELECT unnest(flags) AS f FROM matched)
+        |GROUP BY 1""".stripMargin)))
   )
+
+  /** Shared fixture for the audit-helper comparison oracles: rebuild the
+    * perturbed `b` relation, full-outer join to orders on o_orderkey with
+    * NULL-safe per-column comparison, expose `cmp` (status per key) and
+    * `matched` (per-column ok flags for both-side keys).
+    */
+  private def compareFixtureSql(tail: String): String = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val sameAll = cols.map(c => s"a.$c IS NOT DISTINCT FROM b.$c").mkString(" AND ")
+    val flagList = cols.map(c =>
+      s"{'cn': '$c', 'ok': a.$c IS NOT DISTINCT FROM b.$c}").mkString(",\n        ")
+    s"""WITH b AS (
+       |  SELECT * REPLACE (CASE WHEN o_orderkey % 89 = 0 THEN '0-REDACTED'
+       |                         ELSE o_orderpriority END AS o_orderpriority)
+       |  FROM orders WHERE o_orderkey % 97 <> 0
+       |  UNION ALL
+       |  SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+       |  FROM orders WHERE o_orderkey % 101 = 0),
+       |pair AS (
+       |  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+       |         ($sameAll) AS same_all,
+       |         [$flagList] AS flags
+       |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+       |cmp AS (
+       |  SELECT CASE WHEN ka IS NULL THEN 'added'
+       |              WHEN kb IS NULL THEN 'removed'
+       |              WHEN same_all THEN 'identical'
+       |              ELSE 'modified' END AS status
+       |  FROM pair),
+       |matched AS (
+       |  SELECT flags FROM pair WHERE ka IS NOT NULL AND kb IS NOT NULL)
+       |$tail""".stripMargin
+  }
 }

@@ -183,6 +183,98 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  // ---- product quantization ----
+
+  test("pqCodes per block equals kMeansAssign on the sliced vectors") {
+    val rng = new scala.util.Random(11)
+    val emb = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rng.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val books = graft.pipeline.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", blockLen = 4, nBlocks = 2, k = 3, iters = 2)
+    val codes = graft.pipeline.Similarity.pqCodes(
+      emb, "vec_id", "embedding", 4, books)
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    Seq(0, 1).foreach { b =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), b * 4 + 1, 4).as("embedding"))
+      val want = graft.pipeline.Clustering.kMeansAssign(
+        sliced, "vec_id", "embedding", k = 3, iters = 2)
+        .as[(Long, Int)].collect().toMap
+      emb.select("vec_id").as[Long].collect().foreach { id =>
+        val got = if (b == 0) codes(id)._1 else codes(id)._2
+        assert(got === want(id), s"block $b id $id")
+      }
+    }
+  }
+
+  test("pqTopK: ADC distances and ranks exact on a hand-computed fixture") {
+    // 2-dim vectors, blockLen=1, k=2, iters=0 => centroids are the two
+    // smallest-id vectors verbatim (den=1)
+    val emb = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(1.0, 0.0)), (3L, Array(9.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    val books = graft.pipeline.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", blockLen = 1, nBlocks = 2, k = 2, iters = 0)
+    val got = graft.pipeline.Similarity.pqTopK(
+      emb, "vec_id", "embedding", q, 1, books, topK = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    // codes: 0->(0,0) 2->(0,0) (block0 1000 nearer 0 than 10000); 1,3->(1,1)
+    // dt0=[0, 1e8], dt1=[1e6, 8.1e7]; dists: id0=id2=1e6, id1=id3=1.81e8
+    assert(got === Seq((100L, 0L, 1L), (100L, 2L, 2L), (100L, 1L, 3L), (100L, 3L, 4L)))
+  }
+
+  test("pqCodes raises on malformed vectors") {
+    val emb = Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0))).toDF("vec_id", "embedding")
+    val books = Seq(Seq(graft.pipeline.Clustering.Centroid(Array(0L), 1L)),
+      Seq(graft.pipeline.Clustering.Centroid(Array(0L), 1L)))
+    val e = intercept[Exception] {
+      graft.pipeline.Similarity.pqCodes(emb, "vec_id", "embedding", 1, books).collect()
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+
+  // ---- audit-helper comparisons ----
+
+  private val cmpA = Seq(
+    (1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L), (4L, "w", 40L))
+    .toDF("id", "s", "v")
+
+  test("compareRelations: all four statuses, NULL-safe") {
+    val b = Seq((1L, "x", 10L), (2L, "CHANGED", 20L), (5L, "new", 50L),
+      (3L, null.asInstanceOf[String], 30L))
+      .toDF("id", "s", "v") // 4 removed, 2 modified (one via NULL), 1 added
+    val got = GenericTests.compareRelations(cmpA, b, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("identical" -> 1L, "modified" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("compareRelations: NULL == NULL counts identical") {
+    val a = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val b = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = GenericTests.compareRelations(a, b, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("identical" -> 1L))
+  }
+
+  test("compareColumns: per-column mismatch counts over matched keys only") {
+    val b = Seq((1L, "x", 99L), (2L, "CHANGED", 20L), (9L, "ignored", 0L))
+      .toDF("id", "s", "v")
+    val got = GenericTests.compareColumns(cmpA, b, Seq("id"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map("s" -> ((1L, 1L)), "v" -> ((1L, 1L))))
+  }
+
+  test("comparisons reject misaligned schemas") {
+    val b = Seq((1L, "x")).toDF("id", "other")
+    val e = intercept[IllegalArgumentException] {
+      GenericTests.compareRelations(cmpA, b, Seq("id"))
+    }
+    assert(e.getMessage.contains("align"))
+  }
+
   // ---- ORC interchange ----
 
   test("ORC roundtrip preserves schema, timestamps, and doubles exactly") {
