@@ -183,6 +183,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  // ---- plan-shape pins (the 100 TB claims, asserted) ----
+
+  // LocalRelation fixtures get executed at OPTIMIZE time by
+  // ConvertToLocalRelation, erasing the very operators these pins assert —
+  // round-trip through parquet so the plan is a real scan pipeline
+  private def viaParquet(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ext_plan").toString
+    df.write.mode("overwrite").parquet(s"$p/t")
+    spark.read.parquet(s"$p/t")
+  }
+
+  test("bloom prefilter sits on the probe side BEFORE the semi join") {
+    val probe = viaParquet((1L to 500L).map(i => (i % 97L, i)).toDF("k", "payload"))
+    val build = (1L to 10L).toDF("bk")
+    val out = BloomPrune.semiJoinWithBloom(probe, build, "k", "bk")
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe-side filter (shiftright/element_at bit tests) must appear,
+    // and the join must broadcast the small build side
+    assert(plan.contains("shiftright"), s"no bloom probe filter in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"semi join not broadcast:\n$plan")
+  }
+
+  test("negativePairs top-k compiles to a map-side WindowGroupLimit") {
+    val docs = (1L to 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pos = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    val out = Sampling.negativePairs(docs, "doc_id", pos, "pa", "pb", 2, 4, "s")
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("sessionPaths top-k is TakeOrdered, never a global sort") {
+    val df = viaParquet(evDf(Seq((1L, 1L, "a", "2024-01-01 10:00:00"))))
+    val plan = EventAnalytics.sessionPaths(df, 30, 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
   // ---- product quantization ----
 
   test("pqCodes per block equals kMeansAssign on the sliced vectors") {
