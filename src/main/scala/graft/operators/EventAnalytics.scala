@@ -231,6 +231,44 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** Seasonally-adjusted robust outliers: subtract each (type, day-of-week)
+    * baseline mean from the metric, then flag residuals beyond k·MAD of
+    * their type — anomaly detection that a weekly cycle cannot fool (a
+    * quiet Sunday is normal FOR Sundays; the raw-value z-score would page
+    * on it every week). The robust complement to [[cusum]]'s sustained-
+    * shift detector.
+    *
+    * Exactness: values quantize to integer cents (floor(v·scale + 0.5)),
+    * the baseline is an integer `div` mean, and day-of-week is
+    * `epoch-days mod 7` — not the engine-specific dayofweek() (Spark
+    * counts Sunday=1, DuckDB Sunday=0). MAD flagging rides
+    * [[graft.pipeline.Stats.madOutliers]] (exact rolled-up quantiles).
+    *
+    * Shape: one roll-up to (type, dow) baselines — 7·|types| rows,
+    * broadcast back — then the madOutliers quantile pass. No window over
+    * raw events.
+    */
+  def seasonalOutliers(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: Column = col("value"), k: Long = 3,
+      scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale: $scale")
+    val base = events.select(col(idCol).cast("long").as("event_id"),
+      col(typeCol).as("event_type"),
+      (datediff(to_date(col(tsCol)), lit("1970-01-01")) % 7).as("dow"),
+      floor(valueCol * scale + lit(0.5)).cast("long").as("__cents"))
+      .filter(col("__cents").isNotNull)
+    val means = base.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("__cents")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("event_type"), col("dow"), expr("__s div __n").as("__mean"))
+    val resid = base.join(broadcast(means), Seq("event_type", "dow"))
+      .select(col("event_id"), col("event_type"), col("dow"),
+        (col("__cents") - col("__mean")).as("residual"))
+    graft.pipeline.Stats.madOutliers(resid, Seq("event_type"), col("residual"), k)
+      .select(col("event_id"), col("event_type"), col("dow"),
+        col("residual"), col("med"), col("mad"))
+  }
+
   /** Cohort retention: users grouped by first-active day, counted on each
     * subsequent active day up to `horizonDays` out. Emits
     * (cohort_day, k, n_users); the user-day activity set is de-duplicated

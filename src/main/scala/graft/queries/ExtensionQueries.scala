@@ -395,7 +395,52 @@ object ExtensionQueries extends QuerySet {
         |       CAST(sum(CASE WHEN f.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
         |       CAST(sum(CASE WHEN f.ok THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
         |FROM (SELECT unnest(flags) AS f FROM matched)
-        |GROUP BY 1""".stripMargin)))
+        |GROUP BY 1""".stripMargin))),
+
+    QueryDef("q204_seasonal_outliers", (s, d) =>
+      // weekly-seasonal robust anomalies: (type, epoch-day mod 7) baseline
+      // mean in exact integer cents, residual beyond 3*MAD of its type —
+      // the detector a weekly cycle cannot fool. Oracle re-derives the
+      // baseline and uses quantile_disc for med/MAD (q112's independent
+      // recipe)
+      EventAnalytics.seasonalOutliers(events(s, d), k = 3),
+      Some(
+        """WITH b AS (
+          |  SELECT event_id, event_type,
+          |         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow,
+          |         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events WHERE "value" IS NOT NULL),
+          |m AS (
+          |  SELECT event_type, dow,
+          |         CAST(sum(cents) // count(*) AS BIGINT) AS mean
+          |  FROM b GROUP BY 1, 2),
+          |r AS (
+          |  SELECT b.event_id, b.event_type, b.dow, b.cents - m.mean AS residual
+          |  FROM b JOIN m USING (event_type, dow)),
+          |med AS (SELECT event_type, quantile_disc(residual, 0.5) AS med
+          |        FROM r GROUP BY 1),
+          |dev AS (SELECT r.*, med.med, abs(r.residual - med.med) AS abs_dev
+          |        FROM r JOIN med USING (event_type)),
+          |mad AS (SELECT event_type, quantile_disc(abs_dev, 0.5) AS mad
+          |        FROM dev GROUP BY 1)
+          |SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+          |       CAST(dow AS INTEGER) AS dow, CAST(residual AS BIGINT) AS residual,
+          |       CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad
+          |FROM dev JOIN mad USING (event_type) WHERE abs_dev > 3 * mad""".stripMargin)),
+
+    QueryDef("q205_cube_totals", (s, d) =>
+      // GROUP BY CUBE: all four grouping sets in ONE expanded-grouping
+      // pass (q108's ROLLUP sibling — the cross-tab report shape)
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping_id().as("gid")),
+      Some(
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
   )
 
   /** Shared fixture for the audit-helper comparison oracles: rebuild the

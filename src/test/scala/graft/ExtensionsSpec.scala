@@ -220,6 +220,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("seasonalOutliers matches a sequential reference implementation") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val day = (i % 28).toInt // 4 weeks
+      val t = if (i % 2 == 0) "a" else "b"
+      val v = 10.0 + (day % 7) * 5 + rng.nextInt(20) +
+        (if (i % 37 == 0) 500.0 else 0.0) // planted spikes
+      (i, t, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), v)
+    }
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val got = EventAnalytics.seasonalOutliers(df, k = 3)
+      .as[(Long, String, Int, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._4, t._5, t._6))).toMap
+
+    // reference: plain Scala collections, same definitions
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val base = rows.map { case (id, t, ts, v) =>
+      val dow = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, ts.toLocalDateTime.toLocalDate) % 7
+      (id, t, dow.toInt, math.floor(v * 100 + 0.5).toLong)
+    }
+    val mean = base.groupBy(r => (r._2, r._3)).map { case (k2, g) =>
+      k2 -> g.map(_._4).sum / g.size }
+    val resid = base.map { case (id, t, dow, c) =>
+      (id, t, dow, c - mean((t, dow))) }
+    val flagged = resid.groupBy(_._2).flatMap { case (_, g) =>
+      val med = lowerMedian(g.map(_._4))
+      val mad = lowerMedian(g.map(r => math.abs(r._4 - med)))
+      g.filter(r => math.abs(r._4 - med) > 3 * mad)
+        .map(r => r._1 -> ((r._4, med, mad)))
+    }
+    assert(got === flagged)
+    assert(got.nonEmpty, "fixture should flag the planted spikes")
+  }
+
   // ---- product quantization ----
 
   test("pqCodes per block equals kMeansAssign on the sliced vectors") {
