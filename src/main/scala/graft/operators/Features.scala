@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Stats
+
+/** ML-feature engineering operators for the mart layer: RFM customer
+  * segmentation, categorical target encoding, exact-arithmetic correlation,
+  * and per-group OLS trend fitting. Everything is integer- (or
+  * single-IEEE-step-) exact so results hash-compare across engines, and
+  * every shape is a rollup-then-broadcast: the raw fact table shuffles only
+  * for its own keyed aggregation, never for a global sort.
+  */
+object Features {
+
+  /** Round-half-up fixed-point cents for a double money column — the shared
+    * quantization recipe (`floor(x*100 + 0.5)`) every oracle mirrors.
+    */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** RFM (recency / frequency / monetary) segmentation: per customer, days
+    * since last order, order count, and lifetime cents, each scored 1–5
+    * against the corpus-wide quintile boundaries.
+    *
+    * Scoring uses QUANTILE BOUNDARIES (percentile_disc p20/p40/p60/p80 via
+    * [[Stats.exactQuantiles]]), not ntile: ntile needs one global total
+    * order (a single-partition window at scale) and splits ties across
+    * buckets non-deterministically under re-partitioning. Boundary scoring
+    * is `1 + #{boundaries below the value}` — tied customers always land in
+    * the same bucket, and the plan is two rollups + a 1-row broadcast.
+    * Recency is scored on the NEGATED day count so 5 = most recent, same
+    * formula as the higher-is-better measures.
+    *
+    * Monetary boundaries are computed on whole DOLLARS (cents div 100):
+    * exactQuantiles windows over distinct values, and dollar-binning keeps
+    * that domain bounded (~1e5) while leaving scores semantically identical
+    * at quintile granularity. The emitted monetary column stays in cents.
+    *
+    * At 100 TB: one shuffle keyed on the customer for the rollup; the
+    * quantile pass windows over rolled-up distinct values only; scores are
+    * a broadcast compare. No global sort anywhere.
+    */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val perCust = orders
+      .groupBy(col(custCol).cast("long").as("custkey"))
+      .agg(max(to_date(col(dateCol))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col(amountCol))).as("monetary_cents"))
+    // anchor recency at the corpus max order date (broadcast 1-row)
+    val anchor = orders.agg(max(to_date(col(dateCol))).as("ref_date"))
+    val m = perCust.crossJoin(broadcast(anchor))
+      .select(col("custkey"),
+        datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+
+    def quintiles(value: Column, tag: String): DataFrame = {
+      val pivots = Seq(200, 400, 600, 800).map(q =>
+        max(when(col("q_mille") === q, col("value"))).as(s"${tag}_q$q"))
+      Stats.exactQuantiles(m, Seq.empty, value, Seq(200, 400, 600, 800))
+        .groupBy()
+        .agg(pivots.head, pivots.tail: _*)
+    }
+
+    val dollars = call_function("div", col("monetary_cents"), lit(100L))
+    val bounds = quintiles(-col("recency_days"), "r")
+      .crossJoin(quintiles(col("frequency"), "f"))
+      .crossJoin(quintiles(dollars, "m"))
+
+    def score(value: Column, tag: String): Column =
+      Seq(200, 400, 600, 800)
+        .map(q => when(value > col(s"${tag}_q$q"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+
+    m.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score(-col("recency_days"), "r"))
+      .withColumn("f_score", score(col("frequency"), "f"))
+      .withColumn("m_score", score(dollars, "m"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("core"))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /** Leave-one-out + smoothed target encoding of a categorical column — the
+    * feature-engineering standard for high-cardinality categories feeding a
+    * model, computed leak-free: each row's own target is excluded from its
+    * encoding, and the smoothed variant shrinks small categories toward the
+    * global mean with pseudo-count `m`.
+    *
+    * All arithmetic is exact integer division over cent-quantized targets
+    * (`enc_loo = (sum - own) div (cnt - 1)`;
+    * `enc_smooth = (sum + m*globalMean) div (cnt + m)` with the global mean
+    * itself an integer div) so encodings hash-compare across engines.
+    * Singleton categories have no leave-one-out signal -> NULL, the honest
+    * answer (callers impute with `enc_smooth`).
+    *
+    * Scale shape: one partial-agg shuffle keyed on the category, a 1-row
+    * global rollup, and two broadcast joins back onto the fact rows. The
+    * category rollup is bounded by category cardinality, never row count.
+    */
+  def targetEncode(df: DataFrame, keyCol: Column, categoryCol: Column,
+      targetCents: Column, m: Int = 10): DataFrame = {
+    require(m > 0, s"smoothing pseudo-count must be positive: $m")
+    val rows = df.select(keyCol.as("key"), categoryCol.as("category"),
+      targetCents.as("t"))
+    val perCat = rows.groupBy(col("category"))
+      .agg(sum(col("t")).as("cat_sum"), count(lit(1)).as("cat_cnt"))
+    val global = rows.agg(
+      call_function("div", sum(col("t")), count(lit(1))).as("global_mean"))
+    // integer `div`, never `/`: Column division on longs is DOUBLE division,
+    // and a truncated double is not floor division (Sampling.scala:216)
+    rows
+      .join(broadcast(perCat), Seq("category"))
+      .crossJoin(broadcast(global))
+      .select(col("key"), col("category"),
+        when(col("cat_cnt") > 1,
+          call_function("div", col("cat_sum") - col("t"), col("cat_cnt") - 1))
+          .as("enc_loo"),
+        call_function("div",
+          col("cat_sum") + lit(m.toLong) * col("global_mean"),
+          col("cat_cnt") + lit(m.toLong)).as("enc_smooth"))
+  }
+
+  /** Pairwise Pearson correlation matrix over cent-quantized numeric
+    * columns, in ONE scan: all moment sums (S_x, S_xx, S_xy for every pair)
+    * accumulate in a single partial-aggregated pass as DECIMAL(38,0) exact
+    * integers, then each pair's correlation is one IEEE expression over
+    * exact operands —
+    * `corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))`
+    * — so the doubles are bit-identical on any engine and any partitioning
+    * (the builtin `corr` streams floating partials whose order varies with
+    * the partitioning; this one cannot).
+    *
+    * At 100 TB this is the ideal profile shape: a narrow map + one
+    * map-side-combined agg to a SINGLE row, then driver-side literal math.
+    * DECIMAL(38,0) holds sum-of-squares for cent values up to ~1e9 over
+    * ~1e18 rows — overflow raises (Spark decimal overflow -> null and the
+    * null propagates to a visibly-null corr), never silently wraps.
+    */
+  def corrMatrix(df: DataFrame, colsCents: Seq[(String, Column)]): DataFrame = {
+    require(colsCents.size >= 2, "need at least two columns to correlate")
+    val named = colsCents.map { case (n, c) => n -> c.cast("long") }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums =
+      named.map { case (n, c) => sum(dec(c)).as(s"s_$n") } ++
+        named.map { case (n, c) => sum(dec(c * c)).as(s"ss_$n") } ++
+        named.combinations(2).toSeq.map { case Seq((nx, cx), (ny, cy)) =>
+          sum(dec(cx * cy)).as(s"sp_${nx}_$ny")
+        }
+    val agg = df.agg(count(lit(1)).cast("decimal(38,0)").as("n"), sums: _*)
+    val pairRows = named.combinations(2).toSeq.map { case Seq((nx, _), (ny, _)) =>
+      val num = (col("n") * col(s"sp_${nx}_$ny") -
+        col(s"s_$nx") * col(s"s_$ny")).cast("double")
+      val dx = (col("n") * col(s"ss_$nx") - col(s"s_$nx") * col(s"s_$nx")).cast("double")
+      val dy = (col("n") * col(s"ss_$ny") - col(s"s_$ny") * col(s"s_$ny")).cast("double")
+      struct(lit(nx).as("x_col"), lit(ny).as("y_col"),
+        col("n").cast("long").as("n_rows"),
+        (num / (sqrt(dx) * sqrt(dy))).as("corr"))
+    }
+    agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Per-group ordinary-least-squares trend line over an integer (x, y)
+    * series — e.g. daily event counts by type. Closed form from exact
+    * BIGINT moment sums, each coefficient ONE IEEE division of two exact
+    * integers (`slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`, intercept via
+    * the Cramer form `(Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)`), so the doubles
+    * hash-compare. A group with a single distinct x has no slope -> NULL
+    * (zero denominator), the honest answer.
+    *
+    * One partial-agg shuffle keyed on the group; everything after is
+    * per-group literal math on a rollup bounded by group cardinality.
+    */
+  def olsTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val agg = df.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    agg.select(g ++ Seq(
+      col("n").as("n_points"),
+      when(den =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double")).as("slope"),
+      when(den =!= 0,
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          den.cast("double")).as("intercept")): _*)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Features
+
+/** Feature-engineering operators on hand-computable fixtures: RFM boundary
+  * scoring, leave-one-out/smoothed target encoding, exact-moment
+  * correlation, and closed-form OLS.
+  */
+class FeatureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- rfm ----
+
+  test("rfm: boundary scoring is deterministic and tie-stable") {
+    // 10 customers, one order each on day (2024-01-01 + i), amount 100*(i+1)
+    val orders = (0 until 10).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        100.0 * (i + 1))
+    }.toDF("cust", "odate", "amt")
+    val out = Features.rfm(orders, "cust", "odate", "amt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    // customer 9 ordered last (recency 0) with the largest amount -> r=5, m=5
+    assert(out(9L)._1 === 0L)
+    assert(out(9L)._2 === 5 && out(9L)._4 === 5)
+    // customer 0 is the stalest and smallest -> r=1, m=1
+    assert(out(0L)._1 === 9L)
+    assert(out(0L)._2 === 1 && out(0L)._4 === 1)
+    // every customer has frequency 1 -> all f_scores identical (tie-stable:
+    // with one distinct value every boundary equals it, nobody exceeds any)
+    assert(out.values.map(_._3).toSet === Set(1))
+    // quintile boundaries: 10 values, ceil-rank cut -> 2 per bucket on r/m
+    assert(out.values.map(_._2).toSeq.sorted === Seq(1, 1, 2, 2, 3, 3, 4, 4, 5, 5))
+    // segment: r=1 f=1 -> hibernating for the stalest
+    assert(out(0L)._5 === "hibernating")
+  }
+
+  // ---- target encoding ----
+
+  test("targetEncode: LOO excludes own row; singleton -> NULL; smoothing exact") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 600L),
+      (4L, "b", 1000L) // singleton category
+    ).toDF("k", "cat", "t")
+    val out = Features.targetEncode(df, col("k"), col("cat"), col("t"), m = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    // global mean = 1900/4 = 475 (trunc div)
+    // cat a: sum 900 cnt 3; LOO k=1: (900-100)/2 = 400; k=3: (900-600)/2=150
+    assert(out(1L)._1 === Some(400L))
+    assert(out(2L)._1 === Some(350L))
+    assert(out(3L)._1 === Some(150L))
+    assert(out(4L)._1 === None)
+    // smooth m=2: a -> (900 + 2*475)/(3+2) = 1850/5 = 370; b -> (1000+950)/3 = 650
+    assert(out(1L)._2 === 370L)
+    assert(out(4L)._2 === 650L)
+  }
+
+  // ---- correlation ----
+
+  test("corrMatrix: perfect positive/negative/zero correlation vectors") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val out = Features.corrMatrix(df, Seq(
+      "x" -> Features.cents(col("x")), "y" -> Features.cents(col("y")),
+      "z" -> Features.cents(col("z"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-12)
+    assert(out.size === 3)
+  }
+
+  test("corrMatrix: exact moments match a hand computation") {
+    // x = 1,2,3,4 ; y = 1,3,2,4 -> corr = 0.8 exactly
+    val df = Seq((0.01, 0.01), (0.02, 0.03), (0.03, 0.02), (0.04, 0.04))
+      .toDF("x", "y")
+    val out = Features.corrMatrix(df, Seq(
+      "x" -> Features.cents(col("x")), "y" -> Features.cents(col("y"))))
+      .collect()
+    assert(out.length === 1)
+    // n*Sxy - SxSy = 4*29 - 100 = 16; den = sqrt(20)*sqrt(20) — the
+    // operator's EXACT IEEE expression, not the algebraic 20 (sqrt(20) is
+    // irrational; its square lands 1 ulp above 20)
+    assert(out(0).getDouble(3) === 16.0 / (math.sqrt(20.0) * math.sqrt(20.0)))
+  }
+
+  // ---- OLS ----
+
+  test("olsTrend: exact line recovered; degenerate group -> NULL slope") {
+    val df = Seq(
+      ("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L),  // y = 2x + 3 exactly
+      ("b", 5L, 9L), ("b", 5L, 11L)                  // single distinct x
+    ).toDF("g", "x", "y")
+    val rows = Features.olsTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows("a")._1 === 3L)
+    assert(rows("a")._2 === Some(2.0))
+    assert(rows("a")._3 === Some(3.0))
+    assert(rows("b")._2 === None && rows("b")._3 === None)
+  }
+
+  test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
+    // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
+    // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 2L), (3L, 4L)).toDF("x", "y")
+    val r = Features.olsTrend(df.withColumn("g", lit("g")), Seq("g"),
+      col("x"), col("y")).collect()(0)
+    assert(r.getDouble(2) === 0.9)
+    assert(r.getDouble(3) === 0.9)
+  }
+}
