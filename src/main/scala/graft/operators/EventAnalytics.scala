@@ -231,6 +231,54 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** Entry / exit / bounce profile per event type: how many sessions OPEN
+    * with this type, CLOSE with it, and consist of it alone (the bounce) —
+    * the landing/exit-page report over [[sessionPaths]]' sessionization
+    * (same gap rule, same exact-microsecond boundary).
+    *
+    * One user-keyed sort carries the whole computation: the session
+    * cumsum and both endpoint picks ride the identical window frame, and
+    * the endpoints collapse via `min_by`/`max_by` on the (ts, id) struct —
+    * deterministic because event ids are unique. Session count per row
+    * comes from the same rollup. After the per-session rollup (bounded by
+    * session count, not events) three tiny per-type rollups full-join on
+    * the type so a type that only ever EXITS still reports its zero
+    * entries.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes: $gapMinutes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val sessions = events
+      .withColumn("__gap",
+        when(unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+          > gapMinutes * 60000000L, 1L).otherwise(
+          when(lag(col(tsCol), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("__sess", sum(col("__gap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(
+        min_by(col(typeCol), struct(col(tsCol), col(idCol))).as("first_type"),
+        max_by(col(typeCol), struct(col(tsCol), col(idCol))).as("last_type"),
+        count(lit(1)).as("n_events"))
+    val entries = sessions.groupBy(col("first_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"))
+    val exits = sessions.groupBy(col("last_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    val bounces = sessions.filter(col("n_events") === 1)
+      .groupBy(col("first_type").as("event_type"))
+      .agg(count(lit(1)).as("n_bounces"))
+    entries
+      .join(exits, Seq("event_type"), "full_outer")
+      .join(bounces, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+  }
+
   /** Seasonally-adjusted robust outliers: subtract each (type, day-of-week)
     * baseline mean from the metric, then flag residuals beyond k·MAD of
     * their type — anomaly detection that a weekly cycle cannot fool (a

@@ -327,4 +327,44 @@ object Graph {
     e.select(explode(array(col("u"), col("v"))).as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED graph: every node starts as its own label; each round it
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label — the deterministic variant (classic LPA breaks
+    * ties randomly, which can never hash-compare across engines). A fixed
+    * round count keeps the result oracle-comparable, like [[kCorePeel]].
+    *
+    * Nodes are edge endpoints, so every node has >= 1 neighbor and each
+    * round fully re-labels (no keep-own fallback needed). The
+    * smallest-label tie-break is one `max(struct(cnt, -label))` — no
+    * per-node window.
+    *
+    * Shape per round: one edge-scan joined to the node-sized label table
+    * (shuffle keyed on node id) + two partial-agg rollups — the same
+    * per-iteration cost envelope as [[pageRank]], and like it linear
+    * lineage (each round reads the previous labels once), so no
+    * checkpoint is needed at small fixed depths.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds: $rounds")
+    val und = normalizeUndirected(edges, aCol, bCol)
+    // both directions: u hears v's label and v hears u's
+    val ed = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    var labels = ed.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      labels = ed
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      i += 1
+    }
+    labels
+  }
 }

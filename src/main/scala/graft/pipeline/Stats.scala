@@ -101,4 +101,60 @@ object Stats {
     withDev.join(broadcast(mad), groupCols)
       .filter(col("abs_dev") > lit(k) * col("mad"))
   }
+
+  /** Truncated exponentially-weighted moving average over a per-group
+    * integer day series, in EXACT integer arithmetic: with rational
+    * smoothing `alpha = a/b`, the weight of the value `j` days back is
+    * `a*(b-a)^j * b^(L-1-j) / b^L` — every weight an exact BIGINT
+    * numerator over the shared denominator `b^L`, so `ewma_num` (and its
+    * per-mille rendering) hash-compares on any engine; no float recursion
+    * whose summation order could drift. Truncation at `L` terms drops
+    * weight `(1-alpha)^L` (~1.8% for alpha=1/4, L=14) — the streaming-
+    * friendly standard trade, documented rather than hidden.
+    *
+    * Missing days count as zero: the series is densified onto each
+    * group's [min, max] day spine first (an absent day in an event feed
+    * IS a zero-activity day; skipping it would silently stretch time).
+    *
+    * Shape: one rollup to (group, day), a per-group min/max rollup
+    * exploded to the day spine, a 14-way literal weight fan-out, and one
+    * (group, day) partial-agg — no windows over raw rows, no global
+    * sort. Spine rows = groups x day-span, bounded by calendar time, not
+    * row count.
+    *
+    * @return (groupCols..., day_idx, ewma_num, ewma_milli) where
+    *         `ewma = ewma_num / b^L` and `ewma_milli = 1000*num div b^L`.
+    */
+  def ewmaDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, alphaNum: Int, alphaDen: Int,
+      lookback: Int): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"alpha must be a proper fraction: $alphaNum/$alphaDen")
+    require(lookback >= 1 && lookback <= 20,
+      s"lookback terms must be in [1, 20] (b^L must fit a BIGINT): $lookback")
+    val gcols = groupCols.map(col)
+    // exact integer weights w_j = a*(b-a)^j*b^(L-1-j); denominator b^L
+    val weights = (0 until lookback).map { j =>
+      alphaNum.toLong * math.pow(alphaDen - alphaNum, j).toLong *
+        math.pow(alphaDen, lookback - 1 - j).toLong
+    }
+    val denom = math.pow(alphaDen, lookback).toLong
+
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day_idx"): _*)
+    val fan = spine.select(gcols ++ Seq(col("day_idx"),
+      explode(array(weights.zipWithIndex.map { case (w, j) =>
+        struct(lit(j.toLong).as("j"), lit(w).as("w"))
+      }: _*)).as("t")): _*)
+      .select(gcols ++ Seq(col("day_idx"), (col("day_idx") - col("t.j")).as("day"),
+        col("t.w").as("w")): _*)
+    fan.join(daily, groupCols :+ "day", "left")
+      .groupBy(gcols :+ col("day_idx"): _*)
+      .agg(sum(col("w") * coalesce(col("y"), lit(0L))).as("ewma_num"))
+      .withColumn("ewma_milli",
+        call_function("div", col("ewma_num") * 1000L, lit(denom)))
+  }
 }

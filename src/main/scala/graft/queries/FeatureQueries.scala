@@ -15,6 +15,13 @@ object FeatureQueries extends QuerySet {
 
   private val centsSql = (c: String) => s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
 
+  /** Exact EWMA weights shared by the Spark plan and the DuckDB oracle:
+    * alpha = 1/4 over 14 terms -> w_j = 3^j * 4^(13-j), denominator 4^14.
+    */
+  private val ewmaWeights: Seq[Long] =
+    (0 until 14).map(j => math.pow(3, j).toLong * math.pow(4, 13 - j).toLong)
+  private val ewmaDenom: Long = math.pow(4, 14).toLong
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q206_rfm_segments", (s, d) =>
@@ -173,6 +180,128 @@ object FeatureQueries extends QuerySet {
           |       CASE WHEN n*sxx - sx*sx <> 0
           |            THEN CAST(sy*sxx - sx*sxy AS DOUBLE)
           |                 / CAST(n*sxx - sx*sx AS DOUBLE) END AS intercept
-          |FROM a""".stripMargin))
+          |FROM a""".stripMargin)),
+
+    QueryDef("q210_ewma_daily", (s, d) =>
+      // exact-integer truncated EWMA (alpha=1/4, 14 terms) of daily event
+      // volume per type: missing days densified to zero, every weight an
+      // exact BIGINT over the shared 4^14 denominator — the smoothed
+      // volume baseline next to q209's linear trend
+      graft.pipeline.Stats.ewmaDaily(events(s, d), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(1L), alphaNum = 1, alphaDen = 4, lookback = 14),
+      Some {
+        val values = ewmaWeights.zipWithIndex
+          .map { case (w, j) => s"($j, ${w}::BIGINT)" }.mkString(", ")
+        s"""WITH dc AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           |         CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |g AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+           |      FROM dc GROUP BY 1),
+           |sp AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+           |       FROM g),
+           |w(j, wt) AS (VALUES $values),
+           |f AS (SELECT s.event_type, s.day_idx, w.wt, s.day_idx - w.j AS day
+           |      FROM sp s, w),
+           |e AS (SELECT f.event_type, f.day_idx,
+           |             sum(f.wt * coalesce(dc.y, 0)) AS num
+           |      FROM f LEFT JOIN dc
+           |        ON dc.event_type = f.event_type AND dc.day = f.day
+           |      GROUP BY 1, 2)
+           |SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           |       CAST(num AS BIGINT) AS ewma_num,
+           |       CAST(num * 1000 // ${ewmaDenom} AS BIGINT) AS ewma_milli
+           |FROM e""".stripMargin
+      }),
+
+    QueryDef("q211_lpa_communities", (s, d) =>
+      // deterministic synchronous label propagation (3 rounds, min-label
+      // tie-break) over the q140 customer–supplier graph, undirected —
+      // the community detector next to connected components (which LPA
+      // refines: a component can hold several dense communities)
+      graft.operators.Graph.labelPropagation(
+        table(s, d, "orders").join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src_id"),
+            (col("l_suppkey") + lit(1000000)).as("dst_id")),
+        aCol = "src_id", bCol = "dst_id", rounds = 3)
+        .select(col("node").cast("long").as("node_id"),
+          col("label").cast("long").as("label")),
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""c$k AS (
+             |  SELECT e.u AS node, l.label, count(*) AS cnt
+             |  FROM ed e JOIN l${k - 1} l ON l.node = e.v
+             |  GROUP BY 1, 2),
+             |l$k AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label,
+             |           row_number() OVER (PARTITION BY node
+             |             ORDER BY cnt DESC, label ASC) AS rn
+             |    FROM c$k) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH eraw AS (
+           |  SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |und AS (
+           |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |  FROM eraw WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
+           |ed AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+           |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+           |$rounds
+           |SELECT CAST(node AS BIGINT) AS node_id, CAST(label AS BIGINT) AS label
+           |FROM l3""".stripMargin
+      }),
+
+    QueryDef("q212_session_stats", (s, d) =>
+      // entry / exit / bounce counts per event type over 30-min-gap
+      // sessions (q195's sessionization, rolled to the landing-page
+      // report): a type that only ever closes sessions still reports its
+      // zero entries via the full-outer spine
+      graft.operators.EventAnalytics.sessionStats(events(s, d),
+        gapMinutes = 30),
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |                (PARTITION BY user_id ORDER BY ts, event_id)
+          |              > 30 * 60000000 THEN 1
+          |              WHEN lag(ts) OVER
+          |                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+          |              ELSE 0 END AS new_sess
+          |  FROM events),
+          |se AS (
+          |  SELECT *, sum(new_sess) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM g),
+          |st AS (
+          |  SELECT *,
+          |         row_number() OVER (PARTITION BY user_id, sess
+          |           ORDER BY ts, event_id) AS rf,
+          |         row_number() OVER (PARTITION BY user_id, sess
+          |           ORDER BY ts DESC, event_id DESC) AS rl,
+          |         count(*) OVER (PARTITION BY user_id, sess) AS n_events
+          |  FROM se),
+          |ps AS (
+          |  SELECT user_id, sess,
+          |         max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+          |         max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+          |         max(n_events) AS n_events
+          |  FROM st GROUP BY 1, 2),
+          |en AS (SELECT first_type AS event_type, count(*) AS n FROM ps GROUP BY 1),
+          |ex AS (SELECT last_type AS event_type, count(*) AS n FROM ps GROUP BY 1),
+          |bo AS (SELECT first_type AS event_type, count(*) AS n FROM ps
+          |       WHERE n_events = 1 GROUP BY 1)
+          |SELECT coalesce(en.event_type, ex.event_type, bo.event_type) AS event_type,
+          |       CAST(coalesce(en.n, 0) AS BIGINT) AS n_entries,
+          |       CAST(coalesce(ex.n, 0) AS BIGINT) AS n_exits,
+          |       CAST(coalesce(bo.n, 0) AS BIGINT) AS n_bounces
+          |FROM en
+          |FULL OUTER JOIN ex ON en.event_type = ex.event_type
+          |FULL OUTER JOIN bo
+          |  ON coalesce(en.event_type, ex.event_type) = bo.event_type""".stripMargin))
   )
 }

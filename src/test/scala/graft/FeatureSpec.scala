@@ -103,6 +103,80 @@ class FeatureSpec extends AnyFunSuite {
     assert(rows("b")._2 === None && rows("b")._3 === None)
   }
 
+  // ---- EWMA ----
+
+  test("ewmaDaily: exact weights, zero-filled gaps, truncation at L") {
+    import graft.pipeline.Stats
+    // one group, activity on days 10 (y=4) and 12 (y=8); day 11 missing
+    val df = Seq(("g", 10L, 4L), ("g", 12L, 8L)).toDF("grp", "day", "y")
+    val out = Stats.ewmaDaily(df, Seq("grp"), col("day"), col("y"),
+      alphaNum = 1, alphaDen = 2, lookback = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // alpha=1/2, L=3: w = (4, 2, 1)/8  [w_j = 1*1^j*2^(2-j)]
+    assert(out(10L)._1 === 4L * 4) // day 10: 4*y(10) = 16 -> 16/8 = 2.0
+    assert(out(10L)._2 === 16L * 1000 / 8)
+    assert(out(11L)._1 === 2L * 4) // day 11: 4*0 + 2*4 = 8
+    assert(out(12L)._1 === 4L * 8 + 1L * 4) // day 12: 32 + 2*0 + 1*4 = 36
+    assert(out(12L)._2 === 36L * 1000 / 8)
+    // spine covers [10, 12] exactly
+    assert(out.keySet === Set(10L, 11L, 12L))
+  }
+
+  test("ewmaDaily: rejects an alpha that is not a proper fraction") {
+    import graft.pipeline.Stats
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "day", "y")
+    intercept[IllegalArgumentException] {
+      Stats.ewmaDaily(df, Seq("grp"), col("day"), col("y"), 4, 4, 3)
+    }
+  }
+
+  // ---- label propagation ----
+
+  test("labelPropagation: two cliques joined by a bridge keep separate labels") {
+    import graft.operators.Graph
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every clique node adopts its smallest neighbor's label;
+    // by round 3 each clique is uniformly labeled 1 (left) / as-propagated
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    // right clique converges to the label propagated across its members
+    assert(Set(out(10L), out(11L), out(12L)).size === 1)
+    assert(out.size === 6)
+  }
+
+  test("labelPropagation: tie-break picks the SMALLEST label deterministically") {
+    import graft.operators.Graph
+    // node 5 sees labels {1, 2} with equal frequency -> picks 1 in round 1
+    val edges = Seq((5L, 1L), (5L, 2L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 1L)
+  }
+
+  // ---- session stats ----
+
+  test("sessionStats: entry/exit/bounce vectors incl. gap split") {
+    import graft.operators.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: [a, b] one session; then a bounce [c] after a 2h gap
+    // user 2: single-event session [a] -> bounce
+    val df = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 10:10:00")),
+      (3L, 1L, "c", ts("2024-01-01 13:00:00")),
+      (4L, 2L, "a", ts("2024-01-02 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.sessionStats(df, gapMinutes = 30)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((2L, 1L, 1L))) // enters both user sessions; exits u2's; u2 bounce
+    assert(out("b") === ((0L, 1L, 0L))) // only ever closes a session
+    assert(out("c") === ((1L, 1L, 1L))) // the gap-split bounce
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
