@@ -102,6 +102,34 @@ object Stats {
       .filter(col("abs_dev") > lit(k) * col("mad"))
   }
 
+  /** Per-group winsorization: clip values to the group's [lo, hi]
+    * percentile-disc fences (exact rank-cut quantiles, so the fences are
+    * actual data values and the clip is integer-exact for integral
+    * metrics). The standard tail-taming step before a mean/sum that an
+    * outlier could own — the complement of [[madOutliers]], which REPORTS
+    * the tails instead of capping them.
+    *
+    * Adds `clipped` plus `clip_dir` (-1 below, 0 kept, +1 above). Shape:
+    * one [[exactQuantiles]] pass + a broadcast fence join; raw rows never
+    * sort.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      loMille: Int, hiMille: Int): DataFrame = {
+    require(loMille < hiMille, s"lo must be below hi: $loMille/$hiMille")
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    val gcols = groupCols.map(col)
+    val fences = exactQuantiles(df, groupCols, valueCol, Seq(loMille, hiMille))
+      .groupBy(gcols: _*)
+      .agg(max(when(col("q_mille") === loMille, col("value"))).as("__lo"),
+        max(when(col("q_mille") === hiMille, col("value"))).as("__hi"))
+    df.join(broadcast(fences), groupCols)
+      .withColumn("clipped", greatest(col("__lo"), least(col("__hi"), valueCol)))
+      .withColumn("clip_dir",
+        when(valueCol < col("__lo"), -1).when(valueCol > col("__hi"), 1)
+          .otherwise(0))
+      .drop("__lo", "__hi")
+  }
+
   /** Truncated exponentially-weighted moving average over a per-group
     * integer day series, in EXACT integer arithmetic: with rational
     * smoothing `alpha = a/b`, the weight of the value `j` days back is

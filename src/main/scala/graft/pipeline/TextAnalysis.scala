@@ -862,4 +862,48 @@ object TextAnalysis {
         when(length(sortedQuery) > 0, concat(lit("?"), sortedQuery))
           .otherwise(lit(""))))
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995) with
+    * the rational discount D = 3/4, in EXACT integer arithmetic:
+    *
+    *   p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+    *            + D·N1+(w1·)/c(w1) · N1+(·w2)/NB
+    *
+    * where N1+(w1·) counts distinct continuations of w1, N1+(·w2) counts
+    * distinct left contexts of w2 (the "how many contexts has this word
+    * completed" novelty signal that makes KN beat add-k), and NB is the
+    * corpus bigram-type count. Over the common denominator 4·c(w1)·NB the
+    * numerator is `max(4c-3, 0)·NB + 3·N1+(w1·)·N1+(·w2)` — pure BIGINT,
+    * rendered as `p_ppm = num·1e6 div den`, so the model hash-compares on
+    * any engine (a float KN cannot). BIGINT headroom: num·1e6 needs
+    * 4·c·NB·1e6 < 2^63, i.e. c·NB < 2.3e12 — fine for any single-machine
+    * corpus; a 100 TB vocabulary moves the num/den math to DECIMAL(38,0).
+    *
+    * Shape: one bigram-stream rollup (map-side combined) to bigram TYPES;
+    * everything after operates on that much smaller type table — two
+    * keyed rollups (by w1, by w2), one 1-row broadcast, joins keyed on
+    * w1/w2. Raw text never shuffles twice.
+    */
+  def kneserNeyBigrams(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount: $minCount")
+    val bi = docs.filter(col(textCol).isNotNull)
+      .select(explode(ngramsFromTokens(tokens(col(textCol)), 2)).as("__g"))
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
+    val types = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val byW1 = types.groupBy(col("w1"))
+      .agg(sum(col("c")).as("__cw1"), count(lit(1)).as("__n1r"))
+    val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("__n1l"))
+    val nb = types.agg(count(lit(1)).as("__nb"))
+    types
+      .join(byW1, Seq("w1"))
+      .join(byW2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .filter(col("c") >= minCount)
+      .withColumn("p_ppm", expr(
+        "(1000000L * (greatest(4L*c - 3L, 0L) * __nb + 3L * __n1r * __n1l))" +
+          " div (4L * __cw1 * __nb)"))
+      .select(col("w1"), col("w2"), col("c"), col("p_ppm"))
+  }
 }

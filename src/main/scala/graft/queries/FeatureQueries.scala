@@ -302,6 +302,156 @@ object FeatureQueries extends QuerySet {
           |FROM en
           |FULL OUTER JOIN ex ON en.event_type = ex.event_type
           |FULL OUTER JOIN bo
-          |  ON coalesce(en.event_type, ex.event_type) = bo.event_type""".stripMargin))
+          |  ON coalesce(en.event_type, ex.event_type) = bo.event_type""".stripMargin)),
+
+    QueryDef("q213_vocab_coverage", (s, d) => {
+      // tokenizer-vocabulary design curve: top-200 tokens by corpus
+      // frequency with cumulative coverage ppm — "how much of the corpus
+      // do the first N vocab entries absorb". Top-k via orderBy+limit
+      // (TakeOrdered: per-partition heads + k-row merge, no global sort);
+      // the rank/cumsum window runs over the BOUNDED 200-row result only
+      // (the q169 discipline).
+      import graft.pipeline.TextAnalysis
+      val counts = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(200)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token").asc)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_cover_ppm",
+          expr("sum(cnt) OVER (ORDER BY cnt DESC, token ASC" +
+            " ROWS UNBOUNDED PRECEDING) * 1000000 div tot"))
+        .select(col("rank"), col("token"), col("cnt"), col("cum_cover_ppm"))
+    }, Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS tot FROM c),
+        |r AS (SELECT token, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        |      FROM c),
+        |top AS (SELECT * FROM r WHERE rank <= 200)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
+        |       CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+        |            * 1000000 // tot AS BIGINT) AS cum_cover_ppm
+        |FROM top, t""".stripMargin)),
+
+    QueryDef("q214_lexical_profile", (s, d) => {
+      // corpus lexical health in one row: token/type counts, hapax and
+      // dis legomena, type-token ratio — the Zipf-tail profile that says
+      // whether a corpus is natural text or template spam. Pure
+      // composition: one token rollup, one global agg.
+      import graft.pipeline.TextAnalysis
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n_dis"))
+        .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+        .withColumn("hapax_type_ppm", expr("n_hapax * 1000000 div n_types"))
+    }, Some(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        |       CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS hapax_type_ppm
+        |FROM c""".stripMargin)),
+
+    QueryDef("q215_jaro_winkler", (s, d) => {
+      // fuzzy probe match via the codegen'd JaroWinkler expression (Spark
+      // has no string-similarity builtin beyond levenshtein): every 500th
+      // part name, 4th char redacted, matched back against the catalog at
+      // >= 0.85 — the typo-tolerant lookup FuzzyLink does at scale, here
+      // exercising the expression's exact DuckDB-parity semantics (the
+      // kernel is bit-identical, so even the raw DOUBLE hash-compares)
+      val probes = table(s, d, "part")
+        .filter(pmod(col("p_partkey"), lit(500)) === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 3), lit("x"),
+            expr("substring(p_name, 5)")).as("probe_name"))
+      val sim = graft.plans.Expressions.jaroWinkler(
+        col("probe_name"), col("p_name"))
+      table(s, d, "part").crossJoin(broadcast(probes))
+        .select(col("probe_key"), col("p_partkey").as("match_key"), sim.as("jw"))
+        .filter(col("jw") >= 0.85)
+        .withColumn("jw_milli", floor(col("jw") * 1000 + 0.5).cast("long"))
+        .drop("jw")
+    }, Some(
+      """WITH pr AS (
+        |  SELECT p_partkey AS probe_key,
+        |         substr(p_name, 1, 3) || 'x' || substr(p_name, 5) AS probe_name
+        |  FROM part WHERE p_partkey % 500 = 0)
+        |SELECT pr.probe_key, p.p_partkey AS match_key,
+        |       CAST(floor(jaro_winkler_similarity(pr.probe_name, p.p_name) * 1000
+        |                  + 0.5) AS BIGINT) AS jw_milli
+        |FROM pr, part p
+        |WHERE jaro_winkler_similarity(pr.probe_name, p.p_name) >= 0.85""".stripMargin)),
+
+    QueryDef("q216_winsorize", (s, d) =>
+      // per-returnflag winsorized revenue: extendedprice cents clipped to
+      // the group's exact [p05, p95] rank-cut fences, then the rollup an
+      // outlier can no longer own; clip counts audit the tail mass
+      graft.pipeline.Stats.winsorize(table(s, d, "lineitem"),
+        Seq("l_returnflag"), Features.cents(col("l_extendedprice")),
+        loMille = 50, hiMille = 950)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("clipped")).as("sum_clipped_cents"),
+          sum(when(col("clip_dir") === -1, 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("clip_dir") === 1, 1L).otherwise(0L)).as("n_clip_high")),
+      Some(
+        s"""WITH v AS (
+           |  SELECT l_returnflag, ${centsSql("l_extendedprice")} AS c
+           |  FROM lineitem),
+           |f AS (
+           |  SELECT l_returnflag, quantile_disc(c, 0.05) AS lo,
+           |         quantile_disc(c, 0.95) AS hi
+           |  FROM v GROUP BY 1)
+           |SELECT v.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(greatest(lo, least(hi, c))) AS BIGINT) AS sum_clipped_cents,
+           |       CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           |       CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+           |FROM v JOIN f USING (l_returnflag)
+           |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q217_kneser_ney", (s, d) =>
+      // interpolated Kneser-Ney bigram LM (D = 3/4) in exact integer
+      // arithmetic — the continuation-count smoothing that beats q168's
+      // add-1 on novel contexts, hash-comparable because the rational
+      // discount keeps every probability a BIGINT ppm
+      graft.pipeline.TextAnalysis.kneserNeyBigrams(
+        table(s, d, "documents"), minCount = 5L),
+      Some(
+        """WITH base AS (
+          |  SELECT string_split(text, ' ') AS tk
+          |  FROM documents WHERE text IS NOT NULL),
+          |bi AS (
+          |  SELECT unnest(CASE WHEN len(tk) >= 2
+          |           THEN list_transform(generate_series(1, len(tk) - 1),
+          |                  i -> tk[i] || ' ' || tk[i + 1])
+          |           ELSE [] END) AS g
+          |  FROM base),
+          |sp AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+          |       FROM bi),
+          |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          |       FROM sp GROUP BY 1, 2),
+          |b1 AS (SELECT w1, sum(c) AS cw1, count(*) AS n1r FROM ty GROUP BY 1),
+          |b2 AS (SELECT w2, count(*) AS n1l FROM ty GROUP BY 1),
+          |nb AS (SELECT count(*) AS nb FROM ty)
+          |SELECT w1, w2, c,
+          |       CAST((1000000 * (greatest(4*c - 3, 0) * nb + 3 * n1r * n1l))
+          |            // (4 * cw1 * nb) AS BIGINT) AS p_ppm
+          |FROM ty JOIN b1 USING (w1) JOIN b2 USING (w2), nb
+          |WHERE c >= 5""".stripMargin))
   )
 }

@@ -177,6 +177,77 @@ class FeatureSpec extends AnyFunSuite {
     assert(out("c") === ((1L, 1L, 1L))) // the gap-split bounce
   }
 
+  // ---- Jaro-Winkler ----
+
+  test("JaroWinklerKernel: textbook vectors and edge rules") {
+    import graft.plans.JaroWinklerKernel
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = JaroWinklerKernel.similarity(u(a), u(b))
+    // classic MARTHA/MARHTA: jaro 17/18, prefix 3 -> 0.9611...
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    // DIXON/DICKSONX: jaro 0.7667, prefix 2 -> 0.8133...
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-14)
+    // DuckDB edge semantics: ANY empty side -> 0, even both-empty
+    assert(jw("", "") === 0.0)
+    assert(jw("", "abc") === 0.0)
+    // both length 1: exact equality only
+    assert(jw("a", "a") === 1.0)
+    assert(jw("a", "b") === 0.0)
+    assert(jw("same", "same") === 1.0)
+    // no boost below the 0.7 threshold: fully dissimilar
+    assert(jw("abc", "xyz") === 0.0)
+  }
+
+  test("JaroWinkler expression: codegen path equals interpreted kernel") {
+    import graft.plans.Expressions
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", "x"))
+      .toDF("a", "b")
+    val got = df.select(Expressions.jaroWinkler(col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(got(1) - 0.84) < 1e-15)
+    assert(got(2) === 0.0)
+  }
+
+  // ---- winsorize ----
+
+  test("winsorize: exact fences, clip directions, idempotent on interior") {
+    import graft.pipeline.Stats
+    // group g: values 1..20 -> p05 fence = 1 (ceil(0.05*20)=1st), p95 = 19
+    val df = (1L to 20L).map(("g", _)).toDF("grp", "v")
+    val out = Stats.winsorize(df, Seq("grp"), col("v"), 50, 950)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((1L, 0)))   // at the low fence, kept
+    assert(out(20L) === ((19L, 1))) // above p95=19 -> clipped down
+    assert(out(10L) === ((10L, 0)))
+    // NULL group col guard: singleton group clips nothing
+    val one = Seq(("h", 5L)).toDF("grp", "v")
+    val o1 = Stats.winsorize(one, Seq("grp"), col("v"), 50, 950).collect()
+    assert(o1.head.getLong(2) === 5L && o1.head.getInt(3) === 0)
+  }
+
+  // ---- Kneser-Ney ----
+
+  test("kneserNeyBigrams: hand-computed exact ppm probabilities") {
+    import graft.pipeline.TextAnalysis
+    // corpus: "a b a b" + "c b" ->
+    // bigrams: (a,b)x2, (b,a)x1, (c,b)x1 ; types NB = 3
+    // byW1: a -> cw1=2 n1r=1 ; b -> 1,1 ; c -> 1,1
+    // byW2: b -> n1l=2 ; a -> n1l=1
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyBigrams(docs, minCount = 1L)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap // keyed (w2, w1)
+    // p(b|a) = (1e6 * (max(4*2-3,0)*3 + 3*1*2)) div (4*2*3) = 1e6*21 div 24
+    assert(out(("b", "a")) === ((2L, 1000000L * 21 / 24)))
+    // p(a|b) = (1e6 * (1*3 + 3*1*1)) div (4*1*3) = 1e6*6 div 12 = 500000
+    assert(out(("a", "b")) === ((1L, 500000L)))
+    // p(b|c) = (1e6 * (1*3 + 3*1*2)) div 12 = 750000
+    assert(out(("b", "c")) === ((1L, 750000L)))
+    // probabilities of a context sum to <= 1e6 (it IS a distribution)
+    assert(out.collect { case ((_, "a"), (_, p)) => p }.sum <= 1000000L)
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
