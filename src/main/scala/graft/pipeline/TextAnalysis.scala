@@ -863,6 +863,31 @@ object TextAnalysis {
           .otherwise(lit(""))))
   }
 
+  /** Flesch reading-ease in exact integer MILLI points:
+    * `206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)` becomes
+    * `206835 - 1015·w div s - 84600·y div w` (truncating integer div —
+    * documented, deterministic on any engine). Counting rules, all
+    * SQL-mirrorable: words = non-empty space tokens; sentences = non-blank
+    * `[.!?]+` segments, clamped >= 1 so punctuation-free text scores
+    * rather than divides by zero; syllables = vowel-GROUP count (the
+    * classic approximation — "beautiful" = eau+i+u = 3; vowel-less tokens
+    * contribute 0). Pure per-row Column math: a narrow map a 100 TB scan
+    * absorbs, no shuffle, no UDF.
+    */
+  def nWords(text: Column): Column =
+    size(filter(tokens(text), t => length(t) > 0)).cast("long")
+
+  def nSentences(text: Column): Column =
+    greatest(size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)),
+      lit(1)).cast("long")
+
+  def nSyllables(text: Column): Column =
+    size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+
+  def fleschMilli(words: Column, sentences: Column, syllables: Column): Column =
+    lit(206835L) - call_function("div", lit(1015L) * words, sentences) -
+      call_function("div", lit(84600L) * syllables, words)
+
   /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995) with
     * the rational discount D = 3/4, in EXACT integer arithmetic:
     *

@@ -474,6 +474,43 @@ object JaroWinklerKernel {
   }
 }
 
+/** DEFLATE-compressed byte length of a string (zlib level passed at plan
+  * build): the compression-ratio quality signal of Gopher-class corpus
+  * filters — template spam and repeated boilerplate compress far below
+  * natural text, so `deflated/raw` separates them with zero linguistics.
+  *
+  * Eval-only (CodegenFallback) by the [[Md5GramHashes]] rule: the work is
+  * a compiled-native Deflater pass over the document bytes; one boxed call
+  * per ROW is noise against it, and inlining zlib into generated Java buys
+  * nothing. No SQL engine exposes deflate, so queries built on this carry
+  * no DuckDB oracle (rows-only driver check) — the spec pins determinism
+  * and the repetitive-vs-natural ordering instead. Output depends only on
+  * the JDK's bundled zlib (stable within a JVM, the comparison is always
+  * within-corpus), never on partitioning.
+  */
+case class DeflateLength(child: Expression, level: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(level >= 1 && level <= 9, s"deflate level: $level")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(child = newChild)
+}
+
 /** Jaro-Winkler string similarity as a native binary expression — Spark has
   * no builtin (levenshtein is its only string-distance), and a UDF would
   * break codegen; the generated code is one static call into
@@ -503,6 +540,10 @@ object Expressions {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       JaroWinkler(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** DEFLATE-compressed byte length of a string (see [[DeflateLength]]). */
+  def deflateLength(s: Column, level: Int = 6): Column =
+    GraftSqlBridge.column(DeflateLength(GraftSqlBridge.expression(s), level))
   /** Unicode NFC canonical composition (codegen'd; see [[NormalizeNfc]]). */
   def normalizeNfc(s: Column): Column =
     GraftSqlBridge.column(NormalizeNfc(GraftSqlBridge.expression(s)))

@@ -452,6 +452,51 @@ object FeatureQueries extends QuerySet {
           |       CAST((1000000 * (greatest(4*c - 3, 0) * nb + 3 * n1r * n1l))
           |            // (4 * cw1 * nb) AS BIGINT) AS p_ppm
           |FROM ty JOIN b1 USING (w1) JOIN b2 USING (w2), nb
-          |WHERE c >= 5""".stripMargin))
+          |WHERE c >= 5""".stripMargin)),
+
+    QueryDef("q218_readability", (s, d) => {
+      // Flesch reading-ease per document in exact integer milli-points
+      // (vowel-group syllables, [.!?]-segment sentences) — the classic
+      // readability gate beside the Gopher stats, zero shuffles
+      import graft.pipeline.{TextAnalysis => T}
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          T.nWords(col("text")).as("n_words"),
+          T.nSentences(col("text")).as("n_sents"),
+          T.nSyllables(col("text")).as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch_milli",
+          T.fleschMilli(col("n_words"), col("n_sents"), col("n_syll")))
+    }, Some(
+      """WITH s AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |              AS BIGINT) AS n_words,
+        |         CAST(greatest(len(list_filter(
+        |                regexp_split_to_array(text, '[.!?]+'),
+        |                x -> trim(x) <> '')), 1) AS BIGINT) AS n_sents,
+        |         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |              AS BIGINT) AS n_syll
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |       CAST(206835 - (1015 * n_words) // n_sents
+        |                   - (84600 * n_syll) // n_words AS BIGINT) AS flesch_milli
+        |FROM s WHERE n_words > 0""".stripMargin)),
+
+    QueryDef("q219_compress_ratio", (s, d) =>
+      // DEFLATE compression-ratio spam signal (Gopher-family): template
+      // and boilerplate text compresses far below natural prose. No SQL
+      // engine exposes deflate -> no DuckDB oracle (driver rows-only
+      // check); FeatureSpec pins determinism, monotonicity on repetitive
+      // input, and the ratio arithmetic instead.
+      table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.plans.Expressions.deflateLength(col("text")).as("deflate_bytes"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("ratio_ppm",
+          expr("deflate_bytes * 1000000 div n_bytes"))
+        .withColumn("is_repetitive", col("ratio_ppm") < 300000L),
+      None)
   )
 }

@@ -248,6 +248,49 @@ class FeatureSpec extends AnyFunSuite {
     assert(out.collect { case ((_, "a"), (_, p)) => p }.sum <= 1000000L)
   }
 
+  // ---- readability ----
+
+  test("fleschMilli: hand-computed counts and clamps") {
+    import graft.pipeline.{TextAnalysis => T}
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syll
+      (2L, "no terminal punctuation here"), // 4 words, 1 sent (clamped)
+      (3L, "beautiful day")  // syllables: eau+i+u=3, a=1... "beautiful"=3, "day"=1
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), T.nWords(col("text")).as("w"),
+      T.nSentences(col("text")).as("s"), T.nSyllables(col("text")).as("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((6L, 2L, 6L)))
+    assert(out(2L) === ((4L, 1L, 9L))) // o | e,i,a | u,ua,io | e,e
+    assert(out(3L)._3 === 4L)
+    // flesch milli for doc 1: 206835 - 1015*6/2 - 84600*6/6 = 206835-3045-84600
+    val f = df.filter(col("doc_id") === 1)
+      .select(T.fleschMilli(T.nWords(col("text")), T.nSentences(col("text")),
+        T.nSyllables(col("text")))).collect()(0).getLong(0)
+    assert(f === 206835L - 3045L - 84600L)
+  }
+
+  // ---- deflate ----
+
+  test("deflateLength: deterministic, repetitive text compresses far below prose") {
+    import graft.plans.Expressions
+    val rep = "spam spam spam " * 200
+    val prose = "The quick brown fox jumps over the lazy dog near riverbanks, " +
+      "while distant thunder rolls across unfamiliar valleys tonight." * 1
+    val df = Seq((1L, rep), (2L, prose), (3L, "")).toDF("id", "t")
+    val out = df.select(col("id"), octet_length(col("t")).cast("long").as("n"),
+      Expressions.deflateLength(col("t")).as("dz"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // repetitive 3000 bytes shrink by >10x; prose stays above 50%
+    assert(out(1L)._2 * 10 < out(1L)._1)
+    assert(out(2L)._2 * 2 > out(2L)._1)
+    // determinism across evaluations
+    val again = df.select(Expressions.deflateLength(col("t"))).collect().map(_.getLong(0)).toSet
+    assert(again === out.values.map(_._2).toSet)
+    // empty input has a fixed zlib header cost, not zero, and never NULL
+    assert(out(3L)._2 > 0L)
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
