@@ -615,4 +615,93 @@ class ScaleSpec extends AnyFunSuite {
     val out = wh.read("merged").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
+
+  test("rfm never global-sorts raw customers: no ntile, quantile windows above rollups") {
+    import graft.operators.Features
+    val orders = (1L to 300L).map(i =>
+      (i % 50, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays((i % 200).toInt)), (i % 90) * 10.0)).toDF("cust", "odate", "amt")
+    val out = Features.rfm(orders, "cust", "odate", "amt")
+    val plan = out.queryExecution.executedPlan.toString
+    // the anti-pattern rfm avoids: ntile's global single-partition window
+    assert(!plan.contains("ntile"), s"boundary scoring must not ntile:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounds/anchor must broadcast, never wide-join:\n$plan")
+    // each quantile Window sits above a HashAggregate rollup (distinct
+    // values only — the exactQuantiles discipline): below the first
+    // Window (printed after it) another rollup must appear
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) > winIdx, plan)
+  }
+
+  test("targetEncode: fact rows join the category rollup by broadcast only") {
+    import graft.operators.Features
+    val df = (1L to 400L).map(i => (i, s"c${i % 9}", i % 70)).toDF("k", "cat", "t")
+    val out = Features.targetEncode(df, $"k", $"cat", $"t")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"per-category stats and the global mean must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must never wide-join:\n$plan")
+  }
+
+  test("corrMatrix: all moments in ONE pass — single exchange to a 1-row agg") {
+    import graft.operators.Features
+    val df = (1L to 500L).map(i => (i * 0.01, (i % 37) * 0.02, (i % 11) * 0.05))
+      .toDF("x", "y", "z")
+    val out = Features.corrMatrix(df, Seq("x" -> Features.cents($"x"),
+      "y" -> Features.cents($"y"), "z" -> Features.cents($"z")))
+    val plan = out.queryExecution.executedPlan.toString
+    // partial agg below, final agg above, exactly one exchange between —
+    // the whole 15-moment profile costs one scan of the input
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"one single-row exchange expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in a one-pass profile:\n$plan")
+  }
+
+  test("ewmaDaily is window-free: spine + weight fan-out + keyed partial aggs") {
+    import graft.pipeline.Stats
+    val df = (1L to 300L).map(i => ("g" + i % 3, 100L + i % 40, i % 5))
+      .toDF("grp", "day", "y")
+    val out = Stats.ewmaDaily(df, Seq("grp"), $"day", $"y", 1, 4, 14)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"EWMA must come from keyed aggs, never a running window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("labelPropagation rounds stay equi-keyed: no cartesian, no nested-loop") {
+    import graft.operators.Graph
+    val edges = (1L to 300L).map(i => (i % 40, (i % 23) + 40)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every LPA round must join on the node key:\n$plan")
+  }
+
+  test("vocab coverage (q213 shape): top-k via TakeOrdered, window only above it") {
+    val docs = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 5} the a of"))
+      .toDF("doc_id", "text")
+    val counts = docs.select(explode(graft.pipeline.TextAnalysis.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy($"cnt".desc, $"token".asc).limit(200)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition heads + k-row merge:\n$plan")
+  }
+
+  test("jaroWinkler probe match is broadcast + narrow map (q215 shape)") {
+    import graft.plans.Expressions
+    val parts = (1L to 300L).map(i => (i, s"name variant $i")).toDF("pk", "nm")
+    val probes = parts.filter($"pk" % 100 === 0)
+      .select($"pk".as("probe_key"), $"nm".as("probe_name"))
+    val out = parts.crossJoin(broadcast(probes))
+      .select($"probe_key", $"pk",
+        Expressions.jaroWinkler($"probe_name", $"nm").as("jw"))
+      .filter($"jw" >= 0.85)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the catalog side must never shuffle for a broadcast probe set:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }
