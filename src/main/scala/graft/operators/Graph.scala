@@ -367,4 +367,45 @@ object Graph {
     }
     labels
   }
+
+  /** Newman modularity of a community assignment over an UNDIRECTED graph,
+    * in EXACT integers: per community c,
+    * `Q_c = in_c/m - (deg_c/(2m))^2`, scaled by the common denominator
+    * `4m^2` to `q_scaled = 4*m*in_c - deg_c^2` — so the quality of a
+    * clustering (e.g. [[labelPropagation]]'s) hash-compares across
+    * engines; `Q = sum(q_scaled)/4m^2` recovers the float form.
+    *
+    * Shape: one 1-row edge-count broadcast; internal-edge counting joins
+    * the label table onto both endpoints (node-keyed equi-joins); degree
+    * sums ride the same label join. Communities without internal edges
+    * still report via the degree side (full outer + zero-fill).
+    */
+  def modularityScaled(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    require(labels.columns.toSeq == Seq("node", "label"),
+      s"labels must be (node, label): ${labels.columns.mkString(",")}")
+    val und = normalizeUndirected(edges, aCol, bCol)
+    val m = und.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("u"), col("label").as("__la"))
+    val lb = labels.select(col("node").as("v"), col("label").as("__lb"))
+    val internal = und.join(la, Seq("u")).join(lb, Seq("v"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("in_edges"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val commStats = labels.join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__d"), lit(0L))).as("deg_sum"))
+    commStats.join(internal, Seq("label"), "full_outer")
+      .crossJoin(broadcast(m))
+      .select(col("label"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("in_edges"), lit(0L)) -
+          coalesce(col("deg_sum"), lit(0L)) * coalesce(col("deg_sum"), lit(0L)))
+          .as("q_scaled"))
+  }
 }

@@ -22,6 +22,35 @@ object FeatureQueries extends QuerySet {
     (0 until 14).map(j => math.pow(3, j).toLong * math.pow(4, 13 - j).toLong)
   private val ewmaDenom: Long = math.pow(4, 14).toLong
 
+  /** DuckDB CTE chain deriving the q211 LPA labels (3 deterministic
+    * rounds over the undirected customer–supplier graph) — shared by the
+    * q211 oracle and q222's modularity evaluation of the same labels.
+    * Exposes `und` (undirected distinct edges) and `l3` (node, label).
+    */
+  private val lpaCtesSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""c$k AS (
+         |  SELECT e.u AS node, l.label, count(*) AS cnt
+         |  FROM ed e JOIN l${k - 1} l ON l.node = e.v
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$k) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""eraw AS (
+       |  SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM eraw WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
+       |ed AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+       |$rounds""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q206_rfm_segments", (s, d) =>
@@ -229,31 +258,10 @@ object FeatureQueries extends QuerySet {
         aCol = "src_id", bCol = "dst_id", rounds = 3)
         .select(col("node").cast("long").as("node_id"),
           col("label").cast("long").as("label")),
-      Some {
-        val rounds = (1 to 3).map { k =>
-          s"""c$k AS (
-             |  SELECT e.u AS node, l.label, count(*) AS cnt
-             |  FROM ed e JOIN l${k - 1} l ON l.node = e.v
-             |  GROUP BY 1, 2),
-             |l$k AS (
-             |  SELECT node, label FROM (
-             |    SELECT node, label,
-             |           row_number() OVER (PARTITION BY node
-             |             ORDER BY cnt DESC, label ASC) AS rn
-             |    FROM c$k) t WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH eraw AS (
-           |  SELECT o_custkey AS a, l_suppkey + 1000000 AS b
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |und AS (
-           |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-           |  FROM eraw WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
-           |ed AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
-           |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
-           |$rounds
+      Some(
+        s"""WITH $lpaCtesSql
            |SELECT CAST(node AS BIGINT) AS node_id, CAST(label AS BIGINT) AS label
-           |FROM l3""".stripMargin
-      }),
+           |FROM l3""".stripMargin)),
 
     QueryDef("q212_session_stats", (s, d) =>
       // entry / exit / bounce counts per event type over 30-min-gap
@@ -497,6 +505,104 @@ object FeatureQueries extends QuerySet {
         .withColumn("ratio_ppm",
           expr("deflate_bytes * 1000000 div n_bytes"))
         .withColumn("is_repetitive", col("ratio_ppm") < 300000L),
-      None)
+      None),
+
+    QueryDef("q220_heavy_hitters", (s, d) =>
+      // exact frequent tokens (support > 1/200) via the Misra-Gries
+      // prefilter: the full vocab NEVER shuffles — candidates come from
+      // bounded per-partition summaries merged on the driver (no false
+      // negatives by the mergeable-summaries guarantee), then ONE
+      // candidate-filtered exact count. Oracle is the plain exact
+      // threshold query: the prefilter must be invisible to correctness.
+      graft.operators.HeavyHitters.frequentItems(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+            .as("token")),
+        col("token"), k = 200),
+      Some(
+        """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item
+          |            FROM documents WHERE text IS NOT NULL),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+          |SELECT item, CAST(count(*) AS BIGINT) AS cnt, max(total) AS total
+          |FROM tok, t GROUP BY item
+          |HAVING count(*) * 200 > max(total)""".stripMargin)),
+
+    QueryDef("q221_collocation_lift", (s, d) =>
+      // collocation detection by exact-integer LIFT over the bigram
+      // space: lift = c(w1,w2)·N2 / (c_left(w1)·c_right(w2)), milli-scaled
+      // by integer div — the log-free PMI ordering (log PMI is a
+      // monotone transform of lift, so the ranking is identical and the
+      // arithmetic stays hash-comparable)
+      {
+        import graft.pipeline.{TextAnalysis => T}
+        val bi = table(s, d, "documents").filter(col("text").isNotNull)
+          .select(explode(T.ngramsFromTokens(T.tokens(col("text")), 2)).as("g"))
+          .select(substring_index(col("g"), " ", 1).as("w1"),
+            substring_index(col("g"), " ", -1).as("w2"))
+        val pairs = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        val left = pairs.groupBy(col("w1")).agg(sum(col("c")).as("cl"))
+        val right = pairs.groupBy(col("w2")).agg(sum(col("c")).as("cr"))
+        val n2 = pairs.agg(sum(col("c")).as("n2"))
+        pairs.join(left, Seq("w1")).join(right, Seq("w2"))
+          .crossJoin(broadcast(n2))
+          .filter(col("c") >= 5)
+          .withColumn("lift_milli", expr("(1000 * c * n2) div (cl * cr)"))
+          .select(col("w1"), col("w2"), col("c"), col("lift_milli"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT string_split(text, ' ') AS tk
+          |  FROM documents WHERE text IS NOT NULL),
+          |bi AS (
+          |  SELECT unnest(CASE WHEN len(tk) >= 2
+          |           THEN list_transform(generate_series(1, len(tk) - 1),
+          |                  i -> tk[i] || ' ' || tk[i + 1])
+          |           ELSE [] END) AS g
+          |  FROM base),
+          |sp AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+          |       FROM bi),
+          |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY 1, 2),
+          |l AS (SELECT w1, sum(c) AS cl FROM p GROUP BY 1),
+          |r AS (SELECT w2, sum(c) AS cr FROM p GROUP BY 1),
+          |n AS (SELECT sum(c) AS n2 FROM p)
+          |SELECT w1, w2, c,
+          |       CAST((1000 * c * n2) // (cl * cr) AS BIGINT) AS lift_milli
+          |FROM p JOIN l USING (w1) JOIN r USING (w2), n
+          |WHERE c >= 5""".stripMargin)),
+
+    QueryDef("q222_modularity", (s, d) => {
+      // exact-integer Newman modularity of the q211 LPA communities:
+      // per community q_scaled = 4·m·in_c - deg_c^2 (common denominator
+      // 4m^2) — the clustering-quality gate that says whether label
+      // propagation found structure or noise
+      val edges = table(s, d, "orders").join(table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src_id"),
+          (col("l_suppkey") + lit(1000000)).as("dst_id"))
+      val labels = graft.operators.Graph.labelPropagation(
+        edges, "src_id", "dst_id", rounds = 3)
+      graft.operators.Graph.modularityScaled(edges, "src_id", "dst_id", labels)
+        .select(col("label").cast("long").as("label"), col("n_nodes"),
+          col("in_edges"), col("deg_sum"), col("q_scaled"))
+    }, Some(
+      s"""WITH $lpaCtesSql,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |internal AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS in_edges
+         |  FROM und e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT l3.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS deg_sum
+         |  FROM l3 LEFT JOIN deg USING (node) GROUP BY 1)
+         |SELECT CAST(cs.label AS BIGINT) AS label, cs.n_nodes,
+         |       coalesce(internal.in_edges, 0) AS in_edges, cs.deg_sum,
+         |       CAST(4 * m.m * coalesce(internal.in_edges, 0)
+         |            - cs.deg_sum * cs.deg_sum AS BIGINT) AS q_scaled
+         |FROM cs LEFT JOIN internal USING (label), m""".stripMargin))
   )
 }

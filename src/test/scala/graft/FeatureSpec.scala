@@ -291,6 +291,56 @@ class FeatureSpec extends AnyFunSuite {
     assert(out(3L)._2 > 0L)
   }
 
+  // ---- heavy hitters ----
+
+  test("Misra-Gries summary never loses a true heavy hitter (superset guarantee)") {
+    import graft.operators.HeavyHitters
+    // stream: item "A" 40x, "B" 25x, 60 singletons -> n=125, k=5 -> n/k=25
+    val stream = Seq.fill(40)("A") ++ Seq.fill(25)("B") ++
+      (1 to 60).map(i => s"x$i")
+    // adversarial order: interleave
+    val shuffled = stream.sortBy(s => (s.hashCode * 2654435761L) & 0xffffff)
+    val summary = HeavyHitters.mgSummarize(shuffled.iterator, k = 5)
+    assert(summary.contains("A"), s"A (freq 40 > 25) must survive: $summary")
+    assert(summary.size <= 5)
+    // counts are UNDERestimates, never over
+    assert(summary("A") <= 40)
+  }
+
+  test("frequentItems: exact counts match the naive groupBy threshold") {
+    import graft.operators.HeavyHitters
+    val df = ((1 to 300).map(_ => "hot") ++ (1 to 80).map(_ => "warm") ++
+      (1 to 400).map(i => s"cold$i")).toDF("t").repartition(7)
+    val out = HeavyHitters.frequentItems(df, col("t"), k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n = 780, n/k = 156: only "hot" (300) qualifies; counts EXACT
+    assert(out === Map("hot" -> ((300L, 780L))))
+    // driver-state guard fires
+    assertThrows[IllegalArgumentException](
+      HeavyHitters.frequentItems(df, col("t"), k = 5, maxPartitionsTimesK = 3))
+  }
+
+  // ---- modularity ----
+
+  test("modularityScaled: two cliques with perfect labels; one-community Q = 0") {
+    import graft.operators.Graph
+    // two triangles bridged by one edge: m = 7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 2L), (11L, 2L),
+      (12L, 2L)).toDF("node", "label")
+    val out = Graph.modularityScaled(edges, "a", "b", labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // community 1: in=3, deg_sum = 2+2+3 = 7 -> q = 4*7*3 - 49 = 35; same for 2
+    assert(out(1L) === ((3L, 3L, 7L, 35L)))
+    assert(out(2L) === ((3L, 3L, 7L, 35L)))
+    // everything in ONE community: q_scaled = 4m*m - (2m)^2 = 0 exactly
+    val one = Graph.modularityScaled(edges, "a", "b",
+      labels.withColumn("label", lit(9L))).collect()
+    assert(one.length === 1 && one(0).getLong(4) === 0L)
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
