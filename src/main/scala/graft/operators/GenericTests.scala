@@ -228,4 +228,50 @@ object GenericTests {
     if (wh.exists(target)) wh.append(target, tagged)
     else wh.writeSwap(target, tagged)
   }
+
+  /** dbt_utils.accepted_range as a one-row report: rows of `column`
+    * outside [minVal, maxVal] (inclusive bounds, the dbt_utils default;
+    * NULLs never violate — dbt ranges test only present values). One
+    * map-side-combined agg, no shuffle beyond the 1-row rollup.
+    */
+  def acceptedRange(df: DataFrame, column: Column, minVal: Long,
+      maxVal: Long, name: String): DataFrame = {
+    require(minVal <= maxVal, s"range: [$minVal, $maxVal]")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(column.isNotNull && (column < minVal || column > maxVal), 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_rows"),
+        col("n_violations").as("metric"),
+        (col("n_violations") === 0).as("pass"))
+  }
+
+  /** dbt_utils.not_null_proportion: non-null share of `column` in ppm
+    * (integer div) graded against `atLeastPpm`.
+    */
+  def notNullProportion(df: DataFrame, column: Column, atLeastPpm: Long,
+      name: String): DataFrame = {
+    require(atLeastPpm >= 0 && atLeastPpm <= 1000000, s"ppm: $atLeastPpm")
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(when(column.isNotNull, 1L).otherwise(0L)).as("n_present"))
+      .select(lit(name).as("check"), col("n_rows"),
+        expr("n_present * 1000000 div n_rows").as("metric"),
+        (expr("n_present * 1000000 div n_rows") >= atLeastPpm).as("pass"))
+  }
+
+  /** dbt_utils.equal_rowcount / fewer_rows_than in one shape: compare two
+    * relation counts under an operator (`"="` or `"<"`); metric is the
+    * compared rowcount. Two 1-row aggs, a broadcast cross of scalars.
+    */
+  def rowcountCompare(a: DataFrame, b: DataFrame, op: String,
+      name: String): DataFrame = {
+    require(Seq("=", "<").contains(op), s"op must be = or <: $op")
+    val ca = a.agg(count(lit(1)).as("n_rows"))
+    val cb = b.agg(count(lit(1)).as("n_b"))
+    ca.crossJoin(broadcast(cb))
+      .select(lit(name).as("check"), col("n_rows"),
+        col("n_b").as("metric"),
+        (if (op == "=") col("n_rows") === col("n_b")
+         else col("n_rows") < col("n_b")).as("pass"))
+  }
 }

@@ -536,9 +536,8 @@ object FeatureQueries extends QuerySet {
       {
         import graft.pipeline.{TextAnalysis => T}
         val bi = table(s, d, "documents").filter(col("text").isNotNull)
-          .select(explode(T.ngramsFromTokens(T.tokens(col("text")), 2)).as("g"))
-          .select(substring_index(col("g"), " ", 1).as("w1"),
-            substring_index(col("g"), " ", -1).as("w2"))
+          .select(explode(T.bigramPairs(T.tokens(col("text")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         val pairs = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
         val left = pairs.groupBy(col("w1")).agg(sum(col("c")).as("cl"))
         val right = pairs.groupBy(col("w2")).agg(sum(col("c")).as("cr"))
@@ -603,6 +602,50 @@ object FeatureQueries extends QuerySet {
          |       coalesce(internal.in_edges, 0) AS in_edges, cs.deg_sum,
          |       CAST(4 * m.m * coalesce(internal.in_edges, 0)
          |            - cs.deg_sum * cs.deg_sum AS BIGINT) AS q_scaled
-         |FROM cs LEFT JOIN internal USING (label), m""".stripMargin))
+         |FROM cs LEFT JOIN internal USING (label), m""".stripMargin)),
+
+    QueryDef("q223_dbt_utils_tests", (s, d) => {
+      // the dbt_utils generic-test battery the reference's package pin
+      // implies: accepted_range, not_null_proportion, equal_rowcount,
+      // fewer_rows_than — four 1-row reports unioned into one DQ result
+      // (each an O(scan) agg; nothing shuffles beyond 1-row rollups)
+      import graft.operators.GenericTests
+      val orders = table(s, d, "orders")
+      val customer = table(s, d, "customer")
+      GenericTests.acceptedRange(orders,
+          Features.cents(col("o_totalprice")), 0L, 60000000L, "orders_price_range")
+        .unionByName(GenericTests.notNullProportion(orders,
+          col("o_orderpriority"), 990000L, "orders_priority_not_null"))
+        .unionByName(GenericTests.rowcountCompare(orders, orders, "=",
+          "orders_equal_rowcount"))
+        .unionByName(GenericTests.rowcountCompare(customer, orders, "<",
+          "customer_fewer_rows"))
+    }, Some(
+      s"""SELECT 'orders_price_range' AS "check",
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN ${centsSql("o_totalprice")} < 0
+         |                      OR ${centsSql("o_totalprice")} > 60000000
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS metric,
+         |       sum(CASE WHEN ${centsSql("o_totalprice")} < 0
+         |                 OR ${centsSql("o_totalprice")} > 60000000
+         |                THEN 1 ELSE 0 END) = 0 AS pass
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders_priority_not_null', CAST(count(*) AS BIGINT),
+         |       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1000000 // count(*) AS BIGINT),
+         |       sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+         |         * 1000000 // count(*) >= 990000
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders_equal_rowcount', CAST(count(*) AS BIGINT),
+         |       CAST(count(*) AS BIGINT), true
+         |FROM orders
+         |UNION ALL
+         |SELECT 'customer_fewer_rows',
+         |       CAST((SELECT count(*) FROM customer) AS BIGINT),
+         |       CAST(count(*) AS BIGINT),
+         |       (SELECT count(*) FROM customer) < count(*)
+         |FROM orders""".stripMargin))
   )
 }

@@ -341,6 +341,27 @@ class FeatureSpec extends AnyFunSuite {
     assert(one.length === 1 && one(0).getLong(4) === 0L)
   }
 
+  // ---- dbt_utils generic tests ----
+
+  test("acceptedRange / notNullProportion / rowcountCompare vectors") {
+    import graft.operators.GenericTests
+    val df = Seq(Some(5L), Some(15L), None, Some(-1L)).toDF("v")
+    // range [0,10]: 15 and -1 violate; NULL never does (dbt semantics)
+    val r = GenericTests.acceptedRange(df, col("v"), 0L, 10L, "rng").collect()(0)
+    assert(r.getString(0) === "rng" && r.getLong(1) === 4L &&
+      r.getLong(2) === 2L && !r.getBoolean(3))
+    // not-null proportion: 3/4 = 750000 ppm, fails a 900000 bar
+    val p = GenericTests.notNullProportion(df, col("v"), 900000L, "nn").collect()(0)
+    assert(p.getLong(2) === 750000L && !p.getBoolean(3))
+    // rowcount compare: = passes on self, < demands strictly fewer
+    val small = Seq(1L).toDF("v")
+    assert(GenericTests.rowcountCompare(df, df, "=", "eq").collect()(0).getBoolean(3))
+    assert(GenericTests.rowcountCompare(small, df, "<", "lt").collect()(0).getBoolean(3))
+    assert(!GenericTests.rowcountCompare(df, small, "<", "lt2").collect()(0).getBoolean(3))
+    assertThrows[IllegalArgumentException](
+      GenericTests.rowcountCompare(df, df, ">=", "bad"))
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
