@@ -497,4 +497,107 @@ object Multimodal {
         decodeFrames(id, bytes, stride)
       })
   }
+
+  // ---- MP4 / ISO BMFF container (metadata layer — no codec required) ----
+
+  final case class Mp4Meta(doc_id: Long, brand: String, timescale: Long,
+      duration_ms: Long, n_tracks: Int, width: Int, height: Int)
+
+  /** Minimal valid ISO BMFF stream: `ftyp` + `moov(mvhd, trak(tkhd)...)`.
+    * Pure big-endian byte assembly (no codec, no library) — the
+    * deterministic video fixture for the container-metadata path. Sample
+    * data (`mdat`) is intentionally absent: this library's video DECODE
+    * remains stubbed (JDK ships no H.264/VP9 codec — decodeFrameStub is
+    * the contract); the CONTAINER layer below is real.
+    */
+  def encodeMp4(durationMs: Long, timescale: Long, tracks: Seq[(Int, Int)],
+      brand: String = "isom"): Array[Byte] = {
+    require(durationMs >= 0 && timescale >= 1, s"$durationMs/$timescale")
+    require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val duration = durationMs * timescale / 1000L
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration) ++
+        u32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        (u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x00010000L) ++
+          u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)) ++
+        new Array[Byte](24) ++ u32(tracks.size + 1L))
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      box("trak", box("tkhd",
+        u32(7) ++ u32(0) ++ u32(0) ++ u32(i + 1L) ++ u32(0) ++ u32(duration) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++
+          (u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x00010000L) ++
+            u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)) ++
+          u32(w.toLong << 16) ++ u32(h.toLong << 16)))
+    }
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0) ++ brand.getBytes("US-ASCII"))
+    ftyp ++ box("moov", traks.foldLeft(mvhd)(_ ++ _))
+  }
+
+  /** REAL ISO BMFF box walk: parses the `ftyp` brand, `mvhd`
+    * timescale/duration (version 0 and the 64-bit version 1 layout), and
+    * every `trak/tkhd`'s 16.16 fixed-point dimensions. Works on any
+    * well-formed MP4/M4A/MOV-family file — the box grammar is the
+    * container standard, independent of what codec fills the samples.
+    * Malformed structure raises (truncated box, size < 8); `size == 0`
+    * (box-to-EOF) and `size == 1` (64-bit largesize) are honored.
+    */
+  def parseMp4(id: Long, bytes: Array[Byte]): Mp4Meta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var tracks = List.empty[(Int, Int)]
+    def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off < end) {
+        require(end - off >= 8, s"doc $id: truncated box header at $off")
+        var size = u32(off)
+        val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+        var header = 8
+        if (size == 0) size = (end - off).toLong
+        else if (size == 1) { size = bb.getLong(off + 8); header = 16 }
+        require(size >= header && off + size <= end,
+          s"doc $id: box '$tpe' size $size overruns [$off, $end)")
+        val body = off + header
+        tpe match {
+          case "ftyp" => brand = new String(bytes, body, 4, "US-ASCII")
+          case "moov" | "trak" => walk(body, off + size.toInt, depth + 1)
+          case "mvhd" =>
+            val v = bytes(body) & 0xff
+            if (v == 1) { timescale = u32(body + 20); duration = bb.getLong(body + 24) }
+            else { timescale = u32(body + 12); duration = u32(body + 16) }
+          case "tkhd" =>
+            val v = bytes(body) & 0xff
+            // width/height are the LAST 8 bytes of tkhd either version
+            val dims = off + size.toInt - 8
+            tracks ::= (((u32(dims) >> 16).toInt, (u32(dims + 4) >> 16).toInt))
+          case _ => // leaf we don't need (mdat, free, udta...)
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, bytes.length, 0)
+    require(timescale > 0, s"doc $id: no mvhd box found")
+    val (w, h) = tracks.reverse.headOption.getOrElse((0, 0))
+    Mp4Meta(id, brand, timescale, duration * 1000L / timescale,
+      tracks.size, w, h)
+  }
+
+  /** Batched container-metadata extraction (doc_id, media) — the same
+    * payload-never-shuffles mapPartitions shape as [[decodeImages]].
+    */
+  def parseMp4All(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, b) => parseMp4(id, b) })
+  }
 }

@@ -646,6 +646,81 @@ object FeatureQueries extends QuerySet {
          |       CAST((SELECT count(*) FROM customer) AS BIGINT),
          |       CAST(count(*) AS BIGINT),
          |       (SELECT count(*) FROM customer) < count(*)
-         |FROM orders""".stripMargin))
+         |FROM orders""".stripMargin)),
+
+    QueryDef("q224_langid_confusion", (s, d) => {
+      // language-ID quality evaluation: confusion matrix of the declared
+      // `lang` column vs q31's marker classifier, with each cell's share
+      // of its declared row in exact ppm — the "is the metadata or the
+      // classifier lying" audit every multilingual corpus needs before
+      // lang-filtering throws data away. One narrow classify pass + one
+      // (declared, guessed) rollup.
+      import graft.pipeline.{TextAnalysis => T}
+      val cls = table(s, d, "documents")
+        .select(col("lang").as("declared_lang"),
+          T.langGuess(col("text"), PipelineQueries.Markers).as("guessed_lang"))
+      val cells = cls.groupBy(col("declared_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val rowTotals = cells.groupBy(col("declared_lang"))
+        .agg(sum(col("n_docs")).as("__tot"))
+      cells.join(broadcast(rowTotals), Seq("declared_lang"))
+        .withColumn("share_ppm", expr("n_docs * 1000000 div __tot"))
+        .drop("__tot")
+    }, Some {
+      val scores = PipelineQueries.Markers.map { case (lang, words) =>
+        lang -> (s"len(list_filter(${PipelineQueries.toksSql}, " +
+          s"t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+      }.mkString("\n             ")
+      s"""WITH g AS (
+         |  SELECT lang AS declared_lang,
+         |       CASE $cases
+         |            ELSE 'und' END AS guessed_lang
+         |  FROM documents),
+         |cells AS (
+         |  SELECT declared_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM g GROUP BY 1, 2),
+         |tot AS (SELECT declared_lang, sum(n_docs) AS t FROM cells GROUP BY 1)
+         |SELECT declared_lang, guessed_lang, n_docs,
+         |       CAST(n_docs * 1000000 // t AS BIGINT) AS share_ppm
+         |FROM cells JOIN tot USING (declared_lang)""".stripMargin
+    }),
+
+    QueryDef("q225_mp4_metadata", (s, d) => {
+      // REAL ISO BMFF (MP4) container parsing — the box grammar needs no
+      // codec, so the metadata layer (brand, mvhd timescale/duration,
+      // per-trak 16.16 dimensions) is genuinely decoded while frame
+      // DECODE stays stubbed (no H.264 codec in the JDK, documented).
+      // Per doc a minimal valid MP4 is assembled from doc_id arithmetic,
+      // parsed back via the box walk, and the oracle re-derives every
+      // field. Timescales are multiples of 1000 so duration_ms
+      // roundtrips exactly.
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      import graft.pipeline.Multimodal
+      val vids = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val ts = Seq(1000L, 48000L, 90000L)((id % 3).toInt)
+          val durMs = id % 100000 + 500
+          val w = (320 + (id % 8) * 16).toInt
+          val h = (240 + (id % 5) * 16).toInt
+          val tracks = if (id % 2 == 1) Seq((w, h), (0, 0)) else Seq((w, h))
+          (id, Multimodal.encodeMp4(durMs, ts, tracks))
+        }).toDF("doc_id", "media")
+      Multimodal.parseMp4All(vids).toDF()
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       'isom' AS brand,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 48000
+        |            ELSE 90000 END AS BIGINT) AS timescale,
+        |       CAST(doc_id % 100000 + 500 AS BIGINT) AS duration_ms,
+        |       CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        |       CAST(320 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |       CAST(240 + (doc_id % 5) * 16 AS INTEGER) AS height
+        |FROM documents""".stripMargin))
   )
 }

@@ -19,7 +19,7 @@ import graft.sources.Sources.{events, table}
 object PipelineQueries extends QuerySet {
 
   private val Stopwords = Seq("the", "a", "of", "and", "in")
-  private val Markers = Seq(
+  private[queries] val Markers = Seq(
     "en" -> Seq("the", "a", "of"),
     "es" -> Seq("el", "la", "los"),
     "de" -> Seq("der", "die", "und"),
@@ -28,7 +28,7 @@ object PipelineQueries extends QuerySet {
   private val stopwordsSql = Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Shared DuckDB fragments. */
-  private val toksSql = "string_split(text, ' ')"
+  private[queries] val toksSql = "string_split(text, ' ')"
   private val shinglesSql =
     s"""CASE WHEN len($toksSql) >= 3
        |     THEN list_distinct(list_transform(generate_series(1, len($toksSql)-2),

@@ -362,6 +362,36 @@ class FeatureSpec extends AnyFunSuite {
       GenericTests.rowcountCompare(df, df, ">=", "bad"))
   }
 
+  // ---- MP4 container ----
+
+  test("parseMp4: encode/parse roundtrip, v1 mvhd, to-EOF boxes, malformed raise") {
+    import graft.pipeline.Multimodal
+    // roundtrip with two tracks on a 90kHz timescale
+    val bytes = Multimodal.encodeMp4(durationMs = 12345L, timescale = 90000L,
+      tracks = Seq((640, 360), (0, 0)), brand = "mp42")
+    val m = Multimodal.parseMp4(7L, bytes)
+    assert(m === Multimodal.Mp4Meta(7L, "mp42", 90000L, 12345L, 2, 640, 360))
+    // version-1 mvhd (64-bit duration) — hand-assemble the box
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u64(v: Long) = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    val mvhdV1body = Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+      u32(1000L) ++ u64(98765L) ++ new Array[Byte](80)
+    val mvhdV1 = u32(8L + mvhdV1body.length) ++ "mvhd".getBytes ++ mvhdV1body
+    val moov = u32(8L + mvhdV1.length) ++ "moov".getBytes ++ mvhdV1
+    val ftyp = u32(20L) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32(0) ++ "isom".getBytes
+    val v1 = Multimodal.parseMp4(8L, ftyp ++ moov)
+    assert(v1.timescale === 1000L && v1.duration_ms === 98765L && v1.n_tracks === 0)
+    // size == 0 (box extends to EOF) on the trailing box is honored
+    val fixed = ftyp ++ (u32(0L) ++ "moov".getBytes ++ mvhdV1)
+    assert(Multimodal.parseMp4(9L, fixed).duration_ms === 98765L)
+    // truncated header raises, it never silently returns zeros
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseMp4(10L, bytes.take(10)))
+    // a file with no mvhd raises
+    assertThrows[IllegalArgumentException](Multimodal.parseMp4(11L, ftyp))
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
