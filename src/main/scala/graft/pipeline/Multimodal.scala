@@ -600,4 +600,171 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, b) => parseMp4(id, b) })
   }
+
+  // ---- WebM / Matroska container (EBML metadata layer) ----
+
+  final case class WebmMeta(doc_id: Long, doc_type: String,
+      timescale_ns: Long, duration_ms: Long, n_video_tracks: Int,
+      width: Int, height: Int)
+
+  private val EbmlId = Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)
+  private val DocTypeId = Array[Byte](0x42, 0x82.toByte)
+  private val SegmentId = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67)
+  private val InfoId = Array[Byte](0x15, 0x49, 0xa9.toByte, 0x66)
+  private val TimestampScaleId = Array[Byte](0x2a, 0xd7.toByte, 0xb1.toByte)
+  private val DurationId = Array[Byte](0x44, 0x89.toByte)
+  private val TracksId = Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b)
+  private val TrackEntryId = Array[Byte](0xae.toByte)
+  private val TrackTypeId = Array[Byte](0x83.toByte)
+  private val VideoId = Array[Byte](0xe0.toByte)
+  private val PixelWidthId = Array[Byte](0xb0.toByte)
+  private val PixelHeightId = Array[Byte](0xba.toByte)
+
+  /** Minimal-length EBML size varint (marker bit in the leading byte). */
+  private def ebmlSize(v: Long): Array[Byte] = {
+    require(v >= 0 && v < (1L << 49), s"ebml size: $v")
+    if (v < 127) Array((0x80L | v).toByte)
+    else if (v < 16383) Array((0x40L | (v >> 8)).toByte, (v & 0xff).toByte)
+    else {
+      // 8-byte form covers the rest of the supported range
+      Array(0x01.toByte) ++ (0 until 7).map(i =>
+        ((v >> (8 * (6 - i))) & 0xff).toByte)
+    }
+  }
+
+  private def ebmlEl(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    id ++ ebmlSize(payload.length.toLong) ++ payload
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    require(v >= 0, s"uint: $v")
+    var n = 1
+    while (n < 8 && (v >> (8 * n)) != 0) n += 1
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  /** Minimal valid WebM (Matroska subset): EBML header with DocType,
+    * Segment(Info(TimestampScale, Duration), Tracks(TrackEntry...)).
+    * Duration is the mandated FLOAT element, written as an 8-byte double
+    * of a whole number of 1 ms units (TimestampScale = 1e6 ns) so the
+    * value — and therefore the parse — is exact. Like [[encodeMp4]],
+    * clusters/sample data are absent by design: WebM frame DECODE needs a
+    * VP8/VP9 codec the JDK does not ship; the CONTAINER layer is real.
+    */
+  def encodeWebm(durationMs: Long, videoTracks: Seq[(Int, Int)],
+      docType: String = "webm"): Array[Byte] = {
+    require(durationMs >= 0, s"durationMs: $durationMs")
+    val header = ebmlEl(EbmlId, ebmlEl(DocTypeId, docType.getBytes("US-ASCII")))
+    val info = ebmlEl(InfoId,
+      ebmlEl(TimestampScaleId, ebmlUint(1000000L)) ++
+        ebmlEl(DurationId, {
+          val bb = java.nio.ByteBuffer.allocate(8)
+          bb.putDouble(durationMs.toDouble)
+          bb.array()
+        }))
+    val tracks = ebmlEl(TracksId, videoTracks.map { case (w, h) =>
+      ebmlEl(TrackEntryId,
+        ebmlEl(TrackTypeId, ebmlUint(1L)) ++
+          ebmlEl(VideoId,
+            ebmlEl(PixelWidthId, ebmlUint(w.toLong)) ++
+              ebmlEl(PixelHeightId, ebmlUint(h.toLong))))
+    }.foldLeft(Array.empty[Byte])(_ ++ _))
+    header ++ ebmlEl(SegmentId, info ++ tracks)
+  }
+
+  /** REAL EBML walk: varint IDs/sizes per the Matroska spec (leading-zero
+    * length prefix; the size marker bit stripped, unknown-size 0xFF
+    * honored as to-parent-end), descending Segment -> Info/Tracks ->
+    * TrackEntry -> Video. Extracts DocType, TimestampScale (default 1e6
+    * ns when absent, per spec), float Duration (4- or 8-byte), and the
+    * first video track's pixel dimensions. Malformed varints or overruns
+    * raise.
+    */
+  def parseWebm(id: Long, bytes: Array[Byte]): WebmMeta = {
+    var docType = ""
+    var timescale = 1000000L // Matroska default
+    var durationUnits = 0.0
+    var videoTracks = List.empty[(Int, Int)]
+    def varint(off: Int, stripMarker: Boolean): (Long, Int) = {
+      require(off < bytes.length, s"doc $id: varint past EOF at $off")
+      val b0 = bytes(off) & 0xff
+      require(b0 != 0, s"doc $id: invalid varint lead 0x00 at $off")
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+      require(off + len <= bytes.length, s"doc $id: varint overruns at $off")
+      var v = if (stripMarker) (b0 & (0xff >> len)).toLong else b0.toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+      (v, len)
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+      v
+    }
+    def idMatches(off: Int, len: Int, target: Array[Byte]): Boolean =
+      len == target.length && (0 until len).forall(i => bytes(off + i) == target(i))
+    def walk(start: Int, end: Int, inTrackEntry: Boolean): Unit = {
+      var off = start
+      var curW = -1; var curH = -1; var isVideo = false
+      while (off < end) {
+        val (_, idLen) = varint(off, stripMarker = false)
+        val (size0, szLen) = varint(off + idLen, stripMarker = true)
+        val body = off + idLen + szLen
+        // unknown-size (all value bits set) = runs to the parent's end
+        val size = if (size0 == (1L << (7 * szLen)) - 1) (end - body).toLong
+          else size0
+        require(body + size <= end,
+          s"doc $id: element at $off size $size overruns [$start, $end)")
+        val bl = size.toInt
+        if (idMatches(off, idLen, SegmentId) || idMatches(off, idLen, InfoId) ||
+          idMatches(off, idLen, TracksId))
+          walk(body, body + bl, inTrackEntry = false)
+        else if (idMatches(off, idLen, TrackEntryId))
+          walk(body, body + bl, inTrackEntry = true)
+        else if (idMatches(off, idLen, VideoId) && inTrackEntry) {
+          // scan Video's children in THIS frame: the dims belong to the
+          // enclosing TrackEntry, not a nested walk's locals
+          var o2 = body
+          while (o2 < body + bl) {
+            val (_, il2) = varint(o2, stripMarker = false)
+            val (s2, sl2) = varint(o2 + il2, stripMarker = true)
+            val b2 = o2 + il2 + sl2
+            if (idMatches(o2, il2, PixelWidthId)) curW = uintAt(b2, s2.toInt).toInt
+            else if (idMatches(o2, il2, PixelHeightId)) curH = uintAt(b2, s2.toInt).toInt
+            o2 = b2 + s2.toInt
+          }
+        }
+        else if (idMatches(off, idLen, EbmlId)) walk(body, body + bl, false)
+        else if (idMatches(off, idLen, DocTypeId))
+          docType = new String(bytes, body, bl, "US-ASCII")
+        else if (idMatches(off, idLen, TimestampScaleId))
+          timescale = uintAt(body, bl)
+        else if (idMatches(off, idLen, DurationId)) {
+          require(bl == 4 || bl == 8, s"doc $id: Duration float length $bl")
+          durationUnits = if (bl == 4)
+            java.lang.Float.intBitsToFloat(uintAt(body, 4).toInt).toDouble
+          else java.lang.Double.longBitsToDouble(uintAt(body, 8))
+        } else if (idMatches(off, idLen, TrackTypeId) && inTrackEntry) {
+          if (uintAt(body, bl) == 1L) isVideo = true
+        }
+        off = body + bl
+      }
+      if (inTrackEntry && isVideo && curW >= 0 && curH >= 0)
+        videoTracks ::= ((curW, curH))
+    }
+    walk(0, bytes.length, inTrackEntry = false)
+    require(docType.nonEmpty, s"doc $id: no EBML DocType found")
+    val durationMs = (durationUnits * timescale / 1e6).toLong
+    val (w, h) = videoTracks.reverse.headOption.getOrElse((0, 0))
+    WebmMeta(id, docType, timescale, durationMs, videoTracks.size, w, h)
+  }
+
+  /** Batched WebM metadata extraction — the [[parseMp4All]] shape. */
+  def parseWebmAll(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[WebmMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, b) => parseWebm(id, b) })
+  }
 }

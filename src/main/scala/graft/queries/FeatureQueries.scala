@@ -721,6 +721,35 @@ object FeatureQueries extends QuerySet {
         |       CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
         |       CAST(320 + (doc_id % 8) * 16 AS INTEGER) AS width,
         |       CAST(240 + (doc_id % 5) * 16 AS INTEGER) AS height
+        |FROM documents""".stripMargin)),
+
+    QueryDef("q226_webm_metadata", (s, d) => {
+      // REAL WebM/Matroska EBML parsing — varint IDs/sizes, DocType,
+      // TimestampScale, the float Duration element, per-TrackEntry video
+      // dimensions — q225's sibling for the other container family the
+      // builder brief names. Frame decode stays stubbed (no VP8/VP9 in
+      // the JDK); the EBML grammar walk is real and spec-pinned.
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      import graft.pipeline.Multimodal
+      val vids = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val durMs = id % 90000 + 1000
+          val tracks = ((640 + (id % 4) * 32).toInt, (360 + (id % 3) * 24).toInt) ::
+            (if (id % 3 == 0) List((320, 180)) else Nil)
+          (id, Multimodal.encodeWebm(durMs, tracks))
+        }).toDF("doc_id", "media")
+      Multimodal.parseWebmAll(vids).toDF()
+    }, Some(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       'webm' AS doc_type,
+        |       CAST(1000000 AS BIGINT) AS timescale_ns,
+        |       CAST(doc_id % 90000 + 1000 AS BIGINT) AS duration_ms,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |         AS n_video_tracks,
+        |       CAST(640 + (doc_id % 4) * 32 AS INTEGER) AS width,
+        |       CAST(360 + (doc_id % 3) * 24 AS INTEGER) AS height
         |FROM documents""".stripMargin))
   )
 }

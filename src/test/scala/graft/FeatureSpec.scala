@@ -392,6 +392,32 @@ class FeatureSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.parseMp4(11L, ftyp))
   }
 
+  test("parseWebm: EBML roundtrip, defaults, unknown-size, audio-track skip") {
+    import graft.pipeline.Multimodal
+    // two video tracks roundtrip
+    val b = Multimodal.encodeWebm(4321L, Seq((1280, 720), (640, 360)))
+    val m = Multimodal.parseWebm(3L, b)
+    assert(m === Multimodal.WebmMeta(3L, "webm", 1000000L, 4321L, 2, 1280, 720))
+    // hand-build: Segment with unknown size (0xFF), Info WITHOUT
+    // TimestampScale (spec default 1e6), 4-byte float Duration, and a
+    // TrackEntry of type 2 (audio) that must NOT count as video
+    def el(id: Array[Byte], body: Array[Byte]) =
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    val f4 = java.nio.ByteBuffer.allocate(4).putFloat(2500f).array()
+    val info = el(Array(0x15, 0x49, 0xa9.toByte, 0x66), el(Array(0x44, 0x89.toByte), f4))
+    val audio = el(Array(0xae.toByte), el(Array(0x83.toByte), Array(2.toByte)))
+    val segBody = info ++ el(Array(0x16, 0x54, 0xae.toByte, 0x6b), audio)
+    val header = el(Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      el(Array(0x42, 0x82.toByte), "matroska".getBytes))
+    val seg = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array(0xff.toByte) ++ segBody
+    val m2 = Multimodal.parseWebm(4L, header ++ seg)
+    assert(m2.doc_type === "matroska" && m2.timescale_ns === 1000000L)
+    assert(m2.duration_ms === 2500L && m2.n_video_tracks === 0)
+    // truncated varint raises
+    assertThrows[IllegalArgumentException](Multimodal.parseWebm(5L, b.take(6)))
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
