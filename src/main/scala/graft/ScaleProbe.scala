@@ -181,6 +181,41 @@ object ScaleProbe {
       time(s"hits                  $label") {
         graft.operators.Graph.hits(ed, "s", "t", iterations = 2).count()
       }
+      // round-9: LPA rounds are the pageRank cost envelope (one edge scan
+      // + node-keyed rollups per round) — Nx disjoint subgraph edges must
+      // cost ~Nx, never N^2
+      time(s"label_propagation     $label") {
+        graft.operators.Graph.labelPropagation(ed, "s", "t", rounds = 3).count()
+      }
+    }
+
+    // round-9: Misra-Gries heavy hitters — the MG pass is a narrow map
+    // whose cost tracks the token stream linearly; the exact pass shuffles
+    // CANDIDATES only, so Nx corpus = ~Nx time with flat driver state.
+    // Warm both plans on a 50-doc slice first: their first execution pays
+    // one-time whole-stage codegen compilation that would otherwise land
+    // entirely on the 1x row (measured 4.7 s vs a real 0.9 s)
+    locally {
+      val tiny = docs1.limit(50).localCheckpoint()
+      graft.operators.HeavyHitters.frequentItems(
+        tiny.select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("token")), col("token"), k = 200).count()
+      ()
+    }
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"heavy_hitters         $label") {
+        graft.operators.HeavyHitters.frequentItems(
+          docs.filter(col("text").isNotNull)
+            .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+              .as("token")),
+          col("token"), k = 200).count()
+      }
+      // (the bigram-rollup family — KN smoothing / collocation lift — is
+      // NOT probed here: by this point the probe JVM pins a dozen
+      // localCheckpoint blocks and the 10M-bigram agg's spill behavior
+      // swamps the scaling signal (13.6 s vs the 2.8-3.4 s BenchOne
+      // isolated truth). Its scale evidence lives in BASELINE.md's
+      // BenchOne rows instead.)
     }
     spark.stop()
   }
