@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *  - `graft_nfc(s)` — unicode NFC canonical composition, [[NormalizeNfc]]
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftSparkExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // extension point (c) beyond functions: the derived-predicate rule
+    // that lets a jaro-winkler threshold skip its kernel on
+    // length-mismatched pairs (see JaroWinklerLengthPrune)
+    ext.injectOptimizerRule(_ => JaroWinklerLengthPrune)
+  }
 }
 
 object GraftSparkExtensions {
@@ -78,13 +83,28 @@ object GraftSparkExtensions {
     (FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - unicode NFC canonical composition of a string"),
       args => { requireArgs("graft_nfc", 1, args)
-        NormalizeNfc(Cast(args(0), org.apache.spark.sql.types.StringType)) }))
+        NormalizeNfc(Cast(args(0), org.apache.spark.sql.types.StringType)) }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (DuckDB-parity semantics)"),
+      args => { requireArgs("graft_jaro_winkler", 2, args)
+        JaroWinkler(Cast(args(0), org.apache.spark.sql.types.StringType),
+          Cast(args(1), org.apache.spark.sql.types.StringType)) }),
+    (FunctionIdentifier("graft_deflate_len"),
+      info("graft_deflate_len", "graft_deflate_len(s) - DEFLATE-compressed byte length of a string (zlib level 6)"),
+      args => { requireArgs("graft_deflate_len", 1, args)
+        DeflateLength(Cast(args(0), org.apache.spark.sql.types.StringType), 6) }))
 
   /** Install on an ALREADY-BUILT session (builder-time extensions can't
     * apply retroactively through getOrCreate).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, fnInfo, builder) =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, fnInfo, builder)
     }
+    // existing-session path for the optimizer rule (extraOptimizations is
+    // the public post-build hook; idempotent by reference equality)
+    if (!spark.experimental.extraOptimizations.contains(JaroWinklerLengthPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaroWinklerLengthPrune
+  }
 }

@@ -418,6 +418,52 @@ class FeatureSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.parseWebm(5L, b.take(6)))
   }
 
+  // ---- JaroWinklerLengthPrune optimizer rule ----
+
+  test("JaroWinklerLengthPrune: derived length check, soundness, vacuous skip") {
+    import graft.plans.{Expressions, GraftSparkExtensions, JaroWinklerLengthPrune}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    GraftSparkExtensions.register(spark)
+    // a real file source keeps the Filter node alive: over a
+    // LocalRelation the optimizer just EVALUATES the filter at plan time
+    // (ConvertToLocalRelation) and leaves nothing to rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_jwprune").toString
+    Seq(("martha", "marhta"), ("ab", "abcdefghijklmnop"),
+      ("same", "same"), ("dwayne", "duane")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = df.filter(Expressions.jaroWinkler(col("a"), col("b")) >= 0.9)
+    // soundness: the rule must not change results (it adds an implication)
+    val rows = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("martha", "marhta"), ("same", "same")))
+    // the optimized plan carries a length() conjunct the user never wrote
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("length"), s"derived length check missing:\n$opt")
+    // vacuous threshold (<= 0.8): no length check injected
+    val weak = df.filter(Expressions.jaroWinkler(col("a"), col("b")) >= 0.7)
+    assert(!weak.queryExecution.optimizedPlan.toString.contains("length"),
+      "a 0.7 threshold implies no positive length bound")
+    // idempotent: applying the rule to an already-rewritten plan is a no-op
+    val once = JaroWinklerLengthPrune(q.queryExecution.optimizedPlan)
+    val twice = JaroWinklerLengthPrune(once)
+    assert(once.collect { case f: LFilter => f.condition.toString } ===
+      twice.collect { case f: LFilter => f.condition.toString })
+    // the bound itself: jw("ab", 16-char) can never reach 0.9 — pruned
+    // rows match kernel truth (assert kernel agrees the pair fails)
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(graft.plans.JaroWinklerKernel.similarity(
+      u("ab"), u("abcdefghijklmnop")) < 0.9)
+  }
+
+  test("graft_jaro_winkler / graft_deflate_len callable from SQL text") {
+    graft.plans.GraftSparkExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS dz").collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(r.getLong(1) > 0 && r.getLong(1) < 24)
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
