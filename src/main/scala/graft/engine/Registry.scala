@@ -156,7 +156,8 @@ final case class Model(
     postHooks: Seq[Hook.Hook] = Nil,
     grants: Map[String, Seq[String]] = Map.empty,
     docs: Option[String] = None,
-    tags: Seq[String] = Nil)
+    tags: Seq[String] = Nil,
+    fingerprint: Option[String] = None)
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
@@ -197,6 +198,52 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
 
   /** Seed a source relation directly (dbt source / seed node). */
   def source(name: String, df: DataFrame): this.type = { materialized(name) = df; this }
+
+  // ---- dbt state manifest (slim CI: --select state:modified --defer) ----
+
+  private var stateManifest: Option[Map[String, String]] = None
+
+  /** A model's manifest checksum — dbt hashes the model's SQL text; a
+    * Scala `build` closure has no stable text on the JVM, so the checksum
+    * covers every DECLARED property (deps, materialization config, tags,
+    * docs, grants, test names) plus the caller-bumped `fingerprint` field,
+    * which stands in for the body (bump it when the logic changes, the
+    * way dbt's checksum changes when the SQL does). Documented honest
+    * limitation: an un-bumped logic-only change is invisible to
+    * state:modified — exactly as an unsaved SQL edit is invisible to dbt.
+    */
+  private def modelFingerprint(m: Model): String = {
+    val basis = Seq(m.name, m.deps.mkString(","), m.mat.toString,
+      m.tags.mkString(","), m.docs.getOrElse(""),
+      m.grants.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString("|")}" }
+        .mkString(";"),
+      m.tests.map(_.name).mkString(","), m.fingerprint.getOrElse(""))
+      .mkString("")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Persist the current DAG's checksums (dbt `manifest.json` analogue,
+    * reduced to the name -> checksum map state selection needs).
+    */
+  def writeManifest(path: String): this.type = {
+    val lines = models.map(m => s"${m.name}\t${modelFingerprint(m)}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+    this
+  }
+
+  /** Load a reference manifest for `state:` selectors (dbt --state DIR). */
+  def withState(path: String): this.type = {
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map { l =>
+        val Array(n, h) = l.split("\t", 2)
+        n -> h
+      }.toMap
+    stateManifest = Some(m)
+    this
+  }
 
   def relation(name: String): DataFrame = materialized(name)
 
@@ -363,31 +410,44 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       closure(n, x => byName.get(x).map(_.deps).getOrElse(Nil))
     def desc(n: String): Set[String] =
       closure(n, x => children.getOrElse(x, Nil))
-    def atom(a: String): Set[String] =
-      if (a.contains("tag:")) {
-        // dbt accepts graph operators on tag atoms ('+tag:mart', 'tag:mart+',
-        // '@tag:mart'); this engine doesn't implement that expansion yet, and
-        // silently treating '+mart' as a literal tag name would resolve to an
-        // empty set — fail loudly instead of quietly selecting nothing
-        require(a.startsWith("tag:"),
-          s"graph operators on tag atoms are not supported: '$a' " +
-            "(use 'tag:name' bare, or expand the graph walk over its models)")
-        val t = a.stripPrefix("tag:")
-        require(!t.exists(c => c == '+' || c == '@'),
-          s"graph operators on tag atoms are not supported: '$a'")
-        models.filter(_.tags.contains(t)).map(_.name).toSet
-      } else {
-        val at = a.startsWith("@")
-        val pre = a.startsWith("+")
-        val post = a.endsWith("+")
-        val core = a.stripPrefix("@").stripPrefix("+").stripSuffix("+")
-        require(byName.contains(core), s"unknown model in selector: '$core'")
-        var s = Set(core)
-        if (pre) s ++= anc(core)
-        if (post || at) s ++= desc(core)
-        if (at) s = s ++ s.flatMap(anc)
-        s
-      }
+    // graph-operator expansion shared by every atom family: dbt's
+    // +set / set+ / @set semantics over an arbitrary base set
+    def expand(base: Set[String], pre: Boolean, post: Boolean,
+        at: Boolean): Set[String] = {
+      var s = base
+      if (pre) s ++= base.flatMap(anc)
+      if (post || at) s ++= base.flatMap(desc)
+      if (at) s = s ++ s.flatMap(anc)
+      s
+    }
+    def atom(a: String): Set[String] = {
+      val at = a.startsWith("@")
+      val pre = a.startsWith("+")
+      val post = a.endsWith("+")
+      val core = a.stripPrefix("@").stripPrefix("+").stripSuffix("+")
+      val base: Set[String] =
+        if (core.startsWith("tag:")) {
+          val t = core.stripPrefix("tag:")
+          models.filter(_.tags.contains(t)).map(_.name).toSet
+        } else if (core.startsWith("state:")) {
+          // dbt slim-CI state selection against the loaded manifest
+          val ref = stateManifest.getOrElse(throw new IllegalStateException(
+            s"selector '$a' needs a state manifest — call withState(path) first"))
+          core.stripPrefix("state:") match {
+            case "modified" => models
+              .filter(m => ref.get(m.name).exists(_ != modelFingerprint(m)))
+              .map(_.name).toSet
+            case "new" => models.filterNot(m => ref.contains(m.name))
+              .map(_.name).toSet
+            case other => throw new IllegalArgumentException(
+              s"unsupported state method: 'state:$other' (modified | new)")
+          }
+        } else {
+          require(byName.contains(core), s"unknown model in selector: '$core'")
+          Set(core)
+        }
+      expand(base, pre, post, at)
+    }
     spec.trim.split("\\s+").filter(_.nonEmpty)
       .map(tok => tok.split(",").filter(_.nonEmpty).map(atom)
         .reduceOption(_ intersect _).getOrElse(Set.empty[String]))
@@ -553,13 +613,23 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       microbatchWindows: Map[String, (String, String)]): DataFrame = {
     val result = {
       // a dep this run skipped (select/exclude) resolves to its relation
-      // from a previous run (the --defer analogue); failing that, explain
-      // the contract instead of surfacing a bare key-not-found
-      val deps = m.deps.map(d => d -> materialized.getOrElse(d,
-        throw new IllegalStateException(
+      // from a previous run of THIS registry, or — the dbt --defer --state
+      // case, a fresh process doing slim CI — to the relation a previous
+      // INVOCATION left in the warehouse. Cached into `materialized` so
+      // every consumer in this run sees one snapshot (the I8 temp-relation
+      // consistency contract). Failing both, explain the contract instead
+      // of surfacing a bare key-not-found.
+      val deps = m.deps.map(d => d -> materialized.getOrElse(d, {
+        if (wh.exists(d)) {
+          val df = wh.read(d)
+          materialized(d) = df
+          df
+        } else throw new IllegalStateException(
           s"dependency '$d' of model '${m.name}' is not materialized: it was " +
-            "not selected in this run and no previous run of this Registry " +
-            "produced it (register it, select it, or run it first)"))).toMap
+            "not selected in this run and no previous run produced a " +
+            s"warehouse relation '$d' to defer to (register it, select it, " +
+            "or run it first)")
+      })).toMap
       val targetExists = wh.exists(m.name)
       val isInc = (m.mat.isInstanceOf[IncrementalMat] ||
         m.mat.isInstanceOf[AggregateMat]) && targetExists && !fullRefresh

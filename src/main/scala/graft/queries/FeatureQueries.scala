@@ -753,6 +753,79 @@ object FeatureQueries extends QuerySet {
         |         AS n_video_tracks,
         |       CAST(640 + (doc_id % 4) * 32 AS INTEGER) AS width,
         |       CAST(360 + (doc_id % 3) * 24 AS INTEGER) AS height
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    QueryDef("q227_state_slim_ci", (s, d) => {
+      // dbt slim CI end to end: run 1 builds the DAG and saves its
+      // manifest; the "CI" run registers a CHANGED mart (fingerprint
+      // bumped, logic changed), loads the manifest, and runs
+      // `state:modified+` — ONLY the changed mart and its descendant
+      // rebuild, deferring to run 1's staging even though the source has
+      // refreshed underneath (a wrongly re-run staging would pull the
+      // full orders table and hash-mismatch every total). The audit
+      // table proves the build counts: stg once, marts twice.
+      import graft.engine.{Model, Registry, TableMat}
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val wh = Scratch.warehouse("q227", d, s,
+        Seq("stg_orders", "mart_totals", "mart_roll", "ci_audit"))
+      val manifest = s"${wh.root}/state_manifest.tsv"
+      def audited(name: String): Seq[graft.engine.Hook.Hook] =
+        Seq(ctx => ctx.wh.append("ci_audit", Seq((name, 1L)).toDF("model", "n")))
+      def dag(reg: Registry, martFp: String): Registry = {
+        reg.register(Model("stg_orders", Seq("orders_src"), TableMat(),
+          ctx => ctx.ref("orders_src").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_custkey").cast("long").as("member_id"),
+            Features.cents(col("o_totalprice")).as("cents")),
+          postHooks = audited("stg_orders")))
+        reg.register(Model("mart_totals", Seq("stg_orders"), TableMat(),
+          ctx => {
+            val base = ctx.ref("stg_orders")
+            // v2 adds the big-ticket filter — THE definition change
+            val rows = if (martFp == "v2") base.filter(col("cents") > 15000000L)
+              else base
+            rows.groupBy(col("member_id"))
+              .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+          },
+          postHooks = audited("mart_totals"), fingerprint = Some(martFp)))
+        reg.register(Model("mart_roll", Seq("mart_totals"), TableMat(),
+          ctx => ctx.ref("mart_totals").agg(
+            count(lit(1)).as("n_members"),
+            sum(col("n_orders")).as("n_orders"),
+            sum(col("cents")).as("total_cents")),
+          postHooks = audited("mart_roll")))
+        reg
+      }
+      val reg1 = dag(new Registry(s, wh), "v1")
+      reg1.source("orders_src", table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("date")))
+      reg1.run()
+      reg1.writeManifest(manifest)
+      // CI run: source refreshed, mart logic changed, slim selection
+      val reg2 = dag(new Registry(s, wh), "v2")
+      reg2.source("orders_src", table(s, d, "orders"))
+      reg2.withState(manifest)
+      reg2.run(selector = "state:modified+")
+      val builds = wh.read("ci_audit").groupBy(col("model"))
+        .agg(count(lit(1)).as("n_builds"))
+      wh.read("mart_roll").crossJoin(broadcast(
+        builds.agg(
+          max(when(col("model") === "stg_orders", col("n_builds"))).as("stg_builds"),
+          max(when(col("model") === "mart_totals", col("n_builds"))).as("mart_builds"))))
+    }, Some(
+      """WITH stg AS (
+        |  SELECT o_custkey AS member_id,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |mt AS (
+        |  SELECT member_id, count(*) AS n_orders, sum(cents) AS cents
+        |  FROM stg WHERE cents > 15000000 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(1 AS BIGINT) AS stg_builds,
+        |       CAST(2 AS BIGINT) AS mart_builds
+        |FROM mt""".stripMargin))
   )
 }

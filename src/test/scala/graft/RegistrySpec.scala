@@ -433,11 +433,13 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg.resolveSelector("tag:mart,+c") === Set("b")) // intersection
     assert(reg.resolveSelector("d +b") === Set("a", "b", "d")) // union
     assertThrows[IllegalArgumentException](reg.resolveSelector("+nope"))
-    // graph operators on tag atoms are valid dbt syntax this engine does
-    // not implement — they must raise, never silently resolve to nothing
-    assertThrows[IllegalArgumentException](reg.resolveSelector("+tag:mart"))
-    assertThrows[IllegalArgumentException](reg.resolveSelector("tag:mart+"))
-    assertThrows[IllegalArgumentException](reg.resolveSelector("@tag:mart"))
+    // graph operators on tag atoms (r8 ADVICE gap, now implemented): the
+    // operator expands around the TAG SET — dbt's '+tag:mart' semantics
+    assert(reg.resolveSelector("+tag:mart") === Set("a", "b", "d"))
+    assert(reg.resolveSelector("tag:mart+") === Set("b", "c", "d"))
+    assert(reg.resolveSelector("@tag:mart") === Set("a", "b", "c", "d"))
+    // unknown tag: the operator over an empty tag set is empty, not an error
+    assert(reg.resolveSelector("+tag:nope") === Set.empty[String])
 
     // bare-name selection does NOT pull ancestors (dbt semantics): the
     // defer contract raises because no previous run materialized 'a'
@@ -450,6 +452,43 @@ class RegistrySpec extends AnyFunSuite {
     // selector-syntax exclude: everything from @a except c's subtree
     reg.run(selector = "@a tag:mart", exclude = Seq("c+"))
     assert(wh.exists("d") && !wh.exists("c"))
+  }
+
+  test("state:modified / state:new selection against a saved manifest") {
+    val root = Files.createTempDirectory("graft_state").toString
+    val wh = new Warehouse(root, spark)
+    def dag(reg: Registry, bFp: String, withE: Boolean): Registry = {
+      reg.source("raw", Seq((1L, "x")).toDF("k", "v"))
+      reg.register(Model("a", Seq("raw"), TableMat(), ctx => ctx.ref("raw")))
+      reg.register(Model("b", Seq("a"), TableMat(), ctx => ctx.ref("a"),
+        fingerprint = Some(bFp)))
+      reg.register(Model("c", Seq("b"), TableMat(), ctx => ctx.ref("b")))
+      if (withE) reg.register(Model("e", Seq("raw"), TableMat(),
+        ctx => ctx.ref("raw")))
+      reg
+    }
+    val manifest = s"$root/manifest.tsv"
+    dag(new Registry(spark, wh), "v1", withE = false).writeManifest(manifest)
+    val reg2 = dag(new Registry(spark, wh), "v2", withE = true)
+    // state: selectors demand a loaded manifest — fail loudly without one
+    assertThrows[IllegalStateException](reg2.resolveSelector("state:modified"))
+    reg2.withState(manifest)
+    assert(reg2.resolveSelector("state:modified") === Set("b"))
+    assert(reg2.resolveSelector("state:modified+") === Set("b", "c"))
+    assert(reg2.resolveSelector("state:new") === Set("e"))
+    assert(reg2.resolveSelector("state:modified+ state:new") === Set("b", "c", "e"))
+    // a metadata change (new tag) is modified too, without any fp bump
+    val reg3 = new Registry(spark, wh)
+    reg3.source("raw", Seq((1L, "x")).toDF("k", "v"))
+    reg3.register(Model("a", Seq("raw"), TableMat(), ctx => ctx.ref("raw"),
+      tags = Seq("gold")))
+    reg3.register(Model("b", Seq("a"), TableMat(), ctx => ctx.ref("a"),
+      fingerprint = Some("v1")))
+    reg3.register(Model("c", Seq("b"), TableMat(), ctx => ctx.ref("b")))
+    reg3.withState(manifest)
+    assert(reg3.resolveSelector("state:modified") === Set("a"))
+    // unsupported method raises, never resolves empty
+    assertThrows[IllegalArgumentException](reg3.resolveSelector("state:old"))
   }
 
   test("declared tests run after materialization; error severity aborts the run") {
