@@ -160,9 +160,13 @@ object Features {
         col(s"s_$nx") * col(s"s_$ny")).cast("double")
       val dx = (col("n") * col(s"ss_$nx") - col(s"s_$nx") * col(s"s_$nx")).cast("double")
       val dy = (col("n") * col(s"ss_$ny") - col(s"s_$ny") * col(s"s_$ny")).cast("double")
+      // a constant column has zero variance: correlation is undefined ->
+      // NULL (ANSI division would raise on the 0 denominator; the 0/0 NaN
+      // of non-ANSI engines is noise, not an answer)
       struct(lit(nx).as("x_col"), lit(ny).as("y_col"),
         col("n").cast("long").as("n_rows"),
-        (num / (sqrt(dx) * sqrt(dy))).as("corr"))
+        when(dx =!= 0.0 && dy =!= 0.0,
+          num / (sqrt(dx) * sqrt(dy))).as("corr"))
     }
     agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
   }

@@ -229,6 +229,42 @@ object GenericTests {
     else wh.writeSwap(target, tagged)
   }
 
+  /** Categorical drift between two relation versions as total-variation
+    * distance in EXACT ppm: `tvd = sum(|p_i - q_i|)/2` over the value
+    * distributions, computed as
+    * `sum(|n_a_i*N_b - n_b_i*N_a|) * 1e6 div (2*N_a*N_b)` — pure BIGINT,
+    * so the drift monitor hash-compares (the PSI/KL alternatives need
+    * logs and float summation order). One row per monitored column; a
+    * value present on one side only contributes its full mass, which is
+    * exactly TVD's treatment of novel categories.
+    *
+    * Shape: per column, two value rollups (bounded by category
+    * cardinality) full-outer-joined on the value + two 1-row totals —
+    * the raw tables shuffle only for their own rollups. BIGINT headroom:
+    * |n*N| <= N_a*N_b, so N_a*N_b*1e6 must fit — fine below ~3e12 rows
+    * per side; beyond that, move the scaling to DECIMAL.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "categoricalDrift needs at least one column")
+    columns.map { c =>
+      val ca = a.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("na"))
+      val cb = b.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("nb"))
+      val ta = a.agg(count(lit(1)).as("ta"))
+      val tb = b.agg(count(lit(1)).as("tb"))
+      ca.join(cb, Seq("v"), "full_outer")
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .agg(sum(abs(coalesce(col("na"), lit(0L)) * col("tb") -
+          coalesce(col("nb"), lit(0L)) * col("ta"))).as("num"),
+          max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          count(lit(1)).as("n_values"))
+        .select(lit(c).as("column_name"), col("n_values"),
+          expr("num * 1000000 div (2 * ta * tb)").as("tvd_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** dbt_utils.accepted_range as a one-row report: rows of `column`
     * outside [minVal, maxVal] (inclusive bounds, the dbt_utils default;
     * NULLs never violate — dbt ranges test only present values). One

@@ -826,6 +826,49 @@ object FeatureQueries extends QuerySet {
         |       CAST(sum(cents) AS BIGINT) AS total_cents,
         |       CAST(1 AS BIGINT) AS stg_builds,
         |       CAST(2 AS BIGINT) AS mart_builds
-        |FROM mt""".stripMargin))
+        |FROM mt""".stripMargin)),
+
+    QueryDef("q228_categorical_drift", (s, d) => {
+      // distribution-drift monitor: total-variation distance between the
+      // live orders table and a deterministically-perturbed "refresh"
+      // (the q202 fixture family) per monitored column, in exact ppm —
+      // priority drifts (redactions + dropped rows), status barely moves.
+      // The log-free, hash-comparable alternative to PSI.
+      val o = table(s, d, "orders")
+      val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_orderpriority", when(pmod(col("o_orderkey"), lit(89)) === 0,
+          lit("0-REDACTED")).otherwise(col("o_orderpriority")))
+      graft.operators.GenericTests.categoricalDrift(o, b,
+        Seq("o_orderpriority", "o_orderstatus"))
+    }, Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 89 = 0 THEN '0-REDACTED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |ta AS (SELECT count(*) AS ta FROM orders),
+        |tb AS (SELECT count(*) AS tb FROM b),
+        |dp AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.na, 0) AS na,
+        |         coalesce(cb.nb, 0) AS nb
+        |  FROM (SELECT o_orderpriority AS v, count(*) AS na FROM orders GROUP BY 1) ca
+        |  FULL OUTER JOIN (SELECT o_orderpriority AS v, count(*) AS nb FROM b GROUP BY 1) cb
+        |    ON ca.v = cb.v),
+        |ds AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.na, 0) AS na,
+        |         coalesce(cb.nb, 0) AS nb
+        |  FROM (SELECT o_orderstatus AS v, count(*) AS na FROM orders GROUP BY 1) ca
+        |  FULL OUTER JOIN (SELECT o_orderstatus AS v, count(*) AS nb FROM b GROUP BY 1) cb
+        |    ON ca.v = cb.v)
+        |SELECT 'o_orderpriority' AS column_name,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       CAST(sum(abs(na * tb - nb * ta)) * 1000000
+        |            // (2 * max(ta) * max(tb)) AS BIGINT) AS tvd_ppm
+        |FROM dp, ta, tb
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |       CAST(sum(abs(na * tb - nb * ta)) * 1000000
+        |            // (2 * max(ta) * max(tb)) AS BIGINT)
+        |FROM ds, ta, tb""".stripMargin))
   )
 }

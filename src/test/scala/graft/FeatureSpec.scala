@@ -464,6 +464,34 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.getLong(1) > 0 && r.getLong(1) < 24)
   }
 
+  // ---- categorical drift ----
+
+  test("categoricalDrift: exact TVD vectors — identical, disjoint, novel value") {
+    import graft.operators.GenericTests
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    // identical distributions -> 0
+    val same = GenericTests.categoricalDrift(a, a, Seq("c")).collect()(0)
+    assert(same.getLong(2) === 0L)
+    // disjoint supports -> TVD = 1 (1e6 ppm)
+    val b = Seq("z", "z").toDF("c")
+    val dis = GenericTests.categoricalDrift(a, b, Seq("c")).collect()(0)
+    assert(dis.getLong(2) === 1000000L)
+    // a: 1/2 x, 1/2 y ; b: 1/2 x, 1/4 y, 1/4 z -> TVD = (0 + 1/4 + 1/4)/2 = 1/4
+    val c = Seq("x", "x", "y", "z").toDF("c")
+    val quarter = GenericTests.categoricalDrift(a, c, Seq("c")).collect()(0)
+    assert(quarter.getLong(2) === 250000L)
+    assert(quarter.getLong(1) === 3L) // union of value supports
+  }
+
+  test("corrMatrix: a constant column yields NULL corr (zero variance)") {
+    import graft.operators.Features
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val r = Features.corrMatrix(df, Seq("x" -> Features.cents(col("x")),
+      "y" -> Features.cents(col("y")))).collect()(0)
+    // dy = 0: correlation undefined -> NULL, never an ANSI divide error
+    assert(r.isNullAt(3))
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
