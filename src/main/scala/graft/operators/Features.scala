@@ -171,6 +171,27 @@ object Features {
     agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Pooled two-proportion z statistic from exact integer counts — the
+    * A/B experiment readout. Algebraically
+    * `z = (c1/n1 - c2/n2) / sqrt(p(1-p)(1/n1 + 1/n2))` with pooled
+    * `p = (c1+c2)/(n1+n2)`; rearranged over exact operands to
+    * `z = (c1*n2 - c2*n1) / sqrt(C*(N-C)*n1*n2 / N)` so the only IEEE
+    * steps are one division inside the sqrt, the sqrt, and the outer
+    * division — identical on any engine. Degenerate inputs (either arm
+    * empty, conversion rate 0 or 1 pooled) have no sampling variance ->
+    * NULL. Products ride DECIMAL(38,0): C*(N-C)*n1*n2 overflows a long
+    * past ~55k users per arm.
+    */
+  def twoProportionZ(n1: Column, c1: Column, n2: Column, c2: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val bigC = dec(c1) + dec(c2)
+    val bigN = dec(n1) + dec(n2)
+    val inner = (bigC * (bigN - bigC) * dec(n1) * dec(n2)).cast("double") /
+      bigN.cast("double")
+    when(n1 > 0 && n2 > 0 && bigC > 0 && bigC < bigN,
+      (dec(c1) * dec(n2) - dec(c2) * dec(n1)).cast("double") / sqrt(inner))
+  }
+
   /** Per-group ordinary-least-squares trend line over an integer (x, y)
     * series — e.g. daily event counts by type. Closed form from exact
     * BIGINT moment sums, each coefficient ONE IEEE division of two exact

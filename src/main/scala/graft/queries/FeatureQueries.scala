@@ -869,6 +869,57 @@ object FeatureQueries extends QuerySet {
         |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
         |       CAST(sum(abs(na * tb - nb * ta)) * 1000000
         |            // (2 * max(ta) * max(tb)) AS BIGINT)
-        |FROM ds, ta, tb""".stripMargin))
+        |FROM ds, ta, tb""".stripMargin)),
+
+    QueryDef("q229_ab_readout", (s, d) => {
+      // A/B experiment readout: users hash-split into two arms
+      // (user_id % 2 — the deterministic assignment a real experiment
+      // framework would persist), conversion = any purchase event.
+      // Exact integer counts and ppm rates per arm; the pooled
+      // two-proportion z is the ONLY float, one IEEE chain over exact
+      // operands (Features.twoProportionZ). Two tiny rollups, no raw-row
+      // shuffle beyond the per-user distinct.
+      val users = events(s, d)
+        .select(col("user_id").cast("long").as("user_id"),
+          (col("event_type") === "purchase").as("conv"))
+        .groupBy(col("user_id"))
+        .agg(max(col("conv")).as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      val arms = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
+      val a = arms.filter(col("variant") === 0)
+        .select(col("n_users").as("n_control"), col("n_conv").as("conv_control"))
+      val b = arms.filter(col("variant") === 1)
+        .select(col("n_users").as("n_treat"), col("n_conv").as("conv_treat"))
+      a.crossJoin(broadcast(b))
+        .withColumn("rate_control_ppm", expr("conv_control * 1000000 div n_control"))
+        .withColumn("rate_treat_ppm", expr("conv_treat * 1000000 div n_treat"))
+        .withColumn("z", Features.twoProportionZ(col("n_control"),
+          col("conv_control"), col("n_treat"), col("conv_treat")))
+    }, Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |         user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n1,
+        |         max(CASE WHEN variant = 0 THEN c END) AS c1,
+        |         max(CASE WHEN variant = 1 THEN n END) AS n2,
+        |         max(CASE WHEN variant = 1 THEN c END) AS c2
+        |  FROM arms)
+        |SELECT n1 AS n_control, c1 AS conv_control, n2 AS n_treat, c2 AS conv_treat,
+        |       CAST(c1 * 1000000 // n1 AS BIGINT) AS rate_control_ppm,
+        |       CAST(c2 * 1000000 // n2 AS BIGINT) AS rate_treat_ppm,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2
+        |            THEN CAST(CAST(c1 AS HUGEINT)*n2 - CAST(c2 AS HUGEINT)*n1 AS DOUBLE)
+        |                 / sqrt(CAST(CAST(c1+c2 AS HUGEINT) * (n1+n2-c1-c2) * n1 * n2
+        |                             AS DOUBLE)
+        |                        / CAST(n1 + n2 AS DOUBLE)) END AS z
+        |FROM w""".stripMargin))
   )
 }

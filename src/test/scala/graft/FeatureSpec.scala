@@ -492,6 +492,26 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("twoProportionZ: hand vector, sign symmetry, degenerate NULLs") {
+    import graft.operators.Features
+    val df = Seq((100L, 20L, 100L, 10L)).toDF("n1", "c1", "n2", "c2")
+    val z = df.select(Features.twoProportionZ($"n1", $"c1", $"n2", $"c2"))
+      .collect()(0).getDouble(0)
+    // num = 1000; inner = 30*170*100*100/200 = 255000
+    assert(z === 1000.0 / math.sqrt(255000.0))
+    // swapping arms flips the sign exactly
+    val zSwap = df.select(Features.twoProportionZ($"n2", $"c2", $"n1", $"c1"))
+      .collect()(0).getDouble(0)
+    assert(zSwap === -z)
+    // degenerate: zero conversions anywhere, or an empty arm -> NULL
+    for ((n1, c1, n2, c2) <- Seq((100L, 0L, 100L, 0L), (0L, 0L, 100L, 10L),
+      (100L, 100L, 100L, 100L))) {
+      val r = Seq((n1, c1, n2, c2)).toDF("n1", "c1", "n2", "c2")
+        .select(Features.twoProportionZ($"n1", $"c1", $"n2", $"c2")).collect()(0)
+      assert(r.isNullAt(0), s"($n1,$c1,$n2,$c2) must have no sampling variance")
+    }
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
