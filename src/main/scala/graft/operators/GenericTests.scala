@@ -265,6 +265,50 @@ object GenericTests {
     }.reduce(_ unionByName _)
   }
 
+  /** Numeric drift as bucketed total-variation distance: the REFERENCE
+    * side's exact rank-cut quantiles (default deciles) become shared
+    * fences, both sides bucket by `1 + #{fences below}`, and the bucket
+    * distributions compare exactly like [[categoricalDrift]] — all BIGINT
+    * ppm, no logs, no float summation. Anchoring fences on the reference
+    * is the monitoring convention (the question is "did production move
+    * relative to baseline"), and means a drifted B lands mass in A's top
+    * bucket rather than moving the fences (tied fences collapse buckets
+    * for BOTH sides equally — degenerate reference distributions still
+    * compare fairly). NULLs are excluded on both sides (quantiles carry
+    * no NULL; a bucket for them belongs to [[categoricalDrift]] over an
+    * is-null flag).
+    *
+    * Shape: one rolled-up quantile pass on A, two bounded bucket rollups,
+    * 1-row totals — raw rows never sort.
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, column: Column,
+      name: String, qMilles: Seq[Int] = (100 to 900 by 100)): DataFrame = {
+    val fences = graft.pipeline.Stats.exactQuantiles(
+      a.filter(column.isNotNull), Seq.empty, column, qMilles)
+      .groupBy()
+      .agg(max(when(col("q_mille") === qMilles.head, col("value"))).as("f0"),
+        qMilles.tail.zipWithIndex.map { case (q, i) =>
+          max(when(col("q_mille") === q, col("value"))).as(s"f${i + 1}")
+        }: _*)
+    def bucket(df: DataFrame): DataFrame =
+      df.filter(column.isNotNull).crossJoin(broadcast(fences))
+        .select(qMilles.indices.map(i =>
+          when(column > col(s"f$i"), 1).otherwise(0)).reduce(_ + _).as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val ba = bucket(a).withColumnRenamed("n", "na")
+    val bb = bucket(b).withColumnRenamed("n", "nb")
+    val ta = a.filter(column.isNotNull).agg(count(lit(1)).as("ta"))
+    val tb = b.filter(column.isNotNull).agg(count(lit(1)).as("tb"))
+    ba.join(bb, Seq("bkt"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .agg(sum(abs(coalesce(col("na"), lit(0L)) * col("tb") -
+        coalesce(col("nb"), lit(0L)) * col("ta"))).as("num"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        count(lit(1)).as("n_buckets"))
+      .select(lit(name).as("column_name"), col("n_buckets"),
+        expr("num * 1000000 div (2 * ta * tb)").as("tvd_ppm"))
+  }
+
   /** dbt_utils.accepted_range as a one-row report: rows of `column`
     * outside [minVal, maxVal] (inclusive bounds, the dbt_utils default;
     * NULLs never violate — dbt ranges test only present values). One

@@ -920,6 +920,50 @@ object FeatureQueries extends QuerySet {
         |                 / sqrt(CAST(CAST(c1+c2 AS HUGEINT) * (n1+n2-c1-c2) * n1 * n2
         |                             AS DOUBLE)
         |                        / CAST(n1 + n2 AS DOUBLE)) END AS z
-        |FROM w""".stripMargin))
+        |FROM w""".stripMargin)),
+
+    QueryDef("q230_numeric_drift", (s, d) => {
+      // numeric drift monitor: order totals vs a deterministically
+      // inflated refresh (every 3rd order +20%), bucketed by the LIVE
+      // side's exact deciles, total-variation distance in exact ppm —
+      // q228's numeric sibling, fences anchored on the baseline
+      val o = table(s, d, "orders")
+      val cents = Features.cents(col("o_totalprice"))
+      val a = o.select(cents.as("v"))
+      val b = o.select(when(pmod(col("o_orderkey"), lit(3)) === 0,
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 6 div 5"))
+        .otherwise(cents).as("v"))
+      graft.operators.GenericTests.numericDrift(a, b, col("v"), "o_totalprice")
+    }, Some(
+      """WITH a AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |           FROM orders),
+        |b AS (SELECT CASE WHEN o_orderkey % 3 = 0
+        |                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 6 // 5
+        |                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v
+        |      FROM orders),
+        |f AS (SELECT quantile_disc(v, 0.1) AS f0, quantile_disc(v, 0.2) AS f1,
+        |             quantile_disc(v, 0.3) AS f2, quantile_disc(v, 0.4) AS f3,
+        |             quantile_disc(v, 0.5) AS f4, quantile_disc(v, 0.6) AS f5,
+        |             quantile_disc(v, 0.7) AS f6, quantile_disc(v, 0.8) AS f7,
+        |             quantile_disc(v, 0.9) AS f8
+        |      FROM a),
+        |ba AS (SELECT (v > f0)::INT + (v > f1)::INT + (v > f2)::INT + (v > f3)::INT
+        |             + (v > f4)::INT + (v > f5)::INT + (v > f6)::INT + (v > f7)::INT
+        |             + (v > f8)::INT AS bkt, count(*) AS na
+        |       FROM a, f GROUP BY 1),
+        |bb AS (SELECT (v > f0)::INT + (v > f1)::INT + (v > f2)::INT + (v > f3)::INT
+        |             + (v > f4)::INT + (v > f5)::INT + (v > f6)::INT + (v > f7)::INT
+        |             + (v > f8)::INT AS bkt, count(*) AS nb
+        |       FROM b, f GROUP BY 1),
+        |ta AS (SELECT count(*) AS ta FROM a),
+        |tb AS (SELECT count(*) AS tb FROM b),
+        |j AS (SELECT coalesce(ba.bkt, bb.bkt) AS bkt, coalesce(na, 0) AS na,
+        |             coalesce(nb, 0) AS nb
+        |      FROM ba FULL OUTER JOIN bb ON ba.bkt = bb.bkt)
+        |SELECT 'o_totalprice' AS column_name,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(abs(na * tb - nb * ta)) * 1000000
+        |            // (2 * max(ta) * max(tb)) AS BIGINT) AS tvd_ppm
+        |FROM j, ta, tb""".stripMargin))
   )
 }

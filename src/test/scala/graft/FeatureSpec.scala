@@ -512,6 +512,21 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("numericDrift: identical -> 0; mass shifted past a fence measured exactly") {
+    import graft.operators.GenericTests
+    val a = (1L to 100L).toDF("v")
+    assert(GenericTests.numericDrift(a, a, col("v"), "v").collect()(0)
+      .getLong(2) === 0L)
+    // B doubles the top half: 50 of 100 values leave their decile pattern.
+    // deciles of A = 10,20,...,90; B = 1..50 ++ 102,104..200 -> buckets
+    // 0..4 keep 10 each; buckets 5..8 lose all 40 to bucket 9
+    val b = ((1L to 50L) ++ (51L to 100L).map(_ * 2)).toDF("v")
+    val r = GenericTests.numericDrift(a, b, col("v"), "v").collect()(0)
+    // TVD = (|0|*5 + |10/100|*4 + |50/100 - 10/100|)/2 = (0.4 + 0.4)/2 = 0.4
+    assert(r.getLong(2) === 400000L)
+    assert(r.getLong(1) === 10L)
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
