@@ -964,6 +964,33 @@ object FeatureQueries extends QuerySet {
         |       CAST(count(*) AS BIGINT) AS n_buckets,
         |       CAST(sum(abs(na * tb - nb * ta)) * 1000000
         |            // (2 * max(ta) * max(tb)) AS BIGINT) AS tvd_ppm
-        |FROM j, ta, tb""".stripMargin))
+        |FROM j, ta, tb""".stripMargin)),
+
+    QueryDef("q231_column_lineage", (s, d) => {
+      // column-level lineage from the ANALYZED Catalyst plan (no SQL
+      // re-parsing): a join + aggregate + literal model resolves each
+      // output column to its contributing source columns — the
+      // impact-analysis layer the q184 catalog's node-level deps stop
+      // short of. count(1) and literal columns correctly report NO
+      // lineage (NULL source), revenue tracks through the cents cast,
+      // the segment key through the join.
+      val orders = table(s, d, "orders")
+      val customer = table(s, d, "customer")
+      val model = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(Features.cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"),
+          max(to_date(col("o_orderdate"))).as("last_date"))
+        .withColumn("engine", lit("graft"))
+      graft.engine.Lineage.columnLineage(s, model,
+        Map("orders" -> orders, "customer" -> customer))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('segment', 'customer', 'c_mktsegment'),
+        |  ('revenue_cents', 'orders', 'o_totalprice'),
+        |  ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('last_date', 'orders', 'o_orderdate'),
+        |  ('engine', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
+        |  t(out_column, src_relation, src_column)""".stripMargin))
   )
 }

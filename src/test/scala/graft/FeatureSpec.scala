@@ -527,6 +527,39 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.getLong(1) === 10L)
   }
 
+  // ---- column lineage ----
+
+  test("columnLineage: window, explode, self-join, multi-source expression") {
+    import graft.engine.Lineage
+    val src = Seq((1L, "a b", 10L)).toDF("id", "txt", "w")
+    val dim = Seq((1L, "x")).toDF("k", "label")
+    // multi-source concat + window over w + exploded tokens
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"w")
+    val model = src.join(dim, $"id" === $"k")
+      .withColumn("tok", explode(split($"txt", " ")))
+      .select($"id", $"tok",
+        concat($"label", $"txt").as("tagged"),
+        sum($"w").over(win).as("running"))
+    val out = Lineage.columnLineage(spark, model,
+      Map("src" -> src, "dim" -> dim))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(out("tok") === Set((Some("src"), Some("txt"))))
+    assert(out("tagged") === Set((Some("src"), Some("txt")),
+      (Some("dim"), Some("label"))))
+    // the window value references w; its partition/order keys also count
+    assert(out("running").contains((Some("src"), Some("w"))))
+    assert(out("id") === Set((Some("src"), Some("id"))))
+    // self-join: both branches resolve to the same source column
+    val sj = src.as("l").join(src.as("r"), $"l.id" === $"r.id")
+      .select(concat($"l.txt", $"r.txt").as("both"))
+    val sjOut = Lineage.columnLineage(spark, sj, Map("src" -> src)).collect()
+    assert(sjOut.map(r => (r.getString(1), r.getString(2))).toSet ===
+      Set(("src", "txt")))
+  }
+
   test("olsTrend: slope is ONE division of exact integers (noisy fixture)") {
     // x = 0..3, y = 1, 2, 2, 4: Sx=6 Sy=9 Sxx=14 Sxy=(0+2+4+12)=18
     // slope = (4*18 - 54)/(4*14 - 36) = 18/20 = 0.9 ; intercept = (9*14-6*18)/20 = 0.9
