@@ -503,23 +503,76 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     }
     val byLevel = ordered.groupBy(m => level(m.name)).toSeq.sortBy(_._1)
     if (fireRunHooks) runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
-    byLevel.foreach { case (_, ms) =>
-      val results: Seq[(String, DataFrame)] =
-        if (threads <= 1 || ms.size == 1) ms.map(m => m.name -> materialize(m, fullRefresh, microbatchWindows))
-        else {
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(threads, ms.size))
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          try Await.result(
-            Future.sequence(ms.map(m => Future(m.name -> materialize(m, fullRefresh, microbatchWindows)))),
-            Duration.Inf)
-          finally pool.shutdown()
+    // dbt-retry bookkeeping: which of THIS run's selected models succeeded
+    // before an abort — the failed model plus everything not yet recorded
+    // is the retry set (a parallel sibling whose Future completed after
+    // the failure is conservatively re-run; materializations are
+    // idempotent swaps, so that costs time, never correctness)
+    val succeededNow = scala.collection.mutable.Set.empty[String]
+    // first failure wins under parallelism; the ORIGINAL exception always
+    // propagates unwrapped (callers assert on its type and message)
+    val failedModel = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def mat1(m: Model): (String, DataFrame) =
+      try m.name -> materialize(m, fullRefresh, microbatchWindows)
+      catch {
+        case e: Throwable =>
+          failedModel.compareAndSet(null, m.name)
+          throw e
+      }
+    try {
+      byLevel.foreach { case (_, ms) =>
+        val results: Seq[(String, DataFrame)] =
+          if (threads <= 1 || ms.size == 1) ms.map(mat1)
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(threads, ms.size))
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            try Await.result(
+              Future.sequence(ms.map(m => Future(mat1(m)))),
+              Duration.Inf)
+            finally pool.shutdown()
+          }
+        results.foreach { case (n, df) =>
+          materialized(n) = df; succeededNow += n
         }
-      results.foreach { case (n, df) => materialized(n) = df }
+      }
+      lastRunFailed = Set.empty
+      lastRunSkipped = Set.empty
+    } catch {
+      case e: Throwable =>
+        val f = Option(failedModel.get()).toSet
+        lastRunFailed = f
+        lastRunSkipped = ordered.map(_.name).toSet -- succeededNow -- f
+        throw e
     }
     if (fireRunHooks) runEndHooks.foreach(_(HookContext(spark, wh, None, None)))
     materialized.toMap
+  }
+
+  private var lastRunFailed = Set.empty[String]
+  private var lastRunSkipped = Set.empty[String]
+
+  /** What `dbt retry` would rerun after the last aborted invocation:
+    * the failed model and every selected model the abort skipped.
+    */
+  def retryPending: Set[String] = lastRunFailed ++ lastRunSkipped
+
+  /** `dbt retry`: resume the last ABORTED run from its point of failure —
+    * rerun the failed model and the skipped downstream, deferring every
+    * already-succeeded dependency to its materialized relation (bare-name
+    * selector semantics, so nothing upstream rebuilds). The original
+    * failure exception propagated unwrapped; this call re-runs from the
+    * recorded pending set. No-op guard: a clean last run has nothing to
+    * retry and raises rather than silently rebuilding the world. On
+    * success the pending set clears; a retry that fails again updates it
+    * (retry is itself retryable, like dbt's).
+    */
+  def retryLast(threads: Int = 1): Map[String, DataFrame] = {
+    val todo = retryPending
+    require(todo.nonEmpty, "nothing to retry: the last run did not abort")
+    runImpl(fullRefresh = false, Map.empty, threads, Nil, Nil,
+      selector = todo.toSeq.sorted.mkString(" "), fireRunHooks = true)
   }
 
   /** The dbt microbatch batch-series loop (dbt-core batch builder +

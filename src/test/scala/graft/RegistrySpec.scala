@@ -491,6 +491,32 @@ class RegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](reg3.resolveSelector("state:old"))
   }
 
+  test("dbt retry: resume an aborted run from the failure point") {
+    val root = Files.createTempDirectory("graft_retry").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    reg.source("raw", Seq((1L, "x")).toDF("k", "v"))
+    reg.register(Model("a", Seq("raw"), TableMat(), ctx => ctx.ref("raw")))
+    reg.register(Model("flaky", Seq("a"), TableMat(), ctx => {
+      if (failOnce.getAndSet(false))
+        throw new RuntimeException("transient build failure")
+      ctx.ref("a")
+    }))
+    reg.register(Model("down", Seq("flaky"), TableMat(), ctx => ctx.ref("flaky")))
+    // run 1 aborts at `flaky`: a built, flaky failed, down skipped
+    val e = intercept[RuntimeException](reg.run())
+    assert(e.getMessage.contains("transient")) // ORIGINAL exception, unwrapped
+    assert(wh.exists("a") && !wh.exists("flaky") && !wh.exists("down"))
+    assert(reg.retryPending === Set("flaky", "down"))
+    // retry resumes from the failure: only flaky + down build, a untouched
+    reg.retryLast()
+    assert(wh.exists("flaky") && wh.exists("down"))
+    assert(reg.retryPending === Set.empty[String])
+    // nothing pending -> loud no-op, never a silent full rebuild
+    assertThrows[IllegalArgumentException](reg.retryLast())
+  }
+
   test("declared tests run after materialization; error severity aborts the run") {
     import graft.operators.{GenericTests => GT}
     val root = Files.createTempDirectory("graft_build").toString
