@@ -713,4 +713,89 @@ class PropertySpec extends AnyFunSuite {
           s"engine=${got.toSeq.sorted} ref=${want.toSeq.sorted}")
     }
   }
+
+  test("Misra-Gries guarantee on random skewed streams: superset + undercount bound") {
+    import graft.operators.HeavyHitters
+    val rnd = new Random(97)
+    for (round <- 1 to 8) {
+      val k = 3 + rnd.nextInt(8)
+      // zipf-ish stream: few hot items, a long unique tail
+      val hot = (1 to 3).flatMap(h => Seq.fill(20 + rnd.nextInt(120))(s"h$h"))
+      val tail = (1 to 50 + rnd.nextInt(200)).map(i => s"t${round}_$i")
+      val stream = rnd.shuffle(hot ++ tail)
+      val n = stream.size
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val summary = HeavyHitters.mgSummarize(stream.iterator, k)
+      // every item with freq > n/k MUST survive; counts never overcount
+      // and undercount by at most n/k (the MG bound)
+      truth.foreach { case (item, c) =>
+        if (c * k > n)
+          assert(summary.contains(item), s"round $round k=$k lost $item ($c > $n/$k)")
+        summary.get(item).foreach { est =>
+          assert(est <= c && c - est <= n / k,
+            s"round $round $item: est $est vs true $c (n/k=${n / k})")
+        }
+      }
+      assert(summary.size <= k)
+    }
+  }
+
+  test("Kneser-Ney bigram model sums to <= 1 per context on random corpora") {
+    import graft.pipeline.TextAnalysis
+    val rnd = new Random(41)
+    for (round <- 1 to 4) {
+      val vocab = ('a' to ('a' + 4 + rnd.nextInt(6)).toChar).map(_.toString)
+      val docs = (1 to 10).map(i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))).toDF("doc_id", "text")
+      val rows = TextAnalysis.kneserNeyBigrams(docs, minCount = 1L)
+        .collect().map(r => r.getString(0) -> r.getLong(3))
+      // p_ppm over each context sums to <= 1e6 (a distribution; truncating
+      // integer div only ever loses mass) and every mass is positive
+      rows.groupBy(_._1).foreach { case (w1, ps) =>
+        val total = ps.map(_._2).sum
+        assert(total <= 1000000L, s"round $round context '$w1' sums to $total")
+        assert(ps.forall(_._2 >= 0))
+      }
+    }
+  }
+
+  test("TVD drift properties: symmetry, [0,1e6] range, zero iff same distribution") {
+    import graft.operators.GenericTests
+    val rnd = new Random(13)
+    for (round <- 1 to 5) {
+      val vals = ('a' to 'e').map(_.toString)
+      def sample(n: Int) = (1 to n).map(_ => vals(rnd.nextInt(vals.size))).toDF("c")
+      val a = sample(30 + rnd.nextInt(100))
+      val b = sample(30 + rnd.nextInt(100))
+      val ab = GenericTests.categoricalDrift(a, b, Seq("c")).collect()(0).getLong(2)
+      val ba = GenericTests.categoricalDrift(b, a, Seq("c")).collect()(0).getLong(2)
+      assert(ab === ba, s"round $round: TVD must be symmetric ($ab vs $ba)")
+      assert(ab >= 0 && ab <= 1000000L)
+      // duplicating every row changes counts, not the distribution -> 0
+      val a2 = a.unionAll(a)
+      assert(GenericTests.categoricalDrift(a, a2, Seq("c")).collect()(0)
+        .getLong(2) === 0L, s"round $round: scale-invariance")
+    }
+  }
+
+  test("twoProportionZ equals the textbook pooled formula on random arms") {
+    import graft.operators.Features
+    val rnd = new Random(7)
+    for (_ <- 1 to 20) {
+      val n1 = 10L + rnd.nextInt(5000); val c1 = rnd.nextInt(n1.toInt).toLong
+      val n2 = 10L + rnd.nextInt(5000); val c2 = rnd.nextInt(n2.toInt).toLong
+      val z = Seq((n1, c1, n2, c2)).toDF("n1", "c1", "n2", "c2")
+        .select(Features.twoProportionZ($"n1", $"c1", $"n2", $"c2"))
+        .collect()(0)
+      if (c1 + c2 == 0 || c1 + c2 == n1 + n2) assert(z.isNullAt(0))
+      else {
+        val p1 = c1.toDouble / n1; val p2 = c2.toDouble / n2
+        val p = (c1 + c2).toDouble / (n1 + n2)
+        val ref = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+        assert(math.abs(z.getDouble(0) - ref) < 1e-9 * math.max(1.0, math.abs(ref)),
+          s"($n1,$c1,$n2,$c2): ${z.getDouble(0)} vs $ref")
+      }
+    }
+  }
 }
