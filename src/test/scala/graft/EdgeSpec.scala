@@ -423,4 +423,26 @@ class EdgeSpec extends AnyFunSuite {
       $"source" === "nope", scale = 1000L).collect()(0)
     assert(lm.getLong(2) === 0L) // V = 0, C = 0 -> term (1000*0) div 1 = 0
   }
+
+  test("round-9 feature ops on empty inputs: empty results, never a crash") {
+    import graft.operators.{Features, Graph, HeavyHitters}
+    import graft.pipeline.{Stats, TextAnalysis}
+    val emptyOrders = Seq.empty[(Long, java.sql.Date, Double)]
+      .toDF("cust", "odate", "amt")
+    assert(Features.rfm(emptyOrders, "cust", "odate", "amt").count() === 0L)
+    val emptyKV = Seq.empty[(Long, String, Long)].toDF("k", "cat", "t")
+    assert(Features.targetEncode(emptyKV, $"k", $"cat", $"t").count() === 0L)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.labelPropagation(emptyEdges, "a", "b", 2).count() === 0L)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.kneserNeyBigrams(emptyDocs).count() === 0L)
+    assert(HeavyHitters.frequentItems(
+      Seq.empty[String].toDF("t"), $"t", k = 5).count() === 0L)
+    val emptyDays = Seq.empty[(String, Long, Long)].toDF("g", "d", "y")
+    assert(Stats.ewmaDaily(emptyDays, Seq("g"), $"d", $"y", 1, 4, 3).count() === 0L)
+    // single-row OLS: slope undefined (one x), trend row still present
+    val one = Seq(("g", 1L, 5L)).toDF("g", "x", "y")
+    val r = Features.olsTrend(one, Seq("g"), $"x", $"y").collect()(0)
+    assert(r.getLong(1) === 1L && r.isNullAt(2))
+  }
 }
