@@ -284,6 +284,13 @@ object Graph {
     * erased via (least, greatest) + distinct — one definition of what an
     * undirected edge IS.
     */
+  /** Public normalization entry for callers composing several undirected
+    * ops over ONE graph (normalize + checkpoint once, pass to the
+    * `...Undirected` variants).
+    */
+  def undirectedEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    normalizeUndirected(edges, aCol, bCol)
+
   private def normalizeUndirected(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val a = col(aCol).cast("long")
@@ -347,9 +354,18 @@ object Graph {
     * checkpoint is needed at small fixed depths.
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    labelPropagationUndirected(
+      normalizeUndirected(edges, aCol, bCol).localCheckpoint(), rounds)
+
+  /** [[labelPropagation]] over an ALREADY-normalized undirected edge set
+    * (columns (u, v), deduped, self-loop-free — [[modularityScaledUndirected]]'s
+    * contract): callers evaluating communities (LPA + modularity over the
+    * same graph) normalize and checkpoint ONCE instead of re-deriving the
+    * upstream edge join per consumer (the q222 shape, 5.4 -> ~4 s).
+    */
+  def labelPropagationUndirected(und: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds: $rounds")
-    val und = normalizeUndirected(edges, aCol, bCol)
     // both directions: u hears v's label and v hears u's. localCheckpoint:
     // the edge set feeds label init + every round — a lazy plan would
     // re-derive the upstream edge join (rounds+1) times (the kCorePeel
@@ -385,12 +401,21 @@ object Graph {
     * still report via the degree side (full outer + zero-fill).
     */
   def modularityScaled(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame =
+    // und feeds three consumers (m, internal edges, degrees) — checkpoint
+    // or pay the upstream edge derivation three times
+    modularityScaledUndirected(
+      normalizeUndirected(edges, aCol, bCol).localCheckpoint(), labels)
+
+  /** [[modularityScaled]] over a pre-normalized (u, v) edge set — pair
+    * with [[labelPropagationUndirected]] to share one checkpointed graph.
+    */
+  def modularityScaledUndirected(und: DataFrame,
       labels: DataFrame): DataFrame = {
     require(labels.columns.toSeq == Seq("node", "label"),
       s"labels must be (node, label): ${labels.columns.mkString(",")}")
-    // und feeds three consumers (m, internal edges, degrees) — checkpoint
-    // or pay the upstream edge derivation three times
-    val und = normalizeUndirected(edges, aCol, bCol).localCheckpoint()
+    require(und.columns.toSeq == Seq("u", "v"),
+      s"undirected edges must be (u, v): ${und.columns.mkString(",")}")
     val m = und.agg(count(lit(1)).as("m"))
     val la = labels.select(col("node").as("u"), col("label").as("__la"))
     val lb = labels.select(col("node").as("v"), col("label").as("__lb"))

@@ -581,9 +581,11 @@ object FeatureQueries extends QuerySet {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src_id"),
           (col("l_suppkey") + lit(1000000)).as("dst_id"))
-      val labels = graft.operators.Graph.labelPropagation(
-        edges, "src_id", "dst_id", rounds = 3)
-      graft.operators.Graph.modularityScaled(edges, "src_id", "dst_id", labels)
+      // normalize + checkpoint ONCE; LPA and modularity share the graph
+      val und = graft.operators.Graph.undirectedEdges(edges, "src_id", "dst_id")
+        .localCheckpoint()
+      val labels = graft.operators.Graph.labelPropagationUndirected(und, rounds = 3)
+      graft.operators.Graph.modularityScaledUndirected(und, labels)
         .select(col("label").cast("long").as("label"), col("n_nodes"),
           col("in_edges"), col("deg_sum"), col("q_scaled"))
     }, Some(
