@@ -288,6 +288,31 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       "doc", "column_index", "column_name", "column_type")
   }
 
+  /** Column-level lineage of one registered model against its DIRECT
+    * dependencies ([[Lineage.columnLineage]] with sources resolved from
+    * this registry). The DEFINITION is introspected — the build runs
+    * lazily in full-refresh shape against the dep relations and only its
+    * ANALYZED plan is read, never executed (a materialized table's
+    * stored relation is a bare parquet scan that remembers nothing; dbt
+    * docs generation likewise reads the parse tree, not the warehouse).
+    * Builds are pure plan constructors by Registry contract, so the lazy
+    * invocation is free. Deps resolve like a run: this registry's
+    * relations, else the warehouse (cross-process defer), else raise.
+    */
+  def columnLineage(modelName: String): DataFrame = {
+    val m = models.find(_.name == modelName).getOrElse(
+      throw new IllegalArgumentException(s"unknown model: $modelName"))
+    val deps = m.deps.map(d => d -> materialized.getOrElse(d, {
+      if (wh.exists(d)) wh.read(d)
+      else throw new IllegalStateException(
+        s"dependency '$d' of '$modelName' is not materialized and has no " +
+          "warehouse relation — run its ancestors first")
+    })).toMap
+    val ctx = ModelContext(spark, deps, isIncremental = false,
+      existingTarget = None)
+    Lineage.columnLineage(spark, m.build(ctx), deps)
+  }
+
   /** Kahn topo-sort (dbt DAG semantics; cycles are an authoring error). */
   private def topoSorted: Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap

@@ -517,6 +517,29 @@ class RegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](reg.retryLast())
   }
 
+  test("Registry.columnLineage: definition-level lineage through the DAG") {
+    val root = Files.createTempDirectory("graft_lin").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    reg.source("raw", Seq((1L, "x", 10.0)).toDF("id", "name", "amt"))
+    reg.register(Model("stg", Seq("raw"), TableMat(),
+      ctx => ctx.ref("raw").select($"id", upper($"name").as("uname"),
+        ($"amt" * 100).cast("long").as("cents"))))
+    reg.register(Model("mart", Seq("stg"), TableMat(),
+      ctx => ctx.ref("stg").groupBy($"uname")
+        .agg(sum($"cents").as("total"), count(lit(1)).as("n"))))
+    reg.run()
+    // mart's lineage resolves to STG's columns (the direct deps), even
+    // though mart materialized as a table (stored scan remembers nothing)
+    val lin = reg.columnLineage("mart").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(lin("uname") === Set((Some("stg"), Some("uname"))))
+    assert(lin("total") === Set((Some("stg"), Some("cents"))))
+    assert(lin("n") === Set((None, None))) // count(1): no source columns
+    assertThrows[IllegalArgumentException](reg.columnLineage("nope"))
+  }
+
   test("declared tests run after materialization; error severity aborts the run") {
     import graft.operators.{GenericTests => GT}
     val root = Files.createTempDirectory("graft_build").toString
