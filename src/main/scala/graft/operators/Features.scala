@@ -171,6 +171,55 @@ object Features {
     agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Chi-square contingency table between two categorical columns — the
+    * feature-association / independence audit (which candidate features are
+    * redundant, which segmentation actually separates a target). One row
+    * per observed (a, b) cell with the cell's exact contribution:
+    *
+    *  - `observed`       exact count
+    *  - `expected_milli` `r*c*1000 div N` (independence expectation)
+    *  - `term_milli`     `(o*N - r*c)^2 * 1000 div (N*r*c)` — the cell's
+    *                     chi-square term; `sum(term_milli)` is the statistic
+    *                     in exact milli-points
+    *
+    * All products ride DECIMAL(38,0) (`(o*N - r*c)^2` passes a BIGINT at
+    * ~60k rows already) and divisions are integral, so every value is an
+    * exact integer that hash-compares across engines — no libm, no float
+    * summation order. NULL categories group as their own cell (dbt
+    * accepted_values semantics: NULL is a real category in an audit).
+    *
+    * Scale shape: one partial-agg shuffle keyed on (a, b); the row/column
+    * marginals are rollups OF THAT ROLLUP (bounded by category cardinality,
+    * never row count) broadcast back onto the cells. Nothing re-scans raw
+    * rows.
+    */
+  def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val obs = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = obs.groupBy(col("a"))
+      .agg(sum(col("observed")).as("r_tot"))
+    val colTot = obs.groupBy(col("b"))
+      .agg(sum(col("observed")).as("c_tot"))
+    val grand = obs.agg(sum(col("observed")).as("n_tot"))
+    val delta = dec(col("observed")) * dec(col("n_tot")) -
+      dec(col("r_tot")) * dec(col("c_tot"))
+    obs
+      // null-safe joins: a NULL category is a real cell and must still
+      // find its marginal row (a plain equi-join would silently drop it)
+      .join(broadcast(rowTot.withColumnRenamed("a", "__ra")),
+        col("a") <=> col("__ra"))
+      .join(broadcast(colTot.withColumnRenamed("b", "__cb")),
+        col("b") <=> col("__cb"))
+      .crossJoin(broadcast(grand))
+      .select(col("a"), col("b"), col("observed"),
+        call_function("div", dec(col("r_tot")) * dec(col("c_tot")) * 1000,
+          dec(col("n_tot"))).cast("long").as("expected_milli"),
+        call_function("div", delta * delta * 1000,
+          dec(col("n_tot")) * dec(col("r_tot")) * dec(col("c_tot")))
+          .cast("long").as("term_milli"))
+  }
+
   /** Pooled two-proportion z statistic from exact integer counts — the
     * A/B experiment readout. Algebraically
     * `z = (c1/n1 - c2/n2) / sqrt(p(1-p)(1/n1 + 1/n2))` with pooled

@@ -354,4 +354,22 @@ object GenericTests {
         (if (op == "=") col("n_rows") === col("n_b")
          else col("n_rows") < col("n_b")).as("pass"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: every QI
+    * combination observed fewer than `k` times re-identifies its members —
+    * the privacy gate run before a mart with demographic columns leaves the
+    * warehouse. One row per QI combination with its count and an `at_risk`
+    * flag; downstream policy decides suppress/generalize.
+    *
+    * NULLs form their own combination (a NULL birth year still narrows a
+    * person down). Shape: ONE partial-agg shuffle keyed on the QI tuple —
+    * the audit costs the same as the groupBy it wraps at any scale.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one QI column")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
 }

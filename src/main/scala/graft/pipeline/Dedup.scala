@@ -96,6 +96,65 @@ object Dedup {
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Pairwise shingle CONTAINMENT within a blocking column — the asymmetric
+    * dedup signal Jaccard misses: a short doc wholly embedded in a long one
+    * (quote farms, pagination shards, boilerplate-wrapped copies) scores
+    * `|A ∩ B| / min(|A|,|B|) ~ 1` while its Jaccard can sit far below any
+    * dedup threshold. Output: block, id_a, id_b (a<b), n_a, n_b,
+    * containment — exact integer set sizes, one IEEE division.
+    *
+    * Candidate generation adapts the AllPairs prefix filter to the
+    * asymmetric measure: C >= t needs `ceil(t * n_min)` shared shingles, so
+    * the smallest common shingle (canonical sort order) must land in the
+    * first `n - ceil(t*n) + 1` shingles OF THE SMALLER SIDE — but may sit
+    * anywhere in the larger. The join therefore pairs each doc's
+    * containment PREFIX against every doc's FULL shingle list (both
+    * orientations, canonicalized), keyed on (block, shingle): shuffle by
+    * near-unique shingle like [[ngramJaccardPairs]], never by block, and
+    * every candidate is re-verified with the true intersection. Same
+    * epsilon discipline — the fp guard can only lengthen a prefix.
+    */
+  def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
+      threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1).cast("int")
+    val safeText = coalesce(col(textCol), lit("\u0000<null-doc>"))
+    val sh = docs.select(col(blockCol), col(idCol).cast("long").as("id"),
+        safeText.as("__text"), TextAnalysis.tokens(safeText).as("__toks"))
+      .select(col(blockCol), col("id"),
+        array_sort(TextAnalysis.shinglesFromTokens(col("__text"), col("__toks"), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("prefix", slice(col("sh"), lit(1), prefixLen))
+      .localCheckpoint(false) // shared by prefix/full/verify branches
+    val pa = sh.select(col(blockCol), col("id").as("id_p"), col("n_sh").as("np_i"),
+      explode(col("prefix")).as("tok"))
+    val pb = sh.select(col(blockCol), col("id").as("id_f"), col("n_sh").as("nf_i"),
+      explode(col("sh")).as("tok"))
+    // the prefix bound only holds when the PREFIX side is the smaller set;
+    // ties by id keep exactly one orientation per pair alive
+    val prefixIsMin = col("np_i") < col("nf_i") ||
+      (col("np_i") === col("nf_i") && col("id_p") < col("id_f"))
+    val candidates = pa.join(pb, Seq(blockCol, "tok"))
+      .filter(col("id_p") =!= col("id_f") && prefixIsMin)
+      .select(col(blockCol), least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    val shOnly = sh.select(col("id"), col("sh"))
+    candidates
+      .join(shOnly.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOnly.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("inter") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
   /** 32-bit base hash of a shingle: first 8 md5 hex digits as a long.
     * Engine-portable and computed ONCE per shingle — the k permutations
     * below are cheap integer ops, not k md5 passes.

@@ -180,6 +180,66 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of multiple
+    * per-query ranked lists — the standard hybrid-retrieval combiner (e.g.
+    * lexical BM25 + embedding ANN): each list contributes
+    * `1e6 div (rrfK + rank)` in exact integer micro-units, a candidate
+    * absent from a list contributes zero, and candidates re-rank by the
+    * summed score (id-ascending tie-break). Integer division keeps the
+    * fused score hash-comparable across engines — same log-free discipline
+    * as q221's lift — while preserving RRF's ordering for rrfK + rank up
+    * to 1e6 (ranks are top-k bounded, so exactly).
+    *
+    * Inputs are (query_id, neighbor_id, rank) top-k relations (the
+    * [[bruteForceTopK]] family shape). Shape: a union of k-bounded lists,
+    * one (query, neighbor) partial agg, and a WindowGroupLimit top-k —
+    * cost O(lists * k * queries), independent of corpus size.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"fusion needs >= 2 ranked lists: ${lists.size}")
+    require(k >= 1 && rrfK >= 1, s"k=$k rrfK=$rrfK")
+    val contrib = lists
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        call_function("div", lit(1000000L), lit(rrfK.toLong) + col("rank"))
+          .as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** k-nearest-neighbor majority-vote classification: label each query
+    * vector by the plurality label of its `k` nearest corpus neighbors
+    * (cosine, quantized-exact), ties broken toward the smaller label — the
+    * standard weak-labeler / label-propagation step for corpus curation
+    * (spam/domain tags from a small seed set).
+    *
+    * Composes [[bruteForceTopK]] (exactness baseline; an LSH/IVF list
+    * drops in unchanged for the scale path since only the
+    * (query_id, neighbor_id) shape is consumed) with the corpus label
+    * relation. Shape: the top-k list is k-bounded per query, so the label
+    * join and the vote rollup are O(k * queries); the argmax is a
+    * WindowGroupLimit over vote groups.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val topk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("lbl"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("lbl").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("lbl").as("predicted_label"), col("votes"))
+  }
+
   /** IVF-style ANN (coarse quantizer + probed inverted lists): the first
     * `nCentroids` corpus vectors stand in for trained centroids (a k-means
     * fit would slot in here unchanged — deterministic for the oracle); every

@@ -153,6 +153,113 @@ object Stats {
     * @return (groupCols..., day_idx, ewma_num, ewma_milli) where
     *         `ewma = ewma_num / b^L` and `ewma_milli = 1000*num div b^L`.
     */
+  /** Per-group sample autocorrelation (ACF) of a daily integer series at
+    * lags 1..maxLag — the seasonality / burstiness diagnostic that decides
+    * whether [[ewmaDaily]] smoothing or the q204 weekly baseline is the
+    * right drift model for a metric.
+    *
+    * The series is densified onto each group's [min, max] day spine
+    * (missing days are zero-activity days, as in [[ewmaDaily]]), then ONE
+    * per-group window sort produces every lag's pairing via `lead(x, k)`.
+    * The standard estimator
+    * `r_k = sum((x_t - m)(x_{t+k} - m)) / sum((x_t - m)^2)` with the GLOBAL
+    * mean `m = S/n` is cleared of the rational mean by multiplying through
+    * by `n^2`:
+    * `r_k = (n^2*P_k - n*S*(Sh_k + St_k) + (n-k)*S^2) / (n^2*SS - n*S^2)`
+    * where `P_k = sum(x_t * x_{t+k})`, `Sh_k`/`St_k` are the head/tail
+    * partial sums over the paired range — every operand an exact BIGINT, so
+    * the single IEEE division hash-compares on any engine. A constant
+    * series has zero variance -> NULL (undefined, not NaN noise).
+    *
+    * Scale shape: one (group, day) rollup shuffle, then a window whose
+    * partitions hold one row per DAY (calendar-bounded, never row-count-
+    * bounded), then a per-group partial agg. No global sort.
+    */
+  def autocorr(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag must be in [1, 30]: $maxLag")
+    require(groupCols.nonEmpty, "autocorr needs at least one group column")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols ++ Seq(col("day"), coalesce(col("y"), lit(0L)).as("x")): _*)
+    // ONE sort serves every lag: lead(x, k) over the same ordered window
+    val w = Window.partitionBy(gcols: _*).orderBy(col("day").asc)
+    val withLeads = (1 to maxLag).foldLeft(dense) { (acc, k) =>
+      acc.withColumn(s"x_$k", lead(col("x"), k).over(w))
+    }
+    // moments ride DECIMAL(38,0): n^2 * sum(x^2) overflows a BIGINT once
+    // daily totals pass ~3e9 (plausible at 100 TB), and a wrapped moment is
+    // a silently-wrong correlation; decimal overflow raises instead
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lagSums = (1 to maxLag).flatMap { k =>
+      Seq(
+        sum(dec(col("x")) * dec(col(s"x_$k"))).as(s"p_$k"),
+        sum(when(col(s"x_$k").isNotNull, dec(col("x")))).as(s"sh_$k"),
+        sum(dec(col(s"x_$k"))).as(s"st_$k"))
+    }
+    val agg = withLeads.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      (Seq(sum(dec(col("x"))).as("s"),
+        sum(dec(col("x")) * dec(col("x"))).as("ss")) ++ lagSums): _*)
+    val den = col("n") * col("n") * col("ss") - col("n") * col("s") * col("s")
+    val zero = lit(0L).cast("decimal(38,0)")
+    val lagRows = (1 to maxLag).map { k =>
+      val num = col("n") * col("n") * coalesce(col(s"p_$k"), zero) -
+        col("n") * col("s") *
+          (coalesce(col(s"sh_$k"), zero) + coalesce(col(s"st_$k"), zero)) +
+        (col("n") - k) * col("s") * col("s")
+      struct(lit(k).as("lag"), (col("n") - k).cast("long").as("n_pairs"),
+        when(den =!= zero && col("n") > k,
+          num.cast("double") / den.cast("double")).as("acf"))
+    }
+    agg.select(gcols :+ explode(array(lagRows: _*)).as("t"): _*)
+      .select(gcols ++ Seq(col("t.lag"), col("t.n_pairs"), col("t.acf")): _*)
+  }
+
+  /** Per-group time-weighted average (TWAP) over an irregularly-sampled
+    * value series: each sample holds until the next observation, so its
+    * weight is that duration in exact microseconds — the correct average
+    * for state-like metrics (balance, queue depth, price) where the
+    * arithmetic row mean over-weights bursty periods. The final open-ended
+    * sample has no duration and is excluded (the standard "known interval
+    * only" convention).
+    *
+    * `twap_micro = (sum(v_milli * dur_us) * 1000) div sum(dur_us)` — the
+    * weighted sum rides DECIMAL(38,0) (milli-value x microsecond products
+    * overflow a BIGINT on year-long spans), the result is an exact integer
+    * in micro-units, hash-comparable anywhere.
+    *
+    * Shape: one per-group window sort by (ts, tiebreak) for the `lead`
+    * durations, then a per-group partial agg. Scales as any keyed window.
+    */
+  def twap(df: DataFrame, groupCols: Seq[String], tsCol: Column,
+      tieCol: Column, valueMilliCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "twap needs at least one group column")
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(tsCol.asc, tieCol.asc)
+    val us = unix_micros(tsCol)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.filter(tsCol.isNotNull && valueMilliCol.isNotNull)
+      .withColumn("__dur_us", lead(us, 1).over(w) - us)
+      .filter(col("__dur_us").isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur_us")).as("total_dur_us"),
+        sum(dec(valueMilliCol) * dec(col("__dur_us"))).as("__wsum"))
+      .withColumn("twap_micro",
+        // a group whose samples all share one timestamp has zero total
+        // duration: TWAP is undefined -> NULL (ANSI div would raise)
+        when(col("total_dur_us") > 0,
+          call_function("div", col("__wsum") * lit(1000L),
+            dec(col("total_dur_us"))).cast("long")))
+      .drop("__wsum")
+  }
+
   def ewmaDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
       valueCol: Column, alphaNum: Int, alphaDen: Int,
       lookback: Int): DataFrame = {

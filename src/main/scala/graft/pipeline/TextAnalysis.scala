@@ -213,6 +213,38 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
 
+  /** Per-document token diversity via the Simpson repeat index — the
+    * repetition spam signal that catches keyword-stuffed / template-looped
+    * pages a perplexity gate misses. `simpson_ppm` is the exact-ppm
+    * probability that two tokens drawn WITHOUT replacement are the same
+    * type: `sum(f_i*(f_i-1)) * 1e6 div (n*(n-1))` — 0 for all-distinct
+    * text, 1e6 for one token repeated; high values = low diversity. Exact
+    * integer arithmetic end to end (the log-free analogue of token entropy,
+    * same design seat as q221's log-free PMI). Single-token docs have no
+    * pair to draw -> NULL.
+    *
+    * Shape: one (doc, token) partial-agg rollup, then a per-doc rollup —
+    * the vocabulary() shuffle pattern; no windows, no distinct-expand.
+    */
+  def tokenDiversity(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("f") * (col("f") - 1L)).as("rep_pairs"))
+      .withColumn("simpson_ppm",
+        when(col("n_tokens") > 1,
+          call_function("div", col("rep_pairs") * 1000000L,
+            col("n_tokens") * (col("n_tokens") - 1L))))
+      .drop("rep_pairs")
+
   /** Inverted index over the corpus: per token, its document frequency and
     * a head-capped posting list (first `maxPostings` doc ids ascending,
     * comma-joined) — the retrieval-side artifact of a training-data search/

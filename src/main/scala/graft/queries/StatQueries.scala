@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Features, GenericTests}
+import graft.pipeline.{Dedup, Similarity, Stats, TextAnalysis => TA}
+import graft.sources.Sources.{events, table}
+
+/** Round-9 continuation battery: statistical association and time-series
+  * diagnostics (chi-square, autocorrelation, TWAP), privacy/quality audits
+  * (k-anonymity, Simpson token diversity), and retrieval composition
+  * (reciprocal-rank fusion, shingle containment, kNN labeling). The exact-
+  * arithmetic discipline of FeatureQueries throughout: integers or single
+  * IEEE expressions over exact operands, so every oracle hash-matches.
+  */
+object StatQueries extends QuerySet {
+
+  /** Shared DuckDB fragments (the PipelineQueries conventions). */
+  private val toksSql = "string_split(text, ' ')"
+  private val shinglesSql =
+    s"""CASE WHEN len($toksSql) >= 3
+       |     THEN list_distinct(list_transform(generate_series(1, len($toksSql)-2),
+       |            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+       |     ELSE [text] END""".stripMargin
+  private val qvecSql =
+    "list_transform(CAST(embedding AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a,$b), p -> p[1]*p[2])) AS DOUBLE)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** DuckDB CTEs for the two q237 ranked lists: brute-force and sign-LSH
+    * top-5 over queries vec_id < 20 (the q36/q37 recipes with rank kept).
+    * Yields `bt(query_id, neighbor_id, rn)` and `lt(...)`.
+    */
+  private val rankedListsCtes: String =
+    s"""q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qvecSql AS qv,
+       |             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+       |            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+       |            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+       |      FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qvecSql AS cv,
+       |             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+       |            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+       |            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+       |      FROM embeddings),
+       |bt AS (SELECT query_id, neighbor_id, rn FROM (
+       |         SELECT q.query_id, c.neighbor_id,
+       |                row_number() OVER (PARTITION BY q.query_id
+       |                  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+       |         FROM c, q WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5),
+       |lt AS (SELECT query_id, neighbor_id, rn FROM (
+       |         SELECT q.query_id, c.neighbor_id,
+       |                row_number() OVER (PARTITION BY q.query_id
+       |                  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+       |         FROM c JOIN q ON c.bucket = q.bucket
+       |         WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q232_chi_square", (s, d) =>
+      // feature-association audit: is order status independent of order
+      // priority? Exact per-cell chi-square contributions in milli-points
+      // (sum(term_milli) = the statistic); every value an exact integer.
+      Features.chiSquareCells(table(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))
+        .withColumnRenamed("a", "status")
+        .withColumnRenamed("b", "priority"),
+      Some(
+        """WITH obs AS (
+          |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          |         CAST(count(*) AS BIGINT) AS observed
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT status, CAST(sum(observed) AS HUGEINT) AS r_tot FROM obs GROUP BY 1),
+          |c AS (SELECT priority, CAST(sum(observed) AS HUGEINT) AS c_tot FROM obs GROUP BY 1),
+          |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n_tot FROM obs),
+          |t AS (
+          |  SELECT status, priority, observed, r_tot, c_tot, n_tot,
+          |         CAST(observed AS HUGEINT) * n_tot - r_tot * c_tot AS delta
+          |  FROM obs JOIN r USING (status) JOIN c USING (priority) CROSS JOIN n)
+          |SELECT status, priority, observed,
+          |       CAST((r_tot * c_tot * 1000) // n_tot AS BIGINT) AS expected_milli,
+          |       CAST((delta * delta * 1000) // (n_tot * r_tot * c_tot) AS BIGINT) AS term_milli
+          |FROM t""".stripMargin)),
+
+    QueryDef("q233_autocorr", (s, d) =>
+      // per-type ACF of the daily event-count series at lags 1..7 — the
+      // weekly-seasonality diagnostic feeding the q204 baseline choice.
+      // Densified day spine; exact BIGINT->DECIMAL moments; one IEEE
+      // division per lag.
+      Stats.autocorr(events(s, d), Seq("event_type"),
+        unix_date(to_date(col("ts"))), lit(1L), maxLag = 7),
+      Some {
+        val maxLag = 7
+        val leadCols = (1 to maxLag)
+          .map(k => s"lead(x, $k) OVER (PARTITION BY event_type ORDER BY day ASC) AS x_$k")
+          .mkString(",\n         ")
+        val lagAggs = (1 to maxLag).map(k =>
+          s"""sum(CAST(x AS HUGEINT) * x_$k) AS p_$k,
+             |         sum(CASE WHEN x_$k IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sh_$k,
+             |         sum(CAST(x_$k AS HUGEINT)) AS st_$k""".stripMargin)
+          .mkString(",\n         ")
+        val lagRows = (1 to maxLag).map { k =>
+          s"""SELECT event_type, $k AS lag, CAST(n - $k AS BIGINT) AS n_pairs,
+             |       CASE WHEN n*n*ss - n*s*s <> 0 AND n > $k
+             |            THEN CAST(n*n*coalesce(p_$k, 0) - n*s*(coalesce(sh_$k, 0) + coalesce(st_$k, 0))
+             |                      + (n - $k)*s*s AS DOUBLE)
+             |               / CAST(n*n*ss - n*s*s AS DOUBLE) END AS acf
+             |FROM agg""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           |         CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+           |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM b),
+           |dense AS (
+           |  SELECT s.event_type, s.day, coalesce(d.y, 0) AS x
+           |  FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day),
+           |led AS (
+           |  SELECT event_type, x,
+           |         $leadCols
+           |  FROM dense),
+           |agg AS (
+           |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           |         sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS ss,
+           |         $lagAggs
+           |  FROM led GROUP BY 1)
+           |$lagRows""".stripMargin
+      }),
+
+    QueryDef("q234_twap", (s, d) =>
+      // time-weighted average event value per type over irregular samples:
+      // each sample holds until the next (exact microsecond durations),
+      // the honest mean for state-like metrics. Exact integer micro-units.
+      Stats.twap(events(s, d), Seq("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 1000 + lit(0.5)).cast("long")),
+      Some(
+        """WITH s AS (
+          |  SELECT event_type, epoch_us(ts) AS us, event_id,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |d AS (
+          |  SELECT event_type, vm,
+          |         lead(us) OVER (PARTITION BY event_type ORDER BY us ASC, event_id ASC) - us AS dur
+          |  FROM s)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+          |       CAST(sum(dur) AS BIGINT) AS total_dur_us,
+          |       CAST(CASE WHEN sum(dur) > 0
+          |                 THEN (sum(CAST(vm AS HUGEINT) * dur) * 1000) // CAST(sum(dur) AS HUGEINT)
+          |            END AS BIGINT) AS twap_micro
+          |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    QueryDef("q235_k_anonymity", (s, d) =>
+      // privacy gate: quasi-identifier (segment, nation) combinations seen
+      // fewer than k=5 times re-identify their members.
+      GenericTests.kAnonymity(table(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), k = 5),
+      Some(
+        """SELECT c_mktsegment, c_nationkey,
+          |       CAST(count(*) AS BIGINT) AS group_size,
+          |       count(*) < 5 AS at_risk
+          |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q236_token_diversity", (s, d) =>
+      // repetition spam signal: exact-ppm Simpson repeat index per doc
+      // (probability two tokens drawn without replacement are equal).
+      TA.tokenDiversity(table(s, d, "documents")),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toksSql) AS token
+           |  FROM documents WHERE text IS NOT NULL),
+           |f AS (
+           |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS f
+           |  FROM tok GROUP BY 1, 2)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(sum(f) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) AS BIGINT) AS n_types,
+           |       CAST(CASE WHEN sum(f) > 1
+           |                 THEN (sum(f * (f - 1)) * 1000000)
+           |                      // (CAST(sum(f) AS HUGEINT) * (sum(f) - 1))
+           |            END AS BIGINT) AS simpson_ppm
+           |FROM f GROUP BY 1""".stripMargin)),
+
+    QueryDef("q237_rrf_fusion", (s, d) => {
+      // hybrid-retrieval fusion: brute-force cosine and sign-LSH top-5
+      // lists combined by reciprocal-rank fusion in exact integer
+      // micro-units; re-ranked fused top-5 per query.
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.rrfFuse(Seq(
+        Similarity.bruteForceTopK(emb, q, k = 5),
+        Similarity.lshTopK(emb, q, k = 5, signBits = 3)), k = 5)
+    }, Some(
+      s"""WITH $rankedListsCtes,
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rn) AS contrib FROM bt
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rn) AS contrib FROM lt),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+         |             CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rrf_micro, n_lists, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micro DESC, neighbor_id ASC) AS rank FROM f) t
+         |WHERE rank <= 5""".stripMargin)),
+
+    QueryDef("q238_containment_pairs", (s, d) => {
+      // asymmetric dedup: short docs embedded in longer ones score
+      // containment ~1 while Jaccard stays low. Prefix-filtered candidate
+      // join, exact set sizes, one IEEE division.
+      val docs = table(s, d, "documents")
+        .withColumn("block", concat_ws("/", col("lang"), col("source")))
+      Dedup.containmentPairs(docs, "block", n = 3, threshold = 0.5)
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT lang || '/' || source AS block, CAST(doc_id AS BIGINT) AS id,
+         |         $shinglesSql AS sh
+         |  FROM documents)
+         |SELECT a.block, a.id AS id_a, b.id AS id_b,
+         |       CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |         / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+         |FROM docs a JOIN docs b ON a.block = b.block AND a.id < b.id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    QueryDef("q239_knn_classify", (s, d) => {
+      // kNN majority-vote weak labeling: every 10th vector held out and
+      // labeled by its 5 nearest labeled neighbors (plurality, min-label
+      // tie-break).
+      val emb = table(s, d, "embeddings")
+      Similarity.knnClassify(
+        corpus = emb.filter(col("vec_id") % 10 =!= 0),
+        queries = emb.filter(col("vec_id") % 10 === 0), k = 5)
+    }, Some(
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qvecSql AS qv
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+         |             CAST(label AS BIGINT) AS lbl, $qvecSql AS cv
+         |      FROM embeddings WHERE vec_id % 10 <> 0),
+         |topk AS (SELECT query_id, lbl FROM (
+         |           SELECT q.query_id, c.lbl, c.neighbor_id,
+         |                  row_number() OVER (PARTITION BY q.query_id
+         |                    ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+         |           FROM c, q) t WHERE rn <= 5),
+         |v AS (SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS votes
+         |      FROM topk GROUP BY 1, 2)
+         |SELECT query_id, lbl AS predicted_label, votes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, lbl ASC) AS rn FROM v) t
+         |WHERE rn = 1""".stripMargin)))
+}

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Features, GenericTests}
+import graft.pipeline.{Dedup, Similarity, Stats, TextAnalysis}
+
+/** Hand-computable vectors for the round-9 continuation battery: chi-square
+  * cells, autocorrelation, TWAP, k-anonymity, Simpson diversity, RRF
+  * fusion, containment pairs, kNN classification.
+  */
+class StatSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- chiSquareCells ----
+
+  test("chiSquareCells: 2x2 hand computation, exact milli terms") {
+    val rows =
+      Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+        Seq.fill(20)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val out = Features.chiSquareCells(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // N=100, r_x=40 r_y=60, c_p=50 c_q=50; delta = +-1000 everywhere
+    assert(out(("x", "p")) === ((30L, 20000L, 5000L)))
+    assert(out(("x", "q")) === ((10L, 20000L, 5000L)))
+    assert(out(("y", "p")) === ((20L, 30000L, 3333L)))
+    assert(out(("y", "q")) === ((40L, 30000L, 3333L)))
+  }
+
+  test("chiSquareCells: independent columns give zero terms; NULL is a cell") {
+    // perfectly independent 2x2 (counts proportional to marginals)
+    val indep =
+      Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+        Seq.fill(20)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    val terms = Features.chiSquareCells(indep.toDF("a", "b"), col("a"), col("b"))
+      .select(col("term_milli")).collect().map(_.getLong(0))
+    assert(terms.forall(_ === 0L))
+    // NULL category must keep its marginal row (null-safe joins)
+    val withNull = Seq(("x", Some("p")), ("x", None), (null, Some("p")))
+      .toDF("a", "b")
+    val cells = Features.chiSquareCells(withNull, col("a"), col("b"))
+      .collect()
+    assert(cells.length === 3)
+    assert(cells.forall(r => !r.isNullAt(3) && !r.isNullAt(4)))
+  }
+
+  // ---- autocorr ----
+
+  test("autocorr: linear ramp matches the textbook estimator") {
+    val df = (0 until 5).map(i => ("g", i.toLong, (i + 1).toLong))
+      .toDF("g", "day", "v")
+    val out = Stats.autocorr(df, Seq("g"), col("day"), col("v"), maxLag = 2)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // x = [1..5], mean 3: r1 = 4/10, r2 = -1/10
+    assert(out(1) === ((4L, 0.4)))
+    assert(out(2) === ((3L, -0.1)))
+  }
+
+  test("autocorr: missing days densify to zero; constant series -> NULL") {
+    val gap = Seq(("g", 0L, 2L), ("g", 2L, 2L)).toDF("g", "day", "v")
+    val r1 = Stats.autocorr(gap, Seq("g"), col("day"), col("v"), maxLag = 1)
+      .collect().head
+    // dense x = [2, 0, 2]: acf_1 = -2/3 (hand computation in the scaladoc
+    // clearing: n=3 S=4 SS=8 P=0 Sh=St=2 -> num=-16, den=24)
+    assert(r1.getLong(2) === 2L)
+    assert(math.abs(r1.getDouble(3) - (-2.0 / 3.0)) < 1e-15)
+    val const = Seq(("g", 0L, 7L), ("g", 1L, 7L), ("g", 2L, 7L))
+      .toDF("g", "day", "v")
+    val cr = Stats.autocorr(const, Seq("g"), col("day"), col("v"), maxLag = 1)
+      .collect().head
+    assert(cr.isNullAt(3)) // zero variance -> undefined, not NaN
+  }
+
+  // ---- twap ----
+
+  test("twap: duration-weighted, terminal sample excluded, exact micro") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val df = Seq(("a", t0, 1L, 1000L), ("a", t1, 2L, 3000L), ("a", t2, 3L, 0L))
+      .toDF("g", "ts", "id", "vm")
+    val r = Stats.twap(df, Seq("g"), col("ts"), col("id"), col("vm"))
+      .collect().head
+    // (1e7us * 1000 + 2e7us * 3000) * 1000 / 3e7us = 2333333 (floor)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 30000000L)
+    assert(r.getLong(3) === 2333333L)
+  }
+
+  test("twap: all samples at one instant -> zero duration -> NULL") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(("a", t0, 1L, 10L), ("a", t0, 2L, 20L)).toDF("g", "ts", "id", "vm")
+    val r = Stats.twap(df, Seq("g"), col("ts"), col("id"), col("vm"))
+      .collect().head
+    assert(r.getLong(2) === 0L)
+    assert(r.isNullAt(3))
+  }
+
+  // ---- kAnonymity ----
+
+  test("kAnonymity: groups below k flagged; NULL QI forms its own group") {
+    val df = (Seq(("s1", Some(1)), ("s1", Some(1)), ("s1", Some(1))) ++
+      Seq(("s2", Some(2)), ("s2", Some(2))) ++
+      Seq(("s3", None))).toDF("seg", "nat")
+    val out = GenericTests.kAnonymity(df, Seq("seg", "nat"), k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("s1") === ((3L, false)))
+    assert(out("s2") === ((2L, true)))
+    assert(out("s3") === ((1L, true))) // NULL nation still a combination
+    intercept[IllegalArgumentException] {
+      GenericTests.kAnonymity(df, Seq("seg"), k = 1)
+    }
+  }
+
+  // ---- tokenDiversity ----
+
+  test("tokenDiversity: exact ppm; single-token and NULL contracts") {
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "a a a"), (4L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDiversity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === ((3L, 2L, Some(333333L)))) // 2*1e6/(3*2)
+    assert(out(2L) === ((1L, 1L, None)))          // no pair to draw
+    assert(out(3L) === ((3L, 1L, Some(1000000L)))) // pure repetition
+    assert(!out.contains(4L))                      // NULL text dropped
+  }
+
+  // ---- rrfFuse ----
+
+  test("rrfFuse: exact micro contributions, absence contributes zero") {
+    val l1 = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val l2 = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), k = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // 1e6 div 61 = 16393, 1e6 div 62 = 16129
+    assert(out(20L) === ((16393L + 16129L, 2L, 1))) // in both lists -> top
+    assert(out(10L) === ((16393L, 1L, 2)))
+    assert(out(30L) === ((16129L, 1L, 3)))
+    // k truncates the fused list
+    assert(Similarity.rrfFuse(Seq(l1, l2), k = 1).count() === 1L)
+  }
+
+  // ---- containmentPairs ----
+
+  test("containmentPairs: catches the embedded doc Jaccard misses") {
+    val short = "w1 w2 w3 w4"                          // 2 shingles
+    val long = "w1 w2 w3 w4 w5 w6 w7 w8"               // 6 shingles
+    val docs = Seq((1L, short, "b"), (2L, long, "b"), (3L, "z1 z2 z3 z4", "b"))
+      .toDF("doc_id", "text", "block")
+    val cont = Dedup.containmentPairs(docs, "block", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length === 1)
+    assert(cont.head.getLong(1) === 1L && cont.head.getLong(2) === 2L)
+    assert(cont.head.getDouble(5) === 1.0) // both of short's shingles embed
+    // the same pair's Jaccard is 2/6 — invisible to the symmetric dedup
+    val jac = Dedup.ngramJaccardPairs(docs, "block", n = 3, threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
+
+  test("containmentPairs: prefix filter is exact vs the naive cross join") {
+    // fixture with overlapping windows of a shared vocab so prefixes vary
+    val words = (0 until 12).map(i => s"t$i")
+    val docs = (0 until 8).map { i =>
+      val len = 4 + (i * 3) % 6
+      (i.toLong, words.slice(i % 5, (i % 5) + len).mkString(" "), "b")
+    }.toDF("doc_id", "text", "block")
+    val got = Dedup.containmentPairs(docs, "block", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // naive truth: every pair, exact containment, same shingle recipe
+    val sh = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val set =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(r.getString(1))
+      r.getLong(0) -> set
+    }.toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = sh(a).intersect(sh(b)).size
+      if inter.toDouble / math.min(sh(a).size, sh(b).size) >= 0.5
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the fixture actually exercises the filter
+  }
+
+  // ---- knnClassify ----
+
+  test("knnClassify: plurality vote with min-label tie-break") {
+    def v(x: Float, y: Float) = Array(x, y)
+    val corpus = Seq(
+      (10L, v(1f, 0.00f), 7), (11L, v(1f, 0.01f), 7), (12L, v(1f, 0.02f), 7),
+      (20L, v(0f, 1.00f), 3), (21L, v(0.01f, 1f), 3), (22L, v(0.02f, 1f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, v(0.99f, 0.05f), -1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(corpus, queries, k = 3).collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 7L && r.getLong(2) === 3L)
+    // 2-2 vote split at k=4 -> the smaller label wins
+    val r4 = Similarity.knnClassify(corpus,
+      Seq((2L, v(1f, 1f), -1)).toDF("vec_id", "embedding", "label"), k = 4)
+      .collect().head
+    assert(r4.getLong(1) === 3L && r4.getLong(2) === 2L)
+  }
+}
