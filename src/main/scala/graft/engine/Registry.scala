@@ -313,6 +313,52 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     Lineage.columnLineage(spark, m.build(ctx), deps)
   }
 
+  /** dbt 1.8 unit test (`unit_tests:` blocks): run one model's BUILD in
+    * isolation against MOCKED inputs and diff the result against an
+    * expectation — logic testing without warehouse state, the layer the
+    * C5/C6 fixture-compare primitives compose into at the runner level.
+    *
+    *  - `given` replaces the model's `ref()` resolution entirely; every
+    *    direct dependency must be mocked (dbt errors on an unprovided
+    *    input too — silently reading production state would defeat the
+    *    isolation).
+    *  - `expect` may cover a SUBSET of the model's output columns (dbt
+    *    fixture semantics); actual rows are projected onto the expected
+    *    columns before comparing.
+    *  - `isIncremental`/`existingThis` mock the incremental context (dbt's
+    *    `overrides: is_incremental` + `this` fixture) so both branches of
+    *    an incremental model are testable.
+    *
+    * Returns the side-tagged symmetric multiset difference (rows only the
+    * model produced tagged `actual`, rows only the expectation holds
+    * tagged `expected`) — empty means PASS, and failures carry the
+    * offending rows, like dbt's unit-test diff output. The materialization
+    * config is deliberately NOT exercised: dbt unit tests compile the
+    * model's SQL against fixture CTEs and never run the materialization
+    * DML either.
+    */
+  def unitTest(modelName: String, givenInputs: Map[String, DataFrame],
+      expect: DataFrame, isIncremental: Boolean = false,
+      existingThis: Option[DataFrame] = None): DataFrame = {
+    val m = models.find(_.name == modelName).getOrElse(
+      throw new IllegalArgumentException(s"unknown model: $modelName"))
+    val missing = m.deps.filterNot(givenInputs.contains)
+    require(missing.isEmpty,
+      s"unit test for '$modelName' must mock every direct dependency; " +
+        s"missing: ${missing.mkString(", ")}")
+    val actual = m.build(ModelContext(spark, givenInputs, isIncremental, existingThis))
+    val unknown = expect.columns.filterNot(actual.columns.contains)
+    require(unknown.isEmpty,
+      s"expectation names columns '$modelName' does not produce: " +
+        unknown.mkString(", "))
+    val projected = actual.select(expect.columns.map(
+      org.apache.spark.sql.functions.col).toSeq: _*)
+    projected.exceptAll(expect)
+      .withColumn("side", org.apache.spark.sql.functions.lit("actual"))
+      .unionByName(expect.exceptAll(projected)
+        .withColumn("side", org.apache.spark.sql.functions.lit("expected")))
+  }
+
   /** Kahn topo-sort (dbt DAG semantics; cycles are an authoring error). */
   private def topoSorted: Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap

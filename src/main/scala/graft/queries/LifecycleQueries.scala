@@ -1079,6 +1079,99 @@ object LifecycleQueries extends QuerySet {
         |       CASE WHEN o_totalprice < 50000 THEN 'low'
         |            WHEN o_totalprice < 150000 THEN 'mid'
         |            ELSE 'high' END AS band
-        |FROM orders""".stripMargin))
+        |FROM orders""".stripMargin)),
+
+    QueryDef("q240_registry_unit_test", (s, d) => {
+      // dbt 1.8 unit test at the RUNNER level: the model's build runs
+      // against a MOCKED ref (given), the result diffs against an
+      // expectation covering a SUBSET of output columns, and failures
+      // surface as side-tagged rows. The expectation here deliberately
+      // inflates status 'P' by one so the diff relation is non-empty and
+      // deterministic: one 'actual' row with the true count, one
+      // 'expected' row with the tampered count.
+      import graft.engine.{Model, ViewMat}
+      val wh = Scratch.warehouse("q240", d, s, Seq.empty)
+      val reg = new Registry(s, wh)
+      reg.register(Model("order_rollup", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(graft.operators.Features.cents(col("o_totalprice")))
+              .as("total_cents"))))
+      val slice = table(s, d, "orders").filter(col("o_orderkey") < 100)
+      val expect = slice
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("status"),
+          (col("n_orders") + when(col("status") === "P", 1L).otherwise(0L))
+            .as("n_orders"))
+      reg.unitTest("order_rollup", Map("orders_src" -> slice), expect)
+    }, Some(
+      """WITH r AS (
+        |  SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderkey < 100 GROUP BY 1)
+        |SELECT status, n_orders, 'actual' AS side FROM r WHERE status = 'P'
+        |UNION ALL
+        |SELECT status, n_orders + 1 AS n_orders, 'expected' AS side
+        |FROM r WHERE status = 'P'""".stripMargin)),
+
+    QueryDef("q241_pit_scd2_join", (s, d) => {
+      // Point-in-time join of a fact to SCD2 history — the "fact meets
+      // slowly-changing dimension" pattern the reference's dim_member/
+      // fct_claims stubs imply: each order resolves the customer segment
+      // that was VALID at order time, not the current one. History from
+      // the q55 two-run snapshot (members % 10 == 0 change segment at
+      // t2 = 2000-02-01); orders BEFORE the first snapshot predate
+      // history -> NULL (honest PIT semantics). Validity windows per key
+      // are disjoint, so the equi-join on the member plus the window
+      // filter yields at most one version per order; the join shuffles
+      // on the member key only — history stays small per key at any
+      // fact scale.
+      val s1 = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("member_id"),
+        col("c_mktsegment").as("segment"),
+        lit(t1).as("updated_at"))
+      val s2 = s1.select(col("member_id"),
+        when(col("member_id") % 10 === 0, lit("CHANGED"))
+          .otherwise(col("segment")).as("segment"),
+        when(col("member_id") % 10 === 0, lit(t2))
+          .otherwise(col("updated_at")).as("updated_at"))
+      val hist = Snapshot.apply(
+        Snapshot.firstRun(s1, Seq("member_id"), Snapshot.TimestampStrategy("updated_at")),
+        s2, Seq("member_id"), Snapshot.TimestampStrategy("updated_at"),
+        Snapshot.IgnoreDeletes, t2)
+        .select(col("member_id"), col("segment"),
+          col("dbt_valid_from").as("vf"), col("dbt_valid_to").as("vt"))
+      val fact = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_custkey").cast("long").as("custkey"),
+        col("o_orderdate").cast("timestamp").as("order_ts"))
+      fact.join(hist,
+        col("custkey") === col("member_id") &&
+          col("order_ts") >= col("vf") &&
+          (col("vt").isNull || col("order_ts") < col("vt")), "left")
+        .select(col("order_key"), col("custkey"), col("order_ts"),
+          col("segment").as("segment_asof"))
+    }, Some(
+      """WITH s1 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS member_id, c_mktsegment AS segment
+        |  FROM customer),
+        |hist AS (
+        |  SELECT member_id, segment, TIMESTAMP '2000-01-01 00:00:00' AS vf,
+        |         CASE WHEN member_id % 10 = 0
+        |              THEN TIMESTAMP '2000-02-01 00:00:00' END AS vt
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT member_id, 'CHANGED' AS segment,
+        |         TIMESTAMP '2000-02-01 00:00:00' AS vf, NULL AS vt
+        |  FROM s1 WHERE member_id % 10 = 0)
+        |SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        |       CAST(o_custkey AS BIGINT) AS custkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+        |       h.segment AS segment_asof
+        |FROM orders o LEFT JOIN hist h
+        |  ON h.member_id = o.o_custkey
+        | AND CAST(o.o_orderdate AS TIMESTAMP) >= h.vf
+        | AND (h.vt IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < h.vt)""".stripMargin))
   )
 }

@@ -730,4 +730,50 @@ class RegistrySpec extends AnyFunSuite {
     assert(wh.read("applied").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       === Map(1L -> 30.0, 2L -> 600.0))
   }
+
+  test("unitTest: mocked refs, subset-column expectation, incremental override") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val reg = new Registry(spark, new Warehouse(root, spark))
+    reg.register(Model("rollup", Seq("src"),
+      IncrementalMat(Incremental.Merge, Seq("g")),
+      ctx => {
+        val base = ctx.ref("src").groupBy(col("g")).agg(
+          count(lit(1)).as("n"), sum(col("v")).as("total"))
+        // incremental branch: only groups present in the existing target
+        if (ctx.isIncremental)
+          base.join(ctx.existingTarget.get.select(col("g")), Seq("g"), "left_semi")
+        else base
+      }))
+    val fixture = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+
+    // matching expectation -> empty diff (PASS)
+    val expectFull = Seq(("a", 2L, 3L), ("b", 1L, 5L)).toDF("g", "n", "total")
+    assert(reg.unitTest("rollup", Map("src" -> fixture), expectFull).count() === 0)
+
+    // subset columns: expectation without `total` still compares
+    val expectSub = Seq(("a", 2L), ("b", 1L)).toDF("g", "n")
+    assert(reg.unitTest("rollup", Map("src" -> fixture), expectSub).count() === 0)
+
+    // failing expectation -> side-tagged rows for exactly the bad group
+    val bad = Seq(("a", 9L), ("b", 1L)).toDF("g", "n")
+    val diff = reg.unitTest("rollup", Map("src" -> fixture), bad)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(diff === Set(("a", 2L, "actual"), ("a", 9L, "expected")))
+
+    // incremental override: the mocked `this` gates which groups survive
+    val mockThis = Seq(("a", 0L, 0L)).toDF("g", "n", "total")
+    val incDiff = reg.unitTest("rollup", Map("src" -> fixture),
+      Seq(("a", 2L)).toDF("g", "n"),
+      isIncremental = true, existingThis = Some(mockThis))
+    assert(incDiff.count() === 0)
+
+    // contracts: every dep mocked; expectation columns must exist
+    intercept[IllegalArgumentException] {
+      reg.unitTest("rollup", Map.empty, expectFull)
+    }
+    intercept[IllegalArgumentException] {
+      reg.unitTest("rollup", Map("src" -> fixture),
+        Seq(1L).toDF("nonexistent"))
+    }
+  }
 }
