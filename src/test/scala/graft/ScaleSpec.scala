@@ -690,6 +690,56 @@ class ScaleSpec extends AnyFunSuite {
       s"global top-k must be per-partition heads + k-row merge:\n$plan")
   }
 
+  test("chiSquareCells: marginals broadcast back onto the cell rollup") {
+    import graft.operators.Features
+    val df = (1L to 400L).map(i => (s"a${i % 7}", s"b${i % 5}")).toDF("a", "b")
+    val out = Features.chiSquareCells(df, $"a", $"b")
+    val plan = out.queryExecution.executedPlan.toString
+    // raw rows shuffle ONCE for the (a,b) rollup; marginals/grand total are
+    // rollups of that rollup and must come back as broadcasts
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+      s"row/col/grand marginals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cells must never wide-join their marginals:\n$plan")
+  }
+
+  test("autocorr: ONE sort serves every lag; moments partial-aggregate") {
+    import graft.pipeline.Stats
+    val df = (1L to 300L).map(i => ("g" + i % 3, 100L + i % 50, i % 7))
+      .toDF("grp", "day", "y")
+    val out = Stats.autocorr(df, Seq("grp"), $"day", $"y", maxLag = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // all five lead-k columns ride a single Window node over one sort —
+    // a per-lag window would multiply the sort cost by maxLag
+    assert("Window".r.findAllIn(plan).length === 1,
+      s"expected exactly one Window for all lags:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("containmentPairs: shingle-keyed joins, never cartesian") {
+    import graft.pipeline.Dedup
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until 6).map(j => s"w${(i + j) % 19}").mkString(" "), s"blk${i % 2}"))
+      .toDF("doc_id", "text", "block")
+    val out = Dedup.containmentPairs(docs, "block", n = 3, threshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must equi-join on (block, shingle):\n$plan")
+  }
+
+  test("rrfFuse re-rank compiles to WindowGroupLimit above the fused rollup") {
+    import graft.pipeline.Similarity
+    val l1 = (1L to 200L).map(i => (i % 20, i, (i % 5 + 1).toInt))
+      .toDF("query_id", "neighbor_id", "rank")
+    val l2 = (1L to 200L).map(i => (i % 20, i + 3, (i % 5 + 1).toInt))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must prune map-side before the final window:\n$plan")
+  }
+
   test("jaroWinkler probe match is broadcast + narrow map (q215 shape)") {
     import graft.plans.Expressions
     val parts = (1L to 300L).map(i => (i, s"name variant $i")).toDF("pk", "nm")
