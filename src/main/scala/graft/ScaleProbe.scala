@@ -78,6 +78,13 @@ object ScaleProbe {
         graft.pipeline.TextAnalysis.bigramLmScore(
           docs, col("source") === "src1").count()
       }
+      // round-9 continuation: containment prefix join — replicas are exact
+      // dups (containment 1.0 across every replica pair), the worst case
+      // for the asymmetric candidate join; growth must track the true pair
+      // volume like the jaccard prefix filter, never corpus^2
+      time(s"containment_prefix    $label") {
+        Dedup.containmentPairs(docs, "block", n = 3, threshold = 0.5).count()
+      }
     }
 
     // round-9: skewed REGISTRY side for fuzzy linkage — half the right keys

@@ -61,6 +61,56 @@ object Stats {
       .select(gcols ++ Seq(col("q_mille"), col("v").as("value")): _*)
   }
 
+  /** Exact per-group INTERPOLATED quantiles (`percentile_cont` semantics)
+    * in integer micro-units: at per-mille point q over n values, the
+    * 0-based position is `p = q*(n-1)/1000`; with `ip = q*(n-1) div 1000`
+    * and `rem = q*(n-1) mod 1000`, the result is
+    * `value_micro = lo*1e6 + rem*(hi-lo)*1000` where lo/hi are the sorted
+    * multiset's elements at ip and ip+1 — every step exact integer
+    * arithmetic, so unlike a float percentile_cont the value
+    * hash-compares across engines (and `value_micro/1e6` equals the IEEE
+    * percentile_cont wherever that is representable).
+    *
+    * Same two-phase shape as [[exactQuantiles]]: one (group, value) rollup
+    * shuffle, then cumulative-sum windows over DISTINCT values only; lo
+    * and hi resolve from the same cumsum relation in ONE pass (a row
+    * covers index i iff cum-cnt <= i < cum), so no extra join. Integral
+    * values only — quantize doubles first (the cents recipe).
+    */
+  def interpolatedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, qMilles: Seq[Int]): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q >= 0 && q <= 1000),
+      s"qMilles must be in [0, 1000]: $qMilles")
+    require(qMilles.distinct == qMilles, s"duplicate quantiles: $qMilles")
+    val gcols = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val pos = counts
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .select(gcols ++ Seq(col("v"), col("cnt"), col("cum"), col("tot"),
+        explode(array(qMilles.map(q => lit(q)): _*)).as("q_mille")): _*)
+      .withColumn("ip",
+        call_function("div", col("q_mille").cast("long") * (col("tot") - 1), lit(1000L)))
+      .withColumn("rem",
+        col("q_mille").cast("long") * (col("tot") - 1) - col("ip") * 1000L)
+      // hi index: ip when the position is exact, ip+1 when interpolating
+      .withColumn("ip2", col("ip") + when(col("rem") > 0, 1L).otherwise(0L))
+    def covers(i: Column) = (col("cum") - col("cnt")) <= i && i < col("cum")
+    pos
+      .filter(covers(col("ip")) || covers(col("ip2")))
+      .groupBy(gcols :+ col("q_mille"): _*)
+      .agg(max(when(covers(col("ip")), col("v"))).as("lo"),
+        max(when(covers(col("ip2")), col("v"))).as("hi"),
+        max(col("rem")).as("r"), max(col("tot")).as("n_values"))
+      .select(gcols ++ Seq(col("q_mille"), col("n_values"),
+        (col("lo") * 1000000L + col("r") * (col("hi") - col("lo")) * 1000L)
+          .as("value_micro")): _*)
+  }
+
   /** Robust per-group outlier detection via median/MAD: flag rows where
     * `|v - median| > k * MAD` (MAD = median of absolute deviations from the
     * median). Unlike mean/stddev z-scores, both statistics have a 50%

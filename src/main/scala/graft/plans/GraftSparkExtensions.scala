@@ -92,7 +92,12 @@ object GraftSparkExtensions {
     (FunctionIdentifier("graft_deflate_len"),
       info("graft_deflate_len", "graft_deflate_len(s) - DEFLATE-compressed byte length of a string (zlib level 6)"),
       args => { requireArgs("graft_deflate_len", 1, args)
-        DeflateLength(Cast(args(0), org.apache.spark.sql.types.StringType), 6) }))
+        DeflateLength(Cast(args(0), org.apache.spark.sql.types.StringType), 6) }),
+    (FunctionIdentifier("graft_damerau"),
+      info("graft_damerau", "graft_damerau(a, b) - true Damerau-Levenshtein distance (unrestricted transpositions, DuckDB-parity)"),
+      args => { requireArgs("graft_damerau", 2, args)
+        DamerauLevenshtein(Cast(args(0), org.apache.spark.sql.types.StringType),
+          Cast(args(1), org.apache.spark.sql.types.StringType)) }))
 
   /** Install on an ALREADY-BUILT session (builder-time extensions can't
     * apply retroactively through getOrCreate).

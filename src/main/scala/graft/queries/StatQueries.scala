@@ -225,6 +225,71 @@ object StatQueries extends QuerySet {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5""".stripMargin)),
 
+    QueryDef("q242_interpolated_quantiles", (s, d) =>
+      // percentile_cont in EXACT integer micro-units: interpolated price
+      // quantiles per return flag, hash-comparable across engines (the
+      // float percentile_cont is not) — the continuous sibling of q99's
+      // percentile_disc.
+      Stats.interpolatedQuantiles(table(s, d, "lineitem"), Seq("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+        Seq(250, 500, 750, 900)),
+      Some(
+        """WITH c AS (
+          |  SELECT l_returnflag,
+          |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY 1, 2),
+          |w AS (
+          |  SELECT l_returnflag, v, cnt,
+          |         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v ASC) AS BIGINT) AS cum,
+          |         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+          |  FROM c),
+          |p AS (
+          |  SELECT l_returnflag, v, cnt, cum, tot, q.q AS q_mille,
+          |         (q.q * (tot - 1)) // 1000 AS ip,
+          |         (q.q * (tot - 1)) % 1000 AS rem
+          |  FROM w, (VALUES (250), (500), (750), (900)) q(q)),
+          |p2 AS (SELECT *, ip + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS ip2 FROM p)
+          |SELECT l_returnflag, CAST(q_mille AS INTEGER) AS q_mille,
+          |       CAST(max(tot) AS BIGINT) AS n_values,
+          |       CAST(max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END) * 1000000
+          |            + max(rem) * (max(CASE WHEN cum - cnt <= ip2 AND ip2 < cum THEN v END)
+          |                          - max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END)) * 1000
+          |            AS BIGINT) AS value_micro
+          |FROM p2
+          |WHERE (cum - cnt <= ip AND ip < cum) OR (cum - cnt <= ip2 AND ip2 < cum)
+          |GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q243_damerau_match", (s, d) => {
+      // transposition-tolerant fuzzy probe match via the codegen'd TRUE
+      // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair
+      // costs 1 where plain levenshtein charges 2 — the keyboard-typo edit
+      // model). Every 500th part name with chars 5/6 swapped probes the
+      // catalog at distance <= 2; the whole part corpus x probe sweep is a
+      // randomized per-cell parity check against DuckDB's builtin.
+      val probes = table(s, d, "part")
+        .filter(pmod(col("p_partkey"), lit(500)) === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 4),
+            substring(col("p_name"), 6, 1), substring(col("p_name"), 5, 1),
+            expr("substring(p_name, 7)")).as("probe_name"))
+      val dl = graft.plans.Expressions.damerauLevenshtein(
+        col("probe_name"), col("p_name"))
+      table(s, d, "part").crossJoin(broadcast(probes))
+        .select(col("probe_key"), col("p_partkey").as("match_key"),
+          dl.as("dl"))
+        .filter(col("dl") <= 2)
+    }, Some(
+      """WITH pr AS (
+        |  SELECT p_partkey AS probe_key,
+        |         substr(p_name, 1, 4) || substr(p_name, 6, 1)
+        |           || substr(p_name, 5, 1) || substr(p_name, 7) AS probe_name
+        |  FROM part WHERE p_partkey % 500 = 0)
+        |SELECT pr.probe_key, p.p_partkey AS match_key,
+        |       CAST(damerau_levenshtein(pr.probe_name, p.p_name) AS INTEGER) AS dl
+        |FROM pr, part p
+        |WHERE damerau_levenshtein(pr.probe_name, p.p_name) <= 2""".stripMargin)),
+
     QueryDef("q239_knn_classify", (s, d) => {
       // kNN majority-vote weak labeling: every 10th vector held out and
       // labeled by its 5 nearest labeled neighbors (plurality, min-label

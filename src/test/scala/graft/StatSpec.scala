@@ -98,6 +98,34 @@ class StatSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  // ---- interpolatedQuantiles ----
+
+  test("interpolatedQuantiles: hand vectors and parity with percentile_cont") {
+    val two = Seq(("g", 10L), ("g", 20L)).toDF("g", "v")
+    val r = Stats.interpolatedQuantiles(two, Seq("g"), col("v"), Seq(500, 0, 1000))
+      .collect().map(x => x.getInt(1) -> x.getLong(3)).toMap
+    assert(r(500) === 15000000L)  // midpoint of [10, 20]
+    assert(r(0) === 10000000L)
+    assert(r(1000) === 20000000L)
+    // duplicates straddling an index interpolate within the run (hi == lo)
+    val dup = Seq(("g", 5L), ("g", 5L), ("g", 9L)).toDF("g", "v")
+    val rd = Stats.interpolatedQuantiles(dup, Seq("g"), col("v"), Seq(250))
+      .collect().head
+    assert(rd.getLong(3) === 5000000L) // p=0.5 lands inside the 5-run
+    // micro/1e6 equals the builtin percentile_cont on a bigger fixture
+    val big = (1L to 97L).map(i => ("g", (i * 13) % 89)).toDF("g", "v")
+    val mine = Stats.interpolatedQuantiles(big, Seq("g"), col("v"),
+      Seq(250, 500, 750, 990))
+      .collect().map(x => x.getInt(1) -> x.getLong(3) / 1e6).toMap
+    val builtin = big.groupBy(col("g")).agg(
+      expr("percentile(v, array(0.25, 0.5, 0.75, 0.99))").as("p"))
+      .collect().head.getSeq[Double](1)
+    assert(math.abs(mine(250) - builtin(0)) < 1e-6)
+    assert(math.abs(mine(500) - builtin(1)) < 1e-6)
+    assert(math.abs(mine(750) - builtin(2)) < 1e-6)
+    assert(math.abs(mine(990) - builtin(3)) < 1e-6)
+  }
+
   // ---- kAnonymity ----
 
   test("kAnonymity: groups below k flagged; NULL QI forms its own group") {
@@ -185,6 +213,46 @@ class StatSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got === want)
     assert(want.nonEmpty) // the fixture actually exercises the filter
+  }
+
+  // ---- damerauLevenshtein ----
+
+  test("damerauLevenshtein: textbook vectors, true-DL not OSA, codegen==interpreted") {
+    import graft.plans.{DamerauLevenshtein, DamerauLevenshteinKernel, Expressions}
+    def k(a: String, b: String) =
+      DamerauLevenshteinKernel.distance(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(k("", "") === 0)
+    assert(k("", "abc") === 3)
+    assert(k("abc", "") === 3)
+    assert(k("kitten", "sitting") === 3)
+    assert(k("ab", "ba") === 1)      // one transposition, not two edits
+    assert(k("abcd", "acbd") === 1)
+    assert(k("CA", "ABC") === 2)     // TRUE DL; restricted OSA would say 3
+    assert(k("ca", "abc") === 2)
+    assert(k("same", "same") === 0)
+    // codegen path == interpreted kernel on a randomized sweep
+    val pairs = (0 until 200).map { i =>
+      val a = s"part-${i % 17}-name-${(i * 7) % 31}"
+      val b = if (i % 3 == 0) a.reverse else s"part-${(i + 1) % 13}-nmae-$i"
+      (a, b)
+    }.toDF("a", "b")
+    val viaExpr = pairs
+      .select(col("a"), col("b"),
+        Expressions.damerauLevenshtein(col("a"), col("b")).as("d"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getInt(2) === k(r.getString(0), r.getString(1)))
+    }
+    // NULL propagates
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(Expressions.damerauLevenshtein(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+    // SQL function surface
+    graft.plans.GraftSparkExtensions.register(spark)
+    assert(spark.sql("SELECT graft_damerau('ab', 'ba')")
+      .collect().head.getInt(0) === 1)
   }
 
   // ---- knnClassify ----
