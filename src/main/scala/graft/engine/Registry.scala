@@ -157,7 +157,8 @@ final case class Model(
     grants: Map[String, Seq[String]] = Map.empty,
     docs: Option[String] = None,
     tags: Seq[String] = Nil,
-    fingerprint: Option[String] = None)
+    fingerprint: Option[String] = None,
+    contract: Option[Seq[(String, String)]] = None)
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
@@ -217,7 +218,10 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       m.tags.mkString(","), m.docs.getOrElse(""),
       m.grants.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString("|")}" }
         .mkString(";"),
-      m.tests.map(_.name).mkString(","), m.fingerprint.getOrElse(""))
+      m.tests.map(_.name).mkString(","), m.fingerprint.getOrElse(""),
+      // a contract edit is a declared-property change: state:modified
+      // must see it, exactly as dbt's checksum covers the contract block
+      m.contract.map(_.map { case (n, t) => s"$n:$t" }.mkString(",")).getOrElse(""))
       .mkString("")
     java.security.MessageDigest.getInstance("MD5")
       .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -763,6 +767,31 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       // (incremental.sql:74-76 runs them before the strategy DML)
       m.preHooks.foreach(_(HookContext(spark, wh, Some(m.name), ctx.existingTarget)))
       val df = m.build(ctx)
+      // dbt model contract (`contract: enforced`, dbt-core 1.5 +
+      // dbt-snowflake table/create.sql:96-100 assert_columns_equivalent):
+      // the build's schema must EXACTLY match the declared (name, type)
+      // set — order-insensitive, but a missing, unexpected, or retyped
+      // column fails BEFORE any materialization DML commits. The point of
+      // a contract is that downstream consumers can bind to the declared
+      // shape, so enforcement precedes every write path uniformly.
+      m.contract.foreach { declared =>
+        val dupDecl = declared.groupBy(_._1).collect { case (n, c) if c.size > 1 => n }
+        require(dupDecl.isEmpty,
+          s"contract for '${m.name}' declares duplicate columns: ${dupDecl.mkString(", ")}")
+        val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+        val decl = declared.toMap
+        val missing = declared.collect { case (n, _) if !actual.contains(n) => n }
+        val unexpected = df.schema.fieldNames.filterNot(decl.contains)
+        val retyped = declared.collect {
+          case (n, t) if actual.get(n).exists(_ != t) => s"$n: declared $t, built ${actual(n)}"
+        }
+        if (missing.nonEmpty || unexpected.nonEmpty || retyped.nonEmpty)
+          throw new IllegalStateException(
+            s"model '${m.name}' violates its enforced contract — " +
+              (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}; " else "") +
+              (if (unexpected.nonEmpty) s"unexpected: ${unexpected.mkString(", ")}; " else "") +
+              (if (retyped.nonEmpty) s"type mismatch: ${retyped.mkString("; ")}" else ""))
+      }
       m.mat match {
         case ViewMat =>
           df.createOrReplaceTempView(m.name)

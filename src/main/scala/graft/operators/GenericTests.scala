@@ -355,6 +355,46 @@ object GenericTests {
          else col("n_rows") < col("n_b")).as("pass"))
   }
 
+  /** Embedding drift monitor — the vector-space sibling of
+    * [[categoricalDrift]]/[[numericDrift]], closing the drift family for
+    * the embedding columns a retrieval/dedup pipeline depends on: per
+    * label, the cosine between the reference slice's and the live slice's
+    * centroid direction. A re-run encoder, a silently updated model, or a
+    * domain shift rotates centroids away from 1.0 long before top-k
+    * metrics visibly degrade.
+    *
+    * Cosine of the component-SUM vectors (same direction as the mean,
+    * division-free): quantized component sums accumulate exactly
+    * ([[graft.pipeline.Clustering.labelCentroids]] rollups), the dot and
+    * norms ride DECIMAL(38,0), and the one IEEE expression at the end
+    * hash-compares. Labels present on only one side surface with NULL
+    * cosine (novel/vanished label — the q228 novel-category contract).
+    *
+    * Shape: two (label, pos) rollups full-outer-joined on bounded
+    * (label x dim) keys, then a per-label rollup — raw vectors shuffle
+    * only for their own rollup.
+    */
+  def embeddingDrift(ref: DataFrame, live: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    import graft.pipeline.Clustering
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def side(df: DataFrame, tag: String) =
+      Clustering.labelCentroids(df, labelCol, vecCol)
+        .select(col("label"), col("pos"), col("sum_q").as(s"s_$tag"),
+          col("n_vecs").as(s"n_$tag"))
+    side(ref, "ref").join(side(live, "live"), Seq("label", "pos"), "full_outer")
+      .groupBy(col("label"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
+        sum(dec(col("s_ref")) * dec(col("s_live"))).as("__dot"),
+        sum(dec(col("s_ref")) * dec(col("s_ref"))).as("__nr"),
+        sum(dec(col("s_live")) * dec(col("s_live"))).as("__nl"))
+      .withColumn("centroid_cos",
+        when(col("__nr") > 0 && col("__nl") > 0,
+          col("__dot").cast("double") /
+            (sqrt(col("__nr").cast("double")) * sqrt(col("__nl").cast("double")))))
+      .drop("__dot", "__nr", "__nl")
+  }
+
   /** k-anonymity audit over a quasi-identifier column set: every QI
     * combination observed fewer than `k` times re-identifies its members —
     * the privacy gate run before a mart with demographic columns leaves the

@@ -1115,6 +1115,31 @@ object LifecycleQueries extends QuerySet {
         |SELECT status, n_orders + 1 AS n_orders, 'expected' AS side
         |FROM r WHERE status = 'P'""".stripMargin)),
 
+    QueryDef("q244_model_contract", (s, d) => {
+      // dbt model contract (contract: enforced, dbt-core 1.5): the build's
+      // schema must exactly match the declared (name, type) set before any
+      // DML commits. This lifecycle run materializes a CONTRACTED table and
+      // reads it back — the violation paths (missing/unexpected/retyped
+      // columns fail pre-write) are pinned in RegistrySpec.
+      import graft.engine.{Model, TableMat}
+      val wh = Scratch.warehouse("q244", d, s, Seq("contracted_rollup"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("contracted_rollup", Seq("orders_src"), TableMat(),
+        ctx => ctx.ref("orders_src")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(graft.operators.Features.cents(col("o_totalprice")))
+              .as("total_cents")),
+        contract = Some(Seq("status" -> "string", "n_orders" -> "bigint",
+          "total_cents" -> "bigint"))))
+      reg.run()
+      wh.read("contracted_rollup")
+    }, Some(
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     QueryDef("q241_pit_scd2_join", (s, d) => {
       // Point-in-time join of a fact to SCD2 history — the "fact meets
       // slowly-changing dimension" pattern the reference's dim_member/

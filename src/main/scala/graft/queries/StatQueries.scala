@@ -260,6 +260,38 @@ object StatQueries extends QuerySet {
           |WHERE (cum - cnt <= ip AND ip < cum) OR (cum - cnt <= ip2 AND ip2 < cum)
           |GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q245_embedding_drift", (s, d) => {
+      // drift family closer (q228 categorical, q230 numeric): per-label
+      // centroid-direction cosine between two corpus slices, exact-operand
+      // IEEE; label 7 removed from the live slice surfaces as NULL (the
+      // novel/vanished-label contract).
+      val emb = table(s, d, "embeddings")
+      GenericTests.embeddingDrift(
+        ref = emb.filter(col("vec_id") % 2 === 0),
+        live = emb.filter(col("vec_id") % 2 === 1 && col("label") =!= 7),
+        labelCol = "label", vecCol = "embedding")
+    }, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qvecSql AS v FROM embeddings),
+         |c AS (SELECT vec_id, label, i.i AS pos, v[i.i] AS x
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i),
+         |r AS (SELECT label, pos, CAST(sum(x) AS HUGEINT) AS s,
+         |             CAST(count(x) AS BIGINT) AS n
+         |      FROM c WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         |l AS (SELECT label, pos, CAST(sum(x) AS HUGEINT) AS s,
+         |             CAST(count(x) AS BIGINT) AS n
+         |      FROM c WHERE vec_id % 2 = 1 AND label <> 7 GROUP BY 1, 2),
+         |j AS (SELECT coalesce(r.label, l.label) AS label,
+         |             r.s AS sr, l.s AS sl, r.n AS nr_c, l.n AS nl_c
+         |      FROM r FULL OUTER JOIN l ON r.label = l.label AND r.pos = l.pos)
+         |SELECT label, CAST(max(nr_c) AS BIGINT) AS n_ref,
+         |       CAST(max(nl_c) AS BIGINT) AS n_live,
+         |       CASE WHEN sum(sr * sr) > 0 AND sum(sl * sl) > 0
+         |            THEN CAST(sum(sr * sl) AS DOUBLE)
+         |               / (sqrt(CAST(sum(sr * sr) AS DOUBLE))
+         |                  * sqrt(CAST(sum(sl * sl) AS DOUBLE))) END AS centroid_cos
+         |FROM j GROUP BY 1""".stripMargin)),
+
     QueryDef("q243_damerau_match", (s, d) => {
       // transposition-tolerant fuzzy probe match via the codegen'd TRUE
       // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair

@@ -731,6 +731,48 @@ class RegistrySpec extends AnyFunSuite {
       === Map(1L -> 30.0, 2L -> 600.0))
   }
 
+  test("model contract: exact schema enforced before any write") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    def reg(contract: Seq[(String, String)], build: ModelContext => org.apache.spark.sql.DataFrame) = {
+      val r = new Registry(spark, wh)
+      r.source("src", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+      r.register(Model("m", Seq("src"), TableMat(), build,
+        contract = Some(contract)))
+      r
+    }
+    val good: ModelContext => org.apache.spark.sql.DataFrame =
+      ctx => ctx.ref("src").select(col("k"), upper(col("s")).as("s"))
+    // conforming build materializes; column order is NOT part of the contract
+    reg(Seq("s" -> "string", "k" -> "bigint"), good).run()
+    assert(wh.read("m").count() === 2)
+    // missing declared column -> fails BEFORE the write (pre-run state kept)
+    val e1 = intercept[IllegalStateException] {
+      reg(Seq("k" -> "bigint", "s" -> "string", "extra" -> "string"), good).run()
+    }
+    assert(e1.getMessage.contains("missing: extra"))
+    // unexpected built column
+    val e2 = intercept[IllegalStateException] {
+      reg(Seq("k" -> "bigint"), good).run()
+    }
+    assert(e2.getMessage.contains("unexpected: s"))
+    // retyped column names both types
+    val e3 = intercept[IllegalStateException] {
+      reg(Seq("k" -> "int", "s" -> "string"), good).run()
+    }
+    assert(e3.getMessage.contains("k: declared int, built bigint"))
+    // the failed runs never replaced the good table
+    assert(wh.read("m").collect().map(_.getString(1)).sorted === Array("A", "B"))
+    // a contract edit changes the manifest fingerprint (state:modified)
+    val tmp = Files.createTempDirectory("graft_manifest")
+    val p1 = tmp.resolve("m1").toString
+    val p2 = tmp.resolve("m2").toString
+    reg(Seq("k" -> "bigint", "s" -> "string"), good).writeManifest(p1)
+    reg(Seq("k" -> "bigint", "s" -> "varchar(9)"), good).writeManifest(p2)
+    val r3 = reg(Seq("k" -> "bigint", "s" -> "string"), good).withState(p2)
+    assert(r3.resolveSelector("state:modified") === Set("m"))
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))

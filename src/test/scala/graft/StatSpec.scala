@@ -215,6 +215,29 @@ class StatSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture actually exercises the filter
   }
 
+  // ---- embeddingDrift ----
+
+  test("embeddingDrift: identical slices cos 1, rotation drops, vanished label NULL") {
+    def v(x: Float, y: Float) = Array(x, y)
+    val ref = Seq(
+      (1L, v(1f, 0f), 0), (2L, v(1f, 0.2f), 0),
+      (3L, v(0f, 1f), 1), (4L, v(0.2f, 1f), 1),
+      (5L, v(1f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    // label 0 unchanged, label 1 rotated to the x axis, label 2 absent
+    val live = Seq(
+      (11L, v(1f, 0f), 0), (12L, v(1f, 0.2f), 0),
+      (13L, v(1f, 0f), 1), (14L, v(1f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = GenericTests.embeddingDrift(ref, live, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // same sum vector -> 1 up to the deterministic sqrt rounding (the
+    // value itself is still bit-stable and oracle-hash-comparable)
+    assert(out(0).exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(out(1).exists(c => c > 0 && c < 0.3)) // near-orthogonal rotation
+    assert(out(2) === None) // vanished label -> NULL, never a fake 0
+  }
+
   // ---- damerauLevenshtein ----
 
   test("damerauLevenshtein: textbook vectors, true-DL not OSA, codegen==interpreted") {
