@@ -42,6 +42,22 @@ object Incremental {
   final case class Microbatch(eventTimeCol: String, start: String, end: String,
       grain: String = "day") extends Strategy
 
+  /** dbt `incremental_predicates` on the merge strategy (merge.sql:17-33
+    * injects them into the MERGE's ON clause): the predicates bound the
+    * TARGET-side match scan — at warehouse scale they turn a full-target
+    * match into a partition-pruned one ("only look at the last 7 days for
+    * matches"). Target rows OUTSIDE the predicate pass through untouched
+    * and are invisible to matching, so a batch key whose only target row
+    * sits out of scope INSERTS a second copy — dbt documents exactly this
+    * trade (the user asserts predicates respect the unique key's
+    * recency). NULL predicate rows are out of scope (SQL ON semantics).
+    */
+  final case class MergePredicated(
+      predicates: Seq[org.apache.spark.sql.Column]) extends Strategy {
+    require(predicates.nonEmpty,
+      "MergePredicated without predicates is plain Merge — use that")
+  }
+
   /** The schema contract [[mergeAggregates]] enforces, exposed so creation
     * paths (a stream's FIRST batch, a CTAS) can fail before committing
     * malformed durable state that only the second batch would reject.
@@ -183,6 +199,20 @@ object Incremental {
     val inserted  = source.select(target.columns.map(col).toSeq: _*)
       .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
     untouched.unionByName(assertDeterministicMatch(updated, keys)).unionByName(inserted)
+  }
+
+  /** [[MergePredicated]]'s logical form: split the target on the predicate
+    * conjunction, merge the batch against the IN-SCOPE slice only, pass
+    * the out-of-scope slice through untouched. With the target partitioned
+    * on the predicate column the out-of-scope branch is a partition-pruned
+    * passthrough — the point of dbt's incremental_predicates at 100 TB:
+    * match I/O bounded by the scope, not the target's history.
+    */
+  def mergePredicated(target: DataFrame, source: DataFrame, keys: Seq[String],
+      predicates: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    if (predicates.isEmpty) return merge(target, source, keys)
+    val pred = coalesce(predicates.reduce(_ && _), lit(false))
+    target.filter(!pred).unionByName(merge(target.filter(pred), source, keys))
   }
 
   /** Snowflake raises ERROR_ON_NONDETERMINISTIC_MERGE when one target row

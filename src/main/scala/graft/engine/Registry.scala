@@ -869,11 +869,16 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
                 // merge/delete+insert scan the source more than once: snapshot
                 // it for identical inputs (temp-relation rule I8,
                 // incremental.sql:2-65); single-scan strategies skip the cache
-                val multiScan = multi == Incremental.Merge || multi == Incremental.DeleteInsert
+                val multiScan = multi == Incremental.Merge ||
+                  multi == Incremental.DeleteInsert ||
+                  multi.isInstanceOf[Incremental.MergePredicated]
                 val src = if (multiScan) df.cache() else df
                 multi match {
                   case Incremental.Merge =>
                     wh.writeSwap(m.name, Incremental.merge(target, src, keys))
+                  case Incremental.MergePredicated(preds) =>
+                    wh.writeSwap(m.name,
+                      Incremental.mergePredicated(target, src, keys, preds))
                   case Incremental.DeleteInsert =>
                     wh.writeSwap(m.name, Incremental.deleteInsert(target, src, keys))
                   case Incremental.InsertOverwrite =>

@@ -1140,6 +1140,50 @@ object LifecycleQueries extends QuerySet {
         |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1""".stripMargin)),
 
+    QueryDef("q246_merge_predicated", (s, d) => {
+      // dbt incremental_predicates on merge (merge.sql:17-33): the batch
+      // matches only the TARGET slice inside the predicate (orders from
+      // 1998 on) — out-of-scope history passes through untouched, and a
+      // batch key whose only target row is out of scope INSERTS a second
+      // copy, exactly the documented dbt trade. Two-run registry
+      // lifecycle: CTAS, then a doubled-cents batch for every 100th key.
+      import graft.engine.{IncrementalMat, Model}
+      val wh = Scratch.warehouse("q246", d, s, Seq("pred_merge"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+      reg.register(Model("pred_merge", Seq("orders_src"),
+        IncrementalMat(
+          Incremental.MergePredicated(Seq(col("odate") >= cutoff)),
+          uniqueKey = Seq("k")),
+        ctx => {
+          val base = ctx.ref("orders_src").select(
+            col("o_orderkey").cast("long").as("k"),
+            col("o_orderdate").cast("timestamp").as("odate"),
+            graft.operators.Features.cents(col("o_totalprice")).as("cents"))
+          if (ctx.isIncremental)
+            base.filter(col("k") % 100 === 0)
+              .withColumn("cents", col("cents") * 2)
+          else base
+        }))
+      reg.run()  // CTAS
+      reg.run()  // predicated merge
+      wh.read("pred_merge")
+    }, Some(
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |         CAST(o_orderdate AS TIMESTAMP) AS odate,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT k, odate, cents * 2 AS cents FROM t WHERE k % 100 = 0)
+        |SELECT k, odate, cents FROM t WHERE odate < TIMESTAMP '1998-01-01'
+        |UNION ALL
+        |SELECT sc.k, sc.odate, sc.cents FROM t sc
+        |WHERE sc.odate >= TIMESTAMP '1998-01-01'
+        |  AND sc.k NOT IN (SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, odate, cents FROM b""".stripMargin)),
+
     QueryDef("q241_pit_scd2_join", (s, d) => {
       // Point-in-time join of a fact to SCD2 history — the "fact meets
       // slowly-changing dimension" pattern the reference's dim_member/

@@ -49,6 +49,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out(4L) === ("D", 400))
   }
 
+  test("mergePredicated: out-of-scope target invisible to matching (incremental_predicates)") {
+    // scope: v >= 15. k=1 (v=10) is OUT of scope.
+    val batch = Seq((1L, "A2", 100), (2L, "B2", 200)).toDF("k", "s", "v")
+    val out = mergePredicated(tgt, batch, Seq("k"), Seq(col("v") >= 15))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out === Set(
+      (1L, "a", 10),    // out of scope: passes through untouched...
+      (1L, "A2", 100),  // ...so the batch key INSERTS a second copy (dbt trade)
+      (2L, "B2", 200),  // in scope: updated
+      (3L, "c", 30)))   // in scope, not in batch: kept
+    // NULL predicate rows are out of scope (SQL ON semantics)
+    val tgtN = Seq((Some(1L), Option.empty[Integer]), (Some(2L), Some(Integer.valueOf(20))))
+      .toDF("k", "v")
+    val bN = Seq((1L, 111), (2L, 222)).toDF("k", "v")
+    val outN = mergePredicated(tgtN, bN, Seq("k"), Seq(col("v") > 0))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(outN === Set((1L, None), (1L, Some(111)), (2L, Some(222))))
+    // empty predicate list degrades to plain merge
+    assert(asMap(mergePredicated(tgt, src, Seq("k"), Nil)) ===
+      asMap(merge(tgt, src, Seq("k"))))
+  }
+
   test("merge is idempotent on identical source (property)") {
     val once = merge(tgt, src, Seq("k"))
     val twice = merge(once, src, Seq("k"))
