@@ -166,7 +166,56 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   private var runStartHooks = Vector.empty[Hook.Hook]
   private var runEndHooks = Vector.empty[Hook.Hook]
 
-  def register(m: Model): this.type = { models :+= m; this }
+  def register(m: Model): this.type = {
+    require(!versions.contains(m.name),
+      s"'${m.name}' is a versioned model base — use registerVersion")
+    models :+= m; this
+  }
+
+  // ---- dbt model versions (dbt-core 1.5 `versions:` / latest_version) ----
+
+  private var versions = Map.empty[String, scala.collection.immutable.SortedSet[Int]]
+  private var latestPin = Map.empty[String, Int]
+
+  /** Canonical relation name of one version (dbt materializes `m_v2`). */
+  def versionName(base: String, version: Int): String = s"${base}__v$version"
+
+  /** Register one VERSION of a model under its base name (dbt `versions:`):
+    * the model materializes as `base__vN` — every version stays its own
+    * queryable relation — while a dependency on the bare `base` resolves to
+    * the LATEST version (highest registered, unless [[setLatestVersion]]
+    * pins an older one, dbt's `latest_version:` field for staged
+    * migrations). A dependency on `versionName(base, n)` pins that version
+    * explicitly (dbt `ref('m', v=n)`).
+    */
+  def registerVersion(base: String, version: Int, m: Model): this.type = {
+    require(version >= 1, s"version must be >= 1: $version")
+    require(!models.exists(_.name == base),
+      s"'$base' is already registered as an unversioned model")
+    val vs = versions.getOrElse(base, scala.collection.immutable.SortedSet.empty[Int])
+    require(!vs.contains(version), s"'$base' version $version already registered")
+    models :+= m.copy(name = versionName(base, version))
+    versions += base -> (vs + version)
+    this
+  }
+
+  /** Pin which version a bare-base dependency resolves to (dbt
+    * `latest_version:` — defaults to the highest registered version).
+    */
+  def setLatestVersion(base: String, version: Int): this.type = {
+    require(versions.get(base).exists(_.contains(version)),
+      s"no registered version $version of '$base'")
+    latestPin += base -> version
+    this
+  }
+
+  /** Resolve a dependency/selector name: a versioned base aliases to its
+    * latest (or pinned) version's canonical name; anything else is itself.
+    */
+  private def resolveName(n: String): String =
+    versions.get(n)
+      .map(vs => versionName(n, latestPin.getOrElse(n, vs.max)))
+      .getOrElse(n)
 
   /** Project-level hooks (dbt on-run-start / on-run-end): run once per
     * [[run]] invocation, before the first / after the last model, in
@@ -249,7 +298,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     this
   }
 
-  def relation(name: String): DataFrame = materialized(name)
+  def relation(name: String): DataFrame = materialized(resolveName(name))
 
   /** dbt docs-generate catalog (catalog.json semantics): one row per
     * (node, column) over every relation this registry has materialized or
@@ -304,14 +353,15 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     * relations, else the warehouse (cross-process defer), else raise.
     */
   def columnLineage(modelName: String): DataFrame = {
-    val m = models.find(_.name == modelName).getOrElse(
+    val m = models.find(_.name == resolveName(modelName)).getOrElse(
       throw new IllegalArgumentException(s"unknown model: $modelName"))
-    val deps = m.deps.map(d => d -> materialized.getOrElse(d, {
+    val deps = m.deps.map(decl => { val d = resolveName(decl)
+      decl -> materialized.getOrElse(d, {
       if (wh.exists(d)) wh.read(d)
       else throw new IllegalStateException(
         s"dependency '$d' of '$modelName' is not materialized and has no " +
           "warehouse relation — run its ancestors first")
-    })).toMap
+    })}).toMap
     val ctx = ModelContext(spark, deps, isIncremental = false,
       existingTarget = None)
     Lineage.columnLineage(spark, m.build(ctx), deps)
@@ -344,7 +394,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   def unitTest(modelName: String, givenInputs: Map[String, DataFrame],
       expect: DataFrame, isIncremental: Boolean = false,
       existingThis: Option[DataFrame] = None): DataFrame = {
-    val m = models.find(_.name == modelName).getOrElse(
+    val m = models.find(_.name == resolveName(modelName)).getOrElse(
       throw new IllegalArgumentException(s"unknown model: $modelName"))
     val missing = m.deps.filterNot(givenInputs.contains)
     require(missing.isEmpty,
@@ -371,7 +421,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     def visit(n: String): Unit = byName.get(n).foreach { m =>
       if (!visited.contains(n)) {
         require(visiting.add(n), s"model cycle at $n")
-        m.deps.foreach(visit)
+        m.deps.map(resolveName).foreach(visit)
         visiting -= n
         visited += n
       }
@@ -471,7 +521,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   def resolveSelector(spec: String): Set[String] = {
     val byName = models.map(m => m.name -> m).toMap
     val children: Map[String, Seq[String]] = models
-      .flatMap(m => m.deps.map(_ -> m.name))
+      .flatMap(m => m.deps.map(d => resolveName(d) -> m.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def walk(n: String, next: String => Seq[String],
         acc: scala.collection.mutable.Set[String]): Unit =
@@ -482,7 +532,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       acc.toSet
     }
     def anc(n: String): Set[String] =
-      closure(n, x => byName.get(x).map(_.deps).getOrElse(Nil))
+      closure(n, x => byName.get(x).map(_.deps.map(resolveName)).getOrElse(Nil))
     def desc(n: String): Set[String] =
       closure(n, x => children.getOrElse(x, Nil))
     // graph-operator expansion shared by every atom family: dbt's
@@ -518,8 +568,10 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
               s"unsupported state method: 'state:$other' (modified | new)")
           }
         } else {
-          require(byName.contains(core), s"unknown model in selector: '$core'")
-          Set(core)
+          // a versioned base name selects its latest (pinned) version
+          val c = resolveName(core)
+          require(byName.contains(c), s"unknown model in selector: '$core'")
+          Set(c)
         }
       expand(base, pre, post, at)
     }
@@ -562,11 +614,12 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       } else if (select.isEmpty) None
       else {
         val byName = models.map(m => m.name -> m).toMap
-        select.foreach(s => require(byName.contains(s), s"unknown model in select: $s"))
+        select.foreach(s => require(byName.contains(resolveName(s)),
+          s"unknown model in select: $s"))
         val seen = scala.collection.mutable.Set.empty[String]
         def ancestors(n: String): Unit = if (seen.add(n))
-          byName.get(n).foreach(_.deps.foreach(ancestors))
-        select.foreach(ancestors)
+          byName.get(n).foreach(_.deps.map(resolveName).foreach(ancestors))
+        select.map(resolveName).foreach(ancestors)
         Some(seen.toSet)
       }
     val ordered = topoSorted.filter(m =>
@@ -574,7 +627,8 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
         (selector.nonEmpty || !exclude.contains(m.name)))
     val level = scala.collection.mutable.Map.empty[String, Int]
     ordered.foreach { m =>
-      level(m.name) = (m.deps.flatMap(level.get).maxOption.getOrElse(-1)) + 1
+      level(m.name) =
+        (m.deps.map(resolveName).flatMap(level.get).maxOption.getOrElse(-1)) + 1
     }
     val byLevel = ordered.groupBy(m => level(m.name)).toSeq.sortBy(_._1)
     if (fireRunHooks) runStartHooks.foreach(_(HookContext(spark, wh, None, None)))
@@ -747,7 +801,10 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       // every consumer in this run sees one snapshot (the I8 temp-relation
       // consistency contract). Failing both, explain the contract instead
       // of surfacing a bare key-not-found.
-      val deps = m.deps.map(d => d -> materialized.getOrElse(d, {
+      // deps are KEYED on the declared name (ctx.ref uses what the model
+      // wrote) but RESOLVE through the version alias
+      val deps = m.deps.map(decl => { val d = resolveName(decl)
+        decl -> materialized.getOrElse(d, {
         if (wh.exists(d)) {
           val df = wh.read(d)
           materialized(d) = df
@@ -757,7 +814,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
             "not selected in this run and no previous run produced a " +
             s"warehouse relation '$d' to defer to (register it, select it, " +
             "or run it first)")
-      })).toMap
+      })}).toMap
       val targetExists = wh.exists(m.name)
       val isInc = (m.mat.isInstanceOf[IncrementalMat] ||
         m.mat.isInstanceOf[AggregateMat]) && targetExists && !fullRefresh

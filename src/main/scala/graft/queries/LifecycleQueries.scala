@@ -1184,6 +1184,44 @@ object LifecycleQueries extends QuerySet {
         |UNION ALL
         |SELECT k, odate, cents FROM b""".stripMargin)),
 
+    QueryDef("q247_model_versions", (s, d) => {
+      // dbt model versions (dbt-core 1.5 `versions:`): rollup v1 and v2
+      // coexist as their own relations; the consumer depends on the BARE
+      // base name and resolves to the latest (v2, which adds the cents
+      // measure). Every version stays queryable — the output is the
+      // consumer (built on v2) plus both version relations' row counts,
+      // proving v1 materialized untouched beside it. The latest_version
+      // pinning path (staged migration back to v1) is in RegistrySpec.
+      import graft.engine.{Model, TableMat, ViewMat}
+      val wh = Scratch.warehouse("q247", d, s,
+        Seq("rollup__v1", "rollup__v2", "consumer"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.registerVersion("rollup", 1, Model("rollup", Seq("orders_src"),
+        TableMat(), ctx => ctx.ref("orders_src")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"))))
+      reg.registerVersion("rollup", 2, Model("rollup", Seq("orders_src"),
+        TableMat(), ctx => ctx.ref("orders_src")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(graft.operators.Features.cents(col("o_totalprice")))
+              .as("total_cents"))))
+      reg.register(Model("consumer", Seq("rollup"), TableMat(),
+        ctx => ctx.ref("rollup").filter(col("n_orders") > 0)))
+      reg.run()
+      wh.read("consumer")
+        .withColumn("v1_rows",
+          lit(wh.read("rollup__v1").count()))
+        .withColumn("v1_has_cents",
+          lit(wh.read("rollup__v1").columns.contains("total_cents")))
+    }, Some(
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders) AS v1_rows,
+        |       false AS v1_has_cents
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     QueryDef("q241_pit_scd2_join", (s, d) => {
       // Point-in-time join of a fact to SCD2 history — the "fact meets
       // slowly-changing dimension" pattern the reference's dim_member/

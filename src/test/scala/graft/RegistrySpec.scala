@@ -773,6 +773,48 @@ class RegistrySpec extends AnyFunSuite {
     assert(r3.resolveSelector("state:modified") === Set("m"))
   }
 
+  test("model versions: bare ref resolves latest, pin overrides, explicit version sticks") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    def mk(pin: Option[Int]) = {
+      val reg = new Registry(spark, wh)
+      reg.source("src", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+      reg.registerVersion("m", 1, Model("m", Seq("src"), ViewMat,
+        ctx => ctx.ref("src").withColumn("ver", lit(1))))
+      reg.registerVersion("m", 2, Model("m", Seq("src"), ViewMat,
+        ctx => ctx.ref("src").withColumn("ver", lit(2))))
+      // consumer on the bare base; pinned consumer on an explicit version
+      reg.register(Model("latest_user", Seq("m"), ViewMat, ctx => ctx.ref("m")))
+      reg.register(Model("pinned_user", Seq(reg.versionName("m", 1)), ViewMat,
+        ctx => ctx.ref(reg.versionName("m", 1))))
+      pin.foreach(v => reg.setLatestVersion("m", v))
+      reg
+    }
+    val r1 = mk(None)
+    r1.run()
+    assert(r1.relation("latest_user").select("ver").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(2)) // highest wins
+    assert(r1.relation("pinned_user").select("ver").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(1)) // ref('m', v=1)
+    assert(r1.relation("m").columns.contains("ver")) // bare relation() aliases
+    // latest_version pin: staged migration keeps v2 registered, serves v1
+    val r2 = mk(Some(1))
+    r2.run()
+    assert(r2.relation("latest_user").select("ver").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // selector on the bare base resolves to the pinned version
+    assert(r2.resolveSelector("m") === Set(r2.versionName("m", 1)))
+    // contracts: duplicate version, unknown pin, base/unversioned collision
+    intercept[IllegalArgumentException] {
+      mk(None).registerVersion("m", 2, Model("m", Seq("src"), ViewMat,
+        ctx => ctx.ref("src")))
+    }
+    intercept[IllegalArgumentException] { mk(None).setLatestVersion("m", 9) }
+    intercept[IllegalArgumentException] {
+      mk(None).register(Model("m", Nil, ViewMat, ctx => spark.range(1).toDF()))
+    }
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))
