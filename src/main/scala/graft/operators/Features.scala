@@ -220,6 +220,54 @@ object Features {
           .cast("long").as("term_milli"))
   }
 
+  /** Market-basket pair affinity: for every item pair co-occurring in at
+    * least `minSupport` baskets, the exact-integer lift
+    * `lift_milli = n_both * n_baskets * 1000 div (n_a * n_b)` — above
+    * 1000 means the pair co-occurs more than independence predicts (the
+    * cross-sell / bundle signal; the q221 collocation recipe lifted from
+    * token windows to transaction baskets). Presence-based: duplicate
+    * lines of one item in a basket count once.
+    *
+    * Scale shape: one basket-keyed distinct, a basket-keyed self-join
+    * whose fan-out is quadratic in BASKET SIZE (bounded by
+    * `maxBasketSize` — oversized baskets are dropped BEFORE the join, the
+    * hot-block guard of the dedup family; a 10k-item basket would emit
+    * 50M pairs), then a pair-keyed partial agg with the item marginals
+    * broadcast back. Products ride DECIMAL(38,0).
+    */
+  def basketPairs(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && maxBasketSize >= 2,
+      s"minSupport=$minSupport maxBasketSize=$maxBasketSize")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val items = df.select(basketCol.as("basket"), itemCol.as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val sized = items.groupBy(col("basket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBasketSize)
+      .select(col("basket"))
+    val kept = items.join(sized, Seq("basket"))
+    val nBaskets = kept.agg(countDistinct(col("basket")).as("n_baskets"))
+    val marginals = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val a = kept.select(col("basket"), col("item").as("item_a"))
+    val b = kept.select(col("basket"), col("item").as("item_b"))
+    a.join(b, Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+      .join(broadcast(marginals.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), Seq("item_a"))
+      .join(broadcast(marginals.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        call_function("div", dec(col("n_both")) * dec(col("n_baskets")) * 1000,
+          dec(col("n_a")) * dec(col("n_b"))).cast("long").as("lift_milli"))
+  }
+
   /** Pooled two-proportion z statistic from exact integer counts — the
     * A/B experiment readout. Algebraically
     * `z = (c1/n1 - c2/n2) / sqrt(p(1-p)(1/n1 + 1/n2))` with pooled

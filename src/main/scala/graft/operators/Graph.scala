@@ -279,6 +279,27 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node — the community-tightness
+    * signal on top of [[triangleCounts]]: `C(v) = 2*T(v) / (d(v)*(d(v)-1))`
+    * in exact ppm (integer div — the log-free hash-comparable rendering),
+    * NULL for degree < 2 (no wedge exists; 0 would claim "open wedges,
+    * none closed", a different statement). Costs one degree rollup and a
+    * node-keyed join on top of the triangle pass — the Suri-Vassilvitskii
+    * orientation still bounds the wedge volume.
+    */
+  def clusteringCoefficients(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = normalizeUndirected(edges, aCol, bCol).localCheckpoint(false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    triangleCounts(und, "u", "v")
+      .join(deg, Seq("node_id"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          call_function("div", col("n_triangles") * 2000000L,
+            col("degree") * (col("degree") - 1L))))
+  }
+
   /** The shared undirected-graph normalization of [[triangleCounts]] and
     * [[kCorePeel]]: nulls and self-loops out, direction and duplicates
     * erased via (least, greatest) + distinct — one definition of what an

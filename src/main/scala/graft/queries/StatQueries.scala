@@ -292,6 +292,72 @@ object StatQueries extends QuerySet {
          |                  * sqrt(CAST(sum(sl * sl) AS DOUBLE))) END AS centroid_cos
          |FROM j GROUP BY 1""".stripMargin)),
 
+    QueryDef("q248_clustering_coefficient", (s, d) => {
+      // local clustering coefficient in exact ppm over the q148
+      // pseudo-random graph: community tightness per node, degree-ordered
+      // triangle pass + one degree rollup; degree < 2 -> NULL (no wedge).
+      import graft.operators.Graph
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val raw = docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 7 + 1) % 97).as("y"))
+        .union(docs.select((col("doc_id") % 97).as("x"),
+          ((col("doc_id") * 13 + 5) % 97).as("y")))
+      Graph.clusteringCoefficients(raw, "x", "y")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT doc_id % 97 AS x, (doc_id * 7 + 1) % 97 AS y
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97 AS x, (doc_id * 13 + 5) % 97 AS y
+        |  FROM documents),
+        |e AS (SELECT DISTINCT CAST(least(x, y) AS BIGINT) AS u,
+        |                      CAST(greatest(x, y) AS BIGINT) AS v
+        |      FROM raw WHERE x <> y),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) t
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |members AS (SELECT a AS id FROM tri UNION ALL
+        |            SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |counts AS (SELECT id, count(*) AS n FROM members GROUP BY id)
+        |SELECT n.id AS node_id,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles,
+        |       d.degree,
+        |       CAST(CASE WHEN d.degree >= 2
+        |                 THEN (coalesce(c.n, 0) * 2000000) // (d.degree * (d.degree - 1))
+        |            END AS BIGINT) AS clustering_ppm
+        |FROM nodes n JOIN deg d ON d.id = n.id
+        |LEFT JOIN counts c ON c.id = n.id""".stripMargin)),
+
+    QueryDef("q249_basket_affinity", (s, d) =>
+      // co-purchase lift over order baskets: part pairs sharing >= 2
+      // orders, exact-integer lift (q221's collocation recipe on
+      // transactions) — the cross-sell signal.
+      Features.basketPairs(table(s, d, "lineitem"),
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        minSupport = 2),
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
+          |                  CAST(l_partkey AS BIGINT) AS item
+          |  FROM lineitem),
+          |n AS (SELECT CAST(count(DISTINCT basket) AS HUGEINT) AS n_baskets FROM items),
+          |m AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY 1),
+          |p AS (
+          |  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+          |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT item_a, item_b, n_both, ma.n_item AS n_a, mb.n_item AS n_b,
+          |       CAST((CAST(n_both AS HUGEINT) * n_baskets * 1000)
+          |            // (CAST(ma.n_item AS HUGEINT) * mb.n_item) AS BIGINT) AS lift_milli
+          |FROM p JOIN m ma ON ma.item = p.item_a
+          |       JOIN m mb ON mb.item = p.item_b
+          |CROSS JOIN n""".stripMargin)),
+
     QueryDef("q243_damerau_match", (s, d) => {
       // transposition-tolerant fuzzy probe match via the codegen'd TRUE
       // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair

@@ -215,6 +215,43 @@ class StatSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture actually exercises the filter
   }
 
+  // ---- clusteringCoefficients ----
+
+  test("clusteringCoefficients: triangle 1.0, star center 0, pendant NULL") {
+    import graft.operators.Graph
+    // triangle 1-2-3, star center 4 -> leaves 5,6 (no leaf-leaf edge),
+    // pendant 7 hanging off 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (4L, 6L), (1L, 7L))
+      .toDF("a", "b")
+    val out = Graph.clusteringCoefficients(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(2L) === ((1L, 2L, Some(1000000L)))) // closed wedge
+    assert(out(1L) === ((1L, 3L, Some(333333L))))  // 1 triangle of 3 wedges
+    assert(out(4L) === ((0L, 2L, Some(0L))))       // open star
+    assert(out(7L) === ((0L, 1L, None)))           // degree 1: no wedge
+  }
+
+  // ---- basketPairs ----
+
+  test("basketPairs: exact lift, support filter, oversized-basket guard") {
+    // baskets: {A,B} x3, {A,C}, {B,C}, and one giant basket that must drop
+    val rows =
+      Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"),
+        (4L, "A"), (4L, "C"), (5L, "B"), (5L, "C"),
+        (1L, "A")) ++ // duplicate line: presence counts once
+        (1 to 50).map(i => (99L, s"x$i"))
+    val df = rows.toDF("basket", "item")
+    val out = Features.basketPairs(df, col("basket"), col("item"),
+      minSupport = 2, maxBasketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    // 5 kept baskets; A in 4, B in 4, AB in 3 -> lift = 3*5*1000/(4*4) = 937
+    assert(out === Map(("A", "B") -> ((3L, 937L))))
+    // the giant basket contributed nothing (guard drops it pre-join)
+    assert(!out.keys.exists(_._1.startsWith("x")))
+  }
+
   // ---- embeddingDrift ----
 
   test("embeddingDrift: identical slices cos 1, rotation drops, vanished label NULL") {
