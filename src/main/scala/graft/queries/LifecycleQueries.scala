@@ -951,6 +951,44 @@ object LifecycleQueries extends QuerySet {
         | AND l.event_type = 'view' AND r.event_type = 'click'
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin)),
 
+    QueryDef("q250_stream_timebound_outer", (s, d) => {
+      // stream-stream LEFT OUTER time-bound join: views with no click
+      // inside the hour emit NULL — but only after the watermark passes
+      // their window. Terminal state under AvailableNow is deterministic:
+      // the closing no-data batch advances the watermark to
+      // min(max view ts, max click ts) - 2h (ms-truncated), so the oracle
+      // re-derives exactly which unmatched views finalized.
+      import graft.streaming.EventsStream
+      def side(prefix: String, eventType: String) =
+        EventsStream.readEvents(s, d).filter(col("event_type") === eventType)
+          .select(col("user_id").as(s"${prefix}_key"), col("ts").as(s"${prefix}_ts"),
+            col("event_id").as(s"${prefix}_event_id"))
+      val joined = EventsStream.timeBoundJoinOuter(
+        side("l", "view"), side("r", "click"),
+        withinSeconds = 3600, watermark = "2 hours")
+        .select(col("l_event_id"), col("r_event_id"))
+      EventsStream.withStatePartitions(s, 8)(
+        EventsStream.runToBatchAppend(s, joined, "q250_sink"))
+    }, Some(
+      """WITH wm AS (
+        |  SELECT least((SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view'),
+        |               (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'click'))
+        |         - 7200000 AS w_ms),
+        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |matched AS (
+        |  SELECT v.event_id AS l_event_id, c.event_id AS r_event_id, v.ts, v.user_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
+        |SELECT CAST(l_event_id AS BIGINT) AS l_event_id,
+        |       CAST(r_event_id AS BIGINT) AS r_event_id
+        |FROM matched
+        |UNION ALL
+        |SELECT CAST(v.event_id AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM v, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.l_event_id = v.event_id)
+        |  AND epoch_us(v.ts) + 3600000000 < wm.w_ms * 1000""".stripMargin)),
+
     QueryDef("q160_stream_agg", (s, d) => {
       // unbounded-key streaming aggregate state: per-batch partials
       // sum-combined into a stored rollup (integer cents — exact under any

@@ -314,6 +314,33 @@ object EventsStream {
         expr(s"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"))
   }
 
+  /** LEFT OUTER [[timeBoundJoin]] — the attribution shape that also
+    * reports the NON-converting side: a left row with no match inside its
+    * window emits with NULL right columns, but only once the watermark
+    * passes the last instant a match could still arrive
+    * (`l_ts + withinSeconds`) — before that the row sits in state, because
+    * emitting early would be wrong the moment a late match lands. The
+    * event-time range bound is what makes the state bounded (same eviction
+    * contract as the inner form).
+    *
+    * Terminal-state determinism under AvailableNow (the q191/q185
+    * finalization rule): the closing no-data batch advances the watermark
+    * to `min(max(l_ts), max(r_ts)) - delay` (ms-truncated, min across the
+    * two watermark operators), so exactly the unmatched left rows whose
+    * windows closed below it emit NULL — the property q250's oracle
+    * re-derives.
+    */
+  def timeBoundJoinOuter(left: DataFrame, right: DataFrame,
+      withinSeconds: Long, watermark: String): DataFrame = {
+    require(withinSeconds >= 1, s"withinSeconds: $withinSeconds")
+    Seq("l_key" -> left, "l_ts" -> left, "r_key" -> right, "r_ts" -> right)
+      .foreach { case (c, df) => require(df.columns.contains(c), s"missing column $c") }
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"),
+        "leftOuter")
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small) static
     * dimension, broadcast so no state and no shuffle of the stream side —
     * the canonical "attach dim attributes to a live fact feed" shape.

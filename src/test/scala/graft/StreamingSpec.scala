@@ -60,6 +60,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer time-bound join: NULL only after the match window closes under the watermark") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    val hr = 3600L * 1000000
+    val base = 1700000000L * 1000000
+    val lmem = MemoryStream[Event] // (event_id, user_id, us)
+    val rmem = MemoryStream[Event]
+    // views: 10 matched; 20 unmatched+finalized; 30 matched (late, drives
+    // the watermark); 40 unmatched, window still open at end -> withheld
+    lmem.addData(Event(1, 10, base), Event(2, 20, base),
+      Event(3, 30, base + 4 * hr), Event(4, 40, base + hr + hr / 2))
+    rmem.addData(Event(101, 10, base + hr / 2), Event(103, 30, base + 4 * hr + hr / 2))
+    def side(m: MemoryStream[Event], p: String) = m.toDS()
+      .select(col("user_id").as(s"${p}_key"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as(s"${p}_ts"),
+        col("event_id").as(s"${p}_event_id"))
+    val joined = EventsStream.timeBoundJoinOuter(side(lmem, "l"), side(rmem, "r"),
+      withinSeconds = 3600, watermark = "2 hours")
+      .select(col("l_event_id"), col("r_event_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_outer_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ssj_outer_test").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    // watermark = min(base+4h, base+4.5h) - 2h = base+2h: view 20's window
+    // (closes base+1h) finalized NULL; view 40's (closes base+2.5h) withheld
+    assert(out === Map(1L -> Some(101L), 3L -> Some(103L), 2L -> None))
+  }
+
   test("stateful sessionization splits on the 30-min gap") {
     implicit val s = spark
     implicit val sc = s.sqlContext
