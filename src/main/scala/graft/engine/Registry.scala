@@ -172,6 +172,47 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     models :+= m; this
   }
 
+  // ---- dbt exposures (downstream-consumer metadata nodes) ----
+
+  /** A dbt exposure: a DECLARED downstream consumer of warehouse relations
+    * (dashboard, notebook, ML job, application). Not runnable — its value
+    * is (a) documentation (`exposures()`), and (b) selection:
+    * `+exposure:name` runs everything the consumer depends on, the
+    * "rebuild what my dashboard needs" invocation.
+    */
+  final case class Exposure(
+      name: String,
+      exposureType: String,
+      owner: String,
+      dependsOn: Seq[String],
+      url: Option[String] = None,
+      description: Option[String] = None)
+
+  private var exposuresVec = Vector.empty[Exposure]
+
+  def registerExposure(e: Exposure): this.type = {
+    val kinds = Seq("dashboard", "notebook", "analysis", "ml", "application")
+    require(kinds.contains(e.exposureType),
+      s"exposure type '${e.exposureType}' not in ${kinds.mkString("/")}")
+    require(!exposuresVec.exists(_.name == e.name),
+      s"exposure '${e.name}' already registered")
+    require(e.dependsOn.nonEmpty, s"exposure '${e.name}' depends on nothing")
+    exposuresVec :+= e
+    this
+  }
+
+  /** Exposure metadata as a relation (the docs/catalog surface for
+    * downstream consumers; flat scalars for the harness compare).
+    */
+  def exposures(): DataFrame = {
+    import spark.implicits._
+    exposuresVec.map(e => (e.name, e.exposureType, e.owner,
+      e.dependsOn.map(resolveName).sorted.mkString(","),
+      e.url, e.description))
+      .toDF("exposure_name", "exposure_type", "owner", "depends_on",
+        "url", "description")
+  }
+
   // ---- dbt model versions (dbt-core 1.5 `versions:` / latest_version) ----
 
   private var versions = Map.empty[String, scala.collection.immutable.SortedSet[Int]]
@@ -532,7 +573,13 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       acc.toSet
     }
     def anc(n: String): Set[String] =
-      closure(n, x => byName.get(x).map(_.deps.map(resolveName)).getOrElse(Nil))
+      closure(n, x =>
+        // exposure pseudo-nodes contribute their declared deps to the
+        // ancestor walk (`+exposure:x` = "what my dashboard needs")
+        if (x.startsWith("exposure:"))
+          exposuresVec.find(_.name == x.stripPrefix("exposure:"))
+            .map(_.dependsOn.map(resolveName)).getOrElse(Nil)
+        else byName.get(x).map(_.deps.map(resolveName)).getOrElse(Nil))
     def desc(n: String): Set[String] =
       closure(n, x => children.getOrElse(x, Nil))
     // graph-operator expansion shared by every atom family: dbt's
@@ -567,6 +614,12 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
             case other => throw new IllegalArgumentException(
               s"unsupported state method: 'state:$other' (modified | new)")
           }
+        } else if (core.startsWith("exposure:")) {
+          // the exposure node itself is not runnable (filtered by the
+          // model intersection below); +exposure:x selects its ancestors
+          val en = core.stripPrefix("exposure:")
+          require(exposuresVec.exists(_.name == en), s"unknown exposure: '$en'")
+          Set(core)
         } else {
           // a versioned base name selects its latest (pinned) version
           val c = resolveName(core)

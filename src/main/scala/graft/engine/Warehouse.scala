@@ -553,6 +553,46 @@ final class Warehouse(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Z-order layout rewrite (the OPTIMIZE ... ZORDER BY maintenance op):
+    * rewrite an unpartitioned table ordered along the Morton curve of two
+    * columns, so file-level min/max stats become selective in BOTH
+    * dimensions at once — a 2-d box (or a slab in the SECOND column, the
+    * one linear `clusterBy` cannot serve) lands in few files and parquet
+    * row-group stats skip the rest. Columns are rank-normalized to 16-bit
+    * buckets from an exact 1-row min/max agg (integer div), interleaved by
+    * the codegen'd [[graft.plans.Expressions]] ZOrder16, range-partitioned
+    * and sorted within partitions — the q117 layout key wired into the
+    * swap-protocol writer as a real table operation. Content-identical by
+    * construction (the key is dropped before the write).
+    */
+  def rewriteZOrdered(name: String, colA: String, colB: String,
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(Files.exists(dir(name)), s"no table '$name'")
+    val raw = read(name)
+    Seq(colA, colB).foreach(c => require(raw.columns.contains(c),
+      s"no column '$c' in '$name'"))
+    val bounds = raw.agg(
+      org.apache.spark.sql.functions.min(col(colA).cast("long")).as("mna"),
+      org.apache.spark.sql.functions.max(col(colA).cast("long")).as("mxa"),
+      org.apache.spark.sql.functions.min(col(colB).cast("long")).as("mnb"),
+      org.apache.spark.sql.functions.max(col(colB).cast("long")).as("mxb"))
+      .collect()(0)
+    def bucket(c: String, mn: Long, mx: Long) =
+      if (mx == mn) lit(0)
+      else org.apache.spark.sql.functions.call_function("div",
+        (col(c).cast("long") - mn) * 65535L, lit(mx - mn)).cast("int")
+    val key = enginePrefix + "zkey"
+    val keyed = raw.withColumn(key, graft.plans.Expressions.zorder16(
+      bucket(colA, bounds.getLong(0), bounds.getLong(1)),
+      bucket(colB, bounds.getLong(2), bounds.getLong(3))))
+    val parts = if (numFiles > 0) keyed.repartitionByRange(numFiles, col(key))
+      else keyed.repartitionByRange(col(key))
+    // the engine key is dropped by read()'s enginePrefix filter, but drop
+    // it physically too — layout metadata does not belong in the files
+    writeSwap(name, parts.sortWithinPartitions(col(key)).drop(key))
+  }
+
   /** Zero-copy table clone (dbt clone, dbt-adapters
     * macros/materializations/models/clone/clone.sql — Snowflake's
     * metadata-only CREATE TABLE CLONE): hard-link every data file of

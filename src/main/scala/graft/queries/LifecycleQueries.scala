@@ -1222,6 +1222,55 @@ object LifecycleQueries extends QuerySet {
         |UNION ALL
         |SELECT k, odate, cents FROM b""".stripMargin)),
 
+    QueryDef("q251_zorder_rewrite", (s, d) => {
+      // OPTIMIZE ... ZORDER BY as a warehouse maintenance op: rewrite a
+      // table along the Morton curve of (custkey, cents) through the swap
+      // protocol — content provably identical (this oracle), 2-d locality
+      // pinned in ScaleSpec (a second-dimension slab lands in fewer files
+      // than the linear layout smears it over).
+      val wh = Scratch.warehouse("q251", d, s, Seq("zorders"))
+      wh.writeSwap("zorders", table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_custkey").cast("long").as("custkey"),
+        graft.operators.Features.cents(col("o_totalprice")).as("cents")))
+      wh.rewriteZOrdered("zorders", "custkey", "cents")
+      wh.read("zorders")
+    }, Some(
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        |       CAST(o_custkey AS BIGINT) AS custkey,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |FROM orders""".stripMargin)),
+
+    QueryDef("q252_exposures", (s, d) => {
+      // dbt exposures: a declared dashboard consumer; `+exposure:name`
+      // runs exactly its dependency closure (staging -> mart), and the
+      // exposure surfaces in the docs metadata relation. Output: the
+      // exposure catalog plus proof the selector built the chain.
+      import graft.engine.{Model, TableMat, ViewMat}
+      val wh = Scratch.warehouse("q252", d, s, Seq("rev_mart"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("stg_rev", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src").select(col("o_orderstatus").as("status"),
+          graft.operators.Features.cents(col("o_totalprice")).as("cents"))))
+      reg.register(Model("rev_mart", Seq("stg_rev"), TableMat(),
+        ctx => ctx.ref("stg_rev").groupBy(col("status"))
+          .agg(sum(col("cents")).as("revenue_cents"))))
+      reg.register(Model("unrelated", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src").limit(1)))
+      reg.registerExposure(reg.Exposure("weekly_revenue", "dashboard",
+        "analytics-team", Seq("rev_mart"), url = Some("https://bi/rev")))
+      val built = reg.run(selector = "+exposure:weekly_revenue")
+      reg.exposures()
+        .withColumn("mart_rows", lit(wh.read("rev_mart").count()))
+        .withColumn("built_unrelated", lit(built.contains("unrelated")))
+    }, Some(
+      """SELECT 'weekly_revenue' AS exposure_name, 'dashboard' AS exposure_type,
+        |       'analytics-team' AS owner, 'rev_mart' AS depends_on,
+        |       'https://bi/rev' AS url, CAST(NULL AS VARCHAR) AS description,
+        |       (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders) AS mart_rows,
+        |       false AS built_unrelated""".stripMargin)),
+
     QueryDef("q247_model_versions", (s, d) => {
       // dbt model versions (dbt-core 1.5 `versions:`): rollup v1 and v2
       // coexist as their own relations; the consumer depends on the BARE

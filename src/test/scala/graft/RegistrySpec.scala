@@ -815,6 +815,28 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("exposures: +exposure selects the dependency closure, bare selects nothing runnable") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val reg = new Registry(spark, new Warehouse(root, spark))
+    reg.source("src", Seq((1L, 2L)).toDF("a", "b"))
+    reg.register(Model("stg", Seq("src"), ViewMat, ctx => ctx.ref("src")))
+    reg.register(Model("mart", Seq("stg"), ViewMat, ctx => ctx.ref("stg")))
+    reg.register(Model("other", Seq("src"), ViewMat, ctx => ctx.ref("src")))
+    reg.registerExposure(reg.Exposure("dash", "dashboard", "team", Seq("mart")))
+    // the exposure node is not runnable; + walks its declared deps
+    assert(reg.resolveSelector("exposure:dash") === Set.empty[String])
+    assert(reg.resolveSelector("+exposure:dash") === Set("stg", "mart"))
+    val ex = reg.exposures().collect().head
+    assert(ex.getString(0) === "dash" && ex.getString(3) === "mart")
+    intercept[IllegalArgumentException] { reg.resolveSelector("+exposure:nope") }
+    intercept[IllegalArgumentException] {
+      reg.registerExposure(reg.Exposure("dash", "dashboard", "t", Seq("mart")))
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerExposure(reg.Exposure("e2", "billboard", "t", Seq("mart")))
+    }
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))

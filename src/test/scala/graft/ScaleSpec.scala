@@ -740,6 +740,31 @@ class ScaleSpec extends AnyFunSuite {
       s"top-k must prune map-side before the final window:\n$plan")
   }
 
+  test("rewriteZOrdered: second-dimension slab lands in fewer files than linear layout") {
+    import graft.engine.Warehouse
+    val wh = new Warehouse(
+      java.nio.file.Files.createTempDirectory("graft_zorder").toString, spark)
+    val grid = spark.range(0, 65536).select(
+      (col("id") / 256).cast("long").as("x"), (col("id") % 256).as("y"),
+      col("id").as("payload"))
+    // linear layout: 32 x-range files — a y-slab lives in EVERY file
+    wh.writeSwap("zt", grid.repartitionByRange(32, col("x"))
+      .sortWithinPartitions(col("x")))
+    def slabFiles() = wh.read("zt").filter(col("y") >= 32 && col("y") < 48)
+      .select(input_file_name()).distinct().count()
+    val before = slabFiles()
+    wh.rewriteZOrdered("zt", "x", "y", numFiles = 32)
+    val after = slabFiles()
+    // the slab is 1/16 of the space: the Morton layout confines it to a
+    // fraction of the files where the linear layout smeared it over all
+    assert(before === 32L)
+    assert(after < before, s"z-order should localize the slab: $after vs $before")
+    // content identical through the rewrite
+    assert(wh.read("zt").count() === 65536L)
+    assert(wh.read("zt").agg(sum(col("payload"))).collect()(0).getLong(0)
+      === (0L until 65536L).sum)
+  }
+
   test("jaroWinkler probe match is broadcast + narrow map (q215 shape)") {
     import graft.plans.Expressions
     val parts = (1L to 300L).map(i => (i, s"name variant $i")).toDF("pk", "nm")
