@@ -220,6 +220,70 @@ object Features {
           .cast("long").as("term_milli"))
   }
 
+  /** Rolling (trailing `windowDays`-day) Pearson correlation between two
+    * daily series per group — "are these two metrics still moving
+    * together" as a time-local signal, where [[corrMatrix]] answers it
+    * globally. All six moment sums (n, Sx, Sy, Sxx, Syy, Sxy) accumulate
+    * over ONE shared RANGE frame as exact integers; the correlation is a
+    * single IEEE expression per output row, so values hash-compare.
+    * Absent days are simply absent from the frame (RANGE semantics);
+    * zero variance in the window -> NULL.
+    *
+    * Input is the already-rolled-up daily relation (group..., day, x, y).
+    * Scale: windows partition on the group key and hold one row per DAY —
+    * calendar-bounded partitions, one sort each.
+    */
+  def rollingCorr(daily: DataFrame, groupCols: Seq[String], dayCol: Column,
+      xCol: Column, yCol: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 2, s"windowDays: $windowDays")
+    require(groupCols.nonEmpty, "rollingCorr needs at least one group column")
+    val gcols = groupCols.map(col)
+    val base = daily.select(gcols ++ Seq(dayCol.cast("long").as("day"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val withSums = base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    withSums.select(gcols ++ Seq(col("day"), col("x"), col("y"),
+      col("n").as("n_days"),
+      when(dx > 0 && dy > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("corr")): _*)
+  }
+
+  /** Per-group z-score standardization from exact sample moments: with
+    * `den = n*SS - S^2` (n-1-scaled variance numerator),
+    * `z = (v*n - S) / sqrt(n * den / (n-1))` — exact integer operands, one
+    * division inside the sqrt plus the outer division, bit-stable
+    * cross-engine (the builtin stddev streams float partials whose order
+    * varies with partitioning). Constant groups (zero variance) and
+    * singletons -> NULL. One group rollup broadcast back onto the rows.
+    */
+  def standardize(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "standardize needs at least one group column")
+    val gcols = groupCols.map(col)
+    val v = valueCol.cast("long")
+    val stats = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"),
+      sum(v).as("__s"), sum(v * v).as("__ss"))
+    val den = col("__n") * col("__ss") - col("__s") * col("__s")
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z",
+        when(col("__n") > 1 && den > 0,
+          (v * col("__n") - col("__s")).cast("double") /
+            sqrt((col("__n") * den).cast("double") /
+              (col("__n") - 1).cast("double"))))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** Market-basket pair affinity: for every item pair co-occurring in at
     * least `minSupport` baskets, the exact-integer lift
     * `lift_milli = n_both * n_baskets * 1000 div (n_a * n_b)` — above

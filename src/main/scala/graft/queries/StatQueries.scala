@@ -358,6 +358,102 @@ object StatQueries extends QuerySet {
           |       JOIN m mb ON mb.item = p.item_b
           |CROSS JOIN n""".stripMargin)),
 
+    QueryDef("q253_rolling_corr", (s, d) => {
+      // trailing-7-day correlation between daily view and click volume per
+      // user cohort: the "are these metrics still coupled" drift signal.
+      // Exact moment sums over one RANGE frame, one IEEE expression per row.
+      val daily = events(s, d)
+        .groupBy((col("user_id") % 4).as("cohort"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      Features.rollingCorr(daily, Seq("cohort"), col("day"), col("x"),
+        col("y"), windowDays = 7)
+    }, Some(
+      """WITH daily AS (
+        |  SELECT user_id % 4 AS cohort,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, day, x, y,
+        |         CAST(count(*) OVER fr AS BIGINT) AS n,
+        |         CAST(sum(x) OVER fr AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER fr AS BIGINT) AS sy,
+        |         CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) OVER fr AS BIGINT) AS syy,
+        |         CAST(sum(x * y) OVER fr AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY cohort ORDER BY day
+        |                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT cohort, day, x, y, n AS n_days,
+        |       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |            THEN CAST(n*sxy - sx*sy AS DOUBLE)
+        |               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr
+        |FROM w""".stripMargin)),
+
+    QueryDef("q254_standardize", (s, d) =>
+      // per-returnflag z-scores of quantity from exact sample moments —
+      // the feature-scaling step with bit-stable doubles (builtin stddev
+      // is partitioning-dependent).
+      Features.standardize(
+        table(s, d, "lineitem").select(col("l_orderkey").cast("long").as("k"),
+          col("l_linenumber").cast("long").as("ln"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty")),
+        Seq("l_returnflag"), col("qty")),
+      Some(
+        """WITH m AS (
+          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+          |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+          |  FROM lineitem GROUP BY 1)
+          |SELECT CAST(l.l_orderkey AS BIGINT) AS k,
+          |       CAST(l.l_linenumber AS BIGINT) AS ln,
+          |       l.l_returnflag,
+          |       CAST(l.l_quantity AS BIGINT) AS qty,
+          |       CASE WHEN m.n > 1 AND m.n*m.ss - m.s*m.s > 0
+          |            THEN CAST(CAST(l.l_quantity AS BIGINT)*m.n - m.s AS DOUBLE)
+          |               / sqrt(CAST(m.n*(m.n*m.ss - m.s*m.s) AS DOUBLE)
+          |                      / CAST(m.n - 1 AS DOUBLE)) END AS z
+          |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin)),
+
+    QueryDef("q255_session_window", (s, d) =>
+      // Spark's NATIVE session_window aggregate (the SessionWindow
+      // Catalyst operator — merging variable-length windows per key in one
+      // agg, no lag-cumsum window chain): 30-minute-gap sessions per user
+      // with exact event counts and value cents. Oracle re-derives the
+      // islands with the q23 lag-cumsum recipe — two independent
+      // constructions of the same sessionization.
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("cents")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, ts,
+          |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |m AS (
+          |  SELECT user_id, ts, c,
+          |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM o),
+          |sess AS (
+          |  SELECT user_id, ts, c,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m)
+          |SELECT user_id, min(ts) AS session_start,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(c) AS BIGINT) AS cents
+          |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
     QueryDef("q243_damerau_match", (s, d) => {
       // transposition-tolerant fuzzy probe match via the codegen'd TRUE
       // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair

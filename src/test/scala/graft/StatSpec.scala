@@ -215,6 +215,41 @@ class StatSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture actually exercises the filter
   }
 
+  // ---- rollingCorr ----
+
+  test("rollingCorr: perfect correlation, gap exclusion, zero variance NULL") {
+    // y = 2x on days 0..3; day 10 isolated (window of 1); constant tail
+    val daily = Seq(
+      ("g", 0L, 1L, 2L), ("g", 1L, 2L, 4L), ("g", 2L, 3L, 6L), ("g", 3L, 4L, 8L),
+      ("g", 10L, 5L, 1L),
+      ("g", 20L, 7L, 3L), ("g", 21L, 7L, 5L)).toDF("g", "day", "x", "y")
+    val out = Features.rollingCorr(daily, Seq("g"), col("day"), col("x"),
+      col("y"), windowDays = 7)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(3L)._1 === 4L)
+    assert(out(3L)._2.exists(c => math.abs(c - 1.0) < 1e-12)) // y = 2x
+    assert(out(10L) === ((1L, None)))  // RANGE frame: the gap isolated it
+    assert(out(21L)._1 === 2L)
+    assert(out(21L)._2 === None)       // x constant in window -> NULL
+  }
+
+  // ---- standardize ----
+
+  test("standardize: exact-moment z-scores; singleton and constant NULL") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L),
+      ("c", 7L), ("c", 7L)).toDF("g", "v")
+    val out = Features.standardize(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // group a: mean 20, sample sd 10 -> z = -1, 0, 1
+    assert(out(("a", 10L)).exists(z => math.abs(z + 1.0) < 1e-12))
+    assert(out(("a", 20L)).exists(z => math.abs(z) < 1e-12))
+    assert(out(("a", 30L)).exists(z => math.abs(z - 1.0) < 1e-12))
+    assert(out(("b", 5L)) === None)  // singleton: no sample variance
+    assert(out(("c", 7L)) === None)  // constant group
+  }
+
   // ---- clusteringCoefficients ----
 
   test("clusteringCoefficients: triangle 1.0, star center 0, pendant NULL") {
