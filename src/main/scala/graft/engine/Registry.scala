@@ -158,7 +158,9 @@ final case class Model(
     docs: Option[String] = None,
     tags: Seq[String] = Nil,
     fingerprint: Option[String] = None,
-    contract: Option[Seq[(String, String)]] = None)
+    contract: Option[Seq[(String, String)]] = None,
+    group: Option[String] = None,
+    access: String = "protected")
 
 final class Registry(spark: SparkSession, wh: Warehouse) {
   private var models = Vector.empty[Model]
@@ -169,7 +171,30 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   def register(m: Model): this.type = {
     require(!versions.contains(m.name),
       s"'${m.name}' is a versioned model base — use registerVersion")
+    require(Seq("private", "protected", "public").contains(m.access),
+      s"model '${m.name}': access '${m.access}' not in private/protected/public")
+    require(m.access != "private" || m.group.isDefined,
+      s"model '${m.name}': private access requires a group")
     models :+= m; this
+  }
+
+  /** dbt model groups + access (dbt-core 1.5 governance): a PRIVATE model
+    * may only be referenced by models in its own group; protected (the
+    * default) is package-visible — one package here, so unrestricted —
+    * and public is unrestricted by definition. Checked over the whole DAG
+    * at run start so violations name both sides before anything builds.
+    */
+  private def validateAccess(): Unit = {
+    val byName = models.map(m => m.name -> m).toMap
+    val violations = for {
+      m <- models
+      depName <- m.deps.map(resolveName)
+      p <- byName.get(depName)
+      if p.access == "private" && m.group != p.group
+    } yield s"'${m.name}' (group ${m.group.getOrElse("<none>")}) references " +
+      s"private '${p.name}' of group ${p.group.get}"
+    require(violations.isEmpty,
+      s"model access violations:\n  ${violations.mkString("\n  ")}")
   }
 
   // ---- dbt exposures (downstream-consumer metadata nodes) ----
@@ -311,7 +336,8 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       m.tests.map(_.name).mkString(","), m.fingerprint.getOrElse(""),
       // a contract edit is a declared-property change: state:modified
       // must see it, exactly as dbt's checksum covers the contract block
-      m.contract.map(_.map { case (n, t) => s"$n:$t" }.mkString(",")).getOrElse(""))
+      m.contract.map(_.map { case (n, t) => s"$n:$t" }.mkString(",")).getOrElse(""),
+      m.group.getOrElse(""), m.access)
       .mkString("")
     java.security.MessageDigest.getInstance("MD5")
       .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -654,6 +680,7 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     // deps are already materialized, so models run concurrently. Spark's
     // scheduler handles concurrent jobs from one driver.
     lastTestResults = Vector.empty
+    validateAccess()
     require(selector.isEmpty || select.isEmpty,
       "pass either selector (dbt syntax) or select (legacy), not both")
     val selected: Option[Set[String]] =

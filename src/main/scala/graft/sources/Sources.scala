@@ -75,11 +75,24 @@ object Sources {
     * first read (agate-style), then the schema is pinned by the caller for
     * reproducible reloads. Seed full-refresh == overwrite of the target dir.
     */
-  def seed(spark: SparkSession, path: String, pinned: Option[StructType] = None): DataFrame = {
+  def seed(spark: SparkSession, path: String, pinned: Option[StructType] = None,
+      columnTypes: Map[String, String] = Map.empty): DataFrame = {
     val r = spark.read.option("header", "true")
-    pinned match {
+    val df = pinned match {
       case Some(st) => r.schema(st).csv(path)
       case None     => r.option("inferSchema", "true").csv(path)
+    }
+    // dbt seed `column_types` config (seeds/helpers.sql:7-27 merges declared
+    // types over the agate inference): the listed columns take the DECLARED
+    // type, everything else keeps its inferred one. Casts are strict-cast
+    // (not try_cast): a seed value that cannot carry the declared type is
+    // an authoring error that must fail the load, as the reference's typed
+    // CREATE TABLE would.
+    val unknown = columnTypes.keys.filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"column_types names absent seed columns: ${unknown.mkString(", ")}")
+    columnTypes.foldLeft(df) { case (acc, (c, t)) =>
+      acc.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
     }
   }
 

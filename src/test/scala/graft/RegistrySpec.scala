@@ -837,6 +837,49 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("model groups + access: private visible only inside its group") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    def mk(consumerGroup: Option[String]) = {
+      val reg = new Registry(spark, new Warehouse(root, spark))
+      reg.source("src", Seq((1L, 2L)).toDF("a", "b"))
+      reg.register(Model("internal", Seq("src"), ViewMat, ctx => ctx.ref("src"),
+        group = Some("finance"), access = "private"))
+      reg.register(Model("consumer", Seq("internal"), ViewMat,
+        ctx => ctx.ref("internal"), group = consumerGroup))
+      reg
+    }
+    mk(Some("finance")).run() // same group: allowed
+    val e = intercept[IllegalArgumentException] { mk(Some("marketing")).run() }
+    assert(e.getMessage.contains("references private 'internal'"))
+    intercept[IllegalArgumentException] { mk(None).run() }
+    // declaration contracts
+    intercept[IllegalArgumentException] {
+      new Registry(spark, new Warehouse(root, spark)).register(
+        Model("x", Nil, ViewMat, ctx => spark.range(1).toDF(), access = "secret"))
+    }
+    intercept[IllegalArgumentException] {
+      new Registry(spark, new Warehouse(root, spark)).register(
+        Model("x", Nil, ViewMat, ctx => spark.range(1).toDF(), access = "private"))
+    }
+  }
+
+  test("seed column_types: declared overrides over inference, strict cast") {
+    val p = Files.createTempDirectory("graft_seed")
+    val f = p.resolve("s.csv")
+    Files.writeString(f, "code,rank,amount\nA,1,1.5\nB,2,2.5\n")
+    val inferred = graft.sources.Sources.seed(spark, f.toString)
+    assert(inferred.schema("rank").dataType.typeName === "integer")
+    val overridden = graft.sources.Sources.seed(spark, f.toString,
+      columnTypes = Map("rank" -> "smallint", "amount" -> "decimal(6,2)"))
+    assert(overridden.schema("rank").dataType.typeName === "short")
+    assert(overridden.schema("amount").dataType.simpleString === "decimal(6,2)")
+    assert(overridden.schema("code").dataType.typeName === "string")
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.seed(spark, f.toString,
+        columnTypes = Map("nope" -> "int"))
+    }
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))
