@@ -197,6 +197,121 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       s"model access violations:\n  ${violations.mkString("\n  ")}")
   }
 
+  // ---- dbt metrics / semantic layer (MetricFlow's core query path) ----
+
+  /** A declared metric over a registered model (dbt `metrics:` /
+    * MetricFlow semantic model, reduced to the query-path essentials): an
+    * aggregation (`count` | `sum` over `valueExpr`) of the model's rows,
+    * sliceable by declared dimensions and a time column. The DECLARATION
+    * is the governance point — consumers ask for (metric, grain, dims)
+    * and the engine renders the rollup, so every dashboard aggregates the
+    * same way.
+    */
+  final case class Metric(
+      name: String,
+      model: String,
+      agg: String,
+      valueExpr: Option[String],
+      timeCol: String,
+      dims: Seq[String],
+      description: Option[String] = None)
+
+  /** A ratio metric (MetricFlow `type: ratio`): numerator / denominator
+    * metrics joined on (period, dims), rendered in exact integer
+    * per-mille (`num * 1000 div den`) so values hash-compare.
+    */
+  final case class RatioMetric(name: String, numerator: String,
+      denominator: String)
+
+  private var metricsVec = Vector.empty[Metric]
+  private var ratioMetricsVec = Vector.empty[RatioMetric]
+
+  def registerMetric(m: Metric): this.type = {
+    require(Seq("count", "sum").contains(m.agg),
+      s"metric '${m.name}': agg '${m.agg}' not in count/sum")
+    require(m.agg == "count" || m.valueExpr.isDefined,
+      s"metric '${m.name}': sum needs a valueExpr")
+    require(!metricsVec.exists(_.name == m.name) &&
+      !ratioMetricsVec.exists(_.name == m.name),
+      s"metric '${m.name}' already registered")
+    metricsVec :+= m
+    this
+  }
+
+  def registerRatioMetric(r: RatioMetric): this.type = {
+    Seq(r.numerator, r.denominator).foreach(n =>
+      require(metricsVec.exists(_.name == n), s"ratio '${r.name}': unknown metric '$n'"))
+    require(!metricsVec.exists(_.name == r.name) &&
+      !ratioMetricsVec.exists(_.name == r.name),
+      s"metric '${r.name}' already registered")
+    val Seq(n, d) = Seq(r.numerator, r.denominator)
+      .map(x => metricsVec.find(_.name == x).get)
+    require(n.model == d.model && n.timeCol == d.timeCol,
+      s"ratio '${r.name}': numerator and denominator must share model/time")
+    ratioMetricsVec :+= r
+    this
+  }
+
+  private val metricGrains = Seq("day", "week", "month", "quarter", "year")
+
+  /** Render one metric at a grain over a dimension subset (the MetricFlow
+    * `query --metrics m --group-by period, dims`): the model relation
+    * resolves like any dependency (this registry's run, else the
+    * warehouse), the time column truncates to the grain, and the declared
+    * aggregation rolls up — one partial-agg shuffle keyed on
+    * (period, dims). Requested dims must be DECLARED on the metric: an
+    * undeclared slice is a governance error, not a silent group-by.
+    */
+  def queryMetric(name: String, grain: String,
+      dims: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count => fcount, date_trunc, expr, lit, sum => fsum}
+    require(metricGrains.contains(grain),
+      s"grain '$grain' not in ${metricGrains.mkString("/")}")
+    ratioMetricsVec.find(_.name == name) match {
+      case Some(r) =>
+        val num = queryMetric(r.numerator, grain, dims)
+          .withColumnRenamed("value", "__num")
+        val den = queryMetric(r.denominator, grain, dims)
+          .withColumnRenamed("value", "__den")
+        num.join(den, Seq("period") ++ dims)
+          .withColumn("value",
+            org.apache.spark.sql.functions.when(col("__den") =!= 0,
+              org.apache.spark.sql.functions.call_function("div",
+                col("__num") * lit(1000L), col("__den"))))
+          .drop("__num", "__den")
+      case None =>
+        val m = metricsVec.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"unknown metric: '$name'"))
+        val undeclared = dims.filterNot(m.dims.contains)
+        require(undeclared.isEmpty,
+          s"metric '$name' does not declare dimension(s): ${undeclared.mkString(", ")}")
+        val rel = materialized.getOrElse(resolveName(m.model), {
+          if (wh.exists(resolveName(m.model))) wh.read(resolveName(m.model))
+          else throw new IllegalStateException(
+            s"metric '$name': model '${m.model}' is not materialized — run it first")
+        })
+        val aggCol = m.agg match {
+          case "count" => fcount(lit(1)).cast("long").as("value")
+          case "sum"   => fsum(expr(m.valueExpr.get).cast("long")).as("value")
+        }
+        rel.groupBy(
+          (date_trunc(grain, col(m.timeCol)).as("period") +: dims.map(col)): _*)
+          .agg(aggCol)
+    }
+  }
+
+  /** Metric catalog (the docs surface; flat scalars). */
+  def metrics(): DataFrame = {
+    import spark.implicits._
+    (metricsVec.map(m => (m.name, "simple", m.agg, m.model,
+      m.dims.sorted.mkString(","), m.description)) ++
+      ratioMetricsVec.map(r => (r.name, "ratio",
+        s"${r.numerator}/${r.denominator}",
+        metricsVec.find(_.name == r.numerator).get.model, "", None)))
+      .toDF("metric_name", "metric_type", "calculation", "model", "dims",
+        "description")
+  }
+
   // ---- dbt exposures (downstream-consumer metadata nodes) ----
 
   /** A dbt exposure: a DECLARED downstream consumer of warehouse relations

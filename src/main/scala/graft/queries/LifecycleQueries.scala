@@ -1271,6 +1271,44 @@ object LifecycleQueries extends QuerySet {
         |       (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders) AS mart_rows,
         |       false AS built_unrelated""".stripMargin)),
 
+    QueryDef("q256_metric_layer", (s, d) => {
+      // dbt metrics / semantic layer: revenue and order-count metrics
+      // DECLARED once over the orders model, queried at month grain by
+      // status, plus a ratio metric (average order value in exact
+      // per-mille cents) — every consumer aggregates the same way because
+      // the engine renders the rollup from the declaration.
+      import graft.engine.{Model, ViewMat}
+      val wh = Scratch.warehouse("q256", d, s, Seq.empty)
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("orders_model", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src").select(
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").cast("timestamp").as("odate"),
+          graft.operators.Features.cents(col("o_totalprice")).as("cents"))))
+      reg.run()
+      reg.registerMetric(reg.Metric("revenue", "orders_model", "sum",
+        Some("cents"), "odate", Seq("status")))
+      reg.registerMetric(reg.Metric("orders", "orders_model", "count",
+        None, "odate", Seq("status")))
+      reg.registerRatioMetric(reg.RatioMetric("aov_milli", "revenue", "orders"))
+      reg.queryMetric("revenue", "month", Seq("status"))
+        .withColumnRenamed("value", "revenue_cents")
+        .join(reg.queryMetric("aov_milli", "month", Seq("status"))
+          .withColumnRenamed("value", "aov_milli_cents"),
+          Seq("period", "status"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |         date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS period,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT period, status,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       CAST((CAST(sum(cents) AS HUGEINT) * 1000) // count(*) AS BIGINT)
+        |         AS aov_milli_cents
+        |FROM base GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q247_model_versions", (s, d) => {
       // dbt model versions (dbt-core 1.5 `versions:`): rollup v1 and v2
       // coexist as their own relations; the consumer depends on the BARE

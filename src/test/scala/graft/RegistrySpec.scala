@@ -880,6 +880,39 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("metric layer: declared rollups, dim governance, ratio guard") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val reg = new Registry(spark, new Warehouse(root, spark))
+    val t = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    reg.source("facts", Seq(
+      (t("2024-01-03"), "a", 100L), (t("2024-01-20"), "a", 200L),
+      (t("2024-02-01"), "a", 50L), (t("2024-01-05"), "b", 0L)
+    ).toDF("ts", "seg", "cents"))
+    reg.register(Model("fact_model", Seq("facts"), ViewMat, ctx => ctx.ref("facts")))
+    reg.run()
+    reg.registerMetric(reg.Metric("rev", "fact_model", "sum", Some("cents"),
+      "ts", Seq("seg")))
+    reg.registerMetric(reg.Metric("n", "fact_model", "count", None, "ts", Seq("seg")))
+    reg.registerRatioMetric(reg.RatioMetric("aov", "rev", "n"))
+    val rev = reg.queryMetric("rev", "month", Seq("seg"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rev === Map(("2024-01", "a") -> 300L, ("2024-02", "a") -> 50L,
+      ("2024-01", "b") -> 0L))
+    // ratio in exact per-mille: jan a = 300*1000/2
+    val aov = reg.queryMetric("aov", "month", Seq("seg"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getString(1)) -> r.getLong(2)).toMap
+    assert(aov(("2024-01", "a")) === 150000L)
+    // no-dims grain query works; undeclared dim / unknown metric raise
+    assert(reg.queryMetric("n", "year").collect().map(_.getLong(1)).sum === 4L)
+    intercept[IllegalArgumentException] { reg.queryMetric("rev", "month", Seq("oops")) }
+    intercept[IllegalArgumentException] { reg.queryMetric("nope", "month") }
+    intercept[IllegalArgumentException] { reg.queryMetric("rev", "fortnight") }
+    intercept[IllegalArgumentException] {
+      reg.registerMetric(reg.Metric("bad", "fact_model", "sum", None, "ts", Nil))
+    }
+    assert(reg.metrics().count() === 3L)
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))
