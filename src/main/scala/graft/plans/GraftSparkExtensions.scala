@@ -29,6 +29,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // that lets a jaro-winkler threshold skip its kernel on
     // length-mismatched pairs (see JaroWinklerLengthPrune)
     ext.injectOptimizerRule(_ => JaroWinklerLengthPrune)
+    ext.injectOptimizerRule(_ => DamerauLengthPrune)
   }
 }
 
@@ -111,5 +112,8 @@ object GraftSparkExtensions {
     if (!spark.experimental.extraOptimizations.contains(JaroWinklerLengthPrune))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JaroWinklerLengthPrune
+    if (!spark.experimental.extraOptimizations.contains(DamerauLengthPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DamerauLengthPrune
   }
 }

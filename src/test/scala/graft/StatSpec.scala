@@ -350,6 +350,28 @@ class StatSpec extends AnyFunSuite {
       .collect().head.getInt(0) === 1)
   }
 
+  test("DamerauLengthPrune: derived length check, soundness, idempotence") {
+    import graft.plans.Expressions
+    graft.plans.GraftSparkExtensions.register(spark)
+    // file source keeps the Filter node alive (a LocalRelation would be
+    // fully evaluated at optimize time — the JW-rule spec's lesson)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlprune").toString
+    Seq(("abcd", "acbd"), ("abcd", "abcdefgh"), ("x", "xy"),
+      ("same", "same"), ("abc", "zzzzzzzzz")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(
+      Expressions.damerauLevenshtein(col("a"), col("b")) <= 2)
+    // the optimizer prepended the implied |len(a)-len(b)| <= 2 conjunct
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs(") && opt.contains("length("),
+      s"derived length prefilter missing:\n$opt")
+    // soundness: exactly the rows the raw kernel accepts
+    val got = filtered.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("abcd", "acbd"), ("x", "xy"), ("same", "same")))
+    // idempotence: one derived conjunct, not one per optimizer pass
+    assert("abs\\(".r.findAllIn(opt).length === 1, opt)
+  }
+
   // ---- knnClassify ----
 
   test("knnClassify: plurality vote with min-label tie-break") {
