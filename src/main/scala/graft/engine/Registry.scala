@@ -300,6 +300,23 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     }
   }
 
+  /** Cumulative rendering of a metric (MetricFlow `type: cumulative`,
+    * all-time window): the [[queryMetric]] rollup with a running sum over
+    * periods per dimension slice. The window partitions on the dims and
+    * holds one row per PERIOD — calendar-bounded, so even the dim-less
+    * single partition is a few thousand rows at any data scale.
+    */
+  def queryMetricCumulative(name: String, grain: String,
+      dims: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val base = queryMetric(name, grain, dims)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("period").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.withColumn("cumulative_value", fsum(col("value")).over(w))
+  }
+
   /** Metric catalog (the docs surface; flat scalars). */
   def metrics(): DataFrame = {
     import spark.implicits._

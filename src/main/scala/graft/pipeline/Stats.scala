@@ -180,6 +180,25 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Last-observation-carried-forward gap filling (LOCF): per group, each
+    * row's `filled` is the most recent non-NULL value at or before it in
+    * (order, tie) order — the standard state-reconstruction step for
+    * sparse state-like feeds (price ticks, setting changes) before any
+    * per-row computation. Spark's `last(_, ignoreNulls)` over a running
+    * frame; rows before the first observation stay NULL (there is nothing
+    * to carry — imputation is a different, explicit decision).
+    *
+    * One keyed window sort; scales as any per-group window.
+    */
+  def locf(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      tieCol: Column, valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "locf needs at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol.asc, tieCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("filled", last(valueCol, ignoreNulls = true).over(w))
+  }
+
   /** Truncated exponentially-weighted moving average over a per-group
     * integer day series, in EXACT integer arithmetic: with rational
     * smoothing `alpha = a/b`, the weight of the value `j` days back is

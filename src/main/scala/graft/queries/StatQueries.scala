@@ -454,6 +454,56 @@ object StatQueries extends QuerySet {
           |       CAST(sum(c) AS BIGINT) AS cents
           |FROM sess GROUP BY user_id, sid""".stripMargin)),
 
+    QueryDef("q257_locf", (s, d) =>
+      // last-observation-carried-forward: every event row carries the most
+      // recent purchase value in its cohort — sparse state reconstruction
+      // before per-row computation; pre-first-observation rows stay NULL.
+      Stats.locf(
+        events(s, d).select((col("user_id") % 4).as("cohort"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 1000 + lit(0.5)).cast("long")).as("vm")),
+        Seq("cohort"), col("ts"), col("event_id"), col("vm"))
+        .select(col("event_id"), col("cohort"), col("vm"), col("filled")),
+      Some(
+        """SELECT event_id, user_id % 4 AS cohort,
+          |       CASE WHEN event_type = 'purchase'
+          |            THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS vm,
+          |       last_value(CASE WHEN event_type = 'purchase'
+          |                       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END
+          |                  IGNORE NULLS)
+          |         OVER (PARTITION BY user_id % 4 ORDER BY ts ASC, event_id ASC
+          |               ROWS UNBOUNDED PRECEDING) AS filled
+          |FROM events""".stripMargin)),
+
+    QueryDef("q258_cumulative_metric", (s, d) => {
+      // MetricFlow cumulative metric: running revenue-to-date by month and
+      // status from the same declared metric q256 renders period-wise.
+      import graft.engine.{Model, Registry, ViewMat}
+      val wh = Scratch.warehouse("q258", d, s, Seq.empty)
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("orders_model", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src").select(
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").cast("timestamp").as("odate"),
+          graft.operators.Features.cents(col("o_totalprice")).as("cents"))))
+      reg.run()
+      reg.registerMetric(reg.Metric("revenue", "orders_model", "sum",
+        Some("cents"), "odate", Seq("status")))
+      reg.queryMetricCumulative("revenue", "month", Seq("status"))
+    }, Some(
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS period,
+        |         o_orderstatus AS status,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT period, status, value,
+        |       CAST(sum(value) OVER (PARTITION BY status ORDER BY period ASC
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cumulative_value
+        |FROM m""".stripMargin)),
+
     QueryDef("q243_damerau_match", (s, d) => {
       // transposition-tolerant fuzzy probe match via the codegen'd TRUE
       // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair

@@ -911,6 +911,12 @@ class RegistrySpec extends AnyFunSuite {
       reg.registerMetric(reg.Metric("bad", "fact_model", "sum", None, "ts", Nil))
     }
     assert(reg.metrics().count() === 3L)
+    // cumulative rendering: running revenue-to-date per segment
+    val cum = reg.queryMetricCumulative("rev", "month", Seq("seg"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getString(1)) -> r.getLong(3)).toMap
+    assert(cum(("2024-01", "a")) === 300L)
+    assert(cum(("2024-02", "a")) === 350L) // carries january forward
+    assert(cum(("2024-01", "b")) === 0L)
   }
 
   test("unitTest: mocked refs, subset-column expectation, incremental override") {

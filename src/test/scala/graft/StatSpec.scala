@@ -215,6 +215,23 @@ class StatSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture actually exercises the filter
   }
 
+  // ---- locf ----
+
+  test("locf: carries last non-null forward; pre-first rows stay NULL") {
+    val df = Seq(("g", 1L, 1L, Option.empty[Long]), ("g", 2L, 2L, Some(10L)),
+      ("g", 3L, 3L, None), ("g", 4L, 4L, Some(20L)), ("g", 5L, 5L, None),
+      ("h", 1L, 1L, None)).toDF("g", "o", "t", "v")
+    val out = Stats.locf(df, Seq("g"), col("o"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(out(("g", 1L)) === None)      // nothing observed yet
+    assert(out(("g", 2L)) === Some(10L))
+    assert(out(("g", 3L)) === Some(10L)) // carried
+    assert(out(("g", 4L)) === Some(20L)) // replaced
+    assert(out(("g", 5L)) === Some(20L))
+    assert(out(("h", 1L)) === None)      // groups independent
+  }
+
   // ---- rollingCorr ----
 
   test("rollingCorr: perfect correlation, gap exclusion, zero variance NULL") {
