@@ -445,7 +445,60 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   }
 
   /** Seed a source relation directly (dbt source / seed node). */
-  def source(name: String, df: DataFrame): this.type = { materialized(name) = df; this }
+  private var sourceNames = Set.empty[String]
+
+  def source(name: String, df: DataFrame): this.type = {
+    materialized(name) = df; sourceNames += name; this
+  }
+
+  /** DAG hygiene report (the dbt-project-evaluator core checks, engine-
+    * native): one row per finding — documentation gaps, untested eager
+    * materializations, sources nothing reads, staging-layer bypasses
+    * (a non-staging model reading a source directly when a staging model
+    * for that source exists), and hub models whose fan-out suggests an
+    * intermediate rollup. Driver-side metadata only: cost is O(DAG), data
+    * scale irrelevant. `severity` is advisory — lint informs, the run
+    * never blocks on it (contracts/access are the blocking layer).
+    */
+  def lint(fanoutThreshold: Int = 5): DataFrame = {
+    import spark.implicits._
+    val childrenOf: Map[String, Seq[String]] = models
+      .flatMap(m => m.deps.map(d => resolveName(d) -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stagingFor: Set[String] = models
+      .filter(m => m.name.startsWith("stg"))
+      .flatMap(_.deps.map(resolveName)).toSet
+    val findings = Seq.newBuilder[(String, String, String, String)]
+    models.foreach { m =>
+      if (m.docs.isEmpty)
+        findings += (("missing_description", m.name, "warn",
+          "model has no persisted description"))
+      val eager = m.mat match {
+        case ViewMat | _: FunctionMat | _: DynamicTableMat => false
+        case _ => true
+      }
+      if (eager && m.tests.isEmpty)
+        findings += (("missing_tests", m.name, "warn",
+          "eager materialization with no declared tests"))
+      if (!m.name.startsWith("stg")) {
+        val bypassed = m.deps.map(resolveName)
+          .filter(d => sourceNames.contains(d) && stagingFor.contains(d))
+        bypassed.foreach(d => findings += (("staging_bypass", m.name, "warn",
+          s"reads source '$d' directly although a staging model covers it")))
+      }
+      val fanout = childrenOf.getOrElse(m.name, Nil).size
+      if (fanout > fanoutThreshold)
+        findings += (("model_fanout", m.name, "info",
+          s"$fanout direct children — consider an intermediate rollup"))
+    }
+    sourceNames.toSeq.sorted.foreach { s =>
+      if (!models.exists(_.deps.map(resolveName).contains(s)) &&
+          !exposuresVec.exists(_.dependsOn.map(resolveName).contains(s)))
+        findings += (("unused_source", s, "warn",
+          "no model or exposure references this source"))
+    }
+    findings.result().toDF("check", "node", "severity", "detail")
+  }
 
   // ---- dbt state manifest (slim CI: --select state:modified --defer) ----
 

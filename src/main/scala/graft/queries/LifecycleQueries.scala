@@ -1309,6 +1309,38 @@ object LifecycleQueries extends QuerySet {
         |         AS aov_milli_cents
         |FROM base GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q259_dag_lint", (s, d) => {
+      // dbt-project-evaluator-style DAG lint over a deliberately flawed
+      // project: an undocumented untested table, a mart bypassing its
+      // staging layer, and a source nothing reads — each check surfaces
+      // exactly once, advisory only.
+      import graft.engine.{Model, TableMat, ViewMat}
+      val wh = Scratch.warehouse("q259", d, s, Seq.empty)
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.source("dead_src", table(s, d, "nation"))
+      reg.register(Model("stg_orders", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src"), docs = Some("typed staging"),
+        tests = Seq(graft.engine.ModelTest("not_null",
+          df => df.filter(col("o_orderkey").isNull)))))
+      reg.register(Model("bad_mart", Seq("orders_src"), TableMat(),
+        ctx => ctx.ref("orders_src").groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))))
+      reg.lint()
+    }, Some(
+      """SELECT 'missing_description' AS check, 'bad_mart' AS node,
+        |       'warn' AS severity,
+        |       'model has no persisted description' AS detail
+        |UNION ALL
+        |SELECT 'missing_tests', 'bad_mart', 'warn',
+        |       'eager materialization with no declared tests'
+        |UNION ALL
+        |SELECT 'staging_bypass', 'bad_mart', 'warn',
+        |       'reads source ''orders_src'' directly although a staging model covers it'
+        |UNION ALL
+        |SELECT 'unused_source', 'dead_src', 'warn',
+        |       'no model or exposure references this source'""".stripMargin)),
+
     QueryDef("q247_model_versions", (s, d) => {
       // dbt model versions (dbt-core 1.5 `versions:`): rollup v1 and v2
       // coexist as their own relations; the consumer depends on the BARE

@@ -919,6 +919,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(cum(("2024-01", "b")) === 0L)
   }
 
+  test("lint: fanout threshold and clean-DAG silence") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val reg = new Registry(spark, new Warehouse(root, spark))
+    reg.source("src", Seq((1L, 2L)).toDF("a", "b"))
+    reg.register(Model("stg_hub", Seq("src"), ViewMat, ctx => ctx.ref("src"),
+      docs = Some("hub")))
+    (1 to 6).foreach(i =>
+      reg.register(Model(s"leaf$i", Seq("stg_hub"), ViewMat,
+        ctx => ctx.ref("stg_hub"), docs = Some(s"leaf $i"))))
+    val checks = reg.lint().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(checks.contains(("model_fanout", "stg_hub")))
+    // documented views with a consumed source: nothing else fires
+    assert(checks.forall(_._1 == "model_fanout"))
+    // raising the threshold silences it
+    assert(reg.lint(fanoutThreshold = 10).count() === 0L)
+  }
+
   test("unitTest: mocked refs, subset-column expectation, incremental override") {
     val root = Files.createTempDirectory("graft_wh").toString
     val reg = new Registry(spark, new Warehouse(root, spark))
