@@ -504,6 +504,50 @@ object StatQueries extends QuerySet {
         |         AS cumulative_value
         |FROM m""".stripMargin)),
 
+    QueryDef("q260_funnel_significance", (s, d) => {
+      // funnel drop-off significance: per adjacent step pair, the
+      // two-proportion z between this step's conversion and the NEXT
+      // step's (q104's funnel counts through q229's exact-operand z) —
+      // "is the step-2 drop real or noise". One bounded rollup of the
+      // funnel relation, z in three IEEE steps over DECIMAL products.
+      val reached = graft.operators.EventAnalytics.funnel(
+        events(s, d), Seq("view", "click", "purchase"))
+      val counts = reached.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n3"))
+      counts.select(explode(array(
+        struct(lit(1).as("step"), col("n0").as("n_prev"), col("n1").as("n_at"),
+          col("n1").as("c1"), col("n2").as("c2")),
+        struct(lit(2).as("step"), col("n1").as("n_prev"), col("n2").as("n_at"),
+          col("n2").as("c1"), col("n3").as("c2")))).as("t"))
+        .select(col("t.step"), col("t.n_prev"), col("t.n_at"),
+          Features.twoProportionZ(col("t.n_prev"), col("t.c1"),
+            col("t.n_at"), col("t.c2")).as("z_next_drop"))
+    }, Some(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+        |c AS (SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n0,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3),
+        |p AS (SELECT 1 AS step, n0 AS n_prev, n1 AS n_at, n1 AS c1, n2 AS c2 FROM c
+        |      UNION ALL
+        |      SELECT 2 AS step, n1 AS n_prev, n2 AS n_at, n2 AS c1, n3 AS c2 FROM c)
+        |SELECT step, n_prev, n_at,
+        |       CASE WHEN n_prev > 0 AND n_at > 0 AND c1 + c2 > 0
+        |                 AND c1 + c2 < n_prev + n_at
+        |            THEN CAST(CAST(c1 AS HUGEINT) * n_at - CAST(c2 AS HUGEINT) * n_prev AS DOUBLE)
+        |               / sqrt(CAST(CAST(c1 + c2 AS HUGEINT) * (n_prev + n_at - c1 - c2)
+        |                           * n_prev * n_at AS DOUBLE)
+        |                      / CAST(n_prev + n_at AS DOUBLE)) END AS z_next_drop
+        |FROM p""".stripMargin)),
+
     QueryDef("q243_damerau_match", (s, d) => {
       // transposition-tolerant fuzzy probe match via the codegen'd TRUE
       // Damerau-Levenshtein expression ('CA'->'ABC' = 2; a swapped pair
