@@ -284,6 +284,29 @@ object Features {
       .drop("__n", "__s", "__ss")
   }
 
+  /** One-row chi-square summary over [[chiSquareCells]]: the statistic in
+    * exact milli-points (sum of cell terms), degrees of freedom, and
+    * Cramér's V — `sqrt(chi2 / (N * min(r-1, c-1)))`, the [0,1]
+    * effect-size rendering comparable across tables (chi2 itself grows
+    * with N). V is the single IEEE step over exact integer operands.
+    * Degenerate 1xK tables have no dof -> NULL V.
+    */
+  def chiSquareSummary(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = chiSquareCells(df, aCol, bCol)
+    cells.agg(
+      sum(col("observed")).as("n_rows"),
+      ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1)).as("dof"),
+      sum(col("term_milli")).as("chi2_milli"),
+      (countDistinct(col("a")) - 1).as("__ra"),
+      (countDistinct(col("b")) - 1).as("__cb"))
+      .withColumn("cramers_v",
+        when(least(col("__ra"), col("__cb")) > 0,
+          sqrt(col("chi2_milli").cast("double") /
+            (lit(1000.0) * col("n_rows").cast("double") *
+              least(col("__ra"), col("__cb")).cast("double")))))
+      .drop("__ra", "__cb")
+  }
+
   /** Market-basket pair affinity: for every item pair co-occurring in at
     * least `minSupport` baskets, the exact-integer lift
     * `lift_milli = n_both * n_baskets * 1000 div (n_a * n_b)` — above

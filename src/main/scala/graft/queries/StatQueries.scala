@@ -82,6 +82,37 @@ object StatQueries extends QuerySet {
           |       CAST((delta * delta * 1000) // (n_tot * r_tot * c_tot) AS BIGINT) AS term_milli
           |FROM t""".stripMargin)),
 
+    QueryDef("q261_chi_square_summary", (s, d) =>
+      // q232's one-row readout: chi-square in exact milli, dof, and
+      // Cramér's V effect size (one IEEE sqrt over exact operands).
+      Features.chiSquareSummary(table(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority")),
+      Some(
+        """WITH obs AS (
+          |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+          |         CAST(count(*) AS BIGINT) AS observed
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT a, CAST(sum(observed) AS HUGEINT) AS r_tot FROM obs GROUP BY 1),
+          |c AS (SELECT b, CAST(sum(observed) AS HUGEINT) AS c_tot FROM obs GROUP BY 1),
+          |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n_tot FROM obs),
+          |t AS (
+          |  SELECT observed, r_tot, c_tot, n_tot,
+          |         CAST(observed AS HUGEINT) * n_tot - r_tot * c_tot AS delta
+          |  FROM obs JOIN r USING (a) JOIN c USING (b) CROSS JOIN n),
+          |s AS (
+          |  SELECT CAST((SELECT sum(observed) FROM obs) AS BIGINT) AS n_rows,
+          |         CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+          |         CAST(sum((delta * delta * 1000) // (n_tot * r_tot * c_tot)) AS BIGINT) AS chi2_milli,
+          |         CAST(least((SELECT count(*) FROM r) - 1,
+          |                    (SELECT count(*) FROM c) - 1) AS BIGINT) AS mn
+          |  FROM t)
+          |SELECT n_rows, dof, chi2_milli,
+          |       CASE WHEN mn > 0
+          |            THEN sqrt(CAST(chi2_milli AS DOUBLE)
+          |                      / (1000.0 * CAST(n_rows AS DOUBLE) * CAST(mn AS DOUBLE)))
+          |       END AS cramers_v
+          |FROM s""".stripMargin)),
+
     QueryDef("q233_autocorr", (s, d) =>
       // per-type ACF of the daily event-count series at lags 1..7 — the
       // weekly-seasonality diagnostic feeding the q204 baseline choice.

@@ -46,6 +46,22 @@ class StatSpec extends AnyFunSuite {
     assert(cells.forall(r => !r.isNullAt(3) && !r.isNullAt(4)))
   }
 
+  test("chiSquareSummary: dof, milli statistic, Cramér's V; 1xK -> NULL V") {
+    val rows =
+      Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+        Seq.fill(20)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val r = Features.chiSquareSummary(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 16666L) // 2*5000 + 2*3333 from the cell vectors
+    // V = sqrt(16.666/100) ~ 0.408 (phi for the 2x2)
+    assert(math.abs(r.getDouble(3) - math.sqrt(16.666 / 100)) < 1e-9)
+    val oneRow = Features.chiSquareSummary(
+      Seq(("x", "p"), ("x", "q")).toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(oneRow.isNullAt(3)) // 1x2 table: min(r-1,c-1) = 0 -> no V
+  }
+
   // ---- autocorr ----
 
   test("autocorr: linear ramp matches the textbook estimator") {
