@@ -11,7 +11,8 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries,
-      AnalyticsQueries, ExtensionQueries, FeatureQueries, StatQueries)
+      AnalyticsQueries, ExtensionQueries, FeatureQueries, StatQueries,
+      InferenceQueries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

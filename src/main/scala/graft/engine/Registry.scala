@@ -223,8 +223,22 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
   final case class RatioMetric(name: String, numerator: String,
       denominator: String)
 
+  /** A derived metric (MetricFlow `type: derived`): a SQL expression over
+    * other SIMPLE metrics evaluated after they are rendered at the shared
+    * (period, dims) grain — `profit = revenue - cost`. `exprSql` refers to
+    * the input metrics BY NAME as columns; inputs must share model and
+    * time column so their period spines coincide, and are inner-joined on
+    * (period, dims) — a period where any input is absent has no defined
+    * derived value, same as MetricFlow's join-to-time-spine default.
+    * Integer expressions keep the exact-arithmetic discipline (the ratio
+    * metric's per-mille convention covers division).
+    */
+  final case class DerivedMetric(name: String, exprSql: String,
+      inputs: Seq[String])
+
   private var metricsVec = Vector.empty[Metric]
   private var ratioMetricsVec = Vector.empty[RatioMetric]
+  private var derivedMetricsVec = Vector.empty[DerivedMetric]
 
   def registerMetric(m: Metric): this.type = {
     require(Seq("count", "sum").contains(m.agg),
@@ -249,6 +263,21 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     require(n.model == d.model && n.timeCol == d.timeCol,
       s"ratio '${r.name}': numerator and denominator must share model/time")
     ratioMetricsVec :+= r
+    this
+  }
+
+  def registerDerivedMetric(dm: DerivedMetric): this.type = {
+    require(dm.inputs.nonEmpty, s"derived '${dm.name}': no inputs")
+    dm.inputs.foreach(n => require(metricsVec.exists(_.name == n),
+      s"derived '${dm.name}': unknown or non-simple input metric '$n'"))
+    require(!metricsVec.exists(_.name == dm.name) &&
+      !ratioMetricsVec.exists(_.name == dm.name) &&
+      !derivedMetricsVec.exists(_.name == dm.name),
+      s"metric '${dm.name}' already registered")
+    val ins = dm.inputs.map(n => metricsVec.find(_.name == n).get)
+    require(ins.map(m => (m.model, m.timeCol)).distinct.size == 1,
+      s"derived '${dm.name}': inputs must share model/time")
+    derivedMetricsVec :+= dm
     this
   }
 
@@ -279,6 +308,16 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
               org.apache.spark.sql.functions.call_function("div",
                 col("__num") * lit(1000L), col("__den"))))
           .drop("__num", "__den")
+      case None if derivedMetricsVec.exists(_.name == name) =>
+        val dm = derivedMetricsVec.find(_.name == name).get
+        // render each input at the shared grain, name its value after the
+        // metric, and inner-join the spines on (period, dims); the derived
+        // expression then sees inputs as columns
+        val rendered = dm.inputs.map(n =>
+          queryMetric(n, grain, dims).withColumnRenamed("value", n))
+        rendered.reduce((a, b) => a.join(b, Seq("period") ++ dims))
+          .withColumn("value", expr(dm.exprSql))
+          .drop(dm.inputs: _*)
       case None =>
         val m = metricsVec.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"unknown metric: '$name'"))
@@ -324,7 +363,10 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       m.dims.sorted.mkString(","), m.description)) ++
       ratioMetricsVec.map(r => (r.name, "ratio",
         s"${r.numerator}/${r.denominator}",
-        metricsVec.find(_.name == r.numerator).get.model, "", None)))
+        metricsVec.find(_.name == r.numerator).get.model, "", None)) ++
+      derivedMetricsVec.map(dm => (dm.name, "derived", dm.exprSql,
+        metricsVec.find(_.name == dm.inputs.head).get.model,
+        dm.inputs.sorted.mkString(","), None)))
       .toDF("metric_name", "metric_type", "calculation", "model", "dims",
         "description")
   }

@@ -119,4 +119,48 @@ object FuzzyLink {
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id").as("id_a"), col("right_id").as("id_b"),
         col("dist"))
+
+  /** One field comparison of a Fellegi-Sunter model: a boolean agreement
+    * predicate plus the log-likelihood-ratio weights it earns. Weights are
+    * INTEGER MILLI-NATS precomputed by the caller from the model's m/u
+    * probabilities (`agreeW = 1000*ln(m/u)`, `disagreeW =
+    * 1000*ln((1-m)/(1-u))` — constants of the declared error model, not
+    * data-derived here; an EM fit would estimate them upstream). Keeping
+    * the weights as supplied literals makes the score exact integer
+    * arithmetic any engine reproduces.
+    */
+  final case class FsField(agree: Column, agreeW: Long, disagreeW: Long)
+
+  /** Fellegi-Sunter probabilistic record linkage scoring over a blocked
+    * candidate space: probes x candidates equi-joined on `blockCol`
+    * (never a cross product — the blocking key is the scale contract,
+    * same as [[candidates]]' prefix blocks), each pair scored with the
+    * summed field weights and classified by the two FS thresholds.
+    * Returns (probe_id, cand_id, score_milli, decision) for pairs at or
+    * above `lowerMilli` (below-lower pairs are the non-match mass — at
+    * corpus scale materializing them is the bug, so they are dropped
+    * inside the join stage).
+    *
+    * The probe side is expected small (a batch of incoming records to
+    * resolve) and is broadcast; the candidate side streams. decision:
+    * score >= upperMilli -> 'match', >= lowerMilli -> 'possible'.
+    */
+  def fellegiSunter(
+      probes: DataFrame, probeId: Column,
+      cands: DataFrame, candId: Column,
+      blockCol: String,
+      fields: Seq[FsField],
+      lowerMilli: Long, upperMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: no fields")
+    require(lowerMilli <= upperMilli, s"thresholds: $lowerMilli > $upperMilli")
+    val score = fields.map(f =>
+      when(f.agree, lit(f.agreeW)).otherwise(lit(f.disagreeW))).reduce(_ + _)
+    cands.join(broadcast(probes), Seq(blockCol))
+      .select(probeId.as("probe_id"), candId.as("cand_id"),
+        score.as("score_milli"))
+      .filter(col("score_milli") >= lowerMilli)
+      .withColumn("decision",
+        when(col("score_milli") >= upperMilli, lit("match"))
+          .otherwise(lit("possible")))
+  }
 }

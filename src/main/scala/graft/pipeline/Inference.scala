@@ -1,0 +1,275 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison and agreement statistics in exact arithmetic —
+  * the hypothesis-test layer an experimentation/data-quality platform runs
+  * on top of the marts (two-sample location/shape tests, rank correlation,
+  * concentration, inter-annotator agreement, survival). Builder-brief
+  * extension; the reference delegates statistics to its BI layer entirely
+  * (its marts stop at rates and counts, e.g.
+  * models/marts/quality/fct_gap_summary.sql:15-25), so this module supplies
+  * the missing analytics the same way FeatureQueries/StatQueries do.
+  *
+  * Numeric discipline (the q208/q229 convention): every aggregate is an
+  * exact integer (or DECIMAL(38,0)) moment; anything irrational (a z
+  * statistic, a correlation) is ONE fixed IEEE expression over those exact
+  * operands, so results are partitioning-independent and hash-compare
+  * against an oracle that mirrors the same expression. Products that can
+  * exceed 64 bits at warehouse row counts (marginal products, ppm
+  * numerators) go through DECIMAL(38,0) explicitly.
+  *
+  * Scale discipline: nothing here ranks raw rows through a global window.
+  * Every test reduces to a DISTINCT-VALUE rollup first (the
+  * [[graft.operators.Ranking.valueRanks]] shape): one partial-agg shuffle
+  * to (value -> per-group counts), then a cumulative window over distinct
+  * values only, guarded by the same raise-don't-funnel contract — a
+  * two-sample test on unbinned 100 TB doubles fails loudly and tells the
+  * caller to bin (tests on continuous metrics should run on fixed-point
+  * cents/micros anyway, which is also what makes them oracle-exact).
+  */
+object Inference {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Two-sample ECDF rollup: one row per distinct value with per-sample
+    * counts and running (<= v) cumulative counts. `inB` marks sample-B
+    * membership; rows where `valueCol` is NULL are ignored (a NULL metric
+    * is absence of observation, not a rankable value — the
+    * [[graft.operators.Ranking.valueRanks]] convention).
+    *
+    * The cumulative window is single-partition over DISTINCT values BY
+    * DESIGN (an ECDF is a global prefix structure); the raise guard bounds
+    * it exactly like valueRanks' ungrouped path.
+    */
+  def twoSampleCounts(df: DataFrame, valueCol: Column, inB: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct: $maxDistinct")
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(valueCol.as("v"))
+      .agg(
+        sum(when(inB, 0L).otherwise(1L)).as("cnt_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("cnt_b"))
+    val byVal = Window.orderBy(col("v").asc)
+    val guard = when(row_number().over(byVal) > maxDistinct,
+      raise_error(lit(s"twoSampleCounts exceeded $maxDistinct distinct " +
+        "values — the ECDF cum-sum window is single-partition; bin the " +
+        "metric to fixed-point first")).cast("long")).otherwise(lit(0L))
+    counts
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal) + guard)
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
+    * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
+    * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value
+    * attaining the max (`d_at`) — the split point a drift investigation
+    * looks at first. Two passes over the distinct-value rollup (max, then
+    * argmax), both broadcast-joined against one-row aggregates. One row.
+    */
+  def ksTest(df: DataFrame, valueCol: Column, inB: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val ecdf = twoSampleCounts(df, valueCol, inB, maxDistinct)
+    val totals = ecdf.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val gaps = ecdf.crossJoin(broadcast(totals))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val dmax = gaps.agg(max(col("gap")).as("d_num"))
+    gaps.crossJoin(broadcast(dmax))
+      .filter(col("gap") === col("d_num"))
+      .groupBy(col("n_a"), col("n_b"), col("d_num"))
+      .agg(min(col("v")).as("d_at"))
+      .withColumn("d_ppm",
+        call_function("div", dec(col("d_num")) * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long"))
+      .select("n_a", "n_b", "d_num", "d_ppm", "d_at")
+  }
+
+  /** Mann-Whitney U with the tie-corrected normal approximation. All rank
+    * arithmetic stays integral by working in DOUBLED ranks: a tied block
+    * of `c` values preceded by `l` smaller rows has average rank
+    * `(2l + c + 1) / 2`, so `rank2x = 2l + c + 1` is an integer and
+    * `u2_a = 2*R_a - n_a*(n_a+1)` is exactly twice the U statistic.
+    * `tie_term = sum(c^3 - c)` feeds the variance correction; the z score
+    * is the single IEEE expression
+    * `(u2_a - n_a*n_b) / sqrt(n_a*n_b*((n+1)*n*(n-1) - tie) / (3*n*(n-1)))`
+    * over exact DECIMAL operands (the q229/q260 discipline). One row.
+    */
+  def mannWhitney(df: DataFrame, valueCol: Column, inB: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val ecdf = twoSampleCounts(df, valueCol, inB, maxDistinct)
+    val cnt = col("cnt_a") + col("cnt_b")
+    val below = col("cum_a") + col("cum_b") - cnt
+    val agg0 = ecdf.agg(
+      max(col("cum_a")).as("n_a"),
+      max(col("cum_b")).as("n_b"),
+      sum(dec(col("cnt_a")) * dec(below * 2L + cnt + 1L)).as("r2_a"),
+      sum(dec(cnt) * dec(cnt) * dec(cnt) - dec(cnt)).as("tie_term"))
+    val n = col("n_a") + col("n_b")
+    agg0
+      .withColumn("u2_a",
+        (col("r2_a") - dec(col("n_a")) * dec(col("n_a") + 1L)).cast("long"))
+      .withColumn("tie_term", col("tie_term").cast("long"))
+      .withColumn("z",
+        (col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+          sqrt(((dec(col("n_a")) * dec(col("n_b"))) *
+            (dec(n + 1L) * dec(n) * dec(n - 1L) - dec(col("tie_term"))))
+            .cast("double") /
+            (lit(3L) * n * (n - 1L)).cast("double")))
+      .select("n_a", "n_b", "u2_a", "tie_term", "z")
+  }
+
+  /** Spearman rank correlation between two per-row metrics: Pearson over
+    * tie-averaged ranks, with ranks DOUBLED to stay integral (see
+    * [[mannWhitney]]). Moments accumulate in DECIMAL(38,0) — exact, and
+    * with 2x-ranks bounded by 2n the squared-rank products stay inside 38
+    * digits to n ~ 1e8 rows (beyond that, sample or pre-bin — the guard
+    * on valueRanks fires first anyway); rho is the single IEEE expression
+    * `(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))` over
+    * the exact sums. One row: (n, rho).
+    *
+    * Both rank tables come from [[graft.operators.Ranking.valueRanks]]
+    * (ungrouped, raise-guarded): raw rows never pass through a global
+    * window — each row re-acquires its rank by joining the distinct-value
+    * rollup.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.as("x"), yCol.as("y"))
+    def rank2x(vc: String): DataFrame =
+      graft.operators.Ranking.valueRanks(base, Nil, col(vc), maxDistinct)
+        .select(col("v").as(vc),
+          (col("rnk") * 2L + col("n_rows") - 1L).as(s"${vc}r2"))
+    val ranked = base
+      .join(rank2x("x"), "x")
+      .join(rank2x("y"), "y")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("xr2"))).as("sx"),
+      sum(dec(col("yr2"))).as("sy"),
+      sum(dec(col("xr2")) * dec(col("yr2"))).as("sxy"),
+      sum(dec(col("xr2")) * dec(col("xr2"))).as("sxx"),
+      sum(dec(col("yr2")) * dec(col("yr2"))).as("syy"))
+      .select(col("n"),
+        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("rho"))
+  }
+
+  /** Gini concentration coefficient per group, in exact ppm. With values
+    * sorted ascending and 1-based positions,
+    * `G = (2*sum_i(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`; a tied block of
+    * `c` equal values `x` starting at min-rank `a` contributes
+    * `x*(2*c*a + c*(c-1))` to the doubled position-weighted sum — which is
+    * invariant to tie order, and exactly what the
+    * [[graft.operators.Ranking.valueRanks]] rollup provides. Per-group
+    * parallel over distinct values; raw rows are never globally sorted.
+    * Values must be non-negative fixed-point (cents); groups with a zero
+    * total emit NULL. G >= 0 by construction, so the ppm floor-division is
+    * engine-agnostic.
+    */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+    val ranks = graft.operators.Ranking.valueRanks(df, groupCols, valueCol)
+    ranks.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n"),
+        sum(dec(col("v")) * col("n_rows")).cast("long").as("total"),
+        sum(dec(col("v")) * (dec(col("n_rows")) * col("rnk") * 2L +
+          dec(col("n_rows")) * (col("n_rows") - 1L))).as("__two_s"))
+      .withColumn("gini_ppm",
+        when(col("total") > 0L,
+          call_function("div",
+            (col("__two_s") - dec(col("n") + 1L) * col("total")) * 1000000L,
+            dec(col("n")) * col("total")).cast("long")))
+      .drop("__two_s")
+  }
+
+  /** Cohen's kappa inter-rater agreement between two label columns, with
+    * exact integer operands: `N`, the diagonal count, and the marginal
+    * product sum `S = sum_k(row_k * col_k)` (DECIMAL — S is O(N^2)).
+    * `kappa = (N*diag - S) / (N^2 - S)` as one IEEE division (kappa can be
+    * negative, and engines disagree on negative integer division — Spark
+    * `div` truncates, DuckDB `//` floors — so the ppm convention stops at
+    * the non-negative po/pe). One row: (n, po_ppm, pe_ppm, kappa).
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("ra"), bCol.as("rb"))
+      .agg(count(lit(1)).as("n_cell"))
+    val rowT = cells.groupBy(col("ra")).agg(sum(col("n_cell")).as("row_t"))
+    val colT = cells.groupBy(col("rb")).agg(sum(col("n_cell")).as("col_t"))
+    // marginal product over the label domain (small by definition); labels
+    // present on only one side contribute 0 and drop out of the inner join
+    val prods = rowT.join(colT, rowT("ra") === colT("rb"))
+      .agg(coalesce(sum(dec(col("row_t")) * col("col_t")),
+        lit(0L).cast("decimal(38,0)")).as("s"))
+    val diag = cells.agg(
+      sum(col("n_cell")).as("n"),
+      coalesce(sum(when(col("ra") === col("rb"), col("n_cell"))), lit(0L)).as("diag"))
+    diag.crossJoin(broadcast(prods))
+      .select(col("n"),
+        call_function("div", dec(col("diag")) * lit(1000000L), dec(col("n")))
+          .cast("long").as("po_ppm"),
+        call_function("div", col("s") * lit(1000000L), dec(col("n")) * col("n"))
+          .cast("long").as("pe_ppm"),
+        ((dec(col("n")) * col("diag") - col("s")).cast("double") /
+          (dec(col("n")) * col("n") - col("s")).cast("double")).as("kappa"))
+  }
+
+  /** Kaplan-Meier survival curve over integer durations (days), in
+    * truncated integer micro-units. Input: one row per subject with a
+    * duration and a censoring flag. Event times are the distinct durations
+    * with at least one uncensored exit; `at_risk(t)` counts subjects with
+    * `duration >= t` (subjects censored exactly at t are still at risk at
+    * t — the standard convention). The survival product is the stepwise
+    * TRUNCATED fold `s_i = (s_{i-1} * (r_i - d_i)) div r_i` from 1e6, so
+    * every step is exact integer arithmetic an oracle replays with a
+    * recursive CTE.
+    *
+    * The fold is sequential by nature; it runs over the EVENT-TIME rollup,
+    * whose cardinality is calendar-bounded (distinct observed durations),
+    * via sort_array(collect_list) + a higher-order aggregate — the
+    * waterFillAllocation bounded-by-contract pattern, guarded by
+    * `maxSteps` so an unbounded-duration misuse fails loud.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: Column, censoredCol: Column,
+      maxSteps: Int = 100000): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("dur"),
+      censoredCol.cast("boolean").as("cens"))
+    val byDur = base.groupBy(col("dur")).agg(
+      count(lit(1)).as("n_exit"),
+      sum(when(!col("cens"), 1L).otherwise(0L)).as("deaths"))
+    // at_risk(t) = total - (exits strictly before t): two windows over the
+    // duration rollup (calendar-bounded single partition, same contract as
+    // the fold below)
+    val w = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = byDur
+      .withColumn("at_risk",
+        sum(col("n_exit")).over(Window.partitionBy(lit(1))) -
+          coalesce(sum(col("n_exit")).over(w), lit(0L)))
+      .filter(col("deaths") > 0L)
+      .select(col("dur"), col("at_risk"), col("deaths"))
+    val folded = steps
+      .agg(sort_array(collect_list(struct(col("dur"), col("at_risk"),
+        col("deaths")))).as("st"))
+      .select(explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error(concat('kaplanMeier exceeded $maxSteps event times — ',
+           |    'durations must be calendar-bounded integers'))
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<dur:bigint,at_risk:bigint,deaths:bigint,surv:bigint>>),
+           |    (acc, x) -> array_append(acc, named_struct(
+           |      'dur', x.dur, 'at_risk', x.at_risk, 'deaths', x.deaths,
+           |      'surv', coalesce(try_element_at(acc, -1).surv, CAST(1000000 AS BIGINT))
+           |                * (x.at_risk - x.deaths) div x.at_risk)))
+           |END""".stripMargin)).as("s"))
+    folded.select(col("s.dur").as("duration"), col("s.at_risk").as("at_risk"),
+      col("s.deaths").as("deaths"), col("s.surv").as("surv_ppm"))
+  }
+}

@@ -87,6 +87,95 @@ object Multimodal {
       .mapPartitions(rows => rows.map { case (id, bytes) => decodeImage(id, bytes) })
   }
 
+  /** dHash bands of one decoded 9x8 image: the perceptual fingerprint
+    * image-dedup pipelines bucket on. Input must already be the canonical
+    * dHash geometry (9 columns x 8 rows — resize upstream with the q135
+    * path); gray is the integer ITU-R 601 luma `(299r + 587g + 114b) div
+    * 1000`, and bit `y*8 + x` is set when `gray(x+1, y) > gray(x, y)` (the
+    * horizontal-gradient definition). The 64 bits are returned as four
+    * 16-bit band integers, little-endian within a band — bands are BOTH
+    * the storage form (no 64-bit value, so no sign-bit trap in SQL
+    * engines) and the LSH unit: hamming distance <= 3 guarantees at least
+    * one identical band (pigeonhole over 4 bands), so a band-bucket join
+    * finds every pair within that radius with zero false negatives.
+    */
+  final case class DHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def dhash(id: Long, bytes: Array[Byte]): DHashRow = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no image reader recognizes payload of doc $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        require(img.getWidth == 9 && img.getHeight == 8,
+          s"dhash expects a 9x8 raster, got ${img.getWidth}x${img.getHeight} " +
+            s"for doc $id — resize first")
+        def gray(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        val bands = new Array[Int](4)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) {
+              val i = y * 8 + x
+              bands(i / 16) |= 1 << (i % 16)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        DHashRow(id, bands(0), bands(1), bands(2), bands(3))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Batched [[dhash]] over a media table (doc_id, media) — the
+    * [[decodeImages]] mapPartitions shape; payload bytes never enter an
+    * exchange, only the 4 x 16-bit fingerprint does.
+    */
+  def dhashImages(media: DataFrame)(implicit spark: SparkSession): Dataset[DHashRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => dhash(id, bytes) })
+  }
+
+  /** Near-duplicate image pairs by banded dHash: union the four per-band
+    * bucket self-joins (each finds pairs agreeing on that 16-bit band),
+    * distinct the candidates, then verify full hamming distance <=
+    * `maxHamming` via bit_count(xor) over the bands. For `maxHamming <= 3`
+    * recall is exact by pigeonhole; larger radii keep zero false positives
+    * but may miss pairs whose differing bits spread across all four bands
+    * (the standard banded-LSH trade, documented at the call site). Bucket
+    * skew is bounded by the corpus's most common band value — flat-gray
+    * corpora should pre-filter constant images (all-zero bands), same as
+    * minhash's empty-shingle guard.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming: $maxHamming")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val l = hashes.select(col("doc_id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val r = hashes.select(col("doc_id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val cands = bandCols.indices.map { k =>
+      l.join(r, col(s"a$k") === col(s"c$k") && col("id_a") < col("id_b"))
+    }.reduce(_ unionAll _).distinct()
+    val ham = (0 to 3).map(k =>
+      bit_count(col(s"a$k").bitwiseXOR(col(s"c$k")))).reduce(_ + _)
+    cands.withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Real PNG encode (the test/fixture side of [[decodeImage]]): pixel
     * (x, y) gets the RGB triple from `px`. PNG is lossless, so
     * encode-then-decode round-trips sums exactly.

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Features, FuzzyLink}
+import graft.pipeline.{Inference, Multimodal}
+import graft.sources.Sources.{events, table}
+
+/** Round-9 continuation battery II: the hypothesis-test / agreement /
+  * survival layer ([[graft.pipeline.Inference]]), probabilistic record
+  * linkage, perceptual image dedup, and the MetricFlow derived-metric
+  * path. Same discipline as StatQueries: exact integer (or DECIMAL)
+  * operands everywhere, one fixed IEEE expression where a statistic is
+  * irrational, every query paired with an independent DuckDB oracle.
+  */
+object InferenceQueries extends QuerySet {
+
+  private val centsSql = (c: String) => s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef("q262_ks_test", (s, d) => {
+      // two-sample Kolmogorov-Smirnov: does the order-value distribution
+      // of fulfilled ('F') orders differ from open ('O') ones? Exact D as
+      // a rational over n_a*n_b, plus the value where the ECDFs diverge
+      // most — computed over the distinct-cents rollup, never by ranking
+      // raw rows.
+      val o = table(s, d, "orders")
+        .filter(col("o_orderstatus").isin("O", "F"))
+      Inference.ksTest(o, Features.cents(col("o_totalprice")),
+        col("o_orderstatus") === "F")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v, (o_orderstatus = 'F') AS b
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         |r AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+         |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+         |      FROM v GROUP BY v),
+         |c AS (SELECT v, sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+         |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r),
+         |t AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM c),
+         |g AS (SELECT c.v, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+         |      FROM c, t),
+         |m AS (SELECT max(gap) AS d_num FROM g)
+         |SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+         |       CAST(m.d_num AS BIGINT) AS d_num,
+         |       CAST((CAST(m.d_num AS HUGEINT) * 1000000)
+         |              // (CAST(g.n_a AS HUGEINT) * g.n_b) AS BIGINT) AS d_ppm,
+         |       CAST(min(g.v) AS BIGINT) AS d_at
+         |FROM g, m WHERE g.gap = m.d_num GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    QueryDef("q263_mann_whitney", (s, d) => {
+      // Mann-Whitney U on event values: 'purchase' amounts vs 'view'
+      // amounts, in milli-units. Doubled ranks keep the tie-averaged rank
+      // sum integral; the tie-corrected z is one IEEE expression over the
+      // exact operands.
+      val e = events(s, d).filter(col("event_type").isin("view", "purchase"))
+      Inference.mannWhitney(e,
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        col("event_type") === "purchase")
+    }, Some(
+      """WITH v AS (
+        |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+        |         (event_type = 'purchase') AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |r AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+        |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+        |      FROM v GROUP BY v),
+        |c AS (SELECT v, cnt_a, cnt_b,
+        |             sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+        |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r),
+        |a AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b,
+        |             sum(CAST(cnt_a AS HUGEINT) *
+        |                 ((cum_a + cum_b - cnt_a - cnt_b) * 2 + cnt_a + cnt_b + 1))
+        |               AS r2_a,
+        |             sum(CAST(cnt_a + cnt_b AS HUGEINT) * (cnt_a + cnt_b)
+        |                   * (cnt_a + cnt_b) - (cnt_a + cnt_b)) AS tie_term
+        |      FROM c),
+        |u AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |             CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+        |             CAST(tie_term AS BIGINT) AS tie_term
+        |      FROM a)
+        |SELECT n_a, n_b, u2_a, tie_term,
+        |       CAST(u2_a - n_a * n_b AS DOUBLE) /
+        |         sqrt(CAST(CAST(n_a AS HUGEINT) * n_b *
+        |                (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b)
+        |                   * (n_a + n_b - 1) - tie_term) AS DOUBLE) /
+        |              CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) AS z
+        |FROM u""".stripMargin)),
+
+    QueryDef("q264_spearman", (s, d) => {
+      // Spearman rank correlation between a customer's account balance
+      // and their realized spend: monotone association robust to the
+      // heavy-tailed spend distribution, exact by doubled tie-averaged
+      // ranks joined from the distinct-value rollups.
+      val spend = table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Features.cents(col("o_totalprice"))).as("spend"))
+      val base = table(s, d, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(Features.cents(col("c_acctbal")).as("bal"),
+          coalesce(col("spend"), lit(0L)).as("sp"))
+      Inference.spearman(base, col("bal"), col("sp"))
+    }, Some(
+      s"""WITH sp AS (SELECT o_custkey, sum(${centsSql("o_totalprice")}) AS spend
+         |            FROM orders GROUP BY 1),
+         |b AS (SELECT ${centsSql("c_acctbal")} AS x,
+         |             CAST(coalesce(spend, 0) AS BIGINT) AS y
+         |      FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+         |r AS (SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS xr2,
+         |             2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS yr2
+         |      FROM b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             sum(CAST(xr2 AS HUGEINT)) AS sx, sum(CAST(yr2 AS HUGEINT)) AS sy,
+         |             sum(CAST(xr2 AS HUGEINT) * yr2) AS sxy,
+         |             sum(CAST(xr2 AS HUGEINT) * xr2) AS sxx,
+         |             sum(CAST(yr2 AS HUGEINT) * yr2) AS syy
+         |      FROM r)
+         |SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+         |          (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+         |FROM m""".stripMargin)),
+
+    QueryDef("q265_gini", (s, d) => {
+      // revenue concentration per market segment: exact-ppm Gini over
+      // customer spend (customers with no orders count as zero-spend —
+      // concentration audits that drop them flatter themselves). The
+      // tied-block formula runs on the valueRanks rollup, so raw rows are
+      // never globally sorted.
+      val spend = table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Features.cents(col("o_totalprice"))).as("spend_c"))
+      val base = table(s, d, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), coalesce(col("spend_c"), lit(0L)).as("spend"))
+      Inference.gini(base, Seq("c_mktsegment"), col("spend"))
+    }, Some(
+      s"""WITH sp AS (SELECT o_custkey, sum(${centsSql("o_totalprice")}) AS spend_c
+         |            FROM orders GROUP BY 1),
+         |b AS (SELECT c_mktsegment, CAST(coalesce(spend_c, 0) AS BIGINT) AS spend
+         |      FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+         |r AS (SELECT c_mktsegment, spend,
+         |             row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend) AS i
+         |      FROM b)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(spend) AS BIGINT) AS total,
+         |       CAST((2 * sum(CAST(i AS HUGEINT) * spend)
+         |              - (count(*) + 1) * sum(CAST(spend AS HUGEINT))) * 1000000
+         |            // (CAST(count(*) AS HUGEINT) * sum(spend)) AS BIGINT) AS gini_ppm
+         |FROM r GROUP BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q266_cohen_kappa", (s, d) => {
+      // inter-annotator agreement between the declared `lang` metadata and
+      // the q31 marker classifier — the one-number summary of the q224
+      // confusion matrix, chance-corrected. po/pe in exact ppm; kappa as
+      // the single IEEE division over exact DECIMAL operands (it can be
+      // negative, where engines disagree on integer division).
+      import graft.pipeline.{TextAnalysis => T}
+      val cls = table(s, d, "documents")
+        .select(col("lang").as("declared"),
+          T.langGuess(col("text"), PipelineQueries.Markers).as("guessed"))
+      Inference.cohenKappa(cls, col("declared"), col("guessed"))
+    }, Some {
+      val scores = PipelineQueries.Markers.map { case (lang, words) =>
+        lang -> (s"len(list_filter(${PipelineQueries.toksSql}, " +
+          s"t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+      }.mkString("\n             ")
+      s"""WITH g AS (
+         |  SELECT lang AS ra,
+         |       CASE $cases
+         |            ELSE 'und' END AS rb
+         |  FROM documents),
+         |cells AS (SELECT ra, rb, count(*) AS c FROM g GROUP BY 1, 2),
+         |rt AS (SELECT ra, sum(c) AS row_t FROM cells GROUP BY 1),
+         |ct AS (SELECT rb, sum(c) AS col_t FROM cells GROUP BY 1),
+         |s AS (SELECT coalesce(sum(CAST(row_t AS HUGEINT) * col_t), 0) AS s
+         |      FROM rt JOIN ct ON rt.ra = ct.rb),
+         |dg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |              CAST(coalesce(sum(CASE WHEN ra = rb THEN c END), 0) AS BIGINT)
+         |                AS diag
+         |       FROM cells)
+         |SELECT n,
+         |       CAST((CAST(diag AS HUGEINT) * 1000000) // n AS BIGINT) AS po_ppm,
+         |       CAST((s * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+         |       CAST(CAST(n AS HUGEINT) * diag - s AS DOUBLE) /
+         |         CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE) AS kappa
+         |FROM dg, s""".stripMargin
+    }),
+
+    QueryDef("q267_grouped_kfold", (s, d) => {
+      // grouped k-fold assignment: folds are a hash of the USER, so one
+      // user's events never straddle folds (the leakage mode plain row
+      // hashing has on grouped data — q189's audit is the detector, this
+      // is the constructive fix). Per-fold volume + class-mix profile;
+      // exclusivity is pinned in the spec.
+      val fold = expr("conv(substring(md5(concat(cast(user_id as string), " +
+        "'|kf5')), 1, 8), 16, 10)").cast("long") % 5
+      events(s, d)
+        .withColumn("fold", fold)
+        .groupBy(col("fold"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+    }, Some(
+      """SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kf5'), 1, 8))::BIGINT % 5
+        |         AS fold,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_purchases
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("q268_derived_metric", (s, d) => {
+      // MetricFlow derived metric: net revenue = gross revenue minus
+      // discount give-back, declared as an EXPRESSION over two simple
+      // metrics and rendered at (month, returnflag) — the inputs join on
+      // the shared spine and the expression evaluates post-aggregation,
+      // so every consumer nets out discounts identically.
+      import graft.engine.{Model, Registry, ViewMat}
+      val wh = Scratch.warehouse("q268", d, s, Seq.empty)
+      val reg = new Registry(s, wh)
+      reg.source("lineitem_src", table(s, d, "lineitem"))
+      reg.register(Model("li_model", Seq("lineitem_src"), ViewMat,
+        ctx => ctx.ref("lineitem_src").select(
+          col("l_returnflag").as("rflag"),
+          col("l_shipdate").cast("timestamp").as("sdate"),
+          Features.cents(col("l_extendedprice")).as("gross_c"),
+          floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
+            .cast("long").as("disc_c"))))
+      reg.run()
+      reg.registerMetric(reg.Metric("gross_revenue", "li_model", "sum",
+        Some("gross_c"), "sdate", Seq("rflag")))
+      reg.registerMetric(reg.Metric("discount_cost", "li_model", "sum",
+        Some("disc_c"), "sdate", Seq("rflag")))
+      reg.registerDerivedMetric(reg.DerivedMetric("net_revenue",
+        "gross_revenue - discount_cost", Seq("gross_revenue", "discount_cost")))
+      reg.queryMetric("gross_revenue", "month", Seq("rflag"))
+        .withColumnRenamed("value", "gross_cents")
+        .join(reg.queryMetric("net_revenue", "month", Seq("rflag"))
+          .withColumnRenamed("value", "net_cents"), Seq("period", "rflag"))
+    }, Some(
+      s"""SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS period,
+         |       l_returnflag AS rflag,
+         |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS gross_cents,
+         |       CAST(sum(${centsSql("l_extendedprice")})
+         |            - sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+         |                       AS BIGINT)) AS BIGINT) AS net_cents
+         |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q269_kaplan_meier", (s, d) => {
+      // Kaplan-Meier user-retention curve: lifetime = days between a
+      // user's first and last event; users still active in the final week
+      // of the observation window are right-censored. Survival in
+      // truncated micro-units via the stepwise integer fold the oracle
+      // replays with a recursive CTE.
+      val e = events(s, d)
+      val byUser = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val gmax = e.agg(max(col("ts")).as("gm"))
+      val subj = byUser.crossJoin(broadcast(gmax))
+        .select(datediff(to_date(col("t1")), to_date(col("t0"))).as("dur"),
+          (col("t1") >= col("gm") - expr("INTERVAL 7 DAY")).as("cens"))
+      Inference.kaplanMeier(subj, col("dur"), col("cens"))
+    }, Some(
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
+        |g AS (SELECT max(ts) AS gm FROM events),
+        |s0 AS (SELECT date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS dur,
+        |              (t1 >= gm - INTERVAL 7 DAY) AS cens
+        |       FROM u, g),
+        |dr AS (SELECT dur, count(*) AS n_exit,
+        |              sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS deaths
+        |       FROM s0 GROUP BY 1),
+        |c AS (SELECT dur, deaths,
+        |             (SELECT sum(n_exit) FROM dr)
+        |               - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS at_risk
+        |      FROM dr),
+        |st AS (SELECT row_number() OVER (ORDER BY dur) AS rn, dur, at_risk, deaths
+        |       FROM c WHERE deaths > 0),
+        |km AS (
+        |  SELECT rn, dur, at_risk, deaths,
+        |         (1000000 * (at_risk - deaths)) // at_risk AS surv
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT st.rn, st.dur, st.at_risk, st.deaths,
+        |         (km.surv * (st.at_risk - st.deaths)) // st.at_risk
+        |  FROM st JOIN km ON st.rn = km.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS duration, CAST(at_risk AS BIGINT) AS at_risk,
+        |       CAST(deaths AS BIGINT) AS deaths, CAST(surv AS BIGINT) AS surv_ppm
+        |FROM km""".stripMargin)),
+
+    QueryDef("q270_fellegi_sunter", (s, d) => {
+      // Fellegi-Sunter probabilistic linkage: every 50th customer arrives
+      // as a probe with its name corrupted on even keys (digits 14/15
+      // swapped); blocking on nation, three field comparisons with
+      // milli-nat log-odds weights (literals of the declared m/u error
+      // model). Exact-name probes resolve 'match'; corrupted ones land in
+      // the clerical-review band on segment+balance agreement alone.
+      val probes = table(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(50)) === 0)
+        .select(col("c_nationkey"),
+          col("c_custkey").as("probe_key"),
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            concat(substring(col("c_name"), 1, 13), substring(col("c_name"), 15, 1),
+              substring(col("c_name"), 14, 1), expr("substring(c_name, 16)")))
+            .otherwise(col("c_name")).as("probe_name"),
+          col("c_mktsegment").as("probe_seg"),
+          Features.cents(col("c_acctbal")).as("probe_bal"))
+      val cands = table(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), Features.cents(col("c_acctbal")).as("cand_bal"))
+      FuzzyLink.fellegiSunter(
+        probes, col("probe_key"), cands, col("c_custkey"), "c_nationkey",
+        Seq(
+          FuzzyLink.FsField(col("probe_name") === col("c_name"), 2600L, -400L),
+          FuzzyLink.FsField(col("probe_seg") === col("c_mktsegment"), 600L, -700L),
+          FuzzyLink.FsField(abs(col("probe_bal") - col("cand_bal")) <= 10000L,
+            1200L, -900L)),
+        lowerMilli = 0L, upperMilli = 2500L)
+    }, Some(
+      s"""WITH pr AS (
+         |  SELECT c_nationkey, c_custkey AS probe_key,
+         |         CASE WHEN c_custkey % 2 = 0
+         |              THEN substr(c_name, 1, 13) || substr(c_name, 15, 1)
+         |                   || substr(c_name, 14, 1) || substr(c_name, 16)
+         |              ELSE c_name END AS probe_name,
+         |         c_mktsegment AS probe_seg,
+         |         ${centsSql("c_acctbal")} AS probe_bal
+         |  FROM customer WHERE c_custkey % 50 = 0),
+         |sc AS (
+         |  SELECT pr.probe_key AS probe_id, c.c_custkey AS cand_id,
+         |         (CASE WHEN pr.probe_name = c.c_name THEN 2600 ELSE -400 END
+         |        + CASE WHEN pr.probe_seg = c.c_mktsegment THEN 600 ELSE -700 END
+         |        + CASE WHEN abs(pr.probe_bal - ${centsSql("c.c_acctbal")}) <= 10000
+         |               THEN 1200 ELSE -900 END) AS score_milli
+         |  FROM pr JOIN customer c ON pr.c_nationkey = c.c_nationkey)
+         |SELECT probe_id, cand_id, CAST(score_milli AS BIGINT) AS score_milli,
+         |       CASE WHEN score_milli >= 2500 THEN 'match' ELSE 'possible' END
+         |         AS decision
+         |FROM sc WHERE score_milli >= 0""".stripMargin)),
+
+    QueryDef("q271_dhash_neardup", (s, d) => {
+      // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
+      // pixels derive from doc_id arithmetic (40 shared motifs; every 5th
+      // doc carries a one-pixel corruption), decoded back through imageio
+      // into the 64-bit dHash as four 16-bit bands; banded-LSH self-join +
+      // hamming <= 3 verification — recall exact by pigeonhole at this
+      // radius. The oracle re-derives every gradient bit from the same
+      // arithmetic, no decoder needed.
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val imgs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val key = (id % 40).toInt
+          (id, Multimodal.encodePng(9, 8, (x, y) => {
+            val base = (x * 17 + y * 29 + (x * y % 7) * 41 + key * 53) % 256
+            val g = if (id % 5 == 0 && x == 0 && y == 0) (base + 128) % 256
+                    else base
+            (g, g, g)
+          }))
+        }).toDF("doc_id", "media")
+      Multimodal.dhashNearDupPairs(
+        Multimodal.dhashImages(imgs).toDF(), maxHamming = 3)
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 40 AS INTEGER) AS key,
+        |                  (doc_id % 5 = 0) AS noisy
+        |           FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN
+        |           ((i % 8 + 1) * 17 + (i // 8) * 29
+        |              + (((i % 8 + 1) * (i // 8)) % 7) * 41 + key * 53) % 256
+        |           >
+        |           (CASE WHEN noisy AND (i % 8) = 0 AND (i // 8) = 0
+        |                 THEN (((i % 8) * 17 + (i // 8) * 29
+        |                         + (((i % 8) * (i // 8)) % 7) * 41 + key * 53) % 256
+        |                       + 128) % 256
+        |                 ELSE ((i % 8) * 17 + (i // 8) * 29
+        |                         + (((i % 8) * (i // 8)) % 7) * 41 + key * 53) % 256
+        |            END)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM d, (SELECT unnest(generate_series(0, 63)) AS i) t),
+        |bands AS (SELECT doc_id, i // 16 AS band,
+        |                 CAST(sum(bit << (i % 16)) AS INTEGER) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |             max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |             max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |             max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |             max(CASE WHEN band = 3 THEN bv END) AS b3
+        |      FROM bands GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |                b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+        |         FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+        |ham AS (SELECT id_a, id_b,
+        |               CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        |                  + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+        |                 AS INTEGER) AS hamming
+        |        FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin)))
+}

@@ -1,0 +1,235 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyLink
+import graft.pipeline.{Inference, Multimodal}
+
+/** Hand-computable vectors for the hypothesis-test / linkage / perceptual-
+  * dedup battery (q262-q271): KS, Mann-Whitney, Spearman, Gini, kappa,
+  * Kaplan-Meier, Fellegi-Sunter, dHash banding.
+  */
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- ksTest ----
+
+  test("ksTest: textbook two-sample D with the argmax location") {
+    // A=[1,2,3], B=[2,3,4,4]: gaps*12 over v=1..4 are 4,5,6,0 -> D=6/12
+    val df = (Seq(1L, 2L, 3L).map((_, false)) ++
+      Seq(2L, 3L, 4L, 4L).map((_, true))).toDF("v", "b")
+    val r = Inference.ksTest(df, col("v"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((3L, 4L, 6L, 500000L, 3L)))
+  }
+
+  test("ksTest: identical samples give D = 0; d_at is the smallest value") {
+    val df = (Seq(5L, 6L, 7L).map((_, false)) ++
+      Seq(5L, 6L, 7L).map((_, true))).toDF("v", "b")
+    val r = Inference.ksTest(df, col("v"), col("b")).collect()(0)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(4) === 5L)
+  }
+
+  test("ksTest: disjoint supports give D = 1 (ppm 1000000)") {
+    val df = (Seq(1L, 2L).map((_, false)) ++ Seq(9L, 10L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.ksTest(df, col("v"), col("b")).collect()(0)
+    assert(r.getLong(3) === 1000000L && r.getLong(4) === 2L)
+  }
+
+  // ---- mannWhitney ----
+
+  test("mannWhitney: tied vector matches the hand rank sum") {
+    // A=[1,2,2], B=[2,3]: rank2x = 2,6,6,6,10; R2_A=14, U2_A=2 (U_A=1);
+    // tie block c=3 -> tie_term = 24
+    val df = (Seq(1L, 2L, 2L).map((_, false)) ++ Seq(2L, 3L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.mannWhitney(df, col("v"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 2L, 2L, 24L)))
+    // z denominator: sqrt(6*((6*5*4)-24)/(3*5*4)) = sqrt(579.2/60)... exact:
+    // na*nb*((n+1)n(n-1)-tie) = 6*96=576; 3n(n-1)=60 -> sqrt(9.6)
+    val z = r.getDouble(4)
+    assert(math.abs(z - (2.0 - 6.0) / math.sqrt(576.0 / 60.0)) < 1e-12)
+  }
+
+  test("mannWhitney: u2_a + u2_b identity (2*na*nb)") {
+    val df = (Seq(3L, 1L, 4L, 1L, 5L).map((_, false)) ++
+      Seq(9L, 2L, 6L, 5L).map((_, true))).toDF("v", "b")
+    val a = Inference.mannWhitney(df, col("v"), col("b")).collect()(0)
+    val b = Inference.mannWhitney(df, col("v"), !col("b")).collect()(0)
+    assert(a.getLong(2) + b.getLong(2) === 2L * a.getLong(0) * a.getLong(1))
+  }
+
+  // ---- spearman ----
+
+  test("spearman: perfect monotone is +1, anti-monotone is -1") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 400L)).toDF("x", "y")
+    assert(math.abs(Inference.spearman(up, col("x"), col("y"))
+      .collect()(0).getDouble(1) - 1.0) < 1e-12)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(math.abs(Inference.spearman(down, col("x"), col("y"))
+      .collect()(0).getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("spearman: tie-averaged ranks match a direct Pearson over avg ranks") {
+    val data = Seq((1L, 7L), (2L, 7L), (2L, 3L), (5L, 9L), (5L, 1L), (6L, 3L))
+    val df = data.toDF("x", "y")
+    val rho = Inference.spearman(df, col("x"), col("y")).collect()(0).getDouble(1)
+    def avgRanks(vs: Seq[Long]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val l = sorted.count(_ < v); val c = sorted.count(_ == v)
+        l + (c + 1) / 2.0
+      }
+    }
+    val rx = avgRanks(data.map(_._1)); val ry = avgRanks(data.map(_._2))
+    val n = rx.size.toDouble
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rho - want) < 1e-12)
+  }
+
+  // ---- gini ----
+
+  test("gini: equality is 0, extreme concentration approaches (n-1)/n") {
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("grp", "v")
+    val g1 = Inference.gini(eq, Seq("grp"), col("v")).collect()(0)
+    assert(g1.getAs[Long]("gini_ppm") === 0L)
+    // [0,0,0,1]: G = (2*4 - 5*1)/(4*1) = 0.75
+    val conc = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 1L)).toDF("grp", "v")
+    val g2 = Inference.gini(conc, Seq("grp"), col("v")).collect()(0)
+    assert(g2.getAs[Long]("gini_ppm") === 750000L)
+  }
+
+  test("gini: tie-block formula equals the row-level definition; zero total -> NULL") {
+    val vs = Seq(1L, 1L, 2L, 3L, 3L, 3L, 10L)
+    val df = vs.map(("g", _)).toDF("grp", "v")
+    val got = Inference.gini(df, Seq("grp"), col("v")).collect()(0)
+      .getAs[Long]("gini_ppm")
+    val sorted = vs.sorted; val n = vs.size.toLong; val t = vs.sum
+    val twoS = sorted.zipWithIndex.map { case (v, i) => 2L * (i + 1) * v }.sum
+    assert(got === (twoS - (n + 1) * t) * 1000000L / (n * t))
+    val zero = Seq(("z", 0L), ("z", 0L)).toDF("grp", "v")
+    assert(Inference.gini(zero, Seq("grp"), col("v")).collect()(0).isNullAt(
+      Inference.gini(zero, Seq("grp"), col("v")).columns.indexOf("gini_ppm")))
+  }
+
+  // ---- cohenKappa ----
+
+  test("cohenKappa: classic 2x2 vector (po=0.7, pe=0.5, kappa=0.4)") {
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Inference.cohenKappa(rows.toDF("r1", "r2"), col("r1"), col("r2"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((50L, 700000L, 500000L)))
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-12)
+  }
+
+  test("cohenKappa: perfect agreement is 1; disjoint labels give kappa <= 0") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("r1", "r2")
+    val p = Inference.cohenKappa(perfect, col("r1"), col("r2")).collect()(0)
+    assert(p.getLong(1) === 1000000L && math.abs(p.getDouble(3) - 1.0) < 1e-12)
+    // raters never use the same label: diag=0, S=0 -> kappa = 0/ n^2 = 0.0
+    val disjoint = Seq(("x", "y"), ("x", "y")).toDF("r1", "r2")
+    val q = Inference.cohenKappa(disjoint, col("r1"), col("r2")).collect()(0)
+    assert(q.getLong(1) === 0L && q.getDouble(3) === 0.0)
+  }
+
+  // ---- kaplanMeier ----
+
+  test("kaplanMeier: textbook curve with censoring, truncated micro-steps") {
+    // durations 1,2,2,3c,4: deaths at 1 (r=5) -> 800000; at 2 (r=4,d=2)
+    // -> 400000; at 4 (r=1) -> 0. Censored 3 never emits a row.
+    val df = Seq((1L, false), (2L, false), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "cens")
+    val out = Inference.kaplanMeier(df, col("dur"), col("cens"))
+      .orderBy("duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 5L, 1L, 800000L), (2L, 4L, 2L, 400000L),
+      (4L, 1L, 1L, 0L)))
+  }
+
+  test("kaplanMeier: all censored -> empty curve; censored-at-death stays at risk") {
+    val allCens = Seq((1L, true), (2L, true)).toDF("dur", "cens")
+    assert(Inference.kaplanMeier(allCens, col("dur"), col("cens")).count() === 0L)
+    // death and censor at t=2: at_risk=2, one death -> 500000
+    val mixed = Seq((2L, false), (2L, true)).toDF("dur", "cens")
+    val r = Inference.kaplanMeier(mixed, col("dur"), col("cens")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 500000L)))
+  }
+
+  // ---- fellegiSunter ----
+
+  test("fellegiSunter: field weights sum; thresholds classify; below-lower dropped") {
+    val probes = Seq((1, 10L, "ann", "s1"), (2, 11L, "zzz", "s2"))
+      .toDF("blk", "pid", "pname", "pseg")
+    val cands = Seq((1, 100L, "ann", "s1"), (1, 101L, "ann", "sX"),
+      (1, 102L, "bob", "sX"), (2, 200L, "yyy", "s2"))
+      .toDF("blk", "cid", "cname", "cseg")
+    val out = FuzzyLink.fellegiSunter(probes, col("pid"), cands, col("cid"),
+      "blk",
+      Seq(FuzzyLink.FsField(col("pname") === col("cname"), 2000L, -500L),
+        FuzzyLink.FsField(col("pseg") === col("cseg"), 800L, -600L)),
+      lowerMilli = 0L, upperMilli = 2500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out((10L, 100L)) === ((2800L, "match")))
+    assert(out((10L, 101L)) === ((1400L, "possible")))
+    assert(!out.contains((10L, 102L))) // -500-600 < lower
+    assert(out((11L, 200L)) === ((300L, "possible"))) // -500+800
+    assert(!out.contains((11L, 100L))) // cross-block never scored
+  }
+
+  // ---- dHash ----
+
+  private def png(key: Int, corrupt: Boolean): Array[Byte] =
+    Multimodal.encodePng(9, 8, (x, y) => {
+      val base = (x * 17 + y * 29 + (x * y % 7) * 41 + key * 53) % 256
+      val g = if (corrupt && x == 0 && y == 0) (base + 128) % 256 else base
+      (g, g, g)
+    })
+
+  test("dhash: bands match a direct bit computation on the generator") {
+    val row = Multimodal.dhash(7L, png(3, corrupt = false))
+    def gray(x: Int, y: Int) = (x * 17 + y * 29 + (x * y % 7) * 41 + 3 * 53) % 256
+    val want = new Array[Int](4)
+    for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y)) {
+      val i = y * 8 + x; want(i / 16) |= 1 << (i % 16)
+    }
+    assert((row.b0, row.b1, row.b2, row.b3) ===
+      ((want(0), want(1), want(2), want(3))))
+  }
+
+  test("dhashNearDupPairs: one-pixel corruption is found, distinct motifs are not") {
+    implicit val s = spark
+    val media = Seq(
+      (1L, png(3, corrupt = false)), (2L, png(3, corrupt = true)),
+      (3L, png(9, corrupt = false)))
+      .toDF("doc_id", "media")
+    val hashes = Multimodal.dhashImages(media).toDF()
+    val pairs = Multimodal.dhashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length === 1)
+    val (a, b, ham) = pairs(0)
+    assert((a, b) === ((1L, 2L)) && ham <= 1)
+  }
+
+  test("dhashNearDupPairs: pigeonhole recall bound — <=3 differing bits always found") {
+    implicit val s = spark
+    // hand-build hashes: base vs 3 bits flipped in 3 DIFFERENT bands ->
+    // band 3 still identical -> pair must surface with hamming 3
+    val rows = Seq((1L, 10, 20, 30, 40), (2L, 11, 21, 31, 40),
+      // 4 bits across all 4 bands at radius 4 -> no shared band, invisible
+      // to the banded join even though hamming 4 would pass a wider filter
+      (3L, 100, 200, 300, 400), (4L, 101, 201, 301, 401))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val got = Multimodal.dhashNearDupPairs(rows, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+}

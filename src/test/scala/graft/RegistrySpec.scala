@@ -917,6 +917,34 @@ class RegistrySpec extends AnyFunSuite {
     assert(cum(("2024-01", "a")) === 300L)
     assert(cum(("2024-02", "a")) === 350L) // carries january forward
     assert(cum(("2024-01", "b")) === 0L)
+    // derived metric: expression over rendered inputs at the shared grain
+    reg.registerMetric(reg.Metric("fee", "fact_model", "count", None, "ts",
+      Seq("seg")))
+    reg.registerDerivedMetric(reg.DerivedMetric("rev_less_fee",
+      "rev - 10 * fee", Seq("rev", "fee")))
+    val der = reg.queryMetric("rev_less_fee", "month", Seq("seg"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getString(1)) -> r.getLong(2)).toMap
+    assert(der === Map(("2024-01", "a") -> 280L, ("2024-02", "a") -> 40L,
+      ("2024-01", "b") -> -10L))
+    // input columns do not leak into the derived output
+    assert(reg.queryMetric("rev_less_fee", "month", Seq("seg")).columns.toSeq
+      === Seq("period", "seg", "value"))
+    // derived metrics cumulate like any other
+    val dcum = reg.queryMetricCumulative("rev_less_fee", "month", Seq("seg"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getString(1)) -> r.getLong(3)).toMap
+    assert(dcum(("2024-02", "a")) === 320L)
+    // governance: unknown input, ratio as input, duplicate name all raise
+    intercept[IllegalArgumentException] {
+      reg.registerDerivedMetric(reg.DerivedMetric("bad", "x - y", Seq("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerDerivedMetric(reg.DerivedMetric("bad2", "aov + 1", Seq("aov")))
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerDerivedMetric(reg.DerivedMetric("rev", "rev", Seq("rev")))
+    }
+    // catalog carries the derived row
+    assert(reg.metrics().filter(col("metric_type") === "derived").count() === 1L)
   }
 
   test("lint: fanout threshold and clean-DAG silence") {
