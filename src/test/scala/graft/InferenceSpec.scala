@@ -219,6 +219,55 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- plan-shape pins (the 100 TB contracts) ----
+
+  test("plan: ECDF window runs over the distinct-value AGGREGATE, never raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Filter, LogicalPlan, Window => LWindow}
+    val df = (1L to 5000L).map(i => (i % 37, i % 2 == 0)).toDF("v", "b")
+    def windowChildrenAreAggregates(plan: LogicalPlan): Boolean = {
+      def stripToCore(p: LogicalPlan): LogicalPlan = p match {
+        case Project(_, c) => stripToCore(c)
+        case Filter(_, c) => stripToCore(c)
+        case w: LWindow => stripToCore(w.child) // stacked windows share the rollup
+        case other => other
+      }
+      plan.collect { case w: LWindow => stripToCore(w.child) }
+        .forall(_.isInstanceOf[Aggregate])
+    }
+    val ks = Inference.ksTest(df, col("v"), col("b"))
+    assert(windowChildrenAreAggregates(ks.queryExecution.optimizedPlan),
+      s"KS window not over the rollup:\n${ks.queryExecution.optimizedPlan}")
+    val mw = Inference.mannWhitney(df, col("v"), col("b"))
+    assert(windowChildrenAreAggregates(mw.queryExecution.optimizedPlan))
+    // and the one-row totals ride a broadcast, not a shuffle
+    assert(ks.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
+  test("plan: gini window is PARTITIONED by the group (parallel across groups)") {
+    val df = (1L to 2000L).map(i => (s"g${i % 7}", i % 101)).toDF("grp", "v")
+    val plan = Inference.gini(df, Seq("grp"), col("v"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(grp"),
+      s"gini window lost its partition spec:\n$plan")
+  }
+
+  test("plan: fellegiSunter broadcasts the probe side; dhash pairs never go cartesian") {
+    val probes = (1L to 20L).map(i => (i % 5, i, s"n$i")).toDF("blk", "pid", "pn")
+    val cands = (1L to 500L).map(i => (i % 5, i, s"n${i % 30}")).toDF("blk", "cid", "cn")
+    val fs = FuzzyLink.fellegiSunter(probes, col("pid"), cands, col("cid"),
+      "blk", Seq(FuzzyLink.FsField(col("pn") === col("cn"), 1000L, -500L)),
+      0L, 800L)
+    assert(fs.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val hashes = (1L to 300L).map(i =>
+      (i, (i % 50).toInt, (i % 60).toInt, (i % 70).toInt, (i % 80).toInt))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pp = Multimodal.dhashNearDupPairs(hashes, 3)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to a cross product:\n$pp")
+  }
+
   test("dhashNearDupPairs: pigeonhole recall bound — <=3 differing bits always found") {
     implicit val s = spark
     // hand-build hashes: base vs 3 bits flipped in 3 DIFFERENT bands ->
