@@ -449,7 +449,8 @@ object Similarity {
     */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String, blockLen: Int,
       books: Seq[Seq[Clustering.Centroid]],
-      quantScale: Int = 1000): DataFrame = {
+      quantScale: Int = 1000,
+      coarse: Option[Seq[Clustering.Centroid]] = None): DataFrame = {
     val dim = blockLen * books.length
     val malformed = coalesce(
       size(col("__v")) =!= dim || exists(col("__v"), _.isNull), lit(true))
@@ -463,7 +464,11 @@ object Similarity {
       Clustering.assignCol(
         slice(col("__v"), b * blockLen + 1, blockLen), cents).as(s"code_$b")
     }
-    base.select(col("id") +: codeCols: _*)
+    // the coarse (IVF) cell rides the SAME scan when requested — the
+    // whole index (cell + m codes) is one pass, zero shuffles
+    val cellCols = coarse.toSeq.map(c =>
+      Clustering.assignCol(col("__v"), c).as("cell"))
+    base.select(col("id") +: (cellCols ++ codeCols): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, each
@@ -525,6 +530,92 @@ object Similarity {
         .orderBy(col("__dist").asc, col("id").asc)))
       .filter(col("adc_rank") <= topK)
       .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_rank").cast("long").as("adc_rank"))
+  }
+
+  /** IVF-PQ: the composed billion-vector recipe — a coarse inverted-file
+    * cell bounds WHICH rows are scored, PQ codes bound WHAT is stored and
+    * computed per row. Index build is ONE corpus scan ([[pqCodes]] with
+    * the coarse codebook riding the same pass: `(id, cell, code_0..m)`);
+    * at query time each query probes its `nProbe` nearest coarse cells
+    * (exact driver-side arithmetic, identical term-for-term to the
+    * in-plan [[Clustering.assignCol]]), ships one ADC distance table per
+    * probed cell, and the scan scores ONLY rows whose cell is probed —
+    * the equi-join on `cell` is exactly the partition-pruning handle a
+    * cell-partitioned 100 TB index needs (cells map to partitions; the
+    * broadcast probe list prunes file groups before any code is read).
+    * Same determinism contract as [[pqTopK]]: exact integer numerators,
+    * one IEEE division, ties break on (distance, neighbor id).
+    *
+    * `coarse` is the full-dimension cell codebook
+    * ([[Clustering.kMeansCodebook]]); recall loss comes from both stages
+    * (unprobed cells + code quantization) and is measured with
+    * [[recallAtK]] like every approximate path here.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, blockLen: Int, books: Seq[Seq[Clustering.Centroid]],
+      coarse: Seq[Clustering.Centroid], nProbe: Int, topK: Int,
+      quantScale: Int = 1000, maxQueries: Int = 10000): DataFrame = {
+    require(topK >= 1, s"topK: $topK")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe $nProbe vs ${coarse.length} cells")
+    val k = books.head.length
+    val dim = blockLen * books.length
+    val codes = pqCodes(df, idCol, vecCol, blockLen, books, quantScale,
+      coarse = Some(coarse))
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"),
+        quantize(col(vecCol), quantScale).as("qv"))
+      .collect()
+    require(qRows.length <= maxQueries,
+      s"ivfPqTopK collected ${qRows.length} queries (max $maxQueries) — the " +
+        "query side is a bounded probe set by contract")
+    val qData = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      require(qv.length == dim,
+        s"ivfPqTopK: query $qid has dim ${qv.length}, expected $dim")
+      // coarse cell ranking: same exact rational distance as assignCol,
+      // ties to the lowest cell index
+      val probed = coarse.zipWithIndex.map { case (c, j) =>
+        var num = 0L
+        var i = 0
+        while (i < dim) {
+          val t = c.den * qv(i) - c.num(i)
+          num += t * t
+          i += 1
+        }
+        (num.toDouble / (c.den * c.den).toDouble, j)
+      }.sorted.take(nProbe).map(_._2)
+      val dt = books.zipWithIndex.flatMap { case (cents, b) =>
+        cents.map { c =>
+          var num = 0L
+          var i = 0
+          while (i < blockLen) {
+            val t = c.den * qv(b * blockLen + i) - c.num(i)
+            num += t * t
+            i += 1
+          }
+          num.toDouble / (c.den * c.den).toDouble
+        }
+      }.toArray
+      probed.map(cell => (qid, cell, dt))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = qData.toDF("query_id", "cell", "__dt")
+    val dist = books.indices.map(b =>
+      element_at(col("__dt"), col(s"code_$b") + lit(b * k) + 1))
+      .reduce(_ + _)
+    codes.join(broadcast(qdf), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("__dist", dist)
+      .withColumn("adc_rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__dist").asc, col("id").asc)))
+      .filter(col("adc_rank") <= topK)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"),
         col("adc_rank").cast("long").as("adc_rank"))
   }
 }

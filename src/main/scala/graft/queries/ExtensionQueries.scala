@@ -24,7 +24,7 @@ object ExtensionQueries extends QuerySet {
     * the 4 smallest ids, assign, exact-rational centroid update with
     * empty-cluster fallback, final assignment = the block's PQ code.
     */
-  private def pqBlockSql(x: Int): String =
+  private def pqBlockSql(x: String): String =
     s"""init$x AS (SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INTEGER) AS j,
        |                 v AS c, CAST(1 AS BIGINT) AS den
        |          FROM (SELECT id, v FROM b$x ORDER BY id ASC LIMIT 4)),
@@ -57,8 +57,8 @@ object ExtensionQueries extends QuerySet {
     s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v FROM embeddings),
        |b0 AS (SELECT id, v[1:32] AS v FROM e),
        |b1 AS (SELECT id, v[33:64] AS v FROM e),
-       |${pqBlockSql(0)},
-       |${pqBlockSql(1)}""".stripMargin
+       |${pqBlockSql("0")},
+       |${pqBlockSql("1")}""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -317,6 +317,63 @@ object ExtensionQueries extends QuerySet {
          |SELECT query_id, id AS neighbor_id, CAST(rn AS BIGINT) AS adc_rank
          |FROM (SELECT query_id, id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rn
+         |      FROM adc) t
+         |WHERE rn <= 5""".stripMargin)),
+
+    QueryDef("q272_ivfpq_topk", (s, d) => {
+      // IVF-PQ, the composed billion-vector recipe: a 4-cell coarse
+      // quantizer decides WHICH rows get scored (each query probes its 2
+      // nearest cells — the partition-pruning handle at 100 TB), the q199
+      // PQ codes decide WHAT is stored and computed per row (two table
+      // lookups). Index = ONE scan emitting (id, cell, code_0, code_1);
+      // the oracle replays coarse training, probe selection, and ADC in
+      // SQL with the same exact-rational arithmetic.
+      val emb = table(s, d, "embeddings")
+      val books = graft.pipeline.Similarity.pqCodebooks(
+        emb, "vec_id", "embedding", blockLen = 32, nBlocks = 2, k = 4, iters = 1)
+      val coarse = graft.pipeline.Clustering.kMeansCodebook(
+        emb, "vec_id", "embedding", k = 4, iters = 1)
+      graft.pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), blockLen = 32, books, coarse,
+        nProbe = 2, topK = 5)
+    }, Some(
+      s"""$pqPrefixSql,
+         |bC AS (SELECT id, v FROM e),
+         |${pqBlockSql("C")},
+         |qC AS (SELECT id AS query_id, v FROM bC WHERE id < 3),
+         |q0 AS (SELECT id AS query_id, v FROM b0 WHERE id < 3),
+         |q1 AS (SELECT id AS query_id, v FROM b1 WHERE id < 3),
+         |dt0 AS (SELECT q.query_id, f.j,
+         |               CAST(list_sum(list_transform(list_zip(q.v, f.c),
+         |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+         |               / CAST(f.den*f.den AS DOUBLE) AS d
+         |        FROM q0 q, cf0 f),
+         |dt1 AS (SELECT q.query_id, f.j,
+         |               CAST(list_sum(list_transform(list_zip(q.v, f.c),
+         |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+         |               / CAST(f.den*f.den AS DOUBLE) AS d
+         |        FROM q1 q, cf1 f),
+         |dtc AS (SELECT q.query_id, f.j,
+         |               CAST(list_sum(list_transform(list_zip(q.v, f.c),
+         |                      p -> (f.den*p[1] - p[2]) * (f.den*p[1] - p[2]))) AS DOUBLE)
+         |               / CAST(f.den*f.den AS DOUBLE) AS d
+         |        FROM qC q, cfC f),
+         |prb AS (SELECT query_id, j AS cell FROM (
+         |          SELECT query_id, j,
+         |                 row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY d ASC, j ASC) AS rn
+         |          FROM dtc) t WHERE rn <= 2),
+         |adc AS (SELECT p.query_id, c0.id, cc.code AS cell, d0.d + d1.d AS dist
+         |        FROM codeC cc JOIN code0 c0 USING (id) JOIN code1 c1 USING (id)
+         |          JOIN prb p ON p.cell = cc.code
+         |          JOIN dt0 d0 ON d0.j = c0.code AND d0.query_id = p.query_id
+         |          JOIN dt1 d1 ON d1.j = c1.code AND d1.query_id = p.query_id
+         |        WHERE c0.id <> p.query_id)
+         |SELECT query_id, id AS neighbor_id, CAST(cell AS BIGINT) AS cell,
+         |       CAST(rn AS BIGINT) AS adc_rank
+         |FROM (SELECT query_id, id, cell,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY dist ASC, id ASC) AS rn
          |      FROM adc) t
          |WHERE rn <= 5""".stripMargin)),
 

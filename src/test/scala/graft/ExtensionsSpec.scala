@@ -298,6 +298,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got === Seq((100L, 0L, 1L), (100L, 2L, 2L), (100L, 1L, 3L), (100L, 3L, 4L)))
   }
 
+  test("ivfPqTopK: probing every cell reproduces pqTopK; fewer probes only prune") {
+    val rng = new scala.util.Random(23)
+    val emb = (1L to 80L).map(i =>
+      (i, Array.fill(8)(rng.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") <= 2)
+    val books = graft.pipeline.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", blockLen = 4, nBlocks = 2, k = 3, iters = 1)
+    val coarse = graft.pipeline.Clustering.kMeansCodebook(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    val flat = graft.pipeline.Similarity.pqTopK(
+      emb, "vec_id", "embedding", q, 4, books, topK = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // all cells probed -> the cell stage prunes nothing: identical ranking
+    val full = graft.pipeline.Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", q, 4, books, coarse, nProbe = 4, topK = 5)
+      .select("query_id", "neighbor_id", "adc_rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === flat)
+    // nProbe=1 returns a (possibly shorter) list whose ADC distances are a
+    // subsequence of the flat ranking restricted to the probed cell
+    val one = graft.pipeline.Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", q, 4, books, coarse, nProbe = 1, topK = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flatPairs = flat.map(t => (t._1, t._2))
+    // every probed-cell hit at rank r must exist in the full candidate
+    // set's ordering universe (pruning never invents neighbors)
+    val allScored = graft.pipeline.Similarity.pqTopK(
+      emb, "vec_id", "embedding", q, 4, books, topK = 80)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(one.subsetOf(allScored))
+    assert(one.nonEmpty && flatPairs.nonEmpty)
+    // plan: probe list is broadcast onto the code scan, no cartesian
+    val plan = graft.pipeline.Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", q, 4, books, coarse, nProbe = 2, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("pqCodes raises on malformed vectors") {
     val emb = Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0))).toDF("vec_id", "embedding")
     val books = Seq(Seq(graft.pipeline.Clustering.Centroid(Array(0L), 1L)),
