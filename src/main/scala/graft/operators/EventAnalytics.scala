@@ -182,6 +182,52 @@ object EventAnalytics {
         sum(expr("__cnt * 1000 div __tot")).as("linear_milli"))
   }
 
+  /** Time-decay attribution, completing the [[attribution]] trio's fourth
+    * classic model: a touch `a` whole days older than its conversion earns
+    * weight `1000 >> min(a div halflifeDays, 9)` milli — an exact
+    * day-granular halving schedule (the continuous `2^(-t/h)` discretized
+    * to integer arithmetic so credit is reproducible on any engine; the
+    * shift floor at 9 keeps >9-halvings from vanishing below integer
+    * resolution non-monotonically). Each conversion splits exactly one
+    * unit of credit: touch share = `w * 1e6 div sum(w)` micro-units.
+    *
+    * Same scale shape as [[attribution]]: user-keyed equi join with the
+    * window predicate riding along, one conv-keyed window for the weight
+    * total, narrow roll-up.
+    */
+  def timeDecayAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int, halflifeDays: Int = 1,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "timeDecayAttribution needs touch types")
+    require(!touchTypes.contains(conversionType),
+      s"'$conversionType' cannot be both conversion and touch")
+    require(lookbackDays >= 1 && halflifeDays >= 1,
+      s"lookbackDays $lookbackDays halflifeDays $halflifeDays")
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(idCol).as("__conv"),
+        col(tsCol).as("__cts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("touch"),
+        col(tsCol).as("__ts"))
+    val joined = touches.join(convs, Seq("__u"))
+      .filter(col("__ts") < col("__cts") &&
+        col("__ts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .withColumn("__age",
+        floor((unix_micros(col("__cts")) - unix_micros(col("__ts"))) /
+          lit(86400000000L)).cast("long"))
+      .withColumn("__w", expr(
+        s"shiftright(1000L, cast(least(__age div $halflifeDays, 9L) as int))"))
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__conv"))
+    joined
+      .withColumn("__tot", sum(col("__w")).over(byConv))
+      .groupBy(col("__conv"), col("touch"), col("__tot"))
+      .agg(sum(col("__w")).as("__wsum"), count(lit(1)).as("__cnt"))
+      .groupBy(col("touch").as("event_type"))
+      .agg(sum(col("__cnt")).as("n_touches"),
+        sum(expr("__wsum * 1000000 div __tot")).as("decay_micro"))
+  }
+
   /** Top-k frequent session paths: sessionize on an inactivity gap, read
     * off each session's first `maxSteps` event types in time order as a
     * `a>b>c` path string, and count sessions per path. The classic

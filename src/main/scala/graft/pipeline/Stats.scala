@@ -361,4 +361,124 @@ object Stats {
       .withColumn("ewma_milli",
         call_function("div", col("ewma_num") * 1000L, lit(denom)))
   }
+
+  /** Holt double exponential smoothing (level + linear trend) over densified
+    * daily series, as a TRUNCATED fixed-point integer recursion — the model
+    * IS the integer recursion (the [[graft.pipeline.Inference.kaplanMeier]]
+    * discipline), so any engine replays it bit-exactly:
+    * {{{
+    * l_0 = y_0 * S,  b_0 = 0
+    * l_t = (an*y_t*S + (ad-an)*(l_{t-1} + b_{t-1})) div ad
+    * b_t = (bn*(l_t - l_{t-1}) + (bd-bn)*b_{t-1}) div bd
+    * }}}
+    * with `div` TRUNCATING toward zero (Spark's semantics; an oracle on a
+    * floor-division engine must wrap negatives — b_t goes negative on
+    * downtrends). Missing spine days contribute y = 0, matching
+    * [[ewmaDaily]]'s convention (gap days are real zero-activity days for
+    * event volumes; LOCF-fill upstream via [[locf]] when they are not).
+    *
+    * The recursion is sequential by nature and runs per group over the
+    * CALENDAR-BOUNDED day spine via sort_array(collect_list) + a
+    * higher-order fold (waterFill's bounded-by-contract pattern, guarded
+    * by `maxSteps`); groups process in parallel. Output per (group, day):
+    * level, trend, and the one-step-ahead forecast `l + b`, all in
+    * `valueCol`-units x 1e6.
+    */
+  def holtDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, alphaNum: Int, alphaDen: Int,
+      betaNum: Int, betaDen: Int, maxSteps: Int = 100000): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"alpha must be a proper fraction: $alphaNum/$alphaDen")
+    require(betaNum >= 1 && betaDen > betaNum,
+      s"beta must be a proper fraction: $betaNum/$betaDen")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols :+ col("day") :+ coalesce(col("y"), lit(0L)).as("y"): _*)
+    val (an, ad, bn, bd) = (alphaNum, alphaDen, betaNum, betaDen)
+    val folded = dense
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("st"))
+      .select(gcols :+ explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error('holtDaily exceeded $maxSteps spine days — the day spine must be calendar-bounded')
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<day:bigint,l:bigint,b:bigint>>),
+           |    (acc, x) -> CASE WHEN size(acc) = 0 THEN
+           |        array(named_struct('day', x.day, 'l', x.y * 1000000L, 'b', CAST(0 AS BIGINT)))
+           |      ELSE
+           |        array_append(acc, named_struct(
+           |          'day', x.day,
+           |          'l', ($an * x.y * 1000000L
+           |                + ${ad - an} * (element_at(acc, -1).l + element_at(acc, -1).b)) div $ad,
+           |          'b', ($bn * ((($an * x.y * 1000000L
+           |                + ${ad - an} * (element_at(acc, -1).l + element_at(acc, -1).b)) div $ad)
+           |                - element_at(acc, -1).l)
+           |                + ${bd - bn} * element_at(acc, -1).b) div $bd))
+           |      END)
+           |END""".stripMargin)).as("s"): _*)
+    folded.select(gcols ++ Seq(col("s.day").as("day"),
+      col("s.l").as("level_micro"), col("s.b").as("trend_micro"),
+      (col("s.l") + col("s.b")).as("forecast_micro")): _*)
+  }
+
+  /** Single-changepoint localization per group (the first step of binary
+    * segmentation): over the day-ordered series, pick the split
+    * maximizing the variance-reduction score
+    * `G(s) = S_L^2 div n_L + S_R^2 div n_R - S^2 div n` (each term an
+    * integer-truncated division in squared value units — the declared
+    * score, engine-portable; ties to the earliest split day; pre-scale
+    * the value so group totals stay under ~1e9 x sqrt(n), else the final
+    * long cast fails loud under ANSI). This is the mean-shift detector that LOCALIZES
+    * the break [[graft.operators.EventAnalytics]]'s CUSUM only flags.
+    *
+    * Shape: one (group, day) rollup, prefix sums over the per-group
+    * day-ordered window (parallel across groups, calendar-bounded within),
+    * then an argmax via one more group-partitioned window. Sums square in
+    * DECIMAL(38,0) so daily totals up to ~1e15 units cannot overflow.
+    * `split_day` is the LAST day of the left segment.
+    */
+  def changepointDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "changepointDaily needs groupCols — an ungrouped series would prefix-" +
+        "sum through one partition; wrap the series in a constant group")
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val byG = Window.partitionBy(gcols: _*)
+    val ordered = byG.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("__sl", sum(col("y")).over(ordered))
+      .withColumn("__nl", count(lit(1)).over(ordered))
+      .withColumn("__s", sum(col("y")).over(byG))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .filter(col("__nl") < col("__n")) // split after the last day is no split
+      .withColumn("gain",
+        (call_function("div", dec(col("__sl")) * col("__sl"), dec(col("__nl"))) +
+          call_function("div",
+            dec(col("__s") - col("__sl")) * (col("__s") - col("__sl")),
+            dec(col("__n") - col("__nl"))) -
+          call_function("div", dec(col("__s")) * col("__s"), dec(col("__n"))))
+          .cast("long"))
+    val best = scored
+      .withColumn("__mx", max(col("gain")).over(byG))
+      .filter(col("gain") === col("__mx"))
+      .groupBy(gcols :+ col("gain"): _*)
+      .agg(min(col("day")).as("split_day"))
+    best.join(scored, groupCols :+ "gain")
+      .filter(col("day") === col("split_day"))
+      .select(gcols ++ Seq(col("split_day"), col("gain"),
+        col("__nl").as("n_left"), (col("__n") - col("__nl")).as("n_right"),
+        call_function("div", col("__sl") * 1000L, col("__nl")).as("mean_left_milli"),
+        call_function("div", (col("__s") - col("__sl")) * 1000L,
+          col("__n") - col("__nl")).as("mean_right_milli")): _*)
+  }
 }

@@ -346,6 +346,124 @@ object InferenceQueries extends QuerySet {
          |         AS decision
          |FROM sc WHERE score_milli >= 0""".stripMargin)),
 
+    QueryDef("q273_time_decay_attribution", (s, d) =>
+      // the fourth attribution model beside q194's first/last/linear:
+      // day-granular exponential decay (halflife 1 day, weights 1000 >>
+      // age), each conversion splitting exactly one unit of credit in
+      // exact micro-units
+      graft.operators.EventAnalytics.timeDecayAttribution(events(s, d),
+        conversionType = "purchase", touchTypes = Seq("view", "click", "signup"),
+        lookbackDays = 3, halflifeDays = 1),
+      Some(
+        """WITH convs AS (
+          |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+          |  FROM events WHERE event_type = 'purchase'),
+          |t AS (
+          |  SELECT e.event_type AS touch, e.ts, c.conv_id, c.conv_ts
+          |  FROM events e JOIN convs c ON e.user_id = c.user_id
+          |   AND e.ts < c.conv_ts AND e.ts >= c.conv_ts - INTERVAL 3 DAY
+          |  WHERE e.event_type IN ('view', 'click', 'signup')),
+          |w AS (
+          |  SELECT touch, conv_id,
+          |         1000 >> CAST(least((epoch_us(conv_ts) - epoch_us(ts))
+          |                              // 86400000000, 9) AS INTEGER) AS w
+          |  FROM t),
+          |tot AS (SELECT conv_id, sum(w) AS tot FROM w GROUP BY 1),
+          |c AS (SELECT w.conv_id, touch, sum(w) AS wsum, count(*) AS cnt,
+          |             max(tot) AS tot
+          |      FROM w JOIN tot USING (conv_id) GROUP BY 1, 2)
+          |SELECT touch AS event_type, CAST(sum(cnt) AS BIGINT) AS n_touches,
+          |       CAST(sum(wsum * 1000000 // tot) AS BIGINT) AS decay_micro
+          |FROM c GROUP BY 1""".stripMargin)),
+
+    QueryDef("q274_holt_trend", (s, d) =>
+      // Holt level+trend smoothing (alpha 3/10, beta 1/10) of daily event
+      // value per type: the trend-aware forecast baseline beside q210's
+      // EWMA — a truncated fixed-point integer recursion both engines
+      // replay step for step (oracle: recursive CTE with trunc-division
+      // wrappers, since b_t goes negative on downtrends)
+      graft.pipeline.Stats.holtDaily(events(s, d), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10),
+      Some(
+        """WITH RECURSIVE dc AS (
+          |  SELECT event_type,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |g AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM dc GROUP BY 1),
+          |sp AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM g),
+          |dn AS (SELECT sp.event_type, sp.day, coalesce(dc.y, 0) AS y,
+          |              row_number() OVER (PARTITION BY sp.event_type
+          |                ORDER BY sp.day) AS rn
+          |       FROM sp LEFT JOIN dc ON dc.event_type = sp.event_type
+          |         AND dc.day = sp.day),
+          |h AS (
+          |  SELECT event_type, day, rn, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+          |  FROM dn WHERE rn = 1
+          |  UNION ALL
+          |  SELECT dn.event_type, dn.day, dn.rn,
+          |         CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+          |              THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+          |              ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END,
+          |         CASE WHEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+          |                  - h.l) + 9 * h.b) >= 0
+          |              THEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+          |                  - h.l) + 9 * h.b) // 10
+          |              ELSE -((-(1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+          |                  - h.l) + 9 * h.b)) // 10) END
+          |  FROM dn JOIN h ON dn.event_type = h.event_type AND dn.rn = h.rn + 1)
+          |SELECT event_type, CAST(day AS BIGINT) AS day,
+          |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+          |       CAST(l + b AS BIGINT) AS forecast_micro
+          |FROM h""".stripMargin)),
+
+    QueryDef("q275_changepoint", (s, d) =>
+      // single-changepoint localization per event type: the split of the
+      // daily-volume series maximizing the exact variance-reduction score
+      // — the day q179's CUSUM flags, now LOCALIZED with segment means
+      graft.pipeline.Stats.changepointDaily(events(s, d), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long")),
+      Some(
+        """WITH dc AS (
+          |  SELECT event_type,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT event_type, day,
+          |             sum(y) OVER (PARTITION BY event_type ORDER BY day
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+          |             CAST(row_number() OVER (PARTITION BY event_type
+          |                ORDER BY day) AS BIGINT) AS nl,
+          |             sum(y) OVER (PARTITION BY event_type) AS s,
+          |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          |      FROM dc),
+          |sc AS (SELECT event_type, day, nl, n, sl, s,
+          |              CAST((CAST(sl AS HUGEINT) * sl) // nl
+          |                 + (CAST(s - sl AS HUGEINT) * (s - sl)) // (n - nl)
+          |                 - (CAST(s AS HUGEINT) * s) // n AS BIGINT) AS gain
+          |       FROM p WHERE nl < n),
+          |mx AS (SELECT event_type, max(gain) AS g FROM sc GROUP BY 1),
+          |best AS (SELECT sc.event_type, min(day) AS split_day, g AS gain
+          |         FROM sc JOIN mx ON sc.event_type = mx.event_type
+          |           AND sc.gain = mx.g
+          |         GROUP BY 1, 3)
+          |SELECT b.event_type, b.split_day, b.gain, sc.nl AS n_left,
+          |       sc.n - sc.nl AS n_right,
+          |       CAST(sc.sl * 1000 // sc.nl AS BIGINT) AS mean_left_milli,
+          |       CAST((sc.s - sc.sl) * 1000 // (sc.n - sc.nl) AS BIGINT)
+          |         AS mean_right_milli
+          |FROM best b JOIN sc ON sc.event_type = b.event_type
+          |  AND sc.day = b.split_day""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -219,6 +219,77 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- timeDecayAttribution ----
+
+  test("timeDecayAttribution: halving schedule and exact credit split") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // conversion at noon day3; touches age 0 (w=1000), 1 (500), 2 (250)
+    val ev = Seq(
+      (1L, 7L, "purchase", ts("2024-01-04 12:00:00")),
+      (2L, 7L, "view", ts("2024-01-04 10:00:00")),
+      (3L, 7L, "click", ts("2024-01-03 10:00:00")),
+      (4L, 7L, "view", ts("2024-01-02 10:00:00")),
+      (5L, 8L, "view", ts("2024-01-04 10:00:00"))) // other user: no conversion
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.timeDecayAttribution(
+      ev, "purchase", Seq("view", "click"), lookbackDays = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // total w = 1750; view = (1000+250)*1e6 div 1750, click = 500*1e6 div 1750
+    assert(out("view") === ((2L, 1250L * 1000000L / 1750L)))
+    assert(out("click") === ((1L, 500L * 1000000L / 1750L)))
+  }
+
+  // ---- holtDaily ----
+
+  test("holtDaily: fold matches a sequential reference; missing days densify to 0") {
+    val rows = Seq((0L, 10L), (1L, 12L), (3L, 20L), (4L, 6L)) // day 2 missing
+      .map { case (d, y) => ("g", d, y) }
+    val df = rows.toDF("grp", "day", "y")
+    val got = graft.pipeline.Stats.holtDaily(df, Seq("grp"), col("day"),
+      col("y"), alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // sequential reference with Spark's truncating div
+    def tdiv(a: Long, b: Long): Long = a / b // JVM / truncates like SQL div
+    val ys = Seq(10L, 12L, 0L, 20L, 6L)
+    var l = ys.head * 1000000L; var b = 0L
+    val want = ys.zipWithIndex.map { case (y, i) =>
+      if (i > 0) {
+        val l2 = tdiv(3 * y * 1000000L + 7 * (l + b), 10)
+        b = tdiv(1 * (l2 - l) + 9 * b, 10)
+        l = l2
+      }
+      (i.toLong, l, b, l + b)
+    }
+    assert(got.toSeq === want)
+    assert(got.exists(_._1 === 2L), "missing day must appear on the spine")
+  }
+
+  // ---- changepointDaily ----
+
+  test("changepointDaily: planted mean shift localized with segment means") {
+    val rows = Seq(("t", 0L, 10L), ("t", 1L, 10L), ("t", 2L, 10L),
+      ("t", 3L, 100L), ("t", 4L, 100L))
+    val out = graft.pipeline.Stats.changepointDaily(
+      rows.toDF("grp", "day", "y"), Seq("grp"), col("day"), col("y"))
+      .collect()(0)
+    assert(out.getAs[Long]("split_day") === 2L) // last day of the left segment
+    assert(out.getAs[Long]("n_left") === 3L && out.getAs[Long]("n_right") === 2L)
+    assert(out.getAs[Long]("mean_left_milli") === 10000L)
+    assert(out.getAs[Long]("mean_right_milli") === 100000L)
+    // gain = 900/3 + 40000/2 - 41209... exact: sl=30,nl=3, sr=200,nr=2, s=230,n=5
+    assert(out.getAs[Long]("gain") === (30L * 30 / 3 + 200L * 200 / 2 - 230L * 230 / 5))
+  }
+
+  test("changepointDaily: constant series picks the earliest split with gain ~0") {
+    val rows = (0L to 9L).map(d => ("c", d, 5L))
+    val out = graft.pipeline.Stats.changepointDaily(
+      rows.toDF("grp", "day", "y"), Seq("grp"), col("day"), col("y"))
+      .collect()(0)
+    assert(out.getAs[Long]("split_day") === 0L)
+    assert(math.abs(out.getAs[Long]("gain")) <= 2L) // truncation slack only
+  }
+
   // ---- plan-shape pins (the 100 TB contracts) ----
 
   test("plan: ECDF window runs over the distinct-value AGGREGATE, never raw rows") {
