@@ -654,6 +654,77 @@ object TextAnalysis {
           (col("df").cast("double") + lit(0.5))).as("idf_odds"))
   }
 
+  /** Coordinate-match retrieval ranking: docs scored by (number of distinct
+    * query terms present, total matched-term occurrences), ties on doc id —
+    * the exact-integer ranking [[prfRetrieve]] uses for both passes (BM25's
+    * IEEE logs would break cross-engine hash parity; coordination-level
+    * matching is the classic exact alternative and what Boolean-ish
+    * retrieval stacks ship). `orderBy + limit` compiles to TakeOrdered —
+    * no single-partition window.
+    */
+  def coordMatchTopK(docs: org.apache.spark.sql.DataFrame,
+      queryTerms: Seq[String], topK: Int, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      s"queryTerms must be non-empty and distinct: $queryTerms")
+    require(topK >= 1, s"topK: $topK")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(filter(tokens(col(textCol)), t => t.isInCollection(queryTerms)))
+          .as("term"))
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("term")).as("n_matched"),
+        count(lit(1)).as("total_tf"))
+      .orderBy(col("n_matched").desc, col("total_tf").desc, col("doc").asc)
+      .limit(topK)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM1 shape): run the
+    * seed query, treat its top `fbDocs` results as relevant, mine them for
+    * the `fbTerms` best expansion terms, and re-run the expanded query.
+    * Expansion score is the exact integer `sum_tf * 1e6 div df` — feedback
+    * evidence weighted by corpus rarity (the log-free tf-idf ordering, the
+    * q221-lift discipline); terms seen in more than `maxDfMille`/1000 of
+    * the corpus are stopword-filtered, seed terms excluded.
+    *
+    * The expansion term list is a BOUNDED driver collect (`fbTerms` rows —
+    * the Clustering-centroid bound class); everything else is two
+    * [[coordMatchTopK]] passes plus one corpus term-df rollup. Returns the
+    * final ranking with rank attached: (doc, n_matched, total_tf, rnk).
+    */
+  def prfRetrieve(docs: org.apache.spark.sql.DataFrame,
+      seedTerms: Seq[String], fbDocs: Int, fbTerms: Int, topK: Int,
+      maxDfMille: Int = 100, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"fbDocs $fbDocs fbTerms $fbTerms")
+    require(maxDfMille >= 1 && maxDfMille <= 1000, s"maxDfMille: $maxDfMille")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+    val feedback = coordMatchTopK(docs, seedTerms, fbDocs, textCol, idCol)
+      .select(col("doc"))
+    // corpus df per term (distinct docs containing it) + total doc count
+    val dfs = base.select(col("doc"), explode(array_distinct(col("toks"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val fbTf = base.join(broadcast(feedback), "doc")
+      .select(explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isInCollection(seedTerms))
+      .groupBy(col("term")).agg(count(lit(1)).as("sum_tf"))
+    val expansion = fbTf.join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000L <= col("n_docs") * maxDfMille)
+      .withColumn("score", expr("sum_tf * 1000000 div df"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val expanded = seedTerms ++ expansion
+    coordMatchTopK(docs, expanded, topK, textCol, idCol)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n_matched").desc, col("total_tf").desc,
+          col("doc").asc)).cast("long"))
+  }
+
   /** PII scrubbing patterns, deliberately engine-portable (plain character
     * classes + \b, identical under java.util.regex and RE2-family engines).
     */

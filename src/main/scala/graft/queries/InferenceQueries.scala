@@ -464,6 +464,48 @@ object InferenceQueries extends QuerySet {
           |FROM best b JOIN sc ON sc.event_type = b.event_type
           |  AND sc.day = b.split_day""".stripMargin)),
 
+    QueryDef("q276_prf_expansion", (s, d) =>
+      // pseudo-relevance-feedback retrieval: the seed query's top-10 docs
+      // vote expansion terms (exact tf x corpus-rarity score, stopword-
+      // filtered at df <= 30% of docs), and the expanded query re-ranks
+      // the corpus — the classic recall lever, fully exact-integer so the
+      // oracle replays both passes
+      graft.pipeline.TextAnalysis.prfRetrieve(table(s, d, "documents"),
+        seedTerms = Seq("table", "spark"), fbDocs = 10, fbTerms = 5,
+        topK = 20, maxDfMille = 300),
+      Some(
+        """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+          |                     string_split(text, ' ') AS toks
+          |              FROM documents WHERE text IS NOT NULL),
+          |fb AS (SELECT doc FROM (
+          |   SELECT doc, count(DISTINCT t) AS nm, count(*) AS tf
+          |   FROM base, LATERAL (SELECT unnest(list_filter(toks,
+          |          x -> x IN ('table', 'spark'))) AS t) u
+          |   GROUP BY doc ORDER BY nm DESC, tf DESC, doc ASC LIMIT 10) s),
+          |dfs AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS df
+          |        FROM base, LATERAL (SELECT unnest(list_distinct(toks)) AS t) u
+          |        WHERE len(t) > 0 GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM base),
+          |ftf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS sum_tf
+          |        FROM base JOIN fb USING (doc),
+          |             LATERAL (SELECT unnest(toks) AS t) u
+          |        WHERE len(t) > 0 AND t NOT IN ('table', 'spark') GROUP BY 1),
+          |ex AS (SELECT term FROM ftf JOIN dfs USING (term), nd
+          |       WHERE df * 1000 <= n_docs * 300
+          |       ORDER BY (sum_tf * 1000000 // df) DESC, term ASC LIMIT 5),
+          |q AS (SELECT term FROM ex
+          |      UNION ALL SELECT unnest(['table', 'spark']) AS term),
+          |fin AS (SELECT doc, CAST(count(DISTINCT t) AS BIGINT) AS n_matched,
+          |               CAST(count(*) AS BIGINT) AS total_tf
+          |        FROM base, LATERAL (SELECT unnest(toks) AS t) u
+          |        WHERE t IN (SELECT term FROM q) GROUP BY doc)
+          |SELECT doc, n_matched, total_tf, rnk FROM (
+          |  SELECT doc, n_matched, total_tf,
+          |         CAST(row_number() OVER (ORDER BY n_matched DESC,
+          |                total_tf DESC, doc ASC) AS BIGINT) AS rnk
+          |  FROM fin) t
+          |WHERE rnk <= 20""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

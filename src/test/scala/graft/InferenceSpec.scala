@@ -290,6 +290,46 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Long]("gain")) <= 2L) // truncation slack only
   }
 
+  // ---- prfRetrieve ----
+
+  test("prfRetrieve: expansion pulls in docs the seed query cannot see") {
+    import graft.pipeline.{TextAnalysis => T}
+    // docs 1-2 match the seed and carry the rare term 'qq'; doc 3 has ONLY
+    // 'qq'; doc 4 is noise. 'zz' is everywhere -> stopword-filtered.
+    val docs = Seq(
+      (1L, "seed qq zz alpha"), (2L, "seed qq zz beta"),
+      (3L, "qq zz gamma"), (4L, "zz delta"))
+      .toDF("doc_id", "text")
+    val seedOnly = T.coordMatchTopK(docs, Seq("seed"), topK = 10)
+      .select("doc").as[Long].collect().toSet
+    assert(seedOnly === Set(1L, 2L))
+    val out = T.prfRetrieve(docs, Seq("seed"), fbDocs = 2, fbTerms = 1,
+      topK = 10, maxDfMille = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // expansion term is 'qq' (df 3/4 > 600?? no: df*1000=3000 > 4*600=2400
+    // -> filtered!). alpha/beta tie at sum_tf 1, df 1 -> score 1e6; 'alpha'
+    // wins the term tie-break. So doc 1 gains a second matched term.
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 === 2L && byDoc(1L)._4 === 1L)
+    assert(byDoc(2L)._2 === 1L)
+    assert(!byDoc.contains(4L))
+    // with a permissive df cap and room for 3 terms, the shared rare term
+    // 'qq' (score 2e6/3 behind the two df-1 singletons) makes the cut and
+    // doc 3 — invisible to the seed query — enters the final ranking
+    val out2 = T.prfRetrieve(docs, Seq("seed"), fbDocs = 2, fbTerms = 3,
+      topK = 10, maxDfMille = 800)
+      .select("doc").as[Long].collect().toSet
+    assert(out2.contains(3L))
+  }
+
+  test("plan: coordMatchTopK compiles to TakeOrdered, never a global sort") {
+    import graft.pipeline.{TextAnalysis => T}
+    val docs = (1L to 200L).map(i => (i, s"w$i seed x")).toDF("doc_id", "text")
+    val plan = T.coordMatchTopK(docs, Seq("seed"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
   // ---- plan-shape pins (the 100 TB contracts) ----
 
   test("plan: ECDF window runs over the distinct-value AGGREGATE, never raw rows") {
