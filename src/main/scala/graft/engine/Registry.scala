@@ -133,7 +133,15 @@ final case class ModelTest(
     failing: DataFrame => DataFrame,
     failCalc: String = "count(*)",
     warnIf: Long => Boolean = _ > 0,
-    errorIf: Long => Boolean = _ > 0)
+    errorIf: Long => Boolean = _ > 0,
+    /** dbt `--store-failures`: materialize the failing rows to the audit
+      * relation `test_failures__<model>__<test>` through the swap protocol
+      * BEFORE severity is judged, so the table survives an error abort and
+      * a clerical review reads exactly the rows the test counted (the
+      * evaluation reruns against the STORED relation, not the live plan).
+      * An all-pass run still (re)writes the empty table — dbt semantics:
+      * the audit relation always reflects the latest run. */
+    storeFailures: Boolean = false)
 
 /** `preHooks`/`postHooks`: run around THIS model's materialization, in
   * declaration order, on the model's scheduler thread (DAG order holds:
@@ -1366,7 +1374,13 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
     // downstream model builds (dbt build semantics); Error severity aborts
     import graft.operators.GenericTests
     m.tests.foreach { t =>
-      val res = GenericTests.evaluate(s"${m.name}.${t.name}", t.failing(result),
+      val failing =
+        if (t.storeFailures) {
+          val rel = s"test_failures__${m.name}__${t.name}"
+          wh.writeSwap(rel, t.failing(result))
+          wh.read(rel)
+        } else t.failing(result)
+      val res = GenericTests.evaluate(s"${m.name}.${t.name}", failing,
         t.failCalc, t.warnIf, t.errorIf)
       synchronized { lastTestResults :+= res }
       if (res.severity == GenericTests.Error)

@@ -412,4 +412,25 @@ object GenericTests {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a
+    * quasi-identifier group is at risk when its SENSITIVE attribute takes
+    * fewer than `l` distinct values, even if the group itself is large
+    * (the homogeneity attack k-anonymity misses: 500 people sharing one
+    * diagnosis are all re-identified the moment the group is). One
+    * rollup keyed on the QI columns; distinct counting is exact
+    * (count(DISTINCT) inside the same partial-agg shuffle). NULL
+    * sensitive values count as a value of their own — withholding the
+    * attribute is itself information.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: Column,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs at least one QI column")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        (countDistinct(sensitiveCol) +
+          max(when(sensitiveCol.isNull, 1L).otherwise(0L))).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
 }

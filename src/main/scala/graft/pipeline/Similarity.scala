@@ -180,6 +180,38 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** nDCG@k of an approximate ranking against exact ground truth —
+    * [[recallAtK]]'s position-aware sibling: a hit at approx rank i earns
+    * the discount `round(1e6 / log2(i+1))`, normalized by the ideal DCG
+    * (all k positions hit). The discounts are FIXED integer micro
+    * constants computed once here (the Benford-constants discipline — no
+    * engine's libm in the hash path), so dcg_micro is an exact integer
+    * sum and `ndcg_ppm = dcg*1e6 div idcg` exact division. Binary
+    * relevance with the exact top-k as the relevant set (the standard ANN
+    * evaluation); queries the approx index missed entirely score 0 via
+    * the left join. Same O(k · |queries|) shape as recallAtK.
+    */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k: $k")
+    val discounts = (1 to k).map(i =>
+      i.toLong -> math.round(1e6 / (math.log(i + 1) / math.log(2))))
+    val idcg = discounts.map(_._2).sum
+    val dCol = discounts.foldLeft(lit(0L)) { case (acc, (i, w)) =>
+      when(col("rank") === i, lit(w)).otherwise(acc)
+    }
+    val ranked = approx.select(col("query_id"), col("neighbor_id"),
+      col(approx.columns.find(_.endsWith("rank")).getOrElse("rank")).as("rank"))
+      .filter(col("rank") <= k)
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ranked, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(sum(dCol).as("dcg_micro"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        expr(s"coalesce(dcg_micro, 0L) * 1000000 div ${idcg}L").as("ndcg_ppm"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of multiple
     * per-query ranked lists — the standard hybrid-retrieval combiner (e.g.
     * lexical BM25 + embedding ANN): each list contributes

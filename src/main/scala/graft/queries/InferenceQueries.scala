@@ -506,6 +506,47 @@ object InferenceQueries extends QuerySet {
           |  FROM fin) t
           |WHERE rnk <= 20""".stripMargin)),
 
+    QueryDef("q277_l_diversity", (s, d) =>
+      // l-diversity audit beside q235's k-anonymity: nations whose
+      // customers span fewer than 4 market segments leak the segment by
+      // membership alone (the homogeneity attack group SIZE cannot see)
+      graft.operators.GenericTests.lDiversity(table(s, d, "customer"),
+        Seq("c_nationkey"), col("c_mktsegment"), l = 4),
+      Some(
+        """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS group_size,
+          |       CAST(count(DISTINCT c_mktsegment)
+          |            + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_sensitive,
+          |       (count(DISTINCT c_mktsegment)
+          |          + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)) < 4
+          |         AS at_risk
+          |FROM customer GROUP BY 1""".stripMargin)),
+
+    QueryDef("q279_store_failures", (s, d) => {
+      // dbt --store-failures: the warn-severity range test on the orders
+      // model materializes its failing rows to the audit relation
+      // test_failures__orders_checked__price_in_range through the swap
+      // protocol; the query reads the STORED table back — the clerical-
+      // review artifact, not the live test plan.
+      import graft.engine.{Model, ModelTest, Registry, ViewMat}
+      val wh = Scratch.warehouse("q279", d, s,
+        Seq("test_failures__orders_checked__price_in_range"))
+      val reg = new Registry(s, wh)
+      reg.source("orders_src", table(s, d, "orders"))
+      reg.register(Model("orders_checked", Seq("orders_src"), ViewMat,
+        ctx => ctx.ref("orders_src").select(
+          col("o_orderkey"),
+          Features.cents(col("o_totalprice")).as("price_cents")),
+        tests = Seq(ModelTest("price_in_range",
+          df => df.filter(col("price_cents") > 40000000L),
+          errorIf = _ => false, storeFailures = true))))
+      reg.run()
+      wh.read("test_failures__orders_checked__price_in_range")
+    }, Some(
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents
+         |FROM orders
+         |WHERE ${centsSql("o_totalprice")} > 40000000""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -55,7 +55,40 @@ object StatQueries extends QuerySet {
        |         FROM c JOIN q ON c.bucket = q.bucket
        |         WHERE c.neighbor_id <> q.query_id) t WHERE rn <= 5)""".stripMargin
 
+  /** q278's integer micro discounts — the SAME Scala expression builds the
+    * Spark literals (Similarity.ndcgAtK) and this oracle string.
+    */
+  private val ndcgDiscounts: Seq[(Int, Long)] = (1 to 5).map(i =>
+    i -> math.round(1e6 / (math.log(i + 1) / math.log(2))))
+  private val ndcgIdcg: Long = ndcgDiscounts.map(_._2).sum
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q278_ndcg", (s, d) => {
+      // position-aware ANN evaluation: nDCG@5 of the sign-LSH index
+      // against brute-force ground truth (q173's recall@k made
+      // rank-sensitive) — a hit at rank i earns the fixed integer
+      // discount round(1e6/log2(i+1)), so the score is exact and a miss
+      // at rank 1 hurts more than one at rank 5.
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.ndcgAtK(
+        Similarity.bruteForceTopK(emb, q, k = 5),
+        Similarity.lshTopK(emb, q, k = 5, signBits = 3), k = 5)
+    }, Some {
+      val dcase = ndcgDiscounts.map { case (i, w) =>
+        s"WHEN l.rn = $i THEN ${w}" }.mkString(" ")
+      s"""WITH $rankedListsCtes,
+         |h AS (SELECT b.query_id,
+         |             CAST(sum(CASE $dcase ELSE 0 END) AS BIGINT) AS dcg_micro
+         |      FROM bt b JOIN lt l USING (query_id, neighbor_id)
+         |      GROUP BY 1)
+         |SELECT q.query_id, coalesce(h.dcg_micro, 0) AS dcg_micro,
+         |       CAST(coalesce(h.dcg_micro, 0) * 1000000 // $ndcgIdcg AS BIGINT)
+         |         AS ndcg_ppm
+         |FROM (SELECT DISTINCT query_id FROM bt) q
+         |LEFT JOIN h USING (query_id)""".stripMargin
+    }),
 
     QueryDef("q232_chi_square", (s, d) =>
       // feature-association audit: is order status independent of order

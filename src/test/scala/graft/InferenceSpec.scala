@@ -290,6 +290,42 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Long]("gain")) <= 2L) // truncation slack only
   }
 
+  // ---- lDiversity ----
+
+  test("lDiversity: homogeneous large group is at risk; NULL is a sensitive value") {
+    val rows = Seq.fill(100)(("big", "flu")) ++ // large but homogeneous
+      Seq(("ok", "flu"), ("ok", "cold"), ("ok", "cough")) ++
+      Seq(("nn", "flu"), ("nn", null))
+    val out = graft.operators.GenericTests.lDiversity(
+      rows.toDF("qi", "diag"), Seq("qi"), col("diag"), l = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out("big") === ((100L, 1L, true))) // k-anonymity would pass this
+    assert(out("ok") === ((3L, 3L, false)))
+    assert(out("nn") === ((2L, 2L, true))) // null counted as its own value
+  }
+
+  // ---- ndcgAtK ----
+
+  test("ndcgAtK: perfect ranking scores 1e6 ppm; rank position matters") {
+    import graft.pipeline.Similarity
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val perfect = Similarity.ndcgAtK(exact, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perfect === Map(1L -> 1000000L, 2L -> 1000000L))
+    // only the rank-2 slot hits for q1 (w2=630930, idcg=1630930); q2 empty
+    val partial = Seq((1L, 99L, 1L), (1L, 10L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.ndcgAtK(exact, partial, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((630930L, 630930L * 1000000L / 1630930L)))
+    assert(got(2L) === ((0L, 0L)))
+    // same single hit at rank 1 scores strictly higher than at rank 2
+    val atOne = Seq((1L, 10L, 1L), (1L, 99L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    assert(Similarity.ndcgAtK(exact, atOne, k = 2).filter(col("query_id") === 1L)
+      .collect()(0).getLong(2) > got(1L)._2)
+  }
+
   // ---- prfRetrieve ----
 
   test("prfRetrieve: expansion pulls in docs the seed query cannot see") {

@@ -567,6 +567,40 @@ class RegistrySpec extends AnyFunSuite {
     assert(res.head.failures === 1L && res.head.severity === GT.Warn)
   }
 
+  test("store_failures: failing rows persist through error aborts; pass rewrites empty") {
+    import graft.operators.{GenericTests => GT}
+    val root = Files.createTempDirectory("graft_sf").toString
+    val wh = new Warehouse(root, spark)
+    def mkReg(rows: Seq[(Long, String)], errorIf: Long => Boolean) = {
+      val r = new Registry(spark, wh)
+      r.source("raw", rows.toDF("k", "v"))
+      r.register(Model("m", Seq("raw"), TableMat(), ctx => ctx.ref("raw"),
+        tests = Seq(ModelTest("unique_k", df => GT.unique(df, "k"),
+          errorIf = errorIf, storeFailures = true))))
+      r
+    }
+    // error severity: run aborts, but the audit relation already holds the
+    // failing group (dbt stores BEFORE judging severity)
+    intercept[IllegalStateException](
+      mkReg(Seq((1L, "a"), (1L, "b"), (2L, "c")), _ > 0).run())
+    val rel = "test_failures__m__unique_k"
+    assert(wh.exists(rel))
+    val stored = wh.read(rel).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stored.toSeq === Seq((1L, 2L))) // (unique_field, n_records)
+    // a later all-pass run REWRITES the relation empty — latest-run truth
+    mkReg(Seq((1L, "a"), (2L, "c")), _ > 0).run()
+    assert(wh.read(rel).count() === 0L)
+    // without the flag, no audit relation appears
+    val root2 = Files.createTempDirectory("graft_sf2").toString
+    val wh2 = new Warehouse(root2, spark)
+    val r2 = new Registry(spark, wh2)
+    r2.source("raw", Seq((1L, "a")).toDF("k", "v"))
+    r2.register(Model("m", Seq("raw"), TableMat(), ctx => ctx.ref("raw"),
+      tests = Seq(ModelTest("unique_k", df => GT.unique(df, "k")))))
+    r2.run()
+    assert(!wh2.exists(rel))
+  }
+
   test("full refresh rebuilds an incremental target") {
     val root = Files.createTempDirectory("graft_wh2").toString
     val wh = new Warehouse(root, spark)
