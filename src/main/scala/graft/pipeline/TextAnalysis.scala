@@ -352,6 +352,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — a word matters when it co-occurs with
+    * words that matter. Composes three existing exact primitives:
+    * [[cooccurrence]] builds the windowed pair counts, the symmetrized
+    * distinct pair set becomes an unweighted undirected graph (the paper's
+    * base variant), words acquire integer node ids from the
+    * [[graft.operators.Ranking.valueRanks]] dense rank over the VOCABULARY
+    * (distinct words — the guarded bounded window, never raw tokens), and
+    * [[graft.operators.Graph.pageRank]]'s fixed-point Long arithmetic
+    * ranks them bit-reproducibly. Top-k by (pr desc, word asc) via
+    * orderBy+limit (TakeOrdered), rank attached over the k collected
+    * survivors only.
+    */
+  def textRankKeywords(docs: org.apache.spark.sql.DataFrame, window: Int,
+      minCount: Long, iterations: Int, topK: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK: $topK")
+    val co = cooccurrence(docs, window, minCount, textCol)
+    val und = co.select(col("a"), col("b"))
+      .union(co.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val words = und.select(col("a").as("w")).union(und.select(col("b").as("w")))
+    val ids = graft.operators.Ranking.valueRanks(words, Nil, col("w"))
+      .select(col("v").as("w"), col("dense_rnk").as("wid"))
+    val edges = und
+      .join(ids.withColumnRenamed("w", "a").withColumnRenamed("wid", "src_id"), "a")
+      .join(ids.withColumnRenamed("w", "b").withColumnRenamed("wid", "dst_id"), "b")
+      .select(col("src_id"), col("dst_id"))
+    val pr = graft.operators.Graph.pageRank(edges, "src_id", "dst_id", iterations)
+    pr.join(ids, pr("node_id") === ids("wid"))
+      .select(col("w").as("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word").asc)
+      .limit(topK)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("pr").desc, col("word").asc)).cast("long"))
+  }
+
   /** Word n-gram shingles, distinct (the unit for Jaccard/minhash dedup).
     *
     * PERFORMANCE: `toks` must be a MATERIALIZED column (an attribute), not a

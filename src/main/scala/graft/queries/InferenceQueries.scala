@@ -547,6 +547,50 @@ object InferenceQueries extends QuerySet {
          |FROM orders
          |WHERE ${centsSql("o_totalprice")} > 40000000""".stripMargin)),
 
+    QueryDef("q280_textrank_keywords", (s, d) =>
+      // TextRank corpus keywords: PageRank over the symmetrized window-2
+      // co-occurrence graph (pairs seen >= 5 times), 2 damped fixed-point
+      // iterations, top-15 — three existing exact primitives composed
+      // (cooccurrence, valueRanks vocabulary ids, integer pageRank), so
+      // the oracle replays the whole chain
+      graft.pipeline.TextAnalysis.textRankKeywords(table(s, d, "documents"),
+        window = 2, minCount = 5, iterations = 2, topK = 15),
+      Some {
+        val iterCtes = (1 to 2).map { i =>
+          s"""p$i AS (SELECT n.id, 150000000000 + (85 * coalesce(s.m, 0)) // 100 AS pr
+             |        FROM nodes n LEFT JOIN (
+             |          SELECT e.dst, sum(p.pr // deg.d) AS m
+             |          FROM e JOIN p${i - 1} p ON p.id = e.src
+             |                 JOIN deg ON deg.src = e.src
+             |          GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH d AS (SELECT string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |pr0 AS (SELECT toks[i.i] AS a, toks[i.i + j.j] AS b
+           |      FROM d,
+           |           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i,
+           |           LATERAL (SELECT unnest(generate_series(1, least(2, len(toks) - i.i))) AS j) j
+           |      WHERE len(toks) >= 2),
+           |co AS (SELECT a, b FROM pr0 GROUP BY 1, 2 HAVING count(*) >= 5),
+           |und AS (SELECT DISTINCT a, b FROM
+           |          (SELECT a, b FROM co UNION ALL SELECT b AS a, a AS b FROM co) u),
+           |wrds AS (SELECT a AS w FROM und UNION SELECT b FROM und),
+           |ids AS (SELECT w, CAST(dense_rank() OVER (ORDER BY w ASC) AS BIGINT) AS wid
+           |        FROM wrds),
+           |e AS (SELECT DISTINCT ia.wid AS src, ib.wid AS dst
+           |      FROM und JOIN ids ia ON und.a = ia.w JOIN ids ib ON und.b = ib.w),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+           |$iterCtes
+           |SELECT w AS word, CAST(pr AS BIGINT) AS pr, rnk FROM (
+           |  SELECT ids.w, p2.pr,
+           |         CAST(row_number() OVER (ORDER BY p2.pr DESC, ids.w ASC)
+           |           AS BIGINT) AS rnk
+           |  FROM p2 JOIN ids ON ids.wid = p2.id) t
+           |WHERE rnk <= 15""".stripMargin
+      }),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

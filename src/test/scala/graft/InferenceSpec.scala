@@ -358,6 +358,25 @@ class InferenceSpec extends AnyFunSuite {
     assert(out2.contains(3L))
   }
 
+  test("textRankKeywords: the co-occurrence hub outranks its satellites") {
+    import graft.pipeline.{TextAnalysis => T}
+    // 'hub' co-occurs with three distinct satellites; satellites only see
+    // the hub -> hub accumulates mass from three sources
+    val docs = (1 to 5).flatMap(_ => Seq("hub aa", "hub bb", "hub cc"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = T.textRankKeywords(docs, window = 2, minCount = 2,
+      iterations = 2, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.head === (("hub", 1L)))
+    assert(out.map(_._1).toSet === Set("hub", "aa", "bb", "cc"))
+    // deterministic across runs
+    val again = T.textRankKeywords(docs, window = 2, minCount = 2,
+      iterations = 2, topK = 4).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq === out.map(_._1).zip(
+      T.textRankKeywords(docs, 2, 2, 2, 4).collect().map(_.getLong(1))).toSeq)
+  }
+
   test("plan: coordMatchTopK compiles to TakeOrdered, never a global sort") {
     import graft.pipeline.{TextAnalysis => T}
     val docs = (1L to 200L).map(i => (i, s"w$i seed x")).toDF("doc_id", "text")
