@@ -34,7 +34,13 @@ final case class SnapshotMat(
     keys: Seq[String],
     strategy: Snapshot.Strategy,
     hardDeletes: Snapshot.HardDeletes,
-    snapshotTime: Timestamp) extends Materialization
+    snapshotTime: Timestamp,
+    /** dbt 1.9 `snapshot_meta_column_names`: canonical meta column ->
+      * stored name. The STORED relation carries the configured names;
+      * the SCD2 pipeline stays canonical (rename out on write, rename
+      * back on read — dbt's config templating collapsed to a bijection).
+      */
+    metaColumnNames: Map[String, String] = Map.empty) extends Materialization
 
 /** Incremental AGGREGATE materialization ([[Incremental.mergeAggregates]]
   * as a Registry strategy): the model build returns per-key PARTIALS —
@@ -1344,11 +1350,13 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           ackMetaOp(s"create_function ${m.name}($args) RETURNS $returns")
           import spark.implicits._
           Seq((m.name, args, returns)).toDF("function", "args", "returns")
-        case SnapshotMat(keys, strategy, hard, ts) =>
+        case SnapshotMat(keys, strategy, hard, ts, metaNames) =>
+          if (metaNames.nonEmpty) Snapshot.validateMetaNames(metaNames, df.columns.toSeq)
           val next =
             if (!targetExists) Snapshot.firstRun(df, keys, strategy, hard)
-            else Snapshot.apply(wh.read(m.name), df, keys, strategy, hard, ts)
-          wh.writeSwap(m.name, next)
+            else Snapshot.apply(Snapshot.restoreMeta(wh.read(m.name), metaNames),
+              df, keys, strategy, hard, ts)
+          wh.writeSwap(m.name, Snapshot.renameMeta(next, metaNames))
           wh.read(m.name)
       }
     }

@@ -164,4 +164,39 @@ object Snapshot {
 
     closed.unionByName(j.select(explode(outs).as("__r")).select(col("__r.*")))
   }
+
+  /** The five canonical SCD2 metadata columns. */
+  val MetaColumns: Seq[String] =
+    Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to",
+      "dbt_is_deleted")
+
+  /** dbt 1.9 `snapshot_meta_column_names`: the STORED history carries the
+    * configured names; the computation pipeline stays canonical. Mappings
+    * must target canonical meta columns, be collision-free among
+    * themselves, and not shadow a data column (dbt raises the same way —
+    * a silent shadow would corrupt change detection).
+    */
+  def validateMetaNames(names: Map[String, String], dataCols: Seq[String]): Unit = {
+    val bad = names.keySet -- MetaColumns.toSet
+    require(bad.isEmpty, s"snapshot_meta_column_names: unknown meta column(s) ${bad.mkString(", ")}")
+    require(names.values.toSeq.distinct.size == names.size,
+      s"snapshot_meta_column_names: duplicate target names in $names")
+    val shadow = names.values.toSet.intersect(dataCols.toSet)
+    require(shadow.isEmpty,
+      s"snapshot_meta_column_names: target name(s) ${shadow.mkString(", ")} shadow data columns")
+  }
+
+  /** Canonical -> configured rename on the way to storage. */
+  def renameMeta(df: DataFrame, names: Map[String, String]): DataFrame =
+    names.foldLeft(df) { case (acc, (from, to)) =>
+      if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
+    }
+
+  /** Configured -> canonical rename when reading stored history back into
+    * the pipeline (the exact inverse of [[renameMeta]]).
+    */
+  def restoreMeta(df: DataFrame, names: Map[String, String]): DataFrame =
+    names.foldLeft(df) { case (acc, (from, to)) =>
+      if (acc.columns.contains(to)) acc.withColumnRenamed(to, from) else acc
+    }
 }

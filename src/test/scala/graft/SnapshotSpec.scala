@@ -97,6 +97,29 @@ class SnapshotSpec extends AnyFunSuite {
     assert(h2.filter("member_id = 1").count() === 1)
   }
 
+  test("snapshot_meta_column_names: rename/restore bijection; validation raises") {
+    val names = Map("dbt_scd_id" -> "scd_key", "dbt_valid_to" -> "valid_end")
+    val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
+    val renamed = Snapshot.renameMeta(hist, names)
+    assert(renamed.columns.contains("scd_key") && renamed.columns.contains("valid_end"))
+    assert(!renamed.columns.contains("dbt_scd_id") && !renamed.columns.contains("dbt_valid_to"))
+    // untouched meta columns keep canonical names
+    assert(renamed.columns.contains("dbt_valid_from"))
+    val restored = Snapshot.restoreMeta(renamed, names)
+    assert(restored.columns.sorted.toSeq === hist.columns.sorted.toSeq)
+    // unknown meta / duplicate targets / data-column shadow all raise
+    intercept[IllegalArgumentException] {
+      Snapshot.validateMetaNames(Map("nope" -> "x"), Seq("member_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.validateMetaNames(
+        Map("dbt_scd_id" -> "x", "dbt_valid_to" -> "x"), Seq("member_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.validateMetaNames(Map("dbt_scd_id" -> "plan"), Seq("plan"))
+    }
+  }
+
   test("scd_id matches the surrogate-key md5 recipe (strategies.sql:40-50)") {
     val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
     val got = hist.filter("member_id = 1").collect()(0).getAs[String]("dbt_scd_id")
