@@ -188,6 +188,33 @@ object Inference {
       .drop("__two_s")
   }
 
+  /** Herfindahl-Hirschman concentration index per group, in exact ppm:
+    * `HHI = sum_i(s_i^2) / S^2` over member totals `s_i` — [[gini]]'s
+    * antitrust-flavored sibling (Gini measures inequality of the
+    * distribution, HHI how few members hold it; a 2-member 50/50 group is
+    * perfectly equal yet highly concentrated). Sum-of-squares form needs
+    * no ranking at all: one (group, member) rollup then one group rollup,
+    * squares in DECIMAL(38,0), a single exact division at the end.
+    * `n_members` counts members with a positive total; zero-total groups
+    * emit NULL.
+    */
+  def hhi(df: DataFrame, groupCols: Seq[String], memberCol: Column,
+      valueCol: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val members = df.groupBy(gcols :+ memberCol.as("__m"): _*)
+      .agg(sum(valueCol).as("__s"))
+      .filter(col("__s") > 0L)
+    members.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__s")).cast("long").as("total"),
+        sum(dec(col("__s")) * col("__s")).as("__sq"))
+      .withColumn("hhi_ppm",
+        when(col("total") > 0L,
+          call_function("div", col("__sq") * 1000000L,
+            dec(col("total")) * col("total")).cast("long")))
+      .drop("__sq")
+  }
+
   /** Cohen's kappa inter-rater agreement between two label columns, with
     * exact integer operands: `N`, the diagonal count, and the marginal
     * product sum `S = sum_k(row_k * col_k)` (DECIMAL — S is O(N^2)).
@@ -218,6 +245,75 @@ object Inference {
           .cast("long").as("pe_ppm"),
         ((dec(col("n")) * col("diag") - col("s")).cast("double") /
           (dec(col("n")) * col("n") - col("s")).cast("double")).as("kappa"))
+  }
+
+  /** Poisson(1) CDF thresholds in ppm (e^-1-derived FIXED public
+    * constants, the Benford discipline — no engine's libm in the hash
+    * path): u_ppm < t(k) assigns bootstrap weight k.
+    */
+  private val PoissonPpm: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L,
+      999990L, 999999L)
+
+  /** Distributed bootstrap CI for a two-sample mean difference via
+    * POISSONIZATION — the standard cluster-scale bootstrap (resampling n
+    * rows with replacement is a coordination nightmare; giving every row
+    * an independent Poisson(1) multiplicity per replicate is
+    * embarrassingly parallel and converges to the same law). Weights are
+    * DETERMINISTIC: `u = md5(id|replicate|seed) mod 1e6` against the
+    * fixed [[PoissonPpm]] thresholds, so every engine draws the same
+    * resamples. Replicate statistics are exact integer milli-means
+    * (`sum(w*v)*1000 div sum(w)`, values must be non-negative fixed-point
+    * so the truncating division is engine-agnostic; the DIFFERENCE may be
+    * negative — subtraction happens after the divisions).
+    *
+    * One row out: observed diff, the percentile-bootstrap
+    * [2.5%, 97.5%] bounds over `b` replicates, and the replicate count.
+    * Shape: an explode-by-replicate fan-out whose (replicate)-keyed
+    * partial agg combines map-side — the shuffle carries `b` rows per
+    * task, never the fanned data. Replicates where either group draws
+    * total weight 0 are dropped (b_eff reports how many survived).
+    */
+  def bootstrapMeanDiff(df: DataFrame, idCol: Column, valueCol: Column,
+      inB: Column, b: Int = 100, seed: String = "bs"): DataFrame = {
+    require(b >= 4 && b <= 10000, s"b: $b")
+    val base = df.filter(valueCol.isNotNull)
+      .select(idCol.cast("string").as("__id"),
+        valueCol.cast("long").as("__v"), inB.as("__grp"))
+    val rep = base.select(col("__id"), col("__v"), col("__grp"),
+      explode(sequence(lit(1), lit(b))).as("__j"))
+    val u = expr(s"conv(substring(md5(concat(__id, '|', cast(__j as string), " +
+      s"'|', '$seed')), 1, 8), 16, 10)").cast("long") % 1000000L
+    // reverse fold so the SMALLEST threshold is the outermost branch —
+    // u < t(0) must win before u < t(1) ever evaluates
+    val w = PoissonPpm.zipWithIndex.reverse.foldLeft(lit(PoissonPpm.size.toLong)) {
+      case (acc, (t, k)) => when(u < t, lit(k.toLong)).otherwise(acc)
+    }
+    def meanMilli(grp: Boolean) = {
+      val side = if (grp) col("__grp") else !col("__grp")
+      call_function("div",
+        sum(when(side, col("__w") * col("__v")).otherwise(0L)) * 1000L,
+        nullif(sum(when(side, col("__w")).otherwise(0L)), lit(0L)))
+    }
+    val ts = rep.withColumn("__w", w)
+      .groupBy(col("__j"))
+      .agg((meanMilli(false) - meanMilli(true)).as("t"))
+      .filter(col("t").isNotNull)
+    val obs = base
+      .agg((call_function("div",
+        sum(when(!col("__grp"), col("__v")).otherwise(0L)) * 1000L,
+        nullif(sum(when(!col("__grp"), 1L).otherwise(0L)), lit(0L))) -
+        call_function("div",
+          sum(when(col("__grp"), col("__v")).otherwise(0L)) * 1000L,
+          nullif(sum(when(col("__grp"), 1L).otherwise(0L)), lit(0L))))
+        .as("obs_diff_milli"))
+    val bounds = ts.agg(sort_array(collect_list(col("t"))).as("arr"))
+      .select(
+        expr("element_at(arr, greatest(1, cast(ceil(size(arr) * 0.025) as int)))")
+          .as("lo_milli"),
+        expr("element_at(arr, cast(ceil(size(arr) * 0.975) as int))").as("hi_milli"),
+        size(col("arr")).cast("long").as("b_eff"))
+    obs.crossJoin(broadcast(bounds))
   }
 
   /** Kaplan-Meier survival curve over integer durations (days), in

@@ -656,6 +656,77 @@ object InferenceQueries extends QuerySet {
         |       updated_ts, valid_start, valid_end
         |FROM rows_out""".stripMargin)),
 
+    QueryDef("q282_hhi", (s, d) => {
+      // Herfindahl-Hirschman concentration per segment: how few customers
+      // hold the segment's revenue — q265's Gini measures inequality of
+      // the distribution, HHI its effective member count (1e6/HHI_ppm).
+      // Pure sum-of-squares rollups, one exact division.
+      val base = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"),
+          Features.cents(col("o_totalprice")).as("cents"))
+      Inference.hhi(base, Seq("c_mktsegment"), col("o_custkey"), col("cents"))
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT c_mktsegment, o_custkey,
+         |         sum(${centsSql("o_totalprice")}) AS s
+         |  FROM orders JOIN customer ON c_custkey = o_custkey
+         |  GROUP BY 1, 2 HAVING sum(${centsSql("o_totalprice")}) > 0)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(s) AS BIGINT) AS total,
+         |       CAST((sum(CAST(s AS HUGEINT) * s) * 1000000)
+         |            // (CAST(sum(s) AS HUGEINT) * sum(s)) AS BIGINT) AS hhi_ppm
+         |FROM m GROUP BY 1""".stripMargin)),
+
+    QueryDef("q283_bootstrap_ci", (s, d) =>
+      // Poissonized distributed bootstrap: 95% percentile CI for the
+      // purchase-vs-view mean value difference (milli-units), 100
+      // deterministic md5-seeded Poisson(1) resampling replicates — the
+      // cluster-scale bootstrap (per-row independent multiplicities; no
+      // global resampling coordination), every draw engine-reproducible
+      Inference.bootstrapMeanDiff(
+        events(s, d).filter(col("event_type").isin("view", "purchase")),
+        col("event_id"), floor(col("value") * 1000 + 0.5).cast("long"),
+        col("event_type") === "purchase", b = 100, seed = "bs9"),
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(event_id AS VARCHAR) AS id,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |         (event_type = 'purchase') AS grp
+          |  FROM events WHERE event_type IN ('view', 'purchase')),
+          |rep AS (SELECT id, v, grp, j
+          |        FROM base, (SELECT unnest(generate_series(1, 100)) AS j) js),
+          |ww AS (SELECT j, grp, v,
+          |              CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+          |                   WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+          |                   WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+          |                   WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+          |                   WHEN u < 999999 THEN 8 ELSE 9 END AS w
+          |       FROM (SELECT *, ('0x' || substr(md5(id || '|' || CAST(j AS VARCHAR)
+          |                          || '|' || 'bs9'), 1, 8))::BIGINT % 1000000 AS u
+          |             FROM rep) r),
+          |t AS (SELECT j,
+          |             (sum(CASE WHEN NOT grp THEN w * v ELSE 0 END) * 1000)
+          |               // nullif(sum(CASE WHEN NOT grp THEN w ELSE 0 END), 0)
+          |           - (sum(CASE WHEN grp THEN w * v ELSE 0 END) * 1000)
+          |               // nullif(sum(CASE WHEN grp THEN w ELSE 0 END), 0) AS t
+          |      FROM ww GROUP BY j),
+          |tv AS (SELECT t FROM t WHERE t IS NOT NULL),
+          |arr AS (SELECT list(t ORDER BY t) AS arr FROM tv),
+          |obs AS (SELECT
+          |          (sum(CASE WHEN NOT grp THEN v ELSE 0 END) * 1000)
+          |            // nullif(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END), 0)
+          |        - (sum(CASE WHEN grp THEN v ELSE 0 END) * 1000)
+          |            // nullif(sum(CASE WHEN grp THEN 1 ELSE 0 END), 0)
+          |            AS obs_diff_milli
+          |        FROM base)
+          |SELECT CAST(obs_diff_milli AS BIGINT) AS obs_diff_milli,
+          |       CAST(arr[greatest(1, CAST(ceil(len(arr) * 0.025) AS INT))]
+          |         AS BIGINT) AS lo_milli,
+          |       CAST(arr[CAST(ceil(len(arr) * 0.975) AS INT)] AS BIGINT) AS hi_milli,
+          |       CAST(len(arr) AS BIGINT) AS b_eff
+          |FROM obs, arr""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

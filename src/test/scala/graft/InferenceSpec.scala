@@ -119,6 +119,52 @@ class InferenceSpec extends AnyFunSuite {
       Inference.gini(zero, Seq("grp"), col("v")).columns.indexOf("gini_ppm")))
   }
 
+  // ---- hhi ----
+
+  test("hhi: monopoly is 1e6 ppm, n-way equal split is 1e6/n; zero members drop") {
+    val mono = Seq(("g", 1L, 100L), ("g", 1L, 50L), ("g", 2L, 0L))
+      .toDF("grp", "m", "v")
+    val r1 = Inference.hhi(mono, Seq("grp"), col("m"), col("v")).collect()(0)
+    assert(r1.getAs[Long]("n_members") === 1L) // the zero-total member drops
+    assert(r1.getAs[Long]("hhi_ppm") === 1000000L)
+    val eq = (1L to 8L).map(i => ("g", i, 25L)).toDF("grp", "m", "v")
+    val r2 = Inference.hhi(eq, Seq("grp"), col("m"), col("v")).collect()(0)
+    assert(r2.getAs[Long]("hhi_ppm") === 125000L) // 1e6/8
+    // 50/50 two-member: 500000 — equal (gini 0) yet highly concentrated
+    val duo = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("grp", "m", "v")
+    assert(Inference.hhi(duo, Seq("grp"), col("m"), col("v"))
+      .collect()(0).getAs[Long]("hhi_ppm") === 500000L)
+  }
+
+  // ---- bootstrapMeanDiff ----
+
+  test("bootstrapMeanDiff: exact observed diff, ordered CI, deterministic draws") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) 100L + (i % 7) else 200L + (i % 11), i % 2 == 1))
+    val df = rows.toDF("id", "v", "grp")
+    val r = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
+      b = 50, seed = "t1").collect()(0)
+    val meanA = rows.filter(!_._3).map(_._2).sum * 1000 / rows.count(!_._3)
+    val meanB = rows.filter(_._3).map(_._2).sum * 1000 / rows.count(_._3)
+    assert(r.getAs[Long]("obs_diff_milli") === meanA - meanB)
+    val (lo, hi, beff) = (r.getAs[Long]("lo_milli"), r.getAs[Long]("hi_milli"),
+      r.getAs[Long]("b_eff"))
+    assert(lo <= hi && beff <= 50L && beff >= 45L)
+    // a clear separation (A ~100s vs B ~200s) keeps the CI strictly negative
+    // for the B-minus... A-minus-B direction: obs ~ -100k milli, CI around it
+    assert(lo < r.getAs[Long]("obs_diff_milli") + 20000L &&
+      hi > r.getAs[Long]("obs_diff_milli") - 20000L)
+    // deterministic: identical seed reproduces bit-identically
+    val again = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
+      b = 50, seed = "t1").collect()(0)
+    assert(again.toSeq === r.toSeq)
+    // different seed draws different resamples
+    val other = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
+      b = 50, seed = "t2").collect()(0)
+    assert((other.getAs[Long]("lo_milli"), other.getAs[Long]("hi_milli"))
+      !== ((lo, hi)))
+  }
+
   // ---- cohenKappa ----
 
   test("cohenKappa: classic 2x2 vector (po=0.7, pe=0.5, kappa=0.4)") {
