@@ -224,6 +224,56 @@ object ScaleProbe {
       // isolated truth). Its scale evidence lives in BASELINE.md's
       // BenchOne rows instead.)
     }
+    // round-9 continuation II: perceptual dHash banding — replicas carry
+    // IDENTICAL motif images (key = doc_id % 40 survives the id shift mod
+    // 40 because the shift is a multiple of 40), so the true near-dup pair
+    // volume grows ~reps^2 per motif. Time must track PAIR volume (the
+    // exact-dup worst case every banded family is probed against), never
+    // corpus^2 across motifs.
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"dhash_banding         $label") {
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        import sp.implicits._
+        val imgs = docs.select(col("doc_id").cast("long").as("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map { id =>
+            val key = (id % 40).toInt
+            (id, graft.pipeline.Multimodal.encodePng(9, 8, (x, y) => {
+              val g = (x * 17 + y * 29 + (x * y % 7) * 41 + key * 53) % 256
+              (g, g, g)
+            }))
+          }).toDF("doc_id", "media")
+        graft.pipeline.Multimodal.dhashNearDupPairs(
+          graft.pipeline.Multimodal.dhashImages(imgs).toDF(), maxHamming = 3)
+          .count()
+      }
+    }
+
+    // IVF-PQ: the index is one scan (cell + codes from broadcast
+    // codebooks), query-time cost tracks PROBED cells — Nx corpus must
+    // cost ~Nx scan plus ~Nx scored rows, never a shuffle blowup
+    for ((label, emb) <- Seq("1x" -> emb1, s"${reps}x" -> embN)) {
+      time(s"ivfpq_ann             $label") {
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          blockLen = 32, nBlocks = 2, k = 4, iters = 1)
+        val coarse = graft.pipeline.Clustering.kMeansCodebook(
+          emb, "vec_id", "embedding", k = 8, iters = 1)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), blockLen = 32, books, coarse,
+          nProbe = 2, topK = 5).count()
+      }
+    }
+
+    // two-sample tests: cost must track the DISTINCT-value rollup + one
+    // partial-agg scan — replicas add rows but no new distinct values, so
+    // Nx rows ~ Nx scan with a flat window stage
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"ks_ecdf_rollup        $label") {
+        graft.pipeline.Inference.ksTest(
+          docs.select(col("n_chars"), (col("doc_id") % 2 === 0).as("b")),
+          col("n_chars"), col("b")).count()
+      }
+    }
+
     spark.stop()
   }
 }

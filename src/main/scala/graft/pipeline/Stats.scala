@@ -290,6 +290,67 @@ object Stats {
       .select(gcols ++ Seq(col("t.lag"), col("t.n_pairs"), col("t.acf")): _*)
   }
 
+  /** Cross-correlation function between two daily series — [[autocorr]]'s
+    * two-signal sibling, the "does X lead Y" detector (views today vs
+    * purchases in `lag` days): Pearson between `x_t` and `y_{t+lag}` for
+    * every lag in `[-maxLag, maxLag]`, each over the exact overlapping
+    * subset's DECIMAL moments with ONE final IEEE expression per lag.
+    * The x series is rows where `inY` is false, y where true; both roll
+    * up to the shared densified day spine (missing days are zero — event
+    * volumes, the [[ewmaDaily]] convention).
+    *
+    * ONE calendar-bounded window sort serves every lag (lead for
+    * positive, lag for negative — the autocorr trick), then a single
+    * aggregate carries all per-lag moments. The spine window is
+    * single-partition over DAYS by design (bounded by the calendar, the
+    * kaplanMeier contract).
+    */
+  def crossCorrDaily(df: DataFrame, dayCol: Column, valueCol: Column,
+      inY: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag must be in [1, 30]: $maxLag")
+    val daily = df.groupBy(dayCol.cast("long").as("day"))
+      .agg(sum(when(!inY, valueCol.cast("long")).otherwise(0L)).as("x"),
+        sum(when(inY, valueCol.cast("long")).otherwise(0L)).as("y"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("day").asc)
+    val lags = (-maxLag to maxLag).filter(_ != 0)
+    val withShift = lags.foldLeft(dense) { (acc, l) =>
+      val shifted = if (l > 0) lead(col("y"), l).over(w) else lag(col("y"), -l).over(w)
+      acc.withColumn(s"y_$l", shifted)
+    }.withColumn("y_0", col("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val allLags = 0 +: lags
+    val moments = allLags.flatMap { l =>
+      val yl = col(s"y_$l")
+      val in = yl.isNotNull
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$l"),
+        sum(when(in, dec(col("x")))).as(s"sx_$l"),
+        sum(when(in, dec(col("x")) * col("x"))).as(s"sxx_$l"),
+        sum(dec(yl)).as(s"sy_$l"),
+        sum(dec(yl) * yl).as(s"syy_$l"),
+        sum(dec(col("x")) * yl).as(s"sxy_$l"))
+    }
+    val agg = withShift.agg(moments.head, moments.tail: _*)
+    val rows = allLags.map { l =>
+      val (n, sx, sxx, sy, syy, sxy) = (dec(col(s"n_$l")), col(s"sx_$l"),
+        col(s"sxx_$l"), col(s"sy_$l"), col(s"syy_$l"), col(s"sxy_$l"))
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      struct(lit(l).as("lag"), col(s"n_$l").as("n_pairs"),
+        when(varx > 0 && vary > 0,
+          (n * sxy - sx * sy).cast("double") /
+            (sqrt(varx.cast("double")) * sqrt(vary.cast("double")))).as("ccf"))
+    }
+    agg.select(explode(array(rows: _*)).as("t"))
+      .select(col("t.lag").cast("long").as("lag"),
+        col("t.n_pairs").as("n_pairs"), col("t.ccf").as("ccf"))
+  }
+
   /** Per-group time-weighted average (TWAP) over an irregularly-sampled
     * value series: each sample holds until the next observation, so its
     * weight is that duration in exact microseconds — the correct average

@@ -727,6 +727,62 @@ object InferenceQueries extends QuerySet {
           |       CAST(len(arr) AS BIGINT) AS b_eff
           |FROM obs, arr""".stripMargin)),
 
+    QueryDef("q284_cross_correlation", (s, d) =>
+      // does view volume LEAD purchase volume? CCF at lags -3..3 between
+      // the two daily milli-value series — exact overlapping-subset
+      // moments, one IEEE expression per lag, one spine sort for all lags
+      graft.pipeline.Stats.crossCorrDaily(
+        events(s, d).filter(col("event_type").isin("view", "purchase")),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        col("event_type") === "purchase", maxLag = 3),
+      Some {
+        val lags = (-3 to 3)
+        def a(l: Int) = if (l < 0) s"m${-l}" else s"$l"
+        val shifts = lags.filter(_ != 0).map(l =>
+          if (l > 0) s"lead(y, $l) OVER w AS y_${a(l)}"
+          else s"lag(y, ${-l}) OVER w AS y_${a(l)}").mkString(",\n       ")
+        val moms = lags.map { l =>
+          val yl = s"y_${a(l)}"
+          s"""sum(CASE WHEN $yl IS NOT NULL THEN 1 ELSE 0 END) AS n_${a(l)},
+             |      sum(CASE WHEN $yl IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx_${a(l)},
+             |      sum(CASE WHEN $yl IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx_${a(l)},
+             |      sum(CAST($yl AS HUGEINT)) AS sy_${a(l)},
+             |      sum(CAST($yl AS HUGEINT) * $yl) AS syy_${a(l)},
+             |      sum(CAST(x AS HUGEINT) * $yl) AS sxy_${a(l)}""".stripMargin
+        }.mkString(",\n      ")
+        val rows = lags.map { l =>
+          val s = a(l)
+          s"""SELECT CAST($l AS BIGINT) AS lag, CAST(n_$s AS BIGINT) AS n_pairs,
+             |       CASE WHEN CAST(n_$s AS HUGEINT) * sxx_$s - sx_$s * sx_$s > 0
+             |             AND CAST(n_$s AS HUGEINT) * syy_$s - sy_$s * sy_$s > 0
+             |            THEN CAST(CAST(n_$s AS HUGEINT) * sxy_$s - sx_$s * sy_$s AS DOUBLE)
+             |               / (sqrt(CAST(CAST(n_$s AS HUGEINT) * sxx_$s - sx_$s * sx_$s AS DOUBLE))
+             |                  * sqrt(CAST(CAST(n_$s AS HUGEINT) * syy_$s - sy_$s * sy_$s AS DOUBLE)))
+             |       END AS ccf
+             |FROM ag""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH base AS (
+           |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+           |         (event_type = 'purchase') AS b
+           |  FROM events WHERE event_type IN ('view', 'purchase')),
+           |d AS (SELECT day, sum(CASE WHEN NOT b THEN v ELSE 0 END) AS x,
+           |             sum(CASE WHEN b THEN v ELSE 0 END) AS y
+           |      FROM base GROUP BY 1),
+           |g AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+           |sp AS (SELECT unnest(generate_series(mn, mx)) AS day FROM g),
+           |dn AS (SELECT sp.day, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+           |       FROM sp LEFT JOIN d USING (day)),
+           |sh AS (SELECT day, x, y, y AS y_0,
+           |       $shifts
+           |       FROM dn WINDOW w AS (ORDER BY day)),
+           |ag AS (SELECT
+           |      $moms
+           |      FROM sh)
+           |$rows""".stripMargin
+      }),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -265,6 +265,44 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- crossCorrDaily ----
+
+  test("crossCorrDaily: a planted 2-day lead shows up at lag +2, not 0") {
+    // y copies x shifted 2 days later -> corr(x_t, y_{t+2}) = 1
+    val xs = Seq(5L, 9L, 2L, 7L, 4L, 8L, 1L, 6L, 3L, 9L)
+    val rows = xs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v, false)) ++
+        (if (i >= 2) Seq((i.toLong, xs(i - 2), true)) else Nil)
+    }
+    val df = rows.toDF("day", "v", "isy")
+    val out = graft.pipeline.Stats.crossCorrDaily(df, col("day"), col("v"),
+      col("isy"), maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    // at lag 2 the overlap includes boundary zeros (y before day 2 is 0),
+    // so compare against a direct computation over the dense series
+    val n = 10
+    val x = xs.toArray
+    val y = (0 until n).map(i => if (i >= 2) xs(i - 2) else 0L).toArray
+    def pearson(pairs: Seq[(Long, Long)]): Double = {
+      val m = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      (m * sxy - sx * sy) / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    }
+    val want2 = pearson((0 until n - 2).map(i => (x(i), y(i + 2))))
+    assert(math.abs(out(2L).get - want2) < 1e-9)
+    assert(out(2L).get > 0.99) // the planted lead dominates
+    assert(out(2L).get > out(0L).get && out(2L).get > out(-2L).getOrElse(0.0))
+    // n_pairs bookkeeping: lag 3 has n-3 pairs
+    val np = graft.pipeline.Stats.crossCorrDaily(df, col("day"), col("v"),
+      col("isy"), maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(np(3L) === 7L && np(-3L) === 7L && np(0L) === 10L)
+  }
+
   // ---- timeDecayAttribution ----
 
   test("timeDecayAttribution: halving schedule and exact credit split") {
