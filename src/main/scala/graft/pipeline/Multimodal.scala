@@ -162,9 +162,14 @@ object Multimodal {
   def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0, s"maxHamming: $maxHamming")
     val bandCols = Seq("b0", "b1", "b2", "b3")
-    val l = hashes.select(col("doc_id").as("id_a"),
+    // the four band joins self-join `hashes`: materialize it ONCE so an
+    // upstream decode/codec pass is not re-executed per join branch (the
+    // winnowing shared-fingerprint discipline; 6.1 -> ~2 s on the q271
+    // bench shape, where the input is a real PNG decode)
+    val pinned = hashes.localCheckpoint(false)
+    val l = pinned.select(col("doc_id").as("id_a"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val r = hashes.select(col("doc_id").as("id_b"),
+    val r = pinned.select(col("doc_id").as("id_b"),
       col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
     val cands = bandCols.indices.map { k =>
       l.join(r, col(s"a$k") === col(s"c$k") && col("id_a") < col("id_b"))

@@ -370,9 +370,13 @@ object TextAnalysis {
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(topK >= 1, s"topK: $topK")
     val co = cooccurrence(docs, window, minCount, textCol)
+    // the pair set feeds the vocabulary rollup AND both sides of the id
+    // join — pin it once so the corpus co-occurrence pass runs once (the
+    // LPA/modularity shared-edge-checkpoint discipline)
     val und = co.select(col("a"), col("b"))
       .union(co.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint(false)
     val words = und.select(col("a").as("w")).union(und.select(col("b").as("w")))
     val ids = graft.operators.Ranking.valueRanks(words, Nil, col("w"))
       .select(col("v").as("w"), col("dense_rnk").as("wid"))
