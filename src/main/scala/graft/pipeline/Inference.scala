@@ -247,6 +247,128 @@ object Inference {
           (dec(col("n")) * col("n") - col("s")).cast("double")).as("kappa"))
   }
 
+  /** Split-conformal prediction intervals per group: a per-group point
+    * prediction (here the calibration mean in milli-units) plus the
+    * empirical `(1-alpha)` quantile of calibration-set absolute residuals
+    * — the distribution-free interval with finite-sample coverage
+    * guarantees (Vovk et al.; the standard ML-serving wrapper). The
+    * calibration/evaluation split is the caller's deterministic predicate
+    * (the q89/q267 hash-split discipline). Everything is exact: residuals
+    * are integer milli, the quantile is percentile_disc at the conformal
+    * rank `ceil((n_cal+1)*(1-alpha))` clamped to n_cal, and coverage on
+    * the evaluation rows is reported in exact ppm (the audit: it should
+    * be ~>= 1-alpha).
+    *
+    * Shape: one calibration rollup (mean), one residual rollup through
+    * [[graft.operators.Ranking.valueRanks]]'s grouped cumsum (distinct
+    * residual values per group), one broadcast join onto the eval side.
+    */
+  def conformalInterval(df: DataFrame, groupCols: Seq[String],
+      valueMilli: Column, inCalibration: Column,
+      alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct: $alphaPct")
+    require(groupCols.nonEmpty, "conformalInterval needs group columns")
+    val gcols = groupCols.map(col)
+    val base = df.filter(valueMilli.isNotNull)
+      .select(gcols :+ valueMilli.cast("long").as("__v") :+
+        inCalibration.as("__cal"): _*)
+    val cal = base.filter(col("__cal"))
+    val center = cal.groupBy(gcols: _*)
+      .agg(call_function("div", sum(col("__v")), count(lit(1))).as("center_milli"),
+        count(lit(1)).as("n_cal"))
+    val resid = cal.join(broadcast(center), groupCols)
+      .select(gcols :+ abs(col("__v") - col("center_milli")).as("__r"): _*)
+    // conformal rank over the residual rollup: smallest residual whose
+    // cumulative count reaches ceil((n+1)*(1-alpha)/1) — clamped at n
+    val ranks = graft.operators.Ranking.valueRanks(resid, groupCols, col("__r"))
+    val q = ranks.join(broadcast(center.select(gcols :+ col("n_cal"): _*)), groupCols)
+      .withColumn("__target",
+        least(col("n_cal"),
+          call_function("div",
+            (col("n_cal") + 1L) * (100L - alphaPct) + 99L, lit(100L))))
+      .filter(col("rnk") + col("n_rows") - 1L >= col("__target") &&
+        col("rnk") <= col("__target"))
+      .groupBy(gcols: _*).agg(min(col("v")).as("q_milli"))
+    val iv = center.join(q, groupCols)
+    val eval0 = base.filter(!col("__cal"))
+      .join(broadcast(iv), groupCols)
+    eval0.groupBy(gcols: _*)
+      .agg(max(col("center_milli")).as("center_milli"),
+        max(col("q_milli")).as("q_milli"),
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_eval"),
+        sum(when(abs(col("__v") - col("center_milli")) <= col("q_milli"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_ppm",
+        call_function("div", col("n_covered") * 1000000L, col("n_eval")))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) for a two-group
+    * experiment readout: the post-period metric `y` is adjusted by the
+    * pre-period covariate `x` with the pooled
+    * `theta = cov(x, y) / var(x)`, shrinking variance by the squared
+    * correlation without biasing the diff (theta is computed on the
+    * POOLED sample, the standard practice). Moments are exact DECIMAL
+    * sums; theta, the adjusted means, and the adjusted diff are the only
+    * IEEE steps (fixed expression trees over exact operands — the q229
+    * convention). One row: per-group adjusted means, the raw and
+    * adjusted diffs, and theta.
+    */
+  def cupedDiff(df: DataFrame, xCol: Column, yCol: Column,
+      inB: Column): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        inB.as("grp"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("grp"), dec(col("y")))).as("sya"),
+      sum(when(!col("grp"), dec(col("x")))).as("sxa"),
+      sum(when(col("grp"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp"), dec(col("y")))).as("syb"),
+      sum(when(col("grp"), dec(col("x")))).as("sxb"))
+    val theta = (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    def meanAdj(sy: Column, sx: Column, n: Column) =
+      sy.cast("double") / n.cast("double") -
+        col("theta") * (sx.cast("double") / n.cast("double") - col("xbar"))
+    m.withColumn("theta", theta)
+      .withColumn("xbar", xbar)
+      .withColumn("adj_mean_a", meanAdj(col("sya"), col("sxa"), col("n_a")))
+      .withColumn("adj_mean_b", meanAdj(col("syb"), col("sxb"), col("n_b")))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        (col("syb").cast("double") / col("n_b").cast("double") -
+          col("sya").cast("double") / col("n_a").cast("double")).as("raw_diff"),
+        col("adj_mean_a"), col("adj_mean_b"),
+        (col("adj_mean_b") - col("adj_mean_a")).as("adj_diff"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) smoothed success rates per group:
+    * `rate = (s + a) / (n + a + b)` with integer pseudo-count priors —
+    * the standard fix for small-segment rate rankings (a 1/1 segment
+    * should not outrank a 900/1000 one). Exact integer ppm via one
+    * division; prior strength is the caller's declared model, typically
+    * anchored at the global rate. One rollup.
+    */
+  def smoothedRates(df: DataFrame, groupCols: Seq[String], success: Column,
+      priorA: Long, priorB: Long): DataFrame = {
+    require(priorA >= 0 && priorB >= 0 && priorA + priorB >= 1,
+      s"priors: a=$priorA b=$priorB")
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .withColumn("raw_ppm",
+        call_function("div", col("successes") * 1000000L, col("n")))
+      .withColumn("smoothed_ppm",
+        call_function("div", (col("successes") + priorA) * 1000000L,
+          col("n") + priorA + priorB))
+  }
+
   /** Poisson(1) CDF thresholds in ppm (e^-1-derived FIXED public
     * constants, the Benford discipline — no engine's libm in the hash
     * path): u_ppm < t(k) assigns bootstrap weight k.

@@ -783,6 +783,128 @@ object InferenceQueries extends QuerySet {
            |$rows""".stripMargin
       }),
 
+    QueryDef("q285_conformal_interval", (s, d) =>
+      // split-conformal prediction intervals per event type (alpha=10%):
+      // a deterministic md5 half split calibrates the center + residual
+      // quantile at the conformal rank ceil((n+1)*0.9); the held-out half
+      // audits coverage in exact ppm — distribution-free guarantees, no
+      // normality assumed anywhere
+      Inference.conformalInterval(events(s, d), Seq("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        expr("conv(substring(md5(concat(cast(event_id as string), '|cf')), 1, 8), 16, 10)")
+          .cast("long") % 2L === 0L,
+        alphaPct = 10),
+      Some(
+        """WITH base AS (
+          |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |         (('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|cf'), 1, 8))::BIGINT
+          |            % 2 = 0) AS cal
+          |  FROM events),
+          |ctr AS (SELECT event_type, sum(v) // count(*) AS center_milli,
+          |               CAST(count(*) AS BIGINT) AS n_cal
+          |        FROM base WHERE cal GROUP BY 1),
+          |res AS (SELECT b.event_type, abs(v - center_milli) AS r
+          |        FROM base b JOIN ctr USING (event_type) WHERE cal),
+          |tq AS (SELECT event_type, n_cal,
+          |              least(n_cal, ((n_cal + 1) * 90 + 99) // 100) AS target
+          |       FROM ctr),
+          |qq AS (SELECT x.event_type, r AS q_milli
+          |       FROM (SELECT event_type, r,
+          |               row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn
+          |             FROM res) x JOIN tq ON x.event_type = tq.event_type
+          |       WHERE x.rn = tq.target)
+          |SELECT b.event_type, CAST(max(center_milli) AS BIGINT) AS center_milli,
+          |       CAST(max(q_milli) AS BIGINT) AS q_milli,
+          |       CAST(max(n_cal) AS BIGINT) AS n_cal,
+          |       CAST(count(*) AS BIGINT) AS n_eval,
+          |       CAST(sum(CASE WHEN abs(v - center_milli) <= q_milli
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+          |       CAST(sum(CASE WHEN abs(v - center_milli) <= q_milli
+          |                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+          |         AS coverage_ppm
+          |FROM base b JOIN ctr USING (event_type) JOIN qq USING (event_type)
+          |WHERE NOT cal
+          |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q286_cuped", (s, d) => {
+      // CUPED experiment readout: per-user pre-period value (days < 16)
+      // predicts the post-period metric; the pooled theta adjustment
+      // shrinks the A/B diff's variance without biasing it. Exact DECIMAL
+      // moments, fixed IEEE expressions (the q229 z-statistic
+      // convention); assignment is the deterministic user-hash split.
+      val e = events(s, d)
+        .withColumn("v", floor(col("value") * 1000 + 0.5).cast("long"))
+        .withColumn("dom", dayofmonth(col("ts")))
+      val byUser = e.groupBy(col("user_id"))
+        .agg(sum(when(col("dom") < 16, col("v")).otherwise(0L)).as("x"),
+          sum(when(col("dom") >= 16, col("v")).otherwise(0L)).as("y"))
+        .withColumn("grp",
+          expr("conv(substring(md5(concat(cast(user_id as string), '|ab')), 1, 8), 16, 10)")
+            .cast("long") % 2L === 0L)
+      Inference.cupedDiff(byUser, col("x"), col("y"), col("grp"))
+    }, Some(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+        |         CAST(extract(day FROM ts) AS INTEGER) AS dom
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |             sum(CASE WHEN dom < 16 THEN v ELSE 0 END) AS x,
+        |             sum(CASE WHEN dom >= 16 THEN v ELSE 0 END) AS y,
+        |             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 8))::BIGINT
+        |                % 2 = 0) AS grp
+        |      FROM e GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             sum(CASE WHEN NOT grp THEN CAST(y AS HUGEINT) END) AS sya,
+        |             sum(CASE WHEN NOT grp THEN CAST(x AS HUGEINT) END) AS sxa,
+        |             CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |             sum(CASE WHEN grp THEN CAST(y AS HUGEINT) END) AS syb,
+        |             sum(CASE WHEN grp THEN CAST(x AS HUGEINT) END) AS sxb
+        |      FROM u),
+        |t AS (SELECT *,
+        |             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS theta,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |      FROM m),
+        |a AS (SELECT *,
+        |             CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |               - theta * (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar)
+        |               AS adj_mean_a,
+        |             CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |               - theta * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar)
+        |               AS adj_mean_b
+        |      FROM t)
+        |SELECT n_a, n_b, theta,
+        |       CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS raw_diff,
+        |       adj_mean_a, adj_mean_b,
+        |       adj_mean_b - adj_mean_a AS adj_diff
+        |FROM a""".stripMargin)),
+
+    QueryDef("q287_smoothed_rates", (s, d) => {
+      // empirical-Bayes smoothed fulfillment rates per nation: Beta(30,70)
+      // pseudo-counts (anchored near the global 'F' share) pull tiny
+      // nations toward the prior so they cannot top the ranking on two
+      // lucky orders — exact integer ppm throughout
+      val base = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), (col("o_orderstatus") === "F").as("ok"))
+      Inference.smoothedRates(base, Seq("c_nationkey"), col("ok"),
+        priorA = 30L, priorB = 70L)
+    }, Some(
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS successes,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS raw_ppm,
+        |       CAST((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 30)
+        |              * 1000000 // (count(*) + 100) AS BIGINT) AS smoothed_ppm
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -265,6 +265,67 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- conformalInterval ----
+
+  test("conformalInterval: conformal rank cut and exact coverage audit") {
+    // group g: calibration values 0,10,20,...,90 (n=10, mean 45 -> center
+    // 45 by trunc div); residuals {45,35,25,15,5,5,15,25,35,45} sorted ->
+    // alpha=20%: target = min(10, ceil(11*0.8)) = 9 -> 9th smallest = 45
+    val cal = (0L to 9L).map(i => ("g", i * 10L, true))
+    val ev = Seq(("g", 0L, false), ("g", 46L, false), ("g", 95L, false))
+    val df = (cal ++ ev).toDF("grp", "v", "cal")
+    val r = Inference.conformalInterval(df, Seq("grp"), col("v"), col("cal"),
+      alphaPct = 20).collect()(0)
+    assert(r.getAs[Long]("center_milli") === 45L)
+    assert(r.getAs[Long]("q_milli") === 45L)
+    assert(r.getAs[Long]("n_cal") === 10L)
+    // eval: |0-45|=45 in, |46-45|=1 in, |95-45|=50 out -> 2/3 covered
+    assert(r.getAs[Long]("n_eval") === 3L && r.getAs[Long]("n_covered") === 2L)
+    assert(r.getAs[Long]("coverage_ppm") === 2000000L / 3L)
+  }
+
+  // ---- cupedDiff ----
+
+  test("cupedDiff: a pure covariate imbalance adjusts to exactly zero") {
+    // y == x, but group B drew systematically larger x: the raw diff is
+    // all covariate leak; theta == 1 exactly and CUPED removes it all
+    val rows = (1L to 100L).map(i =>
+      (i, if (i <= 50) i * 10L else i * 10L + 500L, i > 50))
+      .map { case (id, x, g) => (id, x, x, g) }
+    val df = rows.toDF("id", "x", "y", "grp")
+    val r = Inference.cupedDiff(df, col("x"), col("y"), col("grp")).collect()(0)
+    assert(r.getAs[Double]("theta") === 1.0)
+    assert(r.getAs[Double]("raw_diff") > 0.0)
+    assert(r.getAs[Double]("adj_diff") === 0.0)
+    // with assignment INDEPENDENT of the covariate (alternating — the
+    // randomized-experiment precondition CUPED assumes), a planted +7
+    // effect survives adjustment almost exactly
+    val eff = (1L to 100L).map(i =>
+      (i, i * 10L, i * 10L + (if (i % 2 == 0) 7L else 0L), i % 2 == 0))
+    val r2 = Inference.cupedDiff(eff.toDF("id", "x", "y", "grp"),
+      col("x"), col("y"), col("grp")).collect()(0)
+    assert(math.abs(r2.getAs[Double]("adj_diff") - 7.0) < 0.3)
+    // and the adjusted estimate is closer to the truth than the raw one
+    // (the raw diff also carries the even-vs-odd x gap)
+    assert(math.abs(r2.getAs[Double]("adj_diff") - 7.0) <
+      math.abs(r2.getAs[Double]("raw_diff") - 7.0))
+  }
+
+  // ---- smoothedRates ----
+
+  test("smoothedRates: pseudo-counts pull small segments to the prior") {
+    val rows = Seq(("tiny", true)) ++
+      Seq.fill(900)(("big", true)) ++ Seq.fill(100)(("big", false))
+    val out = Inference.smoothedRates(rows.toDF("g", "ok"), Seq("g"),
+      col("ok"), priorA = 30L, priorB = 70L)
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("raw_ppm"),
+        r.getAs[Long]("smoothed_ppm")))).toMap
+    assert(out("tiny") === ((1000000L, 31L * 1000000L / 101L)))
+    assert(out("big") === ((900000L, 930L * 1000000L / 1100L)))
+    // the 1/1 segment no longer outranks the 900/1000 one
+    assert(out("tiny")._2 < out("big")._2)
+  }
+
   // ---- crossCorrDaily ----
 
   test("crossCorrDaily: a planted 2-day lead shows up at lag +2, not 0") {
