@@ -180,6 +180,76 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * from each query's top-`kCand` relevance candidates, greedily select
+    * `kOut` results maximizing
+    * `lambda * rel - (1 - lambda) * max_sim_to_already_selected` — the
+    * diversified answer list (near-duplicate neighbors stop crowding the
+    * top). First pick is pure relevance; ties break on neighbor id.
+    *
+    * Relevance and pairwise sims are the deterministic quantized cosine;
+    * the greedy is `kOut - 1` DataFrame rounds (bounded like the k-core
+    * peel), each a candidate x selected max-sim rollup + one per-query
+    * WindowGroupLimit pick. The candidate pair-sim relation (per query at
+    * most kCand^2 rows) is pinned once and reused by every round.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, kCand: Int, kOut: Int,
+      lambdaMilli: Int = 700, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kOut >= 1 && kOut <= kCand, s"kOut $kOut vs kCand $kCand")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, s"lambdaMilli: $lambdaMilli")
+    val cands = bruteForceTopK(corpus, queries, kCand, idCol, vecCol)
+      .localCheckpoint(false)
+    val vecs = corpus.select(col(idCol).cast("long").as("nid"),
+      quantize(col(vecCol)).as("vv"))
+      .withColumn("vn", dotQ(col("vv"), col("vv")))
+    val cv = cands.select(col("query_id"), col("neighbor_id"))
+      .join(vecs.withColumnRenamed("nid", "neighbor_id"), "neighbor_id")
+    val left = cv.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("vv").as("va"), col("vn").as("na"))
+    val right = cv.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("vv").as("vb"), col("vn").as("nb"))
+    val sims = left.join(right, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          dotQ(col("va"), col("vb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("sim"))
+      .localCheckpoint(false)
+    var selected = cands.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("mmr_rank"), col("score").as("mmr_score"))
+    var pool = cands.filter(col("rank") > 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    var step = 2
+    while (step <= kOut) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("id_b"))
+      val scored = pool.withColumnRenamed("neighbor_id", "id_a")
+        .join(selIds, Seq("query_id"))
+        .join(sims, Seq("query_id", "id_a", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("neighbor_id"), col("score"))
+        .agg(max(col("sim")).as("ms"))
+      val pick = scored
+        // integer milli weights, ONE division: `1.0 - 0.7` is
+        // 0.30000000000000004 in binary — a lambda written as two double
+        // literals cannot hash-match an oracle's `0.3`
+        .withColumn("mmr_score",
+          (lit(lambdaMilli.toDouble) * col("score") -
+            lit((1000 - lambdaMilli).toDouble) * col("ms")) / lit(1000.0))
+        .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr_score").desc, col("neighbor_id").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(step.toLong).as("mmr_rank"), col("mmr_score"))
+      selected = selected.unionByName(pick)
+      pool = pool.join(pick.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      step += 1
+    }
+    selected
+  }
+
   /** nDCG@k of an approximate ranking against exact ground truth —
     * [[recallAtK]]'s position-aware sibling: a hit at approx rank i earns
     * the discount `round(1e6 / log2(i+1))`, normalized by the ideal DCG

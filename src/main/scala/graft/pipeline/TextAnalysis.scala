@@ -782,6 +782,21 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
 
+  /** Deterministic pseudonymization: a salted md5 token (`pfx_<16 hex>`)
+    * that is CONSISTENT for equal inputs — joins, group-bys, and
+    * frequency analysis still work across pseudonymized tables sharing a
+    * salt, which is exactly what [[redactPii]]'s destructive placeholders
+    * cannot offer. The salt is the secrecy boundary (same threat model as
+    * every keyed tokenization): without it the token is a one-way hash of
+    * the value; NULL stays NULL (absence is not an identity).
+    * Engine-portable (md5 + hex substring — the surrogate-key recipe), a
+    * pure codegen'd column, no shuffle.
+    */
+  def pseudonymize(value: Column, salt: String, prefix: String = "p"): Column =
+    when(value.isNotNull,
+      concat(lit(prefix + "_"),
+        substring(md5(concat(value.cast("string"), lit("|" + salt))), 1, 16)))
+
   /** Count of the MOST FREQUENT token (the Gopher "top-1-gram" signal),
     * computed without a shuffle: one pass over the SORTED token array
     * tracking (previous token, current run, best run). `toks` must be a

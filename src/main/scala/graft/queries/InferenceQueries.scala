@@ -905,6 +905,87 @@ object InferenceQueries extends QuerySet {
         |FROM orders JOIN customer ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin)),
 
+    QueryDef("q288_pseudonymize", (s, d) =>
+      // deterministic pseudonymization: salted-hash tokens replace user
+      // ids, yet the per-user event rollup is still computable ON the
+      // pseudonymized table (consistency is the point — q87's redaction
+      // destroys joinability, this keeps it behind the salt boundary)
+      events(s, d)
+        .select(graft.pipeline.TextAnalysis
+          .pseudonymize(col("user_id"), salt = "s9", prefix = "u").as("user_token"),
+          col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        .groupBy(col("user_token"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", col("v")).otherwise(0L))
+            .as("purchase_milli")),
+      Some(
+        """SELECT 'u_' || substr(md5(CAST(user_id AS VARCHAR) || '|s9'), 1, 16)
+          |         AS user_token,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CASE WHEN event_type = 'purchase'
+          |                     THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+          |                     ELSE 0 END) AS BIGINT) AS purchase_milli
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("q289_mmr_rerank", (s, d) => {
+      // diversified retrieval: MMR-greedy top-4 from each query's
+      // brute-force top-8 (lambda = 0.7) — near-duplicate neighbors stop
+      // crowding the answer list; the oracle unrolls the identical greedy
+      // rounds as CTE stages
+      val emb = table(s, d, "embeddings")
+      graft.pipeline.Similarity.mmrRerank(emb,
+        emb.filter(col("vec_id") < 10), kCand = 8, kOut = 4,
+        lambdaMilli = 700)
+    }, Some {
+      val qv = "list_transform(CAST(embedding AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a,$b), p -> p[1]*p[2])) AS DOUBLE)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      val steps = (2 to 4).map { i =>
+        s"""p$i AS (SELECT c.query_id, c.neighbor_id, c.score, max(sm.sim) AS ms
+           |        FROM cands c
+           |        JOIN sel${i - 1} s ON s.query_id = c.query_id
+           |        JOIN sims sm ON sm.query_id = c.query_id
+           |          AND sm.id_a = c.neighbor_id AND sm.id_b = s.neighbor_id
+           |        WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |          WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           |        GROUP BY 1, 2, 3),
+           |pick$i AS (SELECT query_id, neighbor_id,
+           |                  CAST($i AS BIGINT) AS mmr_rank,
+           |                  (700.0 * score - 300.0 * ms) / 1000.0 AS mmr_score
+           |           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |                   ORDER BY (700.0 * score - 300.0 * ms) / 1000.0 DESC, neighbor_id ASC) AS rn
+           |                 FROM p$i) t WHERE rn = 1),
+           |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+           |          UNION ALL SELECT query_id, neighbor_id FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qv AS v
+         |           FROM embeddings WHERE vec_id < 10),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qv AS v
+         |       FROM embeddings),
+         |cands AS (SELECT query_id, neighbor_id, score, rn FROM (
+         |  SELECT q.query_id, c0.neighbor_id, ${cos("q.v", "c0.v")} AS score,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cos("q.v", "c0.v")} DESC, c0.neighbor_id ASC) AS rn
+         |  FROM c0, q WHERE c0.neighbor_id <> q.query_id) t WHERE rn <= 8),
+         |cv AS (SELECT c.query_id, c.neighbor_id, e.v
+         |       FROM cands c JOIN c0 e ON e.neighbor_id = c.neighbor_id),
+         |sims AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         |                ${cos("a.v", "b.v")} AS sim
+         |         FROM cv a JOIN cv b ON a.query_id = b.query_id
+         |           AND a.neighbor_id <> b.neighbor_id),
+         |sel1 AS (SELECT query_id, neighbor_id FROM cands WHERE rn = 1),
+         |$steps
+         |SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+         |       score AS mmr_score
+         |FROM cands WHERE rn = 1
+         |UNION ALL SELECT * FROM pick2
+         |UNION ALL SELECT * FROM pick3
+         |UNION ALL SELECT * FROM pick4""".stripMargin
+    }),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

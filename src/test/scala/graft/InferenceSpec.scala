@@ -530,6 +530,45 @@ class InferenceSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  // ---- pseudonymize ----
+
+  test("pseudonymize: consistent under a salt, NULL passes through, salt changes token") {
+    import graft.pipeline.{TextAnalysis => T}
+    val df = Seq(Some(7L), Some(7L), Some(8L), None).toDF("uid")
+    val toks = df.select(T.pseudonymize(col("uid"), "s1", "u").as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(toks(0) === toks(1)) // join-safe consistency
+    assert(toks(0) !== toks(2))
+    assert(toks(3).isEmpty) // NULL is absence, not an identity
+    assert(toks(0).get.matches("u_[0-9a-f]{16}"))
+    val other = df.select(T.pseudonymize(col("uid"), "s2", "u").as("t"))
+      .collect()(0).getString(0)
+    assert(other !== toks(0).get) // the salt is the secrecy boundary
+  }
+
+  // ---- mmrRerank ----
+
+  test("mmrRerank: a duplicate of the first pick is demoted below a diverse result") {
+    import graft.pipeline.Similarity
+    // a and b are PARALLEL (sim exactly 1.0 after quantization: b = 2a);
+    // c mirrors a across the query axis — same relevance, diverse
+    val corpus = Seq(
+      (1L, Array(0.9, 0.436)), (2L, Array(1.8, 0.872)), (3L, Array(0.9, -0.436)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, q, kCand = 3, kOut = 3,
+      lambdaMilli = 700)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // relevance ties (all three have equal cosine) break on id: a first;
+    // then MMR demotes the duplicate b below the diverse c
+    assert(out.toSeq === Seq((1L, 1L), (3L, 2L), (2L, 3L)))
+    // pure-relevance ranking (lambda=1000) keeps id order instead
+    val rel = Similarity.mmrRerank(corpus, q, kCand = 3, kOut = 3,
+      lambdaMilli = 1000)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rel.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   // ---- plan-shape pins (the 100 TB contracts) ----
 
   test("plan: ECDF window runs over the distinct-value AGGREGATE, never raw rows") {
