@@ -228,6 +228,113 @@ object EventAnalytics {
         sum(expr("__wsum * 1000000 div __tot")).as("decay_micro"))
   }
 
+  /** Markov-chain (removal-effect) attribution — the data-driven model
+    * beside the heuristic four ([[attribution]], [[timeDecayAttribution]]):
+    * user journeys become a first-order chain over
+    * `start -> channels... -> conv|null`, and a channel's credit is its
+    * REMOVAL EFFECT — how much conversion probability disappears when the
+    * channel is deleted (its transitions redirect to `null`).
+    *
+    * Shape: journey extraction + transition counting is the distributed
+    * part (one user-keyed window pass, rows after the first conversion
+    * dropped); the (channels+3)^2 transition-count matrix is a BOUNDED
+    * driver collect (the codebook bound class), and absorption
+    * probabilities come from `iterations` steps of deterministic
+    * driver-side vector iteration. Every float op is order-pinned to the
+    * canonical state order (start, channels..., conv, null) so an oracle
+    * replaying the same iteration bit-matches: probabilities are
+    * `count/count` single divisions, each step's component is a
+    * left-folded sum of products in canonical source order.
+    *
+    * Output: one row per channel — p_conv of the full chain, p_conv with
+    * the channel removed, the removal effect (difference), and the
+    * normalized attribution share (per-mille of the summed effects,
+    * summed in canonical channel order).
+    */
+  def markovRemovalEffect(events: DataFrame, conversionType: String,
+      channels: Seq[String], iterations: Int = 50,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(conversionType),
+      s"channels $channels / conversion '$conversionType'")
+    require(iterations >= 1 && iterations <= 1000, s"iterations: $iterations")
+    val relevant = events
+      .filter(col(typeCol).isin((channels :+ conversionType): _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts").asc, col("__id").asc)
+    // rows strictly after the first conversion leave the journey
+    val seqd = relevant
+      .withColumn("__convs_before",
+        count(when(col("__t") === conversionType, 1)).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+      .filter(col("__convs_before") === 0)
+      .withColumn("__src", coalesce(lag(col("__t"), 1).over(byUser), lit("start")))
+      .withColumn("__dst",
+        when(col("__t") === conversionType, lit("conv")).otherwise(col("__t")))
+      .withColumn("__is_last",
+        lead(col("__t"), 1).over(byUser).isNull)
+    val steps = seqd.select(col("__src"), col("__dst"))
+      .unionByName(
+        // journeys that never convert terminate in the null state
+        seqd.filter(col("__is_last") && col("__dst") =!= "conv")
+          .select(col("__dst").as("__src"), lit("null").as("__dst")))
+    val counts = steps.groupBy(col("__src"), col("__dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ---- bounded driver-side absorption iteration, order-pinned ----
+    val states = ("start" +: channels) :+ "conv" :+ "null"
+    def pConv(removed: Option[String]): Double = {
+      // removing a channel redirects ALL its outgoing mass to null and
+      // every transition INTO it to null as well (the standard removal)
+      def cnt(s: String, d: String): Long = counts.getOrElse((s, d), 0L)
+      val outTotals = states.map(s => s ->
+        states.foldLeft(0L)((a, d) => a + cnt(s, d))).toMap
+      var p = states.map(s => if (s == "start") 1.0 else 0.0).toArray
+      var absorbed = 0.0
+      var it = 0
+      while (it < iterations) {
+        val next = new Array[Double](states.size)
+        states.zipWithIndex.foreach { case (src, si) =>
+          if (p(si) != 0.0 && !removed.contains(src)) {
+            val tot = outTotals(src)
+            if (tot > 0L) {
+              states.zipWithIndex.foreach { case (dst, di) =>
+                val n = cnt(src, dst)
+                if (n > 0L) {
+                  val mass = p(si) * (n.toDouble / tot.toDouble)
+                  val target = if (removed.contains(dst)) states.size - 1 else di
+                  next(target) += mass
+                }
+              }
+            }
+          }
+        }
+        absorbed += next(states.indexOf("conv"))
+        next(states.indexOf("conv")) = 0.0
+        next(states.indexOf("null")) = 0.0
+        next(states.indexOf("start")) = 0.0
+        p = next
+        it += 1
+      }
+      absorbed
+    }
+    val pFull = pConv(None)
+    val rows = channels.map { c =>
+      val pr = pConv(Some(c))
+      (c, pFull, pr, pFull - pr)
+    }
+    val totalRe = rows.foldLeft(0.0)((a, r) => a + r._4)
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.map { case (c, pf, pr, re) =>
+      (c, pf, pr, re, if (totalRe > 0.0) re / totalRe else Double.NaN)
+    }.toDF("channel", "p_conv_full", "p_conv_removed", "removal_effect",
+      "attribution_share")
+  }
+
   /** Top-k frequent session paths: sessionize on an inactivity gap, read
     * off each session's first `maxSteps` event types in time order as a
     * `a>b>c` path string, and count sessions per path. The classic

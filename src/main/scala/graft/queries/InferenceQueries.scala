@@ -986,6 +986,91 @@ object InferenceQueries extends QuerySet {
          |UNION ALL SELECT * FROM pick4""".stripMargin
     }),
 
+    QueryDef("q290_markov_attribution", (s, d) =>
+      // data-driven (Markov removal-effect) attribution: user journeys
+      // over view/click/signup absorb into conv/null; a channel's credit
+      // is the conversion probability that disappears when its
+      // transitions redirect to null. Journey extraction and transition
+      // counting are distributed; the bounded transition matrix iterates
+      // 50 absorption steps with order-pinned float sums the oracle
+      // replays via recursive CTEs.
+      graft.operators.EventAnalytics.markovRemovalEffect(events(s, d),
+        conversionType = "purchase", channels = Seq("view", "click", "signup"),
+        iterations = 50),
+      Some {
+        val chans = Seq("view", "click", "signup")
+        val srcs = "start" +: chans // states that can hold mass
+        val dsts = chans ++ Seq("conv", "null")
+        val pivots = (for (src <- srcs; dst <- dsts) yield
+          s"coalesce(sum(CASE WHEN src = '$src' AND dst = '$dst' THEN n END), 0) AS n_${src}_$dst")
+          .mkString(",\n         ")
+        val tots = srcs.map(src =>
+          s"(${dsts.map(d => s"n_${src}_$d").mkString(" + ")}) AS tot_$src")
+          .mkString(",\n         ")
+        def prob(src: String, dst: String) =
+          s"coalesce(CAST(n_${src}_$dst AS DOUBLE) / nullif(CAST(tot_$src AS DOUBLE), 0), 0.0)"
+        def scenario(name: String, removed: Option[String]): String = {
+          val live = chans.filterNot(removed.contains)
+          val liveSrcs = "start" +: live
+          def stepSum(dst: String) =
+            liveSrcs.map(src => s"p_$src * ${prob(src, dst)}").mkString(" + ")
+          // CAST the seeds: bare 1.0/0.0 literals type as DECIMAL(2,1)
+          // in DuckDB and the recursive union would then ROUND every step
+          val initCols = ("CAST(1.0 AS DOUBLE) AS p_start" +:
+            live.map(c => s"CAST(0.0 AS DOUBLE) AS p_$c")) :+
+            "CAST(0.0 AS DOUBLE) AS ab"
+          val stepCols = ("CAST(0.0 AS DOUBLE)" +:
+            live.map(c => s"${stepSum(c)}")) :+ s"ab + (${stepSum("conv")})"
+          s"""it_$name AS (
+             |  SELECT 0 AS t, ${initCols.mkString(", ")} FROM m
+             |  UNION ALL
+             |  SELECT t + 1, ${stepCols.mkString(",\n         ")}
+             |  FROM it_$name, m WHERE t < 50)""".stripMargin
+        }
+        val scenarios = (scenario("full", None) +:
+          chans.map(c => scenario(s"no_$c", Some(c)))).mkString(",\n")
+        val reSum = chans.map(c =>
+          s"((SELECT ab FROM it_full WHERE t = 50) - (SELECT ab FROM it_no_$c WHERE t = 50))")
+          .mkString(" + ")
+        val finalRows = chans.map { c =>
+          s"""SELECT '$c' AS channel,
+             |       (SELECT ab FROM it_full WHERE t = 50) AS p_conv_full,
+             |       (SELECT ab FROM it_no_$c WHERE t = 50) AS p_conv_removed,
+             |       (SELECT ab FROM it_full WHERE t = 50)
+             |         - (SELECT ab FROM it_no_$c WHERE t = 50) AS removal_effect,
+             |       ((SELECT ab FROM it_full WHERE t = 50)
+             |         - (SELECT ab FROM it_no_$c WHERE t = 50)) / ($reSum)
+             |         AS attribution_share""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE rel AS (
+           |  SELECT user_id, event_type AS t, ts, event_id FROM events
+           |  WHERE event_type IN (${(chans :+ "purchase").map(c => s"'$c'").mkString(", ")})),
+           |w AS (SELECT *, count(CASE WHEN t = 'purchase' THEN 1 END)
+           |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+           |      FROM rel),
+           |j AS (SELECT user_id,
+           |             coalesce(lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           |                      'start') AS src,
+           |             CASE WHEN t = 'purchase' THEN 'conv' ELSE t END AS dst,
+           |             (lead(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+           |               AS is_last
+           |      FROM (SELECT * FROM w WHERE cb = 0) f),
+           |trans AS (SELECT src, dst FROM j
+           |          UNION ALL
+           |          SELECT dst AS src, 'null' AS dst FROM j
+           |          WHERE is_last AND dst <> 'conv'),
+           |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           |       FROM trans GROUP BY 1, 2),
+           |m AS (SELECT inner_m.*,
+           |         $tots
+           |      FROM (SELECT
+           |         $pivots
+           |      FROM tc) inner_m),
+           |$scenarios
+           |$finalRows""".stripMargin
+      }),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -569,6 +569,45 @@ class InferenceSpec extends AnyFunSuite {
     assert(rel.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  // ---- markovRemovalEffect ----
+
+  test("markovRemovalEffect: hand chain — the only converting channel takes all credit") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: view -> purchase; u2: click -> (end, null)
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      (3L, 2L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.markovRemovalEffect(
+      ev, "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // full chain: start splits 1/2 to view (then conv) and 1/2 to click
+    // (then null) -> p_conv = 0.5
+    assert(out("view")._1 === 0.5)
+    // removing view kills ALL conversion; removing click changes nothing
+    assert(out("view")._2 === 0.0 && out("view")._3 === 0.5)
+    assert(out("click")._2 === 0.5 && out("click")._3 === 0.0)
+    assert(out("view")._4 === 1.0 && out("click")._4 === 0.0)
+  }
+
+  test("markovRemovalEffect: events after the first conversion leave the journey") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 purchases then keeps clicking — the post-conversion clicks must
+    // not create click transitions (otherwise click would earn credit)
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "click", ts("2024-01-01 12:00:00")),
+      (4L, 1L, "click", ts("2024-01-01 13:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.markovRemovalEffect(
+      ev, "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("view") === 1.0 && out("click") === 0.0)
+  }
+
   // ---- plan-shape pins (the 100 TB contracts) ----
 
   test("plan: ECDF window runs over the distinct-value AGGREGATE, never raw rows") {
