@@ -347,6 +347,66 @@ object Inference {
         (col("adj_mean_b") - col("adj_mean_a")).as("adj_diff"))
   }
 
+  /** Difference-in-differences readout: the 2x2 (treated, post) milli-mean
+    * table and `DiD = (T_post - T_pre) - (C_post - C_pre)` — the causal
+    * estimate when treatment lands at a known time and the control trend
+    * is the counterfactual. All four means are exact truncated
+    * milli-integers (`sum*1000 div n`, non-negative metrics), so the DiD
+    * is plain integer arithmetic any engine reproduces. One row.
+    */
+  def diffInDiff(df: DataFrame, valueCol: Column, treated: Column,
+      post: Column): DataFrame = {
+    val base = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("__v"), treated.as("__t"), post.as("__p"))
+    def cell(t: Boolean, p: Boolean) = {
+      val m = (if (t) col("__t") else !col("__t")) &&
+        (if (p) col("__p") else !col("__p"))
+      call_function("div",
+        sum(when(m, col("__v")).otherwise(0L)) * 1000L,
+        nullif(sum(when(m, 1L).otherwise(0L)), lit(0L)))
+    }
+    base.agg(
+      cell(t = false, p = false).as("c_pre_milli"),
+      cell(t = false, p = true).as("c_post_milli"),
+      cell(t = true, p = false).as("t_pre_milli"),
+      cell(t = true, p = true).as("t_post_milli"))
+      .withColumn("did_milli",
+        (col("t_post_milli") - col("t_pre_milli")) -
+          (col("c_post_milli") - col("c_pre_milli")))
+  }
+
+  /** Standard-normal quantiles in micro units for the classic power
+    * settings — FIXED public constants (the Benford/Poisson discipline):
+    * z(97.5%) and z(80%).
+    */
+  val Z975Micro = 1959964L
+  val Z80Micro = 841621L
+
+  /** Minimum detectable effect per group at 80% power / 5% two-sided
+    * alpha: `MDE = (z_{a/2} + z_b) * sqrt(2 * var / n)` with the sample
+    * variance from exact DECIMAL moments
+    * (`var = (n*Sxx - Sx^2) / (n*(n-1))`) and the z sum a fixed micro
+    * literal — the "how big must the lift be before this experiment can
+    * see it" planning table. One IEEE expression per group.
+    */
+  def minDetectableEffect(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val zSum = (Z975Micro + Z80Micro).toDouble / 1e6
+    df.filter(valueCol.isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(valueCol.cast("long"))).as("__sx"),
+        sum(dec(valueCol.cast("long")) * valueCol.cast("long")).as("__sxx"))
+      .filter(col("n") > 1L)
+      .withColumn("variance",
+        (dec(col("n")) * col("__sxx") - col("__sx") * col("__sx")).cast("double") /
+          (dec(col("n")) * (col("n") - 1L)).cast("double"))
+      .withColumn("mde",
+        lit(zSum) * sqrt(lit(2.0) * col("variance") / col("n").cast("double")))
+      .drop("__sx", "__sxx")
+  }
+
   /** Empirical-Bayes (beta-binomial) smoothed success rates per group:
     * `rate = (s + a) / (n + a + b)` with integer pseudo-count priors —
     * the standard fix for small-segment rate rankings (a 1/1 segment

@@ -447,6 +447,99 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decoded 16-bit samples of one clip (shared reader under
+    * [[decodeAudio]] and [[audioFingerprint]]).
+    */
+  private def readSamples(id: Long, bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"doc $id: unsupported encoding ${fmt.getEncoding}")
+      require(fmt.getSampleSizeInBits == 16,
+        s"doc $id: unsupported sample size ${fmt.getSampleSizeInBits}")
+      val big = fmt.isBigEndian
+      val buf = ais.readAllBytes()
+      val out = new Array[Int](buf.length / 2)
+      var i = 0
+      while (i + 1 < buf.length) {
+        out(i / 2) =
+          if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort.toInt
+          else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
+        i += 2
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** Audio fingerprint: four 16-bit bands, band k = (sum of |sample| over
+    * frame k of `frameLen` samples) mod 65536 — exact integer frame
+    * energy, the cheap time-domain signature (no FFT, so any engine can
+    * replay it from known sample arithmetic; a spectral fingerprint would
+    * slot into the same band shape). Clips must carry at least
+    * `4 * frameLen` samples — a fingerprint over silence-padded frames
+    * would near-dup every short clip against every other.
+    */
+  final case class AudioFp(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def audioFingerprint(id: Long, bytes: Array[Byte], frameLen: Int): AudioFp = {
+    require(frameLen >= 1, s"frameLen: $frameLen")
+    val s = readSamples(id, bytes)
+    require(s.length >= 4 * frameLen,
+      s"doc $id: ${s.length} samples < ${4 * frameLen} (4 frames)")
+    val bands = new Array[Int](4)
+    var f = 0
+    while (f < 4) {
+      var acc = 0L
+      var i = f * frameLen
+      while (i < (f + 1) * frameLen) {
+        acc += math.abs(s(i))
+        i += 1
+      }
+      bands(f) = (acc % 65536L).toInt
+      f += 1
+    }
+    AudioFp(id, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Batched [[audioFingerprint]] — the [[decodeImages]] mapPartitions
+    * shape; only the 4 x 16-bit signature leaves the codec boundary.
+    */
+  def audioFingerprints(media: DataFrame, frameLen: Int)(
+      implicit spark: SparkSession): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        audioFingerprint(id, bytes, frameLen) })
+  }
+
+  /** Near-duplicate pairs by shared fingerprint bands — the agreement
+    * variant of [[dhashNearDupPairs]] for signatures where bitwise
+    * distance is meaningless (frame energies): candidates must agree on
+    * at least one band (the LSH join), and a pair survives when at least
+    * `minSharedBands` of the four agree exactly. minSharedBands <= 3
+    * tolerates one corrupted frame with exact recall by pigeonhole.
+    */
+  def bandedNearDupPairs(hashes: DataFrame, minSharedBands: Int = 3): DataFrame = {
+    require(minSharedBands >= 1 && minSharedBands <= 4,
+      s"minSharedBands: $minSharedBands")
+    val pinned = hashes.localCheckpoint(false)
+    val l = pinned.select(col("doc_id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val r = pinned.select(col("doc_id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val cands = (0 to 3).map { k =>
+      l.join(r, col(s"a$k") === col(s"c$k") && col("id_a") < col("id_b"))
+    }.reduce(_ unionAll _).distinct()
+    val shared = (0 to 3).map(k =>
+      when(col(s"a$k") === col(s"c$k"), 1).otherwise(0)).reduce(_ + _)
+    cands.withColumn("n_shared_bands", shared.cast("int"))
+      .filter(col("n_shared_bands") >= minSharedBands)
+      .select("id_a", "id_b", "n_shared_bands")
+  }
+
   /** Batched real audio decode over a media table (doc_id, media): same
     * one-context-per-partition `mapPartitions` shape as [[decodeImages]] —
     * payload bytes never enter an exchange.

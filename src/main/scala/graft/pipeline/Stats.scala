@@ -351,6 +351,41 @@ object Stats {
         col("t.n_pairs").as("n_pairs"), col("t.ccf").as("ccf"))
   }
 
+  /** Day-of-week seasonality strength per group: the eta-squared-style
+    * index `(A - B) / (C - B)` in ppm, where over the daily-total series
+    * `A = sum_dow(S_dow^2 div n_dow)`, `B = S^2 div n`, `C = sum(y^2)` —
+    * the share of daily variance the weekly profile explains (the
+    * q204-family decision input: is a weekly-seasonal baseline worth
+    * fitting?). Each division is a declared integer truncation (the
+    * changepoint-score convention), every other step exact DECIMAL, so
+    * the index is engine-portable. 0 ~ no weekly pattern, ~1e6 ~ the
+    * profile explains everything; degenerate groups (constant series,
+    * C = B) emit NULL.
+    */
+  def weeklySeasonalityStrength(df: DataFrame, groupCols: Seq[String],
+      dayCol: Column, valueCol: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val byDow = daily.groupBy(gcols :+ col("dow"): _*)
+      .agg(sum(dec(col("y"))).as("s_g"), count(lit(1)).as("n_g"))
+      .groupBy(gcols: _*)
+      .agg(sum(call_function("div", col("s_g") * col("s_g"), dec(col("n_g"))))
+        .as("a"))
+    val tot = daily.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_days"), sum(dec(col("y"))).as("s"),
+        sum(dec(col("y")) * col("y")).as("c"))
+      .withColumn("b", call_function("div", col("s") * col("s"), dec(col("n_days"))))
+    byDow.join(tot, groupCols)
+      .withColumn("strength_ppm",
+        when(col("c") > col("b"),
+          call_function("div", (col("a") - col("b")) * 1000000L,
+            col("c") - col("b")).cast("long")))
+      .select(gcols ++ Seq(col("n_days"), col("strength_ppm")): _*)
+  }
+
   /** Per-group time-weighted average (TWAP) over an irregularly-sampled
     * value series: each sample holds until the next observation, so its
     * weight is that duration in exact microseconds — the correct average

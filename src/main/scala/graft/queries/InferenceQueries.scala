@@ -1071,6 +1071,146 @@ object InferenceQueries extends QuerySet {
            |$finalRows""".stripMargin
       }),
 
+    QueryDef("q291_diff_in_diff", (s, d) =>
+      // difference-in-differences: treated users' post-period value shift
+      // net of the control trend — the 2x2 exact milli-mean table plus
+      // the integer DiD
+      Inference.diffInDiff(events(s, d),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        expr("conv(substring(md5(concat(cast(user_id as string), '|ab')), 1, 8), 16, 10)")
+          .cast("long") % 2L === 0L,
+        dayofmonth(col("ts")) >= 16),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 8))::BIGINT
+          |            % 2 = 0) AS t,
+          |         (CAST(extract(day FROM ts) AS INTEGER) >= 16) AS p
+          |  FROM events)
+          |SELECT *, (t_post_milli - t_pre_milli) - (c_post_milli - c_pre_milli)
+          |            AS did_milli
+          |FROM (SELECT
+          |  CAST(sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) * 1000
+          |       // nullif(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END), 0)
+          |    AS BIGINT) AS c_pre_milli,
+          |  CAST(sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) * 1000
+          |       // nullif(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END), 0)
+          |    AS BIGINT) AS c_post_milli,
+          |  CAST(sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) * 1000
+          |       // nullif(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END), 0)
+          |    AS BIGINT) AS t_pre_milli,
+          |  CAST(sum(CASE WHEN t AND p THEN v ELSE 0 END) * 1000
+          |       // nullif(sum(CASE WHEN t AND p THEN 1 ELSE 0 END), 0)
+          |    AS BIGINT) AS t_post_milli
+          |FROM b) x""".stripMargin)),
+
+    QueryDef("q292_mde", (s, d) =>
+      // experiment planning: per event type, the minimum detectable
+      // effect at 80% power / 5% two-sided alpha on the milli-value
+      // metric — exact DECIMAL variance operands, fixed micro z
+      // constants, one IEEE expression
+      Inference.minDetectableEffect(events(s, d), Seq("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long")),
+      Some(
+        """WITH m AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         sum(CAST(floor(value * 1000 + 0.5) AS HUGEINT)) AS sx,
+          |         sum(CAST(floor(value * 1000 + 0.5) AS HUGEINT)
+          |             * CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS sxx
+          |  FROM events GROUP BY 1 HAVING count(*) > 1)
+          |SELECT event_type, n,
+          |       CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+          |         / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS variance,
+          |       2.801585 * sqrt(2.0 * (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+          |           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+          |         / CAST(n AS DOUBLE)) AS mde
+          |FROM m""".stripMargin)),
+
+    QueryDef("q293_seasonality_strength", (s, d) =>
+      // is a weekly baseline worth fitting? The eta-squared-style share
+      // of daily-volume variance the day-of-week profile explains, in
+      // declared-truncation ppm per event type
+      graft.pipeline.Stats.weeklySeasonalityStrength(events(s, d),
+        Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long")),
+      Some(
+        """WITH dc AS (
+          |  SELECT event_type,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |g AS (SELECT event_type, day % 7 AS dow,
+          |             sum(CAST(y AS HUGEINT)) AS s_g, count(*) AS n_g
+          |      FROM dc GROUP BY 1, 2),
+          |a AS (SELECT event_type, sum((s_g * s_g) // n_g) AS a FROM g GROUP BY 1),
+          |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |             sum(CAST(y AS HUGEINT)) AS s,
+          |             sum(CAST(y AS HUGEINT) * y) AS c
+          |      FROM dc GROUP BY 1)
+          |SELECT t.event_type, n_days,
+          |       CAST(CASE WHEN c > (s * s) // n_days
+          |                 THEN ((a.a - (s * s) // n_days) * 1000000)
+          |                      // (c - (s * s) // n_days) END AS BIGINT)
+          |         AS strength_ppm
+          |FROM t JOIN a ON t.event_type = a.event_type""".stripMargin)),
+
+    QueryDef("q294_audio_fingerprint", (s, d) => {
+      // audio near-dup by frame-energy fingerprint: per doc a REAL 16-bit
+      // WAV (javax.sound encode+decode) whose samples derive from doc_id
+      // arithmetic (30 shared motifs; every 4th doc corrupts sample 0);
+      // four exact frame-energy bands are both signature and LSH unit,
+      // pairs survive on >= 3 agreeing bands — one corrupted frame
+      // tolerated with pigeonhole-exact recall
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val clips = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val key = (id % 30).toInt
+          val samples = Array.tabulate(400) { t =>
+            val base = (t * (key * 7 + 13)) % 2001 - 1000
+            val v = if (id % 4 == 0 && t == 0) base + 137 else base
+            v.toShort
+          }
+          (id, Multimodal.encodeWav(8000, 1, samples))
+        }).toDF("doc_id", "media")
+      Multimodal.bandedNearDupPairs(
+        Multimodal.audioFingerprints(clips, frameLen = 100).toDF(),
+        minSharedBands = 3)
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 30 AS BIGINT) AS key,
+        |                  (doc_id % 4 = 0) AS noisy
+        |           FROM documents),
+        |sm AS (SELECT doc_id, t.t AS t,
+        |              abs(CASE WHEN noisy AND t.t = 0
+        |                       THEN (t.t * (key * 7 + 13)) % 2001 - 1000 + 137
+        |                       ELSE (t.t * (key * 7 + 13)) % 2001 - 1000 END) AS a
+        |       FROM d, (SELECT unnest(generate_series(0, 399)) AS t) t),
+        |fr AS (SELECT doc_id, t // 100 AS f,
+        |              CAST(sum(a) % 65536 AS INTEGER) AS b
+        |       FROM sm GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |             max(CASE WHEN f = 0 THEN b END) AS b0,
+        |             max(CASE WHEN f = 1 THEN b END) AS b1,
+        |             max(CASE WHEN f = 2 THEN b END) AS b2,
+        |             max(CASE WHEN f = 3 THEN b END) AS b3
+        |      FROM fr GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |                b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+        |         FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+        |sh AS (SELECT id_a, id_b,
+        |              CAST((CASE WHEN a0 = c0 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN a1 = c1 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN a2 = c2 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN a3 = c3 THEN 1 ELSE 0 END) AS INTEGER)
+        |                AS n_shared_bands
+        |       FROM cand)
+        |SELECT id_a, id_b, n_shared_bands FROM sh WHERE n_shared_bands >= 3""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -569,6 +569,84 @@ class InferenceSpec extends AnyFunSuite {
     assert(rel.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  // ---- diffInDiff / minDetectableEffect / seasonality ----
+
+  test("diffInDiff: hand 2x2 — the control trend nets out") {
+    // control: 100 -> 120 (trend +20); treated: 200 -> 250 -> DiD = +30
+    val rows = Seq((100L, false, false), (120L, false, true),
+      (200L, true, false), (250L, true, true))
+    val r = Inference.diffInDiff(rows.toDF("v", "t", "p"),
+      col("v"), col("t"), col("p")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((100000L, 120000L, 200000L, 250000L, 30000L)))
+  }
+
+  test("minDetectableEffect: textbook variance and the z-scaled interval") {
+    // values 10,20,30: var = 100, n = 3
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 30L)).toDF("grp", "v")
+    val r = Inference.minDetectableEffect(df, Seq("grp"), col("v")).collect()(0)
+    assert(r.getAs[Double]("variance") === 100.0)
+    val zSum = (Inference.Z975Micro + Inference.Z80Micro).toDouble / 1e6
+    assert(math.abs(r.getAs[Double]("mde") -
+      zSum * math.sqrt(2.0 * 100.0 / 3.0)) < 1e-12)
+    // a single-row group has no variance and is excluded
+    val single = Seq(("s", 5L)).toDF("grp", "v")
+    assert(Inference.minDetectableEffect(single, Seq("grp"), col("v")).count() === 0L)
+  }
+
+  test("weeklySeasonalityStrength: pure weekly pattern ~1e6, constant -> NULL") {
+    val pure = (0L until 28L).map(day => ("g", day, (day % 7) * 100L + 100L))
+    val r1 = graft.pipeline.Stats.weeklySeasonalityStrength(
+      pure.toDF("grp", "day", "v"), Seq("grp"), col("day"), col("v"))
+      .collect()(0)
+    assert(r1.getAs[Long]("strength_ppm") >= 999000L) // truncation slack only
+    val const = (0L until 28L).map(day => ("c", day, 500L))
+    val r2 = graft.pipeline.Stats.weeklySeasonalityStrength(
+      const.toDF("grp", "day", "v"), Seq("grp"), col("day"), col("v"))
+      .collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("strength_ppm")))
+    // a pattern ignoring the week scores lower than the pure-weekly one
+    val drift = (0L until 28L).map(day => ("d", day, day * 100L))
+    val r3 = graft.pipeline.Stats.weeklySeasonalityStrength(
+      drift.toDF("grp", "day", "v"), Seq("grp"), col("day"), col("v"))
+      .collect()(0)
+    assert(r3.getAs[Long]("strength_ppm") < r1.getAs[Long]("strength_ppm"))
+  }
+
+  // ---- audio fingerprint ----
+
+  test("audioFingerprint: bands match direct frame energies; shared-band dedup") {
+    implicit val sp = spark
+    import sp.implicits._
+    def clip(key: Int, corrupt: Boolean): Array[Byte] = {
+      val samples = Array.tabulate(400) { t =>
+        val base = (t * (key * 7 + 13)) % 2001 - 1000
+        (if (corrupt && t == 0) base + 137 else base).toShort
+      }
+      graft.pipeline.Multimodal.encodeWav(8000, 1, samples)
+    }
+    val fp = graft.pipeline.Multimodal.audioFingerprint(1L, clip(5, corrupt = false), 100)
+    val want = (0 until 4).map { f =>
+      ((f * 100 until (f + 1) * 100).map(t =>
+        math.abs((t * (5 * 7 + 13)) % 2001 - 1000).toLong).sum % 65536L).toInt
+    }
+    assert((fp.b0, fp.b1, fp.b2, fp.b3) === ((want(0), want(1), want(2), want(3))))
+    // corrupting ONE sample changes only frame 0's band -> 3 shared bands
+    val media = Seq((1L, clip(5, corrupt = false)), (2L, clip(5, corrupt = true)),
+      (3L, clip(9, corrupt = false)))
+      .toDF("doc_id", "media")
+    val pairs = graft.pipeline.Multimodal.bandedNearDupPairs(
+      graft.pipeline.Multimodal.audioFingerprints(media, 100).toDF(),
+      minSharedBands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3)))
+    // a 2-of-4 pair fails minSharedBands = 3
+    val far = Seq((1L, 10, 20, 30, 40), (2L, 10, 20, 99, 98))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    assert(graft.pipeline.Multimodal.bandedNearDupPairs(far, 3).count() === 0L)
+    assert(graft.pipeline.Multimodal.bandedNearDupPairs(far, 2).count() === 1L)
+  }
+
   // ---- markovRemovalEffect ----
 
   test("markovRemovalEffect: hand chain — the only converting channel takes all credit") {
