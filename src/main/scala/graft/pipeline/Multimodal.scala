@@ -101,6 +101,34 @@ object Multimodal {
     */
   final case class DHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
+  /** The 64 gradient bits of one 9x8 raster as four 16-bit bands (the
+    * shared kernel of [[dhash]] and [[frameDhashes]]).
+    */
+  private def dhashBands(id: Long, img: java.awt.image.BufferedImage): Array[Int] = {
+    require(img.getWidth == 9 && img.getHeight == 8,
+      s"dhash expects a 9x8 raster, got ${img.getWidth}x${img.getHeight} " +
+        s"for doc $id — resize first")
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+    val bands = new Array[Int](4)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) {
+          val i = y * 8 + x
+          bands(i / 16) |= 1 << (i % 16)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bands
+  }
+
   def dhash(id: Long, bytes: Array[Byte]): DHashRow = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -110,31 +138,68 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(iis)
-        val img = reader.read(0)
-        require(img.getWidth == 9 && img.getHeight == 8,
-          s"dhash expects a 9x8 raster, got ${img.getWidth}x${img.getHeight} " +
-            s"for doc $id — resize first")
-        def gray(x: Int, y: Int): Int = {
-          val rgb = img.getRGB(x, y)
-          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-        }
-        val bands = new Array[Int](4)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (gray(x + 1, y) > gray(x, y)) {
-              val i = y * 8 + x
-              bands(i / 16) |= 1 << (i % 16)
-            }
-            x += 1
-          }
-          y += 1
-        }
+        val bands = dhashBands(id, reader.read(0))
         DHashRow(id, bands(0), bands(1), bands(2), bands(3))
       } finally reader.dispose()
     } finally iis.close()
+  }
+
+  /** Per-frame dHash of a multi-frame (GIF) container — REAL frame decode
+    * through the [[decodeFrames]] reader walk, each 9x8 frame hashed with
+    * the shared [[dhashBands]] kernel. The frame-hash SET is a video's
+    * content signature for [[videoNearDupPairs]].
+    */
+  final case class FrameHashRow(doc_id: Long, frame_idx: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def frameDhashes(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[FrameHashRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no image reader recognizes payload of doc $id")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            require(reader.getFormatName.equalsIgnoreCase("gif"),
+              s"doc $id: ${reader.getFormatName} is not a multi-frame container the JDK decodes")
+            (0 until reader.getNumImages(true)).map { f =>
+              val b = dhashBands(id, reader.read(f))
+              FrameHashRow(id, f, b(0), b(1), b(2), b(3))
+            }
+          } finally reader.dispose()
+        } finally iis.close()
+      })
+  }
+
+  /** Near-duplicate VIDEOS by shared frame hashes: two containers match
+    * when at least `minSharedHashes` DISTINCT frame fingerprints coincide
+    * exactly — re-encoded/trimmed copies keep most frame hashes while
+    * frame order, count, and padding may differ (which is why the
+    * signature is a SET, not a sequence). The equi-join shuffles on the
+    * full 64-bit hash (uniform keys); a hash shared by many videos is the
+    * hot-key to watch — bound it upstream like minhash's empty-shingle
+    * guard if a black-frame hash dominates a corpus.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame,
+      minSharedHashes: Int = 2): DataFrame = {
+    require(minSharedHashes >= 1, s"minSharedHashes: $minSharedHashes")
+    val h = frameHashes.select(col("doc_id"), col("b0"), col("b1"),
+      col("b2"), col("b3")).distinct().localCheckpoint(false)
+    val l = h.select(col("doc_id").as("id_a"), col("b0"), col("b1"),
+      col("b2"), col("b3"))
+    val r = h.select(col("doc_id").as("id_b"), col("b0"), col("b1"),
+      col("b2"), col("b3"))
+    l.join(r, Seq("b0", "b1", "b2", "b3"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_hashes"))
+      .filter(col("n_shared_hashes") >= minSharedHashes)
   }
 
   /** Batched [[dhash]] over a media table (doc_id, media) — the

@@ -1211,6 +1211,72 @@ object InferenceQueries extends QuerySet {
         |       FROM cand)
         |SELECT id_a, id_b, n_shared_bands FROM sh WHERE n_shared_bands >= 3""".stripMargin)),
 
+    QueryDef("q295_video_neardup", (s, d) => {
+      // near-duplicate VIDEOS by shared frame fingerprints: per doc a REAL
+      // 3-frame 9x8 animated GIF (25 shared motifs; every 6th doc corrupts
+      // one pixel of frame 1), frames decoded back through imageio into
+      // per-frame dHashes, videos matched on >= 2 identical frame hashes
+      // — trimmed/retouched copies still match through their unchanged
+      // frames. The oracle re-derives every frame's gradient bits from
+      // doc_id arithmetic.
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val vids = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          val key = (id % 25).toInt
+          (id, Multimodal.encodeGif(9, 8, 3, (f, x, y) => {
+            // the frame term must be SPATIAL (f*x*19): a constant
+            // per-frame offset would leave every gradient — and so every
+            // frame hash — identical across frames
+            val base = (x * 17 + y * 29 + (x * y % 7) * 41 + key * 53 + f * x * 19) % 256
+            val g = if (id % 6 == 0 && f == 1 && x == 0 && y == 0)
+              (base + 128) % 256 else base
+            (g, g, g)
+          }))
+        }).toDF("doc_id", "media")
+      Multimodal.videoNearDupPairs(
+        Multimodal.frameDhashes(vids).toDF(), minSharedHashes = 2)
+    }, Some(
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(doc_id % 25 AS INTEGER) AS key,
+        |                  (doc_id % 6 = 0) AS noisy
+        |           FROM documents),
+        |bits AS (
+        |  SELECT doc_id, f.f AS f, i.i AS i,
+        |         CASE WHEN
+        |           ((i.i % 8 + 1) * 17 + (i.i // 8) * 29
+        |              + (((i.i % 8 + 1) * (i.i // 8)) % 7) * 41 + key * 53
+        |              + f.f * (i.i % 8 + 1) * 19) % 256
+        |           >
+        |           (CASE WHEN noisy AND f.f = 1 AND (i.i % 8) = 0 AND (i.i // 8) = 0
+        |                 THEN (((i.i % 8) * 17 + (i.i // 8) * 29
+        |                         + (((i.i % 8) * (i.i // 8)) % 7) * 41 + key * 53
+        |                         + f.f * (i.i % 8) * 19) % 256
+        |                       + 128) % 256
+        |                 ELSE ((i.i % 8) * 17 + (i.i // 8) * 29
+        |                         + (((i.i % 8) * (i.i // 8)) % 7) * 41 + key * 53
+        |                         + f.f * (i.i % 8) * 19) % 256
+        |            END)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM d, (SELECT unnest(generate_series(0, 2)) AS f) f,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |bands AS (SELECT doc_id, f, i // 16 AS band,
+        |                 CAST(sum(bit << (i % 16)) AS INTEGER) AS bv
+        |          FROM bits GROUP BY 1, 2, 3),
+        |h AS (SELECT DISTINCT doc_id,
+        |             max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |             max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |             max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |             max(CASE WHEN band = 3 THEN bv END) AS b3
+        |      FROM bands GROUP BY doc_id, f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_hashes
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  AND a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

@@ -647,6 +647,45 @@ class InferenceSpec extends AnyFunSuite {
     assert(graft.pipeline.Multimodal.bandedNearDupPairs(far, 2).count() === 1L)
   }
 
+  // ---- video frame-hash near-dup ----
+
+  test("videoNearDupPairs: one corrupted frame still matches on the other two") {
+    implicit val sp = spark
+    import sp.implicits._
+    def gif(key: Int, corruptFrame: Option[Int]): Array[Byte] =
+      graft.pipeline.Multimodal.encodeGif(9, 8, 3, (f, x, y) => {
+        val base = (x * 17 + y * 29 + (x * y % 7) * 41 + key * 53 + f * x * 19) % 256
+        val g = if (corruptFrame.contains(f) && x == 0 && y == 0)
+          (base + 128) % 256 else base
+        (g, g, g)
+      })
+    // key = 1 keeps gray(0,0) < 128 on every frame, so the +128 pixel
+    // corruption provably FLIPS gradient bit 0 (no mod-256 wraparound)
+    val vids = Seq(
+      (1L, gif(1, None)), (2L, gif(1, Some(1))), // share frames 0 and 2
+      (3L, gif(1, Some(0))), // shares frames 1, 2 with v1; 2 with v2
+      (4L, gif(7, None))) // distinct motif
+      .toDF("doc_id", "media")
+    val hashes = graft.pipeline.Multimodal.frameDhashes(vids).toDF()
+    assert(hashes.count() === 12L) // 4 videos x 3 REAL decoded frames
+    val pairs = graft.pipeline.Multimodal.videoNearDupPairs(hashes, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 2L) // frames 0, 2 intact
+    assert(pairs((1L, 3L)) === 2L) // frames 1, 2 intact
+    assert(!pairs.contains((2L, 3L))) // only frame 2 survives both corruptions
+    assert(!pairs.keys.exists(p => p._1 === 4L || p._2 === 4L))
+    // duplicate frames inside one video count once (SET semantics)
+    val still = Seq((5L, graft.pipeline.Multimodal.encodeGif(9, 8, 3,
+      (_, x, y) => { val g = (x * 13 + y * 7) % 256; (g, g, g) })),
+      (6L, graft.pipeline.Multimodal.encodeGif(9, 8, 1,
+        (_, x, y) => { val g = (x * 13 + y * 7) % 256; (g, g, g) })))
+      .toDF("doc_id", "media")
+    val sp2 = graft.pipeline.Multimodal.videoNearDupPairs(
+      graft.pipeline.Multimodal.frameDhashes(still).toDF(), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sp2.toSeq === Seq((5L, 6L, 1L)))
+  }
+
   // ---- markovRemovalEffect ----
 
   test("markovRemovalEffect: hand chain — the only converting channel takes all credit") {
