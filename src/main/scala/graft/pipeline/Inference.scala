@@ -347,6 +347,90 @@ object Inference {
         (col("adj_mean_b") - col("adj_mean_a")).as("adj_diff"))
   }
 
+  /** Exact ROC-AUC in ppm via the Mann-Whitney identity
+    * `AUC = U_pos / (n_pos * n_neg)` — ties counted half, which is
+    * exactly what the doubled-rank `u2` gives:
+    * `auc_ppm = u2_pos * 1e6 div (2 * n_pos * n_neg)`. Rides the same
+    * guarded distinct-SCORE rollup as [[mannWhitney]], so a 100 TB score
+    * column evaluates through one partial-agg shuffle + a bounded window
+    * (bin continuous scores to fixed-point first — which classifier
+    * scores should be anyway). One row: (n_neg, n_pos, auc_ppm).
+    */
+  def aucPpm(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame =
+    mannWhitney(df, scoreCol, labelCol, maxDistinct)
+      .select(col("n_a").as("n_neg"), col("n_b").as("n_pos"),
+        call_function("div",
+          (lit(2L) * dec(col("n_a")) * col("n_b") - col("u2_a")) * 1000000L,
+          lit(2L) * dec(col("n_a")) * col("n_b")).cast("long").as("auc_ppm"))
+
+  /** Reliability (calibration) table + Brier score for integer-milli
+    * predicted probabilities: per probability bucket, predicted vs
+    * empirical rate in exact ppm; the one-row Brier in exact micro units
+    * rides the same rollup (`sum((p_milli - y*1000)^2) div n` — the mean
+    * squared gap between claimed probability and outcome). The
+    * well-calibrated diagonal is the audit every probabilistic labeler
+    * (kNN votes, smoothed rates, LM confidences) owes its consumers.
+    */
+  def reliability(df: DataFrame, probMilliCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.filter(probMilliCol.isNotNull && labelCol.isNotNull)
+      .select(probMilliCol.cast("long").as("__p"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    base.groupBy(call_function("div", col("__p"), lit(100L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        call_function("div", sum(col("__p")) * 1000L, count(lit(1)))
+          .as("mean_pred_ppm"),
+        call_function("div", sum(col("__y")) * 1000000L, count(lit(1)))
+          .as("empirical_ppm"),
+        sum((col("__p") - col("__y") * 1000L) * (col("__p") - col("__y") * 1000L))
+          .as("__sq"))
+      .withColumn("brier_bucket_micro",
+        call_function("div", col("__sq"), col("n")))
+      .drop("__sq")
+  }
+
+  /** Cumulative gains table over score deciles: rank rows by a model
+    * score (descending — decile 1 is the model's best), report per decile
+    * the cumulative share of all positives captured, in exact ppm — the
+    * "how deep must the campaign dial to reach X% of responders" readout,
+    * with lift = gain relative to the random diagonal. Deciles come from
+    * the [[graft.operators.Ranking.valueRanks]] rollup (never a raw-row
+    * ntile): a row's decile is `(10 * (rnk_desc - 1)) div n + 1` computed
+    * from the per-distinct-score rank, ties sharing one decile boundary
+    * decision deterministically.
+    */
+  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val base = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.as("__s"), when(labelCol, 1L).otherwise(0L).as("__y"))
+    // per distinct score: counts + positives; rank DESC = rank over -score
+    val rolled = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val byVal = Window.orderBy(col("__s").desc)
+    val guard = when(row_number().over(byVal) > maxDistinct,
+      raise_error(lit(s"gainsTable exceeded $maxDistinct distinct scores — " +
+        "bin the score to fixed-point first")).cast("long")).otherwise(lit(0L))
+    val cum = rolled
+      .withColumn("__cum", sum(col("__n")).over(byVal) + guard)
+      .withColumn("__rnk", col("__cum") - col("__n") + 1L)
+    val totals = cum.agg(max(col("__cum")).as("__tot"),
+      sum(col("__pos")).as("__totpos"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("decile",
+        (call_function("div", lit(10L) * (col("__rnk") - 1L), col("__tot")) + 1L))
+      .groupBy(col("decile"))
+      .agg(sum(col("__n")).as("n"), sum(col("__pos")).as("n_pos"),
+        max(col("__totpos")).as("__tp"))
+      .withColumn("__cumpos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_gain_ppm",
+        when(col("__tp") > 0L,
+          call_function("div", col("__cumpos") * 1000000L, col("__tp"))))
+      .drop("__tp", "__cumpos")
+  }
+
   /** Difference-in-differences readout: the 2x2 (treated, post) milli-mean
     * table and `DiD = (T_post - T_pre) - (C_post - C_pre)` — the causal
     * estimate when treatment lands at a known time and the control trend

@@ -1277,6 +1277,96 @@ object InferenceQueries extends QuerySet {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin)),
 
+    QueryDef("q296_auc", (s, d) =>
+      // exact ROC-AUC via the Mann-Whitney identity: does order value
+      // predict fulfillment? Ties counted half through the doubled-rank
+      // U, one ppm division — no trapezoids, no float rank sums
+      Inference.aucPpm(table(s, d, "orders"),
+        Features.cents(col("o_totalprice")), col("o_orderstatus") === "F"),
+      Some(
+        s"""WITH v AS (
+           |  SELECT ${centsSql("o_totalprice")} AS v, (o_orderstatus = 'F') AS b
+           |  FROM orders),
+           |r AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+           |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+           |      FROM v GROUP BY v),
+           |c AS (SELECT v, cnt_a, cnt_b,
+           |             sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+           |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r),
+           |a AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b,
+           |             sum(CAST(cnt_a AS HUGEINT) *
+           |                 ((cum_a + cum_b - cnt_a - cnt_b) * 2 + cnt_a + cnt_b + 1))
+           |               AS r2_a
+           |      FROM c),
+           |u AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |             CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a
+           |      FROM a)
+           |SELECT n_a AS n_neg, n_b AS n_pos,
+           |       CAST((2 * CAST(n_a AS HUGEINT) * n_b - u2_a) * 1000000
+           |            // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS auc_ppm
+           |FROM u""".stripMargin)),
+
+    QueryDef("q297_reliability", (s, d) => {
+      // calibration audit of the q287 empirical-Bayes rates used AS
+      // per-order fulfillment probabilities: per probability bucket the
+      // claimed vs empirical rate in exact ppm, plus the bucket Brier in
+      // exact micro — smoothed rates should hug the diagonal
+      val preds = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("succ"))
+        .withColumn("p_milli",
+          expr("(succ + 30) * 1000 div (n + 100)"))
+      val scored = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(preds.select(col("c_nationkey"), col("p_milli"))),
+          Seq("c_nationkey"))
+      Inference.reliability(scored, col("p_milli"), col("o_orderstatus") === "F")
+    }, Some(
+      """WITH j AS (SELECT c_nationkey, o_orderstatus FROM orders
+        |           JOIN customer ON c_custkey = o_custkey),
+        |p AS (SELECT c_nationkey,
+        |             (sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 30)
+        |               * 1000 // (count(*) + 100) AS p_milli
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT p.p_milli AS pm,
+        |             CASE WHEN j.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |      FROM j JOIN p USING (c_nationkey))
+        |SELECT pm // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(pm) * 1000 // count(*) AS BIGINT) AS mean_pred_ppm,
+        |       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS empirical_ppm,
+        |       CAST(sum((pm - y * 1000) * (pm - y * 1000)) // count(*) AS BIGINT)
+        |         AS brier_bucket_micro
+        |FROM b GROUP BY 1""".stripMargin)),
+
+    QueryDef("q298_gains_table", (s, d) =>
+      // campaign-depth planning: rank orders by value (the model score),
+      // report each decile's cumulative share of fulfillments captured —
+      // exact ppm, deciles from the distinct-score rollup, never a
+      // raw-row ntile
+      Inference.gainsTable(table(s, d, "orders"),
+        Features.cents(col("o_totalprice")), col("o_orderstatus") === "F"),
+      Some(
+        s"""WITH v AS (
+           |  SELECT ${centsSql("o_totalprice")} AS sc,
+           |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           |  FROM orders),
+           |r AS (SELECT sc, count(*) AS n, sum(y) AS pos FROM v GROUP BY sc),
+           |c AS (SELECT sc, n, pos,
+           |             sum(n) OVER (ORDER BY sc DESC) AS cum FROM r),
+           |t AS (SELECT max(cum) AS tot, sum(pos) AS totpos FROM c),
+           |dd AS (SELECT (10 * (cum - n + 1 - 1)) // tot + 1 AS decile, n, pos
+           |       FROM c, t),
+           |g AS (SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+           |             CAST(sum(pos) AS BIGINT) AS n_pos
+           |      FROM dd GROUP BY 1)
+           |SELECT decile, n, n_pos,
+           |       CAST(sum(n_pos) OVER (ORDER BY decile
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+           |            // (SELECT totpos FROM t) AS BIGINT) AS cum_gain_ppm
+           |FROM g""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

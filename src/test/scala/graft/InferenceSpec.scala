@@ -265,6 +265,51 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- classifier evaluation: AUC, reliability, gains ----
+
+  test("aucPpm: perfect separation is 1e6, reversed is 0, random-ish is 500000") {
+    val perfect = (Seq(1L, 2L, 3L).map((_, false)) ++ Seq(4L, 5L).map((_, true)))
+      .toDF("s", "y")
+    assert(Inference.aucPpm(perfect, col("s"), col("y"))
+      .collect()(0).getAs[Long]("auc_ppm") === 1000000L)
+    val reversed = (Seq(4L, 5L).map((_, false)) ++ Seq(1L, 2L).map((_, true)))
+      .toDF("s", "y")
+    assert(Inference.aucPpm(reversed, col("s"), col("y"))
+      .collect()(0).getAs[Long]("auc_ppm") === 0L)
+    // all scores tied: every pair counts half -> exactly 0.5
+    val tied = (Seq(7L, 7L).map((_, false)) ++ Seq(7L, 7L, 7L).map((_, true)))
+      .toDF("s", "y")
+    assert(Inference.aucPpm(tied, col("s"), col("y"))
+      .collect()(0).getAs[Long]("auc_ppm") === 500000L)
+  }
+
+  test("reliability: a perfectly calibrated bucket sits on the diagonal") {
+    // 10 rows claiming 300 milli, exactly 3 positive -> empirical 300000
+    // ppm, Brier = (7*(300)^2 + 3*(700)^2) / 10 = 210000 micro
+    val rows = Seq.fill(7)((300L, false)) ++ Seq.fill(3)((300L, true))
+    val r = Inference.reliability(rows.toDF("p", "y"), col("p"), col("y"))
+      .collect()(0)
+    assert(r.getAs[Long]("bucket") === 3L && r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("mean_pred_ppm") === 300000L)
+    assert(r.getAs[Long]("empirical_ppm") === 300000L)
+    assert(r.getAs[Long]("brier_bucket_micro") ===
+      (7L * 300 * 300 + 3L * 700 * 700) / 10L)
+  }
+
+  test("gainsTable: positives concentrated at the top reach 1e6 by their decile") {
+    // 100 rows, scores 100..1 descending rank; all 10 positives in the
+    // top 10 scores -> decile 1 captures 100% of positives
+    val rows = (1L to 100L).map(i => (101L - i, i <= 10))
+    val out = Inference.gainsTable(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy("decile").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("cum_gain_ppm")))
+    assert(out.length === 10)
+    assert(out.head === ((1L, 10L, 10L, 1000000L)))
+    assert(out.forall(_._4 === 1000000L)) // cumulative stays at 100%
+    assert(out.map(_._2).sum === 100L)
+  }
+
   // ---- conformalInterval ----
 
   test("conformalInterval: conformal rank cut and exact coverage audit") {
