@@ -228,6 +228,55 @@ object EventAnalytics {
         sum(expr("__wsum * 1000000 div __tot")).as("decay_micro"))
   }
 
+  /** Position-based (U-shaped) attribution — the fifth model of the
+    * family: the first and last touches each take `endMilli` of the
+    * credit, interior touches split the remainder evenly (40/20/40 at the
+    * default). Degenerate journeys keep the unit sum exact: a single
+    * touch takes 1000; a two-touch journey splits end credit only
+    * (`endMilli` each + the interior remainder split across the two ends'
+    * div — here the whole remainder goes to the FIRST touch, the
+    * deterministic convention an oracle replays). Same join/window shape
+    * as [[attribution]].
+    */
+  def positionBasedAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int, endMilli: Long = 400L,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "positionBasedAttribution needs touch types")
+    require(!touchTypes.contains(conversionType),
+      s"'$conversionType' cannot be both conversion and touch")
+    require(lookbackDays >= 1, s"lookbackDays: $lookbackDays")
+    require(endMilli >= 0 && endMilli * 2 <= 1000L, s"endMilli: $endMilli")
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(idCol).as("__conv"),
+        col(tsCol).as("__cts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("touch"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+    val joined = touches.join(convs, Seq("__u"))
+      .filter(col("__ts") < col("__cts") &&
+        col("__ts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__conv"))
+    val fw = byConv.orderBy(col("__ts").asc, col("__id").asc)
+    val lw = byConv.orderBy(col("__ts").desc, col("__id").desc)
+    val mid = lit(1000L) - lit(2L) * endMilli
+    val w = joined
+      .withColumn("__rf", row_number().over(fw))
+      .withColumn("__rl", row_number().over(lw))
+      .withColumn("__total", count(lit(1)).over(byConv))
+      .withColumn("__credit",
+        when(col("__total") === 1L, lit(1000L))
+          .when(col("__total") === 2L,
+            // two touches: ends take endMilli each, the interior share
+            // lands on the FIRST touch (deterministic remainder home)
+            when(col("__rf") === 1L, lit(endMilli) + mid).otherwise(lit(endMilli)))
+          .when(col("__rf") === 1L || col("__rl") === 1L, lit(endMilli))
+          .otherwise(call_function("div", mid, col("__total") - 2L)))
+    w.groupBy(col("touch").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit")).as("position_milli"))
+  }
+
   /** Markov-chain (removal-effect) attribution — the data-driven model
     * beside the heuristic four ([[attribution]], [[timeDecayAttribution]]):
     * user journeys become a first-order chain over

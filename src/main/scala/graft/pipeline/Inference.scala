@@ -513,6 +513,32 @@ object Inference {
           col("n") + priorA + priorB))
   }
 
+  /** Restricted mean survival time from a [[kaplanMeier]] curve: the area
+    * under the step function up to `horizonDays`, in exact ppm-day units
+    * — "expected retained days per user within the first h days", the
+    * scalar the KM curve is usually consumed as. Pure integer step
+    * geometry over the calendar-bounded curve rows (window + one-row
+    * tail); `rmst_ppm_days / 1e6` is the mean in days. One row.
+    */
+  def rmst(km: DataFrame, horizonDays: Long): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays: $horizonDays")
+    val w = Window.orderBy(col("duration").asc)
+    val r = km.select(col("duration"), col("surv_ppm"))
+      .withColumn("s_prev", lag(col("surv_ppm"), 1, 1000000L).over(w))
+      .withColumn("t_prev", lag(col("duration"), 1, 0L).over(w))
+    val head = r.filter(col("t_prev") < horizonDays)
+      .agg(coalesce(sum(col("s_prev") *
+        (least(col("duration"), lit(horizonDays)) - col("t_prev"))), lit(0L))
+        .as("head"))
+    val tail = km.orderBy(col("duration").desc).limit(1)
+      .select(when(col("duration") < horizonDays,
+        col("surv_ppm") * (lit(horizonDays) - col("duration")))
+        .otherwise(0L).as("tail"))
+    head.crossJoin(broadcast(tail))
+      .select(lit(horizonDays).as("horizon_days"),
+        (col("head") + col("tail")).as("rmst_ppm_days"))
+  }
+
   /** Poisson(1) CDF thresholds in ppm (e^-1-derived FIXED public
     * constants, the Benford discipline — no engine's libm in the hash
     * path): u_ppm < t(k) assigns bootstrap weight k.

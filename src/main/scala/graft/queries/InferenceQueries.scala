@@ -253,26 +253,33 @@ object InferenceQueries extends QuerySet {
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
     QueryDef("q269_kaplan_meier", (s, d) => {
-      // Kaplan-Meier user-retention curve: lifetime = days between a
-      // user's first and last event; users still active in the final week
-      // of the observation window are right-censored. Survival in
+      // Kaplan-Meier order-fulfillment curve: time-to-complete = days
+      // from order date to the last line shipment (clipped at 0 — the
+      // synthetic dates are decoupled); open/partial orders ('O'/'P')
+      // are right-censored at their last observed shipment. Survival in
       // truncated micro-units via the stepwise integer fold the oracle
-      // replays with a recursive CTE.
-      val e = events(s, d)
-      val byUser = e.groupBy(col("user_id"))
-        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-      val gmax = e.agg(max(col("ts")).as("gm"))
-      val subj = byUser.crossJoin(broadcast(gmax))
-        .select(datediff(to_date(col("t1")), to_date(col("t0"))).as("dur"),
-          (col("t1") >= col("gm") - expr("INTERVAL 7 DAY")).as("cens"))
+      // replays with a recursive CTE. (User-lifetime KM over `events` is
+      // degenerate here: the 30-day window has no churn, every user is
+      // censored — orders carry REAL deaths and censoring.)
+      val subj = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(greatest(lit(0L),
+          datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .cast("long")).as("dur"),
+          (col("o_orderstatus") =!= "F").as("cens"))
       Inference.kaplanMeier(subj, col("dur"), col("cens"))
     }, Some(
-      """WITH RECURSIVE u AS (
-        |  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
-        |g AS (SELECT max(ts) AS gm FROM events),
-        |s0 AS (SELECT date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS dur,
-        |              (t1 >= gm - INTERVAL 7 DAY) AS cens
-        |       FROM u, g),
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |s0 AS (SELECT greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+        |                                    CAST(last_ship AS DATE))) AS dur,
+        |              (o_orderstatus <> 'F') AS cens
+        |       FROM o),
         |dr AS (SELECT dur, count(*) AS n_exit,
         |              sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS deaths
         |       FROM s0 GROUP BY 1),
@@ -1366,6 +1373,96 @@ object InferenceQueries extends QuerySet {
            |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
            |            // (SELECT totpos FROM t) AS BIGINT) AS cum_gain_ppm
            |FROM g""".stripMargin)),
+
+    QueryDef("q299_position_attribution", (s, d) =>
+      // the fifth attribution model (position-based / U-shaped 40-20-40):
+      // first and last touches take 400 milli each, interior touches
+      // split the middle — exact integer credit with the deterministic
+      // degenerate-journey conventions the oracle replays
+      graft.operators.EventAnalytics.positionBasedAttribution(events(s, d),
+        conversionType = "purchase", touchTypes = Seq("view", "click", "signup"),
+        lookbackDays = 3),
+      Some(
+        """WITH convs AS (
+          |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+          |  FROM events WHERE event_type = 'purchase'),
+          |t AS (
+          |  SELECT e.event_type AS touch, e.ts, e.event_id, c.conv_id
+          |  FROM events e JOIN convs c ON e.user_id = c.user_id
+          |   AND e.ts < c.conv_ts AND e.ts >= c.conv_ts - INTERVAL 3 DAY
+          |  WHERE e.event_type IN ('view', 'click', 'signup')),
+          |w AS (
+          |  SELECT touch, conv_id,
+          |         row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rf,
+          |         row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, event_id DESC) AS rl,
+          |         count(*) OVER (PARTITION BY conv_id) AS total
+          |  FROM t),
+          |cr AS (
+          |  SELECT touch,
+          |         CASE WHEN total = 1 THEN 1000
+          |              WHEN total = 2 AND rf = 1 THEN 400 + 200
+          |              WHEN total = 2 THEN 400
+          |              WHEN rf = 1 OR rl = 1 THEN 400
+          |              ELSE 200 // (total - 2) END AS credit
+          |  FROM w)
+          |SELECT touch AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+          |       CAST(sum(credit) AS BIGINT) AS position_milli
+          |FROM cr GROUP BY 1""".stripMargin)),
+
+    QueryDef("q300_rmst", (s, d) => {
+      // restricted mean survival time over the q269 fulfillment curve:
+      // expected days an order stays open within its first year, in
+      // exact ppm-days — the scalar the KM curve is consumed as
+      val subj = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(greatest(lit(0L),
+          datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .cast("long")).as("dur"),
+          (col("o_orderstatus") =!= "F").as("cens"))
+      Inference.rmst(
+        Inference.kaplanMeier(subj, col("dur"), col("cens")), horizonDays = 365L)
+    }, Some(
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |s0 AS (SELECT greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+        |                                    CAST(last_ship AS DATE))) AS dur,
+        |              (o_orderstatus <> 'F') AS cens
+        |       FROM o),
+        |dr AS (SELECT dur, count(*) AS n_exit,
+        |              sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS deaths
+        |       FROM s0 GROUP BY 1),
+        |c AS (SELECT dur, deaths,
+        |             (SELECT sum(n_exit) FROM dr)
+        |               - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS at_risk
+        |      FROM dr),
+        |st AS (SELECT row_number() OVER (ORDER BY dur) AS rn, dur, at_risk, deaths
+        |       FROM c WHERE deaths > 0),
+        |km AS (
+        |  SELECT rn, dur, at_risk, deaths,
+        |         (1000000 * (at_risk - deaths)) // at_risk AS surv
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT st.rn, st.dur, st.at_risk, st.deaths,
+        |         (km.surv * (st.at_risk - st.deaths)) // st.at_risk
+        |  FROM st JOIN km ON st.rn = km.rn + 1),
+        |r AS (SELECT dur, surv,
+        |             lag(surv, 1, 1000000) OVER (ORDER BY dur) AS s_prev,
+        |             lag(dur, 1, 0) OVER (ORDER BY dur) AS t_prev
+        |      FROM km),
+        |h AS (SELECT coalesce(sum(s_prev * (least(dur, 365) - t_prev)), 0) AS head
+        |      FROM r WHERE t_prev < 365),
+        |tl AS (SELECT CASE WHEN dur < 365 THEN surv * (365 - dur) ELSE 0 END AS tail
+        |       FROM km ORDER BY dur DESC LIMIT 1)
+        |SELECT CAST(365 AS BIGINT) AS horizon_days,
+        |       CAST(h.head + tl.tail AS BIGINT) AS rmst_ppm_days
+        |FROM h, tl""".stripMargin)),
 
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose

@@ -209,6 +209,52 @@ class InferenceSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 500000L)))
   }
 
+  // ---- rmst ----
+
+  test("rmst: step-function area with horizon clipping and open tail") {
+    val km = Seq((1L, 5L, 1L, 800000L), (2L, 4L, 2L, 400000L), (4L, 1L, 1L, 0L))
+      .toDF("duration", "at_risk", "deaths", "surv_ppm")
+    // full curve to h=10: 1e6*1 + 8e5*1 + 4e5*2 + 0*(10-4)
+    assert(Inference.rmst(km, 10L).collect()(0).getAs[Long]("rmst_ppm_days")
+      === 2600000L)
+    // clipped at h=3: the last step contributes only (3-2) days
+    assert(Inference.rmst(km, 3L).collect()(0).getAs[Long]("rmst_ppm_days")
+      === 2200000L)
+    // a curve ending ABOVE zero keeps paying until the horizon
+    val open = Seq((2L, 4L, 2L, 500000L)).toDF("duration", "at_risk", "deaths", "surv_ppm")
+    assert(Inference.rmst(open, 10L).collect()(0).getAs[Long]("rmst_ppm_days")
+      === 1000000L * 2L + 500000L * 8L)
+  }
+
+  // ---- positionBasedAttribution ----
+
+  test("positionBasedAttribution: U-shaped credit with degenerate conventions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: 4 touches -> 400, 100, 100, 400
+      (1L, 1L, "view", ts("2024-01-04 01:00:00")),
+      (2L, 1L, "click", ts("2024-01-04 02:00:00")),
+      (3L, 1L, "click", ts("2024-01-04 03:00:00")),
+      (4L, 1L, "signup", ts("2024-01-04 04:00:00")),
+      (5L, 1L, "purchase", ts("2024-01-04 05:00:00")),
+      // u2: single touch -> 1000
+      (6L, 2L, "view", ts("2024-01-04 01:00:00")),
+      (7L, 2L, "purchase", ts("2024-01-04 02:00:00")),
+      // u3: two touches -> 600 to the first, 400 to the last
+      (8L, 3L, "click", ts("2024-01-04 01:00:00")),
+      (9L, 3L, "signup", ts("2024-01-04 02:00:00")),
+      (10L, 3L, "purchase", ts("2024-01-04 03:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.positionBasedAttribution(
+      ev, "purchase", Seq("view", "click", "signup"), lookbackDays = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") === ((2L, 400L + 1000L)))
+    assert(out("click") === ((3L, 100L + 100L + 600L)))
+    assert(out("signup") === ((2L, 400L + 400L)))
+    // every conversion hands out exactly (near) one unit: 1000+1000+1000
+    assert(out.values.map(_._2).sum === 3000L)
+  }
+
   // ---- fellegiSunter ----
 
   test("fellegiSunter: field weights sum; thresholds classify; below-lower dropped") {
