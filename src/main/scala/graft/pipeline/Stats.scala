@@ -381,8 +381,10 @@ object Stats {
     byDow.join(tot, groupCols)
       .withColumn("strength_ppm",
         when(col("c") > col("b"),
-          call_function("div", (col("a") - col("b")) * 1000000L,
-            col("c") - col("b")).cast("long")))
+          // the div results are LONG; at warehouse volumes (a - b) * 1e6
+          // overflows 64 bits (seen at sf0.1) — go back through DECIMAL
+          call_function("div", dec(col("a") - col("b")) * 1000000L,
+            dec(col("c") - col("b"))).cast("long")))
       .select(gcols ++ Seq(col("n_days"), col("strength_ppm")): _*)
   }
 
