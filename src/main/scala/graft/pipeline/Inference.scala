@@ -530,9 +530,15 @@ object Inference {
       .agg(coalesce(sum(col("s_prev") *
         (least(col("duration"), lit(horizonDays)) - col("t_prev"))), lit(0L))
         .as("head"))
-    val tail = km.orderBy(col("duration").desc).limit(1)
-      .select(when(col("duration") < horizonDays,
-        col("surv_ppm") * (lit(horizonDays) - col("duration")))
+    // the open tail: survival holds at its last value until the horizon.
+    // An EMPTY curve means nobody died — survival is 1e6 for the whole
+    // horizon (a limit(1) here would return zero rows and silently erase
+    // the result; the agg always yields one row)
+    val tail = km.agg(
+      when(max(col("duration")).isNull, lit(horizonDays * 1000000L))
+        .when(max(col("duration")) < horizonDays,
+          max_by(col("surv_ppm"), col("duration")) *
+            (lit(horizonDays) - max(col("duration"))))
         .otherwise(0L).as("tail"))
     head.crossJoin(broadcast(tail))
       .select(lit(horizonDays).as("horizon_days"),
@@ -599,11 +605,14 @@ object Inference {
           sum(when(col("__grp"), col("__v")).otherwise(0L)) * 1000L,
           nullif(sum(when(col("__grp"), 1L).otherwise(0L)), lit(0L))))
         .as("obs_diff_milli"))
+    // try_element_at: an all-degenerate replicate set (empty arr) yields
+    // NULL bounds, matching the oracle's empty-list NULLs — ANSI
+    // element_at would raise instead of degrading
     val bounds = ts.agg(sort_array(collect_list(col("t"))).as("arr"))
       .select(
-        expr("element_at(arr, greatest(1, cast(ceil(size(arr) * 0.025) as int)))")
+        expr("try_element_at(arr, greatest(1, cast(ceil(size(arr) * 0.025) as int)))")
           .as("lo_milli"),
-        expr("element_at(arr, cast(ceil(size(arr) * 0.975) as int))").as("hi_milli"),
+        expr("try_element_at(arr, cast(ceil(size(arr) * 0.975) as int))").as("hi_milli"),
         size(col("arr")).cast("long").as("b_eff"))
     obs.crossJoin(broadcast(bounds))
   }

@@ -224,6 +224,12 @@ class InferenceSpec extends AnyFunSuite {
     val open = Seq((2L, 4L, 2L, 500000L)).toDF("duration", "at_risk", "deaths", "surv_ppm")
     assert(Inference.rmst(open, 10L).collect()(0).getAs[Long]("rmst_ppm_days")
       === 1000000L * 2L + 500000L * 8L)
+    // an EMPTY curve (nobody died) means full survival for the horizon —
+    // one row, never a silently vanishing result
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("duration", "at_risk", "deaths", "surv_ppm")
+    val e = Inference.rmst(empty, 10L).collect()
+    assert(e.length === 1 && e(0).getAs[Long]("rmst_ppm_days") === 10000000L)
   }
 
   // ---- positionBasedAttribution ----
