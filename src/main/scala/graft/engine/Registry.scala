@@ -40,7 +40,16 @@ final case class SnapshotMat(
       * the SCD2 pipeline stays canonical (rename out on write, rename
       * back on read — dbt's config templating collapsed to a bijection).
       */
-    metaColumnNames: Map[String, String] = Map.empty) extends Materialization
+    metaColumnNames: Map[String, String] = Map.empty,
+    /** dbt 1.9 `dbt_valid_to_current`: open rows store this SENTINEL in
+      * valid_to instead of NULL (BI tools' BETWEEN filters want a real
+      * upper bound, canonically '9999-12-31'). Same write/read bijection
+      * as the name config: the pipeline computes on NULL-open rows, the
+      * sentinel applies going to storage and strips coming back. The
+      * sentinel must not be an achievable business timestamp — that is
+      * the caller's contract, as in dbt.
+      */
+    validToCurrent: Option[Timestamp] = None) extends Materialization
 
 /** Incremental AGGREGATE materialization ([[Incremental.mergeAggregates]]
   * as a Registry strategy): the model build returns per-key PARTIALS —
@@ -1350,13 +1359,29 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
           ackMetaOp(s"create_function ${m.name}($args) RETURNS $returns")
           import spark.implicits._
           Seq((m.name, args, returns)).toDF("function", "args", "returns")
-        case SnapshotMat(keys, strategy, hard, ts, metaNames) =>
+        case SnapshotMat(keys, strategy, hard, ts, metaNames, validToCur) =>
           if (metaNames.nonEmpty) Snapshot.validateMetaNames(metaNames, df.columns.toSeq)
+          import org.apache.spark.sql.functions.{col => fcol, lit => flit, when => fwhen}
+          def toStorage(h: org.apache.spark.sql.DataFrame) = {
+            val sentineled = validToCur.fold(h)(sv =>
+              h.withColumn("dbt_valid_to",
+                fwhen(fcol("dbt_valid_to").isNull, flit(sv))
+                  .otherwise(fcol("dbt_valid_to"))))
+            Snapshot.renameMeta(sentineled, metaNames)
+          }
+          def fromStorage(h: org.apache.spark.sql.DataFrame) = {
+            val canonical = Snapshot.restoreMeta(h, metaNames)
+            validToCur.fold(canonical)(sv =>
+              canonical.withColumn("dbt_valid_to",
+                fwhen(fcol("dbt_valid_to") === flit(sv),
+                  flit(null).cast("timestamp"))
+                  .otherwise(fcol("dbt_valid_to"))))
+          }
           val next =
             if (!targetExists) Snapshot.firstRun(df, keys, strategy, hard)
-            else Snapshot.apply(Snapshot.restoreMeta(wh.read(m.name), metaNames),
+            else Snapshot.apply(fromStorage(wh.read(m.name)),
               df, keys, strategy, hard, ts)
-          wh.writeSwap(m.name, Snapshot.renameMeta(next, metaNames))
+          wh.writeSwap(m.name, toStorage(next))
           wh.read(m.name)
       }
     }

@@ -1464,6 +1464,71 @@ object InferenceQueries extends QuerySet {
         |       CAST(h.head + tl.tail AS BIGINT) AS rmst_ppm_days
         |FROM h, tl""".stripMargin)),
 
+    QueryDef("q301_valid_to_current", (s, d) => {
+      // dbt 1.9 dbt_valid_to_current: the stored SCD2 history carries the
+      // '9999-12-31' sentinel on OPEN rows instead of NULL (BETWEEN-filter
+      // ergonomics) — applied going to storage, stripped coming back, so
+      // run 2 advances run 1's sentineled history correctly
+      import graft.engine.{Model, Registry, SnapshotMat, Snapshot}
+      import java.sql.Timestamp
+      val wh = Scratch.warehouse("q301", d, s, Seq("snap_members_sentinel"))
+      val t1 = Timestamp.valueOf("2000-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2000-02-01 00:00:00")
+      val sentinel = Timestamp.valueOf("9999-12-31 00:00:00")
+      val s1 = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("member_id"),
+        col("c_mktsegment").as("segment"))
+      val s2 = s1.filter(col("member_id") % 17 =!= 3)
+        .select(col("member_id"),
+          when(col("member_id") % 10 === 0, lit("CHANGED"))
+            .otherwise(col("segment")).as("segment"))
+        .unionByName(s1.filter(col("member_id") % 13 === 5)
+          .select((col("member_id") + 1000000).as("member_id"),
+            lit("NEW").as("segment")))
+      def snapModel(ts: Timestamp) = Model("snap_members_sentinel",
+        Seq("members_src"),
+        SnapshotMat(Seq("member_id"), Snapshot.CheckStrategy(Seq("segment"), ts),
+          Snapshot.Invalidate, ts, validToCurrent = Some(sentinel)),
+        ctx => ctx.ref("members_src"))
+      new Registry(s, wh).source("members_src", s1).register(snapModel(t1)).run()
+      new Registry(s, wh).source("members_src", s2).register(snapModel(t2)).run()
+      wh.read("snap_members_sentinel")
+    }, Some(
+      """WITH s1 AS (SELECT CAST(c_custkey AS BIGINT) AS member_id, c_mktsegment AS segment FROM customer),
+        |s2 AS (SELECT member_id, CASE WHEN member_id % 10 = 0 THEN 'CHANGED' ELSE segment END AS segment
+        |       FROM s1 WHERE member_id % 17 <> 3
+        |       UNION ALL
+        |       SELECT member_id + 1000000, 'NEW' FROM s1 WHERE member_id % 13 = 5),
+        |j AS (SELECT s1.member_id AS m1, s1.segment AS seg1, s2.member_id AS m2, s2.segment AS seg2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.member_id = s2.member_id),
+        |rows_out AS (
+        |  SELECT m1 AS member_id, seg1 AS segment,
+        |         TIMESTAMP '2000-01-01 00:00:00' AS dbt_updated_at,
+        |         TIMESTAMP '2000-01-01 00:00:00' AS dbt_valid_from,
+        |         TIMESTAMP '9999-12-31 00:00:00' AS dbt_valid_to
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 = seg2
+        |  UNION ALL
+        |  SELECT m1, seg1, TIMESTAMP '2000-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+        |         TIMESTAMP '2000-02-01 00:00:00'
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 <> seg2
+        |  UNION ALL
+        |  SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00', TIMESTAMP '2000-02-01 00:00:00',
+        |         TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM j WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND seg1 <> seg2
+        |  UNION ALL
+        |  SELECT m2, seg2, TIMESTAMP '2000-02-01 00:00:00', TIMESTAMP '2000-02-01 00:00:00',
+        |         TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM j WHERE m1 IS NULL
+        |  UNION ALL
+        |  SELECT m1, seg1, TIMESTAMP '2000-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+        |         TIMESTAMP '2000-02-01 00:00:00'
+        |  FROM j WHERE m2 IS NULL)
+        |SELECT member_id, segment,
+        |       md5(coalesce(cast(member_id as varchar),'') || '|' ||
+        |           coalesce(cast(dbt_valid_from as varchar),'')) AS dbt_scd_id,
+        |       dbt_updated_at, dbt_valid_from, dbt_valid_to
+        |FROM rows_out""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

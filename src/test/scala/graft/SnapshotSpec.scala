@@ -120,6 +120,35 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("dbt_valid_to_current: sentinel on stored open rows, stripped on read-back") {
+    import graft.engine.{Model, Registry, SnapshotMat, Warehouse}
+    import org.apache.spark.sql.functions.col
+    val sentinel = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_vtc").toString
+    val wh = new Warehouse(root, spark)
+    def run(src: org.apache.spark.sql.DataFrame, ts: java.sql.Timestamp): Unit = {
+      val reg = new Registry(spark, wh)
+      reg.source("src", src)
+      reg.register(Model("snap", Seq("src"),
+        SnapshotMat(Seq("member_id"), CheckStrategy(Seq("plan"), ts),
+          Snapshot.IgnoreDeletes, ts, validToCurrent = Some(sentinel)),
+        ctx => ctx.ref("src")))
+      reg.run(); ()
+    }
+    run(Seq((1L, "a"), (2L, "b")).toDF("member_id", "plan"), t1)
+    // stored open rows carry the sentinel, never NULL
+    val stored1 = wh.read("snap")
+    assert(stored1.filter(col("dbt_valid_to").isNull).count() === 0L)
+    assert(stored1.filter(col("dbt_valid_to") === sentinel).count() === 2L)
+    // run 2 changes member 1: its old version closes at t2, the new one
+    // and untouched member 2 stay sentineled — the strip-on-read worked
+    run(Seq((1L, "A2"), (2L, "b")).toDF("member_id", "plan"), t2)
+    val stored2 = wh.read("snap")
+    assert(stored2.count() === 3L)
+    assert(stored2.filter(col("dbt_valid_to") === sentinel).count() === 2L)
+    assert(stored2.filter(col("dbt_valid_to") === t2).count() === 1L)
+  }
+
   test("scd_id matches the surrogate-key md5 recipe (strategies.sql:40-50)") {
     val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
     val got = hist.filter("member_id = 1").collect()(0).getAs[String]("dbt_scd_id")
