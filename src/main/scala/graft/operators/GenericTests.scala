@@ -413,6 +413,66 @@ object GenericTests {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder
+    * ([[kAnonymity]] -> [[lDiversity]] -> this): a quasi-identifier group
+    * leaks when its SENSITIVE-attribute distribution sits far from the
+    * global one, even if it is large and diverse (skew attack: the group
+    * has all l values but 95% of one). Distance is the ordered-attribute
+    * Earth Mover's Distance of Li et al. 2007:
+    * `EMD = sum_i |cumsum_i(p_group - p_global)| / (m - 1)` over the m
+    * globally-observed sensitive values in order. Exact integer
+    * arithmetic: the inner cumulative is `|cum_g * N - cum_all * n_g|`
+    * (common denominator `n_g * N`), summed then reported as
+    * `t_ppm = sum * 1e6 div (n_g * N * (m-1))` — engine-portable, and
+    * `at_risk = t_ppm > tPpm`.
+    *
+    * Shape: one (group, sensitive) rollup, one global sensitive rollup
+    * (broadcast — the sensitive DOMAIN is small by definition), cumsums
+    * over the per-group ordered domain (parallel across groups). Groups
+    * missing a sensitive value still accumulate its global mass — the
+    * dense domain comes from a cross join of groups x global values
+    * (bounded: groups x m).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: Column,
+      tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs at least one QI column")
+    require(tPpm >= 0 && tPpm <= 1000000L, s"tPpm: $tPpm")
+    val gcols = qiCols.map(col)
+    val base = df.filter(sensitiveCol.isNotNull)
+      .select(gcols :+ sensitiveCol.as("__sv"): _*)
+    val cells = base.groupBy(gcols :+ col("__sv"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val globalDist = base.groupBy(col("__sv"))
+      .agg(count(lit(1)).as("__gc"))
+    val groups = cells.groupBy(gcols: _*).agg(sum(col("__c")).as("__ng"))
+    val nTot = base.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__sv")).as("__m"))
+    // dense (group x sensitive-domain) grid so absent values carry their
+    // global mass through the cumulative
+    val grid = groups.crossJoin(broadcast(globalDist))
+      .join(cells, qiCols :+ "__sv", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__sv").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .crossJoin(broadcast(nTot))
+      .withColumn("__diff",
+        abs(sum(col("__c")).over(w) * col("__n") -
+          sum(col("__gc")).over(w) * col("__ng")))
+      .groupBy(gcols :+ col("__ng").as("group_size") :+ col("__n") :+ col("__m"): _*)
+      .agg(sum(col("__diff")).as("__sd"))
+      .withColumn("t_ppm",
+        when(col("__m") > 1L,
+          call_function("div",
+            col("__sd").cast("decimal(38,0)") * 1000000L,
+            (col("group_size").cast("decimal(38,0)") * col("__n")) *
+              (col("__m") - 1L)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("at_risk", col("t_ppm") > tPpm)
+      .drop("__sd", "__n", "__m")
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a
     * quasi-identifier group is at risk when its SENSITIVE attribute takes
     * fewer than `l` distinct values, even if the group itself is large

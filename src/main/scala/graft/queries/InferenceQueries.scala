@@ -1529,6 +1529,41 @@ object InferenceQueries extends QuerySet {
         |       dbt_updated_at, dbt_valid_from, dbt_valid_to
         |FROM rows_out""".stripMargin)),
 
+    QueryDef("q302_t_closeness", (s, d) =>
+      // the privacy ladder's third rung beside q235/q277: segments whose
+      // nation distribution drifts more than t = 0.15 from the global one
+      // leak membership information even when large and diverse — exact
+      // ordered-EMD in ppm over the dense (group x domain) grid
+      graft.operators.GenericTests.tCloseness(table(s, d, "customer"),
+        Seq("c_mktsegment"), col("c_nationkey"), tPpm = 150000L),
+      Some(
+        """WITH base AS (SELECT c_mktsegment AS g, c_nationkey AS sv
+          |              FROM customer WHERE c_nationkey IS NOT NULL),
+          |cells AS (SELECT g, sv, count(*) AS c FROM base GROUP BY 1, 2),
+          |gd AS (SELECT sv, count(*) AS gc FROM base GROUP BY 1),
+          |gr AS (SELECT g, sum(c) AS ng FROM cells GROUP BY 1),
+          |nt AS (SELECT count(*) AS n, count(DISTINCT sv) AS m FROM base),
+          |grid AS (SELECT gr.g, gr.ng, gd.sv, gd.gc, coalesce(cells.c, 0) AS c
+          |         FROM gr CROSS JOIN gd
+          |         LEFT JOIN cells ON cells.g = gr.g AND cells.sv = gd.sv),
+          |cum AS (SELECT g, ng,
+          |               abs(sum(c) OVER wsum * n - sum(gc) OVER wsum * ng) AS diff,
+          |               n, m
+          |        FROM grid, nt
+          |        WINDOW wsum AS (PARTITION BY g ORDER BY sv
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |ag AS (SELECT g, CAST(ng AS BIGINT) AS group_size, sum(diff) AS sd,
+          |              max(n) AS n, max(m) AS m
+          |       FROM cum GROUP BY 1, 2),
+          |fin AS (SELECT g AS c_mktsegment, group_size,
+          |               CAST(CASE WHEN m > 1
+          |                    THEN (CAST(sd AS HUGEINT) * 1000000)
+          |                         // ((CAST(group_size AS HUGEINT) * n) * (m - 1))
+          |                    ELSE 0 END AS BIGINT) AS t_ppm
+          |        FROM ag)
+          |SELECT c_mktsegment, group_size, t_ppm, (t_ppm > 150000) AS at_risk
+          |FROM fin""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

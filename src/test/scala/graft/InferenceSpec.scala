@@ -317,6 +317,43 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- tCloseness ----
+
+  test("tCloseness: matching distributions score 0; polarized groups score the hand EMD") {
+    // both groups mirror the global (2/3 on 1, 1/3 on 2) -> t = 0
+    val mirror = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 1L), ("b", 2L))
+    val m = graft.operators.GenericTests.tCloseness(
+      mirror.toDF("g", "sv"), Seq("g"), col("sv"), tPpm = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(m("a") === ((3L, 0L, false)) && m("b") === ((3L, 0L, false)))
+    // polarized: global p = (1/2, 1/2); each group holds one value only
+    // -> EMD = |1 - 1/2| / (2-1) = 1/2 -> 500000 ppm (the skew attack
+    // l-diversity under-reports: 'u' even passes l=1 trivially)
+    val polar = Seq(("u", 1L), ("u", 1L), ("v", 2L), ("v", 2L))
+    val p2 = graft.operators.GenericTests.tCloseness(
+      polar.toDF("g", "sv"), Seq("g"), col("sv"), tPpm = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(p2("u") === ((2L, 500000L, true)))
+    assert(p2("v") === ((2L, 500000L, true)))
+  }
+
+  test("tCloseness: a group missing a sensitive value still pays its global mass") {
+    // group 'b' never shows sv=3 — the dense grid must carry 3's global
+    // probability into the cumulative, not silently skip it
+    val rows = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 1L))
+    val out = graft.operators.GenericTests.tCloseness(
+      rows.toDF("g", "sv"), Seq("g"), col("sv"), tPpm = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // global p = (3/4 on 1, 1/4 on 3), m=2. 'b' = (1, 0):
+    // EMD = |1 - 3/4| = 1/4 -> 250000
+    assert(out("b") === 250000L)
+    // 'a' = (1/2, 1/2): EMD = |1/2 - 3/4| = 1/4 -> 250000
+    assert(out("a") === 250000L)
+  }
+
   // ---- classifier evaluation: AUC, reliability, gains ----
 
   test("aucPpm: perfect separation is 1e6, reversed is 0, random-ish is 500000") {
