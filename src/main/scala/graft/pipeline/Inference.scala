@@ -491,6 +491,68 @@ object Inference {
       .drop("__sx", "__sxx")
   }
 
+  /** Group-sequential interim analysis: the cumulative two-sample Welch z
+    * at each look, judged against caller-supplied spending boundaries
+    * (micro units — O'Brien-Fleming's canonical K=4 two-sided 5% set is
+    * `Seq(4049000L, 2863000L, 2337000L, 2024000L)`, fixed public
+    * constants like the Benford table). Peeking at a flat 1.96 every week
+    * is how experimentation programs manufacture false positives; the
+    * boundary schedule is what makes early looks legitimate.
+    *
+    * `lookCol` is the 1-based look index a row belongs to (e.g. its week
+    * number); look k's statistic uses ALL rows with lookCol <= k —
+    * cumulative moments come from a window over the per-look rollup
+    * (<= K rows). Moments are exact DECIMAL; z is one IEEE expression
+    * (`diff / sqrt(var_a/n_a + var_b/n_b)`, sample variances). Output per
+    * look: cumulative n per arm, z, the boundary, crossed.
+    */
+  def sequentialZ(df: DataFrame, lookCol: Column, valueCol: Column,
+      inB: Column, boundariesMicro: Seq[Long]): DataFrame = {
+    require(boundariesMicro.nonEmpty, "sequentialZ needs boundaries")
+    val k = boundariesMicro.size
+    val base = df.filter(valueCol.isNotNull &&
+      lookCol.isNotNull && lookCol.cast("long") >= 1L &&
+      lookCol.cast("long") <= k)
+      .select(lookCol.cast("long").as("look"),
+        valueCol.cast("long").as("__v"), inB.as("__g"))
+    val perLook = base.groupBy(col("look")).agg(
+      sum(when(!col("__g"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("__g"), dec(col("__v")))).as("sa"),
+      sum(when(!col("__g"), dec(col("__v")) * col("__v"))).as("saa"),
+      sum(when(col("__g"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("__g"), dec(col("__v")))).as("sb"),
+      sum(when(col("__g"), dec(col("__v")) * col("__v"))).as("sbb"))
+    val w = Window.orderBy(col("look").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0L).cast("decimal(38,0)")
+    val cum = perLook
+      .withColumn("n_a", sum(col("na")).over(w))
+      .withColumn("n_b", sum(col("nb")).over(w))
+      .withColumn("csa", sum(coalesce(col("sa"), zero)).over(w))
+      .withColumn("csaa", sum(coalesce(col("saa"), zero)).over(w))
+      .withColumn("csb", sum(coalesce(col("sb"), zero)).over(w))
+      .withColumn("csbb", sum(coalesce(col("sbb"), zero)).over(w))
+    val bCol = boundariesMicro.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (b, i)) => when(col("look") === (i + 1).toLong, lit(b)).otherwise(acc)
+    }
+    def meanVar(n: Column, s: Column, ss: Column): (Column, Column) = {
+      val mean = s.cast("double") / n.cast("double")
+      val v = (dec(n) * ss - s * s).cast("double") /
+        (dec(n) * (n - 1L)).cast("double")
+      (mean, v)
+    }
+    val (ma, va) = meanVar(col("n_a"), col("csa"), col("csaa"))
+    val (mb, vb) = meanVar(col("n_b"), col("csb"), col("csbb"))
+    cum.filter(col("n_a") > 1L && col("n_b") > 1L)
+      .withColumn("z", (mb - ma) /
+        sqrt(va / col("n_a").cast("double") + vb / col("n_b").cast("double")))
+      .withColumn("boundary_micro", bCol)
+      .withColumn("crossed",
+        abs(col("z")) * 1000000.0 > col("boundary_micro").cast("double"))
+      .select(col("look"), col("n_a"), col("n_b"), col("z"),
+        col("boundary_micro"), col("crossed"))
+  }
+
   /** Empirical-Bayes (beta-binomial) smoothed success rates per group:
     * `rate = (s + a) / (n + a + b)` with integer pseudo-count priors —
     * the standard fix for small-segment rate rankings (a 1/1 segment

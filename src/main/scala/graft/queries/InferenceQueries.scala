@@ -1564,6 +1564,59 @@ object InferenceQueries extends QuerySet {
           |SELECT c_mktsegment, group_size, t_ppm, (t_ppm > 150000) AS at_risk
           |FROM fin""".stripMargin)),
 
+    QueryDef("q303_sequential_looks", (s, d) =>
+      // group-sequential A/B monitoring: four weekly interim looks at the
+      // cumulative value diff, judged against the O'Brien-Fleming
+      // boundary schedule (fixed micro constants) — the legitimate
+      // alternative to peeking at 1.96 every week
+      Inference.sequentialZ(events(s, d),
+        (datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")) / lit(7)).cast("long") + 1L,
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        expr("conv(substring(md5(concat(cast(user_id as string), '|ab')), 1, 8), 16, 10)")
+          .cast("long") % 2L === 0L,
+        boundariesMicro = Seq(4049000L, 2863000L, 2337000L, 2024000L)),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) + 1 AS look,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 8))::BIGINT
+          |            % 2 = 0) AS g
+          |  FROM events),
+          |f AS (SELECT * FROM b WHERE look >= 1 AND look <= 4),
+          |pl AS (SELECT look,
+          |              sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS na,
+          |              sum(CASE WHEN NOT g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+          |              sum(CASE WHEN NOT g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS saa,
+          |              sum(CASE WHEN g THEN 1 ELSE 0 END) AS nb,
+          |              sum(CASE WHEN g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+          |              sum(CASE WHEN g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS sbb
+          |       FROM f GROUP BY 1),
+          |c AS (SELECT look,
+          |             CAST(sum(na) OVER w AS BIGINT) AS n_a,
+          |             CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+          |             sum(sa) OVER w AS csa, sum(saa) OVER w AS csaa,
+          |             sum(sb) OVER w AS csb, sum(sbb) OVER w AS csbb
+          |      FROM pl WINDOW w AS (ORDER BY look
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |z AS (SELECT look, n_a, n_b,
+          |             (CAST(csb AS DOUBLE) / CAST(n_b AS DOUBLE)
+          |                - CAST(csa AS DOUBLE) / CAST(n_a AS DOUBLE))
+          |             / sqrt(
+          |                 (CAST(CAST(n_a AS HUGEINT) * csaa - csa * csa AS DOUBLE)
+          |                    / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE))
+          |                   / CAST(n_a AS DOUBLE)
+          |               + (CAST(CAST(n_b AS HUGEINT) * csbb - csb * csb AS DOUBLE)
+          |                    / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE))
+          |                   / CAST(n_b AS DOUBLE)) AS z
+          |      FROM c WHERE n_a > 1 AND n_b > 1),
+          |bd AS (SELECT * FROM (VALUES (1, 4049000), (2, 2863000),
+          |                             (3, 2337000), (4, 2024000)) v(look, bm))
+          |SELECT z.look, n_a, n_b, z,
+          |       CAST(bd.bm AS BIGINT) AS boundary_micro,
+          |       (abs(z) * 1000000.0 > CAST(bd.bm AS DOUBLE)) AS crossed
+          |FROM z JOIN bd ON bd.look = z.look""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

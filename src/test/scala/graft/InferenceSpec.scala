@@ -317,6 +317,36 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- sequentialZ ----
+
+  test("sequentialZ: cumulative moments, boundary schedule, early stop detected") {
+    // look 1: arms identical -> z ~ 0, no crossing even at 1.96 (let
+    // alone 4.049). look 2 adds a large planted shift to arm B.
+    val look1 = (1L to 40L).map(i => (1L, 100L + i % 5, i % 2 == 0))
+    val look2 = (1L to 40L).map(i => (2L, if (i % 2 == 0) 500L + i % 5 else 100L + i % 5, i % 2 == 0))
+    val df = (look1 ++ look2).toDF("look", "v", "g")
+    val out = Inference.sequentialZ(df, col("look"), col("v"), col("g"),
+      boundariesMicro = Seq(4049000L, 2863000L))
+      .orderBy("look").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.length === 2)
+    assert(out(0)._2 === 20L && out(0)._3 === 20L)
+    assert(math.abs(out(0)._4) < 1.0 && !out(0)._6) // no early false positive
+    assert(out(1)._2 === 40L && out(1)._3 === 40L)
+    assert(out(1)._4 > 2.863 && out(1)._6) // the shift crosses look 2's bound
+    // the z at look 2 matches a direct Welch computation over ALL rows
+    val all = (look1 ++ look2)
+    def mv(rows: Seq[Long]) = {
+      val n = rows.size.toDouble; val m = rows.sum / n
+      (n, m, rows.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma2, va) = mv(all.filter(!_._3).map(_._2))
+    val (nb, mb2, vb) = mv(all.filter(_._3).map(_._2))
+    val want = (mb2 - ma2) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(out(1)._4 - want) < 1e-9)
+  }
+
   // ---- tCloseness ----
 
   test("tCloseness: matching distributions score 0; polarized groups score the hand EMD") {
