@@ -525,6 +525,72 @@ object Stats {
       (col("s.l") + col("s.b")).as("forecast_micro")): _*)
   }
 
+  /** Holt-Winters TRIPLE exponential smoothing (additive seasonal, period
+    * 7) — the [[holtDaily]] recursion with a weekly seasonal state, the
+    * forecasting-family capstone (EWMA -> Holt -> HW):
+    * {{{
+    * t = 0:  l = y*S, b = 0, s = 0
+    * t >= 1, sp = s_{t-7} (0 while t < 7):
+    *   l_t = (an*(y_t*S - sp) + (ad-an)*(l+b))      div ad
+    *   b_t = (bn*(l_t - l_{t-1}) + (bd-bn)*b_{t-1}) div bd
+    *   s_t = (gn*(y_t*S - l_t) + (gd-gn)*sp)        div gd
+    * }}}
+    * truncating `div` throughout (the declared fixed-point model — an
+    * oracle replays it step for step; a floor-division engine wraps
+    * negatives). The seasonal lookback reads the fold's OWN accumulator
+    * seven entries back, so the recursion needs no side state. Missing
+    * spine days are zero (the [[ewmaDaily]] convention). Same
+    * calendar-bounded per-group fold contract as [[holtDaily]].
+    */
+  def holtWintersDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, alphaNum: Int, alphaDen: Int,
+      betaNum: Int, betaDen: Int, gammaNum: Int, gammaDen: Int,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum, s"alpha: $alphaNum/$alphaDen")
+    require(betaNum >= 1 && betaDen > betaNum, s"beta: $betaNum/$betaDen")
+    require(gammaNum >= 1 && gammaDen > gammaNum, s"gamma: $gammaNum/$gammaDen")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols :+ col("day") :+ coalesce(col("y"), lit(0L)).as("y"): _*)
+    val (an, ad, bn, bd, gn, gd) =
+      (alphaNum, alphaDen, betaNum, betaDen, gammaNum, gammaDen)
+    // sp and l_t as SQL snippets — l_t appears in b_t and s_t, and Spark
+    // does no CSE inside lambdas, so the repetition is textual only
+    val sp = "CASE WHEN size(acc) >= 7 THEN element_at(acc, -7).s ELSE 0L END"
+    val lNew = s"(($an * x.y * 1000000L - $an * ($sp)" +
+      s" + ${ad - an} * (element_at(acc, -1).l + element_at(acc, -1).b)) div $ad)"
+    val folded = dense
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("st"))
+      .select(gcols :+ explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error('holtWintersDaily exceeded $maxSteps spine days')
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<day:bigint,l:bigint,b:bigint,s:bigint>>),
+           |    (acc, x) -> CASE WHEN size(acc) = 0 THEN
+           |        array(named_struct('day', x.day, 'l', x.y * 1000000L,
+           |          'b', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)))
+           |      ELSE
+           |        array_append(acc, named_struct(
+           |          'day', x.day,
+           |          'l', $lNew,
+           |          'b', ($bn * ($lNew - element_at(acc, -1).l)
+           |                + ${bd - bn} * element_at(acc, -1).b) div $bd,
+           |          's', ($gn * (x.y * 1000000L - $lNew)
+           |                + ${gd - gn} * ($sp)) div $gd))
+           |      END)
+           |END""".stripMargin)).as("t"): _*)
+    folded.select(gcols ++ Seq(col("t.day").as("day"),
+      col("t.l").as("level_micro"), col("t.b").as("trend_micro"),
+      col("t.s").as("seasonal_micro")): _*)
+  }
+
   /** Single-changepoint localization per group (the first step of binary
     * segmentation): over the day-ordered series, pick the split
     * maximizing the variance-reduction score

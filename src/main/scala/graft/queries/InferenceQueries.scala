@@ -1617,6 +1617,56 @@ object InferenceQueries extends QuerySet {
           |       (abs(z) * 1000000.0 > CAST(bd.bm AS DOUBLE)) AS crossed
           |FROM z JOIN bd ON bd.look = z.look""".stripMargin)),
 
+    QueryDef("q304_holt_winters", (s, d) =>
+      // Holt-Winters triple smoothing (alpha 3/10, beta 1/10, gamma 2/10,
+      // weekly season) of daily event value per type — the seasonal
+      // forecast baseline completing EWMA (q210) and Holt (q274). The
+      // oracle replays the truncated fixed-point recursion with a
+      // recursive CTE carrying the seven seasonal lags as rotating
+      // columns and trunc-division wrappers for the negative states.
+      graft.pipeline.Stats.holtWintersDaily(events(s, d), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10,
+        gammaNum = 2, gammaDen = 10),
+      Some {
+        def tdiv(num: String, den: Int) =
+          s"(CASE WHEN ($num) >= 0 THEN ($num) // $den ELSE -((-($num)) // $den) END)"
+        val lnum = "3 * dn.y * 1000000 - 3 * h.s7 + 7 * (h.l + h.b)"
+        val bnum = "1 * (lx - h.l) + 9 * h.b"
+        val snum = "2 * (dn.y * 1000000 - lx) + 8 * h.s7"
+        s"""WITH RECURSIVE dc AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |g AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM dc GROUP BY 1),
+           |sp AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM g),
+           |dn AS (SELECT sp.event_type, sp.day, coalesce(dc.y, 0) AS y,
+           |              row_number() OVER (PARTITION BY sp.event_type
+           |                ORDER BY sp.day) AS rn
+           |       FROM sp LEFT JOIN dc ON dc.event_type = sp.event_type
+           |         AND dc.day = sp.day),
+           |h AS (
+           |  SELECT event_type, day, rn, y * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+           |         CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+           |         CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+           |         CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+           |         CAST(0 AS BIGINT) AS s7
+           |  FROM dn WHERE rn = 1
+           |  UNION ALL
+           |  SELECT dn.event_type, dn.day, dn.rn, lx, bx, sx,
+           |         h.s1, h.s2, h.s3, h.s4, h.s5, h.s6
+           |  FROM dn JOIN h ON dn.event_type = h.event_type AND dn.rn = h.rn + 1,
+           |       LATERAL (SELECT ${tdiv(lnum, 10)} AS lx) l1,
+           |       LATERAL (SELECT ${tdiv(bnum, 10)} AS bx,
+           |                       ${tdiv(snum, 10)} AS sx) l2)
+           |SELECT event_type, CAST(day AS BIGINT) AS day,
+           |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+           |       CAST(s1 AS BIGINT) AS seasonal_micro
+           |FROM h""".stripMargin
+      }),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

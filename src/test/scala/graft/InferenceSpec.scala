@@ -574,6 +574,38 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.exists(_._1 === 2L), "missing day must appear on the spine")
   }
 
+  // ---- holtWintersDaily ----
+
+  test("holtWintersDaily: fold matches a sequential reference incl. the 7-day lookback") {
+    // 16 days of a noisy weekly pattern so the seasonal state engages
+    // past t=7 (the element_at(acc, -7) path)
+    val ys = (0 until 16).map(t => ((t % 7) * 10 + t + 3).toLong)
+    val df = ys.zipWithIndex.map { case (y, d) => ("g", d.toLong, y) }
+      .toDF("grp", "day", "y")
+    val got = graft.pipeline.Stats.holtWintersDaily(df, Seq("grp"), col("day"),
+      col("y"), 3, 10, 1, 10, 2, 10)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def tdiv(a: Long, b: Long): Long = a / b
+    val S = 1000000L
+    var l = ys.head * S; var b = 0L
+    val ss = scala.collection.mutable.ArrayBuffer(0L)
+    val want = ys.zipWithIndex.map { case (y, t) =>
+      if (t > 0) {
+        val sp = if (t >= 7) ss(t - 7) else 0L
+        val l2 = tdiv(3 * y * S - 3 * sp + 7 * (l + b), 10)
+        b = tdiv(1 * (l2 - l) + 9 * b, 10)
+        val s2 = tdiv(2 * (y * S - l2) + 8 * sp, 10)
+        l = l2
+        ss += s2
+      }
+      (t.toLong, l, b, ss(t))
+    }
+    assert(got.toSeq === want)
+    // the seasonal state is genuinely nonzero once the pattern repeats
+    assert(got.drop(8).exists(_._4 !== 0L))
+  }
+
   // ---- changepointDaily ----
 
   test("changepointDaily: planted mean shift localized with segment means") {
