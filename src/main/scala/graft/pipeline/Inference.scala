@@ -491,6 +491,47 @@ object Inference {
       .drop("__sx", "__sxx")
   }
 
+  /** Uplift (incrementality) readout per segment: treated-vs-control
+    * conversion rates with [[smoothedRates]]' pseudo-count smoothing per
+    * arm, the smoothed uplift in exact ppm, and the two-proportion z over
+    * RAW counts (one IEEE expression; smoothing steadies the point
+    * estimate, inference stays on the data). The question a campaign
+    * readout answers per segment: where did treatment actually CAUSE
+    * conversions.
+    */
+  def upliftBySegment(df: DataFrame, segmentCols: Seq[String],
+      treated: Column, converted: Column,
+      priorA: Long, priorB: Long): DataFrame = {
+    require(segmentCols.nonEmpty, "upliftBySegment needs segment columns")
+    require(priorA >= 0 && priorB >= 0 && priorA + priorB >= 1,
+      s"priors: a=$priorA b=$priorB")
+    val gcols = segmentCols.map(col)
+    val agg = df.groupBy(gcols: _*).agg(
+      sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+      sum(when(treated && converted, 1L).otherwise(0L)).as("conv_t"),
+      sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+      sum(when(!treated && converted, 1L).otherwise(0L)).as("conv_c"))
+    val sm = (s: Column, n: Column) =>
+      call_function("div", (s + priorA) * 1000000L, n + priorA + priorB)
+    val p = (col("conv_t") + col("conv_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    agg
+      .filter(col("n_t") > 0L && col("n_c") > 0L)
+      .withColumn("rate_t_ppm", sm(col("conv_t"), col("n_t")))
+      .withColumn("rate_c_ppm", sm(col("conv_c"), col("n_c")))
+      .withColumn("uplift_ppm", col("rate_t_ppm") - col("rate_c_ppm"))
+      // degenerate pools (nobody or EVERYBODY converts) have zero pooled
+      // variance — no defined z, not a divide-by-zero abort
+      .withColumn("z",
+        when(col("conv_t") + col("conv_c") > 0L &&
+          col("conv_t") + col("conv_c") < col("n_t") + col("n_c"),
+          (col("conv_t").cast("double") / col("n_t").cast("double") -
+            col("conv_c").cast("double") / col("n_c").cast("double")) /
+            sqrt(p * (lit(1.0) - p) *
+              (lit(1.0) / col("n_t").cast("double") +
+                lit(1.0) / col("n_c").cast("double")))))
+  }
+
   /** Group-sequential interim analysis: the cumulative two-sample Welch z
     * at each look, judged against caller-supplied spending boundaries
     * (micro units — O'Brien-Fleming's canonical K=4 two-sided 5% set is

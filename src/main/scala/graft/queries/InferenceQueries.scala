@@ -1667,6 +1667,101 @@ object InferenceQueries extends QuerySet {
            |FROM h""".stripMargin
       }),
 
+    QueryDef("q305_uplift_by_channel", (s, d) => {
+      // uplift by acquisition channel: per first-touch event type, the
+      // treated-vs-control conversion rates (Beta(10,10)-smoothed point
+      // estimates, raw-count two-proportion z) — where did treatment
+      // CAUSE purchases, not just coincide with them
+      val e = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val firstTouch = e.filter(col("event_type") =!= "purchase")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("channel"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("__cv", lit(true))
+      val users = firstTouch.join(conv, Seq("user_id"), "left")
+        .select(col("channel"),
+          (expr("conv(substring(md5(concat(cast(user_id as string), '|ab')), 1, 8), 16, 10)")
+            .cast("long") % 2L === 0L).as("t"),
+          coalesce(col("__cv"), lit(false)).as("cv"))
+      Inference.upliftBySegment(users, Seq("channel"), col("t"), col("cv"),
+        priorA = 10L, priorB = 10L)
+    }, Some(
+      """WITH f AS (SELECT user_id, event_type AS channel FROM (
+        |   SELECT user_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM events WHERE event_type <> 'purchase') t WHERE rn = 1),
+        |cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT f.channel,
+        |             (('0x' || substr(md5(CAST(f.user_id AS VARCHAR) || '|ab'), 1, 8))::BIGINT
+        |                % 2 = 0) AS t,
+        |             (cv.user_id IS NOT NULL) AS c
+        |      FROM f LEFT JOIN cv ON f.user_id = cv.user_id),
+        |a AS (SELECT channel,
+        |             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |             CAST(sum(CASE WHEN t AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_t,
+        |             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |             CAST(sum(CASE WHEN NOT t AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_c
+        |      FROM u GROUP BY 1),
+        |r AS (SELECT *, CAST((conv_t + 10) * 1000000 // (n_t + 20) AS BIGINT) AS rate_t_ppm,
+        |             CAST((conv_c + 10) * 1000000 // (n_c + 20) AS BIGINT) AS rate_c_ppm
+        |      FROM a WHERE n_t > 0 AND n_c > 0)
+        |SELECT channel, n_t, conv_t, n_c, conv_c, rate_t_ppm, rate_c_ppm,
+        |       rate_t_ppm - rate_c_ppm AS uplift_ppm,
+        |       CASE WHEN conv_t + conv_c > 0 AND conv_t + conv_c < n_t + n_c THEN
+        |         (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |            - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |         / sqrt((CAST(conv_t + conv_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+        |                * (1.0 - CAST(conv_t + conv_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+        |                * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+        |       END AS z
+        |FROM r""".stripMargin)),
+
+    QueryDef("q306_time_to_convert", (s, d) => {
+      // the funnel's latency face: minutes from a user's first view to
+      // the first subsequent purchase, summarized as EXACT interpolated
+      // p50/p90/p99 in integer micro-minutes (the q242 machinery over the
+      // view->purchase deltas)
+      val e = events(s, d)
+      val v1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val deltas = e.filter(col("event_type") === "purchase")
+        .join(v1, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
+        .select(floor((unix_micros(col("tp")) - unix_micros(col("tv"))) /
+          lit(60000000L)).cast("long").as("mins"))
+      graft.pipeline.Stats.interpolatedQuantiles(deltas, Nil, col("mins"),
+        Seq(500, 900, 990))
+    }, Some(
+      """WITH v1 AS (SELECT user_id, min(ts) AS tv FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |dl AS (SELECT (epoch_us(min(e.ts)) - epoch_us(v1.tv)) // 60000000 AS mins
+        |       FROM events e JOIN v1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > v1.tv
+        |       GROUP BY e.user_id, v1.tv),
+        |c AS (SELECT mins AS v, CAST(count(*) AS BIGINT) AS cnt FROM dl GROUP BY 1),
+        |w AS (SELECT v, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY v ASC) AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER () AS BIGINT) AS tot
+        |      FROM c),
+        |p AS (SELECT v, cnt, cum, tot, q.q AS q_mille,
+        |             (q.q * (tot - 1)) // 1000 AS ip,
+        |             (q.q * (tot - 1)) % 1000 AS rem
+        |      FROM w, (VALUES (500), (900), (990)) q(q)),
+        |p2 AS (SELECT *, ip + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS ip2 FROM p)
+        |SELECT CAST(q_mille AS INTEGER) AS q_mille,
+        |       CAST(max(tot) AS BIGINT) AS n_values,
+        |       CAST(max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END) * 1000000
+        |            + max(rem) * (max(CASE WHEN cum - cnt <= ip2 AND ip2 < cum THEN v END)
+        |                          - max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END)) * 1000
+        |            AS BIGINT) AS value_micro
+        |FROM p2
+        |WHERE (cum - cnt <= ip AND ip < cum) OR (cum - cnt <= ip2 AND ip2 < cum)
+        |GROUP BY 1""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

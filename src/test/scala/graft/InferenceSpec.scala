@@ -317,6 +317,28 @@ class InferenceSpec extends AnyFunSuite {
     assert((a, b) === ((1L, 2L)) && ham <= 1)
   }
 
+  // ---- upliftBySegment ----
+
+  test("upliftBySegment: smoothed rates, raw-count z, degenerate pools give NULL z") {
+    // segment 'lift': treated converts 8/10 vs control 2/10
+    val lift = (1 to 10).map(i => ("lift", true, i <= 8)) ++
+      (1 to 10).map(i => ("lift", false, i <= 2))
+    // segment 'all': everyone converts -> zero pooled variance -> NULL z
+    val all = (1 to 5).flatMap(_ => Seq(("all", true, true), ("all", false, true)))
+    val out = Inference.upliftBySegment((lift ++ all).toDF("seg", "t", "c"),
+      Seq("seg"), col("t"), col("c"), priorA = 10L, priorB = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lf = out("lift")
+    assert(lf.getAs[Long]("rate_t_ppm") === 18L * 1000000L / 30L)
+    assert(lf.getAs[Long]("rate_c_ppm") === 12L * 1000000L / 30L)
+    assert(lf.getAs[Long]("uplift_ppm") === 200000L)
+    // z against the direct two-proportion computation
+    val p = 10.0 / 20.0
+    val wantZ = (0.8 - 0.2) / math.sqrt(p * (1 - p) * (1.0 / 10 + 1.0 / 10))
+    assert(math.abs(lf.getAs[Double]("z") - wantZ) < 1e-12)
+    assert(out("all").isNullAt(out("all").fieldIndex("z")))
+  }
+
   // ---- sequentialZ ----
 
   test("sequentialZ: cumulative moments, boundary schedule, early stop detected") {
