@@ -87,6 +87,34 @@ object Inference {
       .select("n_a", "n_b", "d_num", "d_ppm", "d_at")
   }
 
+  /** Two-sample Cramér-von Mises statistic — [[ksTest]]'s
+    * whole-distribution sibling: where KS sees only the single largest
+    * ECDF gap, CvM integrates the SQUARED gap over every observation,
+    * catching distributions that differ everywhere a little instead of
+    * somewhere a lot. Exactly, over the same [[twoSampleCounts]] rollup:
+    * `T = n_a*n_b/(n_a+n_b)^2 * sum_obs (F_a - F_b)^2` where the sum
+    * weights each distinct value by its row count; with integer ECDFs
+    * `t_micro = sum_v cnt_v * (cum_a*n_b - cum_b*n_a)^2 * 1e6
+    * div ((n_a*n_b) * (n_a+n_b)^2)` — DECIMAL squares, one integral
+    * division. One row: (n_a, n_b, t_micro).
+    */
+  def cramerVonMises(df: DataFrame, valueCol: Column, inB: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val ecdf = twoSampleCounts(df, valueCol, inB, maxDistinct)
+    val totals = ecdf.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val gap = dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")
+    ecdf.crossJoin(broadcast(totals))
+      .withColumn("__t", dec(col("cnt_a") + col("cnt_b")) * gap * gap)
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).as("__s"))
+      .withColumn("t_micro",
+        call_function("div", col("__s") * 1000000L,
+          (dec(col("n_a")) * col("n_b")) *
+            (dec(col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))))
+          .cast("long"))
+      .drop("__s")
+  }
+
   /** Mann-Whitney U with the tie-corrected normal approximation. All rank
     * arithmetic stays integral by working in DOUBLED ranks: a tied block
     * of `c` values preceded by `l` smaller rows has average rank

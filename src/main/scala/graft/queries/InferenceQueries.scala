@@ -1762,6 +1762,38 @@ object InferenceQueries extends QuerySet {
         |WHERE (cum - cnt <= ip AND ip < cum) OR (cum - cnt <= ip2 AND ip2 < cum)
         |GROUP BY 1""".stripMargin)),
 
+    QueryDef("q307_cramer_von_mises", (s, d) =>
+      // Cramér-von Mises on the q262 comparison: the whole-distribution
+      // statistic beside KS's max gap — squared ECDF gaps integrated over
+      // every observation, exact micro units on the same distinct-cents
+      // rollup
+      Inference.cramerVonMises(
+        table(s, d, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        Features.cents(col("o_totalprice")), col("o_orderstatus") === "F"),
+      Some(
+        s"""WITH v AS (
+           |  SELECT ${centsSql("o_totalprice")} AS v, (o_orderstatus = 'F') AS b
+           |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+           |r AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+           |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+           |      FROM v GROUP BY v),
+           |c AS (SELECT v, cnt_a, cnt_b,
+           |             sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+           |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r),
+           |t AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM c),
+           |s AS (SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           |             sum(CAST(cnt_a + cnt_b AS HUGEINT)
+           |                 * (CAST(cum_a AS HUGEINT) * t.n_b - CAST(cum_b AS HUGEINT) * t.n_a)
+           |                 * (CAST(cum_a AS HUGEINT) * t.n_b - CAST(cum_b AS HUGEINT) * t.n_a))
+           |               AS ss
+           |      FROM c, t GROUP BY 1, 2)
+           |SELECT n_a, n_b,
+           |       CAST((ss * 1000000)
+           |            // ((CAST(n_a AS HUGEINT) * n_b)
+           |               * (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b))) AS BIGINT)
+           |         AS t_micro
+           |FROM s""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

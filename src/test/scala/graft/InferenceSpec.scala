@@ -38,6 +38,37 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1000000L && r.getLong(4) === 2L)
   }
 
+  // ---- cramerVonMises ----
+
+  test("cramerVonMises: hand integral; everywhere-small beats somewhere-big for CvM") {
+    // A=[1,3], B=[2,4]: integer gaps cum_a*n_b - cum_b*n_a at v=1..4 are
+    // 2,0,2,0 -> sum cnt*gap^2 = 8; T = 8/(4*16) = 0.125 -> 125000 micro
+    val df = (Seq(1L, 3L).map((_, false)) ++ Seq(2L, 4L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.cramerVonMises(df, col("v"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 125000L)))
+    // identical samples -> 0
+    val same = (Seq(5L, 6L).map((_, false)) ++ Seq(5L, 6L).map((_, true)))
+      .toDF("v", "b")
+    assert(Inference.cramerVonMises(same, col("v"), col("b"))
+      .collect()(0).getLong(2) === 0L)
+    // interleaved-everywhere vs single-spike: same KS D, CvM separates them
+    val spread = ((1L to 20L).map(v => (v * 2, false)) ++
+      (1L to 20L).map(v => (v * 2 + 1, true))).toDF("v", "b")
+    val spike = ((1L to 20L).map(v => (v, false)) ++
+      ((1L to 19L).map(v => (v, true)) :+ 100L -> true)).toDF("v", "b")
+    val tSpread = Inference.cramerVonMises(spread, col("v"), col("b"))
+      .collect()(0).getLong(2)
+    val tSpike = Inference.cramerVonMises(spike, col("v"), col("b"))
+      .collect()(0).getLong(2)
+    val dSpread = Inference.ksTest(spread, col("v"), col("b"))
+      .collect()(0).getAs[Long]("d_ppm")
+    val dSpike = Inference.ksTest(spike, col("v"), col("b"))
+      .collect()(0).getAs[Long]("d_ppm")
+    assert(dSpread === dSpike) // KS cannot tell them apart
+    assert(tSpread > tSpike) // CvM can
+  }
+
   // ---- mannWhitney ----
 
   test("mannWhitney: tied vector matches the hand rank sum") {
