@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.FuzzyLink
 import graft.pipeline.{Inference, Multimodal}
 
-/** Hand-computable vectors for the hypothesis-test / linkage / perceptual-
-  * dedup battery (q262-q271): KS, Mann-Whitney, Spearman, Gini, kappa,
-  * Kaplan-Meier, Fellegi-Sunter, dHash banding.
+/** Hand-computable vectors for the continuation-II battery (q262-q307):
+  * the hypothesis-test layer (KS, CvM, Mann-Whitney, Spearman, Gini, HHI,
+  * kappa, Kaplan-Meier/RMST, bootstrap, CUPED, DiD, MDE, conformal,
+  * sequential looks, uplift), record linkage (Fellegi-Sunter), privacy
+  * (l-diversity, t-closeness, pseudonymization), attribution (time-decay,
+  * position, Markov removal), perceptual/audio/video fingerprint dedup,
+  * TextRank/PRF retrieval, MMR, Holt/Holt-Winters/changepoint/CCF, and
+  * the classifier-evaluation set (AUC, reliability, gains) — plus the
+  * plan-shape pins that are these operators' 100 TB contracts.
   */
 class InferenceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
