@@ -798,4 +798,137 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- continuation-II battery: randomized reference comparisons ----
+  // (fixed seeds; each operator checked against a straightforward Scala
+  // implementation of its textbook definition on arbitrary inputs — the
+  // generative complement of InferenceSpec's hand vectors)
+
+  test("ksTest and cramerVonMises match brute-force ECDF references on random samples") {
+    import graft.pipeline.Inference
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val a = Seq.fill(20 + rnd.nextInt(60))(rnd.nextInt(25).toLong)
+      val b = Seq.fill(20 + rnd.nextInt(60))(rnd.nextInt(25).toLong)
+      val df = (a.map((_, false)) ++ b.map((_, true))).toDF("v", "bb")
+      val vs = (a ++ b).distinct.sorted
+      def cum(xs: Seq[Long], v: Long) = xs.count(_ <= v).toLong
+      val gaps = vs.map(v => math.abs(cum(a, v) * b.size - cum(b, v) * a.size))
+      val r = Inference.ksTest(df, col("v"), col("bb")).collect()(0)
+      assert(r.getLong(2) === gaps.max, s"ks seed $seed")
+      assert(r.getLong(3) === gaps.max * 1000000L / (a.size.toLong * b.size), s"ks ppm seed $seed")
+      val cvmRef = vs.map { v =>
+        val g = cum(a, v) * b.size - cum(b, v) * a.size
+        ((a ++ b).count(_ == v).toLong) * g * g
+      }.sum
+      val n = (a.size + b.size).toLong
+      val want = BigInt(cvmRef) * 1000000 / (BigInt(a.size) * b.size * n * n)
+      val cvm = Inference.cramerVonMises(df, col("v"), col("bb")).collect()(0)
+      assert(BigInt(cvm.getLong(2)) === want, s"cvm seed $seed")
+    }
+  }
+
+  test("aucPpm equals the brute-force pairwise comparison (ties half) on random scores") {
+    import graft.pipeline.Inference
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      val rows = Seq.fill(40 + rnd.nextInt(80))((rnd.nextInt(15).toLong, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // 2x units: win 2, tie 1
+        val u2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val want = u2 * 1000000L / (2L * pos.size * neg.size)
+        val got = Inference.aucPpm(rows.toDF("s", "y"), col("s"), col("y"))
+          .collect()(0).getAs[Long]("auc_ppm")
+        assert(got === want, s"auc seed $seed")
+      }
+    }
+  }
+
+  test("gini and hhi match their definitional formulas on random ledgers") {
+    import graft.pipeline.Inference
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val vals = Seq.fill(10 + rnd.nextInt(50))(rnd.nextInt(1000).toLong)
+      val df = vals.map(("g", _)).toDF("grp", "v")
+      val sorted = vals.sorted; val n = vals.size.toLong; val t = vals.sum
+      if (t > 0) {
+        val twoS = sorted.zipWithIndex.map { case (v, i) => 2L * (i + 1) * v }.sum
+        val wantG = (BigInt(twoS - (n + 1) * t) * 1000000 / BigInt(n * t)).toLong
+        assert(Inference.gini(df, Seq("grp"), col("v")).collect()(0)
+          .getAs[Long]("gini_ppm") === wantG, s"gini seed $seed")
+      }
+      val members = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("grp", "m", "v")
+      val pos = vals.filter(_ > 0)
+      if (pos.nonEmpty) {
+        val wantH = (BigInt(pos.map(x => BigInt(x) * x).sum.toLong) * 1000000 /
+          (BigInt(pos.sum) * pos.sum)).toLong
+        assert(Inference.hhi(members, Seq("grp"), col("m"), col("v"))
+          .collect()(0).getAs[Long]("hhi_ppm") === wantH, s"hhi seed $seed")
+      }
+    }
+  }
+
+  test("kaplanMeier: survival is non-increasing, at-risk counts exact, all-death curve hits 0") {
+    import graft.pipeline.Inference
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(400 + seed)
+      val subj = Seq.fill(15 + rnd.nextInt(40))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(3) == 0))
+      val out = Inference.kaplanMeier(subj.toDF("dur", "cens"),
+        col("dur"), col("cens")).orderBy("duration").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // survival never increases
+      assert(out.map(_._4).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
+        s"monotone seed $seed")
+      // at_risk(t) = subjects with dur >= t, exactly
+      out.foreach { case (t, r, _, _) =>
+        assert(r === subj.count(_._1 >= t).toLong, s"at_risk seed $seed t=$t") }
+      // no censoring at the max duration -> the curve reaches exactly 0
+      val allDeath = subj.map { case (dd, _) => (dd, false) }
+      val last = Inference.kaplanMeier(allDeath.toDF("dur", "cens"),
+        col("dur"), col("cens")).orderBy(col("duration").desc).collect()(0)
+      assert(last.getLong(3) === 0L, s"terminal seed $seed")
+    }
+  }
+
+  test("gainsTable partitions rows into deciles and ends at exactly 100% capture") {
+    import graft.pipeline.Inference
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val rows = Seq.fill(50 + rnd.nextInt(200))(
+        (rnd.nextInt(40).toLong, rnd.nextInt(4) == 0))
+      val out = Inference.gainsTable(rows.toDF("s", "y"), col("s"), col("y"))
+        .orderBy("decile").collect()
+        .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n"),
+          r.getAs[Long]("n_pos"), r.getAs[Long]("cum_gain_ppm")))
+      assert(out.map(_._2).sum === rows.size.toLong, s"partition seed $seed")
+      assert(out.map(_._3).sum === rows.count(_._2).toLong, s"pos seed $seed")
+      if (rows.exists(_._2))
+        assert(out.last._4 === 1000000L, s"capture seed $seed")
+      // cumulative gain never decreases
+      assert(out.map(_._4).sliding(2).forall(w => w.size < 2 || w(0) <= w(1)),
+        s"monotone seed $seed")
+    }
+  }
+
+  test("tCloseness EMD is bounded by [0, 1e6] and zero iff every group mirrors the global") {
+    import graft.operators.GenericTests
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(600 + seed)
+      val rows = Seq.fill(30 + rnd.nextInt(80))(
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(5).toLong))
+      val out = GenericTests.tCloseness(rows.toDF("g", "sv"), Seq("g"),
+        col("sv"), tPpm = 500000L).collect()
+        .map(r => r.getAs[Long]("t_ppm"))
+      assert(out.forall(t => t >= 0L && t <= 1000000L), s"bounds seed $seed")
+    }
+    // mirrored construction: every group has the identical distribution
+    val mirrored = (0 until 4).flatMap(g =>
+      Seq.fill(3)((s"g$g", 1L)) ++ Seq.fill(2)((s"g$g", 2L)) :+ (s"g$g", 5L))
+    assert(graft.operators.GenericTests.tCloseness(mirrored.toDF("g", "sv"),
+      Seq("g"), col("sv"), 1L).collect().forall(_.getAs[Long]("t_ppm") === 0L))
+  }
 }
