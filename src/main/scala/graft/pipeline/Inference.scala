@@ -62,6 +62,41 @@ object Inference {
       .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
   }
 
+  /** Per-GROUP two-sample KS — the fleet version of [[ksTest]]: one D per
+    * group (the "which segments drifted" sweep a monitoring system runs
+    * nightly over every slice at once). Unlike the global test, the ECDF
+    * cum-sum window PARTITIONS on the group columns, so segments process
+    * fully in parallel and the single-partition guard is unnecessary —
+    * per-group distinct-value cardinality is the only sort width. Same
+    * exact arithmetic as [[ksTest]]; one row per group with at least one
+    * observation in EACH sample (a one-sided group has no defined D).
+    */
+  def ksTestByGroup(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      inB: Column): DataFrame = {
+    require(groupCols.nonEmpty, "ksTestByGroup needs group columns — use ksTest")
+    val gcols = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.as("v"): _*)
+      .agg(
+        sum(when(inB, 0L).otherwise(1L)).as("cnt_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("cnt_b"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val ecdf = counts
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+      .withColumn("n_a", sum(col("cnt_a")).over(whole))
+      .withColumn("n_b", sum(col("cnt_b")).over(whole))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    ecdf.groupBy(gcols :+ col("n_a") :+ col("n_b"): _*)
+      .agg(max(col("gap")).as("d_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("d_ppm",
+        call_function("div", dec(col("d_num")) * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value

@@ -1794,6 +1794,37 @@ object InferenceQueries extends QuerySet {
            |         AS t_micro
            |FROM s""".stripMargin)),
 
+    QueryDef("q308_ks_by_segment", (s, d) =>
+      // the nightly drift sweep: per event type, KS of the first-half vs
+      // second-half month value distributions — the fleet version of
+      // q262 whose ECDF windows PARTITION by segment and run fully
+      // parallel (no global funnel, no guard needed)
+      Inference.ksTestByGroup(events(s, d), Seq("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        dayofmonth(col("ts")) >= 16),
+      Some(
+        """WITH v AS (
+          |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |         (CAST(extract(day FROM ts) AS INTEGER) >= 16) AS b
+          |  FROM events),
+          |r AS (SELECT event_type, v,
+          |             sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+          |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+          |      FROM v GROUP BY 1, 2),
+          |c AS (SELECT event_type, v,
+          |             sum(cnt_a) OVER w AS cum_a, sum(cnt_b) OVER w AS cum_b,
+          |             sum(cnt_a) OVER g AS n_a, sum(cnt_b) OVER g AS n_b
+          |      FROM r
+          |      WINDOW w AS (PARTITION BY event_type ORDER BY v),
+          |             g AS (PARTITION BY event_type))
+          |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+          |       CAST((CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS HUGEINT) * 1000000)
+          |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+          |FROM c
+          |WHERE n_a > 0 AND n_b > 0
+          |GROUP BY event_type, n_a, n_b""".stripMargin)),
+
     QueryDef("q271_dhash_neardup", (s, d) => {
       // perceptual image near-dup: per doc a REAL 9x8 grayscale PNG whose
       // pixels derive from doc_id arithmetic (40 shared motifs; every 5th

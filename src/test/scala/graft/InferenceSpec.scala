@@ -75,6 +75,27 @@ class InferenceSpec extends AnyFunSuite {
     assert(tSpread > tSpike) // CvM can
   }
 
+  // ---- ksTestByGroup ----
+
+  test("ksTestByGroup: per-group D equals the global test run per slice; windows partitioned") {
+    val g1 = (Seq(1L, 2L, 3L).map(("s1", _, false)) ++
+      Seq(2L, 3L, 4L, 4L).map(("s1", _, true)))
+    val g2 = (Seq(9L, 9L).map(("s2", _, false)) ++ Seq(1L, 1L).map(("s2", _, true)))
+    val onesided = Seq(("s3", 5L, false)) // no B observations -> excluded
+    val df = (g1 ++ g2 ++ onesided).toDF("seg", "v", "b")
+    val out = Inference.ksTestByGroup(df, Seq("seg"), col("v"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("s1") === ((3L, 4L, 6L, 500000L))) // the q262 textbook vector
+    assert(out("s2") === ((2L, 2L, 4L, 1000000L))) // disjoint supports
+    assert(!out.contains("s3"))
+    // plan: the ECDF window carries the group partition — parallel, no
+    // single-partition funnel, no guard required
+    val plan = Inference.ksTestByGroup(df, Seq("seg"), col("v"), col("b"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(seg"), s"window lost its partition:\n$plan")
+  }
+
   // ---- mannWhitney ----
 
   test("mannWhitney: tied vector matches the hand rank sum") {
