@@ -8,21 +8,26 @@ import graft.sources.Sources.table
 /** Scale-up probe: times the pairwise dedup family on the documents table
   * replicated Nx (ids shifted so replicas are near-dups of each other, the
   * worst case for candidate volume). Usage:
-  *   runMain graft.ScaleProbe [sfDir] [replicas]
+  *   runMain graft.ScaleProbe [sfDir] [replicas] [outJson]
   * Prints per-operator seconds at 1x and Nx — the growth RATIO is the
   * scalability signal (a quadratic path grows ~N^2, the banded/prefix paths
-  * should grow near-linearly in candidate volume).
+  * should grow near-linearly in candidate volume). The probe table is also
+  * written as a JSON artifact (default `SCALEPROBE.json`; pass e.g.
+  * `SCALEPROBE_r10.json`) so scale behavior is diffable round-over-round
+  * the way BENCH_rN.json is.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps  = if (args.length > 1) args(1).toInt else 4
+    val outJson = if (args.length > 2) args(2) else "SCALEPROBE.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -34,10 +39,13 @@ object ScaleProbe {
       docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
     }.reduce(_ unionByName _).localCheckpoint()
 
+    val probeRows = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      probeRows += ((label.trim.replaceAll("\\s+", " "), sec, n))
+      println(f"[probe] $label%-28s $sec%7.2f s  ($n rows)")
     }
 
     for ((label, docs) <- Seq("1x" -> docs1.localCheckpoint(), s"${reps}x" -> docsN)) {
@@ -274,6 +282,12 @@ object ScaleProbe {
       }
     }
 
+    val json = probeRows.map { case (label, sec, rows) =>
+      f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
+    }.mkString(
+      s"""{"sf_dir":"$sfDir","replicas":$reps,"probes":[\n""", ",\n", "\n]}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[probe] wrote $outJson (${probeRows.size} probes)")
     spark.stop()
   }
 }

@@ -87,10 +87,11 @@ object Inference {
       .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
       .withColumn("n_a", sum(col("cnt_a")).over(whole))
       .withColumn("n_b", sum(col("cnt_b")).over(whole))
+      // cum*n products in DECIMAL: LONG aborts (ANSI) past ~3e9 rows/side
       .withColumn("gap",
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")))
     ecdf.groupBy(gcols :+ col("n_a") :+ col("n_b"): _*)
-      .agg(max(col("gap")).as("d_num"))
+      .agg(max(col("gap")).cast("long").as("d_num"))
       .filter(col("n_a") > 0L && col("n_b") > 0L)
       .withColumn("d_ppm",
         call_function("div", dec(col("d_num")) * lit(1000000L),
@@ -109,12 +110,15 @@ object Inference {
     val ecdf = twoSampleCounts(df, valueCol, inB, maxDistinct)
     val totals = ecdf.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
     val gaps = ecdf.crossJoin(broadcast(totals))
+      // cum*n products in DECIMAL: LONG aborts (ANSI) past ~3e9 rows/side;
+      // the reported d_num stays LONG (cast below — d_num <= n_a*n_b, so
+      // the cast holds to ~9e18 and aborts loudly beyond, never wraps)
       .withColumn("gap",
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")))
     val dmax = gaps.agg(max(col("gap")).as("d_num"))
     gaps.crossJoin(broadcast(dmax))
       .filter(col("gap") === col("d_num"))
-      .groupBy(col("n_a"), col("n_b"), col("d_num"))
+      .groupBy(col("n_a"), col("n_b"), col("d_num").cast("long").as("d_num"))
       .agg(min(col("v")).as("d_at"))
       .withColumn("d_ppm",
         call_function("div", dec(col("d_num")) * lit(1000000L),
@@ -176,11 +180,14 @@ object Inference {
         (col("r2_a") - dec(col("n_a")) * dec(col("n_a") + 1L)).cast("long"))
       .withColumn("tie_term", col("tie_term").cast("long"))
       .withColumn("z",
-        (col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+        (dec(col("u2_a")) - dec(col("n_a")) * col("n_b")).cast("double") /
           sqrt(((dec(col("n_a")) * dec(col("n_b"))) *
             (dec(n + 1L) * dec(n) * dec(n - 1L) - dec(col("tie_term"))))
             .cast("double") /
-            (lit(3L) * n * (n - 1L)).cast("double")))
+            // 3*n*(n-1) through DECIMAL too: in LONG it overflows (ANSI
+            // abort) past n ~ 1.76e9 rows — under the module's stated
+            // warehouse row-count envelope
+            (dec(lit(3L)) * dec(n) * dec(n - 1L)).cast("double")))
       .select("n_a", "n_b", "u2_a", "tie_term", "z")
   }
 

@@ -261,8 +261,20 @@ object Similarity {
     * evaluation); queries the approx index missed entirely score 0 via
     * the left join. Same O(k · |queries|) shape as recallAtK.
     */
-  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int,
+      rankCol: Option[String] = None): DataFrame = {
     require(k >= 1 && k <= 1000, s"k: $k")
+    // Pass rankCol explicitly when the approx frame carries more than one
+    // rank-suffixed column (e.g. a passthrough 'rank' plus 'mmr_rank');
+    // auto-discovery requires exactly one and fails loudly otherwise —
+    // a silent bind-by-column-order would score the wrong ranking.
+    val rc = rankCol.getOrElse {
+      val cands = approx.columns.filter(_.endsWith("rank"))
+      require(cands.length == 1,
+        s"ndcgAtK: expected exactly one rank-suffixed column in approx, " +
+          s"got [${cands.mkString(",")}] — pass rankCol explicitly")
+      cands.head
+    }
     val discounts = (1 to k).map(i =>
       i.toLong -> math.round(1e6 / (math.log(i + 1) / math.log(2))))
     val idcg = discounts.map(_._2).sum
@@ -270,7 +282,7 @@ object Similarity {
       when(col("rank") === i, lit(w)).otherwise(acc)
     }
     val ranked = approx.select(col("query_id"), col("neighbor_id"),
-      col(approx.columns.find(_.endsWith("rank")).getOrElse("rank")).as("rank"))
+      col(rc).as("rank"))
       .filter(col("rank") <= k)
     val hits = exact.select(col("query_id"), col("neighbor_id"))
       .join(ranked, Seq("query_id", "neighbor_id"))

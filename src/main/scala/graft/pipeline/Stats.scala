@@ -382,9 +382,14 @@ object Stats {
       .withColumn("strength_ppm",
         when(col("c") > col("b"),
           // the div results are LONG; at warehouse volumes (a - b) * 1e6
-          // overflows 64 bits (seen at sf0.1) — go back through DECIMAL
-          call_function("div", dec(col("a") - col("b")) * 1000000L,
-            dec(col("c") - col("b"))).cast("long")))
+          // overflows 64 bits (seen at sf0.1) — go back through DECIMAL.
+          // Clamped at 0: the seven per-dow truncated divisions can make
+          // `a` up to ~7 units smaller than exact while `b` truncates by
+          // <1, so a near-constant series with c > b could otherwise emit
+          // a small negative ppm despite the documented 0..~1e6 range
+          greatest(lit(0L),
+            call_function("div", dec(col("a") - col("b")) * 1000000L,
+              dec(col("c") - col("b"))).cast("long"))))
       .select(gcols ++ Seq(col("n_days"), col("strength_ppm")): _*)
   }
 

@@ -1087,7 +1087,12 @@ object TextAnalysis {
     val bi = docs.filter(col(textCol).isNotNull)
       .select(explode(bigramPairs(tokens(col(textCol)))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    // Pin the type rollup: it feeds FOUR subtrees (byW1, byW2, nb, the
+    // final join) and without the pin the explode+rollup over raw text
+    // recomputes per branch (r9 bench: 5.3 s -> the recompute was most of
+    // it). Lazy localCheckpoint = materialized once on first use.
     val types = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val byW1 = types.groupBy(col("w1"))
       .agg(sum(col("c")).as("__cw1"), count(lit(1)).as("__n1r"))
     val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("__n1l"))

@@ -541,7 +541,10 @@ object FeatureQueries extends QuerySet {
         val bi = table(s, d, "documents").filter(col("text").isNotNull)
           .select(explode(T.bigramPairs(T.tokens(col("text")))).as("p"))
           .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        // pin: pairs feeds left/right/n2/final — without it the raw-text
+        // explode+rollup recomputes per subtree (q217's pattern)
         val pairs = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
         val left = pairs.groupBy(col("w1")).agg(sum(col("c")).as("cl"))
         val right = pairs.groupBy(col("w2")).agg(sum(col("c")).as("cr"))
         val n2 = pairs.agg(sum(col("c")).as("n2"))

@@ -1157,8 +1157,8 @@ object InferenceQueries extends QuerySet {
           |      FROM dc GROUP BY 1)
           |SELECT t.event_type, n_days,
           |       CAST(CASE WHEN c > (s * s) // n_days
-          |                 THEN ((a.a - (s * s) // n_days) * 1000000)
-          |                      // (c - (s * s) // n_days) END AS BIGINT)
+          |                 THEN greatest(0, ((a.a - (s * s) // n_days) * 1000000)
+          |                      // (c - (s * s) // n_days)) END AS BIGINT)
           |         AS strength_ppm
           |FROM t JOIN a ON t.event_type = a.event_type""".stripMargin)),
 
@@ -1340,7 +1340,7 @@ object InferenceQueries extends QuerySet {
         |b AS (SELECT p.p_milli AS pm,
         |             CASE WHEN j.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
         |      FROM j JOIN p USING (c_nationkey))
-        |SELECT pm // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |SELECT CAST(pm // 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(pm) * 1000 // count(*) AS BIGINT) AS mean_pred_ppm,
         |       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS empirical_ppm,
         |       CAST(sum((pm - y * 1000) * (pm - y * 1000)) // count(*) AS BIGINT)
@@ -1363,7 +1363,7 @@ object InferenceQueries extends QuerySet {
            |c AS (SELECT sc, n, pos,
            |             sum(n) OVER (ORDER BY sc DESC) AS cum FROM r),
            |t AS (SELECT max(cum) AS tot, sum(pos) AS totpos FROM c),
-           |dd AS (SELECT (10 * (cum - n + 1 - 1)) // tot + 1 AS decile, n, pos
+           |dd AS (SELECT CAST((10 * (cum - n + 1 - 1)) // tot + 1 AS BIGINT) AS decile, n, pos
            |       FROM c, t),
            |g AS (SELECT decile, CAST(sum(n) AS BIGINT) AS n,
            |             CAST(sum(pos) AS BIGINT) AS n_pos

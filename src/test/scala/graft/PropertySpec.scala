@@ -931,4 +931,41 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.operators.GenericTests.tCloseness(mirrored.toDF("g", "sv"),
       Seq("g"), col("sv"), 1L).collect().forall(_.getAs[Long]("t_ppm") === 0L))
   }
+
+  test("deflateLength matches an independent java.util.zip pass on adversarial inputs") {
+    // q219's compression-ratio signal is the one driver row with no SQL
+    // oracle (no engine exposes deflate) — so the in-repo cross-check is
+    // an INDEPENDENT Deflater re-computation in the test JVM, over the
+    // adversarial input classes: long runs (max compression), seeded
+    // pseudo-random (incompressible), multi-byte unicode (UTF-8 length !=
+    // char count), empties, and run/random interleavings.
+    import graft.plans.Expressions
+    def reference(s: String, level: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(level)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+    val rnd = new Random(219)
+    val inputs: Seq[String] = Seq(
+      "", "a", "a" * 10000, "ab" * 5000,
+      rnd.alphanumeric.take(8192).mkString,
+      Seq.fill(4096)(rnd.nextPrintableChar()).mkString,
+      "日本語のテキスト" * 300, "héllo wörld 🌍" * 200,
+      (1 to 50).map(i => ("x" * i) + rnd.nextInt(10)).mkString("\n"))
+    Seq(1, 6, 9).foreach { level =>
+      val df = inputs.zipWithIndex.map(_.swap).toDF("id", "t")
+        .select(col("id"), Expressions.deflateLength(col("t"), level).as("dz"))
+      val got = df.collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("dz")).toMap
+      inputs.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i) === reference(s, level),
+          s"deflate mismatch at input $i level $level")
+      }
+    }
+  }
 }

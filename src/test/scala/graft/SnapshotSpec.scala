@@ -149,6 +149,54 @@ class SnapshotSpec extends AnyFunSuite {
     assert(stored2.filter(col("dbt_valid_to") === t2).count() === 1L)
   }
 
+  test("valid_to sentinel is stored as INT64/TIMESTAMP(MICROS), never INT96") {
+    // r9 q301 post-mortem: Spark's legacy INT96 parquet timestamps are
+    // force-read by pyarrow as timestamp[ns], wrapping the 9999-12-31
+    // sentinel to 1816-03-29 — silent corruption for ANY arrow-stack
+    // consumer of the warehouse. The session-wide
+    // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS fix is pinned
+    // here at the parquet-footer level so a config regression fails loudly.
+    import graft.engine.{Model, Registry, SnapshotMat, Warehouse}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val sentinel = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_int96").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    reg.source("src", Seq((1L, "a")).toDF("member_id", "plan"))
+    reg.register(Model("snap", Seq("src"),
+      SnapshotMat(Seq("member_id"), CheckStrategy(Seq("plan"), t1),
+        Snapshot.IgnoreDeletes, t1, validToCurrent = Some(sentinel)),
+      ctx => ctx.ref("src")))
+    reg.run()
+    val parts = new java.io.File(s"$root/snap")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val reader = ParquetFileReader.open(in)
+      try {
+        val pt = reader.getFooter.getFileMetaData.getSchema
+          .getType(Seq("dbt_valid_to"): _*).asPrimitiveType()
+        assert(pt.getPrimitiveTypeName === PrimitiveTypeName.INT64,
+          s"dbt_valid_to stored as ${pt.getPrimitiveTypeName} — INT96 regression")
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            assert(ts.getUnit === TimeUnit.MICROS)
+          case other => fail(s"dbt_valid_to logical type: $other")
+        }
+      } finally reader.close()
+    }
+    // and the sentinel round-trips intact through the micros encoding
+    import org.apache.spark.sql.functions.col
+    assert(wh.read("snap").filter(col("dbt_valid_to") === sentinel).count() === 1L)
+  }
+
   test("scd_id matches the surrogate-key md5 recipe (strategies.sql:40-50)") {
     val hist = Snapshot.firstRun(s1, Seq("member_id"), CheckStrategy(Seq("plan"), t1))
     val got = hist.filter("member_id = 1").collect()(0).getAs[String]("dbt_scd_id")

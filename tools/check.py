@@ -5,43 +5,81 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
 Reads <outDir>/<name>/ parquet (Spark output) and <outDir>/oracle_sql.json,
 runs each oracle SQL in DuckDB against views named after the parquet tables
-in <sfDir>, then compares THE WAY THE DRIVER DOES: load both sides into
-pandas, order columns by name, `sort_values` over ALL columns, and compare
-cell values. pandas' lexsort raises `TypeError: unhashable type` on
-array/struct-typed cells (numpy.ndarray / dict), so a query that emits an
-ARRAY column fails HERE exactly as it fails on the driver (q174 round-8
-post-mortem: the old tuple-sort fallback in this script happily ordered
-lists via str() and reported a false PASS).
+in <sfDir>, then compares THE WAY THE DRIVER DOES: load the SPARK side via
+pyarrow/pandas (NOT DuckDB — round-9 post-mortem: DuckDB reads legacy INT96
+timestamps correctly while the driver's pyarrow path force-reads them as
+timestamp[ns] and silently wraps any >2262-07 value, so a DuckDB load here
+masked the q301 corruption), load the ORACLE side via DuckDB -> pandas,
+order columns by name, `sort_values` over ALL columns, and compare cells
+DTYPE-STRICTLY: an int 2 against a float 2.0 is a FAIL, because the driver
+hashes rendered values and pandas renders DuckDB HUGEINT as float64
+(q297/q298 round-9 post-mortem: `==` here tolerated 2.0 == 2 and reported a
+false PASS). pandas' lexsort raises `TypeError: unhashable type` on
+array/struct-typed cells, so an ARRAY-emitting query fails here exactly as
+it fails on the driver (q174 round-8 post-mortem).
 """
 import sys, os, json, glob, math
+import datetime
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def canon_dates(df: pd.DataFrame):
+    """Spark DATE columns arrive from pyarrow as object columns of
+    datetime.date while DuckDB renders DATE-valued expressions as midnight
+    Timestamps; the driver hashes them EQUAL (every date-emitting query
+    passed r9), i.e. it reads dates as datetime64. Mirror that — but only
+    for dates: numeric dtypes stay strict."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
+                    and not isinstance(nn.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+    return df
 
 
 def norm_frame(df: pd.DataFrame):
     """Driver-compare normalization: name-ordered columns, lexsort over all
     of them (raises on unsortable dtypes — that is the point), NaN/None
-    unified, floats left as-is for the caller's tolerant compare."""
+    unified, floats left as-is for the caller's strict compare."""
     df = df[sorted(df.columns)]
     if len(df.columns) > 0 and len(df) > 0:
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 
+_FLOATS = (float, np.floating)
+_INTS = (int, np.integer)
+
+
 def cells_equal(a, b):
+    """Dtype-strict: float-vs-int (the HUGEINT->float64 rendering) and any
+    other cross-kind pair FAIL even when numerically equal, mirroring the
+    driver's hash of rendered values."""
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    a_f, b_f = isinstance(a, _FLOATS), isinstance(b, _FLOATS)
+    if a_f != b_f:
+        return False
+    if a_f:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    # pandas may hand back numpy scalars; == covers int/str/bool/date
+    if isinstance(a, _INTS) != isinstance(b, _INTS):
+        return False
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
     except (TypeError, ValueError):
         pass
-    return a == b
+    try:
+        return bool(a == b)
+    except (TypeError, ValueError):
+        return False
 
 
 def main():
@@ -69,14 +107,15 @@ def main():
             n_fail += 1
             continue
         try:
-            sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+            # pyarrow read, matching the driver (see module docstring)
+            sdf = pd.read_parquet(spark_dir, engine="pyarrow")
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}")
             n_fail += 1
             continue
         try:
-            odf = norm_frame(odf)
-            sdf = norm_frame(sdf)
+            odf = norm_frame(canon_dates(odf))
+            sdf = norm_frame(canon_dates(sdf))
         except TypeError as e:
             # the driver records this as err -> the row is a FAIL
             print(f"FAIL {name}: driver-compare sort error (array/struct "
