@@ -271,6 +271,17 @@ object ScaleProbe {
       }
     }
 
+    // round-10: contrastive hard-negative mining — anchors are FIXED and
+    // broadcast, the corpus grows; cost must track the corpus scan (each
+    // corpus row scores against the broadcast anchors map-side), never a
+    // corpus x anchors shuffle
+    for ((label, emb) <- Seq("1x" -> emb1, s"${reps}x" -> embN)) {
+      time(s"hard_negatives        $label") {
+        Similarity.hardNegatives(emb, emb1.filter(col("vec_id") < 10), k = 5)
+          .count()
+      }
+    }
+
     // two-sample tests: cost must track the DISTINCT-value rollup + one
     // partial-agg scan — replicas add rows but no new distinct values, so
     // Nx rows ~ Nx scan with a flat window stage

@@ -653,4 +653,39 @@ object Dedup {
       .join(sp.select(col("__id").as(bCol), col("__sp").as("split_b")), Seq(bCol))
       .filter(col("split_a") =!= col("split_b"))
   }
+
+  /** Leakage-safe train/heldout split: assign each NEAR-DUP COMPONENT —
+    * not each doc — to a split, so no near-dup pair ever crosses the
+    * boundary ([[splitLeakage]] on the output is empty BY CONSTRUCTION,
+    * where a per-doc hash split only gets audited after the fact). This is
+    * the group-aware split every eval harness needs once the corpus has
+    * been through near-dup detection: a heldout doc whose near-twin sits
+    * in train is a leaked benchmark.
+    *
+    * Every doc gets a row: docs absent from the pair graph are their own
+    * singleton component (cluster_id = doc_id — the same convention as
+    * [[connectedComponents]]' min-id labels, which can never collide with
+    * a singleton because a component's min id IS one of its doc ids).
+    * The split is a pure hash of cluster_id, so adding new docs never
+    * reassigns existing clusters (stable under corpus growth), and the
+    * heldout share is ~heldoutPpm of CLUSTERS, not docs — by design:
+    * holding out whole clusters is the point.
+    *
+    * Scale: components ride [[connectedComponents]] (guarded union-find /
+    * distributed star); the rest is one left join keyed on doc_id plus a
+    * pushed-down hash filter. Output: (doc_id, cluster_id, split).
+    */
+  def componentSplit(docs: DataFrame, idCol: Column, pairs: DataFrame,
+      heldoutPpm: Long, salt: String = ""): DataFrame = {
+    require(heldoutPpm >= 0L && heldoutPpm <= 1000000L, s"heldoutPpm: $heldoutPpm")
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__doc_id"), col("component"))
+    docs.select(idCol.cast("long").as("doc_id"))
+      .join(comps, col("doc_id") === col("__doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(Sampling.hashBucket(col("cluster_id"), salt) < heldoutPpm,
+          lit("heldout")).otherwise(lit("train")))
+  }
 }

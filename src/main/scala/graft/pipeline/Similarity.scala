@@ -102,6 +102,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Contrastive hard-negative mining: for each anchor, the top-k most
+    * cosine-similar vectors carrying a DIFFERENT label — the negatives
+    * that actually move an embedding model (a random negative is usually
+    * trivially far; the near-but-wrong ones define the decision boundary).
+    * Exact/brute variant: anchors broadcast against the corpus, the
+    * [[bruteForceTopK]] shape with the label-mismatch predicate applied
+    * BEFORE scoring (no wasted dot products on same-label rows). At corpus
+    * scale, pre-restrict candidates by [[signBucket]] (the [[lshTopK]]
+    * composition) or an [[ivfTopK]] probe and accept recall < 1 — the
+    * mining loss is tolerant to missing some hard negatives, not to
+    * same-label false negatives, which this filter excludes exactly.
+    *
+    * Output: anchor_id, neighbor_id, neighbor_label, score, rank.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k: $k")
+    val q = anchors.select(col(idCol).cast("long").as("anchor_id"),
+        quantize(col(vecCol)).as("qv"), col(labelCol).cast("long").as("__al"))
+      .withColumn("qn", dotQ(col("qv"), col("qv")))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol)).as("cv"),
+        col(labelCol).cast("long").as("neighbor_label"))
+      .withColumn("cn", dotQ(col("cv"), col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("__al"))
+      .withColumn("score", pairScore)
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neighbor_id"), col("neighbor_label"),
+        col("score"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's sign bucket —
     * the equi-join scale path (recall < 1 by design).
     */

@@ -424,6 +424,35 @@ object PipelineQueries extends QuerySet {
          |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u)
          |SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin)),
 
+    QueryDef("q309_component_split", (s, d) => {
+      // leakage-safe train/heldout split: q66's near-dup components each
+      // land WHOLE on one side (split = pure hash of cluster_id), so no
+      // near-dup pair ever crosses the boundary — the construction-time
+      // guarantee behind what q189 can only audit after the fact.
+      // Singletons (docs outside the pair graph) are their own cluster.
+      val emb = table(s, d, "embeddings")
+      val pairs = Similarity.nearDupPairsLsh(emb, threshold = 0.4)
+      Dedup.componentSplit(emb, col("vec_id"), pairs,
+        heldoutPpm = 200000L, salt = "csplit")
+    }, Some(
+      s"""WITH RECURSIVE $lshPairsCtesBody,
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4),
+         |und AS (SELECT id_a AS u, id_b AS v FROM verified
+         |        UNION SELECT id_b, id_a FROM verified),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |lab AS (SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         |               coalesce(c.comp, CAST(e.vec_id AS BIGINT)) AS cluster_id
+         |        FROM embeddings e LEFT JOIN comp c ON c.id = CAST(e.vec_id AS BIGINT))
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|csplit'), 1, 8))::BIGINT
+         |                 % 1000000 < 200000
+         |            THEN 'heldout' ELSE 'train' END AS split
+         |FROM lab""".stripMargin)),
+
     QueryDef("q67_hash_sample", (s, d) =>
       // deterministic hash sampling: pure function of (id, salt) — a rerun
       // or a different engine selects the identical rows (no RNG, no shuffle)

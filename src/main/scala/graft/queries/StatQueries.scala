@@ -64,6 +64,31 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q310_hard_negatives", (s, d) => {
+      // contrastive hard-negative mining: per anchor the top-5 most
+      // cosine-similar DIFFERENT-label vectors — the near-but-wrong
+      // examples that define an embedding model's decision boundary
+      // (a random negative is trivially far). Exact brute variant;
+      // the scale path pre-restricts by sign bucket / IVF probe.
+      val emb = table(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 25), k = 5)
+    }, Some(
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS anchor_id, $qvecSql AS qv,
+         |                  CAST(label AS BIGINT) AS al
+         |           FROM embeddings WHERE vec_id < 25),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id, $qvecSql AS cv,
+         |             CAST(label AS BIGINT) AS neighbor_label FROM embeddings),
+         |scored AS (
+         |  SELECT q.anchor_id, c.neighbor_id, c.neighbor_label,
+         |         ${cosSql("q.qv", "c.cv")} AS score
+         |  FROM c, q WHERE c.neighbor_label <> q.al)
+         |SELECT anchor_id, neighbor_id, neighbor_label, score,
+         |       CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY score DESC, neighbor_id ASC) AS rank
+         |      FROM scored) t
+         |WHERE rank <= 5""".stripMargin)),
+
     QueryDef("q278_ndcg", (s, d) => {
       // position-aware ANN evaluation: nDCG@5 of the sign-LSH index
       // against brute-force ground truth (q173's recall@k made

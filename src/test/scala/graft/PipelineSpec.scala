@@ -1226,4 +1226,58 @@ class PipelineSpec extends AnyFunSuite {
     val dangling = Seq((1L, 99L, 0.9)).toDF("id_a", "id_b", "jaccard")
     assert(Dedup.splitLeakage(dangling, splits).count() === 0)
   }
+
+  test("componentSplit: zero leakage by construction, singleton coverage, stability") {
+    import graft.pipeline.Dedup
+    // two components {1,2,3} (chained) and {10,11}, singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val out = Dedup.componentSplit(docs, $"doc_id", pairs,
+      heldoutPpm = 500000L, salt = "t")
+    val rows = out.as[(Long, Long, String)].collect()
+    assert(rows.length === 7, "every doc gets a row")
+    val byDoc = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // component members share cluster AND split (the leak-free guarantee)
+    assert(Seq(1L, 2L, 3L).map(byDoc).distinct.size === 1)
+    assert(Seq(10L, 11L).map(byDoc).distinct.size === 1)
+    assert(byDoc(1L)._1 === 1L && byDoc(10L)._1 === 10L, "min-id labels")
+    // singletons are their own cluster
+    assert(byDoc(20L)._1 === 20L && byDoc(21L)._1 === 21L)
+    // the audit the split makes unnecessary: zero cross-split pairs
+    assert(Dedup.splitLeakage(pairs, out.select($"doc_id", $"split"))
+      .count() === 0)
+    // stability under corpus growth: adding unrelated docs/pairs never
+    // reassigns an existing cluster's split (pure hash of cluster_id)
+    val grown = Dedup.componentSplit(
+      docs.union(Seq(30L, 31L).toDF("doc_id")),
+      $"doc_id", pairs.union(Seq((30L, 31L)).toDF("id_a", "id_b")),
+      heldoutPpm = 500000L, salt = "t")
+    val grownByDoc = grown.as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, cl, sp) => assert(grownByDoc(id) === ((cl, sp))) }
+    intercept[IllegalArgumentException](
+      Dedup.componentSplit(docs, $"doc_id", pairs, heldoutPpm = 1000001L))
+  }
+
+  test("hardNegatives: different-label only, nearest-wrong ranks first") {
+    import graft.pipeline.Similarity
+    // anchor 0 (label 0): an exact duplicate with a DIFFERENT label (id 1)
+    // must rank 1; the same-label exact duplicate (id 2) must be absent
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 1),   // hard negative: identical, wrong label
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),   // same label: excluded
+      (3L, Array(0.9f, 0.1f, 0.0f), 2),   // near, wrong label
+      (4L, Array(-1.0f, 0.0f, 0.0f), 1)   // far, wrong label
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 4L), "rank order")
+    assert(got.forall(_._3 !== 0L), "no same-label rows survive")
+    assert(math.abs(got.head._4 - 1.0) < 1e-9)
+    // determinism: the score-tie (none here) and rerun stability
+    val again = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Double, Int)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
 }
