@@ -162,6 +162,37 @@ object GenericTests {
         expectedCol.as("expected_ppm"))
   }
 
+  /** Order-independent relation fingerprint: per group (or globally with
+    * groupCols empty), the row count plus the XOR of a 60-bit md5 prefix
+    * of each row's canonical rendering. Two relations holding the same
+    * multiset of rows fingerprint identically on ANY engine and any
+    * partitioning — the cheap "did this pipeline run change the output"
+    * gate that [[compareRelations]]' full-outer join answers expensively
+    * (fingerprint first; reconcile row-level only when fingerprints
+    * differ). XOR makes the aggregate commutative/associative (map-side
+    * combinable, one narrow shuffle per group) — but XOR alone is blind
+    * to DUPLICATED rows cancelling pairwise, which is why n_rows is part
+    * of the fingerprint and rendering includes every requested column.
+    *
+    * Canonical rendering: columns cast to string, NULL as chr(1) (a control byte
+    * no real cast produces), '|'-joined — callers pass exactly-rendered
+    * types (ints, strings, dates); float columns render engine-specifically
+    * and belong in a quantized cast first. 60 bits (15 md5 hex digits)
+    * keeps the value positive in every engine's signed BIGINT.
+    */
+  def relationFingerprint(df: DataFrame, cols: Seq[String],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "relationFingerprint needs columns")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("\u0001")))
+      .reduce((a, b) => concat(a, lit("|"), b))
+    val h = conv(substring(md5(rendered), 1, 15), 16, 10).cast("long")
+    val base = df.withColumn("__h", h)
+    val agg = Seq(count(lit(1)).as("n_rows"),
+      call_function("bit_xor", col("__h")).as("fingerprint"))
+    if (groupCols.isEmpty) base.agg(agg.head, agg.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(agg.head, agg.tail: _*)
+  }
+
   /** dbt audit-helper `compare_relations`: row-level reconciliation of two
     * relations sharing a schema — the migration/refactor gate ("prove the
     * rewritten model emits the same table"). Each key is classified

@@ -89,6 +89,28 @@ object StatQueries extends QuerySet {
          |      FROM scored) t
          |WHERE rank <= 5""".stripMargin)),
 
+    QueryDef("q311_relation_fingerprint", (s, d) => {
+      // order-independent content fingerprint per return-flag slice: the
+      // cheap "did this run change the output" gate (fingerprint first,
+      // reconcile via compareRelations only when it moved). XOR of 60-bit
+      // md5 row prefixes + the row count; canonical string rendering with
+      // the timestamp cast to DATE (exact on both engines)
+      val li = table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        to_date(col("l_shipdate")).cast("string").as("ship_day"))
+      GenericTests.relationFingerprint(li,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "ship_day"),
+        groupCols = Seq("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(('0x' || substr(md5(
+        |           coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || '|' ||
+        |           coalesce(CAST(l_linenumber AS VARCHAR), chr(1)) || '|' ||
+        |           coalesce(l_returnflag, chr(1)) || '|' ||
+        |           coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(1))), 1, 15))::BIGINT)
+        |         AS fingerprint
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
     QueryDef("q278_ndcg", (s, d) => {
       // position-aware ANN evaluation: nDCG@5 of the sign-LSH index
       // against brute-force ground truth (q173's recall@k made

@@ -422,4 +422,81 @@ class StatSpec extends AnyFunSuite {
       .collect().head
     assert(r4.getLong(1) === 3L && r4.getLong(2) === 2L)
   }
+
+  test("relationFingerprint: order/partition-invariant, value- and dup-sensitive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "v")
+    val cols = Seq("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = GenericTests.relationFingerprint(df, cols).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val f0 = fp(base)
+    assert(f0._1 === 3L)
+    // multiset identity is all that matters: reversed order, different
+    // partitioning, same fingerprint
+    assert(fp(base.orderBy(col("id").desc).repartition(7)) === f0)
+    // any changed cell moves it
+    assert(fp(Seq((1L, "a"), (2L, "B"), (3L, null)).toDF("id", "v")) !== f0)
+    // NULL is distinct from empty string (the chr(1) marker)
+    assert(fp(Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("id", "v")) !== f0)
+    // a duplicated row changes n_rows even though XOR alone would cancel
+    val dup = fp(base.union(Seq((1L, "a")).toDF("id", "v")))
+    assert(dup._1 === 4L)
+    assert(dup !== f0)
+    // grouped variant: per-group rows, group column carried
+    val g = GenericTests.relationFingerprint(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g"),
+      Seq("id", "g"), groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g === Map("x" -> 2L, "y" -> 1L))
+    intercept[IllegalArgumentException](
+      GenericTests.relationFingerprint(base, Nil))
+  }
+
+  test("componentSplit: randomized leak-free invariant on arbitrary graphs") {
+    import scala.util.Random
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(700 + seed)
+      val nDocs = 20 + rnd.nextInt(60)
+      val docs = (1L to nDocs.toLong).toDF("doc_id")
+      val pairs = Seq.fill(rnd.nextInt(40))(
+        (1L + rnd.nextInt(nDocs), 1L + rnd.nextInt(nDocs)))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val out = Dedup.componentSplit(docs, col("doc_id"), pairs,
+        heldoutPpm = 300000L, salt = s"s$seed")
+      assert(out.count() === nDocs.toLong, s"coverage seed $seed")
+      assert(Dedup.splitLeakage(pairs, out.select(col("doc_id"), col("split")))
+        .count() === 0L, s"leak seed $seed")
+      // cluster labels are min-ids: every cluster contains its own label
+      val byCluster = out.collect()
+        .groupBy(_.getLong(1)).map { case (cl, rows) => cl -> rows.map(_.getLong(0)).toSet }
+      byCluster.foreach { case (cl, ids) =>
+        assert(ids.contains(cl) && ids.min === cl, s"label seed $seed") }
+    }
+  }
+
+  test("hardNegatives: randomized parity with a driver-side reference") {
+    import scala.util.Random
+    val rnd = new Random(711)
+    val dim = 4
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f), rnd.nextInt(3))
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    // reference: quantized cosine, label filter, (score desc, id asc)
+    def q(v: Array[Float]): Array[Long] = v.map(x => math.floor(x * 1000 + 0.5).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    vecs.filter(_._1 < 5).foreach { case (aid, av, al) =>
+      val expect = vecs.filter(v => v._3 != al)
+        .map(v => (v._1, cos(q(av), q(v._2))))
+        .sortBy { case (id, sc) => (-sc, id) }.take(3)
+      expect.zipWithIndex.foreach { case ((nid, _), i) =>
+        assert(got((aid, i + 1)) === nid, s"anchor $aid rank ${i + 1}") }
+    }
+  }
 }
