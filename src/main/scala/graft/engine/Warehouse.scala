@@ -523,16 +523,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
   /** Small-file compaction (the OPTIMIZE maintenance op): append-heavy
     * targets accumulate part-files per batch; compaction rewrites the table
     * through the same atomic swap. Partition layouts are preserved (files
-    * regroup WITHIN partitions, one writer per partition value — for
-    * partitioned tables `rowsPerFile` does not apply); unpartitioned tables
-    * regroup to `rowsPerFile` granularity. A clusterBy sort order from the
-    * original writeSwap is NOT retained implicitly — pass `clusterBy` to
-    * re-establish it (unpartitioned tables only). Logical content is
-    * untouched.
+    * regroup WITHIN partitions, one writer per partition value); a
+    * clusterBy sort order from the original writeSwap is NOT retained
+    * implicitly — pass `clusterBy` to re-establish it (unpartitioned
+    * tables only). Logical content is untouched — gate with
+    * [[graft.operators.GenericTests.relationFingerprint]] when paranoid.
+    *
+    * `rowsPerFile` bounds file size from ABOVE on EVERY layout via a
+    * write-scoped `spark.sql.files.maxRecordsPerFile`: co-locating a hot
+    * partition (or the whole unpartitioned table) into one writer must not
+    * produce one oversized file — the writer re-splits at the target, so a
+    * skewed partition compacts to ceil(its rows / rowsPerFile) files
+    * instead of a single multi-GB one. Returns the data-file count after
+    * compaction (the maintenance-loop observability number).
     */
   def compact(name: String, rowsPerFile: Long = 1000000L,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
+    require(rowsPerFile >= 1L, s"rowsPerFile: $rowsPerFile")
     recover(name)
     // partition columns come from the DIRECTORY layout (works for any
     // partitioned table — microbatch periods, upsert buckets), never from
@@ -543,14 +551,35 @@ final class Warehouse(val root: String, spark: SparkSession) {
     require(partCols.isEmpty || clusterBy.isEmpty,
       "clusterBy applies to unpartitioned tables only")
     val raw = spark.read.parquet(dir(name).toString)
-    if (partCols.nonEmpty)
-      writeSwap(name, raw.repartition(partCols.map(col): _*), partitionBy = partCols)
-    else if (clusterBy.nonEmpty)
-      writeSwap(name, raw, clusterBy = clusterBy)
-    else {
-      val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
-      writeSwap(name, raw.repartition(n))
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, rowsPerFile.toString)
+    try {
+      if (partCols.nonEmpty)
+        writeSwap(name, raw.repartition(partCols.map(col): _*), partitionBy = partCols)
+      else if (clusterBy.nonEmpty)
+        writeSwap(name, raw, clusterBy = clusterBy)
+      else {
+        val n = math.max(1L, (raw.count() + rowsPerFile - 1) / rowsPerFile).toInt
+        writeSwap(name, raw.repartition(n))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
     }
+    dataFileCount(name)
+  }
+
+  /** Count of parquet data files under a table dir (recursive — partition
+    * layouts nest).
+    */
+  def dataFileCount(name: String): Long = {
+    val st = Files.walk(dir(name))
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.count(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    } finally st.close()
   }
 
   /** Z-order layout rewrite (the OPTIMIZE ... ZORDER BY maintenance op):

@@ -40,6 +40,27 @@ object CoverageQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q312_compaction", (s, d) => {
+      // small-file compaction through the swap protocol: four append
+      // slices land ~4x the files a single write would, compact() rewrites
+      // to the row-count target, and the READ-BACK is hash-gated against
+      // the plain union — proving the rewrite is logically invisible (the
+      // file-count mechanics are pinned in RegistrySpec)
+      val wh = Scratch.warehouse("q312", d, s, Seq("claims_compact"))
+      val years = Seq("1995", "1996", "1997", "1998")
+      years.foreach { y =>
+        val slice = table(s, d, "orders")
+          .filter(year(col("o_orderdate")) === y.toInt).select(claimCols: _*)
+        if (!wh.exists("claims_compact")) wh.writeSwap("claims_compact", slice)
+        else wh.append("claims_compact", slice)
+      }
+      wh.compact("claims_compact", rowsPerFile = 100000L)
+      wh.read("claims_compact")
+    }, Some(
+      s"""WITH base AS ($claimBaseSql)
+         |SELECT * FROM base
+         |WHERE service_date >= DATE '1995-01-01' AND service_date < DATE '1999-01-01'""".stripMargin)),
+
     QueryDef("q41_incremental_append", (s, d) => {
       val tgt = table(s, d, "orders")
         .filter(col("o_orderdate") < lit("1998-01-01").cast("date")).select(claimCols: _*)

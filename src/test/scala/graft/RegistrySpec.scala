@@ -1044,4 +1044,47 @@ class RegistrySpec extends AnyFunSuite {
         Seq(1L).toDF("nonexistent"))
     }
   }
+
+  test("compact: rowsPerFile bounds file size, fingerprint unmoved, conf restored") {
+    // ScaleSpec pins the layout mechanics (one file per bucket, plain ->
+    // 1); this pins what r10 ADDED: the per-file row bound via the
+    // write-scoped maxRecordsPerFile (a skewed partition or unpartitioned
+    // table must not compact into ONE oversized file), the returned file
+    // count, the fingerprint gate, and post-compact upsert correctness.
+    import graft.operators.GenericTests
+    val root = Files.createTempDirectory("graft_compact").toString
+    val wh = new Warehouse(root, spark)
+    (0 until 6).foreach { i =>
+      val df = (0 until 100).map(j => (i * 100L + j, s"v$j")).toDF("id", "v")
+        .repartition(4)
+      if (i == 0) wh.writeSwap("t", df) else wh.append("t", df)
+    }
+    val before = wh.dataFileCount("t")
+    assert(before >= 20L, s"expected accumulated small files, got $before")
+    def fp() = GenericTests.relationFingerprint(wh.read("t"), Seq("id", "v"))
+      .collect().head
+    val fpBefore = fp()
+    val confBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    // 600 rows at target 600 -> exactly one file; fingerprint unmoved
+    assert(wh.compact("t", rowsPerFile = 600L) === 1L)
+    assert(fp() === fpBefore)
+    assert(spark.conf.getOption("spark.sql.files.maxRecordsPerFile") === confBefore)
+    // the bound works from above too: 600 rows / 200 -> 3 files even
+    // though the repartition itself asks for 3 tasks
+    assert(wh.compact("t", rowsPerFile = 200L) === 3L)
+    assert(fp() === fpBefore)
+
+    // bucketed layout: a HOT bucket (every key hashes into few buckets of
+    // 50 rows each) still respects the per-file bound, and upserts keep
+    // working against the compacted layout
+    val batch = (0L until 200L).map(j => (j, j)).toDF("k", "x")
+    wh.upsertPartitioned("b", batch, Seq("k"), nBuckets = 4)
+    val nFiles = wh.compact("b", rowsPerFile = 20L)
+    // 200 rows over 4 buckets at 20/file -> ceil(perBucket/20) per bucket
+    assert(nFiles >= 10L, s"per-file bound ignored in partitions: $nFiles")
+    wh.upsertPartitioned("b",
+      (0L until 10L).map(j => (j, j + 100L)).toDF("k", "x"), Seq("k"), nBuckets = 4)
+    val got = wh.read("b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200 && got(3L) === 103L && got(20L) === 20L)
+  }
 }
