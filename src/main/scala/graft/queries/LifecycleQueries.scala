@@ -989,6 +989,50 @@ object LifecycleQueries extends QuerySet {
         |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.l_event_id = v.event_id)
         |  AND epoch_us(v.ts) + 3600000000 < wm.w_ms * 1000""".stripMargin)),
 
+    QueryDef("q313_stream_drift", (s, d) => {
+      // streaming distribution-drift monitor: per event-time hour the live
+      // value distribution binned against fixed edges as a windowed
+      // streaming aggregate (state <= bins per open window), then the
+      // binned one-sample KS distance vs a fixed reference CDF rolled up
+      // from the materialized registers — maintain counts in the stream,
+      // derive the statistic at read time. Absent bins densify to zero
+      // (a starved bin IS drift). Oracle replays bin/cum/max from batch.
+      import graft.streaming.EventsStream
+      val regs = EventsStream.driftRegisters(
+        EventsStream.readEvents(s, d), binEdgesCents = Seq(1000L, 2000L, 3000L, 5000L, 8000L))
+      val stored = EventsStream.runToBatch(s, regs, "q313_regs")
+      EventsStream.driftFromRegisters(stored,
+        refCdfPpm = Seq(200000L, 400000L, 550000L, 700000L, 850000L, 1000000L))
+    }, Some(
+      """WITH v AS (
+        |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT hour_start,
+        |             (CASE WHEN cents > 1000 THEN 1 ELSE 0 END +
+        |              CASE WHEN cents > 2000 THEN 1 ELSE 0 END +
+        |              CASE WHEN cents > 3000 THEN 1 ELSE 0 END +
+        |              CASE WHEN cents > 5000 THEN 1 ELSE 0 END +
+        |              CASE WHEN cents > 8000 THEN 1 ELSE 0 END) AS bin
+        |      FROM v),
+        |r AS (SELECT hour_start, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT h.hour_start, bn.bin, coalesce(r.n, 0) AS n
+        |  FROM (SELECT DISTINCT hour_start FROM r) h
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) bn
+        |  LEFT JOIN r ON r.hour_start = h.hour_start AND r.bin = bn.bin),
+        |c AS (SELECT hour_start, bin, n,
+        |             CAST(sum(n) OVER (PARTITION BY hour_start ORDER BY bin) AS BIGINT) AS cum,
+        |             CAST(sum(n) OVER (PARTITION BY hour_start) AS BIGINT) AS tot
+        |      FROM dense)
+        |SELECT hour_start, CAST(max(tot) AS BIGINT) AS n,
+        |       CAST(max(abs(cum * 1000000 // tot -
+        |                    CASE bin WHEN 0 THEN 200000 WHEN 1 THEN 400000
+        |                             WHEN 2 THEN 550000 WHEN 3 THEN 700000
+        |                             WHEN 4 THEN 850000 ELSE 1000000 END)) AS BIGINT)
+        |         AS d_ppm
+        |FROM c GROUP BY 1""".stripMargin)),
+
     QueryDef("q160_stream_agg", (s, d) => {
       // unbounded-key streaming aggregate state: per-batch partials
       // sum-combined into a stored rollup (integer cents — exact under any

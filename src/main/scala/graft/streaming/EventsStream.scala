@@ -241,6 +241,65 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("hist_bin"),
         col("hist_count"))
 
+  /** Streaming distribution-drift registers: per event-time hour, live
+    * `value` counts binned against FIXED reference bin edges (integer
+    * cents, ascending) — a windowed streaming aggregate whose state per
+    * open window is at most |edges|+1 register rows (the
+    * [[hourlyValueHist]] discipline), never raw values. The drift
+    * statistic itself is NOT incrementally maintainable (its max runs over
+    * the whole CDF); the registers are — maintain counts in the stream,
+    * derive the statistic at read time with [[driftFromRegisters]].
+    */
+  def driftRegisters(events: DataFrame, binEdgesCents: Seq[Long]): DataFrame = {
+    require(binEdgesCents.nonEmpty &&
+      binEdgesCents == binEdgesCents.sorted &&
+      binEdgesCents.distinct.size == binEdgesCents.size,
+      s"bin edges must be ascending and distinct: $binEdgesCents")
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val bin = binEdgesCents.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(cents > e, 1).otherwise(0)
+    }
+    events.withWatermark("ts", "2 hours")
+      .withColumn("__bin", bin)
+      .groupBy(window(col("ts"), "1 hour"), col("__bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"),
+        col("__bin").as("bin"), col("n"))
+  }
+
+  /** Per-hour drift statistic from stored [[driftRegisters]]: the binned
+    * one-sample KS distance `d_ppm = max_bin |cum·1e6 div n − ref_cdf_ppm|`
+    * against a reference CDF (cumulative ppm per bin, last must be 1e6 —
+    * the fixed SLA distribution the fleet is monitored against). Bins the
+    * hour never filled still contribute their gap: the live CDF is flat
+    * across an empty bin while the reference ramps, and skipping it would
+    * under-report exactly the starved-bin drift the monitor exists to
+    * catch — the pivot's sum-when gives the empty bin a 0 count and its
+    * cum/gap is evaluated like any other. All arithmetic exact integer,
+    * fully parallel across hours. Output: (hour_start, n, d_ppm).
+    */
+  def driftFromRegisters(registers: DataFrame, refCdfPpm: Seq[Long]): DataFrame = {
+    require(refCdfPpm.size >= 2 && refCdfPpm.last == 1000000L &&
+      refCdfPpm == refCdfPpm.sorted,
+      s"reference CDF must ascend to 1e6: $refCdfPpm")
+    val k = refCdfPpm.size
+    // bounded bin domain -> conditional-sum pivot: ONE narrow aggregate
+    // per hour, no window, no join (a densify self-join on the register
+    // relation also trips Spark's self-join dedup through a memory sink);
+    // absent bins sum to 0 naturally
+    val counts = (0 until k).map(i =>
+      sum(when(col("bin") === i, col("n")).otherwise(0L)).as(s"__c$i"))
+    val agg = registers.groupBy(col("hour_start")).agg(counts.head, counts.tail: _*)
+    val n = (0 until k).map(i => col(s"__c$i")).reduce(_ + _)
+    val gaps = (0 until k).map { i =>
+      val cum = (0 to i).map(j => col(s"__c$j")).reduce(_ + _)
+      abs(call_function("div", cum * 1000000L, col("__n")) - lit(refCdfPpm(i)))
+    }
+    agg.withColumn("__n", n)
+      .filter(col("__n") > 0L)
+      .select(col("hour_start"), col("__n").as("n"), greatest(gaps: _*).as("d_ppm"))
+  }
+
   /** Watermarked SLIDING-window counts (1h window advancing every 30min):
     * each event lands in window/slide frames, state is bounded by the
     * watermark horizon x open windows. Same aggregate as the q122 batch

@@ -535,4 +535,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.asScala.toMap ===
       Map(1L -> "engage", 2L -> "passive", 3L -> null))
   }
+
+  test("drift monitor: stream registers == batch registers; hand drift vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = Seq(1000L, 2000L, 3000L, 5000L, 8000L)
+    // stream == batch on the registers (the maintained state)
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.driftRegisters(EventsStream.readEvents(spark, dir), edges),
+      "drift_regs_test")
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(cents > e, 1).otherwise(0) }
+    val batch = graft.sources.Sources.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // hand vector: one hour, all mass in bin 0 against a 20%-per-step
+    // reference -> the largest gap is at bin 0: |1e6 - 200000| = 800000
+    val h = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ref = Seq(200000L, 400000L, 550000L, 700000L, 850000L, 1000000L)
+    val allLow = Seq((h, 0, 10L)).toDF("hour_start", "bin", "n")
+    val r1 = EventsStream.driftFromRegisters(allLow, ref).collect().head
+    assert(r1.getLong(1) === 10L && r1.getLong(2) === 800000L)
+    // perfectly on-reference counts -> d_ppm 0 (20 rows split 4/4/3/3/3/3)
+    val onRef = Seq(4L, 4L, 3L, 3L, 3L, 3L).zipWithIndex
+      .map { case (n, i) => (h, i, n) }.toDF("hour_start", "bin", "n")
+    assert(EventsStream.driftFromRegisters(onRef, ref)
+      .collect().head.getLong(2) === 0L)
+    // a STARVED middle bin is drift even though it has no register row:
+    // mass only in bins 0 and 5 (10/10) -> live cum sits at 500000 through
+    // bins 0-4 while the reference ramps; the MAX gap lands at absent
+    // bin 4 (|500000 - 850000| = 350000), exceeding present bin 0's 300000
+    // — the exact case a sparse-register max would under-report
+    val starved = Seq((h, 0, 10L), (h, 5, 10L)).toDF("hour_start", "bin", "n")
+    assert(EventsStream.driftFromRegisters(starved, ref)
+      .collect().head.getLong(2) === 350000L)
+    intercept[IllegalArgumentException](
+      EventsStream.driftFromRegisters(allLow, Seq(500000L, 900000L)))
+    intercept[IllegalArgumentException](
+      EventsStream.driftRegisters(
+        EventsStream.readEvents(spark, dir), Seq(5L, 3L)))
+  }
 }
