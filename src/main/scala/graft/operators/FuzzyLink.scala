@@ -163,4 +163,69 @@ object FuzzyLink {
         when(col("score_milli") >= upperMilli, lit("match"))
           .otherwise(lit("possible")))
   }
+
+  /** Golden-record survivorship: collapse every record of an entity (a
+    * linkage cluster id, a user id, a master key) into ONE row, choosing
+    * each field by its own rule — the MDM step after [[linkCandidates]] /
+    * Dedup's connected components decide WHICH rows are the same entity.
+    * Three survivorship rule families, all with total deterministic
+    * tie-breaks:
+    *
+    *  - `modeCols`: most frequent value wins (count DESC, value ASC) —
+    *    the "majority vote" rule for categoricals;
+    *  - `recencyCols`: the value carried by the LATEST record under
+    *    (`orderCol`, `tieCol`) lexicographic order — "most recent wins",
+    *    the rule for mutable attributes. The pair must uniquely order
+    *    records within an entity or the result is still deterministic but
+    *    decided by the value itself (max-struct semantics);
+    *  - `minCols` / `maxCols`: plain extrema — first_seen/last_seen
+    *    bounds, "most complete" numerics.
+    *
+    * Output: entity, n_records, then mode_/last_/min_/max_-prefixed
+    * columns. NULLs lose to any value under mode (NULL groups are
+    * excluded) and under min/max (agg semantics); a recency value may be
+    * NULL if the latest record's field is NULL — survivorship reports what
+    * the winning record SAYS, not the last non-null (that variant is a
+    * coalesce over a second recency pass callers can add).
+    *
+    * Shape: one partial-agg rollup per mode column (keyed on (entity,
+    * value) — map-side combinable, skew bounded by the entity's own
+    * size), a single max-struct agg for ALL recency columns + extrema +
+    * count, then equi-joins on the entity key. No raw-row window over the
+    * whole table; every shuffle is keyed by entity.
+    */
+  def goldenRecord(df: DataFrame, entityCol: Column,
+      orderCol: Column, tieCol: Column,
+      modeCols: Seq[String] = Nil, recencyCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+    require(modeCols.nonEmpty || recencyCols.nonEmpty || minCols.nonEmpty ||
+      maxCols.nonEmpty, "goldenRecord: no survivorship rules")
+    val base = df.withColumn("__e", entityCol)
+      .withColumn("__o", orderCol).withColumn("__t", tieCol)
+    val recStruct = struct(col("__o") +: col("__t") +:
+      recencyCols.map(col): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n_records")) ++
+        (if (recencyCols.nonEmpty) Seq(max(recStruct).as("__rec")) else Nil) ++
+        minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        maxCols.map(c => max(col(c)).as(s"max_$c"))
+    val core0 = base.groupBy(col("__e")).agg(aggs.head, aggs.tail: _*)
+    // struct() keeps simple-column field names, so the recency values
+    // extract by their own names
+    val core = recencyCols.foldLeft(core0) { (acc, c) =>
+      acc.withColumn(s"last_$c", col("__rec").getField(c))
+    }.drop("__rec")
+    val withModes = modeCols.foldLeft(core) { (acc, c) =>
+      val w = Window.partitionBy(col("__e"))
+        .orderBy(col("__cnt").desc, col(c).asc)
+      val m = base.filter(col(c).isNotNull)
+        .groupBy(col("__e"), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__e"), col(c).as(s"mode_$c"))
+      acc.join(m, Seq("__e"), "left")
+    }
+    withModes.withColumnRenamed("__e", "entity")
+  }
 }

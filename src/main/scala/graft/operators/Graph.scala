@@ -460,4 +460,55 @@ object Graph {
           coalesce(col("deg_sum"), lit(0L)) * coalesce(col("deg_sum"), lit(0L)))
           .as("q_scaled"))
   }
+
+  /** Degree assortativity coefficient (Newman, "Assortative mixing in
+    * networks", 2002) over an UNDIRECTED graph: the Pearson correlation of
+    * the degrees at the two ends of each edge. Positive = hubs link hubs
+    * (social nets), negative = hubs link leaves (bipartite/infrastructure
+    * nets) — the one-number summary that says which mixing regime a graph
+    * is in before any community detection is worth running.
+    *
+    * With M = |edges|, A = sum(da*db), B = sum(da+db), C = sum(da^2+db^2)
+    * over edges (each undirected edge counted ONCE; the symmetric formula
+    * makes the orientation irrelevant):
+    *   r = (4*M*A - B^2) / (2*M*C - B^2).
+    * All four moments accumulate exactly; the products ride DECIMAL(38,0)
+    * (B^2 alone passes 64 bits at ~10^5 edges x 10^4 degrees) and r is ONE
+    * IEEE division of two exactly-computed integers — bit-identical on any
+    * engine, the [[graft.pipeline.Inference.cohenKappa]] convention for a
+    * statistic that can be negative (truncated-vs-floored integer division
+    * diverges below zero). Degenerate graphs (all degrees equal, e.g. a
+    * perfect matching) have a zero denominator and emit NULL.
+    *
+    * Shape: one degree rollup (keyed on node), two equi-joins tagging each
+    * edge end with its degree (degree table ~ node count; broadcastable
+    * for most graphs, AQE picks it up), one global partial agg. No
+    * iteration, no window.
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    // pin: the normalized edge set feeds THREE subtrees (both arms of the
+    // degree union + the tagged join) — unpinned, the upstream join +
+    // distinct recomputes per branch (the q217/q221 recompute lesson)
+    val und = normalizeUndirected(edges, aCol, bCol).localCheckpoint(false)
+    val deg = und.select(col("u").as("node")
+      ).unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tagged = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "da"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "db"), "v")
+    tagged.agg(
+      count(lit(1)).as("n_edges"),
+      sum(dec(col("da")) * col("db")).as("__a"),
+      sum(dec(col("da")) + col("db")).as("__b"),
+      sum(dec(col("da")) * col("da") + dec(col("db")) * col("db")).as("__c"))
+      .select(col("n_edges"),
+        (dec(col("n_edges")) * col("__a") * 4L - col("__b") * col("__b"))
+          .cast("double").as("num_x"),
+        (dec(col("n_edges")) * col("__c") * 2L - col("__b") * col("__b"))
+          .cast("double").as("den_x"))
+      .withColumn("assortativity",
+        when(col("den_x") =!= 0d, col("num_x") / col("den_x")))
+  }
 }

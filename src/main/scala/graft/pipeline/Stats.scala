@@ -650,4 +650,134 @@ object Stats {
         call_function("div", (col("__s") - col("__sl")) * 1000L,
           col("__n") - col("__nl")).as("mean_right_milli")): _*)
   }
+
+  /** Benford first-significant-digit audit (Newcomb 1881 / Benford 1938;
+    * the standard anomaly screen for amount columns — fabricated or
+    * re-binned data drifts from the log distribution). Input must be a
+    * POSITIVE integer expression in fixed-point units (the cents recipe):
+    * the leading digit of an integer is string-safe on every engine, and
+    * power-of-ten scaling does not change the first significant digit, so
+    * auditing cents audits dollars.
+    *
+    * Emits exactly 9 rows (digits 1-9; a digit the data never produces
+    * still appears with n_obs = 0 — a starved digit is the loudest
+    * Benford violation, so it cannot be allowed to vanish from the
+    * output). Expected shares are the exact literals
+    * round(1e6*log10(1+1/d)), which sum to exactly 1,000,000;
+    * `chi_contrib_micro = (n*1e6 - exp_ppm*total)^2 div (exp_ppm*total*1e6)`
+    * is each digit's exact-integer chi-square contribution in micro-units
+    * (sum across the 9 rows and compare to the chi-sq(8) critical value).
+    * Squares ride DECIMAL(38,0): n*1e6 is ~1e18 at a billion rows and its
+    * square is far past 64 bits.
+    *
+    * Shape: one 9-group partial-agg rollup over the scan (map-side
+    * combine collapses to <=9 rows per task), broadcast-joined onto a
+    * 9-row literal digit spine. Nothing here grows with data volume.
+    */
+  def benfordAudit(df: DataFrame, unitsCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // round(1e6 * log10(1 + 1/d)) for d = 1..9; sums to exactly 1e6
+    val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val obs = df.select(unitsCol.cast("long").as("__u"))
+      .filter(col("__u") > 0L)
+      .groupBy(substring(col("__u").cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("__n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(expPpm.map(lit): _*), col("id").cast("int"))
+          .as("expected_ppm"))
+    val joined = spine.join(broadcast(obs), Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("__n"), lit(0L)))
+      .withColumn("total", sum(col("n_obs")).over(Window.partitionBy(lit(1))))
+    joined
+      .withColumn("observed_ppm",
+        call_function("div", col("n_obs") * 1000000L, col("total")))
+      .withColumn("chi_contrib_micro",
+        call_function("div",
+          dec(col("n_obs") * 1000000L - col("expected_ppm") * col("total")) *
+            (col("n_obs") * 1000000L - col("expected_ppm") * col("total")),
+          dec(col("expected_ppm")) * col("total") * 1000000L).cast("long"))
+      .select(col("digit"), col("n_obs"), col("expected_ppm"),
+        col("observed_ppm"), col("chi_contrib_micro"))
+  }
+
+  /** Mann-Kendall monotonic-trend test with Sen's slope (Mann 1945,
+    * Kendall 1975, Sen 1968) over a per-group DAILY series — the
+    * distribution-free "is this metric drifting" detector that pairs with
+    * [[changepointDaily]] (which localizes a break this test only
+    * globally confirms).
+    *
+    * Exact integer outputs per group:
+    *  - `s_stat`   = sum over day pairs i<j of sign(y_j - y_i);
+    *  - `var18`    = 18*Var(S) with the standard tie correction:
+    *                 n(n-1)(2n+5) - sum_t t(t-1)(2t+5) over tied-value
+    *                 groups (kept un-divided — exact, engine-portable);
+    *  - `significant` at two-sided alpha 0.05 via the continuity-corrected
+    *                 normal test, sqrt-free: |S|>1 and
+    *                 1e4*18*(|S|-1)^2 > 38416*var18  (38416 = 1e4*1.96^2),
+    *                 both sides in DECIMAL(38,0) — S^2 alone overflows a
+    *                 BIGINT once a series passes ~55k days/points;
+    *  - `sen_slope_ppm` = the LOWER MEDIAN (smallest value whose cumulative
+    *                 pair count reaches ceil(pairs/2)) of the pairwise
+    *                 slopes sign(dy)*((|dy|*1e6) div dd) — sign-magnitude
+    *                 truncation, because Spark `div` truncates while
+    *                 DuckDB `//` floors on negatives.
+    *
+    * Scale shape: the raw scan rolls up to ONE row per (group, day) first;
+    * everything pairwise is over the daily series, so cost is bounded by
+    * the calendar (n days ~ thousands), NOT data volume — at 100 TB the
+    * self-join is a few million tiny rows per group, parallel across
+    * groups. The slope median runs on a (group, slope) rollup, never raw
+    * pairs.
+    */
+  def mannKendallDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannKendallDaily needs groupCols — wrap an ungrouped series in a " +
+        "constant group")
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds pairs, ties, and n — one materialization
+    val a = daily.select(gcols ++ Seq(col("day").as("di"), col("y").as("yi")): _*)
+    val b = daily.select(gcols ++ Seq(col("day").as("dj"), col("y").as("yj")): _*)
+    val pairs = a.join(b, groupCols).filter(col("di") < col("dj"))
+      .withColumn("__dy", col("yj") - col("yi"))
+      .withColumn("slope_ppm",
+        signum(col("__dy")).cast("long") *
+          call_function("div", abs(col("__dy")) * 1000000L,
+            col("dj") - col("di")))
+    val sStat = pairs.groupBy(gcols: _*)
+      .agg(sum(signum(col("__dy")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(gcols :+ col("y"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(gcols: _*)
+      .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).as("__tie"),
+        sum(col("t")).as("n_days"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) * (col("n_days") * 2L + 5L) -
+          col("__tie"))
+    // lower median of slopes from a (group, slope) rollup: first distinct
+    // slope whose cumulative pair count reaches ceil(pairs/2)
+    val slopeCounts = pairs.groupBy(gcols :+ col("slope_ppm"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byV = Window.partitionBy(gcols: _*).orderBy(col("slope_ppm").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val sen = slopeCounts
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .filter(col("cum") * 2L >= col("tot") &&
+        (col("cum") - col("cnt")) * 2L < col("tot"))
+      .groupBy(gcols: _*) // the covering row is unique; min is a no-op guard
+      .agg(min(col("slope_ppm")).as("sen_slope_ppm"))
+    sStat.join(ties, groupCols).join(sen, groupCols)
+      .withColumn("significant",
+        abs(col("s_stat")) > 1L &&
+          dec(abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L) * 180000L >
+            dec(col("var18")) * 38416L)
+      .select(gcols ++ Seq(col("n_days"), col("s_stat"), col("var18"),
+        col("significant"), col("sen_slope_ppm")): _*)
+  }
 }

@@ -575,6 +575,41 @@ object FeatureQueries extends QuerySet {
           |FROM p JOIN l USING (w1) JOIN r USING (w2), n
           |WHERE c >= 5""".stripMargin)),
 
+    QueryDef("q316_assortativity", (s, d) => {
+      // degree assortativity of the q222 customer-supplier graph (Newman
+      // 2002): one number saying whether high-degree nodes attach to each
+      // other (positive) or to leaves (negative — the expected regime for
+      // a bipartite commerce graph). Exact DECIMAL moments, one IEEE
+      // division at the end (the kappa convention for signed statistics)
+      val edges = table(s, d, "orders").join(table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src_id"),
+          (col("l_suppkey") + lit(1000000)).as("dst_id"))
+      graft.operators.Graph.degreeAssortativity(edges, "src_id", "dst_id")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS s,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS t
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        |      FROM raw WHERE s <> t),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+        |        GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |             sum(CAST(da.deg AS HUGEINT) * db.deg) AS a,
+        |             sum(CAST(da.deg AS HUGEINT) + db.deg) AS b,
+        |             sum(CAST(da.deg AS HUGEINT) * da.deg
+        |                 + CAST(db.deg AS HUGEINT) * db.deg) AS c
+        |      FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node),
+        |x AS (SELECT n_edges,
+        |             CAST(4 * CAST(n_edges AS HUGEINT) * a - b * b AS DOUBLE) AS num_x,
+        |             CAST(2 * CAST(n_edges AS HUGEINT) * c - b * b AS DOUBLE) AS den_x
+        |      FROM m)
+        |SELECT n_edges, num_x, den_x,
+        |       CASE WHEN den_x <> 0 THEN num_x / den_x END AS assortativity
+        |FROM x""".stripMargin)),
+
     QueryDef("q222_modularity", (s, d) => {
       // exact-integer Newman modularity of the q211 LPA communities:
       // per community q_scaled = 4·m·in_c - deg_c^2 (common denominator

@@ -161,6 +161,42 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q317_golden_record", (s, d) =>
+      // golden-record survivorship: collapse each user's event records
+      // into one master row — majority-vote event_type, most-recent props
+      // under the total (ts, event_id) order, extrema for first/last seen
+      // and best value. The MDM field-merge step downstream of linkage
+      // (q97 keeps one ROW per cluster; this merges FIELDS across rows)
+      graft.operators.FuzzyLink.goldenRecord(
+        events(s, d).filter(col("user_id") < 200),
+        col("user_id"), col("ts"), col("event_id"),
+        modeCols = Seq("event_type"), recencyCols = Seq("props"),
+        minCols = Seq("ts"), maxCols = Seq("ts", "value"))
+        .withColumnRenamed("min_ts", "first_seen")
+        .withColumnRenamed("max_ts", "last_seen"),
+      Some(
+        """WITH base AS (SELECT * FROM events WHERE user_id < 200),
+          |agg AS (SELECT CAST(user_id AS BIGINT) AS entity,
+          |               CAST(count(*) AS BIGINT) AS n_records,
+          |               min(ts) AS first_seen, max(ts) AS last_seen,
+          |               max(value) AS max_value
+          |        FROM base GROUP BY 1),
+          |md AS (SELECT entity, event_type AS mode_event_type FROM (
+          |         SELECT CAST(user_id AS BIGINT) AS entity, event_type,
+          |                row_number() OVER (PARTITION BY user_id
+          |                  ORDER BY count(*) DESC, event_type ASC) AS rn
+          |         FROM base WHERE event_type IS NOT NULL
+          |         GROUP BY user_id, event_type) t WHERE rn = 1),
+          |lst AS (SELECT entity, props AS last_props FROM (
+          |          SELECT CAST(user_id AS BIGINT) AS entity, props,
+          |                 row_number() OVER (PARTITION BY user_id
+          |                   ORDER BY ts DESC, event_id DESC) AS rn
+          |          FROM base) t WHERE rn = 1)
+          |SELECT agg.entity, agg.n_records, lst.last_props, agg.first_seen,
+          |       agg.last_seen, agg.max_value, md.mode_event_type
+          |FROM agg LEFT JOIN md USING (entity) LEFT JOIN lst USING (entity)"""
+          .stripMargin)),
+
     QueryDef("q30_text_stats", (s, d) => {
       val toks = TA.tokens(col("text"))
       table(s, d, "documents").select(

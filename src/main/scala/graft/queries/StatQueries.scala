@@ -64,6 +64,80 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q314_benford", (s, d) =>
+      // Benford first-digit audit of the invoice amounts — the classic
+      // fabricated-amounts screen. Audited in cents (leading digit is
+      // invariant under power-of-ten scaling); starved digits still emit
+      // a row with n_obs = 0
+      Stats.benfordAudit(table(s, d, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5)),
+      Some(
+        """WITH c AS (
+          |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS u
+          |  FROM lineitem),
+          |o AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+          |             CAST(count(*) AS BIGINT) AS n
+          |      FROM c WHERE u > 0 GROUP BY 1),
+          |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+          |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+          |        (9, 45757)) AS v(digit, ppm)),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+          |SELECT e.digit, coalesce(o.n, 0) AS n_obs,
+          |       CAST(e.ppm AS BIGINT) AS expected_ppm,
+          |       coalesce(o.n, 0) * 1000000 // t.total AS observed_ppm,
+          |       CAST((CAST(coalesce(o.n, 0) AS HUGEINT) * 1000000
+          |               - CAST(e.ppm AS HUGEINT) * t.total)
+          |            * (CAST(coalesce(o.n, 0) AS HUGEINT) * 1000000
+          |               - CAST(e.ppm AS HUGEINT) * t.total)
+          |            // (CAST(e.ppm AS HUGEINT) * t.total * 1000000) AS BIGINT)
+          |         AS chi_contrib_micro
+          |FROM e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t""".stripMargin)),
+
+    QueryDef("q315_mann_kendall", (s, d) =>
+      // Mann-Kendall monotonic-trend test + Sen's slope on the per-flag
+      // daily revenue series: the distribution-free "is revenue drifting"
+      // readout that complements q275's changepoint localization. Pairwise
+      // work is over DAYS (calendar-bounded), never raw rows
+      Stats.mannKendallDaily(table(s, d, "lineitem"), Seq("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date")),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")),
+      Some(
+        """WITH dc AS (
+          |  SELECT l_returnflag AS flag,
+          |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+          |  FROM lineitem GROUP BY 1, 2),
+          |p AS (SELECT a.flag, b.y - a.y AS dy, b.day - a.day AS dd
+          |      FROM dc a JOIN dc b ON a.flag = b.flag AND a.day < b.day),
+          |s AS (SELECT flag,
+          |             CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+          |                           ELSE 0 END) AS BIGINT) AS s_stat
+          |      FROM p GROUP BY 1),
+          |t AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_days,
+          |             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+          |      FROM (SELECT flag, y, count(*) AS t FROM dc GROUP BY 1, 2)
+          |      GROUP BY 1),
+          |v AS (SELECT flag, n_days,
+          |             n_days * (n_days - 1) * (2 * n_days + 5) - tie AS var18
+          |      FROM t),
+          |sl AS (SELECT flag,
+          |              CAST(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END
+          |                   * ((abs(dy) * 1000000) // dd) AS BIGINT) AS slope_ppm
+          |       FROM p),
+          |m AS (SELECT flag, slope_ppm, count(*) AS cnt FROM sl GROUP BY 1, 2),
+          |mc AS (SELECT flag, slope_ppm, cnt,
+          |              sum(cnt) OVER (PARTITION BY flag ORDER BY slope_ppm) AS cum,
+          |              sum(cnt) OVER (PARTITION BY flag) AS tot
+          |       FROM m),
+          |sen AS (SELECT flag, min(slope_ppm) AS sen_slope_ppm FROM mc
+          |        WHERE cum * 2 >= tot AND (cum - cnt) * 2 < tot GROUP BY 1)
+          |SELECT s.flag AS l_returnflag, v.n_days, s.s_stat, v.var18,
+          |       (abs(s.s_stat) > 1 AND
+          |        CAST(abs(s.s_stat) - 1 AS HUGEINT) * (abs(s.s_stat) - 1) * 180000
+          |          > CAST(v.var18 AS HUGEINT) * 38416) AS significant,
+          |       sen.sen_slope_ppm
+          |FROM s JOIN v USING (flag) JOIN sen USING (flag)""".stripMargin)),
+
     QueryDef("q310_hard_negatives", (s, d) => {
       // contrastive hard-negative mining: per anchor the top-5 most
       // cosine-similar DIFFERENT-label vectors — the near-but-wrong

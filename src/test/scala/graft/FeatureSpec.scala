@@ -341,6 +341,33 @@ class FeatureSpec extends AnyFunSuite {
     assert(one.length === 1 && one(0).getLong(4) === 0L)
   }
 
+  // ---- degree assortativity ----
+
+  test("degreeAssortativity: star is exactly -1; regular graph is degenerate NULL") {
+    import graft.operators.Graph
+    // K_{1,3}: hub degree 3 against three leaves of degree 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    // M=3, A=9, B=12, C=30: num = 4*3*9-144 = -36, den = 2*3*30-144 = 36
+    assert(r.getAs[Double]("num_x") === -36.0)
+    assert(r.getAs[Double]("den_x") === 36.0)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    // C4 cycle: every degree 2 -> zero variance -> NULL, not a crash
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val c = Graph.degreeAssortativity(cycle, "a", "b").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
+
+  test("degreeAssortativity: direction and duplicate edges are erased first") {
+    import graft.operators.Graph
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 4L)).toDF("a", "b") // reversed dups + a self-loop
+    val r = Graph.degreeAssortativity(messy, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
   // ---- dbt_utils generic tests ----
 
   test("acceptedRange / notNullProportion / rowcountCompare vectors") {

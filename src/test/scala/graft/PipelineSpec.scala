@@ -1280,4 +1280,44 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy($"rank").as[(Long, Long, Long, Double, Int)].collect()
     assert(got.toSeq === again.toSeq)
   }
+
+  // ---- goldenRecord survivorship ----
+
+  test("goldenRecord: mode majority + tie-break, recency reports the winning record") {
+    import graft.operators.FuzzyLink
+    val df = Seq(
+      (1L, 1, 10, "a", Option("p1"), 5),
+      (1L, 2, 20, "b", Option("p2"), 10),
+      (1L, 3, 30, "b", Option.empty[String], 2), // latest record: props NULL
+      (2L, 1, 11, "b", Option("x"), 1),
+      (2L, 2, 21, "a", Option("y"), 3) // mode tie a/b -> value-asc -> a
+    ).toDF("e", "ord", "tie", "typ", "props", "v")
+    val out = FuzzyLink.goldenRecord(df, col("e"), col("ord"), col("tie"),
+      modeCols = Seq("typ"), recencyCols = Seq("props"),
+      minCols = Seq("ord"), maxCols = Seq("v"))
+      .collect().map(r => r.getAs[Long]("entity") -> r).toMap
+    val e1 = out(1L)
+    assert(e1.getAs[Long]("n_records") === 3L)
+    assert(e1.getAs[String]("mode_typ") === "b")
+    // the winning (latest) record SAYS null — survivorship must not coalesce
+    assert(e1.isNullAt(e1.fieldIndex("last_props")))
+    assert(e1.getAs[Int]("min_ord") === 1)
+    assert(e1.getAs[Int]("max_v") === 10)
+    val e2 = out(2L)
+    assert(e2.getAs[String]("mode_typ") === "a") // count tie -> value asc
+    assert(e2.getAs[String]("last_props") === "y")
+  }
+
+  test("goldenRecord: recency ties resolve by the tie column; NULL mode values lose") {
+    import graft.operators.FuzzyLink
+    val df = Seq(
+      (7L, 5, 1, Option.empty[String], Option("early")),
+      (7L, 5, 2, Option("only"), Option("late")) // same ord -> higher tie wins
+    ).toDF("e", "ord", "tie", "typ", "props")
+    val r = FuzzyLink.goldenRecord(df, col("e"), col("ord"), col("tie"),
+      modeCols = Seq("typ"), recencyCols = Seq("props")).collect()(0)
+    assert(r.getAs[String]("last_props") === "late")
+    // the NULL typ row is excluded from the vote, not counted as a value
+    assert(r.getAs[String]("mode_typ") === "only")
+  }
 }

@@ -499,4 +499,61 @@ class StatSpec extends AnyFunSuite {
         assert(got((aid, i + 1)) === nid, s"anchor $aid rank ${i + 1}") }
     }
   }
+
+  // ---- benfordAudit ----
+
+  test("benfordAudit: all-ones corpus — exact chi contributions, starved digits kept") {
+    val df = Seq.fill(600)(1L).toDF("u")
+    val out = Stats.benfordAudit(df, col("u"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 9)
+    // digit 1: n=600, x = 600e6 - 301030*600; x^2 div (301030*600*1e6) = 973
+    assert(out(1) === ((600L, 301030L, 1000000L, 973L)))
+    // starved digits still appear with their full expected-count penalty
+    assert(out(4) === ((0L, 96910L, 0L, 58L)))
+    assert(out(9) === ((0L, 45757L, 0L, 27L)))
+  }
+
+  test("benfordAudit: digit extraction in integer units; <=0 and NULL excluded") {
+    val df = Seq[Option[Long]](Some(15L), Some(2L), Some(-3L), Some(0L),
+      None, Some(900L)).toDF("u")
+    val out = Stats.benfordAudit(df, col("u"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out(1) === ((1L, 333333L)))
+    assert(out(2) === ((1L, 333333L)))
+    assert(out(9) === ((1L, 333333L)))
+    Seq(3, 4, 5, 6, 7, 8).foreach(d => assert(out(d)._1 === 0L, s"digit $d"))
+  }
+
+  // ---- mannKendallDaily ----
+
+  test("mannKendallDaily: hand-computed S, tie-corrected var18, lower-median Sen slope") {
+    val df = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 2L), ("g", 3L, 4L),
+      ("g", 4L, 3L)).toDF("grp", "day", "y")
+    val r = Stats.mannKendallDaily(df, Seq("grp"), col("day"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("s_stat") === 7L)
+    // 5*4*15 - 2*1*9 (one tied pair at y=2)
+    assert(r.getAs[Long]("var18") === 282L)
+    assert(r.getAs[Boolean]("significant") === false)
+    // 10 slopes sorted: [-1e6,0,333333,5e5,5e5,5e5,1e6,1e6,1e6,2e6]; rank-5
+    assert(r.getAs[Long]("sen_slope_ppm") === 500000L)
+  }
+
+  test("mannKendallDaily: strict monotone series is significant; per-group independence") {
+    val up = (0L until 10L).map(i => ("up", i, 5L * i))
+    val flat = (0L until 10L).map(i => ("flat", i, 42L))
+    val out = Stats.mannKendallDaily((up ++ flat).toDF("grp", "day", "y"),
+      Seq("grp"), col("day"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Long]("s_stat") === 45L)
+    assert(out("up").getAs[Long]("var18") === 2250L)
+    assert(out("up").getAs[Boolean]("significant") === true)
+    assert(out("up").getAs[Long]("sen_slope_ppm") === 5000000L)
+    assert(out("flat").getAs[Long]("s_stat") === 0L)
+    assert(out("flat").getAs[Boolean]("significant") === false)
+    assert(out("flat").getAs[Long]("sen_slope_ppm") === 0L)
+  }
 }
