@@ -541,4 +541,86 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), col("k"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling window-active users (the WAU/MAU family) with same-day DAU
+    * and the DAU/WAU stickiness ratio, EXACT — no sketch — via the
+    * bounded-fanout trick: distinct (user, day) first, then each active
+    * day claims the `window` report days it is visible to (explode ×
+    * window), distinct again on (user, report_day), count. A rolling
+    * COUNT(DISTINCT) window would re-scan raw rows per day and cannot
+    * partial-aggregate; this shape is three keyed rollups whose widest
+    * intermediate is `window * |active (user, day)|` narrow rows —
+    * map-side combinable end to end, the standard exact-WAU recipe at
+    * warehouse scale.
+    *
+    * Report days are clamped to the data's max day (the ramp-down tail
+    * past the last observation is noise, not reach); days with zero
+    * activity in the whole trailing window emit nothing — a calendar
+    * spine join adds them if a dashboard needs explicit zeros.
+    * `stickiness_ppm = dau*1e6 div wau` (both non-negative, truncation
+    * engine-agnostic); wau >= dau >= 0 and wau >= 1 on every emitted row.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: Column, dayCol: Column,
+      window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 370, s"window: $window")
+    val ud = events
+      .select(userCol.cast("long").as("user"), dayCol.cast("long").as("day"))
+      .filter(col("user").isNotNull && col("day").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // feeds the explode, DAU, and the max-day bound
+    val mx = ud.agg(max(col("day")).as("__md"))
+    val wau = ud
+      .select(col("user"),
+        explode(sequence(col("day"), col("day") + lit(window - 1))).as("day"))
+      .distinct()
+      .crossJoin(broadcast(mx)).filter(col("day") <= col("__md"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        call_function("div", coalesce(col("dau"), lit(0L)) * 1000000L,
+          col("wau")).as("stickiness_ppm"))
+  }
+
+  /** Arrival-lateness audit: for each stream partition, replay events in
+    * ARRIVAL order (the ingestion sequence column) and measure how far
+    * behind the running event-time high-watermark each event arrives —
+    * the empirical distribution a Structured Streaming watermark delay
+    * (`withWatermark`) must be tuned against: `n_late` events beyond
+    * `thresholdSec` are exactly the rows that delay would drop, and the
+    * p99/max tell you what delay retains 99%/all of them.
+    *
+    * `late_sec = (run_max(ts_us) - ts_us) div 1e6` over a per-partition
+    * arrival-ordered running-max window. This is deliberately a raw-row
+    * window: lateness is DEFINED by the sequential arrival replay, so the
+    * sort is irreducible — but it partitions on the stream's partition
+    * key (watermarks advance per source partition), which at scale is a
+    * Kafka-partition-grained key, parallel and calendar-unbounded. The
+    * scored frame is pinned once (it feeds both the per-partition
+    * aggregate and the exact-p99 rollup).
+    */
+  def latenessAudit(events: DataFrame, partCol: Column, arrivalCol: Column,
+      tsCol: Column, thresholdSec: Long): DataFrame = {
+    require(thresholdSec >= 0, s"thresholdSec: $thresholdSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("__arr").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = events
+      .select(partCol.as("part"), arrivalCol.as("__arr"),
+        unix_micros(tsCol).as("__ts_us"))
+      .withColumn("late_sec",
+        call_function("div", max(col("__ts_us")).over(w) - col("__ts_us"),
+          lit(1000000L)))
+      .localCheckpoint(false)
+    val agg = scored.groupBy(col("part")).agg(
+      count(lit(1)).as("n_events"),
+      coalesce(sum(when(col("late_sec") > thresholdSec, 1L)), lit(0L))
+        .as("n_late"),
+      max(col("late_sec")).as("max_late_sec"))
+    val p99 = graft.pipeline.Stats
+      .exactQuantiles(scored, Seq("part"), col("late_sec"), Seq(990))
+      .select(col("part"), col("value").as("p99_late_sec"))
+    agg.join(p99, "part")
+  }
 }

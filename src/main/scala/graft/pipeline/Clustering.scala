@@ -152,4 +152,88 @@ object Clustering {
     }
     (qc, cents)
   }
+
+  /** Top principal component by power iteration over the EXACT integer
+    * scatter matrix — the "is this embedding space degenerate / what axis
+    * carries the variance" diagnostic upstream of whitening, and the 1-D
+    * projection axis for embedding-drift slicing. PCA via covariance +
+    * power iteration is the textbook method (Golub & Van Loan, Matrix
+    * Computations §8); what makes this engine-portable is doing ALL of it
+    * in integers:
+    *
+    *  - components quantize to `floor(x*1000 + 0.5)` milli longs (the
+    *    repo-wide vector convention);
+    *  - the scatter `S = n*sum(x x^T) - (sum x)(sum x)^T` — n times the
+    *    covariance, exact in longs — comes from ONE scan: each row
+    *    explodes to its upper-triangle products plus first-moment and
+    *    count sentinels, and a (i, j)-keyed partial-agg rollup collapses
+    *    map-side to at most `1 + d + d(d+1)/2` rows per task (d=64:
+    *    2,145) — the shuffle carries moments, never vectors;
+    *  - the driver collect is bounded by that same contract (the k-means
+    *    centroid discipline above), and each power step renormalizes
+    *    `v <- (S v) * 1e6 div max|S v|` in BigInt with sign-magnitude
+    *    truncation, so every engine replays it bit-for-bit;
+    *  - `lambda_scaled` is the Rayleigh quotient `(v^T S v) div (v^T v)`
+    *    (an eigenvalue of the SCATTER, i.e. n*covariance-eigenvalue) and
+    *    `explained_ppm = lambda*1e6 div trace(S)` — both non-negative, so
+    *    the truncating division is engine-agnostic.
+    *
+    * Fixed iteration count (not convergence-tested) keeps the result
+    * deterministic and oracle-replayable; 10 rounds separate any top
+    * eigenvalue with a gap ratio under ~0.25 to the ppm scale, and a
+    * near-tied top pair yields SOME unit vector in their span —
+    * deterministic, just not unique-eigenvector, same caveat as every
+    * power method. Exactness bound: `n * d * (1000*max|x|)^2 * 1e6` must
+    * stay inside DECIMAL(38)/BigInt during iteration (holds to ~1e12 rows
+    * of unit vectors); the collect is d-bounded, never data-bounded.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 10): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim: $dim")
+    require(iters >= 1 && iters <= 100, s"iters: $iters")
+    val q = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(transform(col(vecCol).cast("array<double>"),
+        e => floor(e * 1000 + 0.5).cast("long")).as("__q"))
+    val idx = sequence(lit(1), lit(dim))
+    val ent = concat(
+      array(struct(lit(0).as("i"), lit(0).as("j"), lit(1L).as("p"))),
+      transform(idx, i => struct(i.as("i"), lit(0).as("j"),
+        element_at(col("__q"), i).as("p"))),
+      flatten(transform(idx, i => transform(sequence(i, lit(dim)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__q"), i) * element_at(col("__q"), j)).as("p"))))))
+    val moments = q.select(explode(ent).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
+      .collect() // bounded by contract: 1 + d + d(d+1)/2 rows
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val n = BigInt(moments((0, 0)))
+    require(n > 0, "pcaTopComponent: empty input")
+    val m1 = Array.tabulate(dim)(i => BigInt(moments((i + 1, 0))))
+    def m2(i: Int, j: Int): BigInt =
+      BigInt(moments(if (i <= j) (i + 1, j + 1) else (j + 1, i + 1)))
+    def scat(i: Int, j: Int): BigInt = n * m2(i, j) - m1(i) * m1(j)
+    val scale = BigInt(1000000)
+    var v = Array.fill(dim)(scale)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => scat(i, j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v = w.map(wi => wi.signum * (wi.abs * scale / mx))
+    }
+    val trace = (0 until dim).map(i => scat(i, i)).sum
+    require(trace > 0, "pcaTopComponent: zero-variance input")
+    val sv = Array.tabulate(dim)(i => (0 until dim).map(j => scat(i, j) * v(j)).sum)
+    val lambda = (0 until dim).map(i => v(i) * sv(i)).sum /
+      (0 until dim).map(i => v(i) * v(i)).sum
+    val explained = lambda * 1000000 / trace
+    require(lambda.isValidLong && explained.isValidLong,
+      "pcaTopComponent: magnitudes exceed BIGINT — rescale the input")
+    val spark = df.sparkSession
+    import spark.implicits._
+    (1 to dim).map(i =>
+      (i, v(i - 1).toLong, lambda.toLong, explained.toLong))
+      .toDF("dim_index", "loading_ppm", "lambda_scaled", "explained_ppm")
+  }
 }

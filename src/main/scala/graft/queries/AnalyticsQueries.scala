@@ -16,6 +16,62 @@ object AnalyticsQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q319_rolling_wau", (s, d) =>
+      // exact rolling 7-day active users + same-day DAU + stickiness —
+      // the engagement dashboard triple, via the bounded-fanout explode
+      // (never a rolling COUNT DISTINCT window over raw rows)
+      graft.operators.EventAnalytics.rollingActiveUsers(events(s, d),
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        window = 7),
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |mx AS (SELECT max(day) AS md FROM ud),
+          |w AS (SELECT DISTINCT u, ud.day + g.o AS day
+          |      FROM ud, generate_series(0, 6) g(o)),
+          |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+          |        FROM w, mx WHERE day <= md GROUP BY 1),
+          |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+          |SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau,
+          |       coalesce(dau.dau, 0) * 1000000 // wau.wau AS stickiness_ppm
+          |FROM wau LEFT JOIN dau USING (day)""".stripMargin)),
+
+    QueryDef("q320_late_data_audit", (s, d) =>
+      // watermark-delay tuning input: replay each event-type partition in
+      // arrival (event_id) order, measure lateness vs the running
+      // event-time high-watermark, report the count beyond 1h plus the
+      // exact p99/max — "withWatermark('1 hour') would drop n_late rows"
+      graft.operators.EventAnalytics.latenessAudit(events(s, d),
+        col("event_type"), col("event_id"), col("ts"), thresholdSec = 3600L)
+        .withColumnRenamed("part", "event_type"),
+      Some(
+        """WITH b AS (SELECT event_type AS part, event_id AS arr,
+          |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          |           FROM events),
+          |s AS (SELECT part,
+          |             (max(ts_us) OVER (PARTITION BY part ORDER BY arr
+          |                ROWS UNBOUNDED PRECEDING) - ts_us) // 1000000 AS late_sec
+          |      FROM b),
+          |a AS (SELECT part, CAST(count(*) AS BIGINT) AS n_events,
+          |             CAST(coalesce(sum(CASE WHEN late_sec > 3600 THEN 1 END), 0)
+          |               AS BIGINT) AS n_late,
+          |             CAST(max(late_sec) AS BIGINT) AS max_late_sec
+          |      FROM s GROUP BY 1),
+          |r AS (SELECT part, late_sec, count(*) AS cnt FROM s GROUP BY 1, 2),
+          |rc AS (SELECT part, late_sec, cnt,
+          |              sum(cnt) OVER (PARTITION BY part ORDER BY late_sec) AS cum,
+          |              sum(cnt) OVER (PARTITION BY part) AS tot
+          |       FROM r),
+          |p AS (SELECT part, CAST(min(late_sec) AS BIGINT) AS p99_late_sec
+          |      FROM rc WHERE cum * 1000 >= 990 * tot
+          |        AND (cum - cnt) * 1000 < 990 * tot GROUP BY 1)
+          |SELECT a.part AS event_type, a.n_events, a.n_late, a.max_late_sec,
+          |       p.p99_late_sec
+          |FROM a JOIN p USING (part)""".stripMargin)),
+
     QueryDef("q108_rollup_totals", (s, d) =>
       // GROUP BY ROLLUP hierarchy (detail -> per-flag subtotal -> grand
       // total) with grouping_id disambiguating real NULL keys from

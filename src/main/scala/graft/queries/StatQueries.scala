@@ -62,7 +62,62 @@ object StatQueries extends QuerySet {
     i -> math.round(1e6 / (math.log(i + 1) / math.log(2))))
   private val ndcgIdcg: Long = ndcgDiscounts.map(_._2).sum
 
+  /** DuckDB replay of [[graft.pipeline.Clustering.pcaTopComponent]] at
+    * dim=64, iters=10: exact integer scatter from quantized milli vectors,
+    * then the power iteration UNROLLED as 10 chained CTE pairs (w_k =
+    * S v_{k-1}; v_k = sign-magnitude renormalization to 1e6) — recursive
+    * CTEs cannot aggregate in the recursive term, unrolling can.
+    */
+  private val pcaOracleSql: String = {
+    val (dim, iters) = (64, 10)
+    val itCtes = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT sc.i, sum(sc.s * v${k - 1}.val) AS w
+         |       FROM sc JOIN v${k - 1} ON sc.j = v${k - 1}.i GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+         |                      ELSE -(((-w) * 1000000) // mx) END AS val
+         |       FROM w$k, (SELECT max(abs(w)) AS mx FROM w$k) m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |           e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |f AS (SELECT i, CAST(sum(v[i]) AS HUGEINT) AS s1
+       |      FROM q, generate_series(1, $dim) g(i) GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |m AS (SELECT i, j, CAST(sum(v[i] * v[j]) AS HUGEINT) AS s2
+       |      FROM q, generate_series(1, $dim) gi(i), generate_series(1, $dim) gj(j)
+       |      WHERE j >= i GROUP BY 1, 2),
+       |sc0 AS (SELECT m.i, m.j, nn.n * m.s2 - fa.s1 * fb.s1 AS s
+       |        FROM m JOIN f fa ON fa.i = m.i JOIN f fb ON fb.i = m.j
+       |        CROSS JOIN nn),
+       |sc AS MATERIALIZED (SELECT i, j, s FROM sc0
+       |       UNION ALL SELECT j, i, s FROM sc0 WHERE i < j),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS val
+       |       FROM generate_series(1, $dim) g(i)),
+       |$itCtes,
+       |tr AS (SELECT sum(s) AS trace FROM sc WHERE i = j),
+       |sv AS (SELECT sc.i, sum(sc.s * v$iters.val) AS w
+       |       FROM sc JOIN v$iters ON sc.j = v$iters.i GROUP BY 1),
+       |lam AS (SELECT (SELECT sum(v$iters.val * sv.w)
+       |                FROM v$iters JOIN sv ON v$iters.i = sv.i)
+       |            // (SELECT sum(val * val) FROM v$iters) AS lambda)
+       |SELECT CAST(v$iters.i AS INTEGER) AS dim_index,
+       |       CAST(v$iters.val AS BIGINT) AS loading_ppm,
+       |       CAST(lam.lambda AS BIGINT) AS lambda_scaled,
+       |       CAST(lam.lambda * 1000000 // tr.trace AS BIGINT) AS explained_ppm
+       |FROM v$iters, lam, tr""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q318_pca_power", (s, d) =>
+      // top principal axis of the embedding corpus by integer power
+      // iteration over the exact scatter matrix — the degenerate-space
+      // diagnostic + whitening axis; one scan, moment-only shuffle,
+      // d-bounded driver work (see Clustering.pcaTopComponent)
+      graft.pipeline.Clustering.pcaTopComponent(
+        table(s, d, "embeddings"), "embedding", dim = 64, iters = 10),
+      Some(pcaOracleSql)),
 
     QueryDef("q314_benford", (s, d) =>
       // Benford first-digit audit of the invoice amounts — the classic

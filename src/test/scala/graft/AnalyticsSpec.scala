@@ -445,4 +445,51 @@ class AnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.operators.Graph.pageRank(edges, "s", "t", 1, dampingPct = 101))
   }
+
+  // ---- rollingActiveUsers ----
+
+  test("rollingActiveUsers: window coverage, max-day clamp, stickiness truncation") {
+    import graft.operators.EventAnalytics
+    // u1 active on days 0 and 2, u2 on day 2; window = 2
+    val df = Seq((1L, 0L), (1L, 2L), (1L, 2L), (2L, 2L)).toDF("u", "day")
+    val out = EventAnalytics.rollingActiveUsers(df, col("u"), col("day"),
+      window = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 1 has no same-day activity but u1 is window-visible from day 0;
+    // days past md=2 are clamped away
+    assert(out === Map(
+      0L -> ((1L, 1L, 1000000L)),
+      1L -> ((0L, 1L, 0L)),
+      2L -> ((2L, 2L, 1000000L))))
+  }
+
+  test("rollingActiveUsers: duplicate same-day events count once") {
+    import graft.operators.EventAnalytics
+    val df = Seq.fill(10)((7L, 5L)).toDF("u", "day")
+    val r = EventAnalytics.rollingActiveUsers(df, col("u"), col("day"),
+      window = 7).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 1L)
+  }
+
+  // ---- latenessAudit ----
+
+  test("latenessAudit: running-max lateness, threshold count, exact p99") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      ("a", 1L, 100L), ("a", 2L, 50L), ("a", 3L, 160L), ("a", 4L, 40L),
+      ("a", 5L, 220L),
+      ("b", 1L, 10L)
+    ).toDF("part0", "arr", "sec")
+      .withColumn("ts", to_timestamp(col("sec")))
+    val out = EventAnalytics.latenessAudit(ev, col("part0"), col("arr"),
+      col("ts"), thresholdSec = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: lateness sequence 0,50,0,120,0 -> one beyond 60s, max 120,
+    // p99 = first value covering rank ceil(.99*5) = 5 -> 120
+    assert(out("a") === ((5L, 1L, 120L, 120L)))
+    assert(out("b") === ((1L, 0L, 0L, 0L)))
+  }
 }

@@ -1281,6 +1281,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  // ---- pcaTopComponent ----
+
+  test("pcaTopComponent: exact rank-1 diagonal data — equal loadings, full variance") {
+    // milli-exact vectors along (1,1): scatter = 26 * ones(2,2)
+    val df = Seq(Array(0.001f, 0.001f), Array(0.002f, 0.002f),
+      Array(0.005f, 0.005f)).toDF("embedding")
+    val out = Clustering.pcaTopComponent(df, "embedding", dim = 2, iters = 5)
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1000000L, 1000000L))
+    assert(out(0).getLong(2) === 52L)      // Rayleigh = trace for rank 1
+    assert(out(0).getLong(3) === 1000000L) // all variance on the axis
+  }
+
+  test("pcaTopComponent: asymmetric rank-1 axis with declared truncation") {
+    // points on the (3,1) line: S = [[54,18],[18,6]], eigenvalue 60;
+    // the 333333-ppm loading truncation makes the Rayleigh quotient 59
+    val df = Seq(Array(0.003f, 0.001f), Array(0.006f, 0.002f),
+      Array(0.009f, 0.003f)).toDF("embedding")
+    val out = Clustering.pcaTopComponent(df, "embedding", dim = 2, iters = 5)
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1000000L, 333333L))
+    assert(out(0).getLong(2) === 59L)
+    assert(out(0).getLong(3) === 983333L) // 59e6 div 60
+    // partition-invariance: the moments rollup is order-free
+    val again = Clustering.pcaTopComponent(df.repartition(5), "embedding",
+      dim = 2, iters = 5).collect().sortBy(_.getInt(0))
+    assert(again.map(_.getLong(1)).toSeq === out.map(_.getLong(1)).toSeq)
+  }
+
+  test("pcaTopComponent: wrong-width and null vectors are excluded; empty input raises") {
+    val df = Seq(Option(Array(0.001f, 0.002f)), Option(Array(0.001f)), None)
+      .toDF("embedding")
+    // only the width-2 row survives -> zero variance -> loud failure
+    intercept[IllegalArgumentException](
+      Clustering.pcaTopComponent(df, "embedding", dim = 2, iters = 3))
+  }
+
   // ---- goldenRecord survivorship ----
 
   test("goldenRecord: mode majority + tie-break, recency reports the winning record") {
