@@ -327,6 +327,22 @@ object Features {
     require(minSupport >= 1 && maxBasketSize >= 2,
       s"minSupport=$minSupport maxBasketSize=$maxBasketSize")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (kept, marginals) = presencePairsBase(df, basketCol, itemCol,
+      maxBasketSize)
+    val nBaskets = kept.agg(countDistinct(col("basket")).as("n_baskets"))
+    coPairs(kept, marginals, minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        call_function("div", dec(col("n_both")) * dec(col("n_baskets")) * 1000,
+          dec(col("n_a")) * dec(col("n_b"))).cast("long").as("lift_milli"))
+  }
+
+  /** Shared presence-basket base: distinct (basket, item) with oversized
+    * baskets dropped (the hot-block guard), plus item marginals.
+    */
+  private def presencePairsBase(df: DataFrame, basketCol: Column,
+      itemCol: Column, maxBasketSize: Int): (DataFrame, DataFrame) = {
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .distinct()
@@ -335,8 +351,15 @@ object Features {
       .filter(col("__bsz") <= maxBasketSize)
       .select(col("basket"))
     val kept = items.join(sized, Seq("basket"))
-    val nBaskets = kept.agg(countDistinct(col("basket")).as("n_baskets"))
     val marginals = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    (kept, marginals)
+  }
+
+  /** Canonical (item_a < item_b) co-occurrence pairs with both marginals
+    * attached — the shared core of [[basketPairs]] and [[itemNeighbors]].
+    */
+  private def coPairs(kept: DataFrame, marginals: DataFrame,
+      minSupport: Long): DataFrame = {
     val a = kept.select(col("basket"), col("item").as("item_a"))
     val b = kept.select(col("basket"), col("item").as("item_b"))
     a.join(b, Seq("basket"))
@@ -348,11 +371,49 @@ object Features {
         col("n_item").as("n_a"))), Seq("item_a"))
       .join(broadcast(marginals.select(col("item").as("item_b"),
         col("n_item").as("n_b"))), Seq("item_b"))
-      .crossJoin(broadcast(nBaskets))
-      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
-        col("n_b"),
-        call_function("div", dec(col("n_both")) * dec(col("n_baskets")) * 1000,
-          dec(col("n_a")) * dec(col("n_b"))).cast("long").as("lift_milli"))
+  }
+
+  /** Item-item neighborhood collaborative filtering (Sarwar et al.,
+    * "Item-based collaborative filtering recommendation algorithms", WWW
+    * 2001): for every item, its top-k most similar items by co-occurrence
+    * cosine `n_both / sqrt(n_a * n_b)` over presence baskets — the
+    * "customers who bought X also bought" neighbor table that a recommender
+    * serves directly, and the similarity complement of [[basketPairs]]'
+    * lift (lift finds SURPRISING pairs, cosine finds RELIABLE ones: a pair
+    * of two blockbusters can have high cosine at lift ~1).
+    *
+    * Exact-integer counts with exactly two IEEE steps (one multiply-sqrt,
+    * one divide — bit-identical on any engine); ties rank by (cosine DESC,
+    * neighbor ASC), total order. The top-k window partitions on item over
+    * the SUPPORT-FILTERED pair list (bounded by min-support and the basket
+    * guard, never all-pairs), and Spark's WindowGroupLimit prunes to k per
+    * partition before the final sort. Same scale shape as basketPairs:
+    * basket-keyed self-join with the `maxBasketSize` hot-basket guard,
+    * pair-keyed partial agg, broadcast marginals.
+    */
+  def itemNeighbors(df: DataFrame, basketCol: Column, itemCol: Column,
+      k: Int, minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    require(k >= 1 && minSupport >= 1 && maxBasketSize >= 2,
+      s"k=$k minSupport=$minSupport maxBasketSize=$maxBasketSize")
+    val (kept, marginals) = presencePairsBase(df, basketCol, itemCol,
+      maxBasketSize)
+    val pairs = coPairs(kept, marginals, minSupport)
+    // symmetrize: each canonical pair serves both items' neighbor lists
+    val sym = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_both"),
+        col("n_a").as("n_item"), col("n_b").as("n_neighbor"))
+      .unionAll(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_both"),
+        col("n_b").as("n_item"), col("n_a").as("n_neighbor")))
+      .withColumn("cosine", col("n_both").cast("double") /
+        sqrt(col("n_item").cast("double") * col("n_neighbor")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_both"), col("cosine"),
+        col("rank"))
   }
 
   /** Pooled two-proportion z statistic from exact integer counts — the

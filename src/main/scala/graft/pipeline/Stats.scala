@@ -651,6 +651,100 @@ object Stats {
           col("__n") - col("__nl")).as("mean_right_milli")): _*)
   }
 
+  /** Rolling-origin forecast backtest of [[holtDaily]] (Tashman 2000, the
+    * standard out-of-sample evaluation for smoothing forecasters): because
+    * the Holt fold emits its state at EVERY day, the h-step forecast made
+    * "as of" day d is just `level_d + h*trend_d` — so one fold pass yields
+    * every historical forecast origin at once, and the backtest is a
+    * self-join of that state series onto the dense actuals h days ahead.
+    * No per-origin refitting, no leakage (state at d saw only days <= d).
+    *
+    * Per group: `n_evals`, exact signed/absolute micro error sums,
+    * `mae_micro = sum|err| div n`, and `wape_ppm = sum|err|*1e6 div
+    * sum|actual|` (the aggregate-ratio WAPE — well-defined where MAPE
+    * explodes on zero days; NULL when the actuals sum to zero). All
+    * divisions over non-negative operands; the signed sum is exact and
+    * un-divided (negative truncation is engine-ambiguous).
+    *
+    * Scale shape: the holtDaily fold contract (calendar-bounded per-group
+    * arrays), one more (group, day)-keyed equi-join, one partial agg.
+    */
+  def holtBacktest(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, alphaNum: Int, alphaDen: Int, betaNum: Int,
+      betaDen: Int, horizon: Int = 1, maxSteps: Int = 100000): DataFrame = {
+    require(horizon >= 1 && horizon <= 1000, s"horizon: $horizon")
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val state = holtDaily(df, groupCols, dayCol, valueCol, alphaNum,
+      alphaDen, betaNum, betaDen, maxSteps)
+      .withColumn("fc_micro",
+        col("level_micro") + lit(horizon.toLong) * col("trend_micro"))
+      .select(gcols ++ Seq((col("day") + horizon).as("day"),
+        col("fc_micro")): _*)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols ++ Seq(col("day"), coalesce(col("y"), lit(0L)).as("y")): _*)
+    state.join(dense, groupCols :+ "day")
+      .withColumn("__err", col("fc_micro") - col("y") * 1000000L)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs(col("__err"))).as("err_abs_sum_micro"),
+        sum(col("__err")).as("err_sum_micro"),
+        sum(abs(col("y") * 1000000L)).as("__act_abs"))
+      .withColumn("mae_micro",
+        call_function("div", col("err_abs_sum_micro"), col("n_evals")))
+      .withColumn("wape_ppm",
+        when(col("__act_abs") > 0L,
+          call_function("div", dec(col("err_abs_sum_micro")) * 1000000L,
+            dec(col("__act_abs"))).cast("long")))
+      .drop("__act_abs")
+  }
+
+  /** Quantile normalization across groups (Bolstad et al. 2003, the
+    * batch-effect remover of bioinformatics / the feature-distribution
+    * aligner of ML preprocessing): map each group's value distribution
+    * onto the POOLED distribution, so every group ends up with the same
+    * marginal. A value block at doubled midrank `r2 = 2*minrank + cnt - 1`
+    * inside a group of `n_g` rows maps to the pooled sorted multiset's
+    * element at 0-based index `i = (r2 - 1) * N div (2 * n_g)` — midpoint
+    * rank scaling, all-integer, total and deterministic under ties.
+    * Returns the per-(group, value) mapping `(group, v, cnt, norm_v)`;
+    * joining it back onto raw rows is the caller's one equi-join.
+    *
+    * Scale shape: two value rollups ([[graft.operators.Ranking.valueRanks]]
+    * per group + pooled) and ONE range join whose size is
+    * distinct(group blocks) x distinct(pooled values) — quantize
+    * unbounded doubles first (the cents-then-bins recipe); the pooled
+    * rollup raises past `maxDistinct` (its cum-sum window is
+    * single-partition by construction, the valueRanks guard).
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, maxDistinct: Long = 10000L): DataFrame = {
+    require(groupCols.nonEmpty,
+      "quantileNormalize needs groupCols — with one group it is the identity")
+    val gcols = groupCols.map(col)
+    val gr = graft.operators.Ranking.valueRanks(df, groupCols, valueCol)
+      .withColumn("ng",
+        sum(col("n_rows")).over(Window.partitionBy(gcols: _*)))
+    val pooled = graft.operators.Ranking
+      .valueRanks(df, Nil, valueCol, maxDistinct)
+      .select(col("v").as("norm_v"), (col("rnk") - 1L).as("__lo"),
+        (col("rnk") - 1L + col("n_rows")).as("__hi"))
+    val n = df.filter(valueCol.isNotNull).agg(count(lit(1)).as("__n"))
+    val mapped = gr.crossJoin(broadcast(n))
+      .withColumn("__i", call_function("div",
+        (col("rnk") * 2L + col("n_rows") - 2L) * col("__n"),
+        col("ng") * 2L))
+    mapped.join(pooled,
+        mapped("__i") >= pooled("__lo") && mapped("__i") < pooled("__hi"))
+      .select(gcols ++ Seq(col("v"), col("n_rows").as("cnt"),
+        col("norm_v")): _*)
+  }
+
   /** Benford first-significant-digit audit (Newcomb 1881 / Benford 1938;
     * the standard anomaly screen for amount columns — fabricated or
     * re-binned data drifts from the log distribution). Input must be a

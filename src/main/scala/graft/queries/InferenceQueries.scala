@@ -16,6 +16,48 @@ object InferenceQueries extends QuerySet {
 
   private val centsSql = (c: String) => s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
 
+  /** The q274 Holt recursion (alpha 3/10, beta 1/10) over the dense daily
+    * event-value spine, as a CTE chain (`dc/g/sp/dn/h`) shared by the
+    * smoother oracle (q274) and the backtest oracle (q322). Caller
+    * prefixes `WITH RECURSIVE`. Trunc-division wrappers throughout: b_t
+    * goes negative on downtrends and DuckDB `//` floors.
+    */
+  private val holtCtesSql: String =
+    """dc AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM dc GROUP BY 1),
+      |sp AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM g),
+      |dn AS (SELECT sp.event_type, sp.day, coalesce(dc.y, 0) AS y,
+      |              row_number() OVER (PARTITION BY sp.event_type
+      |                ORDER BY sp.day) AS rn
+      |       FROM sp LEFT JOIN dc ON dc.event_type = sp.event_type
+      |         AND dc.day = sp.day),
+      |h AS (
+      |  SELECT event_type, day, rn, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM dn WHERE rn = 1
+      |  UNION ALL
+      |  SELECT dn.event_type, dn.day, dn.rn,
+      |         CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+      |              THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+      |              ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END,
+      |         CASE WHEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+      |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+      |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+      |                  - h.l) + 9 * h.b) >= 0
+      |              THEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+      |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+      |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+      |                  - h.l) + 9 * h.b) // 10
+      |              ELSE -((-(1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
+      |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
+      |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
+      |                  - h.l) + 9 * h.b)) // 10) END
+      |  FROM dn JOIN h ON dn.event_type = h.event_type AND dn.rn = h.rn + 1)"""
+      .stripMargin
+
   def all: Seq[QueryDef] = Seq(
 
     QueryDef("q262_ks_test", (s, d) => {
@@ -394,43 +436,36 @@ object InferenceQueries extends QuerySet {
         floor(col("value") * 1000 + 0.5).cast("long"),
         alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10),
       Some(
-        """WITH RECURSIVE dc AS (
-          |  SELECT event_type,
-          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-          |         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
-          |  FROM events GROUP BY 1, 2),
-          |g AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM dc GROUP BY 1),
-          |sp AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM g),
-          |dn AS (SELECT sp.event_type, sp.day, coalesce(dc.y, 0) AS y,
-          |              row_number() OVER (PARTITION BY sp.event_type
-          |                ORDER BY sp.day) AS rn
-          |       FROM sp LEFT JOIN dc ON dc.event_type = sp.event_type
-          |         AND dc.day = sp.day),
-          |h AS (
-          |  SELECT event_type, day, rn, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
-          |  FROM dn WHERE rn = 1
-          |  UNION ALL
-          |  SELECT dn.event_type, dn.day, dn.rn,
-          |         CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
-          |              THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
-          |              ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END,
-          |         CASE WHEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
-          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
-          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
-          |                  - h.l) + 9 * h.b) >= 0
-          |              THEN (1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
-          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
-          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
-          |                  - h.l) + 9 * h.b) // 10
-          |              ELSE -((-(1 * ((CASE WHEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) >= 0
-          |                    THEN (3 * dn.y * 1000000 + 7 * (h.l + h.b)) // 10
-          |                    ELSE -((-(3 * dn.y * 1000000 + 7 * (h.l + h.b))) // 10) END)
-          |                  - h.l) + 9 * h.b)) // 10) END
-          |  FROM dn JOIN h ON dn.event_type = h.event_type AND dn.rn = h.rn + 1)
+        s"""WITH RECURSIVE $holtCtesSql
           |SELECT event_type, CAST(day AS BIGINT) AS day,
           |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
           |       CAST(l + b AS BIGINT) AS forecast_micro
           |FROM h""".stripMargin)),
+
+    QueryDef("q322_holt_backtest", (s, d) =>
+      // rolling-origin backtest of the q274 Holt forecaster: the state at
+      // day d forecasts day d+1, joined onto the dense actuals — n_evals,
+      // exact error sums, MAE, and aggregate-ratio WAPE per event type.
+      // One fold pass yields every origin; no refit, no leakage
+      graft.pipeline.Stats.holtBacktest(events(s, d), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10,
+        horizon = 1),
+      Some(
+        s"""WITH RECURSIVE $holtCtesSql,
+          |j AS (SELECT h.event_type, h.l + 1 * h.b AS fc,
+          |             dn.y * 1000000 AS act
+          |      FROM h JOIN dn ON dn.event_type = h.event_type
+          |        AND dn.day = h.day + 1)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+          |       CAST(sum(abs(fc - act)) AS BIGINT) AS err_abs_sum_micro,
+          |       CAST(sum(fc - act) AS BIGINT) AS err_sum_micro,
+          |       CAST(sum(abs(fc - act)) // count(*) AS BIGINT) AS mae_micro,
+          |       CAST(CASE WHEN sum(abs(act)) > 0
+          |                 THEN (sum(abs(fc - act)) * 1000000) // sum(abs(act))
+          |            END AS BIGINT) AS wape_ppm
+          |FROM j GROUP BY 1""".stripMargin)),
 
     QueryDef("q275_changepoint", (s, d) =>
       // single-changepoint localization per event type: the split of the

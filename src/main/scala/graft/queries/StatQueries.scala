@@ -119,6 +119,66 @@ object StatQueries extends QuerySet {
         table(s, d, "embeddings"), "embedding", dim = 64, iters = 10),
       Some(pcaOracleSql)),
 
+    QueryDef("q321_item_cf", (s, d) =>
+      // item-item neighborhood CF: top-3 co-purchase cosine neighbors per
+      // part — the "also bought" table, similarity complement of q249's
+      // lift (exact counts, two IEEE steps, WindowGroupLimit top-k)
+      Features.itemNeighbors(table(s, d, "lineitem"),
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        k = 3, minSupport = 2),
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
+          |                  CAST(l_partkey AS BIGINT) AS item
+          |  FROM lineitem),
+          |m AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY 1),
+          |p AS (
+          |  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+          |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (
+          |  SELECT item_a AS item, item_b AS neighbor, n_both,
+          |         ma.n_item AS n_i, mb.n_item AS n_n
+          |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b
+          |  UNION ALL
+          |  SELECT item_b, item_a, n_both, mb.n_item, ma.n_item
+          |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b),
+          |sc AS (SELECT item, neighbor, n_both,
+          |              CAST(n_both AS DOUBLE) / sqrt(CAST(n_i AS DOUBLE) * n_n)
+          |                AS cosine
+          |       FROM sym)
+          |SELECT item, neighbor, n_both, cosine, CAST(rank AS INTEGER) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY item
+          |        ORDER BY cosine DESC, neighbor ASC) AS rank FROM sc) t
+          |WHERE rank <= 3""".stripMargin)),
+
+    QueryDef("q323_quantile_normalize", (s, d) =>
+      // quantile normalization of per-flag quantity distributions onto
+      // the pooled marginal (midpoint rank scaling, all-integer): the
+      // batch-effect remover — after the mapping, every flag's quantity
+      // distribution is the same
+      Stats.quantileNormalize(table(s, d, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity").cast("long")),
+      Some(
+        """WITH base AS (
+          |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+          |  FROM lineitem WHERE l_quantity IS NOT NULL),
+          |gb AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+          |gr AS (SELECT g, v, cnt,
+          |              sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt + 1 AS rnk,
+          |              sum(cnt) OVER (PARTITION BY g) AS ng
+          |       FROM gb),
+          |pb AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+          |pr AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt AS lo,
+          |              sum(cnt) OVER (ORDER BY v) AS hi
+          |       FROM pb),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+          |mi AS (SELECT g, v, cnt,
+          |              ((2 * rnk + cnt - 2) * nn.n) // (2 * ng) AS i
+          |       FROM gr, nn)
+          |SELECT mi.g AS l_returnflag, mi.v, mi.cnt, pr.v AS norm_v
+          |FROM mi JOIN pr ON mi.i >= pr.lo AND mi.i < pr.hi""".stripMargin)),
+
     QueryDef("q314_benford", (s, d) =>
       // Benford first-digit audit of the invoice amounts — the classic
       // fabricated-amounts screen. Audited in cents (leading digit is

@@ -341,6 +341,37 @@ class FeatureSpec extends AnyFunSuite {
     assert(one.length === 1 && one(0).getLong(4) === 0L)
   }
 
+  // ---- itemNeighbors (item-item CF) ----
+
+  test("itemNeighbors: cosine from exact counts, min-support filter, symmetric lists") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L)).toDF("basket", "item")
+    val out = Features.itemNeighbors(df, col("basket"), col("item"),
+      k = 3, minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only (1,2) survives support 2: co=3, n_1=3, n_2=3 -> cosine exactly 1
+    assert(out.size === 2)
+    assert(out((1L, 1)) === ((2L, 3L, 1.0)))
+    assert(out((2L, 1)) === ((1L, 3L, 1.0)))
+  }
+
+  test("itemNeighbors: cosine ties rank by neighbor id; hot baskets dropped") {
+    val base = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L))
+    val out = Features.itemNeighbors(base.toDF("basket", "item"),
+      col("basket"), col("item"), k = 2, minSupport = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    // cos(1,2) = cos(1,3) = 2/sqrt(12) tie -> neighbor asc
+    assert(out((1L, 1)) === 2L && out((1L, 2)) === 3L)
+    // one 3-item basket beyond the guard contributes nothing
+    val guarded = Features.itemNeighbors(
+      (base ++ Seq((9L, 1L), (9L, 2L), (9L, 3L))).toDF("basket", "item"),
+      col("basket"), col("item"), k = 2, minSupport = 1, maxBasketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    assert(guarded === out)
+  }
+
   // ---- degree assortativity ----
 
   test("degreeAssortativity: star is exactly -1; regular graph is degenerate NULL") {

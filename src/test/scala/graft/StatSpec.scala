@@ -500,6 +500,55 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  // ---- holtBacktest ----
+
+  test("holtBacktest: constant series forecasts itself — zero error everywhere") {
+    val df = (0L to 3L).map(d => ("g", d, 10L)).toDF("grp", "day", "y")
+    val r = Stats.holtBacktest(df, Seq("grp"), col("day"), col("y"),
+      alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2).collect()(0)
+    assert(r.getAs[Long]("n_evals") === 3L)
+    assert(r.getAs[Long]("err_abs_sum_micro") === 0L)
+    assert(r.getAs[Long]("err_sum_micro") === 0L)
+    assert(r.getAs[Long]("mae_micro") === 0L)
+    assert(r.getAs[Long]("wape_ppm") === 0L)
+  }
+
+  test("holtBacktest: linear ramp — hand-folded lagging forecasts, exact sums") {
+    // alpha=beta=1/2 over y=[0,10,20,30]: forecasts for days 1..3 are
+    // 0, 7.5e6, 19.375e6 against actuals 10e6, 20e6, 30e6
+    val df = (0L to 3L).map(d => ("g", d, 10L * d)).toDF("grp", "day", "y")
+    val r = Stats.holtBacktest(df, Seq("grp"), col("day"), col("y"),
+      alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2).collect()(0)
+    assert(r.getAs[Long]("n_evals") === 3L)
+    assert(r.getAs[Long]("err_abs_sum_micro") === 33125000L)
+    assert(r.getAs[Long]("err_sum_micro") === -33125000L)
+    assert(r.getAs[Long]("mae_micro") === 11041666L)
+    assert(r.getAs[Long]("wape_ppm") === 552083L) // 33.125e6*1e6 div 60e6
+  }
+
+  // ---- quantileNormalize ----
+
+  test("quantileNormalize: both groups land on the pooled marginal") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("B", _))).toDF("g", "v")
+    val out = Stats.quantileNormalize(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // midpoint rank scaling: ranks 1..4 of 4 -> pooled indices 1,3,5,7
+    assert(out(("A", 1L)) === 2L && out(("A", 2L)) === 4L)
+    assert(out(("A", 3L)) === 20L && out(("A", 4L)) === 40L)
+    assert(out(("B", 10L)) === 2L && out(("B", 20L)) === 4L)
+    assert(out(("B", 30L)) === 20L && out(("B", 40L)) === 40L)
+  }
+
+  test("quantileNormalize: tied blocks map by doubled midrank, cnt preserved") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 7L)).toDF("g", "v")
+    val out = Stats.quantileNormalize(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("A", 1L)) === ((2L, 1L))) // block of 2, midrank -> pooled[1]=1
+    assert(out(("B", 7L)) === ((1L, 1L)))
+  }
+
   // ---- benfordAudit ----
 
   test("benfordAudit: all-ones corpus — exact chi contributions, starved digits kept") {
