@@ -293,6 +293,50 @@ object ScaleProbe {
       }
     }
 
+    // round-10 continuation: presence-basket item CF — pair volume must
+    // track BASKETS (replicated baskets repeat the same within-basket pair
+    // shapes, so Nx baskets ~ Nx pairs), never corpus^2; maxBasketSize
+    // caps per-basket fanout
+    val li1 = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("b"),
+        col("l_partkey").cast("long").as("i")).localCheckpoint()
+    val liN = (0 until reps).map(r =>
+      li1.withColumn("b", col("b") + lit(r * 100000000L)))
+      .reduce(_ unionByName _).localCheckpoint()
+    for ((label, li) <- Seq("1x" -> li1, s"${reps}x" -> liN)) {
+      time(s"item_cf_neighbors     $label") {
+        graft.operators.Features.itemNeighbors(li, col("b"), col("i"),
+          k = 3, minSupport = 2).count()
+      }
+    }
+
+    // quantile normalization: both rank rollups carry DISTINCT values only
+    // — replicas add rows but no new n_chars values, so the range join
+    // stays fixed-size and cost tracks the scan
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"quantile_normalize    $label") {
+        graft.pipeline.Stats.quantileNormalize(docs, Seq("lang"),
+          col("n_chars")).count()
+      }
+    }
+
+    // rolling WAU: the explode fanout is window x active (user, day) —
+    // replicas add users linearly; the report-day rollup stays
+    // calendar-bounded
+    val evd1 = graft.sources.Sources.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"))
+      .localCheckpoint()
+    val evdN = (0 until reps).map(r =>
+      evd1.withColumn("user_id", col("user_id") + lit(r * 10000000L)))
+      .reduce(_ unionByName _).localCheckpoint()
+    for ((label, ev) <- Seq("1x" -> evd1, s"${reps}x" -> evdN)) {
+      time(s"rolling_wau           $label") {
+        graft.operators.EventAnalytics.rollingActiveUsers(ev,
+          col("user_id"), col("day"), window = 7).count()
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

@@ -808,22 +808,7 @@ object Inference {
     */
   def kaplanMeier(df: DataFrame, durationCol: Column, censoredCol: Column,
       maxSteps: Int = 100000): DataFrame = {
-    val base = df.select(durationCol.cast("long").as("dur"),
-      censoredCol.cast("boolean").as("cens"))
-    val byDur = base.groupBy(col("dur")).agg(
-      count(lit(1)).as("n_exit"),
-      sum(when(!col("cens"), 1L).otherwise(0L)).as("deaths"))
-    // at_risk(t) = total - (exits strictly before t): two windows over the
-    // duration rollup (calendar-bounded single partition, same contract as
-    // the fold below)
-    val w = Window.orderBy(col("dur").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val steps = byDur
-      .withColumn("at_risk",
-        sum(col("n_exit")).over(Window.partitionBy(lit(1))) -
-          coalesce(sum(col("n_exit")).over(w), lit(0L)))
-      .filter(col("deaths") > 0L)
-      .select(col("dur"), col("at_risk"), col("deaths"))
+    val steps = survivalSteps(df, durationCol, censoredCol)
     val folded = steps
       .agg(sort_array(collect_list(struct(col("dur"), col("at_risk"),
         col("deaths")))).as("st"))
@@ -841,5 +826,55 @@ object Inference {
            |END""".stripMargin)).as("s"))
     folded.select(col("s.dur").as("duration"), col("s.at_risk").as("at_risk"),
       col("s.deaths").as("deaths"), col("s.surv").as("surv_ppm"))
+  }
+
+  /** Event-time rollup shared by [[kaplanMeier]] and [[nelsonAalen]]:
+    * (dur, at_risk, deaths) for every distinct duration with at least one
+    * uncensored exit. `at_risk(t)` = total minus exits strictly before t
+    * (a subject censored exactly at t is still at risk at t). The windows
+    * run over the DISTINCT-duration rollup — calendar-bounded single
+    * partition by contract, the same bound the downstream folds declare.
+    */
+  private def survivalSteps(df: DataFrame, durationCol: Column,
+      censoredCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("dur"),
+      censoredCol.cast("boolean").as("cens"))
+    val byDur = base.groupBy(col("dur")).agg(
+      count(lit(1)).as("n_exit"),
+      sum(when(!col("cens"), 1L).otherwise(0L)).as("deaths"))
+    val w = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDur
+      .withColumn("at_risk",
+        sum(col("n_exit")).over(Window.partitionBy(lit(1))) -
+          coalesce(sum(col("n_exit")).over(w), lit(0L)))
+      .filter(col("deaths") > 0L)
+      .select(col("dur"), col("at_risk"), col("deaths"))
+  }
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+    * additive sibling of [[kaplanMeier]]'s multiplicative survival: at
+    * each event time the hazard increment is `d_i / r_i`, and the
+    * estimator is the running SUM of increments. Because it is a sum, no
+    * sequential fold is needed at all: each step's
+    * `haz_step_ppm = d_i*1e6 div r_i` (non-negative truncation,
+    * engine-agnostic) and `cum_hazard_ppm` is one cumulative window over
+    * the event-time rollup — the same calendar-bounded single partition
+    * the KM fold already declares, minus the fold. NA is the
+    * preferred estimator under heavy ties / small risk sets (the log of
+    * KM explodes where NA degrades gracefully), and its increments feed
+    * hazard-ratio eyeballing directly.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: Column,
+      censoredCol: Column): DataFrame = {
+    val steps = survivalSteps(df, durationCol, censoredCol)
+      .withColumn("haz_step_ppm",
+        call_function("div", col("deaths") * 1000000L, col("at_risk")))
+    steps
+      .withColumn("cum_hazard_ppm",
+        sum(col("haz_step_ppm")).over(Window.orderBy(col("dur").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur").as("duration"), col("at_risk"), col("deaths"),
+        col("haz_step_ppm"), col("cum_hazard_ppm"))
   }
 }

@@ -48,4 +48,48 @@ object Profile {
     }
     blocks.reduce(_ unionByName _)
   }
+
+  /** Functional-dependency violation profile: for each declared candidate
+    * `lhs -> rhs`, how many rows break the dependency — the schema-
+    * discovery / DQ-rule-mining primitive (a column pair with
+    * `holds_ppm = 1e6` is a dependency worth enforcing as a test; one
+    * near 1e6 is a dependency with dirty rows worth quarantining).
+    * The exact violation count under the standard "keep the majority
+    * mapping" repair semantics is `sum over lhs groups of
+    * (group size - its most frequent rhs count)` — the minimum number of
+    * rows to delete to make the FD hold. Rows with a NULL on either side
+    * are excluded (SQL FD convention); `holds_ppm` is a non-negative
+    * truncating ratio, NULL for an empty pair.
+    *
+    * Shape per pair: one (lhs, rhs) rollup, one (lhs) max/sum rollup, one
+    * global agg — all partial-agg shuffles keyed on the declared columns;
+    * the union across pairs is bounded by the declared list, and each
+    * pair's scan prunes to two columns.
+    */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "no FD candidates")
+    pairs.foreach { case (a, b) =>
+      require(df.columns.contains(a) && df.columns.contains(b) && a != b,
+        s"bad FD candidate: $a -> $b")
+    }
+    val blocks = pairs.map { case (a, b) =>
+      df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__l"), col(b).as("__r"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__l"))
+        .agg(sum(col("__n")).as("__tot"), max(col("__n")).as("__keep"))
+        .agg(
+          coalesce(sum(col("__tot")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_lhs"),
+          coalesce(sum(col("__tot") - col("__keep")), lit(0L))
+            .as("n_violations"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_rows"),
+          col("n_lhs"), col("n_violations"),
+          when(col("n_rows") > 0L,
+            call_function("div",
+              (col("n_rows") - col("n_violations")) * 1000000L,
+              col("n_rows"))).as("holds_ppm"))
+    }
+    blocks.reduce(_ unionByName _)
+  }
 }

@@ -768,4 +768,43 @@ object Similarity {
         col("cell").cast("long").as("cell"),
         col("adc_rank").cast("long").as("adc_rank"))
   }
+
+  /** Min-max-calibrated 8-bit scalar quantization (the "SQ8" storage
+    * format of vector indexes — 4x smaller than float32 with near-lossless
+    * recall, the storage-tier complement of [[pqCodebooks]]' PQ): per
+    * dimension, calibrate [min, max] over the corpus' milli-quantized
+    * components in ONE rollup (d rows out of a posexplode partial agg,
+    * broadcast back), then
+    * `code = (x_milli - mn) * 255 div (mx - mn)` — all-integer, in
+    * [0, 255] by construction, a constant dimension coding to 0. Emits
+    * long format (id, dim_index, code, err_milli) where `err_milli` is the
+    * exact reconstruction error against the midpoint-free decode
+    * `mn + code*(mx-mn) div 255` — the per-component quality audit that
+    * decides whether SQ8 suffices or a dimension needs PQ.
+    *
+    * Shape: calibration rollup + one scan re-coding each component against
+    * the broadcast d-row bounds table; both shuffles carry dimension keys,
+    * never vectors. Long format keeps the driver-comparable contract
+    * (array cells don't hash across engines); a consumer repacks with
+    * collect_list ordered by dim_index.
+    */
+  def scalarQuantize8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val comp = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim0", "x")))
+      .select(col("id"), (col("dim0") + 1).as("dim_index"), col("x"))
+    val bounds = comp.groupBy(col("dim_index"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    comp.join(broadcast(bounds), Seq("dim_index"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          call_function("div", (col("x") - col("mn")) * 255L,
+            col("mx") - col("mn"))).otherwise(lit(0L)))
+      .withColumn("err_milli",
+        abs(col("x") - (col("mn") +
+          call_function("div", col("code") * (col("mx") - col("mn")),
+            lit(255L)))))
+      .select(col("id"), col("dim_index").cast("int").as("dim_index"),
+        col("code"), col("err_milli"))
+  }
 }

@@ -16,6 +16,41 @@ object AnalyticsQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q324_fd_violations", (s, d) =>
+      // functional-dependency mining over declared candidates: partkey ->
+      // name must hold exactly (it's the key), brand -> type and size ->
+      // brand report their minimum-repair violation counts — the
+      // DQ-rule-discovery pass that feeds GenericTests
+      Profile.fdViolations(table(s, d, "part"),
+        Seq(("p_partkey", "p_name"), ("p_brand", "p_type"),
+          ("p_size", "p_brand"))),
+      Some(
+        """WITH cand(lhs, rhs) AS (
+          |  SELECT * FROM (VALUES ('p_partkey', 'p_name'),
+          |    ('p_brand', 'p_type'), ('p_size', 'p_brand')) v),
+          |vals AS (
+          |  SELECT 'p_partkey' AS lhs, 'p_name' AS rhs,
+          |         CAST(p_partkey AS VARCHAR) AS l, p_name AS r
+          |  FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'p_brand', 'p_type', p_brand, p_type
+          |  FROM part WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'p_size', 'p_brand', CAST(p_size AS VARCHAR), p_brand
+          |  FROM part WHERE p_size IS NOT NULL AND p_brand IS NOT NULL),
+          |g AS (SELECT lhs, rhs, l, r, count(*) AS n FROM vals GROUP BY 1, 2, 3, 4),
+          |pl AS (SELECT lhs, rhs, l, sum(n) AS tot, max(n) AS keep
+          |       FROM g GROUP BY 1, 2, 3),
+          |agg AS (SELECT lhs, rhs, CAST(sum(tot) AS BIGINT) AS n_rows,
+          |               CAST(count(*) AS BIGINT) AS n_lhs,
+          |               CAST(sum(tot - keep) AS BIGINT) AS n_violations
+          |        FROM pl GROUP BY 1, 2)
+          |SELECT cand.lhs, cand.rhs, agg.n_rows, agg.n_lhs, agg.n_violations,
+          |       CASE WHEN agg.n_rows > 0
+          |            THEN ((agg.n_rows - agg.n_violations) * 1000000) // agg.n_rows
+          |       END AS holds_ppm
+          |FROM cand JOIN agg USING (lhs, rhs)""".stripMargin)),
+
     QueryDef("q319_rolling_wau", (s, d) =>
       // exact rolling 7-day active users + same-day DAU + stickiness —
       // the engagement dashboard triple, via the bounded-fanout explode

@@ -294,6 +294,50 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q326_nelson_aalen", (s, d) => {
+      // Nelson-Aalen cumulative hazard on the q269 fulfillment cohort:
+      // the additive estimator needs NO sequential fold — per-step
+      // d*1e6 div r plus one cumulative window over event times
+      val subj = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(greatest(lit(0L),
+          datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .cast("long")).as("dur"),
+          (col("o_orderstatus") =!= "F").as("cens"))
+      Inference.nelsonAalen(subj, col("dur"), col("cens"))
+    }, Some(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |s0 AS (SELECT greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+        |                                    CAST(last_ship AS DATE))) AS dur,
+        |              (o_orderstatus <> 'F') AS cens
+        |       FROM o),
+        |dr AS (SELECT dur, count(*) AS n_exit,
+        |              sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS deaths
+        |       FROM s0 GROUP BY 1),
+        |c AS (SELECT dur, deaths,
+        |             (SELECT sum(n_exit) FROM dr)
+        |               - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS at_risk
+        |      FROM dr),
+        |st AS (SELECT dur, at_risk, deaths,
+        |              (deaths * 1000000) // at_risk AS haz
+        |       FROM c WHERE deaths > 0)
+        |SELECT CAST(dur AS BIGINT) AS duration,
+        |       CAST(at_risk AS BIGINT) AS at_risk,
+        |       CAST(deaths AS BIGINT) AS deaths,
+        |       CAST(haz AS BIGINT) AS haz_step_ppm,
+        |       CAST(sum(haz) OVER (ORDER BY dur
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_hazard_ppm
+        |FROM st""".stripMargin)),
+
     QueryDef("q269_kaplan_meier", (s, d) => {
       // Kaplan-Meier order-fulfillment curve: time-to-complete = days
       // from order date to the last line shipment (clipped at 0 — the

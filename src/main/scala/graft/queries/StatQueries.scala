@@ -179,6 +179,31 @@ object StatQueries extends QuerySet {
           |SELECT mi.g AS l_returnflag, mi.v, mi.cnt, pr.v AS norm_v
           |FROM mi JOIN pr ON mi.i >= pr.lo AND mi.i < pr.hi""".stripMargin)),
 
+    QueryDef("q325_sq8_quantize", (s, d) =>
+      // SQ8 vector storage: per-dim min-max calibration + 8-bit codes +
+      // exact reconstruction error over a 200-vector slice (long format —
+      // array cells don't hash across engines)
+      Similarity.scalarQuantize8(
+        table(s, d, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding"),
+      Some(
+        s"""WITH comp AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS id, g.i AS dim_index, q.v[g.i] AS x
+           |  FROM (SELECT vec_id, $qvecSql AS v FROM embeddings
+           |        WHERE vec_id < 200 AND embedding IS NOT NULL) q,
+           |       generate_series(1, 64) g(i)),
+           |b AS (SELECT dim_index, min(x) AS mn, max(x) AS mx
+           |      FROM comp GROUP BY 1)
+           |SELECT comp.id, CAST(comp.dim_index AS INTEGER) AS dim_index,
+           |       CASE WHEN b.mx > b.mn
+           |            THEN ((comp.x - b.mn) * 255) // (b.mx - b.mn)
+           |            ELSE 0 END AS code,
+           |       abs(comp.x - (b.mn +
+           |         (CASE WHEN b.mx > b.mn
+           |               THEN ((comp.x - b.mn) * 255) // (b.mx - b.mn)
+           |               ELSE 0 END * (b.mx - b.mn)) // 255)) AS err_milli
+           |FROM comp JOIN b USING (dim_index)""".stripMargin)),
+
     QueryDef("q314_benford", (s, d) =>
       // Benford first-digit audit of the invoice amounts — the classic
       // fabricated-amounts screen. Audited in cents (leading digit is

@@ -446,6 +446,34 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.operators.Graph.pageRank(edges, "s", "t", 1, dampingPct = 101))
   }
 
+  // ---- fdViolations ----
+
+  test("fdViolations: key FD holds exactly; minimum-repair counts on dirty pairs") {
+    val df = Seq(
+      (1L, "x", "p"), (1L, "x", "q"), (1L, "x", "p"), (1L, "y", "p"),
+      (2L, "z", "p"), (2L, "z", "p")
+    ).toDF("a", "b", "c")
+    val out = Profile.fdViolations(df, Seq(("a", "b"), ("b", "c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a->b: a=1 maps {x:3, y:1} -> 1 repair; a=2 clean
+    assert(out(("a", "b")) === ((6L, 2L, 1L, 833333L)))
+    // b->c: x maps {p:2, q:1} -> 1; y,z clean
+    assert(out(("b", "c")) === ((6L, 3L, 1L, 833333L)))
+  }
+
+  test("fdViolations: NULLs excluded on either side; empty pair yields NULL ppm") {
+    val df = Seq((Option(1L), Option("x")), (Option(1L), Option.empty[String]),
+      (Option.empty[Long], Option("y"))).toDF("a", "b")
+    val r = Profile.fdViolations(df, Seq(("a", "b"))).collect()(0)
+    assert(r.getLong(2) === 1L && r.getLong(4) === 0L)
+    val empty = Profile.fdViolations(
+      df.filter(col("a").isNull && col("b").isNull), Seq(("a", "b")))
+      .collect()(0)
+    assert(empty.getLong(2) === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("holds_ppm")))
+  }
+
   // ---- rollingActiveUsers ----
 
   test("rollingActiveUsers: window coverage, max-day clamp, stickiness truncation") {

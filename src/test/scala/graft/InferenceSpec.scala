@@ -267,6 +267,25 @@ class InferenceSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 500000L)))
   }
 
+  // ---- nelsonAalen ----
+
+  test("nelsonAalen: additive hazard on the KM textbook vector") {
+    // same cohort as the KM test: deaths at 1 (r=5), 2 (r=4, d=2), 4 (r=1)
+    val df = Seq((1L, false), (2L, false), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "cens")
+    val out = Inference.nelsonAalen(df, col("dur"), col("cens"))
+      .orderBy("duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 1L, 200000L, 200000L),
+      (2L, 4L, 2L, 500000L, 700000L),
+      (4L, 1L, 1L, 1000000L, 1700000L)))
+    // all-censored cohort: no event times, empty estimate
+    val allCens = Seq((1L, true)).toDF("dur", "cens")
+    assert(Inference.nelsonAalen(allCens, col("dur"), col("cens")).count() === 0L)
+  }
+
   // ---- rmst ----
 
   test("rmst: step-function area with horizon clipping and open tail") {

@@ -1281,6 +1281,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  // ---- scalarQuantize8 ----
+
+  test("scalarQuantize8: endpoints code 0/255 losslessly; constant dims code 0") {
+    val df = Seq(
+      (1L, Array(0.000f, 0.100f)),
+      (2L, Array(0.100f, 0.100f)),
+      (3L, Array(0.050f, 0.100f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 1)) === ((0L, 0L)))     // min endpoint exact
+    assert(out((2L, 1)) === ((255L, 0L)))   // max endpoint exact
+    // mid: code 50*255 div 100 = 127, decode 127*100 div 255 = 49 -> err 1
+    assert(out((3L, 1)) === ((127L, 1L)))
+    // dim 2 constant: mx == mn -> code 0, decode mn, err 0
+    Seq(1L, 2L, 3L).foreach(id => assert(out((id, 2)) === ((0L, 0L))))
+  }
+
   // ---- pcaTopComponent ----
 
   test("pcaTopComponent: exact rank-1 diagonal data — equal loadings, full variance") {
