@@ -416,6 +416,69 @@ object Features {
         col("rank"))
   }
 
+  /** Price-volume-mix revenue decomposition between two periods (the
+    * FP&A variance bridge): per segment, split the revenue change into a
+    * VOLUME effect (quantity change at the OLD average price) and a PRICE
+    * effect (realized-price change on the NEW quantity), with the single
+    * truncation point `base = q1*r0 div q0` shared by both terms so
+    * `price + volume = r1 - r0` EXACTLY per segment — the reconciliation
+    * auditors actually check, by construction rather than by rounding
+    * luck:
+    * {{{
+    *   volume = q1*r0 div q0 - r0      price = r1 - q1*r0 div q0
+    * }}}
+    * New segments (q0 = 0) book everything as volume, exited ones
+    * (q1 = 0) as negative volume — declared edge routing, reconciliation
+    * still exact. The output carries one TOTAL row (segment NULL) whose
+    * volume uses the AGGREGATE price and whose `mix_units` closes the
+    * bridge: `mix = delta_total - price_total - volume_total`, i.e. the
+    * part of the change explained by segment-share shifts rather than
+    * any segment's own price or volume (Hulten-style share decomposition;
+    * per-segment rows carry NULL mix).
+    *
+    * Exact-integer throughout: quantities and revenue units are longs,
+    * products ride DECIMAL(38,0), every division is non-negative
+    * truncating with subtractions AFTER. Shape: one segment-keyed partial
+    * agg + a 1-row total — nothing grows past the segment count.
+    */
+  def priceVolumeMix(df: DataFrame, segCols: Seq[String], isCurrent: Column,
+      qtyCol: Column, revenueUnits: Column): DataFrame = {
+    require(segCols.nonEmpty, "priceVolumeMix needs segment columns")
+    val gcols = segCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def effects(f: DataFrame): DataFrame = f
+      .withColumn("__base",
+        when(col("q0") > 0L,
+          call_function("div", dec(col("q1")) * col("r0_units"),
+            dec(col("q0"))).cast("long"))
+          .otherwise(col("r1_units"))) // new segment: all change is volume
+      .withColumn("volume_units", col("__base") - col("r0_units"))
+      .withColumn("price_units", col("r1_units") - col("__base"))
+      .drop("__base")
+    val seg = effects(df.groupBy(gcols: _*).agg(
+      sum(when(!isCurrent, qtyCol.cast("long")).otherwise(0L)).as("q0"),
+      sum(when(isCurrent, qtyCol.cast("long")).otherwise(0L)).as("q1"),
+      sum(when(!isCurrent, revenueUnits.cast("long")).otherwise(0L))
+        .as("r0_units"),
+      sum(when(isCurrent, revenueUnits.cast("long")).otherwise(0L))
+        .as("r1_units")))
+    val tot = effects(seg.agg(
+      sum(col("q0")).as("q0"), sum(col("q1")).as("q1"),
+      sum(col("r0_units")).as("r0_units"), sum(col("r1_units")).as("r1_units")))
+    val segPrice = seg.agg(sum(col("price_units")).as("__p"),
+      sum(col("volume_units")).as("__v"))
+    val totalRow = tot.crossJoin(segPrice)
+      .select(segCols.map(c =>
+        lit(null).cast(seg.schema(c).dataType).as(c)) ++ Seq(
+        col("q0"), col("q1"), col("r0_units"), col("r1_units"),
+        col("volume_units"), col("__p").as("price_units"),
+        (col("r1_units") - col("r0_units") - col("volume_units") - col("__p"))
+          .as("mix_units")): _*)
+    seg.withColumn("mix_units", lit(null).cast("long"))
+      .select(totalRow.columns.map(col): _*)
+      .unionByName(totalRow)
+  }
+
   /** Pooled two-proportion z statistic from exact integer counts — the
     * A/B experiment readout. Algebraically
     * `z = (c1/n1 - c2/n2) / sqrt(p(1-p)(1/n1 + 1/n2))` with pooled

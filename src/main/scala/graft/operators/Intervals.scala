@@ -61,4 +61,40 @@ object Intervals {
       .agg(min(start).as("island_start"), max(end).as("island_end"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Peak concurrency per key: the maximum number of CLOSED-interval
+    * [start, end] rows simultaneously open, and the earliest boundary at
+    * which the peak is reached — the capacity/staffing question
+    * ("max open orders / beds / sessions at once") that
+    * [[mergeIntervals]]' islands deliberately erase. The standard
+    * boundary-sweep: each interval emits (+1 at start, -1 at end+1), the
+    * deltas roll up per (key, boundary) — so the window below runs over
+    * DISTINCT boundaries, calendar-bounded, not raw intervals — and a
+    * per-key cumulative sum is the live count; its max and argmin-day
+    * come from one more window pass. NULL or inverted (end < start)
+    * intervals are excluded.
+    */
+  def maxConcurrency(df: DataFrame, keys: Seq[String], start: Column,
+      end: Column): DataFrame = {
+    val kcols = keys.map(col)
+    val deltas = df
+      .filter(start.isNotNull && end.isNotNull &&
+        end.cast("long") >= start.cast("long"))
+      .select(kcols :+ explode(array(
+        struct(start.cast("long").as("b"), lit(1L).as("d")),
+        struct((end.cast("long") + 1L).as("b"), lit(-1L).as("d"))))
+        .as("e"): _*)
+      .groupBy(kcols :+ col("e.b").as("b"): _*)
+      .agg(sum(col("e.d")).as("d"))
+    val byB = Window.partitionBy(kcols: _*).orderBy(col("b").asc)
+    val scored = deltas.withColumn("live",
+      sum(col("d")).over(byB.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    scored
+      .withColumn("__mx", max(col("live")).over(Window.partitionBy(kcols: _*)))
+      .filter(col("live") === col("__mx"))
+      .groupBy(kcols: _*)
+      .agg(min(col("b")).as("peak_at"), max(col("live")).as("peak"))
+      .select(kcols ++ Seq(col("peak"), col("peak_at")): _*)
+  }
 }

@@ -865,6 +865,59 @@ object Inference {
     * KM explodes where NA degrades gracefully), and its increments feed
     * hazard-ratio eyeballing directly.
     */
+  /** Stratified average treatment effect over a NON-NEGATIVE fixed-point
+    * outcome (cents): within each stratum the treated-vs-control mean
+    * difference, then the population-weighted combination — the classic
+    * covariate-adjustment estimator (Cochran 1968; equivalent to inverse-
+    * propensity weighting when the propensity model is the stratum
+    * indicator), the continuous-outcome sibling of [[upliftBySegment]]'s
+    * conversion-rate readout.
+    *
+    * Exactness: per-stratum means are non-negative truncating micro
+    * divisions, subtracted AFTER dividing (the q274 lesson — signed
+    * truncation diverges between engines); the population ATE weights the
+    * signed per-stratum diffs by exact stratum sizes in DECIMAL and
+    * applies ONE final sign-magnitude division by N. Off-support strata
+    * (no treated or no control rows) cannot estimate a contrast and are
+    * EXCLUDED from both the output and the weighting — the standard
+    * positivity restriction, reported via the weights summing short of
+    * 1e6.
+    *
+    * Output: one row per on-support stratum (sizes, means, diff,
+    * weight_ppm) with the shared population `ate_micro` carried on every
+    * row. Shape: one stratum-keyed partial agg + a broadcast 1-row total.
+    */
+  def stratifiedAte(df: DataFrame, strataCols: Seq[String], treated: Column,
+      outcomeUnits: Column): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedAte needs strata columns")
+    val gcols = strataCols.map(col)
+    val s = df.filter(outcomeUnits.isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+        sum(when(treated, outcomeUnits.cast("long")).otherwise(0L)).as("__st"),
+        sum(when(!treated, outcomeUnits.cast("long")).otherwise(0L)).as("__sc"))
+      .withColumn("n_c", col("n_s") - col("n_t"))
+      .filter(col("n_t") > 0L && col("n_c") > 0L)
+      .withColumn("mean_t_micro",
+        call_function("div", col("__st") * 1000000L, col("n_t")))
+      .withColumn("mean_c_micro",
+        call_function("div", col("__sc") * 1000000L, col("n_c")))
+      .withColumn("diff_micro", col("mean_t_micro") - col("mean_c_micro"))
+    val tot = s.agg(sum(col("n_s")).as("__n"),
+      sum(dec(col("n_s")) * col("diff_micro")).as("__wsum"))
+      .select(col("__n"),
+        (signum(col("__wsum")).cast("long") *
+          call_function("div", abs(col("__wsum")), dec(col("__n")))
+            .cast("long")).as("ate_micro"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        call_function("div", col("n_s") * 1000000L, col("__n")))
+      .select(gcols ++ Seq(col("n_s"), col("n_t"), col("n_c"),
+        col("mean_t_micro"), col("mean_c_micro"), col("diff_micro"),
+        col("weight_ppm"), col("ate_micro")): _*)
+  }
+
   def nelsonAalen(df: DataFrame, durationCol: Column,
       censoredCol: Column): DataFrame = {
     val steps = survivalSteps(df, durationCol, censoredCol)

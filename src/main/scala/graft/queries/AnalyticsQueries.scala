@@ -16,6 +16,93 @@ object AnalyticsQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q328_price_volume_mix", (s, d) =>
+      // FP&A revenue bridge 1996 -> 1997 by return flag: volume at old
+      // price vs realized-price effect with EXACT per-segment
+      // reconciliation (one shared truncation point), plus the total row
+      // whose mix term is the segment-share shift
+      graft.operators.Features.priceVolumeMix(
+        table(s, d, "lineitem")
+          .filter(year(to_date(col("l_shipdate"))).isin(1996, 1997)),
+        Seq("l_returnflag"),
+        year(to_date(col("l_shipdate"))) === 1997,
+        col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + 0.5)),
+      Some(
+        """WITH b AS (
+          |  SELECT l_returnflag AS seg,
+          |         (year(CAST(l_shipdate AS DATE)) = 1997) AS cur,
+          |         CAST(l_quantity AS BIGINT) AS q,
+          |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS r
+          |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)),
+          |s AS (SELECT seg,
+          |             CAST(sum(CASE WHEN NOT cur THEN q ELSE 0 END) AS BIGINT) AS q0,
+          |             CAST(sum(CASE WHEN cur THEN q ELSE 0 END) AS BIGINT) AS q1,
+          |             CAST(sum(CASE WHEN NOT cur THEN r ELSE 0 END) AS BIGINT) AS r0,
+          |             CAST(sum(CASE WHEN cur THEN r ELSE 0 END) AS BIGINT) AS r1
+          |      FROM b GROUP BY 1),
+          |e AS (SELECT seg, q0, q1, r0, r1,
+          |             CASE WHEN q0 > 0
+          |                  THEN CAST((CAST(q1 AS HUGEINT) * r0) // q0 AS BIGINT)
+          |                  ELSE r1 END AS base
+          |      FROM s),
+          |se AS (SELECT seg, q0, q1, r0 AS r0_units, r1 AS r1_units,
+          |              base - r0 AS volume_units, r1 - base AS price_units
+          |       FROM e),
+          |t AS (SELECT CAST(sum(q0) AS BIGINT) AS q0, CAST(sum(q1) AS BIGINT) AS q1,
+          |             CAST(sum(r0) AS BIGINT) AS r0, CAST(sum(r1) AS BIGINT) AS r1
+          |      FROM s),
+          |te AS (SELECT q0, q1, r0, r1,
+          |              CASE WHEN q0 > 0
+          |                   THEN CAST((CAST(q1 AS HUGEINT) * r0) // q0 AS BIGINT)
+          |                   ELSE r1 END AS base
+          |       FROM t),
+          |sp AS (SELECT CAST(sum(price_units) AS BIGINT) AS p FROM se)
+          |SELECT seg AS l_returnflag, q0, q1, r0_units, r1_units,
+          |       volume_units, price_units, CAST(NULL AS BIGINT) AS mix_units
+          |FROM se
+          |UNION ALL
+          |SELECT NULL, te.q0, te.q1, te.r0, te.r1, te.base - te.r0, sp.p,
+          |       (te.r1 - te.r0) - (te.base - te.r0) - sp.p
+          |FROM te, sp""".stripMargin)),
+
+    QueryDef("q329_max_concurrency", (s, d) => {
+      // capacity sweep: peak simultaneously-open orders per priority
+      // class and the first day the peak is hit — the boundary-sweep
+      // (+1/-1, cumsum over DISTINCT boundary days) the islands op erases
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(to_date(c), lit("1970-01-01").cast("date")).cast("long")
+      val iv = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(col("o_orderpriority"), day(col("o_orderdate")).as("s"),
+          greatest(day(col("last_ship")), day(col("o_orderdate"))).as("e"))
+      graft.operators.Intervals.maxConcurrency(iv, Seq("o_orderpriority"),
+        col("s"), col("e"))
+    }, Some(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |iv AS (SELECT o_orderpriority AS k,
+        |              CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |              greatest(
+        |                CAST(CAST(last_ship AS DATE) - DATE '1970-01-01' AS BIGINT),
+        |                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS e
+        |       FROM o),
+        |d AS (SELECT k, b, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |        SELECT k, s AS b, 1 AS dd FROM iv
+        |        UNION ALL SELECT k, e + 1, -1 FROM iv) t GROUP BY 1, 2),
+        |c AS (SELECT k, b, sum(dd) OVER (PARTITION BY k ORDER BY b) AS live
+        |      FROM d),
+        |m AS (SELECT k, max(live) AS peak FROM c GROUP BY 1)
+        |SELECT c.k AS o_orderpriority, CAST(m.peak AS BIGINT) AS peak,
+        |       CAST(min(c.b) AS BIGINT) AS peak_at
+        |FROM c JOIN m ON c.k = m.k AND c.live = m.peak
+        |GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q324_fd_violations", (s, d) =>
       // functional-dependency mining over declared candidates: partkey ->
       // name must hold exactly (it's the key), brand -> type and size ->

@@ -294,6 +294,48 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q327_stratified_ate", (s, d) =>
+      // stratified ATE of priority handling on order value: within each
+      // market segment the urgent-vs-normal mean order value contrast,
+      // population-weighted into one adjusted effect — the continuous-
+      // outcome sibling of q305's conversion uplift
+      Inference.stratifiedAte(
+        table(s, d, "orders").join(table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        floor(col("o_totalprice") * 100 + 0.5)),
+      Some(
+        """WITH b AS (
+          |  SELECT c_mktsegment AS seg,
+          |         (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey),
+          |s AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_s,
+          |             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |             CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS st,
+          |             CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sc
+          |      FROM b GROUP BY 1),
+          |s2 AS (SELECT seg, n_s, n_t, n_s - n_t AS n_c, st, sc FROM s
+          |       WHERE n_t > 0 AND n_s - n_t > 0),
+          |s3 AS (SELECT seg, n_s, n_t, n_c,
+          |              (st * 1000000) // n_t AS mt,
+          |              (sc * 1000000) // n_c AS mc
+          |       FROM s2),
+          |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+          |               sum(CAST(n_s AS HUGEINT) * (mt - mc)) AS wsum
+          |        FROM s3),
+          |atec AS (SELECT n,
+          |                CAST(CASE WHEN wsum >= 0 THEN wsum // n
+          |                          ELSE -((-wsum) // n) END AS BIGINT) AS ate
+          |         FROM tot)
+          |SELECT s3.seg AS c_mktsegment, s3.n_s, s3.n_t, s3.n_c,
+          |       s3.mt AS mean_t_micro, s3.mc AS mean_c_micro,
+          |       s3.mt - s3.mc AS diff_micro,
+          |       (s3.n_s * 1000000) // atec.n AS weight_ppm,
+          |       atec.ate AS ate_micro
+          |FROM s3, atec""".stripMargin)),
+
     QueryDef("q326_nelson_aalen", (s, d) => {
       // Nelson-Aalen cumulative hazard on the q269 fulfillment cohort:
       // the additive estimator needs NO sequential fold — per-step

@@ -341,6 +341,29 @@ class FeatureSpec extends AnyFunSuite {
     assert(one.length === 1 && one(0).getLong(4) === 0L)
   }
 
+  // ---- priceVolumeMix ----
+
+  test("priceVolumeMix: exact reconciliation through the shared truncation point") {
+    // X: q 3->5, r 10->20: base = 5*10 div 3 = 16 -> volume 6, price 4
+    // (6+4 = delta 10 EXACTLY despite truncation); Y is new (q0=0): all
+    // volume. Total: base = 7*10 div 3 = 23 -> vol 13, price 4, mix 1
+    val df = Seq(("X", false, 3L, 10L), ("X", true, 5L, 20L),
+      ("Y", true, 2L, 8L)).toDF("seg", "cur", "q", "r")
+    val rows = Features.priceVolumeMix(df, Seq("seg"), col("cur"),
+      col("q"), col("r")).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(5), r.getLong(6),
+          if (r.isNullAt(7)) None else Some(r.getLong(7))))).toMap
+    assert(rows(Some("X")) === ((6L, 4L, None)))
+    assert(rows(Some("Y")) === ((8L, 0L, None)))
+    assert(rows(None) === ((13L, 4L, Some(1L))))
+    // per-segment reconciliation is exact by construction
+    Features.priceVolumeMix(df, Seq("seg"), col("cur"), col("q"), col("r"))
+      .filter(col("seg").isNotNull).collect().foreach { r =>
+        assert(r.getLong(5) + r.getLong(6) === r.getLong(4) - r.getLong(3))
+      }
+  }
+
   // ---- itemNeighbors (item-item CF) ----
 
   test("itemNeighbors: cosine from exact counts, min-support filter, symmetric lists") {

@@ -267,6 +267,28 @@ class InferenceSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 500000L)))
   }
 
+  // ---- stratifiedAte ----
+
+  test("stratifiedAte: signed population weighting, off-support strata excluded") {
+    val df = Seq(
+      ("A", true, 10L), ("A", true, 20L), ("A", false, 10L), // diff +5e6
+      ("B", true, 0L), ("B", false, 4L), ("B", false, 8L),   // diff -6e6
+      ("C", true, 99L) // no controls -> off support, excluded entirely
+    ).toDF("s", "t", "y")
+    val out = Inference.stratifiedAte(df, Seq("s"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("A", "B"))
+    val a = out("A")
+    assert(a.getAs[Long]("mean_t_micro") === 15000000L)
+    assert(a.getAs[Long]("mean_c_micro") === 10000000L)
+    assert(a.getAs[Long]("diff_micro") === 5000000L)
+    assert(a.getAs[Long]("weight_ppm") === 500000L)
+    // wsum = 3*5e6 + 3*(-6e6) = -3e6 over N=6 -> -500000 (sign-magnitude)
+    assert(a.getAs[Long]("ate_micro") === -500000L)
+    assert(out("B").getAs[Long]("diff_micro") === -6000000L)
+    assert(out("B").getAs[Long]("ate_micro") === -500000L)
+  }
+
   // ---- nelsonAalen ----
 
   test("nelsonAalen: additive hazard on the KM textbook vector") {

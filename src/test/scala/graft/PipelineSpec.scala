@@ -1376,4 +1376,23 @@ class PipelineSpec extends AnyFunSuite {
     // the NULL typ row is excluded from the vote, not counted as a value
     assert(r.getAs[String]("mode_typ") === "only")
   }
+
+  // ---- maxConcurrency ----
+
+  test("maxConcurrency: boundary sweep peak + earliest peak day, closed intervals") {
+    import graft.operators.Intervals
+    val rows = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("k", 4L, 6L))
+      .toDF("u", "st", "en")
+    val r = Intervals.maxConcurrency(rows, Seq("u"), $"st", $"en").collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 2L)))
+    // point-touching CLOSED intervals overlap at the shared day
+    val touch = Seq(("k", 1L, 2L), ("k", 2L, 3L)).toDF("u", "st", "en")
+    val t = Intervals.maxConcurrency(touch, Seq("u"), $"st", $"en").collect()(0)
+    assert((t.getLong(1), t.getLong(2)) === ((2L, 2L)))
+    // disjoint intervals never stack; inverted/NULL rows are excluded
+    val dis = Seq(("k", 1L, 2L), ("k", 3L, 4L), ("k", 9L, 5L))
+      .toDF("u", "st", "en")
+    val d = Intervals.maxConcurrency(dis, Seq("u"), $"st", $"en").collect()(0)
+    assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
+  }
 }
