@@ -350,7 +350,10 @@ object Features {
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBasketSize)
       .select(col("basket"))
-    val kept = items.join(sized, Seq("basket"))
+    // pin: kept feeds the marginals, both self-join arms, and (in
+    // basketPairs) the basket count — unpinned, the distinct + size-guard
+    // join recomputes per branch (the q217/q221 recompute lesson)
+    val kept = items.join(sized, Seq("basket")).localCheckpoint(false)
     val marginals = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     (kept, marginals)
   }
