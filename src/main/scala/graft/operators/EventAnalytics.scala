@@ -542,6 +542,87 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curves: users cohorted by FIRST-ACTIVITY day, each
+    * cohort's cumulative revenue per user at every day-offset k — the
+    * payback/LTV readout that prices acquisition ("cohort X recovered
+    * CAC by day 30"), the revenue-weighted big sibling of [[retention]]'s
+    * headcounts. Exact: revenue accumulates in integer units, and
+    * `ltv_per_user_micro = cum_units*1e6 div cohort_size` is one
+    * non-negative truncating division per emitted row. Offsets with no
+    * revenue emit nothing (the curve is a step function; consumers
+    * forward-fill against a spine if they need dense k).
+    *
+    * Shape: a user-keyed first-day agg, one equi-join back, a
+    * (cohort, k) partial-agg rollup, then a per-cohort cumulative window
+    * over day OFFSETS — calendar-bounded (k <= horizonDays), parallel
+    * across cohorts.
+    */
+  def cohortLtv(events: DataFrame, userCol: Column, tsCol: Column,
+      valueUnits: Column, horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays: $horizonDays")
+    val base = events.select(userCol.as("user_id"),
+      to_date(tsCol).as("day"), valueUnits.cast("long").as("v"))
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
+    val firstDay = base.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint(false) // feeds the cohort sizes and the k join
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = base.join(firstDay, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("k") <= horizonDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(sum(coalesce(col("v"), lit(0L))).as("rev_units"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("k").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rev.withColumn("cum_units", sum(col("rev_units")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("ltv_per_user_micro",
+        call_function("div", col("cum_units") * 1000000L, col("n_users")))
+      .select(col("cohort_day"), col("k"), col("n_users"), col("rev_units"),
+        col("cum_units"), col("ltv_per_user_micro"))
+  }
+
+  /** Churn-definition sensitivity: for each candidate inactivity
+    * threshold T, the share of users whose gap between their LAST
+    * activity and the corpus horizon exceeds T — the sweep that picks a
+    * churn definition from the data (the elbow where the rate stops
+    * falling is the natural inactivity cutoff) instead of folklore.
+    * Exact: per-user gaps roll up to a DISTINCT-gap frame first, the
+    * threshold sweep is a broadcast explode over that tiny rollup, and
+    * `churn_ppm = churned*1e6 div n_users` truncates non-negatively.
+    *
+    * Shape: one user-keyed max-day agg, a gap rollup bounded by the
+    * calendar, thresholds x distinct-gaps in one broadcast pass —
+    * nothing rescans raw events per threshold.
+    */
+  def churnSensitivity(events: DataFrame, userCol: Column, dayCol: Column,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 0),
+      s"thresholds: $thresholds")
+    require(thresholds.distinct == thresholds, s"duplicate thresholds")
+    val lastDay = events
+      .select(userCol.as("user_id"), dayCol.cast("long").as("day"))
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
+      .groupBy(col("user_id")).agg(max(col("day")).as("last_day"))
+    val md = lastDay.agg(max(col("last_day")).as("__md"))
+    val gaps = lastDay.crossJoin(broadcast(md))
+      .groupBy((col("__md") - col("last_day")).as("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    gaps
+      .select(col("gap"), col("cnt"),
+        explode(array(thresholds.map(t => lit(t.toLong)): _*))
+          .as("threshold_days"))
+      .groupBy(col("threshold_days"))
+      .agg(sum(col("cnt")).as("n_users"),
+        coalesce(sum(when(col("gap") > col("threshold_days"), col("cnt"))),
+          lit(0L)).as("n_churned"))
+      .withColumn("churn_ppm",
+        call_function("div", col("n_churned") * 1000000L, col("n_users")))
+  }
+
   /** Rolling window-active users (the WAU/MAU family) with same-day DAU
     * and the DAU/WAU stickiness ratio, EXACT — no sketch — via the
     * bounded-fanout trick: distinct (user, day) first, then each active

@@ -16,6 +16,63 @@ object AnalyticsQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q330_cohort_ltv", (s, d) =>
+      // LTV curves by first-activity cohort: cumulative milli-value per
+      // user at each day offset k <= 14 — the payback readout priced
+      // against acquisition; retention's revenue-weighted sibling
+      graft.operators.EventAnalytics.cohortLtv(events(s, d),
+        col("user_id"), col("ts"),
+        floor(col("value") * 1000 + 0.5), horizonDays = 14),
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM b GROUP BY 1),
+          |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+          |       FROM f GROUP BY 1),
+          |r AS (SELECT f.cohort_day,
+          |             CAST(b.day - f.cohort_day AS BIGINT) AS k,
+          |             CAST(sum(coalesce(b.v, 0)) AS BIGINT) AS rev_units
+          |      FROM b JOIN f USING (user_id)
+          |      WHERE b.day - f.cohort_day <= 14
+          |      GROUP BY 1, 2),
+          |c AS (SELECT cohort_day, k, rev_units,
+          |             CAST(sum(rev_units) OVER (PARTITION BY cohort_day
+          |               ORDER BY k) AS BIGINT) AS cum_units
+          |      FROM r)
+          |SELECT c.cohort_day, c.k, sz.n_users, c.rev_units, c.cum_units,
+          |       (c.cum_units * 1000000) // sz.n_users AS ltv_per_user_micro
+          |FROM c JOIN sz USING (cohort_day)""".stripMargin)),
+
+    QueryDef("q331_churn_sensitivity", (s, d) =>
+      // churn-definition sweep: for inactivity cutoffs 1/3/7/14/21 days,
+      // the exact share of users inactive longer than the cutoff at the
+      // corpus horizon — pick the elbow, not folklore
+      graft.operators.EventAnalytics.churnSensitivity(events(s, d),
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        thresholds = Seq(1, 3, 7, 14, 21)),
+      Some(
+        """WITH ld AS (
+          |  SELECT user_id,
+          |         max(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+          |           AS last_day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1),
+          |md AS (SELECT max(last_day) AS md FROM ld),
+          |g AS (SELECT md.md - ld.last_day AS gap, CAST(count(*) AS BIGINT) AS cnt
+          |      FROM ld, md GROUP BY 1),
+          |t AS (SELECT CAST(unnest([1, 3, 7, 14, 21]) AS BIGINT) AS threshold_days)
+          |SELECT t.threshold_days,
+          |       CAST(sum(g.cnt) AS BIGINT) AS n_users,
+          |       CAST(coalesce(sum(CASE WHEN g.gap > t.threshold_days
+          |                               THEN g.cnt END), 0) AS BIGINT) AS n_churned,
+          |       CAST(coalesce(sum(CASE WHEN g.gap > t.threshold_days
+          |                               THEN g.cnt END), 0) AS BIGINT) * 1000000
+          |         // CAST(sum(g.cnt) AS BIGINT) AS churn_ppm
+          |FROM g, t GROUP BY 1""".stripMargin)),
+
     QueryDef("q328_price_volume_mix", (s, d) =>
       // FP&A revenue bridge 1996 -> 1997 by return flag: volume at old
       // price vs realized-price effect with EXACT per-segment

@@ -501,6 +501,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 1L)
   }
 
+  // ---- cohortLtv ----
+
+  test("cohortLtv: cumulative per-user value by first-activity cohort, horizon clip") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, "2020-01-01", 10L), (1L, "2020-01-03", 20L),
+      (2L, "2020-01-01", 5L),
+      (3L, "2020-01-03", 7L),
+      (1L, "2020-02-01", 99L) // k=31 > horizon 14 -> clipped
+    ).toDF("u", "d", "v").withColumn("ts", to_timestamp(col("d")))
+    val out = EventAnalytics.cohortLtv(ev, col("u"), col("ts"), col("v"),
+      horizonDays = 14)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cohort 01-01 (2 users): k=0 rev 15 -> 7.5/user; k=2 cum 35 -> 17.5
+    assert(out(("2020-01-01", 0L)) === ((2L, 15L, 15L, 7500000L)))
+    assert(out(("2020-01-01", 2L)) === ((2L, 20L, 35L, 17500000L)))
+    // cohort 01-03 (1 user): k=0 rev 7
+    assert(out(("2020-01-03", 0L)) === ((1L, 7L, 7L, 7000000L)))
+    assert(out.size === 3)
+  }
+
+  // ---- churnSensitivity ----
+
+  test("churnSensitivity: exact rate per inactivity cutoff from the gap rollup") {
+    import graft.operators.EventAnalytics
+    // last-day gaps vs horizon: u1 0, u2 2, u3 5
+    val ev = Seq((1L, 10L), (1L, 5L), (2L, 8L), (3L, 5L)).toDF("u", "day")
+    val out = EventAnalytics.churnSensitivity(ev, col("u"), col("day"),
+      thresholds = Seq(1, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 2L, 666666L)))
+    assert(out(4L) === ((3L, 1L, 333333L)))
+  }
+
   // ---- latenessAudit ----
 
   test("latenessAudit: running-max lateness, threshold count, exact p99") {
