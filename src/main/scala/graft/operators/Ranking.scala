@@ -107,4 +107,74 @@ object Ranking {
         row_number().over(within).cast("long") + col("__offset") - 1L)
       .drop("__pid", "__offset")
   }
+
+  /** Bradley-Terry strengths from pairwise outcomes (Bradley & Terry
+    * 1952, via Zermelo's MM iteration; Hunter 2004, "MM algorithms for
+    * generalized Bradley-Terry models") — the arena-style ranking of a
+    * BOUNDED item set (models in an eval arena, teams, suppliers) from
+    * win/loss records. P(i beats j) = s_i / (s_i + s_j); the MM update
+    *   `s_i' = W_i / sum_j n_ij / (s_i + s_j)`
+    * runs here as a TRUNCATED integer fixed point: strengths in micro
+    * units, each pair term `n_ij * 1e12 div (s_i + s_j)`, the update one
+    * more truncating division, then max-renormalization to 1e6 per round
+    * (BT is gauge-free; max-norm keeps the integers bounded and the
+    * iteration bit-replayable — the [[graft.pipeline.Clustering]] PCA
+    * convention). Fixed `iters` rounds, deterministic; convergence needs
+    * the comparison graph connected (Zermelo's condition) — a never-
+    * winning item goes to strength 0, an unbeaten one to 1e6, both
+    * stable. Items are collected ONLY as the aggregated win matrix
+    * (item x item counts, bounded by `maxItems` — the Markov-matrix
+    * driver-iteration contract); raw comparisons never leave the
+    * cluster.
+    *
+    * Input: one row per game with winner/loser item ids. Output: item,
+    * wins, games, strength_ppm, rank (total order: strength desc, item
+    * asc).
+    */
+  def bradleyTerry(games: DataFrame, winnerCol: Column, loserCol: Column,
+      iters: Int = 10, maxItems: Int = 1000): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters: $iters")
+    require(maxItems >= 2, s"maxItems: $maxItems")
+    val pairs = games
+      .select(winnerCol.cast("long").as("w"), loserCol.cast("long").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+      .groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val items = pairs.keySet.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    require(items.size <= maxItems,
+      s"bradleyTerry: ${items.size} items exceeds maxItems=$maxItems — " +
+        "the win matrix is driver-bounded by contract; bucket items first")
+    val idx = items.zipWithIndex.toMap
+    val m = items.size
+    val wins = Array.ofDim[Long](m, m) // wins(i)(j) = #(i beats j)
+    pairs.foreach { case ((w, l), n) => wins(idx(w))(idx(l)) += n }
+    val scale = 1000000L
+    var s = Array.fill(m)(BigInt(scale))
+    for (_ <- 0 until iters) {
+      val next = Array.tabulate(m) { i =>
+        val wTot = BigInt((0 until m).map(j => wins(i)(j)).sum)
+        val d = (0 until m).map { j =>
+          val nij = wins(i)(j) + wins(j)(i)
+          val sum = s(i) + s(j)
+          if (j == i || nij == 0L || sum == 0) BigInt(0)
+          else BigInt(nij) * BigInt(1000000000000L) / sum
+        }.sum
+        if (d == 0) BigInt(0) else wTot * BigInt(1000000000000L) / d
+      }
+      val mx = next.max
+      s =
+        if (mx == 0) next
+        else next.map(v => v * scale / mx)
+    }
+    val spark = games.sparkSession
+    import spark.implicits._
+    val rows = items.zipWithIndex.map { case (item, i) =>
+      val w = (0 until m).map(j => wins(i)(j)).sum
+      val g = (0 until m).map(j => wins(i)(j) + wins(j)(i)).sum
+      (item, w, g, s(i).toLong)
+    }
+    val ranked = rows.sortBy { case (item, _, _, st) => (-st, item) }
+      .zipWithIndex.map { case ((item, w, g, st), r) => (item, w, g, st, r + 1) }
+    ranked.toDF("item", "wins", "games", "strength_ppm", "rank")
+  }
 }

@@ -865,6 +865,90 @@ object Inference {
     * KM explodes where NA degrades gracefully), and its increments feed
     * hazard-ratio eyeballing directly.
     */
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language Models
+    * Trained on Code", arXiv:2107.03374, eq. 1): with n sampled attempts
+    * per problem of which c passed, the probability that at least one of
+    * k drawn attempts passes is `1 - C(n-c,k)/C(n,k)` — the numerically
+    * stable product form `Pi_{i<k} (n-c-i)/(n-i)` computed here as ONE
+    * exact integer fraction (numerator/denominator DECIMAL products,
+    * single non-negative truncating ppm division), not the floating-point
+    * running product of the reference implementation. Problems with fewer
+    * than k attempts cannot estimate pass@k and are excluded (the
+    * standard n >= k requirement); c >= n-k+1 makes the numerator hit a
+    * zero factor and pass@k exactly 1e6.
+    *
+    * Shape: one problem-keyed partial agg; the k-factor products are
+    * literal expressions (k is tiny by definition). Nothing beyond the
+    * rollup.
+    */
+  def passAtK(df: DataFrame, problemCol: Column, passed: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k: $k")
+    val agg = df.groupBy(problemCol.as("problem")).agg(
+      count(lit(1)).as("n"),
+      sum(when(passed, 1L).otherwise(0L)).as("c"))
+    val num = (0 until k)
+      .map(i => dec(greatest(col("n") - col("c") - i, lit(0L))))
+      .reduce(_ * _)
+    val den = (0 until k).map(i => dec(col("n") - lit(i.toLong))).reduce(_ * _)
+    agg.filter(col("n") >= k)
+      .withColumn("pass_at_k_ppm",
+        lit(1000000L) -
+          call_function("div", num * 1000000L, den).cast("long"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a
+    * FIXED number of raters per item over categorical labels — the
+    * labeling-QA gate for annotation pipelines (is this label set
+    * trainable, or are the raters guessing?). Exact integer operands:
+    *   `po_ppm = (sum_ic n_ic^2 - N*n) * 1e6 div (N*n*(n-1))`
+    *   `pe_ppm = sum_c (sum_i n_ic)^2 * 1e6 div (N*n)^2`
+    * (each ONE non-negative truncating division over DECIMAL products),
+    * and `kappa = (po - pe) / (1e6 - pe)` as a single IEEE division of
+    * exact micro integers — the [[cohenKappa]] convention, since kappa
+    * goes negative on worse-than-chance raters. Items whose rating count
+    * differs from `nRaters` are EXCLUDED (Fleiss requires a balanced
+    * panel; the excluded count is the caller's completeness audit via
+    * n_items). Perfect-agreement-by-vocabulary-collapse (pe = 1e6) has
+    * an undefined kappa -> NULL.
+    *
+    * Shape: one (item, label) rollup, one item-keyed and one label-keyed
+    * agg above it, a 1-row combine. Nothing grows past distinct labels.
+    */
+  def fleissKappa(df: DataFrame, itemCol: Column, labelCol: Column,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters: $nRaters")
+    val cells = df.filter(labelCol.isNotNull)
+      .groupBy(itemCol.as("item"), labelCol.as("label"))
+      .agg(count(lit(1)).as("n_il"))
+    val complete = cells.groupBy(col("item"))
+      .agg(sum(col("n_il")).as("__tot"))
+      .filter(col("__tot") === nRaters.toLong)
+      .select(col("item"))
+    val kept = cells.join(complete, "item")
+      .localCheckpoint(false) // feeds the item-wise and label-wise rollups
+    val po = kept.agg(
+      countDistinct(col("item")).as("n_items"),
+      sum(dec(col("n_il")) * col("n_il")).as("__sq"))
+    val pe = kept.groupBy(col("label"))
+      .agg(sum(col("n_il")).as("__nc"))
+      .agg(sum(dec(col("__nc")) * col("__nc")).as("__esq"))
+    po.crossJoin(pe)
+      .select(col("n_items"), lit(nRaters).cast("long").as("n_raters"),
+        call_function("div",
+          (col("__sq") - dec(col("n_items")) * nRaters.toLong) * 1000000L,
+          dec(col("n_items")) * nRaters.toLong * (nRaters - 1).toLong)
+          .cast("long").as("po_ppm"),
+        call_function("div", col("__esq") * 1000000L,
+          dec(col("n_items")) * nRaters.toLong *
+            dec(col("n_items")) * nRaters.toLong)
+          .cast("long").as("pe_ppm"))
+      .withColumn("kappa",
+        when(col("pe_ppm") < 1000000L,
+          (col("po_ppm") - col("pe_ppm")).cast("double") /
+            (lit(1000000L) - col("pe_ppm")).cast("double")))
+  }
+
   /** Stratified average treatment effect over a NON-NEGATIVE fixed-point
     * outcome (cents): within each stratum the treated-vs-control mean
     * difference, then the population-weighted combination — the classic

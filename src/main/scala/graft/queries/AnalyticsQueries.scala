@@ -14,7 +14,83 @@ import graft.sources.Sources.{events, table}
   */
 object AnalyticsQueries extends QuerySet {
 
+  /** DuckDB replay of [[graft.operators.Ranking.bradleyTerry]] (10 MM
+    * iterations, truncated integer fixed point, max-renormalization per
+    * round) over supplier-team games derived from per-order revenue
+    * contests — unrolled materialized CTE pairs, the q318 PCA technique.
+    */
+  private val btOracleSql: String = {
+    val iters = 10
+    val itCtes = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT nm.i, sum((nm.n * 1000000000000) // (si.s + sj.s)) AS d
+         |  FROM nm JOIN s${k - 1} si ON si.i = nm.i
+         |       JOIN s${k - 1} sj ON sj.i = nm.j
+         |  WHERE si.s + sj.s > 0 GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT it.i,
+         |         CASE WHEN coalesce(d.d, 0) = 0 THEN CAST(0 AS HUGEINT)
+         |              ELSE (wt.w * 1000000000000) // d.d END AS v
+         |  FROM it JOIN wt ON wt.i = it.i LEFT JOIN d$k d ON d.i = it.i),
+         |s$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mx = 0 THEN v ELSE (v * 1000000) // mx END AS s
+         |  FROM r$k, (SELECT max(v) AS mx FROM r$k) m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ot AS MATERIALIZED (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS ord,
+       |         CAST(l_suppkey % 20 AS BIGINT) AS team,
+       |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |gm AS MATERIALIZED (
+       |  SELECT CASE WHEN a.rev > b.rev THEN a.team ELSE b.team END AS w,
+       |         CASE WHEN a.rev > b.rev THEN b.team ELSE a.team END AS l
+       |  FROM ot a JOIN ot b ON a.ord = b.ord AND a.team < b.team
+       |  WHERE a.rev <> b.rev),
+       |wl AS MATERIALIZED (
+       |  SELECT w, l, CAST(count(*) AS HUGEINT) AS n FROM gm GROUP BY 1, 2),
+       |it AS MATERIALIZED (
+       |  SELECT DISTINCT i FROM (SELECT w AS i FROM wl UNION ALL
+       |                          SELECT l FROM wl) t),
+       |nm AS MATERIALIZED (
+       |  SELECT i, j, sum(n) AS n FROM (
+       |    SELECT w AS i, l AS j, n FROM wl
+       |    UNION ALL SELECT l, w, n FROM wl) t GROUP BY 1, 2),
+       |wt AS MATERIALIZED (
+       |  SELECT it.i, CAST(coalesce(sum(wl.n), 0) AS HUGEINT) AS w
+       |  FROM it LEFT JOIN wl ON wl.w = it.i GROUP BY 1),
+       |gt AS (SELECT it.i, CAST(coalesce(sum(nm.n), 0) AS BIGINT) AS g
+       |       FROM it LEFT JOIN nm ON nm.i = it.i GROUP BY 1),
+       |s0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS s FROM it),
+       |$itCtes
+       |SELECT s$iters.i AS item, CAST(wt.w AS BIGINT) AS wins, gt.g AS games,
+       |       CAST(s$iters.s AS BIGINT) AS strength_ppm,
+       |       CAST(row_number() OVER (ORDER BY s$iters.s DESC, s$iters.i ASC)
+       |         AS INTEGER) AS rank
+       |FROM s$iters JOIN wt ON wt.i = s$iters.i JOIN gt ON gt.i = s$iters.i"""
+      .stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q333_bradley_terry", (s, d) => {
+      // arena ranking of supplier teams: within each order, the higher-
+      // revenue team beats the lower (ties void); Bradley-Terry strengths
+      // by 10 truncated-integer MM rounds, driver-bounded win matrix
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val ot = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey").cast("long").as("ord"),
+          (col("l_suppkey") % 20).cast("long").as("team"))
+        .agg(sum(cents).as("rev"))
+      val a = ot.select(col("ord"), col("team").as("ta"), col("rev").as("ra"))
+      val b = ot.select(col("ord"), col("team").as("tb"), col("rev").as("rb"))
+      val games = a.join(b, Seq("ord"))
+        .filter(col("ta") < col("tb") && col("ra") =!= col("rb"))
+        .select(
+          when(col("ra") > col("rb"), col("ta")).otherwise(col("tb")).as("w"),
+          when(col("ra") > col("rb"), col("tb")).otherwise(col("ta")).as("l"))
+      graft.operators.Ranking.bradleyTerry(games, col("w"), col("l"),
+        iters = 10, maxItems = 20)
+    }, Some(btOracleSql)),
 
     QueryDef("q330_cohort_ltv", (s, d) =>
       // LTV curves by first-activity cohort: cumulative milli-value per

@@ -294,6 +294,78 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q332_pass_at_k", (s, d) =>
+      // unbiased pass@5 per user over their event "attempts" (success =
+      // a purchase): 1 - C(n-c,5)/C(n,5) as ONE exact integer fraction —
+      // the HumanEval estimator without its floating-point running
+      // product. Users with under 5 attempts are excluded (n >= k)
+      Inference.passAtK(
+        events(s, d).filter(col("user_id") < 300),
+        col("user_id"), col("event_type") === "purchase", k = 5),
+      Some(
+        """WITH a AS (
+          |  SELECT CAST(user_id AS BIGINT) AS problem,
+          |         CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+          |                       ELSE 0 END) AS BIGINT) AS c
+          |  FROM events WHERE user_id < 300 GROUP BY 1)
+          |SELECT problem, n, c,
+          |       CAST(1000000 -
+          |         (CAST(greatest(n - c - 0, 0) AS HUGEINT)
+          |          * greatest(n - c - 1, 0) * greatest(n - c - 2, 0)
+          |          * greatest(n - c - 3, 0) * greatest(n - c - 4, 0)
+          |          * 1000000)
+          |         // (CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
+          |            * (n - 4)) AS BIGINT) AS pass_at_k_ppm
+          |FROM a WHERE n >= 5""".stripMargin)),
+
+    QueryDef("q334_fleiss_kappa", (s, d) =>
+      // Fleiss' kappa over a 5-rater panel (docs grouped in fives rate
+      // the "item" with their language label): the annotation-QA gate —
+      // exact po/pe ppm, one IEEE division for the signed kappa
+      Inference.fleissKappa(
+        table(s, d, "documents")
+          .select((col("doc_id") / 5).cast("long").as("item_id"),
+            col("lang")),
+        col("item_id"), col("lang"), nRaters = 5),
+      Some(
+        """WITH cells AS (
+          |  SELECT CAST(doc_id // 5 AS BIGINT) AS item, lang AS label,
+          |         CAST(count(*) AS BIGINT) AS n_il
+          |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+          |complete AS (SELECT item FROM cells GROUP BY item
+          |             HAVING sum(n_il) = 5),
+          |k AS (SELECT cells.* FROM cells JOIN complete USING (item)),
+          |po AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+          |              sum(CAST(n_il AS HUGEINT) * n_il) AS sq
+          |       FROM k),
+          |pe AS (SELECT sum(CAST(nc AS HUGEINT) * nc) AS esq FROM (
+          |         SELECT label, sum(n_il) AS nc FROM k GROUP BY 1) t)
+          |SELECT po.n_items, CAST(5 AS BIGINT) AS n_raters,
+          |       CAST(((po.sq - CAST(po.n_items AS HUGEINT) * 5) * 1000000)
+          |            // (CAST(po.n_items AS HUGEINT) * 5 * 4) AS BIGINT)
+          |         AS po_ppm,
+          |       CAST((pe.esq * 1000000)
+          |            // (CAST(po.n_items AS HUGEINT) * 5
+          |               * CAST(po.n_items AS HUGEINT) * 5) AS BIGINT)
+          |         AS pe_ppm,
+          |       CASE WHEN CAST((pe.esq * 1000000)
+          |                 // (CAST(po.n_items AS HUGEINT) * 5
+          |                    * CAST(po.n_items AS HUGEINT) * 5) AS BIGINT)
+          |                 < 1000000
+          |            THEN CAST(CAST(((po.sq - CAST(po.n_items AS HUGEINT) * 5) * 1000000)
+          |                   // (CAST(po.n_items AS HUGEINT) * 5 * 4) AS BIGINT)
+          |                 - CAST((pe.esq * 1000000)
+          |                   // (CAST(po.n_items AS HUGEINT) * 5
+          |                      * CAST(po.n_items AS HUGEINT) * 5) AS BIGINT)
+          |                 AS DOUBLE)
+          |                 / CAST(1000000 - CAST((pe.esq * 1000000)
+          |                   // (CAST(po.n_items AS HUGEINT) * 5
+          |                      * CAST(po.n_items AS HUGEINT) * 5) AS BIGINT)
+          |                   AS DOUBLE)
+          |       END AS kappa
+          |FROM po, pe""".stripMargin)),
+
     QueryDef("q327_stratified_ate", (s, d) =>
       // stratified ATE of priority handling on order value: within each
       // market segment the urgent-vs-normal mean order value contrast,

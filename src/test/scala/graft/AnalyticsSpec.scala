@@ -501,6 +501,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 1L)
   }
 
+  // ---- bradleyTerry ----
+
+  test("bradleyTerry: two-item fixed point matches the closed-form odds ratio") {
+    import graft.operators.Ranking
+    // 1 beats 2 three times, 2 beats 1 once: BT closed form s1 = 3*s2
+    val games = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L))).toDF("w", "l")
+    val out = Ranking.bradleyTerry(games, col("w"), col("l"), iters = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) === ((3L, 4L, 1000000L, 1)))
+    assert(out(2L) === ((1L, 4L, 333333L, 2)))
+  }
+
+  test("bradleyTerry: never-winning item pins to 0, unbeaten to 1e6; self/NULL games dropped") {
+    import graft.operators.Ranking
+    val games = Seq((5L, 6L), (5L, 6L), (5L, 5L)).toDF("w", "l")
+    val out = Ranking.bradleyTerry(games, col("w"), col("l"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(5L -> 1000000L, 6L -> 0L))
+    intercept[IllegalArgumentException](
+      Ranking.bradleyTerry(games, col("w"), col("l"), maxItems = 1))
+  }
+
   // ---- cohortLtv ----
 
   test("cohortLtv: cumulative per-user value by first-activity cohort, horizon clip") {

@@ -267,6 +267,42 @@ class InferenceSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 500000L)))
   }
 
+  // ---- passAtK ----
+
+  test("passAtK: exact fraction vs hand binomials; n<k excluded; saturation at 1e6") {
+    val df = Seq.fill(5)(("sat", true)).map { case (p, _) => (p, false) }
+      .updated(0, ("sat", true)) ++ // n=5, c=1, k=5 -> numerator zero factor
+      (1 to 6).map(i => ("frac", i == 1)) ++ // n=6, c=1
+      (1 to 4).map(i => ("small", true)) // n=4 < k -> excluded
+    val out = Inference.passAtK(df.toDF("p", "ok"), col("p"), col("ok"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(!out.contains("small"))
+    assert(out("sat") === 1000000L) // n-c=4 < k: some factor is 0
+    // frac: C(5,5)/C(6,5) = 1/6 fail -> 1e6 - 166666 = 833334
+    assert(out("frac") === 833334L)
+    val k2 = Inference.passAtK(df.toDF("p", "ok"), col("p"), col("ok"), k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // n=6,c=1: C(5,2)/C(6,2) = 10/15 -> 666666 fail -> 333334
+    assert(k2("frac") === 333334L)
+  }
+
+  // ---- fleissKappa ----
+
+  test("fleissKappa: exact po/pe and signed IEEE kappa; unbalanced items excluded") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"), // perfect agreement
+      (2L, "a"), (2L, "b"), // split
+      (3L, "a") // only one rating -> excluded from the panel
+    ).toDF("item", "label")
+    val r = Inference.fleissKappa(df, col("item"), col("label"), nRaters = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") === 2L)
+    // po = (4+1+1 - 4)*1e6 div 4 = 500000; pe = (3^2+1^2)*1e6 div 16
+    assert(r.getAs[Long]("po_ppm") === 500000L)
+    assert(r.getAs[Long]("pe_ppm") === 625000L)
+    assert(r.getAs[Double]("kappa") === -125000.0 / 375000.0)
+  }
+
   // ---- stratifiedAte ----
 
   test("stratifiedAte: signed population weighting, off-support strata excluded") {
