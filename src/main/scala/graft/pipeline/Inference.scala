@@ -897,6 +897,42 @@ object Inference {
           call_function("div", num * 1000000L, den).cast("long"))
   }
 
+  /** Unbiased majority@k for binary-graded attempts: the probability that
+    * a k-sample WITHOUT replacement from the n attempts contains a
+    * strict majority of passing ones — the self-consistency estimator
+    * (Wang et al. 2023, arXiv:2203.11171) in the same
+    * exact-hypergeometric spirit as [[passAtK]]:
+    * `P = sum_{i>=floor(k/2)+1} C(c,i)*C(n-c,k-i) / C(n,k)`.
+    * The numerator accumulates EXACT DECIMAL binomials (each
+    * `C(x,i) = Pi_{j<i}(x-j) div i!` — the division is exact because
+    * binomials are integers, so the truncating div is lossless) and the
+    * ppm is ONE final non-negative truncating division. Even k counts a
+    * tie as a miss (strict majority — the deterministic convention).
+    * Problems with n < k are excluded, as in passAtK.
+    */
+  def majorityAtK(df: DataFrame, problemCol: Column, passed: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k: $k")
+    def fact(i: Int): Long = (1 to i).map(_.toLong).product
+    // C(expr, i) as an exact DECIMAL expression; 0 when expr < i
+    def choose(x: Column, i: Int): Column =
+      if (i == 0) dec(lit(1L))
+      else call_function("div",
+        (0 until i).map(j => dec(greatest(x - j, lit(0L)))).reduce(_ * _),
+        dec(lit(fact(i))))
+    val agg = df.groupBy(problemCol.as("problem")).agg(
+      count(lit(1)).as("n"),
+      sum(when(passed, 1L).otherwise(0L)).as("c"))
+    val tMin = k / 2 + 1
+    val num = (tMin to k)
+      .map(i => choose(col("c"), i) * choose(col("n") - col("c"), k - i))
+      .reduce(_ + _)
+    agg.filter(col("n") >= k)
+      .withColumn("majority_at_k_ppm",
+        call_function("div", num * 1000000L, choose(col("n"), k))
+          .cast("long"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a
     * FIXED number of raters per item over categorical labels — the
     * labeling-QA gate for annotation pipelines (is this label set

@@ -1107,4 +1107,38 @@ object TextAnalysis {
           " div (4L * __cw1 * __nb)"))
       .select(col("w1"), col("w2"), col("c"), col("p_ppm"))
   }
+
+  /** ROUGE-N recall (Lin 2004, "ROUGE: A Package for Automatic Evaluation
+    * of Summaries") between a candidate and a reference text ON THE SAME
+    * ROW: the share of the reference's n-grams the candidate covers, with
+    * CLIPPED counts (`sum over distinct grams of min(cand_cnt, ref_cnt)`
+    * — a candidate repeating one gram cannot farm recall). Exact:
+    * integer gram counts, one non-negative truncating ppm division per
+    * document. References shorter than n tokens have no grams and emit
+    * no row (undefined recall, not zero).
+    *
+    * Shape: two explode -> (id, gram) partial-agg rollups, one equi-join
+    * on (id, gram) — the reference side left-joins so unmatched grams
+    * still count the denominator — then an id-keyed rollup. Everything
+    * is keyed by (doc, gram); nothing pairwise across documents.
+    */
+  def rougeNRecall(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      candCol: Column, refCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && n <= 8, s"n: $n")
+    def grams(c: Column) = ngramsFromTokens(tokens(c), n)
+    val base = df.filter(refCol.isNotNull)
+      .select(idCol.cast("long").as("doc_id"), grams(candCol).as("__cg"),
+        grams(refCol).as("__rg"))
+    val cg = base.select(col("doc_id"), explode(col("__cg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt_c"))
+    val rg = base.select(col("doc_id"), explode(col("__rg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt_r"))
+    rg.join(cg, Seq("doc_id", "g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt_r")).as("ref_ngrams"),
+        sum(least(coalesce(col("cnt_c"), lit(0L)), col("cnt_r")))
+          .as("matched"))
+      .withColumn("rouge_recall_ppm",
+        call_function("div", col("matched") * 1000000L, col("ref_ngrams")))
+  }
 }

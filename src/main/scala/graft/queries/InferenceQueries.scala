@@ -294,6 +294,33 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q335_majority_at_k", (s, d) =>
+      // self-consistency readout: probability a 5-draw (no replacement)
+      // carries a strict purchase majority — exact hypergeometric tail,
+      // numerator summed in DECIMAL binomials, ONE ppm truncation
+      Inference.majorityAtK(
+        events(s, d).filter(col("user_id") < 300),
+        col("user_id"), col("event_type") === "purchase", k = 5),
+      Some {
+        def ch(x: String, i: Int): String =
+          if (i == 0) "CAST(1 AS HUGEINT)"
+          else "((" + (0 until i).map(j =>
+            s"CAST(greatest($x - $j, 0) AS HUGEINT)").mkString(" * ") +
+            s") // ${(1 to i).map(_.toLong).product})"
+        s"""WITH a AS (
+           |  SELECT CAST(user_id AS BIGINT) AS problem,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+           |                       ELSE 0 END) AS BIGINT) AS c
+           |  FROM events WHERE user_id < 300 GROUP BY 1)
+           |SELECT problem, n, c,
+           |       CAST(((${ch("c", 3)} * ${ch("n - c", 2)}
+           |              + ${ch("c", 4)} * ${ch("n - c", 1)}
+           |              + ${ch("c", 5)} * ${ch("n - c", 0)}) * 1000000)
+           |            // ${ch("n", 5)} AS BIGINT) AS majority_at_k_ppm
+           |FROM a WHERE n >= 5""".stripMargin
+      }),
+
     QueryDef("q332_pass_at_k", (s, d) =>
       // unbiased pass@5 per user over their event "attempts" (success =
       // a purchase): 1 - C(n-c,5)/C(n,5) as ONE exact integer fraction —

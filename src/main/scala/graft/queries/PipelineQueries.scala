@@ -161,6 +161,43 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q336_rouge_bigram", (s, d) =>
+      // ROUGE-2 recall of each document by its own 30-token prefix:
+      // clipped bigram counts, exact ppm — the summarization-eval metric
+      // (here measuring how much of a doc its lead covers)
+      TA.rougeNRecall(table(s, d, "documents"),
+        col("doc_id"),
+        concat_ws(" ", slice(TA.tokens(col("text")), 1, 30)),
+        col("text"), n = 2),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |         string_split(text, ' ') AS rt,
+          |         list_slice(string_split(text, ' '), 1, 30) AS ct
+          |  FROM documents WHERE text IS NOT NULL),
+          |g AS (SELECT doc_id,
+          |  CASE WHEN len(rt) >= 2
+          |       THEN list_transform(generate_series(1, len(rt) - 1),
+          |              i -> rt[i] || ' ' || rt[i + 1])
+          |       ELSE CAST([] AS VARCHAR[]) END AS rg,
+          |  CASE WHEN len(ct) >= 2
+          |       THEN list_transform(generate_series(1, len(ct) - 1),
+          |              i -> ct[i] || ' ' || ct[i + 1])
+          |       ELSE CAST([] AS VARCHAR[]) END AS cg
+          |  FROM b),
+          |rgc AS (SELECT doc_id, g2 AS gram, CAST(count(*) AS BIGINT) AS cnt_r
+          |        FROM (SELECT doc_id, unnest(rg) AS g2 FROM g) t GROUP BY 1, 2),
+          |cgc AS (SELECT doc_id, g2 AS gram, CAST(count(*) AS BIGINT) AS cnt_c
+          |        FROM (SELECT doc_id, unnest(cg) AS g2 FROM g) t GROUP BY 1, 2)
+          |SELECT r.doc_id, CAST(sum(r.cnt_r) AS BIGINT) AS ref_ngrams,
+          |       CAST(sum(least(coalesce(c.cnt_c, 0), r.cnt_r)) AS BIGINT)
+          |         AS matched,
+          |       (CAST(sum(least(coalesce(c.cnt_c, 0), r.cnt_r)) AS BIGINT)
+          |        * 1000000) // CAST(sum(r.cnt_r) AS BIGINT)
+          |         AS rouge_recall_ppm
+          |FROM rgc r LEFT JOIN cgc c ON c.doc_id = r.doc_id AND c.gram = r.gram
+          |GROUP BY 1""".stripMargin)),
+
     QueryDef("q317_golden_record", (s, d) =>
       // golden-record survivorship: collapse each user's event records
       // into one master row — majority-vote event_type, most-recent props

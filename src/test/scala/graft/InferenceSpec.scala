@@ -286,6 +286,25 @@ class InferenceSpec extends AnyFunSuite {
     assert(k2("frac") === 333334L)
   }
 
+  // ---- majorityAtK ----
+
+  test("majorityAtK: exact hypergeometric tail vs hand binomials") {
+    val mk = (p: String, n: Int, c: Int) =>
+      (1 to n).map(i => (p, i <= c))
+    val df = (mk("all", 5, 3) ++ mk("dropone", 6, 3) ++ mk("tiny", 3, 3))
+      .toDF("p", "ok")
+    val out = Inference.majorityAtK(df, col("p"), col("ok"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(!out.contains("tiny")) // n < k excluded
+    assert(out("all") === 1000000L) // drawing all 5: 3-of-5 majority certain
+    // n=6,c=3: majority iff the one left out fails -> 3 of C(6,5)=6
+    assert(out("dropone") === 500000L)
+    // even k: strict majority — a 1-1 tie is a miss
+    val k2 = Inference.majorityAtK(mk("x", 4, 2).toDF("p", "ok"),
+      col("p"), col("ok"), k = 2).collect()(0)
+    assert(k2.getLong(3) === 166666L) // C(2,2)/C(4,2) = 1/6
+  }
+
   // ---- fleissKappa ----
 
   test("fleissKappa: exact po/pe and signed IEEE kappa; unbalanced items excluded") {

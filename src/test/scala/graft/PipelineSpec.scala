@@ -1281,6 +1281,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  // ---- rougeNRecall ----
+
+  test("rougeNRecall: clipped bigram recall — repetition cannot farm the score") {
+    val df = Seq(
+      (1L, "a b x", "a b c a b"),       // ref bigrams: ab(2) bc ca -> 1/4
+      (2L, "a b a b a b", "a b c"),     // clip: min(3,1) -> 1/2
+      (3L, "anything", "single")        // ref shorter than n: no row
+    ).toDF("id", "cand", "ref")
+    val out = TextAnalysis.rougeNRecall(df, col("id"), col("cand"),
+      col("ref"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 250000L)))
+    assert(out(2L) === ((2L, 1L, 500000L)))
+    assert(!out.contains(3L))
+  }
+
   // ---- scalarQuantize8 ----
 
   test("scalarQuantize8: endpoints code 0/255 losslessly; constant dims code 0") {
