@@ -704,4 +704,78 @@ object EventAnalytics {
       .select(col("part"), col("value").as("p99_late_sec"))
     agg.join(p99, "part")
   }
+
+  /** Exact Shapley-value attribution (Zhao, Mahboobi & Manji 2018,
+    * arXiv:1804.05327), completing the attribution family's sixth model:
+    * each channel earns the Shapley value of the coalition game whose
+    * characteristic function is the OBSERVED conversion rate `v(S)` of
+    * users whose channel-exposure set is exactly `S`; unseen coalitions
+    * contribute `v = 0` (the paper's simplified/observed-coalition
+    * convention — with a cumulative-count `v` the Shapley value provably
+    * collapses to the linear model, so the rate form is the variant that
+    * adds information beyond [[attribution]]'s linear_milli).
+    *
+    * `phi_i = (sum_{seen T : i in T}  W(|T|-1) v(T)
+    *         - sum_{seen S : i notin S} W(|S|)  v(S)) div M!`,
+    * `W(s) = s! (M-1-s)!` — the standard permutation weights. `v` is ppm
+    * (one non-negative truncating div per coalition); the weighted sums
+    * stay in LONG (bounded by `(M-1)! * 1e6 * #seen`, `M <= 12`
+    * enforced); the ONE final division is sign-magnitude so Spark's
+    * truncate-toward-zero agrees with the oracle's floor on either sign
+    * (phi can legitimately be negative — a channel can depress observed
+    * rates). Efficiency `sum_i phi_i = v(allChannels) - v(empty)` holds
+    * exactly before the final truncation (spec-pinned). Users with no
+    * event in `channels :+ conversionType` are out of the population;
+    * conversion-only users form the empty coalition (the baseline rate).
+    *
+    * Shape: one user-keyed rollup (exposure set + converted flag), one
+    * set-keyed rollup (<= 2^M rows), a cross join against the M-row
+    * channel dim (broadcast by size), one M-row rollup. Only the first
+    * rollup grows with the event count — the 100 TB cost is a single
+    * partial-agg shuffle on the user key.
+    */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+      conversionType: String, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12 &&
+      channels.distinct == channels, s"channels: $channels")
+    require(!channels.contains(conversionType),
+      s"'$conversionType' cannot be both conversion and channel")
+    val m = channels.size
+    def fact(i: Int): Long = (1 to i).map(_.toLong).product
+    // element_at is safe here: the in-branch only sees 1 <= |T| <= M and
+    // the out-branch only |S| <= M-1 (a set missing the probe channel
+    // cannot be the full set), so both lookups are always in bounds.
+    val wIn = array((1 to m).map(s => lit(fact(s - 1) * fact(m - s))): _*)
+    val wOut = array((0 until m).map(s => lit(fact(s) * fact(m - 1 - s))): _*)
+    val perUser = events
+      .filter(col(userCol).isNotNull &&
+        col(typeCol).isin((channels :+ conversionType): _*))
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        array_sort(array_distinct(collect_list(
+          when(col(typeCol) =!= conversionType, col(typeCol))))).as("chset"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("__conv"))
+    val v = perUser.groupBy(col("chset"))
+      .agg(count(lit(1)).as("users"), sum(col("__conv")).as("convs"))
+      .withColumn("v_ppm",
+        call_function("div", col("convs") * 1000000L, col("users")))
+    val chDim = events.sparkSession.createDataFrame(
+      java.util.Arrays.asList(channels.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val sz = size(col("chset"))
+    val contrib = when(array_contains(col("chset"), col("channel")),
+        element_at(wIn, sz) * col("v_ppm"))
+      .otherwise(-element_at(wOut, sz + 1) * col("v_ppm"))
+    v.crossJoin(broadcast(chDim))
+      .groupBy(col("channel"))
+      .agg(sum(contrib).as("__s"))
+      .select(col("channel"),
+        when(col("__s") >= 0L, call_function("div", col("__s"), lit(fact(m))))
+          .otherwise(-call_function("div", -col("__s"), lit(fact(m))))
+          .as("shapley_ppm"))
+  }
 }

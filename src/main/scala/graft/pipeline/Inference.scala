@@ -1050,4 +1050,36 @@ object Inference {
       .select(col("dur").as("duration"), col("at_risk"), col("deaths"),
         col("haz_step_ppm"), col("cum_hazard_ppm"))
   }
+
+  /** Wilson score interval (Wilson 1927) at 95% for per-group binomial
+    * rates — the small-n-safe confidence band a conversion dashboard
+    * should show instead of the Wald +-1.96*se (which collapses to a
+    * zero-width lie at p in {0,1}). `n` and `c` aggregate exactly; the
+    * bounds are IEEE doubles computed as ONE fixed-shape expression over
+    * (c, n) — only correctly-rounded ops (+ - * / sqrt) in an order the
+    * oracle mirrors token-for-token, the MWU-z parity discipline. The
+    * z = 1.96 and z^2 = 3.8416 constants appear as decimal literals in
+    * BOTH engines (each parses to the same nearest double); z^2 is NOT
+    * derived as 1.96*1.96 at runtime so there is exactly one rounding.
+    *
+    * Shape: one partial-agg rollup on the group key; the double math is
+    * per-group scalar post-processing. Nothing scales past the rollup.
+    */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[String],
+      successCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "wilsonInterval needs group columns")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(successCol, 1L).otherwise(0L)).as("c"))
+    val nn = col("n").cast("double")
+    val cc = col("c").cast("double")
+    val phat = cc / nn
+    val denom = lit(1.0) + lit(3.8416) / nn
+    val center = (phat + lit(3.8416) / (lit(2.0) * nn)) / denom
+    val half = (lit(1.96) *
+      sqrt((phat * (lit(1.0) - phat) + lit(3.8416) / (lit(4.0) * nn)) / nn)) /
+      denom
+    agg.withColumn("wilson_low", center - half)
+      .withColumn("wilson_high", center + half)
+  }
 }

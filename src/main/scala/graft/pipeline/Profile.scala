@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling (builder brief): the "what is in this 100 TB
@@ -91,5 +91,43 @@ object Profile {
               col("n_rows"))).as("holds_ppm"))
     }
     blocks.reduce(_ unionByName _)
+  }
+
+  /** Flip-flop audit: keys whose tracked attribute REVERTS to its
+    * immediately-previous value within `maxGapDays` — the A -> B -> A
+    * ping-pong that in a warehouse almost always means two writers racing
+    * (dual pipelines, a backfill fighting live updates) rather than a
+    * real-world state change, and that SCD2 snapshots faithfully record
+    * as churn. [[graft.engine.Snapshot]] tells you WHAT changed;
+    * this tells you which keys change SUSPICIOUSLY.
+    *
+    * A flip-flop at row t (per key, ordered by `(orderCol, tieCol)`) is
+    * `value_t = value_{t-2} != value_{t-1}` with
+    * `orderCol_t - orderCol_{t-2} <= maxGapDays` (orderCol in days).
+    * Exact integer/date arithmetic; NULL values never match (`<=>` is NOT
+    * used deliberately — a NULL-to-NULL "revert" is a missing-data
+    * artifact, not a write race). Emits one row per offending key with
+    * the flip count and the last revert's order value.
+    *
+    * Shape: one window over (key | orderCol, tieCol) — a single shuffle
+    * on the key, lag(1)/lag(2) ride the same sort — then a key rollup.
+    * Per-key sequences are customer-order-history sized; the window never
+    * sees an unbounded frame.
+    */
+  def flipFlops(df: DataFrame, keyCol: Column, valueCol: Column,
+      orderCol: Column, tieCol: Column, maxGapDays: Int): DataFrame = {
+    require(maxGapDays >= 0, s"maxGapDays: $maxGapDays")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__o").asc, col("__t").asc)
+    df.select(keyCol.as("__k"), valueCol.as("__v"),
+        orderCol.as("__o"), tieCol.as("__t"))
+      .withColumn("__p1", lag(col("__v"), 1).over(w))
+      .withColumn("__p2", lag(col("__v"), 2).over(w))
+      .withColumn("__o2", lag(col("__o"), 2).over(w))
+      .filter(col("__v") === col("__p2") && col("__v") =!= col("__p1") &&
+        col("__o") - col("__o2") <= maxGapDays)
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_flips"),
+        max(col("__o")).as("last_flip_day"))
   }
 }

@@ -72,6 +72,78 @@ object AnalyticsQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q337_shapley_attribution", (s, d) =>
+      // the sixth attribution model: exact Shapley over observed exposure
+      // coalitions (v = conversion rate of users with exactly that channel
+      // set, unseen coalitions 0); permutation weights as integer literals
+      // in BOTH engines, one sign-magnitude division by M! at the end
+      graft.operators.EventAnalytics.shapleyAttribution(events(s, d),
+        channels = Seq("click", "error", "signup", "view"),
+        conversionType = "purchase"),
+      Some {
+        def fact(i: Int): Long = (1 to i).map(_.toLong).product
+        val m = 4
+        val inCase = (1 to m)
+          .map(s => s"WHEN $s THEN ${fact(s - 1) * fact(m - s)}").mkString(" ")
+        val outCase = (0 until m)
+          .map(s => s"WHEN $s THEN ${fact(s) * fact(m - 1 - s)}").mkString(" ")
+        s"""WITH u AS (
+           |  SELECT user_id,
+           |         coalesce(list_sort(list_distinct(list(event_type)
+           |           FILTER (WHERE event_type != 'purchase'))), []) AS chset,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |           AS conv
+           |  FROM events
+           |  WHERE user_id IS NOT NULL AND event_type IN
+           |    ('click', 'error', 'signup', 'view', 'purchase')
+           |  GROUP BY 1),
+           |v AS (SELECT chset, CAST(count(*) AS BIGINT) AS users,
+           |             (CAST(sum(conv) AS BIGINT) * 1000000)
+           |               // CAST(count(*) AS BIGINT) AS v_ppm
+           |      FROM u GROUP BY 1),
+           |ch AS (SELECT unnest(['click', 'error', 'signup', 'view'])
+           |         AS channel),
+           |t AS (SELECT c.channel,
+           |             CASE WHEN list_contains(v.chset, c.channel)
+           |                  THEN (CASE len(v.chset) $inCase END) * v.v_ppm
+           |                  ELSE -(CASE len(v.chset) $outCase END) * v.v_ppm
+           |             END AS contrib
+           |      FROM v CROSS JOIN ch c),
+           |s AS (SELECT channel, CAST(sum(contrib) AS BIGINT) AS sc
+           |      FROM t GROUP BY 1)
+           |SELECT channel,
+           |       CAST(CASE WHEN sc >= 0 THEN sc // ${fact(m)}
+           |                 ELSE -((-sc) // ${fact(m)}) END AS BIGINT)
+           |         AS shapley_ppm
+           |FROM s""".stripMargin
+      }),
+
+    QueryDef("q338_flip_flops", (s, d) =>
+      // write-race audit: customers whose order status reverts A -> B -> A
+      // within a year of order dates — exact window lags, no floats
+      graft.pipeline.Profile.flipFlops(table(s, d, "orders"),
+        col("o_custkey"), col("o_orderstatus"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")),
+        col("o_orderkey"), maxGapDays = 365)
+        .withColumnRenamed("key", "o_custkey"),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(o_custkey AS BIGINT) AS k, o_orderstatus AS v,
+          |         CAST(datediff('day', DATE '1970-01-01',
+          |                       CAST(o_orderdate AS DATE)) AS INTEGER) AS o,
+          |         CAST(o_orderkey AS BIGINT) AS t
+          |  FROM orders),
+          |w AS (SELECT k, v, o,
+          |        lag(v, 1) OVER (PARTITION BY k ORDER BY o, t) AS p1,
+          |        lag(v, 2) OVER (PARTITION BY k ORDER BY o, t) AS p2,
+          |        lag(o, 2) OVER (PARTITION BY k ORDER BY o, t) AS o2
+          |      FROM b)
+          |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS n_flips,
+          |       CAST(max(o) AS INTEGER) AS last_flip_day
+          |FROM w WHERE v = p2 AND v != p1 AND o - o2 <= 365
+          |GROUP BY 1""".stripMargin)),
+
     QueryDef("q333_bradley_terry", (s, d) => {
       // arena ranking of supplier teams: within each order, the higher-
       // revenue team beats the lower (ties void); Bradley-Terry strengths

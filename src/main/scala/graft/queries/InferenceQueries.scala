@@ -294,6 +294,38 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q339_wilson_interval", (s, d) =>
+      // small-n-safe 95% bands on per-segment negative-balance rates:
+      // exact (n, c) rollup, bounds as ONE fixed-shape IEEE expression
+      // mirrored token-for-token in the oracle (the MWU-z discipline)
+      graft.pipeline.Inference.wilsonInterval(
+        table(s, d, "customer"), Seq("c_mktsegment"),
+        col("c_acctbal") < 0),
+      Some(
+        """WITH a AS (
+          |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c
+          |  FROM customer GROUP BY 1)
+          |SELECT c_mktsegment, n, c,
+          |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |     + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+          |    / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+          |  - (1.96 * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          |       + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+          |       / CAST(n AS DOUBLE)))
+          |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_low,
+          |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |     + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+          |    / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+          |  + (1.96 * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          |       + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+          |       / CAST(n AS DOUBLE)))
+          |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_high
+          |FROM a""".stripMargin)),
+
     QueryDef("q335_majority_at_k", (s, d) =>
       // self-consistency readout: probability a 5-draw (no replacement)
       // carries a strict purchase majority — exact hypergeometric tail,

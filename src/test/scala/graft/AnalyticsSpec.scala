@@ -579,4 +579,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("a") === ((5L, 1L, 120L, 120L)))
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
+
+  // ---- shapleyAttribution ----
+
+  test("shapleyAttribution: textbook 2-player values, efficiency, negatives") {
+    import graft.operators.EventAnalytics
+    // coalitions: {a} users u1(conv) u2(no) -> v=500000; {b} u3(conv) -> 1e6;
+    // {a,b} u4(conv) -> 1e6; {} u5(conv-only) -> 1e6 baseline
+    val ev = Seq(
+      (1L, "a"), (1L, "conv"), (2L, "a"),
+      (3L, "b"), (3L, "conv"),
+      (4L, "a"), (4L, "b"), (4L, "conv"),
+      (5L, "conv"),
+      (6L, "zz") // outside the universe: not in the population at all
+    ).toDF("user_id", "event_type")
+    val out = EventAnalytics.shapleyAttribution(ev, Seq("a", "b"), "conv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // phi_a = [W1*v({a}) + W2*v({ab}) - W0*v({}) - W1*v({b})] / 2!
+    //       = [500000 + 1000000 - 1000000 - 1000000] / 2 = -250000
+    assert(out("a") === -250000L)
+    assert(out("b") === 250000L)
+    // efficiency: sum phi = v(all) - v(empty) = 0, exactly
+    assert(out.values.sum === 0L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.shapleyAttribution(ev, Seq("a", "conv"), "conv")
+    }
+  }
+
+  // ---- flipFlops ----
+
+  test("flipFlops: A->B->A within the gap; NULLs and slow reverts don't") {
+    val df = Seq(
+      // k1: A(0) B(5) A(9) -> flip at day 9 (gap 9 <= 30)
+      (1L, "A", 0, 1L), (1L, "B", 5, 2L), (1L, "A", 9, 3L),
+      // k2: revert outside the gap window
+      (2L, "A", 0, 1L), (2L, "B", 5, 2L), (2L, "A", 99, 3L),
+      // k3: A A A — no change, no flip
+      (3L, "A", 0, 1L), (3L, "A", 1, 2L), (3L, "A", 2, 3L),
+      // k4: NULL -> B -> NULL is missing data, not a flip
+      (4L, null, 0, 1L), (4L, "B", 1, 2L), (4L, null, 2, 3L),
+      // k5: alternating history A B A B A — every row from the 3rd on reverts
+      (5L, "A", 0, 1L), (5L, "B", 1, 2L), (5L, "A", 2, 3L),
+      (5L, "B", 3, 4L), (5L, "A", 4, 5L)
+    ).toDF("k", "v", "d", "i")
+    val out = Profile.flipFlops(df, col("k"), col("v"), col("d"), col("i"),
+        maxGapDays = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> ((1L, 9)), 5L -> ((3L, 4))))
+  }
+
+  // ---- wilsonInterval ----
+
+  test("wilsonInterval: bounds equal the locally computed IEEE expression") {
+    import graft.pipeline.Inference
+    val df = (Seq.fill(40)(true) ++ Seq.fill(60)(false)).map(("g", _))
+      .toDF("g", "ok")
+    val r = Inference.wilsonInterval(df, Seq("g"), col("ok")).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((100L, 40L)))
+    val nn = 100.0; val cc = 40.0
+    val phat = cc / nn
+    val denom = 1.0 + 3.8416 / nn
+    val center = (phat + 3.8416 / (2.0 * nn)) / denom
+    val half = (1.96 * math.sqrt((phat * (1.0 - phat) + 3.8416 / (4.0 * nn))
+      / nn)) / denom
+    assert(r.getDouble(3) === center - half)
+    assert(r.getDouble(4) === center + half)
+    // sanity: brackets the point estimate, inside [0, 1]
+    assert(r.getDouble(3) > 0.30 && r.getDouble(3) < 0.40)
+    assert(r.getDouble(4) > 0.40 && r.getDouble(4) < 0.51)
+  }
 }
