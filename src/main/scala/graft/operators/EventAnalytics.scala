@@ -705,6 +705,44 @@ object EventAnalytics {
     agg.join(p99, "part")
   }
 
+  /** Burst (rate-limit/bot) audit: per user, the maximum number of events
+    * inside ANY sliding `windowSec`-second window, plus the earliest
+    * window-end second achieving it — the exact statistic a rate limiter
+    * or bot filter is tuned against (p99 "events per hour" over fixed
+    * calendar buckets UNDERCOUNTS bursts straddling a boundary; the
+    * sliding max does not).
+    *
+    * Exact via ONE range-frame window per user: every event is a candidate
+    * window END, `cnt = count over [sec - windowSec + 1, sec]` — the max
+    * over event-anchored windows equals the max over all real-valued
+    * windows because a sliding count only changes at event arrivals. Range
+    * frames include same-second peers on both engines identically. The
+    * argmax rides the same rollup as `max(struct(cnt, -sec))` — max count,
+    * then earliest second, no second pass.
+    *
+    * Shape: one shuffle on the user key; frames are bounded by per-user
+    * event volume inside `windowSec` — at warehouse scale the window is
+    * minutes-sized, so frames stay small even for bots (the pathological
+    * case this op exists to FIND).
+    */
+  def slidingBurst(events: DataFrame, userCol: Column, tsCol: Column,
+      windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec: $windowSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__sec").asc)
+      .rangeBetween(-(windowSec - 1), 0)
+    events.filter(userCol.isNotNull && tsCol.isNotNull)
+      .select(userCol.as("__u"),
+        call_function("div", unix_micros(tsCol), lit(1000000L)).as("__sec"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .groupBy(col("__u").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("__cnt").as("c"), (-col("__sec")).as("ns"))).as("__mx"))
+      .select(col("user_id"), col("n_events"),
+        col("__mx.c").as("max_burst"),
+        (-col("__mx.ns")).as("peak_sec"))
+  }
+
   /** Exact Shapley-value attribution (Zhao, Mahboobi & Manji 2018,
     * arXiv:1804.05327), completing the attribution family's sixth model:
     * each channel earns the Shapley value of the coalition game whose

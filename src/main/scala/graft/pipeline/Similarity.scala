@@ -216,6 +216,52 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Dimension-ablation recall sweep (the Matryoshka question — Kusupati
+    * et al. 2022, arXiv:2205.13147): for each prefix length in `dims`,
+    * the exact recall@k of brute-force cosine over TRUNCATED vectors
+    * against the full-dimension ground truth — the measurement that
+    * decides how many leading dimensions a 100 TB index can drop before
+    * retrieval quality pays (storage and dot-product cost scale linearly
+    * in kept dims; this is the quality side of that trade).
+    *
+    * Per dim: one [[bruteForceTopK]] over sliced vectors (slicing before
+    * [[quantize]] equals slicing after — quantization is elementwise),
+    * one equi-join against the pinned ground-truth run, one query-keyed
+    * rollup. `recall_ppm` is an exact non-negative truncating ratio
+    * against the ground truth's ACTUAL row count (corpora smaller than k
+    * don't inflate recall). The ground truth is localCheckpoint-pinned —
+    * it feeds every dim's join, the shared-subtree discipline.
+    *
+    * An audit op: run it over a query SAMPLE (queries broadcast, like
+    * every brute path here); the per-dim corpus scans are the honest
+    * cost, bounded by `dims.size`.
+    */
+  def dimAblationRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims &&
+      dims.head >= 1, s"dims must be ascending positive: $dims")
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val kFull = full.groupBy(col("query_id")).agg(count(lit(1)).as("__kf"))
+    dims.map { dp =>
+      def trunc(df: DataFrame) =
+        df.select(col(idCol), slice(col(vecCol), 1, dp).as(vecCol))
+      val t = bruteForceTopK(trunc(corpus), trunc(queries), k, idCol, vecCol)
+      val hits = full
+        .join(t.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+      kFull.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(dp).as("dim"),
+          coalesce(col("__h"), lit(0L)).as("n_hits"),
+          call_function("div", coalesce(col("__h"), lit(0L)) * 1000000L,
+            col("__kf")).as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     * from each query's top-`kCand` relevance candidates, greedily select
     * `kOut` results maximizing

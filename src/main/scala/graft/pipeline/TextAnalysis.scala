@@ -1108,6 +1108,44 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c"), col("p_ppm"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size, the
+    * exact share of TOKEN OCCURRENCES covered by the top-`v` most frequent
+    * types — the tokenizer-design readout (pick the smallest vocab whose
+    * coverage clears the OOV budget; the curve's knee is where a bigger
+    * vocab stops paying). Ranking is (count desc, token asc) — a unique
+    * total order, so the curve is engine-deterministic even through count
+    * ties.
+    *
+    * The global rank uses [[graft.operators.Ranking.globalRowNumbers]]
+    * (range-partitioned, NO single-partition window) — at 100 TB the type
+    * table is millions of rows and a bare `row_number() OVER (ORDER BY)`
+    * would funnel it through one task. The ranked type table is pinned
+    * once; each size's coverage is a tiny agg over it.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      vocabSizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes == vocabSizes.sorted &&
+      vocabSizes.distinct == vocabSizes && vocabSizes.head >= 1,
+      s"vocabSizes must be ascending positive: $vocabSizes")
+    val counts = df.filter(textCol.isNotNull)
+      .select(explode(tokens(textCol)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumbers(counts, Seq(col("cnt").desc, col("tok").asc), "rk")
+      .localCheckpoint(false)
+    vocabSizes.map { v =>
+      ranked.agg(
+          coalesce(sum(when(col("rk") < v, col("cnt"))), lit(0L))
+            .as("covered"),
+          coalesce(sum(col("cnt")), lit(0L)).as("total"))
+        .select(lit(v).as("vocab_size"), col("covered"), col("total"),
+          when(col("total") > 0L,
+            call_function("div", col("covered") * 1000000L, col("total")))
+            .as("coverage_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ROUGE-N recall (Lin 2004, "ROUGE: A Package for Automatic Evaluation
     * of Summaries") between a candidate and a reference text ON THE SAME
     * ROW: the share of the reference's n-grams the candidate covers, with

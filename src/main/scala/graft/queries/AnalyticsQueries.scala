@@ -118,6 +118,29 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q341_rate_burst", (s, d) =>
+      // bot/rate-limit audit: per user the max events in ANY sliding
+      // 1-hour window (event-anchored — exact), plus the earliest peak
+      graft.operators.EventAnalytics.slidingBurst(events(s, d),
+        col("user_id"), col("ts"), windowSec = 3600L),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(user_id AS BIGINT) AS u,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |c AS (SELECT u, sec,
+          |        CAST(count(*) OVER (PARTITION BY u ORDER BY sec
+          |          RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+          |          AS BIGINT) AS cnt
+          |      FROM b),
+          |m AS (SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+          |             max(cnt) AS mx
+          |      FROM c GROUP BY 1)
+          |SELECT m.u AS user_id, m.n_events, m.mx AS max_burst,
+          |       CAST(min(c.sec) AS BIGINT) AS peak_sec
+          |FROM m JOIN c ON c.u = m.u AND c.cnt = m.mx
+          |GROUP BY 1, 2, 3""".stripMargin)),
+
     QueryDef("q338_flip_flops", (s, d) =>
       // write-race audit: customers whose order status reverts A -> B -> A
       // within a year of order dates — exact window lags, no floats

@@ -161,6 +161,76 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q340_dim_ablation", (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.dimAblationRecall(emb, emb.filter(col("vec_id") < 10),
+        k = 5, dims = Seq(8, 16, 32))
+    }, Some {
+      val dimCtes = Seq(8, 16, 32).map { dp =>
+        val a = s"list_slice(q.v, 1, $dp)"
+        val b = s"list_slice(c.v, 1, $dp)"
+        s"""t$dp AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.id AS query_id, c.id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.id
+           |             ORDER BY ${cosSql(a, b)} DESC, c.id ASC) AS rank
+           |    FROM e c, e q WHERE q.id < 10 AND c.id <> q.id) z
+           |  WHERE rank <= 5),
+           |r$dp AS (
+           |  SELECT kf.query_id, $dp AS dim,
+           |         CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |         (CAST(coalesce(h.n, 0) AS BIGINT) * 1000000) // kf.k_full
+           |           AS recall_ppm
+           |  FROM kf LEFT JOIN (
+           |    SELECT f.query_id, count(*) AS n
+           |    FROM fullr f JOIN t$dp USING (query_id, neighbor_id)
+           |    GROUP BY 1) h USING (query_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v
+         |           FROM embeddings),
+         |fullr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rank
+         |    FROM e c, e q WHERE q.id < 10 AND c.id <> q.id) z
+         |  WHERE rank <= 5),
+         |kf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_full
+         |       FROM fullr GROUP BY 1),
+         |$dimCtes
+         |SELECT * FROM r8 UNION ALL SELECT * FROM r16
+         |UNION ALL SELECT * FROM r32""".stripMargin
+    }),
+
+    QueryDef("q342_vocab_coverage", (s, d) =>
+      // tokenizer-design curve: exact share of token occurrences covered
+      // by the top-v types at each candidate vocab size; global rank via
+      // range-partitioned row numbers, never a single-partition window
+      TA.vocabCoverage(table(s, d, "documents"), col("text"),
+        vocabSizes = Seq(1, 2, 4, 8, 16)),
+      Some(
+        """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |           FROM documents WHERE text IS NOT NULL),
+          |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          |      FROM t WHERE tok != '' GROUP BY 1),
+          |r AS (SELECT cnt,
+          |             row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS rk
+          |      FROM c),
+          |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM r)
+          |SELECT v.vocab_size,
+          |       CAST(coalesce(sum(CASE WHEN r.rk < v.vocab_size
+          |                               THEN r.cnt END), 0) AS BIGINT)
+          |         AS covered,
+          |       tot.total,
+          |       CASE WHEN tot.total > 0
+          |            THEN (CAST(coalesce(sum(CASE WHEN r.rk < v.vocab_size
+          |                                          THEN r.cnt END), 0)
+          |                       AS BIGINT) * 1000000) // tot.total
+          |       END AS coverage_ppm
+          |FROM (VALUES (1), (2), (4), (8), (16)) v(vocab_size)
+          |CROSS JOIN tot LEFT JOIN r ON true
+          |GROUP BY 1, tot.total""".stripMargin)),
+
     QueryDef("q336_rouge_bigram", (s, d) =>
       // ROUGE-2 recall of each document by its own 30-token prefix:
       // clipped bigram counts, exact ppm — the summarization-eval metric

@@ -580,6 +580,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- slidingBurst ----
+
+  test("slidingBurst: event-anchored sliding max, peers, earliest peak") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      ("u", 0L), ("u", 50L), ("u", 3649L), ("u", 7000L),
+      // same-second peers all land in each other's frame
+      ("w", 10L), ("w", 10L), ("w", 10L)
+    ).toDF("user_id", "sec")
+      .withColumn("ts", to_timestamp(col("sec")))
+    val out = EventAnalytics.slidingBurst(ev, col("user_id"), col("ts"),
+        windowSec = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // u: windows ending 0->1, 50->2, 3649->{50,3649}=2, 7000->1;
+    // max 2 first reached at end-second 50
+    assert(out("u") === ((4L, 2L, 50L)))
+    assert(out("w") === ((3L, 3L, 10L)))
+  }
+
   // ---- shapleyAttribution ----
 
   test("shapleyAttribution: textbook 2-player values, efficiency, negatives") {

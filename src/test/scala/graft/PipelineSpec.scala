@@ -1412,4 +1412,36 @@ class PipelineSpec extends AnyFunSuite {
     val d = Intervals.maxConcurrency(dis, Seq("u"), $"st", $"en").collect()(0)
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
+
+  // ---- dimAblationRecall ----
+
+  test("dimAblationRecall: truncation flips the neighbor, full dims recover it") {
+    // query 100 = [0.1, 1.0]; c2 identical (full-dim winner); at dim 1
+    // every positive-x vector is cosine 1.0, so the id tie-break picks c1
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(0.1f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimAblationRecall(corpus, queries, k = 1,
+        dims = Seq(1, 2))
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((0L, 0L)))        // truncated: wrong neighbor
+    assert(out(2) === ((1L, 1000000L)))  // full dims: exact recovery
+    intercept[IllegalArgumentException] {
+      Similarity.dimAblationRecall(corpus, queries, k = 1, dims = Seq(2, 1))
+    }
+  }
+
+  // ---- vocabCoverage ----
+
+  test("vocabCoverage: exact cumulative shares; nulls and empty tokens drop") {
+    val df = Seq(Some("a a a b  b c"), None).toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, col("text"), Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((3L, 6L, 500000L)))
+    assert(out(2) === ((5L, 6L, 833333L)))
+    assert(out(3) === ((6L, 6L, 1000000L)))
+  }
 }
