@@ -228,4 +228,62 @@ object FuzzyLink {
     }
     withModes.withColumnRenamed("__e", "entity")
   }
+
+  /** Blocking-quality audit (Christen 2012's two standard measures): for a
+    * candidate blocking key, the REDUCTION RATIO (share of the full N^2/2
+    * comparison space the blocking discards) and the PAIRS COMPLETENESS
+    * (share of known-true pairs that still land in one block) — the
+    * pre-flight check that decides whether a linkage/dedup blocking key
+    * is safe to ship BEFORE burning a cluster pass on it. Candidate-pair
+    * volume is computed from the block-size rollup as `sum C(c, 2)` —
+    * the pairs themselves are NEVER materialized (auditing a bad key must
+    * not cost what the bad key would cost).
+    *
+    * Exact integers: pair counts are lossless `x*(x-1) div 2`; the two
+    * ratios route products through DECIMAL(38,0) before their single
+    * non-negative truncating ppm division. Rows with a NULL block key are
+    * counted in `n_rows` (they are part of the comparison space) but form
+    * no block; a truth pair whose either side is missing or NULL-blocked
+    * counts as uncovered, denominator unchanged.
+    *
+    * Shape: one block-size rollup, two 1-row aggs, two equi-joins of the
+    * truth pairs against the (id, block) projection. Nothing quadratic
+    * anywhere — that is the point.
+    */
+  def blockingQuality(df: DataFrame, idCol: Column, blockCol: Column,
+      truthPairs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(idCol.cast("long").as("__id"), blockCol.as("__blk"))
+      .localCheckpoint(false) // feeds the rollup and both truth joins
+    val rowAgg = base.agg(count(lit(1)).as("n_rows"))
+    val blockAgg = base.filter(col("__blk").isNotNull)
+      .groupBy(col("__blk")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(call_function("div",
+          dec(col("__c")) * dec(col("__c") - 1L), dec(lit(2L)))), dec(lit(0L)))
+          .cast("long").as("cand_pairs"))
+    val tr = truthPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(base.select(col("__id").as("id_a"), col("__blk").as("__ba")),
+        Seq("id_a"), "left")
+      .join(base.select(col("__id").as("id_b"), col("__blk").as("__bb")),
+        Seq("id_b"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        coalesce(sum(when(col("__ba").isNotNull &&
+          col("__ba") === col("__bb"), 1L)), lit(0L)).as("truth_covered"))
+    rowAgg.crossJoin(blockAgg).crossJoin(tr)
+      .withColumn("total_pairs",
+        call_function("div", dec(col("n_rows")) * dec(col("n_rows") - 1L),
+          dec(lit(2L))).cast("long"))
+      .withColumn("reduction_ppm",
+        when(col("total_pairs") > 0L,
+          lit(1000000L) - call_function("div",
+            dec(col("cand_pairs")) * dec(lit(1000000L)),
+            dec(col("total_pairs"))).cast("long")))
+      .withColumn("completeness_ppm",
+        when(col("truth_pairs") > 0L,
+          call_function("div", col("truth_covered") * 1000000L,
+            col("truth_pairs"))))
+  }
 }

@@ -93,6 +93,66 @@ object Profile {
     blocks.reduce(_ unionByName _)
   }
 
+  /** Join-key skew pre-flight: for each declared key column, the exact
+    * frequency-concentration profile that predicts whether a shuffle on
+    * that key survives 1000 executors — the heaviest key's share (the
+    * straggler-task bound: one key hashes to ONE reduce partition no
+    * matter the cluster size), the top-to-average ratio, and the Gini
+    * coefficient of the key-frequency distribution. Decision rule at
+    * scale: `top1_share_ppm` IS the minimum fraction of the join one task
+    * must process — if that breaks the task-time budget, salt the key or
+    * route it through AQE skew handling BEFORE the job, not after it
+    * straggles.
+    *
+    * Gini over the k key counts sorted ascending (majorization form, ONE
+    * truncating division): `G = (2*sum(i*c_i) - (k+1)*S) div (k*S)` ppm —
+    * the numerator is non-negative by the rearrangement inequality, zero
+    * exactly when all counts are equal. The ascending rank comes from
+    * [[graft.operators.Ranking.globalRowNumbers]] (range-partitioned, no
+    * single-partition window); ties in count are broken by the key
+    * rendered as a string, and the i*c_i sum is tie-order-invariant, so
+    * the coefficient is engine-deterministic. NULL keys are profiled
+    * separately (`n_null`) — they never join inner, so they don't skew.
+    *
+    * Shape per key: one key rollup (the shuffle being audited, minus the
+    * payload), one ranked pass, two tiny aggs. All products ride
+    * DECIMAL(38,0).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "no key columns to profile")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the input: ${missing.mkString(",")}")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val blocks = keyCols.map { kc =>
+      val nulls = df.filter(col(kc).isNull).agg(count(lit(1)).as("n_null"))
+      val counts = df.filter(col(kc).isNotNull)
+        .groupBy(col(kc).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__c"))
+      val ranked = graft.operators.Ranking
+        .globalRowNumbers(counts, Seq(col("__c").asc, col("__k").asc), "__rk")
+      val agg = ranked.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(max(col("__c")), lit(0L)).as("top1_cnt"),
+        coalesce(sum(dec(col("__rk") + 1L) * dec(col("__c"))), dec(lit(0L)))
+          .as("__ic"))
+      nulls.crossJoin(agg)
+        .select(lit(kc).as("key_col"), col("n_rows"), col("n_null"),
+          col("n_keys"), col("top1_cnt"),
+          when(col("n_rows") > 0L, call_function("div",
+            col("top1_cnt") * 1000000L, col("n_rows"))).as("top1_share_ppm"),
+          when(col("n_rows") > 0L, call_function("div",
+            dec(col("top1_cnt")) * dec(col("n_keys")) * dec(lit(1000000L)),
+            dec(col("n_rows"))).cast("long")).as("skew_ratio_ppm"),
+          when(col("n_rows") > 0L, call_function("div",
+            (dec(lit(2L)) * col("__ic") -
+              dec(col("n_keys") + 1L) * dec(col("n_rows"))) * dec(lit(1000000L)),
+            dec(col("n_keys")) * dec(col("n_rows"))).cast("long"))
+            .as("gini_ppm"))
+    }
+    blocks.reduce(_ unionByName _)
+  }
+
   /** Flip-flop audit: keys whose tracked attribute REVERTS to its
     * immediately-previous value within `maxGapDays` — the A -> B -> A
     * ping-pong that in a warehouse almost always means two writers racing

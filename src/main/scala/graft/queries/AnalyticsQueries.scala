@@ -118,6 +118,43 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q345_key_skew", (s, d) =>
+      // shuffle pre-flight on the lineitem join keys: top-key share (the
+      // straggler-task lower bound), top/avg ratio, exact Gini — rank via
+      // range-partitioned global row numbers, products through DECIMAL
+      Profile.keySkew(table(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""(WITH k AS (SELECT CAST($c AS VARCHAR) AS k,
+           |              CAST(count(*) AS BIGINT) AS c
+           |      FROM lineitem WHERE $c IS NOT NULL GROUP BY 1),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
+           |      FROM k),
+           |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_null FROM lineitem
+           |       WHERE $c IS NULL),
+           |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+           |             CAST(count(*) AS BIGINT) AS n_keys,
+           |             CAST(coalesce(max(c), 0) AS BIGINT) AS top1_cnt,
+           |             coalesce(sum(CAST(i AS HUGEINT) * c), 0) AS ic
+           |      FROM r)
+           |SELECT '$c' AS key_col, a.n_rows, nl.n_null, a.n_keys, a.top1_cnt,
+           |       CASE WHEN a.n_rows > 0
+           |            THEN (a.top1_cnt * 1000000) // a.n_rows
+           |       END AS top1_share_ppm,
+           |       CASE WHEN a.n_rows > 0
+           |            THEN CAST((CAST(a.top1_cnt AS HUGEINT) * a.n_keys
+           |                       * 1000000) // a.n_rows AS BIGINT)
+           |       END AS skew_ratio_ppm,
+           |       CASE WHEN a.n_rows > 0
+           |            THEN CAST(((2 * a.ic
+           |                        - CAST(a.n_keys + 1 AS HUGEINT) * a.n_rows)
+           |                       * 1000000)
+           |                      // (CAST(a.n_keys AS HUGEINT) * a.n_rows)
+           |                      AS BIGINT)
+           |       END AS gini_ppm
+           |FROM a, nl)""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
     QueryDef("q341_rate_burst", (s, d) =>
       // bot/rate-limit audit: per user the max events in ANY sliding
       // 1-hour window (event-anchored — exact), plus the earliest peak

@@ -161,6 +161,62 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q344_blocking_quality", (s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.FuzzyLink.blockingQuality(docs, col("doc_id"),
+        substring(col("text"), 1, 64),
+        Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id),
+         |truth AS (SELECT id_a, id_b FROM cand
+         |          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+         |b AS (SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 64) AS blk
+         |      FROM documents),
+         |sz AS (SELECT blk, CAST(count(*) AS BIGINT) AS c FROM b
+         |       WHERE blk IS NOT NULL GROUP BY 1),
+         |ba AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         |              CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+         |                AS cand_pairs
+         |       FROM sz),
+         |ra AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b),
+         |tr AS (SELECT t.id_a, t.id_b, x.blk AS blk_a, y.blk AS blk_b
+         |       FROM truth t LEFT JOIN b x ON x.id = t.id_a
+         |                    LEFT JOIN b y ON y.id = t.id_b),
+         |ta AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+         |              CAST(coalesce(sum(CASE WHEN blk_a IS NOT NULL
+         |                AND blk_a = blk_b THEN 1 END), 0) AS BIGINT)
+         |                AS truth_covered
+         |       FROM tr)
+         |SELECT ra.n_rows, ba.n_blocks, ba.cand_pairs,
+         |       CAST((ra.n_rows * (ra.n_rows - 1)) // 2 AS BIGINT)
+         |         AS total_pairs,
+         |       CASE WHEN ra.n_rows >= 2 THEN CAST(1000000
+         |              - (ba.cand_pairs * 1000000)
+         |                // ((ra.n_rows * (ra.n_rows - 1)) // 2) AS BIGINT)
+         |       END AS reduction_ppm,
+         |       ta.truth_pairs, ta.truth_covered,
+         |       CASE WHEN ta.truth_pairs > 0
+         |            THEN (ta.truth_covered * 1000000) // ta.truth_pairs
+         |       END AS completeness_ppm
+         |FROM ra, ba, ta""".stripMargin)),
+
     QueryDef("q340_dim_ablation", (s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.dimAblationRecall(emb, emb.filter(col("vec_id") < 10),

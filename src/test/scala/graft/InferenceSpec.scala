@@ -1159,4 +1159,36 @@ class InferenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  // ---- blockingQuality ----
+
+  test("blockingQuality: exact reduction ratio and pairs completeness") {
+    // 5 rows: blocks A{1,2,3} B{4} null{5} -> cand = C(3,2) = 3 of
+    // C(5,2) = 10 -> reduction 700000. truth: (1,2) covered; (1,4) split;
+    // (1,5) null side uncovered; (1,9) missing side uncovered -> 1/4
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, null.asInstanceOf[String])).toDF("id", "blk")
+    val truth = Seq((1L, 2L), (1L, 4L), (1L, 5L), (1L, 9L))
+      .toDF("id_a", "id_b")
+    val r = FuzzyLink.blockingQuality(df, col("id"), col("blk"), truth)
+      .select("n_rows", "n_blocks", "cand_pairs", "total_pairs",
+        "reduction_ppm", "truth_pairs", "truth_covered", "completeness_ppm")
+      .collect()(0)
+    assert(r.toSeq === Seq(5L, 2L, 3L, 10L, 700000L, 4L, 1L, 250000L))
+  }
+
+  // ---- keySkew ----
+
+  test("keySkew: exact top-share, skew ratio, Gini; uniform keys gini 0") {
+    import graft.pipeline.Profile
+    // k: counts {a:4, b:1, c:1} n=6 -> top 4/6, ratio 4*3/6 = 2x,
+    // gini = (2*(1*1+2*1+3*4) - 4*6) / (3*6) = (30-24)/18 = 1/3
+    val df = (Seq.fill(4)("a") ++ Seq("b", "c")).map((_, "u"))
+      .toDF("k", "flat")
+    val r = Profile.keySkew(df, Seq("k", "flat")).collect()
+      .map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    assert(r("k") === Seq(6L, 0L, 3L, 4L, 666666L, 2000000L, 333333L))
+    // flat: one key -> gini exactly 0, ratio exactly 1e6
+    assert(r("flat") === Seq(6L, 0L, 1L, 6L, 1000000L, 1000000L, 0L))
+  }
 }
