@@ -705,6 +705,80 @@ object EventAnalytics {
     agg.join(p99, "part")
   }
 
+  /** Growth accounting (the standard DAU decomposition): every active
+    * (user, day) is exactly one of NEW (first-ever day), RETAINED (also
+    * active the previous calendar day), or RESURRECTED (returning after a
+    * gap) — so `dau = new + retained + resurrected` holds by construction
+    * — plus `churned` = previous day's actives who did not return, from
+    * the identity `churned_t = dau_{t-1} - retained_t`. The
+    * product-growth dashboard in one pass, all exact integer/date
+    * arithmetic.
+    *
+    * `dayCol` is a day index (e.g. days since epoch). Emission is
+    * step-wise over days PRESENT in the data (the [[cohortLtv]]
+    * convention); a calendar day with zero actives simply has no row, and
+    * the day after it reports `churned` against a zero coalesce.
+    *
+    * Shape: one distinct (user, day) rollup, one user-keyed window for
+    * first/previous day (lag rides the sort), one day rollup, one self
+    * equi-join on day-1 for the churn column. Shuffles on user then day —
+    * both partial-agg keys.
+    */
+  def growthAccounting(events: DataFrame, userCol: Column,
+      dayCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__d").asc)
+    val ud = events.filter(userCol.isNotNull && dayCol.isNotNull)
+      .select(userCol.as("__u"), dayCol.cast("long").as("__d")).distinct()
+      .withColumn("__first", min(col("__d")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+    val daily = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("__d") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("__d") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull && col("__prev") < col("__d") - 1L,
+          1L).otherwise(0L)).as("n_resurrected"))
+    daily.join(daily.select(col("day") + 1L as "day",
+        col("dau").as("__dau_prev")), Seq("day"), "left")
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("__dau_prev"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
+  /** Consecutive-day activity streaks (gaps-and-islands): per user the
+    * number of distinct active days, the number of maximal consecutive-day
+    * runs, the LONGEST run, and that run's earliest start day — the
+    * engagement-mechanics readout (streak features predict retention and
+    * power streak-based product loops). Island id is the classic
+    * `day - row_number()` constant: consecutive days share it, any gap
+    * shifts it; everything stays exact integers.
+    *
+    * Shape: distinct (user, day), one user-keyed window (row_number rides
+    * the day sort), one (user, island) rollup, one user rollup with the
+    * struct-argmax picking (longest, then earliest) — no second pass.
+    */
+  def activityStreaks(events: DataFrame, userCol: Column,
+      dayCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__d").asc)
+    events.filter(userCol.isNotNull && dayCol.isNotNull)
+      .select(userCol.as("__u"), dayCol.cast("long").as("__d")).distinct()
+      .withColumn("__isl", col("__d") - row_number().over(w))
+      .groupBy(col("__u"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+      .groupBy(col("__u").as("user_id"))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("__len").as("l"), (-col("__start")).as("ns")))
+          .as("__mx"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("__mx.l").as("max_streak"),
+        (-col("__mx.ns")).as("max_streak_start"))
+  }
+
   /** Burst (rate-limit/bot) audit: per user, the maximum number of events
     * inside ANY sliding `windowSec`-second window, plus the earliest
     * window-end second achieving it — the exact statistic a rate limiter

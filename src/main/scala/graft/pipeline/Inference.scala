@@ -686,6 +686,61 @@ object Inference {
           col("n") + priorA + priorB))
   }
 
+  /** [[smoothedRates]] with the prior LEARNED from the data by method of
+    * moments (Efron & Morris's empirical-Bayes program for the
+    * beta-binomial): the prior mean is the unweighted mean of group rates
+    * `m = sum(p_g) div G`, the prior strength is
+    * `K = m*(1e6 - m) div v - 1` pseudo-observations from the
+    * between-group variance `v = sum((p_g - m)^2) div G` — over-dispersed
+    * segments get a weak prior (little shrinkage), near-homogeneous ones
+    * a strong prior. Everything stays in integer ppm (rates), ppm^2 (the
+    * variance), and counts (K), with fixed-order truncating divisions the
+    * oracle replays; `shrunk_ppm = (c*1e6 + K*m) div (n + K)` is the ONE
+    * final division per group. `K` clamps at 0 (v >= m(1e6-m) means the
+    * beta MoM has no valid prior — raw rates pass through, and
+    * `k_prior = 0` makes that visible rather than silent). Degenerate
+    * v = 0 (all group rates identical) also passes raw through the same
+    * clamp path, by `when` guard.
+    *
+    * Shape: one group rollup, one G-row global agg broadcast back. The
+    * MoM convention here is UNWEIGHTED over groups — the prior describes
+    * the population of segments, not of rows; weighting by n would let
+    * one giant segment define "typical" for every small one.
+    */
+  def momSmoothedRates(df: DataFrame, groupCols: Seq[String],
+      success: Column): DataFrame = {
+    require(groupCols.nonEmpty, "momSmoothedRates needs group columns")
+    val gcols = groupCols.map(col)
+    val rates = df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .withColumn("raw_ppm",
+        call_function("div", col("successes") * 1000000L, col("n")))
+      .localCheckpoint(false) // feeds the prior agg AND the output join
+    val g = rates.agg(count(lit(1)).as("__g"), sum(col("raw_ppm")).as("__sp"))
+      .select(col("__g"),
+        call_function("div", col("__sp"), col("__g")).as("m_ppm"))
+    val prior = rates.crossJoin(broadcast(g))
+      .agg(first(col("__g")).as("__g"), first(col("m_ppm")).as("m_ppm"),
+        sum(dec(col("raw_ppm") - col("m_ppm")) *
+          dec(col("raw_ppm") - col("m_ppm"))).as("__ss"))
+      .select(col("m_ppm"),
+        call_function("div", col("__ss"), dec(col("__g"))).cast("long")
+          .as("__v"))
+      .select(col("m_ppm"),
+        when(col("__v") > 0L,
+          greatest(lit(0L), call_function("div",
+            col("m_ppm") * (lit(1000000L) - col("m_ppm")), col("__v"))
+            - 1L))
+          .otherwise(lit(0L)).as("k_prior"))
+    rates.crossJoin(broadcast(prior))
+      .select(gcols ++ Seq(col("n"), col("successes"), col("raw_ppm"),
+        col("m_ppm"), col("k_prior"),
+        call_function("div",
+          col("successes") * 1000000L + col("k_prior") * col("m_ppm"),
+          col("n") + col("k_prior")).as("shrunk_ppm")): _*)
+  }
+
   /** Restricted mean survival time from a [[kaplanMeier]] curve: the area
     * under the step function up to `horizonDays`, in exact ppm-day units
     * — "expected retained days per user within the first h days", the

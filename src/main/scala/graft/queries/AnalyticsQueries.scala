@@ -118,6 +118,61 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q343_growth_accounting", (s, d) =>
+      // the DAU decomposition: new + retained + resurrected = dau by
+      // construction; churned_t = dau_{t-1} - retained_t — exact integers
+      graft.operators.EventAnalytics.growthAccounting(events(s, d),
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))),
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |x AS (SELECT u, d,
+          |        min(d) OVER (PARTITION BY u ORDER BY d
+          |          ROWS UNBOUNDED PRECEDING) AS f,
+          |        lag(d) OVER (PARTITION BY u ORDER BY d) AS p
+          |      FROM ud),
+          |daily AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau,
+          |       CAST(sum(CASE WHEN d = f THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_new,
+          |       CAST(sum(CASE WHEN p = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_retained,
+          |       CAST(sum(CASE WHEN p IS NOT NULL AND p < d - 1
+          |                     THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_resurrected
+          |   FROM x GROUP BY 1)
+          |SELECT a.day, a.dau, a.n_new, a.n_retained, a.n_resurrected,
+          |       coalesce(b.dau, 0) - a.n_retained AS n_churned
+          |FROM daily a LEFT JOIN daily b ON b.day = a.day - 1""".stripMargin)),
+
+    QueryDef("q346_activity_streaks", (s, d) =>
+      // gaps-and-islands: per user the longest consecutive-day run and
+      // its earliest start — day - row_number() island ids, exact
+      graft.operators.EventAnalytics.activityStreaks(events(s, d),
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))),
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |i AS (SELECT u, d,
+          |        d - row_number() OVER (PARTITION BY u ORDER BY d) AS isl
+          |      FROM ud),
+          |s AS (SELECT u, isl, CAST(count(*) AS BIGINT) AS len,
+          |             min(d) AS st
+          |      FROM i GROUP BY 1, 2),
+          |m AS (SELECT u, CAST(sum(len) AS BIGINT) AS nad,
+          |             CAST(count(*) AS BIGINT) AS ns, max(len) AS mx
+          |      FROM s GROUP BY 1)
+          |SELECT m.u AS user_id, m.nad AS n_active_days, m.ns AS n_streaks,
+          |       CAST(m.mx AS BIGINT) AS max_streak,
+          |       CAST(min(s.st) AS BIGINT) AS max_streak_start
+          |FROM m JOIN s ON s.u = m.u AND s.len = m.mx
+          |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     QueryDef("q345_key_skew", (s, d) =>
       // shuffle pre-flight on the lineitem join keys: top-key share (the
       // straggler-task lower bound), top/avg ratio, exact Gini — rank via

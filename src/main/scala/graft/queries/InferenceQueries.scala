@@ -294,6 +294,40 @@ object InferenceQueries extends QuerySet {
          |                       AS BIGINT)) AS BIGINT) AS net_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q347_mom_smoothed_rates", (s, d) =>
+      // empirical Bayes with the prior LEARNED by method of moments:
+      // between-user rate variance sets the prior strength K; all integer
+      // ppm with fixed-order truncating divisions the oracle replays
+      graft.pipeline.Inference.momSmoothedRates(events(s, d),
+        Seq("user_id"), col("event_type") === "purchase")
+        .withColumn("user_id", col("user_id").cast("long")),
+      Some(
+        """WITH r AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id,
+          |         CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+          |                       ELSE 0 END) AS BIGINT) AS successes
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+          |r2 AS (SELECT *, (successes * 1000000) // n AS raw_ppm FROM r),
+          |g AS (SELECT CAST(count(*) AS BIGINT) AS gg,
+          |             CAST(sum(raw_ppm) AS BIGINT) AS sp FROM r2),
+          |g2 AS (SELECT gg, sp // gg AS m_ppm FROM g),
+          |v AS (SELECT g2.m_ppm, g2.gg,
+          |             sum(CAST(r2.raw_ppm - g2.m_ppm AS HUGEINT)
+          |                 * (r2.raw_ppm - g2.m_ppm)) AS ss
+          |      FROM r2 CROSS JOIN g2 GROUP BY 1, 2),
+          |p AS (SELECT m_ppm,
+          |             CASE WHEN CAST(ss // gg AS BIGINT) > 0
+          |                  THEN greatest(0, (m_ppm * (1000000 - m_ppm))
+          |                         // CAST(ss // gg AS BIGINT) - 1)
+          |                  ELSE CAST(0 AS BIGINT) END AS k_prior
+          |      FROM v)
+          |SELECT r2.user_id, r2.n, r2.successes, r2.raw_ppm,
+          |       p.m_ppm, p.k_prior,
+          |       (r2.successes * 1000000 + p.k_prior * p.m_ppm)
+          |         // (r2.n + p.k_prior) AS shrunk_ppm
+          |FROM r2 CROSS JOIN p""".stripMargin)),
+
     QueryDef("q339_wilson_interval", (s, d) =>
       // small-n-safe 95% bands on per-segment negative-balance rates:
       // exact (n, c) rollup, bounds as ONE fixed-shape IEEE expression

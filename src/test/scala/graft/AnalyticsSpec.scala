@@ -580,6 +580,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- growthAccounting ----
+
+  test("growthAccounting: dau = new+retained+resurrected; churn identity") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("b", 2L), ("b", 3L),
+      ("c", 1L), ("c", 2L), ("c", 2L) // duplicate (user, day) collapses
+    ).toDF("user_id", "d")
+    val out = EventAnalytics.growthAccounting(ev, col("user_id"), col("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) === ((2L, 2L, 0L, 0L, 0L)))
+    assert(out(2L) === ((3L, 1L, 2L, 0L, 0L)))
+    // day 3: only b retained; a and c churn against day 2's dau of 3
+    assert(out(3L) === ((1L, 0L, 1L, 0L, 2L)))
+    // day 5: a resurrects after the gap; day 4 had no actives
+    assert(out(5L) === ((1L, 0L, 0L, 1L, 0L)))
+    out.values.foreach { case (dau, nw, rt, rs, _) =>
+      assert(dau === nw + rt + rs) // the decomposition is a partition
+    }
+  }
+
+  // ---- activityStreaks ----
+
+  test("activityStreaks: island lengths, longest-then-earliest tie-break") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(("a", 1L), ("a", 2L), ("a", 5L),
+      ("d", 1L), ("d", 2L), ("d", 4L), ("d", 5L)).toDF("user_id", "d")
+    val out = EventAnalytics.activityStreaks(ev, col("user_id"), col("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((3L, 2L, 2L, 1L)))
+    // two equal-length streaks -> the earliest start wins
+    assert(out("d") === ((4L, 2L, 2L, 1L)))
+  }
+
   // ---- slidingBurst ----
 
   test("slidingBurst: event-anchored sliding max, peers, earliest peak") {

@@ -1160,6 +1160,28 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- momSmoothedRates ----
+
+  test("momSmoothedRates: hand MoM prior, shrinkage direction, flat pass-through") {
+    import graft.pipeline.Inference
+    def grp(g: String, c: Int, n: Int) =
+      (1 to n).map(i => (g, i <= c))
+    // rates 1/2, 1/4, 3/4 -> m = 500000; v = 1.25e11 div 3; K = 6 - 1 = 5
+    val df = (grp("g1", 2, 4) ++ grp("g2", 1, 4) ++ grp("g3", 3, 4))
+      .toDF("g", "ok")
+    val out = Inference.momSmoothedRates(df, Seq("g"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("g1") === ((500000L, 5L, 500000L)))
+    assert(out("g2") === ((500000L, 5L, 388888L))) // (1e6 + 2.5e6) div 9
+    assert(out("g3") === ((500000L, 5L, 611111L)))
+    // identical rates -> v = 0 -> k_prior 0, raw passes through
+    val flat = (grp("a", 1, 2) ++ grp("b", 1, 2)).toDF("g", "ok")
+    val f = Inference.momSmoothedRates(flat, Seq("g"), col("ok"))
+      .collect().map(r => (r.getLong(5), r.getLong(3) == r.getLong(6)))
+    assert(f.forall(_ == ((0L, true))))
+  }
+
   // ---- blockingQuality ----
 
   test("blockingQuality: exact reduction ratio and pairs completeness") {
