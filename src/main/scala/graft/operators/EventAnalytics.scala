@@ -70,6 +70,55 @@ object EventAnalytics {
       .select(col("user_id"), coalesce(col("reached"), lit(0)).as("reached"))
   }
 
+  /** Windowed funnel: how far each user progresses through `steps` when
+    * every CONSECUTIVE step pair must land within `maxGapSec` seconds —
+    * the product-analytics conversion window ("clicked within 2h of the
+    * view"). Unlike [[funnel]], greedy-from-earliest is NOT optimal under
+    * a gap (the earliest step-1 can strand a conversion a later step-1
+    * would anchor), so this computes true REACHABILITY: `qualified_k` =
+    * step-k events with some qualified step-(k-1) event strictly earlier
+    * and within the gap; `reached` = the largest k with a qualified
+    * event. Second-granular (epoch-second floor on both engines);
+    * equal-second events do not advance, matching [[funnel]]'s strict
+    * inequality.
+    *
+    * Shape: steps.size - 1 user-keyed equi-joins with the gap predicate
+    * riding along, each followed by a distinct on (user, second) that
+    * bounds qualified-set growth by the user's per-type event volume.
+    * Nothing global; the per-step join is the [[GapEngine]] join shape.
+    */
+  def windowedFunnel(events: DataFrame, steps: Seq[String], maxGapSec: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, s"windowedFunnel needs >= 2 steps: $steps")
+    require(steps.distinct == steps, s"repeated step types are ambiguous: $steps")
+    require(maxGapSec >= 1, s"maxGapSec: $maxGapSec")
+    val base = events.filter(col(typeCol).isInCollection(steps))
+      .select(col(userCol).as("user_id"), col(typeCol).as("__t"),
+        call_function("div", unix_micros(col(tsCol)), lit(1000000L))
+          .as("__sec"))
+      .localCheckpoint(false) // re-read once per step
+    val firstQ = base.filter(col("__t") === steps.head)
+      .select(col("user_id"), col("__sec")).distinct()
+    val qualified = steps.tail.scanLeft(firstQ) { (prev, step) =>
+      base.filter(col("__t") === step)
+        .select(col("user_id"), col("__sec"))
+        .join(prev.select(col("user_id"), col("__sec").as("__psec")),
+          Seq("user_id"))
+        .filter(col("__sec") > col("__psec") &&
+          col("__sec") <= col("__psec") + maxGapSec)
+        .select(col("user_id"), col("__sec")).distinct()
+    }
+    val reached = qualified.zipWithIndex.map { case (q, i) =>
+      q.select(col("user_id")).distinct()
+        .withColumn("__k", lit(i + 1))
+    }.reduce(_ unionByName _)
+      .groupBy(col("user_id")).agg(max(col("__k")).as("reached"))
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(reached, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("reached"), lit(0)).as("reached"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * counts and conditional probabilities of (from_type -> to_type) steps,
     * ordered by event time with an id tie-break (total order — the funnel

@@ -533,4 +533,38 @@ object Features {
         (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
           den.cast("double")).as("intercept")): _*)
   }
+
+  /** Herfindahl-Hirschman concentration of a value distribution per group
+    * (the antitrust/market-concentration index, equally the "is this
+    * segment's revenue one whale?" readout): `HHI = sum over holders of
+    * (share_i)^2`, here as ONE exact division
+    * `sum(v_i^2) * 1e6 div (sum(v_i))^2` through DECIMAL(38,0) — no
+    * per-holder share division, so no truncation accumulates. Also emits
+    * the effective holder count `1e9 div hhi_ppm` in milli (the
+    * "equivalent number of equal holders" inverse). HHI_ppm spans
+    * (0, 1e6]: 1e6 is a monopoly, 1e6/n is n equal holders.
+    *
+    * Shape: one (group, holder) rollup, one group rollup. Values are
+    * non-negative longs by contract (fixed-point cents).
+    */
+  def hhiConcentration(df: DataFrame, groupCols: Seq[String],
+      holderCol: Column, valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "hhiConcentration needs group columns")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = groupCols.map(col)
+    df.groupBy(g :+ holderCol.as("__h"): _*)
+      .agg(sum(valueCol.cast("long")).as("__v"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_holders"),
+        sum(col("__v")).as("total"),
+        sum(dec(col("__v")) * dec(col("__v"))).as("__ss"))
+      .select(g ++ Seq(col("n_holders"), col("total"),
+        when(col("total") > 0L,
+          call_function("div", col("__ss") * dec(lit(1000000L)),
+            dec(col("total")) * dec(col("total"))).cast("long"))
+          .as("hhi_ppm")): _*)
+      .withColumn("eff_n_milli",
+        when(col("hhi_ppm") > 0L,
+          call_function("div", lit(1000000000L), col("hhi_ppm"))))
+  }
 }

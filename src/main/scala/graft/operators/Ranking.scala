@@ -108,6 +108,80 @@ object Ranking {
       .drop("__pid", "__offset")
   }
 
+  /** Contiguous global prefix sums of `valueCol` by `sortCols` order,
+    * WITHOUT the single-partition window a bare
+    * `sum() OVER (ORDER BY ...)` plans — the [[globalRowNumbers]]
+    * technique applied to running totals: range-partition on the sort
+    * key, running-sum WITHIN each partition (parallel), shift each
+    * partition by the sum of the partitions before it (a
+    * partition-count-sized offset table, broadcast back). The classic
+    * uses are Pareto/ABC cutoffs and Lorenz-curve style cumulative
+    * shares over a ranked domain.
+    *
+    * Same contracts as [[globalRowNumbers]]: `sortCols` must be a unique
+    * total order (ties would make per-row cumulative values
+    * partition-placement-dependent), values are non-null LONGs (cast
+    * upstream), the driver-side collect is bounded by the partition
+    * COUNT, and the pinned layout is read by both jobs.
+    */
+  def prefixSums(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      outCol: String = "cum_sum"): DataFrame = {
+    require(sortCols.nonEmpty, "prefixSums needs a sort order")
+    require(!df.columns.contains(outCol), s"column name '$outCol' is reserved")
+    Seq("__pid", "__offset", "__v").foreach(c =>
+      require(!df.columns.contains(c), s"column name '$c' is reserved"))
+    val parted = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    val offsetByPid = counts.map { case (pid, s) =>
+      val offset = cum; cum += s; (pid, offset)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsetByPid.toSeq.toDF("__pid", "__offset")
+    val within = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(outCol, sum(col("__v")).over(within) + col("__offset"))
+      .drop("__pid", "__offset", "__v")
+  }
+
+  /** Pareto/ABC classification: rank keys by value descending and label
+    * by cumulative-share cutoffs — `A` while the running total is within
+    * `aPct`% of the grand total, `B` within `bPct`%, else `C` (the
+    * inventory-management / effort-allocation standard; the crossing item
+    * belongs to the LOWER class by the `<=` convention, so boundaries are
+    * exact). Comparisons are cross-multiplied integers through
+    * DECIMAL(38,0) — `cum * 100 <= pct * total` — no division anywhere.
+    * Duplicate keys are pre-aggregated; the (value desc, key asc) order
+    * is a unique total order, satisfying [[prefixSums]]'s contract.
+    */
+  def abcClassify(df: DataFrame, keyCol: Column, valueCol: Column,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(1 <= aPct && aPct < bPct && bPct < 100,
+      s"cutoffs: aPct=$aPct bPct=$bPct")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(keyCol.as("key"), valueCol.cast("long").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("key")).agg(sum(col("value")).as("value"))
+      .localCheckpoint(false) // feeds the ranked pass and the total agg
+    val ranked = prefixSums(base,
+      Seq(col("value").desc, col("key").asc), col("value"), "cum_value")
+    val tot = base.agg(coalesce(sum(col("value")), lit(0L)).as("__t"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("key"), col("value"), col("cum_value"),
+        when(dec(col("cum_value")) * 100L <= dec(lit(aPct.toLong)) *
+          dec(col("__t")), lit("A"))
+          .when(dec(col("cum_value")) * 100L <= dec(lit(bPct.toLong)) *
+            dec(col("__t")), lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+  }
+
   /** Bradley-Terry strengths from pairwise outcomes (Bradley & Terry
     * 1952, via Zermelo's MM iteration; Hunter 2004, "MM algorithms for
     * generalized Bradley-Terry models") — the arena-style ranking of a

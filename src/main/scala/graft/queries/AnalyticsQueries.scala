@@ -118,6 +118,65 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q349_abc_classification", (s, d) =>
+      // Pareto/ABC: parts by revenue, labeled by cumulative-share cutoffs
+      // (80/95) — distributed prefix sums, cross-multiplied integer
+      // comparisons, no division anywhere
+      graft.operators.Ranking.abcClassify(table(s, d, "lineitem"),
+        col("l_partkey").cast("long"),
+        graft.operators.Features.cents(col("l_extendedprice")))
+        .withColumnRenamed("key", "l_partkey"),
+      Some(
+        """WITH r AS (
+          |  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+          |                       AS BIGINT)) AS BIGINT) AS value
+          |  FROM lineitem GROUP BY 1),
+          |c AS (SELECT *,
+          |        CAST(sum(value) OVER (ORDER BY value DESC, l_partkey ASC
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+          |      FROM r),
+          |t AS (SELECT CAST(coalesce(sum(value), 0) AS BIGINT) AS tt FROM r)
+          |SELECT l_partkey, value, cum_value,
+          |       CASE WHEN CAST(cum_value AS HUGEINT) * 100 <= 80 * CAST(tt AS HUGEINT)
+          |              THEN 'A'
+          |            WHEN CAST(cum_value AS HUGEINT) * 100 <= 95 * CAST(tt AS HUGEINT)
+          |              THEN 'B'
+          |            ELSE 'C' END AS abc_class
+          |FROM c, t""".stripMargin)),
+
+    QueryDef("q350_hhi_concentration", (s, d) =>
+      // revenue-concentration per market segment: HHI as ONE exact
+      // division sum(v^2)*1e6 div total^2, plus the effective holder count
+      graft.operators.Features.hhiConcentration(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"), col("o_custkey"),
+        graft.operators.Features.cents(col("o_totalprice"))),
+      Some(
+        """WITH h AS (
+          |  SELECT c_mktsegment, o_custkey,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS v
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY 1, 2),
+          |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_holders,
+          |             CAST(sum(v) AS BIGINT) AS total,
+          |             sum(CAST(v AS HUGEINT) * v) AS ss
+          |      FROM h GROUP BY 1)
+          |SELECT c_mktsegment, n_holders, total,
+          |       CASE WHEN total > 0
+          |            THEN CAST((ss * 1000000)
+          |                      // (CAST(total AS HUGEINT) * total) AS BIGINT)
+          |       END AS hhi_ppm,
+          |       CASE WHEN total > 0 AND CAST((ss * 1000000)
+          |              // (CAST(total AS HUGEINT) * total) AS BIGINT) > 0
+          |            THEN 1000000000 // CAST((ss * 1000000)
+          |              // (CAST(total AS HUGEINT) * total) AS BIGINT)
+          |       END AS eff_n_milli
+          |FROM g""".stripMargin)),
+
     QueryDef("q343_growth_accounting", (s, d) =>
       // the DAU decomposition: new + retained + resurrected = dau by
       // construction; churned_t = dau_{t-1} - retained_t — exact integers

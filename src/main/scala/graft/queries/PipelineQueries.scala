@@ -1278,6 +1278,35 @@ object PipelineQueries extends QuerySet {
           |SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
           |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
 
+    QueryDef("q348_windowed_funnel", (s, d) =>
+      // conversion-window funnel: each consecutive step within 2h, by
+      // true reachability (greedy-from-earliest is NOT optimal under a
+      // gap) — per-step qualified sets via gap-bounded user-keyed joins
+      graft.operators.EventAnalytics.windowedFunnel(events(s, d),
+        Seq("view", "click", "purchase"), maxGapSec = 7200L),
+      Some(
+        """WITH se AS (SELECT user_id,
+          |                   event_type,
+          |                   epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+          |            FROM events),
+          |q1 AS (SELECT DISTINCT user_id, sec FROM se
+          |       WHERE event_type = 'view'),
+          |q2 AS (SELECT DISTINCT e.user_id, e.sec FROM se e
+          |       JOIN q1 q ON q.user_id = e.user_id
+          |       WHERE e.event_type = 'click' AND e.sec > q.sec
+          |         AND e.sec <= q.sec + 7200),
+          |q3 AS (SELECT DISTINCT e.user_id, e.sec FROM se e
+          |       JOIN q2 q ON q.user_id = e.user_id
+          |       WHERE e.event_type = 'purchase' AND e.sec > q.sec
+          |         AND e.sec <= q.sec + 7200),
+          |u AS (SELECT DISTINCT user_id FROM events)
+          |SELECT u.user_id,
+          |       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM q3) THEN 3
+          |                 WHEN u.user_id IN (SELECT user_id FROM q2) THEN 2
+          |                 WHEN u.user_id IN (SELECT user_id FROM q1) THEN 1
+          |                 ELSE 0 END AS INTEGER) AS reached
+          |FROM u""".stripMargin)),
+
     QueryDef("q104_funnel", (s, d) =>
       // ordered-funnel progression: greedy state machine over time-sorted
       // per-user events (strictly-after semantics); type prune before the

@@ -580,6 +580,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- windowedFunnel ----
+
+  test("windowedFunnel: reachability beats greedy; equal seconds don't advance") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      // x: greedy-from-earliest view(0) strands the click; the view at
+      // 995 anchors it. purchase at 1500 is 500s past the click.
+      ("x", "view", 0L), ("x", "view", 995L), ("x", "click", 1000L),
+      ("x", "purchase", 1500L),
+      // y: click at the same second as the view -> no advance
+      ("y", "view", 10L), ("y", "click", 10L),
+      // z: no step events at all -> reached 0 via the universe join
+      ("z", "error", 5L)
+    ).toDF("user_id", "event_type", "sec")
+      .withColumn("ts", to_timestamp(col("sec")))
+    def run(gap: Long) =
+      EventAnalytics.windowedFunnel(ev, Seq("view", "click", "purchase"),
+        maxGapSec = gap)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(run(100L) === Map("x" -> 2, "y" -> 1, "z" -> 0))
+    assert(run(600L) === Map("x" -> 3, "y" -> 1, "z" -> 0))
+  }
+
+  // ---- prefixSums / abcClassify ----
+
+  test("abcClassify: exact cutoff boundaries, duplicate keys pre-aggregated") {
+    // values 50/30/15/5 -> cum 50,80,95,100: b lands exactly on 80 (A),
+    // c exactly on 95 (B), d is C
+    val df = Seq(("a", 50L), ("b", 20L), ("b", 10L), ("c", 15L), ("d", 5L))
+      .toDF("k", "v")
+    val out = Ranking.abcClassify(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("a") === ((50L, 50L, "A")))
+    assert(out("b") === ((30L, 80L, "A")))
+    assert(out("c") === ((15L, 95L, "B")))
+    assert(out("d") === ((5L, 100L, "C")))
+  }
+
+  test("prefixSums matches a single-partition running sum on shuffled input") {
+    val rng = new scala.util.Random(11)
+    val rows = rng.shuffle((1 to 500).map(i => (i.toLong, rng.nextInt(100).toLong)))
+    val df = rows.toDF("k", "v").repartition(13)
+    val got = Ranking.prefixSums(df, Seq(col("k").asc), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      cum += v
+      assert(got(k) === cum, s"at k=$k")
+    }
+  }
+
   // ---- growthAccounting ----
 
   test("growthAccounting: dau = new+retained+resurrected; churn identity") {

@@ -650,4 +650,20 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 0.9)
     assert(r.getDouble(3) === 0.9)
   }
+
+  // ---- hhiConcentration ----
+
+  test("hhiConcentration: equal holders, monopoly, multi-row holder rollup") {
+    val df = Seq(
+      ("eq", 1L, 20L), ("eq", 2L, 20L), ("eq", 3L, 20L), ("eq", 4L, 20L),
+      ("eq", 5L, 10L), ("eq", 5L, 10L), // holder 5 split over two rows
+      ("mono", 9L, 77L)
+    ).toDF("g", "h", "v")
+    val out = Features.hhiConcentration(df, Seq("g"), col("h"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // five equal 20-cent holders: HHI = 5 * 400 * 1e6 / 1e4 = 200000
+    assert(out("eq") === ((5L, 100L, 200000L, 5000L)))
+    assert(out("mono") === ((1L, 77L, 1000000L, 1000L)))
+  }
 }
