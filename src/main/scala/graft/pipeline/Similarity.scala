@@ -262,6 +262,50 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Embedding centroid drift between two corpus snapshots: per label,
+    * the cosine between snapshot A's and snapshot B's label centroid —
+    * the "did the encoder (or the data mix) move under this class?"
+    * monitor a re-embedding pipeline checks before trusting a mixed
+    * index. Works on SUMS, not means: cosine is scale-invariant, so
+    * `cos(sum_A, sum_B) = cos(mean_A, mean_B)` and the whole computation
+    * stays in exact integers (quantized components, DECIMAL dot/norm
+    * accumulation) with ONE IEEE divide+sqrt at the end — no count
+    * divisions to truncate.
+    *
+    * Shape: both sides explode to (label, pos, component) — a bounded
+    * dim-sized fanout — then partial-agg rollups on (label, pos) and an
+    * equi-join on (label, pos) feeding a label rollup. Never a vector
+    * materialized driver-side; labels present in only one snapshot emit
+    * no row (there is nothing to compare).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(df: DataFrame, sumAs: String, cntAs: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(labelCol).cast("long").as("lbl"),
+          col(idCol).cast("long").as("__id"),
+          posexplode(quantize(col(vecCol))))
+        .groupBy(col("lbl"), col("pos"))
+        .agg(sum(col("col")).as(sumAs),
+          count(lit(1)).as(cntAs))
+    val sa = sums(a, "sa", "__ca")
+    val sb = sums(b, "sb", "__cb")
+    sa.join(sb, Seq("lbl", "pos"))
+      .groupBy(col("lbl").as("label"))
+      .agg(
+        sum(dec(col("sa")) * dec(col("sb"))).as("__dot"),
+        sum(dec(col("sa")) * dec(col("sa"))).as("__na"),
+        sum(dec(col("sb")) * dec(col("sb"))).as("__nb"),
+        max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+              sqrt(col("__nb").cast("double")))).as("centroid_cosine"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     * from each query's top-`kCand` relevance candidates, greedily select
     * `kOut` results maximizing

@@ -874,4 +874,73 @@ object Stats {
       .select(gcols ++ Seq(col("n_days"), col("s_stat"), col("var18"),
         col("significant"), col("sen_slope_ppm")): _*)
   }
+
+  /** Exact per-group WEIGHTED quantiles (`percentile_disc` semantics over
+    * a weight measure): the smallest value whose cumulative weight reaches
+    * `ceil(q * total_weight / 1000)` — "the p50 order value BY REVENUE",
+    * the distribution question unweighted quantiles get wrong whenever
+    * weight concentrates (a handful of whale rows ARE most of the
+    * measure). Same distinct-value-rollup shape as [[exactQuantiles]]:
+    * the windows run over the value DOMAIN per group, never raw rows; the
+    * rank test is the cross-multiplied integer pair
+    * `cum*1000 >= q*tot && (cum-w)*1000 < q*tot`, so zero-weight values
+    * can never be selected (their two cumulatives coincide). Rows with a
+    * NULL value or NULL weight are excluded; weights are non-negative
+    * longs by contract.
+    */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, weightCol: Column, qMilles: Seq[Int]): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q > 0 && q <= 1000),
+      s"qMilles must be in (0, 1000]: $qMilles")
+    require(qMilles.distinct == qMilles, s"duplicate quantiles: $qMilles")
+    val gcols = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull && weightCol.isNotNull)
+      .groupBy(gcols :+ valueCol.as("v"): _*)
+      .agg(sum(weightCol.cast("long")).as("w"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    counts
+      .withColumn("cum", sum(col("w")).over(byVal))
+      .withColumn("tot", sum(col("w")).over(whole))
+      .select(gcols ++ Seq(col("v"), col("w"), col("cum"), col("tot"),
+        explode(array(qMilles.map(q => lit(q)): _*)).as("q_mille")): _*)
+      .filter(col("cum") * 1000L >= col("q_mille").cast("long") * col("tot") &&
+        (col("cum") - col("w")) * 1000L <
+          col("q_mille").cast("long") * col("tot"))
+      .select(gcols ++ Seq(col("q_mille"), col("v").as("value"),
+        col("tot").as("total_weight")): _*)
+  }
+
+  /** Fano factor (index of dispersion) of a per-group count series:
+    * `variance / mean` of the daily counts — the "is this Poisson?"
+    * gate for event-rate monitoring (ppm ~1e6 is Poisson-like, far above
+    * is bursty/clustered arrivals, far below is regularized/rate-limited
+    * traffic; Cox & Lewis 1966). The ratio collapses to ONE exact
+    * division: population `var/mean = (n*sum(c^2) - S^2) div (n*S)` with
+    * `S = sum(c)` — numerator non-negative by Cauchy-Schwarz, products
+    * through DECIMAL(38,0), a single truncating ppm division. Groups with
+    * `S = 0` emit NULL (no rate to be dispersed around).
+    *
+    * The input is a (group, bucket) count rollup — at scale the buckets
+    * are calendar days from one partial-agg pass, so the dispersion scan
+    * is over the bucket domain, never raw events.
+    */
+  def fanoFactor(df: DataFrame, groupCols: Seq[String],
+      countCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "fanoFactor needs group columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(countCol.cast("long")).as("s"),
+        sum(dec(countCol.cast("long")) * dec(countCol.cast("long")))
+          .as("__ss"))
+      .select(gcols ++ Seq(col("n_buckets"), col("s"),
+        when(col("s") > 0L,
+          call_function("div",
+            (dec(col("n_buckets")) * col("__ss") -
+              dec(col("s")) * dec(col("s"))) * dec(lit(1000000L)),
+            dec(col("n_buckets")) * dec(col("s"))).cast("long"))
+          .as("fano_ppm")): _*)
+  }
 }

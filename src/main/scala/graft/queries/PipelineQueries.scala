@@ -161,6 +161,38 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q352_centroid_drift", (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }, Some(
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lbl,
+         |         $qvecSql AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (SELECT lbl, id % 2 AS side,
+         |             unnest(generate_series(1, len(v))) AS pos,
+         |             unnest(v) AS comp
+         |      FROM e),
+         |s AS (SELECT lbl, side, pos, CAST(sum(comp) AS BIGINT) AS sv,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |      FROM x GROUP BY 1, 2, 3),
+         |j AS (SELECT a.lbl,
+         |             sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+         |             sum(CAST(a.sv AS HUGEINT) * a.sv) AS na,
+         |             sum(CAST(b.sv AS HUGEINT) * b.sv) AS nb,
+         |             max(a.cnt) AS n_a, max(b.cnt) AS n_b
+         |      FROM s a JOIN s b ON a.lbl = b.lbl AND a.pos = b.pos
+         |        AND a.side = 0 AND b.side = 1
+         |      GROUP BY 1)
+         |SELECT lbl AS label, n_a, n_b,
+         |       CASE WHEN na > 0 AND nb > 0
+         |            THEN CAST(dot AS DOUBLE)
+         |                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         |       END AS centroid_cosine
+         |FROM j""".stripMargin)),
+
     QueryDef("q344_blocking_quality", (s, d) => {
       val docs = table(s, d, "documents")
       graft.operators.FuzzyLink.blockingQuality(docs, col("doc_id"),

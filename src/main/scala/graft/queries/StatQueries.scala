@@ -110,6 +110,64 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q351_weighted_quantiles", (s, d) =>
+      // quantity-weighted price quantiles per return flag: the smallest
+      // price whose cumulative WEIGHT reaches the rank — whale rows count
+      // by their measure, not once; distinct-value rollup, integer rank
+      // test, zero-weight values unselectable by construction
+      Stats.weightedQuantiles(table(s, d, "lineitem"), Seq("l_returnflag"),
+        graft.operators.Features.cents(col("l_extendedprice")),
+        col("l_quantity").cast("long"), qMilles = Seq(500, 900)),
+      Some(
+        """WITH c AS (
+          |  SELECT l_returnflag,
+          |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |  GROUP BY 1, 2),
+          |r AS (SELECT *,
+          |        CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |        CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+          |          AS tot
+          |      FROM c)
+          |SELECT l_returnflag, q.q_mille, v AS value, tot AS total_weight
+          |FROM r, (VALUES (500), (900)) q(q_mille)
+          |WHERE cum * 1000 >= q.q_mille * tot
+          |  AND (cum - w) * 1000 < q.q_mille * tot""".stripMargin)),
+
+    QueryDef("q353_fano_factor", (s, d) =>
+      // overdispersion of daily event counts per type: var/mean as ONE
+      // exact division (n*sum(c^2) - S^2) div (n*S) in ppm — the
+      // is-this-Poisson gate for arrival monitoring
+      Stats.fanoFactor(
+        events(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), col("cnt")),
+      Some(
+        """WITH c AS (
+          |  SELECT event_type,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+          |       CAST(sum(cnt) AS BIGINT) AS s,
+          |       CASE WHEN sum(cnt) > 0
+          |            THEN CAST(((CAST(count(*) AS HUGEINT)
+          |                        * sum(CAST(cnt AS HUGEINT) * cnt)
+          |                        - CAST(sum(cnt) AS HUGEINT) * sum(cnt))
+          |                       * 1000000)
+          |                      // (CAST(count(*) AS HUGEINT) * sum(cnt))
+          |                      AS BIGINT)
+          |       END AS fano_ppm
+          |FROM c GROUP BY 1""".stripMargin)),
+
     QueryDef("q318_pca_power", (s, d) =>
       // top principal axis of the embedding corpus by integer power
       // iteration over the exact scatter matrix — the degenerate-space

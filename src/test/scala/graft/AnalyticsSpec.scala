@@ -580,6 +580,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- weightedQuantiles ----
+
+  test("weightedQuantiles: weight-rank selection, zero weights unselectable") {
+    // values 1..9 at weight 1 each + a whale at v=10 carrying 91:
+    // the weighted median IS the whale (unweighted would say 5)
+    val df = ((1L to 9L).map(v => ("g", v, 1L)) :+ (("g", 10L, 91L)))
+      .toDF("g", "v", "w")
+    val out = Stats.weightedQuantiles(df, Seq("g"), col("v"), col("w"),
+        Seq(100, 500))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out(500) === 10L)
+    assert(out(100) === 10L) // rank 10 of 100 is already inside the whale
+    // zero-weight value: cum and cum-w coincide -> never selected
+    val z = Seq(("g", 0L, 0L), ("g", 5L, 2L)).toDF("g", "v", "w")
+    val zq = Stats.weightedQuantiles(z, Seq("g"), col("v"), col("w"),
+      Seq(1, 1000)).collect().map(_.getLong(2))
+    assert(zq.toSeq === Seq(5L, 5L))
+  }
+
+  // ---- fanoFactor ----
+
+  test("fanoFactor: constant series 0, bursty 2e6, hand Poisson-ish 5e5") {
+    val df = Seq(("c", 2L), ("c", 2L), ("c", 2L),
+      ("b", 0L), ("b", 4L),
+      ("p", 0L), ("p", 2L), ("p", 1L), ("p", 1L)).toDF("g", "cnt")
+    val out = Stats.fanoFactor(df, Seq("g"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("c" -> 0L, "b" -> 2000000L, "p" -> 500000L))
+  }
+
   // ---- windowedFunnel ----
 
   test("windowedFunnel: reachability beats greedy; equal seconds don't advance") {

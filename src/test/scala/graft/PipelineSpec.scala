@@ -1413,6 +1413,24 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- centroidDrift ----
+
+  test("centroidDrift: orthogonal 0, parallel exactly 1, one-sided labels drop") {
+    val a = Seq((1L, 7L, Array(1.0f, 0.0f)), (2L, 7L, Array(1.0f, 0.0f)),
+      (3L, 8L, Array(1.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val b = Seq((4L, 7L, Array(0.0f, 1.0f)), (5L, 9L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidDrift(a, b)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(7L -> ((2L, 1L, 0.0)))) // labels 8, 9 one-sided
+    // parallel centroids at different scales: exactly 1.0 (perfect-square norms)
+    val b2 = Seq((4L, 7L, Array(2.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val p = Similarity.centroidDrift(a, b2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(7L) === 1.0)
+  }
+
   // ---- dimAblationRecall ----
 
   test("dimAblationRecall: truncation flips the neighbor, full dims recover it") {
