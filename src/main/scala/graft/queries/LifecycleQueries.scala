@@ -1103,6 +1103,34 @@ object LifecycleQueries extends QuerySet {
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin)),
 
+    QueryDef("q354_stream_burst", (s, d) => {
+      // streaming rate-limit alerts (burstAlertStream): per-user sliding
+      // 1h/15m counts; append mode emits each window once the watermark
+      // passes its end, so alerts are immutable facts and the sink is a
+      // pure warehouse APPEND. Oracle = the finalized-window batch twin
+      // (window.end <= max(ts) - 2h, the q185 eviction contract).
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q354", d, s, Seq("q354_burst"))
+      Scratch.resetCheckpoint(wh, "q354_burst")
+      EventsStream.withStatePartitions(s, 8)(
+        EventsStream.burstAlertStream(EventsStream.readEvents(s, d), wh,
+          "q354_burst", threshold = 2L)).awaitTermination()
+      wh.read("q354_burst")
+    }, Some(
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+        |off AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |w AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+        |             make_timestamp((CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+        |                                        / 900000000.0) AS BIGINT) - k)
+        |                            * CAST(900000000 AS BIGINT)) AS win_start
+        |      FROM events, off WHERE user_id IS NOT NULL),
+        |c AS (SELECT win_start, user_id, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM w GROUP BY 1, 2),
+        |fin AS (SELECT c.* FROM c, mx
+        |        WHERE win_start + INTERVAL 1 HOUR <= mt - INTERVAL 2 HOUR)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, user_id, n_events
+        |FROM fin WHERE n_events >= 2""".stripMargin)),
+
     QueryDef("q185_stream_trending", (s, d) => {
       // materialized streaming "trending now" (EventsStream.trendingStream):
       // append-mode sliding windows finalize when the watermark passes

@@ -543,6 +543,46 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming burst (rate-limit) alerts — the in-flight twin of
+    * [[graft.operators.EventAnalytics.slidingBurst]] (q341): per-user
+    * sliding-window event counts (1 h window, 15 min slide), and every
+    * FINALIZED window at or above `threshold` lands as an alert row. The
+    * batch op answers "what was the worst burst ever"; this one fires
+    * while the bot is still running, at watermark latency. Append mode
+    * emits a window only once the watermark passes its end, so alerts
+    * are immutable facts and the sink is a pure APPEND — no rewrite, no
+    * upsert (contrast [[trendingStream]], whose top-k must re-rank).
+    *
+    * Slide-aligned windows are the streaming-standard approximation of
+    * the batch op's event-anchored exact max: a burst of `n` events
+    * inside one hour is caught by some aligned window with count >= the
+    * events falling in it — pigeonhole over the 4 slides guarantees a
+    * window holding >= ceil(n/2) of them, so a threshold-T alert policy
+    * here corresponds to exact bursts in [T, 2T); the trade is documented
+    * the same way LSH recall is. State per (user, open window) is one
+    * count — bounded by active users x 4 slides.
+    */
+  def burstAlertStream(events: DataFrame, wh: graft.engine.Warehouse,
+      table: String, threshold: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(threshold >= 1, s"threshold: $threshold")
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.append(table, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class PendingStep(us: Long, step: Int)
   final case class FunnelState(pending: Seq[PendingStep], reached: Int,
       lastUs: Long, finalizedUs: Long)

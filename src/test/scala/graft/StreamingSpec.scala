@@ -239,6 +239,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("burstAlertStream: finalized windows over threshold == batch twin, append-only") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    import java.nio.file.Files
+    val min = 60L * 1000000
+    val base = 1700000000L * 1000000
+    val wh = new graft.engine.Warehouse(
+      Files.createTempDirectory("graft_burst").toString, spark)
+    val mem = MemoryStream[(Long, Long)] // (user_id, us)
+    def stream = mem.toDF().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val real = Seq( // user 1 bursts (3 in 20 min); user 2 is slow
+      (1L, base + 5 * min), (1L, base + 15 * min), (1L, base + 25 * min),
+      (2L, base + 5 * min), (2L, base + 200 * min))
+    mem.addData(real.take(3): _*)
+    EventsStream.burstAlertStream(stream, wh, "burst", threshold = 2L)
+      .awaitTermination()
+    mem.addData(real.drop(3): _*)
+    EventsStream.burstAlertStream(stream, wh, "burst", threshold = 2L)
+      .awaitTermination()
+    mem.addData((9L, base + 3000 * min)) // sentinel: finalize everything
+    EventsStream.burstAlertStream(stream, wh, "burst", threshold = 2L)
+      .awaitTermination()
+    val got = wh.read("burst")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (real :+ ((9L, base + 3000 * min))).toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter($"n_events" >= 2)
+      // every real window is finalized by the sentinel; the sentinel's own
+      // windows can never reach threshold 2
+      .select($"window.start".as("win_start"), $"user_id", $"n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, s"got: $got")
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 == 1L)) // only the bursting user alerts
+  }
+
   test("eventsSchema falls back to the generator schema when no file exists yet") {
     val empty = java.nio.file.Files.createTempDirectory("graft_noevents").toString
     val st = EventsStream.eventsSchema(spark, empty)
