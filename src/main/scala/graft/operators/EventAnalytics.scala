@@ -754,6 +754,42 @@ object EventAnalytics {
     agg.join(p99, "part")
   }
 
+  /** Audience overlap matrix: for every pair of event types, the exact
+    * Jaccard of their USER sets — the "are my segments the same people?"
+    * readout behind budget allocation and cross-sell targeting (distinct
+    * from [[graft.operators.Features]] basket lift, which counts
+    * co-occurrence per basket and measures association strength; this
+    * measures population overlap). `type_a < type_b` (string order)
+    * emits each unordered pair once.
+    *
+    * Shape: one distinct (type, user) rollup, a self equi-join ON THE
+    * USER key (never a type-pair cartesian — the join output is bounded
+    * by sum over users of (their type count choose 2), type vocabulary
+    * being small by construction), one pair rollup, broadcast per-type
+    * sizes for the union term: `|A u B| = n_a + n_b - n_common`.
+    */
+  def audienceOverlap(events: DataFrame, typeCol: Column,
+      userCol: Column): DataFrame = {
+    val tu = events.filter(typeCol.isNotNull && userCol.isNotNull)
+      .select(typeCol.as("__t"), userCol.as("__u")).distinct()
+      .localCheckpoint(false) // feeds sizes, and both sides of the pair join
+    val sizes = tu.groupBy(col("__t")).agg(count(lit(1)).as("n"))
+    val pairs = tu.select(col("__t").as("type_a"), col("__u"))
+      .join(tu.select(col("__t").as("type_b"), col("__u")), Seq("__u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("__t").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("__t").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        call_function("div", col("n_common") * 1000000L,
+          col("n_a") + col("n_b") - col("n_common")).as("jaccard_ppm"))
+  }
+
   /** Growth accounting (the standard DAU decomposition): every active
     * (user, day) is exactly one of NEW (first-ever day), RETAINED (also
     * active the previous calendar day), or RESURRECTED (returning after a

@@ -534,6 +534,38 @@ object Features {
           den.cast("double")).as("intercept")): _*)
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009,
+    * arXiv:0902.2206): map arbitrary categorical (column, value) pairs
+    * into a FIXED `dim`-sized index space with a sign hash, so downstream
+    * models take a bounded dense vector regardless of category
+    * cardinality — the standard way to featurize high-cardinality
+    * categoricals without a fitted vocabulary (nothing to broadcast,
+    * nothing to drift). Hash = the first 8 md5 hex digits of
+    * `"col:value"` (32-bit, engine-portable — the minhash discipline),
+    * index = hash mod dim, sign = parity of the 9th hex digit; colliding
+    * features SUM, signs making collisions cancel in expectation (the
+    * paper's unbiasedness device). Long format (id, feature_idx, value) —
+    * the sparse form a trainer consumes; zero entries are absent.
+    *
+    * Shape: one explode over the declared column list (bounded fanout),
+    * one (id, idx) rollup. NULL values contribute nothing.
+    */
+  def featureHash(df: DataFrame, idCol: Column, cols: Seq[String],
+      dim: Int): DataFrame = {
+    require(cols.nonEmpty, "featureHash needs feature columns")
+    require(dim >= 2 && dim <= (1 << 20), s"dim: $dim")
+    val toks = cols.map(c =>
+      when(col(c).isNotNull, concat(lit(c), lit(":"), col(c).cast("string"))))
+    val h = conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")
+    val sign = when(
+      conv(substring(md5(col("__tok")), 9, 1), 16, 10).cast("long") % 2L === 0L,
+      lit(1L)).otherwise(lit(-1L))
+    df.select(idCol.as("id"), explode(array(toks: _*)).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy(col("id"), pmod(h, lit(dim.toLong)).as("feature_idx"))
+      .agg(sum(sign).as("value"))
+  }
+
   /** Herfindahl-Hirschman concentration of a value distribution per group
     * (the antitrust/market-concentration index, equally the "is this
     * segment's revenue one whale?" readout): `HHI = sum over holders of

@@ -837,14 +837,18 @@ object Stats {
       .localCheckpoint(false) // feeds pairs, ties, and n — one materialization
     val a = daily.select(gcols ++ Seq(col("day").as("di"), col("y").as("yi")): _*)
     val b = daily.select(gcols ++ Seq(col("day").as("dj"), col("y").as("yj")): _*)
-    val pairs = a.join(b, groupCols).filter(col("di") < col("dj"))
+    // broadcast the right side: the day table is calendar-bounded, so it
+    // is broadcastable BY CONSTRUCTION, and a broadcast hash join makes
+    // pair GENERATION parallel over the left side's partitions — a
+    // shuffled join here keys on groupCols alone, whose cardinality (a
+    // handful of segments) would cap the O(d^2) pair work at that many
+    // tasks (measured 2.4x on 3 groups x 2.5k days)
+    val pairs = a.join(broadcast(b), groupCols).filter(col("di") < col("dj"))
       .withColumn("__dy", col("yj") - col("yi"))
       .withColumn("slope_ppm",
         signum(col("__dy")).cast("long") *
           call_function("div", abs(col("__dy")) * 1000000L,
             col("dj") - col("di")))
-    val sStat = pairs.groupBy(gcols: _*)
-      .agg(sum(signum(col("__dy")).cast("long")).as("s_stat"))
     val ties = daily.groupBy(gcols :+ col("y"): _*)
       .agg(count(lit(1)).as("t"))
       .groupBy(gcols: _*)
@@ -853,19 +857,59 @@ object Stats {
       .withColumn("var18",
         col("n_days") * (col("n_days") - 1L) * (col("n_days") * 2L + 5L) -
           col("__tie"))
-    // lower median of slopes from a (group, slope) rollup: first distinct
-    // slope whose cumulative pair count reaches ceil(pairs/2)
-    val slopeCounts = pairs.groupBy(gcols :+ col("slope_ppm"): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val byV = Window.partitionBy(gcols: _*).orderBy(col("slope_ppm").asc)
-    val whole = Window.partitionBy(gcols: _*)
-    val sen = slopeCounts
-      .withColumn("cum", sum(col("cnt")).over(byV))
-      .withColumn("tot", sum(col("cnt")).over(whole))
-      .filter(col("cum") * 2L >= col("tot") &&
-        (col("cum") - col("cnt")) * 2L < col("tot"))
-      .groupBy(gcols: _*) // the covering row is unique; min is a no-op guard
-      .agg(min(col("slope_ppm")).as("sen_slope_ppm"))
+    // Sen's lower median = the element at rank ceil(P/2) of the slope
+    // multiset. The obvious (group | ORDER BY slope) window caps at the
+    // GROUP cardinality (3 segments -> 3 tasks sorting ~3M pair slopes
+    // each; the obvious (group, slope) pre-rollup is no better — slopes
+    // are near-unique, so the rollup IS the pair set). Instead: the
+    // grouped form of [[graft.operators.Ranking.prefixSums]] — range-
+    // partition on (group, slope), count rows per (group, partition)
+    // (driver collect bounded by groups x partitions), turn the counts
+    // into per-partition rank offsets + the per-group target rank, and
+    // select the covering row with a WITHIN-PARTITION window. Fully
+    // parallel; measured 22.6 s -> 10.5 s on 3 groups x 9.4M pairs at
+    // sf0.1 (the residue is the honest once-materialized pair volume). Equal slopes may split across partitions — selection is by
+    // ROW rank, so the value at the target rank is tie-placement-
+    // invariant. sStat rides the same pinned projection (sign(slope) ==
+    // sign(dy) exactly: |dy| >= 1 scales to >= 1e6 before the div).
+    val parted = pairs.select(gcols :+ col("slope_ppm"): _*)
+      .repartitionByRange(groupCols.map(c => col(c).asc) :+
+        col("slope_ppm").asc: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val sStat = parted.groupBy(gcols: _*)
+      .agg(coalesce(sum(signum(col("slope_ppm")).cast("long")), lit(0L))
+        .as("s_stat"))
+    val partCounts = parted
+      .groupBy(gcols :+ col("__pid"): _*).agg(count(lit(1)).as("__c"))
+      .collect()
+    val offRows = partCounts.groupBy(r => groupCols.map(r.getAs[Any]))
+      .toSeq.flatMap { case (gk, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("__pid"))
+        val target = (sorted.map(_.getAs[Long]("__c")).sum + 1L) / 2L
+        var cum = 0L
+        sorted.map { r =>
+          val off = cum; cum += r.getAs[Long]("__c")
+          org.apache.spark.sql.Row.fromSeq(
+            gk ++ Seq(r.getAs[Long]("__pid"), off, target))
+        }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(n => parted.schema(n)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__target",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val wIn = Window.partitionBy(gcols :+ col("__pid"): _*)
+      .orderBy(col("slope_ppm").asc)
+    val sen = parted.join(broadcast(offDf), groupCols :+ "__pid")
+      .withColumn("__rk", row_number().over(wIn).cast("long") + col("__off"))
+      .filter(col("__rk") === col("__target"))
+      .select(gcols :+ col("slope_ppm").as("sen_slope_ppm"): _*)
     sStat.join(ties, groupCols).join(sen, groupCols)
       .withColumn("significant",
         abs(col("s_stat")) > 1L &&
@@ -909,6 +953,45 @@ object Stats {
           col("q_mille").cast("long") * col("tot"))
       .select(gcols ++ Seq(col("q_mille"), col("v").as("value"),
         col("tot").as("total_weight")): _*)
+  }
+
+  /** Total-variation distance between two categorical distributions —
+    * the log-free drift metric (unlike KL/PSI it needs no logarithm, so
+    * it stays EXACT): `TV = (1/2) sum_i |p_i - q_i|`, here as ONE
+    * DECIMAL division `sum(|c_a*N_b - c_b*N_a|) * 1e6 div (2*N_a*N_b)` —
+    * no per-category share truncation accumulates. TV is the maximum
+    * probability mass any event can differ by (the tightest
+    * distribution-shift bound there is); ppm 0 = identical mixes,
+    * 1e6 = disjoint support. Rows are split into the A population by
+    * `inA`; categories missing from one side contribute their full mass,
+    * which is exactly what makes TV catch vanished/new categories that
+    * binned KS misses.
+    *
+    * Shape: one (category) rollup carrying both populations' counts as
+    * conditional sums, one global agg. Nothing scales past the category
+    * domain.
+    */
+  def totalVariationDrift(df: DataFrame, inA: Column,
+      catCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.filter(catCol.isNotNull)
+      .groupBy(catCol.as("__c"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inA, 0L).otherwise(1L)).as("__cb"))
+      .localCheckpoint(false) // feeds the totals agg AND the abs pass
+    val totals = counts.agg(count(lit(1)).as("n_cats"),
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .agg(first(col("n_cats")).as("n_cats"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(dec(col("__ca")) * dec(col("n_b")) -
+          dec(col("__cb")) * dec(col("n_a")))).as("__s"))
+      .select(col("n_cats"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          call_function("div", col("__s") * dec(lit(1000000L)),
+            dec(lit(2L)) * dec(col("n_a")) * dec(col("n_b"))).cast("long"))
+          .as("tv_ppm"))
   }
 
   /** Fano factor (index of dispersion) of a per-group count series:

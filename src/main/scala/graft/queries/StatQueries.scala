@@ -110,6 +110,91 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q355_tv_drift", (s, d) =>
+      // total-variation distance between the first-5-days-of-week and
+      // rest event-type mixes: the log-free exact drift metric, ONE
+      // DECIMAL division — catches vanished/new categories binned KS misses
+      Stats.totalVariationDrift(events(s, d).filter(col("ts").isNotNull),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7 < 5,
+        col("event_type")),
+      Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 7 < 5
+          |              THEN 1 ELSE 0 END AS in_a
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          |c AS (SELECT event_type,
+          |             CAST(sum(in_a) AS BIGINT) AS ca,
+          |             CAST(sum(1 - in_a) AS BIGINT) AS cb
+          |      FROM b GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+          |             CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+          |             CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b
+          |      FROM c)
+          |SELECT t.n_cats, t.n_a, t.n_b,
+          |       CASE WHEN t.n_a > 0 AND t.n_b > 0
+          |            THEN CAST((sum(abs(CAST(c.ca AS HUGEINT) * t.n_b
+          |                               - CAST(c.cb AS HUGEINT) * t.n_a))
+          |                       * 1000000)
+          |                      // (2 * CAST(t.n_a AS HUGEINT) * t.n_b)
+          |                      AS BIGINT)
+          |       END AS tv_ppm
+          |FROM c CROSS JOIN t GROUP BY 1, 2, 3""".stripMargin)),
+
+    QueryDef("q356_feature_hash", (s, d) =>
+      // the hashing trick: fixed 64-dim signed index space over
+      // high-cardinality categoricals, md5-portable on both engines,
+      // colliding features sum with cancelling signs
+      Features.featureHash(table(s, d, "customer"), col("c_custkey"),
+        Seq("c_mktsegment", "c_nationkey"), dim = 64)
+        .withColumn("id", col("id").cast("long")),
+      Some(
+        """WITH t AS (
+          |  SELECT CAST(c_custkey AS BIGINT) AS id,
+          |         'c_mktsegment:' || c_mktsegment AS tok
+          |  FROM customer WHERE c_mktsegment IS NOT NULL
+          |  UNION ALL
+          |  SELECT CAST(c_custkey AS BIGINT),
+          |         'c_nationkey:' || CAST(c_nationkey AS VARCHAR)
+          |  FROM customer WHERE c_nationkey IS NOT NULL)
+          |SELECT id,
+          |       CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+          |            AS BIGINT) AS feature_idx,
+          |       CAST(sum(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT
+          |                          % 2 = 0
+          |                     THEN 1 ELSE -1 END) AS BIGINT) AS value
+          |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q357_audience_overlap", (s, d) => {
+      // population overlap per event-type pair: exact Jaccard of user
+      // sets — user-keyed self equi-join, never a type-pair cartesian.
+      // Day-1 audiences: over the full month every user touches every
+      // type (jaccard saturates at 1e6 and proves nothing)
+      val ev = events(s, d).filter(col("ts").isNotNull)
+      val d0 = ev.agg(min(to_date(col("ts"))).as("__d0"))
+      graft.operators.EventAnalytics.audienceOverlap(
+        ev.crossJoin(broadcast(d0))
+          .filter(to_date(col("ts")) === col("__d0")),
+        col("event_type"), col("user_id"))
+    }, Some(
+        """WITH tu AS (SELECT DISTINCT event_type AS t,
+          |                   CAST(user_id AS BIGINT) AS u
+          |            FROM events
+          |            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          |              AND ts IS NOT NULL
+          |              AND CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE))
+          |                                      FROM events)),
+          |s AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+          |p AS (SELECT a.t AS type_a, b.t AS type_b,
+          |             CAST(count(*) AS BIGINT) AS n_common
+          |      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+          |      GROUP BY 1, 2)
+          |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+          |       (p.n_common * 1000000) // (sa.n + sb.n - p.n_common)
+          |         AS jaccard_ppm
+          |FROM p JOIN s sa ON sa.t = p.type_a
+          |       JOIN s sb ON sb.t = p.type_b""".stripMargin)),
+
     QueryDef("q351_weighted_quantiles", (s, d) =>
       // quantity-weighted price quantiles per return flag: the smallest
       // price whose cumulative WEIGHT reaches the rank — whale rows count

@@ -580,6 +580,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- totalVariationDrift ----
+
+  test("totalVariationDrift: hand TV, identical 0, disjoint 1e6") {
+    def mk(pop: String, cat: String, n: Int) = Seq.fill(n)((pop, cat))
+    val df = (mk("a", "x", 3) ++ mk("a", "y", 1) ++
+      mk("b", "x", 1) ++ mk("b", "y", 1) ++ mk("b", "z", 2)).toDF("p", "c")
+    val r = Stats.totalVariationDrift(df, col("p") === "a", col("c"))
+      .collect()(0)
+    assert(r.toSeq === Seq(3L, 4L, 4L, 500000L))
+    val same = (mk("a", "x", 2) ++ mk("b", "x", 5)).toDF("p", "c")
+    assert(Stats.totalVariationDrift(same, col("p") === "a", col("c"))
+      .collect()(0).getLong(3) === 0L)
+    val disj = (mk("a", "x", 2) ++ mk("b", "y", 3)).toDF("p", "c")
+    assert(Stats.totalVariationDrift(disj, col("p") === "a", col("c"))
+      .collect()(0).getLong(3) === 1000000L)
+  }
+
+  // ---- audienceOverlap ----
+
+  test("audienceOverlap: exact pair Jaccard over distinct user sets") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 3L), // dup collapses
+      ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L)).toDF("t", "u")
+    val r = EventAnalytics.audienceOverlap(ev, col("t"), col("u")).collect()
+    assert(r.length === 1)
+    assert(r(0).toSeq === Seq("a", "b", 3L, 4L, 2L, 400000L))
+  }
+
   // ---- weightedQuantiles ----
 
   test("weightedQuantiles: weight-rank selection, zero weights unselectable") {

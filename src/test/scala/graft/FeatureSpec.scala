@@ -651,6 +651,34 @@ class FeatureSpec extends AnyFunSuite {
     assert(r.getDouble(3) === 0.9)
   }
 
+  // ---- featureHash ----
+
+  test("featureHash: exact match vs an independent java md5 replay") {
+    def feat(tok: String, dim: Int): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim,
+        if (java.lang.Long.parseLong(hex.substring(8, 9), 16) % 2 == 0) 1L
+        else -1L)
+    }
+    def merge(toks: Seq[String]): Map[Long, Long] =
+      toks.map(feat(_, 16)).groupBy(_._1).map { case (i, vs) =>
+        i -> vs.map(_._2).sum
+      }.filter(_._2 != 0L) // a cancelled collision sums to 0 but still rows
+    val df = Seq((1L, "A", Some("x")), (2L, "A", None), (3L, "B", None))
+      .toDF("id", "seg", "opt")
+    val out = Features.featureHash(df, col("id"), Seq("seg", "opt"), dim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(out(2L) === merge(Seq("seg:A")))
+    assert(out(3L) === merge(Seq("seg:B")))
+    // id 1 carries both tokens; compare modulo the sum-to-zero case
+    val exp1 = Seq("seg:A", "opt:x").map(feat(_, 16))
+      .groupBy(_._1).map { case (i, vs) => i -> vs.map(_._2).sum }
+    assert(out(1L) === exp1)
+  }
+
   // ---- hhiConcentration ----
 
   test("hhiConcentration: equal holders, monopoly, multi-row holder rollup") {
