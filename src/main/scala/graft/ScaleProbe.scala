@@ -337,6 +337,53 @@ object ScaleProbe {
       }
     }
 
+    // windowed funnel: per-step gap-bounded joins are USER-keyed — replicas
+    // add users, qualified sets grow linearly, never cross-user pairs
+    val evf1 = graft.sources.Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).localCheckpoint()
+    val evfN = (0 until reps).map(r =>
+      evf1.withColumn("user_id", col("user_id") + lit(r * 10000000L)))
+      .reduce(_ unionByName _).localCheckpoint()
+    for ((label, ev) <- Seq("1x" -> evf1, s"${reps}x" -> evfN)) {
+      time(s"windowed_funnel       $label") {
+        graft.operators.EventAnalytics.windowedFunnel(ev,
+          Seq("view", "click", "purchase"), maxGapSec = 7200L).count()
+      }
+    }
+
+    // distributed prefix sums / ABC: range-partitioned running totals —
+    // replicas add keys linearly, the driver collect stays partition-bounded
+    val ab1 = table(spark, sfDir, "lineitem")
+      .select(col("l_partkey").cast("long").as("k"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      .localCheckpoint()
+    val abN = (0 until reps).map(r =>
+      ab1.withColumn("k", col("k") + lit(r * 100000000L)))
+      .reduce(_ unionByName _).localCheckpoint()
+    for ((label, ab) <- Seq("1x" -> ab1, s"${reps}x" -> abN)) {
+      time(s"abc_prefix_sums       $label") {
+        graft.operators.Ranking.abcClassify(ab, col("k"), col("v")).count()
+      }
+    }
+
+    // Mann-Kendall + Sen: the O(d^2) pair volume is CALENDAR-bounded —
+    // replicas multiply rows but not days, so pairs (and cost) stay flat;
+    // the grouped prefix-sum median keeps selection parallel
+    val mk1 = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        datediff(to_date(col("l_shipdate")),
+          lit("1970-01-01").cast("date")).as("day"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      .localCheckpoint()
+    val mkN = (0 until reps).map(_ => mk1).reduce(_ unionByName _)
+      .localCheckpoint()
+    for ((label, mk) <- Seq("1x" -> mk1, s"${reps}x" -> mkN)) {
+      time(s"mann_kendall_sen      $label") {
+        graft.pipeline.Stats.mannKendallDaily(mk, Seq("g"), col("day"),
+          col("v")).count()
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

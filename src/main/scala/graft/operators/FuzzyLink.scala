@@ -229,6 +229,34 @@ object FuzzyLink {
     withModes.withColumnRenamed("__e", "entity")
   }
 
+  /** Mutual-best 1:1 assignment: from a scored candidate-pair relation,
+    * keep exactly the pairs that are EACH OTHER's best match — rank 1 for
+    * their left id AND rank 1 for their right id, ranked by (score desc,
+    * other-id asc). The standard closed-form one-to-one reduction for
+    * record linkage (a left record must not absorb two rights; greedy
+    * global matching needs sequential passes, while mutual-best is one
+    * shot, deterministic, and a subset of every maximum matching's
+    * stable core). Ties break on the partner id, so the assignment is
+    * engine-reproducible even at equal scores.
+    *
+    * Shape: two windows over the pair relation — one partitioned by each
+    * side's id. Candidate lists are blocking-bounded upstream, so both
+    * windows sort small per-key groups; two shuffles, no joins.
+    */
+  def mutualBestMatch(pairs: DataFrame, leftId: Column, rightId: Column,
+      score: Column): DataFrame = {
+    val base = pairs.select(leftId.as("left_id"), rightId.as("right_id"),
+      score.as("score"))
+    val byL = Window.partitionBy(col("left_id"))
+      .orderBy(col("score").desc, col("right_id").asc)
+    val byR = Window.partitionBy(col("right_id"))
+      .orderBy(col("score").desc, col("left_id").asc)
+    base.withColumn("__rl", row_number().over(byL))
+      .withColumn("__rr", row_number().over(byR))
+      .filter(col("__rl") === 1 && col("__rr") === 1)
+      .select(col("left_id"), col("right_id"), col("score"))
+  }
+
   /** Blocking-quality audit (Christen 2012's two standard measures): for a
     * candidate blocking key, the REDUCTION RATIO (share of the full N^2/2
     * comparison space the blocking discards) and the PAIRS COMPLETENESS

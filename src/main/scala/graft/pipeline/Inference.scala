@@ -460,6 +460,34 @@ object Inference {
       .drop("__sq")
   }
 
+  /** Expected calibration error (Naeini 2015's ECE; Guo 2017's standard
+    * form) over the same milli-probability buckets as [[reliability]]:
+    * `ECE = sum_b (n_b/N) |acc_b - conf_b|`, which collapses to ONE exact
+    * division — per bucket `|c_b*1e6 - 1000*sum(p_milli)|` is an integer
+    * (n_b cancels), so `ece_ppm = sum_b |...| div N`. Also the maximum
+    * calibration error `mce_ppm = max_b |...| div n_b` (its per-bucket
+    * division is unavoidable; still exact). [[reliability]] shows WHERE
+    * the curve bends; this is the single number a model gate thresholds.
+    *
+    * Shape: one bucket rollup, one bounded (<= 11-bucket) agg.
+    */
+  def ece(df: DataFrame, probMilliCol: Column, labelCol: Column): DataFrame = {
+    val base = df.filter(probMilliCol.isNotNull && labelCol.isNotNull)
+      .select(probMilliCol.cast("long").as("__p"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    base.groupBy(call_function("div", col("__p"), lit(100L)).as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        abs(sum(col("__y")) * 1000000L - sum(col("__p")) * 1000L).as("__gap"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__gap")).as("__g"),
+        max(call_function("div", col("__gap"), col("__n"))).as("mce_ppm"))
+      .select(col("n"), col("n_buckets"),
+        when(col("n") > 0L, call_function("div", col("__g"), col("n")))
+          .as("ece_ppm"),
+        col("mce_ppm"))
+  }
+
   /** Cumulative gains table over score deciles: rank rows by a model
     * score (descending — decile 1 is the model's best), report per decile
     * the cumulative share of all positives captured, in exact ppm — the

@@ -541,4 +541,51 @@ object Sampling {
       .filter(col("rank") <= kNeg)
       .select(col("anchor_id"), col("negative_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** Mixture-rebalance PLANNER: given declared target shares (ppm) per
+    * source, compute the LARGEST total corpus that honors the shares with
+    * the rows actually available — `T = min_i floor(n_i * 1e6 / share_i)`
+    * — and per source the rows to take, the keep ratio a sampler (e.g.
+    * [[mixtureSample]]) should be handed, and whether that source is the
+    * BINDING constraint (the one to go collect more of). The samplers
+    * here consume fractions; this is where the fractions come from — run
+    * it before a pretraining mix job instead of discovering mid-run that
+    * the 30% source only covers 12%.
+    *
+    * All integer: caps and takes are floor divisions; `take <= n` by
+    * construction (`T <= n_i*1e6/share_i` implies `T*share_i/1e6 <= n_i`).
+    * A declared source absent from the data caps T at 0 — an infeasible
+    * mix reports itself as an all-zero plan, not a silent re-scale.
+    * Shape: one source rollup left-joined from the broadcast declared dim,
+    * a 1-row min, broadcast back.
+    */
+  def mixRebalance(df: DataFrame, sourceCol: Column,
+      targetPpm: Seq[(String, Long)]): DataFrame = {
+    require(targetPpm.nonEmpty && targetPpm.map(_._1).distinct.size ==
+      targetPpm.size, s"duplicate sources: $targetPpm")
+    require(targetPpm.forall(_._2 > 0) && targetPpm.map(_._2).sum == 1000000L,
+      s"target shares must be positive and sum to 1e6: $targetPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = targetPpm.toDF("source", "target_ppm")
+    val counts = df.groupBy(sourceCol.cast("string").as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+    val capped = broadcast(target).join(counts, Seq("source"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("__cap",
+        call_function("div", col("n_rows") * 1000000L, col("target_ppm")))
+    val tMin = capped.agg(min(col("__cap")).as("feasible_total"))
+    capped.crossJoin(broadcast(tMin))
+      .withColumn("take_rows",
+        call_function("div", col("feasible_total") * col("target_ppm"),
+          lit(1000000L)))
+      .withColumn("keep_ppm",
+        when(col("n_rows") > 0L,
+          call_function("div", col("take_rows") * 1000000L, col("n_rows")))
+          .otherwise(lit(0L)))
+      .withColumn("binding", col("__cap") === col("feasible_total"))
+      .select(col("source"), col("n_rows"), col("target_ppm"),
+        col("feasible_total"), col("take_rows"), col("keep_ppm"),
+        col("binding"))
+  }
 }

@@ -1633,6 +1633,45 @@ object InferenceQueries extends QuerySet {
         |         AS brier_bucket_micro
         |FROM b GROUP BY 1""".stripMargin)),
 
+    QueryDef("q360_ece", (s, d) => {
+      // the single-number calibration gate over q297's scored orders:
+      // ECE as ONE exact division (the per-bucket n_b cancels), MCE as
+      // the worst bucket's exact gap
+      val preds = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("succ"))
+        .withColumn("p_milli",
+          expr("(succ + 30) * 1000 div (n + 100)"))
+      val scored = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(preds.select(col("c_nationkey"), col("p_milli"))),
+          Seq("c_nationkey"))
+      Inference.ece(scored, col("p_milli"), col("o_orderstatus") === "F")
+    }, Some(
+      """WITH j AS (SELECT c_nationkey, o_orderstatus FROM orders
+        |           JOIN customer ON c_custkey = o_custkey),
+        |p AS (SELECT c_nationkey,
+        |             (sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 30)
+        |               * 1000 // (count(*) + 100) AS p_milli
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT p.p_milli AS pm,
+        |             CASE WHEN j.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |      FROM j JOIN p USING (c_nationkey)),
+        |g AS (SELECT pm // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |             abs(CAST(sum(y) AS BIGINT) * 1000000
+        |                 - CAST(sum(pm) AS BIGINT) * 1000) AS gap
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CASE WHEN coalesce(sum(n), 0) > 0
+        |            THEN CAST(CAST(sum(gap) AS BIGINT)
+        |                      // CAST(sum(n) AS BIGINT) AS BIGINT)
+        |       END AS ece_ppm,
+        |       CAST(max(gap // n) AS BIGINT) AS mce_ppm
+        |FROM g""".stripMargin)),
+
     QueryDef("q298_gains_table", (s, d) =>
       // campaign-depth planning: rank orders by value (the model score),
       // report each decile's cumulative share of fulfillments captured —

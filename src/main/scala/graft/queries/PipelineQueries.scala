@@ -161,6 +161,71 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q358_mutual_best_match", (s, d) =>
+      // 1:1 linkage assignment over the q35 minhash near-dup pairs: keep
+      // pairs that are EACH OTHER's best by jaccard — two windows, no
+      // sequential greedy
+      graft.operators.FuzzyLink.mutualBestMatch(
+        Dedup.minhashPairs(table(s, d, "documents"), n = 3, k = 8,
+          bandSize = 2, threshold = 0.5),
+        col("id_a"), col("id_b"), col("jaccard")),
+      Some(
+        s"""WITH docs AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+           |sigs AS (
+           |  SELECT id, sh,
+           |         list_transform(generate_series(0, 7),
+           |           i -> list_min(list_transform(
+           |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+           |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+           |  FROM docs),
+           |banded AS (
+           |  SELECT id, sh, b.band,
+           |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+           |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+           |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id),
+           |pr AS (SELECT id_a AS left_id, id_b AS right_id,
+           |              ${jaccardSql("sh_a", "sh_b")} AS score
+           |       FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+           |r AS (SELECT *,
+           |        row_number() OVER (PARTITION BY left_id
+           |          ORDER BY score DESC, right_id ASC) AS rl,
+           |        row_number() OVER (PARTITION BY right_id
+           |          ORDER BY score DESC, left_id ASC) AS rr
+           |      FROM pr)
+           |SELECT left_id, right_id, score FROM r
+           |WHERE rl = 1 AND rr = 1""".stripMargin)),
+
+    QueryDef("q359_mix_rebalance", (s, d) =>
+      // pretraining-mix planner: the LARGEST total honoring the declared
+      // shares with the rows available, per-source take/keep fractions,
+      // and the binding source — run before the mix job, not during it
+      graft.pipeline.Sampling.mixRebalance(table(s, d, "documents"),
+        col("source"), Seq("src0" -> 400000L, "src1" -> 300000L,
+          "src2" -> 200000L, "src3" -> 100000L)),
+      Some(
+        """WITH t(source, tp) AS (VALUES ('src0', 400000), ('src1', 300000),
+          |                              ('src2', 200000), ('src3', 100000)),
+          |c AS (SELECT CAST(source AS VARCHAR) AS source,
+          |             CAST(count(*) AS BIGINT) AS n_rows
+          |      FROM documents GROUP BY 1),
+          |j AS (SELECT t.source, coalesce(c.n_rows, 0) AS n_rows,
+          |             CAST(t.tp AS BIGINT) AS target_ppm,
+          |             (coalesce(c.n_rows, 0) * 1000000) // t.tp AS cap
+          |      FROM t LEFT JOIN c USING (source)),
+          |m AS (SELECT min(cap) AS feasible_total FROM j)
+          |SELECT j.source, j.n_rows, j.target_ppm, m.feasible_total,
+          |       (m.feasible_total * j.target_ppm) // 1000000 AS take_rows,
+          |       CASE WHEN j.n_rows > 0
+          |            THEN ((m.feasible_total * j.target_ppm) // 1000000
+          |                  * 1000000) // j.n_rows
+          |            ELSE CAST(0 AS BIGINT) END AS keep_ppm,
+          |       j.cap = m.feasible_total AS binding
+          |FROM j, m""".stripMargin)),
+
     QueryDef("q352_centroid_drift", (s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.centroidDrift(

@@ -1160,6 +1160,38 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- mutualBestMatch ----
+
+  test("mutualBestMatch: only reciprocal bests survive; ties break on partner id") {
+    // L1's best is R1 (0.9); R1's best is L1 -> kept.
+    // L2's best is R1 (0.8) but R1 prefers L1 -> dropped; L2-R2 (0.7) is
+    // R2's best but not L2's best -> dropped too (strict mutual-best).
+    val pairs = Seq((1L, 10L, 0.9), (2L, 10L, 0.8), (2L, 20L, 0.7),
+      (3L, 30L, 0.5), (4L, 30L, 0.5) // tie at R30: smaller left id wins
+    ).toDF("a", "b", "s")
+    val out = FuzzyLink.mutualBestMatch(pairs, col("a"), col("b"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (3L, 30L)))
+  }
+
+  // ---- ece ----
+
+  test("ece: hand bucket gaps, single division; perfect calibration 0") {
+    import graft.pipeline.Inference
+    // bucket 5 (p=550 milli): 4 rows, 2 pos -> gap |2e6 - 4*550*1000| =
+    // 200000; bucket 9 (p=900): 2 rows, 2 pos -> gap |2e6 - 1.8e6| =
+    // 200000; ECE = 400000/6 = 66666; MCE = max(200000/4, 200000/2)
+    val df = (Seq.fill(2)((550L, true)) ++ Seq.fill(2)((550L, false)) ++
+      Seq.fill(2)((900L, true))).toDF("p", "y")
+    val r = Inference.ece(df, col("p"), col("y")).collect()(0)
+    assert(r.toSeq === Seq(6L, 2L, 66666L, 100000L))
+    // exactly calibrated buckets -> 0/0
+    val cal = (Seq.fill(1)((500L, true)) ++ Seq.fill(1)((500L, false)))
+      .toDF("p", "y")
+    val c = Inference.ece(cal, col("p"), col("y")).collect()(0)
+    assert((c.getLong(2), c.getLong(3)) === ((0L, 0L)))
+  }
+
   // ---- momSmoothedRates ----
 
   test("momSmoothedRates: hand MoM prior, shrinkage direction, flat pass-through") {

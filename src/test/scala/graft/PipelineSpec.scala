@@ -1413,6 +1413,29 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- mixRebalance ----
+
+  test("mixRebalance: binding source caps the plan; absent source zeroes it") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(90)("b")).map(Tuple1(_))
+      .toDF("src")
+    val out = Sampling.mixRebalance(df, col("src"),
+        Seq("a" -> 500000L, "b" -> 500000L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // a caps: 10*1e6/5e5 = 20 total -> take 10 each; b keeps 10/90
+    assert(out("a") === ((10L, 20L, 10L, 1000000L, true)))
+    assert(out("b") === ((90L, 20L, 10L, 111111L, false)))
+    // a declared source with zero rows makes the whole mix infeasible
+    val z = Sampling.mixRebalance(df, col("src"),
+        Seq("a" -> 500000L, "nope" -> 500000L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z.values.toSet === Set(0L))
+    intercept[IllegalArgumentException] {
+      Sampling.mixRebalance(df, col("src"), Seq("a" -> 999999L))
+    }
+  }
+
   // ---- centroidDrift ----
 
   test("centroidDrift: orthogonal 0, parallel exactly 1, one-sided labels drop") {
