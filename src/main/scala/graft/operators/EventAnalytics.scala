@@ -119,6 +119,54 @@ object EventAnalytics {
       .select(col("user_id"), coalesce(col("reached"), lit(0)).as("reached"))
   }
 
+  /** Temporal association rules ("A then B within the window",
+    * EVENTUALLY-semantics): for every ordered type pair, how many users
+    * exhibit some A strictly before some B with `gap <= maxGapSec` — and
+    * the confidence against the users who had A at all. The
+    * sequential-pattern baseline that [[transitionMatrix]] (immediate
+    * next step only) and [[windowedFunnel]] (one declared path) both
+    * under-report: "do viewers eventually buy, and within what horizon?"
+    * asks for ANY A-B bracket, not adjacency.
+    *
+    * Exact second-granular counting on USERS (a user counts once per
+    * rule, however many brackets they have). Shape: one distinct
+    * (user, type, second) rollup pinned once, a user-keyed self equi-join
+    * with the gap predicate riding along (bounded by per-user event
+    * volume, never cross-user), a (from, to) rollup, and a broadcast
+    * per-type user count for the confidence denominator.
+    */
+  def temporalRules(events: DataFrame, maxGapSec: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxGapSec >= 1, s"maxGapSec: $maxGapSec")
+    val base = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        call_function("div", unix_micros(col(tsCol)), lit(1000000L))
+          .as("__sec"))
+      .distinct()
+      .localCheckpoint(false) // both join arms + the per-type denominator
+    val typeUsers = base.select(col("__u"), col("__t")).distinct()
+      .groupBy(col("__t").as("from_type"))
+      .agg(count(lit(1)).as("n_from_users"))
+    val seqUsers = base.select(col("__u"), col("__t").as("from_type"),
+        col("__sec").as("__s1"))
+      .join(base.select(col("__u"), col("__t").as("to_type"),
+        col("__sec").as("__s2")), Seq("__u"))
+      .filter(col("from_type") =!= col("to_type") &&
+        col("__s2") > col("__s1") &&
+        col("__s2") <= col("__s1") + maxGapSec)
+      .select(col("__u"), col("from_type"), col("to_type")).distinct()
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_seq_users"))
+    seqUsers.join(broadcast(typeUsers), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_from_users"),
+        col("n_seq_users"),
+        call_function("div", col("n_seq_users") * 1000000L,
+          col("n_from_users")).as("confidence_ppm"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * counts and conditional probabilities of (from_type -> to_type) steps,
     * ordered by event time with an id tie-break (total order — the funnel

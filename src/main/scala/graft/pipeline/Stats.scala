@@ -955,6 +955,48 @@ object Stats {
         col("tot").as("total_weight")): _*)
   }
 
+  /** Exact per-group TRIMMED mean: drop the lowest and highest
+    * `trimMille`/1000 of ROWS (by rank, ties split arithmetically across
+    * the boundary value) and average the middle — the robust center that,
+    * unlike winsorizing, refuses to let tails vote at all (the metric-
+    * dashboard convention for latency and spend means). All integer: the
+    * kept-rank interval is `[l+1, n-l]` with `l = n*trimMille div 1000`;
+    * each distinct value contributes `overlap([cum-cnt+1, cum], kept)`
+    * rows, and the mean is ONE final micro division.
+    *
+    * Same distinct-value-rollup shape as [[exactQuantiles]] — windows
+    * over the value domain per group, never raw rows. Degenerate groups
+    * (all rows trimmed, n <= 2l) emit NULL mean with `n_kept = 0`.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      trimMille: Int): DataFrame = {
+    require(trimMille >= 1 && trimMille < 500, s"trimMille: $trimMille")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcols = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .withColumn("__l",
+        call_function("div", col("tot") * trimMille.toLong, lit(1000L)))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("cum"), col("tot") - col("__l")) -
+            greatest(col("cum") - col("cnt") + 1L, col("__l") + 1L) + 1L))
+      .groupBy(gcols: _*)
+      .agg(max(col("tot")).as("n"),
+        coalesce(sum(col("__kept")), lit(0L)).as("n_kept"),
+        sum(dec(col("__kept")) * dec(col("v"))).as("__s"))
+      .select(gcols ++ Seq(col("n"), col("n_kept"),
+        when(col("n_kept") > 0L,
+          call_function("div", col("__s") * dec(lit(1000000L)),
+            dec(col("n_kept"))).cast("long")).as("trimmed_mean_micro")): _*)
+  }
+
   /** Total-variation distance between two categorical distributions —
     * the log-free drift metric (unlike KL/PSI it needs no logarithm, so
     * it stays EXACT): `TV = (1/2) sum_i |p_i - q_i|`, here as ONE

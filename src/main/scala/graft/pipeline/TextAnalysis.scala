@@ -1146,6 +1146,59 @@ object TextAnalysis {
     }.reduce(_ unionByName _)
   }
 
+  /** Vocabulary growth curve (the empirical Heaps'-law points): distinct
+    * type count after ingesting the first 10%, 20%, ... of documents in
+    * a declared deterministic order — the "will the vocab keep exploding
+    * at 10x corpus" extrapolation input for tokenizer budgeting, and the
+    * saturation check for [[vocabCoverage]]'s chosen sizes. Exact via
+    * first-occurrence ranks, NO sequential scan: a token is in the
+    * prefix-k vocabulary iff its EARLIEST document (by the order column)
+    * falls inside the prefix, so one (token -> min order) rollup answers
+    * every checkpoint.
+    *
+    * Checkpoints are per-mille document-count cuts: prefix size
+    * `ceil(share * n_docs / 1000)`, the boundary document resolved from a
+    * (order -> doc rank) rollup via [[graft.operators.Ranking]]-style
+    * cross-multiplied rank tests — orderCol must be a unique total order
+    * (doc ids). Shape: one explode rollup, one doc rollup, a tiny
+    * checkpoint cross join; token order never sorts raw rows.
+    */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, orderCol: Column,
+      textCol: Column, sharesMille: Seq[Int], n: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(sharesMille.nonEmpty && sharesMille == sharesMille.sorted &&
+      sharesMille.distinct == sharesMille &&
+      sharesMille.head >= 1 && sharesMille.last <= 1000,
+      s"sharesMille must be ascending in [1, 1000]: $sharesMille")
+    require(n >= 1 && n <= 8, s"n: $n")
+    val docs = df.filter(textCol.isNotNull)
+      .select(orderCol.cast("long").as("__ord"), textCol.as("__text"))
+      .localCheckpoint(false) // feeds the doc-rank rollup AND the explode
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    // rank of each doc in __ord order, from a distinct-order rollup via
+    // range-partitioned row numbers (never a single-partition window)
+    val ranked = graft.operators.Ranking.globalRowNumbers(
+        docs.select(col("__ord")).distinct(), Seq(col("__ord").asc), "__rk0")
+      .withColumn("__rk", col("__rk0") + 1L).drop("__rk0")
+    val grams =
+      if (n == 1) tokens(col("__text"))
+      else ngramsFromTokens(tokens(col("__text")), n)
+    val firstSeen = docs
+      .select(col("__ord"), explode(grams).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("__ord")).as("__ord"))
+      .join(ranked, Seq("__ord"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = sharesMille.toDF("share_mille")
+    firstSeen.crossJoin(broadcast(cutDf)).crossJoin(broadcast(nDocs))
+      // prefix size ceil(share * n / 1000): token counted iff
+      // rk <= that, i.e. (rk - 1) * 1000 < share * n
+      .filter((col("__rk") - 1L) * 1000L <
+        col("share_mille").cast("long") * col("__n"))
+      .groupBy(col("share_mille"))
+      .agg(max(col("__n")).as("n_docs"), count(lit(1)).as("vocab_size"))
+  }
+
   /** ROUGE-N recall (Lin 2004, "ROUGE: A Package for Automatic Evaluation
     * of Summaries") between a candidate and a reference text ON THE SAME
     * ROW: the share of the reference's n-grams the candidate covers, with

@@ -118,6 +118,32 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q361_temporal_rules", (s, d) =>
+      // "A then B within 24h" eventually-rules per ordered type pair:
+      // user-counted support + confidence vs users who had A at all —
+      // the sequential-pattern baseline adjacency matrices under-report
+      graft.operators.EventAnalytics.temporalRules(events(s, d),
+        maxGapSec = 86400L),
+      Some(
+        """WITH b AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+          |                  event_type AS t,
+          |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+          |           FROM events WHERE user_id IS NOT NULL
+          |             AND event_type IS NOT NULL AND ts IS NOT NULL),
+          |tu AS (SELECT t AS from_type,
+          |              CAST(count(DISTINCT u) AS BIGINT) AS n_from_users
+          |       FROM b GROUP BY 1),
+          |sq AS (SELECT DISTINCT a.u, a.t AS from_type, c.t AS to_type
+          |       FROM b a JOIN b c ON a.u = c.u AND a.t <> c.t
+          |         AND c.sec > a.sec AND c.sec <= a.sec + 86400),
+          |s AS (SELECT from_type, to_type,
+          |             CAST(count(*) AS BIGINT) AS n_seq_users
+          |      FROM sq GROUP BY 1, 2)
+          |SELECT s.from_type, s.to_type, tu.n_from_users, s.n_seq_users,
+          |       (s.n_seq_users * 1000000) // tu.n_from_users
+          |         AS confidence_ppm
+          |FROM s JOIN tu USING (from_type)""".stripMargin)),
+
     QueryDef("q349_abc_classification", (s, d) =>
       // Pareto/ABC: parts by revenue, labeled by cumulative-share cutoffs
       // (80/95) — distributed prefix sums, cross-multiplied integer

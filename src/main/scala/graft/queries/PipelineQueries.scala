@@ -355,6 +355,38 @@ object PipelineQueries extends QuerySet {
          |UNION ALL SELECT * FROM r32""".stripMargin
     }),
 
+    QueryDef("q362_vocab_growth", (s, d) =>
+      // empirical Heaps'-law points over the BIGRAM vocabulary (the
+      // unigram vocab of the synthetic corpus saturates inside the first
+      // checkpoint — a flat line proves nothing): vocab size after the
+      // first 10/25/50/75/100% of docs, first-occurrence ranks, one
+      // rollup answers every checkpoint, no sequential scan
+      TA.vocabGrowth(table(s, d, "documents"), col("doc_id"), col("text"),
+        sharesMille = Seq(100, 250, 500, 750, 1000), n = 2),
+      Some(
+        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS ord,
+          |                  string_split(text, ' ') AS tk
+          |           FROM documents WHERE text IS NOT NULL),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+          |r AS (SELECT ord, row_number() OVER (ORDER BY ord) AS rk
+          |      FROM (SELECT DISTINCT ord FROM d) z),
+          |g AS (SELECT ord, CASE WHEN len(tk) >= 2
+          |        THEN list_transform(generate_series(1, len(tk) - 1),
+          |               i -> tk[i] || ' ' || tk[i + 1])
+          |        ELSE CAST([] AS VARCHAR[]) END AS gs
+          |      FROM d),
+          |f AS (SELECT tok, min(ord) AS ord FROM
+          |        (SELECT ord, unnest(gs) AS tok FROM g) z
+          |      WHERE tok != '' GROUP BY 1),
+          |fr AS (SELECT f.tok, r.rk FROM f JOIN r USING (ord))
+          |SELECT c.share_mille, n.nd AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS vocab_size
+          |FROM fr CROSS JOIN (VALUES (100), (250), (500), (750), (1000))
+          |       c(share_mille)
+          |     CROSS JOIN n
+          |WHERE (fr.rk - 1) * 1000 < c.share_mille * n.nd
+          |GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q342_vocab_coverage", (s, d) =>
       // tokenizer-design curve: exact share of token occurrences covered
       // by the top-v types at each candidate vocab size; global rank via

@@ -110,6 +110,37 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q363_trimmed_mean", (s, d) =>
+      // 5%-trimmed mean of line price cents per return flag: tails don't
+      // vote; distinct-value rollup, arithmetic boundary split, ONE
+      // micro division
+      Stats.trimmedMean(table(s, d, "lineitem"), Seq("l_returnflag"),
+        graft.operators.Features.cents(col("l_extendedprice")),
+        trimMille = 50),
+      Some(
+        """WITH c AS (
+          |  SELECT l_returnflag AS g,
+          |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT *,
+          |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |        CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS tot
+          |      FROM c),
+          |k AS (SELECT g, v, tot,
+          |             greatest(0, least(cum, tot - (tot * 50) // 1000)
+          |               - greatest(cum - cnt + 1, (tot * 50) // 1000 + 1)
+          |               + 1) AS kept
+          |      FROM r)
+          |SELECT g AS l_returnflag, CAST(max(tot) AS BIGINT) AS n,
+          |       CAST(coalesce(sum(kept), 0) AS BIGINT) AS n_kept,
+          |       CASE WHEN coalesce(sum(kept), 0) > 0
+          |            THEN CAST((sum(CAST(kept AS HUGEINT) * v) * 1000000)
+          |                      // CAST(sum(kept) AS HUGEINT) AS BIGINT)
+          |       END AS trimmed_mean_micro
+          |FROM k GROUP BY 1""".stripMargin)),
+
     QueryDef("q355_tv_drift", (s, d) =>
       // total-variation distance between the first-5-days-of-week and
       // rest event-type mixes: the log-free exact drift metric, ONE

@@ -580,6 +580,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- temporalRules ----
+
+  test("temporalRules: eventual brackets inside the gap, users counted once") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      ("u1", "a", 0L), ("u1", "b", 50L), ("u1", "a", 10L), ("u1", "b", 60L),
+      ("u2", "a", 0L), ("u2", "b", 500L), // outside the 100s gap
+      ("u3", "a", 0L)
+    ).toDF("user_id", "event_type", "sec")
+      .withColumn("ts", to_timestamp(col("sec")))
+    val out = EventAnalytics.temporalRules(ev, maxGapSec = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // only a->b fires; u1 counts ONCE despite two brackets
+    assert(out === Map(("a", "b") -> ((3L, 1L, 333333L))))
+  }
+
+  // ---- trimmedMean ----
+
+  test("trimmedMean: rank-range kept counts, tie split at the boundary") {
+    val df = ((1L to 10L).map(("g", _)) ++
+      Seq(("t", 0L), ("t", 0L), ("t", 10L), ("t", 10L))).toDF("grp", "v")
+    val out = Stats.trimmedMean(df, Seq("grp"), col("v"), trimMille = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // g: 10 values, l=1, keep ranks 2..9 -> mean(2..9) = 5.5
+    assert(out("g") === ((10L, 8L, 5500000L)))
+    // t at 10% trims nothing (l = 0) -> plain mean 5
+    assert(out("t") === ((4L, 4L, 5000000L)))
+    val split = Stats.trimmedMean(df.filter(col("grp") === "t"), Seq("grp"),
+      col("v"), trimMille = 250).collect()(0)
+    // l = 1: one 0-row and one 10-row survive the boundary split
+    assert((split.getLong(2), split.getLong(3)) === ((2L, 5000000L)))
+  }
+
   // ---- totalVariationDrift ----
 
   test("totalVariationDrift: hand TV, identical 0, disjoint 1e6") {

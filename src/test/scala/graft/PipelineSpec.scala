@@ -1413,6 +1413,20 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- vocabGrowth ----
+
+  test("vocabGrowth: first-occurrence checkpoints, unigram and bigram") {
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("id", "text")
+    val uni = TextAnalysis.vocabGrowth(df, col("id"), col("text"),
+        Seq(500, 1000))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(uni === Map(500 -> 2L, 1000 -> 3L))
+    val bi = TextAnalysis.vocabGrowth(df, col("id"), col("text"),
+        Seq(500, 1000), n = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(bi === Map(500 -> 1L, 1000 -> 2L))
+  }
+
   // ---- mixRebalance ----
 
   test("mixRebalance: binding source caps the plan; absent source zeroes it") {
