@@ -97,4 +97,39 @@ object Intervals {
       .agg(min(col("b")).as("peak_at"), max(col("live")).as("peak"))
       .select(kcols ++ Seq(col("peak"), col("peak_at")): _*)
   }
+
+  /** Full concurrency time SERIES per key — the step function
+    * [[maxConcurrency]] only reports the peak of: one row per day the
+    * live count CHANGES, with the new level. The open-order backlog /
+    * WIP-inventory / concurrent-session chart, exact under closed-
+    * interval semantics (same +1/-1 boundary-sweep deltas: an interval
+    * occupies [start, end], the -1 lands on end+1).
+    *
+    * Step emission (the [[graft.operators.EventAnalytics.cohortLtv]]
+    * convention): a day with no boundary has no row — its level is the
+    * previous row's. Shape: boundary deltas roll up per DISTINCT
+    * boundary day, then one key-partitioned cumulative window over the
+    * boundary-day domain — calendar-bounded, never raw rows.
+    */
+  def concurrencySeries(df: DataFrame, keys: Seq[String], start: Column,
+      end: Column): DataFrame = {
+    require(keys.nonEmpty, "concurrencySeries needs keys — a global series" +
+      " would funnel the cumulative window through one partition")
+    val kcols = keys.map(col)
+    val deltas = df
+      .filter(start.isNotNull && end.isNotNull &&
+        end.cast("long") >= start.cast("long"))
+      .select(kcols :+ explode(array(
+        struct(start.cast("long").as("b"), lit(1L).as("d")),
+        struct((end.cast("long") + 1L).as("b"), lit(-1L).as("d"))))
+        .as("e"): _*)
+      .groupBy(kcols :+ col("e.b").as("day"): _*)
+      .agg(sum(col("e.d")).as("__d"))
+    val byB = Window.partitionBy(kcols: _*).orderBy(col("day").asc)
+    deltas.withColumn("live",
+        sum(col("__d")).over(byB.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("__d") =!= 0L) // a net-zero day is not a step
+      .select(kcols ++ Seq(col("day"), col("live")): _*)
+  }
 }

@@ -262,6 +262,54 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) between
+    * two per-query top-k runs: `sum_{d=1..k} w_d * |A_d ∩ B_d| / d` with
+    * the geometric weights `w_d = (1-p) p^(d-1)` — the top-weighted
+    * ranking-similarity metric (recall@k says WHETHER the approximate
+    * index found the truth; RBO says whether it put it in the same
+    * ORDER, counting the top far more than the tail). Truncated form —
+    * no extrapolated residual — which is the honest comparison for two
+    * k-bounded runs.
+    *
+    * Engine-exact despite the geometric weights: each `w_d` is rounded
+    * to integer MICRO units once, driver-side, and the per-depth term is
+    * `w_micro * |∩_d| div d` — integer arithmetic the oracle replays
+    * from the same literal table (the q210 EWMA-weights discipline).
+    * Queries whose runs never intersect score 0 via the left join from
+    * run A's query set.
+    *
+    * Shape: one (query, doc) equi-join of the runs, a broadcast depth
+    * dim (k rows), a (query, depth) rollup, a query rollup — all
+    * k-bounded per query, corpus never touched.
+    */
+  def rboTruncated(runA: DataFrame, runB: DataFrame, k: Int,
+      pMilli: Int = 900): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k: $k")
+    require(pMilli >= 1 && pMilli <= 999, s"pMilli: $pMilli")
+    val p = pMilli / 1000.0
+    val wMicro = (1 to k)
+      .map(d => math.round((1.0 - p) * math.pow(p, d - 1) * 1e6))
+    val spark = runA.sparkSession
+    import spark.implicits._
+    val depths = wMicro.zipWithIndex
+      .map { case (w, i) => (i + 1, w) }.toDF("depth", "w_micro")
+    val joined = runA
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+      .join(runB.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__rb")), Seq("query_id", "neighbor_id"))
+    val terms = joined.crossJoin(broadcast(depths))
+      .filter(col("__ra") <= col("depth") && col("__rb") <= col("depth"))
+      .groupBy(col("query_id"), col("depth"), col("w_micro"))
+      .agg(count(lit(1)).as("__i"))
+      .groupBy(col("query_id"))
+      .agg(sum(call_function("div", col("w_micro") * col("__i"),
+        col("depth").cast("long"))).as("rbo_micro"))
+    runA.select(col("query_id")).distinct()
+      .join(terms, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
+
   /** Embedding centroid drift between two corpus snapshots: per label,
     * the cosine between snapshot A's and snapshot B's label centroid —
     * the "did the encoder (or the data mix) move under this class?"

@@ -118,6 +118,88 @@ object AnalyticsQueries extends QuerySet {
            |FROM s""".stripMargin
       }),
 
+    QueryDef("q365_order_backlog", (s, d) =>
+      // open-order backlog step series per priority: order placed ->
+      // last line shipped as a closed interval, boundary-sweep deltas,
+      // calendar-bounded cumulative window
+      graft.operators.Intervals.concurrencySeries(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(min(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date"))).as("s"),
+            max(datediff(to_date(col("l_shipdate")),
+              lit("1970-01-01").cast("date"))).as("e")),
+        Seq("o_orderpriority"), col("s"), col("e")),
+      Some(
+        """WITH sp AS (
+          |  SELECT o_orderkey, o_orderpriority,
+          |         CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+          |              AS BIGINT) AS s,
+          |         CAST(max(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+          |              AS BIGINT) AS e
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |d AS (SELECT o_orderpriority, b, CAST(sum(dd) AS BIGINT) AS dd
+          |      FROM (SELECT o_orderpriority, s AS b, 1 AS dd FROM sp
+          |            WHERE e >= s
+          |            UNION ALL
+          |            SELECT o_orderpriority, e + 1, -1 FROM sp
+          |            WHERE e >= s) z
+          |      GROUP BY 1, 2),
+          |nz AS (SELECT * FROM d WHERE dd <> 0)
+          |SELECT o_orderpriority, b AS day,
+          |       CAST(sum(dd) OVER (PARTITION BY o_orderpriority ORDER BY b
+          |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+          |FROM nz""".stripMargin)),
+
+    QueryDef("q366_revenue_beta", (s, d) => {
+      // per-nation revenue beta vs the whole market: daily nation kUSD
+      // regressed on daily global kUSD — olsTrend's exact moments, one
+      // IEEE division; beta > 1 = amplifies market swings. kUSD units
+      // keep n*sxx inside LONG at bench scale (the q293 overflow lesson:
+      // daily-dollar sums squared blow 64 bits at sf0.1 volumes)
+      val day = datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("day")
+      val kusd = call_function("div",
+        graft.operators.Features.cents(col("o_totalprice")), lit(100000L))
+      val nat = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), day).agg(sum(kusd).as("y"))
+      val global = table(s, d, "orders")
+        .groupBy(day).agg(sum(kusd).as("x"))
+      graft.operators.Features.olsTrend(nat.join(global, Seq("day")),
+        Seq("n_name"), col("x"), col("y"))
+    }, Some(
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |                       AS BIGINT) AS day,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    // 100000 AS usd
+        |           FROM orders),
+        |nat AS (SELECT n_name, day, CAST(sum(usd) AS BIGINT) AS y
+        |        FROM o JOIN customer ON c_custkey = o_custkey
+        |               JOIN nation ON n_nationkey = c_nationkey
+        |        GROUP BY 1, 2),
+        |g AS (SELECT day, CAST(sum(usd) AS BIGINT) AS x FROM o GROUP BY 1),
+        |j AS (SELECT nat.n_name, g.x, nat.y FROM nat JOIN g USING (day)),
+        |a AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx,
+        |             sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT n_name, CAST(n AS BIGINT) AS n_points,
+        |       CASE WHEN n*sxx - sx*sx <> 0
+        |            THEN CAST(n*sxy - sx*sy AS DOUBLE)
+        |                 / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+        |       CASE WHEN n*sxx - sx*sx <> 0
+        |            THEN CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |                 / CAST(n*sxx - sx*sx AS DOUBLE) END AS intercept
+        |FROM a""".stripMargin)),
+
     QueryDef("q361_temporal_rules", (s, d) =>
       // "A then B within 24h" eventually-rules per ordered type pair:
       // user-counted support + confidence vs users who had A at all —

@@ -161,6 +161,57 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q364_rbo", (s, d) => {
+      // top-weighted ranking agreement between the exact and LSH indexes:
+      // truncated RBO at k=10, geometric weights as shared integer-micro
+      // literals (the q210 EWMA discipline) — recall@k's order-aware
+      // sibling
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rboTruncated(
+        Similarity.bruteForceTopK(emb, q, k = 10),
+        Similarity.lshTopK(emb, q, k = 10, signBits = 3),
+        k = 10, pMilli = 900)
+    }, Some {
+      val p = 0.9
+      val w = (1 to 10)
+        .map(dd => s"($dd, ${math.round((1.0 - p) * math.pow(p, dd - 1) * 1e6)})")
+        .mkString(", ")
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v,
+         |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |run1 AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rank
+         |  FROM e c, e q WHERE q.id < 10 AND c.id <> q.id) z
+         |  WHERE rank <= 10),
+         |run2 AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rank
+         |  FROM e c JOIN e q ON c.bucket = q.bucket AND q.id < 10
+         |    AND c.id <> q.id) z
+         |  WHERE rank <= 10),
+         |dep(depth, w) AS (VALUES $w),
+         |jx AS (SELECT r1.query_id, r1.rank AS ra, r2.rank AS rb
+         |       FROM run1 r1 JOIN run2 r2 USING (query_id, neighbor_id)),
+         |c AS (SELECT jx.query_id, dep.depth, dep.w,
+         |             CAST(count(*) AS BIGINT) AS i
+         |      FROM jx JOIN dep ON jx.ra <= dep.depth AND jx.rb <= dep.depth
+         |      GROUP BY 1, 2, 3),
+         |t AS (SELECT query_id, CAST(sum((w * i) // depth) AS BIGINT)
+         |        AS rbo_micro
+         |      FROM c GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(t.rbo_micro, 0) AS BIGINT)
+         |  AS rbo_micro
+         |FROM (SELECT DISTINCT id AS query_id FROM e WHERE id < 10) q
+         |LEFT JOIN t USING (query_id)""".stripMargin
+    }),
+
     QueryDef("q358_mutual_best_match", (s, d) =>
       // 1:1 linkage assignment over the q35 minhash near-dup pairs: keep
       // pairs that are EACH OTHER's best by jaccard — two windows, no

@@ -1413,6 +1413,40 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- concurrencySeries ----
+
+  test("concurrencySeries: step levels, net-zero days suppressed") {
+    import graft.operators.Intervals
+    val df = Seq(("k", 1L, 3L), ("k", 2L, 2L)).toDF("g", "s", "e")
+    val out = Intervals.concurrencySeries(df, Seq("g"), $"s", $"e")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // [1,2] then [3,4]: day 3 nets to zero (one ends, one starts) — the
+    // level holds at 1 and day 3 emits NO step row
+    val touch = Seq(("k", 1L, 2L), ("k", 3L, 4L)).toDF("g", "s", "e")
+    val t = Intervals.concurrencySeries(touch, Seq("g"), $"s", $"e")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(t === Map(1L -> 1L, 5L -> 0L))
+  }
+
+  // ---- rboTruncated ----
+
+  test("rboTruncated: identical 271000 at k=3/p=.9, reversed pair, disjoint 0") {
+    def run(rows: Seq[(Long, Long, Int)]) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val a = run(Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)))
+    val same = Similarity.rboTruncated(a, a, k = 3)
+      .collect()(0).getLong(1)
+    assert(same === 100000L + 90000L + 81000L) // each depth fully agrees
+    val b = run(Seq((1L, 20L, 1), (1L, 10L, 2)))
+    val a2 = run(Seq((1L, 10L, 1), (1L, 20L, 2)))
+    val rev = Similarity.rboTruncated(a2, b, k = 2).collect()(0).getLong(1)
+    assert(rev === 90000L) // depth 1 disagrees, depth 2 has both: (9e4*2)//2
+    val disj = Similarity.rboTruncated(a2,
+      run(Seq((1L, 99L, 1))), k = 2).collect()(0).getLong(1)
+    assert(disj === 0L)
+  }
+
   // ---- vocabGrowth ----
 
   test("vocabGrowth: first-occurrence checkpoints, unigram and bigram") {
