@@ -1134,6 +1134,69 @@ object Inference {
         col("haz_step_ppm"), col("cum_hazard_ppm"))
   }
 
+  /** Log-rank (Mantel-Cox) two-group survival test: at each event time,
+    * compare group A's OBSERVED deaths with the EXPECTED share under the
+    * null (deaths split proportionally to at-risk counts), accumulate
+    * `O - E` and the hypergeometric variance, and report the chi-square
+    * `(O - E)^2 / V` (1 df; > 3.84 is p < .05) — THE standard "are these
+    * two survival curves the same" gate next to [[kaplanMeier]]'s
+    * per-group curves. Exact integer accumulation: per-step
+    * `e_a = d * n_a * 1e6 div n` and the variance term in micro units
+    * through DECIMAL (per-step truncation is the declared convention,
+    * replayed identically by the oracle); the final chi-square is ONE
+    * fixed-shape IEEE expression over the exact sums.
+    *
+    * Shape: one duration rollup carrying both groups as conditional
+    * sums, suffix-sum at-risk windows over the DISTINCT event times
+    * (calendar-bounded — the [[survivalSteps]] declared single
+    * partition), one global agg.
+    */
+  def logRankTest(df: DataFrame, inA: Column, durationCol: Column,
+      censoredCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("dur"),
+      censoredCol.cast("boolean").as("cens"), inA.as("a"))
+    val byDur = base.groupBy(col("dur")).agg(
+      count(lit(1)).as("x_all"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("x_a"),
+      sum(when(!col("cens"), 1L).otherwise(0L)).as("d_all"),
+      sum(when(!col("cens") && col("a"), 1L).otherwise(0L)).as("d_a"))
+    val w = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(lit(1))
+    val steps = byDur
+      .withColumn("n_all", sum(col("x_all")).over(whole) -
+        coalesce(sum(col("x_all")).over(w), lit(0L)))
+      .withColumn("n_a", sum(col("x_a")).over(whole) -
+        coalesce(sum(col("x_a")).over(w), lit(0L)))
+      .filter(col("d_all") > 0L)
+    val sizes = base.agg(
+      coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+        .as("n_subjects_a"),
+      coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L))
+        .as("n_subjects_b"))
+    val agg = steps.agg(
+      coalesce(sum(col("d_a")), lit(0L)).as("observed_a"),
+      coalesce(sum(call_function("div",
+        dec(col("d_all")) * dec(col("n_a")) * dec(lit(1000000L)),
+        dec(col("n_all")))), dec(lit(0L))).cast("long")
+        .as("expected_a_micro"),
+      coalesce(sum(when(col("n_all") > 1L, call_function("div",
+        dec(col("d_all")) * dec(col("n_all") - col("d_all")) *
+          dec(col("n_a")) * dec(col("n_all") - col("n_a")) *
+          dec(lit(1000000L)),
+        dec(col("n_all")) * dec(col("n_all")) * dec(col("n_all") - 1L)))
+        .otherwise(dec(lit(0L)))), dec(lit(0L))).cast("long")
+        .as("var_micro"))
+    sizes.crossJoin(broadcast(agg))
+      .withColumn("chi2",
+        when(col("var_micro") > 0L,
+          ((col("observed_a") * 1000000L - col("expected_a_micro"))
+            .cast("double") *
+            (col("observed_a") * 1000000L - col("expected_a_micro"))
+              .cast("double")) /
+            (col("var_micro").cast("double") * lit(1.0e6))))
+  }
+
   /** Wilson score interval (Wilson 1927) at 95% for per-group binomial
     * rates — the small-n-safe confidence band a conversion dashboard
     * should show instead of the Wald +-1.96*se (which collapses to a

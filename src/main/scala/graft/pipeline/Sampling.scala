@@ -542,6 +542,56 @@ object Sampling {
       .select(col("anchor_id"), col("negative_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Largest-remainder apportionment (Hamilton's method): split exactly
+    * `totalSlots` integer slots across keys proportionally to weights —
+    * base quota `floor(slots * w / W)` per key, then the leftover slots
+    * go to the largest REMAINDERS (ties on key order) — the exact quota
+    * allocator behind stratified sample sizing, shard budgeting, and
+    * seat assignment, with `sum(slots) == totalSlots` guaranteed BY
+    * CONSTRUCTION (no post-hoc rounding drift to patch). All integer:
+    * remainders compare as the exact numerators `slots*w - base*W`.
+    *
+    * Remainder ranks come from
+    * [[graft.operators.Ranking.globalRowNumbers]] over the unique
+    * (remainder desc, key asc) order — no single-partition window even
+    * at millions of keys. Zero/NULL-weight keys get zero slots and never
+    * absorb a leftover (their remainder is 0 and leftovers < #keys).
+    */
+  def apportion(df: DataFrame, keyCol: Column, weightCol: Column,
+      totalSlots: Long): DataFrame = {
+    require(totalSlots >= 1, s"totalSlots: $totalSlots")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df
+      .select(keyCol.cast("string").as("key"),
+        coalesce(weightCol.cast("long"), lit(0L)).as("weight"))
+      .groupBy(col("key")).agg(sum(col("weight")).as("weight"))
+      .localCheckpoint(false) // feeds the total agg and the ranked pass
+    val tot = base.agg(coalesce(sum(col("weight")), lit(0L)).as("__w"))
+    val quotas = base.crossJoin(broadcast(tot))
+      .withColumn("base_slots",
+        when(col("__w") > 0L, call_function("div",
+          dec(lit(totalSlots)) * dec(col("weight")), dec(col("__w")))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__w") > 0L,
+          (dec(lit(totalSlots)) * dec(col("weight")) -
+            dec(col("base_slots")) * dec(col("__w"))).cast("long"))
+          .otherwise(lit(0L)))
+    val leftover = quotas
+      .agg((lit(totalSlots) - coalesce(sum(col("base_slots")), lit(0L)))
+        .as("__left"))
+    graft.operators.Ranking
+      .globalRowNumbers(quotas, Seq(col("__rem").desc, col("key").asc),
+        "__rk")
+      .crossJoin(broadcast(leftover))
+      .withColumn("extra",
+        when(col("__rk") < col("__left") && col("__rem") > 0L, 1L)
+          .otherwise(0L))
+      .select(col("key"), col("weight"), col("base_slots"),
+        col("__rem").as("remainder"), col("extra"),
+        (col("base_slots") + col("extra")).as("slots"))
+  }
+
   /** Mixture-rebalance PLANNER: given declared target shares (ppm) per
     * source, compute the LARGEST total corpus that honors the shares with
     * the rows actually available — `T = min_i floor(n_i * 1e6 / share_i)`

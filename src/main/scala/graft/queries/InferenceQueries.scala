@@ -501,6 +501,77 @@ object InferenceQueries extends QuerySet {
           |       atec.ate AS ate_micro
           |FROM s3, atec""".stripMargin)),
 
+    QueryDef("q367_log_rank", (s, d) => {
+      // Mantel-Cox: do urgent orders fulfill on a different survival
+      // curve than the rest? O-E and hypergeometric variance accumulated
+      // exactly over the q269/q326 cohort, chi-square as one IEEE step
+      val subj = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(greatest(lit(0L),
+          datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .cast("long")).as("dur"),
+          (col("o_orderstatus") =!= "F").as("cens"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("a"))
+      Inference.logRankTest(subj, col("a"), col("dur"), col("cens"))
+    }, Some(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderstatus, o_orderpriority,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3, 4),
+        |s AS (SELECT greatest(0, CAST(CAST(last_ship AS DATE)
+        |                     - CAST(o_orderdate AS DATE) AS BIGINT)) AS dur,
+        |             o_orderstatus <> 'F' AS cens,
+        |             o_orderpriority IN ('1-URGENT', '2-HIGH') AS a
+        |      FROM o),
+        |bd AS (SELECT dur, CAST(count(*) AS BIGINT) AS x_all,
+        |              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS x_a,
+        |              CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS d_all,
+        |              CAST(sum(CASE WHEN NOT cens AND a THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS d_a
+        |       FROM s GROUP BY 1),
+        |st AS (SELECT *,
+        |         CAST((SELECT sum(x_all) FROM bd)
+        |           - coalesce(sum(x_all) OVER (ORDER BY dur ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS n_all,
+        |         CAST((SELECT sum(x_a) FROM bd)
+        |           - coalesce(sum(x_a) OVER (ORDER BY dur ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS n_a
+        |       FROM bd),
+        |ag AS (SELECT CAST(coalesce(sum(d_a), 0) AS BIGINT) AS observed_a,
+        |              CAST(coalesce(sum((CAST(d_all AS HUGEINT) * n_a
+        |                * 1000000) // n_all), 0) AS BIGINT)
+        |                AS expected_a_micro,
+        |              CAST(coalesce(sum(CASE WHEN n_all > 1
+        |                THEN (CAST(d_all AS HUGEINT) * (n_all - d_all)
+        |                      * n_a * (n_all - n_a) * 1000000)
+        |                     // (CAST(n_all AS HUGEINT) * n_all
+        |                         * (n_all - 1))
+        |                ELSE 0 END), 0) AS BIGINT) AS var_micro
+        |       FROM st WHERE d_all > 0),
+        |sz AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_subjects_a,
+        |              CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_subjects_b
+        |       FROM s)
+        |SELECT sz.n_subjects_a, sz.n_subjects_b, ag.observed_a,
+        |       ag.expected_a_micro, ag.var_micro,
+        |       CASE WHEN ag.var_micro > 0 THEN
+        |         (CAST(ag.observed_a * 1000000 - ag.expected_a_micro
+        |               AS DOUBLE)
+        |          * CAST(ag.observed_a * 1000000 - ag.expected_a_micro
+        |                 AS DOUBLE))
+        |         / (CAST(ag.var_micro AS DOUBLE) * 1000000.0)
+        |       END AS chi2
+        |FROM sz, ag""".stripMargin)),
+
     QueryDef("q326_nelson_aalen", (s, d) => {
       // Nelson-Aalen cumulative hazard on the q269 fulfillment cohort:
       // the additive estimator needs NO sequential fold — per-step

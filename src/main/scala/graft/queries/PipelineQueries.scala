@@ -250,6 +250,40 @@ object PipelineQueries extends QuerySet {
            |SELECT left_id, right_id, score FROM r
            |WHERE rl = 1 AND rr = 1""".stripMargin)),
 
+    QueryDef("q368_apportion", (s, d) =>
+      // Hamilton largest-remainder: split exactly 1000 sample slots
+      // across market segments by customer weight — sum(slots) == 1000 by
+      // construction, remainders compared as exact numerators
+      graft.pipeline.Sampling.apportion(table(s, d, "customer"),
+        col("c_mktsegment"), lit(1L), totalSlots = 1000L),
+      Some(
+        """WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS key,
+          |                  CAST(count(*) AS BIGINT) AS weight
+          |           FROM customer GROUP BY 1),
+          |t AS (SELECT CAST(coalesce(sum(weight), 0) AS BIGINT) AS w FROM b),
+          |q AS (SELECT b.key, b.weight,
+          |             CASE WHEN t.w > 0
+          |                  THEN CAST((1000 * CAST(b.weight AS HUGEINT))
+          |                            // t.w AS BIGINT)
+          |                  ELSE CAST(0 AS BIGINT) END AS base_slots,
+          |             CASE WHEN t.w > 0
+          |                  THEN CAST(1000 * CAST(b.weight AS HUGEINT)
+          |                            - ((1000 * CAST(b.weight AS HUGEINT))
+          |                               // t.w) * t.w AS BIGINT)
+          |                  ELSE CAST(0 AS BIGINT) END AS remainder
+          |      FROM b, t),
+          |l AS (SELECT CAST(1000 - coalesce(sum(base_slots), 0) AS BIGINT)
+          |        AS lo FROM q),
+          |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC,
+          |        key ASC) - 1 AS rk FROM q)
+          |SELECT r.key, r.weight, r.base_slots, r.remainder,
+          |       CASE WHEN r.rk < l.lo AND r.remainder > 0
+          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          |         AS extra,
+          |       r.base_slots + CASE WHEN r.rk < l.lo AND r.remainder > 0
+          |                           THEN 1 ELSE 0 END AS slots
+          |FROM r, l""".stripMargin)),
+
     QueryDef("q359_mix_rebalance", (s, d) =>
       // pretraining-mix planner: the LARGEST total honoring the declared
       // shares with the rows available, per-source take/keep fractions,

@@ -1160,6 +1160,27 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- logRankTest ----
+
+  test("logRankTest: hand O/E/V accumulation, censored steps skipped") {
+    import graft.pipeline.Inference
+    val df = Seq(
+      (1L, false, true), (2L, false, true), // A: deaths at 1 and 2
+      (1L, false, false), (3L, true, false) // B: death at 1, censored at 3
+    ).toDF("dur", "cens", "a")
+    val r = Inference.logRankTest(df, col("a"), col("dur"), col("cens"))
+      .collect()(0)
+    // t=1: e=2*2e6/4=1e6, v=(2*2*2*2*1e6)//48=333333
+    // t=2: e=1*1e6/2=5e5, v=(1*1*1*1*1e6)//4=250000; t=3 has no deaths
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 2L) // observed_a
+    assert(r.getLong(3) === 1500000L)
+    assert(r.getLong(4) === 583333L)
+    val num = (2L * 1000000L - 1500000L).toDouble
+    assert(r.getDouble(5) === (num * num) / (583333L.toDouble * 1.0e6))
+  }
+
   // ---- mutualBestMatch ----
 
   test("mutualBestMatch: only reciprocal bests survive; ties break on partner id") {

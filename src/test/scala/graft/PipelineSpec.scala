@@ -1461,6 +1461,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(bi === Map(500 -> 1L, 1000 -> 2L))
   }
 
+  // ---- apportion ----
+
+  test("apportion: exact quotas + largest remainders, sum invariant") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c"))
+      .map(Tuple1(_)).toDF("k")
+    val out = Sampling.apportion(df.groupBy($"k").count(), col("k"),
+        col("count"), totalSlots = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // W=11: bases 4/2/2, remainders 6/8/8 -> b and c take the leftovers
+    assert(out("a") === ((4L, 6L, 0L, 4L)))
+    assert(out("b") === ((2L, 8L, 1L, 3L)))
+    assert(out("c") === ((2L, 8L, 1L, 3L)))
+    assert(out.values.map(_._4).sum === 10L)
+  }
+
   // ---- mixRebalance ----
 
   test("mixRebalance: binding source caps the plan; absent source zeroes it") {
