@@ -310,6 +310,52 @@ object Similarity {
         coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
   }
 
+  /** MAP@k and MRR@k against a declared relevance relation: per query,
+    * average precision `AP@k = (sum over hit positions d of P@d) /
+    * min(k, R)` with `P@d = hits_through_d / d`, and the reciprocal rank
+    * of the FIRST hit — the two labeled-relevance retrieval metrics next
+    * to recall@k (position-blind) and [[rboTruncated]] (label-blind).
+    * Exact micro units with declared truncation points: each
+    * `P@d = hit_rank * 1e6 div d`, AP is one further division by
+    * `min(k, R)`, MRR is `1e6 div first_rank`; queries with zero hits
+    * score 0 via the left join from the run's query set.
+    *
+    * Shape: one (query, doc) equi-join of the k-bounded run against the
+    * relevance relation, one per-query window over <= k hits, two
+    * rollups. The relevance relation is the contract: supply it from
+    * labels, clicks, or editorial judgments.
+    */
+  def mapAtK(run: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val rel = relevant.select(col("query_id"), col("neighbor_id"))
+    val rCounts = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = run.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(rel, Seq("query_id", "neighbor_id"))
+    val byQ = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+    val scored = hits
+      .withColumn("__hr", row_number().over(byQ).cast("long"))
+      .withColumn("__p", call_function("div", col("__hr") * 1000000L,
+        col("rank").cast("long")))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__p")).as("__sp"),
+        min(col("rank").cast("long")).as("__fr"))
+    run.select(col("query_id")).distinct()
+      .join(broadcast(rCounts), Seq("query_id"), "left")
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("__sp").isNotNull && coalesce(col("n_relevant"), lit(0L)) > 0L,
+          call_function("div", col("__sp"),
+            least(lit(k.toLong), col("n_relevant"))))
+          .otherwise(lit(0L)).as("ap_micro"),
+        when(col("__fr").isNotNull,
+          call_function("div", lit(1000000L), col("__fr")))
+          .otherwise(lit(0L)).as("mrr_micro"))
+  }
+
   /** Embedding centroid drift between two corpus snapshots: per label,
     * the cosine between snapshot A's and snapshot B's label centroid —
     * the "did the encoder (or the data mix) move under this class?"

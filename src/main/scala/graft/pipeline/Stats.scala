@@ -955,6 +955,41 @@ object Stats {
         col("tot").as("total_weight")): _*)
   }
 
+  /** Maximum drawdown of a per-group level series: the largest
+    * peak-to-trough drop `running_max(level) - level` in series order,
+    * with the (earliest) trough position and the peak level preceding it
+    * — the finance-grade "how bad did it get" risk metric, equally the
+    * sustained-regression readout for a KPI level series (a drawdown is
+    * what an alert SHOULD have fired on; a single bad day is not). Exact
+    * integers: one running-max window per key, a struct-argmax for
+    * (largest drawdown, then earliest trough). Groups where the series
+    * only rises report 0 drawdown at the first point.
+    *
+    * Shape: one key-partitioned window over the (key, order) rollup
+    * domain — calendar-bounded, the [[mannKendallDaily]] daily
+    * convention; no self-joins, no pair volume.
+    */
+  def maxDrawdown(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      levelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "maxDrawdown needs group columns")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ orderCol.cast("long").as("t"): _*)
+      .agg(sum(levelCol.cast("long")).as("lvl"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__peak", max(col("lvl")).over(w))
+      .withColumn("__dd", col("__peak") - col("lvl"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_points"),
+        max(struct(col("__dd").as("d"), (-col("t")).as("nt"),
+          col("__peak").as("p"))).as("__mx"))
+      .select(gcols ++ Seq(col("n_points"),
+        col("__mx.d").as("max_drawdown"),
+        (-col("__mx.nt")).as("trough_at"),
+        col("__mx.p").as("peak_level")): _*)
+  }
+
   /** Exact per-group TRIMMED mean: drop the lowest and highest
     * `trimMille`/1000 of ROWS (by rank, ties split arithmetically across
     * the boundary value) and average the middle — the robust center that,

@@ -154,6 +154,46 @@ object AnalyticsQueries extends QuerySet {
           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
           |FROM nz""".stripMargin)),
 
+    QueryDef("q370_max_drawdown", (s, d) =>
+      // largest peak-to-trough drop of each nation's daily revenue level
+      // (whole dollars): running-max window, struct-argmax earliest
+      // trough + its peak — the sustained-regression alert metric
+      Stats.maxDrawdown(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(table(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey")),
+        Seq("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")),
+        call_function("div",
+          graft.operators.Features.cents(col("o_totalprice")), lit(100L))),
+      Some(
+        """WITH dl AS (
+          |  SELECT n_name,
+          |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+          |              AS BIGINT) AS t,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |                  // 100) AS BIGINT) AS lvl
+          |  FROM orders JOIN customer ON c_custkey = o_custkey
+          |         JOIN nation ON n_nationkey = c_nationkey
+          |  GROUP BY 1, 2),
+          |sc AS (SELECT *,
+          |         CAST(max(lvl) OVER (PARTITION BY n_name ORDER BY t
+          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+          |       FROM dl),
+          |s2 AS (SELECT *, peak - lvl AS dd FROM sc),
+          |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_points,
+          |             max(dd) AS mx
+          |      FROM s2 GROUP BY 1),
+          |x AS (SELECT m.n_name, m.n_points, CAST(m.mx AS BIGINT)
+          |        AS max_drawdown, CAST(min(s.t) AS BIGINT) AS trough_at
+          |      FROM m JOIN s2 s ON s.n_name = m.n_name AND s.dd = m.mx
+          |      GROUP BY 1, 2, 3)
+          |SELECT x.n_name, x.n_points, x.max_drawdown, x.trough_at,
+          |       s3.peak AS peak_level
+          |FROM x JOIN s2 s3 ON s3.n_name = x.n_name AND s3.t = x.trough_at"""
+          .stripMargin)),
+
     QueryDef("q366_revenue_beta", (s, d) => {
       // per-nation revenue beta vs the whole market: daily nation kUSD
       // regressed on daily global kUSD — olsTrend's exact moments, one

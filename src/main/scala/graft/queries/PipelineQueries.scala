@@ -161,6 +161,57 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q369_map_mrr", (s, d) => {
+      // labeled-relevance retrieval eval: MAP@10 and MRR over the exact
+      // index, relevance = same embedding label — position-aware where
+      // recall@k is blind, label-aware where RBO is blind
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val rel = q.select(col("vec_id").cast("long").as("query_id"),
+          col("label").as("__l"))
+        .join(emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("label").as("__l")), Seq("__l"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      Similarity.mapAtK(Similarity.bruteForceTopK(emb, q, k = 10),
+        rel, k = 10)
+    }, Some(
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |                  CAST(label AS BIGINT) AS lbl, $qvecSql AS v
+         |           FROM embeddings),
+         |run1 AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rank
+         |  FROM e c, e q WHERE q.id < 10 AND c.id <> q.id) z
+         |  WHERE rank <= 10),
+         |rel AS (SELECT q.id AS query_id, c.id AS neighbor_id
+         |        FROM e q JOIN e c ON q.lbl = c.lbl AND q.id < 10
+         |          AND c.id <> q.id),
+         |rc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+         |       FROM rel GROUP BY 1),
+         |h AS (SELECT r.query_id, r.rank,
+         |             row_number() OVER (PARTITION BY r.query_id
+         |               ORDER BY r.rank) AS hr
+         |      FROM run1 r JOIN rel USING (query_id, neighbor_id)),
+         |sc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |              CAST(sum((hr * 1000000) // rank) AS BIGINT) AS sp,
+         |              CAST(min(rank) AS BIGINT) AS fr
+         |       FROM h GROUP BY 1)
+         |SELECT q2.query_id,
+         |       CAST(coalesce(rc.n_relevant, 0) AS BIGINT) AS n_relevant,
+         |       CAST(coalesce(sc.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CASE WHEN sc.sp IS NOT NULL
+         |              AND coalesce(rc.n_relevant, 0) > 0
+         |            THEN CAST(sc.sp // least(10, rc.n_relevant) AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS ap_micro,
+         |       CASE WHEN sc.fr IS NOT NULL
+         |            THEN CAST(1000000 // sc.fr AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS mrr_micro
+         |FROM (SELECT DISTINCT id AS query_id FROM e WHERE id < 10) q2
+         |LEFT JOIN rc USING (query_id) LEFT JOIN sc USING (query_id)"""
+        .stripMargin
+    )),
+
     QueryDef("q364_rbo", (s, d) => {
       // top-weighted ranking agreement between the exact and LSH indexes:
       // truncated RBO at k=10, geometric weights as shared integer-micro

@@ -580,6 +580,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- maxDrawdown ----
+
+  test("maxDrawdown: peak-to-trough with earliest trough; rising series 0") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 5L), ("g", 3L, 8L),
+      ("g", 4L, 2L), ("g", 5L, 7L),
+      ("up", 1L, 1L), ("up", 2L, 2L)).toDF("k", "t", "v")
+    val out = Stats.maxDrawdown(df, Seq("k"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("g") === ((5L, 8L, 4L, 10L)))
+    assert(out("up") === ((2L, 0L, 1L, 1L)))
+  }
+
   // ---- temporalRules ----
 
   test("temporalRules: eventual brackets inside the gap, users counted once") {

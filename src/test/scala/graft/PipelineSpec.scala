@@ -1413,6 +1413,21 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- mapAtK ----
+
+  test("mapAtK: hand AP over hit positions; zero-hit queries score 0") {
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 30L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.mapAtK(run, rel, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // q1: hits at ranks 1 and 3 -> P = 1e6, 666666; AP = sum div 3
+    assert(out(1L) === ((3L, 2L, 555555L, 1000000L)))
+    assert(out(2L) === ((1L, 0L, 0L, 0L)))
+  }
+
   // ---- concurrencySeries ----
 
   test("concurrencySeries: step levels, net-zero days suppressed") {
