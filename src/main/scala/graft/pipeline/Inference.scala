@@ -1134,6 +1134,87 @@ object Inference {
         col("haz_step_ppm"), col("cum_hazard_ppm"))
   }
 
+  /** Kitagawa / Oaxaca-Blinder decomposition of a rate change between two
+    * periods: `R1 - R0 = sum_s w1_s (r1_s - r0_s)  [rate effect]
+    * + sum_s r0_s (w1_s - w0_s)  [mix effect]` — did conversion actually
+    * drop, or did the traffic mix shift toward worse-converting
+    * segments? The identity is EXACT in rationals; here every term is
+    * ONE sign-magnitude micro division of exact integer products
+    * (`w1(r1-r0) = (c1*n0 - c0*n1) / (N1*n0)`;
+    * `r0(w1-w0) = c0*(n1*N0 - n0*N1) / (n0*N1*N0)`), and the `__total`
+    * row carries the overall delta plus the RESIDUAL the per-term
+    * truncations leave — the price of engine-portable integers, visible
+    * instead of silently re-scaled (the price-volume-mix discipline).
+    * Strata present in only one period contribute their whole effect
+    * through the zero-count side (empty-period rates read 0 by the
+    * n > 0 guards).
+    *
+    * Shape: one strata rollup carrying both periods as conditional sums,
+    * a broadcast 1-row totals agg, bounded arithmetic.
+    */
+  def kitagawaDecomposition(df: DataFrame, inPeriod1: Column,
+      strataCols: Seq[String], success: Column): DataFrame = {
+    require(strataCols.size == 1,
+      "kitagawaDecomposition takes exactly one strata column (the __total" +
+        " row reuses its name)")
+    val gcols = strataCols.map(col)
+    def sgnDiv(num: Column, den: Column): Column =
+      signum(num).cast("long") *
+        call_function("div", abs(num), den).cast("long")
+    val s = df.groupBy(gcols: _*)
+      .agg(sum(when(!inPeriod1, 1L).otherwise(0L)).as("n0"),
+        sum(when(!inPeriod1 && success, 1L).otherwise(0L)).as("c0"),
+        sum(when(inPeriod1, 1L).otherwise(0L)).as("n1"),
+        sum(when(inPeriod1 && success, 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint(false) // feeds the totals agg and the term pass
+    val tot = s.agg(coalesce(sum(col("n0")), lit(0L)).as("__N0"),
+      coalesce(sum(col("c0")), lit(0L)).as("__C0"),
+      coalesce(sum(col("n1")), lit(0L)).as("__N1"),
+      coalesce(sum(col("c1")), lit(0L)).as("__C1"))
+    val terms = s.crossJoin(broadcast(tot))
+      .withColumn("rate_eff_micro",
+        when(col("n0") > 0L && col("__N1") > 0L,
+          sgnDiv((dec(col("c1")) * dec(col("n0")) -
+            dec(col("c0")) * dec(col("n1"))) * dec(lit(1000000L)),
+            dec(col("__N1")) * dec(col("n0"))))
+          .otherwise(lit(0L)))
+      .withColumn("mix_eff_micro",
+        when(col("n0") > 0L && col("__N0") > 0L && col("__N1") > 0L,
+          sgnDiv(dec(col("c0")) *
+            (dec(col("n1")) * dec(col("__N0")) -
+              dec(col("n0")) * dec(col("__N1"))) * dec(lit(1000000L)),
+            dec(col("n0")) * dec(col("__N1")) * dec(col("__N0"))))
+          .otherwise(lit(0L)))
+    // one sign-magnitude micro division per quantity; the decomposition's
+    // truncation residual surfaces on the __total row
+    val totalRow = terms.agg(
+        first(col("__N0")).as("__N0"), first(col("__C0")).as("__C0"),
+        first(col("__N1")).as("__N1"), first(col("__C1")).as("__C1"),
+        coalesce(sum(col("rate_eff_micro")), lit(0L)).as("__sre"),
+        coalesce(sum(col("mix_eff_micro")), lit(0L)).as("__sme"))
+      .withColumn("__r1",
+        when(col("__N1") > 0L, call_function("div",
+          col("__C1") * 1000000L, col("__N1"))).otherwise(lit(0L)))
+      .withColumn("__r0",
+        when(col("__N0") > 0L, call_function("div",
+          col("__C0") * 1000000L, col("__N0"))).otherwise(lit(0L)))
+      .select(lit("__total").as(strataCols.head),
+        col("__N0").as("n0"), col("__C0").as("c0"),
+        col("__N1").as("n1"), col("__C1").as("c1"),
+        col("__sre").as("rate_eff_micro"),
+        col("__sme").as("mix_eff_micro"),
+        (col("__r1") - col("__r0")).as("delta_micro"),
+        (col("__r1") - col("__r0") - col("__sre") - col("__sme"))
+          .as("residual_micro"))
+    val decorated = terms.select(gcols.head.cast("string").as(strataCols.head)
+      +: (Seq(col("n0"), col("c0"), col("n1"), col("c1"),
+        col("rate_eff_micro"), col("mix_eff_micro"),
+        lit(null).cast("long").as("delta_micro"),
+        lit(null).cast("long").as("residual_micro"))): _*)
+    decorated.unionByName(totalRow
+      .withColumn(strataCols.head, col(strataCols.head).cast("string")))
+  }
+
   /** Log-rank (Mantel-Cox) two-group survival test: at each event time,
     * compare group A's OBSERVED deaths with the EXPECTED share under the
     * null (deaths split proportionally to at-risk counts), accumulate

@@ -501,6 +501,130 @@ object InferenceQueries extends QuerySet {
           |       atec.ate AS ate_micro
           |FROM s3, atec""".stripMargin)),
 
+    QueryDef("q371_kitagawa", (s, d) =>
+      // rate-vs-mix decomposition of the fulfillment-rate change across
+      // 1998: per segment ONE sign-magnitude micro division per term,
+      // the __total row closes with delta and the visible truncation
+      // residual (the PVM-bridge discipline)
+      Inference.kitagawaDecomposition(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey")),
+        year(to_date(col("o_orderdate"))) >= 1998,
+        Seq("c_mktsegment"), col("o_orderstatus") === "F"),
+      Some(
+        """WITH j AS (SELECT c_mktsegment AS seg,
+          |                  year(CAST(o_orderdate AS DATE)) >= 1998 AS p1,
+          |                  o_orderstatus = 'F' AS y
+          |           FROM orders JOIN customer ON c_custkey = o_custkey),
+          |s AS (SELECT seg,
+          |        CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS n0,
+          |        CAST(sum(CASE WHEN NOT p1 AND y THEN 1 ELSE 0 END)
+          |          AS BIGINT) AS c0,
+          |        CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |        CAST(sum(CASE WHEN p1 AND y THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS c1
+          |      FROM j GROUP BY 1),
+          |t AS (SELECT CAST(sum(n0) AS BIGINT) AS nn0,
+          |             CAST(sum(c0) AS BIGINT) AS cc0,
+          |             CAST(sum(n1) AS BIGINT) AS nn1,
+          |             CAST(sum(c1) AS BIGINT) AS cc1 FROM s),
+          |terms AS (SELECT s.seg, s.n0, s.c0, s.n1, s.c1,
+          |  CASE WHEN s.n0 > 0 AND t.nn1 > 0 THEN
+          |    CASE WHEN CAST(s.c1 AS HUGEINT) * s.n0
+          |               - CAST(s.c0 AS HUGEINT) * s.n1 >= 0
+          |         THEN CAST(((CAST(s.c1 AS HUGEINT) * s.n0
+          |                     - CAST(s.c0 AS HUGEINT) * s.n1) * 1000000)
+          |                   // (CAST(t.nn1 AS HUGEINT) * s.n0) AS BIGINT)
+          |         ELSE -CAST((-((CAST(s.c1 AS HUGEINT) * s.n0
+          |                        - CAST(s.c0 AS HUGEINT) * s.n1))
+          |                     * 1000000)
+          |                    // (CAST(t.nn1 AS HUGEINT) * s.n0) AS BIGINT)
+          |    END ELSE CAST(0 AS BIGINT) END AS rate_eff_micro,
+          |  CASE WHEN s.n0 > 0 AND t.nn0 > 0 AND t.nn1 > 0 THEN
+          |    CASE WHEN CAST(s.n1 AS HUGEINT) * t.nn0
+          |               - CAST(s.n0 AS HUGEINT) * t.nn1 >= 0
+          |         THEN CAST((CAST(s.c0 AS HUGEINT)
+          |                    * (CAST(s.n1 AS HUGEINT) * t.nn0
+          |                       - CAST(s.n0 AS HUGEINT) * t.nn1) * 1000000)
+          |                   // (CAST(s.n0 AS HUGEINT) * t.nn1 * t.nn0)
+          |                   AS BIGINT)
+          |         ELSE -CAST((CAST(s.c0 AS HUGEINT)
+          |                     * (-(CAST(s.n1 AS HUGEINT) * t.nn0
+          |                          - CAST(s.n0 AS HUGEINT) * t.nn1))
+          |                     * 1000000)
+          |                    // (CAST(s.n0 AS HUGEINT) * t.nn1 * t.nn0)
+          |                    AS BIGINT)
+          |    END ELSE CAST(0 AS BIGINT) END AS mix_eff_micro
+          |  FROM s, t),
+          |tr AS (SELECT t.nn0, t.cc0, t.nn1, t.cc1,
+          |              CAST(coalesce(sum(rate_eff_micro), 0) AS BIGINT)
+          |                AS sre,
+          |              CAST(coalesce(sum(mix_eff_micro), 0) AS BIGINT)
+          |                AS sme,
+          |              CASE WHEN t.nn1 > 0
+          |                   THEN (t.cc1 * 1000000) // t.nn1 ELSE 0 END
+          |                - CASE WHEN t.nn0 > 0
+          |                       THEN (t.cc0 * 1000000) // t.nn0 ELSE 0 END
+          |                AS delta
+          |       FROM terms, t GROUP BY 1, 2, 3, 4, 7)
+          |SELECT seg AS c_mktsegment, n0, c0, n1, c1, rate_eff_micro,
+          |       mix_eff_micro, CAST(NULL AS BIGINT) AS delta_micro,
+          |       CAST(NULL AS BIGINT) AS residual_micro
+          |FROM terms
+          |UNION ALL
+          |SELECT '__total', nn0, cc0, nn1, cc1, sre, sme,
+          |       CAST(delta AS BIGINT),
+          |       CAST(delta - sre - sme AS BIGINT)
+          |FROM tr""".stripMargin)),
+
+    QueryDef("q372_placebo_ate", (s, d) =>
+      // the causal-audit practice query: stratified ATE under a
+      // DETERMINISTIC pseudo-random relabeling (md5 hash splits users) —
+      // a real design should see ~0 here; composition of q327's
+      // stratifiedAte with Sampling.hashBucket, no new operator
+      Inference.stratifiedAte(
+        events(s, d).filter(col("value").isNotNull),
+        Seq("event_type"),
+        graft.pipeline.Sampling.hashBucket(col("user_id"), "placebo")
+          < 500000L,
+        floor(col("value") * 1000 + 0.5).cast("long")),
+      Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) ||
+          |            '|placebo'), 1, 8))::BIGINT % 1000000 < 500000 AS tr,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+          |  FROM events WHERE value IS NOT NULL),
+          |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_s,
+          |             CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+          |               AS n_t,
+          |             CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT)
+          |               AS st,
+          |             CAST(sum(CASE WHEN NOT tr THEN y ELSE 0 END)
+          |               AS BIGINT) AS sc
+          |      FROM b GROUP BY 1),
+          |f AS (SELECT *, n_s - n_t AS n_c FROM s
+          |      WHERE n_t > 0 AND n_s - n_t > 0),
+          |m AS (SELECT *,
+          |        CASE WHEN st >= 0 THEN (st * 1000000) // n_t
+          |             ELSE -((-st * 1000000) // n_t) END AS mt,
+          |        CASE WHEN sc >= 0 THEN (sc * 1000000) // n_c
+          |             ELSE -((-sc * 1000000) // n_c) END AS mc
+          |      FROM f),
+          |w AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM f),
+          |ws AS (SELECT CAST(coalesce(sum(CAST(n_s AS HUGEINT)
+          |         * (mt - mc)), 0) AS HUGEINT) AS wsum FROM m)
+          |SELECT m.event_type, m.n_s, m.n_t, m.n_c,
+          |       CAST(m.mt AS BIGINT) AS mean_t_micro,
+          |       CAST(m.mc AS BIGINT) AS mean_c_micro,
+          |       CAST(m.mt - m.mc AS BIGINT) AS diff_micro,
+          |       (m.n_s * 1000000) // w.nn AS weight_ppm,
+          |       CAST(CASE WHEN ws.wsum >= 0 THEN ws.wsum // w.nn
+          |                 ELSE -((-ws.wsum) // w.nn) END AS BIGINT)
+          |         AS ate_micro
+          |FROM m, w, ws""".stripMargin)),
+
     QueryDef("q367_log_rank", (s, d) => {
       // Mantel-Cox: do urgent orders fulfill on a different survival
       // curve than the rest? O-E and hypergeometric variance accumulated

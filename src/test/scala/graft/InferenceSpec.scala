@@ -1160,6 +1160,26 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- kitagawaDecomposition ----
+
+  test("kitagawaDecomposition: hand rate/mix effects close the delta exactly") {
+    import graft.pipeline.Inference
+    def rows(s: String, p1: Boolean, c: Int, n: Int) =
+      (1 to n).map(i => (s, p1, i <= c))
+    // X: .25 -> .5 on shrinking traffic; Y: flat .5 on growing traffic
+    val df = (rows("X", false, 1, 4) ++ rows("X", true, 1, 2) ++
+      rows("Y", false, 2, 4) ++ rows("Y", true, 3, 6)).toDF("s", "p", "y")
+    val out = Inference.kitagawaDecomposition(df, col("p"), Seq("s"),
+        col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert((out("X").getLong(5), out("X").getLong(6)) === ((62500L, -62500L)))
+    assert((out("Y").getLong(5), out("Y").getLong(6)) === ((0L, 125000L)))
+    val t = out("__total")
+    assert((t.getLong(5), t.getLong(6)) === ((62500L, 62500L)))
+    assert(t.getLong(7) === 125000L) // delta
+    assert(t.getLong(8) === 0L)      // exact closure on this vector
+  }
+
   // ---- logRankTest ----
 
   test("logRankTest: hand O/E/V accumulation, censored steps skipped") {
