@@ -488,6 +488,115 @@ object Inference {
         col("mce_ppm"))
   }
 
+  /** Isotonic calibration over the [[reliability]] buckets, WITHOUT a
+    * sequential pool-adjacent-violators pass: the L2 isotonic fit has
+    * the closed minimax form `fit_i = max_{j<=i} min_{k>=i} avg(j..k)`
+    * (Ayer et al. 1955; Robertson/Wright/Dykstra 1988, eq. 1.9-1.13),
+    * and with a BOUNDED bucket count (<= 11 milli-probability deciles)
+    * the O(B^2) range table is a handful of rows — so the whole fit is
+    * three tiny joins/rollups, declarative and engine-exact (each range
+    * average is ONE non-negative truncating ppm division; the minimax
+    * then only compares those integers). The result is the
+    * non-decreasing calibrated rate per bucket — what you'd deploy as a
+    * monotone calibration map when raw reliability zig-zags from noise.
+    *
+    * Shape: one bucket rollup over raw rows, then everything is
+    * B-bounded (ranges via a bucket-to-bucket join, prefix sums by
+    * range containment) — nothing scales past the first rollup.
+    */
+  def isotonicCalibrate(df: DataFrame, probMilliCol: Column,
+      labelCol: Column, widthMilli: Int = 100): DataFrame = {
+    require(widthMilli >= 1 && widthMilli <= 1000, s"widthMilli: $widthMilli")
+    val base = df.filter(probMilliCol.isNotNull && labelCol.isNotNull)
+      .select(probMilliCol.cast("long").as("__p"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    val buckets = base
+      .groupBy(call_function("div", col("__p"), lit(widthMilli.toLong))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("c"))
+      .withColumn("raw_ppm",
+        call_function("div", col("c") * 1000000L, col("n")))
+      .localCheckpoint(false) // B rows; feeds ranges and the output join
+    val b2 = buckets.select(col("bucket").as("__j"))
+      .crossJoin(buckets.select(col("bucket").as("__k")))
+      .filter(col("__j") <= col("__k"))
+    val ranges = b2
+      .join(buckets.select(col("bucket"), col("n"), col("c")),
+        col("bucket") >= col("__j") && col("bucket") <= col("__k"))
+      .groupBy(col("__j"), col("__k"))
+      .agg(call_function("div", sum(col("c")) * 1000000L, sum(col("n")))
+        .as("__avg"))
+    val fit = buckets.select(col("bucket"))
+      .join(ranges, col("__j") <= col("bucket") && col("__k") >= col("bucket"))
+      .groupBy(col("bucket"), col("__j")).agg(min(col("__avg")).as("__mn"))
+      .groupBy(col("bucket")).agg(max(col("__mn")).as("calibrated_ppm"))
+    buckets.join(fit, Seq("bucket"))
+      .select(col("bucket"), col("n"), col("c"), col("raw_ppm"),
+        col("calibrated_ppm"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over the
+    * [[reliability]] buckets:
+    * `Brier = REL - RES + UNC + within-bin variance` — reliability (how
+    * far claimed probabilities sit from realized rates — the part
+    * calibration can fix), resolution (how much the buckets separate
+    * outcomes — the part only a better model can raise), and the
+    * outcome-base-rate uncertainty floor. All micro units with ONE
+    * declared truncating division per term ([[ece]] conventions); the
+    * identity's gap — within-bin forecast variance plus truncation — is
+    * emitted as `residual_micro`, visible rather than re-scaled away.
+    *
+    * One bucket rollup, one bounded agg.
+    */
+  def brierDecomposition(df: DataFrame, probMilliCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.filter(probMilliCol.isNotNull && labelCol.isNotNull)
+      .select(probMilliCol.cast("long").as("__p"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    val buckets = base
+      .groupBy(call_function("div", col("__p"), lit(100L)).as("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__c"),
+        sum(col("__p")).as("__s"),
+        sum((col("__p") - col("__y") * 1000L) *
+          (col("__p") - col("__y") * 1000L)).as("__sq"))
+      .localCheckpoint(false) // feeds the totals agg and the term pass
+    val tot = buckets.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(col("__c")), lit(0L)).as("__ct"),
+      coalesce(sum(col("__sq")), lit(0L)).as("__sqt"))
+    val agg = buckets.crossJoin(broadcast(tot)).agg(
+      first(col("n")).as("n"), first(col("__ct")).as("__ct"),
+      first(col("__sqt")).as("__sqt"),
+      coalesce(sum(call_function("div",
+        (col("__s") - col("__c") * 1000L) *
+          (col("__s") - col("__c") * 1000L), col("__n"))), lit(0L))
+        .as("__rel_n"),
+      coalesce(sum(call_function("div",
+        dec(col("__c") * col("n") - col("__ct") * col("__n")) *
+          dec(col("__c") * col("n") - col("__ct") * col("__n")) *
+          dec(lit(1000000L)),
+        dec(col("__n")))), dec(lit(0L))).as("__res_n"))
+    agg
+      .withColumn("brier_micro",
+        when(col("n") > 0L, call_function("div", col("__sqt"), col("n"))))
+      .withColumn("reliability_micro",
+        when(col("n") > 0L, call_function("div", col("__rel_n"), col("n"))))
+      .withColumn("resolution_micro",
+        when(col("n") > 0L, call_function("div", col("__res_n"),
+          dec(col("n")) * dec(col("n")) * dec(col("n"))).cast("long")))
+      .withColumn("uncertainty_micro",
+        when(col("n") > 0L, call_function("div",
+          dec(col("__ct")) * dec(col("n") - col("__ct")) *
+            dec(lit(1000000L)),
+          dec(col("n")) * dec(col("n"))).cast("long")))
+      .withColumn("residual_micro",
+        col("brier_micro") - (col("reliability_micro") -
+          col("resolution_micro") + col("uncertainty_micro")))
+      .select(col("n"), col("brier_micro"), col("reliability_micro"),
+        col("resolution_micro"), col("uncertainty_micro"),
+        col("residual_micro"))
+  }
+
   /** Cumulative gains table over score deciles: rank rows by a model
     * score (descending — decile 1 is the model's best), report per decile
     * the cumulative share of all positives captured, in exact ppm — the

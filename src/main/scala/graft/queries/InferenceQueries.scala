@@ -501,6 +501,109 @@ object InferenceQueries extends QuerySet {
           |       atec.ate AS ate_micro
           |FROM s3, atec""".stripMargin)),
 
+    QueryDef("q373_isotonic_calibration", (s, d) => {
+      // monotone calibration map over q297's reliability buckets via the
+      // MINIMAX closed form (no sequential PAV): fit_i = max_{j<=i}
+      // min_{k>=i} avg(j..k), declarative over the bounded bucket domain
+      val preds = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("succ"))
+        .withColumn("p_milli",
+          expr("(succ + 30) * 1000 div (n + 100)"))
+      val scored = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(preds.select(col("c_nationkey"), col("p_milli"))),
+          Seq("c_nationkey"))
+      Inference.isotonicCalibrate(scored, col("p_milli"),
+        col("o_orderstatus") === "F", widthMilli = 10)
+    }, Some(
+      """WITH j AS (SELECT c_nationkey, o_orderstatus FROM orders
+        |           JOIN customer ON c_custkey = o_custkey),
+        |p AS (SELECT c_nationkey,
+        |             (sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 30)
+        |               * 1000 // (count(*) + 100) AS p_milli
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT p.p_milli AS pm,
+        |             CASE WHEN j.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |      FROM j JOIN p USING (c_nationkey)),
+        |bk AS (SELECT CAST(pm // 10 AS BIGINT) AS bucket,
+        |              CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS BIGINT) AS c
+        |       FROM b GROUP BY 1),
+        |r AS (SELECT j2.bucket AS jb, k2.bucket AS kb
+        |      FROM bk j2 JOIN bk k2 ON j2.bucket <= k2.bucket),
+        |rs AS (SELECT r.jb, r.kb,
+        |              CAST((sum(bk.c) * 1000000) // sum(bk.n) AS BIGINT) AS a
+        |       FROM r JOIN bk ON bk.bucket BETWEEN r.jb AND r.kb
+        |       GROUP BY 1, 2),
+        |mnj AS (SELECT b2.bucket, rs.jb, CAST(min(rs.a) AS BIGINT) AS mn
+        |        FROM bk b2 JOIN rs ON rs.jb <= b2.bucket
+        |          AND rs.kb >= b2.bucket
+        |        GROUP BY 1, 2),
+        |f AS (SELECT bucket, CAST(max(mn) AS BIGINT) AS calibrated_ppm
+        |      FROM mnj GROUP BY 1)
+        |SELECT bk.bucket, bk.n, bk.c, (bk.c * 1000000) // bk.n AS raw_ppm,
+        |       f.calibrated_ppm
+        |FROM bk JOIN f USING (bucket)""".stripMargin)),
+
+    QueryDef("q374_brier_decomposition", (s, d) => {
+      // Murphy: Brier = reliability - resolution + uncertainty (+ the
+      // visible within-bin/truncation residual) over q297's forecasts
+      val preds = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("succ"))
+        .withColumn("p_milli",
+          expr("(succ + 30) * 1000 div (n + 100)"))
+      val scored = table(s, d, "orders")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(preds.select(col("c_nationkey"), col("p_milli"))),
+          Seq("c_nationkey"))
+      Inference.brierDecomposition(scored, col("p_milli"),
+        col("o_orderstatus") === "F")
+    }, Some(
+      """WITH j AS (SELECT c_nationkey, o_orderstatus FROM orders
+        |           JOIN customer ON c_custkey = o_custkey),
+        |p AS (SELECT c_nationkey,
+        |             (sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 30)
+        |               * 1000 // (count(*) + 100) AS p_milli
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT p.p_milli AS pm,
+        |             CASE WHEN j.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |      FROM j JOIN p USING (c_nationkey)),
+        |bk AS (SELECT pm // 100 AS bb, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS BIGINT) AS c,
+        |              CAST(sum(pm) AS BIGINT) AS sm,
+        |              CAST(sum((pm - y*1000) * (pm - y*1000)) AS BIGINT) AS sq
+        |       FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS ct,
+        |             CAST(sum(sq) AS BIGINT) AS sqt FROM bk),
+        |a AS (SELECT t.n, t.ct, t.sqt,
+        |             CAST(coalesce(sum(((bk.sm - bk.c * 1000)
+        |                * (bk.sm - bk.c * 1000)) // bk.n), 0) AS BIGINT)
+        |               AS rel_n,
+        |             coalesce(sum((CAST(bk.c * t.n - t.ct * bk.n AS HUGEINT)
+        |                * (bk.c * t.n - t.ct * bk.n) * 1000000) // bk.n), 0)
+        |               AS res_n
+        |      FROM bk, t GROUP BY 1, 2, 3),
+        |f AS (SELECT n, sqt // n AS brier_micro,
+        |             rel_n // n AS reliability_micro,
+        |             CAST(res_n // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+        |               AS resolution_micro,
+        |             CAST((CAST(ct AS HUGEINT) * (n - ct) * 1000000)
+        |                  // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |               AS uncertainty_micro
+        |      FROM a)
+        |SELECT n, brier_micro, reliability_micro, resolution_micro,
+        |       uncertainty_micro,
+        |       brier_micro - (reliability_micro - resolution_micro
+        |                      + uncertainty_micro) AS residual_micro
+        |FROM f""".stripMargin)),
+
     QueryDef("q371_kitagawa", (s, d) =>
       // rate-vs-mix decomposition of the fulfillment-rate change across
       // 1998: per segment ONE sign-magnitude micro division per term,

@@ -1160,6 +1160,37 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- isotonicCalibrate ----
+
+  test("isotonicCalibrate: minimax pools the zig-zag, monotone output") {
+    import graft.pipeline.Inference
+    def b(p: Long, pos: Int, n: Int) = (1 to n).map(i => (p, i <= pos))
+    // raw 0.8 / 0.2 / 0.5 violates monotonicity -> all pool to 0.5
+    val df = (b(150L, 8, 10) ++ b(250L, 2, 10) ++ b(350L, 5, 10))
+      .toDF("p", "y")
+    val out = Inference.isotonicCalibrate(df, col("p"), col("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(1L -> ((800000L, 500000L)),
+      2L -> ((200000L, 500000L)), 3L -> ((500000L, 500000L))))
+    // already-monotone input passes through untouched
+    val mono = (b(150L, 2, 10) ++ b(250L, 5, 10)).toDF("p", "y")
+    val m = Inference.isotonicCalibrate(mono, col("p"), col("y"))
+      .collect().map(r => r.getLong(3) -> r.getLong(4))
+    assert(m.forall { case (raw, cal) => raw === cal })
+  }
+
+  // ---- brierDecomposition ----
+
+  test("brierDecomposition: Murphy identity closes on a calibrated vector") {
+    import graft.pipeline.Inference
+    def b(p: Long, pos: Int, n: Int) = (1 to n).map(i => (p, i <= pos))
+    // bucket conf == acc (200 -> 1/5, 800 -> 4/5): reliability exactly 0
+    val df = (b(200L, 1, 5) ++ b(800L, 4, 5)).toDF("p", "y")
+    val r = Inference.brierDecomposition(df, col("p"), col("y")).collect()(0)
+    assert(r.toSeq === Seq(10L, 160000L, 0L, 90000L, 250000L, 0L))
+  }
+
   // ---- kitagawaDecomposition ----
 
   test("kitagawaDecomposition: hand rate/mix effects close the delta exactly") {
