@@ -310,6 +310,38 @@ object Similarity {
         coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
   }
 
+  /** Intra-list label diversity of per-query top-k results: distinct
+    * labels, their share of k, and the EFFECTIVE label count
+    * `k^2 / sum(count_l^2)` (the inverse-HHI, in milli) — the
+    * recommendation-diversity readout that catches an index whose top-10
+    * is ten near-identical items (high relevance, zero discovery). All
+    * exact: distinct counts, one ppm division, and the effective count
+    * as one division of integer squares.
+    *
+    * Shape: run joined to the broadcast-fed label relation, one
+    * (query, label) rollup, one query rollup — k-bounded per query.
+    */
+  def labelDiversity(run: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    def dec2(c: Column): Column = c.cast("decimal(38,0)")
+    val joined = run.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(labels.select(col("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+    joined.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__c")).as("n_results"),
+        count(lit(1)).as("n_labels"),
+        sum(dec2(col("__c")) * dec2(col("__c"))).as("__ss"))
+      .select(col("query_id"), col("n_results"), col("n_labels"),
+        call_function("div", col("n_labels") * 1000000L, col("n_results"))
+          .as("label_share_ppm"),
+        call_function("div",
+          dec2(col("n_results")) * dec2(col("n_results")) * dec2(lit(1000L)),
+          col("__ss")).cast("long").as("effective_labels_milli"))
+  }
+
   /** MAP@k and MRR@k against a declared relevance relation: per query,
     * average precision `AP@k = (sum over hit positions d of P@d) /
     * min(k, R)` with `P@d = hits_through_d / d`, and the reciprocal rank

@@ -955,6 +955,45 @@ object Stats {
         col("tot").as("total_weight")): _*)
   }
 
+  /** Multiplicative day-of-week seasonal index per group: the ratio of
+    * each weekday's mean volume to the overall mean, as one exact
+    * cross-multiplied ppm division
+    * `sum_dow * n_days * 1e6 div (n_dow_days * S)` — the demand-planning
+    * seasonal factor table (divide a day's actual by its factor to
+    * deseasonalize; 1e6 = an average day). Day indexes are epoch days,
+    * `dow = day mod 7` (epoch day 0 = a Thursday; the label is a
+    * positional convention both engines share — callers wanting ISO
+    * labels map it downstream). Days ABSENT from the data are absent
+    * from both numerator and denominator: the index describes observed
+    * days, zero-filling is the caller's densify decision.
+    *
+    * Shape: one (group, day) rollup, one (group, dow) rollup, a
+    * broadcast per-group totals join. Calendar-bounded everywhere.
+    */
+  def dowSeasonalIndex(df: DataFrame, groupCols: Seq[String],
+      dayCol: Column, valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "dowSeasonalIndex needs group columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("__d"): _*)
+      .agg(sum(valueCol.cast("long")).as("__v"))
+      .localCheckpoint(false) // feeds the dow rollup and the totals
+    val byDow = daily
+      .groupBy(gcols :+ pmod(col("__d"), lit(7L)).as("dow"): _*)
+      .agg(count(lit(1)).as("n_days"), sum(col("__v")).as("dow_sum"))
+    val tot = daily.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__nd"), sum(col("__v")).as("__s"))
+    // non-negative volumes by contract (counts, cents) — one truncating
+    // division, no sign gymnastics
+    byDow.join(broadcast(tot), groupCols)
+      .select(gcols ++ Seq(col("dow"), col("n_days"), col("dow_sum"),
+        when(col("__s") > 0L && col("n_days") > 0L,
+          call_function("div",
+            dec(col("dow_sum")) * dec(col("__nd")) * dec(lit(1000000L)),
+            dec(col("n_days")) * dec(col("__s"))).cast("long"))
+          .as("index_ppm")): _*)
+  }
+
   /** Maximum drawdown of a per-group level series: the largest
     * peak-to-trough drop `running_max(level) - level` in series order,
     * with the (earliest) trough position and the peak level preceding it

@@ -161,6 +161,40 @@ object PipelineQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q376_label_diversity", (s, d) => {
+      // discovery-vs-crowding audit: distinct labels and effective label
+      // count (inverse HHI) inside each query's top-10 — exact integers
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.labelDiversity(
+        Similarity.bruteForceTopK(emb, q, k = 10),
+        emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("label").cast("long").as("label")), k = 10)
+    }, Some(
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |                  CAST(label AS BIGINT) AS lbl, $qvecSql AS v
+         |           FROM embeddings),
+         |run1 AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rank
+         |  FROM e c, e q WHERE q.id < 10 AND c.id <> q.id) z
+         |  WHERE rank <= 10),
+         |lj AS (SELECT r.query_id, e2.lbl FROM run1 r
+         |       JOIN e e2 ON e2.id = r.neighbor_id),
+         |g AS (SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS c
+         |      FROM lj GROUP BY 1, 2),
+         |a AS (SELECT query_id, CAST(sum(c) AS BIGINT) AS n_results,
+         |             CAST(count(*) AS BIGINT) AS n_labels,
+         |             sum(CAST(c AS HUGEINT) * c) AS ss
+         |      FROM g GROUP BY 1)
+         |SELECT query_id, n_results, n_labels,
+         |       (n_labels * 1000000) // n_results AS label_share_ppm,
+         |       CAST((CAST(n_results AS HUGEINT) * n_results * 1000) // ss
+         |            AS BIGINT) AS effective_labels_milli
+         |FROM a""".stripMargin
+    )),
+
     QueryDef("q369_map_mrr", (s, d) => {
       // labeled-relevance retrieval eval: MAP@10 and MRR over the exact
       // index, relevance = same embedding label — position-aware where

@@ -110,6 +110,36 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q375_dow_seasonal_index", (s, d) =>
+      // demand-planning factor table: each weekday's mean volume vs the
+      // overall mean per event type, one cross-multiplied ppm division
+      Stats.dowSeasonalIndex(
+        events(s, d).filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(1L)),
+      Some(
+        """WITH dl AS (
+          |  SELECT event_type,
+          |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+          |         CAST(count(*) AS BIGINT) AS v
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2),
+          |bd AS (SELECT event_type, d % 7 AS dow,
+          |              CAST(count(*) AS BIGINT) AS n_days,
+          |              CAST(sum(v) AS BIGINT) AS dow_sum
+          |       FROM dl GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          |             CAST(sum(v) AS BIGINT) AS s
+          |      FROM dl GROUP BY 1)
+          |SELECT bd.event_type, bd.dow, bd.n_days, bd.dow_sum,
+          |       CASE WHEN t.s > 0 AND bd.n_days > 0
+          |            THEN CAST((CAST(bd.dow_sum AS HUGEINT) * t.nd * 1000000)
+          |                      // (CAST(bd.n_days AS HUGEINT) * t.s)
+          |                      AS BIGINT)
+          |       END AS index_ppm
+          |FROM bd JOIN t USING (event_type)""".stripMargin)),
+
     QueryDef("q363_trimmed_mean", (s, d) =>
       // 5%-trimmed mean of line price cents per return flag: tails don't
       // vote; distinct-value rollup, arithmetic boundary split, ONE

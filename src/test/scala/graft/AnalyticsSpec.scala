@@ -580,6 +580,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- dowSeasonalIndex ----
+
+  test("dowSeasonalIndex: exact cross-multiplied factors") {
+    val df = Seq(("g", 0L, 10L), ("g", 7L, 10L), ("g", 1L, 5L))
+      .toDF("k", "d", "v")
+    val out = Stats.dowSeasonalIndex(df, Seq("k"), col("d"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // dow 0: two 10-value days vs overall mean 25/3
+    assert(out(0L) === ((2L, 20L, 1200000L)))
+    assert(out(1L) === ((1L, 5L, 600000L)))
+  }
+
   // ---- maxDrawdown ----
 
   test("maxDrawdown: peak-to-trough with earliest trough; rising series 0") {

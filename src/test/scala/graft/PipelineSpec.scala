@@ -1413,6 +1413,27 @@ class PipelineSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2)) === ((1L, 1L)))
   }
 
+  // ---- labelDiversity ----
+
+  test("labelDiversity: distinct labels, inverse-HHI effective count") {
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq((10L, 5L), (20L, 5L), (30L, 9L))
+      .toDF("neighbor_id", "label")
+    val out = Similarity.labelDiversity(run, labels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 2 of 3 labels distinct: eff = 9*1000 div (4+1) = 1800 milli
+    assert(out(1L) === ((2L, 666666L, 1800L)))
+    assert(out(2L) === ((2L, 666666L, 1800L)))
+    // a crowded monoculture list reads exactly 1.0 effective labels
+    val mono = Similarity.labelDiversity(run,
+      labels.withColumn("label", lit(1L)), k = 3)
+      .collect()(0)
+    assert((mono.getLong(2), mono.getLong(4)) === ((1L, 1000L)))
+  }
+
   // ---- mapAtK ----
 
   test("mapAtK: hand AP over hit positions; zero-hit queries score 0") {
