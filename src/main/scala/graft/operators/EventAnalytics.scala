@@ -838,6 +838,54 @@ object EventAnalytics {
           col("n_a") + col("n_b") - col("n_common")).as("jaccard_ppm"))
   }
 
+  /** Odds-ratio matrix over event-type pairs: the full 2x2 user
+    * contingency (`both / a-only / b-only / neither`) and the exact
+    * cross-product odds ratio `n11*n00*1000 div (n10*n01)` — the
+    * epidemiology-grade association strength [[audienceOverlap]]'s
+    * Jaccard flattens (Jaccard ignores the `neither` cell, so it cannot
+    * distinguish "A and B co-occur more than chance" from "A and B are
+    * simply both common"). OR > 1000 milli = positive association. A
+    * zero off-diagonal cell leaves the OR NULL (infinite/undefined —
+    * visible, not clamped); Haldane-correct downstream if you need a
+    * finite estimate.
+    *
+    * Shape: the [[audienceOverlap]] user-keyed self-join for `n11`,
+    * broadcast per-type user counts and the 1-row universe count for
+    * the margins — the other three cells are arithmetic.
+    */
+  def oddsRatioMatrix(events: DataFrame, typeCol: Column,
+      userCol: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tu = events.filter(typeCol.isNotNull && userCol.isNotNull)
+      .select(typeCol.as("__t"), userCol.as("__u")).distinct()
+      .localCheckpoint(false)
+    val nAll = tu.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val sizes = tu.groupBy(col("__t")).agg(count(lit(1)).as("n"))
+    val pairs = tu.select(col("__t").as("type_a"), col("__u"))
+      .join(tu.select(col("__t").as("type_b"), col("__u")), Seq("__u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n11"))
+    pairs
+      .join(broadcast(sizes.select(col("__t").as("type_a"),
+        col("n").as("__na"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("__t").as("type_b"),
+        col("n").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("n10", col("__na") - col("n11"))
+      .withColumn("n01", col("__nb") - col("n11"))
+      .withColumn("n00",
+        col("__N") - col("__na") - col("__nb") + col("n11"))
+      .select(col("type_a"), col("type_b"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        when(col("n10") > 0L && col("n01") > 0L,
+          call_function("div",
+            dec(col("n11")) * dec(col("n00")) * dec(lit(1000L)),
+            dec(col("n10")) * dec(col("n01"))).cast("long"))
+          .as("odds_ratio_milli"))
+  }
+
   /** Growth accounting (the standard DAU decomposition): every active
     * (user, day) is exactly one of NEW (first-ever day), RETAINED (also
     * active the previous calendar day), or RESURRECTED (returning after a

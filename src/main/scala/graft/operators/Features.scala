@@ -566,6 +566,47 @@ object Features {
       .agg(sum(sign).as("value"))
   }
 
+  /** Daily revenue recognition: spread each contract's cents EVENLY over
+    * its closed service interval, exactly — `base = cents div span` per
+    * day plus one extra cent on the first `cents mod span` days (the
+    * largest-remainder discipline, so per-contract recognized total ==
+    * contract cents TO THE CENT, and the daily schedule is deterministic
+    * on any engine). The accrual-accounting primitive a warehouse
+    * rev-rec close runs; also the exact form of "allocate a campaign
+    * budget across flight days".
+    *
+    * Rows with NULL/inverted intervals or spans beyond `maxSpanDays` are
+    * EXCLUDED by contract (the [[graft.operators.Intervals]] convention)
+    * — `maxSpanDays` bounds the per-row explode fanout, which is the
+    * honest cost (output is contract-days, the thing being computed).
+    * One fanout + one (key, day) rollup.
+    */
+  def revenueRecognition(df: DataFrame, keys: Seq[String], startDay: Column,
+      endDay: Column, centsCol: Column, maxSpanDays: Int = 3660): DataFrame = {
+    require(keys.nonEmpty, "revenueRecognition needs keys")
+    require(maxSpanDays >= 1, s"maxSpanDays: $maxSpanDays")
+    val kcols = keys.map(col)
+    val base = df
+      .select(kcols :+ startDay.cast("long").as("__s") :+
+        endDay.cast("long").as("__e") :+ centsCol.cast("long").as("__c"): _*)
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__c").isNotNull && col("__c") >= 0L &&
+        col("__e") >= col("__s") &&
+        col("__e") - col("__s") < maxSpanDays.toLong)
+      .withColumn("__span", col("__e") - col("__s") + 1L)
+      .withColumn("__base", call_function("div", col("__c"), col("__span")))
+      .withColumn("__rem", col("__c") - col("__base") * col("__span"))
+    base
+      .select(kcols :+ col("__s") :+ col("__base") :+ col("__rem") :+
+        explode(sequence(col("__s"), col("__e"))).as("day"): _*)
+      .withColumn("__amt",
+        col("__base") +
+          when(col("day") - col("__s") < col("__rem"), 1L).otherwise(0L))
+      .groupBy(kcols :+ col("day"): _*)
+      .agg(count(lit(1)).as("n_contracts"),
+        sum(col("__amt")).as("recognized_cents"))
+  }
+
   /** Herfindahl-Hirschman concentration of a value distribution per group
     * (the antitrust/market-concentration index, equally the "is this
     * segment's revenue one whale?" readout): `HHI = sum over holders of

@@ -154,6 +154,45 @@ object AnalyticsQueries extends QuerySet {
           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
           |FROM nz""".stripMargin)),
 
+    QueryDef("q377_revenue_recognition", (s, d) =>
+      // accrual rev-rec: spread each order's cents evenly over its
+      // order-to-last-ship interval, exact to the cent via the
+      // largest-remainder daily schedule; per-priority recognized series
+      graft.operators.Features.revenueRecognition(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(min(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date"))).as("s"),
+            max(datediff(to_date(col("l_shipdate")),
+              lit("1970-01-01").cast("date"))).as("e"),
+            min(graft.operators.Features.cents(col("o_totalprice")))
+              .as("cents")),
+        Seq("o_orderpriority"), col("s"), col("e"), col("cents")),
+      Some(
+        """WITH sp AS (
+          |  SELECT o_orderpriority,
+          |         CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+          |              AS BIGINT) AS s,
+          |         CAST(max(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+          |              AS BIGINT) AS e,
+          |         CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |              AS BIGINT) AS c
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY o_orderkey, o_orderpriority),
+          |v AS (SELECT *, e - s + 1 AS span, c // (e - s + 1) AS base,
+          |             c % (e - s + 1) AS rem
+          |      FROM sp WHERE e >= s AND c >= 0 AND e - s < 3660),
+          |x AS (SELECT o_orderpriority, unnest(generate_series(s, e)) AS day,
+          |             s, base, rem
+          |      FROM v)
+          |SELECT o_orderpriority, day, CAST(count(*) AS BIGINT)
+          |         AS n_contracts,
+          |       CAST(sum(base + CASE WHEN day - s < rem THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS recognized_cents
+          |FROM x GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q370_max_drawdown", (s, d) =>
       // largest peak-to-trough drop of each nation's daily revenue level
       // (whole dollars): running-max window, struct-argmax earliest

@@ -226,6 +226,43 @@ object StatQueries extends QuerySet {
           |                     THEN 1 ELSE -1 END) AS BIGINT) AS value
           |FROM t GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("q378_odds_ratio", (s, d) => {
+      // association beyond co-popularity: the full 2x2 per type pair on
+      // day-1 audiences, exact cross-product OR in milli — the neither
+      // cell Jaccard throws away
+      val ev = events(s, d).filter(col("ts").isNotNull)
+      val d0 = ev.agg(min(to_date(col("ts"))).as("__d0"))
+      graft.operators.EventAnalytics.oddsRatioMatrix(
+        ev.crossJoin(broadcast(d0))
+          .filter(to_date(col("ts")) === col("__d0")),
+        col("event_type"), col("user_id"))
+    }, Some(
+      """WITH tu AS (SELECT DISTINCT event_type AS t,
+        |                   CAST(user_id AS BIGINT) AS u
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |              AND ts IS NOT NULL
+        |              AND CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE))
+        |                                      FROM events)),
+        |na AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nn FROM tu),
+        |s AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n11
+        |      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n11,
+        |       sa.n - p.n11 AS n10, sb.n - p.n11 AS n01,
+        |       na.nn - sa.n - sb.n + p.n11 AS n00,
+        |       CASE WHEN sa.n - p.n11 > 0 AND sb.n - p.n11 > 0
+        |            THEN CAST((CAST(p.n11 AS HUGEINT)
+        |                       * (na.nn - sa.n - sb.n + p.n11) * 1000)
+        |                      // (CAST(sa.n - p.n11 AS HUGEINT)
+        |                          * (sb.n - p.n11)) AS BIGINT)
+        |       END AS odds_ratio_milli
+        |FROM p JOIN s sa ON sa.t = p.type_a
+        |       JOIN s sb ON sb.t = p.type_b
+        |     CROSS JOIN na""".stripMargin)),
+
     QueryDef("q357_audience_overlap", (s, d) => {
       // population overlap per event-type pair: exact Jaccard of user
       // sets — user-keyed self equi-join, never a type-pair cartesian.

@@ -658,6 +658,22 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect()(0).getLong(3) === 1000000L)
   }
 
+  // ---- oddsRatioMatrix ----
+
+  test("oddsRatioMatrix: full 2x2 cells; zero cell leaves OR NULL") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 3L),
+      ("C", 1L), ("C", 2L), ("D", 4L)).toDF("t", "u")
+    val out = EventAnalytics.oddsRatioMatrix(ev, col("t"), col("u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // A{1,2} vs B{1,3} in N=4: balanced 2x2 -> OR exactly 1.0
+    assert(out(("A", "B")) === ((1L, 1L, 1L, 1L, 1000L)))
+    // C == A: n10 = 0 -> OR undefined, surfaced as NULL
+    assert(out(("A", "C")) === ((2L, 0L, 0L, 2L, -1L)))
+  }
+
   // ---- audienceOverlap ----
 
   test("audienceOverlap: exact pair Jaccard over distinct user sets") {

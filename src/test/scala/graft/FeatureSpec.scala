@@ -679,6 +679,22 @@ class FeatureSpec extends AnyFunSuite {
     assert(out(1L) === exp1)
   }
 
+  // ---- revenueRecognition ----
+
+  test("revenueRecognition: to-the-cent daily schedule, invalid rows drop") {
+    val df = Seq(("g", 0L, 2L, 10L), ("g", 1L, 1L, 5L),
+      ("g", 5L, 4L, 99L), // inverted: excluded
+      ("g", 0L, 0L, -1L)  // negative cents: excluded
+    ).toDF("k", "s", "e", "c")
+    val out = Features.revenueRecognition(df, Seq("k"), col("s"), col("e"),
+        col("c"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // 10 over 3 days: 4,3,3 (largest remainder first); +5 on day 1
+    assert(out === Map(0L -> ((1L, 4L)), 1L -> ((2L, 8L)), 2L -> ((1L, 3L))))
+    assert(out.values.map(_._2).sum === 15L) // exact to the cent
+  }
+
   // ---- hhiConcentration ----
 
   test("hhiConcentration: equal holders, monopoly, multi-row holder rollup") {
