@@ -566,6 +566,50 @@ object Features {
       .agg(sum(sign).as("value"))
   }
 
+  /** Classic price-index triple between two periods over a matched item
+    * basket: Laspeyres (base-period quantities — "what would the OLD
+    * basket cost now"), Paasche (current quantities), and Fisher (their
+    * geometric mean — the superlative index both national accounts and
+    * CPI methodology prefer). Per item the unit price is
+    * `sum(cents) div sum(qty)` per period (declared truncation); the
+    * index numerator/denominator products accumulate in DECIMAL and each
+    * index is ONE ppm division; Fisher's square root is the single IEEE
+    * step (correctly rounded — engine-identical on the exact integer
+    * inputs). Items traded in only one period drop (matched-basket
+    * convention — the index prices the SAME goods).
+    *
+    * Shape: one item rollup carrying both periods as conditional sums, a
+    * 1-row agg. Nothing scales past the item rollup.
+    */
+  def priceIndexes(df: DataFrame, inPeriod1: Column, itemCol: Column,
+      qtyCol: Column, centsCol: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val items = df.groupBy(itemCol.as("__i"))
+      .agg(sum(when(!inPeriod1, qtyCol.cast("long")).otherwise(0L)).as("q0"),
+        sum(when(!inPeriod1, centsCol.cast("long")).otherwise(0L)).as("c0"),
+        sum(when(inPeriod1, qtyCol.cast("long")).otherwise(0L)).as("q1"),
+        sum(when(inPeriod1, centsCol.cast("long")).otherwise(0L)).as("c1"))
+      .filter(col("q0") > 0L && col("q1") > 0L)
+      .withColumn("p0", call_function("div", col("c0"), col("q0")))
+      .withColumn("p1", call_function("div", col("c1"), col("q1")))
+    items.agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("p1")) * dec(col("q0"))).as("__l_num"),
+        sum(dec(col("p0")) * dec(col("q0"))).as("__l_den"),
+        sum(dec(col("p1")) * dec(col("q1"))).as("__p_num"),
+        sum(dec(col("p0")) * dec(col("q1"))).as("__p_den"))
+      .select(col("n_items"),
+        when(col("__l_den") > 0,
+          call_function("div", col("__l_num") * dec(lit(1000000L)),
+            col("__l_den")).cast("long")).as("laspeyres_ppm"),
+        when(col("__p_den") > 0,
+          call_function("div", col("__p_num") * dec(lit(1000000L)),
+            col("__p_den")).cast("long")).as("paasche_ppm"))
+      .withColumn("fisher_ppm",
+        sqrt(col("laspeyres_ppm").cast("double") *
+          col("paasche_ppm").cast("double")))
+  }
+
   /** Daily revenue recognition: spread each contract's cents EVENLY over
     * its closed service interval, exactly — `base = cents div span` per
     * day plus one extra cent on the first `cents mod span` days (the

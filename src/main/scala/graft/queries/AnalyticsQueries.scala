@@ -154,6 +154,52 @@ object AnalyticsQueries extends QuerySet {
           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
           |FROM nz""".stripMargin)),
 
+    QueryDef("q379_price_indexes", (s, d) =>
+      // Laspeyres / Paasche / Fisher over the matched part basket across
+      // the 1998 ship-date split: exact DECIMAL accumulations, one ppm
+      // division each, one IEEE sqrt for Fisher
+      graft.operators.Features.priceIndexes(
+        table(s, d, "lineitem"),
+        year(to_date(col("l_shipdate"))) >= 1998,
+        col("l_partkey").cast("long"),
+        col("l_quantity").cast("long"),
+        graft.operators.Features.cents(col("l_extendedprice"))),
+      Some(
+        """WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS i,
+          |                  year(CAST(l_shipdate AS DATE)) >= 1998 AS p1,
+          |                  CAST(l_quantity AS BIGINT) AS q,
+          |                  CAST(floor(l_extendedprice * 100 + 0.5)
+          |                       AS BIGINT) AS c
+          |           FROM lineitem),
+          |it AS (SELECT i,
+          |         CAST(sum(CASE WHEN NOT p1 THEN q ELSE 0 END) AS BIGINT)
+          |           AS q0,
+          |         CAST(sum(CASE WHEN NOT p1 THEN c ELSE 0 END) AS BIGINT)
+          |           AS c0,
+          |         CAST(sum(CASE WHEN p1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+          |         CAST(sum(CASE WHEN p1 THEN c ELSE 0 END) AS BIGINT) AS c1
+          |       FROM b GROUP BY 1),
+          |m AS (SELECT i, q0, q1, c0 // q0 AS p0, c1 // q1 AS p1
+          |      FROM it WHERE q0 > 0 AND q1 > 0),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          |             sum(CAST(p1 AS HUGEINT) * q0) AS ln,
+          |             sum(CAST(p0 AS HUGEINT) * q0) AS ld,
+          |             sum(CAST(p1 AS HUGEINT) * q1) AS pn,
+          |             sum(CAST(p0 AS HUGEINT) * q1) AS pd
+          |      FROM m)
+          |SELECT n_items,
+          |       CASE WHEN ld > 0 THEN CAST((ln * 1000000) // ld AS BIGINT)
+          |       END AS laspeyres_ppm,
+          |       CASE WHEN pd > 0 THEN CAST((pn * 1000000) // pd AS BIGINT)
+          |       END AS paasche_ppm,
+          |       sqrt(CAST(CASE WHEN ld > 0
+          |                      THEN CAST((ln * 1000000) // ld AS BIGINT)
+          |                 END AS DOUBLE)
+          |            * CAST(CASE WHEN pd > 0
+          |                        THEN CAST((pn * 1000000) // pd AS BIGINT)
+          |                   END AS DOUBLE)) AS fisher_ppm
+          |FROM a""".stripMargin)),
+
     QueryDef("q377_revenue_recognition", (s, d) =>
       // accrual rev-rec: spread each order's cents evenly over its
       // order-to-last-ship interval, exact to the cent via the

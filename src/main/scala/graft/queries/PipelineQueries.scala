@@ -904,6 +904,48 @@ object PipelineQueries extends QuerySet {
            |SELECT id_a, id_b, ${cosSql("va", "vb")} AS score
            |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4""".stripMargin)),
 
+    QueryDef("q380_component_histogram", (s, d) => {
+      // dedup-health readout over q66's near-dup components: cluster-size
+      // histogram incl. the singleton row (corpus minus clustered docs) —
+      // a fat tail here means the near-dup threshold is merging topics
+      val emb = table(s, d, "embeddings")
+      val pairs = Similarity.nearDupPairsLsh(emb, threshold = 0.4)
+      val sizes = Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+      val hist = sizes.groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .withColumn("n_docs", col("cluster_size") * col("n_components"))
+      val clustered = hist.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__c"))
+      val singles = emb.agg(count(lit(1)).as("__n"))
+        .crossJoin(broadcast(clustered))
+        .select(lit(1L).as("cluster_size"),
+          (col("__n") - col("__c")).as("n_components"),
+          (col("__n") - col("__c")).as("n_docs"))
+      hist.unionByName(singles)
+    }, Some(
+      s"""WITH RECURSIVE $lshPairsCtesBody,
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4),
+         |und AS (SELECT id_a AS u, id_b AS v FROM verified
+         |        UNION SELECT id_b, id_a FROM verified),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u)
+         |, comp AS (SELECT a AS id, least(a, min(b)) AS component
+         |           FROM reach GROUP BY a),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS s
+         |       FROM comp GROUP BY 1),
+         |h AS (SELECT s AS cluster_size, CAST(count(*) AS BIGINT)
+         |        AS n_components, CAST(s * count(*) AS BIGINT) AS n_docs
+         |      FROM sz GROUP BY 1),
+         |t AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c FROM h),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |SELECT * FROM h
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), n.n - t.c, n.n - t.c FROM n, t"""
+        .stripMargin
+    )),
+
     QueryDef("q66_dedup_clusters", (s, d) => {
       // pairs -> CLUSTERS: connected components (alternating star) over the
       // sign-LSH near-dup graph, labeling each doc with its component's

@@ -679,6 +679,22 @@ class FeatureSpec extends AnyFunSuite {
     assert(out(1L) === exp1)
   }
 
+  // ---- priceIndexes ----
+
+  test("priceIndexes: hand Laspeyres/Paasche, Fisher IEEE, unmatched drop") {
+    val df = Seq(
+      ("A", false, 2L, 200L), ("A", true, 1L, 150L), // 100 -> 150
+      ("B", false, 1L, 50L), ("B", true, 2L, 80L),   // 50 -> 40
+      ("C", false, 3L, 90L)                          // only period 0: drop
+    ).toDF("i", "p1", "q", "c")
+    val r = Features.priceIndexes(df, col("p1"), col("i"), col("q"),
+      col("c")).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 1360000L) // (150*2 + 40*1) / (100*2 + 50*1)
+    assert(r.getLong(2) === 1150000L) // (150*1 + 40*2) / (100*1 + 50*2)
+    assert(r.getDouble(3) === math.sqrt(1360000L.toDouble * 1150000L.toDouble))
+  }
+
   // ---- revenueRecognition ----
 
   test("revenueRecognition: to-the-cent daily schedule, invalid rows drop") {
