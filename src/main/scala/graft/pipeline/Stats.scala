@@ -955,6 +955,82 @@ object Stats {
         col("tot").as("total_weight")): _*)
   }
 
+  /** Distribution-free confidence band for a per-group quantile (the
+    * order-statistic / binomial-rank method): the point estimate is the
+    * [[exactQuantiles]] rank cut, and the band is the pair of order
+    * statistics at ranks `floor(np - z*sqrt(np(1-p)))` and
+    * `ceil(np + z*sqrt(np(1-p)))` (clamped to [1, n]) — error bars on
+    * your p95 with NO distributional assumption. The rank arithmetic is
+    * the one IEEE region (products + one correctly-rounded sqrt +
+    * floor/ceil, identical on any engine from the same integer n and
+    * decimal literals); everything else — the rollup, the rank-covering
+    * selection — is exact integers. All three values are ACTUAL data
+    * values (order statistics), never interpolations.
+    *
+    * Same distinct-value-rollup shape as [[exactQuantiles]]; the three
+    * rank lookups ride ONE pass (each rank is covered by exactly one
+    * cumulative row, so a conditional max per rank resolves them all).
+    */
+  def quantileCi(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      qMille: Int, zMilli: Int = 1960): DataFrame = {
+    require(qMille >= 1 && qMille <= 999, s"qMille: $qMille")
+    require(zMilli >= 1, s"zMilli: $zMilli")
+    val gcols = groupCols.map(col)
+    val p = qMille / 1000.0
+    val z = zMilli / 1000.0
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val np = col("tot").cast("double") * lit(p)
+    val se = sqrt(col("tot").cast("double") * lit(p) * lit(1.0 - p))
+    val scored = counts
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .withColumn("__lo",
+        greatest(lit(1L), floor(np - lit(z) * se).cast("long")))
+      .withColumn("__hi",
+        least(col("tot"), ceil(np + lit(z) * se).cast("long")))
+    def covers(r: Column) = (col("cum") - col("cnt")) < r && r <= col("cum")
+    scored.groupBy(gcols: _*)
+      .agg(max(col("tot")).as("n"),
+        max(when(covers(col("__lo")), col("v"))).as("ci_low"),
+        max(when(col("cum") * 1000L >= lit(qMille.toLong) * col("tot") &&
+          (col("cum") - col("cnt")) * 1000L < lit(qMille.toLong) * col("tot"),
+          col("v"))).as("value"),
+        max(when(covers(col("__hi")), col("v"))).as("ci_high"))
+      .select(gcols ++ Seq(lit(qMille).as("q_mille"), col("n"),
+        col("ci_low"), col("value"), col("ci_high")): _*)
+  }
+
+  /** Coefficient-of-variation (squared) of positive durations per group —
+    * the EXPONENTIALITY check for inter-arrival/service times (a Poisson
+    * process has CV = 1; CV^2 far above = heavy-tailed/bursty gaps, far
+    * below = regularized): sample
+    * `CV^2 = n * (n*sum(x^2) - S^2) div ((n-1) * S^2)` in ppm — ONE
+    * truncating DECIMAL division (the [[fanoFactor]] form with the mean
+    * squared in the denominator). Groups with n < 2 or S = 0 emit NULL.
+    */
+  def durationCv2(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "durationCv2 needs group columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcols = groupCols.map(col)
+    df.filter(valueCol.isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol.cast("long")).as("s"),
+        sum(dec(valueCol.cast("long")) * dec(valueCol.cast("long")))
+          .as("__ss"))
+      .select(gcols ++ Seq(col("n"), col("s"),
+        when(col("n") > 1L && col("s") > 0L,
+          call_function("div",
+            dec(col("n")) * (dec(col("n")) * col("__ss") -
+              dec(col("s")) * dec(col("s"))) * dec(lit(1000000L)),
+            dec(col("n") - 1L) * dec(col("s")) * dec(col("s")))
+            .cast("long")).as("cv2_ppm")): _*)
+  }
+
   /** Multiplicative day-of-week seasonal index per group: the ratio of
     * each weekday's mean volume to the overall mean, as one exact
     * cross-multiplied ppm division

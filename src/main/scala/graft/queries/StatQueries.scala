@@ -110,6 +110,89 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q381_quantile_ci", (s, d) =>
+      // error bars on the p95: order-statistic band at ranks
+      // floor/ceil(np -+ z*sqrt(np(1-p))) — the one IEEE region; literals
+      // interpolated from the SAME Scala doubles the op uses, so both
+      // engines floor/ceil identical ranks
+      Stats.quantileCi(table(s, d, "lineitem"), Seq("l_returnflag"),
+        graft.operators.Features.cents(col("l_extendedprice")),
+        qMille = 950),
+      Some {
+        val p = 950 / 1000.0
+        val z = 1960 / 1000.0
+        s"""WITH c AS (
+           |  SELECT l_returnflag AS g,
+           |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+           |r AS (SELECT *,
+           |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |        CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS tot
+           |      FROM c),
+           |s AS (SELECT *,
+           |        greatest(1, CAST(floor(CAST(tot AS DOUBLE) * $p
+           |          - $z * sqrt(CAST(tot AS DOUBLE) * $p * ${1.0 - p}))
+           |          AS BIGINT)) AS lo,
+           |        least(tot, CAST(ceil(CAST(tot AS DOUBLE) * $p
+           |          + $z * sqrt(CAST(tot AS DOUBLE) * $p * ${1.0 - p}))
+           |          AS BIGINT)) AS hi
+           |      FROM r)
+           |SELECT g AS l_returnflag, CAST(950 AS INTEGER) AS q_mille,
+           |       CAST(max(tot) AS BIGINT) AS n,
+           |       CAST(max(CASE WHEN cum - cnt < lo AND lo <= cum THEN v END)
+           |            AS BIGINT) AS ci_low,
+           |       CAST(max(CASE WHEN cum * 1000 >= 950 * tot
+           |                      AND (cum - cnt) * 1000 < 950 * tot
+           |                     THEN v END) AS BIGINT) AS value,
+           |       CAST(max(CASE WHEN cum - cnt < hi AND hi <= cum THEN v END)
+           |            AS BIGINT) AS ci_high
+           |FROM s GROUP BY 1""".stripMargin
+      }),
+
+    QueryDef("q382_interarrival_cv", (s, d) =>
+      // exponentiality check on inter-event gaps per type: CV^2 in ppm
+      // (Poisson arrivals read 1e6) — one DECIMAL division over exact
+      // moment sums; gaps from an arrival-ordered per-type window
+      Stats.durationCv2(
+        events(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            (call_function("div", unix_micros(col("ts")), lit(1000000L)) -
+              lag(call_function("div", unix_micros(col("ts")),
+                lit(1000000L)), 1).over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("event_type"))
+                  .orderBy(col("ts").asc, col("event_id").asc)))
+              .as("gap"))
+          .filter(col("gap").isNotNull && col("gap") > 0L),
+        Seq("event_type"), col("gap")),
+      Some(
+        """WITH g AS (
+          |  SELECT event_type,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+          |           - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, 1)
+          |             OVER (PARTITION BY event_type
+          |                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+          |           AS gap
+          |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          |f AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g
+          |      WHERE gap IS NOT NULL AND gap > 0)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(gap) AS BIGINT) AS s,
+          |       CASE WHEN count(*) > 1 AND sum(gap) > 0
+          |            THEN CAST((CAST(count(*) AS HUGEINT)
+          |                       * (CAST(count(*) AS HUGEINT)
+          |                          * sum(CAST(gap AS HUGEINT) * gap)
+          |                          - CAST(sum(gap) AS HUGEINT) * sum(gap))
+          |                       * 1000000)
+          |                      // (CAST(count(*) - 1 AS HUGEINT)
+          |                          * CAST(sum(gap) AS HUGEINT) * sum(gap))
+          |                      AS BIGINT)
+          |       END AS cv2_ppm
+          |FROM f GROUP BY 1""".stripMargin)),
+
     QueryDef("q375_dow_seasonal_index", (s, d) =>
       // demand-planning factor table: each weekday's mean volume vs the
       // overall mean per event type, one cross-multiplied ppm division

@@ -580,6 +580,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 0L, 0L, 0L)))
   }
 
+  // ---- quantileCi ----
+
+  test("quantileCi: order-statistic band at hand binomial ranks") {
+    val df = (1L to 100L).map(("g", _)).toDF("k", "v")
+    val r = Stats.quantileCi(df, Seq("k"), col("v"), qMille = 500)
+      .collect()(0)
+    // np = 50, se = 5: lo = floor(50 - 9.8) = 40, hi = ceil(50 + 9.8) = 60
+    assert(r.toSeq === Seq("g", 500, 100L, 40L, 50L, 60L))
+  }
+
+  // ---- durationCv2 ----
+
+  test("durationCv2: constant 0, hand 0.5, n=1 NULL") {
+    val df = Seq(("c", 5L), ("c", 5L), ("c", 5L),
+      ("h", 1L), ("h", 3L), ("one", 9L)).toDF("k", "v")
+    val out = Stats.durationCv2(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out === Map("c" -> 0L, "h" -> 500000L, "one" -> -1L))
+  }
+
   // ---- dowSeasonalIndex ----
 
   test("dowSeasonalIndex: exact cross-multiplied factors") {
