@@ -153,6 +153,48 @@ object Profile {
     blocks.reduce(_ unionByName _)
   }
 
+  /** Join-coverage pre-flight: for each declared (fact key -> dimension)
+    * edge, how much of the fact table actually lands — matched rows,
+    * null-key rows (which inner joins silently drop), and orphan rows
+    * whose key exists but misses the dimension (which inner joins ALSO
+    * silently drop — the one a 100 TB join discovers only as a
+    * mysteriously shrunken output). Run it BEFORE the join, not after
+    * the reconciliation escalates. Exact counts, one coverage ppm per
+    * edge.
+    *
+    * Shape per edge: the fact side rolls up to DISTINCT keys + counts
+    * first, so the existence join probes the key domain, never fact
+    * rows; the dimension side ships only its distinct key column.
+    */
+  def joinCoverage(fact: DataFrame,
+      edges: Seq[(String, Column, DataFrame, Column)]): DataFrame = {
+    require(edges.nonEmpty, "joinCoverage needs edges")
+    val blocks = edges.map { case (name, factKey, dim, dimKey) =>
+      val keyed = fact.select(factKey.as("__k"))
+      val nulls = keyed.filter(col("__k").isNull)
+        .agg(count(lit(1)).as("n_null"))
+      val keyCounts = keyed.filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      val dimKeys = dim.select(dimKey.as("__k")).filter(col("__k").isNotNull)
+        .distinct()
+      val matched = keyCounts.join(dimKeys, Seq("__k"), "left_semi")
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_matched"),
+          count(lit(1)).as("n_matched_keys"))
+      val totals = keyCounts
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("__nk"),
+          count(lit(1)).as("n_keys"))
+      totals.crossJoin(nulls).crossJoin(matched)
+        .select(lit(name).as("edge"),
+          (col("__nk") + col("n_null")).as("n_rows"), col("n_null"),
+          col("n_keys"), col("n_matched_keys"),
+          (col("__nk") - col("n_matched")).as("n_orphans"),
+          when(col("__nk") + col("n_null") > 0L,
+            call_function("div", col("n_matched") * 1000000L,
+              col("__nk") + col("n_null"))).as("coverage_ppm"))
+    }
+    blocks.reduce(_ unionByName _)
+  }
+
   /** Flip-flop audit: keys whose tracked attribute REVERTS to its
     * immediately-previous value within `maxGapDays` — the A -> B -> A
     * ping-pong that in a warehouse almost always means two writers racing

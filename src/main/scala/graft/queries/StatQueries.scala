@@ -110,6 +110,121 @@ object StatQueries extends QuerySet {
 
   val all: Seq[QueryDef] = Seq(
 
+    QueryDef("q383_e_value", (s, d) =>
+      // VanderWeele-Ding sensitivity: the minimum confounder strength
+      // that could explain away each q378 association — OR* folded above
+      // 1 by one exact division, E = OR* + sqrt(OR*(OR*-1)) as the one
+      // IEEE region
+      {
+        val ev = events(s, d).filter(col("ts").isNotNull)
+        val d0 = ev.agg(min(to_date(col("ts"))).as("__d0"))
+        graft.operators.EventAnalytics.oddsRatioMatrix(
+          ev.crossJoin(broadcast(d0))
+            .filter(to_date(col("ts")) === col("__d0")),
+          col("event_type"), col("user_id"))
+          .withColumn("or_star_milli",
+            when(col("odds_ratio_milli").isNull, lit(null).cast("long"))
+              .when(col("odds_ratio_milli") >= 1000L, col("odds_ratio_milli"))
+              .when(col("odds_ratio_milli") > 0L,
+                call_function("div", lit(1000000L), col("odds_ratio_milli")))
+              .otherwise(lit(null).cast("long")))
+          .withColumn("e_value_milli",
+            col("or_star_milli").cast("double") +
+              sqrt(col("or_star_milli").cast("double") *
+                (col("or_star_milli") - 1000L).cast("double")))
+          .select(col("type_a"), col("type_b"), col("odds_ratio_milli"),
+            col("or_star_milli"), col("e_value_milli"))
+      },
+      Some(
+        """WITH tu AS (SELECT DISTINCT event_type AS t,
+          |                   CAST(user_id AS BIGINT) AS u
+          |            FROM events
+          |            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          |              AND ts IS NOT NULL
+          |              AND CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE))
+          |                                      FROM events)),
+          |na AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nn FROM tu),
+          |s AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+          |p AS (SELECT a.t AS type_a, b.t AS type_b,
+          |             CAST(count(*) AS BIGINT) AS n11
+          |      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+          |      GROUP BY 1, 2),
+          |o AS (SELECT p.type_a, p.type_b,
+          |             CASE WHEN sa.n - p.n11 > 0 AND sb.n - p.n11 > 0
+          |                  THEN CAST((CAST(p.n11 AS HUGEINT)
+          |                             * (na.nn - sa.n - sb.n + p.n11)
+          |                             * 1000)
+          |                            // (CAST(sa.n - p.n11 AS HUGEINT)
+          |                                * (sb.n - p.n11)) AS BIGINT)
+          |             END AS orm
+          |      FROM p JOIN s sa ON sa.t = p.type_a
+          |             JOIN s sb ON sb.t = p.type_b
+          |           CROSS JOIN na),
+          |x AS (SELECT *,
+          |        CASE WHEN orm IS NULL THEN CAST(NULL AS BIGINT)
+          |             WHEN orm >= 1000 THEN orm
+          |             WHEN orm > 0 THEN 1000000 // orm
+          |             ELSE CAST(NULL AS BIGINT) END AS or_star_milli
+          |      FROM o)
+          |SELECT type_a, type_b, orm AS odds_ratio_milli, or_star_milli,
+          |       CAST(or_star_milli AS DOUBLE)
+          |         + sqrt(CAST(or_star_milli AS DOUBLE)
+          |                * CAST(or_star_milli - 1000 AS DOUBLE))
+          |         AS e_value_milli
+          |FROM x""".stripMargin)),
+
+    QueryDef("q384_join_coverage", (s, d) =>
+      // pre-flight for the joins a 100 TB job is about to run: matched /
+      // null-key / orphan accounting per declared edge — lineitem->part
+      // is healthy; orders->good-standing-customers is the dim-subset
+      // mismatch this op exists to catch BEFORE the inner join silently
+      // drops the negative-balance accounts' orders
+      graft.pipeline.Profile.joinCoverage(table(s, d, "lineitem"), Seq(
+        ("lineitem_part", col("l_partkey"), table(s, d, "part"),
+          col("p_partkey"))))
+        .unionByName(graft.pipeline.Profile.joinCoverage(
+          table(s, d, "orders"), Seq(
+            ("orders_good_customer", col("o_custkey"),
+              table(s, d, "customer").filter(col("c_acctbal") >= 0),
+              col("c_custkey"))))),
+      Some(
+        """SELECT 'lineitem_part' AS edge,
+          |       CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_null,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys,
+          |       CAST(count(DISTINCT CASE WHEN l_partkey IN
+          |              (SELECT p_partkey FROM part) THEN l_partkey END)
+          |            AS BIGINT) AS n_matched_keys,
+          |       CAST(sum(CASE WHEN l_partkey IS NOT NULL
+          |                      AND l_partkey NOT IN
+          |              (SELECT p_partkey FROM part WHERE p_partkey
+          |                 IS NOT NULL)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+          |       (CAST(sum(CASE WHEN l_partkey IN
+          |           (SELECT p_partkey FROM part) THEN 1 ELSE 0 END)
+          |           AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+          |         AS coverage_ppm
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'orders_good_customer',
+          |       CAST(count(*) AS BIGINT),
+          |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT),
+          |       CAST(count(DISTINCT o_custkey) AS BIGINT),
+          |       CAST(count(DISTINCT CASE WHEN o_custkey IN
+          |              (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+          |              THEN o_custkey END) AS BIGINT),
+          |       CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+          |              (SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+          |                 AND c_custkey IS NOT NULL)
+          |                     THEN 1 ELSE 0 END) AS BIGINT),
+          |       (CAST(sum(CASE WHEN o_custkey IN
+          |           (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+          |           THEN 1 ELSE 0 END)
+          |           AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+          |FROM orders""".stripMargin)),
+
     QueryDef("q381_quantile_ci", (s, d) =>
       // error bars on the p95: order-statistic band at ranks
       // floor/ceil(np -+ z*sqrt(np(1-p))) — the one IEEE region; literals

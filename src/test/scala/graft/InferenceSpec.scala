@@ -1160,6 +1160,19 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- joinCoverage ----
+
+  test("joinCoverage: matched/null/orphan accounting per edge") {
+    import graft.pipeline.Profile
+    val fact = Seq[(java.lang.Long, String)]((1L, "x"), (1L, "y"), (2L, "z"),
+      (9L, "o"), (null, "n")).toDF("k", "payload")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val r = Profile.joinCoverage(fact,
+      Seq(("f_d", col("k"), dim, col("dk")))).collect()(0)
+    // 5 rows: 3 matched (two k=1, one k=2), 1 orphan (9), 1 null
+    assert(r.toSeq === Seq("f_d", 5L, 1L, 3L, 2L, 1L, 600000L))
+  }
+
   // ---- isotonicCalibrate ----
 
   test("isotonicCalibrate: minimax pools the zig-zag, monotone output") {
