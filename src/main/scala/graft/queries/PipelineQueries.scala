@@ -904,6 +904,81 @@ object PipelineQueries extends QuerySet {
            |SELECT id_a, id_b, ${cosSql("va", "vb")} AS score
            |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.4""".stripMargin)),
 
+    QueryDef("q385_dedup_report", (s, d) => {
+      // the dataset-card numbers in ONE row: corpus size, token volume,
+      // exact-duplicate surplus, minhash near-dup pairs, their connected
+      // components, and the keep-one-per-component survivor count —
+      // every number from the engine's own dedup family
+      val docs = table(s, d, "documents")
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("text").isNotNull,
+          size(split(col("text"), " "))).otherwise(0)), lit(0))
+          .cast("long").as("n_tokens"),
+        count(col("text")).as("__nt"))
+      val distinctTexts = docs.filter(col("text").isNotNull)
+        .agg(countDistinct(col("text")).as("n_distinct_texts"))
+      val pairs = Dedup.minhashPairs(docs, n = 3, k = 8, bandSize = 2,
+        threshold = 0.5).select(col("id_a"), col("id_b"))
+        .localCheckpoint(false) // feeds the pair count AND the components
+      val pairCount = pairs.agg(count(lit(1)).as("neardup_pairs"))
+      val comp = Dedup.connectedComponents(pairs)
+        .agg(count(lit(1)).as("neardup_docs"),
+          countDistinct(col("component")).as("neardup_components"))
+      base.crossJoin(broadcast(distinctTexts))
+        .crossJoin(broadcast(pairCount)).crossJoin(broadcast(comp))
+        .select(col("n_docs"), col("n_tokens"),
+          (col("__nt") - col("n_distinct_texts")).as("n_exact_extra"),
+          col("neardup_pairs"), col("neardup_components"),
+          col("neardup_docs"),
+          (col("n_docs") - (col("neardup_docs") - col("neardup_components")))
+            .as("keep_best_survivors"))
+    }, Some(
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT id, sh,
+         |         list_transform(generate_series(0, 7),
+         |           i -> list_min(list_transform(
+         |                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+         |                  h -> (h * (2*i + 1) + i) % 2147483647))) AS sig
+         |  FROM docs),
+         |banded AS (
+         |  SELECT id, sh, b.band,
+         |         CAST(sig[2*b.band + 1] AS VARCHAR) || '|' || CAST(sig[2*b.band + 2] AS VARCHAR) AS value
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |  WHERE sig[2*b.band + 1] IS NOT NULL AND sig[2*b.band + 2] IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.value = b.value AND a.id < b.id),
+         |pr AS (SELECT id_a, id_b FROM cand
+         |       WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+         |und AS (SELECT id_a AS u, id_b AS v FROM pr
+         |        UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS neardup_docs,
+         |              CAST(count(DISTINCT component) AS BIGINT)
+         |                AS neardup_components
+         |       FROM comp),
+         |pc AS (SELECT CAST(count(*) AS BIGINT) AS neardup_pairs FROM pr),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(coalesce(sum(CASE WHEN text IS NOT NULL
+         |                THEN len(string_split(text, ' ')) ELSE 0 END), 0)
+         |                AS BIGINT) AS n_tokens,
+         |              CAST(count(text) AS BIGINT) AS nt,
+         |              CAST(count(DISTINCT text) AS BIGINT) AS ndt
+         |       FROM documents)
+         |SELECT bs.n_docs, bs.n_tokens, bs.nt - bs.ndt AS n_exact_extra,
+         |       pc.neardup_pairs, cc.neardup_components, cc.neardup_docs,
+         |       bs.n_docs - (cc.neardup_docs - cc.neardup_components)
+         |         AS keep_best_survivors
+         |FROM bs, pc, cc""".stripMargin
+    )),
+
     QueryDef("q380_component_histogram", (s, d) => {
       // dedup-health readout over q66's near-dup components: cluster-size
       // histogram incl. the singleton row (corpus minus clustered docs) —
