@@ -488,6 +488,80 @@ object Inference {
         col("mce_ppm"))
   }
 
+  /** Multi-class classifier evaluation: per class the one-vs-rest
+    * confusion counts and precision / recall / F1 in exact ppm (F1
+    * collapses to the single division `2*tp*1e6 div (2*tp + fp + fn)` —
+    * no harmonic-mean float chain), plus the `__macro` row (unweighted
+    * mean of per-class metrics, absent classes scoring 0 — the
+    * scikit-learn `zero_division=0` convention) and the `__micro` row
+    * (global counts; micro-F1 == accuracy for single-label problems).
+    * The standard eval for [[graft.pipeline.Similarity.knnClassify]]
+    * weak labels or any (predicted, true) pair relation.
+    *
+    * Shape: one (true, predicted) confusion rollup — class-vocabulary
+    * sized — then everything is arithmetic over that tiny relation.
+    */
+  def classifierEval(df: DataFrame, predictedCol: Column,
+      trueCol: Column): DataFrame = {
+    val base = df.filter(predictedCol.isNotNull && trueCol.isNotNull)
+      .select(predictedCol.cast("long").as("__p"),
+        trueCol.cast("long").as("__t"))
+      .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // class-vocab sized; feeds three rollups
+    val classes = base.select(col("__p").as("cls"))
+      .unionByName(base.select(col("__t").as("cls"))).distinct()
+    val tp = base.filter(col("__p") === col("__t"))
+      .select(col("__p").as("cls"), col("__n").as("tp"))
+    val predTot = base.groupBy(col("__p").as("cls"))
+      .agg(sum(col("__n")).as("__pred"))
+    val trueTot = base.groupBy(col("__t").as("cls"))
+      .agg(sum(col("__n")).as("__true"))
+    val perClass = classes
+      .join(tp, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .join(trueTot, Seq("cls"), "left")
+      .select(col("cls").cast("string").as("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fp"))))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fn"))))
+      .withColumn("f1_ppm",
+        when(col("tp") * 2L + col("fp") + col("fn") > 0L,
+          call_function("div", col("tp") * 2000000L,
+            col("tp") * 2L + col("fp") + col("fn"))))
+      .localCheckpoint(false) // feeds the output union AND the macro agg
+    val macroRow = perClass.agg(
+        count(lit(1)).as("__k"),
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"),
+        sum(coalesce(col("precision_ppm"), lit(0L))).as("__sp"),
+        sum(coalesce(col("recall_ppm"), lit(0L))).as("__sr"),
+        sum(coalesce(col("f1_ppm"), lit(0L))).as("__sf"))
+      .select(lit("__macro").as("label"), col("tp"), col("fp"), col("fn"),
+        call_function("div", col("__sp"), col("__k")).as("precision_ppm"),
+        call_function("div", col("__sr"), col("__k")).as("recall_ppm"),
+        call_function("div", col("__sf"), col("__k")).as("f1_ppm"))
+    val microRow = perClass.agg(
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"))
+      .select(lit("__micro").as("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fp"))).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fn"))).as("recall_ppm"),
+        when(col("tp") * 2L + col("fp") + col("fn") > 0L,
+          call_function("div", col("tp") * 2000000L,
+            col("tp") * 2L + col("fp") + col("fn"))).as("f1_ppm"))
+    perClass.unionByName(macroRow).unionByName(microRow)
+  }
+
   /** Isotonic calibration over the [[reliability]] buckets, WITHOUT a
     * sequential pool-adjacent-violators pass: the L2 isotonic fit has
     * the closed minimax form `fit_i = max_{j<=i} min_{k>=i} avg(j..k)`

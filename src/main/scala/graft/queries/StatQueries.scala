@@ -1345,6 +1345,89 @@ object StatQueries extends QuerySet {
         |FROM pr, part p
         |WHERE damerau_levenshtein(pr.probe_name, p.p_name) <= 2""".stripMargin)),
 
+    QueryDef("q386_classifier_eval", (s, d) => {
+      // grade the q239 weak labeler against the held-out truth: per-class
+      // one-vs-rest confusion + precision/recall/F1 in exact ppm (F1 as
+      // ONE division), plus the __macro (zero_division=0) and __micro rows
+      val emb = table(s, d, "embeddings")
+      val preds = Similarity.knnClassify(
+        corpus = emb.filter(col("vec_id") % 10 =!= 0),
+        queries = emb.filter(col("vec_id") % 10 === 0), k = 5)
+      graft.pipeline.Inference.classifierEval(
+        preds.join(emb.select(col("vec_id").cast("long").as("query_id"),
+          col("label").cast("long").as("true_label")), Seq("query_id")),
+        col("predicted_label"), col("true_label"))
+    }, Some(
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, $qvecSql AS qv
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+         |             CAST(label AS BIGINT) AS lbl, $qvecSql AS cv
+         |      FROM embeddings WHERE vec_id % 10 <> 0),
+         |topk AS (SELECT query_id, lbl FROM (
+         |           SELECT q.query_id, c.lbl, c.neighbor_id,
+         |                  row_number() OVER (PARTITION BY q.query_id
+         |                    ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC) AS rn
+         |           FROM c, q) t WHERE rn <= 5),
+         |v AS (SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS votes
+         |      FROM topk GROUP BY 1, 2),
+         |pred AS (SELECT query_id, lbl AS p FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, lbl ASC) AS rn FROM v) t WHERE rn = 1),
+         |pt AS (SELECT pr.p, CAST(e.label AS BIGINT) AS tr
+         |       FROM pred pr JOIN embeddings e
+         |         ON CAST(e.vec_id AS BIGINT) = pr.query_id),
+         |cm AS (SELECT p, tr, CAST(count(*) AS BIGINT) AS n
+         |       FROM pt GROUP BY 1, 2),
+         |cls AS (SELECT DISTINCT p AS cls FROM cm
+         |        UNION SELECT DISTINCT tr FROM cm),
+         |pc AS (SELECT CAST(cls.cls AS VARCHAR) AS label,
+         |          CAST(coalesce((SELECT sum(n) FROM cm
+         |            WHERE p = cls.cls AND tr = cls.cls), 0) AS BIGINT) AS tp,
+         |          CAST(coalesce((SELECT sum(n) FROM cm WHERE p = cls.cls), 0)
+         |            - coalesce((SELECT sum(n) FROM cm
+         |                WHERE p = cls.cls AND tr = cls.cls), 0) AS BIGINT)
+         |            AS fp,
+         |          CAST(coalesce((SELECT sum(n) FROM cm WHERE tr = cls.cls), 0)
+         |            - coalesce((SELECT sum(n) FROM cm
+         |                WHERE p = cls.cls AND tr = cls.cls), 0) AS BIGINT)
+         |            AS fn
+         |       FROM cls),
+         |pm AS (SELECT *,
+         |         CASE WHEN tp + fp > 0
+         |              THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+         |         CASE WHEN tp + fn > 0
+         |              THEN (tp * 1000000) // (tp + fn) END AS recall_ppm,
+         |         CASE WHEN tp * 2 + fp + fn > 0
+         |              THEN (tp * 2000000) // (tp * 2 + fp + fn)
+         |         END AS f1_ppm
+         |       FROM pc)
+         |SELECT label, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm FROM pm
+         |UNION ALL
+         |SELECT '__macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+         |       CAST(sum(fn) AS BIGINT),
+         |       CAST(sum(coalesce(precision_ppm, 0)) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT),
+         |       CAST(sum(coalesce(recall_ppm, 0)) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT),
+         |       CAST(sum(coalesce(f1_ppm, 0)) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT)
+         |FROM pm
+         |UNION ALL
+         |SELECT '__micro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+         |       CAST(sum(fn) AS BIGINT),
+         |       CASE WHEN sum(tp) + sum(fp) > 0
+         |            THEN CAST((CAST(sum(tp) AS BIGINT) * 1000000)
+         |                 // CAST(sum(tp) + sum(fp) AS BIGINT) AS BIGINT) END,
+         |       CASE WHEN sum(tp) + sum(fn) > 0
+         |            THEN CAST((CAST(sum(tp) AS BIGINT) * 1000000)
+         |                 // CAST(sum(tp) + sum(fn) AS BIGINT) AS BIGINT) END,
+         |       CASE WHEN sum(tp) * 2 + sum(fp) + sum(fn) > 0
+         |            THEN CAST((CAST(sum(tp) AS BIGINT) * 2000000)
+         |                 // CAST(sum(tp) * 2 + sum(fp) + sum(fn) AS BIGINT)
+         |                 AS BIGINT) END
+         |FROM pm""".stripMargin
+    )),
+
     QueryDef("q239_knn_classify", (s, d) => {
       // kNN majority-vote weak labeling: every 10th vector held out and
       // labeled by its 5 nearest labeled neighbors (plurality, min-label

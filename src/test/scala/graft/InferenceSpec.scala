@@ -1160,6 +1160,30 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- classifierEval ----
+
+  test("classifierEval: hand confusion, macro zero-division, micro accuracy") {
+    import graft.pipeline.Inference
+    // preds vs truth: (1,1)x3, (1,2)x1, (2,2)x1, (3,2)x1 — class 3 never
+    // true, class 2 under-predicted
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L),
+      (3L, 2L)).toDF("p", "t")
+    val out = Inference.classifierEval(df, col("p"), col("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = out("1")
+    assert((c1.getLong(1), c1.getLong(2), c1.getLong(3)) === ((3L, 1L, 0L)))
+    assert((c1.getLong(4), c1.getLong(5), c1.getLong(6)) ===
+      ((750000L, 1000000L, 857142L)))
+    val c3 = out("3") // predicted once, never true: recall undefined -> null
+    assert((c3.getLong(1), c3.getLong(2), c3.getLong(3)) === ((0L, 1L, 0L)))
+    assert(c3.isNullAt(5) && c3.getLong(4) === 0L && c3.getLong(6) === 0L)
+    val micro = out("__micro")
+    assert(micro.getLong(6) === 666666L) // 4 right of 6 = micro F1 = acc
+    val macroR = out("__macro")
+    // macro recall = (1e6 + 333333 + 0)/3 (class-3 null counts 0)
+    assert(macroR.getLong(5) === 444444L)
+  }
+
   // ---- joinCoverage ----
 
   test("joinCoverage: matched/null/orphan accounting per edge") {
