@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Stats
@@ -683,5 +684,106 @@ object Features {
       .withColumn("eff_n_milli",
         when(col("hhi_ppm") > 0L,
           call_function("div", lit(1000000000L), col("hhi_ppm"))))
+  }
+
+  /** FIFO allocation: match each demand row to supply layers in arrival
+    * order — the inventory-costing / lot-matching primitive that is
+    * notoriously procedural in SQL, expressed as the classic CUMULATIVE-
+    * INTERVAL intersection: with per-key running totals, supply row i
+    * covers quantity interval `(s_lo, s_hi]` and demand row j covers
+    * `(d_lo, d_hi]`; FIFO assigns their overlap
+    * `least(s_hi, d_hi) - greatest(s_lo, d_lo)` — a pure equi-join on the
+    * key plus a range predicate, no loops, no recursion.
+    *
+    * `supplyOrd` / `demandOrd` must be UNIQUE per key (the deterministic-
+    * order contract every windowed op here carries); quantities are
+    * positive longs. `cost_cents = matched_qty * unit_cents` prices each
+    * matched slice at its supply layer.
+    *
+    * Scale shape: two per-key cumulative windows (partitioned — fully
+    * parallel), one equi-join on the key with the range filter; output is
+    * O(supply rows + demand rows) per key (each match boundary advances
+    * one side), never the cross product.
+    */
+  def fifoAllocate(supply: DataFrame, demand: DataFrame, keyCol: String,
+      supplyOrd: Column, supplyQty: Column, supplyUnitCents: Column,
+      demandOrd: Column, demandQty: Column): DataFrame = {
+    val ws = Window.partitionBy(col("k")).orderBy(col("s_ord"))
+    val wd = Window.partitionBy(col("k")).orderBy(col("d_ord"))
+    val s = supply
+      .select(col(keyCol).as("k"), supplyOrd.cast("long").as("s_ord"),
+        supplyQty.cast("long").as("s_qty"),
+        supplyUnitCents.cast("long").as("unit_cents"))
+      .filter(col("s_qty") > 0L)
+      .withColumn("s_hi", sum(col("s_qty")).over(ws))
+      .withColumn("s_lo", col("s_hi") - col("s_qty"))
+    val dm = demand
+      .select(col(keyCol).as("k"), demandOrd.cast("long").as("d_ord"),
+        demandQty.cast("long").as("d_qty"))
+      .filter(col("d_qty") > 0L)
+      .withColumn("d_hi", sum(col("d_qty")).over(wd))
+      .withColumn("d_lo", col("d_hi") - col("d_qty"))
+    s.join(dm, Seq("k"))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col("k"), col("d_ord"), col("s_ord"),
+        (least(col("s_hi"), col("d_hi")) -
+          greatest(col("s_lo"), col("d_lo"))).as("matched_qty"),
+        col("unit_cents"))
+      .withColumn("cost_cents", col("matched_qty") * col("unit_cents"))
+  }
+
+  /** Net-revenue-retention bridge: per month, decompose this month's
+    * revenue from LAST month's customers into retained / expansion /
+    * contraction / churned, plus new-customer revenue — the SaaS
+    * revenue-accounting statement (the q343 growth-accounting op's
+    * revenue-weighted sibling in exact cents). `monthCol` is a month index
+    * (e.g. `year*12 + month`); adjacency is strict (`m-1 -> m`): a
+    * customer dark in m-1 counts as new in m even if active in m-2,
+    * the standard monthly-bridge convention.
+    *
+    * `nrr_ppm = (starting + expansion - contraction - churned) * 1e6 div
+    * starting` (= retained-cohort revenue over its prior-month base) and
+    * `grr_ppm` excludes expansion (capped at the base by construction).
+    * Both divisions are non-negative truncations. Months with no prior
+    * base emit NULL ppms.
+    *
+    * Shape: one (customer, month) rollup, a self-join shifted by one
+    * month (equi on customer+month — co-partitioned), one month rollup.
+    */
+  def nrrBridge(df: DataFrame, monthCol: Column, custCol: Column,
+      centsCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rev = df
+      .filter(monthCol.isNotNull && custCol.isNotNull && centsCol.isNotNull)
+      .groupBy(monthCol.cast("long").as("m"), custCol.as("cust"))
+      .agg(sum(centsCol.cast("long")).as("rev"))
+    val prev = rev.select((col("m") + 1L).as("m"), col("cust"),
+      col("rev").as("prev_rev"))
+    val joined = rev.join(prev, Seq("m", "cust"), "full")
+    val agg = joined.groupBy(col("m")).agg(
+      sum(coalesce(col("prev_rev"), lit(0L))).as("starting"),
+      sum(when(col("rev").isNotNull && col("prev_rev").isNotNull &&
+        col("rev") > col("prev_rev"), col("rev") - col("prev_rev"))
+        .otherwise(0L)).as("expansion"),
+      sum(when(col("rev").isNotNull && col("prev_rev").isNotNull &&
+        col("rev") < col("prev_rev"), col("prev_rev") - col("rev"))
+        .otherwise(0L)).as("contraction"),
+      sum(when(col("rev").isNull, col("prev_rev")).otherwise(0L))
+        .as("churned"),
+      sum(when(col("prev_rev").isNull, col("rev")).otherwise(0L))
+        .as("new_rev"))
+    agg
+      .withColumn("nrr_ppm",
+        when(col("starting") > 0L,
+          call_function("div",
+            dec(col("starting") + col("expansion") - col("contraction") -
+              col("churned")) * 1000000L,
+            dec(col("starting"))).cast("long")))
+      .withColumn("grr_ppm",
+        when(col("starting") > 0L,
+          call_function("div",
+            dec(col("starting") - col("contraction") - col("churned")) *
+              1000000L,
+            dec(col("starting"))).cast("long")))
   }
 }

@@ -1492,4 +1492,295 @@ object Inference {
     agg.withColumn("wilson_low", center - half)
       .withColumn("wilson_high", center + half)
   }
+
+  /** One-way ANOVA F over fixed-point values: per-group exact moments
+    * `(n_g, S_g, Q_g)` feed the between/within sums of squares with ONE
+    * truncating division per group (`S_g^2 div n_g`, non-negative — floor
+    * equals truncate on both engines), so
+    * `ssw = Q - sum_g(S_g^2 div n_g)` and
+    * `ssb = max(0, sum_g(S_g^2 div n_g) - S^2 div N)` are exact integers
+    * under a shared truncation convention (error <= 1 unit^2 per group,
+    * identical on every engine). F is the single IEEE division
+    * `(ssb * (N - k)) / (ssw * (k - 1))` over DECIMAL products.
+    *
+    * Unit contract: `S_g^2 div n_g` is computed as a LONG (Spark's
+    * integral divide), so values must keep `max_g S_g^2 / n_g` inside 63
+    * bits — whole dollars, not cents, at warehouse row counts (~3e9 unit
+    * group sums). ANSI overflow raises rather than wrapping.
+    *
+    * Shape: one group-keyed partial agg, then a bounded groups rollup.
+    * NULL values/groups are absence of observation.
+    */
+  def anovaF(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val g = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(dec(valueCol)).as("s_g"),
+        sum(dec(valueCol) * valueCol).as("q_g"))
+      .withColumn("bterm",
+        call_function("div", col("s_g") * col("s_g"), dec(col("n_g"))))
+    g.agg(
+      sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(col("s_g")).as("__s"), sum(col("q_g")).as("__q"),
+      sum(dec(col("bterm"))).as("__b"))
+      .select(col("n"), col("k"),
+        greatest(lit(0L),
+          (col("__b") - dec(call_function("div", col("__s") * col("__s"),
+            dec(col("n"))))).cast("long")).as("ssb"),
+        (col("__q") - col("__b")).cast("long").as("ssw"))
+      .withColumn("f_stat",
+        when(col("k") > 1L && col("n") > col("k") && col("ssw") > 0L,
+          (dec(col("ssb")) * dec(col("n") - col("k"))).cast("double") /
+            (dec(col("ssw")) * dec(col("k") - 1L)).cast("double")))
+  }
+
+  /** Kruskal-Wallis H — the k-group generalization of [[mannWhitney]],
+    * riding the same distinct-value rollup and DOUBLED tie-averaged ranks
+    * (`r2(v) = 2*below + c + 1`). Per-group rank sums `R2_g` are exact
+    * DECIMAL; each group contributes `R2_g^2 div n_g` (one non-negative
+    * truncating division, error <= 1 per group). With doubled ranks,
+    * `H_raw = (3*S - 3*N*(N+1)^2) / (N*(N+1))` and the tie correction
+    * multiplies by `(N^3-N) / (N^3-N-T)`, `T = sum(c^3-c)` — H is the
+    * two-division fixed IEEE chain over those exact operands, mirrored
+    * verbatim in the oracle.
+    *
+    * Bound contract: the per-group term `R2_g^2 div n_g ~ 4*N^2*n_g` is a
+    * LONG — N beyond ~2e6 observations must pre-bin/sample (the in-plan
+    * raise guard fires on the distinct-value count first, and ANSI
+    * overflow raises rather than wrapping). One row:
+    * (n, k, tie_term, h_stat); all-tied input (one distinct value) emits
+    * NULL h.
+    */
+  def kruskalWallis(df: DataFrame, valueCol: Column, groupCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct: $maxDistinct")
+    val base = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("__g"), valueCol.as("v"))
+    val byValGroup = base.groupBy(col("v"), col("__g"))
+      .agg(count(lit(1)).as("c_vg"))
+    val byVal = byValGroup.groupBy(col("v")).agg(sum(col("c_vg")).as("c_v"))
+    val w = Window.orderBy(col("v").asc)
+    val guard = when(row_number().over(w) > maxDistinct,
+      raise_error(lit(s"kruskalWallis exceeded $maxDistinct distinct " +
+        "values — the rank cum-sum window is single-partition; bin the " +
+        "metric to fixed-point first")).cast("long")).otherwise(lit(0L))
+    val ranked = byVal
+      .withColumn("cum", sum(col("c_v")).over(w) + guard)
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("c_v")) + col("c_v") + 1L).as("r2"))
+    val perGroup = byValGroup.join(ranked, "v")
+      .groupBy(col("__g"))
+      .agg(sum(col("c_vg")).as("n_g"),
+        sum(dec(col("c_vg")) * col("r2")).as("r2_g"))
+      .withColumn("term",
+        call_function("div", col("r2_g") * col("r2_g"), dec(col("n_g"))))
+    val ties = byVal.agg(
+      (sum(dec(col("c_v")) * dec(col("c_v")) * dec(col("c_v"))) -
+        sum(dec(col("c_v")))).cast("long").as("tie_term"))
+    val n3 = dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n"))
+    perGroup
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+        sum(dec(col("term"))).as("__s"))
+      .crossJoin(ties)
+      .select(col("n"), col("k"), col("tie_term"),
+        when(col("k") > 1L && n3 > dec(col("tie_term")),
+          ((dec(lit(3L)) * col("__s") -
+            dec(lit(3L)) * dec(col("n")) * dec(col("n") + 1L) *
+              dec(col("n") + 1L)).cast("double") /
+            (dec(col("n")) * dec(col("n") + 1L)).cast("double")) *
+            (n3.cast("double") / (n3 - dec(col("tie_term"))).cast("double")))
+          .as("h_stat"))
+  }
+
+  /** McNemar's test for paired classifiers: the two discordant cells
+    * (A-only-correct, B-only-correct) carry ALL the information about
+    * whether the labelers differ; `chi2 = (b-c)^2 / (b+c)` plus the
+    * Edwards continuity-corrected variant `(|b-c|-1)^2 / (b+c)` (clamped
+    * at 0) — each one IEEE division over exact counts. The concordant
+    * cells are emitted for the confusion readout. NULL chi2 when the
+    * labelers never disagree.
+    */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column): DataFrame = {
+    val agg0 = df.filter(aCorrect.isNotNull && bCorrect.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(aCorrect && bCorrect, 1L).otherwise(0L)).as("n_both"),
+      sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!aCorrect && !bCorrect, 1L).otherwise(0L)).as("n_neither"))
+    val d = col("n_a_only") - col("n_b_only")
+    val tot = col("n_a_only") + col("n_b_only")
+    val dcc = greatest(abs(d) - 1L, lit(0L))
+    agg0
+      .withColumn("chi2",
+        when(tot > 0L, (d * d).cast("double") / tot.cast("double")))
+      .withColumn("chi2_cc",
+        when(tot > 0L, (dcc * dcc).cast("double") / tot.cast("double")))
+  }
+
+  /** Cohen's d standardized mean difference (B minus A) with the Hedges'
+    * g small-sample correction. Exact moments per sample; the pooled
+    * within variance uses the [[anovaF]] truncating-division convention
+    * (`ssw = (Q_a - S_a^2 div n_a) + (Q_b - S_b^2 div n_b)`, exact
+    * integer, unit contract identical: whole units, not cents, at
+    * warehouse scale). The mean difference can be NEGATIVE, so it never
+    * passes through an integral division (Spark truncates, DuckDB floors)
+    * — d is the fixed IEEE chain
+    * `(S_b*n_a - S_a*n_b) / (n_a*n_b) / sqrt(ssw / (n_a+n_b-2))` and
+    * `g = d * (1 - 3/(4*(n-2)-1))`, both mirrored verbatim. One row.
+    */
+  def cohensD(df: DataFrame, valueCol: Column, inB: Column): DataFrame = {
+    val x = valueCol
+    val agg0 = df.filter(x.isNotNull && inB.isNotNull).agg(
+      sum(when(inB, 0L).otherwise(1L)).as("n_a"),
+      sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(inB, lit(0L)).otherwise(dec(x))).as("s_a"),
+      sum(when(inB, dec(x)).otherwise(lit(0L))).as("s_b"),
+      sum(when(inB, lit(0L)).otherwise(dec(x) * x)).as("q_a"),
+      sum(when(inB, dec(x) * x).otherwise(lit(0L))).as("q_b"))
+    val ssw =
+      (col("q_a") - dec(call_function("div", col("s_a") * col("s_a"),
+        dec(col("n_a")))) +
+        (col("q_b") - dec(call_function("div", col("s_b") * col("s_b"),
+          dec(col("n_b")))))).cast("long")
+    val n = col("n_a") + col("n_b")
+    val dStat =
+      (col("s_b") * dec(col("n_a")) - col("s_a") * dec(col("n_b")))
+        .cast("double") /
+        (dec(col("n_a")) * dec(col("n_b"))).cast("double") /
+        sqrt(col("ssw").cast("double") / (n - 2L).cast("double"))
+    agg0
+      .withColumn("ssw", ssw)
+      .select(col("n_a"), col("n_b"), col("ssw"),
+        when(col("n_a") > 0L && col("n_b") > 0L && n > 2L && col("ssw") > 0L,
+          dStat).as("d"))
+      .withColumn("hedges_g",
+        col("d") * (lit(1.0) -
+          lit(3.0) / (lit(4L) * (col("n_a") + col("n_b") - 2L) - 1L)
+            .cast("double")))
+  }
+
+  /** Cochran-Armitage trend test: is a success rate MONOTONE in an
+    * ordered integer dose? With per-dose totals `n_i`, successes `r_i`,
+    * scores `w_i` = the dose value itself, `N`, `R`, `W1 = sum(w_i*n_i)`,
+    * `W2 = sum(w_i^2*n_i)`, `T = sum(w_i*r_i)` — all exact — the z
+    * statistic is
+    * `(N*T - R*W1) / sqrt(R*(N-R) * (N*W2 - W1^2) / N)` as a fixed IEEE
+    * chain (numerator signed, so no integral division anywhere). One row:
+    * (n, r, w1, t, z). Degenerate (constant dose or all/no successes)
+    * emits NULL z.
+    *
+    * Shape: one dose-keyed partial agg (dose cardinality bounds
+    * everything downstream).
+    */
+  def cochranArmitage(df: DataFrame, doseCol: Column,
+      successCol: Column): DataFrame = {
+    val byDose = df.filter(doseCol.isNotNull && successCol.isNotNull)
+      .groupBy(doseCol.cast("long").as("__w"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(when(successCol, 1L).otherwise(0L)).as("r_i"))
+    val agg0 = byDose.agg(
+      sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(dec(col("__w")) * col("n_i")).cast("long").as("w1"),
+      sum(dec(col("__w")) * dec(col("__w")) * col("n_i")).as("__w2"),
+      sum(dec(col("__w")) * col("r_i")).cast("long").as("t"))
+    val num = dec(col("n")) * dec(col("t")) - dec(col("r")) * dec(col("w1"))
+    val varTerm = dec(col("r")) * dec(col("n") - col("r")) *
+      (dec(col("n")) * col("__w2") - dec(col("w1")) * dec(col("w1")))
+    agg0.select(col("n"), col("r"), col("w1"), col("t"),
+      when(col("r") > 0L && col("r") < col("n") &&
+        dec(col("n")) * col("__w2") > dec(col("w1")) * dec(col("w1")),
+        num.cast("double") /
+          sqrt(varTerm.cast("double") / col("n").cast("double"))).as("z"))
+  }
+
+  /** Brown-Forsythe robust variance-homogeneity test: one-way ANOVA on
+    * absolute deviations from the per-group MEDIAN (Levene's test with
+    * the median center — robust to the heavy tails that break the mean
+    * version). The median is exact via the per-group distinct-value
+    * rollup ([[graft.operators.Ranking.valueRanks]], grouped — fully
+    * parallel): DOUBLED median `med2 = v@lo + v@hi` keeps the even-n
+    * midpoint integral, deviations are `|2x - med2|`, and the F statistic
+    * is [[anovaF]] over those (so the unit contract doubles: keep
+    * `4 * max_g S_g^2 / n_g` inside 63 bits).
+    */
+  def brownForsythe(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val base = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__x"))
+    val ranks = graft.operators.Ranking.valueRanks(base, Seq("__g"), col("__x"))
+    val ng = ranks.groupBy(col("__g")).agg(sum(col("n_rows")).as("__n"))
+    val lo = call_function("div", col("__n") + 1L, lit(2L))
+    val hi = call_function("div", col("__n") + 2L, lit(2L))
+    val med = ranks.join(ng, "__g")
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("rnk") <= lo && lo < col("rnk") + col("n_rows"),
+          col("v")).otherwise(0L)).as("__vlo"),
+        sum(when(col("rnk") <= hi && hi < col("rnk") + col("n_rows"),
+          col("v")).otherwise(0L)).as("__vhi"))
+      .select(col("__g"), (col("__vlo") + col("__vhi")).as("__med2"))
+    anovaF(
+      base.join(med, "__g")
+        .select(col("__g"), abs(col("__x") * 2L - col("__med2")).as("__dev")),
+      col("__dev"), col("__g"))
+  }
+
+  /** Competing-risks cumulative incidence (Aalen-Johansen for two causes):
+    * when a subject can exit to cause A or cause B, the naive
+    * 1-minus-KM-per-cause overstates both; the CIF at t is
+    * `sum_{s<=t} S(s-) * d_k(s) / Y(s)` with S the ALL-CAUSE Kaplan-Meier.
+    * Rides [[kaplanMeier]]'s integer-ppm sequential fold exactly: the fold
+    * carries `(surv_ppm, cif_a_ppm, cif_b_ppm)`, every step is a
+    * non-negative truncating `div`, so the whole curve is exact integers
+    * and the oracle replays the identical recursion. Censoring = exit
+    * with neither cause.
+    *
+    * One row per distinct event time with >= 1 cause exit:
+    * (duration, at_risk, d_a, d_b, surv_ppm, cif_a_ppm, cif_b_ppm).
+    * The event-time rollup is calendar-bounded by the same contract as
+    * [[kaplanMeier]] (`maxSteps` raise guard).
+    */
+  def competingRisks(df: DataFrame, durationCol: Column, causeACol: Column,
+      causeBCol: Column, maxSteps: Int = 100000): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("dur"),
+      causeACol.cast("boolean").as("ca"), causeBCol.cast("boolean").as("cb"))
+    val byDur = base.groupBy(col("dur")).agg(
+      count(lit(1)).as("n_exit"),
+      sum(when(col("ca"), 1L).otherwise(0L)).as("d_a"),
+      sum(when(col("cb") && !col("ca"), 1L).otherwise(0L)).as("d_b"))
+    val w = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = byDur
+      .withColumn("at_risk",
+        sum(col("n_exit")).over(Window.partitionBy(lit(1))) -
+          coalesce(sum(col("n_exit")).over(w), lit(0L)))
+      .filter(col("d_a") + col("d_b") > 0L)
+      .select(col("dur"), col("at_risk"), col("d_a"), col("d_b"))
+    steps
+      .agg(sort_array(collect_list(struct(col("dur"), col("at_risk"),
+        col("d_a"), col("d_b")))).as("st"))
+      .select(explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error(concat('competingRisks exceeded $maxSteps event times — ',
+           |    'durations must be calendar-bounded integers'))
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<dur:bigint,at_risk:bigint,d_a:bigint,
+           |      d_b:bigint,surv:bigint,cif_a:bigint,cif_b:bigint>>),
+           |    (acc, x) -> array_append(acc, named_struct(
+           |      'dur', x.dur, 'at_risk', x.at_risk, 'd_a', x.d_a, 'd_b', x.d_b,
+           |      'surv', coalesce(try_element_at(acc, -1).surv, CAST(1000000 AS BIGINT))
+           |                * (x.at_risk - x.d_a - x.d_b) div x.at_risk,
+           |      'cif_a', coalesce(try_element_at(acc, -1).cif_a, CAST(0 AS BIGINT))
+           |                + coalesce(try_element_at(acc, -1).surv, CAST(1000000 AS BIGINT))
+           |                  * x.d_a div x.at_risk,
+           |      'cif_b', coalesce(try_element_at(acc, -1).cif_b, CAST(0 AS BIGINT))
+           |                + coalesce(try_element_at(acc, -1).surv, CAST(1000000 AS BIGINT))
+           |                  * x.d_b div x.at_risk)))
+           |END""".stripMargin)).as("s"))
+      .select(col("s.dur").as("duration"), col("s.at_risk").as("at_risk"),
+        col("s.d_a").as("d_a"), col("s.d_b").as("d_b"),
+        col("s.surv").as("surv_ppm"), col("s.cif_a").as("cif_a_ppm"),
+        col("s.cif_b").as("cif_b_ppm"))
+  }
 }

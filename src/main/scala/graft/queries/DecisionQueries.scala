@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Features
+import graft.pipeline.Inference
+import graft.sources.Sources.{events, table}
+
+/** Round-10 continuation battery: the classical decision-statistics layer
+  * (one-way ANOVA, Kruskal-Wallis, McNemar, Brown-Forsythe, Cohen's d,
+  * Cochran-Armitage, competing-risks incidence) plus the allocation /
+  * revenue-accounting ops a finance mart runs (FIFO lot matching, NRR
+  * bridge) and a capture-recapture coverage estimate. Same exact-
+  * arithmetic discipline as InferenceQueries: integer/DECIMAL moments,
+  * one fixed IEEE chain per irrational output, oracles mirror the chain
+  * verbatim.
+  */
+object DecisionQueries extends QuerySet {
+
+  /** The shared fixed-point money recipe (Features.cents mirror). */
+  private def centsSql(c: String): String =
+    s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q387_anova_f", (s, d) =>
+      // does mean order value differ by priority? One-way ANOVA in whole
+      // dollars (the anovaF unit contract keeps S_g^2/n_g inside 63 bits
+      // at warehouse row counts). The synthetic priorities are assigned
+      // independently of price, so F should sit near 1 — the null-holds
+      // readout is the point of the audit.
+      Inference.anovaF(table(s, d, "orders"),
+        call_function("div", Features.cents(col("o_totalprice")), lit(100L)),
+        col("o_orderpriority")),
+      Some(
+        s"""WITH v AS (SELECT ${centsSql("o_totalprice")} // 100 AS x,
+           |                  o_orderpriority AS g FROM orders),
+           |g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+           |             sum(CAST(x AS HUGEINT)) AS s_g,
+           |             sum(CAST(x AS HUGEINT) * x) AS q_g
+           |      FROM v GROUP BY 1),
+           |t AS (SELECT *, (s_g * s_g) // n_g AS bterm FROM g),
+           |a AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           |             CAST(count(*) AS BIGINT) AS k,
+           |             sum(s_g) AS s, sum(q_g) AS q, sum(bterm) AS b
+           |      FROM t)
+           |SELECT n, k,
+           |       CAST(greatest(0, b - (s * s) // n) AS BIGINT) AS ssb,
+           |       CAST(q - b AS BIGINT) AS ssw,
+           |       CASE WHEN k > 1 AND n > k AND q - b > 0
+           |            THEN CAST(CAST(greatest(0, b - (s * s) // n) AS HUGEINT)
+           |                      * (n - k) AS DOUBLE)
+           |               / CAST(CAST(q - b AS HUGEINT) * (k - 1) AS DOUBLE)
+           |       END AS f_stat
+           |FROM a""".stripMargin)),
+
+    QueryDef("q388_kruskal_wallis", (s, d) =>
+      // k-group location test on event amounts by type (milli fixed-
+      // point): the nonparametric ANOVA over the shared distinct-value
+      // rank rollup, tie-corrected.
+      Inference.kruskalWallis(events(s, d),
+        floor(col("value") * 1000 + 0.5).cast("long"), col("event_type")),
+      Some(
+        """WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |                  event_type AS g
+          |           FROM events
+          |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c_vg
+          |       FROM v GROUP BY 1, 2),
+          |vt AS (SELECT v, CAST(sum(c_vg) AS BIGINT) AS c_v FROM vg GROUP BY 1),
+          |r AS (SELECT v, CAST(2 * (sum(c_v) OVER (ORDER BY v) - c_v)
+          |                     + c_v + 1 AS BIGINT) AS r2
+          |      FROM vt),
+          |pg AS (SELECT g, CAST(sum(c_vg) AS BIGINT) AS n_g,
+          |              sum(CAST(c_vg AS HUGEINT) * r2) AS r2_g
+          |       FROM vg JOIN r USING (v) GROUP BY 1),
+          |tm AS (SELECT g, n_g, (r2_g * r2_g) // n_g AS term FROM pg),
+          |ts AS (SELECT CAST(sum(CAST(c_v AS HUGEINT) * c_v * c_v)
+          |                   - sum(CAST(c_v AS HUGEINT)) AS BIGINT) AS tie_term
+          |       FROM vt),
+          |a AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+          |             CAST(count(*) AS BIGINT) AS k, sum(term) AS s
+          |      FROM tm)
+          |SELECT n, k, tie_term,
+          |       CASE WHEN k > 1 AND CAST(n AS HUGEINT) * n * n - n > tie_term
+          |            THEN (CAST(3 * s - 3 * CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+          |                       AS DOUBLE)
+          |                  / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE))
+          |               * (CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)
+          |                  / CAST(CAST(n AS HUGEINT) * n * n - n - tie_term
+          |                         AS DOUBLE))
+          |       END AS h_stat
+          |FROM a, ts""".stripMargin)),
+
+    QueryDef("q389_mcnemar", (s, d) => {
+      // do two heuristic return-risk rules disagree systematically? Rule
+      // A flags discount >= 5%, rule B flags quantity >= 25; truth is an
+      // actual return. McNemar reads ONLY the discordant cells — the
+      // paired design cancels the shared difficulty of the rows both
+      // rules get right/wrong.
+      val li = table(s, d, "lineitem")
+      val truth = col("l_returnflag") === "R"
+      Inference.mcnemar(li,
+        (floor(col("l_discount") * 1000 + 0.5).cast("long") >= 50L) === truth,
+        (col("l_quantity").cast("long") >= 25L) === truth)
+    }, Some(
+      """WITH v AS (SELECT
+        |    (CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) >= 50)
+        |      = (l_returnflag = 'R') AS a_ok,
+        |    (CAST(l_quantity AS BIGINT) >= 25) = (l_returnflag = 'R') AS b_ok
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_both,
+        |        CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_a_only,
+        |        CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_b_only,
+        |        CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_neither
+        |      FROM v)
+        |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+        |       CASE WHEN n_a_only + n_b_only > 0
+        |            THEN CAST((n_a_only - n_b_only) * (n_a_only - n_b_only)
+        |                      AS DOUBLE)
+        |               / CAST(n_a_only + n_b_only AS DOUBLE) END AS chi2,
+        |       CASE WHEN n_a_only + n_b_only > 0
+        |            THEN CAST(greatest(abs(n_a_only - n_b_only) - 1, 0)
+        |                      * greatest(abs(n_a_only - n_b_only) - 1, 0)
+        |                      AS DOUBLE)
+        |               / CAST(n_a_only + n_b_only AS DOUBLE) END AS chi2_cc
+        |FROM a""".stripMargin)),
+
+    QueryDef("q390_brown_forsythe", (s, d) =>
+      // is balance SPREAD homogeneous across market segments? ANOVA on
+      // absolute deviations from each segment's exact median (cents are
+      // safe here — deviations are bounded by the balance range, not the
+      // order book).
+      Inference.brownForsythe(table(s, d, "customer"),
+        Features.cents(col("c_acctbal")), col("c_mktsegment")),
+      Some(
+        s"""WITH v AS (SELECT c_mktsegment AS g,
+           |                  ${centsSql("c_acctbal")} AS x FROM customer),
+           |m AS (SELECT g, CAST(2 * median(x) AS BIGINT) AS med2
+           |      FROM v GROUP BY 1),
+           |dv AS (SELECT v.g, abs(2 * v.x - m.med2) AS x
+           |       FROM v JOIN m ON v.g = m.g),
+           |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+           |              sum(CAST(x AS HUGEINT)) AS s_g,
+           |              sum(CAST(x AS HUGEINT) * x) AS q_g
+           |       FROM dv GROUP BY 1),
+           |t AS (SELECT *, (s_g * s_g) // n_g AS bterm FROM gg),
+           |a AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           |             CAST(count(*) AS BIGINT) AS k,
+           |             sum(s_g) AS s, sum(q_g) AS q, sum(bterm) AS b
+           |      FROM t)
+           |SELECT n, k,
+           |       CAST(greatest(0, b - (s * s) // n) AS BIGINT) AS ssb,
+           |       CAST(q - b AS BIGINT) AS ssw,
+           |       CASE WHEN k > 1 AND n > k AND q - b > 0
+           |            THEN CAST(CAST(greatest(0, b - (s * s) // n) AS HUGEINT)
+           |                      * (n - k) AS DOUBLE)
+           |               / CAST(CAST(q - b AS HUGEINT) * (k - 1) AS DOUBLE)
+           |       END AS f_stat
+           |FROM a""".stripMargin)),
+
+    QueryDef("q391_cohens_d", (s, d) =>
+      // effect SIZE of purchase-vs-view amounts (milli units) — the
+      // parametric companion to q263's Mann-Whitney on the same split:
+      // U says "is there a shift", d says "how many pooled SDs wide".
+      Inference.cohensD(
+        events(s, d).filter(col("event_type").isin("view", "purchase")),
+        floor(col("value") * 1000 + 0.5).cast("long"),
+        col("event_type") === "purchase"),
+      Some(
+        """WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x,
+          |                  (event_type = 'purchase') AS b
+          |           FROM events WHERE event_type IN ('view', 'purchase')),
+          |a AS (SELECT
+          |    CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+          |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          |    sum(CASE WHEN b THEN CAST(0 AS HUGEINT)
+          |             ELSE CAST(x AS HUGEINT) END) AS s_a,
+          |    sum(CASE WHEN b THEN CAST(x AS HUGEINT)
+          |             ELSE CAST(0 AS HUGEINT) END) AS s_b,
+          |    sum(CASE WHEN b THEN CAST(0 AS HUGEINT)
+          |             ELSE CAST(x AS HUGEINT) * x END) AS q_a,
+          |    sum(CASE WHEN b THEN CAST(x AS HUGEINT) * x
+          |             ELSE CAST(0 AS HUGEINT) END) AS q_b
+          |  FROM v),
+          |w AS (SELECT *, CAST((q_a - (s_a * s_a) // n_a)
+          |                     + (q_b - (s_b * s_b) // n_b) AS BIGINT) AS ssw
+          |      FROM a),
+          |f AS (SELECT n_a, n_b, ssw,
+          |        CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND ssw > 0
+          |             THEN CAST(s_b * n_a - s_a * n_b AS DOUBLE)
+          |                / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+          |                / sqrt(CAST(ssw AS DOUBLE)
+          |                       / CAST(n_a + n_b - 2 AS DOUBLE)) END AS d
+          |      FROM w)
+          |SELECT n_a, n_b, ssw, d,
+          |       d * (1.0 - 3.0 / CAST(4 * (n_a + n_b - 2) - 1 AS DOUBLE))
+          |         AS hedges_g
+          |FROM f""".stripMargin)),
+
+    QueryDef("q392_cochran_armitage", (s, d) =>
+      // does return probability TREND with discount depth? The ordered-
+      // dose test with permille discounts as their own scores — more
+      // powerful than the unordered chi-square when the alternative is
+      // monotone.
+      Inference.cochranArmitage(table(s, d, "lineitem"),
+        floor(col("l_discount") * 1000 + 0.5).cast("long"),
+        col("l_returnflag") === "R"),
+      Some(
+        """WITH v AS (SELECT CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS w,
+          |                  (l_returnflag = 'R') AS s FROM lineitem),
+          |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n_i,
+          |             CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+          |      FROM v GROUP BY 1),
+          |a AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+          |             CAST(sum(r_i) AS BIGINT) AS r,
+          |             CAST(sum(CAST(w AS HUGEINT) * n_i) AS BIGINT) AS w1,
+          |             sum(CAST(w AS HUGEINT) * w * n_i) AS w2,
+          |             CAST(sum(CAST(w AS HUGEINT) * r_i) AS BIGINT) AS t
+          |      FROM g)
+          |SELECT n, r, w1, t,
+          |       CASE WHEN r > 0 AND r < n
+          |                 AND CAST(n AS HUGEINT) * w2 > CAST(w1 AS HUGEINT) * w1
+          |            THEN CAST(CAST(n AS HUGEINT) * t
+          |                      - CAST(r AS HUGEINT) * w1 AS DOUBLE)
+          |               / sqrt(CAST(CAST(r AS HUGEINT) * (n - r)
+          |                           * (CAST(n AS HUGEINT) * w2
+          |                              - CAST(w1 AS HUGEINT) * w1) AS DOUBLE)
+          |                      / CAST(n AS DOUBLE)) END AS z
+          |FROM a""".stripMargin)),
+
+    QueryDef("q393_fifo_allocation", (s, d) => {
+      // FIFO lot matching per part: completed lines ('F') are the supply
+      // layers, open lines ('O') the demand, both in shipdate order;
+      // each matched slice is priced at its supply layer's unit cost.
+      // The cumulative-interval join does the whole allocation without
+      // recursion.
+      val li = table(s, d, "lineitem")
+      val ord = datediff(to_date(col("l_shipdate")),
+        lit("1970-01-01").cast("date")).cast("long") * 1000000000000L +
+        col("l_orderkey") * 10L + col("l_linenumber")
+      val unitCents =
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5))
+          .cast("long")
+      Features.fifoAllocate(
+        li.filter(col("l_linestatus") === "F"),
+        li.filter(col("l_linestatus") === "O"),
+        "l_partkey",
+        ord, col("l_quantity"), unitCents,
+        ord, col("l_quantity"))
+    }, Some(
+      """WITH b AS (SELECT l_partkey AS k,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      * 1000000000000 + l_orderkey * 10 + l_linenumber AS ord,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+        |      AS unit_cents,
+        |    l_linestatus AS st
+        |  FROM lineitem),
+        |s AS (SELECT k, ord AS s_ord, qty AS s_qty, unit_cents,
+        |             sum(qty) OVER (PARTITION BY k ORDER BY ord) AS s_hi
+        |      FROM b WHERE st = 'F'),
+        |d AS (SELECT k, ord AS d_ord, qty AS d_qty,
+        |             sum(qty) OVER (PARTITION BY k ORDER BY ord) AS d_hi
+        |      FROM b WHERE st = 'O')
+        |SELECT s.k, d.d_ord, s.s_ord,
+        |       CAST(least(s.s_hi, d.d_hi)
+        |            - greatest(s.s_hi - s.s_qty, d.d_hi - d.d_qty) AS BIGINT)
+        |         AS matched_qty,
+        |       s.unit_cents,
+        |       CAST((least(s.s_hi, d.d_hi)
+        |             - greatest(s.s_hi - s.s_qty, d.d_hi - d.d_qty))
+        |            * s.unit_cents AS BIGINT) AS cost_cents
+        |FROM s JOIN d
+        |  ON s.k = d.k AND s.s_hi - s.s_qty < d.d_hi
+        |     AND d.d_hi - d.d_qty < s.s_hi""".stripMargin)),
+
+    QueryDef("q394_competing_risks", (s, d) => {
+      // per user, the clock starts at their first event and stops at
+      // their first PURCHASE (cause A) or first ERROR (cause B),
+      // whichever comes first (tie -> purchase); users hitting neither
+      // are censored at their last event. Aalen-Johansen CIFs, exact ppm.
+      val u = events(s, d).groupBy(col("user_id")).agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("ta"),
+        min(when(col("event_type") === "error", col("ts"))).as("tb"),
+        max(col("ts")).as("tmax"))
+      val isA = col("ta").isNotNull &&
+        (col("tb").isNull || col("ta") <= col("tb"))
+      val isB = !isA && col("tb").isNotNull
+      val dur = when(isA,
+        datediff(to_date(col("ta")), to_date(col("t0"))))
+        .when(isB, datediff(to_date(col("tb")), to_date(col("t0"))))
+        .otherwise(datediff(to_date(col("tmax")), to_date(col("t0"))))
+        .cast("long")
+      Inference.competingRisks(
+        u.select(dur.as("dur"), isA.as("ca"), isB.as("cb")),
+        col("dur"), col("ca"), col("cb"))
+    }, Some(
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS ta,
+        |         min(CASE WHEN event_type = 'error' THEN ts END) AS tb,
+        |         max(ts) AS tmax
+        |  FROM events GROUP BY 1),
+        |s0 AS (SELECT
+        |    CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+        |         THEN date_diff('day', CAST(t0 AS DATE), CAST(ta AS DATE))
+        |         WHEN tb IS NOT NULL
+        |         THEN date_diff('day', CAST(t0 AS DATE), CAST(tb AS DATE))
+        |         ELSE date_diff('day', CAST(t0 AS DATE), CAST(tmax AS DATE))
+        |    END AS dur,
+        |    (ta IS NOT NULL AND (tb IS NULL OR ta <= tb)) AS ca,
+        |    (NOT (ta IS NOT NULL AND (tb IS NULL OR ta <= tb))
+        |     AND tb IS NOT NULL) AS cb
+        |  FROM u),
+        |dr AS (SELECT dur, count(*) AS n_exit,
+        |              sum(CASE WHEN ca THEN 1 ELSE 0 END) AS d_a,
+        |              sum(CASE WHEN cb AND NOT ca THEN 1 ELSE 0 END) AS d_b
+        |       FROM s0 GROUP BY 1),
+        |c AS (SELECT dur, d_a, d_b,
+        |             (SELECT sum(n_exit) FROM dr)
+        |               - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS at_risk
+        |      FROM dr),
+        |st AS (SELECT row_number() OVER (ORDER BY dur) AS rn, dur, at_risk,
+        |              d_a, d_b
+        |       FROM c WHERE d_a + d_b > 0),
+        |aj AS (
+        |  SELECT rn, dur, at_risk, d_a, d_b,
+        |         (1000000 * (at_risk - d_a - d_b)) // at_risk AS surv,
+        |         (1000000 * d_a) // at_risk AS cif_a,
+        |         (1000000 * d_b) // at_risk AS cif_b
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT st.rn, st.dur, st.at_risk, st.d_a, st.d_b,
+        |         (aj.surv * (st.at_risk - st.d_a - st.d_b)) // st.at_risk,
+        |         aj.cif_a + (aj.surv * st.d_a) // st.at_risk,
+        |         aj.cif_b + (aj.surv * st.d_b) // st.at_risk
+        |  FROM st JOIN aj ON st.rn = aj.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS duration,
+        |       CAST(at_risk AS BIGINT) AS at_risk,
+        |       CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+        |       CAST(surv AS BIGINT) AS surv_ppm,
+        |       CAST(cif_a AS BIGINT) AS cif_a_ppm,
+        |       CAST(cif_b AS BIGINT) AS cif_b_ppm
+        |FROM aj""".stripMargin)),
+
+    QueryDef("q395_capture_recapture", (s, d) => {
+      // how many BUYERS does the event stream actually have? Two capture
+      // samples — purchasers on days 0-1 and days 2-3 from the stream's
+      // first day (purchases are ~20% of events, so a 2-day window
+      // captures a PARTIAL sample; whole-week all-event windows saturate
+      // to every user and estimate nothing) — give the Lincoln-Petersen
+      // estimate and Chapman's bias-corrected variant: the dataset-card
+      // "estimated population vs observed" readout, exact integers.
+      val e = events(s, d).filter(col("event_type") === "purchase")
+      val t0 = e.agg(min(to_date(col("ts"))).as("d0"))
+      val flags = e.crossJoin(broadcast(t0))
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), col("d0")).as("dd"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("dd") < 2, 1L).otherwise(0L)).as("in_a"),
+          max(when(col("dd") >= 2 && col("dd") < 4, 1L).otherwise(0L))
+            .as("in_b"))
+      flags.agg(
+        sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("m"))
+        .select(col("n1"), col("n2"), col("m"),
+          (call_function("div", (col("n1") + 1L) * (col("n2") + 1L),
+            col("m") + 1L) - 1L).as("chapman_est"),
+          when(col("m") > 0L, call_function("div",
+            col("n1") * col("n2") * 1000L, col("m"))).as("petersen_milli"))
+    }, Some(
+      """WITH p AS (SELECT user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id,
+        |    max(CASE WHEN date_diff('day',
+        |          (SELECT CAST(min(ts) AS DATE) FROM p),
+        |          CAST(ts AS DATE)) < 2 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN date_diff('day',
+        |          (SELECT CAST(min(ts) AS DATE) FROM p),
+        |          CAST(ts AS DATE)) BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS in_b
+        |  FROM p GROUP BY 1),
+        |a AS (SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+        |             CAST(sum(in_b) AS BIGINT) AS n2,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS m
+        |      FROM f)
+        |SELECT n1, n2, m,
+        |       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+        |       CASE WHEN m > 0
+        |            THEN CAST(n1 * n2 * 1000 // m AS BIGINT)
+        |       END AS petersen_milli
+        |FROM a""".stripMargin)),
+
+    QueryDef("q396_nrr_bridge", (s, d) =>
+      // monthly net-revenue-retention statement over the order book:
+      // last month's customer revenue decomposed into retained /
+      // expansion / contraction / churned plus new-logo revenue, with
+      // NRR and GRR in exact ppm.
+      Features.nrrBridge(table(s, d, "orders"),
+        year(col("o_orderdate")) * 12 + month(col("o_orderdate")),
+        col("o_custkey"), Features.cents(col("o_totalprice"))),
+      Some(
+        s"""WITH r AS (SELECT
+           |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+           |    o_custkey AS cust,
+           |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev
+           |  FROM orders GROUP BY 1, 2),
+           |j AS (SELECT coalesce(c.m, p.m + 1) AS m, c.rev AS rev,
+           |             p.rev AS prev_rev
+           |      FROM r c FULL JOIN r p ON c.cust = p.cust AND c.m = p.m + 1),
+           |a AS (SELECT m,
+           |        CAST(sum(coalesce(prev_rev, 0)) AS BIGINT) AS starting,
+           |        CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+           |                           AND rev > prev_rev
+           |                      THEN rev - prev_rev ELSE 0 END) AS BIGINT)
+           |          AS expansion,
+           |        CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+           |                           AND rev < prev_rev
+           |                      THEN prev_rev - rev ELSE 0 END) AS BIGINT)
+           |          AS contraction,
+           |        CAST(sum(CASE WHEN rev IS NULL THEN prev_rev ELSE 0 END)
+           |             AS BIGINT) AS churned,
+           |        CAST(sum(CASE WHEN prev_rev IS NULL THEN rev ELSE 0 END)
+           |             AS BIGINT) AS new_rev
+           |      FROM j GROUP BY 1)
+           |SELECT m, starting, expansion, contraction, churned, new_rev,
+           |       CASE WHEN starting > 0
+           |            THEN CAST((CAST(starting + expansion - contraction
+           |                            - churned AS HUGEINT) * 1000000)
+           |                      // starting AS BIGINT) END AS nrr_ppm,
+           |       CASE WHEN starting > 0
+           |            THEN CAST((CAST(starting - contraction - churned
+           |                            AS HUGEINT) * 1000000)
+           |                      // starting AS BIGINT) END AS grr_ppm
+           |FROM a""".stripMargin)))
+}

@@ -1,0 +1,237 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Features
+import graft.pipeline.Inference
+
+/** Hand-computable vectors for the decision-statistics battery
+  * (q387-q396): one-way ANOVA, Kruskal-Wallis, McNemar, Brown-Forsythe,
+  * Cohen's d, Cochran-Armitage, competing-risks CIF, FIFO allocation and
+  * the NRR bridge. Each vector is small enough to verify on paper and
+  * pins the exact-arithmetic conventions (truncating per-group divisions,
+  * doubled ranks/medians, ppm folds).
+  */
+class DecisionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- anovaF ----
+
+  test("anovaF: textbook two-group vector (means 2 vs 6)") {
+    // g1=[1,2,3], g2=[5,6,7]: SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24, SSW = 4,
+    // F = (24/1)/(4/4) = 24
+    val df = (Seq(1L, 2L, 3L).map((_, "a")) ++ Seq(5L, 6L, 7L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.anovaF(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 2L, 24L, 4L)))
+    assert(r.getDouble(4) === 24.0)
+  }
+
+  test("anovaF: single group emits NULL F; identical groups give ssb 0") {
+    val one = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
+    assert(Inference.anovaF(one, col("v"), col("g")).collect()(0).isNullAt(4))
+    val same = (Seq(1L, 2L).map((_, "a")) ++ Seq(1L, 2L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.anovaF(same, col("v"), col("g")).collect()(0)
+    assert(r.getLong(2) === 0L && r.getDouble(4) === 0.0)
+  }
+
+  // ---- kruskalWallis ----
+
+  test("kruskalWallis: untied two-group vector gives H = 2.4") {
+    // g1=[1,2], g2=[3,4]: R1=3, R2=7; H = 12/(4*5)*(9/2+49/2) - 15 = 2.4
+    val df = (Seq(1L, 2L).map((_, "a")) ++ Seq(3L, 4L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.kruskalWallis(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 0L)))
+    assert(r.getDouble(3) === (48.0 / 20.0) * (60.0 / 60.0))
+  }
+
+  test("kruskalWallis: tie correction and per-group truncation convention") {
+    // g1=[1,2,2], g2=[2,3]: doubled ranks 2,6,6 | 6,10 -> R2 = 14, 16;
+    // terms 196 div 3 = 65, 256 div 2 = 128 -> S2 = 193; T = 2^3-2 = ...
+    // only the triple tie at v=2: 27-3 = 24; H = (579-540)/30 * 120/96
+    val df = (Seq(1L, 2L, 2L).map((_, "a")) ++ Seq(2L, 3L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.kruskalWallis(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 2L, 24L)))
+    assert(r.getDouble(3) === (39.0 / 30.0) * (120.0 / 96.0))
+  }
+
+  test("kruskalWallis: all-tied input emits NULL H") {
+    val df = Seq((7L, "a"), (7L, "b"), (7L, "a")).toDF("v", "g")
+    assert(Inference.kruskalWallis(df, col("v"), col("g"))
+      .collect()(0).isNullAt(3))
+  }
+
+  // ---- mcnemar ----
+
+  test("mcnemar: discordant cells drive the statistic") {
+    // a=[T,T,F,F,T], b=[T,F,T,F,F]: both=1, a_only=2, b_only=1, neither=1
+    val df = Seq((true, true), (true, false), (false, true), (false, false),
+      (true, false)).toDF("a", "b")
+    val r = Inference.mcnemar(df, col("a"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((5L, 1L, 2L, 1L, 1L)))
+    assert(r.getDouble(5) === 1.0 / 3.0)
+    assert(r.getDouble(6) === 0.0) // |b-c|-1 clamps to 0
+  }
+
+  test("mcnemar: perfect agreement emits NULL chi2") {
+    val df = Seq((true, true), (false, false)).toDF("a", "b")
+    val r = Inference.mcnemar(df, col("a"), col("b")).collect()(0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  // ---- cohensD ----
+
+  test("cohensD: separated samples give d = 3, Hedges g = 2.4") {
+    // A=[1,2,3], B=[4,5,6]: pooled var = 4/4 = 1, mean diff 3;
+    // J = 1 - 3/15 = 0.8
+    val df = (Seq(1L, 2L, 3L).map((_, false)) ++ Seq(4L, 5L, 6L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.cohensD(df, col("v"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 4L)))
+    assert(r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === 3.0 * (1.0 - 3.0 / 15.0))
+  }
+
+  test("cohensD: sign flips with direction; zero-variance emits NULL") {
+    val df = (Seq(4L, 5L, 6L).map((_, false)) ++ Seq(1L, 2L, 3L).map((_, true)))
+      .toDF("v", "b")
+    assert(Inference.cohensD(df, col("v"), col("b")).collect()(0)
+      .getDouble(3) === -3.0)
+    val const = (Seq(5L, 5L).map((_, false)) ++ Seq(5L, 5L).map((_, true)))
+      .toDF("v", "b")
+    assert(Inference.cohensD(const, col("v"), col("b")).collect()(0).isNullAt(3))
+  }
+
+  // ---- cochranArmitage ----
+
+  test("cochranArmitage: perfect dose response z = 2") {
+    // doses 0,1,2 with 2 subjects each, successes 0,1,2:
+    // num = 6*5 - 3*6 = 12; var = 3*3*(6*10-36)/6 = 36; z = 2
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("w", "s")
+    val r = Inference.cochranArmitage(df, col("w"), col("s")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 3L, 6L, 5L)))
+    assert(r.getDouble(4) === 2.0)
+  }
+
+  test("cochranArmitage: constant dose or all-success emits NULL z") {
+    val flat = Seq((3L, true), (3L, false)).toDF("w", "s")
+    assert(Inference.cochranArmitage(flat, col("w"), col("s"))
+      .collect()(0).isNullAt(4))
+    val all = Seq((0L, true), (1L, true)).toDF("w", "s")
+    assert(Inference.cochranArmitage(all, col("w"), col("s"))
+      .collect()(0).isNullAt(4))
+  }
+
+  // ---- brownForsythe ----
+
+  test("brownForsythe: odd-n medians, hand ANOVA over deviations") {
+    // g1=[0,2,4] med 2 -> |2x-4| = [4,0,4]; g2=[0,10,20] med 10 ->
+    // [20,0,20]; bterms 64 div 3 = 21, 1600 div 3 = 533; b = 554;
+    // grand 48^2 div 6 = 384; ssb = 170, ssw = 832-554 = 278;
+    // F = 170*4 / (278*1)
+    val df = (Seq(0L, 2L, 4L).map((_, "a")) ++ Seq(0L, 10L, 20L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.brownForsythe(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 2L, 170L, 278L)))
+    assert(r.getDouble(4) === 680.0 / 278.0)
+  }
+
+  test("brownForsythe: even-n doubled median; equal spreads -> ssw 0, NULL F") {
+    // g1=[1,3] med2=4 -> devs [2,2]; g2=[10,30] med2=40 -> devs [20,20]:
+    // within-group deviation spread is zero in both groups
+    val df = (Seq(1L, 3L).map((_, "a")) ++ Seq(10L, 30L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.brownForsythe(df, col("v"), col("g")).collect()(0)
+    assert(r.getLong(3) === 0L && r.isNullAt(4))
+    assert(r.getLong(2) === 324L)
+  }
+
+  // ---- competingRisks ----
+
+  test("competingRisks: three-step curve, surv + cifs == 1e6 at every step") {
+    // exits: (1,A),(1,B),(2,A),(3,cens),(3,A); risk sets 5,3,2
+    val df = Seq((1L, true, false), (1L, false, true), (2L, true, false),
+      (3L, false, false), (3L, true, false)).toDF("dur", "ca", "cb")
+    val rows = Inference.competingRisks(df, col("dur"), col("ca"), col("cb"))
+      .orderBy("duration").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq === Seq(
+      (1L, 5L, 1L, 1L, 600000L, 200000L, 200000L),
+      (2L, 3L, 1L, 0L, 400000L, 400000L, 200000L),
+      (3L, 2L, 1L, 0L, 200000L, 600000L, 200000L)))
+    // the additive identity the truncating fold preserves by construction
+    rows.foreach(r =>
+      assert(r.getLong(4) + r.getLong(5) + r.getLong(6) === 1000000L))
+  }
+
+  test("competingRisks: cause-A-wins tie convention in the caller pattern") {
+    // both flags set -> d_a counts it, d_b must not double-count
+    val df = Seq((1L, true, true), (2L, false, true)).toDF("dur", "ca", "cb")
+    val rows = Inference.competingRisks(df, col("dur"), col("ca"), col("cb"))
+      .orderBy("duration").collect()
+    assert(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((1L, 0L), (0L, 1L)))
+  }
+
+  // ---- fifoAllocate ----
+
+  test("fifoAllocate: layered matching prices each slice at its supply layer") {
+    // supply (qty@cents): 5@10 then 5@20; demand: 3, 4, 3
+    // -> 3@10 | 2@10 + 2@20 | 3@20; total cost 150
+    val supply = Seq((1L, 1L, 5L, 10L), (1L, 2L, 5L, 20L))
+      .toDF("k", "ord", "qty", "cents")
+    val demand = Seq((1L, 1L, 3L), (1L, 2L, 4L), (1L, 3L, 3L))
+      .toDF("k", "ord", "qty")
+    val rows = Features.fifoAllocate(supply, demand, "k",
+      col("ord"), col("qty"), col("cents"), col("ord"), col("qty"))
+      .orderBy("d_ord", "s_ord").collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(5))).toSeq === Seq(
+      (1L, 1L, 3L, 30L), (2L, 1L, 2L, 20L), (2L, 2L, 2L, 40L),
+      (3L, 2L, 3L, 60L)))
+  }
+
+  test("fifoAllocate: demand beyond supply is simply unmatched") {
+    val supply = Seq((1L, 1L, 2L, 10L)).toDF("k", "ord", "qty", "cents")
+    val demand = Seq((1L, 1L, 2L), (1L, 2L, 5L)).toDF("k", "ord", "qty")
+    val rows = Features.fifoAllocate(supply, demand, "k",
+      col("ord"), col("qty"), col("cents"), col("ord"), col("qty")).collect()
+    assert(rows.length === 1 && rows(0).getLong(3) === 2L)
+  }
+
+  test("fifoAllocate: keys never cross-match") {
+    val supply = Seq((1L, 1L, 5L, 10L)).toDF("k", "ord", "qty", "cents")
+    val demand = Seq((2L, 1L, 5L)).toDF("k", "ord", "qty")
+    assert(Features.fifoAllocate(supply, demand, "k", col("ord"), col("qty"),
+      col("cents"), col("ord"), col("qty")).count() === 0L)
+  }
+
+  // ---- nrrBridge ----
+
+  test("nrrBridge: expansion/contraction/churn/new decomposition and ppms") {
+    // m1: A=100 B=50 C=40; m2: A=120 B=30 D=60
+    val df = Seq((1L, "A", 100L), (1L, "B", 50L), (1L, "C", 40L),
+      (2L, "A", 120L), (2L, "B", 30L), (2L, "D", 60L)).toDF("m", "c", "v")
+    val rows = Features.nrrBridge(df, col("m"), col("c"), col("v"))
+      .orderBy("m").collect()
+    val m2 = rows(1)
+    assert((m2.getLong(1), m2.getLong(2), m2.getLong(3), m2.getLong(4),
+      m2.getLong(5)) === ((190L, 20L, 20L, 40L, 60L)))
+    assert(m2.getLong(6) === 150L * 1000000L / 190L)
+    assert(m2.getLong(7) === 130L * 1000000L / 190L)
+    // m1 has no prior base -> NULL ppms; m3 is all-churn with nrr 0
+    assert(rows(0).isNullAt(6))
+    val m3 = rows(2)
+    assert(m3.getLong(1) === 210L && m3.getLong(4) === 210L &&
+      m3.getLong(6) === 0L)
+  }
+}
