@@ -339,6 +339,88 @@ object Features {
           dec(col("n_a")) * dec(col("n_b"))).cast("long").as("lift_milli"))
   }
 
+  /** Directed association rules over presence baskets: both orientations
+    * of every [[basketPairs]] pair with the full rule readout — support,
+    * confidence (`P(consequent | antecedent)`), lift, and conviction
+    * (`(1 - supp_c) / (1 - conf)` — "how much more often would the rule
+    * have to be wrong under independence"; a rule that never misses has
+    * undefined conviction -> NULL). All four are single non-negative
+    * truncating divisions over exact DECIMAL products, so the whole rule
+    * table hash-compares. Same scale shape as [[basketPairs]] (the
+    * canonical-pair rollup is computed once; directions are two
+    * projections of it, not a second self-join).
+    */
+  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (kept, marginals) = presencePairsBase(df, basketCol, itemCol,
+      maxBasketSize)
+    val nBaskets = kept.agg(countDistinct(col("basket")).as("n_baskets"))
+    val pairs = coPairs(kept, marginals, minSupport)
+    val directed = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_both"), col("n_a").as("n_ant"), col("n_b").as("n_con"))
+      .unionByName(pairs
+        .select(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("n_both"), col("n_b").as("n_ant"), col("n_a").as("n_con")))
+    directed.crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_con"),
+        call_function("div", dec(col("n_both")) * 1000000L,
+          dec(col("n_baskets"))).cast("long").as("support_ppm"),
+        call_function("div", dec(col("n_both")) * 1000000L,
+          dec(col("n_ant"))).cast("long").as("confidence_ppm"),
+        call_function("div",
+          dec(col("n_both")) * dec(col("n_baskets")) * 1000L,
+          dec(col("n_ant")) * dec(col("n_con"))).cast("long").as("lift_milli"),
+        when(col("n_ant") > col("n_both"),
+          call_function("div",
+            dec(col("n_baskets") - col("n_con")) * dec(col("n_ant")) * 1000L,
+            dec(col("n_baskets")) * dec(col("n_ant") - col("n_both")))
+            .cast("long")).as("conviction_milli"))
+  }
+
+  /** Interrupted-time-series (segmented) regression: one OLS fit per side
+    * of a declared intervention day, with the slope change and the level
+    * shift AT the break — the before/after causal readout when there is
+    * no control series (the q291 DiD sibling). Moments accumulate in
+    * DECIMAL(38,0) (cent-scale daily revenue overflows 64-bit
+    * `n*Sxy`/`Sy*Sxx` products at warehouse volumes — the reason this
+    * does not reuse [[olsTrend]]'s long moments); each slope/intercept is
+    * ONE IEEE division over exact operands, and the level shift is the
+    * fixed chain `(i_post + s_post*T) - (i_pre + s_pre*T)` an oracle
+    * mirrors verbatim. One row; a side with < 2 points or zero x-variance
+    * emits NULL fits.
+    */
+  def itsRegression(df: DataFrame, dayCol: Column, yCol: Column,
+      breakDay: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = dayCol.cast("long")
+    val y = yCol.cast("long")
+    val sides = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy((x >= breakDay).as("__post"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("sx"), sum(dec(y)).as("sy"),
+        sum(dec(x) * x).as("sxx"), sum(dec(x) * y).as("sxy"))
+    def fit(post: Boolean, tag: String) = {
+      val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+      sides.filter(col("__post") === post)
+        .select(col("n").as(s"n_$tag"),
+          when(den =!= 0,
+            (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") / den.cast("double")).as(s"slope_$tag"),
+          when(den =!= 0,
+            (col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double") / den.cast("double")).as(s"intercept_$tag"))
+    }
+    val t = lit(breakDay.toDouble)
+    fit(post = false, "pre").crossJoin(fit(post = true, "post"))
+      .withColumn("slope_change", col("slope_post") - col("slope_pre"))
+      .withColumn("level_shift",
+        (col("intercept_post") + col("slope_post") * t) -
+          (col("intercept_pre") + col("slope_pre") * t))
+  }
+
   /** Shared presence-basket base: distinct (basket, item) with oversized
     * baskets dropped (the hot-block guard), plus item marginals.
     */

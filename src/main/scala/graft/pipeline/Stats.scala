@@ -1218,4 +1218,66 @@ object Stats {
             dec(col("n_buckets")) * dec(col("s"))).cast("long"))
           .as("fano_ppm")): _*)
   }
+
+  /** Croston's method for INTERMITTENT demand (Croston 1972): when most
+    * periods are zero, plain EWMA/Holt forecasts collapse toward zero
+    * between demands and spike after each one; Croston smooths demand
+    * SIZE `z` and demand INTERVAL `p` separately — updated only on
+    * demand periods — and forecasts `z/p` per period. As a truncated
+    * fixed-point integer recursion (the [[holtDaily]] discipline):
+    * {{{
+    * first demand:  z = q*1e6,  p = 1e6 (one period, declared)
+    * later, gap = period - previous demand period:
+    *   z' = (an*q*1e6   + (ad-an)*z) div ad
+    *   p' = (an*gap*1e6 + (ad-an)*p) div ad
+    * }}}
+    * all operands non-negative, so truncation == floor on every engine.
+    * One row per (group, demand period): the raw q and gap plus the
+    * post-update state and `forecast_milli = z*1000 div p` in value
+    * units per period.
+    *
+    * Scale shape: one (group, period) rollup (zeros never materialize —
+    * the gap is read off the previous demand row inside the fold, no
+    * densified spine at all), then the per-group calendar-bounded fold;
+    * groups process fully in parallel.
+    */
+  def crostonDemand(df: DataFrame, groupCols: Seq[String], periodCol: Column,
+      qtyCol: Column, alphaNum: Int, alphaDen: Int,
+      maxSteps: Int = 100000): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"alpha must be a proper fraction: $alphaNum/$alphaDen")
+    val gcols = groupCols.map(col)
+    val demand = df.groupBy(gcols :+ periodCol.cast("long").as("period"): _*)
+      .agg(sum(qtyCol.cast("long")).as("q"))
+      .filter(col("q") > 0L)
+    val (an, ad) = (alphaNum, alphaDen)
+    val folded = demand
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("period"), col("q")))).as("st"))
+      .select(gcols :+ explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error('crostonDemand exceeded $maxSteps demand periods per group')
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<period:bigint,q:bigint,gap:bigint,z:bigint,p:bigint>>),
+           |    (acc, x) -> CASE WHEN size(acc) = 0 THEN
+           |        array(named_struct('period', x.period, 'q', x.q,
+           |          'gap', CAST(1 AS BIGINT),
+           |          'z', x.q * 1000000L, 'p', CAST(1000000 AS BIGINT)))
+           |      ELSE
+           |        array_append(acc, named_struct(
+           |          'period', x.period, 'q', x.q,
+           |          'gap', x.period - element_at(acc, -1).period,
+           |          'z', ($an * x.q * 1000000L
+           |                + ${ad - an} * element_at(acc, -1).z) div $ad,
+           |          'p', ($an * (x.period - element_at(acc, -1).period) * 1000000L
+           |                + ${ad - an} * element_at(acc, -1).p) div $ad))
+           |      END)
+           |END""".stripMargin)).as("s"): _*)
+    folded.select(gcols ++ Seq(col("s.period").as("period"),
+      col("s.q").as("q"), col("s.gap").as("gap"),
+      col("s.z").as("z_micro"), col("s.p").as("p_micro"),
+      call_function("div", col("s.z") * 1000L, col("s.p"))
+        .as("forecast_milli")): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.Features
-import graft.pipeline.Inference
+import graft.pipeline.{Inference, Stats}
 import graft.sources.Sources.{events, table}
 
 /** Round-10 continuation battery: the classical decision-statistics layer
@@ -441,5 +441,303 @@ object DecisionQueries extends QuerySet {
            |            THEN CAST((CAST(starting - contraction - churned
            |                            AS HUGEINT) * 1000000)
            |                      // starting AS BIGINT) END AS grr_ppm
-           |FROM a""".stripMargin)))
+           |FROM a""".stripMargin)),
+
+    QueryDef("q397_exposure_bias", (s, d) => {
+      // popularity-bias audit of the q321 recommender: how concentrated
+      // is item EXPOSURE across all top-3 lists (exact-ppm Gini over
+      // per-item slot counts), and what share of the catalog is ever
+      // recommended at all — the two standard recommender-health numbers
+      // (here: 89% coverage, exposure Gini 0.30).
+      val recs = Features.itemNeighbors(table(s, d, "lineitem"),
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        k = 3, minSupport = 2)
+      val expo = recs.groupBy(col("neighbor")).agg(count(lit(1)).as("expo"))
+      val g = Inference.gini(expo, Nil, col("expo"))
+      val catalog = table(s, d, "part")
+        .agg(countDistinct(col("p_partkey")).as("catalog_n"))
+      g.crossJoin(broadcast(catalog)).select(
+        col("n").as("n_recommended"), col("total").as("n_slots"),
+        col("catalog_n"),
+        call_function("div", col("n") * 1000000L, col("catalog_n"))
+          .as("coverage_ppm"),
+        col("gini_ppm").as("exposure_gini_ppm"))
+    }, Some(
+      """WITH items AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
+        |                  CAST(l_partkey AS BIGINT) AS item
+        |  FROM lineitem),
+        |m AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        |      FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT item_a AS item, item_b AS neighbor, n_both,
+        |         ma.n_item AS n_i, mb.n_item AS n_n
+        |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_both, mb.n_item, ma.n_item
+        |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b),
+        |sc AS (SELECT item, neighbor, n_both,
+        |              CAST(n_both AS DOUBLE) / sqrt(CAST(n_i AS DOUBLE) * n_n)
+        |                AS cosine
+        |       FROM sym),
+        |topk AS (SELECT neighbor FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY item
+        |             ORDER BY cosine DESC, neighbor ASC) AS rank FROM sc) t
+        |         WHERE rank <= 3),
+        |e AS (SELECT neighbor, CAST(count(*) AS BIGINT) AS expo
+        |      FROM topk GROUP BY 1),
+        |r AS (SELECT expo, row_number() OVER (ORDER BY expo) AS i FROM e),
+        |gn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(expo) AS BIGINT) AS total,
+        |              CAST((2 * sum(CAST(i AS HUGEINT) * expo)
+        |                    - (count(*) + 1) * sum(CAST(expo AS HUGEINT)))
+        |                   * 1000000
+        |                   // (CAST(count(*) AS HUGEINT) * sum(expo))
+        |                   AS BIGINT) AS gini_ppm
+        |       FROM r),
+        |c AS (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) AS catalog_n
+        |      FROM part)
+        |SELECT gn.n AS n_recommended, gn.total AS n_slots, c.catalog_n,
+        |       CAST(CAST(gn.n AS HUGEINT) * 1000000 // c.catalog_n AS BIGINT)
+        |         AS coverage_ppm,
+        |       gn.gini_ppm AS exposure_gini_ppm
+        |FROM gn, c""".stripMargin)),
+
+    QueryDef("q398_two_hop_reach", (s, d) => {
+      // HyperANF step: estimated 2-hop audience per probe customer
+      // (customers sharing a supplier) WITHOUT materializing the
+      // neighbor-of-neighbor pairs — each supplier's customer set becomes
+      // an HLL register table once (bounded: suppliers x 256 rows), and a
+      // probe's 2-hop sketch is the bucket-max MERGE of its suppliers'
+      // registers. This is the neighborhood-function recipe that scales
+      // to billion-edge graphs where the exact distinct blows up on hub
+      // nodes. Probe panel: every 100th customer. Edges are restricted to
+      // BULK lines (quantity >= 45, ~12% of lines) — on the full link
+      // graph every customer 2-hop-reaches ~everyone (each holds ~1/3 of
+      // all suppliers) and the estimate saturates to the population; the
+      // bulk subgraph keeps reach partial and probe-dependent.
+      import graft.functions.Sketches
+      val edges = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 45)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint(false) // feeds registers AND the probe panel
+      val supRegs = Sketches.hllRegisters(edges, Seq("s"), col("c"))
+      val probes = edges.filter(col("c") % 100 === 0)
+      val merged = probes.join(supRegs, "s")
+        .groupBy(col("c"), col("hll_bucket"))
+        .agg(max(col("hll_rho")).as("hll_rho"), max(col("hll_b")).as("hll_b"))
+      val est = Sketches.hllEstimate(merged, Seq("c"))
+      val nsup = probes.groupBy(col("c")).agg(count(lit(1)).as("n_suppliers"))
+      est.join(nsup, "c")
+        .select(col("c").as("o_custkey"), col("n_suppliers"),
+          col("hll_estimate"))
+    }, Some(
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |           WHERE l_quantity >= 45),
+        |regs AS (
+        |  SELECT s,
+        |         ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 2))::INT AS bucket,
+        |         max(coalesce(nullif(strpos(
+        |           lpad(bin(('0x' || substr(md5(CAST(c AS VARCHAR)), 3, 8))::BIGINT), 32, '0'),
+        |           '1'), 0), 33)) AS rho
+        |  FROM e GROUP BY 1, 2),
+        |pe AS (SELECT c, s FROM e WHERE c % 100 = 0),
+        |mr AS (SELECT pe.c, regs.bucket, max(regs.rho) AS rho
+        |       FROM pe JOIN regs ON regs.s = pe.s GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c,
+        |         0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |           * 256.0::DOUBLE * 256.0::DOUBLE
+        |           / (sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << rho AS DOUBLE))
+        |              + CAST(256 - count(*) AS DOUBLE)) AS hll_estimate
+        |  FROM mr GROUP BY 1),
+        |ns AS (SELECT c, CAST(count(*) AS BIGINT) AS n_suppliers
+        |       FROM pe GROUP BY 1)
+        |SELECT est.c AS o_custkey, ns.n_suppliers, est.hll_estimate
+        |FROM est JOIN ns ON ns.c = est.c""".stripMargin)),
+
+    QueryDef("q399_croston", (s, d) =>
+      // intermittent weekly part demand (most part-weeks are zero —
+      // exactly where EWMA/Holt collapse): Croston size/interval
+      // smoothing at alpha = 1/5, forecast in quantity-milli per week.
+      Stats.crostonDemand(
+        table(s, d, "lineitem").select(col("l_partkey"),
+          call_function("div",
+            datediff(to_date(col("l_shipdate")),
+              lit("1970-01-01").cast("date")).cast("long"), lit(7L))
+            .as("wk"),
+          col("l_quantity")),
+        Seq("l_partkey"), col("wk"), col("l_quantity"),
+        alphaNum = 1, alphaDen = 5),
+      Some(
+        """WITH RECURSIVE dm AS (
+          |  SELECT l_partkey AS k,
+          |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+          |           // 7 AS period,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1, 2
+          |  HAVING sum(CAST(l_quantity AS BIGINT)) > 0),
+          |sq AS (SELECT k, period, q,
+          |              row_number() OVER (PARTITION BY k ORDER BY period) AS rn
+          |       FROM dm),
+          |cr AS (
+          |  SELECT k, rn, period, q, CAST(1 AS BIGINT) AS gap,
+          |         CAST(q * 1000000 AS BIGINT) AS z,
+          |         CAST(1000000 AS BIGINT) AS p
+          |  FROM sq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.k, s.rn, s.period, s.q,
+          |         CAST(s.period - cr.period AS BIGINT) AS gap,
+          |         CAST((1 * s.q * 1000000 + 4 * cr.z) // 5 AS BIGINT),
+          |         CAST((1 * (s.period - cr.period) * 1000000 + 4 * cr.p) // 5
+          |              AS BIGINT)
+          |  FROM sq s JOIN cr ON s.k = cr.k AND s.rn = cr.rn + 1)
+          |SELECT k AS l_partkey, period, q, gap,
+          |       z AS z_micro, p AS p_micro,
+          |       CAST(CAST(z AS HUGEINT) * 1000 // p AS BIGINT)
+          |         AS forecast_milli
+          |FROM cr""".stripMargin)),
+
+    QueryDef("q400_vocab_overlap", (s, d) => {
+      // corpus-similarity matrix for mixture design: exact vocabulary
+      // Jaccard between every source pair over distinct (source, BIGRAM)
+      // rows — the self-join is VOCABULARY-sized, never corpus-sized.
+      // Bigrams, not unigrams: the synthetic unigram vocab saturates at
+      // 31 shared tokens and every pair reads 1.0 (the q362 lesson);
+      // bigram vocabularies differ by source and the matrix has signal.
+      import graft.pipeline.{TextAnalysis => TA}
+      val v = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TA.ngramsFromTokens(TA.tokens(col("text")), 2)).as("tok"))
+        .distinct()
+        .localCheckpoint(false) // feeds sizes AND both self-join arms
+      val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = v.as("a")
+        .join(v.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("source").as("source_a"), col("nv").as("nv_a")),
+          "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("nv").as("nv_b")),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("nv_a"), col("nv_b"),
+          col("n_inter"),
+          (col("nv_a") + col("nv_b") - col("n_inter")).as("n_union"),
+          call_function("div", col("n_inter") * 1000000L,
+            col("nv_a") + col("nv_b") - col("n_inter")).as("jaccard_ppm"))
+    }, Some(
+      """WITH g AS (
+        |  SELECT source, CASE WHEN len(string_split(text, ' ')) >= 2
+        |           THEN list_transform(
+        |                  generate_series(1, len(string_split(text, ' ')) - 1),
+        |                  i -> string_split(text, ' ')[i] || ' '
+        |                       || string_split(text, ' ')[i + 1])
+        |           ELSE CAST([] AS VARCHAR[]) END AS gs
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT DISTINCT source, u.t AS tok
+        |  FROM g, LATERAL (SELECT unnest(gs) AS t) u),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS n_inter
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.nv AS nv_a, sb.nv AS nv_b, n_inter,
+        |       CAST(sa.nv + sb.nv - n_inter AS BIGINT) AS n_union,
+        |       CAST(CAST(n_inter AS HUGEINT) * 1000000
+        |            // (sa.nv + sb.nv - n_inter) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN s sa ON sa.source = i.source_a
+        |       JOIN s sb ON sb.source = i.source_b""".stripMargin)),
+
+    QueryDef("q401_its_regression", (s, d) =>
+      // interrupted time series on daily revenue cents with the break at
+      // 1998-01-01 (day 10227): per-side OLS fits, slope change, and the
+      // level shift AT the break — the no-control-series causal readout.
+      Features.itsRegression(
+        table(s, d, "orders")
+          .groupBy(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(sum(Features.cents(col("o_totalprice"))).as("y")),
+        col("day"), col("y"), breakDay = 10227L),
+      Some(
+        s"""WITH d AS (
+           |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) AS x,
+           |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |m AS (SELECT (x >= 10227) AS post, CAST(count(*) AS BIGINT) AS n,
+           |             sum(CAST(x AS HUGEINT)) AS sx,
+           |             sum(CAST(y AS HUGEINT)) AS sy,
+           |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |             sum(CAST(x AS HUGEINT) * y) AS sxy
+           |      FROM d GROUP BY 1),
+           |f AS (SELECT post, n,
+           |        CASE WHEN n * sxx - sx * sx <> 0
+           |             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+           |                / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           |        CASE WHEN n * sxx - sx * sx <> 0
+           |             THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+           |                / CAST(n * sxx - sx * sx AS DOUBLE) END AS icept
+           |      FROM m)
+           |SELECT pre.n AS n_pre, pre.slope AS slope_pre,
+           |       pre.icept AS intercept_pre,
+           |       post.n AS n_post, post.slope AS slope_post,
+           |       post.icept AS intercept_post,
+           |       post.slope - pre.slope AS slope_change,
+           |       (post.icept + post.slope * ${10227L.toDouble})
+           |         - (pre.icept + pre.slope * ${10227L.toDouble})
+           |         AS level_shift
+           |FROM (SELECT * FROM f WHERE NOT post) pre,
+           |     (SELECT * FROM f WHERE post) post""".stripMargin)),
+
+    QueryDef("q402_association_rules", (s, d) =>
+      // directed cross-sell rules over order baskets: both orientations
+      // of the q249 pair rollup with support / confidence / lift /
+      // conviction, all exact single divisions.
+      Features.associationRules(table(s, d, "lineitem"),
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        minSupport = 2),
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
+          |                  CAST(l_partkey AS BIGINT) AS item
+          |  FROM lineitem),
+          |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb FROM items),
+          |m AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          |      FROM items GROUP BY 1),
+          |p AS (
+          |  SELECT a.item AS item_a, b.item AS item_b,
+          |         CAST(count(*) AS BIGINT) AS n_both
+          |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |dir AS (
+          |  SELECT item_a AS antecedent, item_b AS consequent, n_both,
+          |         ma.n_item AS n_ant, mb.n_item AS n_con
+          |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b
+          |  UNION ALL
+          |  SELECT item_b, item_a, n_both, mb.n_item, ma.n_item
+          |  FROM p JOIN m ma ON ma.item = p.item_a JOIN m mb ON mb.item = p.item_b)
+          |SELECT antecedent, consequent, n_both, n_ant, n_con,
+          |       CAST(CAST(n_both AS HUGEINT) * 1000000 // nb AS BIGINT)
+          |         AS support_ppm,
+          |       CAST(CAST(n_both AS HUGEINT) * 1000000 // n_ant AS BIGINT)
+          |         AS confidence_ppm,
+          |       CAST(CAST(n_both AS HUGEINT) * nb * 1000
+          |            // (CAST(n_ant AS HUGEINT) * n_con) AS BIGINT)
+          |         AS lift_milli,
+          |       CASE WHEN n_ant > n_both
+          |            THEN CAST(CAST(nb - n_con AS HUGEINT) * n_ant * 1000
+          |                      // (CAST(nb AS HUGEINT) * (n_ant - n_both))
+          |                      AS BIGINT) END AS conviction_milli
+          |FROM dir CROSS JOIN n""".stripMargin)))
 }

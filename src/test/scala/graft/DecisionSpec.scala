@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.Features
-import graft.pipeline.Inference
+import graft.pipeline.{Inference, Stats}
 
 /** Hand-computable vectors for the decision-statistics battery
   * (q387-q396): one-way ANOVA, Kruskal-Wallis, McNemar, Brown-Forsythe,
@@ -233,5 +233,76 @@ class DecisionSpec extends AnyFunSuite {
     val m3 = rows(2)
     assert(m3.getLong(1) === 210L && m3.getLong(4) === 210L &&
       m3.getLong(6) === 0L)
+  }
+
+  // ---- associationRules ----
+
+  test("associationRules: both directions with support/confidence/lift/conviction") {
+    // baskets {1,2},{1,2},{1,3},{2}: pair (1,2) has n_both=2, n_1=n_2=3
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 2L)).toDF("b", "i")
+    val rows = Features.associationRules(df, col("b"), col("i"),
+      minSupport = 2).orderBy("antecedent").collect()
+    assert(rows.length === 2)
+    val r12 = rows(0)
+    assert((r12.getLong(0), r12.getLong(1), r12.getLong(2), r12.getLong(3),
+      r12.getLong(4)) === ((1L, 2L, 2L, 3L, 3L)))
+    assert((r12.getLong(5), r12.getLong(6), r12.getLong(7), r12.getLong(8))
+      === ((500000L, 666666L, 888L, 750L)))
+    // reverse direction: same numbers by symmetry of this vector
+    assert(rows(1).getLong(6) === 666666L)
+  }
+
+  test("associationRules: a rule that never misses has NULL conviction") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("b", "i")
+    val rows = Features.associationRules(df, col("b"), col("i"),
+      minSupport = 2).collect()
+    assert(rows.length === 2 && rows.forall(_.isNullAt(8)))
+    assert(rows.forall(_.getLong(6) === 1000000L))
+  }
+
+  // ---- crostonDemand ----
+
+  test("crostonDemand: size/interval recursion at alpha 1/5, hand-checked") {
+    // demand weeks 1(q=10), 4(q=12+8), 5(q=5); zero-qty rows drop
+    val df = Seq(("a", 1L, 10L), ("a", 4L, 12L), ("a", 4L, 8L), ("a", 5L, 5L),
+      ("a", 3L, 0L)).toDF("g", "wk", "q")
+    val rows = Stats.crostonDemand(df, Seq("g"), col("wk"), col("q"),
+      alphaNum = 1, alphaDen = 5).orderBy("period").collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))).toSeq === Seq(
+      (1L, 10L, 1L, 10000000L, 1000000L, 10000L),
+      (4L, 20L, 3L, 12000000L, 1400000L, 8571L),
+      (5L, 5L, 1L, 10600000L, 1320000L, 8030L)))
+  }
+
+  test("crostonDemand: groups fold independently") {
+    val df = Seq(("a", 1L, 10L), ("b", 1L, 99L)).toDF("g", "wk", "q")
+    val rows = Stats.crostonDemand(df, Seq("g"), col("wk"), col("q"), 1, 5)
+      .orderBy("g").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(4))).toSeq ===
+      Seq(("a", 10000000L), ("b", 99000000L)))
+  }
+
+  // ---- itsRegression ----
+
+  test("itsRegression: exact per-side fits, slope change, zero level shift") {
+    // pre: y = 10x on days 1..4; post: y = 200 - 10x on days 10..13 —
+    // both lines pass through (10, 100), so the level shift is exactly 0
+    val df = (Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)) ++
+      Seq((10L, 100L), (11L, 90L), (12L, 80L), (13L, 70L))).toDF("day", "y")
+    val r = Features.itsRegression(df, col("day"), col("y"), breakDay = 10L)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(3)) === ((4L, 4L)))
+    assert(r.getDouble(1) === 10.0 && r.getDouble(2) === 0.0)
+    assert(r.getDouble(4) === -10.0 && r.getDouble(5) === 200.0)
+    assert(r.getDouble(6) === -20.0 && r.getDouble(7) === 0.0)
+  }
+
+  test("itsRegression: a side with zero x-variance emits NULL fits") {
+    val df = Seq((1L, 10L), (2L, 20L), (10L, 50L)).toDF("day", "y")
+    val r = Features.itsRegression(df, col("day"), col("y"), breakDay = 10L)
+      .collect()(0)
+    assert(r.getDouble(1) === 10.0 && r.isNullAt(4) && r.isNullAt(6))
   }
 }
