@@ -132,4 +132,65 @@ object Intervals {
       .filter(col("__d") =!= 0L) // a net-zero day is not a step
       .select(kcols ++ Seq(col("day"), col("live")): _*)
   }
+
+  /** Little's-law audit over HALF-OPEN `[start, end)` intervals in
+    * micro-time: the occupancy integral `integral N(t) dt` computed two
+    * independent ways — summing durations directly, and sweeping
+    * `live * segment_length` over the boundary step function — MUST agree
+    * exactly (`identity_gap = 0`); a nonzero gap means the sweep (the
+    * machinery behind every concurrency chart) dropped or double-counted
+    * a boundary. On top of the audit, the three Little's-law quantities:
+    * `L = integral/span` (avg concurrency, micro), `W = total/n` (avg
+    * time in system, us), and the arrival rate per hour (milli) — with
+    * `L = lambda*W` holding by construction once the integral agrees.
+    *
+    * Half-open (not the closed day-granularity convention of
+    * [[maxConcurrency]]): micro-timestamps are effectively continuous,
+    * and zero-length intervals must occupy nothing. The sweep window is
+    * single-partition over DISTINCT boundaries by design (a global
+    * occupancy integral is a global prefix structure) — guarded by
+    * `maxBoundaries` raise, the module contract.
+    */
+  def littlesLawAudit(df: DataFrame, start: Column, end: Column,
+      maxBoundaries: Long = 5000000L): DataFrame = {
+    require(maxBoundaries >= 2, s"maxBoundaries: $maxBoundaries")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val iv = df
+      .filter(start.isNotNull && end.isNotNull &&
+        end.cast("long") >= start.cast("long"))
+      .select(start.cast("long").as("s"), end.cast("long").as("e"))
+    val totals = iv.agg(count(lit(1)).as("n"),
+      sum(col("e") - col("s")).as("total_dur_us"),
+      min(col("s")).as("__t0"), max(col("e")).as("__t1"))
+    val deltas = iv
+      .select(explode(array(
+        struct(col("s").as("b"), lit(1L).as("d")),
+        struct(col("e").as("b"), lit(-1L).as("d")))).as("x"))
+      .groupBy(col("x.b").as("b")).agg(sum(col("x.d")).as("d"))
+    val w = Window.orderBy(col("b").asc)
+    val guard = when(row_number().over(w) > maxBoundaries,
+      raise_error(lit(s"littlesLawAudit exceeded $maxBoundaries distinct " +
+        "boundaries — the occupancy sweep is single-partition; bucket " +
+        "timestamps or audit per partition first")).cast("long"))
+      .otherwise(lit(0L))
+    val swept = deltas
+      .withColumn("live", sum(col("d")).over(w) + guard)
+      .withColumn("__next", lead(col("b"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .agg(coalesce(sum(dec(col("live")) * (col("__next") - col("b"))),
+        dec(lit(0L))).cast("long").as("swept_dur_us"))
+    val span = col("__t1") - col("__t0")
+    totals.crossJoin(swept)
+      .select(col("n"), col("total_dur_us"), col("swept_dur_us"),
+        (col("swept_dur_us") - col("total_dur_us")).as("identity_gap"),
+        span.as("span_us"),
+        when(span > 0L, call_function("div",
+          dec(col("swept_dur_us")) * 1000000L, dec(span)).cast("long"))
+          .as("l_micro"),
+        when(col("n") > 0L, call_function("div", col("total_dur_us"),
+          col("n"))).as("w_avg_us"),
+        when(span > 0L, call_function("div",
+          dec(col("n")) * dec(lit(3600000000000L)), dec(span)).cast("long"))
+          .as("lambda_per_hour_milli"))
+  }
 }

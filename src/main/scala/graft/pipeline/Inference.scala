@@ -1725,6 +1725,183 @@ object Inference {
       col("__dev"), col("__g"))
   }
 
+  /** Intraclass correlation ICC(1,1) — what share of total variance is
+    * BETWEEN groups (how consistent are a customer's order sizes; how
+    * much do raters agree): from the [[anovaF]] components,
+    * `icc = (MSB - MSW) / (MSB + (n0 - 1)*MSW)` with
+    * `n0 = (N - sum(n_g^2)/N) / (k-1)` the unbalanced-design average
+    * group size (Snedecor & Cochran). ssb/ssw follow anovaF's exact
+    * truncating convention (same 63-bit unit contract); n0 and icc are a
+    * fixed IEEE chain over those exact operands, mirrored verbatim. One
+    * row: (n, k, ssb, ssw, n0, icc); NULL icc for degenerate designs.
+    */
+  def icc(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val g = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(dec(valueCol)).as("s_g"),
+        sum(dec(valueCol) * valueCol).as("q_g"))
+      .withColumn("bterm",
+        call_function("div", col("s_g") * col("s_g"), dec(col("n_g"))))
+    val agg0 = g.agg(
+      sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(col("s_g")).as("__s"), sum(col("q_g")).as("__q"),
+      sum(dec(col("bterm"))).as("__b"),
+      sum(dec(col("n_g")) * col("n_g")).cast("long").as("__sumsq"))
+      .select(col("n"), col("k"), col("__sumsq"),
+        greatest(lit(0L),
+          (col("__b") - dec(call_function("div", col("__s") * col("__s"),
+            dec(col("n"))))).cast("long")).as("ssb"),
+        (col("__q") - col("__b")).cast("long").as("ssw"))
+    val msb = col("ssb").cast("double") / (col("k") - 1L).cast("double")
+    val msw = col("ssw").cast("double") / (col("n") - col("k")).cast("double")
+    val n0 = (col("n").cast("double") -
+      col("__sumsq").cast("double") / col("n").cast("double")) /
+      (col("k") - 1L).cast("double")
+    agg0.select(col("n"), col("k"), col("ssb"), col("ssw"),
+      when(col("k") > 1L, n0).as("n0"),
+      when(col("k") > 1L && col("n") > col("k") && col("ssw") > 0L,
+        (msb - msw) / (msb + (n0 - lit(1.0)) * msw)).as("icc"))
+  }
+
+  /** Friedman test for k treatments over b blocks (the repeated-measures
+    * rank test: does ANY treatment differ, judging WITHIN each block so
+    * block-level shifts cancel). Tie-averaged DOUBLED ranks within each
+    * block keep everything integral; with `R2_j` the doubled rank sum of
+    * treatment j, `A2 = sum(r2^2)` and `C2 = b*k*(k+1)^2`, the
+    * tie-corrected statistic is
+    * `chi2 = (k-1) * sum_j (R2_j - b*(k+1))^2 / (A2 - C2)` — one IEEE
+    * division over exact DECIMAL operands (the doubled forms are exactly
+    * 4x the textbook A/C, so the ratio is unchanged). Only COMPLETE
+    * blocks (all k treatments present) enter — an incomplete block has no
+    * within-block ranking; `n_blocks` reports how many were used. NULL
+    * chi2 when every block is fully tied (A2 = C2).
+    *
+    * Shape: one (block, treatment) rollup; ranking windows partition on
+    * the block (k-bounded — fully parallel); one treatment rollup.
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatmentCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .filter(blockCol.isNotNull && treatmentCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(blockCol.as("__b"), treatmentCol.as("__t"))
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val k = cells.agg(countDistinct(col("__t")).as("k"))
+    val complete = cells
+      .withColumn("__bk", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("k"))
+    val byBlock = Window.partitionBy(col("__b")).orderBy(col("y"))
+    val tieCnt = count(lit(1))
+      .over(Window.partitionBy(col("__b"), col("y")))
+    val ranked = complete
+      .withColumn("r2", rank().over(byBlock) * 2L + tieCnt - 1L)
+    val perTreatment = ranked.groupBy(col("__t"), col("k"))
+      .agg(count(lit(1)).as("b"), sum(col("r2")).as("r2_sum"),
+        sum(dec(col("r2")) * col("r2")).as("a2_part"))
+    perTreatment
+      .groupBy(col("k"))
+      .agg(max(col("b")).as("b"),
+        sum(col("a2_part")).as("__a2"),
+        sum(dec(col("r2_sum") - (col("b") * (col("k") + 1L))) *
+          dec(col("r2_sum") - (col("b") * (col("k") + 1L)))).as("__num"))
+      .select(col("b").as("n_blocks"), col("k"),
+        (col("__a2") -
+          dec(col("b")) * dec(col("k")) * dec(col("k") + 1L) *
+            dec(col("k") + 1L)).cast("long").as("tie_spread"),
+        when(col("__a2") >
+          dec(col("b")) * dec(col("k")) * dec(col("k") + 1L) *
+            dec(col("k") + 1L),
+          (dec(col("k") - 1L) * col("__num")).cast("double") /
+            (col("__a2") - dec(col("b")) * dec(col("k")) *
+              dec(col("k") + 1L) * dec(col("k") + 1L)).cast("double"))
+          .as("chi2"))
+  }
+
+  /** Jonckheere-Terpstra test for an ORDERED alternative across k groups
+    * (dose-response: is the metric monotone in the group order?) — the
+    * k-sample generalization of [[mannWhitney]] that sums pairwise U
+    * statistics over every ordered group pair, computed WITHOUT pairwise
+    * group joins: on the (value, group) rollup, two cumulative passes
+    * (one over values within each group, one over ordered groups within
+    * each value) give every cell its lower-group strictly-below and tied
+    * counts, and `JT2 = sum cell * (2*below + ties)` is exactly twice the
+    * JT statistic. Mean `E2 = (N^2 - sum n_g^2) / 2` and the THREE-TERM
+    * tie-corrected variance (Lehmann 1975) accumulate exactly in
+    * DECIMAL over the common denominator `72*N(N-1)(N-2)`; z is the
+    * fixed chain `(JT2 - E2) / (2*sqrt(varNum/varDen))`. One row:
+    * (n, k, jt2, z).
+    *
+    * `groupOrdCol` must be an integer encoding of the hypothesized order.
+    * Distinct values stream through per-group windows (parallel) and a
+    * per-value group window (k-bounded); nothing joins pairwise.
+    */
+  def jonckheereTerpstra(df: DataFrame, valueCol: Column,
+      groupOrdCol: Column): DataFrame = {
+    val base = df.filter(valueCol.isNotNull && groupOrdCol.isNotNull)
+      .groupBy(valueCol.as("v"), groupOrdCol.cast("long").as("g"))
+      .agg(count(lit(1)).as("c"))
+      // the sparse rollup feeds the densified grid AND both tie/size
+      // rollups — pin it (the q217/q221 recompute discipline)
+      .localCheckpoint(false)
+    // DENSIFY to the full (value x group) grid before the cumulative
+    // passes: a group's running total must be visible at values where it
+    // has no observation of its own, or the per-value lower-group prefix
+    // silently reads 0 (on all-distinct data that zeroes the whole
+    // statistic). Grid size = distinct values x k — the k-fold cost of
+    // the distinct-value rollup the module already bounds.
+    val grid = base.select(col("v")).distinct()
+      .crossJoin(base.select(col("g")).distinct())
+    val cells = grid.join(base, Seq("v", "g"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val byGroup = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = cells.withColumn("cum_g", sum(col("c")).over(byGroup))
+    // per value, prefix over ORDERED groups of (strictly-below, tied)
+    val byValue = Window.partitionBy(col("v")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cell = cum
+      .withColumn("below_lower",
+        coalesce(sum(col("cum_g") - col("c")).over(byValue), lit(0L)))
+      .withColumn("tied_lower", coalesce(sum(col("c")).over(byValue), lit(0L)))
+    val jt = cell.agg(
+      sum(col("c")).as("n"),
+      countDistinct(col("g")).as("k"),
+      sum(dec(col("c")) * dec(col("below_lower") * 2L + col("tied_lower")))
+        .cast("long").as("jt2"))
+    val groupSizes = base.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      .agg(
+        sum(dec(col("ng")) * col("ng")).as("sn2"),
+        sum(dec(col("ng")) * (col("ng") - 1L) * (lit(2L) * col("ng") + 5L))
+          .as("sn25"),
+        sum(dec(col("ng")) * (col("ng") - 1L) * (col("ng") - 2L)).as("sn3"),
+        sum(dec(col("ng")) * (col("ng") - 1L)).as("snn"))
+    val ties = base.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .agg(
+        sum(dec(col("t")) * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("st25"),
+        sum(dec(col("t")) * (col("t") - 1L) * (col("t") - 2L)).as("st3"),
+        sum(dec(col("t")) * (col("t") - 1L)).as("stt"))
+    val n = col("n")
+    val nn = dec(n) * dec(n - 1L)
+    val nnn = nn * dec(n - 2L)
+    // common denominator 72 * N(N-1)(N-2); the three Lehmann terms scale
+    // by N(N-1)(N-2)/..., 2, and 9(N-2) respectively
+    val varNum =
+      (dec(n) * dec(n - 1L) * dec(lit(2L) * n + 5L) - col("sn25") -
+        col("st25")) * nnn +
+        col("sn3") * col("st3") * dec(lit(2L)) +
+        col("snn") * col("stt") * dec(lit(9L)) * dec(n - 2L)
+    val varDen = dec(lit(72L)) * nnn
+    val e2 = (dec(n) * dec(n) - col("sn2")).cast("double") / lit(2.0)
+    jt.crossJoin(groupSizes).crossJoin(ties)
+      .select(col("n"), col("k"), col("jt2"),
+        when(col("k") > 1L && col("n") > 2L && varNum > dec(lit(0L)),
+          (col("jt2").cast("double") - e2) /
+            (lit(2.0) * sqrt(varNum.cast("double") / varDen.cast("double"))))
+          .as("z"))
+  }
+
   /** Competing-risks cumulative incidence (Aalen-Johansen for two causes):
     * when a subject can exit to cause A or cause B, the naive
     * 1-minus-KM-per-cause overstates both; the CIF at t is

@@ -739,5 +739,224 @@ object DecisionQueries extends QuerySet {
           |            THEN CAST(CAST(nb - n_con AS HUGEINT) * n_ant * 1000
           |                      // (CAST(nb AS HUGEINT) * (n_ant - n_both))
           |                      AS BIGINT) END AS conviction_milli
-          |FROM dir CROSS JOIN n""".stripMargin)))
+          |FROM dir CROSS JOIN n""".stripMargin)),
+
+    QueryDef("q404_friedman", (s, d) =>
+      // does any event TYPE run consistently hotter, judging within each
+      // week so seasonal volume shifts cancel? Friedman over (week x
+      // type) counts — the repeated-measures rank companion to q388's
+      // unblocked Kruskal-Wallis.
+      Inference.friedman(
+        events(s, d).groupBy(
+          call_function("div",
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long"), lit(7L)).as("wk"),
+          col("event_type").as("et"))
+          .agg(count(lit(1)).as("y")),
+        col("wk"), col("et"), col("y")),
+      Some(
+        """WITH c AS (
+          |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+          |           AS blk,
+          |         event_type AS t, CAST(count(*) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM c),
+          |cb AS (SELECT c.*, k.k,
+          |              count(*) OVER (PARTITION BY blk) AS bk FROM c, k),
+          |cc AS (SELECT * FROM cb WHERE bk = k),
+          |r AS (SELECT blk, t, k,
+          |             2 * rank() OVER (PARTITION BY blk ORDER BY y)
+          |               + count(*) OVER (PARTITION BY blk, y) - 1 AS r2
+          |      FROM cc),
+          |pt AS (SELECT t, k, CAST(count(*) AS BIGINT) AS b,
+          |              CAST(sum(r2) AS BIGINT) AS r2s,
+          |              sum(CAST(r2 AS HUGEINT) * r2) AS a2p
+          |       FROM r GROUP BY 1, 2),
+          |a AS (SELECT k, max(b) AS b, sum(a2p) AS a2,
+          |             sum(CAST(r2s - b * (k + 1) AS HUGEINT)
+          |                 * (r2s - b * (k + 1))) AS num
+          |      FROM pt GROUP BY 1)
+          |SELECT b AS n_blocks, k,
+          |       CAST(a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)
+          |            AS BIGINT) AS tie_spread,
+          |       CASE WHEN a2 > CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)
+          |            THEN CAST((k - 1) * num AS DOUBLE)
+          |               / CAST(a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)
+          |                      AS DOUBLE) END AS chi2
+          |FROM a""".stripMargin)),
+
+    QueryDef("q405_jonckheere", (s, d) =>
+      // is order value MONOTONE in the priority scale (1-URGENT .. 5-LOW)?
+      // The ordered-alternative k-group test — more powerful than q387's
+      // unordered ANOVA when the hypothesis is a trend. Dose = the
+      // priority's leading digit; value = totalprice cents.
+      Inference.jonckheereTerpstra(table(s, d, "orders"),
+        Features.cents(col("o_totalprice")),
+        substring(col("o_orderpriority"), 1, 1).cast("long")),
+      Some(
+        s"""WITH b0 AS (SELECT ${centsSql("o_totalprice")} AS v,
+           |                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+           |                     AS g
+           |            FROM orders),
+           |r AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+           |      FROM b0 GROUP BY 1, 2),
+           |vals AS (SELECT DISTINCT v FROM r),
+           |grps AS (SELECT DISTINCT g FROM r),
+           |cx AS (SELECT vals.v, grps.g, CAST(coalesce(r.c, 0) AS BIGINT) AS c
+           |       FROM vals CROSS JOIN grps
+           |       LEFT JOIN r ON r.v = vals.v AND r.g = grps.g),
+           |cg AS (SELECT *, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum_g
+           |       FROM cx),
+           |ce AS (SELECT *,
+           |         coalesce(sum(cum_g - c) OVER (PARTITION BY v ORDER BY g
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS below_lower,
+           |         coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS tied_lower
+           |       FROM cg),
+           |jt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |              CAST(count(DISTINCT g) AS BIGINT) AS k,
+           |              CAST(sum(CAST(c AS HUGEINT)
+           |                       * (below_lower * 2 + tied_lower)) AS BIGINT)
+           |                AS jt2
+           |       FROM ce),
+           |gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM r GROUP BY 1),
+           |g2 AS (SELECT sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+           |              sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5))
+           |                AS sn25,
+           |              sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS sn3,
+           |              sum(CAST(ng AS HUGEINT) * (ng - 1)) AS snn
+           |       FROM gs),
+           |tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM r GROUP BY 1),
+           |t2 AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+           |                AS st25,
+           |              sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st3,
+           |              sum(CAST(t AS HUGEINT) * (t - 1)) AS stt
+           |       FROM tv)
+           |SELECT n, k, jt2,
+           |       CASE WHEN k > 1 AND n > 2
+           |                 AND (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+           |                      - sn25 - st25)
+           |                     * (CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+           |                     + sn3 * st3 * 2
+           |                     + snn * stt * 9 * (n - 2) > 0
+           |            THEN (CAST(jt2 AS DOUBLE)
+           |                  - CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE)
+           |                    / 2.0)
+           |               / (2.0 * sqrt(
+           |                    CAST((CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+           |                          - sn25 - st25)
+           |                         * (CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+           |                         + sn3 * st3 * 2
+           |                         + snn * stt * 9 * (n - 2) AS DOUBLE)
+           |                    / CAST(72 * CAST(n AS HUGEINT) * (n - 1)
+           |                           * (n - 2) AS DOUBLE))) END AS z
+           |FROM jt, g2, t2""".stripMargin)),
+
+    QueryDef("q406_icc", (s, d) =>
+      // how consistent are a customer's order sizes? ICC(1,1) over whole-
+      // dollar order values grouped by customer — near 0 here (the
+      // synthetic prices are independent of customer), which is the
+      // honest baseline a real book would beat.
+      Inference.icc(table(s, d, "orders"),
+        call_function("div", Features.cents(col("o_totalprice")), lit(100L)),
+        col("o_custkey")),
+      Some(
+        s"""WITH v AS (SELECT ${centsSql("o_totalprice")} // 100 AS x,
+           |                  o_custkey AS g FROM orders),
+           |g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+           |             sum(CAST(x AS HUGEINT)) AS s_g,
+           |             sum(CAST(x AS HUGEINT) * x) AS q_g
+           |      FROM v GROUP BY 1),
+           |t AS (SELECT *, (s_g * s_g) // n_g AS bterm FROM g),
+           |a AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           |             CAST(count(*) AS BIGINT) AS k,
+           |             sum(s_g) AS s, sum(q_g) AS q, sum(bterm) AS b,
+           |             CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS BIGINT)
+           |               AS sumsq
+           |      FROM t),
+           |f AS (SELECT n, k, sumsq,
+           |             CAST(greatest(0, b - (s * s) // n) AS BIGINT) AS ssb,
+           |             CAST(q - b AS BIGINT) AS ssw
+           |      FROM a)
+           |SELECT n, k, ssb, ssw,
+           |       CASE WHEN k > 1
+           |            THEN (CAST(n AS DOUBLE)
+           |                  - CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE))
+           |                 / CAST(k - 1 AS DOUBLE) END AS n0,
+           |       CASE WHEN k > 1 AND n > k AND ssw > 0
+           |            THEN (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+           |                  - CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+           |               / (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+           |                  + ((CAST(n AS DOUBLE)
+           |                      - CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE))
+           |                     / CAST(k - 1 AS DOUBLE) - 1.0)
+           |                    * (CAST(ssw AS DOUBLE)
+           |                       / CAST(n - k AS DOUBLE))) END AS icc
+           |FROM f""".stripMargin)),
+
+    QueryDef("q407_littles_law", (s, d) => {
+      // occupancy audit over 30-minute user sessions: the time-in-system
+      // integral computed by duration sum AND by boundary sweep must
+      // agree exactly (identity_gap 0 — a nonzero gap means the sweep
+      // machinery behind every concurrency chart is broken), plus the
+      // Little's-law readouts L, W, lambda.
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val wOrd = W.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sessions = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      graft.operators.Intervals.littlesLawAudit(sessions, col("s"), col("e"))
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us, event_id,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS session_id
+        |  FROM flagged),
+        |iv AS (SELECT min(us) AS s, max(us) AS e
+        |       FROM sess GROUP BY user_id, session_id),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(e - s) AS BIGINT) AS total_dur_us,
+        |             min(s) AS t0, max(e) AS t1
+        |      FROM iv),
+        |d AS (SELECT b, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |        SELECT s AS b, 1 AS dd FROM iv
+        |        UNION ALL SELECT e, -1 FROM iv) z GROUP BY 1),
+        |c AS (SELECT b, sum(dd) OVER (ORDER BY b) AS live,
+        |             lead(b) OVER (ORDER BY b) AS nb
+        |      FROM d),
+        |sw AS (SELECT CAST(coalesce(sum(CAST(live AS HUGEINT) * (nb - b)), 0)
+        |                   AS BIGINT) AS swept
+        |       FROM c WHERE nb IS NOT NULL)
+        |SELECT t.n, t.total_dur_us, sw.swept AS swept_dur_us,
+        |       CAST(sw.swept - t.total_dur_us AS BIGINT) AS identity_gap,
+        |       CAST(t.t1 - t.t0 AS BIGINT) AS span_us,
+        |       CASE WHEN t.t1 > t.t0
+        |            THEN CAST(CAST(sw.swept AS HUGEINT) * 1000000
+        |                      // (t.t1 - t.t0) AS BIGINT) END AS l_micro,
+        |       CASE WHEN t.n > 0
+        |            THEN CAST(t.total_dur_us // t.n AS BIGINT) END AS w_avg_us,
+        |       CASE WHEN t.t1 > t.t0
+        |            THEN CAST(CAST(t.n AS HUGEINT) * 3600000000000
+        |                      // (t.t1 - t.t0) AS BIGINT) END
+        |         AS lambda_per_hour_milli
+        |FROM t, sw""".stripMargin)))
 }

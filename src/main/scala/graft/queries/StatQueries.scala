@@ -1452,5 +1452,71 @@ object StatQueries extends QuerySet {
          |SELECT query_id, lbl AS predicted_label, votes
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY votes DESC, lbl ASC) AS rn FROM v) t
-         |WHERE rn = 1""".stripMargin)))
+         |WHERE rn = 1""".stripMargin)),
+
+    QueryDef("q403_nprobe_sweep", (s, d) => {
+      // the IVF tuning curve: recall@5 vs nProbe in {1,2,4} against the
+      // pinned brute-force truth — the how-many-cells-to-probe decision
+      // an index rollout is gated on. Each sweep point re-runs the
+      // ivfTopK recipe (at production scale you pin the one-scan
+      // (id, cell) assignment instead — the q272 IVF-PQ shape); the
+      // ground truth IS pinned across all three points.
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+        .localCheckpoint(false)
+      Seq(1, 2, 4).map { np =>
+        Similarity.recallAtK(exact,
+          Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nProbe = np),
+          k = 5)
+          .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("n_queries"), col("n_hits"),
+          call_function("div", col("n_hits") * 1000000L,
+            col("n_queries") * 5L).as("recall_ppm"))
+    }, Some {
+      def block(np: Int): String =
+        s"""p$np AS (
+           |  SELECT id AS query_id, v AS qv, cent_id FROM (
+           |    SELECT e.id, e.v, c.cent_id,
+           |           row_number() OVER (PARTITION BY e.id
+           |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS rn
+           |    FROM e, cent c WHERE e.id < 50) t WHERE rn <= $np),
+           |t$np AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, a.id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY p.query_id
+           |             ORDER BY ${cosSql("p.qv", "a.v")} DESC, a.id ASC) AS rank
+           |    FROM asg a JOIN p$np p ON a.cent_id = p.cent_id
+           |    WHERE a.id <> p.query_id) t WHERE rank <= 5),
+           |h$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+           |                CAST(count(*) AS BIGINT) AS n_hits
+           |         FROM bt JOIN t$np USING (query_id, neighbor_id))""".stripMargin
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvecSql AS v
+         |           FROM embeddings),
+         |cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT 8),
+         |asg AS (
+         |  SELECT id, v, cent_id FROM (
+         |    SELECT e.id, e.v, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |bt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosSql("q.v", "c.v")} DESC, c.id ASC) AS rn
+         |    FROM e c, e q WHERE q.id < 50 AND c.id <> q.id) t WHERE rn <= 5),
+         |nq AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_queries
+         |       FROM e WHERE id < 50),
+         |${block(1)},
+         |${block(2)},
+         |${block(4)}
+         |SELECT h.nprobe, nq.n_queries, h.n_hits,
+         |       CAST(CAST(h.n_hits AS HUGEINT) * 1000000
+         |            // (nq.n_queries * 5) AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |      UNION ALL SELECT * FROM h4) h, nq""".stripMargin
+    }))
 }

@@ -235,6 +235,106 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- icc ----
+
+  test("icc: ICC(1,1) from the anovaF vector is 23/26") {
+    // g1=[1,2,3], g2=[5,6,7]: ssb 24, ssw 4, n0 = 3 -> MSB 24, MSW 1,
+    // icc = (24-1)/(24 + 2*1)
+    val df = (Seq(1L, 2L, 3L).map((_, "a")) ++ Seq(5L, 6L, 7L).map((_, "b")))
+      .toDF("v", "g")
+    val r = Inference.icc(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 2L, 24L, 4L)))
+    assert(r.getDouble(4) === 3.0)
+    assert(r.getDouble(5) === 23.0 / 26.0)
+  }
+
+  test("icc: single group emits NULL icc") {
+    val df = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
+    val r = Inference.icc(df, col("v"), col("g")).collect()(0)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  // ---- littlesLawAudit ----
+
+  test("littlesLawAudit: sweep equals duration sum; L, W, lambda exact") {
+    // [0,10), [5,15), [20,30): integral = 30 both ways; span 30 ->
+    // L = 1.0 (micro 1e6), W = 10, lambda = 3*3.6e12/30
+    import graft.operators.Intervals
+    val df = Seq((0L, 10L), (5L, 15L), (20L, 30L)).toDF("s", "e")
+    val r = Intervals.littlesLawAudit(df, col("s"), col("e")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 30L, 30L, 0L, 30L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((1000000L, 10L, 360000000000L)))
+  }
+
+  test("littlesLawAudit: zero-length intervals occupy nothing (half-open)") {
+    import graft.operators.Intervals
+    val df = Seq((0L, 10L), (5L, 5L)).toDF("s", "e")
+    val r = Intervals.littlesLawAudit(df, col("s"), col("e")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 10L, 10L, 0L)))
+  }
+
+  // ---- friedman ----
+
+  test("friedman: textbook 3x3 vector gives chi2 = 2") {
+    // blocks 1,2 rank t1<t2<t3; block 3 ranks t2<t3<t1:
+    // R = 5,5,8 -> 12/(3*3*4)*(25+25+64) - 3*3*4 = 2
+    val df = Seq((1L, "t1", 1L), (1L, "t2", 2L), (1L, "t3", 3L),
+      (2L, "t1", 1L), (2L, "t2", 2L), (2L, "t3", 3L),
+      (3L, "t1", 3L), (3L, "t2", 1L), (3L, "t3", 2L)).toDF("b", "t", "y")
+    val r = Inference.friedman(df, col("b"), col("t"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 24L)))
+    assert(r.getDouble(3) === 2.0)
+  }
+
+  test("friedman: incomplete blocks drop; fully-tied blocks give NULL chi2") {
+    // block 4 is missing t3 -> excluded, b stays 3 in the complete set;
+    // then an all-tied frame has A2 = C2
+    val df = Seq((1L, "t1", 1L), (1L, "t2", 2L), (1L, "t3", 3L),
+      (2L, "t1", 1L), (2L, "t2", 2L), (2L, "t3", 3L),
+      (3L, "t1", 3L), (3L, "t2", 1L), (3L, "t3", 2L),
+      (4L, "t1", 9L), (4L, "t2", 9L)).toDF("b", "t", "y")
+    val r = Inference.friedman(df, col("b"), col("t"), col("y")).collect()(0)
+    assert(r.getLong(0) === 3L && r.getDouble(3) === 2.0)
+    val tied = Seq((1L, "t1", 5L), (1L, "t2", 5L), (2L, "t1", 7L),
+      (2L, "t2", 7L)).toDF("b", "t", "y")
+    assert(Inference.friedman(tied, col("b"), col("t"), col("y"))
+      .collect()(0).isNullAt(3))
+  }
+
+  // ---- jonckheereTerpstra ----
+
+  test("jonckheereTerpstra: two separated groups, hand z") {
+    // g1=[1,2] < g2=[3,4]: JT = 4 (all 4 cross pairs ascend), jt2 = 8;
+    // E2 = (16-8)/2 = 4; var = 5/3 -> z = 4/(2*sqrt(2880/1728))
+    val df = (Seq(1L, 2L).map((_, 1L)) ++ Seq(3L, 4L).map((_, 2L)))
+      .toDF("v", "g")
+    val r = Inference.jonckheereTerpstra(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 8L)))
+    assert(r.getDouble(3) === 4.0 / (2.0 * math.sqrt(2880.0 / 1728.0)))
+  }
+
+  test("jonckheereTerpstra: all-distinct values still count lower-group mass") {
+    // the densify regression pin: with unique values, a sparse per-value
+    // prefix sees no lower-group rows at all and zeroes the statistic —
+    // g1=[1], g2=[1,2], g3=[2] must give jt2 = 8 (1.5 + 1 + 1.5 doubled)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("v", "g")
+    val r = Inference.jonckheereTerpstra(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 8L)))
+    assert(r.getDouble(3) === 3.0 / (2.0 * math.sqrt(2592.0 / 1728.0)))
+  }
+
+  test("jonckheereTerpstra: reversed order flips the sign of z") {
+    val df = (Seq(1L, 2L).map((_, 2L)) ++ Seq(3L, 4L).map((_, 1L)))
+      .toDF("v", "g")
+    val r = Inference.jonckheereTerpstra(df, col("v"), col("g")).collect()(0)
+    assert(r.getLong(2) === 0L)
+    assert(r.getDouble(3) === -4.0 / (2.0 * math.sqrt(2880.0 / 1728.0)))
+  }
+
   // ---- associationRules ----
 
   test("associationRules: both directions with support/confidence/lift/conviction") {
