@@ -1725,6 +1725,129 @@ object Inference {
       col("__dev"), col("__g"))
   }
 
+  /** Ordinal-by-ordinal association: Goodman-Kruskal gamma, Kendall
+    * tau-b, and Somers' D (both directions) from ONE concordant/
+    * discordant pair accounting over the contingency-cell rollup —
+    * `C = sum n_ij * (mass strictly below-left)`, `D = likewise
+    * below-right`, counted via a cell self-join that is CATEGORY-DOMAIN
+    * sized (the [[graft.operators.Features.chiSquareCells]] contract:
+    * cells, never rows, pair up — 50x50 domains mean 6M cell pairs, not
+    * N^2 row pairs). Tie terms `Tx = sum r_i(r_i-1)/2`, `Ty` come from
+    * the marginals. gamma = (C-D)/(C+D); tau_b divides by the geometric
+    * mean of tie-adjusted pair counts; Somers' D(y|x) by `P0 - Tx`
+    * alone. All numerators are SIGNED, so every statistic is a single
+    * IEEE division (doubled forms cancel). One row.
+    */
+  def ordinalAssociation(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds both join arms and both marginals
+    val pairs = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+      .join(cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("c").as("cb")), col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), dec(col("ca")) * col("cb"))
+          .otherwise(dec(lit(0L)))).as("cc"),
+        sum(when(col("ya") > col("yb"), dec(col("ca")) * col("cb"))
+          .otherwise(dec(lit(0L)))).as("dd"))
+    val xt = cells.groupBy(col("x")).agg(sum(col("c")).as("r"))
+      .agg(sum(col("r")).as("n"),
+        sum(dec(col("r")) * (col("r") - 1L)).as("tx2"))
+    val yt = cells.groupBy(col("y")).agg(sum(col("c")).as("cm"))
+      .agg(sum(dec(col("cm")) * (col("cm") - 1L)).as("ty2"))
+    val p02 = dec(col("n")) * dec(col("n") - 1L) // doubled P0
+    val num = (col("cc") - col("dd")) * dec(lit(2L)) // doubled C-D
+    pairs.crossJoin(xt).crossJoin(yt)
+      .select(col("n"),
+        col("cc").cast("long").as("c_pairs"),
+        col("dd").cast("long").as("d_pairs"),
+        when(col("cc") + col("dd") > dec(lit(0L)),
+          (col("cc") - col("dd")).cast("double") /
+            (col("cc") + col("dd")).cast("double")).as("gamma"),
+        when(p02 > col("tx2") && p02 > col("ty2"),
+          num.cast("double") /
+            (sqrt((p02 - col("tx2")).cast("double")) *
+              sqrt((p02 - col("ty2")).cast("double")))).as("tau_b"),
+        when(p02 > col("tx2"),
+          num.cast("double") / (p02 - col("tx2")).cast("double"))
+          .as("somers_d_yx"),
+        when(p02 > col("ty2"),
+          num.cast("double") / (p02 - col("ty2")).cast("double"))
+          .as("somers_d_xy"))
+  }
+
+  /** Quadratic-weighted kappa for ORDINAL raters (the essay-scoring /
+    * LLM-judge agreement metric): disagreement weights `w_ij = (i-j)^2`
+    * penalize by distance, so near-misses cost little.
+    * `qwk = 1 - N * sum(w*O) / sum(w * r_i * c_j)` over the contingency
+    * cells and marginals — both sums exact DECIMAL, one IEEE division.
+    * Identical ratings give exactly 1; NULL when the expected-weight sum
+    * is 0 (a rater is constant). Category-domain-sized throughout.
+    */
+  def weightedKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("long").as("ra"), bCol.cast("long").as("rb"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val w = dec(col("ra") - col("rb")) * dec(col("ra") - col("rb"))
+    val obs = cells.agg(sum(col("c")).as("n"),
+      sum(w * col("c")).as("wo"))
+    val rowT = cells.groupBy(col("ra")).agg(sum(col("c")).as("rt"))
+    val colT = cells.groupBy(col("rb")).agg(sum(col("c")).as("ct"))
+    val we = rowT.crossJoin(colT)
+      .agg(sum(dec(col("ra") - col("rb")) * dec(col("ra") - col("rb")) *
+        dec(col("rt")) * col("ct")).as("we"))
+    obs.crossJoin(we)
+      .select(col("n"), col("wo").cast("long").as("w_observed"),
+        col("we").cast("long").as("w_expected_n"),
+        when(col("we") > dec(lit(0L)),
+          lit(1.0) - (dec(col("n")) * col("wo")).cast("double") /
+            col("we").cast("double")).as("qwk"))
+  }
+
+  /** Cochran's Q — do k BINARY treatments have equal success rates,
+    * judged within blocks (the dichotomous Friedman; k = 2 reduces to
+    * McNemar): `Q = (k-1) * (k*sum C_j^2 - T^2) / (k*T - sum R_i^2)`
+    * with `C_j` per-treatment and `R_i` per-block success counts,
+    * `T = sum C_j`. Exact integers end to end, one IEEE division. Only
+    * COMPLETE blocks enter ([[friedman]]'s contract); blocks that are
+    * all-success or all-failure contribute nothing (their R_i terms
+    * cancel by algebra — they stay in, the formula absorbs them). NULL
+    * Q when the denominator is 0 (every block degenerate).
+    */
+  def cochranQ(df: DataFrame, blockCol: Column, treatmentCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df
+      .filter(blockCol.isNotNull && treatmentCol.isNotNull &&
+        successCol.isNotNull)
+      .groupBy(blockCol.as("__b"), treatmentCol.as("__t"))
+      .agg(max(when(successCol, 1L).otherwise(0L)).as("s"))
+    val k = cells.agg(countDistinct(col("__t")).as("k"))
+    val complete = cells
+      .withColumn("__bk", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("k"))
+    val byTreat = complete.groupBy(col("__t"), col("k"))
+      .agg(sum(col("s")).as("cj"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("__kchk"), sum(col("cj")).as("t"),
+        sum(dec(col("cj")) * col("cj")).as("sc2"))
+    val byBlock = complete.groupBy(col("__b"))
+      .agg(max(col("k")).as("__k2"), sum(col("s")).as("ri"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("ri")) * col("ri")).as("sr2"))
+    val den = dec(col("k")) * dec(col("t")) - col("sr2")
+    byTreat.crossJoin(byBlock)
+      .select(col("n_blocks"), col("k"), col("t").as("n_successes"),
+        when(den > dec(lit(0L)),
+          (dec(col("k") - 1L) *
+            (dec(col("k")) * col("sc2") - dec(col("t")) * dec(col("t"))))
+            .cast("double") / den.cast("double")).as("q_stat"))
+  }
+
   /** Intraclass correlation ICC(1,1) — what share of total variance is
     * BETWEEN groups (how consistent are a customer's order sizes; how
     * much do raters agree): from the [[anovaF]] components,

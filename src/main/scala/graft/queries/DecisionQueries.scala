@@ -958,5 +958,137 @@ object DecisionQueries extends QuerySet {
         |            THEN CAST(CAST(t.n AS HUGEINT) * 3600000000000
         |                      // (t.t1 - t.t0) AS BIGINT) END
         |         AS lambda_per_hour_milli
-        |FROM t, sw""".stripMargin)))
+        |FROM t, sw""".stripMargin)),
+
+    QueryDef("q408_ordinal_association", (s, d) =>
+      // is line quantity ordinally associated with order priority
+      // (1-URGENT .. 5-LOW)? Gamma / tau-b / Somers' D from one
+      // concordant-discordant accounting over the 5 x 50 contingency
+      // cells — cell pairs, never row pairs.
+      Inference.ordinalAssociation(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey")),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        col("l_quantity").cast("long")),
+      Some(
+        """WITH b0 AS (
+          |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+          |         CAST(l_quantity AS BIGINT) AS y
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          |          FROM b0 GROUP BY 1, 2),
+          |p AS (SELECT
+          |        sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+          |                 ELSE 0 END) AS cc,
+          |        sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+          |                 ELSE 0 END) AS dd
+          |      FROM cells a JOIN cells b ON a.x < b.x),
+          |xt AS (SELECT CAST(sum(r) AS BIGINT) AS n,
+          |              sum(CAST(r AS HUGEINT) * (r - 1)) AS tx2
+          |       FROM (SELECT sum(c) AS r FROM cells GROUP BY x) z),
+          |yt AS (SELECT sum(CAST(cm AS HUGEINT) * (cm - 1)) AS ty2
+          |       FROM (SELECT sum(c) AS cm FROM cells GROUP BY y) z)
+          |SELECT n, CAST(cc AS BIGINT) AS c_pairs, CAST(dd AS BIGINT) AS d_pairs,
+          |       CASE WHEN cc + dd > 0
+          |            THEN CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE)
+          |       END AS gamma,
+          |       CASE WHEN CAST(n AS HUGEINT) * (n - 1) > tx2
+          |                 AND CAST(n AS HUGEINT) * (n - 1) > ty2
+          |            THEN CAST((cc - dd) * 2 AS DOUBLE)
+          |               / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2
+          |                            AS DOUBLE))
+          |                  * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - ty2
+          |                              AS DOUBLE))) END AS tau_b,
+          |       CASE WHEN CAST(n AS HUGEINT) * (n - 1) > tx2
+          |            THEN CAST((cc - dd) * 2 AS DOUBLE)
+          |               / CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE)
+          |       END AS somers_d_yx,
+          |       CASE WHEN CAST(n AS HUGEINT) * (n - 1) > ty2
+          |            THEN CAST((cc - dd) * 2 AS DOUBLE)
+          |               / CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE)
+          |       END AS somers_d_xy
+          |FROM p, xt, yt""".stripMargin)),
+
+    QueryDef("q409_weighted_kappa", (s, d) => {
+      // quadratic-weighted kappa between an ordinal value band and a
+      // deterministically perturbed second rating (the LLM-judge /
+      // essay-scoring agreement metric): near-misses cost (i-j)^2, so
+      // the +-1 perturbation keeps qwk high where plain kappa would
+      // crater.
+      val a = least(lit(5L), call_function("div",
+        call_function("div", Features.cents(col("o_totalprice")), lit(100L)),
+        lit(50000L)))
+      val b = least(lit(5L),
+        greatest(lit(0L), a + pmod(col("o_orderkey"), lit(3L)) - 1L))
+      Inference.weightedKappa(table(s, d, "orders"), a, b)
+    }, Some(
+      s"""WITH r0 AS (
+         |  SELECT least(5, (${centsSql("o_totalprice")} // 100) // 50000)
+         |           AS ra
+         |       , o_orderkey FROM orders),
+         |r1 AS (SELECT ra,
+         |              least(5, greatest(0, ra + o_orderkey % 3 - 1)) AS rb
+         |       FROM r0),
+         |cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+         |          FROM r1 GROUP BY 1, 2),
+         |obs AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |               sum(CAST(ra - rb AS HUGEINT) * (ra - rb) * c) AS wo
+         |        FROM cells),
+         |rt AS (SELECT ra, CAST(sum(c) AS BIGINT) AS rt
+         |       FROM cells GROUP BY 1),
+         |ct AS (SELECT rb, CAST(sum(c) AS BIGINT) AS ct
+         |       FROM cells GROUP BY 1),
+         |we AS (SELECT sum(CAST(rt.ra - ct.rb AS HUGEINT) * (rt.ra - ct.rb)
+         |                  * rt.rt * ct.ct) AS we
+         |       FROM rt CROSS JOIN ct)
+         |SELECT obs.n, CAST(obs.wo AS BIGINT) AS w_observed,
+         |       CAST(we.we AS BIGINT) AS w_expected_n,
+         |       CASE WHEN we.we > 0
+         |            THEN 1.0 - CAST(CAST(obs.n AS HUGEINT) * obs.wo AS DOUBLE)
+         |                       / CAST(we.we AS DOUBLE) END AS qwk
+         |FROM obs, we""".stripMargin)),
+
+    QueryDef("q410_cochran_q", (s, d) => {
+      // do the five event types have equal first-week prevalence, judged
+      // within users? Cochran's Q over the full (user x type) binary
+      // grid — the dichotomous Friedman (k = 2 would be McNemar).
+      val e = events(s, d)
+      val t0 = e.agg(min(to_date(col("ts"))).as("d0"))
+      val firstWeek = e.crossJoin(broadcast(t0))
+        .filter(datediff(to_date(col("ts")), col("d0")) < 7)
+        .select(col("user_id"), col("event_type")).distinct()
+        .withColumn("hit", lit(true))
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(e.select(col("event_type")).distinct())
+      val flags = grid.join(firstWeek, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+      Inference.cochranQ(flags, col("user_id"), col("event_type"), col("hit"))
+    }, Some(
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+        |fw AS (SELECT DISTINCT user_id, event_type FROM events, d0
+        |       WHERE date_diff('day', d0.d0, CAST(ts AS DATE)) < 7),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT u.user_id, ty.event_type,
+        |             CASE WHEN fw.user_id IS NOT NULL THEN 1 ELSE 0 END AS s
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN fw ON fw.user_id = u.user_id
+        |                  AND fw.event_type = ty.event_type),
+        |k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM g),
+        |bt AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS cj
+        |       FROM g GROUP BY 1),
+        |ta AS (SELECT CAST(sum(cj) AS BIGINT) AS t,
+        |              sum(CAST(cj AS HUGEINT) * cj) AS sc2 FROM bt),
+        |bb AS (SELECT user_id, CAST(sum(s) AS BIGINT) AS ri
+        |       FROM g GROUP BY 1),
+        |ba AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |              sum(CAST(ri AS HUGEINT) * ri) AS sr2 FROM bb)
+        |SELECT ba.n_blocks, k.k, ta.t AS n_successes,
+        |       CASE WHEN CAST(k.k AS HUGEINT) * ta.t - ba.sr2 > 0
+        |            THEN CAST((k.k - 1) * (CAST(k.k AS HUGEINT) * ta.sc2
+        |                      - CAST(ta.t AS HUGEINT) * ta.t) AS DOUBLE)
+        |               / CAST(CAST(k.k AS HUGEINT) * ta.t - ba.sr2 AS DOUBLE)
+        |       END AS q_stat
+        |FROM ba, k, ta""".stripMargin)))
 }

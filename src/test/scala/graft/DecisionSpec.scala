@@ -235,6 +235,69 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- ordinalAssociation ----
+
+  test("ordinalAssociation: hand 2x2 gives gamma 0.6, tau-b 1/3") {
+    // x=1: y-counts (2,1); x=2: (1,2) -> C = 4, D = 1; Tx2 = Ty2 = 12
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))
+      .toDF("x", "y")
+    val r = Inference.ordinalAssociation(df, col("x"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 4L, 1L)))
+    assert(r.getDouble(3) === 3.0 / 5.0)
+    assert(r.getDouble(4) === 6.0 / (math.sqrt(18.0) * math.sqrt(18.0)))
+    assert(r.getDouble(5) === 6.0 / 18.0 && r.getDouble(6) === 6.0 / 18.0)
+  }
+
+  test("ordinalAssociation: perfect diagonal gives gamma/somers 1") {
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L)).toDF("x", "y")
+    val r = Inference.ordinalAssociation(df, col("x"), col("y")).collect()(0)
+    assert(r.getDouble(3) === 1.0 && r.getDouble(5) === 1.0)
+    // tau-b is the declared sqrt*sqrt chain: sqrt(8)*sqrt(8) != 8 in IEEE
+    assert(r.getDouble(4) === 8.0 / (math.sqrt(8.0) * math.sqrt(8.0)))
+  }
+
+  // ---- weightedKappa ----
+
+  test("weightedKappa: hand vector gives qwk 0.5; identity gives 1") {
+    // cells (0,0):1 (0,1):1 (1,1):2 -> wo = 1, we = 8, qwk = 1 - 4/8
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L)).toDF("a", "b")
+    val r = Inference.weightedKappa(df, col("a"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 1L, 8L)))
+    assert(r.getDouble(3) === 0.5)
+    val same = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Inference.weightedKappa(same, col("a"), col("b"))
+      .collect()(0).getDouble(3) === 1.0)
+  }
+
+  test("weightedKappa: constant raters have zero expected weight -> NULL") {
+    val df = Seq((2L, 2L), (2L, 2L)).toDF("a", "b")
+    assert(Inference.weightedKappa(df, col("a"), col("b"))
+      .collect()(0).isNullAt(3))
+  }
+
+  // ---- cochranQ ----
+
+  test("cochranQ: textbook 4-block 3-treatment vector gives Q = 3") {
+    // blocks (1,1,0),(1,0,0),(1,1,1),(0,0,0): C = (3,2,1), R = (2,1,3,0)
+    val df = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", false), (2L, "c", false),
+      (3L, "a", true), (3L, "b", true), (3L, "c", true),
+      (4L, "a", false), (4L, "b", false), (4L, "c", false))
+      .toDF("blk", "t", "s")
+    val r = Inference.cochranQ(df, col("blk"), col("t"), col("s"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 6L)))
+    assert(r.getDouble(3) === 3.0)
+  }
+
+  test("cochranQ: all-degenerate blocks emit NULL Q") {
+    val df = Seq((1L, "a", true), (1L, "b", true),
+      (2L, "a", false), (2L, "b", false)).toDF("blk", "t", "s")
+    assert(Inference.cochranQ(df, col("blk"), col("t"), col("s"))
+      .collect()(0).isNullAt(3))
+  }
+
   // ---- icc ----
 
   test("icc: ICC(1,1) from the anovaF vector is 23/26") {
