@@ -1725,6 +1725,138 @@ object Inference {
       col("__dev"), col("__g"))
   }
 
+  /** First-order partial correlation `r_xy.z` — the x-y association with
+    * the shared driver z linearly removed (the "is this correlation just
+    * both riding z" audit): the three pairwise Pearson correlations come
+    * from ONE scan of exact DECIMAL moments, each a fixed IEEE chain, and
+    * `r_xy.z = (r_xy - r_xz*r_yz) / (sqrt(1-r_xz^2)*sqrt(1-r_yz^2))` is a
+    * second fixed chain over those — mirrored verbatim by the oracle. One
+    * row: (n, r_xy, r_xz, r_yz, r_xy_z); NULL when any variance is zero
+    * or a control correlation is ±1.
+    */
+  def partialCorrelation(df: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull && zCol.isNotNull)
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        zCol.cast("long").as("z"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("z"))).as("sz"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("z")) * col("z")).as("szz"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("z")).as("sxz"),
+      sum(dec(col("y")) * col("z")).as("syz"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column = {
+      val va = dec(col("n")) * saa - sa * sa
+      val vb = dec(col("n")) * sbb - sb * sb
+      when(va > dec(lit(0L)) && vb > dec(lit(0L)),
+        (dec(col("n")) * sab - sa * sb).cast("double") /
+          (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+    }
+    m.select(col("n"),
+      r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("r_xy"),
+      r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")).as("r_xz"),
+      r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")).as("r_yz"))
+      .withColumn("r_xy_z",
+        when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+          col("r_yz").isNotNull &&
+          abs(col("r_xz")) < 1.0 && abs(col("r_yz")) < 1.0,
+          (col("r_xy") - col("r_xz") * col("r_yz")) /
+            (sqrt(lit(1.0) - col("r_xz") * col("r_xz")) *
+              sqrt(lit(1.0) - col("r_yz") * col("r_yz")))))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * scale (do the items measure one construct): over COMPLETE subjects
+    * (all k items present, the [[friedman]] contract),
+    * `alpha = k/(k-1) * (1 - sum_i V_i / V_total)` with every variance in
+    * the common-n numerator form `n*Q - S^2` so the ratio is one exact
+    * DECIMAL fraction and alpha a fixed IEEE chain. One row:
+    * (n_subjects, k, alpha); NULL when the total variance is zero or
+    * k < 2.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: Column, itemCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .filter(subjectCol.isNotNull && itemCol.isNotNull && valueCol.isNotNull)
+      .groupBy(subjectCol.as("__s"), itemCol.as("__i"))
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val k = cells.agg(countDistinct(col("__i")).as("k"))
+    val complete = cells
+      .withColumn("__sk", count(lit(1)).over(Window.partitionBy(col("__s"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__sk") === col("k"))
+      .localCheckpoint(false) // feeds the per-item AND per-subject rollups
+    val items = complete.groupBy(col("__i"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s"),
+        sum(dec(col("y")) * col("y")).as("q"))
+      .agg(max(col("n")).as("n"),
+        sum(dec(col("n")) * col("q") - col("s") * col("s")).as("__vi"))
+    val totals = complete.groupBy(col("__s"), col("k"))
+      .agg(sum(col("y")).as("tot"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("__n2"), sum(dec(col("tot"))).as("st"),
+        sum(dec(col("tot")) * col("tot")).as("qt"))
+      .select(col("k"),
+        (dec(col("__n2")) * col("qt") - col("st") * col("st")).as("__vt"))
+    items.crossJoin(totals)
+      .select(col("n").as("n_subjects"), col("k"),
+        when(col("k") > 1L && col("__vt") > dec(lit(0L)),
+          (col("k").cast("double") / (col("k") - 1L).cast("double")) *
+            (lit(1.0) -
+              col("__vi").cast("double") / col("__vt").cast("double")))
+          .as("alpha"))
+  }
+
+  /** Raking / iterative proportional fitting: calibrate sample cell
+    * weights to KNOWN row and column population margins (the survey-
+    * weighting / training-mixture-calibration primitive). Weights live in
+    * micro-units and each half-step is the truncating integer rescale
+    * `w' = w * (target*1e6) div current_margin_sum` — a declared
+    * fixed-point model both engines replay bit-exactly (the
+    * [[kaplanMeier]] discipline applied to a 2-D fixed point). A fixed
+    * `iterations` count of row-then-column sweeps (IPF converges
+    * geometrically; the residual after the last COLUMN step sits on the
+    * row margins and is part of the declared output). Cells, margins, and
+    * joins are all category-domain-sized.
+    *
+    * `rowTargets`/`colTargets`: (x, target) / (y, target) LONG counts.
+    * Cells absent from a target side are dropped (no defined calibration
+    * for them) — emit-and-audit upstream if that matters.
+    */
+  def rakingIpf(sample: DataFrame, xCol: Column, yCol: Column,
+      rowTargets: DataFrame, colTargets: DataFrame,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations: $iterations")
+    val cells = sample.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rowTargets.select(col("x"), col("target").as("rt"))),
+        "x")
+      .join(broadcast(colTargets.select(col("y"), col("target").as("ct"))),
+        "y")
+    var w = cells.withColumn("w", col("n") * 1000000L)
+    for (_ <- 1 to iterations) {
+      val rs = w.groupBy(col("x")).agg(sum(col("w")).as("__rs"))
+      w = w.join(rs, "x")
+        .withColumn("w", call_function("div",
+          dec(col("w")) * dec(col("rt")) * 1000000L, dec(col("__rs")))
+          .cast("long"))
+        .drop("__rs")
+      val cs = w.groupBy(col("y")).agg(sum(col("w")).as("__cs"))
+      w = w.join(cs, "y")
+        .withColumn("w", call_function("div",
+          dec(col("w")) * dec(col("ct")) * 1000000L, dec(col("__cs")))
+          .cast("long"))
+        .drop("__cs")
+    }
+    w.select(col("x"), col("y"), col("n").as("n_sample"),
+      col("w").as("weight_micro"))
+  }
+
   /** Ordinal-by-ordinal association: Goodman-Kruskal gamma, Kendall
     * tau-b, and Somers' D (both directions) from ONE concordant/
     * discordant pair accounting over the contingency-cell rollup —

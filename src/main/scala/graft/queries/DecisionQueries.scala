@@ -1090,5 +1090,166 @@ object DecisionQueries extends QuerySet {
         |                      - CAST(ta.t AS HUGEINT) * ta.t) AS DOUBLE)
         |               / CAST(CAST(k.k AS HUGEINT) * ta.t - ba.sr2 AS DOUBLE)
         |       END AS q_stat
-        |FROM ba, k, ta""".stripMargin)))
+        |FROM ba, k, ta""".stripMargin)),
+
+    QueryDef("q411_partial_correlation", (s, d) =>
+      // is the views-purchases association real, or do both just ride
+      // click activity? r_xy.z over per-(user, day) counts — the
+      // third-variable audit behind every metric-correlation claim.
+      Inference.partialCorrelation(
+        events(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("z")),
+        col("x"), col("y"), col("z")),
+      Some(
+        """WITH b0 AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day,
+          |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS x,
+          |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |                  END) AS BIGINT) AS y,
+          |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS z
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |             sum(CAST(x AS HUGEINT)) AS sx,
+          |             sum(CAST(y AS HUGEINT)) AS sy,
+          |             sum(CAST(z AS HUGEINT)) AS sz,
+          |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+          |             sum(CAST(y AS HUGEINT) * y) AS syy,
+          |             sum(CAST(z AS HUGEINT) * z) AS szz,
+          |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+          |             sum(CAST(x AS HUGEINT) * z) AS sxz,
+          |             sum(CAST(y AS HUGEINT) * z) AS syz
+          |      FROM b0),
+          |r AS (SELECT n,
+          |        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+          |             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+          |                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          |        END AS r_xy,
+          |        CASE WHEN n * sxx - sx * sx > 0 AND n * szz - sz * sz > 0
+          |             THEN CAST(n * sxz - sx * sz AS DOUBLE)
+          |                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |                   * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))
+          |        END AS r_xz,
+          |        CASE WHEN n * syy - sy * sy > 0 AND n * szz - sz * sz > 0
+          |             THEN CAST(n * syz - sy * sz AS DOUBLE)
+          |                / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+          |                   * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))
+          |        END AS r_yz
+          |      FROM m)
+          |SELECT n, r_xy, r_xz, r_yz,
+          |       CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+          |                 AND r_yz IS NOT NULL
+          |                 AND abs(r_xz) < 1.0 AND abs(r_yz) < 1.0
+          |            THEN (r_xy - r_xz * r_yz)
+          |               / (sqrt(1.0 - r_xz * r_xz)
+          |                  * sqrt(1.0 - r_yz * r_yz)) END AS r_xy_z
+          |FROM r""".stripMargin)),
+
+    QueryDef("q412_cronbach_alpha", (s, d) => {
+      // is "daily engagement" one construct? Cronbach's alpha over the
+      // five per-type event counts as items, subjects = user-days
+      // (densified — a quiet type scores 0, it is not missing).
+      val e = events(s, d)
+      val dayIdx = datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long")
+      val counts = e.groupBy(col("user_id"), dayIdx.as("day"),
+        col("event_type")).agg(count(lit(1)).as("cnt"))
+      val grid = e.select(col("user_id"), dayIdx.as("day")).distinct()
+        .crossJoin(e.select(col("event_type")).distinct())
+      val full = grid.join(counts, Seq("user_id", "day", "event_type"), "left")
+        .select((col("user_id") * 100000L + col("day")).as("subj"),
+          col("event_type"), coalesce(col("cnt"), lit(0L)).as("y"))
+      Inference.cronbachAlpha(full, col("subj"), col("event_type"), col("y"))
+    }, Some(
+      """WITH cnts AS (
+        |  SELECT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |ud AS (SELECT DISTINCT user_id, day FROM cnts),
+        |ty AS (SELECT DISTINCT event_type FROM cnts),
+        |fu AS (SELECT ud.user_id * 100000 + ud.day AS subj, ty.event_type,
+        |                coalesce(c.cnt, 0) AS y
+        |         FROM ud CROSS JOIN ty
+        |         LEFT JOIN cnts c ON c.user_id = ud.user_id
+        |                         AND c.day = ud.day
+        |                         AND c.event_type = ty.event_type),
+        |items AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |                 sum(CAST(y AS HUGEINT)) AS s,
+        |                 sum(CAST(y AS HUGEINT) * y) AS q
+        |          FROM fu GROUP BY 1),
+        |vi AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |              sum(CAST(n AS HUGEINT) * q - s * s) AS vi FROM items),
+        |tot AS (SELECT subj, CAST(sum(y) AS BIGINT) AS tot FROM fu
+        |        GROUP BY 1),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |              sum(CAST(tot AS HUGEINT)) AS st,
+        |              sum(CAST(tot AS HUGEINT) * tot) AS qt FROM tot),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty)
+        |SELECT vi.n AS n_subjects, k.k,
+        |       CASE WHEN k.k > 1
+        |                 AND CAST(vt.n2 AS HUGEINT) * vt.qt - vt.st * vt.st > 0
+        |            THEN (CAST(k.k AS DOUBLE) / CAST(k.k - 1 AS DOUBLE))
+        |                 * (1.0 - CAST(vi.vi AS DOUBLE)
+        |                          / CAST(CAST(vt.n2 AS HUGEINT) * vt.qt
+        |                                 - vt.st * vt.st AS DOUBLE))
+        |       END AS alpha
+        |FROM vi, vt, k""".stripMargin)),
+
+    QueryDef("q413_raking_ipf", (s, d) => {
+      // survey-weight the 1997 order-line sample to the 1998 population
+      // margins (priority x returnflag) by four row-then-column IPF
+      // sweeps — the reweight-last-year's-sample-to-known-margins
+      // primitive, as a declared truncating fixed point.
+      val ol = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("x"),
+          col("l_returnflag").as("y"), year(col("o_orderdate")).as("yr"))
+        .localCheckpoint(false) // feeds the sample and both margin rollups
+      val samp = ol.filter(col("yr") === 1997)
+      val pop = ol.filter(col("yr") === 1998)
+      Inference.rakingIpf(samp, col("x"), col("y"),
+        pop.groupBy(col("x")).agg(count(lit(1)).as("target")),
+        pop.groupBy(col("y")).agg(count(lit(1)).as("target")),
+        iterations = 4)
+    }, Some {
+      def sweep(i: Int, prev: String): String =
+        s"""r$i AS (SELECT x, sum(w) AS rs FROM $prev GROUP BY 1),
+           |a$i AS (SELECT p.x, p.y, p.n, p.rt, p.ct,
+           |               CAST(CAST(p.w AS HUGEINT) * p.rt * 1000000
+           |                    // r$i.rs AS BIGINT) AS w
+           |        FROM $prev p JOIN r$i ON r$i.x = p.x),
+           |c$i AS (SELECT y, sum(w) AS cs FROM a$i GROUP BY 1),
+           |b$i AS (SELECT a.x, a.y, a.n, a.rt, a.ct,
+           |               CAST(CAST(a.w AS HUGEINT) * a.ct * 1000000
+           |                    // c$i.cs AS BIGINT) AS w
+           |        FROM a$i a JOIN c$i ON c$i.y = a.y)""".stripMargin
+      s"""WITH ol AS (
+         |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+         |         l_returnflag AS y, year(o_orderdate) AS yr
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+         |          FROM ol WHERE yr = 1997 GROUP BY 1, 2),
+         |rt AS (SELECT x, CAST(count(*) AS BIGINT) AS rt
+         |       FROM ol WHERE yr = 1998 GROUP BY 1),
+         |ct AS (SELECT y, CAST(count(*) AS BIGINT) AS ct
+         |       FROM ol WHERE yr = 1998 GROUP BY 1),
+         |it0 AS (SELECT cells.x, cells.y, cells.n, rt.rt, ct.ct,
+         |               CAST(cells.n * 1000000 AS BIGINT) AS w
+         |        FROM cells JOIN rt ON rt.x = cells.x
+         |                   JOIN ct ON ct.y = cells.y),
+         |${sweep(1, "it0")},
+         |${sweep(2, "b1")},
+         |${sweep(3, "b2")},
+         |${sweep(4, "b3")}
+         |SELECT x, y, n AS n_sample, w AS weight_micro FROM b4""".stripMargin
+    }))
 }

@@ -235,6 +235,68 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- partialCorrelation ----
+
+  test("partialCorrelation: hand moments, chain-exact partial") {
+    // x=[1,2,3,4], z=[1,-1,1,-1], y=x+z
+    val df = Seq((1L, 2L, 1L), (2L, 1L, -1L), (3L, 4L, 1L), (4L, 3L, -1L))
+      .toDF("x", "y", "z")
+    val r = Inference.partialCorrelation(df, col("x"), col("y"), col("z"))
+      .collect()(0)
+    val rxy = 12.0 / (math.sqrt(20.0) * math.sqrt(20.0))
+    val rxz = -8.0 / (math.sqrt(20.0) * math.sqrt(16.0))
+    val ryz = 8.0 / (math.sqrt(20.0) * math.sqrt(16.0))
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === rxy && r.getDouble(2) === rxz &&
+      r.getDouble(3) === ryz)
+    assert(r.getDouble(4) === (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz)))
+  }
+
+  test("partialCorrelation: a ±1 control correlation emits NULL partial") {
+    val df = Seq((1L, 1L, 1L), (2L, 3L, 2L), (3L, 2L, 3L)).toDF("x", "y", "z")
+    val r = Inference.partialCorrelation(df, col("x"), col("y"), col("z"))
+      .collect()(0)
+    // the declared sqrt*sqrt chain overshoots 1 by an ulp here — which is
+    // exactly why the guard is abs(r) < 1.0, not a NaN check downstream
+    assert(r.getDouble(2) === 6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+    assert(r.getDouble(2) > 1.0 && r.isNullAt(4))
+  }
+
+  // ---- cronbachAlpha ----
+
+  test("cronbachAlpha: identical items give alpha 1; incomplete subjects drop") {
+    val df = Seq((1L, "i1", 1L), (1L, "i2", 1L), (2L, "i1", 2L),
+      (2L, "i2", 2L), (3L, "i1", 3L), (3L, "i2", 3L),
+      (4L, "i1", 9L)).toDF("subj", "item", "y") // subj 4 incomplete
+    val r = Inference.cronbachAlpha(df, col("subj"), col("item"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === (2.0 / 1.0) * (1.0 - 12.0 / 24.0))
+  }
+
+  test("cronbachAlpha: perfectly anti-correlated items -> zero total variance, NULL") {
+    val df = Seq((1L, "i1", 1L), (1L, "i2", 3L), (2L, "i1", 2L),
+      (2L, "i2", 2L), (3L, "i1", 3L), (3L, "i2", 1L)).toDF("subj", "item", "y")
+    assert(Inference.cronbachAlpha(df, col("subj"), col("item"), col("y"))
+      .collect()(0).isNullAt(2))
+  }
+
+  // ---- rakingIpf ----
+
+  test("rakingIpf: uniform sample rakes to skewed column margins exactly") {
+    // 2x2 uniform cells; row targets already met, col targets 3:1 ->
+    // one sweep converges, further sweeps are exact no-ops
+    val samp = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("x", "y")
+    val rowT = Seq((1L, 2L), (2L, 2L)).toDF("x", "target")
+    val colT = Seq(("a", 3L), ("b", 1L)).toDF("y", "target")
+    val rows = Inference.rakingIpf(samp, col("x"), col("y"), rowT, colT,
+      iterations = 2).orderBy("x", "y").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .toSeq === Seq((1L, "a", 1500000L), (1L, "b", 500000L),
+      (2L, "a", 1500000L), (2L, "b", 500000L)))
+  }
+
   // ---- ordinalAssociation ----
 
   test("ordinalAssociation: hand 2x2 gives gamma 0.6, tau-b 1/3") {
