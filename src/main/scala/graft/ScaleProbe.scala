@@ -384,6 +384,48 @@ object ScaleProbe {
       }
     }
 
+    // FIFO allocation: replicas shift the part key, so keys multiply while
+    // per-key interval work is constant — time and output must track the
+    // key count (the output-linear claim: each match boundary advances one
+    // side), never any pairwise blowup
+    val ff1 = table(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("k"),
+        (datediff(to_date(col("l_shipdate")),
+          lit("1970-01-01").cast("date")).cast("long") * 1000000000000L +
+          col("l_orderkey") * 10L + col("l_linenumber")).as("ord"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5))
+          .cast("long").as("cents"),
+        col("l_linestatus").as("st"))
+      .localCheckpoint()
+    val ffN = (0 until reps).map { r =>
+      ff1.withColumn("k", col("k") + lit(r * 10000000L))
+    }.reduce(_ unionByName _).localCheckpoint()
+    for ((label, li) <- Seq("1x" -> ff1, s"${reps}x" -> ffN)) {
+      time(s"fifo_alloc            $label") {
+        graft.operators.Features.fifoAllocate(
+          li.filter(col("st") === "F"), li.filter(col("st") === "O"),
+          "k", col("ord"), col("qty"), col("cents"),
+          col("ord"), col("qty")).count()
+      }
+    }
+
+    // Jonckheere-Terpstra: the densified (value x group) grid is bounded
+    // by DISTINCT values x k — replicas multiply per-cell counts, not
+    // cells, so the cumulative passes stay flat while N grows
+    val jt1 = table(spark, sfDir, "events")
+      .select(floor(col("value") * 1000 + 0.5).cast("long").as("v"),
+        (col("user_id") % 5L).as("g"))
+      .localCheckpoint()
+    val jtN = (0 until reps).map(_ => jt1).reduce(_ unionByName _)
+      .localCheckpoint()
+    for ((label, jt) <- Seq("1x" -> jt1, s"${reps}x" -> jtN)) {
+      time(s"jonckheere_grid       $label") {
+        graft.pipeline.Inference.jonckheereTerpstra(jt, col("v"), col("g"))
+          .count()
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

@@ -189,15 +189,33 @@ object Features {
     * summation order. NULL categories group as their own cell (dbt
     * accepted_values semantics: NULL is a real category in an audit).
     *
-    * Scale shape: one partial-agg shuffle keyed on (a, b); the row/column
-    * marginals are rollups OF THAT ROLLUP (bounded by category cardinality,
-    * never row count) broadcast back onto the cells. Nothing re-scans raw
-    * rows.
+    * The cell table is DENSIFIED to the full distinct-a x distinct-b grid
+    * before terms are computed: an UNOBSERVED combination still carries
+    * `(0 - E)^2 / E = r*c/N`, and dropping those cells understates the
+    * statistic exactly when the association is strongest (a perfectly
+    * separated 2x2 loses HALF its chi-square — caught by the Mood's-test
+    * spec vector, r10). Dense domains are unaffected.
+    *
+    * Scale shape: one partial-agg shuffle keyed on (a, b); the grid and
+    * marginals are rollups OF THAT ROLLUP (bounded by category
+    * cardinality, never row count) broadcast back onto the cells. Nothing
+    * re-scans raw rows.
     */
   def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val obs = df.groupBy(aCol.as("a"), bCol.as("b"))
+    val sparse = df.groupBy(aCol.as("a"), bCol.as("b"))
       .agg(count(lit(1)).as("observed"))
+      .localCheckpoint(false) // feeds the grid arms AND the marginals
+    val obs = sparse.select(col("a")).distinct()
+      .crossJoin(sparse.select(col("b")).distinct())
+      // null-safe re-join: a NULL category is a real cell and must find
+      // its own observed row, not a zero (same reason as the marginal
+      // joins below)
+      .join(sparse.select(col("a").as("__sa"), col("b").as("__sb"),
+        col("observed")),
+        col("a") <=> col("__sa") && col("b") <=> col("__sb"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
     val rowTot = obs.groupBy(col("a"))
       .agg(sum(col("observed")).as("r_tot"))
     val colTot = obs.groupBy(col("b"))

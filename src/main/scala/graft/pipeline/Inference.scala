@@ -1725,6 +1725,139 @@ object Inference {
       col("__dev"), col("__g"))
   }
 
+  /** Mood's median test — do k groups share a common median? Each group's
+    * above/not-above-the-grand-median counts feed the exact chi-square
+    * machinery ([[graft.operators.Features.chiSquareSummary]]); the grand
+    * median is exact via the ungrouped distinct-value rollup (DOUBLED so
+    * even-n midpoints stay integral; "above" means `2x > med2`, values at
+    * the median count below — the conservative SciPy `ties='below'`
+    * convention). Coarser but far more outlier-robust than
+    * [[kruskalWallis]]. One row: (grand_med2, n_rows, dof, chi2_milli,
+    * cramers_v).
+    */
+  def moodMedianTest(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val base = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__x"))
+      .localCheckpoint(false) // feeds the median rollup AND the flag pass
+    val ranks = graft.operators.Ranking.valueRanks(base, Nil, col("__x"))
+    val ng = ranks.agg(sum(col("n_rows")).as("__n"))
+    val lo = call_function("div", col("__n") + 1L, lit(2L))
+    val hi = call_function("div", col("__n") + 2L, lit(2L))
+    val med = ranks.crossJoin(ng)
+      .agg(
+        sum(when(col("rnk") <= lo && lo < col("rnk") + col("n_rows"),
+          col("v")).otherwise(0L)).as("__vlo"),
+        sum(when(col("rnk") <= hi && hi < col("rnk") + col("n_rows"),
+          col("v")).otherwise(0L)).as("__vhi"))
+      .select((col("__vlo") + col("__vhi")).as("grand_med2"))
+    val flagged = base.crossJoin(broadcast(med))
+    graft.operators.Features.chiSquareSummary(flagged, col("__g"),
+      col("__x") * 2L > col("grand_med2"))
+      .crossJoin(broadcast(med))
+      .select(col("grand_med2"), col("n_rows"), col("dof"),
+        col("chi2_milli"), col("cramers_v"))
+  }
+
+  /** Wald-Wolfowitz runs test — is a binary sequence random, or does it
+    * streak? Runs `R = 1 + sum(sign changes)` over the declared order,
+    * with `E[R] = 2*n1*n2/N + 1` and
+    * `Var = 2*n1*n2*(2*n1*n2 - N) / (N^2*(N-1))`; z is the fixed IEEE
+    * chain over the exact counts. The change-count window follows the
+    * caller's order column (calendar-bounded by contract — daily signs,
+    * not raw rows; guarded raise at `maxPoints`). One row:
+    * (n1, n2, runs, z).
+    */
+  def runsTest(df: DataFrame, orderCol: Column, signCol: Column,
+      maxPoints: Long = 1000000L): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints: $maxPoints")
+    val base = df.filter(orderCol.isNotNull && signCol.isNotNull)
+      .select(orderCol.cast("long").as("t"), signCol.cast("boolean").as("b"))
+    val w = Window.orderBy(col("t").asc)
+    val guard = when(row_number().over(w) > maxPoints,
+      raise_error(lit(s"runsTest exceeded $maxPoints points — the sign " +
+        "sequence must be a bounded series, not raw rows")).cast("long"))
+      .otherwise(lit(0L))
+    val runs = base
+      .withColumn("__chg",
+        when(lag(col("b"), 1).over(w).isNull ||
+          lag(col("b"), 1).over(w) =!= col("b"), 1L).otherwise(0L) + guard)
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n1"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n2"),
+        sum(col("__chg")).as("runs"))
+    val n = col("n1") + col("n2")
+    val p2 = dec(lit(2L)) * dec(col("n1")) * dec(col("n2"))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      when(col("n1") > 0L && col("n2") > 0L && n > 2L &&
+        p2 > dec(n),
+        (col("runs").cast("double") -
+          (p2.cast("double") / n.cast("double") + lit(1.0))) /
+          sqrt((p2 * (p2 - dec(n))).cast("double") /
+            (dec(n) * dec(n) * dec(n - 1L)).cast("double"))).as("z"))
+  }
+
+  /** Wilcoxon signed-rank test for PAIRED differences (the within-pair
+    * sibling of [[mannWhitney]]): zero differences drop (the standard
+    * convention), |d| ranks come DOUBLED and tie-averaged from the
+    * distinct-value rollup, `W2+ = sum rank2(|d|) over d > 0` is exactly
+    * twice the signed-rank statistic, and the tie-corrected z is the
+    * fixed chain `(W2 - n(n+1)/2) / (2*sqrt((2n(n+1)(2n+1) - T)/48))`
+    * with `T = sum(t^3 - t)`. One row: (n, w2_plus, tie_term, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val base = df.filter(diffCol.isNotNull)
+      .select(diffCol.cast("long").as("d"))
+      .filter(col("d") =!= 0L)
+      .withColumn("a", abs(col("d")))
+    val ranks = graft.operators.Ranking
+      .valueRanks(base, Nil, col("a"), maxDistinct)
+      .select(col("v").as("a"),
+        (col("rnk") * 2L + col("n_rows") - 1L).as("r2"),
+        col("n_rows"))
+    val joined = base.join(ranks, "a")
+    val agg0 = joined.agg(count(lit(1)).as("n"),
+      sum(when(col("d") > 0L, col("r2")).otherwise(0L)).as("w2_plus"))
+    val ties = ranks.agg(
+      (sum(dec(col("n_rows")) * dec(col("n_rows")) * dec(col("n_rows"))) -
+        sum(dec(col("n_rows")))).cast("long").as("tie_term"))
+    val n = col("n")
+    val varNum = dec(lit(2L)) * dec(n) * dec(n + 1L) *
+      dec(lit(2L) * n + 1L) - dec(col("tie_term"))
+    agg0.crossJoin(ties)
+      .select(col("n"), col("w2_plus"), col("tie_term"),
+        when(col("n") > 1L && varNum > dec(lit(0L)),
+          (col("w2_plus").cast("double") -
+            (dec(n) * dec(n + 1L)).cast("double") / lit(2.0)) /
+            (lit(2.0) *
+              sqrt(varNum.cast("double") / lit(48.0)))).as("z"))
+  }
+
+  /** Bland-Altman agreement limits between two measurement methods of the
+    * same quantity (the method-comparison statistic: is the new
+    * instrument interchangeable with the old?): mean difference (bias)
+    * and `mean ± 1.96*sd` limits of agreement, from exact integer
+    * moments of the SIGNED differences — `sd` uses the sample form
+    * `sqrt((n*Q - S^2) / (n*(n-1)))`, every output a fixed IEEE chain.
+    * One row: (n, sum_diff, bias, sd_diff, loa_low, loa_high).
+    */
+  def blandAltman(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val d = (aCol.cast("long") - bCol.cast("long"))
+    val agg0 = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .select(d.as("d"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("d"))).as("__s"),
+        sum(dec(col("d")) * col("d")).as("__q"))
+    val bias = col("__s").cast("double") / col("n").cast("double")
+    val sd = sqrt(
+      (dec(col("n")) * col("__q") - col("__s") * col("__s")).cast("double") /
+        (dec(col("n")) * dec(col("n") - 1L)).cast("double"))
+    agg0.select(col("n"), col("__s").cast("long").as("sum_diff"),
+      when(col("n") > 0L, bias).as("bias"),
+      when(col("n") > 1L, sd).as("sd_diff"),
+      when(col("n") > 1L, bias - lit(1.96) * sd).as("loa_low"),
+      when(col("n") > 1L, bias + lit(1.96) * sd).as("loa_high"))
+  }
+
   /** First-order partial correlation `r_xy.z` — the x-y association with
     * the shared driver z linearly removed (the "is this correlation just
     * both riding z" audit): the three pairwise Pearson correlations come
@@ -1838,6 +1971,8 @@ object Inference {
         "x")
       .join(broadcast(colTargets.select(col("y"), col("target").as("ct"))),
         "y")
+      // pin the sample rollup: every sweep below reads it through two arms
+      .localCheckpoint(false)
     var w = cells.withColumn("w", col("n") * 1000000L)
     for (_ <- 1 to iterations) {
       val rs = w.groupBy(col("x")).agg(sum(col("w")).as("__rs"))
@@ -1852,6 +1987,12 @@ object Inference {
           dec(col("w")) * dec(col("ct")) * 1000000L, dec(col("__cs")))
           .cast("long"))
         .drop("__cs")
+        // pin each sweep: `w join agg(w)` doubles the unpinned lineage per
+        // half-step — 2^(2*iters) base-scan replays by the last sweep (the
+        // q217/q221 recompute flaw, measured 16.4 s -> ~1 s at sf0.1).
+        // The pinned frame is category-domain-sized; the checkpoint is
+        // trivially cheap and keeps every sweep evaluated exactly once.
+        .localCheckpoint(false)
     }
     w.select(col("x"), col("y"), col("n").as("n_sample"),
       col("w").as("weight_micro"))

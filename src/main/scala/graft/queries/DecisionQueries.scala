@@ -1251,5 +1251,200 @@ object DecisionQueries extends QuerySet {
          |${sweep(3, "b2")},
          |${sweep(4, "b3")}
          |SELECT x, y, n AS n_sample, w AS weight_micro FROM b4""".stripMargin
-    }))
+    }),
+
+    QueryDef("q414_mood_median", (s, d) =>
+      // do the market segments share a common balance MEDIAN? Mood's test
+      // — coarser but far more outlier-robust than q388/q390's rank and
+      // deviation machinery on the same question.
+      Inference.moodMedianTest(table(s, d, "customer"),
+        Features.cents(col("c_acctbal")), col("c_mktsegment")),
+      Some(
+        s"""WITH v AS (SELECT c_mktsegment AS g,
+           |                  ${centsSql("c_acctbal")} AS x FROM customer),
+           |m AS (SELECT CAST(2 * median(x) AS BIGINT) AS med2 FROM v),
+           |f AS (SELECT g, (2 * x > med2) AS b FROM v, m),
+           |sp AS (SELECT g, b, CAST(count(*) AS BIGINT) AS observed
+           |       FROM f GROUP BY 1, 2),
+           |obs AS (SELECT ga.g, gb.b,
+           |               CAST(coalesce(sp.observed, 0) AS BIGINT) AS observed
+           |        FROM (SELECT DISTINCT g FROM sp) ga
+           |        CROSS JOIN (SELECT DISTINCT b FROM sp) gb
+           |        LEFT JOIN sp ON sp.g IS NOT DISTINCT FROM ga.g
+           |                    AND sp.b IS NOT DISTINCT FROM gb.b),
+           |r AS (SELECT g, CAST(sum(observed) AS HUGEINT) AS r_tot
+           |      FROM obs GROUP BY 1),
+           |c AS (SELECT b, CAST(sum(observed) AS HUGEINT) AS c_tot
+           |      FROM obs GROUP BY 1),
+           |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n_tot FROM obs),
+           |t AS (SELECT observed, r_tot, c_tot, n_tot,
+           |             CAST(observed AS HUGEINT) * n_tot - r_tot * c_tot
+           |               AS delta
+           |      FROM obs JOIN r USING (g) JOIN c USING (b) CROSS JOIN n),
+           |s AS (SELECT
+           |        CAST((SELECT sum(observed) FROM obs) AS BIGINT) AS n_rows,
+           |        CAST(((SELECT count(*) FROM r) - 1)
+           |             * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+           |        CAST(sum((delta * delta * 1000)
+           |                 // (n_tot * r_tot * c_tot)) AS BIGINT)
+           |          AS chi2_milli,
+           |        CAST(least((SELECT count(*) FROM r) - 1,
+           |                   (SELECT count(*) FROM c) - 1) AS BIGINT) AS mn
+           |      FROM t)
+           |SELECT m.med2 AS grand_med2, s.n_rows, s.dof, s.chi2_milli,
+           |       CASE WHEN s.mn > 0
+           |            THEN sqrt(CAST(s.chi2_milli AS DOUBLE)
+           |                      / (1000.0 * CAST(s.n_rows AS DOUBLE)
+           |                         * CAST(s.mn AS DOUBLE))) END AS cramers_v
+           |FROM s, m""".stripMargin)),
+
+    QueryDef("q415_runs_test", (s, d) => {
+      // is daily revenue's above/below-median sequence RANDOM, or does it
+      // streak (regimes, autocorrelation)? Wald-Wolfowitz runs over the
+      // day-ordered sign sequence; at-median days count below (the q414
+      // convention).
+      val daily = table(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(Features.cents(col("o_totalprice"))).as("y"))
+        .localCheckpoint(false) // feeds the median rollup AND the signs
+      val ranks = graft.operators.Ranking.valueRanks(daily, Nil, col("y"))
+      val ng = ranks.agg(sum(col("n_rows")).as("__n"))
+      val lo = call_function("div", col("__n") + 1L, lit(2L))
+      val hi = call_function("div", col("__n") + 2L, lit(2L))
+      val med = ranks.crossJoin(ng)
+        .agg(sum(when(col("rnk") <= lo && lo < col("rnk") + col("n_rows"),
+          col("v")).otherwise(0L)).as("__vlo"),
+          sum(when(col("rnk") <= hi && hi < col("rnk") + col("n_rows"),
+            col("v")).otherwise(0L)).as("__vhi"))
+        .select((col("__vlo") + col("__vhi")).as("med2"))
+      Inference.runsTest(daily.crossJoin(broadcast(med)),
+        col("day"), col("y") * 2L > col("med2"))
+    }, Some(
+      s"""WITH daily AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |              AS BIGINT) AS day,
+         |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |m AS (SELECT CAST(2 * median(y) AS BIGINT) AS med2 FROM daily),
+         |f AS (SELECT day, (2 * y > med2) AS b FROM daily, m),
+         |g AS (SELECT b, CASE WHEN lag(b) OVER (ORDER BY day) IS NULL
+         |                          OR lag(b) OVER (ORDER BY day) <> b
+         |                     THEN 1 ELSE 0 END AS chg
+         |      FROM f),
+         |a AS (SELECT CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
+         |               AS n1,
+         |             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n2,
+         |             CAST(sum(chg) AS BIGINT) AS runs
+         |      FROM g)
+         |SELECT n1, n2, runs,
+         |       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+         |                 AND 2 * CAST(n1 AS HUGEINT) * n2 > n1 + n2
+         |            THEN (CAST(runs AS DOUBLE)
+         |                  - (CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+         |                     / CAST(n1 + n2 AS DOUBLE) + 1.0))
+         |               / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2
+         |                           * (2 * CAST(n1 AS HUGEINT) * n2
+         |                              - (n1 + n2)) AS DOUBLE)
+         |                      / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+         |                             * (n1 + n2 - 1) AS DOUBLE)) END AS z
+         |FROM a""".stripMargin)),
+
+    QueryDef("q416_wilcoxon_signed_rank", (s, d) => {
+      // did revenue shift year over year, judged WITHIN calendar days?
+      // Wilcoxon signed-rank on per-(month, day) revenue differences
+      // 1998 minus 1997 — the paired sibling of q263's Mann-Whitney.
+      val o = table(s, d, "orders")
+        .filter(year(col("o_orderdate")).isin(1997, 1998))
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mm"),
+          dayofmonth(col("o_orderdate")).as("dd"))
+        .agg(sum(Features.cents(col("o_totalprice"))).as("rev"))
+      val p97 = o.filter(col("yr") === 1997)
+        .select(col("mm"), col("dd"), col("rev").as("r97"))
+      val p98 = o.filter(col("yr") === 1998)
+        .select(col("mm"), col("dd"), col("rev").as("r98"))
+      Inference.wilcoxonSignedRank(p97.join(p98, Seq("mm", "dd")),
+        col("r98") - col("r97"))
+    }, Some(
+      s"""WITH rev AS (
+         |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mm,
+         |         day(o_orderdate) AS dd,
+         |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev
+         |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+         |  GROUP BY 1, 2, 3),
+         |p AS (SELECT a.rev - b.rev AS dv
+         |      FROM (SELECT * FROM rev WHERE yr = 1998) a
+         |      JOIN (SELECT * FROM rev WHERE yr = 1997) b
+         |        ON a.mm = b.mm AND a.dd = b.dd
+         |      WHERE a.rev - b.rev <> 0),
+         |r AS (SELECT dv, abs(dv) AS a,
+         |             2 * rank() OVER (ORDER BY abs(dv))
+         |               + count(*) OVER (PARTITION BY abs(dv)) - 1 AS r2
+         |      FROM p),
+         |tt AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT)
+         |                AS tie_term
+         |       FROM (SELECT count(*) AS c FROM r GROUP BY a) z),
+         |w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CASE WHEN dv > 0 THEN r2 ELSE 0 END)
+         |                  AS BIGINT) AS w2_plus
+         |      FROM r)
+         |SELECT w.n, w.w2_plus, tt.tie_term,
+         |       CASE WHEN w.n > 1
+         |                 AND 2 * CAST(w.n AS HUGEINT) * (w.n + 1)
+         |                     * (2 * w.n + 1) - tt.tie_term > 0
+         |            THEN (CAST(w.w2_plus AS DOUBLE)
+         |                  - CAST(CAST(w.n AS HUGEINT) * (w.n + 1) AS DOUBLE)
+         |                    / 2.0)
+         |               / (2.0 * sqrt(
+         |                    CAST(2 * CAST(w.n AS HUGEINT) * (w.n + 1)
+         |                         * (2 * w.n + 1) - tt.tie_term AS DOUBLE)
+         |                    / 48.0)) END AS z
+         |FROM w, tt""".stripMargin)),
+
+    QueryDef("q417_bland_altman", (s, d) =>
+      // do the order-header total and the summed line prices agree as
+      // measurements of order value? Bland-Altman bias and 95% limits of
+      // agreement over the per-order differences — the method-comparison
+      // readout (and a reconciliation audit in disguise).
+      Inference.blandAltman(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(min(Features.cents(col("o_totalprice"))).as("a"),
+            sum(Features.cents(col("l_extendedprice"))).as("b")),
+        col("a"), col("b")),
+      Some(
+        s"""WITH p AS (
+           |  SELECT o_orderkey,
+           |         CAST(min(${centsSql("o_totalprice")}) AS BIGINT) AS a,
+           |         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS b
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |             sum(CAST(a - b AS HUGEINT)) AS s,
+           |             sum(CAST(a - b AS HUGEINT) * (a - b)) AS q
+           |      FROM p)
+           |SELECT n, CAST(s AS BIGINT) AS sum_diff,
+           |       CASE WHEN n > 0
+           |            THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END AS bias,
+           |       CASE WHEN n > 1
+           |            THEN sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+           |                      / CAST(CAST(n AS HUGEINT) * (n - 1)
+           |                             AS DOUBLE)) END AS sd_diff,
+           |       CASE WHEN n > 1
+           |            THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           |                 - 1.96 * sqrt(CAST(CAST(n AS HUGEINT) * q - s * s
+           |                                    AS DOUBLE)
+           |                               / CAST(CAST(n AS HUGEINT) * (n - 1)
+           |                                      AS DOUBLE)) END AS loa_low,
+           |       CASE WHEN n > 1
+           |            THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           |                 + 1.96 * sqrt(CAST(CAST(n AS HUGEINT) * q - s * s
+           |                                    AS DOUBLE)
+           |                               / CAST(CAST(n AS HUGEINT) * (n - 1)
+           |                                      AS DOUBLE)) END AS loa_high
+           |FROM m""".stripMargin)))
 }

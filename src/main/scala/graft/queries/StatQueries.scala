@@ -799,10 +799,17 @@ object StatQueries extends QuerySet {
         .withColumnRenamed("a", "status")
         .withColumnRenamed("b", "priority"),
       Some(
-        """WITH obs AS (
+        """WITH sp AS (
           |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
           |         CAST(count(*) AS BIGINT) AS observed
           |  FROM orders GROUP BY 1, 2),
+          |obs AS (
+          |  SELECT ga.status, gb.priority,
+          |         CAST(coalesce(sp.observed, 0) AS BIGINT) AS observed
+          |  FROM (SELECT DISTINCT status FROM sp) ga
+          |  CROSS JOIN (SELECT DISTINCT priority FROM sp) gb
+          |  LEFT JOIN sp ON sp.status IS NOT DISTINCT FROM ga.status
+          |              AND sp.priority IS NOT DISTINCT FROM gb.priority),
           |r AS (SELECT status, CAST(sum(observed) AS HUGEINT) AS r_tot FROM obs GROUP BY 1),
           |c AS (SELECT priority, CAST(sum(observed) AS HUGEINT) AS c_tot FROM obs GROUP BY 1),
           |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n_tot FROM obs),
@@ -821,10 +828,17 @@ object StatQueries extends QuerySet {
       Features.chiSquareSummary(table(s, d, "orders"),
         col("o_orderstatus"), col("o_orderpriority")),
       Some(
-        """WITH obs AS (
+        """WITH sp AS (
           |  SELECT o_orderstatus AS a, o_orderpriority AS b,
           |         CAST(count(*) AS BIGINT) AS observed
           |  FROM orders GROUP BY 1, 2),
+          |obs AS (
+          |  SELECT ga.a, gb.b,
+          |         CAST(coalesce(sp.observed, 0) AS BIGINT) AS observed
+          |  FROM (SELECT DISTINCT a FROM sp) ga
+          |  CROSS JOIN (SELECT DISTINCT b FROM sp) gb
+          |  LEFT JOIN sp ON sp.a IS NOT DISTINCT FROM ga.a
+          |              AND sp.b IS NOT DISTINCT FROM gb.b),
           |r AS (SELECT a, CAST(sum(observed) AS HUGEINT) AS r_tot FROM obs GROUP BY 1),
           |c AS (SELECT b, CAST(sum(observed) AS HUGEINT) AS c_tot FROM obs GROUP BY 1),
           |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n_tot FROM obs),

@@ -235,6 +235,68 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- moodMedianTest ----
+
+  test("moodMedianTest: perfectly separated groups give chi2 = N, V = 1") {
+    // g1=[1..4], g2=[5..8]: grand med2 = 9, the split is exact
+    val df = (Seq(1L, 2L, 3L, 4L).map((_, "a")) ++
+      Seq(5L, 6L, 7L, 8L).map((_, "b"))).toDF("v", "g")
+    val r = Inference.moodMedianTest(df, col("v"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((9L, 8L, 1L, 8000L)))
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  // ---- runsTest ----
+
+  test("runsTest: perfectly alternating sequence, hand z") {
+    // T,F,T,F,T: n1=2, n2=3, R=5; E = 12/5+1, Var = 84/100
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, true)).toDF("t", "b")
+    val r = Inference.runsTest(df, col("t"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 5L)))
+    assert(r.getDouble(3) ===
+      (5.0 - (12.0 / 5.0 + 1.0)) / math.sqrt(84.0 / 100.0))
+  }
+
+  test("runsTest: a one-sided sequence has no defined z") {
+    val df = Seq((1L, true), (2L, true)).toDF("t", "b")
+    val r = Inference.runsTest(df, col("t"), col("b")).collect()(0)
+    assert(r.getLong(2) === 1L && r.isNullAt(3))
+  }
+
+  // ---- wilcoxonSignedRank ----
+
+  test("wilcoxonSignedRank: untied vector, zeros drop") {
+    // d = [1, 2, -3, 4, 0]: doubled ranks 2,4,6,8; W2+ = 14
+    val df = Seq(1L, 2L, -3L, 4L, 0L).toDF("d")
+    val r = Inference.wilcoxonSignedRank(df, col("d")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 14L, 0L)))
+    assert(r.getDouble(3) ===
+      (14.0 - 20.0 / 2.0) / (2.0 * math.sqrt(360.0 / 48.0)))
+  }
+
+  test("wilcoxonSignedRank: tie-corrected variance on |d| ties") {
+    // d = [1, -1, 2]: |d| ranks (tied pair) 3,3,6 doubled; W2+ = 9; T = 6
+    val df = Seq(1L, -1L, 2L).toDF("d")
+    val r = Inference.wilcoxonSignedRank(df, col("d")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 9L, 6L)))
+    assert(r.getDouble(3) ===
+      (9.0 - 12.0 / 2.0) / (2.0 * math.sqrt(162.0 / 48.0)))
+  }
+
+  // ---- blandAltman ----
+
+  test("blandAltman: hand bias/sd/limits") {
+    // diffs 2, -2, 0: bias 0, sample sd 2
+    val df = Seq((10L, 8L), (10L, 12L), (10L, 10L)).toDF("a", "b")
+    val r = Inference.blandAltman(df, col("a"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 0L)))
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 2.0)
+    assert(r.getDouble(4) === 0.0 - 1.96 * 2.0 &&
+      r.getDouble(5) === 0.0 + 1.96 * 2.0)
+  }
+
   // ---- partialCorrelation ----
 
   test("partialCorrelation: hand moments, chain-exact partial") {

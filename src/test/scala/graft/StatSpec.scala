@@ -37,13 +37,20 @@ class StatSpec extends AnyFunSuite {
     val terms = Features.chiSquareCells(indep.toDF("a", "b"), col("a"), col("b"))
       .select(col("term_milli")).collect().map(_.getLong(0))
     assert(terms.forall(_ === 0L))
-    // NULL category must keep its marginal row (null-safe joins)
+    // NULL category must keep its marginal row (null-safe joins) — and
+    // the densified grid now surfaces the UNOBSERVED (NULL, NULL) cell
+    // with its own (0 - E)^2/E term (r10: dropping zero cells halved the
+    // statistic exactly when association is strongest)
     val withNull = Seq(("x", Some("p")), ("x", None), (null, Some("p")))
       .toDF("a", "b")
     val cells = Features.chiSquareCells(withNull, col("a"), col("b"))
       .collect()
-    assert(cells.length === 3)
+    assert(cells.length === 4)
     assert(cells.forall(r => !r.isNullAt(3) && !r.isNullAt(4)))
+    val zeroCell = cells.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    // E = 1*1/3 -> expected_milli 333, term = (0*3 - 1)^2*1000/(3*1*1) = 333
+    assert(zeroCell.getLong(2) === 0L && zeroCell.getLong(3) === 333L &&
+      zeroCell.getLong(4) === 333L)
   }
 
   test("chiSquareSummary: dof, milli statistic, Cramér's V; 1xK -> NULL V") {
