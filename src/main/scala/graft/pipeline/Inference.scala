@@ -2298,6 +2298,104 @@ object Inference {
           .as("z"))
   }
 
+  /** Hodges-Lehmann shift estimator between two samples — the robust
+    * effect SIZE that pairs with [[mannWhitney]]'s yes/no (the median of
+    * all cross-pair differences `b - a`): computed over BINNED values
+    * (the caller quantizes — unbinned pairwise diffs are quadratic in
+    * distinct values), so the cross join is BIN-DOMAIN sized, weights
+    * `c_a * c_b` carry the multiplicity exactly, and the weighted median
+    * uses the DOUBLED even-total convention (`hl2 = d@lo + d@hi`). One
+    * row: (n_a, n_b, hl2, hl_milli = hl2 * 500). The diff rollup's
+    * cumulative window is single-partition over distinct diffs —
+    * raise-guarded at `maxBins^2` scale via `maxDiffs`.
+    */
+  def hodgesLehmannShift(df: DataFrame, binCol: Column, inB: Column,
+      maxDiffs: Long = 4000000L): DataFrame = {
+    require(maxDiffs >= 1, s"maxDiffs: $maxDiffs")
+    val base = df.filter(binCol.isNotNull && inB.isNotNull)
+      .select(binCol.cast("long").as("v"), inB.as("b"))
+    val va = base.filter(!col("b")).groupBy(col("v"))
+      .agg(count(lit(1)).as("ca"))
+    val vb = base.filter(col("b")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cb"))
+    val diffs = va.select(col("v").as("av"), col("ca"))
+      .crossJoin(vb.select(col("v").as("bv"), col("cb")))
+      .groupBy((col("bv") - col("av")).as("d"))
+      .agg(sum(dec(col("ca")) * col("cb")).cast("long").as("w"))
+    val wOrd = Window.orderBy(col("d").asc)
+    val guard = when(row_number().over(wOrd) > maxDiffs,
+      raise_error(lit(s"hodgesLehmannShift exceeded $maxDiffs distinct " +
+        "diffs — bin coarser first")).cast("long")).otherwise(lit(0L))
+    val ranked = diffs
+      .withColumn("cum", sum(col("w")).over(wOrd) + guard)
+      .withColumn("rnk", col("cum") - col("w") + 1L)
+    val tot = ranked.agg(max(col("cum")).as("__w"))
+    val lo = call_function("div", col("__w") + 1L, lit(2L))
+    val hi = call_function("div", col("__w") + 2L, lit(2L))
+    val med = ranked.crossJoin(broadcast(tot))
+      .agg(
+        sum(when(col("rnk") <= lo && lo <= col("cum"), col("d"))
+          .otherwise(0L)).as("__dlo"),
+        sum(when(col("rnk") <= hi && hi <= col("cum"), col("d"))
+          .otherwise(0L)).as("__dhi"))
+      .select((col("__dlo") + col("__dhi")).as("hl2"))
+    val counts = base.agg(
+      sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
+      sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
+    counts.crossJoin(med)
+      .select(col("n_a"), col("n_b"), col("hl2"),
+        (col("hl2") * 500L).as("hl_milli"))
+  }
+
+  /** Kaplan-Meier with Greenwood 95% bands: the [[kaplanMeier]] fold
+    * additionally carries the Greenwood variance factor
+    * `g_pico += d * 1e12 div (r * (r - d))` (exact truncating integers;
+    * a step where everyone at risk dies drives the factor infinite — the
+    * fold parks a -1 sentinel and the bands go NULL from there). The
+    * plain (untransformed) Greenwood interval
+    * `surv ± 1.96 * surv * sqrt(g/1e12)` is emitted as fixed IEEE chains
+    * in ppm — unclamped, as the textbook form is. One row per event
+    * time: (duration, at_risk, deaths, surv_ppm, g_pico, ci_low_ppm,
+    * ci_high_ppm).
+    */
+  def kaplanMeierGreenwood(df: DataFrame, durationCol: Column,
+      censoredCol: Column, maxSteps: Int = 100000): DataFrame = {
+    val steps = survivalSteps(df, durationCol, censoredCol)
+    val folded = steps
+      .agg(sort_array(collect_list(struct(col("dur"), col("at_risk"),
+        col("deaths")))).as("st"))
+      .select(explode(expr(
+        s"""CASE WHEN size(st) > $maxSteps THEN
+           |  raise_error(concat('kaplanMeierGreenwood exceeded $maxSteps event times — ',
+           |    'durations must be calendar-bounded integers'))
+           |ELSE
+           |  aggregate(st,
+           |    CAST(array() AS array<struct<dur:bigint,at_risk:bigint,deaths:bigint,
+           |      surv:bigint,g:bigint>>),
+           |    (acc, x) -> array_append(acc, named_struct(
+           |      'dur', x.dur, 'at_risk', x.at_risk, 'deaths', x.deaths,
+           |      'surv', coalesce(try_element_at(acc, -1).surv, CAST(1000000 AS BIGINT))
+           |                * (x.at_risk - x.deaths) div x.at_risk,
+           |      'g', CASE WHEN coalesce(try_element_at(acc, -1).g, CAST(0 AS BIGINT)) < 0
+           |                     OR x.at_risk - x.deaths <= 0 THEN CAST(-1 AS BIGINT)
+           |                ELSE coalesce(try_element_at(acc, -1).g, CAST(0 AS BIGINT))
+           |                     + x.deaths * 1000000000000L
+           |                       div (x.at_risk * (x.at_risk - x.deaths)) END)))
+           |END""".stripMargin)).as("s"))
+      .select(col("s.dur").as("duration"), col("s.at_risk").as("at_risk"),
+        col("s.deaths").as("deaths"), col("s.surv").as("surv_ppm"),
+        col("s.g").as("g_pico"))
+    val se = col("surv_ppm").cast("double") *
+      sqrt(col("g_pico").cast("double") / lit(1.0e12))
+    folded
+      .withColumn("ci_low_ppm",
+        when(col("g_pico") >= 0L,
+          col("surv_ppm").cast("double") - lit(1.96) * se))
+      .withColumn("ci_high_ppm",
+        when(col("g_pico") >= 0L,
+          col("surv_ppm").cast("double") + lit(1.96) * se))
+  }
+
   /** Competing-risks cumulative incidence (Aalen-Johansen for two causes):
     * when a subject can exit to cause A or cause B, the naive
     * 1-minus-KM-per-cause overstates both; the CIF at t is

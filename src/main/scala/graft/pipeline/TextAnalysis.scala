@@ -1236,4 +1236,62 @@ object TextAnalysis {
       .withColumn("rouge_recall_ppm",
         call_function("div", col("matched") * 1000000L, col("ref_ngrams")))
   }
+
+  /** Vocabulary-richness estimators over the n-gram frequency spectrum —
+    * the dataset-card "how much vocabulary exists beyond what we saw":
+    * Chao1 `S_obs + f1^2/(2*f2)` (NULL when no doubletons), its
+    * bias-corrected form `S_obs + f1*(f1-1)/(2*(f2+1))` (always defined),
+    * and the Good-Turing unseen-mass estimate `f1/N` in ppm (the
+    * probability the NEXT n-gram is novel). All exact integers from one
+    * gram rollup plus a frequency-of-frequencies rollup of THAT rollup.
+    * One row: (n_tokens, s_obs, f1, f2, chao1, chao1_bc,
+    * unseen_mass_ppm).
+    */
+  def vocabRichness(docs: org.apache.spark.sql.DataFrame, n: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && n <= 8, s"n: $n")
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(ngramsFromTokens(tokens(col(textCol)), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("s_obs"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        when(col("f2") > 0L,
+          col("s_obs") + call_function("div", col("f1") * col("f1"),
+            lit(2L) * col("f2"))))
+      .withColumn("chao1_bc",
+        col("s_obs") + call_function("div",
+          col("f1") * (col("f1") - 1L), lit(2L) * (col("f2") + 1L)))
+      .withColumn("unseen_mass_ppm",
+        when(col("n_tokens") > 0L,
+          call_function("div", col("f1") * 1000000L, col("n_tokens"))))
+  }
+
+  /** Good-Turing discount table over the n-gram frequency spectrum (the
+    * Katz-backoff machinery): for each raw count `c` up to `maxC`, the
+    * count-of-counts `N_c`, `N_{c+1}`, and the discounted count
+    * `c* = (c+1) * N_{c+1} / N_c` in exact milli (one truncating
+    * division). Rows exist only for observed `c` (an absent spectrum
+    * point has no defined discount). Frequency-of-frequencies is a
+    * rollup OF the gram rollup — spectrum-bounded.
+    */
+  def goodTuringDiscounts(docs: org.apache.spark.sql.DataFrame, n: Int,
+      maxC: Int = 10, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && n <= 8 && maxC >= 1, s"n: $n maxC: $maxC")
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(ngramsFromTokens(tokens(col(textCol)), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val spectrum = counts.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    spectrum.filter(col("c") <= maxC.toLong)
+      .join(spectrum.select((col("c") - 1L).as("c"),
+        col("n_c").as("n_next")), Seq("c"), "left")
+      .select(col("c"), col("n_c"), coalesce(col("n_next"), lit(0L))
+        .as("n_next"))
+      .withColumn("cstar_milli",
+        call_function("div",
+          (col("c") + 1L) * col("n_next") * 1000L, col("n_c")))
+  }
 }

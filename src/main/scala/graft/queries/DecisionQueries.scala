@@ -1446,5 +1446,183 @@ object DecisionQueries extends QuerySet {
            |                                    AS DOUBLE)
            |                               / CAST(CAST(n AS HUGEINT) * (n - 1)
            |                                      AS DOUBLE)) END AS loa_high
-           |FROM m""".stripMargin)))
+           |FROM m""".stripMargin)),
+
+    QueryDef("q418_vocab_richness", (s, d) =>
+      // how much TRIGRAM vocabulary exists beyond what the corpus shows?
+      // Chao1 (plain + bias-corrected) and the Good-Turing unseen-mass
+      // estimate from the frequency spectrum — the dataset-card richness
+      // block (trigrams: the unigram vocab saturates, the q362 lesson).
+      graft.pipeline.TextAnalysis.vocabRichness(
+        table(s, d, "documents"), n = 3),
+      Some(
+        """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents
+          |            WHERE text IS NOT NULL),
+          |g AS (SELECT CASE WHEN len(tk) >= 3
+          |        THEN list_transform(generate_series(1, len(tk) - 2),
+          |               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+          |        ELSE CAST([] AS VARCHAR[]) END AS gs
+          |      FROM tk),
+          |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+          |      FROM (SELECT unnest(gs) AS t FROM g) u GROUP BY 1),
+          |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+          |             CAST(count(*) AS BIGINT) AS s_obs,
+          |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |               AS f1,
+          |             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |               AS f2
+          |      FROM c)
+          |SELECT n_tokens, s_obs, f1, f2,
+          |       CASE WHEN f2 > 0
+          |            THEN CAST(s_obs + (f1 * f1) // (2 * f2) AS BIGINT)
+          |       END AS chao1,
+          |       CAST(s_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+          |         AS chao1_bc,
+          |       CASE WHEN n_tokens > 0
+          |            THEN CAST(f1 * 1000000 // n_tokens AS BIGINT)
+          |       END AS unseen_mass_ppm
+          |FROM a""".stripMargin)),
+
+    QueryDef("q419_hodges_lehmann", (s, d) =>
+      // HOW MUCH does an order's total shift with its line count?
+      // Hodges-Lehmann median-of-cross-differences of totalprice ($1000
+      // bins) between many-line (>= 5) and few-line orders — the robust
+      // effect size that pairs with the U test. (First cuts compared
+      // purchase-vs-view amounts and bulk-vs-small line billing — both
+      // pairs share one synthetic distribution and shifted exactly 0;
+      // line count is the one covariate with real separation, ~-10
+      // bins.)
+      Inference.hodgesLehmannShift(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(min(col("o_totalprice")).as("tp"), count(lit(1)).as("nl")),
+        floor(col("tp") / 1000).cast("long"),
+        col("nl") >= 5L),
+      Some(
+        """WITH o AS (SELECT o_orderkey, min(o_totalprice) AS tp,
+          |                  CAST(count(*) AS BIGINT) AS nl
+          |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |           GROUP BY 1),
+          |v AS (SELECT CAST(floor(tp / 1000) AS BIGINT) AS v,
+          |             (nl >= 5) AS b
+          |      FROM o),
+          |va AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM v
+          |       WHERE NOT b GROUP BY 1),
+          |vb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM v
+          |       WHERE b GROUP BY 1),
+          |df AS (SELECT vb.v - va.v AS d,
+          |              CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS w
+          |       FROM va CROSS JOIN vb GROUP BY 1),
+          |r AS (SELECT d, w, sum(w) OVER (ORDER BY d) AS cum FROM df),
+          |t AS (SELECT CAST(max(cum) AS BIGINT) AS tw FROM r),
+          |m AS (SELECT CAST(
+          |        sum(CASE WHEN cum - w + 1 <= (tw + 1) // 2
+          |                      AND (tw + 1) // 2 <= cum THEN d ELSE 0 END)
+          |        + sum(CASE WHEN cum - w + 1 <= (tw + 2) // 2
+          |                        AND (tw + 2) // 2 <= cum THEN d ELSE 0 END)
+          |        AS BIGINT) AS hl2
+          |      FROM r, t),
+          |nn AS (SELECT CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
+          |                AS n_a,
+          |              CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+          |                AS n_b
+          |       FROM v)
+          |SELECT nn.n_a, nn.n_b, m.hl2, CAST(m.hl2 * 500 AS BIGINT)
+          |         AS hl_milli
+          |FROM nn, m""".stripMargin)),
+
+    QueryDef("q420_km_greenwood", (s, d) => {
+      // the q269 fulfillment curve WITH its Greenwood 95% bands — a
+      // survival estimate without error bars is a chart, not a decision
+      // input. Same subjects, same integer fold, plus the variance
+      // factor.
+      val subj = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(greatest(lit(0L),
+          datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .cast("long")).as("dur"),
+          (col("o_orderstatus") =!= "F").as("cens"))
+      Inference.kaplanMeierGreenwood(subj, col("dur"), col("cens"))
+    }, Some(
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |         max(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |s0 AS (SELECT greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+        |                                    CAST(last_ship AS DATE))) AS dur,
+        |              (o_orderstatus <> 'F') AS cens
+        |       FROM o),
+        |dr AS (SELECT dur, count(*) AS n_exit,
+        |              sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS deaths
+        |       FROM s0 GROUP BY 1),
+        |c AS (SELECT dur, deaths,
+        |             (SELECT sum(n_exit) FROM dr)
+        |               - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS at_risk
+        |      FROM dr),
+        |st AS (SELECT row_number() OVER (ORDER BY dur) AS rn, dur, at_risk,
+        |              deaths
+        |       FROM c WHERE deaths > 0),
+        |km AS (
+        |  SELECT rn, dur, at_risk, deaths,
+        |         (1000000 * (at_risk - deaths)) // at_risk AS surv,
+        |         CASE WHEN at_risk - deaths > 0
+        |              THEN (deaths * 1000000000000) // (at_risk * (at_risk - deaths))
+        |              ELSE -1 END AS g
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT st.rn, st.dur, st.at_risk, st.deaths,
+        |         (km.surv * (st.at_risk - st.deaths)) // st.at_risk,
+        |         CASE WHEN km.g < 0 OR st.at_risk - st.deaths <= 0 THEN -1
+        |              ELSE km.g + (st.deaths * 1000000000000)
+        |                          // (st.at_risk * (st.at_risk - st.deaths))
+        |         END
+        |  FROM st JOIN km ON st.rn = km.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS duration,
+        |       CAST(at_risk AS BIGINT) AS at_risk,
+        |       CAST(deaths AS BIGINT) AS deaths,
+        |       CAST(surv AS BIGINT) AS surv_ppm,
+        |       CAST(g AS BIGINT) AS g_pico,
+        |       CASE WHEN g >= 0
+        |            THEN CAST(surv AS DOUBLE)
+        |                 - 1.96 * (CAST(surv AS DOUBLE)
+        |                           * sqrt(CAST(g AS DOUBLE) / 1.0e12))
+        |       END AS ci_low_ppm,
+        |       CASE WHEN g >= 0
+        |            THEN CAST(surv AS DOUBLE)
+        |                 + 1.96 * (CAST(surv AS DOUBLE)
+        |                           * sqrt(CAST(g AS DOUBLE) / 1.0e12))
+        |       END AS ci_high_ppm
+        |FROM km""".stripMargin)),
+
+    QueryDef("q421_good_turing", (s, d) =>
+      // the Katz-backoff machinery: Good-Turing discounted counts
+      // c* = (c+1) N_{c+1} / N_c over the bigram frequency spectrum,
+      // exact milli — what a count of c is actually WORTH once unseen
+      // mass is budgeted.
+      graft.pipeline.TextAnalysis.goodTuringDiscounts(
+        table(s, d, "documents"), n = 2, maxC = 10),
+      Some(
+        """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents
+          |            WHERE text IS NOT NULL),
+          |g AS (SELECT CASE WHEN len(tk) >= 2
+          |        THEN list_transform(generate_series(1, len(tk) - 1),
+          |               i -> tk[i] || ' ' || tk[i + 1])
+          |        ELSE CAST([] AS VARCHAR[]) END AS gs
+          |      FROM tk),
+          |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+          |      FROM (SELECT unnest(gs) AS t FROM g) u GROUP BY 1),
+          |sp AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM c GROUP BY 1)
+          |SELECT sp.c, sp.n_c,
+          |       CAST(coalesce(s2.n_c, 0) AS BIGINT) AS n_next,
+          |       CAST(((sp.c + 1) * coalesce(s2.n_c, 0) * 1000) // sp.n_c
+          |            AS BIGINT) AS cstar_milli
+          |FROM sp LEFT JOIN sp s2 ON s2.c = sp.c + 1
+          |WHERE sp.c <= 10""".stripMargin)))
 }

@@ -235,6 +235,73 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- vocabRichness / goodTuringDiscounts ----
+
+  test("vocabRichness: hand spectrum; no-doubleton corpus NULLs chao1") {
+    import graft.pipeline.{TextAnalysis => TA}
+    // bigrams: "a b" x2, "a c" x1 -> S=2, N=3, f1=1, f2=1
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val r = TA.vocabRichness(docs, n = 2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((3L, 2L, 1L, 1L, 2L, 2L, 333333L)))
+    val one = Seq("a b").toDF("text")
+    val r2 = TA.vocabRichness(one, n = 2).collect()(0)
+    assert(r2.isNullAt(4) && r2.getLong(5) === 1L &&
+      r2.getLong(6) === 1000000L)
+  }
+
+  test("goodTuringDiscounts: c* = (c+1) N_{c+1} / N_c on a hand spectrum") {
+    import graft.pipeline.{TextAnalysis => TA}
+    // spectrum: one singleton gram, one doubleton gram
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val rows = TA.goodTuringDiscounts(docs, n = 2).orderBy("c").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq((1L, 1L, 1L, 2000L), (2L, 1L, 0L, 0L)))
+  }
+
+  // ---- hodgesLehmannShift ----
+
+  test("hodgesLehmannShift: median of cross differences, doubled midpoint") {
+    // A=[1,2], B=[2,4]: diffs {0,1,2,3} -> HL = 1.5 (hl2 = 3)
+    val df = (Seq(1L, 2L).map((_, false)) ++ Seq(2L, 4L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.hodgesLehmannShift(df, col("v"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 3L, 1500L)))
+  }
+
+  test("hodgesLehmannShift: bin multiplicities weight the median") {
+    // A = two zeros, B = one 1: the only diff is 1 with weight 2
+    val df = (Seq(0L, 0L).map((_, false)) ++ Seq(1L).map((_, true)))
+      .toDF("v", "b")
+    val r = Inference.hodgesLehmannShift(df, col("v"), col("b")).collect()(0)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1000L)
+  }
+
+  // ---- kaplanMeierGreenwood ----
+
+  test("kaplanMeierGreenwood: bands match the hand variance factor; " +
+    "all-die step parks the sentinel") {
+    // exits (1,death),(2,death),(2,cens),(3,death): risk 4,3,1
+    val df = Seq((1L, false), (2L, false), (2L, true), (3L, false))
+      .toDF("dur", "cens")
+    val rows = Inference.kaplanMeierGreenwood(df, col("dur"), col("cens"))
+      .orderBy("duration").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((1L, 750000L, 83333333333L), (2L, 500000L, 249999999999L),
+        (3L, 0L, -1L)))
+    val se1 = 750000.0 * math.sqrt(83333333333L.toDouble / 1.0e12)
+    assert(rows(0).getDouble(5) === 750000.0 - 1.96 * se1)
+    assert(rows(0).getDouble(6) === 750000.0 + 1.96 * se1)
+    assert(rows(2).isNullAt(5) && rows(2).isNullAt(6))
+    // surv column must stay bit-identical to the plain kaplanMeier fold
+    val km = Inference.kaplanMeier(df, col("dur"), col("cens"))
+      .orderBy("duration").collect().map(_.getLong(3)).toSeq
+    assert(rows.map(_.getLong(3)).toSeq === km)
+  }
+
   // ---- moodMedianTest ----
 
   test("moodMedianTest: perfectly separated groups give chi2 = N, V = 1") {
