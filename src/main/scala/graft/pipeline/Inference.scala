@@ -1725,6 +1725,113 @@ object Inference {
       col("__dev"), col("__g"))
   }
 
+  /** Cochran-Mantel-Haenszel pooled 2x2 analysis across strata — the
+    * confounder-adjusted association readout (is exposure linked to
+    * outcome once the stratifier is held fixed; Simpson's-paradox
+    * insurance): the MH pooled odds ratio
+    * `OR = sum(a*d/n) / sum(b*c/n)` with each per-stratum term
+    * micro-truncated (non-negative, engine-identical), and the CMH
+    * chi-square `(sum a - sum E)^2 / sum Var` with
+    * `E = r1*c1/n`, `Var = r1*r0*c1*c0 / (n^2 (n-1))`, both accumulated
+    * in declared micro units; the statistic is ONE IEEE division over
+    * exact DECIMAL operands. Strata with n < 2 are excluded (no defined
+    * variance). One row: (n_strata, sum_a, or_milli, chi2).
+    */
+  def cmh(df: DataFrame, strataCols: Seq[String], exposed: Column,
+      outcome: Column): DataFrame = {
+    require(strataCols.nonEmpty, "cmh needs strata columns")
+    val strata = df
+      .filter(exposed.isNotNull && outcome.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("dd"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+      .filter(col("n") >= 2L)
+    val r1 = col("a") + col("b")
+    val r0 = col("c") + col("dd")
+    val c1 = col("a") + col("c")
+    val c0 = col("b") + col("dd")
+    val agg0 = strata.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sum_a"),
+      sum(dec(call_function("div", dec(col("a")) * col("dd") * 1000000L,
+        dec(col("n"))))).as("__r"),
+      sum(dec(call_function("div", dec(col("b")) * col("c") * 1000000L,
+        dec(col("n"))))).as("__s"),
+      sum(dec(call_function("div", dec(r1) * c1 * 1000000L,
+        dec(col("n"))))).as("__e6"),
+      sum(dec(call_function("div",
+        dec(r1) * dec(r0) * dec(c1) * c0 * 1000000L,
+        dec(col("n")) * dec(col("n")) * dec(col("n") - 1L)))).as("__v6"))
+    val diff = dec(col("sum_a")) * 1000000L - col("__e6")
+    agg0.select(col("n_strata"), col("sum_a"),
+      when(col("__s") > dec(lit(0L)),
+        call_function("div", col("__r") * 1000L, col("__s")).cast("long"))
+        .as("or_milli"),
+      when(col("__v6") > dec(lit(0L)),
+        (diff * diff).cast("double") /
+          (dec(lit(1000000L)) * col("__v6")).cast("double")).as("chi2"))
+  }
+
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]] — WHICH
+    * groups differ, using the shared global rank pool (never pairwise
+    * re-ranking, which changes the question): per pair,
+    * `z = (mean_rank_g - mean_rank_h) /
+    *      sqrt((N(N+1)/12 - T/(12(N-1))) * (1/n_g + 1/n_h))`
+    * over the same doubled tie-averaged ranks (the doubled means and the
+    * doubled variance factor cancel via the leading 2). Rank sums are
+    * exact; each z is a fixed IEEE chain mirrored by the oracle. One row
+    * per unordered group pair — the pair join is GROUP-domain sized.
+    */
+  def dunnPosthoc(df: DataFrame, valueCol: Column, groupCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct: $maxDistinct")
+    val base = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("__g"), valueCol.as("v"))
+    val byValGroup = base.groupBy(col("v"), col("__g"))
+      .agg(count(lit(1)).as("c_vg"))
+      .localCheckpoint(false) // feeds the value rollup AND the group join
+    val byVal = byValGroup.groupBy(col("v")).agg(sum(col("c_vg")).as("c_v"))
+    val w = Window.orderBy(col("v").asc)
+    val guard = when(row_number().over(w) > maxDistinct,
+      raise_error(lit(s"dunnPosthoc exceeded $maxDistinct distinct " +
+        "values — bin the metric to fixed-point first")).cast("long"))
+      .otherwise(lit(0L))
+    val ranked = byVal
+      .withColumn("cum", sum(col("c_v")).over(w) + guard)
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("c_v")) + col("c_v") + 1L).as("r2"))
+    val perGroup = byValGroup.join(ranked, "v")
+      .groupBy(col("__g"))
+      .agg(sum(col("c_vg")).as("n_g"),
+        sum(dec(col("c_vg")) * col("r2")).cast("long").as("r2_g"))
+    val ties = byVal.agg(
+      sum(col("c_v")).as("n"),
+      (sum(dec(col("c_v")) * dec(col("c_v")) * dec(col("c_v"))) -
+        sum(dec(col("c_v")))).cast("long").as("tie_term"))
+    val pairs = perGroup
+      .select(col("__g").as("g_a"), col("n_g").as("n_a"),
+        col("r2_g").as("r2_a"))
+      .join(perGroup.select(col("__g").as("g_b"), col("n_g").as("n_b"),
+        col("r2_g").as("r2_b")), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(ties))
+    // doubled-rank variance factor: 4 * (N(N+1)/12 - T/(12(N-1)));
+    // the doubled mean difference carries the matching 2
+    val s2 = ((dec(col("n")) * dec(col("n") + 1L)).cast("double") -
+      col("tie_term").cast("double") / (col("n") - 1L).cast("double")) /
+      lit(12.0)
+    pairs.select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+      when(col("n") > 1L,
+        (col("r2_a").cast("double") / col("n_a").cast("double") -
+          col("r2_b").cast("double") / col("n_b").cast("double")) /
+          (lit(2.0) * sqrt(s2 *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double"))))).as("z"))
+  }
+
   /** Mood's median test — do k groups share a common median? Each group's
     * above/not-above-the-grand-median counts feed the exact chi-square
     * machinery ([[graft.operators.Features.chiSquareSummary]]); the grand

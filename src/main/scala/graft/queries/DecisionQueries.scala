@@ -1624,5 +1624,95 @@ object DecisionQueries extends QuerySet {
           |       CAST(((sp.c + 1) * coalesce(s2.n_c, 0) * 1000) // sp.n_c
           |            AS BIGINT) AS cstar_milli
           |FROM sp LEFT JOIN sp s2 ON s2.c = sp.c + 1
-          |WHERE sp.c <= 10""".stripMargin)))
+          |WHERE sp.c <= 10""".stripMargin)),
+
+    QueryDef("q422_cmh", (s, d) =>
+      // is deep discounting associated with returns ONCE priority is held
+      // fixed? Cochran-Mantel-Haenszel pooled odds ratio + chi-square
+      // across the five priority strata — the Simpson's-paradox-proof
+      // version of the q232 marginal association.
+      Inference.cmh(
+        table(s, d, "orders")
+          .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("stratum"),
+            (floor(col("l_discount") * 1000 + 0.5).cast("long") >= 50L)
+              .as("e"),
+            (col("l_returnflag") === "R").as("o")),
+        Seq("stratum"), col("e"), col("o")),
+      Some(
+        """WITH b0 AS (
+          |  SELECT o_orderpriority AS s,
+          |         (CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) >= 50)
+          |           AS e,
+          |         (l_returnflag = 'R') AS o
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |st AS (SELECT s,
+          |         CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS a,
+          |         CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS b,
+          |         CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c,
+          |         CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS dd
+          |       FROM b0 GROUP BY 1),
+          |st2 AS (SELECT *, a + b + c + dd AS n FROM st
+          |        WHERE a + b + c + dd >= 2),
+          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+          |               CAST(sum(a) AS BIGINT) AS sum_a,
+          |               sum((CAST(a AS HUGEINT) * dd * 1000000) // n) AS r,
+          |               sum((CAST(b AS HUGEINT) * c * 1000000) // n) AS sx,
+          |               sum((CAST(a + b AS HUGEINT) * (a + c) * 1000000)
+          |                   // n) AS e6,
+          |               sum((CAST(a + b AS HUGEINT) * (c + dd) * (a + c)
+          |                    * (b + dd) * 1000000)
+          |                   // (CAST(n AS HUGEINT) * n * (n - 1))) AS v6
+          |        FROM st2)
+          |SELECT n_strata, sum_a,
+          |       CASE WHEN sx > 0
+          |            THEN CAST((r * 1000) // sx AS BIGINT) END AS or_milli,
+          |       CASE WHEN v6 > 0
+          |            THEN CAST((CAST(sum_a AS HUGEINT) * 1000000 - e6)
+          |                      * (CAST(sum_a AS HUGEINT) * 1000000 - e6)
+          |                      AS DOUBLE)
+          |               / CAST(1000000 * v6 AS DOUBLE) END AS chi2
+          |FROM agg""".stripMargin)),
+
+    QueryDef("q423_dunn_posthoc", (s, d) =>
+      // q388 said the event types differ somewhere; Dunn's post-hoc says
+      // WHERE — every type pair's z over the one shared global rank pool
+      // (pairwise re-ranking would change the question).
+      Inference.dunnPosthoc(events(s, d),
+        floor(col("value") * 1000 + 0.5).cast("long"), col("event_type")),
+      Some(
+        """WITH v AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+          |                  event_type AS g
+          |           FROM events
+          |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c_vg
+          |       FROM v GROUP BY 1, 2),
+          |vt AS (SELECT v, CAST(sum(c_vg) AS BIGINT) AS c_v FROM vg GROUP BY 1),
+          |r AS (SELECT v, CAST(2 * (sum(c_v) OVER (ORDER BY v) - c_v)
+          |                     + c_v + 1 AS BIGINT) AS r2
+          |      FROM vt),
+          |pg AS (SELECT g, CAST(sum(c_vg) AS BIGINT) AS n_g,
+          |              CAST(sum(CAST(c_vg AS HUGEINT) * r2) AS BIGINT)
+          |                AS r2_g
+          |       FROM vg JOIN r USING (v) GROUP BY 1),
+          |tt AS (SELECT CAST(sum(c_v) AS BIGINT) AS n,
+          |              CAST(sum(CAST(c_v AS HUGEINT) * c_v * c_v)
+          |                   - sum(CAST(c_v AS HUGEINT)) AS BIGINT) AS tie
+          |       FROM vt)
+          |SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a, b.n_g AS n_b,
+          |       CASE WHEN tt.n > 1 THEN
+          |         (CAST(a.r2_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+          |          - CAST(b.r2_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+          |         / (2.0 * sqrt(
+          |             ((CAST(CAST(tt.n AS HUGEINT) * (tt.n + 1) AS DOUBLE)
+          |               - CAST(tt.tie AS DOUBLE) / CAST(tt.n - 1 AS DOUBLE))
+          |              / 12.0)
+          |             * (1.0 / CAST(a.n_g AS DOUBLE)
+          |                + 1.0 / CAST(b.n_g AS DOUBLE))))
+          |       END AS z
+          |FROM pg a JOIN pg b ON a.g < b.g, tt""".stripMargin)))
 }

@@ -235,6 +235,54 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- cmh ----
+
+  test("cmh: single stratum (3,1,1,3) gives OR 9 and the hand chi2") {
+    val df = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false)))
+      .map { case (e, o) => ("s1", e, o) }.toDF("st", "e", "o")
+    val r = Inference.cmh(df, Seq("st"), col("e"), col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 3L, 9000L)))
+    // E6 = 2e6, Var6 = 256e6 // 448 = 571428
+    assert(r.getDouble(3) === 1.0e12 / 571428.0e6)
+  }
+
+  test("cmh: identical strata pool cleanly; no-discordant strata NULL the OR") {
+    val one = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false)))
+    val df = (one.map { case (e, o) => ("s1", e, o) } ++
+      one.map { case (e, o) => ("s2", e, o) }).toDF("st", "e", "o")
+    val r = Inference.cmh(df, Seq("st"), col("e"), col("o")).collect()(0)
+    assert(r.getLong(2) === 9000L)
+    assert(r.getDouble(3) === 4.0e12 / 1142856.0e6)
+    val diag = Seq(("s1", true, true), ("s1", false, false))
+      .toDF("st", "e", "o")
+    val r2 = Inference.cmh(diag, Seq("st"), col("e"), col("o")).collect()(0)
+    assert(r2.isNullAt(2) && r2.getDouble(3) === 1.0)
+  }
+
+  // ---- dunnPosthoc ----
+
+  test("dunnPosthoc: two separated groups, hand z off the shared rank pool") {
+    val df = (Seq(1L, 2L).map((_, "a")) ++ Seq(3L, 4L).map((_, "b")))
+      .toDF("v", "g")
+    val rows = Inference.dunnPosthoc(df, col("v"), col("g")).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ===
+      (("a", "b", 2L, 2L)))
+    assert(r.getDouble(4) === (6.0 / 2.0 - 14.0 / 2.0) /
+      (2.0 * math.sqrt(((20.0 - 0.0 / 3.0) / 12.0) *
+        (1.0 / 2.0 + 1.0 / 2.0))))
+  }
+
+  test("dunnPosthoc: k groups emit every unordered pair once") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a")).toDF("v", "g")
+    val rows = Inference.dunnPosthoc(df, col("v"), col("g")).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   // ---- vocabRichness / goodTuringDiscounts ----
 
   test("vocabRichness: hand spectrum; no-doubleton corpus NULLs chao1") {
