@@ -1219,6 +1219,71 @@ object Stats {
           .as("fano_ppm")): _*)
   }
 
+  /** Seasonal-naive MASE: the scaled forecast-quality readout that makes
+    * error comparable across series — here, the seasonal-naive forecast
+    * (`y_{t-period}`) scored against the one-step naive scale
+    * (`y_{t-1}`): `mase_ppm = sum|y - y_{t-p}| * 1e6 div sum|y - y_{t-1}|`
+    * per group, exact integers end to end (below 1e6 means "knowing the
+    * weekly shape beats knowing yesterday"). Only days where BOTH lags
+    * exist score (equi self-joins on the daily rollup — co-partitioned,
+    * no windows). One row per group: (n_days, sae_seasonal, sae_naive,
+    * mase_ppm).
+    */
+  def seasonalNaiveMase(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period: $period")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds all three join arms
+    val lag1 = daily.select(gcols :+ (col("day") + 1L).as("day") :+
+      col("y").as("y1"): _*)
+    val lagP = daily.select(gcols :+ (col("day") + period.toLong).as("day") :+
+      col("y").as("yp"): _*)
+    daily.join(lag1, groupCols :+ "day")
+      .join(lagP, groupCols :+ "day")
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("yp"))).as("sae_seasonal"),
+        sum(abs(col("y") - col("y1"))).as("sae_naive"))
+      .withColumn("mase_ppm",
+        when(col("sae_naive") > 0L,
+          call_function("div",
+            col("sae_seasonal").cast("decimal(38,0)") * 1000000L,
+            col("sae_naive").cast("decimal(38,0)")).cast("long")))
+  }
+
+  /** Pinball (quantile) loss of a per-group quantile forecast against
+    * held-out actuals — the metric that makes "was the p90 a good p90"
+    * scoreable: per test row,
+    * `loss_milli = pMille*(y-q)` when `y > q`, else
+    * `(1000-pMille)*(q-y)` — exact integers; a perfectly calibrated
+    * quantile minimizes the sum. `quantiles` carries the group columns
+    * plus a `value` column (the [[exactQuantiles]] output shape). One
+    * row per group: (q_value, n_test, total_loss_milli, avg_loss_milli).
+    */
+  def pinballLoss(test: DataFrame, groupCols: Seq[String], valueCol: Column,
+      quantiles: DataFrame, pMille: Int): DataFrame = {
+    require(pMille > 0 && pMille < 1000, s"pMille: $pMille")
+    require(groupCols.nonEmpty, "pinballLoss needs group columns")
+    val gcols = groupCols.map(col)
+    val q = quantiles.select(gcols :+
+      col("value").cast("long").as("__q"): _*)
+    val joined = test.filter(valueCol.isNotNull)
+      .select(gcols :+ valueCol.cast("long").as("__y"): _*)
+      .join(broadcast(q), groupCols)
+    joined
+      .withColumn("__loss",
+        when(col("__y") > col("__q"),
+          lit(pMille.toLong) * (col("__y") - col("__q")))
+          .otherwise(lit(1000L - pMille) * (col("__q") - col("__y"))))
+      .groupBy(gcols: _*)
+      .agg(max(col("__q")).as("q_value"), count(lit(1)).as("n_test"),
+        sum(col("__loss")).as("total_loss_milli"))
+      .withColumn("avg_loss_milli",
+        call_function("div", col("total_loss_milli"), col("n_test")))
+  }
+
   /** Croston's method for INTERMITTENT demand (Croston 1972): when most
     * periods are zero, plain EWMA/Holt forecasts collapse toward zero
     * between demands and spike after each one; Croston smooths demand

@@ -1714,5 +1714,78 @@ object DecisionQueries extends QuerySet {
           |             * (1.0 / CAST(a.n_g AS DOUBLE)
           |                + 1.0 / CAST(b.n_g AS DOUBLE))))
           |       END AS z
-          |FROM pg a JOIN pg b ON a.g < b.g, tt""".stripMargin)))
+          |FROM pg a JOIN pg b ON a.g < b.g, tt""".stripMargin)),
+
+    QueryDef("q424_seasonal_mase", (s, d) =>
+      // does knowing the weekly shape beat knowing yesterday? Seasonal-
+      // naive MASE per priority class over daily revenue cents — the
+      // scaled error that makes forecast quality comparable across
+      // series (below 1e6 ppm = weekly seasonality carries real signal).
+      Stats.seasonalNaiveMase(
+        table(s, d, "orders").select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).as("day"),
+          Features.cents(col("o_totalprice")).as("y")),
+        Seq("o_orderpriority"), col("day"), col("y"), period = 7),
+      Some(
+        s"""WITH dl AS (
+           |  SELECT o_orderpriority AS g,
+           |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) AS day,
+           |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |j AS (SELECT d.g, d.day, d.y, p1.y AS y1, p7.y AS y7
+           |      FROM dl d JOIN dl p1 ON p1.g = d.g AND p1.day = d.day - 1
+           |                JOIN dl p7 ON p7.g = d.g AND p7.day = d.day - 7)
+           |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_days,
+           |       CAST(sum(abs(y - y7)) AS BIGINT) AS sae_seasonal,
+           |       CAST(sum(abs(y - y1)) AS BIGINT) AS sae_naive,
+           |       CASE WHEN sum(abs(y - y1)) > 0
+           |            THEN CAST(CAST(sum(abs(y - y7)) AS HUGEINT) * 1000000
+           |                      // sum(abs(y - y1)) AS BIGINT)
+           |       END AS mase_ppm
+           |FROM j GROUP BY 1""".stripMargin)),
+
+    QueryDef("q425_pinball_loss", (s, d) => {
+      // was the training-window p90 a good p90? Pinball loss at p = 0.9
+      // of each event type's first-three-weeks daily-count p90 against
+      // the held-out fourth week — the quantile-forecast scorecard.
+      val e = events(s, d)
+      val t0 = e.agg(min(to_date(col("ts"))).as("d0"))
+      val daily = e.crossJoin(broadcast(t0))
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), col("d0")).as("dd"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // feeds the train rollup AND the test join
+      val q90 = Stats.exactQuantiles(daily.filter(col("dd") < 21L),
+        Seq("event_type"), col("cnt"), Seq(900))
+      Stats.pinballLoss(daily.filter(col("dd") >= 21L), Seq("event_type"),
+        col("cnt"), q90, pMille = 900)
+    }, Some(
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+        |daily AS (SELECT event_type,
+        |                 date_diff('day', d0.d0, CAST(ts AS DATE)) AS dd,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM events, d0 GROUP BY 1, 2),
+        |tr AS (SELECT event_type, cnt AS v, CAST(count(*) AS BIGINT) AS k
+        |       FROM daily WHERE dd < 21 GROUP BY 1, 2),
+        |w AS (SELECT event_type, v, k,
+        |             sum(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |             sum(k) OVER (PARTITION BY event_type) AS tot
+        |      FROM tr),
+        |q AS (SELECT event_type, CAST(min(v) AS BIGINT) AS q90
+        |      FROM w WHERE cum * 1000 >= 900 * tot
+        |              AND (cum - k) * 1000 < 900 * tot
+        |      GROUP BY 1),
+        |te AS (SELECT daily.event_type, daily.cnt AS y, q.q90
+        |       FROM daily JOIN q USING (event_type) WHERE dd >= 21)
+        |SELECT event_type, CAST(max(q90) AS BIGINT) AS q_value,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN y > q90 THEN 900 * (y - q90)
+        |                     ELSE 100 * (q90 - y) END) AS BIGINT)
+        |         AS total_loss_milli,
+        |       CAST(sum(CASE WHEN y > q90 THEN 900 * (y - q90)
+        |                     ELSE 100 * (q90 - y) END)
+        |            // count(*) AS BIGINT) AS avg_loss_milli
+        |FROM te GROUP BY 1""".stripMargin)))
 }

@@ -235,6 +235,31 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- seasonalNaiveMase / pinballLoss ----
+
+  test("seasonalNaiveMase: identity series scores 7e6 ppm; gaps drop") {
+    // y = day on days 1..9: seasonal AE 7, naive AE 1 on days 8 and 9
+    val df = (1L to 9L).map(t => ("g", t, t)).toDF("g", "day", "y")
+    val r = Stats.seasonalNaiveMase(df, Seq("g"), col("day"), col("y"))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 14L, 2L, 7000000L)))
+    // a missing day-8 means day 9 has no naive lag: nothing scores
+    val gap = ((1L to 7L) :+ 9L).map(t => ("g", t, t)).toDF("g", "day", "y")
+    assert(Stats.seasonalNaiveMase(gap, Seq("g"), col("day"), col("y"))
+      .count() === 0L)
+  }
+
+  test("pinballLoss: asymmetric milli weights around the quantile") {
+    // q = 10 at p = 0.9: y = 8 costs 100*2, y = 13 costs 900*3
+    val test = Seq(("g", 8L), ("g", 13L)).toDF("g", "y")
+    val q = Seq(("g", 10L)).toDF("g", "value")
+    val r = Stats.pinballLoss(test, Seq("g"), col("y"), q, pMille = 900)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 2L, 2900L, 1450L)))
+  }
+
   // ---- cmh ----
 
   test("cmh: single stratum (3,1,1,3) gives OR 9 and the hand chi2") {
