@@ -2322,6 +2322,84 @@ object Inference {
           .as("chi2"))
   }
 
+  /** Page's L trend test — [[friedman]]'s ORDERED-alternative sibling
+    * (does the metric rise monotonically across treatments, judged
+    * within blocks), exactly as [[jonckheereTerpstra]] is
+    * [[kruskalWallis]]'s: `L = sum_j j * R_j` over within-block
+    * tie-averaged DOUBLED ranks and the declared treatment order.
+    * `E2[L2] = b*k*(k+1)^2/2` and the classical no-tie variance
+    * `Var[L] = b*k^2*(k+1)*(k^2-1)/144` (ties average into the ranks;
+    * the variance keeps the standard form — the usual practice) give the
+    * fixed chain `z = (L2 - E2) / (2*sqrt(varNum/144))`. Complete blocks
+    * only. One row: (n_blocks, k, l2, z).
+    */
+  def pageTrend(df: DataFrame, blockCol: Column, treatmentOrdCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .filter(blockCol.isNotNull && treatmentOrdCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(blockCol.as("__b"), treatmentOrdCol.cast("long").as("__t"))
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val k = cells.agg(countDistinct(col("__t")).as("k"))
+    val complete = cells
+      .withColumn("__bk", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("k"))
+    val byBlock = Window.partitionBy(col("__b")).orderBy(col("y"))
+    val tieCnt = count(lit(1))
+      .over(Window.partitionBy(col("__b"), col("y")))
+    val ranked = complete
+      .withColumn("r2", rank().over(byBlock) * 2L + tieCnt - 1L)
+      // the treatment SCORE is its 1-based position in the declared
+      // order, not the raw encoding (a 10/20/30 dose column must weigh
+      // 1/2/3)
+      .withColumn("j",
+        dense_rank().over(Window.orderBy(col("__t"))).cast("long"))
+    val agg0 = ranked.groupBy(col("k"))
+      .agg((countDistinct(col("__b"))).as("n_blocks"),
+        sum(dec(col("j")) * col("r2")).cast("long").as("l2"))
+    val e2 = dec(col("n_blocks")) * dec(col("k")) * dec(col("k") + 1L) *
+      dec(col("k") + 1L)
+    val varNum = dec(col("n_blocks")) * dec(col("k")) * dec(col("k")) *
+      dec(col("k") + 1L) * (dec(col("k")) * dec(col("k")) - dec(lit(1L)))
+    agg0.select(col("n_blocks"), col("k"), col("l2"),
+      when(col("k") > 1L && col("n_blocks") > 0L,
+        (dec(col("l2")) * 2L - e2).cast("double") / lit(2.0) /
+          (lit(2.0) * sqrt(varNum.cast("double") / lit(144.0)))).as("z"))
+  }
+
+  /** Bowker's symmetry test — [[mcnemar]]'s k x k generalization for
+    * paired ORDINAL/categorical raters: under symmetry every off-diagonal
+    * pair satisfies `n_ij = n_ji`, and
+    * `chi2 = sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji)` over pairs with
+    * any mass. Each pair's term is milli-truncated (non-negative) and
+    * integer-summed — no float summation order. dof = pairs with mass.
+    * One row: (n, n_pairs, chi2_milli). Cell pairing is
+    * category-domain-sized.
+    */
+  def bowkerSymmetry(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("long").as("ra"), bCol.cast("long").as("rb"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds both pairing arms and the total
+    val pairs = cells.filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"), col("c").as("c_ij"))
+      .join(cells.filter(col("ra") > col("rb"))
+        .select(col("rb").as("ra"), col("ra").as("rb"), col("c").as("c_ji")),
+        Seq("ra", "rb"), "full")
+      .select(coalesce(col("c_ij"), lit(0L)).as("c_ij"),
+        coalesce(col("c_ji"), lit(0L)).as("c_ji"))
+      .filter(col("c_ij") + col("c_ji") > 0L)
+    val terms = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(call_function("div",
+        (col("c_ij") - col("c_ji")) * (col("c_ij") - col("c_ji")) * 1000L,
+        col("c_ij") + col("c_ji"))).as("chi2_milli"))
+    cells.agg(sum(col("c")).as("n")).crossJoin(terms)
+      .select(col("n"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("chi2_milli"), lit(0L)).as("chi2_milli"))
+  }
+
   /** Jonckheere-Terpstra test for an ORDERED alternative across k groups
     * (dose-response: is the metric monotone in the group order?) — the
     * k-sample generalization of [[mannWhitney]] that sums pairwise U

@@ -1787,5 +1787,87 @@ object DecisionQueries extends QuerySet {
         |       CAST(sum(CASE WHEN y > q90 THEN 900 * (y - q90)
         |                     ELSE 100 * (q90 - y) END)
         |            // count(*) AS BIGINT) AS avg_loss_milli
-        |FROM te GROUP BY 1""".stripMargin)))
+        |FROM te GROUP BY 1""".stripMargin)),
+
+    QueryDef("q426_page_trend", (s, d) =>
+      // does weekly revenue RISE across the priority scale, judged within
+      // each week? Page's L — Friedman's ordered-alternative sibling,
+      // exactly as q405's Jonckheere is q388's.
+      Inference.pageTrend(
+        table(s, d, "orders").groupBy(
+          call_function("div",
+            datediff(to_date(col("o_orderdate")),
+              lit("1970-01-01").cast("date")).cast("long"), lit(7L))
+            .as("wk"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pr"))
+          .agg(sum(Features.cents(col("o_totalprice"))).as("y")),
+        col("wk"), col("pr"), col("y")),
+      Some(
+        s"""WITH c AS (
+           |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) // 7 AS blk,
+           |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+           |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM c),
+           |cb AS (SELECT c.*, k.k,
+           |              count(*) OVER (PARTITION BY blk) AS bk FROM c, k),
+           |cc AS (SELECT * FROM cb WHERE bk = k),
+           |r AS (SELECT blk, t, k,
+           |             2 * rank() OVER (PARTITION BY blk ORDER BY y)
+           |               + count(*) OVER (PARTITION BY blk, y) - 1 AS r2,
+           |             dense_rank() OVER (ORDER BY t) AS j
+           |      FROM cc),
+           |a AS (SELECT k, CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+           |             CAST(sum(j * r2) AS BIGINT) AS l2
+           |      FROM r GROUP BY 1)
+           |SELECT n_blocks, k, l2,
+           |       CASE WHEN k > 1 AND n_blocks > 0 THEN
+           |         CAST(CAST(l2 AS HUGEINT) * 2
+           |              - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+           |              AS DOUBLE) / 2.0
+           |         / (2.0 * sqrt(
+           |             CAST(CAST(n_blocks AS HUGEINT) * k * k * (k + 1)
+           |                  * (CAST(k AS HUGEINT) * k - 1) AS DOUBLE)
+           |             / 144.0))
+           |       END AS z
+           |FROM a""".stripMargin)),
+
+    QueryDef("q427_bowker", (s, d) => {
+      // do the q409 raters disagree SYMMETRICALLY, or does one
+      // systematically score higher? Bowker's k x k symmetry test — the
+      // ordinal generalization of q389's McNemar (here the +-1
+      // perturbation is asymmetric at the clamps, so symmetry fails
+      // detectably).
+      val a = least(lit(5L), call_function("div",
+        call_function("div", Features.cents(col("o_totalprice")), lit(100L)),
+        lit(50000L)))
+      val b = least(lit(5L),
+        greatest(lit(0L), a + pmod(col("o_orderkey"), lit(3L)) - 1L))
+      Inference.bowkerSymmetry(table(s, d, "orders"), a, b)
+    }, Some(
+      s"""WITH r0 AS (
+         |  SELECT least(5, (${centsSql("o_totalprice")} // 100) // 50000)
+         |           AS ra
+         |       , o_orderkey FROM orders),
+         |r1 AS (SELECT ra,
+         |              least(5, greatest(0, ra + o_orderkey % 3 - 1)) AS rb
+         |       FROM r0),
+         |cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+         |          FROM r1 GROUP BY 1, 2),
+         |up AS (SELECT ra, rb, c AS c_ij FROM cells WHERE ra < rb),
+         |dn AS (SELECT rb AS ra, ra AS rb, c AS c_ji FROM cells
+         |       WHERE ra > rb),
+         |p AS (SELECT coalesce(up.c_ij, 0) AS c_ij,
+         |             coalesce(dn.c_ji, 0) AS c_ji
+         |      FROM up FULL JOIN dn ON up.ra = dn.ra AND up.rb = dn.rb
+         |      WHERE coalesce(up.c_ij, 0) + coalesce(dn.c_ji, 0) > 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |             CAST(sum(((c_ij - c_ji) * (c_ij - c_ji) * 1000)
+         |                      // (c_ij + c_ji)) AS BIGINT) AS chi2_milli
+         |      FROM p),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r1)
+         |SELECT nt.n, coalesce(t.n_pairs, 0) AS n_pairs,
+         |       coalesce(t.chi2_milli, 0) AS chi2_milli
+         |FROM nt, t""".stripMargin)))
 }

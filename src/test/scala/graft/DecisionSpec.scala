@@ -235,6 +235,52 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- pageTrend ----
+
+  test("pageTrend: strictly increasing treatments give z = 2") {
+    // 2 blocks, 3 ordered treatments, y rising with the order:
+    // L = 28 (max), E = 24, Var = 4
+    val df = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 4L), (2L, 20L, 5L), (2L, 30L, 6L)).toDF("b", "t", "y")
+    val r = Inference.pageTrend(df, col("b"), col("t"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 56L)))
+    assert(r.getDouble(3) === 2.0)
+    // the score is the POSITION in the order (10/20/30 weigh 1/2/3),
+    // which the l2 = 56 above already proves
+  }
+
+  test("pageTrend: incomplete blocks drop; reversed order flips the sign") {
+    val df = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L),
+      (2L, 10L, 6L), (2L, 20L, 5L), (2L, 30L, 4L),
+      (3L, 10L, 9L)).toDF("b", "t", "y") // block 3 incomplete
+    val r = Inference.pageTrend(df, col("b"), col("t"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) === 2L && r.getDouble(3) === -2.0)
+  }
+
+  // ---- bowkerSymmetry ----
+
+  test("bowkerSymmetry: per-pair milli terms over discordant cells") {
+    // (0,1)x3 vs (1,0)x1 -> 4000/4 = 1000 milli; (0,2)x2 vs (2,0)x2 -> 0
+    val df = (Seq.fill(3)((0L, 1L)) ++ Seq((1L, 0L)) ++
+      Seq.fill(2)((0L, 2L)) ++ Seq.fill(2)((2L, 0L)) ++ Seq((1L, 1L)))
+      .toDF("a", "b")
+    val r = Inference.bowkerSymmetry(df, col("a"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((9L, 2L, 1000L)))
+  }
+
+  test("bowkerSymmetry: perfect symmetry scores 0; one-sided pairs count") {
+    val sym = Seq((0L, 1L), (1L, 0L), (2L, 2L)).toDF("a", "b")
+    assert(Inference.bowkerSymmetry(sym, col("a"), col("b"))
+      .collect()(0).getLong(2) === 0L)
+    // a pair observed in only one direction still contributes fully
+    val oneSided = Seq((0L, 1L), (0L, 1L)).toDF("a", "b")
+    val r = Inference.bowkerSymmetry(oneSided, col("a"), col("b"))
+      .collect()(0)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 2000L)
+  }
+
   // ---- seasonalNaiveMase / pinballLoss ----
 
   test("seasonalNaiveMase: identity series scores 7e6 ppm; gaps drop") {
