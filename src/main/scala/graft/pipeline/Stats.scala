@@ -1284,6 +1284,49 @@ object Stats {
         call_function("div", col("total_loss_milli"), col("n_test")))
   }
 
+  /** Forecast-bias diagnostics for the seasonal-naive forecast —
+    * [[seasonalNaiveMase]]'s companion panel: Theil's U2
+    * `sqrt(sum(y - y_{t-p})^2 / sum(y - y_{t-1})^2)` (below 1 = the
+    * forecast beats naive on SQUARED error, complementing MASE's
+    * absolute scale) and the tracking signal `n * sum(e) / sum|e|`
+    * (cumulative signed error over the mean absolute deviation — the
+    * demand-planning drift alarm; the SIGNED numerator never passes an
+    * integral division). Squared-error sums ride DECIMAL(38,0); both
+    * statistics are fixed IEEE chains. Same both-lags-exist join
+    * contract as MASE. One row per group:
+    * (n_days, sum_err, sum_abs_err, theil_u2, tracking_signal).
+    */
+  def theilTracking(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period: $period")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcols = groupCols.map(col)
+    val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds all three join arms
+    val lag1 = daily.select(gcols :+ (col("day") + 1L).as("day") :+
+      col("y").as("y1"): _*)
+    val lagP = daily.select(gcols :+ (col("day") + period.toLong).as("day") :+
+      col("y").as("yp"): _*)
+    val e = col("y") - col("yp")
+    val en = col("y") - col("y1")
+    daily.join(lag1, groupCols :+ "day")
+      .join(lagP, groupCols :+ "day")
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(e).as("sum_err"),
+        sum(abs(e)).as("sum_abs_err"),
+        sum(dec(e) * e).as("__ss"),
+        sum(dec(en) * en).as("__sn"))
+      .select(gcols ++ Seq(col("n_days"), col("sum_err"), col("sum_abs_err"),
+        when(col("__sn") > dec(lit(0L)),
+          sqrt(col("__ss").cast("double") / col("__sn").cast("double")))
+          .as("theil_u2"),
+        when(col("sum_abs_err") > 0L,
+          (dec(col("n_days")) * dec(col("sum_err"))).cast("double") /
+            col("sum_abs_err").cast("double")).as("tracking_signal")): _*)
+  }
+
   /** Croston's method for INTERMITTENT demand (Croston 1972): when most
     * periods are zero, plain EWMA/Holt forecasts collapse toward zero
     * between demands and spike after each one; Croston smooths demand

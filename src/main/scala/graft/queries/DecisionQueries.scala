@@ -1869,5 +1869,40 @@ object DecisionQueries extends QuerySet {
          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r1)
          |SELECT nt.n, coalesce(t.n_pairs, 0) AS n_pairs,
          |       coalesce(t.chi2_milli, 0) AS chi2_milli
-         |FROM nt, t""".stripMargin)))
+         |FROM nt, t""".stripMargin)),
+
+    QueryDef("q428_theil_tracking", (s, d) =>
+      // q424's companion panel: Theil's U2 (squared-error scale) and the
+      // tracking signal (the demand-planning drift alarm: cumulative
+      // signed error over MAD) for the seasonal-naive forecast of daily
+      // revenue per priority class.
+      Stats.theilTracking(
+        table(s, d, "orders").select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).as("day"),
+          Features.cents(col("o_totalprice")).as("y")),
+        Seq("o_orderpriority"), col("day"), col("y"), period = 7),
+      Some(
+        s"""WITH dl AS (
+           |  SELECT o_orderpriority AS g,
+           |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) AS day,
+           |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |j AS (SELECT d.g, d.y - p7.y AS e, d.y - p1.y AS en
+           |      FROM dl d JOIN dl p1 ON p1.g = d.g AND p1.day = d.day - 1
+           |                JOIN dl p7 ON p7.g = d.g AND p7.day = d.day - 7)
+           |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_days,
+           |       CAST(sum(e) AS BIGINT) AS sum_err,
+           |       CAST(sum(abs(e)) AS BIGINT) AS sum_abs_err,
+           |       CASE WHEN sum(CAST(en AS HUGEINT) * en) > 0
+           |            THEN sqrt(CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE)
+           |                      / CAST(sum(CAST(en AS HUGEINT) * en)
+           |                             AS DOUBLE)) END AS theil_u2,
+           |       CASE WHEN sum(abs(e)) > 0
+           |            THEN CAST(CAST(count(*) AS HUGEINT) * sum(e)
+           |                      AS DOUBLE)
+           |               / CAST(sum(abs(e)) AS DOUBLE) END
+           |         AS tracking_signal
+           |FROM j GROUP BY 1""".stripMargin)))
 }

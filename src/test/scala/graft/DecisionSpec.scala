@@ -296,6 +296,16 @@ class DecisionSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("theilTracking: identity series gives U2 = 7 and a +2 tracking signal") {
+    // y = day on 1..9: e = 7, en = 1 on days 8 and 9
+    val df = (1L to 9L).map(t => ("g", t, t)).toDF("g", "day", "y")
+    val r = Stats.theilTracking(df, Seq("g"), col("day"), col("y"))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 14L, 14L)))
+    assert(r.getDouble(4) === math.sqrt(98.0 / 2.0))
+    assert(r.getDouble(5) === 2.0 * 14.0 / 14.0)
+  }
+
   test("pinballLoss: asymmetric milli weights around the quantile") {
     // q = 10 at p = 0.9: y = 8 costs 100*2, y = 13 costs 900*3
     val test = Seq(("g", 8L), ("g", 13L)).toDF("g", "y")
