@@ -235,6 +235,151 @@ class DecisionSpec extends AnyFunSuite {
       m3.getLong(6) === 0L)
   }
 
+  // ---- generative cross-checks vs brute-force references ----
+  //
+  // Seeded random small datasets (deliberate ties via tiny value domains)
+  // checked against straightforward single-machine implementations of the
+  // DEFINITIONS — this validates the distributed constructions (densified
+  // grids, rank windows, interval joins, weighted medians) rather than
+  // re-deriving the algebra the hand vectors already pin.
+
+  private val gen = new scala.util.Random(42)
+
+  test("generative: jonckheereTerpstra jt2 equals the O(n^2) pair definition") {
+    for (trial <- 1 to 5) {
+      val k = 2 + gen.nextInt(3)
+      val data = for {
+        g <- 1 to k
+        _ <- 1 to (5 + gen.nextInt(20))
+      } yield (gen.nextInt(8).toLong, g.toLong)
+      val jt2Brute = (for {
+        (x, gx) <- data; (y, gy) <- data if gx < gy
+      } yield if (x < y) 2L else if (x == y) 1L else 0L).sum
+      val r = Inference.jonckheereTerpstra(data.toDF("v", "g"),
+        col("v"), col("g")).collect()(0)
+      assert(r.getLong(2) === jt2Brute, s"trial $trial")
+    }
+  }
+
+  test("generative: kruskalWallis matches the doubled-rank definition with ties") {
+    for (trial <- 1 to 4) {
+      val k = 2 + gen.nextInt(3)
+      val data = for {
+        g <- 1 to k
+        _ <- 1 to (4 + gen.nextInt(15))
+      } yield (gen.nextInt(6).toLong, s"g$g")
+      val n = data.size.toLong
+      def below(v: Long) = data.count(_._1 < v).toLong
+      def cnt(v: Long) = data.count(_._1 == v).toLong
+      def r2(v: Long) = 2L * below(v) + cnt(v) + 1L
+      val s2 = data.groupBy(_._2).values.map { rows =>
+        val rs = BigInt(rows.map(r => r2(r._1)).sum)
+        (rs * rs) / rows.size
+      }.sum
+      val t = data.map(_._1).distinct.map { v =>
+        val c = BigInt(cnt(v)); c * c * c - c
+      }.sum
+      val num = BigInt(3) * s2 - BigInt(3) * n * (n + 1) * (n + 1)
+      val n3 = BigInt(n) * n * n - n
+      val hBrute = (num.toDouble / (BigInt(n) * (n + 1)).toDouble) *
+        (n3.toDouble / (n3 - t).toDouble)
+      val r = Inference.kruskalWallis(data.toDF("v", "g"),
+        col("v"), col("g")).collect()(0)
+      assert(r.getLong(2) === t.toLong && r.getDouble(3) === hBrute,
+        s"trial $trial")
+    }
+  }
+
+  test("generative: wilcoxonSignedRank W2+ matches the sorted-|d| definition") {
+    for (trial <- 1 to 5) {
+      val ds = Seq.fill(10 + gen.nextInt(30))(gen.nextInt(11).toLong - 5L)
+      val nz = ds.filter(_ != 0L)
+      def below(a: Long) = nz.count(d => math.abs(d) < a).toLong
+      def cnt(a: Long) = nz.count(d => math.abs(d) == a).toLong
+      val w2Brute = nz.filter(_ > 0L)
+        .map(d => 2L * below(d) + cnt(d) + 1L).sum
+      val r = Inference.wilcoxonSignedRank(ds.toDF("d"), col("d"))
+        .collect()(0)
+      assert(r.getLong(0) === nz.size.toLong && r.getLong(1) === w2Brute,
+        s"trial $trial")
+    }
+  }
+
+  test("generative: hodgesLehmannShift equals the sorted cross-difference median") {
+    for (trial <- 1 to 5) {
+      val as = Seq.fill(3 + gen.nextInt(12))(gen.nextInt(9).toLong)
+      val bs = Seq.fill(3 + gen.nextInt(12))(gen.nextInt(9).toLong)
+      val diffs = (for (a <- as; b <- bs) yield b - a).sorted
+      val w = diffs.size
+      val hl2Brute = diffs((w + 1) / 2 - 1) + diffs((w + 2) / 2 - 1)
+      val df = (as.map((_, false)) ++ bs.map((_, true))).toDF("v", "b")
+      val r = Inference.hodgesLehmannShift(df, col("v"), col("b"))
+        .collect()(0)
+      assert(r.getLong(2) === hl2Brute, s"trial $trial")
+    }
+  }
+
+  test("generative: fifoAllocate equals a sequential queue simulation") {
+    for (trial <- 1 to 4) {
+      val supply = (1 to (3 + gen.nextInt(6))).map(i =>
+        (1L, i.toLong, (1 + gen.nextInt(8)).toLong, (1 + gen.nextInt(50)).toLong))
+      val demand = (1 to (3 + gen.nextInt(6))).map(i =>
+        (1L, i.toLong, (1 + gen.nextInt(8)).toLong))
+      // sequential reference: walk both queues front-to-front
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Long)]
+      var si = 0
+      var sRem = supply.headOption.map(_._3).getOrElse(0L)
+      for ((_, dOrd, dQty) <- demand) {
+        var dRem = dQty
+        while (dRem > 0 && si < supply.size) {
+          val take = math.min(dRem, sRem)
+          if (take > 0)
+            out += ((dOrd, supply(si)._2, take, take * supply(si)._4))
+          dRem -= take; sRem -= take
+          if (sRem == 0) { si += 1
+            sRem = if (si < supply.size) supply(si)._3 else 0L }
+        }
+      }
+      val got = graft.operators.Features.fifoAllocate(
+        supply.toDF("k", "ord", "qty", "cents"),
+        demand.toDF("k", "ord", "qty"), "k",
+        col("ord"), col("qty"), col("cents"), col("ord"), col("qty"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+        .toSet
+      assert(got === out.toSet, s"trial $trial")
+    }
+  }
+
+  test("generative: cmh matches BigInt floor accumulation of the definition") {
+    for (trial <- 1 to 4) {
+      val data = for {
+        s <- 1 to (2 + gen.nextInt(3))
+        _ <- 1 to (8 + gen.nextInt(20))
+      } yield (s"s$s", gen.nextBoolean(), gen.nextBoolean())
+      val strata = data.groupBy(_._1).values.map { rows =>
+        val a = rows.count(r => r._2 && r._3).toLong
+        val b = rows.count(r => r._2 && !r._3).toLong
+        val c = rows.count(r => !r._2 && r._3).toLong
+        val d = rows.count(r => !r._2 && !r._3).toLong
+        (a, b, c, d, a + b + c + d)
+      }.filter(_._5 >= 2).toSeq
+      val rSum = strata.map { case (a, _, _, d, n) =>
+        BigInt(a) * d * 1000000 / n }.sum
+      val sSum = strata.map { case (_, b, c, _, n) =>
+        BigInt(b) * c * 1000000 / n }.sum
+      val orBrute = if (sSum > 0) Some((rSum * 1000 / sSum).toLong) else None
+      val r = Inference.cmh(data.toDF("st", "e", "o"), Seq("st"),
+        col("e"), col("o")).collect()(0)
+      assert(r.getLong(1) === strata.map(_._1).sum, s"trial $trial a")
+      orBrute match {
+        case Some(v) => assert(r.getLong(2) === v, s"trial $trial or")
+        case None => assert(r.isNullAt(2), s"trial $trial or-null")
+      }
+    }
+  }
+
   // ---- pageTrend ----
 
   test("pageTrend: strictly increasing treatments give z = 2") {
