@@ -380,6 +380,119 @@ class DecisionSpec extends AnyFunSuite {
     }
   }
 
+  test("generative: anovaF ssb/ssw match BigInt floor moments") {
+    for (trial <- 1 to 4) {
+      val k = 2 + gen.nextInt(3)
+      val data = for {
+        g <- 1 to k
+        _ <- 1 to (3 + gen.nextInt(12))
+      } yield (gen.nextInt(50).toLong, s"g$g")
+      val groups = data.groupBy(_._2).values.toSeq
+      val b = groups.map { rows =>
+        val s = BigInt(rows.map(_._1).sum); (s * s) / rows.size
+      }.sum
+      val s = BigInt(data.map(_._1).sum)
+      val q = data.map(r => BigInt(r._1) * r._1).sum
+      val ssbBrute = ((b - (s * s) / data.size) max BigInt(0)).toLong
+      val sswBrute = (q - b).toLong
+      val r = Inference.anovaF(data.toDF("v", "g"), col("v"), col("g"))
+        .collect()(0)
+      assert((r.getLong(2), r.getLong(3)) === ((ssbBrute, sswBrute)),
+        s"trial $trial")
+    }
+  }
+
+  test("generative: friedman matches within-block doubled-rank accounting") {
+    for (trial <- 1 to 4) {
+      val k = 3 + gen.nextInt(2)
+      val b = 3 + gen.nextInt(5)
+      val data = for (blk <- 1 to b; t <- 1 to k)
+        yield (blk.toLong, s"t$t", gen.nextInt(5).toLong)
+      def r2(blk: Long, y: Long) = {
+        val ys = data.filter(_._1 == blk).map(_._3)
+        2L * ys.count(_ < y) + ys.count(_ == y) + 1L
+      }
+      val a2 = data.map { case (blk, _, y) =>
+        val v = BigInt(r2(blk, y)); v * v }.sum
+      val c2 = BigInt(b) * k * (k + 1) * (k + 1)
+      val num = data.groupBy(_._2).values.map { rows =>
+        val rs = BigInt(rows.map(r => r2(r._1, r._3)).sum)
+        val dev = rs - BigInt(b) * (k + 1); dev * dev
+      }.sum
+      val r = Inference.friedman(data.toDF("b", "t", "y"),
+        col("b"), col("t"), col("y")).collect()(0)
+      assert(r.getLong(2) === (a2 - c2).toLong, s"trial $trial spread")
+      if (a2 > c2)
+        assert(r.getDouble(3) ===
+          (BigInt(k - 1) * num).toDouble / (a2 - c2).toDouble,
+          s"trial $trial chi2")
+      else assert(r.isNullAt(3), s"trial $trial null")
+    }
+  }
+
+  test("generative: competingRisks fold matches a sequential ppm recursion") {
+    for (trial <- 1 to 4) {
+      val subj = Seq.fill(10 + gen.nextInt(40))((
+        (1 + gen.nextInt(6)).toLong, gen.nextInt(3)))
+      val df = subj.map { case (dur, c) => (dur, c == 1, c == 2) }
+        .toDF("dur", "ca", "cb")
+      // sequential reference
+      var atRisk = subj.size.toLong
+      var surv = 1000000L; var cifA = 0L; var cifB = 0L
+      val expect = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Long, Long, Long, Long)]
+      for (dur <- subj.map(_._1).distinct.sorted) {
+        val exits = subj.filter(_._1 == dur)
+        val dA = exits.count(_._2 == 1).toLong
+        val dB = exits.count(_._2 == 2).toLong
+        if (dA + dB > 0) {
+          val s0 = surv
+          surv = s0 * (atRisk - dA - dB) / atRisk
+          cifA += s0 * dA / atRisk
+          cifB += s0 * dB / atRisk
+          expect += ((dur, atRisk, dA, dB, surv, cifA, cifB))
+        }
+        atRisk -= exits.size
+      }
+      val got = Inference.competingRisks(df, col("dur"), col("ca"),
+        col("cb")).orderBy("duration").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      assert(got === expect.toSeq, s"trial $trial")
+    }
+  }
+
+  test("generative: rakingIpf matches a map-based sweep loop") {
+    for (trial <- 1 to 4) {
+      val xs = 1 to (2 + gen.nextInt(3))
+      val ys = Seq("a", "b", "c").take(2 + gen.nextInt(2))
+      val sample = for {
+        x <- xs; y <- ys
+        _ <- 1 to (1 + gen.nextInt(9))
+      } yield (x.toLong, y)
+      val rowT = xs.map(x => (x.toLong, (10 + gen.nextInt(90)).toLong))
+      val colT = ys.map(y => (y, (10 + gen.nextInt(90)).toLong))
+      // reference loop over a mutable map
+      var w = sample.groupBy(identity).map { case ((x, y), rows) =>
+        (x, y) -> BigInt(rows.size) * 1000000 }
+      val rt = rowT.toMap; val ct = colT.toMap
+      for (_ <- 1 to 4) {
+        val rs = w.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+        w = w.map { case ((x, y), v) =>
+          (x, y) -> v * rt(x) * 1000000 / rs(x) }
+        val cs = w.groupBy(_._1._2).map { case (y, m) => y -> m.values.sum }
+        w = w.map { case ((x, y), v) =>
+          (x, y) -> v * ct(y) * 1000000 / cs(y) }
+      }
+      val got = Inference.rakingIpf(sample.toDF("x", "y"), col("x"),
+        col("y"), rowT.toDF("x", "target"), colT.toDF("y", "target"),
+        iterations = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3))
+        .toMap
+      assert(got === w.map { case (k, v) => k -> v.toLong }, s"trial $trial")
+    }
+  }
+
   // ---- pageTrend ----
 
   test("pageTrend: strictly increasing treatments give z = 2") {
