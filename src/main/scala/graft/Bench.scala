@@ -10,8 +10,29 @@ import org.apache.spark.sql.SparkSession
   * single-shot numbers on a shared VM carry ±20% noise plus first-run
   * plan-compile/JIT cost, which round-over-round comparisons then misread as
   * regressions (VERDICT r3 — the "lifecycle drift" was exactly this).
+  *
+  * Timing-outlier triage (VERDICT r10 item 5 — the driver read q283 at
+  * 40.3 s where the committed same-code median was 6.0 s and `flaky:{}`
+  * stayed empty): the PREVIOUS committed BENCH_FULL.json is read at start
+  * as the per-query reference; any query whose fresh median exceeds 3x its
+  * reference (and 0.3 s absolute, so sub-second jitter doesn't flood the
+  * map) is re-run in an ISOLATED pass after the main loop, and the flaky
+  * map records all three numbers (in-bench, committed, isolated re-run).
+  * The reported median stays the in-bench one — the re-run is evidence for
+  * the contention-vs-regression call, not a replacement measurement.
   */
 object Bench {
+  /** Per-query medians from a prior BENCH_FULL.json line. The format is
+    * self-emitted (flat `"name":float` pairs inside `"queries":{...}`), so
+    * a bounded regex scan is exact — no JSON lib needed.
+    */
+  private[graft] def priorMedians(line: String): Map[String, Double] = {
+    val qobj = """"queries":\{([^}]*)\}""".r
+    qobj.findFirstMatchIn(line).map { m =>
+      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,7 +84,16 @@ object Bench {
         }
       }
     }
-    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+    // committed per-query reference for the outlier triage (read BEFORE the
+    // end-of-run overwrite); absent or unparsable file -> no triage
+    val reference: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        if (java.nio.file.Files.exists(p))
+          priorMedians(java.nio.file.Files.readString(p))
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val results0 = queries.zipWithIndex.map { case ((name, _), i) =>
       // a query failing EVERY rep reports its failed-attempt median, not a
       // ~0s row that would make the total look faster than a clean round;
       // an every-rep failure is a hard error (errors map + exit 1), a
@@ -73,6 +103,33 @@ object Bench {
       val hardErr = if (nFailed(i) == reps) lastErr(i) else None
       val flaky = if (nFailed(i) > 0 && nFailed(i) < reps) Some((nFailed(i), lastErr(i).get)) else None
       (name, median, hardErr, flaky)
+    }
+    // isolated re-run pass for timing outliers: in-bench median > 3x the
+    // committed reference AND > 0.3 s absolute (sub-second jitter is the
+    // median's job, not the triage's). Runs AFTER the full battery so the
+    // re-run sees an uncontended JVM — if the isolated median lands back
+    // near the reference the outlier was ambient contention, not a plan
+    // regression, and the flaky map now carries the evidence either way.
+    val results = results0.map { case r @ (name, median, hardErr, flaky) =>
+      val outlier = hardErr.isEmpty && reference.get(name).exists(ref =>
+        median > 3.0 * ref && median > 0.3)
+      if (!outlier) r
+      else {
+        val ref = reference(name)
+        val fn = SparkEntry.queries(name)
+        val rerun = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }.sorted
+        val iso = if (rerun.nonEmpty) f"${rerun((rerun.size - 1) / 2)}%.3fs"
+          else "all re-run reps failed"
+        val note = f"timing outlier: in-bench $median%.3fs vs committed " +
+          f"$ref%.3fs (${median / ref}%.1fx); isolated re-run median $iso"
+        (name, median, hardErr,
+          Some((flaky.map(_._1).getOrElse(0), flaky.map(f => f._2 + "; " + note).getOrElse(note))))
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -89,7 +146,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val flaky = results.collect { case (k, _, _, Some((n, e))) =>
-      "\"" + k + "\":" + jstr(s"$n/$reps reps failed: $e") }
+      val msg = if (n > 0) s"$n/$reps reps failed: $e" else e
+      "\"" + k + "\":" + jstr(msg) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""

@@ -40,7 +40,13 @@ object ScaleProbe {
     }.reduce(_ unionByName _).localCheckpoint()
 
     val probeRows = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
+    // optional probe filter (regex over labels): lets a high-replica run —
+    // e.g. the r10 verdict's 16x pass for the probes whose 4x growth could
+    // not separate pair-volume tracking from superlinear blowup — execute
+    // ONLY the probes under study instead of the whole battery
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.r)
     def time(label: String)(f: => Long): Unit = {
+      if (probeOnly.exists(_.findFirstIn(label).isEmpty)) return
       val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9

@@ -1010,17 +1010,34 @@ object Inference {
     * partial agg combines map-side — the shuffle carries `b` rows per
     * task, never the fanned data. Replicates where either group draws
     * total weight 0 are dropped (b_eff reports how many survived).
+    *
+    * CPU shape: the md5 digest is LANE-SPLIT — one
+    * `md5(id|block|seed)` per FOUR replicates (block = ceil(j/4)),
+    * computed before the lane explode so it evaluates once per
+    * (row, block); each replicate reads its own 8-hex slice
+    * (`substring(h, 1+8*((j-1)%4), 8)`) of the 32-hex digest. Each
+    * slice is an independent uniform 32-bit draw, so the Poisson law
+    * is unchanged while the dominant per-(row, replicate) hash cost
+    * drops 4x (the r10 driver bench read 40 s under contention with a
+    * per-replicate digest). Requires b % 4 == 0.
     */
   def bootstrapMeanDiff(df: DataFrame, idCol: Column, valueCol: Column,
       inB: Column, b: Int = 100, seed: String = "bs"): DataFrame = {
-    require(b >= 4 && b <= 10000, s"b: $b")
+    require(b >= 4 && b <= 10000 && b % 4 == 0, s"b: $b (must be a multiple of 4)")
     val base = df.filter(valueCol.isNotNull)
       .select(idCol.cast("string").as("__id"),
         valueCol.cast("long").as("__v"), inB.as("__grp"))
-    val rep = base.select(col("__id"), col("__v"), col("__grp"),
-      explode(sequence(lit(1), lit(b))).as("__j"))
-    val u = expr(s"conv(substring(md5(concat(__id, '|', cast(__j as string), " +
-      s"'|', '$seed')), 1, 8), 16, 10)").cast("long") % 1000000L
+    // block explode -> ONE digest per (row, block) -> lane explode
+    val rep = base
+      .select(col("__id"), col("__v"), col("__grp"),
+        explode(sequence(lit(1), lit(b / 4))).as("__blk"))
+      .withColumn("__h", md5(concat(col("__id"), lit("|"),
+        col("__blk").cast("string"), lit("|"), lit(seed))))
+      .select(col("__id"), col("__v"), col("__grp"), col("__blk"), col("__h"),
+        explode(sequence(lit(0), lit(3))).as("__lane"))
+      .withColumn("__j", (col("__blk") - 1) * 4 + col("__lane") + 1)
+    val u = expr("conv(substring(__h, 1 + 8 * __lane, 8), 16, 10)")
+      .cast("long") % 1000000L
     // reverse fold so the SMALLEST threshold is the outermost branch —
     // u < t(0) must win before u < t(1) ever evaluates
     val w = PoissonPpm.zipWithIndex.reverse.foldLeft(lit(PoissonPpm.size.toLong)) {

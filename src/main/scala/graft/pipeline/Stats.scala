@@ -306,13 +306,22 @@ object Stats {
     * kaplanMeier contract).
     */
   def crossCorrDaily(df: DataFrame, dayCol: Column, valueCol: Column,
-      inY: Column, maxLag: Int): DataFrame = {
+      inY: Column, maxLag: Int, maxDays: Long = 100000L): DataFrame = {
     require(maxLag >= 1 && maxLag <= 30, s"maxLag must be in [1, 30]: $maxLag")
+    require(maxDays >= 2, s"maxDays: $maxDays")
     val daily = df.groupBy(dayCol.cast("long").as("day"))
       .agg(sum(when(!inY, valueCol.cast("long")).otherwise(0L)).as("x"),
         sum(when(inY, valueCol.cast("long")).otherwise(0L)).as("y"))
+    // span guard (module contract): the spine feeds a single-partition
+    // ordered window, safe only because the calendar bounds it — a
+    // timestamp-grain mis-call must raise, not explode
     val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .select(explode(sequence(col("mn"),
+        when(col("mx") - col("mn") < lit(maxDays), col("mx"))
+          .otherwise(raise_error(lit(s"crossCorrDaily day span exceeded " +
+            s"$maxDays — dayCol must be daily-grain (the lag window is " +
+            "single-partition over the spine); pre-aggregate or raise " +
+            "maxDays deliberately")).cast("long")))).as("day"))
     val dense = spine.join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
         coalesce(col("y"), lit(0L)).as("y"))
@@ -823,17 +832,32 @@ object Stats {
     * the calendar (n days ~ thousands), NOT data volume — at 100 TB the
     * self-join is a few million tiny rows per group, parallel across
     * groups. The slope median runs on a (group, slope) rollup, never raw
-    * pairs.
+    * pairs. The calendar-boundedness is ENFORCED: any group exceeding
+    * `maxDays` distinct days raises before the pair fan-out runs.
     */
   def mannKendallDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
-      valueCol: Column): DataFrame = {
+      valueCol: Column, maxDays: Long = 100000L): DataFrame = {
     require(groupCols.nonEmpty,
       "mannKendallDaily needs groupCols — wrap an ungrouped series in a " +
         "constant group")
+    require(maxDays >= 2, s"maxDays: $maxDays")
     val gcols = groupCols.map(col)
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // pair-volume guard (module contract, the littlesLawAudit pattern):
+    // the O(d^2) fan-out below is only safe because d is calendar-bounded;
+    // a mis-call passing a timestamp-grain column would go quadratic
+    // silently. Count days per group with a LINEAR window inside the
+    // checkpointed rollup so the raise fires at materialization, BEFORE
+    // any pair stage runs.
+    val wg = Window.partitionBy(gcols: _*)
+    val guard = when(count(lit(1)).over(wg) > maxDays,
+      raise_error(lit(s"mannKendallDaily exceeded $maxDays distinct days " +
+        "in one group — dayCol must be daily-grain (a timestamp-grain " +
+        "mis-call generates quadratic pairs); pre-aggregate or raise " +
+        "maxDays deliberately")).cast("long")).otherwise(lit(0L))
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .withColumn("y", col("y") + guard)
       .localCheckpoint(false) // feeds pairs, ties, and n — one materialization
     val a = daily.select(gcols ++ Seq(col("day").as("di"), col("y").as("yi")): _*)
     val b = daily.select(gcols ++ Seq(col("day").as("dj"), col("y").as("yj")): _*)

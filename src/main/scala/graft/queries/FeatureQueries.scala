@@ -510,6 +510,47 @@ object FeatureQueries extends QuerySet {
         .withColumn("is_repetitive", col("ratio_ppm") < 300000L),
       None),
 
+    QueryDef("q219b_compress_ratio_inputs", (s, d) =>
+      // q219's ORACLE SIBLING: every deflate-INDEPENDENT column of the
+      // compress-ratio signal under the exact same row population —
+      // doc_id, the UTF-8 byte length that is q219's ratio denominator,
+      // and the deflate-free repetition proxy (distinct-token share in
+      // ppm) the spam gate pairs with. With this row green, the single
+      // un-oracled quantity in the battery shrinks to exactly q219's
+      // deflate byte count (which PropertySpec cross-checks against
+      // java.util.zip) and nothing else rides along unchecked.
+      {
+        import graft.pipeline.{TextAnalysis => T}
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            T.tokens(col("text")).as("__tk"))
+          .filter(col("n_bytes") > 0)
+          .withColumn("n_tokens", size(col("__tk")).cast("long"))
+          .withColumn("n_distinct_tokens",
+            size(array_distinct(col("__tk"))).cast("long"))
+          .withColumn("distinct_token_ppm",
+            when(col("n_tokens") > 0,
+              expr("n_distinct_tokens * 1000000 div n_tokens"))
+              .otherwise(lit(null).cast("long")))
+          .select(col("doc_id"), col("n_bytes"), col("n_tokens"),
+            col("n_distinct_tokens"), col("distinct_token_ppm"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |         string_split(text, ' ') AS tk
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id, n_bytes,
+          |       CAST(len(tk) AS BIGINT) AS n_tokens,
+          |       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+          |       CASE WHEN len(tk) > 0
+          |            THEN CAST((CAST(len(list_distinct(tk)) AS BIGINT) * 1000000)
+          |                      // len(tk) AS BIGINT)
+          |       END AS distinct_token_ppm
+          |FROM s WHERE n_bytes > 0""".stripMargin)),
+
     QueryDef("q220_heavy_hitters", (s, d) =>
       // exact frequent tokens (support > 1/200) via the Misra-Gries
       // prefilter: the full vocab NEVER shuffles — candidates come from

@@ -40,4 +40,16 @@ class HarnessCompatSpec extends AnyFunSuite {
       s"output schemas the driver compare cannot hash:\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("Bench.priorMedians parses its own BENCH_FULL line format exactly") {
+    val line = """{"metric":"total","value":12.3,"unit":"sec",""" +
+      """"queries":{"q01_a":0.1234,"q283_bootstrap_ci":6.0021,"q99":1.5E-1},""" +
+      """"errors":{},"flaky":{"q07":"1/3 reps failed: X"},"sf":"/x"}"""
+    val m = Bench.priorMedians(line)
+    assert(m === Map("q01_a" -> 0.1234, "q283_bootstrap_ci" -> 6.0021,
+      "q99" -> 0.15))
+    // degraded inputs -> empty map, never a throw (triage is best-effort)
+    assert(Bench.priorMedians("") === Map.empty)
+    assert(Bench.priorMedians("""{"metric":"total"}""") === Map.empty)
+  }
 }

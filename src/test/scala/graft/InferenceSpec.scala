@@ -201,26 +201,42 @@ class InferenceSpec extends AnyFunSuite {
       (i, if (i % 2 == 0) 100L + (i % 7) else 200L + (i % 11), i % 2 == 1))
     val df = rows.toDF("id", "v", "grp")
     val r = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
-      b = 50, seed = "t1").collect()(0)
+      b = 48, seed = "t1").collect()(0)
     val meanA = rows.filter(!_._3).map(_._2).sum * 1000 / rows.count(!_._3)
     val meanB = rows.filter(_._3).map(_._2).sum * 1000 / rows.count(_._3)
     assert(r.getAs[Long]("obs_diff_milli") === meanA - meanB)
     val (lo, hi, beff) = (r.getAs[Long]("lo_milli"), r.getAs[Long]("hi_milli"),
       r.getAs[Long]("b_eff"))
-    assert(lo <= hi && beff <= 50L && beff >= 45L)
+    assert(lo <= hi && beff <= 48L && beff >= 43L)
     // a clear separation (A ~100s vs B ~200s) keeps the CI strictly negative
     // for the B-minus... A-minus-B direction: obs ~ -100k milli, CI around it
     assert(lo < r.getAs[Long]("obs_diff_milli") + 20000L &&
       hi > r.getAs[Long]("obs_diff_milli") - 20000L)
     // deterministic: identical seed reproduces bit-identically
     val again = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
-      b = 50, seed = "t1").collect()(0)
+      b = 48, seed = "t1").collect()(0)
     assert(again.toSeq === r.toSeq)
     // different seed draws different resamples
     val other = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
-      b = 50, seed = "t2").collect()(0)
+      b = 48, seed = "t2").collect()(0)
     assert((other.getAs[Long]("lo_milli"), other.getAs[Long]("hi_milli"))
       !== ((lo, hi)))
+    // lane-split contract: b must be a multiple of 4 (one digest per 4 lanes)
+    intercept[IllegalArgumentException] {
+      Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"), b = 50)
+    }
+  }
+
+  test("bootstrapMeanDiff: lanes within a block draw independently") {
+    // b = 4 is exactly ONE digest block: if all four lanes read the same
+    // 8-hex slice, the four replicates would be bit-identical and the CI
+    // would collapse to lo == hi; independent slices make them differ
+    val rows = (1L to 100L).map(i => (i, 50L + (i * 17) % 97, i % 3 == 0))
+    val df = rows.toDF("id", "v", "grp")
+    val r = Inference.bootstrapMeanDiff(df, col("id"), col("v"), col("grp"),
+      b = 4, seed = "lane").collect()(0)
+    assert(r.getAs[Long]("b_eff") === 4L)
+    assert(r.getAs[Long]("lo_milli") < r.getAs[Long]("hi_milli"))
   }
 
   // ---- cohenKappa ----
@@ -702,6 +718,21 @@ class InferenceSpec extends AnyFunSuite {
       col("isy"), maxLag = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(np(3L) === 7L && np(-3L) === 7L && np(0L) === 10L)
+  }
+
+  test("crossCorrDaily: maxDays span guard raises on a non-daily-grain mis-call") {
+    // the lag window is single-partition over the dense spine — a huge
+    // day span (e.g. micros passed as days) must raise, not materialize
+    val df = Seq((0L, 5L, false), (1000L, 7L, true)).toDF("day", "v", "isy")
+    val e = intercept[Exception] {
+      graft.pipeline.Stats.crossCorrDaily(df, col("day"), col("v"),
+        col("isy"), maxLag = 2, maxDays = 100L).collect()
+    }
+    assert(e.getMessage.contains("crossCorrDaily day span exceeded 100"))
+    // within the bound the dense spine builds normally
+    val ok = graft.pipeline.Stats.crossCorrDaily(df, col("day"), col("v"),
+      col("isy"), maxLag = 2, maxDays = 2000L).collect()
+    assert(ok.length === 5)
   }
 
   // ---- timeDecayAttribution ----

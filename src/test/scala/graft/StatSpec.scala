@@ -612,4 +612,19 @@ class StatSpec extends AnyFunSuite {
     assert(out("flat").getAs[Boolean]("significant") === false)
     assert(out("flat").getAs[Long]("sen_slope_ppm") === 0L)
   }
+
+  test("mannKendallDaily: maxDays guard raises before the quadratic pair fan-out") {
+    // a timestamp-grain mis-call = many distinct "days" in one group;
+    // the guard must fail loud at the daily rollup, not go O(d^2)
+    val df = (0L until 20L).map(i => ("g", i, i)).toDF("grp", "day", "y")
+    val e = intercept[Exception] {
+      Stats.mannKendallDaily(df, Seq("grp"), col("day"), col("y"),
+        maxDays = 10L).collect()
+    }
+    assert(e.getMessage.contains("mannKendallDaily exceeded 10"))
+    // at exactly maxDays the run is legal
+    val ok = Stats.mannKendallDaily(df, Seq("grp"), col("day"), col("y"),
+      maxDays = 20L).collect().head
+    assert(ok.getAs[Long]("n_days") === 20L)
+  }
 }
