@@ -12,7 +12,7 @@ object SparkEntry {
   private val sets: Seq[QuerySet] =
     Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries,
       AnalyticsQueries, ExtensionQueries, FeatureQueries, StatQueries,
-      InferenceQueries, DecisionQueries)
+      InferenceQueries, DecisionQueries, Round11Queries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

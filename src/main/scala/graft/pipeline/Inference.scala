@@ -154,6 +154,102 @@ object Inference {
       .drop("__s")
   }
 
+  /** Per-group two-sample 1-D Wasserstein distance (earth mover), exactly
+    * — the metric-aware sibling of [[ksTestByGroup]]: where KS and CvM see
+    * only ECDF gaps, W1 integrates the gap over the VALUE AXIS
+    * (`W1 = integral |F_a - F_b| dv`), so "shifted by 100ms" reads 10x
+    * "shifted by 10ms" instead of identically. With integer ECDFs the
+    * integral is the exact sum over consecutive distinct values of
+    * `|cum_a*n_b - cum_b*n_a| * (v_next - v)`; reported as
+    * `w1_micro = sum * 1e6 div (n_a * n_b)` — micro-units of `valueCol`
+    * (so fixed-point inputs stay hash-exact). Groups with an empty side
+    * drop (no defined distance). Scale shape identical to ksTestByGroup:
+    * one (group, value) rollup shuffle, group-partitioned cumulative
+    * window over DISTINCT values, keyed rollup out — fully parallel
+    * across groups; per-group distinct cardinality is the only sort
+    * width (bin continuous metrics to fixed-point first, the module
+    * contract).
+    */
+  def wassersteinByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, inB: Column): DataFrame = {
+    require(groupCols.nonEmpty, "wassersteinByGroup needs groupCols — " +
+      "wrap a global comparison in a constant group")
+    val gcols = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.cast("long").as("v"): _*)
+      .agg(
+        sum(when(inB, 0L).otherwise(1L)).as("cnt_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("cnt_b"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val terms = counts
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+      .withColumn("n_a", sum(col("cnt_a")).over(whole))
+      .withColumn("n_b", sum(col("cnt_b")).over(whole))
+      .withColumn("__next_v", lead(col("v"), 1).over(byVal))
+      // last value contributes nothing (both ECDFs are 1 past it)
+      .filter(col("__next_v").isNotNull)
+      .withColumn("__term",
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")) *
+          (col("__next_v") - col("v")))
+    terms.groupBy(gcols :+ col("n_a") :+ col("n_b"): _*)
+      .agg(sum(col("__term")).as("__s"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("w1_micro",
+        call_function("div", col("__s") * 1000000L,
+          dec(col("n_a")) * col("n_b")).cast("long"))
+      .drop("__s")
+  }
+
+  /** Binary confusion counts + Matthews correlation coefficient — the
+    * single-number binary-classifier summary robust to class imbalance
+    * (unlike accuracy and F1, MCC uses all four cells symmetrically).
+    * Exact integer tp/fp/fn/tn plus accuracy/precision/recall/f1 in ppm
+    * (truncating integer division); MCC is ONE fixed IEEE chain over the
+    * exact cells: `(tp*tn - fp*fn) / (((sqrt(tp+fp) * sqrt(tp+fn)) *
+    * sqrt(tn+fp)) * sqrt(tn+fn))` — product of sqrts, never sqrt of the
+    * product (the 4-way marginal product overflows DOUBLE's 53-bit
+    * mantissa long before any single marginal does). Any zero marginal
+    * -> NULL MCC (undefined, not NaN noise). One partial-agg row out.
+    * [[classifierEval]] is the multi-class macro/micro sibling; this is
+    * the binary readout with the cell-level statistic it cannot express.
+    */
+  def matthewsCorrelation(df: DataFrame, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.filter(predCol.isNotNull && labelCol.isNotNull)
+      .select(predCol.as("__p"), labelCol.as("__y"))
+    val cells = base.agg(
+      sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    cells
+      .withColumn("accuracy_ppm",
+        when(n > 0L, call_function("div",
+          (col("tp") + col("tn")) * 1000000L, n)))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fp"))))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L, call_function("div",
+          col("tp") * 1000000L, col("tp") + col("fn"))))
+      .withColumn("f1_ppm",
+        when(col("tp") * 2L + col("fp") + col("fn") > 0L,
+          call_function("div", col("tp") * 2000000L,
+            col("tp") * 2L + col("fp") + col("fn"))))
+      .withColumn("mcc",
+        when((col("tp") + col("fp")) > 0L && (col("tp") + col("fn")) > 0L &&
+          (col("tn") + col("fp")) > 0L && (col("tn") + col("fn")) > 0L,
+          (dec(col("tp")) * col("tn") - dec(col("fp")) * col("fn"))
+            .cast("double") /
+            (((sqrt((col("tp") + col("fp")).cast("double")) *
+              sqrt((col("tp") + col("fn")).cast("double"))) *
+              sqrt((col("tn") + col("fp")).cast("double"))) *
+              sqrt((col("tn") + col("fn")).cast("double")))))
+  }
+
   /** Mann-Whitney U with the tie-corrected normal approximation. All rank
     * arithmetic stays integral by working in DOUBLED ranks: a tied block
     * of `c` values preceded by `l` smaller rows has average rank
@@ -2120,6 +2216,39 @@ object Inference {
     }
     w.select(col("x"), col("y"), col("n").as("n_sample"),
       col("w").as("weight_micro"))
+  }
+
+  /** Kish effective sample size + design effect per group — the standard
+    * "how much did weighting cost me" audit run on every weighted survey
+    * or raked ([[rakingIpf]]) sample: `neff = (sum w)^2 / sum w^2` and
+    * `deff = n * sum w^2 / (sum w)^2` (Kish 1965). Uniform weights give
+    * neff = n, deff = 1; concentration in few rows collapses neff toward
+    * the count of dominant rows. Exact: weights are fixed-point
+    * (milli-units), both moments DECIMAL(38,0) rollups, each output ONE
+    * truncating integral division (`neff_milli`, `deff_ppm`). Rows with
+    * NULL or non-positive weight are excluded (a non-positive weight is
+    * a protocol error upstream, not a sample member). One keyed
+    * partial-agg shuffle; trivially 100 TB-shaped.
+    */
+  def kishEffectiveSample(df: DataFrame, groupCols: Seq[String],
+      weightMilliCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "kishEffectiveSample needs groupCols — " +
+      "wrap a global audit in a constant group")
+    val gcols = groupCols.map(col)
+    df.filter(weightMilliCol.isNotNull && weightMilliCol > 0)
+      .select(gcols :+ weightMilliCol.cast("long").as("__w"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("sum_w_milli"),
+        sum(dec(col("__w")) * col("__w")).as("__sww"))
+      .withColumn("neff_milli",
+        call_function("div",
+          dec(col("sum_w_milli")) * col("sum_w_milli") * 1000L,
+          col("__sww")).cast("long"))
+      .withColumn("deff_ppm",
+        call_function("div", col("__sww") * col("n") * 1000000L,
+          dec(col("sum_w_milli")) * col("sum_w_milli")).cast("long"))
+      .drop("__sww")
   }
 
   /** Ordinal-by-ordinal association: Goodman-Kruskal gamma, Kendall

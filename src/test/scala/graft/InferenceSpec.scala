@@ -1385,4 +1385,93 @@ class InferenceSpec extends AnyFunSuite {
     // flat: one key -> gini exactly 0, ratio exactly 1e6
     assert(r("flat") === Seq(6L, 0L, 1L, 6L, 1000000L, 1000000L, 0L))
   }
+
+  // ---- wassersteinByGroup ----
+
+  test("wassersteinByGroup: hand integral equals the true W1; identical samples give 0") {
+    import spark.implicits._
+    // A = {0, 10}, B = {10, 20}: true W1 = 10 units = 10e6 micro
+    val df = Seq(("g", 0L, false), ("g", 10L, false),
+      ("g", 10L, true), ("g", 20L, true)).toDF("grp", "v", "b")
+    val r = Inference.wassersteinByGroup(df, Seq("grp"), col("v"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("w1_micro") === 10000000L)
+    // identical samples -> exactly 0
+    val same = Seq(("g", 1L, false), ("g", 5L, false),
+      ("g", 1L, true), ("g", 5L, true)).toDF("grp", "v", "b")
+    assert(Inference.wassersteinByGroup(same, Seq("grp"), col("v"), col("b"))
+      .collect()(0).getAs[Long]("w1_micro") === 0L)
+    // metric-awareness: a 100-unit shift reads 10x a 10-unit shift
+    // (KS would call both D = 1)
+    val far = Seq(("g", 0L, false), ("g", 100L, true)).toDF("grp", "v", "b")
+    val near = Seq(("g", 0L, false), ("g", 10L, true)).toDF("grp", "v", "b")
+    val wFar = Inference.wassersteinByGroup(far, Seq("grp"), col("v"), col("b"))
+      .collect()(0).getAs[Long]("w1_micro")
+    val wNear = Inference.wassersteinByGroup(near, Seq("grp"), col("v"), col("b"))
+      .collect()(0).getAs[Long]("w1_micro")
+    assert(wFar === 10L * wNear && wNear === 10000000L)
+    // one-sided group drops
+    val oneSide = Seq(("h", 1L, false), ("h", 2L, false)).toDF("grp", "v", "b")
+    assert(Inference.wassersteinByGroup(oneSide, Seq("grp"), col("v"), col("b"))
+      .collect().isEmpty)
+  }
+
+  // ---- matthewsCorrelation ----
+
+  test("matthewsCorrelation: textbook cells, perfect predictor, degenerate NULL") {
+    import spark.implicits._
+    // tp=4 fp=1 fn=2 tn=3 — assert against the exact declared IEEE chain
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Inference.matthewsCorrelation(rows.toDF("p", "y"), col("p"), col("y"))
+      .collect()(0)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("tn")) === ((4L, 1L, 2L, 3L)))
+    assert(r.getAs[Long]("accuracy_ppm") === 700000L)
+    assert(r.getAs[Long]("precision_ppm") === 800000L)
+    assert(r.getAs[Long]("recall_ppm") === 666666L)
+    assert(r.getAs[Long]("f1_ppm") === 727272L)
+    val want = (4.0 * 3.0 - 1.0 * 2.0) /
+      (((math.sqrt(5.0) * math.sqrt(6.0)) * math.sqrt(4.0)) * math.sqrt(5.0))
+    assert(r.getAs[Double]("mcc") === want)
+    // perfect predictor: mcc is the chain value, within an ulp of 1
+    val perfect = (Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("p", "y")
+    val pm = Inference.matthewsCorrelation(perfect, col("p"), col("y"))
+      .collect()(0).getAs[Double]("mcc")
+    assert(math.abs(pm - 1.0) < 1e-12)
+    // all-true predictions: two zero marginals -> NULL mcc, defined f1
+    val allPred = (Seq.fill(3)((true, true)) ++ Seq.fill(2)((true, false)))
+      .toDF("p", "y")
+    val ap = Inference.matthewsCorrelation(allPred, col("p"), col("y"))
+      .collect()(0)
+    assert(ap.isNullAt(ap.fieldIndex("mcc")))
+    assert(ap.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
+  // ---- kishEffectiveSample ----
+
+  test("kishEffectiveSample: uniform weights keep neff = n; concentration collapses it") {
+    import spark.implicits._
+    val uni = Seq(("g", 2000L), ("g", 2000L), ("g", 2000L), ("g", 2000L))
+      .toDF("grp", "w")
+    val u = Inference.kishEffectiveSample(uni, Seq("grp"), col("w"))
+      .collect()(0)
+    assert(u.getAs[Long]("n") === 4L)
+    assert(u.getAs[Long]("neff_milli") === 4000L)
+    assert(u.getAs[Long]("deff_ppm") === 1000000L)
+    // one dominant weight: neff = 144e6/84e3 = 1714 milli, deff = 2333333
+    val skew = Seq(("g", 1000L), ("g", 1000L), ("g", 1000L), ("g", 9000L))
+      .toDF("grp", "w")
+    val k = Inference.kishEffectiveSample(skew, Seq("grp"), col("w"))
+      .collect()(0)
+    assert(k.getAs[Long]("neff_milli") === 1714L)
+    assert(k.getAs[Long]("deff_ppm") === 2333333L)
+    // non-positive and NULL weights are excluded
+    val mixed = Seq(("g", Some(1000L)), ("g", Some(0L)), ("g", Some(-5L)),
+      ("g", None)).toDF("grp", "w")
+    assert(Inference.kishEffectiveSample(mixed, Seq("grp"), col("w"))
+      .collect()(0).getAs[Long]("n") === 1L)
+  }
 }
