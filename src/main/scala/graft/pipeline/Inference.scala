@@ -1945,6 +1945,117 @@ object Inference {
               lit(1.0) / col("n_b").cast("double"))))).as("z"))
   }
 
+  /** Benjamini-Hochberg FDR control over a battery of tests — the
+    * multiple-comparisons step every fleet-wide monitoring sweep (one
+    * test per segment x metric) needs before acting: find the largest
+    * rank k with `p_(k) <= alpha * k / m` and reject exactly ranks
+    * <= k (Benjamini & Hochberg 1995). Exact integers end to end:
+    * p-values arrive as ppm, the step-up comparison is the
+    * cross-multiplied `p_ppm * m <= alpha_ppm * rank` (no division at
+    * all), and the reported per-rank critical value is one truncating
+    * `alpha_ppm * rank div m`. Ties on p rank deterministically by
+    * test id. Out-of-range p (outside [0, 1e6]) raises — a malformed
+    * battery must fail loud, not silently control nothing.
+    *
+    * The rank window is single-partition over TESTS by design (a
+    * step-up procedure is a global order statistic) and guarded by
+    * `maxTests` — test batteries are segment-domain-sized, never
+    * row-scale; at 100 TB the input to this operator is the bounded
+    * OUTPUT of per-segment rollup tests.
+    */
+  def bhFdr(df: DataFrame, idCol: Column, pPpmCol: Column,
+      alphaPpm: Long = 50000L, maxTests: Long = 1000000L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm < 1000000L, s"alphaPpm: $alphaPpm")
+    require(maxTests >= 1, s"maxTests: $maxTests")
+    val base = df.filter(pPpmCol.isNotNull)
+      .select(idCol.cast("string").as("test_id"),
+        pPpmCol.cast("long").as("p_ppm"))
+      .withColumn("p_ppm",
+        when(col("p_ppm") < 0L || col("p_ppm") > 1000000L,
+          raise_error(concat(lit("bhFdr: p_ppm outside [0, 1e6] for test "),
+            col("test_id"))).cast("long")).otherwise(col("p_ppm")))
+    val w = Window.orderBy(col("p_ppm").asc, col("test_id").asc)
+    val guard = when(row_number().over(w) > maxTests,
+      raise_error(lit(s"bhFdr exceeded $maxTests tests — a step-up " +
+        "procedure is a global order statistic; batteries are " +
+        "segment-domain-sized by contract")).cast("long"))
+      .otherwise(lit(0L))
+    val ranked = base
+      .withColumn("rank", row_number().over(w).cast("long") + guard)
+      .localCheckpoint(false) // feeds the k rollup AND the output
+    val m = ranked.agg(max(col("rank")).as("m"))
+    val withM = ranked.crossJoin(broadcast(m))
+    val k = withM
+      .agg(coalesce(max(when(col("p_ppm") * col("m") <=
+        lit(alphaPpm) * col("rank"), col("rank"))), lit(0L)).as("k"))
+    withM.crossJoin(broadcast(k))
+      .select(col("test_id"), col("p_ppm"), col("rank"), col("m"),
+        call_function("div", lit(alphaPpm) * col("rank"), col("m"))
+          .as("bh_critical_ppm"),
+        (col("rank") <= col("k")).as("rejected"))
+  }
+
+  /** Krippendorff's alpha (nominal metric) — chance-corrected
+    * inter-rater agreement that, unlike [[fleissKappa]], handles
+    * MISSING ratings (units rated by any subset of raters) and any
+    * number of raters per unit: the universal data-labeling QA
+    * statistic (Krippendorff 2004). Nominal form:
+    * `alpha = 1 - (n-1) * sum_u [sum_c n_uc(m_u - n_uc) / (m_u-1)]
+    * / sum_c n_c(n - n_c)` over units with `m_u >= 2` pairable
+    * ratings (n = total pairable ratings, n_c = pooled value counts).
+    *
+    * Exact: the per-unit `1/(m_u-1)` rationals are cleared by ONE
+    * common scale `L = lcm(1..maxRaters-1)` (a compile-time constant;
+    * maxRaters <= 24 keeps L and every product inside DECIMAL(38,0)
+    * headroom), so `alpha_ppm = 1e6 - (1e6 * (n-1) * Do_L) div
+    * (L * De_sum)` is one truncating division over exact integers —
+    * negative alphas (worse than chance) come out of the subtraction,
+    * never a negative division. Units exceeding maxRaters raise (the
+    * guard doubles as the L-headroom contract). All ratings identical
+    * -> De = 0 -> NULL alpha (agreement is undefined without
+    * variation). Shape: (unit, value) and (unit) rollups, one value
+    * rollup, three 1-row aggregates — fully keyed, no windows.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: Column, valueCol: Column,
+      maxRaters: Int = 20): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 24,
+      s"maxRaters: $maxRaters (L = lcm(1..23) is the DECIMAL headroom cap)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1L to (maxRaters - 1).toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val ratings = df.filter(unitCol.isNotNull && valueCol.isNotNull)
+      .select(unitCol.as("__u"), valueCol.cast("string").as("__c"))
+    val byUnitVal = ratings.groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).as("n_uc"))
+      .localCheckpoint(false) // feeds unit sizes AND pooled counts
+    val unitSize = byUnitVal.groupBy(col("__u"))
+      .agg(sum(col("n_uc")).as("m_u"))
+      .filter(col("m_u") >= 2L)
+      .withColumn("m_u",
+        when(col("m_u") > maxRaters.toLong,
+          raise_error(concat(lit(s"krippendorffAlpha unit exceeds " +
+            s"$maxRaters ratings: "), col("__u").cast("string")))
+            .cast("long")).otherwise(col("m_u")))
+    val doSum = byUnitVal.join(unitSize, "__u")
+      .groupBy()
+      .agg(
+        // L div (m_u - 1) is exact (L = lcm of every possible m_u - 1)
+        sum(dec(call_function("div", lit(L), col("m_u") - 1L)) *
+          col("n_uc") * (col("m_u") - col("n_uc"))).as("do_l"),
+        count_distinct(col("__u")).as("n_units"))
+    val pooled = byUnitVal.join(unitSize.select(col("__u")), "__u")
+      .groupBy(col("__c")).agg(sum(col("n_uc")).as("n_c"))
+    val de = pooled.agg(sum(col("n_c")).as("n_ratings"),
+      sum(dec(col("n_c")) * col("n_c")).as("__sq"))
+      .withColumn("de_sum",
+        dec(col("n_ratings")) * col("n_ratings") - col("__sq"))
+    doSum.crossJoin(broadcast(de))
+      .select(col("n_units"), col("n_ratings"),
+        (lit(1000000L) - call_function("div",
+          dec(lit(1000000L)) * (col("n_ratings") - 1L) * col("do_l"),
+          nullif(dec(lit(L)) * col("de_sum"), dec(lit(0)))))
+          .cast("long").as("alpha_ppm"))
+  }
+
   /** Mood's median test — do k groups share a common median? Each group's
     * above/not-above-the-grand-median counts feed the exact chi-square
     * machinery ([[graft.operators.Features.chiSquareSummary]]); the grand

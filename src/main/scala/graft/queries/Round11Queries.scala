@@ -28,9 +28,11 @@ object Round11Queries extends QuerySet {
       // distributions, in actual MONEY units, per return flag? KS/CvM
       // (q275/q276 family) see only ECDF gaps; W1 integrates the gap
       // over the price axis, so the answer reads "the distributions are
-      // ~X micro-cents of transport apart" — the metric-aware drift
-      // readout (extendedprice = qty * unit price, so the planted
-      // separation is real and large).
+      // ~X micro-cents of transport apart". Price is INDEPENDENT of
+      // quantity in the synthetic data (corr ~0.01, value-inspected),
+      // so the readout is the honest ECDF-noise floor: ~$240-710 of
+      // transport against a ~$50k price spread at n ~ 10k/side — the
+      // baseline magnitude a W1 drift alarm must clear before paging.
       Inference.wassersteinByGroup(table(s, d, "lineitem"),
         Seq("l_returnflag"), Features.cents(col("l_extendedprice")),
         col("l_quantity") > 25),
@@ -126,5 +128,175 @@ object Round11Queries extends QuerySet {
           |       CAST((sum(CAST(w AS HUGEINT) * w) * count(*) * 1000000)
           |            // (CAST(sum(w) AS HUGEINT) * sum(w)) AS BIGINT)
           |         AS deff_ppm
-          |FROM b GROUP BY 1""".stripMargin)))
+          |FROM b GROUP BY 1""".stripMargin)),
+
+    QueryDef("q432_bh_fdr", (s, d) => {
+      // FDR-controlled post-hoc battery as a PLANTED-SHIFT validation
+      // harness (every distribution in the synthetic data is
+      // independent noise — value-inspected — so real signal must be
+      // planted): orders land in 8 arms by o_orderkey % 8 (independent
+      // of price), arms 6/7 get known +$50k/+$100k shifts, Dunn z runs
+      // on every arm pair off the shared rank pool, z -> conservative
+      // Chebyshev pseudo-p (p <= 1/z^2, exact and log/erf-free), then
+      // Benjamini-Hochberg at alpha = 10%. The step-up staircase must
+      // reject exactly the 13 planted pairs and keep the 15 null pairs
+      // — the multiple-testing discipline a fleet-wide monitoring
+      // sweep needs before paging anyone, with both branches live.
+      val g = (col("o_orderkey") % 8L).cast("long")
+      val dosed = table(s, d, "orders").select(
+        g.as("g"),
+        (Features.cents(col("o_totalprice")) +
+          when(g === 6L, 5000000L).when(g === 7L, 10000000L)
+            .otherwise(0L)).as("v"))
+      val z = Inference.dunnPosthoc(dosed, col("v"), col("g"))
+      val p = z.select(
+        concat_ws("|", col("g_a").cast("string"), col("g_b").cast("string"))
+          .as("tid"),
+        coalesce(
+          floor(least(lit(1000000.0),
+            lit(1000000.0) / (col("z") * col("z")))).cast("long"),
+          lit(1000000L)).as("p"))
+      Inference.bhFdr(p, col("tid"), col("p"), alphaPpm = 100000L)
+    }, Some(
+      s"""WITH v AS (SELECT ${centsSql("o_totalprice")}
+         |                  + CASE WHEN o_orderkey % 8 = 6 THEN 5000000
+         |                         WHEN o_orderkey % 8 = 7 THEN 10000000
+         |                         ELSE 0 END AS v,
+         |                  CAST(o_orderkey % 8 AS BIGINT) AS g
+         |           FROM orders),
+         |vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c_vg
+         |       FROM v GROUP BY 1, 2),
+         |vt AS (SELECT v, CAST(sum(c_vg) AS BIGINT) AS c_v FROM vg GROUP BY 1),
+         |r AS (SELECT v, CAST(2 * (sum(c_v) OVER (ORDER BY v) - c_v)
+         |                     + c_v + 1 AS BIGINT) AS r2
+         |      FROM vt),
+         |pg AS (SELECT g, CAST(sum(c_vg) AS BIGINT) AS n_g,
+         |              CAST(sum(CAST(c_vg AS HUGEINT) * r2) AS BIGINT)
+         |                AS r2_g
+         |       FROM vg JOIN r USING (v) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c_v) AS BIGINT) AS n,
+         |              CAST(sum(CAST(c_v AS HUGEINT) * c_v * c_v)
+         |                   - sum(CAST(c_v AS HUGEINT)) AS BIGINT) AS tie
+         |       FROM vt),
+         |z AS (SELECT a.g AS g_a, b.g AS g_b,
+         |             CASE WHEN tt.n > 1 THEN
+         |               (CAST(a.r2_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+         |                - CAST(b.r2_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+         |               / (2.0 * sqrt(
+         |                   ((CAST(CAST(tt.n AS HUGEINT) * (tt.n + 1) AS DOUBLE)
+         |                     - CAST(tt.tie AS DOUBLE)
+         |                       / CAST(tt.n - 1 AS DOUBLE)) / 12.0)
+         |                   * (1.0 / CAST(a.n_g AS DOUBLE)
+         |                      + 1.0 / CAST(b.n_g AS DOUBLE))))
+         |             END AS z
+         |      FROM pg a JOIN pg b ON a.g < b.g, tt),
+         |p AS (SELECT CAST(g_a AS VARCHAR) || '|' || CAST(g_b AS VARCHAR)
+         |               AS test_id,
+         |             CAST(coalesce(floor(least(1000000.0,
+         |                    1000000.0 / (z * z))), 1000000) AS BIGINT)
+         |               AS p_ppm
+         |      FROM z),
+         |rk AS (SELECT test_id, p_ppm,
+         |              CAST(row_number() OVER (ORDER BY p_ppm, test_id)
+         |                   AS BIGINT) AS rank,
+         |              CAST(count(*) OVER () AS BIGINT) AS m
+         |       FROM p),
+         |k AS (SELECT coalesce(max(CASE WHEN p_ppm * m <= 100000 * rank
+         |                               THEN rank END), 0) AS k
+         |      FROM rk)
+         |SELECT test_id, p_ppm, rank, m,
+         |       CAST((100000 * rank) // m AS BIGINT) AS bh_critical_ppm,
+         |       (rank <= k) AS rejected
+         |FROM rk, k""".stripMargin)),
+
+    QueryDef("q433_krippendorff_alpha", (s, d) =>
+      // do the lines of one order agree on their return flag? Orders are
+      // the units, each line a "rating" — the missing-data agreement
+      // statistic (units have 1-17 ratings; singletons drop as
+      // unpairable). Flags are assigned independently of the order in
+      // the synthetic data, so alpha should sit near 0: the
+      // chance-corrected null that raw percent-agreement (~33%+) would
+      // misread as real consistency. L = lcm(1..19) = 232792560 clears
+      // every per-unit 1/(m_u-1) exactly.
+      Inference.krippendorffAlpha(table(s, d, "lineitem"),
+        col("l_orderkey"), col("l_returnflag")),
+      Some(
+        """WITH r AS (SELECT l_orderkey AS u, l_returnflag AS c FROM lineitem
+          |           WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+          |uv AS (SELECT u, c, CAST(count(*) AS BIGINT) AS n_uc
+          |       FROM r GROUP BY 1, 2),
+          |us AS (SELECT u, CAST(sum(n_uc) AS BIGINT) AS m_u
+          |       FROM uv GROUP BY 1 HAVING sum(n_uc) >= 2),
+          |dl AS (SELECT CAST(sum((232792560 // (m_u - 1)) * n_uc
+          |                       * (m_u - n_uc)) AS HUGEINT) AS do_l,
+          |              CAST(count(DISTINCT uv.u) AS BIGINT) AS n_units
+          |       FROM uv JOIN us USING (u)),
+          |pc AS (SELECT c, CAST(sum(n_uc) AS BIGINT) AS n_c
+          |       FROM uv JOIN us USING (u) GROUP BY 1),
+          |de AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_ratings,
+          |              sum(CAST(n_c AS HUGEINT) * n_c) AS sq
+          |       FROM pc)
+          |SELECT n_units, n_ratings,
+          |       CAST(1000000 - (1000000 * CAST(n_ratings - 1 AS HUGEINT)
+          |                       * do_l)
+          |            // nullif(CAST(232792560 AS HUGEINT)
+          |                     * (CAST(n_ratings AS HUGEINT) * n_ratings - sq),
+          |                     0) AS BIGINT) AS alpha_ppm
+          |FROM dl, de""".stripMargin)),
+
+    QueryDef("q434_qq_table", (s, d) => {
+      // Q-Q table: purchase vs view value distributions compared
+      // quantile-by-quantile (p10/p25/p50/p75/p90 in exact interpolated
+      // micro-milli units) — WHERE the distributions diverge, not just
+      // whether (q275's KS) or by how much in aggregate (q429's W1).
+      val q = Stats.interpolatedQuantiles(
+        events(s, d).filter(col("event_type").isin("view", "purchase")),
+        Seq("event_type"), floor(col("value") * 1000 + 0.5).cast("long"),
+        Seq(100, 250, 500, 750, 900))
+        .localCheckpoint(false) // feeds both pivot sides
+      q.filter(col("event_type") === "purchase")
+        .select(col("q_mille"), col("n_values").as("n_purchase"),
+          col("value_micro").as("purchase_micro"))
+        .join(q.filter(col("event_type") === "view")
+          .select(col("q_mille"), col("n_values").as("n_view"),
+            col("value_micro").as("view_micro")), Seq("q_mille"))
+        .withColumn("qq_gap_micro",
+          col("purchase_micro") - col("view_micro"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, v, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v ASC)
+        |              AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type, v, cnt, cum, tot, q.q AS q_mille,
+        |         (q.q * (tot - 1)) // 1000 AS ip,
+        |         (q.q * (tot - 1)) % 1000 AS rem
+        |  FROM w, (VALUES (100), (250), (500), (750), (900)) q(q)),
+        |p2 AS (SELECT *, ip + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS ip2 FROM p),
+        |qt AS (
+        |  SELECT event_type, CAST(q_mille AS INTEGER) AS q_mille,
+        |         CAST(max(tot) AS BIGINT) AS n_values,
+        |         CAST(max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END)
+        |                * 1000000
+        |              + max(rem)
+        |                * (max(CASE WHEN cum - cnt <= ip2 AND ip2 < cum THEN v END)
+        |                   - max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END))
+        |                * 1000 AS BIGINT) AS value_micro
+        |  FROM p2
+        |  WHERE (cum - cnt <= ip AND ip < cum) OR (cum - cnt <= ip2 AND ip2 < cum)
+        |  GROUP BY 1, 2)
+        |SELECT a.q_mille, a.n_values AS n_purchase,
+        |       a.value_micro AS purchase_micro,
+        |       b.n_values AS n_view, b.value_micro AS view_micro,
+        |       a.value_micro - b.value_micro AS qq_gap_micro
+        |FROM qt a JOIN qt b USING (q_mille)
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'view'""".stripMargin)))
 }

@@ -1474,4 +1474,79 @@ class InferenceSpec extends AnyFunSuite {
     assert(Inference.kishEffectiveSample(mixed, Seq("grp"), col("w"))
       .collect()(0).getAs[Long]("n") === 1L)
   }
+
+  // ---- bhFdr ----
+
+  test("bhFdr: step-up rescues earlier ranks; empty-rejection and raise edges") {
+    import spark.implicits._
+    // p = {15k, 18k, 20k, 900k, 1000k} at alpha 5%: criticals 10k*i;
+    // rank 1 FAILS its own threshold (15k > 10k) but rank 3 passes
+    // (20k <= 30k) so the step-up rejects ranks 1-3 — the defining
+    // BH property a naive per-rank filter would get wrong
+    val df = Seq(("a", 15000L), ("b", 18000L), ("c", 20000L),
+      ("d", 900000L), ("e", 1000000L)).toDF("id", "p")
+    val r = Inference.bhFdr(df, col("id"), col("p"), alphaPpm = 50000L)
+      .collect().map(x => x.getAs[String]("test_id") ->
+        (x.getAs[Long]("rank"), x.getAs[Boolean]("rejected"))).toMap
+    assert(r("a") === ((1L, true)) && r("b") === ((2L, true)) &&
+      r("c") === ((3L, true)))
+    assert(r("d") === ((4L, false)) && r("e") === ((5L, false)))
+    // nothing passes -> k = 0, nothing rejected
+    val none = Seq(("a", 500000L), ("b", 900000L)).toDF("id", "p")
+    assert(Inference.bhFdr(none, col("id"), col("p"), alphaPpm = 50000L)
+      .collect().forall(!_.getAs[Boolean]("rejected")))
+    // deterministic tie ranking by id
+    val tie = Seq(("z", 10000L), ("y", 10000L)).toDF("id", "p")
+    val tr = Inference.bhFdr(tie, col("id"), col("p"), alphaPpm = 100000L)
+      .collect().map(x => x.getAs[String]("test_id") -> x.getAs[Long]("rank"))
+      .toMap
+    assert(tr("y") === 1L && tr("z") === 2L)
+    // out-of-range p fails loud
+    val bad = Seq(("a", 1000001L)).toDF("id", "p")
+    val e = intercept[Exception] {
+      Inference.bhFdr(bad, col("id"), col("p")).collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1e6]"))
+  }
+
+  // ---- krippendorffAlpha ----
+
+  test("krippendorffAlpha: hand vectors incl. negative alpha, singleton drop, NULL, raise") {
+    import spark.implicits._
+    // u1:(a,a) u2:(a,b): Do_sum = 2/(2-1), n = 4, pooled a:3 b:1,
+    // De_sum = 3*1 + 1*3 = 6 -> alpha = 1 - 3*2/6 = 0 exactly
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("u", "c")
+    val r = Inference.krippendorffAlpha(df, col("u"), col("c")).collect()(0)
+    assert(r.getAs[Long]("n_units") === 2L && r.getAs[Long]("n_ratings") === 4L)
+    assert(r.getAs[Long]("alpha_ppm") === 0L)
+    // perfect agreement -> exactly 1e6
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("u", "c")
+    assert(Inference.krippendorffAlpha(perfect, col("u"), col("c"))
+      .collect()(0).getAs[Long]("alpha_ppm") === 1000000L)
+    // systematic within-unit disagreement -> alpha = -0.5 exactly
+    val worse = Seq(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"))
+      .toDF("u", "c")
+    assert(Inference.krippendorffAlpha(worse, col("u"), col("c"))
+      .collect()(0).getAs[Long]("alpha_ppm") === -500000L)
+    // a singleton unit is unpairable: result identical to dropping it
+    val withSingleton = df.unionByName(Seq(("u3", "b")).toDF("u", "c"))
+    val ws = Inference.krippendorffAlpha(withSingleton, col("u"), col("c"))
+      .collect()(0)
+    assert(ws.getAs[Long]("n_units") === 2L &&
+      ws.getAs[Long]("alpha_ppm") === 0L)
+    // all ratings one value -> De = 0 -> NULL alpha
+    val flat = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("u", "c")
+    val fr = Inference.krippendorffAlpha(flat, col("u"), col("c")).collect()(0)
+    assert(fr.isNullAt(fr.fieldIndex("alpha_ppm")))
+    // a unit over maxRaters fails loud (the L-headroom contract)
+    val big = (1 to 4).map(i => ("u1", s"v$i")).toDF("u", "c")
+    val e = intercept[Exception] {
+      Inference.krippendorffAlpha(big, col("u"), col("c"), maxRaters = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("exceeds 3 ratings"))
+  }
 }
