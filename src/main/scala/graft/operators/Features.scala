@@ -886,4 +886,76 @@ object Features {
               1000000L,
             dec(col("starting"))).cast("long")))
   }
+
+  /** Decision-stump feature screen by exact Gini impurity decrease — the
+    * model-free "is this feature worth anything for this label" ranking a
+    * feature store runs before training: over every candidate threshold v
+    * (left = `feature <= v`), the weighted binary-Gini of the split,
+    * minimized. All rationals cleared to one truncating ppm division per
+    * quantity with a SHARED denominator construction:
+    * `child_ppm = 2e6 * (posL*negL*nR + posR*negR*nL) div (nL*nR*N)` and
+    * `parent_ppm = 2e6 * P*(N-P) div (N*N)` — exact DECIMAL products, so
+    * both engines pick the same argmin. Ties on impurity break to the
+    * SMALLEST threshold via a two-stage rollup (min impurity, then min v
+    * at it — deterministic where arg_min on ties is not).
+    *
+    * Scale shape: one (value) rollup shuffle with per-value label counts,
+    * a cumulative window over DISTINCT values (single-partition by
+    * design — a split search is a global prefix structure — guarded by
+    * `maxDistinct`, the valueRanks contract: bin continuous features
+    * first), then two 1-row aggregates. Output: one row — n, n_pos,
+    * parent_ppm, best_threshold (largest left-inclusive value), child
+    * impurity there, and the decrease (parent - child; truncation can
+    * make a no-signal decrease read slightly negative — consistent
+    * cross-engine, and any real signal dwarfs the ulp).
+    */
+  def giniSplitScreen(df: DataFrame, featureCol: Column, labelCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct: $maxDistinct")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.filter(featureCol.isNotNull && labelCol.isNotNull)
+      .groupBy(featureCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("v").asc)
+    val guard = when(row_number().over(w) > maxDistinct,
+      raise_error(lit(s"giniSplitScreen exceeded $maxDistinct distinct " +
+        "feature values - the split-search window is single-partition; " +
+        "bin the feature to fixed-point first")).cast("long"))
+      .otherwise(lit(0L))
+    val cum = counts
+      .withColumn("nl", sum(col("cnt")).over(w) + guard)
+      .withColumn("pl", sum(col("pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("n"), max(col("pl")).as("n_pos"))
+    // candidate splits: every distinct value except the last (an empty
+    // right side is not a split). The divisor is nullif-guarded even
+    // though the filter excludes nl = n: Catalyst may reorder a Project
+    // below a Filter (evaluation order across operators is NOT
+    // guaranteed), so under ANSI the division must be safe on every
+    // pre-filter row — the filter then drops the NULL row anyway
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .withColumn("child_ppm",
+        call_function("div",
+          dec(lit(2000000L)) *
+            (dec(col("pl")) * (col("nl") - col("pl")) * (col("n") - col("nl")) +
+             dec(col("n_pos") - col("pl")) *
+               ((col("n") - col("nl")) - (col("n_pos") - col("pl"))) *
+               col("nl")),
+          nullif(dec(col("nl")) * (col("n") - col("nl")) * col("n"),
+            dec(lit(0)))).cast("long"))
+    val best = cand.agg(min(col("child_ppm")).as("best_child_ppm"))
+    val bestV = cand.crossJoin(broadcast(best))
+      .filter(col("child_ppm") === col("best_child_ppm"))
+      .groupBy(col("best_child_ppm"))
+      .agg(min(col("v")).as("best_threshold"))
+    tot.crossJoin(broadcast(bestV))
+      .withColumn("parent_ppm",
+        call_function("div",
+          dec(lit(2000000L)) * col("n_pos") * (col("n") - col("n_pos")),
+          dec(col("n")) * col("n")).cast("long"))
+      .select(col("n"), col("n_pos"), col("parent_ppm"),
+        col("best_threshold"), col("best_child_ppm"),
+        (col("parent_ppm") - col("best_child_ppm")).as("decrease_ppm"))
+  }
 }

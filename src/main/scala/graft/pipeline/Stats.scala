@@ -1412,4 +1412,71 @@ object Stats {
       call_function("div", col("s.z") * 1000L, col("s.p"))
         .as("forecast_milli")): _*)
   }
+
+  /** Classical additive seasonal decomposition of a per-group daily
+    * series: `y = trend + seasonal + residual`, in exact milli-units —
+    * the decomposition TABLE behind [[weeklySeasonalityStrength]]'s
+    * single index (that answers "is there a weekly shape"; this shows
+    * the shape, the trend it rides, and what's left). Steps, all
+    * integer-exact:
+    *  - spine-densified daily rollup (gaps are zero demand, the
+    *    [[ewmaDaily]] convention);
+    *  - `trend_milli` = centered `period`-day moving average
+    *    (`sum * 1000 div period`; y >= 0 required so the truncation is
+    *    engine-agnostic — fixed-point amounts and counts are);
+    *    edge days without a full window emit no decomposition row;
+    *  - `detrended_milli = y*1000 - trend_milli` (may be negative —
+    *    a subtraction, never a negative division);
+    *  - `seasonal_milli` per (group, day mod period): the mean of
+    *    detrended values via SIGN-WRAPPED truncating division
+    *    (Spark `div` truncates toward zero, DuckDB `//` floors —
+    *    identical only via sign-magnitude, the q274/q304 rule);
+    *  - `residual_milli = detrended_milli - seasonal_milli`.
+    *
+    * Scale: one (group, day) rollup, the spine window per group
+    * (calendar-bounded), one (group, phase) rollup broadcast-joined
+    * back. dow = epoch-day mod period, never an engine-specific
+    * dayofweek (the q204 rule).
+    */
+  def seasonalDecompose(df: DataFrame, groupCols: Seq[String],
+      dayCol: Column, valueCol: Column, period: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "seasonalDecompose needs groupCols")
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window: $period")
+    val gcols = groupCols.map(col)
+    val half = period / 2
+    val daily = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(valueCol.cast("long")).as("y"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols ++ Seq(col("day"), coalesce(col("y"), lit(0L)).as("y")): _*)
+      .withColumn("y", when(col("y") < 0L,
+        raise_error(lit("seasonalDecompose requires non-negative values " +
+          "(truncating trend division)")).cast("long")).otherwise(col("y")))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("day").asc)
+      .rowsBetween(-half, half)
+    val detr = dense
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("trend_milli",
+        call_function("div", sum(col("y")).over(w) * 1000L,
+          lit(period.toLong)))
+      .filter(col("__n") === period.toLong)
+      .withColumn("detrended_milli", col("y") * 1000L - col("trend_milli"))
+      .withColumn("__phase", pmod(col("day"), lit(period.toLong)))
+      .localCheckpoint(false) // feeds the phase rollup AND the output join
+    val sgnDiv = (num: Column, den: Column) =>
+      signum(num).cast("long") *
+        call_function("div", abs(num), den)
+    val seasonal = detr.groupBy(gcols :+ col("__phase"): _*)
+      .agg(sgnDiv(sum(col("detrended_milli")), count(lit(1)))
+        .as("seasonal_milli"))
+    detr.join(seasonal, groupCols :+ "__phase")
+      .select(gcols ++ Seq(col("day"), col("y"), col("trend_milli"),
+        col("detrended_milli"), col("seasonal_milli"),
+        (col("detrended_milli") - col("seasonal_milli"))
+          .as("residual_milli")): _*)
+  }
 }

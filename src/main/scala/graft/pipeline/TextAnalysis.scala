@@ -1294,4 +1294,59 @@ object TextAnalysis {
         call_function("div",
           (col("c") + 1L) * col("n_next") * 1000L, col("n_c")))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) per document: candidate
+    * phrases are maximal runs of non-stopword tokens (stopwords and empty
+    * tokens are boundaries); each word scores `degree/frequency` within
+    * its document (degree = summed length of the phrases it appears in,
+    * frequency = its occurrence count among candidates) and a phrase
+    * scores the sum of its word scores — long multi-word technical
+    * phrases outrank frequent isolated words, which is exactly what the
+    * [[textRankKeywords]] co-occurrence graph buys at 10x the cost.
+    * Exact arithmetic: word scores are ONE truncating milli division
+    * `deg * 1000 div freq` each; a phrase score is an integer SUM of
+    * those (integer sums commute — no float accumulation order).
+    *
+    * Scale shape: one posexplode (linear in tokens), a per-document
+    * position window (document-bounded, the sessionize convention), two
+    * (doc, word) rollups, one keyed join back — no corpus-global
+    * structure at all; documents process fully in parallel.
+    */
+  def rakeKeyphrases(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, stopwords: Seq[String],
+      minWords: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeyphrases needs a stopword list")
+    require(minWords >= 1, s"minWords: $minWords")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("__pos").asc)
+    val toks = docs.filter(textCol.isNotNull)
+      .select(idCol.as("__doc"), posexplode(tokens(textCol))
+        .as(Seq("__pos", "__w")))
+      .withColumn("__stop",
+        lower(col("__w")).isInCollection(stopwords) || col("__w") === "")
+      .withColumn("__seg",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
+    val words = toks.filter(!col("__stop"))
+      .select(col("__doc"), col("__seg"), col("__pos"),
+        lower(col("__w")).as("__w"))
+      .localCheckpoint(false) // feeds phrase lengths, word stats, and scores
+    val phLen = words.groupBy(col("__doc"), col("__seg"))
+      .agg(count(lit(1)).as("__len"))
+    val wordStats = words.join(phLen, Seq("__doc", "__seg"))
+      .groupBy(col("__doc"), col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__score",
+        call_function("div", col("__deg") * 1000L, col("__freq")))
+    words.join(wordStats, Seq("__doc", "__w"))
+      .groupBy(col("__doc"), col("__seg"))
+      .agg(
+        array_join(transform(sort_array(collect_list(
+          struct(col("__pos"), col("__w")))), x => x("__w")), " ")
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("__score")).as("score_milli"))
+      .filter(col("n_words") >= minWords.toLong)
+      .select(col("__doc").as("doc_id"), col("phrase"), col("n_words"),
+        col("score_milli"))
+  }
 }

@@ -298,5 +298,152 @@ object Round11Queries extends QuerySet {
         |       b.n_values AS n_view, b.value_micro AS view_micro,
         |       a.value_micro - b.value_micro AS qq_gap_micro
         |FROM qt a JOIN qt b USING (q_mille)
-        |WHERE a.event_type = 'purchase' AND b.event_type = 'view'""".stripMargin)))
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'view'""".stripMargin)),
+
+    QueryDef("q435_rake_keyphrases", (s, d) =>
+      // RAKE candidate keyphrases over the corpus: maximal non-stopword
+      // runs ('a'/'the' are the corpus's real stopwords — value-
+      // inspected top tokens), per-document degree/frequency word scores
+      // in exact milli, phrase score = integer sum. The cheap per-doc
+      // sibling of q280's corpus-level TextRank graph.
+      TextAnalysis.rakeKeyphrases(
+        table(s, d, "documents"), col("doc_id").cast("long"), col("text"),
+        stopwords = Seq("a", "the", "and", "of", "to", "in"),
+        minWords = 2),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+          |         unnest(generate_series(1, len(string_split(text, ' '))))
+          |           AS pos
+          |  FROM documents WHERE text IS NOT NULL),
+          |t2 AS (SELECT doc_id, pos, lower(w) AS wl,
+          |              (lower(w) IN ('a','the','and','of','to','in')
+          |               OR w = '') AS stop
+          |       FROM tok),
+          |sg AS (SELECT *, sum(CASE WHEN stop THEN 1 ELSE 0 END)
+          |                 OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+          |       FROM t2),
+          |wd AS (SELECT doc_id, seg, pos, wl FROM sg WHERE NOT stop),
+          |pl AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS len
+          |       FROM wd GROUP BY 1, 2),
+          |ws AS (SELECT w.doc_id, w.wl, CAST(count(*) AS BIGINT) AS freq,
+          |              CAST(sum(len) AS BIGINT) AS deg
+          |       FROM wd w JOIN pl USING (doc_id, seg) GROUP BY 1, 2),
+          |sc AS (SELECT doc_id, wl,
+          |              CAST((deg * 1000) // freq AS BIGINT) AS score
+          |       FROM ws),
+          |ph AS (SELECT w.doc_id, w.seg,
+          |              string_agg(w.wl, ' ' ORDER BY w.pos) AS phrase,
+          |              CAST(count(*) AS BIGINT) AS n_words,
+          |              CAST(sum(score) AS BIGINT) AS score_milli
+          |       FROM wd w JOIN sc USING (doc_id, wl) GROUP BY 1, 2)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, phrase, n_words,
+          |       score_milli
+          |FROM ph WHERE n_words >= 2""".stripMargin)),
+
+    QueryDef("q436_gini_screen", (s, d) => {
+      // decision-stump feature screen vs the lang='en' label, three
+      // candidates: the raw length (independent of lang — decrease ~0),
+      // a PLANTED positive control (length + 200 for English docs — the
+      // screen must find a threshold separating them), and pure noise
+      // (doc_id mod 97). The planted/null contrast is the point: one
+      // operator, both branches exercised, exactly like q432's harness.
+      val docs = table(s, d, "documents")
+      val en = col("lang") === "en"
+      def screen(name: String, feat: org.apache.spark.sql.Column) =
+        Features.giniSplitScreen(docs, feat, en)
+          .select(lit(name).as("feature"), col("n"), col("n_pos"),
+            col("parent_ppm"), col("best_threshold"),
+            col("best_child_ppm"), col("decrease_ppm"))
+      screen("n_chars_null", col("n_chars"))
+        .unionByName(screen("n_chars_planted",
+          col("n_chars") + when(en, 200L).otherwise(0L)))
+        .unionByName(screen("docid_noise", col("doc_id") % 97L))
+    }, Some {
+      def one(name: String, feat: String) =
+        s"""SELECT '$name' AS feature, n, n_pos,
+           |       CAST((2000000 * CAST(n_pos AS HUGEINT) * (n - n_pos))
+           |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS parent_ppm,
+           |       best_threshold, best_child_ppm,
+           |       CAST((2000000 * CAST(n_pos AS HUGEINT) * (n - n_pos))
+           |            // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           |         - best_child_ppm AS decrease_ppm
+           |FROM (
+           |  WITH f AS (SELECT CAST($feat AS BIGINT) AS v,
+           |                    (lang = 'en') AS y
+           |             FROM documents
+           |             WHERE ($feat) IS NOT NULL AND lang IS NOT NULL),
+           |  c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+           |               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+           |                 AS pos
+           |        FROM f GROUP BY 1),
+           |  cm AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS nl,
+           |                CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS pl
+           |         FROM c),
+           |  tt AS (SELECT max(nl) AS n, max(pl) AS n_pos FROM cm),
+           |  cd AS (SELECT v,
+           |                CAST((2000000 * (CAST(pl AS HUGEINT) * (nl - pl)
+           |                                   * (n - nl)
+           |                      + CAST(n_pos - pl AS HUGEINT)
+           |                        * ((n - nl) - (n_pos - pl)) * nl))
+           |                     // (CAST(nl AS HUGEINT) * (n - nl) * n)
+           |                     AS BIGINT) AS child
+           |         FROM cm, tt WHERE nl < n),
+           |  b AS (SELECT min(child) AS bc FROM cd),
+           |  bv AS (SELECT bc AS best_child_ppm, min(v) AS best_threshold
+           |         FROM cd, b WHERE child = bc GROUP BY 1)
+           |  SELECT n, n_pos, best_threshold, best_child_ppm FROM tt, bv)""".stripMargin
+      one("n_chars_null", "n_chars") + "\nUNION ALL\n" +
+        one("n_chars_planted",
+          "n_chars + CASE WHEN lang = 'en' THEN 200 ELSE 0 END") +
+        "\nUNION ALL\n" + one("docid_noise", "doc_id % 97")
+    }),
+
+    QueryDef("q437_seasonal_decompose", (s, d) =>
+      // the additive decomposition TABLE behind q293's single
+      // seasonality index: daily revenue per priority split into a
+      // centered 7-day trend, a day-of-week profile, and what's left —
+      // all exact milli-cents (sign-wrapped seasonal means; epoch-day
+      // mod 7 phases, never an engine dayofweek).
+      Stats.seasonalDecompose(
+        table(s, d, "orders").select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).as("day"),
+          Features.cents(col("o_totalprice")).as("y")),
+        Seq("o_orderpriority"), col("day"), col("y"), period = 7),
+      Some(
+        s"""WITH dl AS (
+           |  SELECT o_orderpriority AS g,
+           |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) AS day,
+           |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |gr AS (SELECT g, min(day) AS mn, max(day) AS mx FROM dl GROUP BY 1),
+           |sp AS (SELECT g, unnest(generate_series(mn, mx)) AS day FROM gr),
+           |dn AS (SELECT sp.g, sp.day, coalesce(dl.y, 0) AS y
+           |       FROM sp LEFT JOIN dl ON dl.g = sp.g AND dl.day = sp.day),
+           |w AS (SELECT g, day, y,
+           |             CAST(sum(y) OVER (PARTITION BY g ORDER BY day
+           |                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           |                  AS BIGINT) AS s7,
+           |             count(*) OVER (PARTITION BY g ORDER BY day
+           |                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+           |      FROM dn),
+           |d2 AS (SELECT g, day, y,
+           |              (s7 * 1000) // 7 AS trend_milli,
+           |              y * 1000 - (s7 * 1000) // 7 AS detrended_milli,
+           |              day % 7 AS ph
+           |       FROM w WHERE n7 = 7),
+           |se AS (SELECT g, ph,
+           |              CASE WHEN sum(detrended_milli) >= 0
+           |                   THEN sum(detrended_milli) // count(*)
+           |                   ELSE -((-sum(detrended_milli)) // count(*))
+           |              END AS seasonal_milli
+           |       FROM d2 GROUP BY 1, 2)
+           |SELECT g AS o_orderpriority, day, y, trend_milli,
+           |       detrended_milli, CAST(seasonal_milli AS BIGINT)
+           |         AS seasonal_milli,
+           |       CAST(detrended_milli - seasonal_milli AS BIGINT)
+           |         AS residual_milli
+           |FROM d2 JOIN se USING (g, ph)""".stripMargin)))
 }

@@ -726,4 +726,44 @@ class FeatureSpec extends AnyFunSuite {
     assert(out("eq") === ((5L, 100L, 200000L, 5000L)))
     assert(out("mono") === ((1L, 77L, 1000000L, 1000L)))
   }
+
+  // ---- giniSplitScreen ----
+
+  test("giniSplitScreen: hand impurities, perfect split, tie-break, degenerate, guard") {
+    // v=1:(2 rows, 1 pos), v=2:(1,1), v=3:(2,0): parent 2*2*3/25 = 0.48,
+    // best split v<=2 -> (3/5)*2*(2/3)(1/3) + (2/5)*0 = 0.2666
+    val df = Seq((1L, true), (1L, false), (2L, true), (3L, false),
+      (3L, false)).toDF("v", "y")
+    val r = Features.giniSplitScreen(df, col("v"), col("y")).collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_pos")) === ((5L, 2L)))
+    assert(r.getAs[Long]("parent_ppm") === 480000L)
+    assert(r.getAs[Long]("best_threshold") === 2L)
+    assert(r.getAs[Long]("best_child_ppm") === 266666L)
+    assert(r.getAs[Long]("decrease_ppm") === 213334L)
+    // perfectly separable: child impurity exactly 0
+    val sep = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("v", "y")
+    val p = Features.giniSplitScreen(sep, col("v"), col("y")).collect()(0)
+    assert(p.getAs[Long]("best_threshold") === 2L &&
+      p.getAs[Long]("best_child_ppm") === 0L &&
+      p.getAs[Long]("decrease_ppm") === 500000L)
+    // all splits equal -> tie breaks to the SMALLEST threshold
+    val flat = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("v", "y")
+    val t = Features.giniSplitScreen(flat, col("v"), col("y")).collect()(0)
+    assert(t.getAs[Long]("best_threshold") ===
+      Features.giniSplitScreen(flat, col("v"), col("y")).collect()(0)
+        .getAs[Long]("best_threshold")) // deterministic
+    // single distinct value: no legal split -> empty result
+    assert(Features.giniSplitScreen(
+      Seq((7L, true), (7L, false)).toDF("v", "y"), col("v"), col("y"))
+      .collect().isEmpty)
+    // maxDistinct guard fails loud
+    val wide = (1L to 50L).map(i => (i, i % 2 == 0)).toDF("v", "y")
+    val e = intercept[Exception] {
+      Features.giniSplitScreen(wide, col("v"), col("y"), maxDistinct = 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("exceeded 10"))
+  }
 }

@@ -1585,4 +1585,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2) === ((5L, 6L, 833333L)))
     assert(out(3) === ((6L, 6L, 1000000L)))
   }
+
+  // ---- rakeKeyphrases ----
+
+  test("rakeKeyphrases: hand phrases, degree/frequency scores, multiplicity, case-fold") {
+    val docs = Seq((1L, "the red apple of green apple")).toDF("id", "text")
+    val r = TextAnalysis.rakeKeyphrases(docs, col("id"), col("text"),
+      stopwords = Seq("the", "of")).collect()
+      .map(x => x.getAs[String]("phrase") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("score_milli"))).toMap
+    // freq: red 1, green 1, apple 2; deg: red 2, green 2, apple 4 ->
+    // scores 2000/2000/2000 -> both phrases score 4000
+    assert(r === Map("red apple" -> ((2L, 4000L)),
+      "green apple" -> ((2L, 4000L))))
+    // multiplicity: "x x the x" -> freq(x)=3, deg(x)=2+2+1=5, score 1666;
+    // phrase "x x" sums it twice
+    val m = TextAnalysis.rakeKeyphrases(
+      Seq((1L, "x x the x")).toDF("id", "text"), col("id"), col("text"),
+      stopwords = Seq("the")).collect()
+      .map(x => x.getAs[String]("phrase") -> x.getAs[Long]("score_milli"))
+      .toMap
+    assert(m === Map("x x" -> 3332L, "x" -> 1666L))
+    // stopword matching is case-folded and output words are lowered
+    val c = TextAnalysis.rakeKeyphrases(
+      Seq((1L, "The Red THE red")).toDF("id", "text"), col("id"), col("text"),
+      stopwords = Seq("the")).collect()
+    assert(c.map(_.getAs[String]("phrase")).toSet === Set("red"))
+    assert(c.length === 2)
+    // minWords prunes single-word candidates
+    assert(TextAnalysis.rakeKeyphrases(
+      Seq((1L, "x x the x")).toDF("id", "text"), col("id"), col("text"),
+      stopwords = Seq("the"), minWords = 2).collect()
+      .map(_.getAs[String]("phrase")).toSeq === Seq("x x"))
+  }
 }

@@ -627,4 +627,40 @@ class StatSpec extends AnyFunSuite {
       maxDays = 20L).collect().head
     assert(ok.getAs[Long]("n_days") === 20L)
   }
+
+  // ---- seasonalDecompose ----
+
+  test("seasonalDecompose: pure trend -> zero seasonal; planted weekly shape recovered") {
+    // linear series, period 3: trend = y, everything else exactly 0
+    val lin = (0L to 4L).map(i => ("g", i, 3L * (i + 1))).toDF("g", "day", "y")
+    val lr = Stats.seasonalDecompose(lin, Seq("g"), col("day"), col("y"),
+      period = 3).collect().sortBy(_.getAs[Long]("day"))
+    assert(lr.map(_.getAs[Long]("day")).toSeq === Seq(1L, 2L, 3L))
+    assert(lr.forall(r => r.getAs[Long]("trend_milli") ===
+      r.getAs[Long]("y") * 1000L))
+    assert(lr.forall(_.getAs[Long]("seasonal_milli") === 0L))
+    assert(lr.forall(_.getAs[Long]("residual_milli") === 0L))
+    // planted phase shape 10/20/30 repeating: flat trend 20000, seasonal
+    // exactly {-10000, 0, +10000} by phase, residual 0 (negative seasonal
+    // pins the sign-wrapped division)
+    val ys = Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L)
+    val per = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      .toDF("g", "day", "y")
+    val pr = Stats.seasonalDecompose(per, Seq("g"), col("day"), col("y"),
+      period = 3).collect().sortBy(_.getAs[Long]("day"))
+    assert(pr.map(_.getAs[Long]("day")).toSeq === (1L to 5L))
+    assert(pr.forall(_.getAs[Long]("trend_milli") === 20000L))
+    val byPhase = pr.map(r => (r.getAs[Long]("day") % 3L) ->
+      r.getAs[Long]("seasonal_milli")).toMap
+    assert(byPhase === Map(0L -> -10000L, 1L -> 0L, 2L -> 10000L))
+    assert(pr.forall(_.getAs[Long]("residual_milli") === 0L))
+    // negative input fails loud (truncating trend division contract)
+    val neg = Seq(("g", 0L, -1L), ("g", 1L, 2L), ("g", 2L, 3L))
+      .toDF("g", "day", "y")
+    val e = intercept[Exception] {
+      Stats.seasonalDecompose(neg, Seq("g"), col("day"), col("y"),
+        period = 3).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
