@@ -958,4 +958,43 @@ object Features {
         col("best_threshold"), col("best_child_ppm"),
         (col("parent_ppm") - col("best_child_ppm")).as("decrease_ppm"))
   }
+
+  /** Arc (midpoint) price elasticity of demand per group between two
+    * periods: `e = [(q2-q1)/((q1+q2)/2)] / [(p2-p1)/((p1+p2)/2)]
+    * = (q2-q1)(p1+p2) / ((q1+q2)(p2-p1))` — the midpoint form is
+    * symmetric in direction and, unlike the log-log regression
+    * elasticity, entirely RATIONAL: with integer quantities and
+    * milli-cent unit prices it is one sign-wrapped truncating milli
+    * division (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * sign-magnitude keeps them identical, the q274 rule). Unit price
+    * per period = `sum_cents * 1000 div sum_qty` (non-negative).
+    * NULL elasticity when the price did not move or either period has
+    * no quantity (undefined, not a division error).
+    *
+    * Shape: one (group, period) rollup, a self-join pivot on the group
+    * keys — trivially 100 TB-shaped.
+    */
+  def arcElasticity(df: DataFrame, groupCols: Seq[String], inP2: Column,
+      qtyCol: Column, centsCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "arcElasticity needs groupCols")
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.filter(qtyCol.isNotNull && centsCol.isNotNull)
+      .groupBy(gcols :+ when(inP2, 2L).otherwise(1L).as("__per"): _*)
+      .agg(sum(qtyCol.cast("long")).as("q"), sum(centsCol.cast("long")).as("c"))
+      .filter(col("q") > 0L)
+      .withColumn("p_milli", call_function("div", col("c") * 1000L, col("q")))
+    val p1 = per.filter(col("__per") === 1L)
+      .select(gcols ++ Seq(col("q").as("q1"), col("p_milli").as("p1_milli")): _*)
+    val p2 = per.filter(col("__per") === 2L)
+      .select(gcols ++ Seq(col("q").as("q2"), col("p_milli").as("p2_milli")): _*)
+    val num = dec(col("q2") - col("q1")) * (col("p1_milli") + col("p2_milli"))
+    val den = dec(col("q1") + col("q2")) * (col("p2_milli") - col("p1_milli"))
+    p1.join(p2, groupCols)
+      .withColumn("elasticity_milli",
+        when(col("p2_milli") =!= col("p1_milli"),
+          (signum(num) * signum(den)).cast("long") *
+            call_function("div", abs(num) * 1000L, nullif(abs(den), dec(lit(0))))
+              .cast("long")))
+  }
 }

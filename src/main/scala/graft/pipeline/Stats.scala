@@ -1479,4 +1479,45 @@ object Stats {
         (col("detrended_milli") - col("seasonal_milli"))
           .as("residual_milli")): _*)
   }
+
+  /** Shewhart p-chart (attribute control chart): per (group, day) the
+    * defective share against 3-sigma binomial limits around the
+    * group's centerline — the SPC sibling of [[graft.operators
+    * .EventAnalytics]]'s CUSUM (which detects slow drift; this flags
+    * single out-of-control days). Exact integers everywhere a decision
+    * rides: `phat_ppm = pos*1e6 div n` per day, centerline
+    * `pbar_ppm = tot_pos*1e6 div tot_n`; the limits are the ONE
+    * declared IEEE chain `pbar +- 3*sqrt(pbar*(1-pbar)/n_day)` over
+    * `pbar = pbar_ppm / 1e6` (mirrored verbatim by the oracle), and
+    * the out-of-control flags compare the exact-rational day share
+    * `pos/n` (one double division of integers) against them.
+    *
+    * Shape: one (group, day) rollup, one group rollup broadcast back.
+    * Day cardinality is calendar-bounded; groups process in parallel.
+    */
+  def pChart(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      defectCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "pChart needs groupCols")
+    val gcols = groupCols.map(col)
+    val daily = df.filter(defectCol.isNotNull)
+      .groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(defectCol, 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(false) // feeds the centerline AND the output
+    val center = daily.groupBy(gcols: _*)
+      .agg(sum(col("n")).as("__tn"), sum(col("pos")).as("__tp"))
+      .withColumn("pbar_ppm",
+        call_function("div", col("__tp") * 1000000L, col("__tn")))
+      .select(gcols :+ col("pbar_ppm"): _*)
+    val pbar = col("pbar_ppm").cast("double") / lit(1000000.0)
+    val sigma = sqrt(pbar * (lit(1.0) - pbar) / col("n").cast("double"))
+    daily.join(broadcast(center), groupCols)
+      .withColumn("phat_ppm",
+        call_function("div", col("pos") * 1000000L, col("n")))
+      .withColumn("ucl", pbar + lit(3.0) * sigma)
+      .withColumn("lcl", pbar - lit(3.0) * sigma)
+      .withColumn("out_of_control",
+        col("pos").cast("double") / col("n").cast("double") > col("ucl") ||
+          col("pos").cast("double") / col("n").cast("double") < col("lcl"))
+  }
 }

@@ -445,5 +445,101 @@ object Round11Queries extends QuerySet {
            |         AS seasonal_milli,
            |       CAST(detrended_milli - seasonal_milli AS BIGINT)
            |         AS residual_milli
-           |FROM d2 JOIN se USING (g, ph)""".stripMargin)))
+           |FROM d2 JOIN se USING (g, ph)""".stripMargin)),
+
+    QueryDef("q438_arc_elasticity", (s, d) =>
+      // midpoint price elasticity per brand between the two halves of
+      // the order history (1996+ vs before). Prices are independent of
+      // period in the synthetic data, so the per-brand price moves are
+      // noise-small and the elasticities are the honest LOW-SIGNAL
+      // readout (huge magnitudes from near-zero denominators are the
+      // expected behavior of the midpoint formula on an unchanged
+      // price — exactly why a real pricing team gates on |dp| first).
+      Features.arcElasticity(
+        table(s, d, "lineitem").join(table(s, d, "part"),
+          col("l_partkey") === col("p_partkey")),
+        Seq("p_brand"), year(to_date(col("l_shipdate"))) >= 1996,
+        col("l_quantity"), Features.cents(col("l_extendedprice"))),
+      Some(
+        s"""WITH base AS (
+           |  SELECT p_brand,
+           |         CASE WHEN year(CAST(l_shipdate AS DATE)) >= 1996
+           |              THEN 2 ELSE 1 END AS per,
+           |         CAST(l_quantity AS BIGINT) AS q,
+           |         ${centsSql("l_extendedprice")} AS c
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |pp AS (SELECT p_brand, per, CAST(sum(q) AS BIGINT) AS q,
+           |              CAST((sum(c) * 1000) // sum(q) AS BIGINT) AS p_milli
+           |       FROM base GROUP BY 1, 2 HAVING sum(q) > 0),
+           |j AS (SELECT a.p_brand, a.q AS q1, a.p_milli AS p1_milli,
+           |             b.q AS q2, b.p_milli AS p2_milli
+           |      FROM pp a JOIN pp b ON a.p_brand = b.p_brand
+           |      WHERE a.per = 1 AND b.per = 2)
+           |SELECT p_brand, q1, p1_milli, q2, p2_milli,
+           |       CASE WHEN p2_milli <> p1_milli THEN
+           |         CAST(CASE WHEN (q2 - q1) * (p2_milli - p1_milli) >= 0
+           |                   THEN 1 ELSE -1 END
+           |              * CASE WHEN q2 = q1 THEN 0 ELSE
+           |                  (abs(CAST(q2 - q1 AS HUGEINT)
+           |                       * (p1_milli + p2_milli)) * 1000)
+           |                  // abs(CAST(q1 + q2 AS HUGEINT)
+           |                        * (p2_milli - p1_milli)) END AS BIGINT)
+           |       END AS elasticity_milli
+           |FROM j""".stripMargin)),
+
+    QueryDef("q439_p_chart", (s, d) => {
+      // Shewhart p-chart on the daily high-value event share (value >
+      // 90, p ~ 0.1 over 30 days) with one PLANTED out-of-control day:
+      // on 2024-01-15 the defect predicate widens to value > 70,
+      // tripling that day's rate. The chart must flag exactly the
+      // planted day — and the 3-sigma limits must hold the other 29
+      // (the q432 positive-control pattern; every natural series here
+      // is in-control noise, value-inspected).
+      val ev = events(s, d).select(
+        lit("events").as("grp"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("value"))
+      Stats.pChart(
+        ev.withColumn("defect",
+          col("value") > 90 ||
+            (col("day") === 19737L && col("value") > 70)),
+        Seq("grp"), col("day"), col("defect"))
+        .select(col("grp"), col("day"), col("n"), col("pos"),
+          col("phat_ppm"), col("pbar_ppm"), col("ucl"), col("lcl"),
+          col("out_of_control"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         value FROM events),
+        |daily AS (SELECT 'events' AS grp, day, CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(CASE WHEN value > 90
+        |                           OR (day = 19737 AND value > 70)
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |          FROM base GROUP BY 2),
+        |ctr AS (SELECT grp, CAST((sum(pos) * 1000000) // sum(n) AS BIGINT)
+        |               AS pbar_ppm
+        |        FROM daily GROUP BY 1)
+        |SELECT d.grp, d.day, d.n, d.pos,
+        |       CAST((d.pos * 1000000) // d.n AS BIGINT) AS phat_ppm,
+        |       c.pbar_ppm,
+        |       CAST(c.pbar_ppm AS DOUBLE) / 1000000.0
+        |         + 3.0 * sqrt((CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                      * (1.0 - CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                      / CAST(d.n AS DOUBLE)) AS ucl,
+        |       CAST(c.pbar_ppm AS DOUBLE) / 1000000.0
+        |         - 3.0 * sqrt((CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                      * (1.0 - CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                      / CAST(d.n AS DOUBLE)) AS lcl,
+        |       (CAST(d.pos AS DOUBLE) / CAST(d.n AS DOUBLE) >
+        |          CAST(c.pbar_ppm AS DOUBLE) / 1000000.0
+        |          + 3.0 * sqrt((CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                       * (1.0 - CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                       / CAST(d.n AS DOUBLE))
+        |        OR CAST(d.pos AS DOUBLE) / CAST(d.n AS DOUBLE) <
+        |          CAST(c.pbar_ppm AS DOUBLE) / 1000000.0
+        |          - 3.0 * sqrt((CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                       * (1.0 - CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
+        |                       / CAST(d.n AS DOUBLE))) AS out_of_control
+        |FROM daily d JOIN ctr c USING (grp)""".stripMargin)))
 }

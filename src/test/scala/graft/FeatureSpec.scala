@@ -766,4 +766,34 @@ class FeatureSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeded 10"))
   }
+
+  // ---- arcElasticity ----
+
+  test("arcElasticity: hand midpoint vector, sign wrap, NULL and drop edges") {
+    // p1: 10 units / 1000c -> 100000 milli; p2: 5 units / 600c -> 120000
+    // milli; e = (-5 * 220000 * 1000) / (15 * 20000) = -3666 (trunc)
+    val df = Seq(("g", false, 10L, 1000L), ("g", true, 5L, 600L))
+      .toDF("grp", "p2", "q", "c")
+    val r = Features.arcElasticity(df, Seq("grp"), col("p2"), col("q"),
+      col("c")).collect()(0)
+    assert((r.getAs[Long]("q1"), r.getAs[Long]("p1_milli"),
+      r.getAs[Long]("q2"), r.getAs[Long]("p2_milli")) ===
+      ((10L, 100000L, 5L, 120000L)))
+    assert(r.getAs[Long]("elasticity_milli") === -3666L)
+    // price up AND quantity up -> positive elasticity (sign product)
+    val pos = Seq(("g", false, 5L, 500L), ("g", true, 10L, 1200L))
+      .toDF("grp", "p2", "q", "c")
+    assert(Features.arcElasticity(pos, Seq("grp"), col("p2"), col("q"),
+      col("c")).collect()(0).getAs[Long]("elasticity_milli") > 0L)
+    // unchanged price -> NULL (undefined, not a division error)
+    val flat = Seq(("g", false, 10L, 1000L), ("g", true, 5L, 500L))
+      .toDF("grp", "p2", "q", "c")
+    val fr = Features.arcElasticity(flat, Seq("grp"), col("p2"), col("q"),
+      col("c")).collect()(0)
+    assert(fr.isNullAt(fr.fieldIndex("elasticity_milli")))
+    // a group present in only one period drops (no pair to compare)
+    val one = Seq(("g", false, 10L, 1000L)).toDF("grp", "p2", "q", "c")
+    assert(Features.arcElasticity(one, Seq("grp"), col("p2"), col("q"),
+      col("c")).collect().isEmpty)
+  }
 }

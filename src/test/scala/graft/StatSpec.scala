@@ -663,4 +663,33 @@ class StatSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-negative"))
   }
+
+  // ---- pChart ----
+
+  test("pChart: hand 3-sigma limits flag exactly the shifted day") {
+    // days: 1/10, 9/10, 2/10 -> pbar = 12/30 = 0.4 (400000 ppm);
+    // sigma = sqrt(.4*.6/10), ucl ~ 0.8648 -> only day 2 (0.9) flags
+    val rows = (1 to 10).map(i => ("g", 1L, i <= 1)) ++
+      (1 to 10).map(i => ("g", 2L, i <= 9)) ++
+      (1 to 10).map(i => ("g", 3L, i <= 2))
+    val out = Stats.pChart(rows.toDF("g", "day", "defect"), Seq("g"),
+      col("day"), col("defect"))
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out.values.forall(_.getAs[Long]("pbar_ppm") === 400000L))
+    assert(out(1L).getAs[Long]("phat_ppm") === 100000L)
+    assert(out(2L).getAs[Long]("phat_ppm") === 900000L)
+    val wantUcl = 0.4 + 3.0 * math.sqrt(0.4 * (1.0 - 0.4) / 10.0)
+    assert(math.abs(out(2L).getAs[Double]("ucl") - wantUcl) < 1e-15)
+    assert(out(2L).getAs[Boolean]("out_of_control") === true)
+    assert(out(1L).getAs[Boolean]("out_of_control") === false)
+    assert(out(3L).getAs[Boolean]("out_of_control") === false)
+    // lcl below zero can never flag a day with zero defects
+    val calm = ((1 to 10).map(i => ("g", 1L, i <= 4)) ++
+      (1 to 10).map(_ => ("g", 2L, false))).toDF("g", "day", "defect")
+    val cr = Stats.pChart(calm, Seq("g"), col("day"), col("defect"))
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    // pbar = 0.2, sigma = sqrt(.2*.8/10) ~ .1265 -> lcl < 0: day 2
+    // (0/10) sits above the negative lcl -> in control
+    assert(cr(2L).getAs[Boolean]("out_of_control") === false)
+  }
 }
