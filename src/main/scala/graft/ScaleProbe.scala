@@ -432,6 +432,43 @@ object ScaleProbe {
       }
     }
 
+    // round-11: grouped Wasserstein — replicas multiply ROWS but the
+    // distinct cent values saturate, so the per-group ECDF window stays
+    // value-domain-bounded and cost tracks the rollup scan
+    for ((label, li) <- Seq("1x" -> ff1, s"${reps}x" -> ffN)) {
+      time(s"wasserstein_grouped   $label") {
+        graft.pipeline.Inference.wassersteinByGroup(
+          li.select(col("st"), col("cents"), (col("qty") > 25L).as("b")),
+          Seq("st"), col("cents"), col("b")).count()
+      }
+    }
+    // round-11: RAKE — per-document windows and (doc, word) rollups only;
+    // Nx docs must cost ~Nx with no corpus-global structure
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"rake_keyphrases       $label") {
+        graft.pipeline.TextAnalysis.rakeKeyphrases(docs,
+          col("doc_id").cast("long"), col("text"),
+          stopwords = Seq("a", "the"), minWords = 2).count()
+      }
+    }
+    // round-11: gini stump screen — the split-search window runs over
+    // DISTINCT feature values (saturated under replication), so Nx rows
+    // cost ~the rollup scan, never Nx window work
+    for ((label, docs) <- Seq("1x" -> docs1, s"${reps}x" -> docsN)) {
+      time(s"gini_screen           $label") {
+        graft.operators.Features.giniSplitScreen(docs,
+          col("n_chars"), col("lang") === "en").count()
+      }
+    }
+    // round-11: Krippendorff — (unit, value) rollups; replicas shift the
+    // unit key so units multiply and cost must track them linearly
+    for ((label, li) <- Seq("1x" -> li1, s"${reps}x" -> liN)) {
+      time(s"krippendorff          $label") {
+        graft.pipeline.Inference.krippendorffAlpha(li,
+          col("b"), col("i") % 3L).count()
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(
