@@ -511,4 +511,70 @@ object Graph {
       .withColumn("assortativity",
         when(col("den_x") =!= 0d, col("num_x") / col("den_x")))
   }
+
+  /** HyperANF neighborhood function + per-node effective radius (Boldi,
+    * Rosa, Vigna 2011) — the billion-edge answer to "how far does
+    * influence travel": every node carries an HLL register SET of the
+    * nodes within r hops, and one round is `B_r(v) = B_{r-1}(v)
+    * union_{v->w} B_{r-1}(w)`, i.e. an edge join + per-(node, bucket)
+    * max — never a materialized neighbor-of-neighbor pair set (q398's
+    * one-shot merge, iterated). Registers stay SPARSE ((node, bucket,
+    * rho) rows, <= min(reach, 256) per node); each round is pinned
+    * (localCheckpoint) so lineage stays flat, the LPA discipline.
+    *
+    * Output: one row per probe node with, per round, the raw-HLL ball
+    * estimate `est_r` (ONE deterministic IEEE chain per row — the
+    * register harmonic sum is a sum of dyadic rationals, exact in a
+    * double, so order-independent; NOTE: the RAW estimator, biased
+    * below ~2.5m elements — the standard small-range linear-counting
+    * correction needs ln, which the engine-exactness discipline bans)
+    * and the exact register count `nb_r`. `eff_radius` = the smallest
+    * r whose REGISTER COUNT reaches >= 90% of the r = R count
+    * (`nb_r * 10 >= 9 * nb_R`, pure integers) — register coverage is
+    * monotone in true ball size and exact at every scale below bucket
+    * saturation (~5m elements), where the raw estimate is mush at the
+    * small end. The probe predicate bounds output, not work (every
+    * node's registers advance; HyperANF's cost IS the propagation).
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, probe: Column => Column): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds: $rounds (each round is a full edge join)")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("t")).filter(col("s").isNotNull && col("t").isNotNull)
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("s").as("node"))
+      .unionByName(e.select(col("t").as("node"))).distinct()
+    // round-0 registers: each node's ball is {itself} — one register row
+    // (bucket/rho from the shared md5 recipe, byte-identical to
+    // Sketches.hllRegisters so the oracle replays it)
+    val md5c = md5(col("node").cast("string"))
+    var regs = nodes
+      .withColumn("hll_bucket",
+        conv(substring(md5c, 1, 2), 16, 10).cast("int"))
+      .withColumn("hll_rho",
+        coalesce(nullif(instr(
+          lpad(conv(substring(md5c, 3, 8), 16, 2), 32, "0"), "1"),
+          lit(0)), lit(33)).cast("int"))
+      .localCheckpoint(false)
+    def estimates(r: DataFrame, k: Int): DataFrame =
+      graft.functions.Sketches.hllEstimate(r.withColumn("hll_b", lit(8)),
+        Seq("node")).withColumnRenamed("hll_estimate", s"est_$k")
+        .join(r.groupBy(col("node")).agg(count(lit(1)).as(s"nb_$k")), "node")
+    var out = estimates(regs.filter(probe(col("node"))), 0)
+    for (r <- 1 to rounds) {
+      val fromNeighbors = e.join(regs.withColumnRenamed("node", "t"), "t")
+        .select(col("s").as("node"), col("hll_bucket"), col("hll_rho"))
+      regs = regs.unionByName(fromNeighbors)
+        .groupBy(col("node"), col("hll_bucket"))
+        .agg(max(col("hll_rho")).as("hll_rho"))
+        .localCheckpoint(false)
+      out = out.join(estimates(regs.filter(probe(col("node"))), r), "node")
+    }
+    val nbR = col(s"nb_$rounds")
+    val effRadius = (0 until rounds).foldRight(lit(rounds.toLong)) {
+      case (r, acc) => when(col(s"nb_$r") * 10L >= nbR * 9L, lit(r.toLong))
+        .otherwise(acc)
+    }
+    out.withColumn("eff_radius", effRadius)
+  }
 }

@@ -413,6 +413,104 @@ object Inference {
           (dec(col("n")) * col("n") - col("s")).cast("double")).as("kappa"))
   }
 
+  /** Gwet's AC1 (first-order agreement coefficient, Gwet 2008) for two
+    * raters — the kappa-paradox-resistant companion to [[cohenKappa]]:
+    * when one category dominates, kappa's marginal-product chance
+    * correction explodes (99% raw agreement can read kappa ~ 0); AC1's
+    * chance term `pe = sum_c pi_c(1 - pi_c) / (K-1)` with
+    * `pi_c = (row_c + col_c) / 2n` stays calibrated. Entirely rational:
+    * clearing to the common denominator `D = 4n^2(K-1)` gives
+    * `ac1_ppm = 1e6 * (diag*D - n*pe_num) div (n*(D - pe_num))` with
+    * `pe_num = (K-1)... cleared as sum_c (row_c+col_c)(2n-row_c-col_c)`
+    * — exact DECIMAL products, ONE sign-wrapped truncating division
+    * (AC1 can be negative). K = 1 (a single observed category) -> NULL
+    * (chance agreement is total; the coefficient is undefined).
+    * Shape identical to cohenKappa: cell rollup, marginal rollups,
+    * 1-row aggregates.
+    */
+  def gwetAc1(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("ra"), bCol.as("rb"))
+      .agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint(false) // feeds both marginals and the diag rollup
+    val rowT = cells.groupBy(col("ra").as("cat")).agg(sum(col("n_cell")).as("row_t"))
+    val colT = cells.groupBy(col("rb").as("cat")).agg(sum(col("n_cell")).as("col_t"))
+    val marg = rowT.join(colT, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        (coalesce(col("row_t"), lit(0L)) + coalesce(col("col_t"), lit(0L)))
+          .as("m"))
+    val diag = cells.agg(
+      sum(col("n_cell")).as("n"),
+      coalesce(sum(when(col("ra") === col("rb"), col("n_cell"))), lit(0L))
+        .as("diag"))
+    val pe = marg.crossJoin(broadcast(diag.select(col("n"))))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(dec(col("m")) * (col("n") * 2L - col("m"))),
+          lit(0L).cast("decimal(38,0)")).as("pe_num"))
+    val num = dec(col("diag")) * col("__d") - dec(col("n")) * col("pe_num")
+    val den = dec(col("n")) * (col("__d") - col("pe_num"))
+    diag.crossJoin(broadcast(pe))
+      .withColumn("__d",
+        dec(col("n")) * col("n") * 4L * (col("k") - 1L))
+      .select(col("n"), col("k").as("n_categories"),
+        when(col("k") > 1L,
+          (signum(num) * signum(den)).cast("long") *
+            call_function("div", abs(num) * 1000000L,
+              nullif(abs(den), dec(lit(0)))).cast("long"))
+          .as("ac1_ppm"))
+  }
+
+  /** Youden's J optimal operating point over a score column — the
+    * threshold-selection step after [[aucPpm]] says the ranking is good:
+    * for every candidate cut v (predict positive when score > v),
+    * `J = TPR - FPR`, maximized. Exact: TPR/FPR are each one
+    * non-negative truncating ppm division over cumulative counts from
+    * the distinct-score rollup, J their SUBTRACTION (never a negative
+    * division); argmax resolves by a two-stage rollup with ties to the
+    * smallest threshold (deterministic where arg_max is not). The
+    * degenerate one-class input emits no row. Same scale contract as
+    * [[graft.operators.Features.giniSplitScreen]]: the cut-search
+    * window is single-partition over DISTINCT scores, `maxDistinct`
+    * raise, bin continuous scores first.
+    */
+  def youdenThreshold(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct: $maxDistinct")
+    val counts = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("v").asc)
+    val guard = when(row_number().over(w) > maxDistinct,
+      raise_error(lit(s"youdenThreshold exceeded $maxDistinct distinct " +
+        "scores - bin the score to fixed-point first")).cast("long"))
+      .otherwise(lit(0L))
+    val cum = counts
+      .withColumn("nl", sum(col("cnt")).over(w) + guard)
+      .withColumn("pl", sum(col("pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("n"), max(col("pl")).as("n_pos"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("n_pos") > 0L && col("n") > col("n_pos"))
+      .withColumn("tpr_ppm",
+        call_function("div", (col("n_pos") - col("pl")) * 1000000L,
+          col("n_pos")))
+      .withColumn("fpr_ppm",
+        call_function("div",
+          ((col("n") - col("nl")) - (col("n_pos") - col("pl"))) * 1000000L,
+          col("n") - col("n_pos")))
+      .withColumn("j_ppm", col("tpr_ppm") - col("fpr_ppm"))
+      .localCheckpoint(false) // feeds the max rollup AND the argmax pick
+    val best = cand.agg(max(col("j_ppm")).as("best_j_ppm"))
+    val bestV = cand.crossJoin(broadcast(best))
+      .filter(col("j_ppm") === col("best_j_ppm"))
+      .groupBy(col("best_j_ppm")).agg(min(col("v")).as("best_threshold"))
+    cand.join(broadcast(bestV),
+        cand("v") === bestV("best_threshold") &&
+          cand("j_ppm") === bestV("best_j_ppm"))
+      .select(col("n"), col("n_pos"), col("best_threshold"),
+        col("tpr_ppm"), col("fpr_ppm"), col("best_j_ppm"))
+  }
+
   /** Split-conformal prediction intervals per group: a per-group point
     * prediction (here the calibration mean in milli-units) plus the
     * empirical `(1-alpha)` quantile of calibration-set absolute residuals

@@ -541,5 +541,174 @@ object Round11Queries extends QuerySet {
         |          - 3.0 * sqrt((CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
         |                       * (1.0 - CAST(c.pbar_ppm AS DOUBLE) / 1000000.0)
         |                       / CAST(d.n AS DOUBLE))) AS out_of_control
-        |FROM daily d JOIN ctr c USING (grp)""".stripMargin)))
+        |FROM daily d JOIN ctr c USING (grp)""".stripMargin)),
+
+    QueryDef("q440_gwet_ac1", (s, d) => {
+      // Gwet's AC1 beside Cohen's kappa on the same imbalanced rater
+      // pair (two high-value flags at different cuts, ~90/10 skew):
+      // the side-by-side is the point — on skewed marginals kappa's
+      // chance term inflates while AC1 stays calibrated (the "kappa
+      // paradox" every labeling-QA pipeline eventually hits).
+      val ev = events(s, d).select(
+        (col("value") > 90).as("a"), (col("value") > 85).as("b"))
+      Inference.gwetAc1(ev, col("a"), col("b"))
+        .crossJoin(broadcast(Inference.cohenKappa(ev, col("a"), col("b"))
+          .select(col("po_ppm"), col("pe_ppm"), col("kappa"))))
+    }, Some(
+      """WITH r AS (SELECT (value > 90) AS a, (value > 85) AS b FROM events),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM r GROUP BY 1, 2),
+        |rt AS (SELECT a AS cat, CAST(sum(c) AS BIGINT) AS row_t
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT b AS cat, CAST(sum(c) AS BIGINT) AS col_t
+        |       FROM cells GROUP BY 1),
+        |mg AS (SELECT coalesce(rt.cat, ct.cat) AS cat,
+        |              coalesce(row_t, 0) + coalesce(col_t, 0) AS m
+        |       FROM rt FULL OUTER JOIN ct ON rt.cat = ct.cat),
+        |dg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |              CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0)
+        |                   AS BIGINT) AS diag
+        |       FROM cells),
+        |pe AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |              CAST(coalesce(sum(CAST(m AS HUGEINT)
+        |                                * (2 * dg.n - m)), 0) AS HUGEINT)
+        |                AS pe_num
+        |       FROM mg, dg),
+        |prods AS (SELECT CAST(coalesce(sum(CAST(row_t AS HUGEINT) * col_t), 0)
+        |                      AS HUGEINT) AS s
+        |          FROM rt JOIN ct USING (cat)),
+        |ac AS (SELECT dg.n, pe.k,
+        |              CAST(dg.diag AS HUGEINT)
+        |                * (CAST(dg.n AS HUGEINT) * dg.n * 4 * (pe.k - 1))
+        |                - CAST(dg.n AS HUGEINT) * pe.pe_num AS num,
+        |              CAST(dg.n AS HUGEINT)
+        |                * (CAST(dg.n AS HUGEINT) * dg.n * 4 * (pe.k - 1)
+        |                   - pe.pe_num) AS den
+        |       FROM dg, pe)
+        |SELECT ac.n, ac.k AS n_categories,
+        |       CASE WHEN ac.k > 1 THEN
+        |         CAST(CASE WHEN num * den >= 0 THEN 1 ELSE -1 END
+        |              * (abs(num) * 1000000 // nullif(abs(den), 0))
+        |              AS BIGINT)
+        |       END AS ac1_ppm,
+        |       CAST((CAST(dg.diag AS HUGEINT) * 1000000) // dg.n AS BIGINT)
+        |         AS po_ppm,
+        |       CAST((prods.s * 1000000)
+        |            // (CAST(dg.n AS HUGEINT) * dg.n) AS BIGINT) AS pe_ppm,
+        |       CAST(CAST(CAST(dg.n AS HUGEINT) * dg.diag - prods.s AS DOUBLE)
+        |            / CAST(CAST(dg.n AS HUGEINT) * dg.n - prods.s AS DOUBLE)
+        |            AS DOUBLE) AS kappa
+        |FROM ac, dg, pe, prods""".stripMargin)),
+
+    QueryDef("q441_youden_threshold", (s, d) =>
+      // optimal operating point for a purchase detector: score = event
+      // value milli with a PLANTED +30 separation for purchases (value
+      // is independent of type in the synthetic data — value-inspected
+      // — so the separation must be planted for the cut search to have
+      // a true answer). The argmax threshold must land inside the
+      // planted gap region with TPR - FPR well above the noise floor.
+      Inference.youdenThreshold(
+        events(s, d).select(
+          (floor(col("value") * 1000 + 0.5).cast("long") +
+            when(col("event_type") === "purchase", 30000L).otherwise(0L))
+            .as("score"),
+          (col("event_type") === "purchase").as("y")),
+        col("score"), col("y")),
+      Some(
+        """WITH f AS (
+          |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+          |           + CASE WHEN event_type = 'purchase' THEN 30000
+          |                  ELSE 0 END AS v,
+          |         (event_type = 'purchase') AS y
+          |  FROM events),
+          |c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+          |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+          |               AS pos
+          |      FROM f GROUP BY 1),
+          |cm AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS nl,
+          |              CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS pl
+          |       FROM c),
+          |tt AS (SELECT max(nl) AS n, max(pl) AS n_pos FROM cm),
+          |cd AS (SELECT v,
+          |              CAST(((n_pos - pl) * 1000000) // n_pos AS BIGINT)
+          |                AS tpr_ppm,
+          |              CAST((((n - nl) - (n_pos - pl)) * 1000000)
+          |                   // (n - n_pos) AS BIGINT) AS fpr_ppm
+          |       FROM cm, tt WHERE n_pos > 0 AND n > n_pos),
+          |j AS (SELECT *, tpr_ppm - fpr_ppm AS j_ppm FROM cd),
+          |b AS (SELECT max(j_ppm) AS best_j_ppm FROM j),
+          |bv AS (SELECT best_j_ppm, min(v) AS best_threshold
+          |       FROM j, b WHERE j_ppm = best_j_ppm GROUP BY 1)
+          |SELECT n, n_pos, best_threshold, tpr_ppm, fpr_ppm, best_j_ppm
+          |FROM j JOIN bv ON j.v = bv.best_threshold
+          |                AND j.j_ppm = bv.best_j_ppm, tt""".stripMargin)),
+
+    QueryDef("q442_neighborhood_function", (s, d) => {
+      // full HyperANF over the undirected bulk customer-supplier graph:
+      // per-round HLL ball estimates est_0..est_4 and the per-node
+      // effective radius (smallest r reaching 90% of the 4-hop ball) —
+      // q398's one-shot register merge ITERATED, the neighborhood-
+      // function recipe that never materializes multi-hop pair sets.
+      // Probe panel: every 400th node id (customers and offset
+      // suppliers both).
+      val e0 = table(s, d, "orders")
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 45)
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey") + 1000000L).cast("long").as("sn"))
+        .distinct()
+      val und = e0.select(col("c").as("src"), col("sn").as("dst"))
+        .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
+      graft.operators.Graph.neighborhoodFunction(und, "src", "dst",
+        rounds = 4, probe = n => n % 400L === 0L)
+    }, Some {
+      val est = "0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)" +
+        " * 256.0::DOUBLE * 256.0::DOUBLE" +
+        " / (sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << rho AS DOUBLE))" +
+        " + CAST(256 - count(*) AS DOUBLE))"
+      val roundCte = (k: Int) =>
+        s"""r$k AS (SELECT node, b, max(rho) AS rho FROM (
+           |  SELECT node, b, rho FROM r${k - 1}
+           |  UNION ALL
+           |  SELECT ed.s AS node, r.b, r.rho
+           |  FROM ed JOIN r${k - 1} r ON r.node = ed.t) u
+           |GROUP BY 1, 2)""".stripMargin
+      val estCte = (k: Int) =>
+        s"""s$k AS (SELECT node, $est AS est_$k,
+           |CAST(count(*) AS BIGINT) AS nb_$k
+           |FROM r$k WHERE node % 400 = 0 GROUP BY 1)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c,
+         |                   l_suppkey + 1000000 AS sn
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |            WHERE l_quantity >= 45),
+         |ed AS (SELECT c AS s, sn AS t FROM e0
+         |       UNION SELECT sn, c FROM e0),
+         |nn AS (SELECT DISTINCT s AS node FROM ed
+         |       UNION SELECT DISTINCT t FROM ed),
+         |r0 AS (SELECT node,
+         |              ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 2))::INT
+         |                AS b,
+         |              coalesce(nullif(strpos(lpad(bin(
+         |                ('0x' || substr(md5(CAST(node AS VARCHAR)), 3, 8))
+         |                  ::BIGINT), 32, '0'), '1'), 0), 33) AS rho
+         |       FROM nn),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)},
+         |${roundCte(4)},
+         |${estCte(0)},
+         |${estCte(1)},
+         |${estCte(2)},
+         |${estCte(3)},
+         |${estCte(4)}
+         |SELECT s0.node, s0.est_0, s0.nb_0, s1.est_1, s1.nb_1,
+         |       s2.est_2, s2.nb_2, s3.est_3, s3.nb_3, s4.est_4, s4.nb_4,
+         |       CAST(CASE WHEN s0.nb_0 * 10 >= s4.nb_4 * 9 THEN 0
+         |                 WHEN s1.nb_1 * 10 >= s4.nb_4 * 9 THEN 1
+         |                 WHEN s2.nb_2 * 10 >= s4.nb_4 * 9 THEN 2
+         |                 WHEN s3.nb_3 * 10 >= s4.nb_4 * 9 THEN 3
+         |                 ELSE 4 END AS BIGINT) AS eff_radius
+         |FROM s0 JOIN s1 USING (node) JOIN s2 USING (node)
+         |        JOIN s3 USING (node) JOIN s4 USING (node)""".stripMargin
+    }))
 }

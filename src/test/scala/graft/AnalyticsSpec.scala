@@ -912,4 +912,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.30 && r.getDouble(3) < 0.40)
     assert(r.getDouble(4) > 0.40 && r.getDouble(4) < 0.51)
   }
+
+  // ---- neighborhoodFunction ----
+
+  test("neighborhoodFunction: path-graph registers grow exactly; eff_radius per node") {
+    import spark.implicits._
+    // directed path 1 -> 2 -> 3 (md5 buckets c4/c8/ec — no collisions):
+    // B_r(1) = {1},{1,2},{1,2,3}; B_r(2) = {2},{2,3},{2,3}; B_r(3) = {3}
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = graft.operators.Graph.neighborhoodFunction(e, "src", "dst",
+      rounds = 2, probe = _ => lit(true))
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    def nb(n: Long, c: String) = out(n).getAs[Long](c)
+    assert((nb(1L, "nb_0"), nb(1L, "nb_1"), nb(1L, "nb_2")) === ((1L, 2L, 3L)))
+    assert((nb(2L, "nb_0"), nb(2L, "nb_1"), nb(2L, "nb_2")) === ((1L, 2L, 2L)))
+    assert((nb(3L, "nb_0"), nb(3L, "nb_1"), nb(3L, "nb_2")) === ((1L, 1L, 1L)))
+    // register-count radius: exact at tiny scale where the RAW HLL
+    // estimate is biased (documented — no ln available for the
+    // linear-counting correction)
+    assert(out(1L).getAs[Long]("eff_radius") === 2L)
+    assert(out(2L).getAs[Long]("eff_radius") === 1L)
+    assert(out(3L).getAs[Long]("eff_radius") === 0L)
+    // a saturated node's registers stop changing: est_1 == est_2 bitwise
+    assert(out(2L).getAs[Double]("est_1") === out(2L).getAs[Double]("est_2"))
+    // raw estimates are monotone nondecreasing in the ball
+    assert(out(1L).getAs[Double]("est_2") > out(1L).getAs[Double]("est_0"))
+    // probe bounds OUTPUT only
+    val probed = graft.operators.Graph.neighborhoodFunction(e, "src", "dst",
+      rounds = 2, probe = n => n === 1L).collect()
+    assert(probed.length === 1 && probed(0).getAs[Long]("node") === 1L)
+  }
+
+  test("neighborhoodFunction: raw estimate calibrated once the ball passes ~2.5m") {
+    import spark.implicits._
+    // star: 0 -> 1..800; center's 1-hop ball = 801 elements >= 2.5*256,
+    // where the raw estimator is within ~10%
+    val e = (1L to 800L).map(i => (0L, i)).toDF("src", "dst")
+    val out = graft.operators.Graph.neighborhoodFunction(e, "src", "dst",
+      rounds = 2, probe = n => n === 0L).collect()(0)
+    assert(math.abs(out.getAs[Double]("est_1") - 801.0) < 80.0)
+    assert(out.getAs[Double]("est_2") === out.getAs[Double]("est_1"))
+    assert(out.getAs[Long]("eff_radius") === 1L)
+  }
 }

@@ -1549,4 +1549,66 @@ class InferenceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeds 3 ratings"))
   }
+
+  // ---- gwetAc1 ----
+
+  test("gwetAc1: hand vector, perfect -1/+1 edges, single-category NULL") {
+    import spark.implicits._
+    // cells: yy 8, yn 1, ny 0, nn 1 -> po 0.9; m_y = 17, m_n = 3,
+    // pe_num = 102, D = 400 -> ac1 = 2580/2980 = 865771 ppm (trunc)
+    val rows = Seq.fill(8)(("y", "y")) ++ Seq.fill(1)(("y", "n")) ++
+      Seq.fill(1)(("n", "n"))
+    val r = Inference.gwetAc1(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("n_categories") === 2L)
+    assert(r.getAs[Long]("ac1_ppm") === 865771L)
+    // kappa on the same data for the contrast (pe_k = 0.74)
+    val k = Inference.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(k.getAs[Long]("pe_ppm") === 740000L)
+    // systematic disagreement -> exactly -1e6
+    val worse = Seq.fill(5)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    assert(Inference.gwetAc1(worse.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0).getAs[Long]("ac1_ppm") === -1000000L)
+    // perfect agreement -> exactly 1e6
+    val perfect = Seq.fill(4)(("y", "y")) ++ Seq.fill(6)(("n", "n"))
+    assert(Inference.gwetAc1(perfect.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0).getAs[Long]("ac1_ppm") === 1000000L)
+    // one observed category: chance agreement is total -> NULL
+    val one = Seq.fill(5)(("y", "y"))
+    val or = Inference.gwetAc1(one.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(or.isNullAt(or.fieldIndex("ac1_ppm")))
+  }
+
+  // ---- youdenThreshold ----
+
+  test("youdenThreshold: perfect separation, tie to smallest cut, degenerate empty") {
+    import spark.implicits._
+    // pos at {3,4}, neg at {1,2}: cut 2 -> TPR 1e6, FPR 0, J 1e6
+    val sep = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("v", "y")
+    val r = Inference.youdenThreshold(sep, col("v"), col("y")).collect()(0)
+    assert(r.getAs[Long]("best_threshold") === 2L)
+    assert(r.getAs[Long]("tpr_ppm") === 1000000L)
+    assert(r.getAs[Long]("fpr_ppm") === 0L)
+    assert(r.getAs[Long]("best_j_ppm") === 1000000L)
+    // overlap: cuts 1 and 2 tie at J = 500000 -> smallest threshold wins
+    val tie = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("v", "y")
+    val t = Inference.youdenThreshold(tie, col("v"), col("y")).collect()(0)
+    assert(t.getAs[Long]("best_j_ppm") === 500000L)
+    assert(t.getAs[Long]("best_threshold") === 1L)
+    // one-class input: no operating point exists
+    assert(Inference.youdenThreshold(
+      Seq((1L, true), (2L, true)).toDF("v", "y"), col("v"), col("y"))
+      .collect().isEmpty)
+    // maxDistinct guard
+    val wide = (1L to 30L).map(i => (i, i % 2 == 0)).toDF("v", "y")
+    val e = intercept[Exception] {
+      Inference.youdenThreshold(wide, col("v"), col("y"), maxDistinct = 5L)
+        .collect()
+    }
+    assert(e.getMessage.contains("exceeded 5"))
+  }
 }
