@@ -469,6 +469,18 @@ object ScaleProbe {
       }
     }
 
+    // round-11: iterated HyperANF — per-round cost is one edge join +
+    // (node, bucket) max; Nx disjoint subgraph edges must cost ~Nx per
+    // round (register rows bounded by nodes x 256, never pair volume)
+    for ((label, ed) <- Seq("1x" -> edges1.localCheckpoint(), s"${reps}x" -> edgesN)) {
+      time(s"hyperanf_rounds       $label") {
+        graft.operators.Graph.neighborhoodFunction(
+          ed.select(col("s").as("src"), col("t").as("dst"))
+            .unionByName(ed.select(col("t").as("src"), col("s").as("dst"))),
+          "src", "dst", rounds = 3, probe = n => n % 200L === 0L).count()
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

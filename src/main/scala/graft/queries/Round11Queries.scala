@@ -644,7 +644,8 @@ object Round11Queries extends QuerySet {
           |                AND j.j_ppm = bv.best_j_ppm, tt""".stripMargin)),
 
     QueryDef("q442_neighborhood_function", (s, d) => {
-      // full HyperANF over the undirected bulk customer-supplier graph:
+      // full HyperANF over the undirected bulk (quantity >= 48) customer-
+      // supplier graph:
       // per-round HLL ball estimates est_0..est_4 and the per-node
       // effective radius (smallest r reaching 90% of the 4-hop ball) —
       // q398's one-shot register merge ITERATED, the neighborhood-
@@ -653,7 +654,7 @@ object Round11Queries extends QuerySet {
       // suppliers both).
       val e0 = table(s, d, "orders")
         .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_quantity") >= 45)
+        .filter(col("l_quantity") >= 48)
         .select(col("o_custkey").cast("long").as("c"),
           (col("l_suppkey") + 1000000L).cast("long").as("sn"))
         .distinct()
@@ -680,7 +681,7 @@ object Round11Queries extends QuerySet {
       s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c,
          |                   l_suppkey + 1000000 AS sn
          |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |            WHERE l_quantity >= 45),
+         |            WHERE l_quantity >= 48),
          |ed AS (SELECT c AS s, sn AS t FROM e0
          |       UNION SELECT sn, c FROM e0),
          |nn AS (SELECT DISTINCT s AS node FROM ed
