@@ -1520,4 +1520,53 @@ object Stats {
         col("pos").cast("double") / col("n").cast("double") > col("ucl") ||
           col("pos").cast("double") / col("n").cast("double") < col("lcl"))
   }
+
+  /** Index of dispersion (variance-to-mean, Fisher) per group over a
+    * daily count series — the count-data QA check beside [[pChart]]:
+    * Poisson arrivals give D ~ 1; D >> 1 means clumping
+    * (bursts/bot traffic), D << 1 regularity (rate limiting). Exact:
+    * the chi-square-distributed form `disp = (n-1)s^2 / mean =
+    * (n*Sxx - Sx^2) div Sx` in milli (all DECIMAL moments, ONE
+    * truncating division — counts are non-negative so truncation is
+    * engine-agnostic); the flag is the normal approximation
+    * `|disp - (n-1)| > 3 * sqrt(2(n-1))`, one declared IEEE chain.
+    * Groups with zero total or a single day emit NULL disp. One
+    * (group, day) rollup + one group rollup; spine-densified so
+    * zero-count days count as observations (absence IS the signal
+    * dispersion measures).
+    */
+  def dispersionIndex(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      countCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "dispersionIndex needs groupCols")
+    val gcols = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.filter(countCol.isNotNull)
+      .groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
+      .agg(sum(countCol.cast("long")).as("x"))
+    val spine = daily.groupBy(gcols: _*)
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
+    val dense = spine.join(daily, groupCols :+ "day", "left")
+      .select(gcols ++ Seq(col("day"), coalesce(col("x"), lit(0L)).as("x")): _*)
+      .withColumn("x", when(col("x") < 0L,
+        raise_error(lit("dispersionIndex requires non-negative counts"))
+          .cast("long")).otherwise(col("x")))
+    dense.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+        sum(dec(col("x")) * col("x")).as("__xx"))
+      .withColumn("mean_milli",
+        call_function("div", col("total") * 1000L, col("n_days")))
+      .withColumn("dispersion_milli",
+        when(col("total") > 0L && col("n_days") > 1L,
+          call_function("div",
+            (dec(col("n_days")) * col("__xx") -
+              dec(col("total")) * col("total")) * 1000L,
+            dec(col("total"))).cast("long")))
+      .withColumn("overdispersed",
+        when(col("dispersion_milli").isNotNull,
+          (col("dispersion_milli").cast("double") / lit(1000.0) -
+            (col("n_days") - 1L).cast("double")) >
+            lit(3.0) * sqrt(lit(2.0) * (col("n_days") - 1L).cast("double"))))
+      .drop("__xx")
+  }
 }

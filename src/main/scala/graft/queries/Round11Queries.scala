@@ -711,5 +711,56 @@ object Round11Queries extends QuerySet {
          |                 ELSE 4 END AS BIGINT) AS eff_radius
          |FROM s0 JOIN s1 USING (node) JOIN s2 USING (node)
          |        JOIN s3 USING (node) JOIN s4 USING (node)""".stripMargin
-    }))
+    }),
+
+    QueryDef("q443_dispersion_index", (s, d) => {
+      // Fisher's index of dispersion on daily arrival counts: the full
+      // stream reads UNDERdispersed (D = 18.1 vs n-1 = 29 — a
+      // fixed-ish total multinomially allocated over days is more
+      // regular than Poisson; value-inspected, not flagged);
+      // a PLANTED weekly-burst slice (only every-7th-day events kept,
+      // zeros between — textbook clumping) must flag overdispersed.
+      // The count-data twin of q439's proportion chart.
+      val ev = events(s, d).select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      val all = ev.withColumn("grp", lit("all"))
+      val burst = ev.filter(pmod(col("day"), lit(7L)) === 0L)
+        .withColumn("grp", lit("weekly_burst"))
+      Stats.dispersionIndex(all.unionByName(burst), Seq("grp"),
+        col("day"), lit(1L))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |rows_g AS (SELECT 'all' AS grp, day FROM base
+        |           UNION ALL
+        |           SELECT 'weekly_burst', day FROM base WHERE day % 7 = 0),
+        |daily AS (SELECT grp, day, CAST(count(*) AS BIGINT) AS x
+        |          FROM rows_g GROUP BY 1, 2),
+        |gr AS (SELECT grp, min(day) AS mn, max(day) AS mx
+        |       FROM daily GROUP BY 1),
+        |sp AS (SELECT grp, unnest(generate_series(mn, mx)) AS day FROM gr),
+        |dn AS (SELECT sp.grp, sp.day, coalesce(daily.x, 0) AS x
+        |       FROM sp LEFT JOIN daily
+        |         ON daily.grp = sp.grp AND daily.day = sp.day),
+        |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+        |              CAST(sum(x) AS BIGINT) AS total,
+        |              sum(CAST(x AS HUGEINT) * x) AS xx
+        |       FROM dn GROUP BY 1)
+        |SELECT grp, n_days, total,
+        |       CAST((total * 1000) // n_days AS BIGINT) AS mean_milli,
+        |       CASE WHEN total > 0 AND n_days > 1 THEN
+        |         CAST(((CAST(n_days AS HUGEINT) * xx
+        |                - CAST(total AS HUGEINT) * total) * 1000)
+        |              // CAST(total AS HUGEINT) AS BIGINT)
+        |       END AS dispersion_milli,
+        |       CASE WHEN total > 0 AND n_days > 1 THEN
+        |         (CAST(((CAST(n_days AS HUGEINT) * xx
+        |                 - CAST(total AS HUGEINT) * total) * 1000)
+        |               // CAST(total AS HUGEINT) AS DOUBLE) / 1000.0
+        |          - CAST(n_days - 1 AS DOUBLE))
+        |         > 3.0 * sqrt(2.0 * CAST(n_days - 1 AS DOUBLE))
+        |       END AS overdispersed
+        |FROM ag""".stripMargin)))
 }

@@ -692,4 +692,37 @@ class StatSpec extends AnyFunSuite {
     // (0/10) sits above the negative lcl -> in control
     assert(cr(2L).getAs[Boolean]("out_of_control") === false)
   }
+
+  // ---- dispersionIndex ----
+
+  test("dispersionIndex: hand moments, burst flag, gap densify, raise") {
+    // [1,2,3]: disp = (n-1)s^2/mean = 1.0 -> 1000 milli, not flagged
+    val even = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 3L))
+      .toDF("g", "day", "c")
+    val r = Stats.dispersionIndex(even, Seq("g"), col("day"), col("c"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L && r.getAs[Long]("total") === 6L)
+    assert(r.getAs[Long]("mean_milli") === 2000L)
+    assert(r.getAs[Long]("dispersion_milli") === 1000L)
+    assert(r.getAs[Boolean]("overdispersed") === false)
+    // [6,0,0]: D = 12 >> chi2 bound (2 + 3*sqrt(4) = 8) -> flagged
+    val burst = Seq(("g", 0L, 6L), ("g", 1L, 0L), ("g", 2L, 0L))
+      .toDF("g", "day", "c")
+    val b = Stats.dispersionIndex(burst, Seq("g"), col("day"), col("c"))
+      .collect()(0)
+    assert(b.getAs[Long]("dispersion_milli") === 12000L)
+    assert(b.getAs[Boolean]("overdispersed") === true)
+    // missing days densify to zero counts: {0: 3, 2: 3} -> [3,0,3], D = 3
+    val gap = Seq(("g", 0L, 3L), ("g", 2L, 3L)).toDF("g", "day", "c")
+    val gr = Stats.dispersionIndex(gap, Seq("g"), col("day"), col("c"))
+      .collect()(0)
+    assert(gr.getAs[Long]("n_days") === 3L)
+    assert(gr.getAs[Long]("dispersion_milli") === 3000L)
+    // negative counts fail loud
+    val neg = Seq(("g", 0L, -1L), ("g", 1L, 2L)).toDF("g", "day", "c")
+    val e = intercept[Exception] {
+      Stats.dispersionIndex(neg, Seq("g"), col("day"), col("c")).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
