@@ -926,6 +926,11 @@ object Features {
     val cum = counts
       .withColumn("nl", sum(col("cnt")).over(w) + guard)
       .withColumn("pl", sum(col("pos")).over(w))
+      // pin: the distinct-value rollup feeds tot, cand, best, and bestV —
+      // unpinned, each consumer replays the raw scan (4 scans per feature
+      // at 100 TB); the pinned frame is value-domain-bounded, so the
+      // checkpoint is free (the q217/q221 shared-subtree discipline)
+      .localCheckpoint(false)
     val tot = cum.agg(max(col("nl")).as("n"), max(col("pl")).as("n_pos"))
     // candidate splits: every distinct value except the last (an empty
     // right side is not a split). The divisor is nullif-guarded even

@@ -488,6 +488,9 @@ object Inference {
     val cum = counts
       .withColumn("nl", sum(col("cnt")).over(w) + guard)
       .withColumn("pl", sum(col("pos")).over(w))
+      // pin: feeds tot AND cand — without it the raw scan replays per
+      // consumer; the frame is distinct-score-bounded (free checkpoint)
+      .localCheckpoint(false)
     val tot = cum.agg(max(col("nl")).as("n"), max(col("pl")).as("n_pos"))
     val cand = cum.crossJoin(broadcast(tot))
       .filter(col("n_pos") > 0L && col("n") > col("n_pos"))
