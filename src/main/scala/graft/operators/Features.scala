@@ -989,6 +989,9 @@ object Features {
       .agg(sum(qtyCol.cast("long")).as("q"), sum(centsCol.cast("long")).as("c"))
       .filter(col("q") > 0L)
       .withColumn("p_milli", call_function("div", col("c") * 1000L, col("q")))
+      // pin: the (group, period) rollup feeds BOTH pivot sides — group-
+      // domain-bounded, so the checkpoint is free
+      .localCheckpoint(false)
     val p1 = per.filter(col("__per") === 1L)
       .select(gcols ++ Seq(col("q").as("q1"), col("p_milli").as("p1_milli")): _*)
     val p2 = per.filter(col("__per") === 2L)

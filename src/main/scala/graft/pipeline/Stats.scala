@@ -1448,6 +1448,7 @@ object Stats {
     val daily = df.filter(valueCol.isNotNull)
       .groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
@@ -1543,6 +1544,7 @@ object Stats {
     val daily = df.filter(countCol.isNotNull)
       .groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(countCol.cast("long")).as("x"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
