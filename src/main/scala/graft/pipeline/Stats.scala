@@ -251,6 +251,7 @@ object Stats {
     val gcols = groupCols.map(col)
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
@@ -312,6 +313,7 @@ object Stats {
     val daily = df.groupBy(dayCol.cast("long").as("day"))
       .agg(sum(when(!inY, valueCol.cast("long")).otherwise(0L)).as("x"),
         sum(when(inY, valueCol.cast("long")).otherwise(0L)).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     // span guard (module contract): the spine feeds a single-partition
     // ordered window, safe only because the calendar bounds it — a
     // timestamp-grain mis-call must raise, not explode
@@ -458,6 +460,7 @@ object Stats {
 
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day_idx"): _*)
@@ -506,6 +509,7 @@ object Stats {
     val gcols = groupCols.map(col)
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
@@ -566,6 +570,7 @@ object Stats {
     val gcols = groupCols.map(col)
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
@@ -692,6 +697,7 @@ object Stats {
         col("fc_micro")): _*)
     val daily = df.groupBy(gcols :+ dayCol.cast("long").as("day"): _*)
       .agg(sum(valueCol.cast("long")).as("y"))
+      .localCheckpoint(false) // feeds the spine agg AND the dense join (plan-audit pin, r11)
     val spine = daily.groupBy(gcols: _*)
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(gcols :+ explode(sequence(col("mn"), col("mx"))).as("day"): _*)
