@@ -393,6 +393,9 @@ object Inference {
     val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
       .groupBy(aCol.as("ra"), bCol.as("rb"))
       .agg(count(lit(1)).as("n_cell"))
+      // pin: feeds both marginals AND the diag rollup (3 consumers = 3
+      // raw-scan replays unpinned); label-domain-bounded, free
+      .localCheckpoint(false)
     val rowT = cells.groupBy(col("ra")).agg(sum(col("n_cell")).as("row_t"))
     val colT = cells.groupBy(col("rb")).agg(sum(col("n_cell")).as("col_t"))
     // marginal product over the label domain (small by definition); labels
