@@ -62,6 +62,35 @@ object Inference {
       .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
   }
 
+  /** Cliff's delta ordinal effect size — the magnitude companion to
+    * [[mannWhitney]]'s significance: `delta = (#(a>b) - #(a<b)) / (n_a
+    * n_b)` in [-1, 1], reading "how often does a random A value beat a
+    * random B value". Rides the SAME doubled-U accounting (U2_a counts
+    * 2*#(a>b) + #ties), so `delta*nm = U2_a - n_a*n_b` exactly and
+    * `delta_ppm` is one SIGN-WRAPPED truncating division over the
+    * mannWhitney outputs — no extra scan, no new machinery. The
+    * `magnitude` label applies the Romano 2006 thresholds (negligible
+    * < 0.147, small < 0.33, medium < 0.474, large) on |delta|, pure
+    * integer compares. One row: (n_a, n_b, u2_a, delta_ppm, magnitude).
+    */
+  def cliffsDelta(df: DataFrame, valueCol: Column, inB: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val num = dec(col("u2_a")) - dec(col("n_a")) * col("n_b")
+    val den = dec(col("n_a")) * col("n_b")
+    mannWhitney(df, valueCol, inB, maxDistinct)
+      .withColumn("delta_ppm",
+        (signum(num).cast("long") *
+          call_function("div", abs(num) * 1000000L, nullif(den, dec(lit(0))))
+            .cast("long")))
+      .withColumn("magnitude",
+        when(col("delta_ppm").isNull, lit(null).cast("string"))
+          .when(abs(col("delta_ppm")) < 147000L, "negligible")
+          .when(abs(col("delta_ppm")) < 330000L, "small")
+          .when(abs(col("delta_ppm")) < 474000L, "medium")
+          .otherwise("large"))
+      .select("n_a", "n_b", "u2_a", "delta_ppm", "magnitude")
+  }
+
   /** Per-GROUP two-sample KS — the fleet version of [[ksTest]]: one D per
     * group (the "which segments drifted" sweep a monitoring system runs
     * nightly over every slice at once). Unlike the global test, the ECDF

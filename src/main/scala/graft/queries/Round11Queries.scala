@@ -762,5 +762,97 @@ object Round11Queries extends QuerySet {
         |          - CAST(n_days - 1 AS DOUBLE))
         |         > 3.0 * sqrt(2.0 * CAST(n_days - 1 AS DOUBLE))
         |       END AS overdispersed
-        |FROM ag""".stripMargin)))
+        |FROM ag""".stripMargin)),
+
+    QueryDef("q444_cliffs_delta", (s, d) => {
+      // Cliff's delta beside q263's Mann-Whitney z: the raw
+      // purchase-vs-view values are the honest null (delta ~ 0,
+      // "negligible") and a planted +30 on the B side reads delta
+      // -0.456 "medium" (negative: A beats B less often) — the
+      // effect-size layer that stops a fleet from paging on
+      // significant-but-tiny differences at big n.
+      val e = events(s, d).filter(col("event_type").isin("view", "purchase"))
+      val v = floor(col("value") * 1000 + 0.5).cast("long")
+      val b = col("event_type") === "purchase"
+      def lane(name: String, shift: Long) =
+        Inference.cliffsDelta(
+          e.select((v + when(b, shift).otherwise(0L)).as("v"), b.as("b")),
+          col("v"), col("b"))
+          .select(lit(name).as("variant"), col("n_a"), col("n_b"),
+            col("u2_a"), col("delta_ppm"), col("magnitude"))
+      lane("raw", 0L).unionByName(lane("planted", 30000L))
+    }, Some(
+      """WITH v_raw AS (
+        |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+        |         (event_type = 'purchase') AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |r_raw AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+        |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+        |      FROM v_raw GROUP BY v),
+        |c_raw AS (SELECT v, cnt_a, cnt_b,
+        |             sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+        |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r_raw),
+        |a_raw AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b,
+        |             sum(CAST(cnt_a AS HUGEINT) *
+        |                 ((cum_a + cum_b - cnt_a - cnt_b) * 2 + cnt_a + cnt_b + 1))
+        |               AS r2_a
+        |      FROM c_raw),
+        |u_raw AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |             CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a
+        |      FROM a_raw),
+        |v_planted AS (
+        |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) + CASE WHEN event_type = 'purchase' THEN 30000 ELSE 0 END AS v,
+        |         (event_type = 'purchase') AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |r_planted AS (SELECT v, sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
+        |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
+        |      FROM v_planted GROUP BY v),
+        |c_planted AS (SELECT v, cnt_a, cnt_b,
+        |             sum(cnt_a) OVER (ORDER BY v) AS cum_a,
+        |             sum(cnt_b) OVER (ORDER BY v) AS cum_b FROM r_planted),
+        |a_planted AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b,
+        |             sum(CAST(cnt_a AS HUGEINT) *
+        |                 ((cum_a + cum_b - cnt_a - cnt_b) * 2 + cnt_a + cnt_b + 1))
+        |               AS r2_a
+        |      FROM c_planted),
+        |u_planted AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |             CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a
+        |      FROM a_planted)
+        |SELECT 'raw' AS variant, n_a, n_b, u2_a,
+        |       CAST(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |            * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |               // nullif(CAST(n_a AS HUGEINT) * n_b, 0)) AS BIGINT)
+        |         AS delta_ppm,
+        |       CASE WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 147000 THEN 'negligible'
+        |            WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 330000 THEN 'small'
+        |            WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 474000 THEN 'medium' ELSE 'large' END AS magnitude
+        |FROM u_raw
+        |UNION ALL
+        |SELECT 'planted' AS variant, n_a, n_b, u2_a,
+        |       CAST(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |            * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |               // nullif(CAST(n_a AS HUGEINT) * n_b, 0)) AS BIGINT)
+        |         AS delta_ppm,
+        |       CASE WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 147000 THEN 'negligible'
+        |            WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 330000 THEN 'small'
+        |            WHEN abs(CASE WHEN u2_a - n_a * n_b >= 0 THEN 1 ELSE -1 END
+        |                 * ((abs(CAST(u2_a - n_a * n_b AS HUGEINT)) * 1000000)
+        |                    // nullif(CAST(n_a AS HUGEINT) * n_b, 0)))
+        |              < 474000 THEN 'medium' ELSE 'large' END AS magnitude
+        |FROM u_planted""".stripMargin)))
 }

@@ -1611,4 +1611,32 @@ class InferenceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeded 5"))
   }
+
+  // ---- cliffsDelta ----
+
+  test("cliffsDelta: dominance edges, tie zero, Romano magnitude labels") {
+    import spark.implicits._
+    // complete dominance: every B above every A -> delta exactly -1
+    val dom = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("v", "b")
+    val r = Inference.cliffsDelta(dom, col("v"), col("b")).collect()(0)
+    assert(r.getAs[Long]("delta_ppm") === -1000000L)
+    assert(r.getAs[String]("magnitude") === "large")
+    // reversed -> exactly +1
+    val rev = Seq((3L, false), (4L, false), (1L, true), (2L, true))
+      .toDF("v", "b")
+    assert(Inference.cliffsDelta(rev, col("v"), col("b")).collect()(0)
+      .getAs[Long]("delta_ppm") === 1000000L)
+    // all tied -> exactly 0, negligible
+    val tied = Seq((5L, false), (5L, true)).toDF("v", "b")
+    val t = Inference.cliffsDelta(tied, col("v"), col("b")).collect()(0)
+    assert(t.getAs[Long]("delta_ppm") === 0L)
+    assert(t.getAs[String]("magnitude") === "negligible")
+    // hand mixed case: A={1,3}, B={2,4}: #(a>b)=1, #(a<b)=3 -> -0.5, large
+    val mix = Seq((1L, false), (3L, false), (2L, true), (4L, true))
+      .toDF("v", "b")
+    val m = Inference.cliffsDelta(mix, col("v"), col("b")).collect()(0)
+    assert(m.getAs[Long]("delta_ppm") === -500000L)
+    assert(m.getAs[String]("magnitude") === "large")
+  }
 }
