@@ -192,7 +192,10 @@ object Inference {
     * `|cum_a*n_b - cum_b*n_a| * (v_next - v)`; reported as
     * `w1_micro = sum * 1e6 div (n_a * n_b)` — micro-units of `valueCol`
     * (so fixed-point inputs stay hash-exact). Groups with an empty side
-    * drop (no defined distance). Scale shape identical to ksTestByGroup:
+    * drop (no defined distance); a group whose two samples share exactly
+    * one distinct value emits `w1_micro = 0` (zero distance, NOT a
+    * dropped row — a drift monitor must read "no drift", never "no
+    * result"; r11 advisor). Scale shape identical to ksTestByGroup:
     * one (group, value) rollup shuffle, group-partitioned cumulative
     * window over DISTINCT values, keyed rollup out — fully parallel
     * across groups; per-group distinct cardinality is the only sort
@@ -209,9 +212,15 @@ object Inference {
       .agg(
         sum(when(inB, 0L).otherwise(1L)).as("cnt_a"),
         sum(when(inB, 1L).otherwise(0L)).as("cnt_b"))
+      .localCheckpoint(false) // feeds totals AND the terms window (shared-subtree pin)
     val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    // totals from the PRE-filter rollup, so a single-distinct-value group
+    // (whose every row the __next_v filter removes) still carries its
+    // n_a/n_b and emits w1_micro = 0 via the left join below
+    val totals = counts.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
     val whole = Window.partitionBy(gcols: _*)
-    val terms = counts
+    val termSums = counts
       .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
       .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
       .withColumn("n_a", sum(col("cnt_a")).over(whole))
@@ -222,11 +231,13 @@ object Inference {
       .withColumn("__term",
         abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")) *
           (col("__next_v") - col("v")))
-    terms.groupBy(gcols :+ col("n_a") :+ col("n_b"): _*)
+      .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(sum(col("__term")).as("__s"))
+    totals.join(termSums, groupCols, "left")
       .filter(col("n_a") > 0L && col("n_b") > 0L)
       .withColumn("w1_micro",
-        call_function("div", col("__s") * 1000000L,
+        call_function("div",
+          coalesce(col("__s"), lit(0L).cast("decimal(38,0)")) * 1000000L,
           dec(col("n_a")) * col("n_b")).cast("long"))
       .drop("__s")
   }

@@ -319,7 +319,11 @@ object Stats {
     // timestamp-grain mis-call must raise, not explode
     val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(explode(sequence(col("mn"),
-        when(col("mx") - col("mn") < lit(maxDays), col("mx"))
+        // NULL-safe: empty/all-NULL input leaves mn/mx NULL — the
+        // sequence is then NULL and explode emits no rows (empty spine),
+        // instead of the NULL span falling through to the raise (r11
+        // advisor: the guard must not fire on EMPTY input)
+        when(col("mx").isNull || col("mx") - col("mn") < lit(maxDays), col("mx"))
           .otherwise(raise_error(lit(s"crossCorrDaily day span exceeded " +
             s"$maxDays — dayCol must be daily-grain (the lag window is " +
             "single-partition over the spine); pre-aggregate or raise " +
@@ -357,7 +361,11 @@ object Stats {
           (n * sxy - sx * sy).cast("double") /
             (sqrt(varx.cast("double")) * sqrt(vary.cast("double")))).as("ccf"))
     }
-    agg.select(explode(array(rows: _*)).as("t"))
+    // empty input: the global agg still emits its one row (n_0 = 0) —
+    // gate the per-lag explode on it so an empty series yields an EMPTY
+    // frame, not 2*maxLag+1 phantom NULL rows (r11 advisor contract)
+    agg.filter(col("n_0") > 0L)
+      .select(explode(array(rows: _*)).as("t"))
       .select(col("t.lag").cast("long").as("lag"),
         col("t.n_pairs").as("n_pairs"), col("t.ccf").as("ccf"))
   }

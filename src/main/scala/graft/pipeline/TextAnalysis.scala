@@ -1303,6 +1303,8 @@ object TextAnalysis {
     * scores the sum of its word scores — long multi-word technical
     * phrases outrank frequent isolated words, which is exactly what the
     * [[textRankKeywords]] co-occurrence graph buys at 10x the cost.
+    * Identical candidate phrases within a document aggregate to ONE row
+    * with an `n_occurrences` count (canonical RAKE granularity).
     * Exact arithmetic: word scores are ONE truncating milli division
     * `deg * 1000 div freq` each; a phrase score is an integer SUM of
     * those (integer sums commute — no float accumulation order).
@@ -1346,7 +1348,17 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("__score")).as("score_milli"))
       .filter(col("n_words") >= minWords.toLong)
+      // canonical RAKE (Rose 2010) aggregates identical candidate
+      // phrases within a document: identical strings carry identical
+      // n_words and score_milli by construction (same words, same
+      // per-doc word stats), so max() just picks THE value while
+      // n_occurrences counts the runs (r11 advisor: per-occurrence rows
+      // inflated downstream counts)
+      .groupBy(col("__doc"), col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        max(col("score_milli")).as("score_milli"),
+        count(lit(1)).as("n_occurrences"))
       .select(col("__doc").as("doc_id"), col("phrase"), col("n_words"),
-        col("score_milli"))
+        col("score_milli"), col("n_occurrences"))
   }
 }

@@ -45,6 +45,8 @@ object Round11Queries extends QuerySet {
            |             sum(CASE WHEN b THEN 0 ELSE 1 END) AS cnt_a,
            |             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cnt_b
            |      FROM base GROUP BY 1, 2),
+           |tot AS (SELECT g, sum(cnt_a) AS n_a, sum(cnt_b) AS n_b
+           |        FROM c GROUP BY 1),
            |w AS (SELECT g, v, cnt_a, cnt_b,
            |             sum(cnt_a) OVER (PARTITION BY g ORDER BY v) AS cum_a,
            |             sum(cnt_b) OVER (PARTITION BY g ORDER BY v) AS cum_b,
@@ -52,16 +54,18 @@ object Round11Queries extends QuerySet {
            |             sum(cnt_b) OVER (PARTITION BY g) AS n_b,
            |             lead(v) OVER (PARTITION BY g ORDER BY v) AS nv
            |      FROM c),
-           |t AS (SELECT g, n_a, n_b,
+           |t AS (SELECT g,
            |             sum(abs(CAST(cum_a AS HUGEINT) * n_b
            |                     - CAST(cum_b AS HUGEINT) * n_a)
            |                 * (nv - v)) AS s
-           |      FROM w WHERE nv IS NOT NULL GROUP BY 1, 2, 3)
-           |SELECT g AS l_returnflag, CAST(n_a AS BIGINT) AS n_a,
-           |       CAST(n_b AS BIGINT) AS n_b,
-           |       CAST((s * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+           |      FROM w WHERE nv IS NOT NULL GROUP BY 1)
+           |SELECT tot.g AS l_returnflag, CAST(tot.n_a AS BIGINT) AS n_a,
+           |       CAST(tot.n_b AS BIGINT) AS n_b,
+           |       CAST((COALESCE(t.s, 0) * 1000000)
+           |            // (CAST(tot.n_a AS HUGEINT) * tot.n_b)
            |            AS BIGINT) AS w1_micro
-           |FROM t WHERE n_a > 0 AND n_b > 0""".stripMargin)),
+           |FROM tot LEFT JOIN t ON tot.g = t.g
+           |WHERE tot.n_a > 0 AND tot.n_b > 0""".stripMargin)),
 
     QueryDef("q430_mcc_confusion", (s, d) =>
       // does a naive price threshold predict urgency? Binary confusion
@@ -337,9 +341,10 @@ object Round11Queries extends QuerySet {
           |              CAST(count(*) AS BIGINT) AS n_words,
           |              CAST(sum(score) AS BIGINT) AS score_milli
           |       FROM wd w JOIN sc USING (doc_id, wl) GROUP BY 1, 2)
-          |SELECT CAST(doc_id AS BIGINT) AS doc_id, phrase, n_words,
-          |       score_milli
-          |FROM ph WHERE n_words >= 2""".stripMargin)),
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, phrase,
+          |       max(n_words) AS n_words, max(score_milli) AS score_milli,
+          |       CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM ph WHERE n_words >= 2 GROUP BY 1, 2""".stripMargin)),
 
     QueryDef("q436_gini_screen", (s, d) => {
       // decision-stump feature screen vs the lang='en' label, three

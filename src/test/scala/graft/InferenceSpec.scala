@@ -733,6 +733,11 @@ class InferenceSpec extends AnyFunSuite {
     val ok = graft.pipeline.Stats.crossCorrDaily(df, col("day"), col("v"),
       col("isy"), maxLag = 2, maxDays = 2000L).collect()
     assert(ok.length === 5)
+    // EMPTY input must yield an empty frame, not trip the span guard on
+    // the NULL min/max row (r11 advisor)
+    val empty = Seq.empty[(Long, Long, Boolean)].toDF("day", "v", "isy")
+    assert(graft.pipeline.Stats.crossCorrDaily(empty, col("day"), col("v"),
+      col("isy"), maxLag = 2, maxDays = 100L).collect().isEmpty)
   }
 
   // ---- timeDecayAttribution ----
@@ -1415,6 +1420,16 @@ class InferenceSpec extends AnyFunSuite {
     val oneSide = Seq(("h", 1L, false), ("h", 2L, false)).toDF("grp", "v", "b")
     assert(Inference.wassersteinByGroup(oneSide, Seq("grp"), col("v"), col("b"))
       .collect().isEmpty)
+    // single shared distinct value: both sides present -> w1_micro = 0,
+    // NOT a dropped group (r11 advisor: "no drift" must never read as
+    // "no result")
+    val single = Seq(("s", 7L, false), ("s", 7L, false), ("s", 7L, true))
+      .toDF("grp", "v", "b")
+    val sr = Inference.wassersteinByGroup(single, Seq("grp"), col("v"),
+      col("b")).collect()
+    assert(sr.length === 1)
+    assert(sr(0).getAs[Long]("n_a") === 2L && sr(0).getAs[Long]("n_b") === 1L)
+    assert(sr(0).getAs[Long]("w1_micro") === 0L)
   }
 
   // ---- matthewsCorrelation ----

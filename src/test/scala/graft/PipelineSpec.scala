@@ -1606,12 +1606,14 @@ class PipelineSpec extends AnyFunSuite {
       .map(x => x.getAs[String]("phrase") -> x.getAs[Long]("score_milli"))
       .toMap
     assert(m === Map("x x" -> 3332L, "x" -> 1666L))
-    // stopword matching is case-folded and output words are lowered
+    // stopword matching is case-folded and output words are lowered;
+    // identical phrases in one doc roll up to ONE row with n_occurrences
     val c = TextAnalysis.rakeKeyphrases(
       Seq((1L, "The Red THE red")).toDF("id", "text"), col("id"), col("text"),
       stopwords = Seq("the")).collect()
     assert(c.map(_.getAs[String]("phrase")).toSet === Set("red"))
-    assert(c.length === 2)
+    assert(c.length === 1)
+    assert(c.head.getAs[Long]("n_occurrences") === 2L)
     // minWords prunes single-word candidates
     assert(TextAnalysis.rakeKeyphrases(
       Seq((1L, "x x the x")).toDF("id", "text"), col("id"), col("text"),
