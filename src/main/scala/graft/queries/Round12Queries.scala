@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileSketch
+import graft.operators.Features
+import graft.sources.Sources.table
+
+/** Round-12 battery: the mergeable quantile-summary sketch family
+  * (deterministic KLL-lineage compactor — registers, compaction, merge,
+  * rank cuts, and the streaming register variant) plus the
+  * stored-baseline incremental drift lifecycle. Same exact-arithmetic
+  * discipline as every battery: integer windows, truncating divisions on
+  * non-negative operands only, oracles replay compression and merge
+  * verbatim.
+  */
+object Round12Queries extends QuerySet {
+
+  /** The shared fixed-point money recipe (Features.cents mirror). */
+  private def centsSql(c: String): String =
+    s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  /** q445/q446 shared pipeline: per-(returnflag, ship-month) exact
+    * registers on price cents, compressed at k=32 (level 1), then merged
+    * across months into one per-returnflag summary at k=32 (level 2)
+    * — two genuine compaction levels, so the oracle replays compress AND
+    * merge-recompress. Observed vs exact quantiles at sf0.01: every cut
+    * lands 199-314 ranks above target on n ~ 20k/flag (max 1.6%), inside
+    * the declared s1+s2 envelope (~8 + ~627 = ~635 ranks, 3.2%) —
+    * value-inspected; the spec pins the bound on a hand vector.
+    */
+  private def mergedPriceSummary(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = table(s, d, "lineitem").withColumn("ship_month",
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+    val lvl1 = QuantileSketch.qsCompress(
+      QuantileSketch.qsRegisters(li, Seq("l_returnflag", "ship_month"),
+        Features.cents(col("l_extendedprice"))),
+      Seq("l_returnflag", "ship_month"), k = 32)
+    QuantileSketch.qsCompress(lvl1.drop("ship_month"),
+      Seq("l_returnflag"), k = 32)
+  }
+
+  /** The oracle CTE chain shared by q445/q446: compress level 1 per
+    * (rf, sm), merge + recompress per rf — kept rows are those whose
+    * cumulative-weight range covers a stride multiple (floor-division
+    * step test; all operands non-negative so `//` == Spark `div`), plus
+    * the group maximum; kept weights telescope from kept cumulative
+    * ranks. Window functions evaluate after WHERE in the same block, so
+    * the lag-over-kept is exactly the Spark post-filter window.
+    */
+  private val summaryCtes: String =
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS rf,
+       |         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS sm,
+       |         ${centsSql("l_extendedprice")} AS v
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |r1 AS (SELECT rf, sm, v, CAST(count(*) AS BIGINT) AS w
+       |       FROM base GROUP BY 1, 2, 3),
+       |c1 AS (SELECT rf, sm, v, w,
+       |              sum(w) OVER (PARTITION BY rf, sm ORDER BY v) AS cum,
+       |              sum(w) OVER (PARTITION BY rf, sm) AS tot
+       |       FROM r1),
+       |k1 AS (SELECT rf, sm, v, cum,
+       |              cum - coalesce(lag(cum)
+       |                OVER (PARTITION BY rf, sm ORDER BY v), 0) AS wt
+       |       FROM c1
+       |       WHERE (cum // ((tot + 31) // 32)) > ((cum - w) // ((tot + 31) // 32))
+       |          OR cum = tot),
+       |r2 AS (SELECT rf, v, CAST(sum(wt) AS BIGINT) AS w
+       |       FROM k1 GROUP BY 1, 2),
+       |c2 AS (SELECT rf, v, w,
+       |              sum(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+       |              sum(w) OVER (PARTITION BY rf) AS tot
+       |       FROM r2),
+       |k2 AS (SELECT rf, v, cum,
+       |              cum - coalesce(lag(cum)
+       |                OVER (PARTITION BY rf ORDER BY v), 0) AS wt
+       |       FROM c2
+       |       WHERE (cum // ((tot + 31) // 32)) > ((cum - w) // ((tot + 31) // 32))
+       |          OR cum = tot)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q445_qsketch_registers", (s, d) =>
+      // the merged per-returnflag quantile summary itself — full multiset
+      // hash of every kept (value, weight) register after two compaction
+      // levels, the strongest possible oracle surface for the compactor
+      // (the rank-cut query q446 only touches the registers its cuts
+      // land on). ~33 registers per flag; cumulative weights preserve
+      // exact level-1 ranks (the telescoping invariant the spec pins).
+      mergedPriceSummary(s, d),
+      Some(
+        s"""$summaryCtes
+           |SELECT rf AS l_returnflag, CAST(v AS BIGINT) AS qs_value,
+           |       CAST(wt AS BIGINT) AS qs_weight
+           |FROM k2""".stripMargin)),
+
+    QueryDef("q446_qsketch_cuts", (s, d) =>
+      // per-mille rank cuts from the merged summary — the monitoring
+      // readout (p25/p50/p75/p99 price per return flag) a 100 TB fleet
+      // reads from stored registers without ever rescanning raw data.
+      // Each answer is an exact data value at a rank within s1+s2 of the
+      // requested rank (one-sided); at sf0.01 the observed cuts sit
+      // 1.0-1.6% of ranks above exact percentile_disc (value-space
+      // 0.9-6.1% on the spread price axis) — value-inspected.
+      QuantileSketch.qsQuantile(mergedPriceSummary(s, d),
+        Seq("l_returnflag"), Seq(250, 500, 750, 990)),
+      Some(
+        s"""$summaryCtes,
+           |q AS (SELECT rf, v, wt,
+           |             sum(wt) OVER (PARTITION BY rf ORDER BY v) AS cum,
+           |             sum(wt) OVER (PARTITION BY rf) AS tot
+           |      FROM k2)
+           |SELECT rf AS l_returnflag, CAST(qm AS INTEGER) AS q_mille,
+           |       CAST(v AS BIGINT) AS value
+           |FROM q, LATERAL (SELECT unnest([250, 500, 750, 990]) AS qm) x
+           |WHERE cum * 1000 >= qm * tot
+           |  AND (cum - wt) * 1000 < qm * tot""".stripMargin)),
+
+    QueryDef("q447_stream_qsketch", (s, d) => {
+      // streaming mergeable quantile registers: the per-hour (value,
+      // count) rollup is maintained BY THE STREAM (windowed associative
+      // aggregate, state = per-window distinct cents), then the batch
+      // compactor bounds each hour's summary at k=16 over the
+      // materialized registers — maintain counts in the stream, compact
+      // at read, the q313 drift-register division of labor. Oracle
+      // replays the hourly rollup + one compression level from batch SQL
+      // (tumbling 1h windows align to date_trunc hours).
+      import graft.streaming.EventsStream
+      val regs = EventsStream.hourlyValueQuantileRegisters(
+        EventsStream.readEvents(s, d))
+      val stored = EventsStream.runToBatch(s, regs, "q447_regs")
+      QuantileSketch.qsCompress(stored, Seq("hour_start"), k = 16)
+    }, Some(
+      """WITH v AS (
+        |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |           AS hour_start,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT hour_start, qv, CAST(count(*) AS BIGINT) AS w
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT hour_start, qv, w,
+        |             sum(w) OVER (PARTITION BY hour_start ORDER BY qv) AS cum,
+        |             sum(w) OVER (PARTITION BY hour_start) AS tot
+        |      FROM r),
+        |k AS (SELECT hour_start, qv, cum,
+        |             cum - coalesce(lag(cum)
+        |               OVER (PARTITION BY hour_start ORDER BY qv), 0) AS wt
+        |      FROM c
+        |      WHERE (cum // ((tot + 15) // 16)) > ((cum - w) // ((tot + 15) // 16))
+        |         OR cum = tot)
+        |SELECT hour_start, CAST(qv AS BIGINT) AS qs_value,
+        |       CAST(wt AS BIGINT) AS qs_weight
+        |FROM k""".stripMargin))
+  )
+}

@@ -241,6 +241,26 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("hist_bin"),
         col("hist_count"))
 
+  /** Streaming per-hour mergeable quantile registers
+    * ([[graft.functions.QuantileSketch.qsRegistersBy]], shared
+    * batch/stream derivation): the windowed (value, count) rollup is the
+    * associative aggregate a stream CAN maintain (state bounded by
+    * per-window distinct quantized cents), and the materialized relation
+    * is exactly the mergeable register table the batch path derives —
+    * compress ([[graft.functions.QuantileSketch.qsCompress]]) and rank
+    * cuts ([[graft.functions.QuantileSketch.qsQuantile]]) run over the
+    * sink, the [[hourlyDistinctUsers]]/hllEstimate division of labor
+    * (compaction needs a per-group sort, which no streaming aggregate
+    * state can hold incrementally; the rollup needs only sum).
+    */
+  def hourlyValueQuantileRegisters(events: DataFrame): DataFrame =
+    graft.functions.QuantileSketch.qsRegistersBy(
+      events.withWatermark("ts", "2 hours"),
+      Seq(window(col("ts"), "1 hour")),
+      floor(col("value") * 100 + 0.5).cast("long"))
+      .select(col("window.start").as("hour_start"), col("qs_value"),
+        col("qs_weight"))
+
   /** Streaming distribution-drift registers: per event-time hour, live
     * `value` counts binned against FIXED reference bin edges (integer
     * cents, ascending) — a windowed streaming aggregate whose state per

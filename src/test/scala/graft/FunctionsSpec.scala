@@ -216,4 +216,74 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sums.toSeq === Seq(3.0, 2.0, 8.0))
     assertThrows[IllegalArgumentException](safeAdd())
   }
+
+  // ---- mergeable quantile summary (QuantileSketch) ----
+
+  test("quantile summary: hand compress vector, rank preservation, weight conservation") {
+    import graft.functions.QuantileSketch._
+    // values 1..5 once each, k=2: tot=5, s=ceil(5/2)=3 -> kept ranks
+    // {3 (stride), 5 (max)} with telescoped weights {3, 2}
+    val regs = qsRegisters(Seq(1L, 2L, 3L, 4L, 5L).toDF("v"), Nil, $"v")
+    val c = qsCompress(regs, Nil, k = 2).collect()
+      .map(r => r.getAs[Long]("qs_value") -> r.getAs[Long]("qs_weight")).toMap
+    assert(c === Map(3L -> 3L, 5L -> 2L))
+    // kept cumulative weights ARE original ranks: cum(3)=3, cum(5)=5
+    // weight conservation through any k
+    for (k <- Seq(2, 3, 64)) {
+      val tot = qsCompress(regs, Nil, k).agg(sum($"qs_weight")).collect()(0).getLong(0)
+      assert(tot === 5L)
+    }
+    // k >= distinct values: compress is the identity on exact registers
+    val id = qsCompress(regs, Nil, k = 64).collect()
+      .map(r => r.getAs[Long]("qs_value") -> r.getAs[Long]("qs_weight")).toMap
+    assert(id === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("quantile summary: exact-register merge is lossless and union-associative") {
+    import graft.functions.QuantileSketch._
+    val all = (1L to 1000L).toDF("v")
+    val a = qsRegisters(all.filter($"v" % 3 === 0), Nil, $"v")
+    val b = qsRegisters(all.filter($"v" % 3 === 1), Nil, $"v")
+    val cc = qsRegisters(all.filter($"v" % 3 === 2), Nil, $"v")
+    // merge = bag union + compress (which pre-rolls equal values), so
+    // any union ORDER compresses identically — associativity by
+    // construction, pinned on both groupings
+    val left = qsCompress(a.unionByName(b).unionByName(cc), Nil, k = 16)
+    val right = qsCompress(cc.unionByName(b).unionByName(a), Nil, k = 16)
+    assert(left.exceptAll(right).isEmpty && right.exceptAll(left).isEmpty)
+    // and equals compressing the registers of the full multiset directly
+    val direct = qsCompress(qsRegisters(all, Nil, $"v"), Nil, k = 16)
+    assert(left.exceptAll(direct).isEmpty && direct.exceptAll(left).isEmpty)
+  }
+
+  test("quantile summary: rank-error bound per level; cuts on exact registers are exact") {
+    import graft.functions.QuantileSketch._
+    val n = 1000L
+    val regs = qsRegisters((1L to n).toDF("v"), Nil, $"v")
+    // uncompressed: qsQuantile == exact percentile_disc (value v at
+    // per-mille q over 1..1000 is exactly ceil(q*n/1000) = q)
+    val exact = qsQuantile(regs, Nil, Seq(250, 500, 750, 990)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value")).toMap
+    assert(exact === Map(250 -> 250L, 500 -> 500L, 750 -> 750L, 990 -> 990L))
+    // one level at k=20: s = ceil(1000/20) = 50; every cut value's true
+    // rank (== value here) must lie in [target, target + s)
+    val c1 = qsCompress(regs, Nil, k = 20)
+    val cut1 = qsQuantile(c1, Nil, Seq(250, 500, 750, 990)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value")).toMap
+    cut1.foreach { case (q, v) =>
+      val t = q.toLong // target rank = q*1000/1000
+      assert(v >= t && v < t + 50, s"q=$q v=$v outside [t, t+s)")
+    }
+    // two levels (split-merge-recompress): strides add, bound stays
+    val a = qsCompress(qsRegisters((1L to n).filter(_ % 2 == 0).toDF("v"), Nil, $"v"), Nil, 20)
+    val b = qsCompress(qsRegisters((1L to n).filter(_ % 2 == 1).toDF("v"), Nil, $"v"), Nil, 20)
+    val merged = qsCompress(a.unionByName(b), Nil, k = 20)
+    val cut2 = qsQuantile(merged, Nil, Seq(250, 500, 750, 990)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value")).toMap
+    // s_a = s_b = ceil(500/20) = 25, s_merge = 50 -> bound 100
+    cut2.foreach { case (q, v) =>
+      val t = q.toLong
+      assert(v >= t && v < t + 100, s"q=$q v=$v outside two-level bound")
+    }
+  }
 }

@@ -480,6 +480,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming quantile registers == batch registers; compress+cut ride on top (sf0.001)") {
+    import graft.functions.QuantileSketch
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runToBatch(spark,
+      EventsStream.hourlyValueQuantileRegisters(EventsStream.readEvents(spark, dir)),
+      "qs_stream_test")
+    val batchEvents = graft.sources.Sources.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val batch = QuantileSketch.qsRegisters(batchEvents, Seq("hour_start"),
+      floor(col("value") * 100 + 0.5).cast("long"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the stream-maintained relation feeds the same compactor/cut path
+    val cuts = QuantileSketch.qsQuantile(
+      QuantileSketch.qsCompress(streamed, Seq("hour_start"), k = 16),
+      Seq("hour_start"), Seq(500))
+    assert(cuts.count() > 0)
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
