@@ -481,6 +481,56 @@ object ScaleProbe {
       }
     }
 
+    // round-12: stored-baseline drift lifecycle (q448) — run 1 (baseline
+    // register CTAS + first score) must track the baseline corpus; run 2
+    // (nightly: provably-empty baseline merge + one-day score against the
+    // STORED rollup) must stay FLAT as the baseline corpus grows Nx — the
+    // no-rescan contract. Replicas duplicate the baseline window only
+    // (weights multiply, value domain saturates); the scored day stays 1x.
+    {
+      val ev1 = graft.sources.Sources.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val baseWindow = ev1.filter(col("day") < lit("2024-01-21").cast("date"))
+      val nightSlice = ev1.filter(col("day") === lit("2024-01-25").cast("date"))
+      val evA = baseWindow.unionByName(nightSlice).localCheckpoint()
+      val evB = (0 until reps).map(_ => baseWindow).reduce(_ unionByName _)
+        .unionByName(nightSlice).localCheckpoint()
+      for ((label, ev) <- Seq("1x" -> evA, s"${reps}x" -> evB)) {
+        val wh = new graft.engine.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_drift").toString, spark)
+        def mkReg() = {
+          val reg = new graft.engine.Registry(spark, wh)
+          reg.source("ev", ev)
+          reg.register(graft.engine.Model("drift_baseline", Seq("ev"),
+            graft.engine.IncrementalMat(graft.engine.Incremental.Merge, Seq("qs_value")),
+            ctx => {
+              val w = if (ctx.isIncremental) ctx.ref("ev").filter(lit(false))
+                else ctx.ref("ev").filter(col("day") < lit("2024-01-21").cast("date"))
+              graft.functions.QuantileSketch.qsRegisters(w, Nil, col("cents"))
+            }))
+          reg.register(graft.engine.Model("drift_scores", Seq("ev", "drift_baseline"),
+            graft.engine.IncrementalMat(graft.engine.Incremental.Merge, Seq("score_day")),
+            ctx => graft.pipeline.Inference.ksFromRegisters(
+              ctx.ref("drift_baseline"),
+              graft.functions.QuantileSketch.qsRegisters(
+                ctx.ref("ev").filter(col("day") === lit("2024-01-25").cast("date")),
+                Nil, col("cents")))
+              .withColumn("score_day", lit("2024-01-25").cast("date"))))
+          reg
+        }
+        time(s"drift_baseline_run    $label") {
+          mkReg().run()
+          wh.read("drift_baseline").count()
+        }
+        time(s"drift_nightly_run     $label") {
+          mkReg().run()
+          wh.read("drift_scores").count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

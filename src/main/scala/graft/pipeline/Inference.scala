@@ -127,6 +127,44 @@ object Inference {
           dec(col("n_a")) * col("n_b")).cast("long"))
   }
 
+  /** Two-sample KS from two STORED register tables — the incremental
+    * drift-monitor scorer: both sides arrive as `(qs_value, qs_weight)`
+    * rollups (the [[graft.functions.QuantileSketch.qsRegisters]]
+    * relation), so a nightly run scores today's window against a
+    * baseline materialized ONCE, never rescanning baseline history —
+    * the batch twin of the streaming
+    * [[graft.streaming.EventsStream.driftFromRegisters]] path, exact
+    * instead of binned. Same cross-multiplied integer D as [[ksTest]]:
+    * `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
+    * `d_ppm = d_num*1e6 div (n_a*n_b)`; either side empty -> empty
+    * frame (no defined distance). The value union is register-bounded
+    * (two rollups, value-domain cardinality — the exactQuantiles
+    * single-sort contract), so the scorer's cost is independent of how
+    * many raw rows the baseline represents.
+    */
+  def ksFromRegisters(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val u = regsA.select(col("qs_value").as("v"),
+        col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b"))
+      .unionByName(regsB.select(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")))
+      .groupBy(col("v"))
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
+    val byVal = Window.orderBy(col("v").asc)
+    val totals = u.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    val gaps = u
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+      .crossJoin(broadcast(totals))
+      .withColumn("gap",
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")))
+    gaps.groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).cast("long").as("d_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("d_ppm",
+        call_function("div", dec(col("d_num")) * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value

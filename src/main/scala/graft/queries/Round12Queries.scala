@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.QuantileSketch
 import graft.operators.Features
-import graft.sources.Sources.table
+import graft.sources.Sources.{events, table}
 
 /** Round-12 battery: the mergeable quantile-summary sketch family
   * (deterministic KLL-lineage compactor — registers, compaction, merge,
@@ -151,6 +151,106 @@ object Round12Queries extends QuerySet {
         |         OR cum = tot)
         |SELECT hour_start, CAST(qv AS BIGINT) AS qs_value,
         |       CAST(wt AS BIGINT) AS qs_weight
-        |FROM k""".stripMargin))
+        |FROM k""".stripMargin)),
+
+    QueryDef("q448_incremental_drift", (s, d) => {
+      // the stored-baseline nightly drift monitor (r11 verdict #3): the
+      // batch drift family (q308/q330/q429) rescans BOTH windows every
+      // run; a training-data platform freezes a baseline once and scores
+      // each night's slice against the STORED rollup. Two-run Registry
+      // lifecycle (the q52 pattern): run 1 CTAS-materializes the
+      // baseline's exact (value, weight) register rollup (days 1-20) and
+      // scores day 25; run 2's baseline branch is a provably-empty
+      // incremental merge (filter(false) folds to an empty LocalRelation
+      // — baseline history is NEVER rescanned) while the scores model
+      // merges day 28's row, whose build touches only that day's
+      // partition slice plus the stored registers
+      // (Inference.ksFromRegisters — cost independent of baseline ROW
+      // count). Day 25 is the honest null (iid synthetic days: observed
+      // d_ppm 58048 against the ~75000 two-sample noise bound at
+      // n=345 vs 6682); day 28 carries a PLANTED +2000-cent shift the
+      // monitor must flag (observed 329841 ppm — 5.7x the null) — both
+      // branches value-inspected. ScaleProbe carries the
+      // run-2-flat-at-4x-baseline reading; RegistrySpec pins the
+      // no-rescan lifecycle.
+      import graft.engine.{Incremental, IncrementalMat, Model, Registry}
+      import graft.pipeline.Inference
+      val wh = Scratch.warehouse("q448", d, s,
+        Seq("drift_baseline", "drift_scores"))
+      val reg = new Registry(s, wh)
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      reg.source("events_src", ev)
+      reg.register(Model("drift_baseline", Seq("events_src"),
+        IncrementalMat(Incremental.Merge, Seq("qs_value")),
+        ctx => {
+          val src = ctx.ref("events_src")
+          val window =
+            if (ctx.isIncremental) src.filter(lit(false)) // frozen baseline
+            else src.filter(col("day") < lit("2024-01-21").cast("date"))
+          QuantileSketch.qsRegisters(window, Nil, col("cents"))
+        }))
+      reg.register(Model("drift_scores", Seq("events_src", "drift_baseline"),
+        IncrementalMat(Incremental.Merge, Seq("score_day")),
+        ctx => {
+          val src = ctx.ref("events_src")
+          val (dayStr, shift) =
+            if (ctx.isIncremental) ("2024-01-28", 2000L) else ("2024-01-25", 0L)
+          val cur = QuantileSketch.qsRegisters(
+            src.filter(col("day") === lit(dayStr).cast("date"))
+              .withColumn("cents", col("cents") + lit(shift)),
+            Nil, col("cents"))
+          Inference.ksFromRegisters(ctx.ref("drift_baseline"), cur)
+            .withColumn("score_day", lit(dayStr).cast("date"))
+        }))
+      reg.run()
+      reg.run()
+      wh.read("drift_scores")
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |base AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS wa
+        |         FROM e WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |cur1 AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS wb
+        |         FROM e WHERE day = DATE '2024-01-25' GROUP BY 1),
+        |cur2 AS (SELECT c + 2000 AS v, CAST(count(*) AS BIGINT) AS wb
+        |         FROM e WHERE day = DATE '2024-01-28' GROUP BY 1),
+        |u1 AS (SELECT coalesce(b.v, c.v) AS v, coalesce(wa, 0) AS ca,
+        |              coalesce(wb, 0) AS cb
+        |       FROM base b FULL OUTER JOIN cur1 c ON b.v = c.v),
+        |s1 AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |              sum(cb) OVER (ORDER BY v) AS cum_b,
+        |              sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |       FROM u1),
+        |d1 AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |              CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                           - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT)
+        |                AS d_num
+        |       FROM s1 GROUP BY 1, 2),
+        |u2 AS (SELECT coalesce(b.v, c.v) AS v, coalesce(wa, 0) AS ca,
+        |              coalesce(wb, 0) AS cb
+        |       FROM base b FULL OUTER JOIN cur2 c ON b.v = c.v),
+        |s2 AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |              sum(cb) OVER (ORDER BY v) AS cum_b,
+        |              sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |       FROM u2),
+        |d2 AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |              CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                           - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT)
+        |                AS d_num
+        |       FROM s2 GROUP BY 1, 2)
+        |SELECT DATE '2024-01-25' AS score_day, n_a, n_b, d_num,
+        |       CAST((CAST(d_num AS HUGEINT) * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |FROM d1
+        |UNION ALL
+        |SELECT DATE '2024-01-28', n_a, n_b, d_num,
+        |       CAST((CAST(d_num AS HUGEINT) * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |FROM d2""".stripMargin))
   )
 }

@@ -44,6 +44,29 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1000000L && r.getLong(4) === 2L)
   }
 
+  // ---- ksFromRegisters ----
+
+  test("ksFromRegisters: equals ksTest on the same multisets; weighted registers; empty side drops") {
+    // register form of the textbook vector: A=[1,2,3], B=[2,3,4,4]
+    val ra = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("qs_value", "qs_weight")
+    val rb = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("qs_value", "qs_weight")
+    val r = Inference.ksFromRegisters(ra, rb).collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("d_num"), r.getAs[Long]("d_ppm"))
+      === ((3L, 4L, 6L, 500000L)))
+    // weights represent multiplicity: the same comparison with B's 4s as
+    // one weight-2 register is the identical statistic (the stored-rollup
+    // contract — a register table IS the multiset)
+    val rb2 = Seq((2L, 1L), (3L, 1L), (4L, 1L), (4L, 1L))
+      .toDF("qs_value", "qs_weight") // bag-union form pre-rolls internally
+    val r2 = Inference.ksFromRegisters(ra, rb2).collect()(0)
+    assert(r2.getAs[Long]("d_ppm") === 500000L)
+    // either side empty -> empty frame (no defined distance)
+    val empty = Seq.empty[(Long, Long)].toDF("qs_value", "qs_weight")
+    assert(Inference.ksFromRegisters(ra, empty).collect().isEmpty)
+    assert(Inference.ksFromRegisters(empty, rb).collect().isEmpty)
+  }
+
   // ---- cramerVonMises ----
 
   test("cramerVonMises: hand integral; everywhere-small beats somewhere-big for CvM") {

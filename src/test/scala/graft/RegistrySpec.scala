@@ -1087,4 +1087,56 @@ class RegistrySpec extends AnyFunSuite {
     val got = wh.read("b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 200 && got(3L) === 103L && got(20L) === 20L)
   }
+
+  test("stored-baseline drift lifecycle: baseline frozen across runs, nightly scores the STORED rollup") {
+    import graft.functions.QuantileSketch
+    import graft.pipeline.Inference
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // days 1-2 are the baseline window; day 5 is the nightly slice
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L),
+      (5L, 10L), (5L, 30L)).toDF("day", "cents")
+    def mkReg() = {
+      val reg = new Registry(spark, wh)
+      reg.source("ev", rows)
+      reg.register(Model("base_regs", Seq("ev"),
+        IncrementalMat(Incremental.Merge, Seq("qs_value")),
+        ctx => {
+          val w = if (ctx.isIncremental) ctx.ref("ev").filter(lit(false))
+            else ctx.ref("ev").filter(col("day") <= 2L)
+          QuantileSketch.qsRegisters(w, Nil, col("cents"))
+        }))
+      reg.register(Model("night_scores", Seq("ev", "base_regs"),
+        IncrementalMat(Incremental.Merge, Seq("score_day")),
+        ctx => Inference.ksFromRegisters(ctx.ref("base_regs"),
+          QuantileSketch.qsRegisters(ctx.ref("ev").filter(col("day") === 5L),
+            Nil, col("cents")))
+          .withColumn("score_day", lit(5L))))
+      reg
+    }
+    mkReg().run()
+    val base1 = wh.read("base_regs").collect()
+      .map(r => r.getAs[Long]("qs_value") -> r.getAs[Long]("qs_weight")).toMap
+    assert(base1 === Map(10L -> 1L, 20L -> 2L, 30L -> 1L))
+    // SABOTAGE the stored baseline between runs: if run 2's score reads
+    // the stored relation (the contract), the score must change with it;
+    // a recompute from ev would reproduce the old value and hide a
+    // baseline-refresh bug
+    wh.writeSwap("base_regs",
+      Seq((10L, 4L)).toDF("qs_value", "qs_weight"), Nil)
+    mkReg().run()
+    // baseline stayed exactly as sabotaged: the incremental branch is a
+    // provably-empty merge — frozen, never rebuilt, never rescanned
+    val base2 = wh.read("base_regs").collect()
+      .map(r => r.getAs[Long]("qs_value") -> r.getAs[Long]("qs_weight")).toMap
+    assert(base2 === Map(10L -> 4L))
+    // and the merged night score was computed against the SABOTAGED
+    // registers: baseline all-at-10 vs day-5 {10, 30}: max gap at v=10
+    // is |4*2 - 1*4| = 4 -> d_ppm = 4e6 div 8 = 500000
+    val score = wh.read("night_scores").collect()
+    assert(score.length === 1)
+    assert(score(0).getAs[Long]("n_a") === 4L)
+    assert(score(0).getAs[Long]("n_b") === 2L)
+    assert(score(0).getAs[Long]("d_ppm") === 500000L)
+  }
 }
