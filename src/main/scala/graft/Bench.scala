@@ -71,18 +71,28 @@ object Bench {
     val failTimes = Array.fill(queries.size)(Seq.newBuilder[Double])
     val nFailed = Array.fill(queries.size)(0)
     val lastErr = Array.fill[Option[String]](queries.size)(None)
-    (1 to reps).foreach { _ =>
-      queries.zipWithIndex.foreach { case ((_, fn), i) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          okTimes(i) += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          lastErr(i) = Some(e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
-          nFailed(i) += 1
-          failTimes(i) += (System.nanoTime() - t0) / 1e9
+    // each rep runs the battery in a DIFFERENT deterministic order
+    // (seeded shuffle, seed = rep index): the r11 flaky map flagged nine
+    // CONSECUTIVE queries (q49-q57, all ambient on isolated re-run)
+    // sitting right after the write-heavy lifecycle stretch — a
+    // fixed-order battery re-exposes the same neighborhood to the same
+    // cache/compaction fallout every rep, so the median cannot absorb
+    // it. With per-rep orders the fallout lands on a different
+    // neighborhood each rep and the median recovers; a TRUE regression
+    // is order-independent and still shows in all reps.
+    (1 to reps).foreach { rep =>
+      new scala.util.Random(0xC0FFEE + rep).shuffle(queries.zipWithIndex.toList)
+        .foreach { case ((_, fn), i) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            okTimes(i) += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            lastErr(i) = Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+            nFailed(i) += 1
+            failTimes(i) += (System.nanoTime() - t0) / 1e9
+          }
         }
-      }
     }
     // committed per-query reference for the outlier triage (read BEFORE the
     // end-of-run overwrite); absent or unparsable file -> no triage
@@ -163,6 +173,19 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n"); true }
       catch { case e: Throwable =>
         System.err.println(s"BENCH_FULL.json write failed: $e"); false }
+    // the driver retains only a ~2 KB log TAIL, which truncates the full
+    // line's head — its BENCH_rN extraction then records `parsed: null`
+    // (VERDICT r11 cosmetic item). Print a LAST compact line that fits
+    // the tail whole: totals + the slowest medians; the complete
+    // per-query map lives in the committed BENCH_FULL.json.
+    val sorted = results.map(_._2).sorted
+    val med = if (sorted.isEmpty) 0.0
+      else sorted(sorted.size / 2)
+    val top = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val nFlaky = results.count(_._4.isDefined)
+    val nErr = results.count(_._3.isDefined)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"median":$med%.3f,"n_errors":$nErr,"n_flaky":$nFlaky,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined) || !persisted) sys.exit(1)
   }
