@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Standing plan-audit gate (VERDICT r11 #6: the manual Explain
+  * scan-count sweep caught 12 unpinned shared rollups — run it every
+  * round, mechanically): execute every registered query and count how
+  * many times each BASE RELATION (parquet file name) is PHYSICALLY
+  * scanned in the final adaptive plan. The walk skips
+  * ReusedExchangeExec subtrees (a reused exchange replays nothing below
+  * it — the lazy-loop discipline of pageRank/triangles shows its
+  * logical repetition but executes one scan per reuse group), so the
+  * count is true rescan work, not logical-plan shape. A pinned shared
+  * subtree (localCheckpoint) surfaces as an RDD scan and never counts
+  * against its source.
+  *
+  * Self-joins and two-frame pair builds legitimately read a source
+  * twice (mannKendall's a/b, interval overlap), so the flag threshold
+  * defaults to >= 4; every per-query max is recorded either way so
+  * round-over-round diffs catch creep. Usage:
+  * `runMain graft.PlanAudit [sfDir] [outJson] [threshold]` with env
+  * `SPARK_GRAFT_AUDIT_ONLY` as a name-regex filter. Always exits 0:
+  * the artifact is triage evidence, not a hard gate — some counts are
+  * by-design (documented per round in BASELINE.md).
+  */
+object PlanAudit {
+  private def scanCounts(plan: SparkPlan,
+      acc: scala.collection.mutable.Map[String, Int],
+      seen: java.util.Set[SparkPlan]): Unit = plan match {
+    case _: ReusedExchangeExec => () // replays nothing below it
+    case a: AdaptiveSparkPlanExec => scanCounts(a.executedPlan, acc, seen)
+    // final AQE plans wrap children in QueryStageExec (children = Nil);
+    // a REUSED stage is the same instance appearing twice — identity
+    // dedup counts its scan once, matching what actually executed
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      if (seen.add(q)) scanCounts(q.plan, acc, seen)
+    case s: FileSourceScanExec =>
+      val id = s.relation.location.rootPaths.headOption
+        .map(_.getName).getOrElse("?")
+      acc(id) = acc.getOrElse(id, 0) + 1
+    case other =>
+      other.children.foreach(scanCounts(_, acc, seen))
+      // scalar/IN subqueries carry their own plans
+      other.subqueries.foreach(scanCounts(_, acc, seen))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outJson = if (args.length > 1) args(1) else "PLANAUDIT.json"
+    val threshold = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY").map(_.r)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString
+      } + "\""
+    val rows = queries.map { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // drive THIS QueryExecution to completion so AQE finalizes and
+        // the executed plan reflects real reuse, then walk it
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val counts = scala.collection.mutable.Map.empty[String, Int]
+        val seen = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+        scanCounts(df.queryExecution.executedPlan, counts, seen)
+        val worst = counts.maxByOption(_._2)
+        (name, worst.map(_._2).getOrElse(0), worst.map(_._1).getOrElse(""),
+          None: Option[String])
+      } catch { case e: Throwable =>
+        (name, -1, "", Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)))
+      }
+    }
+    val flagged = rows.filter(r => r._2 >= threshold)
+    val errs = rows.filter(_._4.isDefined)
+    flagged.foreach { case (n, c, p, _) =>
+      println(s"[plan-audit] FLAG $n: $p physically scanned $c times") }
+    errs.foreach { case (n, _, _, e) =>
+      println(s"[plan-audit] ERROR $n: ${e.get}") }
+    val body = rows.map { case (n, c, p, e) =>
+      s"""{"query":${jstr(n)},"max_scans":$c,"path":${jstr(p)}""" +
+        e.map(x => s""","error":${jstr(x)}""").getOrElse("") + "}"
+    }.mkString(",\n")
+    val json =
+      s"""{"sf_dir":${jstr(sfDir)},"threshold":$threshold,""" +
+        s""""n_queries":${rows.size},"n_flagged":${flagged.size},""" +
+        s""""flagged":[${flagged.map(f => jstr(f._1)).mkString(",")}],""" +
+        "\"rows\":[\n" + body + "\n]}\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[plan-audit] ${rows.size} queries, ${flagged.size} flagged " +
+      s"(threshold $threshold), ${errs.size} errors -> $outJson")
+    spark.stop()
+  }
+}

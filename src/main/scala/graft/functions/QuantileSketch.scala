@@ -84,7 +84,14 @@ object QuantileSketch {
     require(k >= 2 && k <= 1000000, s"k: $k")
     val gcols = groupCols.map(col)
     val rows = registers.groupBy(gcols :+ col("qs_value"): _*)
-      .agg(sum(col("qs_weight")).cast("long").as("__w"))
+      .agg(sum(col("qs_weight")).cast("long").as("__w0"))
+      // a negative weight would break the div-floor parity every rank
+      // computation rests on — raise, never silently corrupt (the
+      // histRegisters negative-value discipline)
+      .withColumn("__w", when(col("__w0") < 0L, raise_error(concat(
+        lit("qsCompress requires non-negative register weights, got "),
+        col("__w0").cast("string")))).otherwise(col("__w0")))
+      .drop("__w0")
     val byV = Window.partitionBy(gcols: _*).orderBy(col("qs_value").asc)
     val whole = Window.partitionBy(gcols: _*)
     val kept = rows

@@ -55,6 +55,11 @@ object Features {
       .select(col("custkey"),
         datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
+      // feeds three quintile fence passes AND the final scoring join —
+      // unpinned, each consumer re-derived the per-customer rollup from
+      // raw orders (plan-audit r12: 6 raw scans -> 2); the pin holds the
+      // entity rollup, orders-of-magnitude below the fact table
+      .localCheckpoint(false)
 
     def quintiles(value: Column, tag: String): DataFrame = {
       val pivots = Seq(200, 400, 600, 800).map(q =>

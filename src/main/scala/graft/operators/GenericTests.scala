@@ -269,31 +269,39 @@ object GenericTests {
     * value present on one side only contributes its full mass, which is
     * exactly TVD's treatment of novel categories.
     *
-    * Shape: per column, two value rollups (bounded by category
-    * cardinality) full-outer-joined on the value + two 1-row totals —
-    * the raw tables shuffle only for their own rollups. BIGINT headroom:
-    * |n*N| <= N_a*N_b, so N_a*N_b*1e6 must fit — fine below ~3e12 rows
-    * per side; beyond that, move the scaling to DECIMAL.
+    * Shape: ONE melt scan per side — every monitored column's (value,
+    * count) rollup comes out of a single posexploded pass (plan-audit
+    * r12: the per-column loop re-scanned each raw side once per column
+    * plus once per totals frame — 6 scans for 2 columns, now 2), keyed
+    * (column, value), bounded by summed category cardinality. Per-column
+    * totals are window sums over the joined rollup (every input row
+    * lands in every column's rollup — the NULL value is its own
+    * category — so sum(n) per column IS the side's row count; no
+    * separate totals scan). BIGINT headroom: |n*N| <= N_a*N_b, so
+    * N_a*N_b*1e6 must fit — fine below ~3e12 rows per side; beyond
+    * that, move the scaling to DECIMAL.
     */
   def categoricalDrift(a: DataFrame, b: DataFrame,
       columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "categoricalDrift needs at least one column")
-    columns.map { c =>
-      val ca = a.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("na"))
-      val cb = b.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("nb"))
-      val ta = a.agg(count(lit(1)).as("ta"))
-      val tb = b.agg(count(lit(1)).as("tb"))
-      ca.join(cb, Seq("v"), "full_outer")
-        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
-        .agg(sum(abs(coalesce(col("na"), lit(0L)) * col("tb") -
-          coalesce(col("nb"), lit(0L)) * col("ta"))).as("num"),
-          max(col("ta")).as("ta"), max(col("tb")).as("tb"),
-          count(lit(1)).as("n_values"))
-        .select(lit(c).as("column_name"), col("n_values"),
-          expr("num * 1000000 div (2 * ta * tb)").as("tvd_ppm"))
-    }.reduce(_ unionByName _)
+    def melt(df: DataFrame, as: String): DataFrame =
+      df.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*))
+        .as("kv"))
+        .groupBy(col("kv.column_name").as("column_name"), col("kv.v").as("v"))
+        .agg(count(lit(1)).as(as))
+    val byCol = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name"))
+    melt(a, "na").join(melt(b, "nb"), Seq("column_name", "v"), "full_outer")
+      .withColumn("ta", sum(coalesce(col("na"), lit(0L))).over(byCol))
+      .withColumn("tb", sum(coalesce(col("nb"), lit(0L))).over(byCol))
+      .groupBy(col("column_name"))
+      .agg(sum(abs(coalesce(col("na"), lit(0L)) * col("tb") -
+        coalesce(col("nb"), lit(0L)) * col("ta"))).as("num"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        count(lit(1)).as("n_values"))
+      .select(col("column_name"), col("n_values"),
+        expr("num * 1000000 div (2 * ta * tb)").as("tvd_ppm"))
   }
 
   /** Numeric drift as bucketed total-variation distance: the REFERENCE
@@ -309,29 +317,42 @@ object GenericTests {
     * no NULL; a bucket for them belongs to [[categoricalDrift]] over an
     * is-null flag).
     *
-    * Shape: one rolled-up quantile pass on A, two bounded bucket rollups,
-    * 1-row totals — raw rows never sort.
+    * Integral values only — quantize money/doubles to fixed-point first
+    * (the cents recipe; the register rollup keys on the long value).
+    *
+    * Shape: ONE scan per side into a (value, count) register rollup
+    * (value-domain bounded, pinned — plan-audit r12: the fence pass,
+    * A's bucket pass and both totals each re-read raw A before, 5 scans
+    * total, now 2); fences are the [[graft.functions.QuantileSketch]]
+    * rank cut over A's registers (== exactQuantiles on exact registers,
+    * spec-pinned), buckets and totals are register-weight sums — raw
+    * rows never sort and never rescan.
     */
   def numericDrift(a: DataFrame, b: DataFrame, column: Column,
       name: String, qMilles: Seq[Int] = (100 to 900 by 100)): DataFrame = {
-    val fences = graft.pipeline.Stats.exactQuantiles(
-      a.filter(column.isNotNull), Seq.empty, column, qMilles)
+    import graft.functions.QuantileSketch
+    val ra = QuantileSketch.qsRegisters(a.filter(column.isNotNull), Nil, column)
+      .localCheckpoint(false) // feeds fences, A buckets, A totals
+    val rb = QuantileSketch.qsRegisters(b.filter(column.isNotNull), Nil, column)
+    val fences = QuantileSketch.qsQuantile(ra, Seq.empty, qMilles)
       .groupBy()
       .agg(max(when(col("q_mille") === qMilles.head, col("value"))).as("f0"),
         qMilles.tail.zipWithIndex.map { case (q, i) =>
           max(when(col("q_mille") === q, col("value"))).as(s"f${i + 1}")
         }: _*)
-    def bucket(df: DataFrame): DataFrame =
-      df.filter(column.isNotNull).crossJoin(broadcast(fences))
+    def bucket(regs: DataFrame, as: String): DataFrame =
+      regs.crossJoin(broadcast(fences))
         .select(qMilles.indices.map(i =>
-          when(column > col(s"f$i"), 1).otherwise(0)).reduce(_ + _).as("bkt"))
-        .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
-    val ba = bucket(a).withColumnRenamed("n", "na")
-    val bb = bucket(b).withColumnRenamed("n", "nb")
-    val ta = a.filter(column.isNotNull).agg(count(lit(1)).as("ta"))
-    val tb = b.filter(column.isNotNull).agg(count(lit(1)).as("tb"))
-    ba.join(bb, Seq("bkt"), "full_outer")
-      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+          when(col("qs_value") > col(s"f$i"), 1).otherwise(0)).reduce(_ + _)
+          .as("bkt"), col("qs_weight"))
+        .groupBy(col("bkt")).agg(sum(col("qs_weight")).as(as))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    bucket(ra, "na").join(bucket(rb, "nb"), Seq("bkt"), "full_outer")
+      // totals from the bucket rollup itself (every non-null row lands
+      // in exactly one bucket) — a bounded <= |qMilles|+1-row window
+      .withColumn("ta", sum(coalesce(col("na"), lit(0L))).over(whole))
+      .withColumn("tb", sum(coalesce(col("nb"), lit(0L))).over(whole))
       .agg(sum(abs(coalesce(col("na"), lit(0L)) * col("tb") -
         coalesce(col("nb"), lit(0L)) * col("ta"))).as("num"),
         max(col("ta")).as("ta"), max(col("tb")).as("tb"),
@@ -471,12 +492,17 @@ object GenericTests {
     val gcols = qiCols.map(col)
     val base = df.filter(sensitiveCol.isNotNull)
       .select(gcols :+ sensitiveCol.as("__sv"): _*)
+    // ONE raw scan: the global distribution, group sizes and corpus
+    // totals all roll up FROM the cell rollup (plan-audit r12: base was
+    // re-scanned for each — 4 raw scans, now 1; the pin is cell-domain
+    // bounded, the dense-grid contract)
     val cells = base.groupBy(gcols :+ col("__sv"): _*)
       .agg(count(lit(1)).as("__c"))
-    val globalDist = base.groupBy(col("__sv"))
-      .agg(count(lit(1)).as("__gc"))
+      .localCheckpoint(false)
+    val globalDist = cells.groupBy(col("__sv"))
+      .agg(sum(col("__c")).as("__gc"))
     val groups = cells.groupBy(gcols: _*).agg(sum(col("__c")).as("__ng"))
-    val nTot = base.agg(count(lit(1)).as("__n"),
+    val nTot = cells.agg(sum(col("__c")).as("__n"),
       countDistinct(col("__sv")).as("__m"))
     // dense (group x sensitive-domain) grid so absent values carry their
     // global mass through the cumulative

@@ -165,6 +165,76 @@ object Inference {
           dec(col("n_a")) * col("n_b")).cast("long"))
   }
 
+  /** 1-D Wasserstein distance from two STORED register tables — the
+    * metric-aware sibling of [[ksFromRegisters]] for the same nightly
+    * stored-baseline loop ([[wassersteinByGroup]]'s integral over the
+    * value axis, in exact micro-units of the register value):
+    * `w1_micro = sum_v |cum_a*n_b - cum_b*n_a| * (v_next - v) * 1e6
+    * div (n_a*n_b)`. Same contracts as the grouped form: either side
+    * empty -> empty frame; a shared single distinct value emits
+    * `w1_micro = 0` (the totals ride the pre-lead rollup). Register-
+    * bounded cost, independent of represented row counts.
+    */
+  def w1FromRegisters(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val u = regsA.select(col("qs_value").as("v"),
+        col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b"))
+      .unionByName(regsB.select(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")))
+      .groupBy(col("v"))
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
+    val byVal = Window.orderBy(col("v").asc)
+    val totals = u.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    val termSum = u
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+      .withColumn("__next_v", lead(col("v"), 1).over(byVal))
+      .filter(col("__next_v").isNotNull)
+      .crossJoin(broadcast(totals))
+      .agg(sum(
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")) *
+          (col("__next_v") - col("v"))).as("__s"))
+    totals.crossJoin(termSum)
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("w1_micro",
+        call_function("div",
+          coalesce(col("__s"), lit(0L).cast("decimal(38,0)")) * 1000000L,
+          dec(col("n_a")) * col("n_b")).cast("long"))
+      .drop("__s")
+  }
+
+  /** Total-variation distance from two STORED register tables — the
+    * categorical third of the stored-baseline monitor family
+    * ([[graft.pipeline.Stats.totalVariationDrift]]'s law over register
+    * weights; registers key CATEGORIES here — quantized codes, buckets,
+    * langid outputs): `tv_ppm = sum_v |w_a*n_b - w_b*n_a| * 1e6 div
+    * (2*n_a*n_b)`. Values missing from one side contribute full mass —
+    * the vanished/new-category catch binned KS misses. Either side
+    * empty -> NULL tv_ppm on the one output row (mirroring
+    * totalVariationDrift's guard).
+    */
+  def tvdFromRegisters(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val u = regsA.select(col("qs_value").as("v"),
+        col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b"))
+      .unionByName(regsB.select(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")))
+      .groupBy(col("v"))
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
+      .localCheckpoint(false) // feeds the totals agg AND the abs pass
+    val totals = u.agg(count(lit(1)).as("n_cats"),
+      coalesce(sum(col("cnt_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cnt_b")), lit(0L)).as("n_b"))
+    u.crossJoin(broadcast(totals))
+      .agg(first(col("n_cats")).as("n_cats"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(dec(col("cnt_a")) * dec(col("n_b")) -
+          dec(col("cnt_b")) * dec(col("n_a")))).as("__s"))
+      .select(col("n_cats"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          call_function("div", col("__s") * dec(lit(1000000L)),
+            dec(lit(2L)) * dec(col("n_a")) * dec(col("n_b"))).cast("long"))
+          .as("tv_ppm"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value
@@ -607,9 +677,12 @@ object Inference {
     * the evaluation rows is reported in exact ppm (the audit: it should
     * be ~>= 1-alpha).
     *
-    * Shape: one calibration rollup (mean), one residual rollup through
-    * [[graft.operators.Ranking.valueRanks]]'s grouped cumsum (distinct
-    * residual values per group), one broadcast join onto the eval side.
+    * Shape: ONE raw scan into a (group, cal, value) register rollup,
+    * pinned — the calibration mean, the residual distribution (a
+    * |v - center| re-keying of the calibration registers), the conformal
+    * rank cut AND the eval-side coverage all derive from it (plan-audit
+    * r12: center, residual ranks and the eval join each re-read raw
+    * before — 4 scans, now 1). Value-domain bounded throughout.
     */
   def conformalInterval(df: DataFrame, groupCols: Seq[String],
       valueMilli: Column, inCalibration: Column,
@@ -617,36 +690,48 @@ object Inference {
     require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct: $alphaPct")
     require(groupCols.nonEmpty, "conformalInterval needs group columns")
     val gcols = groupCols.map(col)
-    val base = df.filter(valueMilli.isNotNull)
+    val rr = df.filter(valueMilli.isNotNull)
       .select(gcols :+ valueMilli.cast("long").as("__v") :+
         inCalibration.as("__cal"): _*)
-    val cal = base.filter(col("__cal"))
-    val center = cal.groupBy(gcols: _*)
-      .agg(call_function("div", sum(col("__v")), count(lit(1))).as("center_milli"),
-        count(lit(1)).as("n_cal"))
-    val resid = cal.join(broadcast(center), groupCols)
-      .select(gcols :+ abs(col("__v") - col("center_milli")).as("__r"): _*)
+      .groupBy(gcols :+ col("__cal") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // feeds center, residual cut, and coverage
+    val calR = rr.filter(col("__cal"))
+    // same integers as the raw-row form: sum(v) = sum(v*n), count = sum(n)
+    val center = calR.groupBy(gcols: _*)
+      .agg(call_function("div",
+        sum(col("__v") * col("__n")), sum(col("__n"))).as("center_milli"),
+        sum(col("__n")).as("n_cal"))
+    val residR = calR.join(broadcast(center), groupCols)
+      .select(gcols :+ abs(col("__v") - col("center_milli")).as("__r")
+        :+ col("__n"): _*)
+      .groupBy(gcols :+ col("__r"): _*)
+      .agg(sum(col("__n")).as("__n"))
     // conformal rank over the residual rollup: smallest residual whose
-    // cumulative count reaches ceil((n+1)*(1-alpha)/1) — clamped at n
-    val ranks = graft.operators.Ranking.valueRanks(resid, groupCols, col("__r"))
-    val q = ranks.join(broadcast(center.select(gcols :+ col("n_cal"): _*)), groupCols)
+    // cumulative count reaches ceil((n+1)*(1-alpha)) — clamped at n
+    // (cum cut == the old valueRanks rank-range filter: target <= cum
+    // and target > cum - n)
+    val byR = Window.partitionBy(gcols: _*).orderBy(col("__r").asc)
+    val q = residR
+      .withColumn("__cum", sum(col("__n")).over(byR))
+      .join(broadcast(center.select(gcols :+ col("n_cal"): _*)), groupCols)
       .withColumn("__target",
         least(col("n_cal"),
           call_function("div",
             (col("n_cal") + 1L) * (100L - alphaPct) + 99L, lit(100L))))
-      .filter(col("rnk") + col("n_rows") - 1L >= col("__target") &&
-        col("rnk") <= col("__target"))
-      .groupBy(gcols: _*).agg(min(col("v")).as("q_milli"))
+      .filter(col("__cum") >= col("__target") &&
+        col("__cum") - col("__n") < col("__target"))
+      .groupBy(gcols: _*).agg(min(col("__r")).as("q_milli"))
     val iv = center.join(q, groupCols)
-    val eval0 = base.filter(!col("__cal"))
+    rr.filter(!col("__cal"))
       .join(broadcast(iv), groupCols)
-    eval0.groupBy(gcols: _*)
+      .groupBy(gcols: _*)
       .agg(max(col("center_milli")).as("center_milli"),
         max(col("q_milli")).as("q_milli"),
         max(col("n_cal")).as("n_cal"),
-        count(lit(1)).as("n_eval"),
-        sum(when(abs(col("__v") - col("center_milli")) <= col("q_milli"), 1L)
-          .otherwise(0L)).as("n_covered"))
+        sum(col("__n")).as("n_eval"),
+        sum(when(abs(col("__v") - col("center_milli")) <= col("q_milli"),
+          col("__n")).otherwise(0L)).as("n_covered"))
       .withColumn("coverage_ppm",
         call_function("div", col("n_covered") * 1000000L, col("n_eval")))
   }

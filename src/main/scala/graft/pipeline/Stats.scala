@@ -122,9 +122,14 @@ object Stats {
     * `k` is an integer multiplier), so flags reproduce bit-identically on
     * any engine. NULL values are never flagged (no deviation exists).
     *
-    * Scale shape: two [[exactQuantiles]] passes (rolled-up window each, no
-    * raw-row sort) + two broadcast joins of the tiny per-group medians —
-    * the raw table shuffles only for its own (group, value) rollups.
+    * Scale shape: ONE (group, value) register rollup, pinned, from which
+    * BOTH medians derive (the deviation distribution is a re-keying of
+    * the value rollup — |v - med| weighted by cnt — so the MAD pass
+    * never touches raw rows; plan-audit r12: the two exactQuantiles
+    * passes each re-scanned raw before, 3 scans, now 2), plus one raw
+    * pass for the flagged-row output join. The rank cuts are
+    * [[graft.functions.QuantileSketch.qsQuantile]] over the rollup —
+    * spec-pinned equal to [[exactQuantiles]] on exact registers.
     * A degenerate group (MAD = 0, >= 50% identical values) flags every
     * deviating row — the correct robust-statistics reading.
     */
@@ -141,14 +146,23 @@ object Stats {
     require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
       s"madOutliers requires an integral value column, got $vType — " +
         "quantize doubles first (e.g. cents = floor(v*100 + 0.5))")
-    val med = exactQuantiles(df, groupCols, valueCol, Seq(500))
+    val rr = df.filter(valueCol.isNotNull)
+      .groupBy(gcols :+ valueCol.cast("long").as("qs_value"): _*)
+      .agg(count(lit(1)).as("qs_weight"))
+      .localCheckpoint(false) // feeds the median AND the deviation rollup
+    val med = graft.functions.QuantileSketch
+      .qsQuantile(rr, groupCols, Seq(500))
       .select(gcols :+ col("value").as("med"): _*)
-    val withDev = df.filter(valueCol.isNotNull)
+    val devRegs = rr.join(broadcast(med), groupCols)
+      .select(gcols :+ abs(col("qs_value") - col("med")).as("qs_value")
+        :+ col("qs_weight"): _*)
+    val mad = graft.functions.QuantileSketch
+      .qsQuantile(devRegs, groupCols, Seq(500))
+      .select(gcols :+ col("value").as("mad"): _*)
+    df.filter(valueCol.isNotNull)
       .join(broadcast(med), groupCols)
       .withColumn("abs_dev", abs(valueCol.cast("long") - col("med")))
-    val mad = exactQuantiles(withDev, groupCols, col("abs_dev"), Seq(500))
-      .select(gcols :+ col("value").as("mad"): _*)
-    withDev.join(broadcast(mad), groupCols)
+      .join(broadcast(mad), groupCols)
       .filter(col("abs_dev") > lit(k) * col("mad"))
   }
 

@@ -491,13 +491,21 @@ object TextAnalysis {
         explode(ngramsFromTokens(col("__tk"), 2)).as("__g"))
       .select(col("doc_id"), col("__ref"),
         substring_index(col("__g"), " ", 1).as("__w1"), col("__g"))
-    val ref = bi.filter(col("__ref"))
-    val bigramCounts = ref.groupBy(col("__g")).agg(count(lit(1)).as("__cbg"))
-    val ctxCounts = ref.groupBy(col("__w1")).agg(count(lit(1)).as("__cw1"))
+    // ONE tokenize+explode pass (plan-audit r12: the model counts, the
+    // context counts and the per-doc scoring each re-ran the corpus
+    // explode — 3 passes, now 1): the reference-side model rolls up FROM
+    // the pinned per-doc gram rollup (__ref rides the grouping — it is
+    // functionally determined by doc_id, so cardinality is unchanged;
+    // the q336 pinned-gram-pass precedent)
+    val perDocR = bi.groupBy(col("doc_id"), col("__ref"), col("__w1"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val refR = perDocR.filter(col("__ref"))
+    val bigramCounts = refR.groupBy(col("__g")).agg(sum(col("__c")).as("__cbg"))
+    val ctxCounts = refR.groupBy(col("__w1")).agg(sum(col("__c")).as("__cw1"))
     val vocab = bigramCounts.agg(
       count_distinct(substring_index(col("__g"), " ", -1)).as("__v"))
-    val perDoc = bi.groupBy(col("doc_id"), col("__w1"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
+    val perDoc = perDocR.drop("__ref")
     perDoc
       .join(bigramCounts, Seq("__g"), "left")
       .join(ctxCounts, Seq("__w1"), "left")

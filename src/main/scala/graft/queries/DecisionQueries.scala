@@ -1052,14 +1052,22 @@ object DecisionQueries extends QuerySet {
       // do the five event types have equal first-week prevalence, judged
       // within users? Cochran's Q over the full (user x type) binary
       // grid — the dichotomous Friedman (k = 2 would be McNemar).
-      val e = events(s, d)
-      val t0 = e.agg(min(to_date(col("ts"))).as("d0"))
-      val firstWeek = e.crossJoin(broadcast(t0))
-        .filter(datediff(to_date(col("ts")), col("d0")) < 7)
-        .select(col("user_id"), col("event_type")).distinct()
+      // ONE raw scan (plan-audit r12: t0, firstWeek and both grid sides
+      // each re-read events — 4 scans): everything derives from the
+      // (user, type) min-day rollup — the corpus start is the min of
+      // pair minima, a pair is a first-week hit iff its min day beats
+      // d0+7, and the grid axes are the rollup's distinct keys.
+      val pairDays = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(to_date(col("ts"))).as("d_min"))
+        .localCheckpoint(false)
+      val t0 = pairDays.agg(min(col("d_min")).as("d0"))
+      val firstWeek = pairDays.crossJoin(broadcast(t0))
+        .filter(datediff(col("d_min"), col("d0")) < 7)
+        .select(col("user_id"), col("event_type"))
         .withColumn("hit", lit(true))
-      val grid = e.select(col("user_id")).distinct()
-        .crossJoin(e.select(col("event_type")).distinct())
+      val grid = pairDays.select(col("user_id")).distinct()
+        .crossJoin(pairDays.select(col("event_type")).distinct())
       val flags = grid.join(firstWeek, Seq("user_id", "event_type"), "left")
         .select(col("user_id"), col("event_type"),
           coalesce(col("hit"), lit(false)).as("hit"))

@@ -312,6 +312,10 @@ object LifecycleQueries extends QuerySet {
       val vals = table(s, d, "orders").select(
         col("o_orderpriority").as("scope"), col("o_orderkey").cast("long").as("k"))
       val regs = Sketches.hllRegisters(vals, Seq("scope"), col("k"))
+        // feeds the per-scope estimate AND the global regroup (plan-audit
+        // r12 pin: scopes x 256 rows, free); the exact reference below
+        // re-reads raw BY DESIGN — it is the judge, not the scale path
+        .localCheckpoint(false)
       val globalRegs = regs.groupBy(col("hll_bucket"))
         .agg(max(col("hll_rho")).as("hll_rho"))
         .withColumn("scope", lit("ALL"))

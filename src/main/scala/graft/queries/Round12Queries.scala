@@ -251,6 +251,80 @@ object Round12Queries extends QuerySet {
         |SELECT DATE '2024-01-28', n_a, n_b, d_num,
         |       CAST((CAST(d_num AS HUGEINT) * 1000000)
         |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
-        |FROM d2""".stripMargin))
+        |FROM d2""".stripMargin)),
+
+    QueryDef("q449_register_scorers", (s, d) => {
+      // the full stored-baseline scorer family over ONE register
+      // relation: W1 (metric-aware, micro-cents) on the cents registers
+      // and TVD (categorical, full mass for vanished/new values) on
+      // dollar-bucket registers, baseline window vs the rest of the
+      // month — the nightly monitor's three laws (KS lives in q448)
+      // all reading registers, never raw history. Honest-null readout
+      // (iid synthetic halves, value-inspected): W1 = 109971024
+      // micro-cents ~ $1.10 of transport on a ~$490 spread; TVD 10.5%
+      // at 293 dollar buckets — the multinomial |p-q| noise floor at
+      // n_b ~ 3.3k (E[TVD] ~ sqrt(K/n)), the baseline a paging
+      // threshold must clear at THIS bucket grain.
+      import graft.pipeline.Inference
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val split = lit("2024-01-21").cast("date")
+      def regs(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          v: org.apache.spark.sql.Column) =
+        QuantileSketch.qsRegisters(f(ev), Nil, v)
+      val w1 = Inference.w1FromRegisters(
+        regs(_.filter(col("day") < split), col("cents")),
+        regs(_.filter(col("day") >= split), col("cents")))
+      val tvd = Inference.tvdFromRegisters(
+        regs(_.filter(col("day") < split),
+          call_function("div", col("cents"), lit(100L))),
+        regs(_.filter(col("day") >= split),
+          call_function("div", col("cents"), lit(100L))))
+        .select(col("n_cats"), col("tv_ppm"))
+      w1.crossJoin(tvd)
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |b AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(a.w, 0) AS ca,
+        |             coalesce(b.w, 0) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |s AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |             sum(cb) OVER (ORDER BY v) AS cum_b,
+        |             lead(v) OVER (ORDER BY v) AS nv,
+        |             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |      FROM u),
+        |w1 AS (SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+        |              CAST(max(n_b) AS BIGINT) AS n_b,
+        |              CAST((coalesce(sum(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                                     - CAST(cum_b AS HUGEINT) * n_a)
+        |                                 * (nv - v)), 0) * 1000000)
+        |                   // (CAST(max(n_a) AS HUGEINT) * max(n_b))
+        |                   AS BIGINT) AS w1_micro
+        |       FROM s WHERE nv IS NOT NULL),
+        |ad AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |bd AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |ud AS (SELECT coalesce(ad.v, bd.v) AS v, coalesce(ad.w, 0) AS ca,
+        |              coalesce(bd.w, 0) AS cb
+        |       FROM ad FULL OUTER JOIN bd ON ad.v = bd.v),
+        |tv AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST((sum(abs(CAST(ca AS HUGEINT) * (SELECT sum(cb) FROM ud)
+        |                            - CAST(cb AS HUGEINT) * (SELECT sum(ca) FROM ud)))
+        |                    * 1000000)
+        |                   // (2 * CAST((SELECT sum(ca) FROM ud) AS HUGEINT)
+        |                      * (SELECT sum(cb) FROM ud))
+        |                   AS BIGINT) AS tv_ppm
+        |       FROM ud)
+        |SELECT w1.n_a, w1.n_b, w1.w1_micro, tv.n_cats, tv.tv_ppm
+        |FROM w1, tv""".stripMargin))
   )
 }

@@ -237,6 +237,10 @@ class FunctionsSpec extends AnyFunSuite {
     val id = qsCompress(regs, Nil, k = 64).collect()
       .map(r => r.getAs[Long]("qs_value") -> r.getAs[Long]("qs_weight")).toMap
     assert(id === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // negative weights raise (div-floor parity would silently corrupt)
+    val neg = Seq((1L, 2L), (2L, -1L)).toDF("qs_value", "qs_weight")
+    val e = intercept[Exception](qsCompress(neg, Nil, k = 4).collect())
+    assert(e.getMessage.contains("non-negative register weights"))
   }
 
   test("quantile summary: exact-register merge is lossless and union-associative") {

@@ -67,6 +67,42 @@ class InferenceSpec extends AnyFunSuite {
     assert(Inference.ksFromRegisters(empty, rb).collect().isEmpty)
   }
 
+  test("w1FromRegisters: hand integral, single-value zero, empty side drops") {
+    // A = {0, 10}, B = {10, 20} as registers: true W1 = 10 units = 10e6
+    val ra = Seq((0L, 1L), (10L, 1L)).toDF("qs_value", "qs_weight")
+    val rb = Seq((10L, 1L), (20L, 1L)).toDF("qs_value", "qs_weight")
+    val r = Inference.w1FromRegisters(ra, rb).collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("w1_micro")) === ((2L, 2L, 10000000L)))
+    // single shared value: w1_micro = 0, not a dropped row
+    val one = Seq((7L, 3L)).toDF("qs_value", "qs_weight")
+    val oneB = Seq((7L, 2L)).toDF("qs_value", "qs_weight")
+    val r1 = Inference.w1FromRegisters(one, oneB).collect()
+    assert(r1.length === 1 && r1(0).getAs[Long]("w1_micro") === 0L)
+    // empty side drops
+    val empty = Seq.empty[(Long, Long)].toDF("qs_value", "qs_weight")
+    assert(Inference.w1FromRegisters(ra, empty).collect().isEmpty)
+  }
+
+  test("tvdFromRegisters: identical zero, disjoint 1e6, hand mass, empty side NULL") {
+    val ra = Seq((1L, 2L), (2L, 2L)).toDF("qs_value", "qs_weight")
+    assert(Inference.tvdFromRegisters(ra, ra).collect()(0)
+      .getAs[Long]("tv_ppm") === 0L)
+    // disjoint supports: full mass differs
+    val rb = Seq((8L, 4L), (9L, 1L)).toDF("qs_value", "qs_weight")
+    val d = Inference.tvdFromRegisters(ra, rb).collect()(0)
+    assert(d.getAs[Long]("n_cats") === 4L && d.getAs[Long]("tv_ppm") === 1000000L)
+    // hand vector: A = {1:3, 2:1}, B = {1:1, 2:3} -> TV = 1/2(|3/4-1/4|*2) = 1/2
+    val ha = Seq((1L, 3L), (2L, 1L)).toDF("qs_value", "qs_weight")
+    val hb = Seq((1L, 1L), (2L, 3L)).toDF("qs_value", "qs_weight")
+    assert(Inference.tvdFromRegisters(ha, hb).collect()(0)
+      .getAs[Long]("tv_ppm") === 500000L)
+    // one side empty -> NULL tv_ppm (totalVariationDrift's guard)
+    val empty = Seq.empty[(Long, Long)].toDF("qs_value", "qs_weight")
+    val e = Inference.tvdFromRegisters(ha, empty).collect()(0)
+    assert(e.isNullAt(e.fieldIndex("tv_ppm")))
+  }
+
   // ---- cramerVonMises ----
 
   test("cramerVonMises: hand integral; everywhere-small beats somewhere-big for CvM") {
