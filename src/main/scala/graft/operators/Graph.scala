@@ -244,6 +244,7 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val und = normalizeUndirected(edges, aCol, bCol)
+      .localCheckpoint(false) // feeds nodes, degrees AND the orientation
     val nodes = und.select(col("u").as("node_id"))
       .union(und.select(col("v").as("node_id"))).distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node_id"))
@@ -263,6 +264,11 @@ object Graph {
         // the head's degree: degrees differ -> the greater one; equal ->
         // the shared value either way
         greatest(col("du"), col("dv")).as("dhi"))
+      // both wedge sides AND the closing join read the oriented edge
+      // list — unpinned, each re-derived the degree joins from raw
+      // (plan-audit r12: 4 raw scans, now 1; edge-sized pins are the
+      // Graph-module convention, the neighborhoodFunction e pin)
+      .localCheckpoint(false)
     val e1 = oriented.select(col("lo"), col("hi").as("h1"), col("dhi").as("d1"))
     val e2 = oriented.select(col("lo"), col("hi").as("h2"), col("dhi").as("d2"))
     val wedges = e1.join(e2, Seq("lo"))
