@@ -968,4 +968,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quantile summary: partition/order invariance and cut monotonicity (random multisets)") {
+    import graft.functions.QuantileSketch._
+    val rnd = new Random(124242L)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(800)
+      // heavy ties: values from a small domain so stride cuts land inside
+      // tie runs (the determinism edge worth hammering)
+      val vals = Seq.fill(n)(rnd.nextInt(40).toLong)
+      val k = 2 + rnd.nextInt(30)
+      // same multiset through different physical partitionings and row
+      // orders must compress to the IDENTICAL register multiset — the
+      // engine-determinism contract the DuckDB oracle rests on
+      val a = vals.toDF("v").repartition(1)
+      val b = rnd.shuffle(vals).toDF("v").repartition(7)
+      val ca = qsCompress(qsRegisters(a, Nil, col("v")), Nil, k)
+      val cb = qsCompress(qsRegisters(b, Nil, col("v")), Nil, k)
+      assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+        s"trial $trial: partitioning changed the summary (n=$n k=$k)")
+      // weight conservation
+      assert(ca.agg(sum(col("qs_weight"))).collect()(0).getLong(0) === n.toLong)
+      // cuts are monotone in q and each sits within the stride bound of
+      // the true rank
+      val sorted = vals.sorted
+      val s = (n + k - 1) / k
+      val cuts = qsQuantile(ca, Nil, Seq(100, 250, 500, 750, 900, 1000))
+        .collect().map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value"))
+        .sortBy(_._1)
+      assert(cuts.map(_._2).sameElements(cuts.map(_._2).sorted),
+        s"trial $trial: cuts not monotone in q")
+      cuts.foreach { case (q, v) =>
+        val target = math.max(1, math.ceil(q.toDouble * n / 1000.0).toInt)
+        // v is an exact data value whose rank range covers [target, target+s)
+        val lastRankOfV = sorted.lastIndexWhere(_ == v) + 1
+        val firstRankOfV = sorted.indexWhere(_ == v) + 1
+        assert(lastRankOfV >= target && firstRankOfV < target + s,
+          s"trial $trial q=$q: v=$v ranks [$firstRankOfV,$lastRankOfV] " +
+            s"vs target $target stride $s")
+      }
+    }
+  }
 }
