@@ -325,6 +325,83 @@ object Round12Queries extends QuerySet {
         |                   AS BIGINT) AS tv_ppm
         |       FROM ud)
         |SELECT w1.n_a, w1.n_b, w1.w1_micro, tv.n_cats, tv.tv_ppm
-        |FROM w1, tv""".stripMargin))
+        |FROM w1, tv""".stripMargin)),
+
+    QueryDef("q450_compressed_baseline", (s, d) => {
+      // the HIGH-CARDINALITY stored-baseline path: q448 freezes the
+      // exact value rollup (fine while the value domain is bounded);
+      // at 100 TB a raw-metric baseline stores the COMPRESSED summary
+      // instead — k+1 rows of state, period — and the nightly KS reads
+      // it with a declared one-sided rank distortion <= s = ceil(W/k)
+      // on the baseline side (d_ppm error <= s/W * 1e6 ~ 3907 ppm at
+      // k=256). Both scores side by side: the compressed readout must
+      // sit within the bound of the exact one (observed at sf0.01:
+      // 58048 exact vs 60388 compressed — 2340 ppm apart, inside the
+      // 3907 envelope; value-inspected).
+      import graft.pipeline.Inference
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val base = QuantileSketch.qsRegisters(
+        ev.filter(col("day") < lit("2024-01-21").cast("date")),
+        Nil, col("cents"))
+        .localCheckpoint(false) // feeds the exact score AND the compressor
+      val night = QuantileSketch.qsRegisters(
+        ev.filter(col("day") === lit("2024-01-25").cast("date")),
+        Nil, col("cents"))
+        .localCheckpoint(false) // feeds both scores
+      val exact = Inference.ksFromRegisters(base, night)
+        .select(col("n_a"), col("n_b"), col("d_ppm").as("d_ppm_exact"))
+      val comp = Inference.ksFromRegisters(
+        QuantileSketch.qsCompress(base, Nil, k = 256), night)
+        .select(col("d_ppm").as("d_ppm_compressed"))
+      exact.crossJoin(comp)
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |base AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w
+        |         FROM e WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |night AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w
+        |          FROM e WHERE day = DATE '2024-01-25' GROUP BY 1),
+        |cb AS (SELECT v, w,
+        |              sum(w) OVER (ORDER BY v) AS cum,
+        |              sum(w) OVER () AS tot
+        |       FROM base),
+        |kb AS (SELECT v, cum,
+        |              cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS wt
+        |       FROM cb
+        |       WHERE (cum // ((tot + 255) // 256)) > ((cum - w) // ((tot + 255) // 256))
+        |          OR cum = tot),
+        |u1 AS (SELECT coalesce(b.v, n.v) AS v, coalesce(b.w, 0) AS ca,
+        |              coalesce(n.w, 0) AS cb
+        |       FROM base b FULL OUTER JOIN night n ON b.v = n.v),
+        |s1 AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |              sum(cb) OVER (ORDER BY v) AS cum_b,
+        |              sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |       FROM u1),
+        |d1 AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |              CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                                - CAST(cum_b AS HUGEINT) * n_a)) AS HUGEINT)
+        |                    * 1000000)
+        |                   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm_exact
+        |       FROM s1 GROUP BY n_a, n_b),
+        |u2 AS (SELECT coalesce(k.v, n.v) AS v, coalesce(k.wt, 0) AS ca,
+        |              coalesce(n.w, 0) AS cb
+        |       FROM kb k FULL OUTER JOIN night n ON k.v = n.v),
+        |s2 AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |              sum(cb) OVER (ORDER BY v) AS cum_b,
+        |              sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |       FROM u2),
+        |d2 AS (SELECT CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                                - CAST(cum_b AS HUGEINT) * n_a)) AS HUGEINT)
+        |                    * 1000000)
+        |                   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |                AS d_ppm_compressed
+        |       FROM s2 GROUP BY n_a, n_b)
+        |SELECT d1.n_a, d1.n_b, d1.d_ppm_exact, d2.d_ppm_compressed
+        |FROM d1, d2""".stripMargin))
   )
 }
