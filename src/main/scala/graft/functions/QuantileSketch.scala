@@ -120,6 +120,52 @@ object QuantileSketch {
     * Equal values across a bag union roll up first, so the cut is
     * well-defined on any mergeable-relation state.
     */
+  /** Exact INTERPOLATED per-mille quantiles (`percentile_cont`
+    * semantics, integer micro-units) from a register table — the
+    * weighted twin of [[graft.pipeline.Stats.interpolatedQuantiles]],
+    * chain mirrored verbatim: 0-based position `p = q*(n-1)/1000`
+    * splits into `ip = q*(n-1) div 1000` and `rem`, lo/hi are the
+    * represented multiset's elements at ip and ip+1 (hi = lo when the
+    * position is exact), `value_micro = lo*1e6 + rem*(hi-lo)*1000` —
+    * every step exact integer arithmetic. On uncompressed registers
+    * this IS interpolatedQuantiles (spec-pinned); on a compressed
+    * summary lo/hi carry the level's one-sided stride rank distortion.
+    * Equal values across a bag union pre-roll like the other readers.
+    */
+  def qsQuantileInterp(registers: DataFrame, groupCols: Seq[String],
+      qMilles: Seq[Int]): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q >= 0 && q <= 1000),
+      s"qMilles must be in [0, 1000]: $qMilles")
+    require(qMilles.distinct == qMilles, s"duplicate quantiles: $qMilles")
+    val gcols = groupCols.map(col)
+    val rows = registers.groupBy(gcols :+ col("qs_value"): _*)
+      .agg(sum(col("qs_weight")).cast("long").as("__w"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("qs_value").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val pos = rows
+      .withColumn("cum", sum(col("__w")).over(byVal))
+      .withColumn("tot", sum(col("__w")).over(whole))
+      .select(gcols ++ Seq(col("qs_value").as("v"), col("__w"), col("cum"),
+        col("tot"),
+        explode(array(qMilles.map(q => lit(q)): _*)).as("q_mille")): _*)
+      .withColumn("ip",
+        call_function("div", col("q_mille").cast("long") * (col("tot") - 1),
+          lit(1000L)))
+      .withColumn("rem",
+        col("q_mille").cast("long") * (col("tot") - 1) - col("ip") * 1000L)
+      .withColumn("ip2", col("ip") + when(col("rem") > 0, 1L).otherwise(0L))
+    def covers(i: Column) = (col("cum") - col("__w")) <= i && i < col("cum")
+    pos
+      .filter(covers(col("ip")) || covers(col("ip2")))
+      .groupBy(gcols :+ col("q_mille"): _*)
+      .agg(max(when(covers(col("ip")), col("v"))).as("lo"),
+        max(when(covers(col("ip2")), col("v"))).as("hi"),
+        max(col("rem")).as("r"), max(col("tot")).as("n_values"))
+      .select(gcols ++ Seq(col("q_mille"), col("n_values"),
+        (col("lo") * 1000000L + col("r") * (col("hi") - col("lo")) * 1000L)
+          .as("value_micro")): _*)
+  }
+
   def qsQuantile(registers: DataFrame, groupCols: Seq[String],
       qMilles: Seq[Int]): DataFrame = {
     require(qMilles.nonEmpty && qMilles.forall(q => q > 0 && q <= 1000),

@@ -402,6 +402,50 @@ object Round12Queries extends QuerySet {
         |                AS d_ppm_compressed
         |       FROM s2 GROUP BY n_a, n_b)
         |SELECT d1.n_a, d1.n_b, d1.d_ppm_exact, d2.d_ppm_compressed
-        |FROM d1, d2""".stripMargin))
+        |FROM d1, d2""".stripMargin)),
+
+    QueryDef("q451_qsketch_interp", (s, d) =>
+      // percentile_cont from the register relation: exact interpolated
+      // micro-cent price quantiles per return flag read off the
+      // (value, weight) rollup — the weighted twin of q434's
+      // interpolatedQuantiles (chain mirrored verbatim), completing the
+      // register-reader family (disc cuts q446, KS/W1/TVD scorers
+      // q448-q450). On stored registers a monitoring fleet gets
+      // percentile_cont without ever re-sorting raw data.
+      QuantileSketch.qsQuantileInterp(
+        QuantileSketch.qsRegisters(table(s, d, "lineitem"),
+          Seq("l_returnflag"), Features.cents(col("l_extendedprice"))),
+        Seq("l_returnflag"), Seq(250, 500, 750, 990)),
+      Some(
+        s"""WITH c AS (
+           |  SELECT l_returnflag AS g, ${centsSql("l_extendedprice")} AS v,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |  GROUP BY 1, 2),
+           |w AS (
+           |  SELECT g, v, cnt,
+           |         CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v ASC)
+           |              AS BIGINT) AS cum,
+           |         CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS tot
+           |  FROM c),
+           |p AS (
+           |  SELECT g, v, cnt, cum, tot, q.q AS q_mille,
+           |         (q.q * (tot - 1)) // 1000 AS ip,
+           |         (q.q * (tot - 1)) % 1000 AS rem
+           |  FROM w, (VALUES (250), (500), (750), (990)) q(q)),
+           |p2 AS (SELECT *, ip + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS ip2
+           |       FROM p)
+           |SELECT g AS l_returnflag, CAST(q_mille AS INTEGER) AS q_mille,
+           |       CAST(max(tot) AS BIGINT) AS n_values,
+           |       CAST(max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END)
+           |              * 1000000
+           |            + max(rem)
+           |              * (max(CASE WHEN cum - cnt <= ip2 AND ip2 < cum THEN v END)
+           |                 - max(CASE WHEN cum - cnt <= ip AND ip < cum THEN v END))
+           |              * 1000 AS BIGINT) AS value_micro
+           |FROM p2
+           |WHERE (cum - cnt <= ip AND ip < cum)
+           |   OR (cum - cnt <= ip2 AND ip2 < cum)
+           |GROUP BY 1, 2""".stripMargin))
   )
 }

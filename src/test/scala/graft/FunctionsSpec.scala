@@ -243,6 +243,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-negative register weights"))
   }
 
+  test("quantile summary: interpolated cuts == interpolatedQuantiles on exact registers; weighted hand vector") {
+    import graft.functions.QuantileSketch._
+    val raw = Seq(10L, 20L, 20L, 30L, 50L).toDF("v")
+    val viaRegs = qsQuantileInterp(qsRegisters(raw, Nil, $"v"), Nil,
+      Seq(0, 250, 500, 750, 1000)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value_micro")).toMap
+    val direct = graft.pipeline.Stats.interpolatedQuantiles(raw, Nil, $"v",
+      Seq(0, 250, 500, 750, 1000)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value_micro")).toMap
+    assert(viaRegs === direct)
+    // hand values: n=5, p = q*(n-1)/1000; p50 -> index 2 exactly -> 20;
+    // p25 -> position 1.0 exact -> 20; p75 -> position 3.0 -> 30
+    assert(viaRegs(500) === 20000000L && viaRegs(250) === 20000000L &&
+      viaRegs(750) === 30000000L && viaRegs(0) === 10000000L &&
+      viaRegs(1000) === 50000000L)
+    // weighted registers ARE the multiset: {10 x3, 40 x1} at p500 ->
+    // position 0.5*(4-1) = 1.5 -> lo = idx1 = 10, hi = idx2 = 10 -> 10e6;
+    // p900 -> position 2.7 -> lo = idx2 = 10, hi = idx3 = 40 ->
+    // 10e6 + 700*30*1000 = 31e6
+    val wregs = Seq((10L, 3L), (40L, 1L)).toDF("qs_value", "qs_weight")
+    val wq = qsQuantileInterp(wregs, Nil, Seq(500, 900)).collect()
+      .map(r => r.getAs[Int]("q_mille") -> r.getAs[Long]("value_micro")).toMap
+    assert(wq === Map(500 -> 10000000L, 900 -> 31000000L))
+  }
+
   test("quantile summary: exact-register merge is lossless and union-associative") {
     import graft.functions.QuantileSketch._
     val all = (1L to 1000L).toDF("v")
