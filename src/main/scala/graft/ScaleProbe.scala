@@ -481,6 +481,30 @@ object ScaleProbe {
       }
     }
 
+    // round-12: mergeable quantile summary — the two-level compress
+    // (per-unit registers -> per-unit summary -> merged summary) must
+    // track the ROLLUP size: replicas shift the unit key so units
+    // multiply; per-unit work is rollup-bounded and the merge input is
+    // units x (k+1) rows, so Nx units cost ~Nx with no cross-unit
+    // structure
+    {
+      val qs1 = table(spark, sfDir, "lineitem")
+        .select((col("l_orderkey") % 1000L).as("unit"),
+          graft.operators.Features.cents(col("l_extendedprice")).as("c"))
+      val qsN = (0 until reps).map(r =>
+        qs1.withColumn("unit", col("unit") + lit(r * 1000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      for ((label, df) <- Seq("1x" -> qs1.localCheckpoint(), s"${reps}x" -> qsN)) {
+        time(s"qsketch_2level        $label") {
+          graft.functions.QuantileSketch.qsCompress(
+            graft.functions.QuantileSketch.qsCompress(
+              graft.functions.QuantileSketch.qsRegisters(df, Seq("unit"), col("c")),
+              Seq("unit"), k = 32).drop("unit"),
+            Nil, k = 32).count()
+        }
+      }
+    }
+
     // round-12: stored-baseline drift lifecycle (q448) — run 1 (baseline
     // register CTAS + first score) must track the baseline corpus; run 2
     // (nightly: provably-empty baseline merge + one-day score against the
