@@ -27,6 +27,40 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * by-design (documented per round in BASELINE.md).
   */
 object PlanAudit {
+  /** Adjudicated-by-design scan counts (VERDICT r12 #4: the triage lived
+    * in BASELINE.md prose and re-flagged verbatim every round): query ->
+    * (max allowed physical scans of one relation, one-line reason). The
+    * gate reports only NEW flags — a query over threshold AND over its
+    * allowance (or absent here) — so an unpinned-rollup regression
+    * surfaces as a diff, not a re-triage. A query whose count DROPS below
+    * the threshold is reported stale so the list shrinks with the code.
+    */
+  private[graft] val allow: Map[String, (Int, String)] = {
+    val lifecycle = "incremental lifecycle: each registry RUN reads source" +
+      " + stored target by the materialization contract; the audit sums" +
+      " across the runs the query deliberately performs"
+    val annEval = "ANN-eval harness: each index CONFIGURATION under" +
+      " comparison reads the corpus once (the thing being measured);" +
+      " probe-side rescans are ~50-row pushed filters"
+    Map(
+      "q13_incremental_merge" -> (6, lifecycle),
+      "q14_incremental_delete_insert" -> (4, lifecycle),
+      "q82_delete_insert_scoped" -> (4, lifecycle),
+      "q83_merge_update_columns" -> (6, lifecycle),
+      "q173_ann_recall" -> (4, annEval),
+      "q201_matryoshka_recall" -> (4, annEval),
+      "q237_rrf_fusion" -> (4, annEval),
+      "q278_ndcg" -> (4, annEval),
+      "q340_dim_ablation" -> (6, annEval),
+      "q364_rbo" -> (4, annEval),
+      "q369_map_mrr" -> (5, annEval),
+      "q403_nprobe_sweep" -> (7, annEval),
+      "q111_profile" -> (4, "measured choice: per-column narrow scans beat" +
+        " the single-pass Expand form 7x (Profile.scala scaladoc)"),
+      "q127_retrieval_pipeline" -> (4, "the nothing-materializes" +
+        " lazy-composition demo: each stage re-derives by design"))
+  }
+
   private def scanCounts(plan: SparkPlan,
       acc: scala.collection.mutable.Map[String, Int],
       seen: java.util.Set[SparkPlan]): Unit = plan match {
@@ -90,22 +124,41 @@ object PlanAudit {
     }
     val flagged = rows.filter(r => r._2 >= threshold)
     val errs = rows.filter(_._4.isDefined)
+    // the actionable diff: over threshold AND over (or absent from) the
+    // committed allowance — what a human must triage this round
+    val newFlags = flagged.filterNot { case (n, c, _, _) =>
+      allow.get(n).exists(_._1 >= c) }
+    // allowlist hygiene both ways: a count that dropped below the
+    // threshold (entry removable) or sits below its own allowance
+    // (allowance tightenable to the observed count)
+    val byName = rows.map(r => r._1 -> r._2).toMap
+    val staleAllow = allow.keys.toSeq.sorted.filter(n =>
+      byName.get(n).exists(_ < threshold))
+    newFlags.foreach { case (n, c, p, _) =>
+      println(s"[plan-audit] NEW FLAG $n: $p physically scanned $c times") }
     flagged.foreach { case (n, c, p, _) =>
-      println(s"[plan-audit] FLAG $n: $p physically scanned $c times") }
+      println(s"[plan-audit] flag $n: $p scanned $c times" +
+        allow.get(n).filter(_._1 >= c).map(a => s" (allowed <= ${a._1}: ${a._2})")
+          .getOrElse("")) }
     errs.foreach { case (n, _, _, e) =>
       println(s"[plan-audit] ERROR $n: ${e.get}") }
     val body = rows.map { case (n, c, p, e) =>
       s"""{"query":${jstr(n)},"max_scans":$c,"path":${jstr(p)}""" +
+        allow.get(n).map { case (mx, why) =>
+          s""","allowed":$mx,"reason":${jstr(why)}""" }.getOrElse("") +
         e.map(x => s""","error":${jstr(x)}""").getOrElse("") + "}"
     }.mkString(",\n")
     val json =
       s"""{"sf_dir":${jstr(sfDir)},"threshold":$threshold,""" +
         s""""n_queries":${rows.size},"n_flagged":${flagged.size},""" +
         s""""flagged":[${flagged.map(f => jstr(f._1)).mkString(",")}],""" +
+        s""""new_flags":[${newFlags.map(f => jstr(f._1)).mkString(",")}],""" +
+        s""""stale_allow":[${staleAllow.map(jstr).mkString(",")}],""" +
         "\"rows\":[\n" + body + "\n]}\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(s"[plan-audit] ${rows.size} queries, ${flagged.size} flagged " +
-      s"(threshold $threshold), ${errs.size} errors -> $outJson")
+      s"(threshold $threshold), ${newFlags.size} NEW, " +
+      s"${staleAllow.size} stale allow entries, ${errs.size} errors -> $outJson")
     spark.stop()
   }
 }

@@ -92,6 +92,13 @@ object QuantileSketch {
         lit("qsCompress requires non-negative register weights, got "),
         col("__w0").cast("string")))).otherwise(col("__w0")))
       .drop("__w0")
+      // zero-weight registers carry no mass but would poison the stride:
+      // an all-zero group gets s = 0, the div-by-zero step test goes NULL
+      // and cum === tot (0 === 0) keeps EVERY row — violating the k+1
+      // bound and emitting weightless registers (ADVICE r12). Dropping
+      // them changes no cumulative rank (they add 0) and an all-zero
+      // group correctly compresses to the empty summary.
+      .filter(col("__w") > 0L)
     val byV = Window.partitionBy(gcols: _*).orderBy(col("qs_value").asc)
     val whole = Window.partitionBy(gcols: _*)
     val kept = rows

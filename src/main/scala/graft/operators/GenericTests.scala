@@ -331,6 +331,15 @@ object GenericTests {
   def numericDrift(a: DataFrame, b: DataFrame, column: Column,
       name: String, qMilles: Seq[Int] = (100 to 900 by 100)): DataFrame = {
     import graft.functions.QuantileSketch
+    // integral values only (ADVICE r12): the register rollup keys on
+    // cast("long"), which would silently TRUNCATE doubles — same loud
+    // guard as madOutliers; quantize money/doubles first (cents recipe)
+    Seq(a, b).foreach { df =>
+      val vType = df.select(column).schema.head.dataType
+      require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+        s"numericDrift requires an integral value column, got $vType — " +
+          "quantize to fixed-point first (the cents recipe)")
+    }
     val ra = QuantileSketch.qsRegisters(a.filter(column.isNotNull), Nil, column)
       .localCheckpoint(false) // feeds fences, A buckets, A totals
     val rb = QuantileSketch.qsRegisters(b.filter(column.isNotNull), Nil, column)

@@ -277,11 +277,19 @@ object Round12Queries extends QuerySet {
       val w1 = Inference.w1FromRegisters(
         regs(_.filter(col("day") < split), col("cents")),
         regs(_.filter(col("day") >= split), col("cents")))
+      // the dollar-bucket key divides: Spark `div` truncates toward zero,
+      // DuckDB `//` floors — identical only for non-negative operands, so
+      // the precondition is ENFORCED, not assumed (ADVICE r12; the
+      // raise_error discipline — a negative amount aborts loudly instead
+      // of silently bucketing one off from the oracle)
+      val nonNegCents = when(col("cents") < 0L, raise_error(concat(
+        lit("q449 dollar-bucket key requires non-negative cents, got "),
+        col("cents").cast("string")))).otherwise(col("cents"))
       val tvd = Inference.tvdFromRegisters(
         regs(_.filter(col("day") < split),
-          call_function("div", col("cents"), lit(100L))),
+          call_function("div", nonNegCents, lit(100L))),
         regs(_.filter(col("day") >= split),
-          call_function("div", col("cents"), lit(100L))))
+          call_function("div", nonNegCents, lit(100L))))
         .select(col("n_cats"), col("tv_ppm"))
       w1.crossJoin(tvd)
     }, Some(
