@@ -12,7 +12,8 @@ object SparkEntry {
   private val sets: Seq[QuerySet] =
     Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries,
       AnalyticsQueries, ExtensionQueries, FeatureQueries, StatQueries,
-      InferenceQueries, DecisionQueries, Round11Queries, Round12Queries)
+      InferenceQueries, DecisionQueries, Round11Queries, Round12Queries,
+      Round13Queries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

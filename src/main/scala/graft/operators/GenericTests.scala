@@ -438,12 +438,33 @@ object GenericTests {
   def embeddingDrift(ref: DataFrame, live: DataFrame, labelCol: String,
       vecCol: String): DataFrame = {
     import graft.pipeline.Clustering
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    def side(df: DataFrame, tag: String) =
+    def side(df: DataFrame) =
       Clustering.labelCentroids(df, labelCol, vecCol)
-        .select(col("label"), col("pos"), col("sum_q").as(s"s_$tag"),
-          col("n_vecs").as(s"n_$tag"))
-    side(ref, "ref").join(side(live, "live"), Seq("label", "pos"), "full_outer")
+        .select(col("label"), col("pos"), col("sum_q"), col("n_vecs"))
+    centroidCosFromRegisters(side(ref), side(live))
+  }
+
+  /** Per-label centroid-direction cosine from two STORED centroid-register
+    * tables `(label, pos, sum_q, n_vecs)` (the
+    * [[graft.pipeline.Clustering.labelCentroids]] relation) — the
+    * embedding member of the stored-baseline monitor scorer family
+    * ([[graft.pipeline.Inference.ksFromRegisters]] and siblings for
+    * scalar distributions): a nightly run scores its slice's centroid
+    * sums against a baseline's sums materialized ONCE, never rescanning
+    * baseline vectors — cost is labels x dims, independent of
+    * represented vector count. Exact integer dot/norms ride
+    * decimal(38,0); ONE IEEE chain at the end (the [[embeddingDrift]]
+    * chain — that operator now delegates here, the one-derivation rule).
+    * A label present on only one side emits NULL cosine (the
+    * novel/vanished-label contract); `n_ref`/`n_live` carry each side's
+    * per-label vector counts for the paging threshold's n-dependence.
+    */
+  def centroidCosFromRegisters(ref: DataFrame, live: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    ref.select(col("label"), col("pos"), col("sum_q").as("s_ref"),
+        col("n_vecs").as("n_ref"))
+      .join(live.select(col("label"), col("pos"), col("sum_q").as("s_live"),
+        col("n_vecs").as("n_live")), Seq("label", "pos"), "full_outer")
       .groupBy(col("label"))
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
         sum(dec(col("s_ref")) * dec(col("s_live"))).as("__dot"),

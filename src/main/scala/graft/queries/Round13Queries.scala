@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources.{events, table}
+
+/** Round-13 battery: the stored-state monitor pattern extended to the
+  * remaining batch-only families (VERDICT r12 next-round list) — the
+  * embedding-centroid drift monitor on frozen centroid-sum registers,
+  * the rolling trailing-window baseline maintained at per-day grain with
+  * partition-pruned slides, the min/max data-skipping manifest read
+  * path, and the streaming register-table compaction lifecycle. Exact
+  * integer arithmetic and verbatim oracle replay throughout (the
+  * Round12Queries discipline).
+  */
+object Round13Queries extends QuerySet {
+
+  /** DuckDB quantized-vector fragment (the StatQueries convention —
+    * milli-unit fixed point, the labelCentroids quantScale).
+    */
+  private val qvecSql =
+    "list_transform(CAST(embedding AS DOUBLE[]), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+
+  /** The planted per-(label, pos) structure added to every centroid
+    * register in q452 (the r11 planted-signal discipline: the synthetic
+    * embeddings are iid noise, so RAW centroid directions are
+    * meaningless — observed slice-vs-slice cosine is |r| <= 0.27 noise).
+    * Adding a deterministic label-dependent offset to every vector (==
+    * `n_vecs * off` at register grain — exact integer, engine-portable)
+    * simulates label-clustered embeddings: same-structure slices read
+    * cosine ~0.996-0.998, and `labelShift = 1` (the upstream
+    * model-swap/feature-drift plant) reads -0.41..-0.46 — an
+    * unmissable planted separation, value-inspected at sf0.01.
+    */
+  private def structured(regs: DataFrame, labelShift: Int): DataFrame =
+    regs.withColumn("sum_q", col("sum_q") + col("n_vecs") *
+      ((((col("label") + lit(labelShift)) * 31 + col("pos") * 17) % 13 - 6)
+        .cast("long") * 150L))
+
+  /** The same offset in DuckDB (operands non-negative, so `%` remainder
+    * semantics agree engine-to-engine).
+    */
+  private def offSql(labelShift: Int): String =
+    s"(((label + $labelShift) * 31 + pos * 17) % 13 - 6) * 150"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q452_centroid_drift_lifecycle", (s, d) => {
+      // the stored-baseline EMBEDDING drift monitor (VERDICT r12 #1):
+      // q245/q325's centroid family rescans the baseline corpus every
+      // run — exactly the gap q448 closed for scalar distributions. Two-
+      // run Registry lifecycle: run 1 CTAS-materializes the baseline
+      // slice's per-(label, pos) centroid-SUM registers (exact quantized
+      // integers, the labelCentroids relation) and scores night A (same
+      // planted structure — honest high-cosine null, 0.996-0.998);
+      // run 2's baseline branch is a provably-empty merge (filter(false)
+      // folds to an empty LocalRelation — baseline vectors NEVER
+      // rescanned) while the scores model merges night B, whose planted
+      // labelShift=1 structure drift the monitor must flag (observed
+      // -0.41..-0.46, 10/10 labels — both branches value-inspected).
+      // Scoring reads STORED sums via centroidCosFromRegisters: cost
+      // labels x dims, independent of baseline vector count (ScaleProbe
+      // carries the nightly-flat reading; RegistrySpec pins no-rescan by
+      // sabotaging the stored registers).
+      import graft.engine.{Incremental, IncrementalMat, Model, Registry}
+      import graft.operators.GenericTests
+      import graft.pipeline.Clustering
+      val wh = Scratch.warehouse("q452", d, s,
+        Seq("cent_baseline", "cent_scores"))
+      val reg = new Registry(s, wh)
+      reg.source("emb_src", table(s, d, "embeddings"))
+      def cent(df: DataFrame, labelShift: Int): DataFrame =
+        structured(Clustering.labelCentroids(df, "label", "embedding")
+          .select(col("label"), col("pos"), col("sum_q"), col("n_vecs")),
+          labelShift)
+      reg.register(Model("cent_baseline", Seq("emb_src"),
+        IncrementalMat(Incremental.Merge, Seq("label", "pos")),
+        ctx => {
+          val w = if (ctx.isIncremental) ctx.ref("emb_src").filter(lit(false))
+            else ctx.ref("emb_src").filter(col("vec_id") % 4 < 2)
+          cent(w, 0)
+        }))
+      reg.register(Model("cent_scores", Seq("emb_src", "cent_baseline"),
+        IncrementalMat(Incremental.Merge, Seq("score_tag", "label")),
+        ctx => {
+          val (tag, slice, shift) =
+            if (ctx.isIncremental) ("night_b", 3, 1) else ("night_a", 2, 0)
+          val night = cent(
+            ctx.ref("emb_src").filter(col("vec_id") % 4 === slice), shift)
+          GenericTests.centroidCosFromRegisters(ctx.ref("cent_baseline"), night)
+            .withColumn("score_tag", lit(tag))
+        }))
+      reg.run()
+      reg.run()
+      wh.read("cent_scores")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id, label, $qvecSql AS v FROM embeddings),
+         |c AS (SELECT vec_id, label, i.i - 1 AS pos, v[i.i] AS x
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i),
+         |base AS (SELECT label, pos,
+         |                CAST(sum(x) AS HUGEINT)
+         |                  + CAST(count(x) AS HUGEINT) * (${offSql(0)}) AS s,
+         |                CAST(count(x) AS BIGINT) AS n
+         |         FROM c WHERE vec_id % 4 < 2 GROUP BY 1, 2),
+         |na AS (SELECT label, pos,
+         |              CAST(sum(x) AS HUGEINT)
+         |                + CAST(count(x) AS HUGEINT) * (${offSql(0)}) AS s,
+         |              CAST(count(x) AS BIGINT) AS n
+         |       FROM c WHERE vec_id % 4 = 2 GROUP BY 1, 2),
+         |nb AS (SELECT label, pos,
+         |              CAST(sum(x) AS HUGEINT)
+         |                + CAST(count(x) AS HUGEINT) * (${offSql(1)}) AS s,
+         |              CAST(count(x) AS BIGINT) AS n
+         |       FROM c WHERE vec_id % 4 = 3 GROUP BY 1, 2),
+         |ja AS (SELECT coalesce(b.label, n.label) AS label,
+         |              b.s AS sr, n.s AS sl, b.n AS nr_c, n.n AS nl_c
+         |       FROM base b FULL OUTER JOIN na n
+         |         ON b.label = n.label AND b.pos = n.pos),
+         |ga AS (SELECT 'night_a' AS score_tag, label,
+         |              CAST(max(nr_c) AS BIGINT) AS n_ref,
+         |              CAST(max(nl_c) AS BIGINT) AS n_live,
+         |              CASE WHEN sum(sr * sr) > 0 AND sum(sl * sl) > 0
+         |                   THEN CAST(sum(sr * sl) AS DOUBLE)
+         |                      / (sqrt(CAST(sum(sr * sr) AS DOUBLE))
+         |                         * sqrt(CAST(sum(sl * sl) AS DOUBLE)))
+         |              END AS centroid_cos
+         |       FROM ja GROUP BY 2),
+         |jb AS (SELECT coalesce(b.label, n.label) AS label,
+         |              b.s AS sr, n.s AS sl, b.n AS nr_c, n.n AS nl_c
+         |       FROM base b FULL OUTER JOIN nb n
+         |         ON b.label = n.label AND b.pos = n.pos),
+         |gb AS (SELECT 'night_b' AS score_tag, label,
+         |              CAST(max(nr_c) AS BIGINT) AS n_ref,
+         |              CAST(max(nl_c) AS BIGINT) AS n_live,
+         |              CASE WHEN sum(sr * sr) > 0 AND sum(sl * sl) > 0
+         |                   THEN CAST(sum(sr * sl) AS DOUBLE)
+         |                      / (sqrt(CAST(sum(sr * sr) AS DOUBLE))
+         |                         * sqrt(CAST(sum(sl * sl) AS DOUBLE)))
+         |              END AS centroid_cos
+         |       FROM jb GROUP BY 2)
+         |SELECT * FROM ga UNION ALL SELECT * FROM gb""".stripMargin))
+  )
+}

@@ -1139,4 +1139,58 @@ class RegistrySpec extends AnyFunSuite {
     assert(score(0).getAs[Long]("n_b") === 2L)
     assert(score(0).getAs[Long]("d_ppm") === 500000L)
   }
+
+  test("stored-baseline centroid drift: baseline frozen, nightly scores the STORED sums") {
+    import graft.operators.GenericTests
+    import graft.pipeline.Clustering
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // ids 0,1 are the baseline window (centroid along (1, 0)); id 2 is
+    // the nightly slice (centroid along (0, 1)) — orthogonal, cos = 0
+    val emb = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      Clustering.labelCentroids(df, "label", "embedding")
+        .select(col("label"), col("pos"), col("sum_q"), col("n_vecs"))
+    def mkReg() = {
+      val reg = new Registry(spark, wh)
+      reg.source("emb", emb)
+      reg.register(Model("cb", Seq("emb"),
+        IncrementalMat(Incremental.Merge, Seq("label", "pos")),
+        ctx => regsOf(
+          if (ctx.isIncremental) ctx.ref("emb").filter(lit(false))
+          else ctx.ref("emb").filter(col("vec_id") < 2L))))
+      reg.register(Model("cs", Seq("emb", "cb"),
+        IncrementalMat(Incremental.Merge, Seq("score_run", "label")),
+        ctx => GenericTests.centroidCosFromRegisters(ctx.ref("cb"),
+          regsOf(ctx.ref("emb").filter(col("vec_id") === 2L)))
+          .withColumn("score_run",
+            lit(if (ctx.isIncremental) 2 else 1))))
+      reg
+    }
+    mkReg().run()
+    // run 1: baseline sums (2000, 0), night (0, 1000) -> exact cos 0.0
+    val s1 = wh.read("cs").collect()
+    assert(s1.length === 1)
+    assert(s1(0).getAs[Double]("centroid_cos") === 0.0)
+    // SABOTAGE the stored baseline between runs: registers now point
+    // along (0, 1) — if run 2's score reads the STORED relation (the
+    // contract) the night cosine flips to exactly 1.0; a recompute from
+    // emb would reproduce 0.0 and hide a baseline-refresh bug
+    wh.writeSwap("cb",
+      Seq((1, 0, 0L, 2L), (1, 1, 5000L, 2L))
+        .toDF("label", "pos", "sum_q", "n_vecs"), Nil)
+    mkReg().run()
+    // baseline stayed exactly as sabotaged (frozen: provably-empty merge)
+    val base2 = wh.read("cb").collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sum_q")).toMap
+    assert(base2 === Map(0 -> 0L, 1 -> 5000L))
+    val s2 = wh.read("cs").collect()
+      .map(r => r.getAs[Int]("score_run") -> r.getAs[Double]("centroid_cos"))
+      .toMap
+    // sqrt(5000^2) * sqrt(1000^2) and dot 5000*1000 are exact in IEEE
+    assert(s2(2) === 1.0)
+    assert(s2(1) === 0.0) // run-1 row untouched by the merge
+  }
 }
