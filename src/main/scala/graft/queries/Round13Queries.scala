@@ -138,6 +138,119 @@ object Round13Queries extends QuerySet {
          |                         * sqrt(CAST(sum(sl * sl) AS DOUBLE)))
          |              END AS centroid_cos
          |       FROM jb GROUP BY 2)
-         |SELECT * FROM ga UNION ALL SELECT * FROM gb""".stripMargin))
+         |SELECT * FROM ga UNION ALL SELECT * FROM gb""".stripMargin)),
+
+    QueryDef("q453_rolling_baseline", (s, d) => {
+      // rolling-baseline maintenance (VERDICT r12 #2): q448/q450 freeze a
+      // baseline forever; a real monitor re-baselines on a trailing
+      // window without rescanning history. Registers make the slide
+      // exact: the stored relation keeps PER-(day, value) grain in the
+      // microbatch layout (one period partition per day — the q61
+      // overwritePeriods discipline), admission writes ONLY the new
+      // day's partition, eviction is the window view's range filter
+      // (never a rewrite; each period's files carry a single day, so the
+      // literal day_ts range skips every out-of-window file via exact
+      // min/max stats). Three-run lifecycle: build days 10-14 + score;
+      // slide to 11-15 + score; slide to 12-16 + score — each score is
+      // the trailing-5-day window's register rollup KS'd against the
+      // fixed probe day 25 via ksFromRegisters (no raw-history rescan;
+      // window bounds are literals from a bounded driver-side max over
+      // the per-day rollup, so the filter is statically pushable). Day
+      // 16 carries a PLANTED +50000-cent shift (complete separation:
+      // max honest value is 49002 cents), so the third window must flag:
+      // observed d_ppm 61332 / 58148 (honest nulls) -> 207444 (3.5x) at
+      // sf0.01 — value-inspected. RegistrySpec pins byte-identical
+      // untouched partitions across a slide.
+      import graft.engine.{Incremental, IncrementalMat, Model, Registry}
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val wh = Scratch.warehouse("q453", d, s, Seq("roll_regs", "roll_scores"))
+      val reg = new Registry(s, wh)
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      reg.source("ev_src", ev)
+      reg.register(Model("roll_regs", Seq("ev_src"),
+        IncrementalMat(Incremental.Microbatch("day_ts", "2024-01-10",
+          "2024-01-15", grain = "day"), Nil),
+        ctx => {
+          val src = ctx.ref("ev_src")
+          val base = if (ctx.isIncremental) src
+            else src.filter(col("day") >= lit("2024-01-10").cast("date") &&
+              col("day") < lit("2024-01-15").cast("date"))
+          base
+            .withColumn("v", col("cents") +
+              when(col("day") === lit("2024-01-16").cast("date"), 50000L)
+                .otherwise(0L))
+            .groupBy(col("day").cast("timestamp").as("day_ts"),
+              col("v").as("qs_value"))
+            .agg(count(lit(1)).as("qs_weight"))
+        }))
+      reg.register(Model("roll_scores", Seq("ev_src", "roll_regs"),
+        IncrementalMat(Incremental.Merge, Seq("window_end")),
+        ctx => {
+          val stored = ctx.ref("roll_regs")
+          // bounded metadata-scale collect (the touchedVals contract):
+          // one max over the per-day rollup, so the window filter below
+          // is a LITERAL range — pushable at plan time at any scale
+          val end = stored.agg(max(col("day_ts"))).collect()(0)
+            .getTimestamp(0).toLocalDateTime.toLocalDate
+          val start = end.minusDays(4)
+          val win = stored
+            .filter(col("day_ts") >= lit(start.toString).cast("timestamp") &&
+              col("day_ts") <= lit(end.toString).cast("timestamp"))
+            .groupBy(col("qs_value"))
+            .agg(sum(col("qs_weight")).cast("long").as("qs_weight"))
+          val probe = QuantileSketch.qsRegisters(
+            ctx.ref("ev_src")
+              .filter(col("day") === lit("2024-01-25").cast("date")),
+            Nil, col("cents"))
+          Inference.ksFromRegisters(win, probe)
+            .withColumn("window_end", lit(end.toString).cast("date"))
+        }))
+      reg.run()
+      reg.runMicrobatches("roll_regs", "2024-01-15", "2024-01-16", "day")
+      reg.runMicrobatches("roll_regs", "2024-01-16", "2024-01-17", "day")
+      wh.read("roll_scores")
+    }, Some(
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT day,
+        |             CASE WHEN day = DATE '2024-01-16' THEN c + 50000
+        |                  ELSE c END AS v,
+        |             CAST(count(*) AS BIGINT) AS w
+        |      FROM e WHERE day >= DATE '2024-01-10' AND day <= DATE '2024-01-16'
+        |      GROUP BY 1, 2),
+        |p AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS wb FROM e
+        |      WHERE day = DATE '2024-01-25' GROUP BY 1),
+        |wins AS (SELECT * FROM (VALUES (DATE '2024-01-10', DATE '2024-01-14'),
+        |                               (DATE '2024-01-11', DATE '2024-01-15'),
+        |                               (DATE '2024-01-12', DATE '2024-01-16'))
+        |                 t(ws, we)),
+        |wr AS (SELECT we, v, CAST(sum(w) AS BIGINT) AS wa
+        |       FROM r JOIN wins ON r.day >= ws AND r.day <= we GROUP BY 1, 2),
+        |u AS (SELECT we, v, wa, CAST(0 AS BIGINT) AS wb FROM wr
+        |      UNION ALL
+        |      SELECT wins.we, p.v, CAST(0 AS BIGINT), p.wb
+        |      FROM p CROSS JOIN wins),
+        |g AS (SELECT we, v, CAST(sum(wa) AS BIGINT) AS ca,
+        |             CAST(sum(wb) AS BIGINT) AS cb
+        |      FROM u GROUP BY 1, 2),
+        |s AS (SELECT we, sum(ca) OVER (PARTITION BY we ORDER BY v) AS cum_a,
+        |             sum(cb) OVER (PARTITION BY we ORDER BY v) AS cum_b,
+        |             sum(ca) OVER (PARTITION BY we) AS n_a,
+        |             sum(cb) OVER (PARTITION BY we) AS n_b
+        |      FROM g)
+        |SELECT we AS window_end, CAST(n_a AS BIGINT) AS n_a,
+        |       CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                    - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT) AS d_num,
+        |       CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                         - CAST(cum_b AS HUGEINT) * n_a)) AS HUGEINT)
+        |             * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |FROM s GROUP BY we, n_a, n_b""".stripMargin))
   )
 }
