@@ -156,10 +156,17 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * Snowflake `cluster_by` semantics (relations/table/create.sql:78-139):
     * range-partition + sort within partitions so min/max file stats enable
     * scan pruning on the cluster keys.
+    *
+    * `statsCols`: also write the [[writeStatsManifest]] data-skipping
+    * sidecar for these columns after the swap (unpartitioned layouts
+    * only) — the natural companion of `clusterBy`, whose sort makes the
+    * per-file ranges selective.
     */
   def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
+    require(statsCols.isEmpty || partitionBy.isEmpty,
+      "stats manifests apply to unpartitioned layouts only")
     // recover FIRST: in the backup-only crash state the backup is the sole
     // complete copy, and the deleteRec(backup) below would destroy it
     // before the new data is safely staged — a second failure then loses
@@ -185,6 +192,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     failpoint("swap:swapped")
     deleteRec(backup)
     invalidate(name)
+    // AFTER the swap commit: the manifest is a pure optimization sidecar
+    // — a crash between swap and manifest leaves a manifest-less (full
+    // scan) table, never a wrong one; a stale PREVIOUS manifest is
+    // rejected by readPruned's listing check even in that window
+    if (statsCols.nonEmpty) { writeStatsManifest(name, statsCols); () }
   }
 
   /** Partition-dir slice replacement (the microbatch physical path): drop the
@@ -622,6 +634,151 @@ final class Warehouse(val root: String, spark: SparkSession) {
     writeSwap(name, parts.sortWithinPartitions(col(key)).drop(key))
   }
 
+  /** Parquet data files under a table dir (recursive), sorted for
+    * deterministic manifest order.
+    */
+  private def parquetDataFiles(name: String): Seq[Path] = {
+    val st = Files.walk(dir(name))
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.toString)
+    } finally st.close()
+  }
+
+  /** Per-file (column -> min, max) data-skipping manifest — the 100 TB
+    * scan-pruning handle for range predicates on NON-partition columns:
+    * directory pruning ([[overwritePeriods]] layouts) and Z-order /
+    * clusterBy sort layouts exist, but a range predicate on a sorted
+    * column still LISTS and footer-probes every file (parquet row-group
+    * stats prune only after each footer round-trip — a listing storm at
+    * corpus scale). The manifest folds every file's footer min/max into
+    * ONE sidecar read once per query, so files are pruned BEFORE Spark
+    * lists them — the Delta/Iceberg data-skipping idea on plain parquet
+    * dirs, composing with the Z-order layout (q251) whose second
+    * dimension linear clusterBy cannot serve.
+    *
+    * Metadata-only build: footers are read driver-side (no Spark job, no
+    * data pages — O(files) footer reads once at write time, amortized
+    * over every later read). Stats are recorded for integral physical
+    * types (INT32/INT64 — the engine keys ranges on integers/dates); a
+    * file without usable stats for a column is simply unprunable on it
+    * (conservative). Staleness is structural, not temporal: the manifest
+    * records each data file's (relative path, byte size); [[readPruned]]
+    * validates that set against the live listing and falls back to a
+    * full scan on ANY mismatch — every writer path (swap, append,
+    * compact, slice) changes the file set, so a stale manifest can never
+    * drop rows. Unpartitioned layouts only (partition dirs already prune
+    * by directory; explicit-file reads would lose partition columns).
+    * Returns the file count manifested.
+    */
+  def writeStatsManifest(name: String, cols: Seq[String]): Int = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    recover(name)
+    require(Files.exists(dir(name)), s"no table '$name'")
+    require(cols.nonEmpty, "writeStatsManifest needs at least one column")
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"manifest columns must be plain identifiers: $cols")
+    require(!listDir(dir(name)).exists(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("=")),
+      "stats manifests apply to unpartitioned tables only")
+    val conf = spark.sessionState.newHadoopConf()
+    val files = parquetDataFiles(name)
+    val lines = files.map { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString), conf)
+      val reader = ParquetFileReader.open(in)
+      val entries = try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == c))
+          val usable = chunks.nonEmpty && chunks.forall { ch =>
+            val tn = ch.getPrimitiveType.getPrimitiveTypeName
+            (tn == PrimitiveTypeName.INT32 || tn == PrimitiveTypeName.INT64) &&
+              ch.getStatistics != null && !ch.getStatistics.isEmpty &&
+              ch.getStatistics.hasNonNullValue
+          }
+          if (!usable) None
+          else Some(s"$c=" +
+            chunks.map(_.getStatistics.genericGetMin
+              .asInstanceOf[Number].longValue).min + ":" +
+            chunks.map(_.getStatistics.genericGetMax
+              .asInstanceOf[Number].longValue).max)
+        }
+      } finally reader.close()
+      (Seq(dir(name).relativize(p).toString, Files.size(p).toString) ++ entries)
+        .mkString("\t")
+    }
+    putMeta(name + "__stats", ("v1" +: lines).mkString("\n"))
+    files.size
+  }
+
+  /** The manifest-pruned file set admitting rows with `column` in
+    * [lo, hi], plus the total file count — None when no manifest exists,
+    * its version is unknown, or its recorded (path, size) set mismatches
+    * the live listing (callers fall back to a full scan). private[graft]
+    * so specs assert the PRODUCTION pruning decision, not a replica.
+    */
+  private[graft] def statsPrunedFiles(name: String, column: String, lo: Long,
+      hi: Long): Option[(Seq[Path], Int)] = {
+    recover(name)
+    getMeta(name + "__stats").flatMap { m =>
+      val lines = m.split("\n", -1).toSeq
+      if (lines.headOption.forall(_ != "v1")) None
+      else {
+        val recs = lines.tail.filter(_.nonEmpty).map { ln =>
+          val parts = ln.split("\t", -1).toSeq
+          val stats = parts.drop(2).map { e =>
+            val Array(c, r) = e.split("=", 2)
+            val Array(mn, mx) = r.split(":", 2)
+            c -> (mn.toLong, mx.toLong)
+          }.toMap
+          (parts(0), parts(1).toLong, stats)
+        }
+        val live = parquetDataFiles(name)
+          .map(p => dir(name).relativize(p).toString -> Files.size(p)).toMap
+        if (live != recs.map(r => r._1 -> r._2).toMap) None // stale manifest
+        else Some((recs.filter { case (_, _, st) =>
+          st.get(column) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
+            case None => true // no stats -> unprunable, keep
+          }
+        }.map(r => dir(name).resolve(r._1)), recs.size))
+      }
+    }
+  }
+
+  /** Range read with manifest file skipping: semantically IDENTICAL to
+    * `read(name).filter(column between lo and hi)` — the manifest only
+    * removes files whose recorded min/max PROVE disjointness, and the
+    * row-level predicate still applies to every file read. Falls back to
+    * the full scan whenever [[statsPrunedFiles]] declines (no manifest /
+    * stale), so the operator is always safe to call.
+    */
+  def readPruned(name: String, column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo <= hi, s"range: [$lo, $hi]")
+    def pred(df: DataFrame) =
+      df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    statsPrunedFiles(name, column, lo, hi) match {
+      case Some((kept, _)) if kept.isEmpty =>
+        // the manifest PROVES no file intersects: fold to an empty
+        // relation with the table's schema, zero I/O
+        pred(read(name)).filter(lit(false))
+      case Some((kept, _)) =>
+        val raw = spark.read.parquet(kept.map(_.toString): _*)
+        pred(raw.drop(raw.columns.filter(_.startsWith(enginePrefix)).toSeq: _*))
+      case None => pred(read(name))
+    }
+  }
+
   /** Zero-copy table clone (dbt clone, dbt-adapters
     * macros/materializations/models/clone/clone.sql — Snowflake's
     * metadata-only CREATE TABLE CLONE): hard-link every data file of
@@ -665,6 +822,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     failpoint("swap:swapped")
     deleteRec(backup)
+    // the data-skipping sidecar travels with the clone: relative paths
+    // and byte sizes are identical (hard links), so the source manifest
+    // is valid verbatim — and any stale manifest of a PREVIOUS dst
+    // incarnation must not linger (its (path, size) check would almost
+    // surely reject, but correctness here is explicit, not probabilistic)
+    getMeta(src + "__stats") match {
+      case Some(m) => putMeta(dst + "__stats", m)
+      case None => removeMeta(dst + "__stats")
+    }
     invalidate(dst)
   }
 
@@ -713,6 +879,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // not inherit the dropped table's dynamic-table config (a config-clean
     // first run would silently no-op instead of building)
     Files.deleteIfExists(dir(name + "__meta"))
+    // and the data-skipping manifest (a recreated table's reads would
+    // pay the stale-check listing for nothing)
+    Files.deleteIfExists(dir(name + "__stats__meta"))
     // bucketed-catalog state dies too: the catalog entry (either the live
     // name or a mid-rename __gen_* survivor), BOTH generation data dirs,
     // and the generation sidecar — otherwise a "dropped" bucketed table

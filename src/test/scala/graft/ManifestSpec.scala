@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Warehouse
+
+/** The min/max data-skipping manifest (Warehouse.writeStatsManifest /
+  * readPruned): file pruning on a range predicate over a clusterBy or
+  * Z-order layout, result identity vs the plain filtered read, the
+  * structural staleness fallback, and clone manifest propagation.
+  */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fullFilter(wh: Warehouse, name: String, c: String, lo: Long,
+      hi: Long): Set[(Long, Long)] =
+    wh.read(name).filter(col(c) >= lo && col(c) <= hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("clusterBy + manifest: range read prunes files, result identical to full scan") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // explicit 8-way range layout: AQE would coalesce a 1000-row
+    // clusterBy shuffle into one file, leaving nothing to prune
+    val df = (0L until 1000L).map(k => (k, k * 7L)).toDF("k", "x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    wh.writeSwap("t", df, statsCols = Seq("k"))
+    val total = wh.dataFileCount("t")
+    assert(total >= 3L, s"need a multi-file layout to prove pruning: $total")
+    // the PRODUCTION pruning decision: a narrow range keeps < total files
+    val Some((kept, n)) = wh.statsPrunedFiles("t", "k", 100L, 199L)
+    assert(n.toLong === total)
+    assert(kept.nonEmpty && kept.size < n,
+      s"range [100,199] kept ${kept.size} of $n files — no pruning")
+    // result identity: pruned read == plain filtered read, row for row
+    val got = wh.readPruned("t", "k", 100L, 199L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === fullFilter(wh, "t", "k", 100L, 199L))
+    assert(got.size === 100)
+    // a range the manifest PROVES empty folds to zero rows (and the
+    // pruning decision keeps zero files)
+    assert(wh.statsPrunedFiles("t", "k", 5000L, 6000L).exists(_._1.isEmpty))
+    assert(wh.readPruned("t", "k", 5000L, 6000L).count() === 0L)
+  }
+
+  test("append makes the manifest stale: readPruned falls back to the FULL scan") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("t", (0L until 100L).map(k => (k, k)).toDF("k", "x"),
+      clusterBy = Seq("k"), statsCols = Seq("k"))
+    assert(wh.statsPrunedFiles("t", "k", 0L, 10L).isDefined)
+    // out-of-manifest rows land in range — a stale manifest that still
+    // pruned would DROP them
+    wh.append("t", Seq((5L, 999L)).toDF("k", "x"))
+    assert(wh.statsPrunedFiles("t", "k", 0L, 10L).isEmpty, "stale manifest accepted")
+    val got = wh.readPruned("t", "k", 0L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === fullFilter(wh, "t", "k", 0L, 10L))
+    assert(got.contains((5L, 999L)))
+    // re-manifesting after the append restores pruning
+    wh.writeStatsManifest("t", Seq("k"))
+    assert(wh.statsPrunedFiles("t", "k", 0L, 10L).isDefined)
+    assert(wh.readPruned("t", "k", 0L, 10L).count() === 12L)
+  }
+
+  test("Z-order + manifest: a slab in the SECOND dimension prunes files") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // 32x32 grid: Z-order interleaves a and b, so a b-slab is NOT the
+    // linear sort order yet still lands in few Morton ranges
+    val grid = for { a <- 0L until 32L; b <- 0L until 32L } yield (a, b)
+    wh.writeSwap("z", grid.toDF("a", "b"))
+    wh.rewriteZOrdered("z", "a", "b", numFiles = 16)
+    wh.writeStatsManifest("z", Seq("a", "b"))
+    val Some((kept, n)) = wh.statsPrunedFiles("z", "b", 0L, 3L)
+    assert(n === 16)
+    assert(kept.size < n, s"b-slab kept ${kept.size} of $n files — Z-order gave no locality")
+    val got = wh.readPruned("z", "b", 0L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === fullFilter(wh, "z", "b", 0L, 3L))
+    assert(got.size === 32 * 4)
+  }
+
+  test("clone carries the manifest (hard links: identical paths and sizes)") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("src", (0L until 200L).map(k => (k, k)).toDF("k", "x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    wh.cloneTable("src", "dst")
+    val Some((kept, n)) = wh.statsPrunedFiles("dst", "k", 0L, 24L)
+    assert(kept.size < n)
+    assert(wh.readPruned("dst", "k", 0L, 24L).count() === 25L)
+    // and a drop cleans the sidecar: a recreated table must not inherit it
+    wh.drop("dst")
+    wh.writeSwap("dst", Seq((1L, 1L)).toDF("k", "x"))
+    assert(wh.statsPrunedFiles("dst", "k", 0L, 24L).isEmpty)
+  }
+
+  test("non-integral and missing columns are unprunable, never wrong") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 100L).map(k => (k, s"s$k")).toDF("k", "s")
+    wh.writeSwap("t", df, clusterBy = Seq("k"))
+    wh.writeStatsManifest("t", Seq("k", "s"))
+    // string column: stats ignored (no INT32/INT64 physical type) — every
+    // file kept, result still exact
+    val Some((keptS, nS)) = wh.statsPrunedFiles("t", "s", 0L, 1L)
+    assert(keptS.size === nS)
+    // a column never manifested behaves the same
+    val Some((keptM, nM)) = wh.statsPrunedFiles("t", "nope", 0L, 1L)
+    assert(keptM.size === nM)
+    assert(wh.readPruned("t", "k", 10L, 19L).count() === 10L)
+  }
+}
