@@ -281,6 +281,92 @@ object Round13Queries extends QuerySet {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |WHERE CAST(l_partkey AS BIGINT) >= 100 AND CAST(l_partkey AS BIGINT) <= 299
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q455_stream_register_compaction", (s, d) => {
+      // the streaming register-table COMPACTION lifecycle (VERDICT r12
+      // #6): q447 compacts at read; a long-running stream also needs the
+      // periodic maintenance pass so the materialized table itself stays
+      // k-bounded per closed window. Two-phase file-stream ingest through
+      // the aggregate upsert bridge (aggStream sum-combiners == register
+      // bag union), compaction BETWEEN the phases, checkpoint-resumed
+      // second ingest touching only the new file: ingest days 1-15 ->
+      // compactRegisterTable(k=16) over the closed hours -> land days
+      // 16-30 and resume -> read per-hour median/p90 rank cuts off the
+      // stored relation. Phase-1 hours ride one compaction level (the
+      // declared one-sided ceil(W/k) envelope; observed at sf0.01 the
+      // k=16 summaries answer within their stride — the oracle replays
+      // the compression verbatim so the match is exact, and
+      // StreamingSpec pins the k+1 size bound and the cross-boundary
+      // envelope on hand vectors); phase-2 hours are exact registers.
+      import graft.streaming.EventsStream
+      import graft.functions.QuantileSketch
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
+      val wh = Scratch.warehouse("q455", d, s, Seq("stream_regs"))
+      Scratch.resetCheckpoint(wh, "stream_regs")
+      val srcDir = java.nio.file.Paths.get(wh.root, "_stream_src")
+      wh.deleteRec(srcDir)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(col("ts"), col("value"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      // land one parquet file per phase into the streamed dir (the
+      // arriving-files shape a FileStreamSource tails)
+      def land(df: org.apache.spark.sql.DataFrame, phase: String): Unit = {
+        val tmp = srcDir.resolve(phase + "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, srcDir.resolve(phase + ".parquet"))
+        wh.deleteRec(tmp)
+      }
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      def ingest(): Unit =
+        EventsStream.aggStream(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString),
+          wh, "stream_regs", Seq("hour_start", "qs_value"),
+          Seq("qs_weight" -> "sum")) { batch =>
+          batch.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+            floor(col("value") * 100 + 0.5).cast("long").as("qs_value"))
+            .agg(count(lit(1)).as("qs_weight"))
+        }.awaitTermination()
+      land(ev.filter(col("ts") < cut), "p1")
+      ingest()
+      EventsStream.compactRegisterTable(wh, "stream_regs", Seq("hour_start"), 16)
+      land(ev.filter(col("ts") >= cut), "p2")
+      ingest()
+      QuantileSketch.qsQuantile(wh.read("stream_regs"), Seq("hour_start"),
+        Seq(500, 900))
+    }, Some(
+      """WITH v AS (
+        |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |           AS h,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT h, qv, CAST(count(*) AS BIGINT) AS w FROM v GROUP BY 1, 2),
+        |c1 AS (SELECT h, qv, w,
+        |              sum(w) OVER (PARTITION BY h ORDER BY qv) AS cum,
+        |              sum(w) OVER (PARTITION BY h) AS tot
+        |       FROM r WHERE h < TIMESTAMP '2024-01-16 00:00:00'),
+        |k1 AS (SELECT h, qv, cum,
+        |              cum - coalesce(lag(cum)
+        |                OVER (PARTITION BY h ORDER BY qv), 0) AS wt
+        |       FROM c1
+        |       WHERE (cum // ((tot + 15) // 16)) > ((cum - w) // ((tot + 15) // 16))
+        |          OR cum = tot),
+        |m AS (SELECT h, qv, CAST(wt AS BIGINT) AS w FROM k1
+        |      UNION ALL
+        |      SELECT h, qv, w FROM r WHERE h >= TIMESTAMP '2024-01-16 00:00:00'),
+        |q AS (SELECT h, qv, w,
+        |             sum(w) OVER (PARTITION BY h ORDER BY qv) AS cum,
+        |             sum(w) OVER (PARTITION BY h) AS tot
+        |      FROM m)
+        |SELECT h AS hour_start, CAST(qm AS INTEGER) AS q_mille,
+        |       CAST(qv AS BIGINT) AS value
+        |FROM q, LATERAL (SELECT unnest([500, 900]) AS qm) x
+        |WHERE cum * 1000 >= qm * tot
+        |  AND (cum - w) * 1000 < qm * tot""".stripMargin))
   )
 }

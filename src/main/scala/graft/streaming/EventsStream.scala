@@ -261,6 +261,26 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("qs_value"),
         col("qs_weight"))
 
+  /** Periodic register-table maintenance (the q251 OPTIMIZE pattern
+    * applied to a quantile-register sink): rewrite the materialized
+    * relation with every group's summary k-bounded via
+    * [[graft.functions.QuantileSketch.qsCompress]] — a long-running
+    * stream's register table otherwise grows with each group's distinct
+    * value count. Run it on CLOSED groups (hours the stream has moved
+    * past, the watermark discipline): a later bag-union merge into a
+    * compacted group is still a valid register multiset, but each
+    * compaction level adds its one-sided `ceil(W/k)` stride to that
+    * group's rank envelope — compact-after-close keeps the envelope at
+    * one level. The rewrite stages through the [[graft.engine.Warehouse
+    * .writeSwap]] protocol (tmp + atomic rename — the plan may still
+    * read the current generation while the replacement stages), and the
+    * table stays mergeable for the next [[aggStream]] batch.
+    */
+  def compactRegisterTable(wh: graft.engine.Warehouse, table: String,
+      groupCols: Seq[String], k: Int): Unit =
+    wh.writeSwap(table,
+      graft.functions.QuantileSketch.qsCompress(wh.read(table), groupCols, k))
+
   /** Streaming distribution-drift registers: per event-time hour, live
     * `value` counts binned against FIXED reference bin edges (integer
     * cents, ascending) — a windowed streaming aggregate whose state per

@@ -200,6 +200,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === Map(1L -> 3, 2L -> 1, 3L -> 0, 99L -> 0))
   }
 
+  test("register compaction lifecycle: k-bounded closed hour, checkpoint-resumed merge, cuts in envelope") {
+    implicit val s = spark
+    implicit val sc = s.sqlContext
+    import java.nio.file.Files
+    import graft.functions.QuantileSketch
+    val wh = new graft.engine.Warehouse(
+      Files.createTempDirectory("graft_qsc").toString, spark)
+    val hourA = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hourB = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    def stream = mem.toDF().toDF("ts", "value")
+    def ingest(): Unit = EventsStream.aggStream(stream, wh, "regs",
+      Seq("hour_start", "qs_value"), Seq("qs_weight" -> "sum")) { batch =>
+      batch.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        floor(col("value") * 100 + 0.5).cast("long").as("qs_value"))
+        .agg(count(lit(1)).as("qs_weight"))
+    }.awaitTermination()
+    // phase 1: hour A holds cents 1..10 (one row each)
+    mem.addData((1 to 10).map(i => (hourA, i / 100.0)): _*)
+    ingest()
+    assert(wh.read("regs").count() === 10L)
+    // maintenance: W=10, k=2 -> stride ceil(10/2)=5, kept ranks 5 and 10
+    // -> registers (5,5),(10,5) — the k+1 size bound with exact
+    // telescoped weights
+    EventsStream.compactRegisterTable(wh, "regs", Seq("hour_start"), k = 2)
+    val a1 = wh.read("regs").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(a1 === Map(5L -> 5L, 10L -> 5L))
+    // phase 2 resumes the SAME checkpoint: only the new rows process, the
+    // sum-combiner merge is a register bag union, and the compacted
+    // closed hour is untouched (disjoint keys)
+    mem.addData((1 to 4).map(i => (hourB, i / 100.0)): _*)
+    ingest()
+    val stored = wh.read("regs").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored === Set((hourA, 5L, 5L), (hourA, 10L, 5L),
+      (hourB, 1L, 1L), (hourB, 2L, 1L), (hourB, 3L, 1L), (hourB, 4L, 1L)))
+    // rank cuts across the compaction boundary: hour A's summary answers
+    // the median EXACTLY (kept rank 5 == the target) and p900 at value 10
+    // whose represented rank range [6, 10] covers target 9 — inside the
+    // one-sided stride envelope s=5; hour B (never compacted) is exact
+    val cuts = QuantileSketch.qsQuantile(wh.read("regs"),
+      Seq("hour_start"), Seq(500, 900))
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cuts === Map((hourA, 500) -> 5L, (hourA, 900) -> 10L,
+      (hourB, 500) -> 2L, (hourB, 900) -> 4L))
+  }
+
   test("trendingStream materializes top-k per finalized window == batch rank") {
     implicit val s = spark
     implicit val sc = s.sqlContext
