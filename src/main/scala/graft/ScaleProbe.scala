@@ -555,6 +555,87 @@ object ScaleProbe {
       }
     }
 
+    // round-13: stored-baseline CENTROID drift lifecycle (q452) — same
+    // contract as the scalar drift probe above: run 1 (centroid-register
+    // CTAS + first score) tracks the baseline corpus; run 2 (nightly
+    // score against the STORED sums, provably-empty baseline merge) must
+    // stay FLAT as the baseline corpus grows Nx. Replicas duplicate the
+    // baseline slice only (vec_id shifts by multiples of 4 preserve the
+    // slice classes); the scored night slice stays 1x.
+    {
+      val emb1 = table(spark, sfDir, "embeddings")
+      val base1 = emb1.filter(col("vec_id") % 4 < 2)
+      val night = emb1.filter(col("vec_id") % 4 === 2)
+      val embA = base1.unionByName(night).localCheckpoint()
+      val embB = (0 until reps).map(r =>
+        base1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L)))
+        .reduce(_ unionByName _).unionByName(night).localCheckpoint()
+      def cent(df: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.Clustering.labelCentroids(df, "label", "embedding")
+          .select(col("label"), col("pos"), col("sum_q"), col("n_vecs"))
+      for ((label, emb) <- Seq("1x" -> embA, s"${reps}x" -> embB)) {
+        val wh = new graft.engine.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_cent").toString, spark)
+        def mkReg() = {
+          val reg = new graft.engine.Registry(spark, wh)
+          reg.source("emb", emb)
+          reg.register(graft.engine.Model("cent_baseline", Seq("emb"),
+            graft.engine.IncrementalMat(graft.engine.Incremental.Merge,
+              Seq("label", "pos")),
+            ctx => cent(
+              if (ctx.isIncremental) ctx.ref("emb").filter(lit(false))
+              else ctx.ref("emb").filter(col("vec_id") % 4 < 2))))
+          reg.register(graft.engine.Model("cent_scores", Seq("emb", "cent_baseline"),
+            graft.engine.IncrementalMat(graft.engine.Incremental.Merge,
+              Seq("score_run", "label")),
+            ctx => graft.operators.GenericTests.centroidCosFromRegisters(
+              ctx.ref("cent_baseline"),
+              cent(ctx.ref("emb").filter(col("vec_id") % 4 === 2)))
+              .withColumn("score_run", lit(if (ctx.isIncremental) 2 else 1))))
+          reg
+        }
+        time(s"centroid_baseline_run $label") {
+          mkReg().run()
+          wh.read("cent_baseline").count()
+        }
+        time(s"centroid_nightly_run  $label") {
+          mkReg().run()
+          wh.read("cent_scores").count()
+        }
+      }
+    }
+
+    // round-13: data-skipping manifest (q454) — the key domain and file
+    // count grow Nx with the corpus while the probe range stays a fixed
+    // slice: manifest_build is O(files) driver-side footer reads,
+    // pruned_read must stay FLAT (it touches the same ~2 files at any N;
+    // its driver-side cost is one sidecar read + one listing), and the
+    // full filtered scan is the ~linear contrast it replaces.
+    {
+      val li1 = table(spark, sfDir, "lineitem").select(
+        col("l_partkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("x"))
+      val pSpan = 10000000L
+      val liN = (0 until reps).map(r =>
+        li1.withColumn("k", col("k") + lit(r * pSpan)))
+        .reduce(_ unionByName _)
+      for ((label, df, nf) <- Seq(("1x", li1, 16), (s"${reps}x", liN, 16 * reps))) {
+        val wh = new graft.engine.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_man").toString, spark)
+        wh.writeSwap("t",
+          df.repartitionByRange(nf, col("k")).sortWithinPartitions("k"))
+        time(s"manifest_build        $label") {
+          wh.writeStatsManifest("t", Seq("k")).toLong
+        }
+        time(s"manifest_pruned_read  $label") {
+          wh.readPruned("t", "k", 1L, 200L).count()
+        }
+        time(s"manifest_full_filter  $label") {
+          wh.read("t").filter(col("k") >= 1L && col("k") <= 200L).count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

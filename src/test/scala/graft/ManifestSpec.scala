@@ -99,6 +99,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(wh.statsPrunedFiles("dst", "k", 0L, 24L).isEmpty)
   }
 
+  test("NULLs in the stats column: kept-file semantics match the plain filter exactly") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // file 1: mixed nulls (footer stats cover the non-null values);
+    // file 2: ALL-null k (hasNonNullValue false -> no entry -> kept
+    // conservatively); file 3: disjoint range (pruned)
+    val f1 = Seq((Some(1L), 10L), (None, 11L), (Some(3L), 12L)).toDF("k", "x")
+    val f2 = Seq((None: Option[Long], 20L), (None, 21L)).toDF("k", "x")
+    val f3 = Seq((Some(100L), 30L)).toDF("k", "x")
+    wh.writeSwap("t", f1.coalesce(1))
+    wh.append("t", f2.coalesce(1))
+    wh.append("t", f3.coalesce(1))
+    wh.writeStatsManifest("t", Seq("k"))
+    val Some((kept, n)) = wh.statsPrunedFiles("t", "k", 0L, 5L)
+    assert(n === 3)
+    assert(kept.size === 2, s"expect f1 (intersects) + f2 (no stats), got ${kept.size}")
+    // NULL k never matches a range predicate — identical to read+filter
+    val got = wh.readPruned("t", "k", 0L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (3L, 12L)))
+  }
+
   test("non-integral and missing columns are unprunable, never wrong") {
     val root = Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(root, spark)
