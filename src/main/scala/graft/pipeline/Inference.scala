@@ -235,6 +235,51 @@ object Inference {
           .as("tv_ppm"))
   }
 
+  /** Two-sample chi-square homogeneity statistic from two STORED register
+    * tables — the fourth law of the stored-baseline monitor family
+    * (beside [[ksFromRegisters]] order-sensitive, [[w1FromRegisters]]
+    * metric-aware, [[tvdFromRegisters]] categorical-L1): the 2 x K
+    * contingency of (side, register value) scored by the EXACT
+    * [[graft.operators.Features.chiSquareCells]] cell law —
+    * `term_milli = (o*N - rowTot*colTot)^2 * 1000 div (N*rowTot*colTot)`
+    * — with the union of both sides' values as the densified category
+    * domain (a value present on one side only carries its zero-cell term
+    * on the other, the r10 sparse-rollup lesson). All products ride
+    * DECIMAL(38,0); `chi2_milli` is the exact integer statistic,
+    * `dof = n_cats - 1`. Unlike TVD (bounded, mass-proportional),
+    * chi-square weights rare-category shifts by 1/E — the monitor law
+    * for "a tail category exploded". Either side empty -> empty frame
+    * (no defined statistic); zero-mass values (explicit zero-weight bag
+    * rows on both sides) are not categories and drop. Register-bounded
+    * cost, independent of represented row counts.
+    */
+  def chi2FromRegisters(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val u = regsA.select(col("qs_value").as("v"),
+        col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b"))
+      .unionByName(regsB.select(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")))
+      .groupBy(col("v"))
+      .agg(sum(col("cnt_a")).as("ca"), sum(col("cnt_b")).as("cb"))
+      .filter(col("ca") + col("cb") > 0L)
+      .localCheckpoint(false) // feeds the totals agg AND the term pass
+    val totals = u.agg(count(lit(1)).as("n_cats"),
+      coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    def term(o: Column, rowTot: Column) = {
+      val n = dec(col("n_a")) + dec(col("n_b"))
+      val delta = dec(o) * n - dec(rowTot) * (dec(col("ca")) + dec(col("cb")))
+      call_function("div", delta * delta * lit(1000L),
+        n * dec(rowTot) * (dec(col("ca")) + dec(col("cb"))))
+    }
+    u.crossJoin(broadcast(totals))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .groupBy(col("n_cats"), col("n_a"), col("n_b"))
+      .agg(sum(term(col("ca"), col("n_a")) + term(col("cb"), col("n_b")))
+        .cast("long").as("chi2_milli"))
+      .select(col("n_cats"), (col("n_cats") - 1L).as("dof"),
+        col("n_a"), col("n_b"), col("chi2_milli"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value

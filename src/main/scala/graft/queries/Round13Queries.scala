@@ -367,6 +367,86 @@ object Round13Queries extends QuerySet {
         |       CAST(qv AS BIGINT) AS value
         |FROM q, LATERAL (SELECT unnest([500, 900]) AS qm) x
         |WHERE cum * 1000 >= qm * tot
-        |  AND (cum - w) * 1000 < qm * tot""".stripMargin))
+        |  AND (cum - w) * 1000 < qm * tot""".stripMargin)),
+
+    QueryDef("q456_chi2_registers", (s, d) => {
+      // the FOURTH stored-baseline scorer law: two-sample chi-square
+      // homogeneity from register tables (Inference.chi2FromRegisters —
+      // the exact chiSquareCells cell law over the 2 x K (side, value)
+      // contingency with the union-densified category domain). KS/W1/TVD
+      // (q448-q450) weight shifts by mass; chi-square weights them by
+      // 1/E — the law that flags a TAIL category exploding. Dollar-bucket
+      // registers, baseline window vs rest-of-month: the honest-null
+      // branch reads 264.19 points on dof 292 (E[chi2] = dof — the
+      // multinomial noise floor, value-inspected); the planted branch
+      // shifts the live side +2000 cents before bucketing (every bucket
+      // key moves up 20) and must flag: 1624.96 points on dof 295, 6.2x
+      // the null. All exact integer milli-points, per-term truncating
+      // divisions mirrored verbatim (non-negative operands throughout).
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val split = lit("2024-01-21").cast("date")
+      def regs(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          v: Column) = QuantileSketch.qsRegisters(f(ev), Nil, v)
+      val base = regs(_.filter(col("day") < split),
+        call_function("div", col("cents"), lit(100L)))
+        .localCheckpoint(false) // feeds both branches' scorers
+      def branch(tag: String, shift: Long) =
+        Inference.chi2FromRegisters(base,
+          regs(_.filter(col("day") >= split),
+            call_function("div", col("cents") + lit(shift), lit(100L))))
+          .withColumn("branch", lit(tag))
+      branch("null", 0L).unionByName(branch("planted", 2000L))
+    }, Some(
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |bn AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |bp AS (SELECT (c + 2000) // 100 AS v, CAST(count(*) AS BIGINT) AS w
+        |       FROM e WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |un AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb) AS BIGINT) AS cb
+        |       FROM (SELECT v, w AS ca, 0 AS cb FROM a
+        |             UNION ALL SELECT v, 0, w FROM bn) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb) > 0),
+        |up AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb) AS BIGINT) AS cb
+        |       FROM (SELECT v, w AS ca, 0 AS cb FROM a
+        |             UNION ALL SELECT v, 0, w FROM bp) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb) > 0),
+        |sn AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST(sum(ca) AS BIGINT) AS n_a,
+        |              CAST(sum(cb) AS BIGINT) AS n_b FROM un),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST(sum(ca) AS BIGINT) AS n_a,
+        |              CAST(sum(cb) AS BIGINT) AS n_b FROM up),
+        |gn AS (SELECT 'null' AS branch, sn.n_cats, sn.n_cats - 1 AS dof,
+        |              sn.n_a, sn.n_b,
+        |              CAST(sum(
+        |                ((CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb))
+        |                 *(CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb)) * 1000)
+        |                // (CAST(n_a+n_b AS HUGEINT) * n_a * (ca+cb))
+        |              + ((CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb))
+        |                 *(CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb)) * 1000)
+        |                // (CAST(n_a+n_b AS HUGEINT) * n_b * (ca+cb))) AS BIGINT)
+        |                AS chi2_milli
+        |       FROM un, sn GROUP BY 1, 2, 3, 4, 5),
+        |gp AS (SELECT 'planted', sp.n_cats, sp.n_cats - 1, sp.n_a, sp.n_b,
+        |              CAST(sum(
+        |                ((CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb))
+        |                 *(CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb)) * 1000)
+        |                // (CAST(n_a+n_b AS HUGEINT) * n_a * (ca+cb))
+        |              + ((CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb))
+        |                 *(CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb)) * 1000)
+        |                // (CAST(n_a+n_b AS HUGEINT) * n_b * (ca+cb))) AS BIGINT)
+        |       FROM up, sp GROUP BY 1, 2, 3, 4, 5)
+        |SELECT * FROM gn UNION ALL SELECT * FROM gp""".stripMargin))
   )
 }

@@ -67,6 +67,39 @@ class InferenceSpec extends AnyFunSuite {
     assert(Inference.ksFromRegisters(empty, rb).collect().isEmpty)
   }
 
+  test("chi2FromRegisters: hand 2x2, identical zero, zero-mass drop, empty side drops") {
+    // A = {v1:30, v2:10}, B = {v1:10, v2:30}: every expected cell is 20,
+    // chi2 = 4 * (10^2/20) = 20 points = 20000 milli; per-cell law:
+    // delta = 30*80 - 40*40 = 800, term = 800^2*1000/(80*40*40) = 5000
+    val ra = Seq((1L, 30L), (2L, 10L)).toDF("qs_value", "qs_weight")
+    val rb = Seq((1L, 10L), (2L, 30L)).toDF("qs_value", "qs_weight")
+    val r = Inference.chi2FromRegisters(ra, rb).collect()(0)
+    assert((r.getAs[Long]("n_cats"), r.getAs[Long]("dof"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("chi2_milli")) === ((2L, 1L, 40L, 40L, 20000L)))
+    // identical distributions: every delta is exactly 0
+    val same = Inference.chi2FromRegisters(ra, ra).collect()(0)
+    assert(same.getAs[Long]("chi2_milli") === 0L)
+    // explicit zero-weight bag rows on BOTH sides are not a category
+    // (they would divide by colTot 0); n_cats must stay 2
+    val raz = ra.unionByName(Seq((9L, 0L)).toDF("qs_value", "qs_weight"))
+    val rbz = rb.unionByName(Seq((9L, 0L)).toDF("qs_value", "qs_weight"))
+    val rz = Inference.chi2FromRegisters(raz, rbz).collect()(0)
+    assert((rz.getAs[Long]("n_cats"), rz.getAs[Long]("chi2_milli"))
+      === ((2L, 20000L)))
+    // a category present on ONE side only carries its zero cell exactly:
+    // A = {1:2}, B = {2:2} (disjoint): N=4, each side's two cells
+    // contribute (2*4-2*2)^2*1000/(4*2*2) = 1000 each -> 4000 milli
+    val da = Seq((1L, 2L)).toDF("qs_value", "qs_weight")
+    val db = Seq((2L, 2L)).toDF("qs_value", "qs_weight")
+    assert(Inference.chi2FromRegisters(da, db).collect()(0)
+      .getAs[Long]("chi2_milli") === 4000L)
+    // either side empty -> empty frame
+    val empty = Seq.empty[(Long, Long)].toDF("qs_value", "qs_weight")
+    assert(Inference.chi2FromRegisters(ra, empty).collect().isEmpty)
+    assert(Inference.chi2FromRegisters(empty, rb).collect().isEmpty)
+  }
+
   test("w1FromRegisters: hand integral, single-value zero, empty side drops") {
     // A = {0, 10}, B = {10, 20} as registers: true W1 = 10 units = 10e6
     val ra = Seq((0L, 1L), (10L, 1L)).toDF("qs_value", "qs_weight")
