@@ -172,6 +172,14 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // before the new data is safely staged — a second failure then loses
     // everything. Restoring first makes the old state an ordinary target.
     recover(name)
+    // a table that OPTED INTO a manifest keeps it across rewrites
+    // (compact / rewriteZOrdered / plain overwrite route through here):
+    // capture the recorded column set before the sidecar goes stale, so
+    // maintenance never silently downgrades reads to full scans. Appends
+    // deliberately skip this (O(batch) hot path — the stale manifest
+    // falls back safely until the next rewrite or manual refresh).
+    val priorStatsCols =
+      if (statsCols.nonEmpty) statsCols else manifestCols(name)
     val out = if (clusterBy.nonEmpty)
       df.repartitionByRange(clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
     else df
@@ -196,8 +204,24 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // — a crash between swap and manifest leaves a manifest-less (full
     // scan) table, never a wrong one; a stale PREVIOUS manifest is
     // rejected by readPruned's listing check even in that window
-    if (statsCols.nonEmpty) { writeStatsManifest(name, statsCols); () }
+    if (partitionBy.isEmpty && priorStatsCols.nonEmpty) {
+      writeStatsManifest(name, priorStatsCols); ()
+    } else if (partitionBy.nonEmpty)
+      // a table rewritten INTO a partitioned layout sheds its manifest
+      // (directory pruning takes over; the stale sidecar would only pay
+      // the listing check forever)
+      removeMeta(name + "__stats")
   }
+
+  /** Column set recorded in the current manifest sidecar (empty when
+    * none) — the auto-refresh source for [[writeSwap]]-routed rewrites.
+    */
+  private def manifestCols(name: String): Seq[String] =
+    getMeta(name + "__stats").toSeq.flatMap { m =>
+      m.split("\n", -1).drop(1).toSeq.filter(_.nonEmpty).flatMap { ln =>
+        ln.split("\t", -1).drop(2).toSeq.map(e => e.split("=", 2)(0))
+      }
+    }.distinct.sorted
 
   /** Partition-dir slice replacement (the microbatch physical path): drop the
     * ENUMERATED period partitions, then land the batch's files under their
@@ -720,14 +744,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     files.size
   }
 
-  /** The manifest-pruned file set admitting rows with `column` in
-    * [lo, hi], plus the total file count — None when no manifest exists,
-    * its version is unknown, or its recorded (path, size) set mismatches
-    * the live listing (callers fall back to a full scan). private[graft]
-    * so specs assert the PRODUCTION pruning decision, not a replica.
+  /** The manifest-pruned file set admitting rows inside the conjunctive
+    * BOX `AND_i column_i in [lo_i, hi_i]` (a file is dropped when ANY
+    * predicate's recorded range is provably disjoint), plus the total
+    * file count — None when no manifest exists, its version is unknown,
+    * or its recorded (path, size) set mismatches the live listing
+    * (callers fall back to a full scan). The multi-column form is the
+    * Z-order layout's payoff: a 2-d box intersects few Morton ranges, so
+    * BOTH predicates prune multiplicatively where linear clusterBy
+    * serves only its leading column. private[graft] so specs assert the
+    * PRODUCTION pruning decision, not a replica.
     */
-  private[graft] def statsPrunedFiles(name: String, column: String, lo: Long,
-      hi: Long): Option[(Seq[Path], Int)] = {
+  private[graft] def statsPrunedFiles(name: String,
+      preds: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] = {
+    require(preds.nonEmpty, "statsPrunedFiles needs at least one predicate")
     recover(name)
     getMeta(name + "__stats").flatMap { m =>
       val lines = m.split("\n", -1).toSeq
@@ -746,14 +776,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
           .map(p => dir(name).relativize(p).toString -> Files.size(p)).toMap
         if (live != recs.map(r => r._1 -> r._2).toMap) None // stale manifest
         else Some((recs.filter { case (_, _, st) =>
-          st.get(column) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
-            case None => true // no stats -> unprunable, keep
+          preds.forall { case (column, lo, hi) =>
+            st.get(column) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
+              case None => true // no stats -> unprunable on this column
+            }
           }
         }.map(r => dir(name).resolve(r._1)), recs.size))
       }
     }
   }
+
+  private[graft] def statsPrunedFiles(name: String, column: String, lo: Long,
+      hi: Long): Option[(Seq[Path], Int)] =
+    statsPrunedFiles(name, Seq((column, lo, hi)))
 
   /** Range read with manifest file skipping: semantically IDENTICAL to
     * `read(name).filter(column between lo and hi)` — the manifest only
@@ -762,12 +798,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * the full scan whenever [[statsPrunedFiles]] declines (no manifest /
     * stale), so the operator is always safe to call.
     */
-  def readPruned(name: String, column: String, lo: Long, hi: Long): DataFrame = {
+  def readPruned(name: String, column: String, lo: Long, hi: Long): DataFrame =
+    readPrunedBox(name, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-range read with manifest file skipping — the box
+    * query over a Z-ordered layout (q251 + q454 composed): semantically
+    * identical to `read(name).filter(AND_i col_i between lo_i and hi_i)`.
+    * Same safety contract as [[readPruned]].
+    */
+  def readPrunedBox(name: String, preds: Seq[(String, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(lo <= hi, s"range: [$lo, $hi]")
-    def pred(df: DataFrame) =
-      df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-    statsPrunedFiles(name, column, lo, hi) match {
+    preds.foreach { case (c, lo, hi) => require(lo <= hi, s"range $c: [$lo, $hi]") }
+    def pred(df: DataFrame) = preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
+    statsPrunedFiles(name, preds) match {
       case Some((kept, _)) if kept.isEmpty =>
         // the manifest PROVES no file intersects: fold to an empty
         // relation with the table's schema, zero I/O

@@ -447,6 +447,36 @@ object Round13Queries extends QuerySet {
         |                 *(CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb)) * 1000)
         |                // (CAST(n_a+n_b AS HUGEINT) * n_b * (ca+cb))) AS BIGINT)
         |       FROM up, sp GROUP BY 1, 2, 3, 4, 5)
-        |SELECT * FROM gn UNION ALL SELECT * FROM gp""".stripMargin))
+        |SELECT * FROM gn UNION ALL SELECT * FROM gp""".stripMargin)),
+
+    QueryDef("q457_zorder_box_read", (s, d) => {
+      // the 2-d BOX query the Z-order layout exists for (q251 + q454
+      // composed end-to-end): CTAS a lineitem copy, OPTIMIZE it along
+      // the (partkey, suppkey) Morton curve — the rewrite auto-refreshes
+      // the data-skipping manifest from its recorded columns, the
+      // maintenance contract ManifestSpec pins — then answer a
+      // conjunctive box through readPrunedBox, where BOTH predicates
+      // prune files multiplicatively (a 2-d box intersects few Morton
+      // ranges; linear clusterBy serves only its leading column). The
+      // oracle is the plain 2-d filter — the identity proof; the pruning
+      // decision itself (box kept < either slab) is spec-pinned.
+      val wh = Scratch.warehouse("q457", d, s, Seq("li_z"))
+      wh.writeSwap("li_z", table(s, d, "lineitem").select(
+        col("l_partkey").cast("long").as("partkey"),
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag")),
+        statsCols = Seq("partkey", "suppkey"))
+      wh.rewriteZOrdered("li_z", "partkey", "suppkey", numFiles = 16)
+      wh.readPrunedBox("li_z", Seq(("partkey", 1L, 500L), ("suppkey", 1L, 25L)))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    }, Some(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE CAST(l_partkey AS BIGINT) >= 1 AND CAST(l_partkey AS BIGINT) <= 500
+        |  AND CAST(l_suppkey AS BIGINT) >= 1 AND CAST(l_suppkey AS BIGINT) <= 25
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -99,6 +99,36 @@ class ManifestSpec extends AnyFunSuite {
     assert(wh.statsPrunedFiles("dst", "k", 0L, 24L).isEmpty)
   }
 
+  test("compact and Z-order rewrites auto-refresh the manifest; 2-d box prunes beyond either slab") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val grid = for { a <- 0L until 32L; b <- 0L until 32L } yield (a, b)
+    wh.writeSwap("z", grid.toDF("a", "b")
+      .repartitionByRange(8, col("a")).sortWithinPartitions("a"),
+      statsCols = Seq("a", "b"))
+    assert(wh.statsPrunedFiles("z", "a", 0L, 3L).exists(p => p._1.size < p._2))
+    // maintenance rewrite through the OPTIMIZE path: the manifest is
+    // refreshed automatically from its recorded columns — reads never
+    // silently downgrade to full scans after compaction
+    wh.rewriteZOrdered("z", "a", "b", numFiles = 16)
+    val Some((keptA, n)) = wh.statsPrunedFiles("z", "a", 0L, 7L)
+    val Some((keptB, _)) = wh.statsPrunedFiles("z", "b", 0L, 7L)
+    assert(n === 16 && keptA.size < n && keptB.size < n,
+      s"post-zorder slabs kept ${keptA.size}/${keptB.size} of $n")
+    // the BOX prunes multiplicatively: both predicates apply per file
+    val Some((keptBox, _)) = wh.statsPrunedFiles("z",
+      Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+    assert(keptBox.size < math.min(keptA.size, keptB.size),
+      s"box kept ${keptBox.size}, slabs ${keptA.size}/${keptB.size}")
+    val got = wh.readPrunedBox("z", Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === grid.filter(p => p._1 <= 7 && p._2 <= 7).toSet)
+    // plain compact() keeps it too (writeSwap-routed)
+    wh.compact("z", rowsPerFile = 64L)
+    assert(wh.statsPrunedFiles("z", "a", 0L, 3L).isDefined)
+    assert(wh.readPruned("z", "a", 0L, 3L).count() === 4 * 32L)
+  }
+
   test("NULLs in the stats column: kept-file semantics match the plain filter exactly") {
     val root = Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(root, spark)
