@@ -264,6 +264,58 @@ final class Warehouse(val root: String, spark: SparkSession) {
     completeSliceSwap(name)
   }
 
+  /** Directory-pruned range read of a period-partitioned table (the
+    * microbatch layout [[overwritePeriods]] maintains): only partition
+    * dirs whose period VALUE falls in [from, to] are listed and read —
+    * the rest of the table contributes zero I/O, not even a file
+    * listing. This is the window-view read path of the rolling-baseline
+    * monitors (q453): eviction is literally "the directory is never
+    * touched". Period strings compare lexicographically, which IS
+    * chronological order for every [[graft.engine.Registry]] grain
+    * pattern (zero-padded ISO date/hour/month/year). Semantically
+    * identical to `read(name)` filtered to those periods, because
+    * [[overwritePeriods]]/the microbatch writer guarantee each dir holds
+    * exactly its period's rows. Engine-internal columns (including the
+    * period key itself, which lives in the dir NAME) are stripped like
+    * every logical read. An empty range folds to an empty relation with
+    * the table's schema.
+    */
+  /** Period values present in a period-partitioned table, sorted — ONE
+    * directory listing, no Spark job: the monitor's "what period is
+    * current" probe (a max() over the stored relation would launch a
+    * scan for what the layout already knows).
+    */
+  def periodValues(name: String): Seq[String] = {
+    recover(name)
+    listDir(dir(name)).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map(_.getFileName.toString.split("=", 2)(1)).sorted
+  }
+
+  def readPeriodRange(name: String, from: String, to: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(from <= to, s"period range: [$from, $to]")
+    recover(name)
+    val partDirs = listDir(dir(name)).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    require(partDirs.nonEmpty, s"'$name' has no partition-dir layout")
+    val partCols = partDirs.map(_.getFileName.toString.split("=", 2)(0)).distinct
+    require(partCols.size == 1,
+      s"'$name' carries multiple partition columns: $partCols")
+    val kept = partDirs.filter { p =>
+      val v = p.getFileName.toString.split("=", 2)(1)
+      v >= from && v <= to
+    }
+    if (kept.isEmpty) read(name).filter(lit(false))
+    else {
+      // leaf dirs are passed explicitly: Spark treats each as a root, so
+      // no partition discovery runs and nothing outside [from, to] is
+      // ever listed
+      val raw = spark.read.parquet(kept.map(_.toString): _*)
+      raw.drop(raw.columns.filter(_.startsWith(enginePrefix)).toSeq: _*)
+    }
+  }
+
   /** Append-only sink (incremental strategy I1): new part-files land next to
     * existing ones; no rewrite of existing data.
     */

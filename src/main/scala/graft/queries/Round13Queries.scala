@@ -147,15 +147,16 @@ object Round13Queries extends QuerySet {
       // exact: the stored relation keeps PER-(day, value) grain in the
       // microbatch layout (one period partition per day — the q61
       // overwritePeriods discipline), admission writes ONLY the new
-      // day's partition, eviction is the window view's range filter
-      // (never a rewrite; each period's files carry a single day, so the
-      // literal day_ts range skips every out-of-window file via exact
-      // min/max stats). Three-run lifecycle: build days 10-14 + score;
-      // slide to 11-15 + score; slide to 12-16 + score — each score is
-      // the trailing-5-day window's register rollup KS'd against the
-      // fixed probe day 25 via ksFromRegisters (no raw-history rescan;
-      // window bounds are literals from a bounded driver-side max over
-      // the per-day rollup, so the filter is statically pushable). Day
+      // day's partition, eviction is the window view's period-range
+      // read (Warehouse.readPeriodRange: only the five in-window period
+      // dirs are listed or read — out-of-window history contributes
+      // ZERO I/O, not even a listing; never a rewrite). Three-run
+      // lifecycle: build days 10-14 + score; slide to 11-15 + score;
+      // slide to 12-16 + score — each score is the trailing-5-day
+      // window's register rollup KS'd against the fixed probe day 25
+      // via ksFromRegisters (no raw-history rescan; the current day
+      // comes from the period-directory NAMES — one listing, no Spark
+      // job). Day
       // 16 carries a PLANTED +50000-cent shift (complete separation:
       // max honest value is 49002 cents), so the third window must flag:
       // observed d_ppm 61332 / 58148 (honest nulls) -> 207444 (3.5x) at
@@ -190,16 +191,14 @@ object Round13Queries extends QuerySet {
       reg.register(Model("roll_scores", Seq("ev_src", "roll_regs"),
         IncrementalMat(Incremental.Merge, Seq("window_end")),
         ctx => {
-          val stored = ctx.ref("roll_regs")
-          // bounded metadata-scale collect (the touchedVals contract):
-          // one max over the per-day rollup, so the window filter below
-          // is a LITERAL range — pushable at plan time at any scale
-          val end = stored.agg(max(col("day_ts"))).collect()(0)
-            .getTimestamp(0).toLocalDateTime.toLocalDate
+          // "what day is current" comes from the period-directory NAMES
+          // (one listing, no Spark job), and the window view reads ONLY
+          // its five period dirs (Warehouse.readPeriodRange — the rest
+          // of history contributes zero I/O, not even a listing: the
+          // partition-pruned eviction made literal)
+          val end = java.time.LocalDate.parse(wh.periodValues("roll_regs").max)
           val start = end.minusDays(4)
-          val win = stored
-            .filter(col("day_ts") >= lit(start.toString).cast("timestamp") &&
-              col("day_ts") <= lit(end.toString).cast("timestamp"))
+          val win = wh.readPeriodRange("roll_regs", start.toString, end.toString)
             .groupBy(col("qs_value"))
             .agg(sum(col("qs_weight")).cast("long").as("qs_weight"))
           val probe = QuantileSketch.qsRegisters(

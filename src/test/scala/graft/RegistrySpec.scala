@@ -1257,5 +1257,25 @@ class RegistrySpec extends AnyFunSuite {
         r.getAs[Long]("qs_value")) -> r.getAs[Long]("qs_weight")).toMap
     assert(got === Map(("2024-01-01", 10L) -> 1L, ("2024-01-01", 20L) -> 1L,
       ("2024-01-02", 20L) -> 1L, ("2024-01-03", 30L) -> 2L))
+
+    // the window-view read path: period values come from directory
+    // names (no Spark job), and the range read provably touches ONLY
+    // the in-range period dirs (inputFiles containment — the literal
+    // partition-pruned eviction)
+    assert(wh.periodValues("roll") ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    val win = wh.readPeriodRange("roll", "2024-01-02", "2024-01-03")
+    assert(win.inputFiles.nonEmpty && win.inputFiles.forall(f =>
+      f.contains("__graft_period=2024-01-02") ||
+        f.contains("__graft_period=2024-01-03")), win.inputFiles.mkString(","))
+    val winRows = win.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day_ts").toString.take(10),
+        r.getAs[Long]("qs_value")) -> r.getAs[Long]("qs_weight")).toMap
+    assert(winRows === Map(("2024-01-02", 20L) -> 1L, ("2024-01-03", 30L) -> 2L))
+    // the engine period column never leaks into the logical schema
+    assert(!win.columns.exists(_.startsWith(wh.enginePrefix)))
+    // an empty range folds to an empty relation with the table schema
+    val none = wh.readPeriodRange("roll", "2023-01-01", "2023-12-31")
+    assert(none.count() === 0L && none.columns.sameElements(win.columns))
   }
 }
