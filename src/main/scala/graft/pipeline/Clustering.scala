@@ -60,11 +60,16 @@ object Clustering {
     * k-means codebook, the centroid TABLE may be large: labels x dim).
     */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
-      quantScale: Int = 1000): DataFrame =
-    df.select(col(labelCol).as("label"),
+      quantScale: Int = 1000, extraGroupCols: Seq[String] = Nil): DataFrame =
+    // extraGroupCols (pre-projected column names) key the register table
+    // at a finer grain (e.g. one rollup per day for the rolling centroid
+    // monitor) — sums stay mergeable across the extra keys by plain
+    // (label, pos) bag-sum, the HLL-regroup property the stored-baseline
+    // scorers rely on
+    df.select(extraGroupCols.map(col) :+ col(labelCol).as("label") :+
       posexplode(graft.plans.Expressions.quantizeDoubles(col(vecCol), quantScale))
-        .as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
+        .as(Seq("pos", "x")): _*)
+      .groupBy(extraGroupCols.map(col) ++ Seq(col("label"), col("pos")): _*)
       // count(x), not count(1): sum() skips NULL components, so counting
       // the NULL rows too would silently bias mean_q low — the mean is
       // over PRESENT components (a corrupt all-NULL position yields

@@ -476,6 +476,104 @@ object Round13Queries extends QuerySet {
         |FROM lineitem
         |WHERE CAST(l_partkey AS BIGINT) >= 1 AND CAST(l_partkey AS BIGINT) <= 500
         |  AND CAST(l_suppkey AS BIGINT) >= 1 AND CAST(l_suppkey AS BIGINT) <= 25
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q458_rolling_centroid", (s, d) => {
+      // the 2 x 2 monitor matrix completed: scalar x frozen (q448),
+      // scalar x rolling (q453), embedding x frozen (q452) — and THIS,
+      // embedding x rolling. Per-day centroid-SUM registers (the
+      // labelCentroids relation keyed by a pseudo-day, vec_id % 12 + 1)
+      // live in the microbatch partition layout; slides admit one day's
+      // partition, the trailing-5-day reference view is a directory-
+      // pruned readPeriodRange + plain (label, pos) bag-SUM (centroid
+      // sums merge across days exactly like scalar registers — the
+      // mergeability claim this query exists to pin), and each run
+      // scores the NEWEST day against the trailing window ("does today
+      // still embed like the recent past"), both sides reading STORED
+      // registers only. Day 12 (the last admitted) carries the
+      // labelShift=1 planted structure: honest nulls read 0.979-0.996,
+      // the drifted day reads -0.41..-0.46 on all 10 labels
+      // (value-inspected).
+      import graft.engine.{Incremental, IncrementalMat, Model, Registry}
+      import graft.operators.GenericTests
+      import graft.pipeline.Clustering
+      val wh = Scratch.warehouse("q458", d, s, Seq("cent_days", "cent_roll"))
+      val reg = new Registry(s, wh)
+      reg.source("emb_src", table(s, d, "embeddings")
+        .withColumn("day_ts", date_add(lit("2023-12-31").cast("date"),
+          (col("vec_id") % 12 + 1).cast("int")).cast("timestamp")))
+      reg.register(Model("cent_days", Seq("emb_src"),
+        IncrementalMat(Incremental.Microbatch("day_ts", "2024-01-01",
+          "2024-01-11", grain = "day"), Nil),
+        ctx => {
+          val src = ctx.ref("emb_src")
+          val base = if (ctx.isIncremental) src
+            else src.filter(col("day_ts") < lit("2024-01-11").cast("timestamp"))
+          val regs = Clustering.labelCentroids(base, "label", "embedding",
+            extraGroupCols = Seq("day_ts"))
+          // the drifted day's plant rides the day column (the q452
+          // structured offset with a per-day labelShift)
+          val shift = when(
+            col("day_ts") === lit("2024-01-12").cast("timestamp"), 1)
+            .otherwise(0)
+          regs.select(col("day_ts"), col("label"), col("pos"),
+            (col("sum_q") + col("n_vecs") *
+              ((((col("label") + shift) * 31 + col("pos") * 17) % 13 - 6)
+                .cast("long") * 150L)).as("sum_q"),
+            col("n_vecs"))
+        }))
+      reg.register(Model("cent_roll", Seq("emb_src", "cent_days"),
+        IncrementalMat(Incremental.Merge, Seq("score_day", "label")),
+        ctx => {
+          val day = java.time.LocalDate.parse(wh.periodValues("cent_days").max)
+          val ref = wh.readPeriodRange("cent_days",
+            day.minusDays(5).toString, day.minusDays(1).toString)
+            .groupBy(col("label"), col("pos"))
+            .agg(sum(col("sum_q")).as("sum_q"), sum(col("n_vecs")).as("n_vecs"))
+          val live = wh.readPeriodRange("cent_days", day.toString, day.toString)
+            .select(col("label"), col("pos"), col("sum_q"), col("n_vecs"))
+          GenericTests.centroidCosFromRegisters(ref, live)
+            .withColumn("score_day", lit(day.toString).cast("date"))
+        }))
+      reg.run()
+      reg.runMicrobatches("cent_days", "2024-01-11", "2024-01-12", "day")
+      reg.runMicrobatches("cent_days", "2024-01-12", "2024-01-13", "day")
+      wh.read("cent_roll")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id, label,
+         |                  CAST(vec_id % 12 + 1 AS BIGINT) AS d,
+         |                  $qvecSql AS v
+         |           FROM embeddings),
+         |c AS (SELECT d, label, i.i - 1 AS pos, v[i.i] AS x
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i),
+         |r AS (SELECT d, label, pos,
+         |             CAST(sum(x) AS HUGEINT)
+         |               + CAST(count(x) AS HUGEINT)
+         |                 * ((((label + CASE WHEN d = 12 THEN 1 ELSE 0 END) * 31
+         |                      + pos * 17) % 13 - 6) * 150) AS s,
+         |             CAST(count(x) AS BIGINT) AS n
+         |      FROM c GROUP BY 1, 2, 3),
+         |sd AS (SELECT unnest([10, 11, 12]) AS score_d),
+         |ref AS (SELECT sd.score_d, label, pos, sum(s) AS s, sum(n) AS n
+         |        FROM r, sd WHERE r.d >= sd.score_d - 5 AND r.d <= sd.score_d - 1
+         |        GROUP BY 1, 2, 3),
+         |live AS (SELECT sd.score_d, label, pos, s, n
+         |         FROM r, sd WHERE r.d = sd.score_d),
+         |j AS (SELECT coalesce(ref.score_d, live.score_d) AS score_d,
+         |             coalesce(ref.label, live.label) AS label,
+         |             ref.s AS sr, live.s AS sl, ref.n AS nr_c, live.n AS nl_c
+         |      FROM ref FULL OUTER JOIN live
+         |        ON ref.score_d = live.score_d AND ref.label = live.label
+         |       AND ref.pos = live.pos)
+         |SELECT CAST(DATE '2023-12-31' + CAST(score_d AS INTEGER) AS DATE)
+         |         AS score_day,
+         |       label, CAST(max(nr_c) AS BIGINT) AS n_ref,
+         |       CAST(max(nl_c) AS BIGINT) AS n_live,
+         |       CASE WHEN sum(sr * sr) > 0 AND sum(sl * sl) > 0
+         |            THEN CAST(sum(sr * sl) AS DOUBLE)
+         |               / (sqrt(CAST(sum(sr * sr) AS DOUBLE))
+         |                  * sqrt(CAST(sum(sl * sl) AS DOUBLE)))
+         |       END AS centroid_cos
+         |FROM j GROUP BY 1, 2""".stripMargin))
   )
 }

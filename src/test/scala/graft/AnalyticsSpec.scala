@@ -186,6 +186,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((1, 1)) === ((500L, 1L, 500.0)))
   }
 
+  test("labelCentroids extraGroupCols: per-key sums bag-SUM back to the whole-slice registers") {
+    import org.apache.spark.sql.functions._
+    // the mergeability contract the rolling centroid monitor (q458)
+    // rests on: per-day (label, pos) sums merged by plain sum() equal
+    // the registers computed over the undivided slice
+    val df = Seq(
+      (1, 0, Array(1.0f, 2.0f)), (1, 0, Array(3.0f, 4.0f)),
+      (2, 0, Array(5.0f, 6.0f)), (2, 1, Array(-1.0f, 0.5f)))
+      .toDF("day", "label", "embedding")
+    val perDay = graft.pipeline.Clustering.labelCentroids(
+      df, "label", "embedding", extraGroupCols = Seq("day"))
+    assert(perDay.columns.toSeq ===
+      Seq("day", "label", "pos", "sum_q", "n_vecs", "mean_q"))
+    val merged = perDay.groupBy(col("label"), col("pos"))
+      .agg(sum(col("sum_q")).as("sum_q"), sum(col("n_vecs")).as("n_vecs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val whole = graft.pipeline.Clustering.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged === whole)
+    assert(whole((0, 0)) === ((9000L, 3L)))
+  }
+
   test("groupChecksum: order/partition-invariant, detects any value change") {
     import graft.functions.Sketches
     val rows = (1L to 200L).map(i => (s"g${i % 2}", i, s"v$i"))
