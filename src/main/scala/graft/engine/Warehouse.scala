@@ -862,6 +862,19 @@ final class Warehouse(val root: String, spark: SparkSession) {
     import org.apache.spark.sql.functions.{col, lit}
     preds.foreach { case (c, lo, hi) => require(lo <= hi, s"range $c: [$lo, $hi]") }
     def pred(df: DataFrame) = preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      // integral LOGICAL types only: a DATE column also stores INT32
+      // physically (the manifest records its day numbers fine), but the
+      // long-literal predicate below would hit an ANSI type clash —
+      // fail loudly and tell the caller to key ranges on epoch-day ints
+      // (the fixed-point discipline; the madOutliers guard family).
+      // Checked on the frame actually filtered, so the pruned path pays
+      // no extra file-index build.
+      d.schema.fields.find(_.name == c).foreach { f =>
+        require(Seq("byte", "short", "integer", "long")
+          .contains(f.dataType.typeName),
+          s"readPruned range column '$c' is ${f.dataType.typeName} — " +
+            "quantize to an integral column first (epoch days / cents)")
+      }
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
     statsPrunedFiles(name, preds) match {
       case Some((kept, _)) if kept.isEmpty =>

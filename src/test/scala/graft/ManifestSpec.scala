@@ -165,5 +165,15 @@ class ManifestSpec extends AnyFunSuite {
     val Some((keptM, nM)) = wh.statsPrunedFiles("t", "nope", 0L, 1L)
     assert(keptM.size === nM)
     assert(wh.readPruned("t", "k", 10L, 19L).count() === 10L)
+    // a DATE range column fails LOUDLY (its INT32 footer stats record
+    // fine, but the long-literal predicate would ANSI-clash): callers
+    // key ranges on epoch-day ints instead
+    val dated = (0 until 10).map(i => (i.toLong, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")))
+      .toDF("k", "d")
+    wh.writeSwap("td", dated, statsCols = Seq("k", "d"))
+    val e = intercept[IllegalArgumentException] {
+      wh.readPruned("td", "d", 19723L, 19725L).count()
+    }
+    assert(e.getMessage.contains("quantize"), e.getMessage)
   }
 }
