@@ -163,10 +163,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * per-file ranges selective.
     */
   def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     require(statsCols.isEmpty || partitionBy.isEmpty,
       "stats manifests apply to unpartitioned layouts only")
+    require(bloomCols.isEmpty || partitionBy.isEmpty,
+      "bloom manifests apply to unpartitioned layouts only")
     // recover FIRST: in the backup-only crash state the backup is the sole
     // complete copy, and the deleteRec(backup) below would destroy it
     // before the new data is safely staged — a second failure then loses
@@ -180,6 +183,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // falls back safely until the next rewrite or manual refresh).
     val priorStatsCols =
       if (statsCols.nonEmpty) statsCols else manifestCols(name)
+    val priorBloom: Option[(Seq[String], Int, Int)] =
+      if (bloomCols.nonEmpty) Some((bloomCols, 10, 7))
+      else bloomManifestParams(name)
     val out = if (clusterBy.nonEmpty)
       df.repartitionByRange(clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
     else df
@@ -211,6 +217,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
       // (directory pruning takes over; the stale sidecar would only pay
       // the listing check forever)
       removeMeta(name + "__stats")
+    if (partitionBy.isEmpty) priorBloom.foreach { case (cs, bpk, k) =>
+      writeBloomManifest(name, cs, bpk, k); ()
+    } else removeMeta(name + "__bloom")
   }
 
   /** Column set recorded in the current manifest sidecar (empty when
@@ -740,15 +749,22 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * Metadata-only build: footers are read driver-side (no Spark job, no
     * data pages — O(files) footer reads once at write time, amortized
     * over every later read). Stats are recorded for integral physical
-    * types (INT32/INT64 — the engine keys ranges on integers/dates); a
-    * file without usable stats for a column is simply unprunable on it
-    * (conservative). Staleness is structural, not temporal: the manifest
-    * records each data file's (relative path, byte size); [[readPruned]]
-    * validates that set against the live listing and falls back to a
-    * full scan on ANY mismatch — every writer path (swap, append,
-    * compact, slice) changes the file set, so a stale manifest can never
-    * drop rows. Unpartitioned layouts only (partition dirs already prune
-    * by directory; explicit-file reads would lose partition columns).
+    * types (INT32/INT64 — the engine keys ranges on integers/dates) and
+    * for STRING columns (BINARY chunks, unsigned byte-wise bounds — the
+    * order UTF8String, parquet's UNSIGNED sort order, and binary-collated
+    * SQL engines all share): string bounds longer than 32 bytes are
+    * truncated the Iceberg `truncate(n)` way — the lower bound cut (a
+    * prefix is byte-wise <= the full value), the upper bound cut at its
+    * last non-0xFF byte and incremented (provably >= the true max; an
+    * all-0xFF prefix records "unbounded above"). A file without usable
+    * stats for a column is simply unprunable on it (conservative).
+    * Staleness is structural, not temporal: the manifest records each
+    * data file's (relative path, byte size); [[readPruned]] validates
+    * that set against the live listing and falls back to a full scan on
+    * ANY mismatch — every writer path (swap, append, compact, slice)
+    * changes the file set, so a stale manifest can never drop rows.
+    * Unpartitioned layouts only (partition dirs already prune by
+    * directory; explicit-file reads would lose partition columns).
     * Returns the file count manifested.
     */
   def writeStatsManifest(name: String, cols: Seq[String]): Int = {
@@ -763,6 +779,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     require(!listDir(dir(name)).exists(p =>
       Files.isDirectory(p) && p.getFileName.toString.contains("=")),
       "stats manifests apply to unpartitioned tables only")
+    val b64 = java.util.Base64.getEncoder
     val conf = spark.sessionState.newHadoopConf()
     val files = parquetDataFiles(name)
     val lines = files.map { p =>
@@ -775,26 +792,50 @@ final class Warehouse(val root: String, spark: SparkSession) {
         cols.flatMap { c =>
           val chunks = blocks.flatMap(_.getColumns.asScala
             .filter(_.getPath.toDotString == c))
-          val usable = chunks.nonEmpty && chunks.forall { ch =>
-            val tn = ch.getPrimitiveType.getPrimitiveTypeName
-            (tn == PrimitiveTypeName.INT32 || tn == PrimitiveTypeName.INT64) &&
-              ch.getStatistics != null && !ch.getStatistics.isEmpty &&
-              ch.getStatistics.hasNonNullValue
-          }
-          if (!usable) None
-          else Some(s"$c=" +
-            chunks.map(_.getStatistics.genericGetMin
-              .asInstanceOf[Number].longValue).min + ":" +
-            chunks.map(_.getStatistics.genericGetMax
-              .asInstanceOf[Number].longValue).max)
+          def statsOk = chunks.forall(ch => ch.getStatistics != null &&
+            !ch.getStatistics.isEmpty && ch.getStatistics.hasNonNullValue)
+          def allType(tn: PrimitiveTypeName) =
+            chunks.forall(_.getPrimitiveType.getPrimitiveTypeName == tn)
+          if (chunks.isEmpty || !statsOk) None
+          else if (allType(PrimitiveTypeName.INT32) ||
+              allType(PrimitiveTypeName.INT64))
+            Some(s"$c=i:" +
+              chunks.map(_.getStatistics.genericGetMin
+                .asInstanceOf[Number].longValue).min + ":" +
+              chunks.map(_.getStatistics.genericGetMax
+                .asInstanceOf[Number].longValue).max)
+          else if (allType(PrimitiveTypeName.BINARY)) {
+            val ord = byteOrdering
+            val mn = chunks.map(_.getStatistics.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).min(ord)
+            val mx = chunks.map(_.getStatistics.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).max(ord)
+            val lo = if (mn.length <= 32) mn else mn.take(32)
+            val hi: Option[Array[Byte]] =
+              if (mx.length <= 32) Some(mx)
+              else {
+                val t = mx.take(32)
+                val i = t.lastIndexWhere(_ != -1.toByte)
+                if (i < 0) None // all 0xFF: no finite truncated upper bound
+                else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+              }
+            Some(s"$c=s:" + b64.encodeToString(lo) + ":" +
+              hi.map(b64.encodeToString).getOrElse("*"))
+          } else None
         }
       } finally reader.close()
       (Seq(dir(name).relativize(p).toString, Files.size(p).toString) ++ entries)
         .mkString("\t")
     }
-    putMeta(name + "__stats", ("v1" +: lines).mkString("\n"))
+    putMeta(name + "__stats", ("v2" +: lines).mkString("\n"))
     files.size
   }
+
+  /** Unsigned byte-wise ordering — the shared sort order of UTF8String,
+    * parquet BINARY statistics, and binary-collated SQL engines.
+    */
+  private val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   /** The manifest-pruned file set admitting rows inside the conjunctive
     * BOX `AND_i column_i in [lo_i, hi_i]` (a file is dropped when ANY
@@ -807,35 +848,90 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * serves only its leading column. private[graft] so specs assert the
     * PRODUCTION pruning decision, not a replica.
     */
-  private[graft] def statsPrunedFiles(name: String,
-      preds: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] = {
-    require(preds.nonEmpty, "statsPrunedFiles needs at least one predicate")
-    recover(name)
-    getMeta(name + "__stats").flatMap { m =>
+  /** One column's recorded per-file bound: an integral [lo, hi] or a
+    * (possibly truncated) unsigned byte-wise string bound — `hiB = None`
+    * means "unbounded above" (an all-0xFF truncation).
+    */
+  private sealed trait ColStat
+  private case class IntStat(lo: Long, hi: Long) extends ColStat
+  private case class StrStat(loB: Array[Byte], hiB: Option[Array[Byte]])
+    extends ColStat
+
+  /** One range predicate against the manifest: integral, or unsigned
+    * byte-wise on UTF-8 bytes (`hi = None` = unbounded above — the
+    * prefix-read upper bound when the prefix is all 0xFF).
+    */
+  private[graft] sealed trait RangePred { def column: String }
+  private[graft] case class IntRange(column: String, lo: Long, hi: Long)
+    extends RangePred
+  private[graft] case class BytesRange(column: String, lo: Array[Byte],
+      hi: Option[Array[Byte]]) extends RangePred
+
+  /** Parse + staleness-check a sidecar manifest (shared by the stats and
+    * bloom readers): the recorded (relative path, byte size) set must
+    * match the live listing exactly, or the whole manifest is rejected
+    * and callers fall back to a full scan. Yields (header tail lines,
+    * per-file records with their raw entry strings).
+    */
+  private def loadManifest(name: String, suffix: String, version: String,
+      headerLines: Int): Option[(Seq[String], Seq[(String, Seq[String])])] =
+    getMeta(name + suffix).flatMap { m =>
       val lines = m.split("\n", -1).toSeq
-      if (lines.headOption.forall(_ != "v1")) None
+      if (lines.headOption.forall(_ != version)) None
       else {
-        val recs = lines.tail.filter(_.nonEmpty).map { ln =>
+        val header = lines.slice(1, 1 + headerLines)
+        val recs = lines.drop(1 + headerLines).filter(_.nonEmpty).map { ln =>
           val parts = ln.split("\t", -1).toSeq
-          val stats = parts.drop(2).map { e =>
-            val Array(c, r) = e.split("=", 2)
-            val Array(mn, mx) = r.split(":", 2)
-            c -> (mn.toLong, mx.toLong)
-          }.toMap
-          (parts(0), parts(1).toLong, stats)
+          ((parts(0), parts(1).toLong), parts.drop(2))
         }
         val live = parquetDataFiles(name)
           .map(p => dir(name).relativize(p).toString -> Files.size(p)).toMap
-        if (live != recs.map(r => r._1 -> r._2).toMap) None // stale manifest
-        else Some((recs.filter { case (_, _, st) =>
-          preds.forall { case (column, lo, hi) =>
-            st.get(column) match {
-              case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
-              case None => true // no stats -> unprunable on this column
-            }
-          }
-        }.map(r => dir(name).resolve(r._1)), recs.size))
+        if (live != recs.map(_._1).toMap) None // stale manifest
+        else Some((header, recs.map { case ((p, _), es) => (p, es) }))
       }
+    }
+
+  private def parseColStats(entries: Seq[String]): Map[String, ColStat] = {
+    val b64 = java.util.Base64.getDecoder
+    entries.map { e =>
+      val Array(c, r) = e.split("=", 2)
+      r.split(":", -1) match {
+        case Array("i", mn, mx) => c -> IntStat(mn.toLong, mx.toLong)
+        case Array("s", lo, hi) => c -> StrStat(b64.decode(lo),
+          if (hi == "*") None else Some(b64.decode(hi)))
+        case other => throw new IllegalStateException(
+          s"unreadable manifest entry '$c=${other.mkString(":")}'")
+      }
+    }.toMap
+  }
+
+  /** True when the recorded bound CANNOT rule the file out for the
+    * predicate — missing stats and type mismatches keep (conservative),
+    * so pruning only ever drops files whose disjointness is proven.
+    */
+  private def mayIntersect(st: Map[String, ColStat], p: RangePred): Boolean =
+    (st.get(p.column), p) match {
+      case (Some(IntStat(mn, mx)), IntRange(_, lo, hi)) => mx >= lo && mn <= hi
+      case (Some(StrStat(mnB, mxB)), BytesRange(_, lo, hi)) =>
+        mxB.forall(mx => java.util.Arrays.compareUnsigned(mx, lo) >= 0) &&
+          hi.forall(h => java.util.Arrays.compareUnsigned(mnB, h) <= 0)
+      case _ => true // no stats or type mismatch -> unprunable
+    }
+
+  private[graft] def statsPrunedFiles(name: String,
+      preds: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] =
+    statsPrunedFilesTyped(name,
+      preds.map { case (c, lo, hi) => IntRange(c, lo, hi) })
+
+  private[graft] def statsPrunedFilesTyped(name: String,
+      preds: Seq[RangePred]): Option[(Seq[Path], Int)] = {
+    require(preds.nonEmpty, "statsPrunedFiles needs at least one predicate")
+    recover(name)
+    loadManifest(name, "__stats", "v2", 0).map { case (_, recs) =>
+      (recs.filter { case (_, entries) =>
+        val st = parseColStats(entries)
+        preds.forall(p => mayIntersect(st, p))
+      }.map(r => dir(name).resolve(r._1)), recs.size)
     }
   }
 
@@ -876,16 +972,263 @@ final class Warehouse(val root: String, spark: SparkSession) {
             "quantize to an integral column first (epoch days / cents)")
       }
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
-    statsPrunedFiles(name, preds) match {
-      case Some((kept, _)) if kept.isEmpty =>
-        // the manifest PROVES no file intersects: fold to an empty
-        // relation with the table's schema, zero I/O
-        pred(read(name)).filter(lit(false))
-      case Some((kept, _)) =>
-        val raw = spark.read.parquet(kept.map(_.toString): _*)
+    prunedRead(statsPrunedFiles(name, preds), name, pred)
+  }
+
+  /** The shared pruned-read shape: a proven-empty kept set folds to an
+    * empty relation with the table's schema (zero I/O), a pruned set
+    * reads only those files, and a declined manifest (None) falls back
+    * to the full scan — the row-level predicate applies in EVERY case,
+    * so the result is always exactly `pred(read(name))`.
+    */
+  private def prunedRead(kept: Option[(Seq[Path], Int)], name: String,
+      pred: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    kept match {
+      case Some((k, _)) if k.isEmpty => pred(read(name)).filter(lit(false))
+      case Some((k, _)) =>
+        val raw = spark.read.parquet(k.map(_.toString): _*)
         pred(raw.drop(raw.columns.filter(_.startsWith(enginePrefix)).toSeq: _*))
       case None => pred(read(name))
     }
+  }
+
+  private def requireStringCol(name: String, df: DataFrame, c: String): Unit =
+    df.schema.fields.find(_.name == c).foreach { f =>
+      require(f.dataType.typeName == "string",
+        s"'$c' is ${f.dataType.typeName} — string pruned reads take string " +
+          "columns (integral ranges go through readPruned)")
+    }
+
+  /** UTF-8 bytes of the smallest string STRICTLY greater than every
+    * string with this prefix — the prefix read's exclusive upper bound
+    * (None when the prefix is all 0xFF: unbounded above).
+    */
+  private def prefixUpper(prefix: Array[Byte]): Option[Array[Byte]] = {
+    val i = prefix.lastIndexWhere(_ != -1.toByte)
+    if (i < 0) None else Some(prefix.take(i + 1).updated(i, (prefix(i) + 1).toByte))
+  }
+
+  /** String-range read with manifest file skipping — semantically
+    * identical to `read(name).filter(column between lo and hi)` (string
+    * comparison is unsigned byte-wise on UTF-8 in Spark, parquet stats,
+    * and binary-collated SQL engines alike). Same safety contract as
+    * [[readPruned]]: pruning only drops files whose recorded bounds
+    * PROVE disjointness; stale/missing manifests fall back to the full
+    * scan, and the row predicate applies in every case.
+    */
+  def readPrunedStrRange(name: String, column: String, lo: String,
+      hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo <= hi, s"range $column: ['$lo', '$hi']")
+    val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def pred(df: DataFrame) = {
+      requireStringCol(name, df, column)
+      df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
+    prunedRead(statsPrunedFilesTyped(name,
+      Seq(BytesRange(column, loB, Some(hiB)))), name, pred)
+  }
+
+  /** Prefix read with manifest file skipping — semantically identical to
+    * `read(name).filter(column.startsWith(prefix))`: the manifest range
+    * is [prefix, next-prefix) with the upper bound from [[prefixUpper]],
+    * the row predicate is the exact startsWith. The point-lookup /
+    * leading-key shape of partition-by-prefix layouts (brand, language,
+    * URL host) at 100 TB. Same safety contract as [[readPruned]].
+    */
+  def readPrunedPrefix(name: String, column: String, prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(prefix.nonEmpty, "empty prefix matches everything — use read()")
+    val pB = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def pred(df: DataFrame) = {
+      requireStringCol(name, df, column)
+      df.filter(col(column).startsWith(lit(prefix)))
+    }
+    prunedRead(statsPrunedFilesTyped(name,
+      Seq(BytesRange(column, pB, prefixUpper(pB)))), name, pred)
+  }
+
+  /** Per-file Bloom-filter sidecar (Bloom 1970; the parquet/Delta
+    * bloom-filter idea as ONE sidecar read) — the EQUALITY complement of
+    * [[writeStatsManifest]]: a point lookup on a high-cardinality column
+    * in a hash-partitioned or insertion-ordered layout finds every
+    * file's min/max spanning the whole domain (nothing prunes), yet each
+    * key lives in very few files — exactly what a membership filter
+    * proves. `readPrunedEq`/`readPrunedIn` drop every file whose bloom
+    * says "definitely absent" BEFORE Spark lists it; false positives
+    * only ever KEEP a file (the row predicate still applies), so results
+    * are exact.
+    *
+    * Build is DISTRIBUTED (one Spark job, unlike the footer-stats
+    * manifest's driver-side walk): per-file `m` is sized from footer row
+    * counts (next power of two >= rows*bitsPerKey, floor 64, cap 2^30),
+    * each row contributes `numHashes` bits via seed-chained xxhash64
+    * (position_i = pmod(xxhash64(i, col), m) — no position arithmetic,
+    * so ANSI overflow cannot bite), partial-aggregated map-side and
+    * bit_or-combined per (file, column, word). The driver collect is
+    * metadata-bounded by files x cols x m/64 words (~0.2% of data bytes
+    * at bitsPerKey=10), the same contract as the footer-stats build.
+    * Probe hashes are evaluated through the SAME Spark expressions on a
+    * one-row local relation (constant-folded, zero file I/O), so build
+    * and probe can never diverge. Staleness, unpartitioned-only, clone
+    * and drop semantics are shared with the stats manifest. Returns the
+    * file count manifested.
+    */
+  def writeBloomManifest(name: String, cols: Seq[String], bitsPerKey: Int = 10,
+      numHashes: Int = 7): Int = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions._
+    recover(name)
+    require(Files.exists(dir(name)), s"no table '$name'")
+    require(cols.nonEmpty, "writeBloomManifest needs at least one column")
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"bloom columns must be plain identifiers: $cols")
+    require(bitsPerKey >= 1 && bitsPerKey <= 32, s"bitsPerKey: $bitsPerKey")
+    require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
+    require(!listDir(dir(name)).exists(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("=")),
+      "bloom manifests apply to unpartitioned tables only")
+    val files = parquetDataFiles(name)
+    require(files.map(_.getFileName.toString).distinct.size == files.size,
+      "bloom manifests key files by basename — duplicate basenames found")
+    val conf = spark.sessionState.newHadoopConf()
+    def nextPow2(x: Long): Long =
+      if (x <= 1L) 1L else java.lang.Long.highestOneBit(x - 1L) << 1
+    val mByFile: Seq[(String, Long)] = files.map { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString), conf)
+      val reader = ParquetFileReader.open(in)
+      val rows = try reader.getRecordCount finally reader.close()
+      p.getFileName.toString ->
+        math.min(1L << 30, math.max(64L, nextPow2(rows * bitsPerKey)))
+    }
+    // ONE distributed pass: every (column, hash index) contributes a
+    // (word, single-bit mask) struct, bit_or-combined per file and word
+    val raw = spark.read.parquet(dir(name).toString)
+    import spark.implicits._
+    val mDf = mByFile.toDF("__bloom_file", "__bloom_m")
+    val base = raw
+      .select(cols.map(col) :+
+        substring_index(input_file_name(), "/", -1).as("__bloom_file"): _*)
+      .join(broadcast(mDf), "__bloom_file")
+    val contribs = cols.flatMap { c =>
+      (0 until numHashes).map { i =>
+        val pos = pmod(xxhash64(lit(i), col(c)), col("__bloom_m"))
+        struct(lit(c).as("c"),
+          call_function("div", pos, lit(64L)).as("w"),
+          call_function("shiftleft", lit(1L),
+            pmod(pos, lit(64L)).cast("int")).as("b"))
+      }
+    }
+    val words = base
+      .select(col("__bloom_file"), explode(array(contribs: _*)).as("e"))
+      .groupBy(col("__bloom_file"), col("e.c").as("c"), col("e.w").as("w"))
+      .agg(call_function("bit_or", col("e.b")).as("bits"))
+      .collect() // metadata-bounded: files x cols x m/64 words, by contract
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    val b64 = java.util.Base64.getEncoder
+    val lines = files.map { p =>
+      val fname = p.getFileName.toString
+      val m = mByFile.toMap.apply(fname)
+      val entries = cols.map { c =>
+        val wmap = words.getOrElse((fname, c), Map.empty[Long, Long])
+        val buf = java.nio.ByteBuffer.allocate(((m / 64) * 8).toInt)
+        (0L until m / 64).foreach(w => buf.putLong(wmap.getOrElse(w, 0L)))
+        s"$c=" + b64.encodeToString(buf.array())
+      }
+      (Seq(dir(name).relativize(p).toString, Files.size(p).toString,
+        m.toString) ++ entries).mkString("\t")
+    }
+    val header = s"bpk=$bitsPerKey\tk=$numHashes\tcols=${cols.mkString(",")}"
+    putMeta(name + "__bloom", (Seq("v1", header) ++ lines).mkString("\n"))
+    files.size
+  }
+
+  /** Recorded bloom parameters (columns, bitsPerKey, numHashes) — the
+    * auto-refresh source for [[writeSwap]]-routed rewrites (staleness
+    * deliberately NOT checked: the caller is about to rebuild).
+    */
+  private def bloomManifestParams(name: String): Option[(Seq[String], Int, Int)] =
+    getMeta(name + "__bloom").flatMap { m =>
+      val lines = m.split("\n", -1)
+      if (lines.headOption.forall(_ != "v1") || lines.length < 2) None
+      else {
+        val hdr = lines(1).split("\t", -1)
+          .map(e => e.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        Some((hdr("cols").split(",").toSeq, hdr("bpk").toInt, hdr("k").toInt))
+      }
+    }
+
+  /** The bloom-pruned file set for `column IN values`: a file is kept
+    * when ANY value is maybe-present (all `k` bits set in its filter).
+    * None when no bloom manifest exists, it doesn't cover `column`, or
+    * its recorded (path, size) set mismatches the live listing — callers
+    * fall back to a full scan. private[graft] so specs assert the
+    * PRODUCTION pruning decision.
+    */
+  private[graft] def bloomPrunedFiles(name: String, column: String,
+      values: Seq[Any]): Option[(Seq[Path], Int)] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    require(values.nonEmpty, "bloomPrunedFiles needs at least one value")
+    require(values.forall(_ != null), "NULL never equals — drop null probes")
+    recover(name)
+    loadManifest(name, "__bloom", "v1", 1).flatMap { case (header, recs) =>
+      val hdr = header.head.split("\t", -1)
+        .map(e => e.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val k = hdr("k").toInt
+      if (!hdr("cols").split(",").contains(column)) None
+      else read(name).schema.fields.find(_.name == column).map { f =>
+        // probe hashes through the SAME expressions as the build, on a
+        // one-row local relation (constant-folded — no file I/O)
+        val hashCols = values.flatMap(v =>
+          (0 until k).map(i => xxhash64(lit(i), lit(v).cast(f.dataType))))
+        val row = spark.range(1).select(hashCols: _*).head()
+        val rawHashes: Seq[Seq[Long]] = values.indices.map(vi =>
+          (0 until k).map(i => row.getLong(vi * k + i)))
+        val b64 = java.util.Base64.getDecoder
+        val kept = recs.filter { case (_, entries) =>
+          val m = entries.head.toLong
+          entries.tail.map(_.split("=", 2)).collectFirst {
+            case Array(c, bits) if c == column => bits
+          } match {
+            case None => true // column entry missing for this file: keep
+            case Some(bits) =>
+              val wb = java.nio.ByteBuffer.wrap(b64.decode(bits)).asLongBuffer()
+              val wordsArr = new Array[Long](wb.remaining()); wb.get(wordsArr)
+              rawHashes.exists(_.forall { h =>
+                val pos = java.lang.Math.floorMod(h, m)
+                (wordsArr((pos / 64L).toInt) >>> (pos % 64L).toInt & 1L) == 1L
+              })
+          }
+        }.map(r => dir(name).resolve(r._1))
+        (kept, recs.size)
+      }
+    }
+  }
+
+  /** Point-lookup read with bloom file skipping: semantically identical
+    * to `read(name).filter(column === value)` — the bloom only removes
+    * files that PROVABLY lack the value (no false negatives by
+    * construction), the row predicate still applies to every file read,
+    * and a declined manifest falls back to the full scan.
+    */
+  def readPrunedEq(name: String, column: String, value: Any): DataFrame =
+    readPrunedIn(name, column, Seq(value))
+
+  /** Multi-key point-lookup read with bloom file skipping — the "fetch
+    * these N keys" batch shape: semantically identical to
+    * `read(name).filter(column isin values)`; a file is read when ANY
+    * probe key is maybe-present. Same safety contract as [[readPrunedEq]].
+    */
+  def readPrunedIn(name: String, column: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPrunedIn needs at least one value")
+    def pred(df: DataFrame) = df.filter(col(column).isin(values: _*))
+    prunedRead(bloomPrunedFiles(name, column, values), name, pred)
   }
 
   /** Zero-copy table clone (dbt clone, dbt-adapters
@@ -940,6 +1283,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
       case Some(m) => putMeta(dst + "__stats", m)
       case None => removeMeta(dst + "__stats")
     }
+    getMeta(src + "__bloom") match {
+      case Some(m) => putMeta(dst + "__bloom", m)
+      case None => removeMeta(dst + "__bloom")
+    }
     invalidate(dst)
   }
 
@@ -988,9 +1335,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // not inherit the dropped table's dynamic-table config (a config-clean
     // first run would silently no-op instead of building)
     Files.deleteIfExists(dir(name + "__meta"))
-    // and the data-skipping manifest (a recreated table's reads would
+    // and the data-skipping manifests (a recreated table's reads would
     // pay the stale-check listing for nothing)
     Files.deleteIfExists(dir(name + "__stats__meta"))
+    Files.deleteIfExists(dir(name + "__bloom__meta"))
     // bucketed-catalog state dies too: the catalog entry (either the live
     // name or a mid-rename __gen_* survivor), BOTH generation data dirs,
     // and the generation sidecar — otherwise a "dropped" bucketed table

@@ -574,6 +574,71 @@ object Round13Queries extends QuerySet {
          |               / (sqrt(CAST(sum(sr * sr) AS DOUBLE))
          |                  * sqrt(CAST(sum(sl * sl) AS DOUBLE)))
          |       END AS centroid_cos
-         |FROM j GROUP BY 1, 2""".stripMargin))
+         |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q459_bloom_point_lookup", (s, d) => {
+      // the EQUALITY complement of the q454 min/max manifest
+      // (Warehouse.writeBloomManifest / readPrunedIn): in a
+      // hash-partitioned layout every file's min/max spans the whole key
+      // domain — the stats manifest keeps ALL files for a point lookup —
+      // yet each key lives in exactly one file, which is what a per-file
+      // Bloom filter (Bloom 1970; the parquet/Delta bloom idea as one
+      // sidecar read) proves. CTAS lineitem hashed 16 ways on orderkey
+      // with the bloom sidecar (distributed build: per-file m from
+      // footer row counts, seed-chained xxhash64 positions, bit_or
+      // word combine), then answer the "fetch these 3 orders" batch
+      // lookup through readPrunedIn — files whose filters prove every
+      // probe key absent are dropped BEFORE Spark lists them; false
+      // positives only ever KEEP a file, so the plain IN filter is the
+      // identity oracle. The pruning decision itself (kept < total in a
+      // hash layout where min/max keeps all) is ManifestSpec-pinned.
+      val wh = Scratch.warehouse("q459", d, s, Seq("li_hash"))
+      wh.writeSwap("li_hash", table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+        .repartition(16, col("okey")),
+        bloomCols = Seq("okey"))
+      wh.readPrunedIn("li_hash", "okey", Seq(1L, 32L, 33L))
+        .groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    }, Some(
+      """SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE CAST(l_orderkey AS BIGINT) IN (1, 32, 33)
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q460_string_prefix_read", (s, d) => {
+      // string data skipping end-to-end (the v2 manifest's BINARY
+      // bounds): CTAS part range-clustered by brand with string footer
+      // stats in the sidecar (unsigned byte-wise bounds — the order
+      // UTF8String, parquet stats, and binary-collated SQL engines
+      // share; bounds past 32 bytes truncate the Iceberg way, lower cut
+      // / upper incremented), then answer a brand-family prefix read
+      // through readPrunedPrefix — the manifest range is
+      // [prefix, next-prefix), the row predicate the exact startsWith,
+      // and the plain LIKE aggregate is the identity oracle. Prefix
+      // 'Brand#2' matches Brand#2 and Brand#20-29 (a leading-key family,
+      // the partition-by-prefix shape of brand/language/URL-host
+      // layouts at 100 TB). Money rides exact cents.
+      val wh = Scratch.warehouse("q460", d, s, Seq("part_brand"))
+      wh.writeSwap("part_brand", table(s, d, "part").select(
+        col("p_brand").as("brand"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"))
+        .repartitionByRange(8, col("brand")).sortWithinPartitions("brand"),
+        statsCols = Seq("brand"))
+      wh.readPrunedPrefix("part_brand", "brand", "Brand#2")
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("price_cents")).as("sum_price_cents"))
+    }, Some(
+      """SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents
+        |FROM part
+        |WHERE p_brand LIKE 'Brand#2%'
+        |GROUP BY 1""".stripMargin))
   )
 }

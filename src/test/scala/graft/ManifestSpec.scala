@@ -176,4 +176,141 @@ class ManifestSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quantize"), e.getMessage)
   }
+
+  test("string stats: range and prefix reads prune files, results identical") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // zero-padded keys: lexicographic order == numeric order, so the
+    // range layout gives each file a tight string slab
+    val df = (0L until 1000L).map(k => (f"s$k%04d", k)).toDF("s", "x")
+      .repartitionByRange(8, col("s")).sortWithinPartitions("s")
+    wh.writeSwap("t", df, statsCols = Seq("s"))
+    val total = wh.dataFileCount("t")
+    assert(total >= 3L)
+    val Some((kept, n)) = wh.statsPrunedFilesTyped("t", Seq(wh.BytesRange("s",
+      "s0100".getBytes("UTF-8"), Some("s0199".getBytes("UTF-8")))))
+    assert(n.toLong === total && kept.nonEmpty && kept.size < n,
+      s"string range kept ${kept.size} of $n files")
+    val got = wh.readPrunedStrRange("t", "s", "s0100", "s0199")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === wh.read("t").filter(col("s") >= "s0100" && col("s") <= "s0199")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(got.size === 100)
+    // prefix read: same pruning, exact startsWith semantics
+    val gotP = wh.readPrunedPrefix("t", "s", "s01")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotP === (100L until 200L).toSet)
+    // a prefix the manifest PROVES absent folds to zero files, zero rows
+    assert(wh.statsPrunedFilesTyped("t", Seq(wh.BytesRange("s",
+      "zz".getBytes("UTF-8"), Some("zz~".getBytes("UTF-8"))))).exists(_._1.isEmpty))
+    assert(wh.readPrunedPrefix("t", "s", "zz").count() === 0L)
+    // integral guard mirror: a string pruned read on an int column is loud
+    val e = intercept[IllegalArgumentException] {
+      wh.readPrunedPrefix("t", "x", "1").count()
+    }
+    assert(e.getMessage.contains("string"), e.getMessage)
+  }
+
+  test("string bounds past 32 bytes truncate conservatively, never wrong") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val pad = "P" * 40 // every long value shares a 40-byte prefix
+    val longs = (0L until 100L).map(k => (pad + f"$k%04d", k)).toDF("s", "x")
+    val shorts = (0L until 100L).map(k => (f"a$k%04d", k + 1000L)).toDF("s", "x")
+    wh.writeSwap("t", shorts.coalesce(1))
+    wh.append("t", longs.coalesce(1))
+    wh.writeStatsManifest("t", Seq("s"))
+    // the long file's bounds truncate to P*32 (min) / P*31+Q (max) — a
+    // range inside the shared prefix can't prune IT (truncation destroyed
+    // selectivity) but still prunes the short file, and results stay exact
+    val lo = pad + "0010"; val hi = pad + "0019"
+    val Some((kept, n)) = wh.statsPrunedFilesTyped("t",
+      Seq(wh.BytesRange("s", lo.getBytes("UTF-8"), Some(hi.getBytes("UTF-8")))))
+    assert(n === 2 && kept.size === 1, s"kept ${kept.size} of $n")
+    assert(wh.readPrunedStrRange("t", "s", lo, hi).count() === 10L)
+    // and an 'a'-prefix read prunes the long file the same way
+    val Some((keptA, _)) = wh.statsPrunedFilesTyped("t", Seq(wh.BytesRange("s",
+      "a".getBytes("UTF-8"), Some("b".getBytes("UTF-8")))))
+    assert(keptA.size === 1)
+    assert(wh.readPrunedPrefix("t", "s", "a000").count() === 10L)
+  }
+
+  test("bloom: point lookup in a hash layout prunes where min/max cannot") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // hash shuffle: every file spans the whole key range — the min/max
+    // manifest is structurally useless here, the bloom is not
+    val df = (0L until 4096L).map(k => (k, k * 3L)).toDF("k", "x")
+      .repartition(8, col("k"))
+    wh.writeSwap("t", df, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val total = wh.dataFileCount("t")
+    assert(total === 8L)
+    val Some((keptStats, _)) = wh.statsPrunedFiles("t", "k", 77L, 77L)
+    assert(keptStats.size.toLong === total,
+      s"min/max should keep ALL ${total} files in a hash layout, kept ${keptStats.size}")
+    val Some((keptBloom, n)) = wh.bloomPrunedFiles("t", "k", Seq(77L))
+    assert(n.toLong === total && keptBloom.size < n,
+      s"bloom kept ${keptBloom.size} of $n files — no pruning")
+    val got = wh.readPrunedEq("t", "k", 77L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((77L, 231L)))
+    // an absent key reads zero rows (false positives only ever KEEP files)
+    assert(wh.readPrunedEq("t", "k", 999999L).count() === 0L)
+  }
+
+  test("bloom: readPrunedIn unions probe sets; result identical to isin") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 4096L).map(k => (k, k)).toDF("k", "x")
+      .repartition(8, col("k"))
+    wh.writeSwap("t", df, bloomCols = Seq("k"))
+    val keys = Seq(5L, 77L, 3000L)
+    val Some((kept, n)) = wh.bloomPrunedFiles("t", "k", keys)
+    assert(kept.size < n, s"3-key probe kept ${kept.size} of $n")
+    val got = wh.readPrunedIn("t", "k", keys).collect().map(_.getLong(0)).toSet
+    assert(got === keys.toSet)
+  }
+
+  test("bloom: append staleness, rebuild, compact auto-refresh, partitioned shed") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 1024L).map(k => (k, k)).toDF("k", "x")
+      .repartition(4, col("k"))
+    wh.writeSwap("t", df, bloomCols = Seq("k"))
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isDefined)
+    // a duplicate key lands OUTSIDE the manifest: stale -> full scan
+    wh.append("t", Seq((77L, -1L)).toDF("k", "x"))
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isEmpty, "stale bloom accepted")
+    assert(wh.readPrunedEq("t", "k", 77L).count() === 2L)
+    // manual rebuild restores pruning over the appended layout
+    wh.writeBloomManifest("t", Seq("k"))
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).exists(_._1.size >= 2))
+    assert(wh.readPrunedEq("t", "k", 77L).count() === 2L)
+    // maintenance rewrite through writeSwap auto-refreshes from recorded params
+    wh.compact("t", rowsPerFile = 256L)
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isDefined)
+    assert(wh.readPrunedEq("t", "k", 77L).count() === 2L)
+    // a rewrite INTO a partitioned layout sheds the bloom sidecar
+    wh.writeSwap("t", wh.read("t").withColumn("p", col("k") % 2L),
+      partitionBy = Seq("p"))
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isEmpty)
+  }
+
+  test("bloom: clone carries the sidecar; drop cleans it; string keys work") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 2048L).map(k => (s"u$k", k)).toDF("u", "x")
+      .repartition(8, col("u"))
+    wh.writeSwap("src", df, bloomCols = Seq("u"))
+    val Some((kept, n)) = wh.bloomPrunedFiles("src", "u", Seq("u123"))
+    assert(kept.size < n)
+    assert(wh.readPrunedEq("src", "u", "u123").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("u123", 123L)))
+    wh.cloneTable("src", "dst")
+    assert(wh.bloomPrunedFiles("dst", "u", Seq("u123")).exists(_._1.size < n))
+    assert(wh.readPrunedEq("dst", "u", "u123").count() === 1L)
+    wh.drop("dst")
+    wh.writeSwap("dst", Seq(("u123", 1L)).toDF("u", "x"))
+    assert(wh.bloomPrunedFiles("dst", "u", Seq("u123")).isEmpty)
+  }
 }
