@@ -280,6 +280,91 @@ object Inference {
         col("n_a"), col("n_b"), col("chi2_milli"))
   }
 
+  /** Triangular discrimination from two STORED register tables — the
+    * FIFTH law of the stored-baseline monitor family (Vincze / Le Cam
+    * distance, Topsoe 2000's Δ): `Δ(P,Q) = sum_v (p_v - q_v)^2 /
+    * (p_v + q_v)`, the BOUNDED symmetric companion of
+    * [[chi2FromRegisters]] — same squared-deviation shape, but the
+    * denominator is the MIXTURE mass rather than the expected count, so
+    * a near-empty category contributes at most its own relative mass
+    * (no 1/E blowup) and the statistic lives in [0, 2] regardless of
+    * sample sizes (2 exactly iff the supports are disjoint). The law to
+    * alert ON A SCALE (ppm of the 0-2 range) where chi-square alerts on
+    * significance. Fully rational: per-category term
+    * `(ca*nb - cb*na)^2 * 1e6 div (na*nb*(ca*nb + cb*na))`, truncating
+    * division mirrored verbatim in oracles; all products ride
+    * DECIMAL(38,0). Either side empty -> empty frame; zero-mass values
+    * drop. Register-bounded cost.
+    */
+  def tdFromRegisters(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val u = regsA.select(col("qs_value").as("v"),
+        col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b"))
+      .unionByName(regsB.select(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")))
+      .groupBy(col("v"))
+      .agg(sum(col("cnt_a")).as("ca"), sum(col("cnt_b")).as("cb"))
+      .filter(col("ca") + col("cb") > 0L)
+      .localCheckpoint(false) // feeds the totals agg AND the term pass
+    val totals = u.agg(count(lit(1)).as("n_cats"),
+      coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    u.crossJoin(broadcast(totals))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .groupBy(col("n_cats"), col("n_a"), col("n_b"))
+      .agg(sum({
+        val delta = dec(col("ca")) * dec(col("n_b")) -
+          dec(col("cb")) * dec(col("n_a"))
+        val mix = dec(col("ca")) * dec(col("n_b")) +
+          dec(col("cb")) * dec(col("n_a"))
+        call_function("div", delta * delta * lit(1000000L),
+          dec(col("n_a")) * dec(col("n_b")) * mix)
+      }).cast("long").as("td_ppm"))
+      .select(col("n_cats"), col("n_a"), col("n_b"), col("td_ppm"))
+  }
+
+  /** Grouped KS against ONE shared baseline — the fleet-scoring form of
+    * [[ksFromRegisters]]: `live` carries per-group registers
+    * (`groupCols..., qs_value, qs_weight`), `baseline` one shared
+    * register rollup, and every group is scored in a SINGLE job (the
+    * nightly "score all of yesterday's windows" shape — a driver loop of
+    * per-group scorers would launch G jobs and rescan the baseline G
+    * times). The baseline is broadcast once and replicated per group
+    * ONLY at register grain: total work is groups x union-domain
+    * registers, independent of represented raw rows on either side.
+    * Output: one row per group with at least one observation on EACH
+    * side, `n_a` = baseline total, `n_b` = the group's total, same exact
+    * cross-multiplied `d_num`/`d_ppm` as [[ksFromRegisters]].
+    */
+  def ksFromRegistersByGroup(live: DataFrame, baseline: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "ksFromRegistersByGroup needs group columns — use ksFromRegisters")
+    val gcols = groupCols.map(col)
+    val groups = live.select(gcols: _*).distinct()
+    val u = live.select(gcols ++ Seq(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")): _*)
+      .unionByName(groups.crossJoin(broadcast(
+        baseline.select(col("qs_value").as("v"),
+          col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b")))))
+      .groupBy(gcols :+ col("v"): _*)
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val ecdf = u
+      .withColumn("cum_a", sum(col("cnt_a")).over(byVal))
+      .withColumn("cum_b", sum(col("cnt_b")).over(byVal))
+      .withColumn("n_a", sum(col("cnt_a")).over(whole))
+      .withColumn("n_b", sum(col("cnt_b")).over(whole))
+      .withColumn("gap",
+        abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a")))
+    ecdf.groupBy(gcols :+ col("n_a") :+ col("n_b"): _*)
+      .agg(max(col("gap")).cast("long").as("d_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("d_ppm",
+        call_function("div", dec(col("d_num")) * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value

@@ -610,6 +610,172 @@ object Round13Queries extends QuerySet {
         |WHERE CAST(l_orderkey AS BIGINT) IN (1, 32, 33)
         |GROUP BY 1""".stripMargin)),
 
+    QueryDef("q461_stream_drift_alerts", (s, d) => {
+      // monitor-as-a-stream: the stored-baseline drift loop (q448) with a
+      // STREAM maintaining the live side and a fleet scorer reading both
+      // sides from storage. Baseline cents registers frozen batch-side
+      // (days < Jan 15); the stream sum-combines per-(day, cents)
+      // registers through the aggStream bridge (AvailableNow over the
+      // events table); then ONE grouped job scores every streamed day
+      // against the stored baseline via ksFromRegistersByGroup — the
+      // baseline is broadcast once at register grain, never rescanned
+      // per day (a driver loop of ksFromRegisters calls would launch G
+      // jobs and G baseline scans). Day 20 carries a planted +50000-cent
+      // shift (complete separation: baseline max cents is 49002), so its
+      // KS saturates at d_ppm = 1e6 while honest days read the
+      // n_b~330-vs-n_a~4668 noise floor (observed 42k-68k ppm at
+      // sf0.01, value-inspected: 7/7 honest days quiet, day 20 alone
+      // alerted at exactly 1e6) — the 500000 threshold has >7x headroom
+      // below and 2x above.
+      import graft.streaming.EventsStream
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val wh = Scratch.warehouse("q461", d, s, Seq("alert_base", "alert_regs"))
+      Scratch.resetCheckpoint(wh, "alert_regs")
+      def centsOf(df: DataFrame): DataFrame = df
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("cents", col("cents") +
+          when(col("day") === lit("2024-01-20").cast("date"), 50000L)
+            .otherwise(0L))
+      wh.writeSwap("alert_base", QuantileSketch.qsRegisters(
+        centsOf(events(s, d))
+          .filter(col("day") < lit("2024-01-15").cast("date")),
+        Nil, col("cents")))
+      EventsStream.aggStream(EventsStream.readEvents(s, d), wh, "alert_regs",
+        Seq("day", "qs_value"), Seq("qs_weight" -> "sum")) { batch =>
+        centsOf(batch)
+          .filter(col("day") >= lit("2024-01-15").cast("date"))
+          .groupBy(col("day"), col("cents").as("qs_value"))
+          .agg(count(lit(1)).as("qs_weight"))
+      }.awaitTermination()
+      val scored = Inference.ksFromRegistersByGroup(
+        wh.read("alert_regs")
+          .filter(col("day") >= lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-22").cast("date")),
+        wh.read("alert_base"), Seq("day"))
+      scored.withColumn("alerted", col("d_ppm") >= 500000L)
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |           + CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |                       = DATE '2024-01-20'
+        |                  THEN 50000 ELSE 0 END AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day < DATE '2024-01-15' GROUP BY 1),
+        |l AS (SELECT day, c AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day >= DATE '2024-01-15' AND day <= DATE '2024-01-22'
+        |      GROUP BY 1, 2),
+        |u AS (SELECT day, v, CAST(sum(wa) AS BIGINT) AS ca,
+        |             CAST(sum(wb) AS BIGINT) AS cb
+        |      FROM (SELECT day, v, 0 AS wa, w AS wb FROM l
+        |            UNION ALL
+        |            SELECT dd.day, b.v, b.w, 0
+        |            FROM b CROSS JOIN (SELECT DISTINCT day FROM l) dd) t
+        |      GROUP BY 1, 2),
+        |s AS (SELECT day,
+        |             sum(ca) OVER (PARTITION BY day ORDER BY v) AS cum_a,
+        |             sum(cb) OVER (PARTITION BY day ORDER BY v) AS cum_b,
+        |             sum(ca) OVER (PARTITION BY day) AS n_a,
+        |             sum(cb) OVER (PARTITION BY day) AS n_b
+        |      FROM u),
+        |g AS (SELECT day, CAST(n_a AS BIGINT) AS n_a,
+        |             CAST(n_b AS BIGINT) AS n_b,
+        |             CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                          - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT)
+        |               AS d_num,
+        |             CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                               - CAST(cum_b AS HUGEINT) * n_a))
+        |                        AS HUGEINT) * 1000000)
+        |                  // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |      FROM s GROUP BY day, n_a, n_b)
+        |SELECT day, n_a, n_b, d_num, d_ppm, d_ppm >= 500000 AS alerted
+        |FROM g""".stripMargin)),
+
+    QueryDef("q462_td_registers", (s, d) => {
+      // the FIFTH stored-baseline scorer law: triangular discrimination
+      // (Inference.tdFromRegisters — Vincze / Le Cam distance, Topsoe
+      // 2000's Δ), the BOUNDED symmetric companion of q456's chi-square:
+      // same squared-deviation shape, mixture-mass denominator, so the
+      // statistic lives in [0, 2e6] ppm regardless of sample sizes and a
+      // near-empty category can contribute at most its own relative
+      // mass — the law to alert ON A SCALE where chi-square alerts on
+      // significance. Dollar-bucket registers, baseline window vs
+      // rest-of-month; the planted branch reroutes the >= $50 tail
+      // (~37% of mass) to a NEW category 999 — the "new failure code
+      // absorbing traffic" shape. Observed at sf0.01: honest null
+      // 58318 ppm (the K=293-bucket multinomial noise floor at
+      // n=6682/3318) vs planted 737845 ppm, 12.7x — value-inspected;
+      // both inside the [0, 2e6] bound by construction.
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val split = lit("2024-01-21").cast("date")
+      def regs(f: DataFrame => DataFrame, v: Column) =
+        QuantileSketch.qsRegisters(f(ev), Nil, v)
+      val bucket = call_function("div", col("cents"), lit(100L))
+      val base = regs(_.filter(col("day") < split), bucket)
+        .localCheckpoint(false) // feeds both branches' scorers
+      def branch(tag: String, live: Column) =
+        Inference.tdFromRegisters(base, regs(_.filter(col("day") >= split), live))
+          .withColumn("branch", lit(tag))
+      branch("null", bucket)
+        .unionByName(branch("planted",
+          when(col("cents") >= 5000L, lit(999L)).otherwise(bucket)))
+    }, Some(
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |bn AS (SELECT c // 100 AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |bp AS (SELECT CASE WHEN c >= 5000 THEN 999 ELSE c // 100 END AS v,
+        |              CAST(count(*) AS BIGINT) AS w
+        |       FROM e WHERE day >= DATE '2024-01-21' GROUP BY 1),
+        |un AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb) AS BIGINT) AS cb
+        |       FROM (SELECT v, w AS ca, 0 AS cb FROM a
+        |             UNION ALL SELECT v, 0, w FROM bn) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb) > 0),
+        |up AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb) AS BIGINT) AS cb
+        |       FROM (SELECT v, w AS ca, 0 AS cb FROM a
+        |             UNION ALL SELECT v, 0, w FROM bp) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb) > 0),
+        |sn AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST(sum(ca) AS BIGINT) AS n_a,
+        |              CAST(sum(cb) AS BIGINT) AS n_b FROM un),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST(sum(ca) AS BIGINT) AS n_a,
+        |              CAST(sum(cb) AS BIGINT) AS n_b FROM up),
+        |gn AS (SELECT 'null' AS branch, sn.n_cats, sn.n_a, sn.n_b,
+        |              CAST(sum(
+        |                ((CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |                 * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |                 * 1000000)
+        |                // (CAST(n_a AS HUGEINT) * n_b
+        |                   * (CAST(ca AS HUGEINT) * n_b
+        |                      + CAST(cb AS HUGEINT) * n_a))) AS BIGINT)
+        |                AS td_ppm
+        |       FROM un, sn GROUP BY 1, 2, 3, 4),
+        |gp AS (SELECT 'planted', sp.n_cats, sp.n_a, sp.n_b,
+        |              CAST(sum(
+        |                ((CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |                 * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |                 * 1000000)
+        |                // (CAST(n_a AS HUGEINT) * n_b
+        |                   * (CAST(ca AS HUGEINT) * n_b
+        |                      + CAST(cb AS HUGEINT) * n_a))) AS BIGINT)
+        |       FROM up, sp GROUP BY 1, 2, 3, 4)
+        |SELECT * FROM gn UNION ALL SELECT * FROM gp""".stripMargin)),
+
     QueryDef("q460_string_prefix_read", (s, d) => {
       // string data skipping end-to-end (the v2 manifest's BINARY
       // bounds): CTAS part range-clustered by brand with string footer

@@ -136,6 +136,62 @@ class InferenceSpec extends AnyFunSuite {
     assert(e.isNullAt(e.fieldIndex("tv_ppm")))
   }
 
+  test("tdFromRegisters: hand 2x2, identical zero, disjoint 2e6, zero-mass drop, empty drops") {
+    // A = {1:1, 2:3}, B = {1:3, 2:1}: p = (1/4, 3/4), q = (3/4, 1/4),
+    // delta = (1/2)^2/1 + (1/2)^2/1 = 1/2 -> 500000 ppm; per-term law:
+    // (1*4 - 3*4)^2 * 1e6 div (4*4*(1*4 + 3*4)) = 64e6/256 = 250000 each
+    val ra = Seq((1L, 1L), (2L, 3L)).toDF("qs_value", "qs_weight")
+    val rb = Seq((1L, 3L), (2L, 1L)).toDF("qs_value", "qs_weight")
+    val r = Inference.tdFromRegisters(ra, rb).collect()(0)
+    assert((r.getAs[Long]("n_cats"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("td_ppm"))
+      === ((2L, 4L, 4L, 500000L)))
+    // identical distributions: every delta exactly 0
+    assert(Inference.tdFromRegisters(ra, ra).collect()(0)
+      .getAs[Long]("td_ppm") === 0L)
+    // disjoint supports saturate the bound: each one-sided category
+    // contributes its own relative mass, total EXACTLY 2e6
+    val da = Seq((1L, 3L)).toDF("qs_value", "qs_weight")
+    val db = Seq((2L, 5L)).toDF("qs_value", "qs_weight")
+    assert(Inference.tdFromRegisters(da, db).collect()(0)
+      .getAs[Long]("td_ppm") === 2000000L)
+    // explicit zero-weight bag rows on both sides are not a category
+    val raz = ra.unionByName(Seq((9L, 0L)).toDF("qs_value", "qs_weight"))
+    val rbz = rb.unionByName(Seq((9L, 0L)).toDF("qs_value", "qs_weight"))
+    val rz = Inference.tdFromRegisters(raz, rbz).collect()(0)
+    assert((rz.getAs[Long]("n_cats"), rz.getAs[Long]("td_ppm"))
+      === ((2L, 500000L)))
+    // either side empty -> empty frame
+    val empty = Seq.empty[(Long, Long)].toDF("qs_value", "qs_weight")
+    assert(Inference.tdFromRegisters(ra, empty).collect().isEmpty)
+    assert(Inference.tdFromRegisters(empty, rb).collect().isEmpty)
+  }
+
+  test("ksFromRegistersByGroup: per-group == ungrouped scorer; one-sided groups drop") {
+    val baseline = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("qs_value", "qs_weight")
+    val live = Seq(
+      ("g1", 2L, 1L), ("g1", 3L, 1L), ("g1", 4L, 2L), // the ksFromRegisters hand vector
+      ("g2", 1L, 1L), ("g2", 2L, 1L), ("g2", 3L, 1L), ("g2", 4L, 1L) // identical to baseline
+    ).toDF("g", "qs_value", "qs_weight")
+    val rows = Inference.ksFromRegistersByGroup(live, baseline, Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("d_num"), r.getAs[Long]("d_ppm"))).toMap
+    // g1 must equal the ungrouped scorer on the same pair
+    val solo = Inference.ksFromRegisters(baseline,
+      live.filter(col("g") === "g1").select(col("qs_value"), col("qs_weight")))
+      .collect()(0)
+    assert(rows("g1") === ((solo.getAs[Long]("n_a"), solo.getAs[Long]("n_b"),
+      solo.getAs[Long]("d_num"), solo.getAs[Long]("d_ppm"))))
+    // an identical group reads exactly 0
+    assert(rows("g2") === ((4L, 4L, 0L, 0L)))
+    // a group with no live mass simply doesn't exist; empty live -> empty
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "qs_value", "qs_weight")
+    assert(Inference.ksFromRegistersByGroup(empty, baseline, Seq("g"))
+      .collect().isEmpty)
+  }
+
   // ---- cramerVonMises ----
 
   test("cramerVonMises: hand integral; everywhere-small beats somewhere-big for CvM") {
