@@ -1219,16 +1219,55 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def readPrunedEq(name: String, column: String, value: Any): DataFrame =
     readPrunedIn(name, column, Seq(value))
 
-  /** Multi-key point-lookup read with bloom file skipping — the "fetch
-    * these N keys" batch shape: semantically identical to
-    * `read(name).filter(column isin values)`; a file is read when ANY
-    * probe key is maybe-present. Same safety contract as [[readPrunedEq]].
+  /** The stats-manifest kept set for `column IN values` (a file is kept
+    * when ANY value's point range intersects its recorded bounds) — the
+    * min/max half of the combined equality pruning: in a range-clustered
+    * layout the stats prove which file COULD hold the key, in a hash
+    * layout the bloom does; intersecting uses whichever evidence exists.
+    */
+  private def statsPrunedInFiles(name: String, column: String,
+      values: Seq[Any]): Option[(Seq[Path], Int)] = {
+    val preds: Seq[RangePred] = values.map {
+      case l: Long => IntRange(column, l, l)
+      case i: Int => IntRange(column, i.toLong, i.toLong)
+      case s: String =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        BytesRange(column, b, Some(b))
+      case _ => return None // unprunable value type: no stats evidence
+    }
+    recover(name)
+    loadManifest(name, "__stats", "v2", 0).map { case (_, recs) =>
+      (recs.filter { case (_, entries) =>
+        val st = parseColStats(entries)
+        preds.exists(p => mayIntersect(st, p)) // IN = OR over point ranges
+      }.map(r => dir(name).resolve(r._1)), recs.size)
+    }
+  }
+
+  /** Multi-key point-lookup read with combined file skipping — the
+    * "fetch these N keys" batch shape: semantically identical to
+    * `read(name).filter(column isin values)`. BOTH sidecars prune when
+    * present and their evidence INTERSECTS (a file is read only when the
+    * bloom says maybe-present AND the min/max says in-range) — a
+    * range-clustered layout prunes by bounds, a hash layout by
+    * membership, and a clustered+bloomed table gets both, so a key
+    * absent from its one covering file reads ZERO files. Either manifest
+    * declining (missing/stale/uncovered column) simply drops its half of
+    * the evidence; with neither, the full scan.
     */
   def readPrunedIn(name: String, column: String, values: Seq[Any]): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "readPrunedIn needs at least one value")
     def pred(df: DataFrame) = df.filter(col(column).isin(values: _*))
-    prunedRead(bloomPrunedFiles(name, column, values), name, pred)
+    val kept = (bloomPrunedFiles(name, column, values),
+        statsPrunedInFiles(name, column, values)) match {
+      case (Some((b, n)), Some((s, _))) =>
+        val inStats = s.toSet
+        Some((b.filter(inStats.contains), n))
+      case (b @ Some(_), None) => b
+      case (None, st) => st
+    }
+    prunedRead(kept, name, pred)
   }
 
   /** Zero-copy table clone (dbt clone, dbt-adapters

@@ -365,6 +365,85 @@ object Inference {
           dec(col("n_a")) * col("n_b")).cast("long"))
   }
 
+  /** The full drift panel — ALL FIVE register laws ([[ksFromRegisters]]
+    * order-sensitive D, [[w1FromRegisters]] metric-aware integral,
+    * [[tvdFromRegisters]] categorical L1, [[chi2FromRegisters]]
+    * 1/E-weighted significance, [[tdFromRegisters]] bounded symmetric
+    * scale) for MANY live windows against ONE stored baseline, computed
+    * from a SINGLE union-densified rollup and ONE cumulative window pass
+    * per group: the nightly dashboard row. Five separate scorer calls
+    * would densify, window, and aggregate the same G x K register rows
+    * five times; the panel derives every law from the same `(cum_a,
+    * cum_b, ca, cb, next_v)` row — exactly the quantities each scorer
+    * already defines, so each output column is spec-pinned to equal its
+    * standalone scorer. Output per group with mass on BOTH sides:
+    * `n_cats, dof, n_a, n_b, d_num, d_ppm, w1_micro, tv_ppm, chi2_milli,
+    * td_ppm`. Register-bounded cost (groups x union-domain registers).
+    */
+  def driftPanelFromRegisters(live: DataFrame, baseline: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "driftPanelFromRegisters needs group columns — compose the scorers")
+    val gcols = groupCols.map(col)
+    val groups = live.select(gcols: _*).distinct()
+    val u = live.select(gcols ++ Seq(col("qs_value").as("v"),
+        lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")): _*)
+      .unionByName(groups.crossJoin(broadcast(
+        baseline.select(col("qs_value").as("v"),
+          col("qs_weight").as("cnt_a"), lit(0L).as("cnt_b")))))
+      .groupBy(gcols :+ col("v"): _*)
+      .agg(sum(col("cnt_a")).as("ca"), sum(col("cnt_b")).as("cb"))
+      .filter(col("ca") + col("cb") > 0L)
+    val byVal = Window.partitionBy(gcols: _*).orderBy(col("v").asc)
+    val whole = Window.partitionBy(gcols: _*)
+    val e = u
+      .withColumn("cum_a", sum(col("ca")).over(byVal))
+      .withColumn("cum_b", sum(col("cb")).over(byVal))
+      .withColumn("__next_v", lead(col("v"), 1).over(byVal))
+      .withColumn("n_a", sum(col("ca")).over(whole))
+      .withColumn("n_b", sum(col("cb")).over(whole))
+      .withColumn("n_cats", count(lit(1)).over(whole))
+      // the one-sided guard comes BEFORE any division (ANSI evaluation
+      // order across operators is not guaranteed — the q436 lesson)
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val gap = abs(dec(col("cum_a")) * col("n_b") - dec(col("cum_b")) * col("n_a"))
+    def chiTerm(o: Column, rowTot: Column) = {
+      val n = dec(col("n_a")) + dec(col("n_b"))
+      val delta = dec(o) * n - dec(rowTot) * (dec(col("ca")) + dec(col("cb")))
+      call_function("div", delta * delta * lit(1000L),
+        n * dec(rowTot) * (dec(col("ca")) + dec(col("cb"))))
+    }
+    val tdTerm = {
+      val delta = dec(col("ca")) * dec(col("n_b")) -
+        dec(col("cb")) * dec(col("n_a"))
+      val mix = dec(col("ca")) * dec(col("n_b")) +
+        dec(col("cb")) * dec(col("n_a"))
+      call_function("div", delta * delta * lit(1000000L),
+        dec(col("n_a")) * dec(col("n_b")) * mix)
+    }
+    e.groupBy(gcols ++ Seq(col("n_cats"), col("n_a"), col("n_b")): _*)
+      .agg(
+        max(gap).as("__gap_max"),
+        sum(gap * when(col("__next_v").isNotNull, col("__next_v") - col("v"))
+          .otherwise(lit(0L))).as("__w1_s"),
+        sum(abs(dec(col("ca")) * dec(col("n_b")) -
+          dec(col("cb")) * dec(col("n_a")))).as("__tv_s"),
+        sum(chiTerm(col("ca"), col("n_a")) + chiTerm(col("cb"), col("n_b")))
+          .cast("long").as("chi2_milli"),
+        sum(tdTerm).cast("long").as("td_ppm"))
+      .select(gcols ++ Seq(
+        col("n_cats"), (col("n_cats") - 1L).as("dof"),
+        col("n_a"), col("n_b"),
+        col("__gap_max").cast("long").as("d_num"),
+        call_function("div", dec(col("__gap_max")) * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long").as("d_ppm"),
+        call_function("div", col("__w1_s") * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).cast("long").as("w1_micro"),
+        call_function("div", col("__tv_s") * lit(1000000L),
+          dec(lit(2L)) * dec(col("n_a")) * col("n_b")).cast("long").as("tv_ppm"),
+        col("chi2_milli"), col("td_ppm")): _*)
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic, exactly. D is rational
     * with denominator n_a*n_b: `d_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`,
     * reported as `d_ppm = d_num*1e6 div (n_a*n_b)` plus the smallest value

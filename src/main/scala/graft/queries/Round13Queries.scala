@@ -776,6 +776,102 @@ object Round13Queries extends QuerySet {
         |       FROM up, sp GROUP BY 1, 2, 3, 4)
         |SELECT * FROM gn UNION ALL SELECT * FROM gp""".stripMargin)),
 
+    QueryDef("q463_drift_panel", (s, d) => {
+      // the nightly dashboard row: ALL FIVE register laws (KS / W1 / TVD
+      // / chi2 / TD) for every scored day against ONE stored baseline,
+      // from a SINGLE union-densified rollup and ONE cumulative window
+      // pass per day (Inference.driftPanelFromRegisters — five scorer
+      // calls would densify and window the same day x bucket registers
+      // five times; each panel column is spec-pinned to equal its
+      // standalone scorer). Dollar-bucket registers, baseline days < 15,
+      // scored days 15-22; day 20 carries a planted +3000-cent shift
+      // (+30 buckets against a p50 = $35 distribution — most mass
+      // displaced). Observed at sf0.01, day 20 vs the 7 honest days
+      // (value-inspected; every law reads its MAX at the planted day):
+      // d_ppm 447729 vs 40k-65k (6.9x), w1_micro 34.2e6 (~34 buckets,
+      // the planted 30 + noise) vs 2.4-5.8e6 (5.9x), tv_ppm 543037 vs
+      // 275-332k (1.6x), chi2_milli 670568 vs 236-377k (1.8x), td_ppm
+      // 810147 vs 284-388k (2.1x) — the categorical laws sit on the
+      // high n_b~350 small-sample noise floor, the ordered laws see
+      // the shift essentially unattenuated.
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("cents", col("cents") +
+          when(col("day") === lit("2024-01-20").cast("date"), 3000L)
+            .otherwise(0L))
+      val bucket = call_function("div", col("cents"), lit(100L))
+      val base = QuantileSketch.qsRegisters(
+        ev.filter(col("day") < lit("2024-01-15").cast("date")), Nil, bucket)
+      val live = QuantileSketch.qsRegisters(
+        ev.filter(col("day") >= lit("2024-01-15").cast("date") &&
+          col("day") <= lit("2024-01-22").cast("date")), Seq("day"), bucket)
+      Inference.driftPanelFromRegisters(live, base, Seq("day"))
+    }, Some(
+      """WITH e AS (
+        |  SELECT day, (c + CASE WHEN day = DATE '2024-01-20'
+        |                        THEN 3000 ELSE 0 END) // 100 AS v
+        |  FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events WHERE value IS NOT NULL)),
+        |b AS (SELECT v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day < DATE '2024-01-15' GROUP BY 1),
+        |l AS (SELECT day, v, CAST(count(*) AS BIGINT) AS w FROM e
+        |      WHERE day >= DATE '2024-01-15' AND day <= DATE '2024-01-22'
+        |      GROUP BY 1, 2),
+        |u AS (SELECT day, v, CAST(sum(wa) AS BIGINT) AS ca,
+        |             CAST(sum(wb) AS BIGINT) AS cb
+        |      FROM (SELECT day, v, 0 AS wa, w AS wb FROM l
+        |            UNION ALL
+        |            SELECT dd.day, b.v, b.w, 0
+        |            FROM b CROSS JOIN (SELECT DISTINCT day FROM l) dd) t
+        |      GROUP BY 1, 2 HAVING sum(wa) + sum(wb) > 0),
+        |w AS (SELECT day, v, ca, cb,
+        |             sum(ca) OVER (PARTITION BY day ORDER BY v) AS cum_a,
+        |             sum(cb) OVER (PARTITION BY day ORDER BY v) AS cum_b,
+        |             lead(v) OVER (PARTITION BY day ORDER BY v) AS nv,
+        |             sum(ca) OVER (PARTITION BY day) AS n_a,
+        |             sum(cb) OVER (PARTITION BY day) AS n_b,
+        |             count(*) OVER (PARTITION BY day) AS n_cats
+        |      FROM u)
+        |SELECT day, CAST(n_cats AS BIGINT) AS n_cats,
+        |       CAST(n_cats - 1 AS BIGINT) AS dof,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                    - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT) AS d_num,
+        |       CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                         - CAST(cum_b AS HUGEINT) * n_a)) AS HUGEINT)
+        |             * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm,
+        |       CAST((sum(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                     - CAST(cum_b AS HUGEINT) * n_a)
+        |                 * coalesce(nv - v, 0)) * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS w1_micro,
+        |       CAST((sum(abs(CAST(ca AS HUGEINT) * n_b
+        |                     - CAST(cb AS HUGEINT) * n_a)) * 1000000)
+        |            // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS tv_ppm,
+        |       CAST(sum(
+        |         ((CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb))
+        |          *(CAST(ca AS HUGEINT)*(n_a+n_b) - CAST(n_a AS HUGEINT)*(ca+cb))
+        |          * 1000)
+        |         // (CAST(n_a+n_b AS HUGEINT) * n_a * (ca+cb))
+        |       + ((CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb))
+        |          *(CAST(cb AS HUGEINT)*(n_a+n_b) - CAST(n_b AS HUGEINT)*(ca+cb))
+        |          * 1000)
+        |         // (CAST(n_a+n_b AS HUGEINT) * n_b * (ca+cb))) AS BIGINT)
+        |         AS chi2_milli,
+        |       CAST(sum(
+        |         ((CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |          * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |          * 1000000)
+        |         // (CAST(n_a AS HUGEINT) * n_b
+        |            * (CAST(ca AS HUGEINT) * n_b + CAST(cb AS HUGEINT) * n_a)))
+        |         AS BIGINT) AS td_ppm
+        |FROM w GROUP BY day, n_cats, n_a, n_b""".stripMargin)),
+
     QueryDef("q460_string_prefix_read", (s, d) => {
       // string data skipping end-to-end (the v2 manifest's BINARY
       // bounds): CTAS part range-clustered by brand with string footer

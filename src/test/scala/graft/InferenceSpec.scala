@@ -192,6 +192,56 @@ class InferenceSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("driftPanelFromRegisters: every column equals its standalone scorer per group") {
+    val baseline = Seq((0L, 1L), (10L, 1L), (20L, 2L), (40L, 1L))
+      .toDF("qs_value", "qs_weight")
+    val live = Seq(
+      ("g1", 10L, 1L), ("g1", 20L, 1L), ("g1", 30L, 2L), // shifted + a new value
+      ("g2", 0L, 1L), ("g2", 10L, 1L), ("g2", 20L, 2L), ("g2", 40L, 1L), // identical
+      ("g3", 7L, 3L) // single value, disjoint from baseline
+    ).toDF("g", "qs_value", "qs_weight")
+    val panel = Inference.driftPanelFromRegisters(live, baseline, Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(panel.keySet === Set("g1", "g2", "g3"))
+    for (g <- Seq("g1", "g2", "g3")) {
+      val liveG = live.filter(col("g") === g)
+        .select(col("qs_value"), col("qs_weight"))
+      val p = panel(g)
+      val ks = Inference.ksFromRegisters(baseline, liveG).collect()(0)
+      assert((p.getAs[Long]("n_a"), p.getAs[Long]("n_b"),
+        p.getAs[Long]("d_num"), p.getAs[Long]("d_ppm")) ===
+        ((ks.getAs[Long]("n_a"), ks.getAs[Long]("n_b"),
+          ks.getAs[Long]("d_num"), ks.getAs[Long]("d_ppm"))), s"KS at $g")
+      assert(p.getAs[Long]("w1_micro") ===
+        Inference.w1FromRegisters(baseline, liveG).collect()(0)
+          .getAs[Long]("w1_micro"), s"W1 at $g")
+      val tvd = Inference.tvdFromRegisters(baseline, liveG).collect()(0)
+      assert((p.getAs[Long]("n_cats"), p.getAs[Long]("tv_ppm")) ===
+        ((tvd.getAs[Long]("n_cats"), tvd.getAs[Long]("tv_ppm"))), s"TVD at $g")
+      val chi = Inference.chi2FromRegisters(baseline, liveG).collect()(0)
+      assert((p.getAs[Long]("dof"), p.getAs[Long]("chi2_milli")) ===
+        ((chi.getAs[Long]("dof"), chi.getAs[Long]("chi2_milli"))), s"chi2 at $g")
+      assert(p.getAs[Long]("td_ppm") ===
+        Inference.tdFromRegisters(baseline, liveG).collect()(0)
+          .getAs[Long]("td_ppm"), s"TD at $g")
+    }
+    // the identical group is quiet on every law; the disjoint group
+    // saturates the bounded laws
+    val g2 = panel("g2"); val g3 = panel("g3")
+    assert(g2.getAs[Long]("d_ppm") === 0L && g2.getAs[Long]("w1_micro") === 0L &&
+      g2.getAs[Long]("tv_ppm") === 0L && g2.getAs[Long]("chi2_milli") === 0L &&
+      g2.getAs[Long]("td_ppm") === 0L)
+    // (KS does NOT saturate: the supports interleave — baseline mass at 0
+    // sits below the live value 7, so D = |1*3 - 3*5|/15 = 12/15)
+    assert(g3.getAs[Long]("d_ppm") === 800000L &&
+      g3.getAs[Long]("tv_ppm") === 1000000L &&
+      g3.getAs[Long]("td_ppm") === 2000000L)
+    // empty live -> empty panel
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "qs_value", "qs_weight")
+    assert(Inference.driftPanelFromRegisters(empty, baseline, Seq("g"))
+      .collect().isEmpty)
+  }
+
   // ---- cramerVonMises ----
 
   test("cramerVonMises: hand integral; everywhere-small beats somewhere-big for CvM") {

@@ -296,6 +296,35 @@ class ManifestSpec extends AnyFunSuite {
     assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isEmpty)
   }
 
+  test("combined pruning: bloom AND stats evidence intersect on equality reads") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // range-clustered EVEN keys with both sidecars: stats prove the one
+    // covering file, the bloom proves membership inside it
+    val df = (0L until 2048L).map(k => (k * 2L, k)).toDF("k", "x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    wh.writeSwap("t", df, statsCols = Seq("k"), bloomCols = Seq("k"))
+    // a PRESENT key: stats keep 1 covering file, intersection stays 1
+    val Some((bloomKept, n)) = wh.bloomPrunedFiles("t", "k", Seq(100L))
+    val Some((statsKept, _)) = wh.statsPrunedFiles("t", "k", 100L, 100L)
+    assert(statsKept.size === 1, s"stats kept ${statsKept.size} of $n")
+    assert(bloomKept.toSet.intersect(statsKept.toSet).size === 1 && n === 8)
+    assert(wh.readPrunedEq("t", "k", 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 50L)))
+    // an ABSENT odd key IN range: stats alone keep its covering file,
+    // the bloom proves absence -> the combined read touches ZERO files
+    // (readPrunedIn folds to the empty relation) while staying exact
+    val odd = wh.readPrunedEq("t", "k", 101L)
+    assert(odd.count() === 0L)
+    assert(odd.inputFiles.isEmpty,
+      s"absent-key read listed files: ${odd.inputFiles.mkString(",")}")
+    // stats-only table (no bloom): readPrunedIn still prunes by bounds
+    wh.writeSwap("t2", df, statsCols = Seq("k"))
+    assert(wh.bloomPrunedFiles("t2", "k", Seq(100L)).isEmpty)
+    assert(wh.readPrunedEq("t2", "k", 100L).count() === 1L)
+    assert(wh.readPrunedEq("t2", "k", 100L).inputFiles.length < 8)
+  }
+
   test("bloom: clone carries the sidecar; drop cleans it; string keys work") {
     val root = Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(root, spark)
