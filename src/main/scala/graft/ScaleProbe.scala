@@ -636,6 +636,62 @@ object ScaleProbe {
       }
     }
 
+    // round-13 continuation: bloom equality sidecar (q459) — file count
+    // and key domain grow Nx while the probe stays a fixed 3-key lookup:
+    // bloom_build is one distributed pass (~linear), bloom_pruned_read
+    // must stay FLAT (one sidecar read + ~1 file per key at any N), and
+    // the full filtered scan is the ~linear contrast it replaces.
+    {
+      val li1 = table(spark, sfDir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("x"))
+      val span = 10000000L
+      val liN = (0 until reps).map(r =>
+        li1.withColumn("k", col("k") + lit(r * span)))
+        .reduce(_ unionByName _)
+      for ((label, df, nf) <- Seq(("1x", li1, 16), (s"${reps}x", liN, 16 * reps))) {
+        val wh = new graft.engine.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_bloom").toString, spark)
+        wh.writeSwap("t", df.repartition(nf, col("k")))
+        time(s"bloom_build           $label") {
+          wh.writeBloomManifest("t", Seq("k")).toLong
+        }
+        time(s"bloom_pruned_read     $label") {
+          wh.readPrunedIn("t", "k", Seq(1L, 32L, 33L)).count()
+        }
+        time(s"bloom_full_filter     $label") {
+          wh.read("t").filter(col("k").isin(1L, 32L, 33L)).count()
+        }
+      }
+    }
+
+    // round-13 continuation: the five-law drift panel (q463) — G scored
+    // groups against ONE broadcast baseline: total work is groups x
+    // union-domain registers, so Nx groups must grow ~linearly (never
+    // G x baseline RESCANS — the failure mode of a per-group scorer loop)
+    {
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val ev = graft.sources.Sources.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          call_function("div",
+            floor(col("value") * 100 + 0.5).cast("long"), lit(100L)).as("b"))
+      val base = QuantileSketch.qsRegisters(
+        ev.filter(col("day") < lit("2024-01-15").cast("date")), Nil, col("b"))
+        .localCheckpoint()
+      val live1 = QuantileSketch.qsRegisters(
+        ev.filter(col("day") >= lit("2024-01-15").cast("date")),
+        Seq("day"), col("b")).localCheckpoint()
+      val liveN = (0 until reps).map(r =>
+        live1.withColumn("day", date_add(col("day"), lit(r * 365))))
+        .reduce(_ unionByName _).localCheckpoint()
+      for ((label, live) <- Seq("1x" -> live1, s"${reps}x" -> liveN))
+        time(s"drift_panel_groups    $label") {
+          Inference.driftPanelFromRegisters(live, base, Seq("day")).count()
+        }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(
