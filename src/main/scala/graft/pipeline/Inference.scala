@@ -340,8 +340,13 @@ object Inference {
     require(groupCols.nonEmpty,
       "ksFromRegistersByGroup needs group columns — use ksFromRegisters")
     val gcols = groupCols.map(col)
-    val groups = live.select(gcols: _*).distinct()
-    val u = live.select(gcols ++ Seq(col("qs_value").as("v"),
+    // pin the live registers: they feed BOTH the group enumeration and
+    // the union (register-bounded, so the pin is free; without it a
+    // DERIVED live side re-scans its raw source per subtree)
+    val lv = live.select(gcols ++ Seq(col("qs_value"), col("qs_weight")): _*)
+      .localCheckpoint(false)
+    val groups = lv.select(gcols: _*).distinct()
+    val u = lv.select(gcols ++ Seq(col("qs_value").as("v"),
         lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")): _*)
       .unionByName(groups.crossJoin(broadcast(
         baseline.select(col("qs_value").as("v"),
@@ -385,8 +390,12 @@ object Inference {
     require(groupCols.nonEmpty,
       "driftPanelFromRegisters needs group columns — compose the scorers")
     val gcols = groupCols.map(col)
-    val groups = live.select(gcols: _*).distinct()
-    val u = live.select(gcols ++ Seq(col("qs_value").as("v"),
+    // pin the live registers (the ksFromRegistersByGroup rationale: they
+    // feed the group enumeration AND the union; register-bounded pin)
+    val lv = live.select(gcols ++ Seq(col("qs_value"), col("qs_weight")): _*)
+      .localCheckpoint(false)
+    val groups = lv.select(gcols: _*).distinct()
+    val u = lv.select(gcols ++ Seq(col("qs_value").as("v"),
         lit(0L).as("cnt_a"), col("qs_weight").as("cnt_b")): _*)
       .unionByName(groups.crossJoin(broadcast(
         baseline.select(col("qs_value").as("v"),
