@@ -158,18 +158,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * scan pruning on the cluster keys.
     *
     * `statsCols`: also write the [[writeStatsManifest]] data-skipping
-    * sidecar for these columns after the swap (unpartitioned layouts
-    * only) — the natural companion of `clusterBy`, whose sort makes the
-    * per-file ranges selective.
+    * sidecar for these columns after the swap — the natural companion of
+    * `clusterBy`, whose sort makes the per-file ranges selective. On
+    * partitioned layouts the manifest serves the NON-partition columns
+    * (directory pruning already serves the partition key), composing
+    * multiplicatively with [[readPeriodRange]]-style window reads.
     */
   def writeSwap(name: String, df: DataFrame, clusterBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
-    require(statsCols.isEmpty || partitionBy.isEmpty,
-      "stats manifests apply to unpartitioned layouts only")
-    require(bloomCols.isEmpty || partitionBy.isEmpty,
-      "bloom manifests apply to unpartitioned layouts only")
     // recover FIRST: in the backup-only crash state the backup is the sole
     // complete copy, and the deleteRec(backup) below would destroy it
     // before the new data is safely staged — a second failure then loses
@@ -210,16 +208,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // — a crash between swap and manifest leaves a manifest-less (full
     // scan) table, never a wrong one; a stale PREVIOUS manifest is
     // rejected by readPruned's listing check even in that window
-    if (partitionBy.isEmpty && priorStatsCols.nonEmpty) {
-      writeStatsManifest(name, priorStatsCols); ()
-    } else if (partitionBy.nonEmpty)
-      // a table rewritten INTO a partitioned layout sheds its manifest
-      // (directory pruning takes over; the stale sidecar would only pay
-      // the listing check forever)
-      removeMeta(name + "__stats")
-    if (partitionBy.isEmpty) priorBloom.foreach { case (cs, bpk, k) =>
+    // partitioned layouts keep their manifests too (the sidecars serve
+    // NON-partition columns; partition keys prune by directory): a
+    // maintenance rewrite must never downgrade either pruning axis
+    if (priorStatsCols.nonEmpty) { writeStatsManifest(name, priorStatsCols); () }
+    priorBloom.foreach { case (cs, bpk, k) =>
       writeBloomManifest(name, cs, bpk, k); ()
-    } else removeMeta(name + "__bloom")
+    }
   }
 
   /** Column set recorded in the current manifest sidecar (empty when
@@ -322,6 +317,54 @@ final class Warehouse(val root: String, spark: SparkSession) {
       // ever listed
       val raw = spark.read.parquet(kept.map(_.toString): _*)
       raw.drop(raw.columns.filter(_.startsWith(enginePrefix)).toSeq: _*)
+    }
+  }
+
+  /** Doubly-pruned window read — BOTH scan-pruning axes composed: the
+    * period range prunes by DIRECTORY (out-of-window periods contribute
+    * zero I/O, [[readPeriodRange]]'s contract) and the value predicates
+    * prune FILES inside the window through the stats manifest
+    * ([[readPruned]]'s contract) — the read path of a rolling monitor
+    * asking a range question ("this week's rows with cents in
+    * [lo, hi]") over the microbatch layout. Semantically identical to
+    * `readPeriodRange(from, to).filter(AND_i col_i between lo_i, hi_i)`:
+    * a declined manifest degrades to directory pruning alone, never a
+    * wrong answer; the row predicate applies in every case.
+    */
+  def readPeriodRangePruned(name: String, from: String, to: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(from <= to, s"period range: [$from, $to]")
+    preds.foreach { case (c, lo, hi) => require(lo <= hi, s"range $c: [$lo, $hi]") }
+    recover(name)
+    val partDirs = listDir(dir(name)).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    require(partDirs.nonEmpty, s"'$name' has no partition-dir layout")
+    def pred(df: DataFrame) = preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.schema.fields.find(_.name == c).foreach { f =>
+        require(Seq("byte", "short", "integer", "long")
+          .contains(f.dataType.typeName),
+          s"readPeriodRangePruned range column '$c' is ${f.dataType.typeName}" +
+            " — quantize to an integral column first (epoch days / cents)")
+      }
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+    val partCols = partDirs.map(_.getFileName.toString.split("=", 2)(0)).distinct
+    require(partCols.size == 1,
+      s"'$name' carries multiple partition columns: $partCols")
+    val inWindow = partDirs.filter { p =>
+      val v = p.getFileName.toString.split("=", 2)(1)
+      v >= from && v <= to
+    }.map(p => dir(name).relativize(p).toString + "/").toSet
+    statsPrunedFilesTyped(name,
+        preds.map { case (c, lo, hi) => IntRange(c, lo, hi) }) match {
+      case Some((kept, n)) =>
+        val windowKept = kept.filter(p =>
+          inWindow.exists(w => dir(name).relativize(p).toString.startsWith(w)))
+        // the period key lives in the directory NAMES and is stripped
+        // like every window read (readPeriodRange's schema contract)
+        prunedRead(Some((windowKept, n)), name, pred).drop(partCols.head)
+      case None => pred(readPeriodRange(name, from, to))
     }
   }
 
@@ -762,27 +805,69 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * data file's (relative path, byte size); [[readPruned]] validates
     * that set against the live listing and falls back to a full scan on
     * ANY mismatch — every writer path (swap, append, compact, slice)
-    * changes the file set, so a stale manifest can never drop rows.
-    * Unpartitioned layouts only (partition dirs already prune by
-    * directory; explicit-file reads would lose partition columns).
-    * Returns the file count manifested.
+    * changes the file set, so a stale manifest can never drop rows —
+    * growth paths (append, microbatch slides) re-arm cheaply via
+    * [[refreshStatsManifest]] at O(new files). Partitioned layouts are
+    * supported: the manifest serves NON-partition columns (partition
+    * keys prune by directory), pruned reads re-derive partition columns
+    * from the kept paths via basePath, and the two axes compose in
+    * [[readPeriodRangePruned]]. Returns the file count manifested.
     */
   def writeStatsManifest(name: String, cols: Seq[String]): Int = {
+    recover(name)
+    require(Files.exists(dir(name)), s"no table '$name'")
+    val files = parquetDataFiles(name)
+    putMeta(name + "__stats",
+      ("v2" +: statsLines(name, files, cols)).mkString("\n"))
+    files.size
+  }
+
+  /** Incremental stats refresh — the append/slide maintenance pass
+    * (mirror of [[refreshBloomManifest]]): per-file footer bounds are
+    * independent, so unchanged (relative path, byte size) entries are
+    * kept verbatim and only NEW files pay a footer read — a microbatch
+    * slide that lands one day's partition re-manifests at O(new files),
+    * not O(table). Columns come from the recorded manifest. Returns
+    * (footers read, lines reused).
+    */
+  def refreshStatsManifest(name: String): (Int, Int) = {
+    recover(name)
+    val cols = manifestCols(name)
+    require(cols.nonEmpty,
+      s"no stats manifest on '$name' — writeStatsManifest first")
+    val old = getMeta(name + "__stats").get.split("\n", -1).drop(1)
+      .filter(_.nonEmpty).map { ln =>
+        val parts = ln.split("\t", -1)
+        (parts(0), parts(1).toLong) -> ln
+      }.toMap
+    val files = parquetDataFiles(name)
+    val (kept, fresh) = files.partition(p =>
+      old.contains((dir(name).relativize(p).toString, Files.size(p))))
+    val freshByRel = fresh.map(p => dir(name).relativize(p).toString)
+      .zip(statsLines(name, fresh, cols)).toMap
+    val merged = files.map { p =>
+      val key = (dir(name).relativize(p).toString, Files.size(p))
+      old.getOrElse(key, freshByRel(key._1))
+    }
+    putMeta(name + "__stats", ("v2" +: merged).mkString("\n"))
+    (fresh.size, kept.size)
+  }
+
+  /** Per-file typed stats entries for a SUBSET of a table's data files —
+    * shared by the full build and the incremental refresh. Driver-side
+    * footer reads only.
+    */
+  private def statsLines(name: String, files: Seq[Path],
+      cols: Seq[String]): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    recover(name)
-    require(Files.exists(dir(name)), s"no table '$name'")
-    require(cols.nonEmpty, "writeStatsManifest needs at least one column")
+    require(cols.nonEmpty, "stats manifests need at least one column")
     require(cols.forall(_.matches("[A-Za-z0-9_]+")),
       s"manifest columns must be plain identifiers: $cols")
-    require(!listDir(dir(name)).exists(p =>
-      Files.isDirectory(p) && p.getFileName.toString.contains("=")),
-      "stats manifests apply to unpartitioned tables only")
     val b64 = java.util.Base64.getEncoder
     val conf = spark.sessionState.newHadoopConf()
-    val files = parquetDataFiles(name)
-    val lines = files.map { p =>
+    files.map { p =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString), conf)
       val reader = ParquetFileReader.open(in)
@@ -827,8 +912,6 @@ final class Warehouse(val root: String, spark: SparkSession) {
       (Seq(dir(name).relativize(p).toString, Files.size(p).toString) ++ entries)
         .mkString("\t")
     }
-    putMeta(name + "__stats", ("v2" +: lines).mkString("\n"))
-    files.size
   }
 
   /** Unsigned byte-wise ordering — the shared sort order of UTF8String,
@@ -987,7 +1070,11 @@ final class Warehouse(val root: String, spark: SparkSession) {
     kept match {
       case Some((k, _)) if k.isEmpty => pred(read(name)).filter(lit(false))
       case Some((k, _)) =>
-        val raw = spark.read.parquet(k.map(_.toString): _*)
+        // basePath: explicit-file reads of a PARTITIONED layout re-derive
+        // the partition columns from the kept paths (no directory
+        // listing beyond our own walk); harmless on flat layouts
+        val raw = spark.read.option("basePath", dir(name).toString)
+          .parquet(k.map(_.toString): _*)
         pred(raw.drop(raw.columns.filter(_.startsWith(enginePrefix)).toSeq: _*))
       case None => pred(read(name))
     }
@@ -1072,47 +1159,95 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * at bitsPerKey=10), the same contract as the footer-stats build.
     * Probe hashes are evaluated through the SAME Spark expressions on a
     * one-row local relation (constant-folded, zero file I/O), so build
-    * and probe can never diverge. Staleness, unpartitioned-only, clone
-    * and drop semantics are shared with the stats manifest. Returns the
-    * file count manifested.
+    * and probe can never diverge. Staleness, clone, drop, and
+    * partitioned-layout semantics are shared with the stats manifest
+    * (files keyed by path, not basename — partitionBy writers reuse task
+    * file names across partition dirs); growth paths re-arm via
+    * [[refreshBloomManifest]] at O(new files). Returns the file count
+    * manifested.
     */
   def writeBloomManifest(name: String, cols: Seq[String], bitsPerKey: Int = 10,
       numHashes: Int = 7): Int = {
+    recover(name)
+    require(Files.exists(dir(name)), s"no table '$name'")
+    val files = parquetDataFiles(name)
+    val lines = bloomLines(name, files, cols, bitsPerKey, numHashes)
+    val header = s"bpk=$bitsPerKey\tk=$numHashes\tcols=${cols.mkString(",")}"
+    putMeta(name + "__bloom", (Seq("v1", header) ++ lines).mkString("\n"))
+    files.size
+  }
+
+  /** Incremental bloom refresh — the append/slide maintenance pass:
+    * per-file filters are INDEPENDENT, so a file whose (relative path,
+    * byte size) identity is unchanged keeps its recorded line verbatim
+    * and only NEW files are hashed (one Spark job over just those files;
+    * an appended batch costs O(batch), not O(table) — the writeSwap
+    * rebuild is for rewrites, this is for growth). Vanished files' lines
+    * drop. Parameters come from the recorded header. Returns (files
+    * hashed, lines reused).
+    */
+  def refreshBloomManifest(name: String): (Int, Int) = {
+    recover(name)
+    val (cols, bpk, k) = bloomManifestParams(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no bloom manifest on '$name' — writeBloomManifest first"))
+    val old = getMeta(name + "__bloom").get.split("\n", -1).drop(2)
+      .filter(_.nonEmpty).map { ln =>
+        val parts = ln.split("\t", -1)
+        (parts(0), parts(1).toLong) -> ln
+      }.toMap
+    val files = parquetDataFiles(name)
+    val (kept, fresh) = files.partition(p =>
+      old.contains((dir(name).relativize(p).toString, Files.size(p))))
+    val freshByRel = fresh.map(p => dir(name).relativize(p).toString)
+      .zip(bloomLines(name, fresh, cols, bpk, k)).toMap
+    val merged = files.map { p =>
+      val key = (dir(name).relativize(p).toString, Files.size(p))
+      old.getOrElse(key, freshByRel(key._1))
+    }
+    val header = s"bpk=$bpk\tk=$k\tcols=${cols.mkString(",")}"
+    putMeta(name + "__bloom", (Seq("v1", header) ++ merged).mkString("\n"))
+    (fresh.size, kept.size)
+  }
+
+  /** The per-file bloom lines for a SUBSET of a table's data files —
+    * shared by the full build and the incremental refresh. One
+    * distributed pass over exactly `files`: every (column, hash index)
+    * contributes a (word, single-bit mask) struct, bit_or-combined per
+    * (file, column, word); files are keyed by ABSOLUTE PATH (partitionBy
+    * writers reuse task file names across partition dirs, so basenames
+    * collide on partitioned layouts). The driver collect is
+    * metadata-bounded by files x cols x m/64 words, by contract.
+    */
+  private def bloomLines(name: String, files: Seq[Path], cols: Seq[String],
+      bitsPerKey: Int, numHashes: Int): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.spark.sql.functions._
-    recover(name)
-    require(Files.exists(dir(name)), s"no table '$name'")
-    require(cols.nonEmpty, "writeBloomManifest needs at least one column")
+    require(cols.nonEmpty, "bloom manifests need at least one column")
     require(cols.forall(_.matches("[A-Za-z0-9_]+")),
       s"bloom columns must be plain identifiers: $cols")
     require(bitsPerKey >= 1 && bitsPerKey <= 32, s"bitsPerKey: $bitsPerKey")
     require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
-    require(!listDir(dir(name)).exists(p =>
-      Files.isDirectory(p) && p.getFileName.toString.contains("=")),
-      "bloom manifests apply to unpartitioned tables only")
-    val files = parquetDataFiles(name)
-    require(files.map(_.getFileName.toString).distinct.size == files.size,
-      "bloom manifests key files by basename — duplicate basenames found")
+    if (files.isEmpty) return Nil
     val conf = spark.sessionState.newHadoopConf()
     def nextPow2(x: Long): Long =
       if (x <= 1L) 1L else java.lang.Long.highestOneBit(x - 1L) << 1
-    val mByFile: Seq[(String, Long)] = files.map { p =>
+    val mByAbs: Seq[(String, Long)] = files.map { p =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString), conf)
       val reader = ParquetFileReader.open(in)
       val rows = try reader.getRecordCount finally reader.close()
-      p.getFileName.toString ->
+      p.toAbsolutePath.toString ->
         math.min(1L << 30, math.max(64L, nextPow2(rows * bitsPerKey)))
     }
-    // ONE distributed pass: every (column, hash index) contributes a
-    // (word, single-bit mask) struct, bit_or-combined per file and word
-    val raw = spark.read.parquet(dir(name).toString)
+    val raw = spark.read.option("basePath", dir(name).toString)
+      .parquet(files.map(_.toString): _*)
     import spark.implicits._
-    val mDf = mByFile.toDF("__bloom_file", "__bloom_m")
+    val mDf = mByAbs.toDF("__bloom_file", "__bloom_m")
     val base = raw
       .select(cols.map(col) :+
-        substring_index(input_file_name(), "/", -1).as("__bloom_file"): _*)
+        regexp_replace(input_file_name(), "^file:/+", "/").as("__bloom_file"): _*)
       .join(broadcast(mDf), "__bloom_file")
     val contribs = cols.flatMap { c =>
       (0 until numHashes).map { i =>
@@ -1131,11 +1266,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
     val b64 = java.util.Base64.getEncoder
-    val lines = files.map { p =>
-      val fname = p.getFileName.toString
-      val m = mByFile.toMap.apply(fname)
+    val mMap = mByAbs.toMap
+    files.map { p =>
+      val abs = p.toAbsolutePath.toString
+      val m = mMap(abs)
       val entries = cols.map { c =>
-        val wmap = words.getOrElse((fname, c), Map.empty[Long, Long])
+        val wmap = words.getOrElse((abs, c), Map.empty[Long, Long])
         val buf = java.nio.ByteBuffer.allocate(((m / 64) * 8).toInt)
         (0L until m / 64).foreach(w => buf.putLong(wmap.getOrElse(w, 0L)))
         s"$c=" + b64.encodeToString(buf.array())
@@ -1143,9 +1279,6 @@ final class Warehouse(val root: String, spark: SparkSession) {
       (Seq(dir(name).relativize(p).toString, Files.size(p).toString,
         m.toString) ++ entries).mkString("\t")
     }
-    val header = s"bpk=$bitsPerKey\tk=$numHashes\tcols=${cols.mkString(",")}"
-    putMeta(name + "__bloom", (Seq("v1", header) ++ lines).mkString("\n"))
-    files.size
   }
 
   /** Recorded bloom parameters (columns, bitsPerKey, numHashes) — the

@@ -901,6 +901,52 @@ object Round13Queries extends QuerySet {
         |            AS BIGINT) AS sum_price_cents
         |FROM part
         |WHERE p_brand LIKE 'Brand#2%'
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q464_window_range_read", (s, d) => {
+      // BOTH scan-pruning axes composed over the rolling-monitor layout
+      // (readPeriodRangePruned + the incremental manifest refresh): a
+      // per-(day, cents) register table lives in the period-partition
+      // layout with a value-stats sidecar; growth lands days 21-22 as
+      // partition slices (overwritePeriods — manifest goes structurally
+      // stale, the safe state), refreshStatsManifest re-arms at O(new
+      // files) (prior entries reused VERBATIM, only the new days' footers
+      // read — ManifestSpec-pinned (1,4)-shape), and the window+range
+      // question ("days 15-22, cents $10-$99.99") then prunes by
+      // DIRECTORY first (days 1-14 contribute zero I/O, not even a
+      // listing) and by FILE bounds inside the window. The plain window
+      // filter is the identity oracle.
+      val wh = Scratch.warehouse("q464", d, s, Seq("roll"))
+      val regs = events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("ts").cast("date").cast("string").as("p"),
+          floor(col("value") * 100 + 0.5).cast("long").as("qs_value"))
+        .agg(count(lit(1)).as("qs_weight"))
+      wh.writeSwap("roll",
+        regs.filter(col("p") <= "2024-01-20")
+          .repartitionByRange(32, col("p"), col("qs_value"))
+          .sortWithinPartitions("p", "qs_value"),
+        partitionBy = Seq("p"), statsCols = Seq("qs_value"))
+      wh.overwritePeriods("roll",
+        regs.filter(col("p") >= "2024-01-21" && col("p") <= "2024-01-22"),
+        "p", Seq("2024-01-21", "2024-01-22"))
+      wh.refreshStatsManifest("roll")
+      wh.readPeriodRangePruned("roll", "2024-01-15", "2024-01-22",
+        Seq(("qs_value", 1000L, 9999L)))
+        .agg(count(lit(1)).as("n_registers"),
+          sum(col("qs_weight")).as("total_weight"),
+          min(col("qs_value")).as("min_v"), max(col("qs_value")).as("max_v"))
+    }, Some(
+      """WITH r AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_registers,
+        |       CAST(sum(w) AS BIGINT) AS total_weight,
+        |       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        |FROM r
+        |WHERE day >= DATE '2024-01-15' AND day <= DATE '2024-01-22'
+        |  AND v >= 1000 AND v <= 9999""".stripMargin))
   )
 }

@@ -271,7 +271,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(got === keys.toSet)
   }
 
-  test("bloom: append staleness, rebuild, compact auto-refresh, partitioned shed") {
+  test("bloom: append staleness, rebuild, compact auto-refresh, partitioned keep") {
     val root = Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(root, spark)
     val df = (0L until 1024L).map(k => (k, k)).toDF("k", "x")
@@ -290,10 +290,17 @@ class ManifestSpec extends AnyFunSuite {
     wh.compact("t", rowsPerFile = 256L)
     assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isDefined)
     assert(wh.readPrunedEq("t", "k", 77L).count() === 2L)
-    // a rewrite INTO a partitioned layout sheds the bloom sidecar
+    // a rewrite INTO a partitioned layout KEEPS the bloom (the sidecar
+    // serves non-partition columns; partition keys prune by directory) —
+    // files are keyed by path, so the colliding basenames partitionBy
+    // writers produce across dirs stay distinct
     wh.writeSwap("t", wh.read("t").withColumn("p", col("k") % 2L),
       partitionBy = Seq("p"))
-    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).isEmpty)
+    assert(wh.bloomPrunedFiles("t", "k", Seq(77L)).exists(r => r._1.size < r._2))
+    val gotP = wh.readPrunedEq("t", "k", 77L).collect()
+    assert(gotP.length === 2 &&
+      gotP.forall(r => r.getAs[Long]("p") === 1L), // partition col survives
+      gotP.mkString(","))
   }
 
   test("combined pruning: bloom AND stats evidence intersect on equality reads") {
@@ -323,6 +330,73 @@ class ManifestSpec extends AnyFunSuite {
     assert(wh.bloomPrunedFiles("t2", "k", Seq(100L)).isEmpty)
     assert(wh.readPrunedEq("t2", "k", 100L).count() === 1L)
     assert(wh.readPrunedEq("t2", "k", 100L).inputFiles.length < 8)
+  }
+
+  test("refresh manifests: growth re-arms at O(new files), untouched entries verbatim") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 1024L).map(k => (k, k)).toDF("k", "x")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    wh.writeSwap("t", df, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val statsBefore = wh.getMeta("t__stats").get
+    val bloomBefore = wh.getMeta("t__bloom").get
+    // append a batch: both manifests go structurally stale
+    wh.append("t", Seq((5000L, 1L), (5001L, 2L)).toDF("k", "x").coalesce(1))
+    assert(wh.statsPrunedFiles("t", "k", 0L, 10L).isEmpty)
+    assert(wh.bloomPrunedFiles("t", "k", Seq(5L)).isEmpty)
+    // the incremental refresh reads ONLY the new file's footer / hashes
+    // only the new file — 4 prior lines reused verbatim
+    val (sRead, sReused) = wh.refreshStatsManifest("t")
+    val (bRead, bReused) = wh.refreshBloomManifest("t")
+    assert((sRead, sReused) === ((1, 4)), s"stats refresh $sRead/$sReused")
+    assert((bRead, bReused) === ((1, 4)), s"bloom refresh $bRead/$bReused")
+    val statsAfter = wh.getMeta("t__stats").get
+    val bloomAfter = wh.getMeta("t__bloom").get
+    assert(statsBefore.split("\n").drop(1).forall(statsAfter.contains),
+      "prior stats lines must survive verbatim")
+    assert(bloomBefore.split("\n").drop(2).forall(bloomAfter.contains),
+      "prior bloom lines must survive verbatim")
+    // and BOTH pruning axes are re-armed, including over the new rows
+    assert(wh.statsPrunedFiles("t", "k", 0L, 10L).exists(r => r._1.size < r._2))
+    assert(wh.readPruned("t", "k", 4999L, 5000L).count() === 1L)
+    assert(wh.readPrunedEq("t", "k", 5001L).count() === 1L)
+    assert(wh.readPrunedEq("t", "k", 5L).count() === 1L)
+  }
+
+  test("readPeriodRangePruned: directory and file pruning compose") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    // a period-partitioned layout (one dir per day) whose rows carry a
+    // sorted value column: the window prunes dirs, the manifest prunes
+    // files INSIDE the window
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val df = days.zipWithIndex.flatMap { case (d, i) =>
+      (0L until 256L).map(v => (d, i * 1000L + v, v))
+    }.toDF("p", "cents", "x")
+      .repartitionByRange(8, col("p"), col("cents"))
+      .sortWithinPartitions("p", "cents")
+    wh.writeSwap("t", df, partitionBy = Seq("p"), statsCols = Seq("cents"))
+    // window = days 2-3, range = day 2's values only
+    val got = wh.readPeriodRangePruned("t", "2024-01-02", "2024-01-03",
+      Seq(("cents", 1000L, 1100L)))
+    assert(got.count() === 101L)
+    // every input file sits under an in-window period dir AND intersects
+    // the range by its recorded bounds
+    assert(got.inputFiles.nonEmpty && got.inputFiles.forall(f =>
+      f.contains("p=2024-01-02") || f.contains("p=2024-01-03")),
+      got.inputFiles.mkString(","))
+    // the day-3 dir holds cents >= 2000 only: the manifest drops all its
+    // files, so the read touches day 2 alone — dir pruning alone could not
+    assert(got.inputFiles.forall(_.contains("p=2024-01-02")),
+      s"file skipping inside the window failed: ${got.inputFiles.mkString(",")}")
+    // identity vs the unpruned window read
+    val want = wh.readPeriodRange("t", "2024-01-02", "2024-01-03")
+      .filter(col("cents") >= 1000L && col("cents") <= 1100L)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      want.collect().map(_.toString).sorted.toSeq)
+    // a proven-empty range folds to zero files
+    assert(wh.readPeriodRangePruned("t", "2024-01-02", "2024-01-03",
+      Seq(("cents", 900000L, 900001L))).count() === 0L)
   }
 
   test("bloom: clone carries the sidecar; drop cleans it; string keys work") {
