@@ -692,6 +692,37 @@ object ScaleProbe {
         }
     }
 
+    // round-13 continuation: incremental manifest refresh (q464) — the
+    // table grows Nx in files, the appended batch stays ONE file:
+    // refresh_stats/refresh_bloom must stay FLAT (only the new file pays
+    // a footer read / hash pass; prior lines reused verbatim), while
+    // rebuild_bloom is the ~linear contrast the refresh replaces
+    {
+      val li1 = table(spark, sfDir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("x"))
+      val span = 10000000L
+      val liN = (0 until reps).map(r =>
+        li1.withColumn("k", col("k") + lit(r * span)))
+        .reduce(_ unionByName _)
+      for ((label, df, nf) <- Seq(("1x", li1, 16), (s"${reps}x", liN, 16 * reps))) {
+        val wh = new graft.engine.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_rf").toString, spark)
+        wh.writeSwap("t", df.repartition(nf, col("k")),
+          statsCols = Seq("k"), bloomCols = Seq("k"))
+        wh.append("t", df.limit(1000).coalesce(1))
+        time(s"refresh_stats         $label") {
+          val (r, u) = wh.refreshStatsManifest("t"); r.toLong * 1000000 + u
+        }
+        time(s"refresh_bloom         $label") {
+          val (r, u) = wh.refreshBloomManifest("t"); r.toLong * 1000000 + u
+        }
+        time(s"rebuild_bloom         $label") {
+          wh.writeBloomManifest("t", Seq("k")).toLong
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

@@ -350,4 +350,93 @@ object Sketches {
           .otherwise(expr("cast(shiftleft(cast(1 as bigint), hist_bin) as bigint)") - 1L)
           .as("value_upper")): _*)
   }
+
+  /** KMV key: the md5 hex digest of the id — uniform on [0, 1) under the
+    * 32-hex-char lexicographic order (fixed-length lowercase hex sorts
+    * identically as a string in every engine, so the "k minimum values"
+    * are engine-portable by construction).
+    */
+  def kmvKey(id: Column): Column = md5(id.cast("string"))
+
+  /** K-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et al. 2007's
+    * unbiased estimator) — the mergeable-sketch family member HLL lacks:
+    * the k smallest [[kmvKey]] digests per group over DISTINCT ids are
+    * SIMULTANEOUSLY (a) a uniform k-sample without replacement of the
+    * group's distinct ids (the hash order is uniform and id-independent —
+    * the deterministic reservoir a 100 TB pipeline can actually merge)
+    * and (b) a distinct-count estimator ((k-1) / kth-smallest-fraction,
+    * [[kmvDistinctEstimate]]). Registers are `(group..., kmv_key,
+    * kmv_id)` rows, at most k per group; merge = bag union + re-take-k
+    * ([[kmvMerge]] — bottomK(A ∪ B) == bottomK(bottomK(A) ∪
+    * bottomK(B)), spec-pinned), so per-shard / per-day sketches roll up
+    * without revisiting raw ids.
+    *
+    * Scale shape: two-level bottom-k — per-(group, input-partition)
+    * partials bound memory (collect_set sees only partition-local rows),
+    * then the associative re-take over groups x partitions x k register
+    * rows; no raw-row global window (the Ranking.valueRanks discipline).
+    */
+  def kmvRegisters(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k: $k")
+    val gcols = groupCols.map(col)
+    val keyed = df
+      .select(gcols :+ kmvKey(idCol).as("kmv_key") :+
+        idCol.cast("string").as("kmv_id"): _*)
+      .filter(col("kmv_id").isNotNull)
+    val partial = keyed
+      .groupBy(gcols :+ spark_partition_id().as("__part"): _*)
+      .agg(slice(array_sort(collect_set(
+        struct(col("kmv_key"), col("kmv_id")))), 1, k).as("__bk"))
+    kmvTake(partial
+      .select(gcols :+ explode(col("__bk")).as("__e"): _*)
+      .select(gcols :+ col("__e.kmv_key").as("kmv_key") :+
+        col("__e.kmv_id").as("kmv_id"): _*), groupCols, k)
+  }
+
+  /** The KMV merge law: re-take the k smallest DISTINCT keys per group
+    * from a bag union of register tables (shards, days, partial builds).
+    * Idempotent; associative; commutative — the properties that make the
+    * sample/estimator maintainable incrementally.
+    */
+  def kmvMerge(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    kmvTake(regs, groupCols, k)
+
+  private def kmvTake(regs: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col("kmv_key").asc, col("kmv_id").asc)
+    regs.select(gcols :+ col("kmv_key") :+ col("kmv_id"): _*).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Distinct-count estimate from a KMV register table: with fewer than k
+    * registers the group's ids were seen EXHAUSTIVELY (every distinct id
+    * keeps its key) and the count is exact; otherwise the Beyer et al.
+    * unbiased form `(k-1) / U(k)` with `U(k)` = the kth-smallest key's
+    * fraction of the hash space, computed in exact integers:
+    * `est = (k-1) * 16^15 div kth_num`, `kth_num` = the first 15 hex
+    * digits of the kth key (60 bits — exact in BIGINT on every engine;
+    * the truncation to 15 digits biases U by < 2^-60, far below the
+    * 1/sqrt(k-2) sampling error). One row per group: `n_regs, kth_num,
+    * est_distinct`.
+    */
+  def kmvDistinctEstimate(regs: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    regs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_regs"), max(col("kmv_key")).as("__kth"))
+      .withColumn("kth_num",
+        conv(substring(col("__kth"), 1, 15), 16, 10).cast("long"))
+      .withColumn("est_distinct",
+        when(col("n_regs") < k, col("n_regs"))
+          .when(col("kth_num") > 0L, call_function("div",
+            lit(k - 1L).cast("decimal(38,0)") *
+              lit(1152921504606846976L).cast("decimal(38,0)"),
+            col("kth_num").cast("decimal(38,0)")).cast("long")))
+      .drop("__kth")
+  }
 }

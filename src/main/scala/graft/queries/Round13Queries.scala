@@ -947,6 +947,75 @@ object Round13Queries extends QuerySet {
         |       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         |FROM r
         |WHERE day >= DATE '2024-01-15' AND day <= DATE '2024-01-22'
-        |  AND v >= 1000 AND v <= 9999""".stripMargin))
+        |  AND v >= 1000 AND v <= 9999""".stripMargin)),
+
+    QueryDef("q465_kmv_sample", (s, d) => {
+      // the mergeable uniform sample (Sketches.kmvRegisters — KMV,
+      // Bar-Yossef et al. 2002): the 8 smallest md5 keys per language
+      // over distinct doc ids ARE a uniform 8-sample without replacement,
+      // and unlike a reservoir the register table merges across shards /
+      // days by bag-union + re-take-k (the spec-pinned bottom-k law) —
+      // the deterministic, engine-portable "give me a representative
+      // sample per slice" a corpus pipeline runs at 100 TB without a
+      // global shuffle of raw rows (two-level bottom-k: per-partition
+      // partials, then a register-bounded re-take). The oracle replays
+      // the identical md5 order in DuckDB.
+      import graft.functions.Sketches
+      Sketches.kmvRegisters(table(s, d, "documents"), Seq("lang"),
+        col("doc_id"), 8)
+    }, Some(
+      """WITH d AS (SELECT DISTINCT lang,
+        |                  CAST(doc_id AS BIGINT) AS id FROM documents),
+        |h AS (SELECT lang, md5(CAST(id AS VARCHAR)) AS kmv_key,
+        |             CAST(id AS VARCHAR) AS kmv_id FROM d),
+        |r AS (SELECT lang, kmv_key, kmv_id,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY kmv_key, kmv_id) AS rn
+        |      FROM h)
+        |SELECT lang, kmv_key, kmv_id FROM r WHERE rn <= 8""".stripMargin)),
+
+    QueryDef("q466_kmv_distinct", (s, d) => {
+      // the KMV distinct-count estimator (Beyer et al. 2007's (k-1)/U(k))
+      // beside HLL: same register table as the sample, k-bounded state,
+      // and the estimate derives in EXACT integers from the kth key's
+      // 15-hex prefix — (k-1) * 16^15 div kth_num — so the oracle
+      // replays it digit for digit (DuckDB parses the prefix via
+      // CAST('0x..' AS BIGINT); the Spark conv() parity is spec-anchored
+      // on a pinned md5 value). Per returnflag over lineitem orderkeys at
+      // k=256, exact distinct joined alongside: observed at sf0.01 est
+      // 10865/10823/11022 vs exact 11012/11062/11058 (flags A/N/R) —
+      // -1.3%/-2.2%/-0.3%, inside the 1/sqrt(k-2) ~ 6.3% envelope,
+      // value-inspected. Groups under k read exact by the exhaustive
+      // branch.
+      import graft.functions.Sketches
+      val li = table(s, d, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey").cast("long").as("okey"))
+      val est = Sketches.kmvDistinctEstimate(
+        Sketches.kmvRegisters(li, Seq("flag"), col("okey"), 256),
+        Seq("flag"), 256)
+      val exact = li.groupBy(col("flag"))
+        .agg(countDistinct(col("okey")).as("exact_distinct"))
+      est.join(broadcast(exact), Seq("flag"))
+    }, Some(
+      """WITH d AS (SELECT DISTINCT l_returnflag AS flag,
+        |                  CAST(l_orderkey AS BIGINT) AS id FROM lineitem),
+        |h AS (SELECT flag, md5(CAST(id AS VARCHAR)) AS key FROM d),
+        |r AS (SELECT flag, key,
+        |             row_number() OVER (PARTITION BY flag ORDER BY key) AS rn
+        |      FROM h),
+        |k AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_regs,
+        |             max(key) AS kth
+        |      FROM r WHERE rn <= 256 GROUP BY 1),
+        |e AS (SELECT flag, n_regs,
+        |             CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT) AS kth_num
+        |      FROM k),
+        |x AS (SELECT flag, CAST(count(*) AS BIGINT) AS exact_distinct
+        |      FROM d GROUP BY 1)
+        |SELECT e.flag, e.n_regs, e.kth_num,
+        |       CASE WHEN e.n_regs < 256 THEN e.n_regs
+        |            ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                      // e.kth_num AS BIGINT) END AS est_distinct,
+        |       x.exact_distinct
+        |FROM e JOIN x ON e.flag = x.flag""".stripMargin))
   )
 }

@@ -315,4 +315,65 @@ class FunctionsSpec extends AnyFunSuite {
       assert(v >= t && v < t + 100, s"q=$q v=$v outside two-level bound")
     }
   }
+
+  test("kmvRegisters: k smallest distinct keys, partition-invariant, merge law holds") {
+    import graft.functions.Sketches
+    val df = (0L until 500L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("g", "id")
+    val regs = Sketches.kmvRegisters(df, Seq("g"), col("id"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // exactly k per group, and they ARE the k lexicographically-smallest
+    // md5 keys (brute-force ground truth via the same key expression)
+    val truth = df.select(col("g"), Sketches.kmvKey(col("id")).as("k"),
+      col("id").cast("string").as("i")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).take(8).toSet)
+    assert(regs.length === 16)
+    for (g <- Seq("a", "b"))
+      assert(regs.filter(_._1 == g).toSet === truth(g), s"group $g")
+    // partition layout must not matter
+    val reparts = Sketches.kmvRegisters(df.repartition(7), Seq("g"), col("id"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(reparts === regs.toSet)
+    // merge law: bottomK(A u B) == bottomK(bottomK(A) u bottomK(B))
+    val a = Sketches.kmvRegisters(df.filter(col("id") < 250), Seq("g"), col("id"), 8)
+    val b = Sketches.kmvRegisters(df.filter(col("id") >= 250), Seq("g"), col("id"), 8)
+    val merged = Sketches.kmvMerge(a.unionByName(b), Seq("g"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(merged === regs.toSet)
+    // duplicate ids collapse (DISTINCT semantics)
+    val dup = Sketches.kmvRegisters(df.unionByName(df), Seq("g"), col("id"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dup === regs.toSet)
+  }
+
+  test("kmvDistinctEstimate: exhaustive groups exact, estimator within sampling error, conv parity anchor") {
+    import graft.functions.Sketches
+    // engine-parity anchor: Spark's conv(hex, 16, 10) must equal DuckDB's
+    // CAST('0x...' AS BIGINT) on the md5('hello') prefix (pinned value)
+    val anchor = spark.range(1)
+      .select(conv(substring(md5(lit("hello")), 1, 15), 16, 10).cast("long"))
+      .head().getLong(0)
+    assert(anchor === 419982666956583591L)
+    // a group with < k distinct ids is counted EXACTLY
+    val small = (0L until 20L).map(i => ("s", i)).toDF("g", "id")
+    val es = Sketches.kmvDistinctEstimate(
+      Sketches.kmvRegisters(small, Seq("g"), col("id"), 64), Seq("g"), 64)
+      .collect()(0)
+    assert(es.getAs[Long]("n_regs") === 20L &&
+      es.getAs[Long]("est_distinct") === 20L)
+    // 10000 distinct ids at k=64: deterministic estimate, inside the
+    // ~3/sqrt(k-2) envelope (38%) of truth — and derived EXACTLY from the
+    // kth register's 15-hex prefix (the law replayed here)
+    val big = (0L until 10000L).map(i => ("b", i * 7L + 3L)).toDF("g", "id")
+    val regs = Sketches.kmvRegisters(big, Seq("g"), col("id"), 64)
+    val eb = Sketches.kmvDistinctEstimate(regs, Seq("g"), 64).collect()(0)
+    val kth = regs.agg(max(col("kmv_key"))).head().getString(0)
+    val kthNum = java.lang.Long.parseLong(kth.take(15), 16)
+    assert(eb.getAs[Long]("kth_num") === kthNum)
+    assert(eb.getAs[Long]("est_distinct") ===
+      (BigInt(63) * BigInt(1152921504606846976L) / BigInt(kthNum)).toLong)
+    val est = eb.getAs[Long]("est_distinct").toDouble
+    assert(est > 6200 && est < 13800, s"estimate $est implausibly far from 10000")
+  }
 }
