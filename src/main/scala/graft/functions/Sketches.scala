@@ -424,6 +424,31 @@ object Sketches {
     * 1/sqrt(k-2) sampling error). One row per group: `n_regs, kth_num,
     * est_distinct`.
     */
+  /** Jaccard similarity of two id sets from their KMV registers (the set
+    * operations of Beyer et al. 2007): the k smallest keys of the UNION
+    * are computable from the two register tables alone (bottom-k of a
+    * bag union — the merge law), and within that uniform union sample
+    * the fraction of keys present in BOTH sketches estimates
+    * |A ∩ B| / |A ∪ B|. Exact integers end to end: `j_ppm = n_overlap *
+    * 1e6 div n_union` with `n_union <= k`. When BOTH sides are
+    * exhaustive (fewer than k registers — every distinct id kept) the
+    * union sample IS the union and the Jaccard is exact, not an
+    * estimate. One row: `n_union, n_overlap, j_ppm`.
+    */
+  def kmvJaccard(regsA: DataFrame, regsB: DataFrame, k: Int): DataFrame = {
+    val u = kmvTake(regsA.select(col("kmv_key"), col("kmv_id"))
+      .unionByName(regsB.select(col("kmv_key"), col("kmv_id"))), Nil, k)
+      .localCheckpoint(false) // feeds both membership joins and the count
+    val inBoth = u
+      .join(regsA.select(col("kmv_key")).distinct(), Seq("kmv_key"), "left_semi")
+      .join(regsB.select(col("kmv_key")).distinct(), Seq("kmv_key"), "left_semi")
+    u.agg(count(lit(1)).as("n_union"))
+      .crossJoin(inBoth.agg(count(lit(1)).as("n_overlap")))
+      .withColumn("j_ppm", when(col("n_union") > 0L, call_function("div",
+        col("n_overlap").cast("decimal(38,0)") * lit(1000000L),
+        col("n_union").cast("decimal(38,0)")).cast("long")))
+  }
+
   def kmvDistinctEstimate(regs: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val gcols = groupCols.map(col)

@@ -1016,6 +1016,108 @@ object Round13Queries extends QuerySet {
         |            ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
         |                      // e.kth_num AS BIGINT) END AS est_distinct,
         |       x.exact_distinct
-        |FROM e JOIN x ON e.flag = x.flag""".stripMargin))
+        |FROM e JOIN x ON e.flag = x.flag""".stripMargin)),
+
+    QueryDef("q467_stream_kmv_sample", (s, d) => {
+      // the STREAMING uniform sample (EventsStream.kmvSampleStream): each
+      // micro-batch's per-event-type bottom-8 KMV registers merge into
+      // the stored sample by the exact re-take-k law — k-bounded state
+      // by construction, and stream == batch is an IDENTITY (the merge
+      // law is exact), so the whole-table replay is the oracle, not an
+      // approximation check. Re-take-k is idempotent (unioning rows
+      // already sampled changes nothing), so unlike the sum-combiner
+      // bridge a crash replay double-counts nothing — the streaming
+      // sample is effectively exactly-once without a batch-id ledger.
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q467", d, s, Seq("type_sample"))
+      Scratch.resetCheckpoint(wh, "type_sample")
+      EventsStream.kmvSampleStream(
+        EventsStream.readEvents(s, d).filter(col("user_id").isNotNull),
+        wh, "type_sample", Seq("event_type"), col("user_id"), 8)
+        .awaitTermination()
+      wh.read("type_sample")
+    }, Some(
+      """WITH d AS (SELECT DISTINCT event_type,
+        |                  CAST(user_id AS BIGINT) AS id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type, md5(CAST(id AS VARCHAR)) AS kmv_key,
+        |             CAST(id AS VARCHAR) AS kmv_id FROM d),
+        |r AS (SELECT event_type, kmv_key, kmv_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY kmv_key, kmv_id) AS rn
+        |      FROM h)
+        |SELECT event_type, kmv_key, kmv_id FROM r WHERE rn <= 8""".stripMargin)),
+
+    QueryDef("q468_kmv_jaccard", (s, d) => {
+      // audience overlap WITHOUT raw-set intersection (Sketches.
+      // kmvJaccard — the set operations of Beyer et al. 2007): the
+      // bottom-k keys of the UNION are computable from the two register
+      // tables alone (the merge law), and within that uniform union
+      // sample the both-sides membership fraction estimates
+      // |A n B| / |A u B| — two k-bounded sketches answer the overlap
+      // question raw sets would answer with a full shuffle of both.
+      // Urgent vs low-priority buyer custkey sets at k=256, exact
+      // Jaccard alongside: observed at sf0.01 est 808593 ppm (207 of
+      // the 256-key union sample in both sketches) vs exact 755449
+      // (union 1468, overlap 1109) — +7.0%, ~2.6 sigma of the
+      // sqrt(J(1-J)/k) ~ 2.7% binomial envelope; the draw is
+      // deterministic (md5), so this is the one fixed realization,
+      // value-inspected.
+      import graft.functions.Sketches
+      val o = table(s, d, "orders").select(
+        col("o_orderpriority").as("pr"), col("o_custkey").cast("long").as("ck"))
+      def regs(p: String) =
+        Sketches.kmvRegisters(o.filter(col("pr") === p), Nil, col("ck"), 256)
+      val est = Sketches.kmvJaccard(regs("1-URGENT"), regs("5-LOW"), 256)
+      val flags = o.filter(col("pr").isin("1-URGENT", "5-LOW"))
+        .groupBy(col("ck"))
+        .agg(max(when(col("pr") === "1-URGENT", 1L).otherwise(0L)).as("in_a"),
+          max(when(col("pr") === "5-LOW", 1L).otherwise(0L)).as("in_b"))
+      val exact = flags.agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("exact_overlap"))
+        .withColumn("exact_j_ppm", call_function("div",
+          col("exact_overlap").cast("decimal(38,0)") * lit(1000000L),
+          col("exact_union").cast("decimal(38,0)")).cast("long"))
+      est.crossJoin(exact)
+    }, Some(
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |                  CAST(o_custkey AS BIGINT) AS ck FROM orders),
+        |a AS (SELECT DISTINCT ck FROM o WHERE pr = '1-URGENT'),
+        |b AS (SELECT DISTINCT ck FROM o WHERE pr = '5-LOW'),
+        |ra AS (SELECT key FROM (
+        |         SELECT md5(CAST(ck AS VARCHAR)) AS key,
+        |                row_number() OVER (ORDER BY md5(CAST(ck AS VARCHAR)))
+        |                  AS rn
+        |         FROM a) t WHERE rn <= 256),
+        |rb AS (SELECT key FROM (
+        |         SELECT md5(CAST(ck AS VARCHAR)) AS key,
+        |                row_number() OVER (ORDER BY md5(CAST(ck AS VARCHAR)))
+        |                  AS rn
+        |         FROM b) t WHERE rn <= 256),
+        |uk AS (SELECT DISTINCT key FROM (SELECT key FROM ra
+        |                                 UNION ALL SELECT key FROM rb) t),
+        |us AS (SELECT key FROM (
+        |         SELECT key, row_number() OVER (ORDER BY key) AS rn FROM uk) t
+        |       WHERE rn <= 256),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM us JOIN ra USING (key) JOIN rb USING (key)),
+        |un AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM us),
+        |fl AS (SELECT ck,
+        |              max(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+        |              max(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END) AS ib
+        |       FROM o WHERE pr IN ('1-URGENT', '5-LOW') GROUP BY 1),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        |              CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS exact_overlap
+        |       FROM fl)
+        |SELECT un.n_union, ov.n_overlap,
+        |       CAST((CAST(ov.n_overlap AS HUGEINT) * 1000000)
+        |            // un.n_union AS BIGINT) AS j_ppm,
+        |       ex.exact_union, ex.exact_overlap,
+        |       CAST((CAST(ex.exact_overlap AS HUGEINT) * 1000000)
+        |            // ex.exact_union AS BIGINT) AS exact_j_ppm
+        |FROM un, ov, ex""".stripMargin))
   )
 }

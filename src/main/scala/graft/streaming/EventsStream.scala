@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -189,6 +189,34 @@ object EventsStream {
           graft.engine.Incremental.validateAggSchema(p, keys, combiners, "batch partials")
           p
         }
+        wh.writeSwap(table, merged)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming uniform-sample bridge: each micro-batch's per-group
+    * bottom-k KMV registers ([[graft.functions.Sketches.kmvRegisters]])
+    * merge into the stored sample by the exact re-take-k law — k-bounded
+    * state per group BY CONSTRUCTION, and the terminal table equals the
+    * batch build over everything ingested (the merge law is exact, so
+    * stream == batch is an identity, not an approximation — the property
+    * the oracle gates). Unlike [[aggStream]]'s sum combiners, re-take-k
+    * is IDEMPOTENT (unioning rows already in the sample changes
+    * nothing), so the crash-replay window double-counts nothing: this
+    * bridge is effectively exactly-once without a batch-id ledger.
+    */
+  def kmvSampleStream(events: DataFrame, wh: graft.engine.Warehouse,
+      table: String, groupCols: Seq[String], idCol: Column,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = graft.functions.Sketches.kmvRegisters(batch, groupCols, idCol, k)
+        val merged = if (wh.exists(table))
+          graft.functions.Sketches.kmvMerge(
+            wh.read(table).unionByName(regs), groupCols, k)
+        else regs
         wh.writeSwap(table, merged)
       }
       .trigger(Trigger.AvailableNow())

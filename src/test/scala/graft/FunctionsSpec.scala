@@ -376,4 +376,32 @@ class FunctionsSpec extends AnyFunSuite {
     val est = eb.getAs[Long]("est_distinct").toDouble
     assert(est > 6200 && est < 13800, s"estimate $est implausibly far from 10000")
   }
+
+  test("kmvJaccard: exhaustive sketches give EXACT Jaccard; estimator replays the union-sample law") {
+    import graft.functions.Sketches
+    def regs(ids: Seq[Long], k: Int) =
+      Sketches.kmvRegisters(ids.map(i => ("g", i)).toDF("g", "id"),
+        Nil, col("id"), k)
+    // A = 1..10, B = 6..15, k = 64 >> |A u B|: both exhaustive, Jaccard
+    // exact = 5/15
+    val a = (1L to 10L); val b = (6L to 15L)
+    val exact = Sketches.kmvJaccard(regs(a, 64), regs(b, 64), 64).collect()(0)
+    assert((exact.getAs[Long]("n_union"), exact.getAs[Long]("n_overlap"),
+      exact.getAs[Long]("j_ppm")) === ((15L, 5L, 333333L)))
+    // k = 6 < |A u B|: deterministic ESTIMATE — replay the law by hand
+    // (bottom-6 keys of the union, membership in each side's bottom-6)
+    val ra = regs(a, 6); val rb = regs(b, 6)
+    val got = Sketches.kmvJaccard(ra, rb, 6).collect()(0)
+    val keysA = ra.collect().map(_.getString(0)).toSet
+    val keysB = rb.collect().map(_.getString(0)).toSet
+    val union6 = (keysA ++ keysB).toSeq.sorted.take(6)
+    val overlap = union6.count(x => keysA(x) && keysB(x)).toLong
+    assert((got.getAs[Long]("n_union"), got.getAs[Long]("n_overlap"),
+      got.getAs[Long]("j_ppm")) ===
+      ((6L, overlap, overlap * 1000000L / 6L)))
+    // disjoint sets read zero
+    val dj = Sketches.kmvJaccard(regs(1L to 5L, 64), regs(100L to 104L, 64), 64)
+      .collect()(0)
+    assert(dj.getAs[Long]("n_overlap") === 0L && dj.getAs[Long]("j_ppm") === 0L)
+  }
 }
