@@ -723,6 +723,33 @@ object ScaleProbe {
       }
     }
 
+    // round-13 continuation: KMV bottom-k sketch (q465/q466) — corpus
+    // grows Nx (distinct ids too), k stays fixed: the two-level build
+    // must grow ~linearly (per-partition partials, register-bounded
+    // re-take), and the merge of two prebuilt sketches must stay FLAT
+    // (it touches 2k registers regardless of what they summarize)
+    {
+      import graft.functions.Sketches
+      val li1 = table(spark, sfDir, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_orderkey").cast("long").as("id"))
+      val span = 10000000L
+      val liN = (0 until reps).map(r =>
+        li1.withColumn("id", col("id") + lit(r * span)))
+        .reduce(_ unionByName _).localCheckpoint()
+      for ((label, df) <- Seq("1x" -> li1.localCheckpoint(), s"${reps}x" -> liN)) {
+        time(s"kmv_build             $label") {
+          Sketches.kmvRegisters(df, Seq("g"), col("id"), 256).count()
+        }
+        val a = Sketches.kmvRegisters(df.filter(col("id") % 2 === 0),
+          Seq("g"), col("id"), 256).localCheckpoint()
+        val b = Sketches.kmvRegisters(df.filter(col("id") % 2 === 1),
+          Seq("g"), col("id"), 256).localCheckpoint()
+        time(s"kmv_merge             $label") {
+          Sketches.kmvMerge(a.unionByName(b), Seq("g"), 256).count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(
