@@ -449,6 +449,42 @@ object Sketches {
         col("n_union").cast("decimal(38,0)")).cast("long")))
   }
 
+  /** ALL-PAIRS Jaccard from one grouped register table — the overlap
+    * MATRIX between N audiences/slices computed entirely at register
+    * grain: each unordered group pair gets the k smallest keys of its
+    * two sketches' union (the [[kmvJaccard]] law) in ONE job — the
+    * per-pair work is shared through a (pair, key, side-membership)
+    * rollup of at most G*(G-1)*k rows, so N raw sets never shuffle and
+    * the cost is independent of what the sketches summarize. Pairs of
+    * exhaustive sketches read exact. One row per pair `(g1 < g2)`:
+    * `g1, g2, n_union, n_overlap, j_ppm`.
+    */
+  def kmvJaccardMatrix(regs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = regs.select(col(groupCol).as("__g"), col("kmv_key")).distinct()
+      .localCheckpoint(false) // feeds the pair enumeration and both sides
+    val gs = keys.select(col("__g")).distinct()
+    val pairs = gs.select(col("__g").as("g1"))
+      .crossJoin(gs.select(col("__g").as("g2")))
+      .filter(col("g1") < col("g2"))
+    def side(gcol: String, in1: Int, in2: Int) = pairs
+      .join(keys, keys("__g") === pairs(gcol))
+      .select(col("g1"), col("g2"), col("kmv_key"),
+        lit(in1).as("in1"), lit(in2).as("in2"))
+    val u = side("g1", 1, 0).unionByName(side("g2", 0, 1))
+      .groupBy(col("g1"), col("g2"), col("kmv_key"))
+      .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+    val w = Window.partitionBy(col("g1"), col("g2")).orderBy(col("kmv_key").asc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in1") * col("in2")).cast("long").as("n_overlap"))
+      .withColumn("j_ppm", call_function("div",
+        col("n_overlap").cast("decimal(38,0)") * lit(1000000L),
+        col("n_union").cast("decimal(38,0)")).cast("long"))
+  }
+
   def kmvDistinctEstimate(regs: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val gcols = groupCols.map(col)

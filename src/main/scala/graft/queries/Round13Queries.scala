@@ -1118,6 +1118,129 @@ object Round13Queries extends QuerySet {
         |       ex.exact_union, ex.exact_overlap,
         |       CAST((CAST(ex.exact_overlap AS HUGEINT) * 1000000)
         |            // ex.exact_union AS BIGINT) AS exact_j_ppm
-        |FROM un, ov, ex""".stripMargin))
+        |FROM un, ov, ex""".stripMargin)),
+
+    QueryDef("q469_kmv_overlap_matrix", (s, d) => {
+      // the ALL-PAIRS overlap matrix (Sketches.kmvJaccardMatrix): five
+      // buyer audiences (order priorities), every unordered pair's
+      // Jaccard from the five k=256 register tables in ONE job — the
+      // per-pair union samples share a (pair, key, side) rollup of at
+      // most G*(G-1)*k rows, so N raw sets never shuffle and cost is
+      // independent of what the sketches summarize (N^2 raw-set
+      // intersections is exactly the job that dies first at 100 TB).
+      // Exact Jaccard per pair joined alongside from one self-join of
+      // the distinct (priority, custkey) rollup; spec pins every matrix
+      // cell == the standalone two-sketch kmvJaccard.
+      import graft.functions.Sketches
+      val o = table(s, d, "orders").select(
+        col("o_orderpriority").as("pr"),
+        col("o_custkey").cast("long").as("ck"))
+      val est = Sketches.kmvJaccardMatrix(
+        Sketches.kmvRegisters(o, Seq("pr"), col("ck"), 256), "pr", 256)
+      val pres = o.distinct().localCheckpoint(false) // pair join + counts
+      val cnt = pres.groupBy(col("pr")).agg(count(lit(1)).as("n"))
+      val ov = pres.as("x").join(pres.as("y"),
+          col("x.ck") === col("y.ck") && col("x.pr") < col("y.pr"))
+        .groupBy(col("x.pr").as("g1"), col("y.pr").as("g2"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      est
+        .join(broadcast(cnt.withColumnRenamed("pr", "g1")
+          .withColumnRenamed("n", "n1")), Seq("g1"))
+        .join(broadcast(cnt.withColumnRenamed("pr", "g2")
+          .withColumnRenamed("n", "n2")), Seq("g2"))
+        .join(broadcast(ov), Seq("g1", "g2"), "left")
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+        .withColumn("exact_union", col("n1") + col("n2") - col("exact_overlap"))
+        .withColumn("exact_j_ppm", call_function("div",
+          col("exact_overlap").cast("decimal(38,0)") * lit(1000000L),
+          col("exact_union").cast("decimal(38,0)")).cast("long"))
+        .drop("n1", "n2")
+    }, Some(
+      """WITH o AS (SELECT DISTINCT o_orderpriority AS pr,
+        |                  CAST(o_custkey AS BIGINT) AS ck FROM orders),
+        |h AS (SELECT pr, md5(CAST(ck AS VARCHAR)) AS key FROM o),
+        |r AS (SELECT pr, key,
+        |             row_number() OVER (PARTITION BY pr ORDER BY key) AS rn
+        |      FROM h),
+        |s AS (SELECT pr, key FROM r WHERE rn <= 256),
+        |p AS (SELECT a.pr AS g1, b.pr AS g2
+        |      FROM (SELECT DISTINCT pr FROM o) a,
+        |           (SELECT DISTINCT pr FROM o) b
+        |      WHERE a.pr < b.pr),
+        |e AS (SELECT p.g1, p.g2, s.key,
+        |             max(CASE WHEN s.pr = p.g1 THEN 1 ELSE 0 END) AS in1,
+        |             max(CASE WHEN s.pr = p.g2 THEN 1 ELSE 0 END) AS in2
+        |      FROM p JOIN s ON s.pr = p.g1 OR s.pr = p.g2
+        |      GROUP BY 1, 2, 3),
+        |w AS (SELECT g1, g2, key, in1, in2,
+        |             row_number() OVER (PARTITION BY g1, g2 ORDER BY key)
+        |               AS rn
+        |      FROM e),
+        |m AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_union,
+        |             CAST(sum(in1 * in2) AS BIGINT) AS n_overlap
+        |      FROM w WHERE rn <= 256 GROUP BY 1, 2),
+        |cnt AS (SELECT pr, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |ov AS (SELECT a.pr AS g1, b.pr AS g2,
+        |              CAST(count(*) AS BIGINT) AS ex_ov
+        |       FROM o a JOIN o b ON a.ck = b.ck AND a.pr < b.pr
+        |       GROUP BY 1, 2)
+        |SELECT m.g1, m.g2, m.n_union, m.n_overlap,
+        |       CAST((CAST(m.n_overlap AS HUGEINT) * 1000000)
+        |            // m.n_union AS BIGINT) AS j_ppm,
+        |       CAST(coalesce(ov.ex_ov, 0) AS BIGINT) AS exact_overlap,
+        |       CAST(c1.n + c2.n - coalesce(ov.ex_ov, 0) AS BIGINT)
+        |         AS exact_union,
+        |       CAST((CAST(coalesce(ov.ex_ov, 0) AS HUGEINT) * 1000000)
+        |            // (c1.n + c2.n - coalesce(ov.ex_ov, 0)) AS BIGINT)
+        |         AS exact_j_ppm
+        |FROM m JOIN cnt c1 ON c1.pr = m.g1
+        |       JOIN cnt c2 ON c2.pr = m.g2
+        |       LEFT JOIN ov ON ov.g1 = m.g1 AND ov.g2 = m.g2""".stripMargin)),
+
+    QueryDef("q470_rolling_kmv_sample", (s, d) => {
+      // the ROLLING uniform sample — KMV composed with the period
+      // layout: per-day bottom-8 user registers live one period dir per
+      // day; "a representative sample of the trailing week" is
+      // kmvMerge over readPeriodRange — the window's dirs alone are
+      // listed and read (eviction = the directory never touched,
+      // admission = one day's partition), and the merge law makes the
+      // result EXACTLY the bottom-8 of the window's distinct events, so
+      // the whole-window replay is the identity oracle. Three successive
+      // windows slide the sample one day at a time — event ids are
+      // window-specific (unlike user ids, whose weekly-active set is
+      // stable: an early draft sampled users and all three windows
+      // returned the SAME 8 — true, but blind to a window-read bug),
+      // so the sliding windows visibly exchange sample members:
+      // observed 12 distinct keys across the three 8-member windows at
+      // sf0.01 (each slide exchanges ~2 members), value-inspected.
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q470", d, s, Seq("day_sample"))
+      val ev = events(s, d)
+        .select(col("ts").cast("date").cast("string").as("p"), col("event_id"))
+      wh.writeSwap("day_sample",
+        Sketches.kmvRegisters(ev, Seq("p"), col("event_id"), 8),
+        partitionBy = Seq("p"))
+      Seq("2024-01-20", "2024-01-21", "2024-01-22").map { end =>
+        val start = java.time.LocalDate.parse(end).minusDays(6).toString
+        Sketches.kmvMerge(
+          wh.readPeriodRange("day_sample", start, end), Nil, 8)
+          .withColumn("window_end", lit(end).cast("date"))
+      }.reduce(_ unionByName _)
+    }, Some(
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                  CAST(event_id AS BIGINT) AS id FROM events),
+        |w AS (SELECT * FROM (VALUES (DATE '2024-01-20'),
+        |                            (DATE '2024-01-21'),
+        |                            (DATE '2024-01-22')) t(we)),
+        |d AS (SELECT DISTINCT w.we, e.id
+        |      FROM e JOIN w ON e.day >= w.we - 6 AND e.day <= w.we),
+        |h AS (SELECT we, md5(CAST(id AS VARCHAR)) AS kmv_key,
+        |             CAST(id AS VARCHAR) AS kmv_id FROM d),
+        |r AS (SELECT we, kmv_key, kmv_id,
+        |             row_number() OVER (PARTITION BY we
+        |                                ORDER BY kmv_key, kmv_id) AS rn
+        |      FROM h)
+        |SELECT we AS window_end, kmv_key, kmv_id FROM r WHERE rn <= 8"""
+        .stripMargin))
   )
 }

@@ -404,4 +404,36 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(dj.getAs[Long]("n_overlap") === 0L && dj.getAs[Long]("j_ppm") === 0L)
   }
+
+  test("kmvJaccardMatrix: every pair equals the two-sketch kmvJaccard; exhaustive pairs exact") {
+    import graft.functions.Sketches
+    val df = ((1L to 10L).map(("a", _)) ++ (6L to 15L).map(("b", _)) ++
+      (1L to 20L by 2).map(("c", _))).toDF("g", "id")
+    for (k <- Seq(6, 64)) { // estimating and exhaustive regimes
+      val regs = Sketches.kmvRegisters(df, Seq("g"), col("id"), k)
+      val m = Sketches.kmvJaccardMatrix(regs, "g", k).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n_union"), r.getAs[Long]("n_overlap"),
+            r.getAs[Long]("j_ppm"))).toMap
+      assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+      for (((g1, g2), got) <- m) {
+        def side(g: String) = regs.filter(col("g") === g)
+          .select(col("kmv_key"), col("kmv_id"))
+        val solo = Sketches.kmvJaccard(side(g1), side(g2), k).collect()(0)
+        assert(got === ((solo.getAs[Long]("n_union"),
+          solo.getAs[Long]("n_overlap"), solo.getAs[Long]("j_ppm"))),
+          s"pair ($g1,$g2) k=$k")
+      }
+    }
+    // exhaustive ground truth: |a n b| = 5, |a u b| = 15; |a n c| = 5
+    // (odd 1..9), |a u c| = 15; |b n c| = 4 (7,9,11,13... odd in 6..15 =
+    // 7,9,11,13,15 -> 5), |b u c| = 15
+    val exact = Sketches.kmvJaccardMatrix(
+      Sketches.kmvRegisters(df, Seq("g"), col("id"), 64), "g", 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_union"), r.getAs[Long]("n_overlap"))).toMap
+    assert(exact(("a", "b")) === ((15L, 5L)))
+    assert(exact(("a", "c")) === ((15L, 5L)))
+    assert(exact(("b", "c")) === ((15L, 5L)))
+  }
 }
