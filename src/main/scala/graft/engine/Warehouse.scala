@@ -835,6 +835,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val cols = manifestCols(name)
     require(cols.nonEmpty,
       s"no stats manifest on '$name' — writeStatsManifest first")
+    // reuse-verbatim requires the stored FORMAT to be the one this code
+    // writes: relabeling pre-v2 entries (`c=mn:mx`) under a v2 header
+    // would make every later pruned read throw in parseColStats instead
+    // of declining to a full scan (ADVICE r13). A version mismatch pays
+    // the full rebuild once and re-arms incrementality from there.
+    if (!getMeta(name + "__stats").get.split("\n", -1).headOption.contains("v2"))
+      return (writeStatsManifest(name, cols), 0)
     val old = getMeta(name + "__stats").get.split("\n", -1).drop(1)
       .filter(_.nonEmpty).map { ln =>
         val parts = ln.split("\t", -1)
@@ -1238,17 +1245,37 @@ final class Warehouse(val root: String, spark: SparkSession) {
         new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString), conf)
       val reader = ParquetFileReader.open(in)
       val rows = try reader.getRecordCount finally reader.close()
+      // 2^27-bit cap (16 MiB of filter per column per file, ~22 MiB of
+      // base64): past ~13M rows/file at bitsPerKey=10 the FPR degrades
+      // gracefully instead of the sidecar ballooning toward the former
+      // 2^30 cap's ~170 MB-per-entry manifests (ADVICE r13 — the probe
+      // path decodes per-file strings driver-side, so entry size is the
+      // lookup cost); files that large should split at write time anyway
       p.toAbsolutePath.toString ->
-        math.min(1L << 30, math.max(64L, nextPow2(rows * bitsPerKey)))
+        math.min(1L << 27, math.max(64L, nextPow2(rows * bitsPerKey)))
     }
     val raw = spark.read.option("basePath", dir(name).toString)
       .parquet(files.map(_.toString): _*)
     import spark.implicits._
     val mDf = mByAbs.toDF("__bloom_file", "__bloom_m")
+    // input_file_name() is the URL-ENCODED scan path: a warehouse root
+    // containing a space / '%' / non-ASCII char percent-encodes, and an
+    // inner join keyed on the raw filesystem path would silently drop
+    // every row — all-zero filters that then prune files which DO hold
+    // the probed key (ADVICE r13, a no-false-negative contract breach).
+    // Decode (protecting literal '+', which url_decode would read as a
+    // form-encoded space) and make any residual mismatch LOUD: the join
+    // is a left join whose null m raises in-plan, so encoding drift can
+    // only ever fail the build, never corrupt a filter.
+    val decoded = url_decode(regexp_replace(
+      regexp_replace(input_file_name(), "^file:/+", "/"), "\\+", "%2B"))
     val base = raw
-      .select(cols.map(col) :+
-        regexp_replace(input_file_name(), "^file:/+", "/").as("__bloom_file"): _*)
-      .join(broadcast(mDf), "__bloom_file")
+      .select(cols.map(col) :+ decoded.as("__bloom_file"): _*)
+      .join(broadcast(mDf), Seq("__bloom_file"), "left")
+      .withColumn("__bloom_m", when(col("__bloom_m").isNull, raise_error(
+        concat(lit("bloom build: scan path not in the manifest key set "
+          + "(URL-decode drift?): "), col("__bloom_file"))).cast("long"))
+        .otherwise(col("__bloom_m")))
     val contribs = cols.flatMap { c =>
       (0 until numHashes).map { i =>
         val pos = pmod(xxhash64(lit(i), col(c)), col("__bloom_m"))
@@ -1304,7 +1331,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * PRODUCTION pruning decision.
     */
   private[graft] def bloomPrunedFiles(name: String, column: String,
-      values: Seq[Any]): Option[(Seq[Path], Int)] = {
+      values: Seq[Any],
+      /** Relative paths already proven POSSIBLE by other evidence (the
+        * stats-manifest kept set): files outside it skip the base64
+        * decode entirely — the probe's dominant cost on wide manifests
+        * (ADVICE r13) — and are excluded from the kept set (safe:
+        * exclusion elsewhere proved disjointness, and intersection of
+        * no-false-negative evidence is no-false-negative).
+        */
+      candidates: Option[Set[String]] = None): Option[(Seq[Path], Int)] = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     require(values.nonEmpty, "bloomPrunedFiles needs at least one value")
     require(values.forall(_ != null), "NULL never equals — drop null probes")
@@ -1323,7 +1358,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
         val rawHashes: Seq[Seq[Long]] = values.indices.map(vi =>
           (0 until k).map(i => row.getLong(vi * k + i)))
         val b64 = java.util.Base64.getDecoder
-        val kept = recs.filter { case (_, entries) =>
+        val kept = recs.filter { case (rel, entries) =>
+          candidates.forall(_.contains(rel)) && {
           val m = entries.head.toLong
           entries.tail.map(_.split("=", 2)).collectFirst {
             case Array(c, bits) if c == column => bits
@@ -1337,7 +1373,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
                 (wordsArr((pos / 64L).toInt) >>> (pos % 64L).toInt & 1L) == 1L
               })
           }
-        }.map(r => dir(name).resolve(r._1))
+        }}.map(r => dir(name).resolve(r._1))
         (kept, recs.size)
       }
     }
@@ -1392,13 +1428,17 @@ final class Warehouse(val root: String, spark: SparkSession) {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "readPrunedIn needs at least one value")
     def pred(df: DataFrame) = df.filter(col(column).isin(values: _*))
-    val kept = (bloomPrunedFiles(name, column, values),
-        statsPrunedInFiles(name, column, values)) match {
-      case (Some((b, n)), Some((s, _))) =>
-        val inStats = s.toSet
-        Some((b.filter(inStats.contains), n))
-      case (b @ Some(_), None) => b
-      case (None, st) => st
+    // stats evidence FIRST: its kept set feeds the bloom probe as the
+    // candidate set, so a file the min/max already ruled out never pays
+    // the per-file base64 decode (the probe's dominant cost on wide
+    // manifests — ADVICE r13); the bloom result is then already the
+    // intersection of both evidence halves
+    val st = statsPrunedInFiles(name, column, values)
+    val stRel = st.map { case (s, _) =>
+      s.map(p => dir(name).relativize(p).toString).toSet }
+    val kept = (bloomPrunedFiles(name, column, values, stRel), st) match {
+      case (b @ Some(_), _) => b
+      case (None, s) => s
     }
     prunedRead(kept, name, pred)
   }

@@ -416,4 +416,52 @@ class ManifestSpec extends AnyFunSuite {
     wh.writeSwap("dst", Seq(("u123", 1L)).toDF("u", "x"))
     assert(wh.bloomPrunedFiles("dst", "u", Seq("u123")).isEmpty)
   }
+
+  test("refreshStatsManifest on a pre-v2 sidecar rebuilds instead of relabeling (ADVICE r13)") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    wh.writeSwap("t", (0L until 1000L).map(k => (k, k * 3L)).toDF("k", "x")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    // forge the legacy format: same (path, size) identities, v1 header,
+    // `c=mn:mx` entries — the shape the pre-diff code wrote. The old
+    // refresh reused these lines verbatim under a v2 header, and every
+    // later pruned read then THREW in parseColStats instead of declining.
+    val legacy = wh.getMeta("t__stats").get.split("\n", -1).drop(1)
+      .filter(_.nonEmpty).map { ln =>
+        val p = ln.split("\t", -1)
+        (Seq(p(0), p(1)) ++ p.drop(2).map { e =>
+          val c = e.split("=", 2)(0)
+          s"$c=0:999"
+        }).mkString("\t")
+      }
+    wh.putMeta("t__stats", ("v1" +: legacy.toSeq).mkString("\n"))
+    // refresh must pay the full rebuild (0 lines reused), not merge
+    val (read, reused) = wh.refreshStatsManifest("t")
+    assert(reused === 0, s"reused $reused v1 lines under a v2 header")
+    assert(read > 0)
+    // and the rebuilt manifest serves pruned reads again
+    assert(wh.statsPrunedFiles("t", "k", 100L, 199L).isDefined)
+    assert(wh.readPruned("t", "k", 100L, 199L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      fullFilter(wh, "t", "k", 100L, 199L))
+  }
+
+  test("bloom build survives a percent-encoding warehouse path (ADVICE r13)") {
+    // a space in the root percent-encodes in input_file_name(): the old
+    // inner join keyed on the raw path dropped every row — all-zero
+    // filters that pruned files which DO hold the key (silent missing
+    // rows). The decoded join + loud null-m guard must keep this exact.
+    val root = Files.createTempDirectory("graft wh enc").toString
+    assert(root.contains(" "))
+    val wh = new Warehouse(root, spark)
+    val df = (0L until 2048L).map(k => (s"u$k", k)).toDF("u", "x")
+      .repartition(8, col("u"))
+    wh.writeSwap("src", df, bloomCols = Seq("u"))
+    val Some((kept, n)) = wh.bloomPrunedFiles("src", "u", Seq("u123"))
+    assert(kept.nonEmpty, "all-zero bloom filters: the key's file was pruned")
+    assert(kept.size < n, "no pruning at all — filters degenerate")
+    assert(wh.readPrunedEq("src", "u", "u123").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("u123", 123L)))
+  }
 }
