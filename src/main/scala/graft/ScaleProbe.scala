@@ -750,6 +750,31 @@ object ScaleProbe {
       }
     }
 
+    // round 14: the k-bounded KMV partial (VERDICT r13 item 4) on the
+    // adversarial shape — ONE group, ONE input partition, distinct ids
+    // growing Nx. The former collect_set partial materialized an
+    // O(partition distinct) array before its k-cut (millions of structs
+    // in one aggregation buffer); the BottomKPairs aggregate holds k=256
+    // entries at every stage, so per-row cost is flat and total time
+    // grows ~linearly with rows — no superlinear blowup, no giant-array
+    // allocation. The weighted build rides the same aggregate (weights
+    // 1..4 here, so rows explode ~2.5x before the bounded partial).
+    {
+      import graft.functions.Sketches
+      def skewed(n: Long) = spark.range(n).select(lit("g").as("g"),
+        (col("id") * 2654435761L % 2000000011L).as("id")).coalesce(1)
+      for ((label, n) <- Seq("1x" -> 1500000L, s"${reps}x" -> (1500000L * reps))) {
+        val df = skewed(n).localCheckpoint()
+        time(s"kmv_skew_build        $label") {
+          Sketches.kmvRegisters(df, Seq("g"), col("id"), 256).count()
+        }
+        time(s"kmv_skew_weighted     $label") {
+          Sketches.kmvWeightedRegisters(df, Seq("g"), col("id"),
+            col("id") % 4L + 1L, 256).count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

@@ -371,27 +371,37 @@ object Sketches {
     * bottomK(B)), spec-pinned), so per-shard / per-day sketches roll up
     * without revisiting raw ids.
     *
-    * Scale shape: two-level bottom-k — per-(group, input-partition)
-    * partials bound memory (collect_set sees only partition-local rows),
-    * then the associative re-take over groups x partitions x k register
-    * rows; no raw-row global window (the Ranking.valueRanks discipline).
+    * Scale shape: ONE hash aggregate whose per-group state is bounded at
+    * k BY CONSTRUCTION ([[graft.plans.BottomKPairs]], a capped ordered
+    * map): map-side partials insert-with-eviction row by row, shuffle k
+    * entries per (group, mapper), and merge under the same cap — O(k)
+    * memory per group at every stage, independent of partition-local
+    * distinct-id counts (the former collect_set partial paid an
+    * O(partition distinct) array on a skewed single-group partition
+    * before its k-cut — VERDICT r13 item 4). No raw-row global window
+    * (the Ranking.valueRanks discipline); output spec-pinned to the
+    * ordered-window replay the oracles use.
     */
   def kmvRegisters(df: DataFrame, groupCols: Seq[String], idCol: Column,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 65536, s"k: $k")
     val gcols = groupCols.map(col)
-    val keyed = df
-      .select(gcols :+ kmvKey(idCol).as("kmv_key") :+
+    df.select(gcols :+ kmvKey(idCol).as("kmv_key") :+
         idCol.cast("string").as("kmv_id"): _*)
       .filter(col("kmv_id").isNotNull)
-    val partial = keyed
-      .groupBy(gcols :+ spark_partition_id().as("__part"): _*)
-      .agg(slice(array_sort(collect_set(
-        struct(col("kmv_key"), col("kmv_id")))), 1, k).as("__bk"))
-    kmvTake(partial
+      .groupBy(gcols: _*)
+      .agg(bottomKPairs(col("kmv_key"), col("kmv_id"), lit(1L), k).as("__bk"))
       .select(gcols :+ explode(col("__bk")).as("__e"): _*)
       .select(gcols :+ col("__e.kmv_key").as("kmv_key") :+
-        col("__e.kmv_id").as("kmv_id"): _*), groupCols, k)
+        col("__e.kmv_id").as("kmv_id"): _*)
+  }
+
+  /** [[graft.plans.BottomKPairs]] as a Column aggregate. */
+  private def bottomKPairs(key: Column, id: Column, w: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.plans.BottomKPairs(
+      GraftSqlBridge.expression(key), GraftSqlBridge.expression(id),
+      GraftSqlBridge.expression(w), k).toAggregateExpression())
   }
 
   /** The KMV merge law: re-take the k smallest DISTINCT keys per group
@@ -402,16 +412,81 @@ object Sketches {
   def kmvMerge(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
     kmvTake(regs, groupCols, k)
 
-  private def kmvTake(regs: DataFrame, groupCols: Seq[String],
-      k: Int): DataFrame = {
+  private def kmvTake(regs: DataFrame, groupCols: Seq[String], k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
     val w = Window.partitionBy(gcols: _*)
       .orderBy(col("kmv_key").asc, col("kmv_id").asc)
-    regs.select(gcols :+ col("kmv_key") :+ col("kmv_id"): _*).distinct()
+    regs.select(gcols ++ Seq(col("kmv_key"), col("kmv_id")) ++
+        carry.map(col): _*).distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** WEIGHTED mergeable bottom-k sample — the register-table form of
+    * proportional-to-weight corpus sampling (VERDICT r13 item 2; exact
+    * priority sampling q169/q175 has no mergeable state): an id of
+    * INTEGER weight `w` contributes `w` deterministic sub-keys
+    * `md5(id || '#' || j)`, `j < w`, and the registers are the uniform
+    * bottom-k over the weight-replicated multiset — so every uniform-KMV
+    * law carries over VERBATIM: P(id owns the smallest key) = w / sum(w)
+    * exactly, merge is bag-union + re-take-k (associative / commutative /
+    * idempotent, [[kmvWeightedMerge]]), and [[kmvDistinctEstimate]] over
+    * these registers estimates the TOTAL WEIGHT of the distinct-id set
+    * (each distinct id owns exactly `w` distinct sub-items) — the
+    * mixture-mass estimator beside the sample.
+    *
+    * Exact integer form by construction: no u^(1/w) floats anywhere —
+    * the float order statistic needs pow/ln, which are not correctly
+    * rounded across engines (the qsCompress determinism argument), where
+    * the replicated-multiset draw is pure md5 + string order, replayed
+    * digit-for-digit by the DuckDB oracle. The trade is O(w) hashes per
+    * row, so weights must be SMALL integers: quantize mixture weights to
+    * a coarse integer scale first (`maxWeight` caps the blowup and
+    * raises in-plan on violation). Weight must be a STABLE function of
+    * the id (same id, same weight across shards/days) — that is what
+    * makes the merge idempotent; registers carry `kmv_w` so consumers
+    * read each sampled id's weight without rejoining the corpus.
+    *
+    * Same O(k)-bounded single-aggregate scale shape as [[kmvRegisters]]
+    * (the explode multiplies rows by w BEFORE the aggregate, inside one
+    * stage — nothing wider than k ever shuffles).
+    */
+  def kmvWeightedRegisters(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, wCol: Column, k: Int, maxWeight: Int = 4096): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k: $k")
+    require(maxWeight >= 1 && maxWeight <= 65536, s"maxWeight: $maxWeight")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ idCol.cast("string").as("kmv_id") :+
+        wCol.cast("long").as("kmv_w"): _*)
+      .filter(col("kmv_id").isNotNull && col("kmv_w").isNotNull)
+      .withColumn("kmv_w",
+        when(col("kmv_w") < 1L || col("kmv_w") > maxWeight.toLong,
+          raise_error(concat(
+            lit(s"kmvWeightedRegisters weight out of [1, $maxWeight]: "),
+            col("kmv_w").cast("string"))).cast("long"))
+          .otherwise(col("kmv_w")))
+      .withColumn("__j", explode(sequence(lit(0L), col("kmv_w") - 1L)))
+      .withColumn("kmv_key",
+        md5(concat(col("kmv_id"), lit("#"), col("__j").cast("string"))))
+      .groupBy(gcols: _*)
+      .agg(bottomKPairs(col("kmv_key"), col("kmv_id"), col("kmv_w"), k)
+        .as("__bk"))
+      .select(gcols :+ explode(col("__bk")).as("__e"): _*)
+      .select(gcols :+ col("__e.kmv_key").as("kmv_key") :+
+        col("__e.kmv_id").as("kmv_id") :+ col("__e.kmv_w").as("kmv_w"): _*)
+  }
+
+  /** The weighted merge law — identical to [[kmvMerge]] with the weight
+    * carried: re-take the k smallest distinct (key, id) pairs from a bag
+    * union of weighted register tables. Associative, commutative,
+    * idempotent under the stable-weight contract (equal pairs carry
+    * equal weights by construction, so the distinct() can never fork).
+    */
+  def kmvWeightedMerge(regs: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    kmvTake(regs, groupCols, k, carry = Seq("kmv_w"))
 
   /** Distinct-count estimate from a KMV register table: with fewer than k
     * registers the group's ids were seen EXHAUSTIVELY (every distinct id

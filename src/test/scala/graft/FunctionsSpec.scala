@@ -347,6 +347,61 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dup === regs.toSet)
   }
 
+  test("kmvWeightedRegisters: replicated-multiset law, merge law, weight payload, estimator reads total weight") {
+    import graft.functions.Sketches
+    val df = (0L until 100L).map(i => ("g", i, i % 3L + 1L))
+      .toDF("g", "id", "w")
+    val regs = Sketches.kmvWeightedRegisters(df, Seq("g"), col("id"),
+      col("w"), 8)
+    // the aggregate must run on the object-hash path (bounded partial,
+    // not a collect_set materialization)
+    assert(regs.queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"))
+    val got = regs.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // ground truth: the bottom-8 of the weight-replicated multiset, via
+    // the same md5 sub-key expression
+    val truth = df
+      .select(col("id").cast("string").as("i"), col("w"),
+        explode(sequence(lit(0L), col("w") - 1L)).as("j"))
+      .select(md5(concat(col("i"), lit("#"), col("j").cast("string"))).as("k"),
+        col("i"), col("w")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).take(8).toSet
+    assert(got === truth)
+    // partition layout must not matter (exercises partial serialize/merge)
+    val reparts = Sketches.kmvWeightedRegisters(df.repartition(7), Seq("g"),
+      col("id"), col("w"), 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(reparts === got)
+    // merge law: bottomK(A u B) == merge(bottomK(A), bottomK(B)), weights
+    // carried; idempotent under re-merge
+    val a = Sketches.kmvWeightedRegisters(df.filter(col("id") < 50),
+      Seq("g"), col("id"), col("w"), 8)
+    val b = Sketches.kmvWeightedRegisters(df.filter(col("id") >= 50),
+      Seq("g"), col("id"), col("w"), 8)
+    val merged = Sketches.kmvWeightedMerge(a.unionByName(b), Seq("g"), 8)
+    assert(merged.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet === got)
+    assert(Sketches.kmvWeightedMerge(merged.unionByName(merged), Seq("g"), 8)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet === got)
+    // a group whose TOTAL WEIGHT fits under k is exhaustive, and the
+    // distinct estimator then reads the exact total weight (distinct
+    // sub-items = sum of weights over distinct ids)
+    val small = (0L until 10L).map(i => ("s", i, 2L)).toDF("g", "id", "w")
+    val est = Sketches.kmvDistinctEstimate(
+      Sketches.kmvWeightedRegisters(small, Seq("g"), col("id"), col("w"), 64)
+        .drop("kmv_w"), Seq("g"), 64).collect()(0)
+    assert(est.getAs[Long]("n_regs") === 20L &&
+      est.getAs[Long]("est_distinct") === 20L)
+    // out-of-range weight raises in-plan, never silently corrupts
+    val bad = Sketches.kmvWeightedRegisters(
+      Seq(("g", 1L, 0L)).toDF("g", "id", "w"), Seq("g"), col("id"), col("w"), 8)
+    val ex = intercept[Throwable](bad.collect())
+    assert(ex.getMessage.contains("weight out of"), ex.getMessage)
+  }
+
   test("kmvDistinctEstimate: exhaustive groups exact, estimator within sampling error, conv parity anchor") {
     import graft.functions.Sketches
     // engine-parity anchor: Spark's conv(hex, 16, 10) must equal DuckDB's
