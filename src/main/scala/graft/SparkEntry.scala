@@ -13,7 +13,7 @@ object SparkEntry {
     Seq(CoreQueries, PipelineQueries, CoverageQueries, LifecycleQueries,
       AnalyticsQueries, ExtensionQueries, FeatureQueries, StatQueries,
       InferenceQueries, DecisionQueries, Round11Queries, Round12Queries,
-      Round13Queries)
+      Round13Queries, Round14Queries)
 
   // a duplicated query name would silently shadow one implementation in the
   // toMap below — fail at class-init instead

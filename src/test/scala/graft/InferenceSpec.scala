@@ -1852,4 +1852,54 @@ class InferenceSpec extends AnyFunSuite {
     assert(m.getAs[Long]("delta_ppm") === -500000L)
     assert(m.getAs[String]("magnitude") === "large")
   }
+
+  test("compressed-baseline envelopes: KS/W1 inside the stride bound, categorical trio monotone under coarsening (q472 laws)") {
+    import graft.functions.QuantileSketch
+    // a shaped baseline (values 1..200, weight = 1 + v%3) against a
+    // shifted live side (60..259): exact vs k=16-compressed readings
+    val base = (1L to 200L).map(v => (v, 1L + v % 3L))
+      .toDF("qs_value", "qs_weight").localCheckpoint(false)
+    val live = (60L to 259L).map(v => (v, 1L)).toDF("qs_value", "qs_weight")
+      .localCheckpoint(false)
+    val comp = QuantileSketch.qsCompress(base, Nil, 16).localCheckpoint(false)
+    val w = base.agg(sum(col("qs_weight"))).head().getLong(0)
+    val s = (w + 15) / 16
+    // KS: |d_ppm_comp - d_ppm_exact| <= ceil(s*1e6/W) + 1 (the kept-rank
+    // exactness bound — gap mass between kept points < s)
+    val dE = Inference.ksFromRegisters(base, live).head().getAs[Long]("d_ppm")
+    val dC = Inference.ksFromRegisters(comp, live).head().getAs[Long]("d_ppm")
+    val ksBound = (s * 1000000L + w - 1) / w + 1
+    assert(math.abs(dC - dE) <= ksBound, s"KS gap ${math.abs(dC - dE)} > $ksBound")
+    // W1: |delta| <= ceil(s*span*1e6/W) + 1 (sup-norm bound integrated
+    // over the union support span)
+    val w1E = Inference.w1FromRegisters(base, live).head().getAs[Long]("w1_micro")
+    val w1C = Inference.w1FromRegisters(comp, live).head().getAs[Long]("w1_micro")
+    val span = 259L - 1L
+    val w1Bound = (s * span * 1000000L + w - 1) / w + 1
+    assert(math.abs(w1C - w1E) <= w1Bound, s"W1 gap ${math.abs(w1C - w1E)} > $w1Bound")
+    // categorical trio on the summary's bucketing (live value -> smallest
+    // kept >= it, overflow fresh): coarsening is monotone — TVD outright,
+    // chi2 within 2*n_cats millis, TD within n_cats ppm (the per-term
+    // truncation slack)
+    val grid = comp.select(col("qs_value").as("gv"))
+    val gmax = comp.agg(max(col("qs_value")).as("gmax"))
+    val lb = live.join(broadcast(grid), col("gv") >= col("qs_value"), "left")
+      .groupBy(col("qs_value"), col("qs_weight"))
+      .agg(min(col("gv")).as("b"))
+      .crossJoin(broadcast(gmax))
+      .select(coalesce(col("b"), col("gmax") + 1L).as("qs_value"),
+        col("qs_weight"))
+      .groupBy(col("qs_value")).agg(sum(col("qs_weight")).as("qs_weight"))
+      .localCheckpoint(false)
+    val nCats = Inference.tvdFromRegisters(base, live).head().getAs[Long]("n_cats")
+    val tvE = Inference.tvdFromRegisters(base, live).head().getAs[Long]("tv_ppm")
+    val tvB = Inference.tvdFromRegisters(comp, lb).head().getAs[Long]("tv_ppm")
+    assert(tvB <= tvE, s"TVD coarsening increased: $tvB > $tvE")
+    val c2E = Inference.chi2FromRegisters(base, live).head().getAs[Long]("chi2_milli")
+    val c2B = Inference.chi2FromRegisters(comp, lb).head().getAs[Long]("chi2_milli")
+    assert(c2B <= c2E + 2 * nCats, s"chi2 coarsening increased: $c2B > $c2E")
+    val tdE = Inference.tdFromRegisters(base, live).head().getAs[Long]("td_ppm")
+    val tdB = Inference.tdFromRegisters(comp, lb).head().getAs[Long]("td_ppm")
+    assert(tdB <= tdE + nCats, s"TD coarsening increased: $tdB > $tdE")
+  }
 }
