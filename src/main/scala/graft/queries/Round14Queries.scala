@@ -357,6 +357,80 @@ object Round14Queries extends QuerySet {
         |       CAST(tdB.td_bucketed <= tdE.td_exact + tE.n_cats_exact
         |            AS BIGINT) AS td_mono
         |FROM dE, dC, wE, wC, tE, tB, tvE, tvB, c2E, c2B, tdE, tdB, sp, bd"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef("q473_stream_weighted_kmv", (s, d) => {
+      // the STREAMING weighted sample (EventsStream.kmvWeightedSampleStream
+      // — q467's uniform bridge with proportional-to-weight draw): each
+      // micro-batch's per-event-type weighted bottom-8 merges into the
+      // stored sample by the exact re-take-k law, k-bounded state by
+      // construction, and stream == batch is an IDENTITY (sub-keys are
+      // deterministic functions of (id, weight), re-take-k idempotent —
+      // effectively exactly-once with no batch-id ledger), so the
+      // whole-table replay IS the oracle. Weight = user_id % 4 + 1, a
+      // stable function of the id (the merge contract).
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q473", d, s, Seq("type_wsample"))
+      Scratch.resetCheckpoint(wh, "type_wsample")
+      EventsStream.kmvWeightedSampleStream(
+        EventsStream.readEvents(s, d).filter(col("user_id").isNotNull),
+        wh, "type_wsample", Seq("event_type"),
+        col("user_id").cast("long"), col("user_id").cast("long") % 4L + 1L, 8)
+        .awaitTermination()
+      wh.read("type_wsample")
+    }, Some(
+      """WITH d AS (SELECT DISTINCT event_type,
+        |                  CAST(user_id AS BIGINT) AS id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |w AS (SELECT event_type, id, id % 4 + 1 AS wt FROM d),
+        |s AS (SELECT event_type,
+        |             md5(CAST(id AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS kmv_key,
+        |             CAST(id AS VARCHAR) AS kmv_id,
+        |             CAST(wt AS BIGINT) AS kmv_w
+        |      FROM (SELECT event_type, id, wt,
+        |                   unnest(range(0, CAST(wt AS BIGINT))) AS j
+        |            FROM w) t),
+        |r AS (SELECT event_type, kmv_key, kmv_id, kmv_w,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY kmv_key, kmv_id) AS rn
+        |      FROM s)
+        |SELECT event_type, kmv_key, kmv_id, kmv_w
+        |FROM r WHERE rn <= 8""".stripMargin)),
+
+    QueryDef("q474_ref_point_lookup", (s, d) => {
+      // the declared-predicate ref's POINT-LOOKUP face (VERDICT r13 #5
+      // beside q464's window+range): the consumer model declares
+      // `ref("li_keys", RefIn(okey, keys))` and the materializer routes
+      // through readPrunedIn — bloom membership INTERSECTED with min/max
+      // bounds decides the file set before Spark lists anything, the
+      // "fetch these N keys" batch shape at 100 TB. Semantics identical
+      // to ref().filter(isin); the plain IN aggregate is the oracle
+      // (RegistrySpec pins the routed file skipping itself).
+      import graft.engine.{Model, RefIn, Registry, ViewMat}
+      val wh = Scratch.warehouse("q474", d, s, Seq("li_keys"))
+      wh.writeSwap("li_keys", table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+        .repartitionByRange(16, col("okey"))
+        .sortWithinPartitions("okey"),
+        statsCols = Seq("okey"), bloomCols = Seq("okey"))
+      val reg = new Registry(s, wh)
+      reg.register(Model("picked", Seq("li_keys"), ViewMat, ctx =>
+        ctx.ref("li_keys", Seq(RefIn("okey",
+            Seq(1L, 7L, 4000L, 29988L, 59999L))))
+          .groupBy(col("flag"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+            countDistinct(col("okey")).as("n_keys"))))
+      reg.run()
+      reg.relation("picked")
+    }, Some(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        |FROM lineitem
+        |WHERE CAST(l_orderkey AS BIGINT) IN (1, 7, 4000, 29988, 59999)
+        |GROUP BY 1""".stripMargin))
   )
 }

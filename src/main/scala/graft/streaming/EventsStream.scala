@@ -222,6 +222,34 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The WEIGHTED twin of [[kmvSampleStream]]
+    * ([[graft.functions.Sketches.kmvWeightedRegisters]]): each
+    * micro-batch's per-group weighted bottom-k registers merge into the
+    * stored sample by the exact re-take-k law. Same effectively-
+    * exactly-once story as the uniform bridge — re-take-k is idempotent
+    * (sub-keys are deterministic functions of (id, weight)), so a crash
+    * replay re-merging an already-absorbed batch changes nothing, with
+    * no batch-id ledger. Weight must be a stable function of the id
+    * (the [[graft.functions.Sketches.kmvWeightedMerge]] contract).
+    */
+  def kmvWeightedSampleStream(events: DataFrame, wh: graft.engine.Warehouse,
+      table: String, groupCols: Seq[String], idCol: Column, wCol: Column,
+      k: Int, maxWeight: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = graft.functions.Sketches.kmvWeightedRegisters(
+          batch, groupCols, idCol, wCol, k, maxWeight)
+        val merged = if (wh.exists(table))
+          graft.functions.Sketches.kmvWeightedMerge(
+            wh.read(table).unionByName(regs), groupCols, k)
+        else regs
+        wh.writeSwap(table, merged)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming distinct-count sketch: HLL registers as a WINDOWED streaming
     * aggregate — the register table (bucket -> max rho) is exactly the
     * mergeable state a stream can maintain incrementally; the estimate is a
