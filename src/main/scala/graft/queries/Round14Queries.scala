@@ -431,6 +431,150 @@ object Round14Queries extends QuerySet {
         |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
         |FROM lineitem
         |WHERE CAST(l_orderkey AS BIGINT) IN (1, 7, 4000, 29988, 59999)
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q475_weighted_kmv_jaccard", (s, d) => {
+      // WEIGHTED Jaccard from two weighted register tables — the
+      // replicated-multiset identity does all the work: with per-side
+      // integer weights w_A(id), w_B(id) and SHARED sub-keys
+      // md5(id#j), the sub-item sets satisfy |A' n B'| = sum min(w_A,
+      // w_B) and |A' u B'| = sum max — so the plain kmvJaccard over the
+      // two weighted register tables estimates the canonical weighted
+      // Jaccard sum(min)/sum(max), no new estimator needed. Urgent vs
+      // low-priority buyers weighted by per-customer order count
+      // (capped at 8): the overlap measure now weighs REPEAT buyers,
+      // not mere membership. Exact sum(min)/sum(max) joined alongside
+      // from one full-outer rollup: observed at sf0.01 est 441406 ppm
+      // (113 of the 256-key union sample in both) vs exact 450813
+      // (sum_min 1856, sum_max 4117) — -2.1%, inside the binomial
+      // envelope, value-inspected.
+      import graft.functions.Sketches
+      val o = table(s, d, "orders").select(
+        col("o_orderpriority").as("pr"), col("o_custkey").cast("long").as("ck"))
+      def wside(p: String) = o.filter(col("pr") === p)
+        .groupBy(col("ck")).agg(least(count(lit(1)), lit(8L)).as("w"))
+      val wa = wside("1-URGENT").localCheckpoint(false) // regs + exact
+      val wb = wside("5-LOW").localCheckpoint(false)
+      def regs(side: org.apache.spark.sql.DataFrame) =
+        Sketches.kmvWeightedRegisters(side, Nil, col("ck"), col("w"),
+          256, maxWeight = 8).drop("kmv_w")
+      val est = Sketches.kmvJaccard(regs(wa), regs(wb), 256)
+      val ex = wa.withColumnRenamed("w", "w_a")
+        .join(wb.withColumnRenamed("w", "w_b"), Seq("ck"), "full_outer")
+        .agg(
+          sum(least(coalesce(col("w_a"), lit(0L)),
+            coalesce(col("w_b"), lit(0L)))).cast("long").as("sum_min"),
+          sum(greatest(coalesce(col("w_a"), lit(0L)),
+            coalesce(col("w_b"), lit(0L)))).cast("long").as("sum_max"))
+        .withColumn("exact_jw_ppm", call_function("div",
+          col("sum_min").cast("decimal(38,0)") * lit(1000000L),
+          col("sum_max").cast("decimal(38,0)")).cast("long"))
+      est.crossJoin(ex)
+    }, Some(
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |                  CAST(o_custkey AS BIGINT) AS ck FROM orders),
+        |wa AS (SELECT ck, least(CAST(count(*) AS BIGINT), 8) AS w
+        |       FROM o WHERE pr = '1-URGENT' GROUP BY 1),
+        |wb AS (SELECT ck, least(CAST(count(*) AS BIGINT), 8) AS w
+        |       FROM o WHERE pr = '5-LOW' GROUP BY 1),
+        |sa AS (SELECT md5(CAST(ck AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS key
+        |       FROM (SELECT ck, unnest(range(0, w)) AS j FROM wa) t),
+        |sb AS (SELECT md5(CAST(ck AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS key
+        |       FROM (SELECT ck, unnest(range(0, w)) AS j FROM wb) t),
+        |ra AS (SELECT key FROM (
+        |         SELECT key, row_number() OVER (ORDER BY key) AS rn FROM sa) t
+        |       WHERE rn <= 256),
+        |rb AS (SELECT key FROM (
+        |         SELECT key, row_number() OVER (ORDER BY key) AS rn FROM sb) t
+        |       WHERE rn <= 256),
+        |uk AS (SELECT DISTINCT key FROM (SELECT key FROM ra
+        |                                 UNION ALL SELECT key FROM rb) t),
+        |us AS (SELECT key FROM (
+        |         SELECT key, row_number() OVER (ORDER BY key) AS rn FROM uk) t
+        |       WHERE rn <= 256),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM us JOIN ra USING (key) JOIN rb USING (key)),
+        |un AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM us),
+        |ex AS (SELECT CAST(sum(least(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |                   AS BIGINT) AS sum_min,
+        |              CAST(sum(greatest(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |                   AS BIGINT) AS sum_max
+        |       FROM wa FULL OUTER JOIN wb ON wa.ck = wb.ck)
+        |SELECT un.n_union, ov.n_overlap,
+        |       CAST((CAST(ov.n_overlap AS HUGEINT) * 1000000)
+        |            // un.n_union AS BIGINT) AS j_ppm,
+        |       ex.sum_min, ex.sum_max,
+        |       CAST((CAST(ex.sum_min AS HUGEINT) * 1000000)
+        |            // ex.sum_max AS BIGINT) AS exact_jw_ppm
+        |FROM un, ov, ex""".stripMargin)),
+
+    QueryDef("q476_mixture_weighted_sample", (s, d) => {
+      // the MIXTURE-weighted corpus sample — the pretraining-mix use the
+      // weighted registers exist for: declared per-language upweights
+      // (en=1, de=4, es=6, fr=8, zh=10 — boost the rare languages) turn
+      // "sample 32 documents mixture-proportionally" into ONE weighted
+      // bottom-k register table; at 100 TB this is a single bounded
+      // aggregate, where the q365 mixture-rebalance planner materializes
+      // per-source allocations. Output: the sample's per-language
+      // composition beside each language's exact weighted-mass share —
+      // observed at sf0.01 (total mass 2198 over ~500 docs): zh 13/32 =
+      // 406250 sample-ppm vs 341219 mass-ppm, en 2/32 = 62500 vs 99181
+      // — the upweighted tails dominate the draw as declared while en
+      // (weight 1, most documents) recedes, value-inspected. The sample
+      // is of weighted SUB-ITEMS (an id can hold two slots), matching
+      // the replicated-multiset law the oracle replays.
+      import graft.functions.Sketches
+      val langW = when(col("lang") === "en", 1L)
+        .when(col("lang") === "de", 4L).when(col("lang") === "es", 6L)
+        .when(col("lang") === "fr", 8L).otherwise(10L)
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("lang"))
+        .withColumn("w", langW)
+        .localCheckpoint(false) // feeds the registers, the join-back, the mass
+      val sample = Sketches.kmvWeightedRegisters(docs, Nil, col("id"),
+        col("w"), 32, maxWeight = 16)
+      val comp = sample
+        .join(docs.withColumn("kmv_id", col("id").cast("string")),
+          Seq("kmv_id"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      val mass = docs.groupBy(col("lang"))
+        .agg(sum(col("w")).cast("long").as("w_mass"))
+      val total = docs.agg(sum(col("w")).cast("long").as("w_total"))
+      mass.join(comp, Seq("lang"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("mass_ppm", call_function("div",
+          col("w_mass").cast("decimal(38,0)") * lit(1000000L),
+          col("w_total").cast("decimal(38,0)")).cast("long"))
+        .withColumn("sample_ppm", call_function("div",
+          col("n_sampled").cast("decimal(38,0)") * lit(1000000L),
+          lit(32L).cast("decimal(38,0)")).cast("long"))
+    }, Some(
+      """WITH dcs AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+        |                  CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 4
+        |                       WHEN 'es' THEN 6 WHEN 'fr' THEN 8
+        |                       ELSE 10 END AS w
+        |           FROM documents),
+        |s AS (SELECT id, lang,
+        |             md5(CAST(id AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS key
+        |      FROM (SELECT id, lang, unnest(range(0, CAST(w AS BIGINT))) AS j
+        |            FROM dcs) t),
+        |r AS (SELECT id, lang,
+        |             row_number() OVER (ORDER BY key, CAST(id AS VARCHAR)) AS rn
+        |      FROM s),
+        |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |      FROM r WHERE rn <= 32 GROUP BY 1),
+        |m AS (SELECT lang, CAST(sum(w) AS BIGINT) AS w_mass FROM dcs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM dcs)
+        |SELECT m.lang, m.w_mass, coalesce(k.n_sampled, 0) AS n_sampled,
+        |       tt.w_total,
+        |       CAST((CAST(m.w_mass AS HUGEINT) * 1000000)
+        |            // tt.w_total AS BIGINT) AS mass_ppm,
+        |       CAST((CAST(coalesce(k.n_sampled, 0) AS HUGEINT) * 1000000)
+        |            // 32 AS BIGINT) AS sample_ppm
+        |FROM m LEFT JOIN k ON m.lang = k.lang, tt""".stripMargin))
   )
 }
