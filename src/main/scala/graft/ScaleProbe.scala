@@ -775,6 +775,49 @@ object ScaleProbe {
       }
     }
 
+    // round 14 continuation: set-op estimates are REGISTER-GRAIN — two
+    // ≤k-row inputs, one ≤2k-row bottom-k window — so the probe must read
+    // FLAT as the summarized corpus grows Nx (registers built OUTSIDE the
+    // timer; what's timed is everything kmvSetOps adds on top).
+    {
+      import graft.functions.Sketches
+      for ((label, n) <- Seq("1x" -> 1500000L, s"${reps}x" -> (1500000L * reps))) {
+        val ra = Sketches.kmvRegisters(
+          spark.range(n).select((col("id") * 3L).as("id")), Nil, col("id"), 256)
+          .localCheckpoint()
+        val rb = Sketches.kmvRegisters(
+          spark.range(n).select((col("id") * 2L).as("id")), Nil, col("id"), 256)
+          .localCheckpoint()
+        time(s"kmv_set_ops           $label") {
+          Sketches.kmvSetOps(ra, rb, 256).count()
+        }
+      }
+    }
+
+    // round 14 continuation: MG frequency registers — the build is a
+    // value-grain hash aggregate (exact counts, map-side combine — cost
+    // ~linear in distinct ids, the qsRegisters discipline) plus a
+    // k-bounded BottomKPairs cut on ONE skewed group; the MERGE consumes
+    // two <= k summaries and must read FLAT at any summarized volume.
+    {
+      import graft.functions.Sketches
+      for ((label, n) <- Seq("1x" -> 1500000L, s"${reps}x" -> (1500000L * reps))) {
+        val df = spark.range(n).select(col("id"), lit("g").as("g"),
+          (col("id") * 2654435761L % 2000000011L).cast("string").as("v"))
+          .localCheckpoint()
+        time(s"mg_build              $label") {
+          Sketches.mgRegisters(df, Seq("g"), col("v"), 256).count()
+        }
+        val a = Sketches.mgRegisters(df.filter(col("id") % 2 === 0),
+          Seq("g"), col("v"), 256).localCheckpoint()
+        val b = Sketches.mgRegisters(df.filter(col("id") % 2 === 1),
+          Seq("g"), col("v"), 256).localCheckpoint()
+        time(s"mg_merge              $label") {
+          Sketches.mgCompress(a.unionByName(b), Seq("g"), 256).count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(

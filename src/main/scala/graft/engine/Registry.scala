@@ -37,6 +37,12 @@ final case class RefRange(column: String, lo: Long, hi: Long) extends RefPred
   * stats manifest (whichever evidence exists).
   */
 final case class RefIn(column: String, values: Seq[Any]) extends RefPred
+/** `column STARTS WITH prefix` on a string column — the leading-key /
+  * partition-by-prefix lookup (brand, language, URL host). Served by
+  * the stats manifest's truncated string bounds as the byte range
+  * `[prefix, next-prefix)` ([[Warehouse.readPrunedPrefix]]).
+  */
+final case class RefPrefix(column: String, prefix: String) extends RefPred
 /** Period window `[from, to]` over a period-partitioned layout
   * ([[Warehouse.overwritePeriods]] / microbatch targets): out-of-window
   * partition dirs are never listed. Warehouse relations only — a mocked
@@ -76,6 +82,7 @@ final case class ModelContext(
         case (df, RefRange(c, lo, hi)) =>
           df.filter(col(c) >= lo && col(c) <= hi)
         case (df, RefIn(c, vs)) => df.filter(col(c).isin(vs: _*))
+        case (df, RefPrefix(c, p)) => df.filter(col(c).startsWith(p))
         case (_, RefPeriod(f, t)) => throw new IllegalArgumentException(
           s"ref('$name', RefPeriod($f, $t)): dependency is not a " +
             "warehouse period layout — period windows prune by directory " +
@@ -1203,21 +1210,32 @@ final class Registry(spark: SparkSession, wh: Warehouse) {
       val periods = preds.collect { case p: RefPeriod => p }
       val ranges = preds.collect { case r: RefRange => r }
       val ins = preds.collect { case i: RefIn => i }
+      val prefixes = preds.collect { case p: RefPrefix => p }
       require(periods.size <= 1,
         s"ref('$decl'): at most one RefPeriod window, got ${periods.size}")
       val rangeTuples = ranges.map(r => (r.column, r.lo, r.hi))
-      val (base, insToApply) = (periods.headOption, ranges, ins) match {
-        case (Some(p), Nil, is) =>
-          (wh.readPeriodRange(d, p.from, p.to), is)
-        case (Some(p), _, is) =>
-          (wh.readPeriodRangePruned(d, p.from, p.to, rangeTuples), is)
-        case (None, Nil, i +: rest) =>
-          (wh.readPrunedIn(d, i.column, i.values), rest)
-        case (None, _, is) =>
-          (wh.readPrunedBox(d, rangeTuples), is)
-      }
-      Some(insToApply.foldLeft(base)((df, i) =>
-        df.filter(col(i.column).isin(i.values: _*))))
+      // routing precedence: a period window always picks the directory-
+      // pruned reader; failing that, integral ranges pick the stats box,
+      // a lone IN the bloom+stats point lookup, a lone prefix the
+      // string-bounds prefix reader. Whatever the routed reader does not
+      // itself apply lands as row filters below.
+      val (base, insToApply, prefToApply) =
+        (periods.headOption, ranges, ins, prefixes) match {
+          case (Some(p), Nil, is, ps) =>
+            (wh.readPeriodRange(d, p.from, p.to), is, ps)
+          case (Some(p), _, is, ps) =>
+            (wh.readPeriodRangePruned(d, p.from, p.to, rangeTuples), is, ps)
+          case (None, Nil, i +: rest, ps) =>
+            (wh.readPrunedIn(d, i.column, i.values), rest, ps)
+          case (None, Nil, Nil, p +: rest) =>
+            (wh.readPrunedPrefix(d, p.column, p.prefix), Nil, rest)
+          case (None, _, is, ps) =>
+            (wh.readPrunedBox(d, rangeTuples), is, ps)
+        }
+      val withIns = insToApply.foldLeft(base)((df, i) =>
+        df.filter(col(i.column).isin(i.values: _*)))
+      Some(prefToApply.foldLeft(withIns)((df, p) =>
+        df.filter(col(p.column).startsWith(p.prefix))))
     }
   }
 

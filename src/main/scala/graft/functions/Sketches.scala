@@ -575,4 +575,192 @@ object Sketches {
             col("kth_num").cast("decimal(38,0)")).cast("long")))
       .drop("__kth")
   }
+
+  /** Misra-Gries frequency registers (Misra & Gries 1982; merge rule and
+    * mergeability theorem from Agarwal et al., "Mergeable Summaries",
+    * PODS 2012) — the HEAVY-HITTER member completing the mergeable
+    * register family (HLL = distinct, Count-Min = point frequency,
+    * qsRegisters = quantiles, KMV = uniform sample; this = top-k
+    * frequent items): at most k `(group..., mg_value, mg_count)` rows
+    * per group, where every stored count is a LOWER bound on the true
+    * count and the deviation is SELF-CERTIFYING from the summary plus
+    * the window's total row count alone:
+    *   `true - (n_total - stored_mass) div (k+1) <= mg_count <= true`
+    * (Berinde et al. 2010's residual-error form; [[mgBound]] reads it).
+    * No error column is stored — the bound above survives ANY merge
+    * tree (the Agarwal et al. theorem), so per-day summaries in the
+    * period layout roll up by [[mgCompress]] over a bag union exactly
+    * like the quantile and KMV families. Deterministic by construction:
+    * the build aggregates EXACT per-(group, value) counts first (the
+    * qsRegisters value-grain discipline — one hash aggregate, map-side
+    * partials), and the compression cut is a count ORDER STATISTIC
+    * (the (k+1)-th largest), so oracles replay it digit for digit; no
+    * arrival-order dependence anywhere. Merge is commutative (bag union
+    * + a deterministic cut) and GUARANTEE-preserving under any merge
+    * tree (the mergeability theorem) — though merged counter VALUES
+    * depend on the tree, the envelope above always reads true — and
+    * NOT idempotent (counts sum — the aggStream sum-combiner caveat,
+    * unlike KMV's re-take-k).
+    *
+    * The register-table form of [[graft.operators.HeavyHitters]]'s
+    * per-partition prefilter: that one answers "exact frequent items
+    * NOW" with a driver merge; this one is STORED, grouped, and
+    * mergeable across days/shards with no driver state.
+    */
+  def mgRegisters(df: DataFrame, groupCols: Seq[String], v: Column,
+      k: Int): DataFrame =
+    mgCompress(
+      df.filter(v.isNotNull)
+        .groupBy(groupCols.map(col) :+ v.cast("string").as("mg_value"): _*)
+        .agg(count(lit(1)).as("mg_count")),
+      groupCols, k)
+
+  /** Compress a (bag of) MG register tables to at most k rows per group
+    * — the build's second stage AND the merge (a bag union of summaries
+    * compresses in the same call, the qsCompress convention): sum
+    * counts per (group, value), then subtract the (k+1)-th largest
+    * count from every counter and keep the strictly-positive survivors.
+    * Each compress level removes mass >= (k+1) * cut (the k+1 largest
+    * counters each shed >= cut), which is what keeps the
+    * [[mgRegisters]] bound reading from the final summary alone.
+    * Zero-count rows drop (no information); negative counts raise —
+    * they would corrupt the order-statistic cut silently.
+    *
+    * Scale shape: NO window over the value domain (a billion-key token
+    * vocabulary would single-partition a per-group rank window). The
+    * (k+1)-th largest count rides the bounded [[graft.plans.BottomKPairs]]
+    * aggregate — counts encode order-reversed as fixed-width decimal
+    * strings (`Long.MaxValue - count`, zero-padded: lexicographic ==
+    * numeric for non-negative longs), so the bottom-(k+1) pairs ARE the
+    * top-(k+1) counts and the cut is the last entry's payload — then one
+    * broadcast join + filter keeps the survivors. O(k) state per group
+    * at every stage; ties at the cut boundary are immaterial (the order
+    * statistic's VALUE is tie-invariant).
+    */
+  def mgCompress(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k: $k")
+    val gcols = groupCols.map(col)
+    def sums = regs
+      .groupBy(gcols :+ col("mg_value"): _*)
+      .agg(sum(col("mg_count")).cast("long").as("mg_count"))
+      .filter(col("mg_count") =!= 0L)
+      .withColumn("mg_count",
+        when(col("mg_count") < 0L, raise_error(concat(
+          lit("mgCompress: negative count for "), col("mg_value"))).cast("long"))
+          .otherwise(col("mg_count")))
+    val negKey = format_string("%019d",
+      lit(Long.MaxValue) - col("mg_count"))
+    val cuts = sums
+      .groupBy(gcols: _*)
+      .agg(bottomKPairs(negKey, col("mg_value"), col("mg_count"), k + 1)
+        .as("__top"))
+      .select(gcols :+
+        when(size(col("__top")) === k + 1,
+          element_at(col("__top"), k + 1).getField("kmv_w"))
+          .otherwise(lit(0L)).as("__cut"): _*)
+    val joined = if (groupCols.isEmpty) sums.crossJoin(broadcast(cuts))
+      else sums.join(broadcast(cuts), groupCols)
+    joined
+      .filter(col("mg_count") > col("__cut"))
+      .select(gcols :+ col("mg_value") :+
+        (col("mg_count") - col("__cut")).as("mg_count"): _*)
+  }
+
+  /** The self-certifying MG error bound, per group: `totals` carries
+    * `(group..., n_total)` — the window's TRUE row count (a plain count
+    * the caller always has; the period layout stores it as one more
+    * register table) — and the result adds `stored_mass` (sum of the
+    * summary's counters) and `err_bound = (n_total - stored_mass) div
+    * (k+1)`. Every true count is within [mg_count, mg_count +
+    * err_bound] for stored values and <= err_bound for absent ones —
+    * so the summary's values are a SUPERSET of every item with true
+    * count > err_bound (no false negatives, the HeavyHitters contract
+    * at register grain).
+    */
+  def mgBound(regs: DataFrame, groupCols: Seq[String], totals: DataFrame,
+      k: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val stored =
+      if (groupCols.isEmpty)
+        regs.agg(coalesce(sum(col("mg_count")), lit(0L)).cast("long")
+          .as("stored_mass"))
+      else regs.groupBy(gcols: _*)
+        .agg(sum(col("mg_count")).cast("long").as("stored_mass"))
+    val j = if (groupCols.isEmpty) totals.crossJoin(stored)
+      else totals.join(stored, groupCols, "left")
+    j.withColumn("stored_mass", coalesce(col("stored_mass"), lit(0L)))
+      .withColumn("err_bound", call_function("div",
+        col("n_total") - col("stored_mass"), lit(k + 1L)))
+  }
+
+  /** Full SET-OPERATION estimates from two KMV register tables — the
+    * theta-sketch a-not-b / intersection face of the family (Dasgupta et
+    * al. 2016's theta composition over Beyer et al. 2007's bottom-k;
+    * [[kmvJaccard]] reads only the ratio, this reads the CARDINALITIES):
+    * the k smallest keys of the union are computable from the two
+    * register tables alone (the merge law), membership of each union-
+    * sample key per side is decidable from the registers alone (a key of
+    * A inside the union bottom-k is necessarily inside A's own bottom-k
+    * — anything A evicted has k smaller A-keys also in the union), and
+    * the union sample is uniform over A ∪ B — so the sample fractions of
+    * [both | only-A | only-B] scale the union estimate into
+    * `est_both / est_only_a / est_only_b`, and the A-member subsample is
+    * uniform over A alone, giving the containment `|A∩B| div |A|` as
+    * `cont_a_ppm = n_both*1e6 div n_a_regs` (the dedup-vs-benchmark
+    * decontamination question "how much of A is inside B" — directional,
+    * where Jaccard is symmetric). Exact integers end to end: the union
+    * estimate is the [[kmvDistinctEstimate]] `(k-1)/U(k)` form, scaled
+    * counts are `cnt * est_union div n_union`. When the union sample
+    * holds fewer than k keys BOTH sides were exhaustive and every output
+    * is exact (est_* == the sample counts). One row: `n_union, n_both,
+    * n_only_a, n_only_b, n_a_regs, n_b_regs, kth_num, est_union,
+    * est_both, est_only_a, est_only_b, cont_a_ppm, cont_b_ppm`.
+    *
+    * Scale shape: register-grain only — two ≤k-row inputs, one global
+    * bottom-k window over ≤2k rows, no raw sets touched; composes with
+    * [[kmvMerge]] so the per-day / per-shard registers answer any
+    * pairwise set-op question after the fact.
+    */
+  def kmvSetOps(regsA: DataFrame, regsB: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tagged = regsA.select(col("kmv_key"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(
+        regsB.select(col("kmv_key"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy(col("kmv_key"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.orderBy(col("kmv_key").asc)
+    val u = tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    def scaled(cnt: Column) =
+      when(col("n_union") < k, cnt)
+        .when(col("kth_num") > 0L, call_function("div",
+          dec(cnt) * dec(col("est_union")), dec(col("n_union"))).cast("long"))
+    u.agg(
+        count(lit(1)).as("n_union"),
+        max(col("kmv_key")).as("__kth"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"),
+        sum(col("in_a") * (lit(1L) - col("in_b"))).cast("long").as("n_only_a"),
+        sum((lit(1L) - col("in_a")) * col("in_b")).cast("long").as("n_only_b"),
+        sum(col("in_a")).cast("long").as("n_a_regs"),
+        sum(col("in_b")).cast("long").as("n_b_regs"))
+      .withColumn("kth_num",
+        conv(substring(col("__kth"), 1, 15), 16, 10).cast("long"))
+      .withColumn("est_union",
+        when(col("n_union") < k, col("n_union"))
+          .when(col("kth_num") > 0L, call_function("div",
+            lit(k - 1L).cast("decimal(38,0)") *
+              lit(1152921504606846976L).cast("decimal(38,0)"),
+            dec(col("kth_num"))).cast("long")))
+      .withColumn("est_both", scaled(col("n_both")))
+      .withColumn("est_only_a", scaled(col("n_only_a")))
+      .withColumn("est_only_b", scaled(col("n_only_b")))
+      .withColumn("cont_a_ppm", when(col("n_a_regs") > 0L,
+        call_function("div", dec(col("n_both")) * lit(1000000L),
+          dec(col("n_a_regs"))).cast("long")))
+      .withColumn("cont_b_ppm", when(col("n_b_regs") > 0L,
+        call_function("div", dec(col("n_both")) * lit(1000000L),
+          dec(col("n_b_regs"))).cast("long")))
+      .drop("__kth")
+  }
 }

@@ -575,6 +575,495 @@ object Round14Queries extends QuerySet {
         |            // tt.w_total AS BIGINT) AS mass_ppm,
         |       CAST((CAST(coalesce(k.n_sampled, 0) AS HUGEINT) * 1000000)
         |            // 32 AS BIGINT) AS sample_ppm
-        |FROM m LEFT JOIN k ON m.lang = k.lang, tt""".stripMargin))
+        |FROM m LEFT JOIN k ON m.lang = k.lang, tt""".stripMargin)),
+
+    QueryDef("q477_kmv_set_ops", (s, d) => {
+      // FULL set-operation estimates from two KMV register tables
+      // (Sketches.kmvSetOps — the theta-sketch a-not-b / intersection
+      // face beside q469's Jaccard ratio): union-sample membership
+      // fractions scale the (k-1)/U(k) union estimate into
+      // |A ∩ B| / |A \ B| / |B \ A| cardinalities, and the A-member
+      // subsample alone gives the DIRECTIONAL containment |A∩B| div |A|
+      // (the decontamination question "how much of A is inside B" that
+      // symmetric Jaccard can't answer). Sets: click-active vs
+      // purchase-active (user, day) pairs — two activity footprints with
+      // real partial overlap. Everything register-grain (two ≤k inputs,
+      // one ≤2k bottom-k window); the exact full-outer contrast rides
+      // alongside. Observed at sf0.01 (k=128, value-inspected):
+      // est_union 2797 vs exact 2614 (+7.0%), est_both 568 vs 591
+      // (-3.9%), est_only_a 1136 vs 1010 (+12.5%, ~1.4 sigma),
+      // est_only_b 1092 vs 1013 (+7.8%), cont_a_ppm 333333 vs exact
+      // 369144 (591/1601) — every estimate inside or at the edge of the
+      // ~8.9% 1/sqrt(k-2) one-sigma envelope.
+      import graft.functions.Sketches
+      val ev = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            col("ts").cast("date").cast("string")).as("id"))
+      def side(t: String) = ev.filter(col("event_type") === t).select(col("id"))
+      val a = side("click").localCheckpoint(false)    // regs + exact side
+      val b = side("purchase").localCheckpoint(false) // regs + exact side
+      val est = Sketches.kmvSetOps(
+        Sketches.kmvRegisters(a, Nil, col("id"), 128),
+        Sketches.kmvRegisters(b, Nil, col("id"), 128), 128)
+      val ex = a.distinct().withColumnRenamed("id", "ida")
+        .join(b.distinct().withColumnRenamed("id", "idb"),
+          col("ida") === col("idb"), "full_outer")
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ida").isNotNull && col("idb").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("exact_both"),
+          sum(when(col("idb").isNull, 1L).otherwise(0L)).cast("long")
+            .as("exact_only_a"),
+          sum(when(col("ida").isNull, 1L).otherwise(0L)).cast("long")
+            .as("exact_only_b"))
+      est.crossJoin(ex)
+    }, Some(
+      """WITH e AS (SELECT event_type,
+        |                  CAST(user_id AS VARCHAR) || '|' ||
+        |                  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR)
+        |                    AS id
+        |           FROM events WHERE user_id IS NOT NULL),
+        |a AS (SELECT DISTINCT id FROM e WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT id FROM e WHERE event_type = 'purchase'),
+        |ra AS (SELECT kmv_key FROM (
+        |         SELECT md5(id) AS kmv_key,
+        |                row_number() OVER (ORDER BY md5(id)) AS rn FROM a) t
+        |       WHERE rn <= 128),
+        |rb AS (SELECT kmv_key FROM (
+        |         SELECT md5(id) AS kmv_key,
+        |                row_number() OVER (ORDER BY md5(id)) AS rn FROM b) t
+        |       WHERE rn <= 128),
+        |uk AS (SELECT kmv_key, max(in_a) AS in_a, max(in_b) AS in_b
+        |       FROM (SELECT kmv_key, 1 AS in_a, 0 AS in_b FROM ra
+        |             UNION ALL SELECT kmv_key, 0, 1 FROM rb) t
+        |       GROUP BY 1),
+        |us AS (SELECT kmv_key, in_a, in_b FROM (
+        |         SELECT kmv_key, in_a, in_b,
+        |                row_number() OVER (ORDER BY kmv_key) AS rn FROM uk) t
+        |       WHERE rn <= 128),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |              max(kmv_key) AS kth,
+        |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |              CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+        |              CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_only_b,
+        |              CAST(sum(in_a) AS BIGINT) AS n_a_regs,
+        |              CAST(sum(in_b) AS BIGINT) AS n_b_regs
+        |       FROM us),
+        |e1 AS (SELECT *, CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS kth_num
+        |       FROM ag),
+        |e2 AS (SELECT *,
+        |              CASE WHEN n_union < 128 THEN n_union
+        |                   ELSE CAST((CAST(127 AS HUGEINT) * 1152921504606846976)
+        |                             // kth_num AS BIGINT)
+        |              END AS est_union
+        |       FROM e1),
+        |e3 AS (SELECT *,
+        |              CASE WHEN n_union < 128 THEN n_both
+        |                   ELSE CAST((CAST(n_both AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_both,
+        |              CASE WHEN n_union < 128 THEN n_only_a
+        |                   ELSE CAST((CAST(n_only_a AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_only_a,
+        |              CASE WHEN n_union < 128 THEN n_only_b
+        |                   ELSE CAST((CAST(n_only_b AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_only_b,
+        |              CAST((CAST(n_both AS HUGEINT) * 1000000)
+        |                   // n_a_regs AS BIGINT) AS cont_a_ppm,
+        |              CAST((CAST(n_both AS HUGEINT) * 1000000)
+        |                   // n_b_regs AS BIGINT) AS cont_b_ppm
+        |       FROM e2),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        |              CAST(sum(CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS exact_both,
+        |              CAST(sum(CASE WHEN b.id IS NULL THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS exact_only_a,
+        |              CAST(sum(CASE WHEN a.id IS NULL THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS exact_only_b
+        |       FROM a FULL OUTER JOIN b ON a.id = b.id)
+        |SELECT e3.n_union, e3.n_both, e3.n_only_a, e3.n_only_b,
+        |       e3.n_a_regs, e3.n_b_regs, e3.kth_num, e3.est_union,
+        |       e3.est_both, e3.est_only_a, e3.est_only_b,
+        |       e3.cont_a_ppm, e3.cont_b_ppm,
+        |       ex.exact_union, ex.exact_both, ex.exact_only_a, ex.exact_only_b
+        |FROM e3, ex""".stripMargin)),
+
+    QueryDef("q478_stream_compressed_panel", (s, d) => {
+      // the LAST cell of the monitor matrix: STREAM-maintained live side
+      // scored against a STORED COMPRESSED baseline, all five laws in one
+      // nightly job. q461 proved stream × exact-baseline for KS; q472
+      // proved batch × compressed for all five; this composes them — the
+      // baseline is the k=256 qsCompress summary written ONCE (257 rows
+      // regardless of history size), the live side is sum-combined
+      // per-cents registers maintained by the aggStream bridge
+      // (AvailableNow over events, day = Jan 25 only), and the scorers
+      // read BOTH sides from storage. The categorical trio scores the
+      // bucketing the summary defines (live value -> smallest kept >= it,
+      // overflow fresh — the q472 grid). Because the bridge is lossless
+      // (sum-combine == batch groupBy) and both windows match q472's,
+      // the five scores must equal q472's compressed-side values
+      // EXACTLY — observed at sf0.01 (value-inspected): d_ppm 60388,
+      // w1_micro 387.4M, tv_ppm 341920, chi2_milli 219093, td_ppm 378498
+      // — the digit-level identity that PROVES the stream bridge loses
+      // nothing on its way to the panel.
+      import graft.streaming.EventsStream
+      import graft.functions.QuantileSketch
+      import graft.pipeline.Inference
+      val wh = Scratch.warehouse("q478", d, s, Seq("panel_base", "panel_live"))
+      Scratch.resetCheckpoint(wh, "panel_live")
+      def centsOf(df: DataFrame): DataFrame = df
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      wh.writeSwap("panel_base", QuantileSketch.qsCompress(
+        QuantileSketch.qsRegisters(
+          centsOf(events(s, d))
+            .filter(col("day") < lit("2024-01-21").cast("date")),
+          Nil, col("cents")),
+        Nil, k = 256))
+      EventsStream.aggStream(EventsStream.readEvents(s, d), wh, "panel_live",
+        Seq("qs_value"), Seq("qs_weight" -> "sum")) { batch =>
+        centsOf(batch)
+          .filter(col("day") === lit("2024-01-25").cast("date"))
+          .groupBy(col("cents").as("qs_value"))
+          .agg(count(lit(1)).as("qs_weight"))
+      }.awaitTermination()
+      val comp = wh.read("panel_base")
+        .localCheckpoint(false) // feeds 5 scorers + the bucket grid
+      val night = wh.read("panel_live")
+        .localCheckpoint(false) // feeds KS/W1 + the bucketing
+      val grid = comp.select(col("qs_value").as("gv"))
+      val gmax = comp.agg(max(col("qs_value")).as("gmax"))
+      val nb = night
+        .join(broadcast(grid), col("gv") >= col("qs_value"), "left")
+        .groupBy(col("qs_value"), col("qs_weight"))
+        .agg(min(col("gv")).as("b"))
+        .crossJoin(broadcast(gmax))
+        .select(coalesce(col("b"), col("gmax") + 1L).as("qs_value"),
+          col("qs_weight"))
+        .groupBy(col("qs_value"))
+        .agg(sum(col("qs_weight")).as("qs_weight"))
+      val ks = Inference.ksFromRegisters(comp, night)
+        .select(col("n_a"), col("n_b"), col("d_num"), col("d_ppm"))
+      val w1 = Inference.w1FromRegisters(comp, night).select(col("w1_micro"))
+      val tv = Inference.tvdFromRegisters(comp, nb)
+        .select(col("n_cats"), col("tv_ppm"))
+      val c2 = Inference.chi2FromRegisters(comp, nb)
+        .select(col("dof"), col("chi2_milli"))
+      val td = Inference.tdFromRegisters(comp, nb).select(col("td_ppm"))
+      ks.crossJoin(w1).crossJoin(tv).crossJoin(c2).crossJoin(td)
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w
+        |      FROM e WHERE day < DATE '2024-01-21' GROUP BY 1),
+        |cb AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum,
+        |              sum(w) OVER () AS tot FROM a),
+        |kb AS (SELECT v, cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS w
+        |       FROM (SELECT v, cum
+        |             FROM cb
+        |             WHERE (cum // ((tot + 255) // 256))
+        |                     > ((cum - w) // ((tot + 255) // 256))
+        |                OR cum = tot) t),
+        |ngt AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS w
+        |        FROM e WHERE day = DATE '2024-01-25' GROUP BY 1),
+        |mx AS (SELECT max(v) AS gmax FROM kb),
+        |nbm AS (SELECT n.v AS v0, n.w, min(k.v) AS b
+        |        FROM ngt n LEFT JOIN kb k ON k.v >= n.v GROUP BY 1, 2),
+        |nb AS (SELECT coalesce(b, mx.gmax + 1) AS v,
+        |              CAST(sum(w) AS BIGINT) AS w
+        |       FROM nbm, mx GROUP BY 1),
+        |uC AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb2) AS BIGINT) AS cb2
+        |       FROM (SELECT v, w AS ca, 0 AS cb2 FROM kb
+        |             UNION ALL SELECT v, 0, w FROM ngt) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb2) > 0),
+        |uB AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |              CAST(sum(cb2) AS BIGINT) AS cb2
+        |       FROM (SELECT v, w AS ca, 0 AS cb2 FROM kb
+        |             UNION ALL SELECT v, 0, w FROM nb) t
+        |       GROUP BY 1 HAVING sum(ca) + sum(cb2) > 0),
+        |sC AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |              sum(cb2) OVER (ORDER BY v) AS cum_b,
+        |              lead(v) OVER (ORDER BY v) AS nv,
+        |              sum(ca) OVER () AS n_a, sum(cb2) OVER () AS n_b
+        |       FROM uC),
+        |dC AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |              CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                           - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT)
+        |                AS d_num,
+        |              CAST((CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                                - CAST(cum_b AS HUGEINT) * n_a))
+        |                         AS HUGEINT) * 1000000)
+        |                   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |       FROM sC GROUP BY n_a, n_b),
+        |wC AS (SELECT CAST((coalesce(sum(abs(CAST(cum_a AS HUGEINT) * n_b
+        |                                     - CAST(cum_b AS HUGEINT) * n_a)
+        |                                 * (nv - v)), 0) * 1000000)
+        |                   // (CAST(max(n_a) AS HUGEINT) * max(n_b))
+        |                   AS BIGINT) AS w1_micro
+        |       FROM sC WHERE nv IS NOT NULL),
+        |tB AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |              CAST(sum(ca) AS BIGINT) AS na,
+        |              CAST(sum(cb2) AS BIGINT) AS nb2 FROM uB),
+        |tvB AS (SELECT CAST((sum(abs(CAST(ca AS HUGEINT) * tB.nb2
+        |                             - CAST(cb2 AS HUGEINT) * tB.na))
+        |                     * 1000000)
+        |                    // (2 * CAST(tB.na AS HUGEINT) * tB.nb2)
+        |                    AS BIGINT) AS tv_ppm
+        |        FROM uB, tB GROUP BY tB.na, tB.nb2),
+        |c2B AS (SELECT CAST(sum(
+        |                 ((CAST(ca AS HUGEINT)*(na+nb2) - CAST(na AS HUGEINT)*(ca+cb2))
+        |                  *(CAST(ca AS HUGEINT)*(na+nb2) - CAST(na AS HUGEINT)*(ca+cb2)) * 1000)
+        |                 // (CAST(na+nb2 AS HUGEINT) * na * (ca+cb2))
+        |               + ((CAST(cb2 AS HUGEINT)*(na+nb2) - CAST(nb2 AS HUGEINT)*(ca+cb2))
+        |                  *(CAST(cb2 AS HUGEINT)*(na+nb2) - CAST(nb2 AS HUGEINT)*(ca+cb2)) * 1000)
+        |                 // (CAST(na+nb2 AS HUGEINT) * nb2 * (ca+cb2))) AS BIGINT)
+        |                 AS chi2_milli
+        |        FROM uB, tB GROUP BY tB.na, tB.nb2),
+        |tdB AS (SELECT CAST(sum(
+        |                 ((CAST(ca AS HUGEINT) * nb2 - CAST(cb2 AS HUGEINT) * na)
+        |                  * (CAST(ca AS HUGEINT) * nb2 - CAST(cb2 AS HUGEINT) * na)
+        |                  * 1000000)
+        |                 // (CAST(na AS HUGEINT) * nb2
+        |                    * (CAST(ca AS HUGEINT) * nb2
+        |                       + CAST(cb2 AS HUGEINT) * na))) AS BIGINT)
+        |                 AS td_ppm
+        |        FROM uB, tB GROUP BY tB.na, tB.nb2)
+        |SELECT dC.n_a, dC.n_b, dC.d_num, dC.d_ppm, wC.w1_micro,
+        |       tB.n_cats, tvB.tv_ppm, tB.n_cats - 1 AS dof,
+        |       c2B.chi2_milli, tdB.td_ppm
+        |FROM dC, wC, tB, tvB, c2B, tdB""".stripMargin)),
+
+    QueryDef("q479_ref_prefix_scan", (s, d) => {
+      // the declared-predicate ref's PREFIX face (completing the routing
+      // surface: q464 window+range, q474 point lookup, this the
+      // leading-key string scan): the consumer model declares
+      // `ref("docs_by_source", RefPrefix(source, "src1"))` and the
+      // materializer routes through readPrunedPrefix — the stats
+      // manifest's truncated string bounds serve the byte range
+      // [prefix, next-prefix) so out-of-range files are never listed,
+      // the "one brand / one language / one URL host" batch shape at
+      // 100 TB. A REAL prefix, not equality: 'src1' matches 11 of the
+      // 20 sources (src1, src10..src19). Semantics identical to
+      // ref().filter(startsWith); the LIKE aggregate is the oracle
+      // (RegistrySpec pins the file skipping itself).
+      import graft.engine.{Model, RefPrefix, Registry, ViewMat}
+      val wh = Scratch.warehouse("q479", d, s, Seq("docs_by_source"))
+      wh.writeSwap("docs_by_source", table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .repartitionByRange(8, col("source"))
+        .sortWithinPartitions("source"),
+        statsCols = Seq("source"))
+      val reg = new Registry(s, wh)
+      reg.register(Model("src1_family", Seq("docs_by_source"), ViewMat, ctx =>
+        ctx.ref("docs_by_source", Seq(RefPrefix("source", "src1")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))))
+      reg.run()
+      reg.relation("src1_family")
+    }, Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source LIKE 'src1%'
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q480_mg_rolling_heavy_hitters", (s, d) => {
+      // ROLLING heavy hitters: the Misra-Gries register family
+      // (Sketches.mgRegisters/mgCompress/mgBound — the frequency member
+      // completing the mergeable-register family) composed with the
+      // period layout. Per-day k=8 summaries are one partition dir each;
+      // "the trailing week's heavy hitters" is mgCompress over
+      // readPeriodRange — out-of-window dirs never listed, counter
+      // values merge by bag-union + the deterministic (k+1)-th-largest
+      // cut, and the SELF-CERTIFYING envelope reads from the merged
+      // summary plus the window's row count alone: true ∈ [mg_count,
+      // mg_count + (n_total - stored_mass) div (k+1)], absent values
+      // <= err_bound (no false negative above the error mass). Items:
+      // half the stream planted into 5 hot keys (user_id % 5), half
+      // spread over per-event cold singletons — the "few heavy, long
+      // tail" shape MG exists for. Observed at sf0.01 (value-inspected):
+      // window n_total 2350, exactly the 5 hot keys survive (stored_mass
+      // 1140, err_bound 134), every exact count within [mg_count,
+      // mg_count + 134] with true deviation exactly 7 — one unit per
+      // daily cut (each day's cut is 1, the cold-singleton count) —
+      // and zero certified-heavy items missing.
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q480", d, s, Seq("day_hh"))
+      val ev = events(s, d).select(
+        col("ts").cast("date").cast("string").as("p"),
+        when(col("event_id") % 2L === 0L,
+          concat(lit("hot"), (col("user_id") % 5L).cast("string")))
+          .otherwise(concat(lit("cold"), col("event_id").cast("string")))
+          .as("item"))
+      wh.writeSwap("day_hh",
+        Sketches.mgRegisters(ev, Seq("p"), col("item"), 8),
+        partitionBy = Seq("p"))
+      val win = ev.filter(col("p") >= "2024-01-16" && col("p") <= "2024-01-22")
+        .localCheckpoint(false) // feeds exact counts + totals
+      val merged = Sketches.mgCompress(
+        wh.readPeriodRange("day_hh", "2024-01-16", "2024-01-22"), Nil, 8)
+        .localCheckpoint(false) // feeds the join, the bound, the anti-join
+      val exact = win.groupBy(col("item"))
+        .agg(count(lit(1)).cast("long").as("exact_count"))
+        .localCheckpoint(false) // feeds the join + the completeness anti-join
+      val totals = win.agg(count(lit(1)).cast("long").as("n_total"))
+      val bound = Sketches.mgBound(merged, Nil, totals, 8)
+        .localCheckpoint(false) // feeds the output row and the anti-join
+      val missed = exact
+        .join(merged, exact("item") === merged("mg_value"), "left_anti")
+        .crossJoin(broadcast(bound.select(col("err_bound").as("__eb"))))
+        .filter(col("exact_count") > col("__eb"))
+        .agg(count(lit(1)).cast("long").as("n_missed_heavy"))
+      merged.join(exact, merged("mg_value") === exact("item")).drop("item")
+        .crossJoin(bound).crossJoin(missed)
+        .withColumn("lower_ok",
+          (col("mg_count") <= col("exact_count")).cast("long"))
+        .withColumn("upper_ok",
+          (col("exact_count") <= col("mg_count") + col("err_bound"))
+            .cast("long"))
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CASE WHEN event_id % 2 = 0
+        |              THEN 'hot' || CAST(user_id % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(event_id AS VARCHAR) END AS item
+        |  FROM events),
+        |dc AS (SELECT day, item, CAST(count(*) AS BIGINT) AS c FROM e
+        |       WHERE day >= DATE '2024-01-16' AND day <= DATE '2024-01-22'
+        |       GROUP BY 1, 2),
+        |r AS (SELECT day, item, c,
+        |             row_number() OVER (PARTITION BY day
+        |                                ORDER BY c DESC, item) AS rn
+        |      FROM dc),
+        |ct AS (SELECT day, coalesce(max(CASE WHEN rn = 9 THEN c END), 0)
+        |               AS cut
+        |       FROM r GROUP BY 1),
+        |dmg AS (SELECT r.day, item, c - cut AS c
+        |        FROM r JOIN ct USING (day) WHERE c > cut),
+        |ws AS (SELECT item, CAST(sum(c) AS BIGINT) AS c FROM dmg GROUP BY 1),
+        |r2 AS (SELECT item, c,
+        |              row_number() OVER (ORDER BY c DESC, item) AS rn
+        |       FROM ws),
+        |cu2 AS (SELECT coalesce(max(CASE WHEN rn = 9 THEN c END), 0) AS cut
+        |        FROM r2),
+        |mg AS (SELECT item AS mg_value, c - cu2.cut AS mg_count
+        |       FROM r2, cu2 WHERE c > cu2.cut),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_count FROM e
+        |       WHERE day >= DATE '2024-01-16' AND day <= DATE '2024-01-22'
+        |       GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e
+        |       WHERE day >= DATE '2024-01-16' AND day <= DATE '2024-01-22'),
+        |sm AS (SELECT CAST(coalesce(sum(mg_count), 0) AS BIGINT)
+        |               AS stored_mass FROM mg),
+        |bd AS (SELECT nt.n_total, sm.stored_mass,
+        |              (nt.n_total - sm.stored_mass) // 9 AS err_bound
+        |       FROM nt, sm),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_missed_heavy
+        |       FROM ex LEFT JOIN mg ON ex.item = mg.mg_value, bd
+        |       WHERE mg.mg_value IS NULL AND ex.exact_count > bd.err_bound)
+        |SELECT mg.mg_value, CAST(mg.mg_count AS BIGINT) AS mg_count,
+        |       ex.exact_count, bd.n_total, bd.stored_mass, bd.err_bound,
+        |       ms.n_missed_heavy,
+        |       CAST(mg.mg_count <= ex.exact_count AS BIGINT) AS lower_ok,
+        |       CAST(ex.exact_count <= mg.mg_count + bd.err_bound AS BIGINT)
+        |         AS upper_ok
+        |FROM mg JOIN ex ON mg.mg_value = ex.item, bd, ms""".stripMargin)),
+
+    QueryDef("q481_mg_grouped_candidates", (s, d) => {
+      // the GROUPED fleet face of the MG registers: one job builds k=4
+      // summaries for every event_type and scores every group's
+      // candidate-superset law at once — exact per-type heavy hitters
+      // (count > the self-certified err_bound) must ALL appear among the
+      // stored candidates, the no-false-negative contract of
+      // HeavyHitters at register grain, per group, with no driver state.
+      // Half of each type's stream planted into 3 hot user keys; the
+      // cold tail is per-event singletons. Observed at sf0.01
+      // (value-inspected): every type stores exactly its 3 hot keys
+      // (exact 309-353 each, deviation exactly 1 = the single cut of a
+      // cold singleton), err_bound 198-204 < every exact count — all 15
+      // certified AND present, n_missed_heavy 0 on every type, both
+      // envelope flags 1 on all 15 rows.
+      import graft.functions.Sketches
+      val ev = events(s, d).select(col("event_type"),
+        when(col("event_id") % 2L === 0L,
+          concat(lit("h"), (col("user_id") % 3L).cast("string")))
+          .otherwise(concat(lit("c"), col("event_id").cast("string")))
+          .as("item"))
+        .localCheckpoint(false) // feeds registers + exact + totals
+      val regs = Sketches.mgRegisters(ev, Seq("event_type"), col("item"), 4)
+        .localCheckpoint(false) // feeds the join, the bound, the anti-join
+      val exact = ev.groupBy(col("event_type"), col("item"))
+        .agg(count(lit(1)).cast("long").as("exact_count"))
+        .localCheckpoint(false) // feeds the join + the anti-join
+      val totals = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_total"))
+      val bound = Sketches.mgBound(regs, Seq("event_type"), totals, 4)
+        .localCheckpoint(false) // feeds the output and the anti-join
+      val missed = exact
+        .join(regs.withColumnRenamed("mg_value", "item"),
+          Seq("event_type", "item"), "left_anti")
+        .join(broadcast(bound.select(col("event_type"), col("err_bound"))),
+          Seq("event_type"))
+        .filter(col("exact_count") > col("err_bound"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_missed_heavy"))
+      regs
+        .join(exact.withColumnRenamed("item", "mg_value"),
+          Seq("event_type", "mg_value"))
+        .join(bound, Seq("event_type"))
+        .join(missed, Seq("event_type"), "left")
+        .withColumn("n_missed_heavy", coalesce(col("n_missed_heavy"), lit(0L)))
+        .withColumn("lower_ok",
+          (col("mg_count") <= col("exact_count")).cast("long"))
+        .withColumn("upper_ok",
+          (col("exact_count") <= col("mg_count") + col("err_bound"))
+            .cast("long"))
+    }, Some(
+      """WITH e AS (SELECT event_type,
+        |                  CASE WHEN event_id % 2 = 0
+        |                       THEN 'h' || CAST(user_id % 3 AS VARCHAR)
+        |                       ELSE 'c' || CAST(event_id AS VARCHAR) END AS item
+        |           FROM events),
+        |ct AS (SELECT event_type, item, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, item, c,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY c DESC, item) AS rn
+        |      FROM ct),
+        |cu AS (SELECT event_type,
+        |              coalesce(max(CASE WHEN rn = 5 THEN c END), 0) AS cut
+        |       FROM r GROUP BY 1),
+        |mg AS (SELECT r.event_type, item AS mg_value, c - cut AS mg_count
+        |       FROM r JOIN cu USING (event_type) WHERE c > cut),
+        |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |       FROM e GROUP BY 1),
+        |sm AS (SELECT event_type, CAST(sum(mg_count) AS BIGINT)
+        |               AS stored_mass
+        |       FROM mg GROUP BY 1),
+        |bd AS (SELECT nt.event_type, nt.n_total, sm.stored_mass,
+        |              (nt.n_total - sm.stored_mass) // 5 AS err_bound
+        |       FROM nt JOIN sm USING (event_type)),
+        |ms AS (SELECT ct.event_type, CAST(count(*) AS BIGINT) AS n_missed
+        |       FROM ct
+        |       LEFT JOIN mg ON ct.event_type = mg.event_type
+        |                   AND ct.item = mg.mg_value
+        |       JOIN bd ON bd.event_type = ct.event_type
+        |       WHERE mg.mg_value IS NULL AND ct.c > bd.err_bound
+        |       GROUP BY 1)
+        |SELECT mg.event_type, mg.mg_value,
+        |       CAST(mg.mg_count AS BIGINT) AS mg_count,
+        |       ct.c AS exact_count, bd.n_total, bd.stored_mass,
+        |       bd.err_bound, coalesce(ms.n_missed, 0) AS n_missed_heavy,
+        |       CAST(mg.mg_count <= ct.c AS BIGINT) AS lower_ok,
+        |       CAST(ct.c <= mg.mg_count + bd.err_bound AS BIGINT) AS upper_ok
+        |FROM mg
+        |JOIN ct ON mg.event_type = ct.event_type AND mg.mg_value = ct.item
+        |JOIN bd ON bd.event_type = mg.event_type
+        |LEFT JOIN ms ON ms.event_type = mg.event_type""".stripMargin))
   )
 }

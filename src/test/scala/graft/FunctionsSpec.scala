@@ -491,4 +491,120 @@ class FunctionsSpec extends AnyFunSuite {
     assert(exact(("a", "c")) === ((15L, 5L)))
     assert(exact(("b", "c")) === ((15L, 5L)))
   }
+
+  test("kmvSetOps: exhaustive pairs exact; estimator replays the scaled union-sample law; disjoint and nested edges") {
+    import graft.functions.Sketches
+    def regs(ids: Seq[Long], k: Int) =
+      Sketches.kmvRegisters(ids.map(i => ("g", i)).toDF("g", "id"),
+        Nil, col("id"), k)
+    // A = 1..10, B = 6..15, k = 64 >> |A u B|: everything exact —
+    // est_* equal the true cardinalities, containments exact
+    val a = (1L to 10L); val b = (6L to 15L)
+    val ex = Sketches.kmvSetOps(regs(a, 64), regs(b, 64), 64).collect()(0)
+    assert((ex.getAs[Long]("n_union"), ex.getAs[Long]("n_both"),
+      ex.getAs[Long]("n_only_a"), ex.getAs[Long]("n_only_b")) ===
+      ((15L, 5L, 5L, 5L)))
+    assert((ex.getAs[Long]("est_union"), ex.getAs[Long]("est_both"),
+      ex.getAs[Long]("est_only_a"), ex.getAs[Long]("est_only_b")) ===
+      ((15L, 5L, 5L, 5L)))
+    // cont_a = |A n B| / |A| = 5/10 exactly (the union sample's A-members
+    // ARE A when exhaustive)
+    assert(ex.getAs[Long]("cont_a_ppm") === 500000L)
+    assert(ex.getAs[Long]("cont_b_ppm") === 500000L)
+    // k = 6 < |A u B|: replay the law by hand — union bottom-6,
+    // membership per side, (k-1)/U(k) union estimate, scaled counts
+    val ra = regs(a, 6); val rb = regs(b, 6)
+    val got = Sketches.kmvSetOps(ra, rb, 6).collect()(0)
+    val keysA = ra.collect().map(_.getString(0)).toSet
+    val keysB = rb.collect().map(_.getString(0)).toSet
+    val union6 = (keysA ++ keysB).toSeq.sorted.take(6)
+    val nBoth = union6.count(x => keysA(x) && keysB(x)).toLong
+    val nOnlyA = union6.count(x => keysA(x) && !keysB(x)).toLong
+    val kthNum = java.lang.Long.parseLong(union6.last.take(15), 16)
+    val estU = (BigInt(5) * BigInt(1152921504606846976L) / BigInt(kthNum)).toLong
+    assert(got.getAs[Long]("kth_num") === kthNum)
+    assert(got.getAs[Long]("est_union") === estU)
+    assert(got.getAs[Long]("est_both") ===
+      (BigInt(nBoth) * BigInt(estU) / BigInt(6)).toLong)
+    assert(got.getAs[Long]("est_only_a") ===
+      (BigInt(nOnlyA) * BigInt(estU) / BigInt(6)).toLong)
+    assert(got.getAs[Long]("cont_a_ppm") ===
+      nBoth * 1000000L / got.getAs[Long]("n_a_regs"))
+    // disjoint sets: zero intersection, zero containment, est splits
+    val dj = Sketches.kmvSetOps(regs(1L to 5L, 64), regs(100L to 104L, 64), 64)
+      .collect()(0)
+    assert(dj.getAs[Long]("n_both") === 0L &&
+      dj.getAs[Long]("est_both") === 0L &&
+      dj.getAs[Long]("cont_a_ppm") === 0L)
+    assert((dj.getAs[Long]("est_only_a"), dj.getAs[Long]("est_only_b")) ===
+      ((5L, 5L)))
+    // nested (A ⊂ B): containment of A reads 100%, only-A reads zero
+    val nest = Sketches.kmvSetOps(regs(1L to 5L, 64), regs(1L to 20L, 64), 64)
+      .collect()(0)
+    assert(nest.getAs[Long]("cont_a_ppm") === 1000000L)
+    assert(nest.getAs[Long]("n_only_a") === 0L &&
+      nest.getAs[Long]("est_only_a") === 0L)
+    assert(nest.getAs[Long]("est_union") === 20L)
+  }
+
+  test("mgRegisters/mgCompress/mgBound: deterministic cut, lower-bound counts, self-certifying envelope across merges, bounded plan") {
+    import graft.functions.Sketches
+    // hand data: counts a=10, b=6, c=4, d=3, e=2, f=1 (26 rows), k=3
+    val rows = Seq.fill(10)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d") ++ Seq.fill(2)("e") ++ Seq("f")
+    val df = rows.zipWithIndex.map { case (v, i) => ("g", v, i) }
+      .toDF("g", "v", "i")
+    val regs = Sketches.mgRegisters(df, Seq("g"), col("v"), 3)
+    // the cut computation must ride the bounded ObjectHashAggregate path
+    // (BottomKPairs), never a value-domain rank window
+    assert(regs.queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"))
+    assert(!regs.queryExecution.executedPlan.toString.contains("Window"))
+    // cut = 4th-largest count = 3 -> survivors a=7, b=3, c=1
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getString(1), x.getLong(2))).toSet
+    assert(pairs(regs) === Set(("a", 7L), ("b", 3L), ("c", 1L)))
+    // partition invariance (exercises the aggregate's partial merge)
+    assert(pairs(Sketches.mgRegisters(df.repartition(7), Seq("g"),
+      col("v"), 3)) === Set(("a", 7L), ("b", 3L), ("c", 1L)))
+    // <= k distinct values: cut 0, counts EXACT
+    assert(pairs(Sketches.mgRegisters(
+      df.filter(col("v").isin("a", "b", "c")), Seq("g"), col("v"), 3)) ===
+      Set(("a", 10L), ("b", 6L), ("c", 4L)))
+    // envelope: n=26, stored=11, err=(26-11) div 4=3; every true count
+    // within [stored, stored+err], absent values <= err (d=3, e=2, f=1)
+    val totals = Seq(("g", 26L)).toDF("g", "n_total")
+    val b0 = Sketches.mgBound(regs, Seq("g"), totals, 3).collect()(0)
+    assert(b0.getAs[Long]("stored_mass") === 11L &&
+      b0.getAs[Long]("err_bound") === 3L)
+    for ((v, t) <- Seq("a" -> 10L, "b" -> 6L, "c" -> 4L)) {
+      val c = pairs(regs).find(_._1 == v).get._2
+      assert(c <= t && t <= c + 3L, s"$v: $c vs $t")
+    }
+    // merge across two deterministic shards: counter values depend on
+    // the tree (hand-derived: shard cuts 2 and 1 -> a3,b1 / a4,b2,c1 ->
+    // merged a7,b3,c1 with a 0 cut), and the SAME envelope still
+    // certifies every true count — the mergeability theorem
+    val s1 = Sketches.mgRegisters(df.filter(col("i") % 2 === 0),
+      Seq("g"), col("v"), 3)
+    val s2 = Sketches.mgRegisters(df.filter(col("i") % 2 === 1),
+      Seq("g"), col("v"), 3)
+    val merged = Sketches.mgCompress(s1.unionByName(s2), Seq("g"), 3)
+    assert(pairs(merged) === Set(("a", 7L), ("b", 3L), ("c", 1L)))
+    val bm = Sketches.mgBound(merged, Seq("g"), totals, 3).collect()(0)
+    for ((v, t) <- Seq("a" -> 10L, "b" -> 6L, "c" -> 4L, "d" -> 3L)) {
+      val c = pairs(merged).find(_._1 == v).map(_._2).getOrElse(0L)
+      assert(c <= t && t <= c + bm.getAs[Long]("err_bound"), s"$v: $c vs $t")
+    }
+    // no false negative: every value with true count > err_bound is stored
+    val heavy = Seq("a" -> 10L, "b" -> 6L, "c" -> 4L, "d" -> 3L,
+      "e" -> 2L, "f" -> 1L).filter(_._2 > bm.getAs[Long]("err_bound"))
+    assert(heavy.forall(h => pairs(merged).exists(_._1 == h._1)),
+      s"missing heavy: $heavy vs ${pairs(merged)}")
+    // a negative count raises in-plan, never silently corrupts the cut
+    val bad = Sketches.mgCompress(
+      Seq(("g", "x", -1L)).toDF("g", "mg_value", "mg_count"), Seq("g"), 3)
+    val exn = intercept[Throwable](bad.collect())
+    assert(exn.getMessage.contains("negative count"), exn.getMessage)
+  }
 }

@@ -1333,4 +1333,45 @@ class RegistrySpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("period layout")),
       ex.toString)
   }
+
+  test("RefPrefix ref routes through readPrunedPrefix: inputFiles pruned, identity rows, fallback filters") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val reg = new Registry(spark, wh)
+    // 26 letter-prefixed key families sorted across 8 range partitions,
+    // string-stats sidecar recorded on the key
+    val rows = (0 until 26).flatMap(i => (0 until 40).map(j =>
+      (f"${('a' + i).toChar}%ckey$j%02d", i.toLong * 100 + j)))
+      .toDF("k", "v")
+    wh.writeSwap("keyed", rows.repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k"), statsCols = Seq("k"))
+    reg.register(Model("mfam", Seq("keyed"), ViewMat, ctx =>
+      ctx.ref("keyed", Seq(RefPrefix("k", "m")))))
+    reg.run()
+    val got = reg.relation("mfam")
+    // the PLAN reads a strict subset of the table's files...
+    assert(got.inputFiles.nonEmpty)
+    assert(got.inputFiles.length < wh.read("keyed").inputFiles.length,
+      s"no file skipping: ${got.inputFiles.length}")
+    // ...and the rows are exactly the startsWith filter
+    val vals = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vals.length === 40)
+    assert(vals.forall(_._1.startsWith("m")))
+    assert(vals.map(_._2).sorted.toSeq === (1200L until 1240L).toSeq)
+    // a prefix BESIDE a range routes the box and row-filters the prefix
+    reg.register(Model("mlow", Seq("keyed"), ViewMat, ctx =>
+      ctx.ref("keyed", Seq(RefRange("v", 1200L, 1219L), RefPrefix("k", "m")))))
+    reg.run(select = Seq("mlow"))
+    assert(reg.relation("mlow").collect().map(_.getLong(1)).sorted.toSeq ===
+      (1200L until 1220L).toSeq)
+    // fallback: a SOURCE dep (no warehouse relation) row-filters startsWith
+    val reg2 = new Registry(spark, new Warehouse(
+      Files.createTempDirectory("graft_wh").toString, spark))
+    reg2.source("src", Seq(("ma", 1L), ("mb", 2L), ("na", 3L)).toDF("k", "v"))
+    reg2.register(Model("pick", Seq("src"), ViewMat, ctx =>
+      ctx.ref("src", Seq(RefPrefix("k", "m")))))
+    reg2.run()
+    assert(reg2.relation("pick").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("ma", "mb"))
+  }
 }
