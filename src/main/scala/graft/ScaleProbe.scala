@@ -802,8 +802,14 @@ object ScaleProbe {
     {
       import graft.functions.Sketches
       for ((label, n) <- Seq("1x" -> 1500000L, s"${reps}x" -> (1500000L * reps))) {
+        // 10% of the mass in 10 hot keys, the rest hashed singletons —
+        // the few-heavy/long-tail shape (an all-singleton domain would
+        // compress to the legal-but-empty summary and probe nothing)
         val df = spark.range(n).select(col("id"), lit("g").as("g"),
-          (col("id") * 2654435761L % 2000000011L).cast("string").as("v"))
+          when(col("id") % 10 === 0, (col("id") % 100).cast("string"))
+            .otherwise(concat(lit("t"),
+              (col("id") * 2654435761L % 2000000011L).cast("string")))
+            .as("v"))
           .localCheckpoint()
         time(s"mg_build              $label") {
           Sketches.mgRegisters(df, Seq("g"), col("v"), 256).count()

@@ -368,6 +368,53 @@ final class Warehouse(val root: String, spark: SparkSession) {
     }
   }
 
+  /** RETENTION for the period layout — the missing half of the rolling
+    * window: [[readPeriodRange]] makes eviction free for READERS (the
+    * directory is never touched), but nothing ever reclaimed the space —
+    * at 100 TB a per-day layout grows forever. Deletes every partition
+    * dir whose period value sorts strictly below `cutoff` (the same
+    * lexicographic-ISO ordering every window read uses) and returns how
+    * many periods dropped.
+    *
+    * Crash safety is the slice-swap machinery VERBATIM: retention is an
+    * [[overwritePeriods]] commit with an EMPTY stage — the intent marker
+    * enumerates the victim periods with nothing staged, so
+    * `completeSliceSwap` (here, or on the next open after a crash
+    * mid-deletion) deletes each enumerated dir and clears the marker;
+    * re-runs are idempotent and a partially-deleted period can never be
+    * read (the marker outlives the crash). No Spark job anywhere —
+    * driver-side directory work only. Data-skipping sidecars re-arm at
+    * O(vanished lines) via the incremental refreshes (stale sidecars
+    * would only decline to prune, but a retention pass is exactly when
+    * the file set shrinks).
+    */
+  def dropPeriodsBefore(name: String, cutoff: String): Int = {
+    recover(name)
+    val partDirs = listDir(dir(name)).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    require(partDirs.nonEmpty, s"'$name' has no partition-dir layout")
+    val partCols = partDirs.map(_.getFileName.toString.split("=", 2)(0)).distinct
+    require(partCols.size == 1,
+      s"'$name' carries multiple partition columns: $partCols")
+    val victims = partDirs.map(_.getFileName.toString.split("=", 2)(1))
+      .filter(_ < cutoff).sorted
+    if (victims.isEmpty) 0
+    else {
+      deleteRec(dir(name + "__slice_tmp"))
+      sliceLock.synchronized {
+        sliceMarkerAbsent.remove(name)
+        putMeta(name + "__slice_intent",
+          s"${partCols.head}\n${victims.mkString(",")}\n")
+      }
+      failpoint("retention:marker")
+      completeSliceSwap(name)
+      if (manifestCols(name).nonEmpty) refreshStatsManifest(name)
+      if (bloomManifestParams(name).isDefined) refreshBloomManifest(name)
+      invalidate(name)
+      victims.size
+    }
+  }
+
   /** Append-only sink (incremental strategy I1): new part-files land next to
     * existing ones; no rewrite of existing data.
     */

@@ -1064,6 +1064,321 @@ object Round14Queries extends QuerySet {
         |FROM mg
         |JOIN ct ON mg.event_type = ct.event_type AND mg.mg_value = ct.item
         |JOIN bd ON bd.event_type = mg.event_type
-        |LEFT JOIN ms ON ms.event_type = mg.event_type""".stripMargin))
+        |LEFT JOIN ms ON ms.event_type = mg.event_type""".stripMargin)),
+
+    QueryDef("q482_weighted_set_ops", (s, d) => {
+      // WEIGHTED set operations for free — the replicated-multiset
+      // identity (q475's Jaccard argument) composes with kmvSetOps
+      // unchanged: per-side integer weights with SHARED sub-keys
+      // md5(id#j) make sub-item (id,j) live in A' iff j < w_A(id), so
+      // |A' n B'| = sum min(w_A, w_B), |A' u B'| = sum max, |A' \ B'| =
+      // sum (w_A - min) — the estimator that read set CARDINALITIES now
+      // reads weighted MASSES, including the directional weighted
+      // containment sum(min) div sum(w_A) ("how much of A's mass is
+      // inside B"). Urgent vs low-priority buyers weighted by order
+      // count (capped 8), exact full-outer mass rollup alongside.
+      // Observed at sf0.01, k=256 (value-inspected): est_union 4257 vs
+      // exact 4117 (+3.4%), est_both 1879 vs 1856 (+1.2%), est_only_a
+      // 1014 vs 1122 (-9.6%), est_only_b 1363 vs 1139 (+19.7%, ~2
+      // sigma — the difference masses carry the union estimate's error
+      // TIMES the membership fraction's, the widest columns by
+      // construction), weighted containment 649425 vs 623237 ppm
+      // (+4.2%).
+      import graft.functions.Sketches
+      val o = table(s, d, "orders").select(
+        col("o_orderpriority").as("pr"), col("o_custkey").cast("long").as("ck"))
+      def wside(p: String) = o.filter(col("pr") === p)
+        .groupBy(col("ck")).agg(least(count(lit(1)), lit(8L)).as("w"))
+      val wa = wside("1-URGENT").localCheckpoint(false) // regs + exact
+      val wb = wside("5-LOW").localCheckpoint(false)
+      def regs(side: DataFrame) =
+        Sketches.kmvWeightedRegisters(side, Nil, col("ck"), col("w"),
+          256, maxWeight = 8).drop("kmv_w")
+      val est = Sketches.kmvSetOps(regs(wa), regs(wb), 256)
+      val ex = wa.withColumnRenamed("w", "w_a")
+        .join(wb.withColumnRenamed("w", "w_b"), Seq("ck"), "full_outer")
+        .select(coalesce(col("w_a"), lit(0L)).as("w_a"),
+          coalesce(col("w_b"), lit(0L)).as("w_b"))
+        .agg(
+          sum(greatest(col("w_a"), col("w_b"))).cast("long")
+            .as("exact_union_mass"),
+          sum(least(col("w_a"), col("w_b"))).cast("long")
+            .as("exact_both_mass"),
+          sum(col("w_a") - least(col("w_a"), col("w_b"))).cast("long")
+            .as("exact_only_a_mass"),
+          sum(col("w_b") - least(col("w_a"), col("w_b"))).cast("long")
+            .as("exact_only_b_mass"),
+          sum(col("w_a")).cast("long").as("exact_a_mass"))
+        .withColumn("exact_cont_a_ppm", call_function("div",
+          col("exact_both_mass").cast("decimal(38,0)") * lit(1000000L),
+          col("exact_a_mass").cast("decimal(38,0)")).cast("long"))
+      est.crossJoin(ex)
+    }, Some(
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |                  CAST(o_custkey AS BIGINT) AS ck FROM orders),
+        |wa AS (SELECT ck, least(CAST(count(*) AS BIGINT), 8) AS w
+        |       FROM o WHERE pr = '1-URGENT' GROUP BY 1),
+        |wb AS (SELECT ck, least(CAST(count(*) AS BIGINT), 8) AS w
+        |       FROM o WHERE pr = '5-LOW' GROUP BY 1),
+        |sa AS (SELECT md5(CAST(ck AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS kmv_key
+        |       FROM (SELECT ck, unnest(range(0, w)) AS j FROM wa) t),
+        |sb AS (SELECT md5(CAST(ck AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+        |               AS kmv_key
+        |       FROM (SELECT ck, unnest(range(0, w)) AS j FROM wb) t),
+        |ra AS (SELECT kmv_key FROM (
+        |         SELECT kmv_key, row_number() OVER (ORDER BY kmv_key) AS rn
+        |         FROM sa) t WHERE rn <= 256),
+        |rb AS (SELECT kmv_key FROM (
+        |         SELECT kmv_key, row_number() OVER (ORDER BY kmv_key) AS rn
+        |         FROM sb) t WHERE rn <= 256),
+        |uk AS (SELECT kmv_key, max(in_a) AS in_a, max(in_b) AS in_b
+        |       FROM (SELECT kmv_key, 1 AS in_a, 0 AS in_b FROM ra
+        |             UNION ALL SELECT kmv_key, 0, 1 FROM rb) t
+        |       GROUP BY 1),
+        |us AS (SELECT kmv_key, in_a, in_b FROM (
+        |         SELECT kmv_key, in_a, in_b,
+        |                row_number() OVER (ORDER BY kmv_key) AS rn FROM uk) t
+        |       WHERE rn <= 256),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |              max(kmv_key) AS kth,
+        |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |              CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+        |              CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_only_b,
+        |              CAST(sum(in_a) AS BIGINT) AS n_a_regs,
+        |              CAST(sum(in_b) AS BIGINT) AS n_b_regs
+        |       FROM us),
+        |e1 AS (SELECT *, CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS kth_num
+        |       FROM ag),
+        |e2 AS (SELECT *,
+        |              CASE WHEN n_union < 256 THEN n_union
+        |                   ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                             // kth_num AS BIGINT)
+        |              END AS est_union
+        |       FROM e1),
+        |e3 AS (SELECT *,
+        |              CASE WHEN n_union < 256 THEN n_both
+        |                   ELSE CAST((CAST(n_both AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_both,
+        |              CASE WHEN n_union < 256 THEN n_only_a
+        |                   ELSE CAST((CAST(n_only_a AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_only_a,
+        |              CASE WHEN n_union < 256 THEN n_only_b
+        |                   ELSE CAST((CAST(n_only_b AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_only_b,
+        |              CAST((CAST(n_both AS HUGEINT) * 1000000)
+        |                   // n_a_regs AS BIGINT) AS cont_a_ppm,
+        |              CAST((CAST(n_both AS HUGEINT) * 1000000)
+        |                   // n_b_regs AS BIGINT) AS cont_b_ppm
+        |       FROM e2),
+        |ex AS (SELECT
+        |         CAST(sum(greatest(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |              AS BIGINT) AS exact_union_mass,
+        |         CAST(sum(least(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |              AS BIGINT) AS exact_both_mass,
+        |         CAST(sum(coalesce(wa.w, 0)
+        |                  - least(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |              AS BIGINT) AS exact_only_a_mass,
+        |         CAST(sum(coalesce(wb.w, 0)
+        |                  - least(coalesce(wa.w, 0), coalesce(wb.w, 0)))
+        |              AS BIGINT) AS exact_only_b_mass,
+        |         CAST(sum(coalesce(wa.w, 0)) AS BIGINT) AS exact_a_mass
+        |       FROM wa FULL OUTER JOIN wb ON wa.ck = wb.ck)
+        |SELECT e3.n_union, e3.n_both, e3.n_only_a, e3.n_only_b,
+        |       e3.n_a_regs, e3.n_b_regs, e3.kth_num, e3.est_union,
+        |       e3.est_both, e3.est_only_a, e3.est_only_b,
+        |       e3.cont_a_ppm, e3.cont_b_ppm,
+        |       ex.exact_union_mass, ex.exact_both_mass,
+        |       ex.exact_only_a_mass, ex.exact_only_b_mass,
+        |       ex.exact_a_mass,
+        |       CAST((CAST(ex.exact_both_mass AS HUGEINT) * 1000000)
+        |            // ex.exact_a_mass AS BIGINT) AS exact_cont_a_ppm
+        |FROM e3, ex""".stripMargin)),
+
+    QueryDef("q483_mg_no_heavy_certificate", (s, d) => {
+      // the NEGATIVE certificate face of the MG registers — the readout
+      // a dedup/decontamination pipeline actually wants on honest data:
+      // this corpus's trigram distribution is FLAT (16245 distinct over
+      // 26165 occurrences, max count 8 — value-inspected BEFORE choosing
+      // the shape: no positive heavy hitter exists to find), and the
+      // summary alone PROVES it. For any value, true count <= its stored
+      // counter + err_bound (absent values <= err_bound), so
+      // max(mg_count) + err_bound is a corpus-wide SUPPORT CEILING read
+      // from k registers + one total: certificate = ceiling < n_total
+      // div 200 means NO trigram reaches 1/200 support — "no dominant
+      // duplication" certified without ever materializing the 16k-gram
+      // exact rollup. Observed at sf0.01, k=1024 (value-inspected):
+      // cut 3, 620 survivors, stored_mass 810, err_bound 24, ceiling
+      // 5 + 24 = 29 < threshold 130 -> certified 1; the exact contrast
+      // (max count 8 <= 29, zero grams above threshold) validates it.
+      import graft.functions.Sketches
+      import graft.pipeline.{TextAnalysis => T}
+      val grams = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(T.ngramsFromTokens(T.tokens(col("text")), 3))
+          .as("gram"))
+        .localCheckpoint(false) // feeds the summary, the total, the contrast
+      val regs = Sketches.mgRegisters(grams, Nil, col("gram"), 1024)
+        .localCheckpoint(false) // feeds the rollup and the bound
+      val totals = grams.agg(count(lit(1)).cast("long").as("n_total"))
+      val bound = Sketches.mgBound(regs, Nil, totals, 1024)
+      val summary = regs.agg(count(lit(1)).cast("long").as("n_regs"),
+        max(col("mg_count")).as("max_mg_count"))
+      val exact = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+        .localCheckpoint(false) // feeds max + the threshold count
+      val exactAgg = exact.agg(
+        count(lit(1)).cast("long").as("exact_n_distinct"),
+        max(col("__c")).as("exact_max_count"))
+      bound.crossJoin(summary).crossJoin(exactAgg)
+        .withColumn("support_ceiling",
+          col("max_mg_count") + col("err_bound"))
+        .withColumn("threshold", call_function("div",
+          col("n_total"), lit(200L)))
+        .withColumn("certified",
+          (col("support_ceiling") < col("threshold")).cast("long"))
+        .withColumn("cert_valid",
+          (col("exact_max_count") <= col("support_ceiling")).cast("long"))
+    }, Some(
+      """WITH dd AS (SELECT string_split(text, ' ') AS toks
+        |            FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |      FROM dd, LATERAL (SELECT unnest(generate_series(1, len(toks)-2))
+        |                        AS i) i
+        |      WHERE len(toks) >= 3),
+        |ct AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |r AS (SELECT gram, c,
+        |             row_number() OVER (ORDER BY c DESC, gram) AS rn
+        |      FROM ct),
+        |cu AS (SELECT coalesce(max(CASE WHEN rn = 1025 THEN c END), 0) AS cut
+        |       FROM r),
+        |mg AS (SELECT gram, c - cu.cut AS mg_count FROM r, cu
+        |       WHERE c > cu.cut),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM g),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |              CAST(coalesce(sum(mg_count), 0) AS BIGINT)
+        |                AS stored_mass,
+        |              CAST(max(mg_count) AS BIGINT) AS max_mg_count
+        |       FROM mg),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_n_distinct,
+        |              max(c) AS exact_max_count FROM ct)
+        |SELECT nt.n_total, sm.stored_mass,
+        |       (nt.n_total - sm.stored_mass) // 1025 AS err_bound,
+        |       sm.n_regs, sm.max_mg_count,
+        |       ex.exact_n_distinct, ex.exact_max_count,
+        |       sm.max_mg_count + (nt.n_total - sm.stored_mass) // 1025
+        |         AS support_ceiling,
+        |       nt.n_total // 200 AS threshold,
+        |       CAST(sm.max_mg_count + (nt.n_total - sm.stored_mass) // 1025
+        |            < nt.n_total // 200 AS BIGINT) AS certified,
+        |       CAST(ex.exact_max_count
+        |            <= sm.max_mg_count + (nt.n_total - sm.stored_mass) // 1025
+        |            AS BIGINT) AS cert_valid
+        |FROM nt, sm, ex""".stripMargin)),
+
+    QueryDef("q484_period_retention", (s, d) => {
+      // RETENTION — the missing half of every rolling-window query
+      // (q453/q470/q471/q480 made eviction free for READERS; nothing
+      // ever reclaimed the space): Warehouse.dropPeriodsBefore deletes
+      // the out-of-retention partition dirs through the slice-swap
+      // intent machinery (crash-safe, idempotent, no Spark job — the
+      // commit is an overwritePeriods with an EMPTY stage; RecoverySpec
+      // pins survivor partitions byte-identical, crash-at-marker resume,
+      // and the manifest re-arm). Lifecycle here: a month of per-day
+      // quantile registers, retention cutoff Jan 16 drops 15 periods,
+      // and the post-retention table IS the register build over the
+      // surviving days — the oracle replays exactly that. n_dropped
+      // rides as a column so the count is value-checked too.
+      import graft.functions.QuantileSketch
+      val wh = Scratch.warehouse("q484", d, s, Seq("day_regs"))
+      val ev = events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").cast("string").as("p"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      wh.writeSwap("day_regs",
+        QuantileSketch.qsRegisters(ev, Seq("p"), col("cents")),
+        partitionBy = Seq("p"))
+      val dropped = wh.dropPeriodsBefore("day_regs", "2024-01-16")
+      // partition discovery re-infers the ISO-date dir values as DATE —
+      // cast back to the string grain the layout (and the oracle) uses
+      wh.read("day_regs")
+        .groupBy(col("p").cast("string").as("p"))
+        .agg(count(lit(1)).cast("long").as("n_regs"),
+          sum(col("qs_weight")).cast("long").as("w_total"))
+        .withColumn("n_dropped", lit(dropped.toLong))
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(day AS VARCHAR) AS p,
+        |             CAST(count(DISTINCT c) AS BIGINT) AS n_regs,
+        |             CAST(count(*) AS BIGINT) AS w_total
+        |      FROM e WHERE day >= DATE '2024-01-16' GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_dropped
+        |       FROM e WHERE day < DATE '2024-01-16')
+        |SELECT g.p, g.n_regs, g.w_total, nd.n_dropped FROM g, nd""".stripMargin)),
+
+    QueryDef("q485_rolling_hll", (s, d) => {
+      // rolling DISTINCT over the period layout — the last sketch family
+      // composed with it (quantile q453, KMV q470/q471, MG q480; now
+      // HLL): per-day registers are one partition dir each, "distinct
+      // user-days in the trailing week" is a per-bucket max over
+      // readPeriodRange — out-of-window dirs never listed, and max is
+      // associative/commutative/idempotent, so the merged window
+      // registers EQUAL the whole-window build — the oracle replays the
+      // whole-window build and the hash comparison itself proves the
+      // merge law. The id is (user_id | day), window-SENSITIVE by
+      // construction (150 always-on users would make every window read
+      // identical — the q470 saturation lesson). Raw estimator at m=256
+      // in the sparse regime (n/m ~ 4), deterministic on both engines;
+      // observed at sf0.01 (value-inspected): n_regs 249 of 256,
+      // est 913.47 vs exact 937 user-days (-2.5%, inside the
+      // 1.04/sqrt(256) ~ 6.5% one-sigma envelope).
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q485", d, s, Seq("day_hll"))
+      val ev = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("ts").cast("date").cast("string").as("p"),
+          concat(col("user_id").cast("string"), lit("|"),
+            col("ts").cast("date").cast("string")).as("id"))
+      wh.writeSwap("day_hll",
+        Sketches.hllRegisters(ev, Seq("p"), col("id")),
+        partitionBy = Seq("p"))
+      val win = wh.readPeriodRange("day_hll", "2024-01-16", "2024-01-22")
+      val merged = win.groupBy(col("hll_bucket"))
+        .agg(max(col("hll_rho")).as("hll_rho"),
+          max(col("hll_b")).as("hll_b"))
+        .localCheckpoint(false) // feeds the estimator and the register count
+      val est = Sketches.hllEstimate(merged, Nil)
+        .select(col("hll_estimate").as("est_user_days"))
+      val nRegs = merged.agg(count(lit(1)).cast("long").as("n_regs"))
+      val exact = ev
+        .filter(col("p") >= "2024-01-16" && col("p") <= "2024-01-22")
+        .agg(countDistinct(col("id")).cast("long").as("exact_user_days"))
+      nRegs.crossJoin(est).crossJoin(exact)
+    }, Some(
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '|' ||
+        |         CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
+        |    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-22'),
+        |r AS (SELECT ('0x' || substr(md5(id), 1, 2))::INT AS hll_bucket,
+        |             max(coalesce(nullif(strpos(
+        |               lpad(bin(('0x' || substr(md5(id), 3, 8))::BIGINT), 32, '0'),
+        |               '1'), 0), 33)) AS hll_rho
+        |      FROM e GROUP BY 1),
+        |est AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |               0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |                 * 256.0::DOUBLE * 256.0::DOUBLE
+        |                 / (sum(CAST(1.0 AS DOUBLE)
+        |                        / CAST(1::BIGINT << hll_rho AS DOUBLE))
+        |                    + CAST(256 - count(*) AS DOUBLE)) AS est_user_days
+        |        FROM r),
+        |ex AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS exact_user_days
+        |       FROM e)
+        |SELECT est.n_regs, est.est_user_days, ex.exact_user_days
+        |FROM est, ex""".stripMargin))
   )
 }

@@ -445,4 +445,49 @@ class RecoverySpec extends AnyFunSuite {
       "p", Seq("2"))
     assert(kvState(wh, "s") === Map(1L -> "old1", 20L -> "new2"))
   }
+
+  test("dropPeriodsBefore: victims gone, survivors byte-identical, crash-at-marker resumes, idempotent, manifest re-armed") {
+    val root = Files.createTempDirectory("graft_rec_ret").toString
+    val wh = new Warehouse(root, spark)
+    val rows = (1 to 4).flatMap(day => (0L until 50L).map(v =>
+      (day * 1000L + v, s"2024-01-0$day"))).toDF("v", "p")
+    wh.writeSwap("t", rows.repartitionByRange(4, col("p"), col("v"))
+      .sortWithinPartitions("p", "v"),
+      partitionBy = Seq("p"), statsCols = Seq("v"))
+    // fingerprint the surviving partitions' data bytes BEFORE retention
+    import scala.jdk.CollectionConverters._
+    def dataFiles(day: Int): Seq[java.nio.file.Path] = {
+      val d = java.nio.file.Paths.get(root, "t", s"p=2024-01-0$day")
+      java.nio.file.Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    }
+    def sig(day: Int) = dataFiles(day).map(p =>
+      (p.getFileName.toString,
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(p))))
+    val before = Seq(3, 4).map(sig)
+    assert(wh.dropPeriodsBefore("t", "2024-01-03") === 2)
+    assert(wh.periodValues("t") === Seq("2024-01-03", "2024-01-04"))
+    assert(Seq(3, 4).map(sig) === before, "survivor partitions were rewritten")
+    assert(wh.read("t").count() === 100)
+    // manifest re-armed: the pruned read serves (and skips) post-retention
+    val pruned = wh.readPruned("t", "v", 3000L, 3009L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+      (3000L to 3009L).toSeq)
+    assert(pruned.inputFiles.length < wh.read("t").inputFiles.length,
+      "stats manifest did not re-arm after retention")
+    // idempotent: nothing below the cutoff remains
+    assert(wh.dropPeriodsBefore("t", "2024-01-03") === 0)
+    // crash at the intent marker: a fresh Warehouse completes the deletion
+    // on recover and consumes the marker
+    val root2 = Files.createTempDirectory("graft_rec_ret2").toString
+    val wh2 = new Warehouse(root2, spark)
+    wh2.writeSwap("t", rows.repartitionByRange(4, col("p"), col("v")),
+      partitionBy = Seq("p"))
+    crashAt(wh2, "retention:marker")
+    intercept[Exception](wh2.dropPeriodsBefore("t", "2024-01-04"))
+    val wh3 = new Warehouse(root2, spark)
+    assert(wh3.periodValues("t") === Seq("2024-01-04"))
+    assert(wh3.read("t").count() === 50)
+    assert(wh3.getMeta("t__slice_intent").isEmpty, "marker must be consumed")
+  }
 }
