@@ -86,4 +86,30 @@ object Skew {
     val exploded = dim.withColumn("__salt", explode(sequence(lit(0), lit(k - 1))))
     salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Hot/cold split join — selective skew routing from CERTIFIED hot
+    * keys (the stored Misra-Gries registers' no-false-negative law:
+    * every key above the support threshold is in the summary, so the
+    * certified-hot list is complete; [[graft.functions.Sketches.mgBound]]
+    * reads the certificate). The hot keys' dim rows broadcast (tiny by
+    * construction — at most the MG register count) so the skewed mass
+    * NEVER shuffles on its key, while the cold remainder takes the
+    * ordinary shuffle join it is shaped for — AQE's skew-join strategy
+    * made declarative, applicable where AQE can't see it coming (a
+    * broadcast-impossible dim whose HOT SLICE is broadcastable). Inner
+    * joins only: each fact row lands in exactly one branch (its key is
+    * hot or it isn't; NULL keys match nothing in either branch), so the
+    * union is exactly the plain inner join, which is the oracle. The
+    * spec pins row identity and the hot branch's BroadcastHashJoin.
+    */
+  def hotColdJoin(fact: DataFrame, dim: DataFrame, key: String,
+      hotVals: Seq[Any]): DataFrame = {
+    require(hotVals.nonEmpty, "hotColdJoin needs at least one hot key")
+    require(hotVals.forall(_ != null), "NULL never matches an equi-join")
+    val hot = fact.filter(col(key).isin(hotVals: _*))
+      .join(broadcast(dim.filter(col(key).isin(hotVals: _*))), Seq(key))
+    val cold = fact.filter(!col(key).isin(hotVals: _*))
+      .join(dim.filter(!col(key).isin(hotVals: _*)), Seq(key))
+    hot.unionByName(cold)
+  }
 }

@@ -1490,6 +1490,45 @@ final class Warehouse(val root: String, spark: SparkSession) {
     prunedRead(kept, name, pred)
   }
 
+  /** Dim-driven dynamic file pruning — the JOIN face of the point-lookup
+    * (Delta/Databricks "dynamic file pruning"; Spark's own runtime
+    * bloom-filter join reduces the same shape at the ROW grain where
+    * this works at the FILE grain through the committed sidecars):
+    * semantically identical to
+    * `read(name).join(dim.select(dimCol).distinct, col(column) === dimCol,
+    * "left_semi")`, but when the build side's distinct key set fits the
+    * declared `maxKeys` bound the probe side's FILE SET is decided by
+    * stats ∩ bloom evidence before Spark lists anything — the "join a
+    * 100 TB fact to a filtered dimension" shape where the filter kills
+    * most of the dimension and the surviving keys live in a handful of
+    * fact files.
+    *
+    * The key collect is METADATA-BOUNDED BY CONTRACT (the bloom-build
+    * discipline at :1265): at most `maxKeys + 1` rows cross the driver
+    * (`limit` caps the plan, not a post-hoc check), and a build side
+    * that proves wider degrades to the full-scan semi join — the same
+    * graceful decline every pruned read takes on a missing manifest,
+    * because a dimension with millions of surviving keys prunes nothing
+    * at the file grain and the shuffle join IS the right plan. NULL keys
+    * never match an equi-join, so they are dropped before the bound is
+    * charged.
+    */
+  def readPrunedSemi(name: String, column: String, dim: DataFrame,
+      dimCol: String, maxKeys: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(maxKeys >= 1 && maxKeys <= 1000000, s"maxKeys: $maxKeys")
+    val keys = dim.select(col(dimCol)).filter(col(dimCol).isNotNull)
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (keys.isEmpty)
+      read(name).filter(org.apache.spark.sql.functions.lit(false))
+    else if (keys.size > maxKeys)
+      read(name).join(
+        dim.select(col(dimCol).as(column)).filter(col(column).isNotNull)
+          .distinct(),
+        Seq(column), "left_semi")
+    else readPrunedIn(name, column, keys)
+  }
+
   /** Zero-copy table clone (dbt clone, dbt-adapters
     * macros/materializations/models/clone/clone.sql — Snowflake's
     * metadata-only CREATE TABLE CLONE): hard-link every data file of

@@ -1379,6 +1379,693 @@ object Round14Queries extends QuerySet {
         |ex AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS exact_user_days
         |       FROM e)
         |SELECT est.n_regs, est.est_user_days, ex.exact_user_days
-        |FROM est, ex""".stripMargin))
+        |FROM est, ex""".stripMargin)),
+
+    QueryDef("q486_dfp_semi_join", (s, d) => {
+      // dim-driven DYNAMIC FILE PRUNING (Warehouse.readPrunedSemi — the
+      // JOIN face of the declared-predicate surface: q464 window+range,
+      // q474 literal point lookup, q479 prefix; here the key set comes
+      // from DATA): "join the 100 TB fact to a filtered dimension" where
+      // the filter kills most of the dimension — the build side's
+      // distinct keys cross the driver under a metadata-bounded contract
+      // (at most maxKeys+1 rows, the bloom-build discipline), stats ∩
+      // bloom sidecars decide the fact FILE SET before Spark lists
+      // anything, and a build side proving wider than the cap degrades
+      // to the full-scan shuffle semi join (which at that width is the
+      // right plan — file-grain pruning buys nothing when every file
+      // holds a surviving key). Semantics are exactly the semi join, so
+      // the IN-subquery aggregate is the oracle; ManifestSpec pins the
+      // file skipping and the over-cap fallback. 28 urgent orders above
+      // $495k survive the filter at sf0.01.
+      val wh = Scratch.warehouse("q486", d, s, Seq("li_fact"))
+      wh.writeSwap("li_fact", table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+        .repartitionByRange(16, col("okey"))
+        .sortWithinPartitions("okey"),
+        statsCols = Seq("okey"), bloomCols = Seq("okey"))
+      val dim = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 495000.0)
+        .select(col("o_orderkey").cast("long").as("dk"))
+      wh.readPrunedSemi("li_fact", "okey", dim, "dk", maxKeys = 1024)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+          countDistinct(col("okey")).as("n_keys"))
+    }, Some(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        |FROM lineitem
+        |WHERE CAST(l_orderkey AS BIGINT) IN
+        |      (SELECT CAST(o_orderkey AS BIGINT) FROM orders
+        |       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 495000)
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q487_join_cost_advisor", (s, d) => {
+      // sketch-backed OPTIMIZER STATISTICS + the System-R join estimate
+      // (engine/TableStats — the ANALYZE face: the reference delegates
+      // this to Snowflake's hidden per-micro-partition metadata, Spark's
+      // CBO to ANALYZE TABLE; here the stats are first-class REGISTER
+      // TABLES the engine's own sketch laws maintain): per-column NDV
+      // rides stored KMV registers (exact-integer Beyer estimator,
+      // digit-replayable), counts are additive longs, and the estimate
+      // n_a * n_b div max(ndv) (Selinger 1979, containment + uniformity)
+      // plus the broadcast-vs-shuffle decision compute ENTIRELY from the
+      // stored profiles — the data is never rescanned at plan time. Two
+      // contrasting cases beside their exact counts: the clean FK join
+      // lineitem x part (estimate lands within the NDV envelope of the
+      // exact 60000) and the many-many self-join on l_partkey, where
+      // uniformity UNDERestimates under skew — the documented bias,
+      // surfaced by contrast (est ~1.8M from 60000^2/ndv vs exact
+      // sum cnt^2 = 1858320 at sf0.01). Advice: part (2000 rows) fits
+      // the 10k-row broadcast budget -> broadcast_right; the self-join's
+      // 60k x 60k -> shuffle. TableStatsSpec pins applyAdvice's physical
+      // plan (BroadcastHashJoin exactly where advised).
+      import graft.engine.TableStats
+      val wh = Scratch.warehouse("q487", d, s,
+        Seq("li_counts", "li_regs", "pt_counts", "pt_regs"))
+      val li = table(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("pk"))
+      val pt = table(s, d, "part")
+        .select(col("p_partkey").cast("long").as("pk"))
+      wh.writeSwap("li_counts", TableStats.columnCounts(li, Seq("pk")))
+      wh.writeSwap("li_regs", TableStats.columnRegisters(li, Seq("pk"), 256))
+      wh.writeSwap("pt_counts", TableStats.columnCounts(pt, Seq("pk")))
+      wh.writeSwap("pt_regs", TableStats.columnRegisters(pt, Seq("pk"), 256))
+      def prof(tag: String, suffix: String) = TableStats.sideProfile(
+        wh.read(s"${tag}_counts"),
+        TableStats.ndvEstimate(wh.read(s"${tag}_regs"), 256), "pk", suffix)
+      val fk = TableStats.adviseEquiJoin(prof("li", "a"), prof("pt", "b"),
+        broadcastMaxRows = 10000L)
+        .crossJoin(li.join(broadcast(pt), Seq("pk"))
+          .agg(count(lit(1)).cast("long").as("exact_join_rows")))
+        .withColumn("jcase", lit("fk_part"))
+      val self = TableStats.adviseEquiJoin(prof("li", "a"), prof("li", "b"),
+        broadcastMaxRows = 10000L)
+        .crossJoin(li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).cast("long").as("exact_join_rows")))
+        .withColumn("jcase", lit("self_partkey"))
+      fk.unionByName(self)
+    }, Some(
+      """WITH lp AS (SELECT CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        |pp AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part),
+        |lr AS (SELECT md5(CAST(pk AS VARCHAR)) AS key
+        |       FROM (SELECT DISTINCT pk FROM lp)),
+        |pr AS (SELECT md5(CAST(pk AS VARCHAR)) AS key
+        |       FROM (SELECT DISTINCT pk FROM pp)),
+        |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |       FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |             FROM lr) t WHERE rn <= 256),
+        |pk2 AS (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |        FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |              FROM pr) t WHERE rn <= 256),
+        |ln AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv FROM lk),
+        |pn AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv FROM pk2),
+        |lc AS (SELECT CAST(count(pk) AS BIGINT) AS n FROM lp),
+        |pc AS (SELECT CAST(count(pk) AS BIGINT) AS n FROM pp),
+        |fx AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM lp JOIN pp USING (pk)),
+        |sx AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_rows
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM lp
+        |             GROUP BY pk) t),
+        |fk AS (SELECT 'fk_part' AS jcase, lc.n AS n_a, ln.ndv AS ndv_a,
+        |              pc.n AS n_b, pn.ndv AS ndv_b,
+        |              CAST(CAST(lc.n AS HUGEINT) * pc.n
+        |                   // greatest(ln.ndv, pn.ndv, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(lc.n, pc.n) > 10000 THEN 'shuffle'
+        |                   WHEN lc.n <= pc.n THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              fx.exact_join_rows
+        |       FROM lc, ln, pc, pn, fx),
+        |sf AS (SELECT 'self_partkey' AS jcase, lc.n AS n_a, ln.ndv AS ndv_a,
+        |              lc.n AS n_b, ln.ndv AS ndv_b,
+        |              CAST(CAST(lc.n AS HUGEINT) * lc.n
+        |                   // greatest(ln.ndv, ln.ndv, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(lc.n, lc.n) > 10000 THEN 'shuffle'
+        |                   WHEN lc.n <= lc.n THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              sx.exact_join_rows
+        |       FROM lc, ln, sx)
+        |SELECT * FROM fk UNION ALL SELECT * FROM sf""".stripMargin)),
+
+    QueryDef("q488_range_selectivity", (s, d) => {
+      // range selectivity from a STORED quantile summary
+      // (TableStats.rangeCountEstimate — the optimizer's second question
+      // after NDV: how many rows match value BETWEEN lo AND hi, answered
+      // without touching the data): the k=256 qsCompress summary's kept
+      // cumulative ranks are EXACT and between-kept gap mass is below
+      // the stride s = ceil(W/k), so each endpoint rank carries a
+      // one-sided error in [0, s) and the range estimate lands within s
+      // of the truth — err_bound DECLARES it beside the estimate, the
+      // within_bound flag observes it, and the oracle replays the
+      // compression plus both sums digit for digit. l_extendedprice
+      // cents in [$10k, $50k] at sf0.01: W = 60000, s = 235, exact
+      // 23020 — the estimate must land in [22785, 23255].
+      import graft.engine.TableStats
+      import graft.functions.QuantileSketch
+      val wh = Scratch.warehouse("q488", d, s, Seq("price_summary"))
+      val cents = table(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5)
+          .cast("long").as("cents"))
+      wh.writeSwap("price_summary", QuantileSketch.qsCompress(
+        QuantileSketch.qsRegisters(cents, Nil, col("cents")), Nil, 256))
+      val est = TableStats.rangeCountEstimate(wh.read("price_summary"),
+        Nil, 1000000L, 5000000L, 256)
+      val exact = cents
+        .filter(col("cents") >= 1000000L && col("cents") <= 5000000L)
+        .agg(count(lit(1)).cast("long").as("exact_in_range"))
+      est.crossJoin(exact)
+        .withColumn("within_bound",
+          when(abs(col("est_in_range") - col("exact_in_range")) <=
+            col("err_bound"), lit(1L)).otherwise(lit(0L)))
+    }, Some(
+      """WITH e AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                    AS v FROM lineitem),
+        |r AS (SELECT v, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1),
+        |cb AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum,
+        |              (SELECT sum(w) FROM r) AS tot FROM r),
+        |kb AS (SELECT v, cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS w
+        |       FROM (SELECT v, cum FROM cb
+        |             WHERE (cum // ((tot + 255) // 256))
+        |                     > ((cum - w) // ((tot + 255) // 256))
+        |                OR cum = tot) t),
+        |ag AS (SELECT CAST(sum(CASE WHEN v <= 5000000 THEN w ELSE 0 END)
+        |              - sum(CASE WHEN v <= 999999 THEN w ELSE 0 END)
+        |                AS BIGINT) AS est_in_range,
+        |              CAST(sum(w) AS BIGINT) AS w_total FROM kb),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_in_range FROM e
+        |       WHERE v BETWEEN 1000000 AND 5000000)
+        |SELECT ag.w_total, ag.est_in_range,
+        |       CAST((ag.w_total + 255) // 256 AS BIGINT) AS err_bound,
+        |       ex.exact_in_range,
+        |       CAST(CASE WHEN abs(ag.est_in_range - ex.exact_in_range)
+        |                      <= (ag.w_total + 255) // 256
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM ag, ex""".stripMargin)),
+
+    QueryDef("q489_stats_refresh_advisor", (s, d) => {
+      // optimizer stats that STAY FRESH UNDER INGEST — the mergeable-
+      // register payoff applied to planning: per-day profile registers
+      // (KMV) and counts live in the period layout, admission writes
+      // only the new days' partitions, and plan-time NDV is a kmvMerge
+      // over the STORED day registers — old days are never rescanned,
+      // exactly the q453/q480 rolling discipline but feeding the JOIN
+      // PLANNER. Two-run lifecycle: with two days admitted the dim-side
+      // index (703 event ids at sf0.01) fits the 2000-row broadcast
+      // budget -> broadcast_right; after the month's admission (10000
+      // ids) the SAME stored-stats read flips the decision to shuffle —
+      // the plan choice tracks the data with O(new partitions) stats
+      // maintenance. Estimates sit beside exact join counts; the oracle
+      // replays both windows' registers, counts, estimate and decision.
+      import graft.engine.TableStats
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q489", d, s,
+        Seq("day_regs", "day_counts", "fact_counts", "fact_regs"))
+      val ev = events(s, d)
+        .select(col("ts").cast("date").cast("string").as("p"),
+          col("event_id").cast("long").as("id"))
+      val evIds = ev.select(col("id"))
+      // the fact side's profile: stored once (the fact table is the
+      // stable side of the story; its own freshness would ride the same
+      // period machinery)
+      wh.writeSwap("fact_counts", TableStats.columnCounts(evIds, Seq("id")))
+      wh.writeSwap("fact_regs",
+        TableStats.columnRegisters(evIds, Seq("id"), 256))
+      def dayRegs(df: org.apache.spark.sql.DataFrame) = Sketches.kmvRegisters(
+        df.select(col("p"), lit("id").as("ts_col"), col("id")),
+        Seq("p", "ts_col"), col("id"), 256)
+      def dayCounts(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("p"), lit("id").as("ts_col"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(col("id")).cast("long").as("n_notnull"))
+      val cut = "2024-01-02"
+      wh.writeSwap("day_regs", dayRegs(ev.filter(col("p") <= cut)),
+        partitionBy = Seq("p"))
+      wh.writeSwap("day_counts", dayCounts(ev.filter(col("p") <= cut)),
+        partitionBy = Seq("p"))
+      def advise(run: String) = {
+        val aProf = TableStats.sideProfile(wh.read("fact_counts"),
+          TableStats.ndvEstimate(wh.read("fact_regs"), 256), "id", "a")
+        val bCounts = wh.read("day_counts").groupBy(col("ts_col"))
+          .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+            sum(col("n_notnull")).cast("long").as("n_notnull"))
+        val bProf = TableStats.sideProfile(bCounts,
+          TableStats.ndvEstimate(
+            Sketches.kmvMerge(wh.read("day_regs"), Seq("ts_col"), 256), 256),
+          "id", "b")
+        val dimIds = wh.read("day_regs").select(col("p")).distinct()
+          .join(ev, Seq("p")).select(col("id")).distinct()
+        TableStats.adviseEquiJoin(aProf, bProf, broadcastMaxRows = 2000L)
+          .crossJoin(evIds.join(dimIds, Seq("id"))
+            .agg(count(lit(1)).cast("long").as("exact_join_rows")))
+          .withColumn("run", lit(run))
+          // EAGER checkpoint: run 1's row must materialize BEFORE the
+          // admission below mutates the stored stats it reads (the lazy
+          // form would re-plan over post-admission state)
+          .localCheckpoint()
+      }
+      val run1 = advise("run1_2days")
+      // calendar-bounded day list for the admission slice (<= 31 values)
+      val newDays = ev.filter(col("p") > cut).select(col("p")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      wh.overwritePeriods("day_regs", dayRegs(ev.filter(col("p") > cut)),
+        "p", newDays)
+      wh.overwritePeriods("day_counts",
+        dayCounts(ev.filter(col("p") > cut)), "p", newDays)
+      run1.unionByName(advise("run2_month"))
+    }, Some(
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id,
+        |                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |            FROM events),
+        |fa AS (SELECT CAST(count(id) AS BIGINT) AS n_a FROM ev),
+        |fn AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_a
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(id AS VARCHAR)) AS key
+        |                         FROM (SELECT DISTINCT id FROM ev))) t
+        |             WHERE rn <= 256)),
+        |w1 AS (SELECT id FROM ev WHERE day <= DATE '2024-01-02'),
+        |w2 AS (SELECT id FROM ev),
+        |b1c AS (SELECT CAST(count(id) AS BIGINT) AS n_b FROM w1),
+        |b2c AS (SELECT CAST(count(id) AS BIGINT) AS n_b FROM w2),
+        |b1n AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |               ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                    // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                    AS BIGINT) END AS ndv_b
+        |        FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |                     max(key) AS kth
+        |              FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                    FROM (SELECT md5(CAST(id AS VARCHAR)) AS key
+        |                          FROM (SELECT DISTINCT id FROM w1))) t
+        |              WHERE rn <= 256)),
+        |b2n AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |               ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                    // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                    AS BIGINT) END AS ndv_b
+        |        FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |                     max(key) AS kth
+        |              FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                    FROM (SELECT md5(CAST(id AS VARCHAR)) AS key
+        |                          FROM (SELECT DISTINCT id FROM w2))) t
+        |              WHERE rn <= 256)),
+        |x1 AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM ev JOIN (SELECT DISTINCT id FROM w1) u USING (id)),
+        |x2 AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM ev JOIN (SELECT DISTINCT id FROM w2) u USING (id)),
+        |r1 AS (SELECT 'run1_2days' AS run, fa.n_a, fn.ndv_a, b1c.n_b,
+        |              b1n.ndv_b,
+        |              CAST(CAST(fa.n_a AS HUGEINT) * b1c.n_b
+        |                   // greatest(fn.ndv_a, b1n.ndv_b, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(fa.n_a, b1c.n_b) > 2000 THEN 'shuffle'
+        |                   WHEN fa.n_a <= b1c.n_b THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              x1.exact_join_rows
+        |       FROM fa, fn, b1c, b1n, x1),
+        |r2 AS (SELECT 'run2_month' AS run, fa.n_a, fn.ndv_a, b2c.n_b,
+        |              b2n.ndv_b,
+        |              CAST(CAST(fa.n_a AS HUGEINT) * b2c.n_b
+        |                   // greatest(fn.ndv_a, b2n.ndv_b, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(fa.n_a, b2c.n_b) > 2000 THEN 'shuffle'
+        |                   WHEN fa.n_a <= b2c.n_b THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              x2.exact_join_rows
+        |       FROM fa, fn, b2c, b2n, x2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin)),
+
+    QueryDef("q490_overlap_join_estimate", (s, d) => {
+      // the containment assumption MEASURED instead of assumed
+      // (TableStats.equiJoinEstimateOverlap composing kmvSetOps with the
+      // stored profiles): System-R's n_a*n_b/max(ndv) presumes every key
+      // of the smaller side matches — false whenever each side holds
+      // keys the other lacks (two filtered slices of a dimension, two
+      // time windows), where it OVERestimates. The stored KMV registers
+      // already answer |keys(A) n keys(B)| (est_both), so the corrected
+      // estimate est_both * n_a * n_b div (ndv_a * ndv_b) prices the
+      // overlap from register-grain state alone. The churn shape makes
+      // the violation real: buyers of the FIRST half-year vs buyers of
+      // the LAST (1995-H1 vs 2001 at sf0.01 — A 1092 rows/777 keys, B
+      // 1308/885, true key overlap only 451, exact join 949): System-R
+      // assumes the 777 all match and reads 1651 (+74%); the overlap
+      // form lands within the sketch envelope of exact (observed
+      // est_both 467, est 935, −1.5% — value-inspected).
+      import graft.engine.TableStats
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q490", d, s,
+        Seq("a_counts", "a_regs", "b_counts", "b_regs"))
+      val od = to_date(col("o_orderdate"))
+      def sideOf(f: Column) = table(s, d, "orders").filter(f)
+        .select(col("o_custkey").cast("long").as("ck"))
+      def side(tag: String) =
+        if (tag == "a") sideOf(od < lit("1995-07-01").cast("date"))
+        else sideOf(od >= lit("2001-01-01").cast("date"))
+      wh.writeSwap("a_counts", TableStats.columnCounts(side("a"), Seq("ck")))
+      wh.writeSwap("a_regs",
+        TableStats.columnRegisters(side("a"), Seq("ck"), 256))
+      wh.writeSwap("b_counts", TableStats.columnCounts(side("b"), Seq("ck")))
+      wh.writeSwap("b_regs",
+        TableStats.columnRegisters(side("b"), Seq("ck"), 256))
+      def prof(tag: String, sfx: String) = TableStats.sideProfile(
+        wh.read(s"${tag}_counts"),
+        TableStats.ndvEstimate(wh.read(s"${tag}_regs"), 256), "ck", sfx)
+      val ops = Sketches.kmvSetOps(wh.read("a_regs"), wh.read("b_regs"), 256)
+      val sysr = TableStats.adviseEquiJoin(prof("a", "a"), prof("b", "b"),
+        broadcastMaxRows = 10000L)
+      val corrected = TableStats.equiJoinEstimateOverlap(
+        prof("a", "a"), prof("b", "b"), ops)
+        .select(col("est_both"), col("est_join_rows_overlap"))
+      val exact = side("a").join(side("b"), Seq("ck"))
+        .agg(count(lit(1)).cast("long").as("exact_join_rows"))
+      sysr.crossJoin(corrected).crossJoin(exact)
+    }, Some(
+      """WITH a AS (SELECT CAST(o_custkey AS BIGINT) AS ck FROM orders
+        |           WHERE CAST(o_orderdate AS DATE) < DATE '1995-07-01'),
+        |b AS (SELECT CAST(o_custkey AS BIGINT) AS ck FROM orders
+        |      WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'),
+        |ra AS (SELECT kmv_key FROM (
+        |         SELECT md5(CAST(ck AS VARCHAR)) AS kmv_key,
+        |                row_number() OVER (ORDER BY md5(CAST(ck AS VARCHAR)))
+        |                  AS rn
+        |         FROM (SELECT DISTINCT ck FROM a)) t WHERE rn <= 256),
+        |rb AS (SELECT kmv_key FROM (
+        |         SELECT md5(CAST(ck AS VARCHAR)) AS kmv_key,
+        |                row_number() OVER (ORDER BY md5(CAST(ck AS VARCHAR)))
+        |                  AS rn
+        |         FROM (SELECT DISTINCT ck FROM b)) t WHERE rn <= 256),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(kmv_key) AS kth
+        |       FROM ra),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(kmv_key) AS kth
+        |       FROM rb),
+        |va AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_a FROM na),
+        |vb AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_b FROM nb),
+        |ca AS (SELECT CAST(count(ck) AS BIGINT) AS n_a FROM a),
+        |cb AS (SELECT CAST(count(ck) AS BIGINT) AS n_b FROM b),
+        |uk AS (SELECT kmv_key, max(in_a) AS in_a, max(in_b) AS in_b
+        |       FROM (SELECT kmv_key, 1 AS in_a, 0 AS in_b FROM ra
+        |             UNION ALL SELECT kmv_key, 0, 1 FROM rb) t
+        |       GROUP BY 1),
+        |us AS (SELECT kmv_key, in_a, in_b FROM (
+        |         SELECT kmv_key, in_a, in_b,
+        |                row_number() OVER (ORDER BY kmv_key) AS rn FROM uk) t
+        |       WHERE rn <= 256),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |              max(kmv_key) AS kth,
+        |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        |       FROM us),
+        |e1 AS (SELECT *, CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS kth_num FROM ag),
+        |e2 AS (SELECT *,
+        |              CASE WHEN n_union < 256 THEN n_union
+        |                   ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                             // kth_num AS BIGINT) END AS est_union
+        |       FROM e1),
+        |e3 AS (SELECT CASE WHEN n_union < 256 THEN n_both
+        |                   ELSE CAST((CAST(n_both AS HUGEINT) * est_union)
+        |                             // n_union AS BIGINT) END AS est_both
+        |       FROM e2),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM a JOIN b USING (ck))
+        |SELECT ca.n_a, va.ndv_a, cb.n_b, vb.ndv_b,
+        |       CAST(CAST(ca.n_a AS HUGEINT) * cb.n_b
+        |            // greatest(va.ndv_a, vb.ndv_b, 1) AS BIGINT)
+        |         AS est_join_rows,
+        |       CASE WHEN least(ca.n_a, cb.n_b) > 10000 THEN 'shuffle'
+        |            WHEN ca.n_a <= cb.n_b THEN 'broadcast_left'
+        |            ELSE 'broadcast_right' END AS join_plan,
+        |       e3.est_both,
+        |       CAST(CAST(e3.est_both AS HUGEINT) * ca.n_a * cb.n_b
+        |            // greatest(CAST(va.ndv_a AS HUGEINT) * vb.ndv_b, 1)
+        |            AS BIGINT) AS est_join_rows_overlap,
+        |       ex.exact_join_rows
+        |FROM ca, va, cb, vb, e3, ex""".stripMargin)),
+
+    QueryDef("q491_mcv_join_estimate", (s, d) => {
+      // the end-biased histogram (TableStats.mcvProfile +
+      // equiJoinEstimateMcv — PostgreSQL's eqjoinsel_inner, selfuncs.c):
+      // uniformity UNDERestimates joins on skewed keys (q487's
+      // self-join); storing the top-k values WITH EXACT COUNTS confines
+      // the assumption to the tail. documents.lang is honestly Zipf at
+      // sf0.01 (en 218 of 500): A = all docs, B = docs above median
+      // length, k = 2 MCVs per side — and B's second MCV is 'es', not
+      // 'zh' (37-37 tie broken value-asc, both engines replaying the
+      // same deterministic cut), so every estimator term is exercised:
+      // matched en×en, A's zh against B's tail, B's es against A's
+      // tail, tail×tail System-R. Observed: exact 33564, System-R
+      // 25000 (−26%), MCV 35967 (+7.2%) — the head's exact mass does
+      // the work. NDVs are exact here (5 < k): the gap is PURELY the
+      // uniformity assumption, isolated by construction.
+      import graft.engine.TableStats
+      val wh = Scratch.warehouse("q491", d, s,
+        Seq("a_counts", "a_regs", "a_mcv", "b_counts", "b_regs", "b_mcv"))
+      val docs = table(s, d, "documents")
+      val aSide = docs.select(col("lang"))
+      val bSide = docs.filter(col("n_chars") > 306L).select(col("lang"))
+      wh.writeSwap("a_counts", TableStats.columnCounts(aSide, Seq("lang")))
+      wh.writeSwap("a_regs", TableStats.columnRegisters(aSide, Seq("lang"), 256))
+      wh.writeSwap("a_mcv", TableStats.mcvProfile(aSide, "lang", 2))
+      wh.writeSwap("b_counts", TableStats.columnCounts(bSide, Seq("lang")))
+      wh.writeSwap("b_regs", TableStats.columnRegisters(bSide, Seq("lang"), 256))
+      wh.writeSwap("b_mcv", TableStats.mcvProfile(bSide, "lang", 2))
+      def prof(tag: String, sfx: String) = TableStats.sideProfile(
+        wh.read(s"${tag}_counts"),
+        TableStats.ndvEstimate(wh.read(s"${tag}_regs"), 256), "lang", sfx)
+      val sysr = TableStats.adviseEquiJoin(prof("a", "a"), prof("b", "b"),
+        broadcastMaxRows = 10000L).select(col("n_a"), col("ndv_a"),
+        col("n_b"), col("ndv_b"), col("est_join_rows").as("est_sysr"))
+      val mcv = TableStats.equiJoinEstimateMcv(
+        wh.read("a_mcv"), prof("a", "a"), wh.read("b_mcv"), prof("b", "b"))
+        .select(col("t_matched"), col("t_a_tail"), col("t_b_tail"),
+          col("t_tails"), col("est_join_rows_mcv"))
+      val exact = aSide.join(bSide.groupBy(col("lang"))
+          .agg(count(lit(1)).as("__cb")), Seq("lang"))
+        .agg(sum(col("__cb")).cast("long").as("exact_join_rows"))
+      sysr.crossJoin(mcv).crossJoin(exact)
+    }, Some(
+      """WITH a AS (SELECT lang FROM documents),
+        |b AS (SELECT lang FROM documents WHERE n_chars > 306),
+        |ga AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1),
+        |gb AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |ma AS (SELECT lang, c FROM (
+        |         SELECT lang, c, row_number() OVER (ORDER BY c DESC, lang ASC)
+        |                  AS rn FROM ga) t WHERE rn <= 2),
+        |mb AS (SELECT lang, c FROM (
+        |         SELECT lang, c, row_number() OVER (ORDER BY c DESC, lang ASC)
+        |                  AS rn FROM gb) t WHERE rn <= 2),
+        |ca AS (SELECT CAST(count(lang) AS BIGINT) AS n_a,
+        |              CAST(count(DISTINCT lang) AS BIGINT) AS ndv_a FROM a),
+        |cb AS (SELECT CAST(count(lang) AS BIGINT) AS n_b,
+        |              CAST(count(DISTINCT lang) AS BIGINT) AS ndv_b FROM b),
+        |m AS (SELECT CAST(coalesce(sum(CASE WHEN ma.c IS NOT NULL
+        |                                     AND mb.c IS NOT NULL
+        |                                THEN ma.c * mb.c END), 0) AS BIGINT)
+        |               AS t_matched,
+        |             CAST(coalesce(sum(CASE WHEN mb.c IS NULL THEN ma.c END),
+        |                           0) AS BIGINT) AS ua_mass,
+        |             CAST(coalesce(sum(CASE WHEN ma.c IS NULL THEN mb.c END),
+        |                           0) AS BIGINT) AS ub_mass,
+        |             CAST(count(ma.c) AS BIGINT) AS mn_a,
+        |             CAST(count(mb.c) AS BIGINT) AS mn_b,
+        |             CAST(coalesce(sum(ma.c), 0) AS BIGINT) AS mm_a,
+        |             CAST(coalesce(sum(mb.c), 0) AS BIGINT) AS mm_b
+        |      FROM ma FULL OUTER JOIN mb USING (lang)),
+        |t AS (SELECT m.*, ca.n_a, ca.ndv_a, cb.n_b, cb.ndv_b,
+        |             ca.n_a - m.mm_a AS tail_mass_a,
+        |             cb.n_b - m.mm_b AS tail_mass_b,
+        |             greatest(ca.ndv_a - m.mn_a, 0) AS tail_ndv_a,
+        |             greatest(cb.ndv_b - m.mn_b, 0) AS tail_ndv_b
+        |      FROM m, ca, cb),
+        |f AS (SELECT n_a, ndv_a, n_b, ndv_b, t_matched,
+        |             CAST(CAST(ua_mass AS HUGEINT) * tail_mass_b
+        |                  // greatest(tail_ndv_b, 1) AS BIGINT) AS t_a_tail,
+        |             CAST(CAST(ub_mass AS HUGEINT) * tail_mass_a
+        |                  // greatest(tail_ndv_a, 1) AS BIGINT) AS t_b_tail,
+        |             CAST(CAST(tail_mass_a AS HUGEINT) * tail_mass_b
+        |                  // greatest(tail_ndv_a, tail_ndv_b, 1) AS BIGINT)
+        |               AS t_tails,
+        |             tail_mass_a, tail_mass_b, tail_ndv_a, tail_ndv_b
+        |      FROM t),
+        |ex AS (SELECT CAST(sum(ga.c * gb.c) AS BIGINT) AS exact_join_rows
+        |       FROM ga JOIN gb USING (lang))
+        |SELECT f.n_a, f.ndv_a, f.n_b, f.ndv_b,
+        |       CAST(CAST(f.n_a AS HUGEINT) * f.n_b
+        |            // greatest(f.ndv_a, f.ndv_b, 1) AS BIGINT) AS est_sysr,
+        |       f.t_matched, f.t_a_tail, f.t_b_tail, f.t_tails,
+        |       f.t_matched + f.t_a_tail + f.t_b_tail + f.t_tails
+        |         AS est_join_rows_mcv,
+        |       ex.exact_join_rows
+        |FROM f, ex""".stripMargin)),
+
+    QueryDef("q492_hot_cold_join", (s, d) => {
+      // STORED-stats-driven skew routing (Skew.hotColdJoin + the MG
+      // certificate): at 100 TB the expensive planning mistake is
+      // shuffling a skewed join key — AQE splits sort-merge skew at
+      // runtime, but a key owning a third of the fact is cheapest never
+      // shuffled at all. The hot list comes from the STORED Misra-Gries
+      // registers (no rescan at plan time; the no-false-negative law
+      // makes the certified list COMPLETE above the support threshold,
+      // and stored counts are lower bounds so certification is sound),
+      // crosses the driver at register grain (<= k rows), and the join
+      // splits: hot keys' dim rows broadcast (the skewed mass never
+      // shuffles on its key), the cold tail takes the ordinary shuffle
+      // join. Inner-join semantics make the union EXACTLY the plain
+      // join — the oracle. Skew is PLANTED and documented (orders
+      // custkey remapped to key 1 for o_orderkey % 3 = 0: ~5000 of
+      // 15000 rows at sf0.01 — the TPC-H-ish tables are deliberately
+      // uniform); SkewSpec-style pins live in TableStatsSpec.
+      import graft.engine.{Skew, TableStats}
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q492", d, s,
+        Seq("hot_fact", "hot_regs", "hot_counts"))
+      wh.writeSwap("hot_fact", table(s, d, "orders").select(
+        when(col("o_orderkey") % 3L === 0L, 1L)
+          .otherwise(col("o_custkey").cast("long")).as("hk"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")))
+      wh.writeSwap("hot_regs",
+        Sketches.mgRegisters(wh.read("hot_fact"), Nil, col("hk"), 8))
+      wh.writeSwap("hot_counts",
+        TableStats.columnCounts(wh.read("hot_fact"), Seq("hk")))
+      // plan-time reads: ONE stats row and <= k register rows cross the
+      // driver — the data itself is never rescanned to decide the plan
+      val n = wh.read("hot_counts").filter(col("ts_col") === "hk")
+        .head().getAs[Long]("n_notnull")
+      val hot = wh.read("hot_regs").filter(col("mg_count") >= lit(n / 10L))
+        .select(col("mg_value")).collect().map(_.getString(0).toLong).toSeq
+      val dim = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("hk"),
+        col("c_nationkey").cast("long").as("nation"))
+      Skew.hotColdJoin(wh.read("hot_fact"), dim, "hk", hot)
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("rev_cents"))
+    }, Some(
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+        |                       ELSE CAST(o_custkey AS BIGINT) END AS hk,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    AS cents
+        |           FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS hk,
+        |             CAST(c_nationkey AS BIGINT) AS nation FROM customer)
+        |SELECT c.nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(f.cents) AS BIGINT) AS rev_cents
+        |FROM f JOIN c USING (hk)
+        |GROUP BY 1""".stripMargin)),
+
+    QueryDef("q493_join_order", (s, d) => {
+      // JOIN-ORDER selection from stored statistics — the Selinger 1979
+      // question itself, over the TPC-H Q3 shape lineitem ⋈ orders ⋈
+      // customer(BUILDING): the join graph admits two left-deep orders,
+      // (L⋈O) then C' or (O⋈C') then L, and the cost difference is the
+      // INTERMEDIATE size. Both intermediates are priced by the same
+      // stored-profile System-R estimate the advisor already uses —
+      // observed at sf0.01: est_lo 57332 vs exact 60000 (−4.4%), est_oc
+      // 2838 vs exact 2958 (−4.1%, both inside the k=256 NDV envelope;
+      // this testdata populates orders across ALL 1500 custkeys, so
+      // containment holds and System-R is honest here) — a 20× cost gap,
+      // so the planner picks oc_first, the order every real optimizer
+      // picks for Q3. Filtered-side stats are DERIVED stats: the profile
+      // is built on C' after its predicate, the standard post-selection
+      // re-estimate. Value-inspected.
+      import graft.engine.TableStats
+      val wh = Scratch.warehouse("q493", d, s,
+        Seq("lo_counts", "lo_regs", "oo_counts", "oo_regs",
+          "oc_counts", "oc_regs", "cb_counts", "cb_regs"))
+      val lk = table(s, d, "lineitem").select(col("l_orderkey").cast("long").as("k"))
+      val ok = table(s, d, "orders").select(col("o_orderkey").cast("long").as("k"))
+      val oc = table(s, d, "orders").select(col("o_custkey").cast("long").as("k"))
+      val cb = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("k"))
+      for ((tag, df) <- Seq(("lo", lk), ("oo", ok), ("oc", oc), ("cb", cb))) {
+        wh.writeSwap(s"${tag}_counts", TableStats.columnCounts(df, Seq("k")))
+        wh.writeSwap(s"${tag}_regs",
+          TableStats.columnRegisters(df, Seq("k"), 256))
+      }
+      def prof(tag: String, sfx: String) = TableStats.sideProfile(
+        wh.read(s"${tag}_counts"),
+        TableStats.ndvEstimate(wh.read(s"${tag}_regs"), 256), "k", sfx)
+      val estLo = TableStats.adviseEquiJoin(prof("lo", "a"), prof("oo", "b"),
+        broadcastMaxRows = 10000L).select(col("est_join_rows").as("est_lo"))
+      val estOc = TableStats.adviseEquiJoin(prof("oc", "a"), prof("cb", "b"),
+        broadcastMaxRows = 10000L).select(col("est_join_rows").as("est_oc"))
+      val exactLo = lk.join(ok, Seq("k"))
+        .agg(count(lit(1)).cast("long").as("exact_lo"))
+      val exactOc = oc.join(cb, Seq("k"))
+        .agg(count(lit(1)).cast("long").as("exact_oc"))
+      estLo.crossJoin(estOc)
+        .withColumn("chosen_order",
+          when(col("est_oc") <= col("est_lo"), lit("oc_first"))
+            .otherwise(lit("lo_first")))
+        .crossJoin(exactLo).crossJoin(exactOc)
+    }, Some(
+      """WITH lk AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+        |ok AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |oc AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+        |cbk AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |        WHERE c_mktsegment = 'BUILDING'),
+        |ndv AS (SELECT s, CASE WHEN n_regs < 256 THEN n_regs
+        |               ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                    // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                    AS BIGINT) END AS ndv
+        |        FROM (SELECT s, CAST(count(*) AS BIGINT) AS n_regs,
+        |                     max(key) AS kth
+        |              FROM (SELECT s, key,
+        |                           row_number() OVER (PARTITION BY s
+        |                                              ORDER BY key) AS rn
+        |                    FROM (SELECT 'lo' AS s,
+        |                                 md5(CAST(k AS VARCHAR)) AS key
+        |                          FROM (SELECT DISTINCT k FROM lk)
+        |                          UNION ALL
+        |                          SELECT 'oo', md5(CAST(k AS VARCHAR))
+        |                          FROM (SELECT DISTINCT k FROM ok)
+        |                          UNION ALL
+        |                          SELECT 'oc', md5(CAST(k AS VARCHAR))
+        |                          FROM (SELECT DISTINCT k FROM oc)
+        |                          UNION ALL
+        |                          SELECT 'cb', md5(CAST(k AS VARCHAR))
+        |                          FROM (SELECT DISTINCT k FROM cbk)) u) t
+        |              WHERE rn <= 256 GROUP BY s)),
+        |cnt AS (SELECT 'lo' AS s, CAST(count(k) AS BIGINT) AS n FROM lk
+        |        UNION ALL SELECT 'oo', CAST(count(k) AS BIGINT) FROM ok
+        |        UNION ALL SELECT 'oc', CAST(count(k) AS BIGINT) FROM oc
+        |        UNION ALL SELECT 'cb', CAST(count(k) AS BIGINT) FROM cbk),
+        |e1 AS (SELECT CAST(CAST(cl.n AS HUGEINT) * co.n
+        |              // greatest(vl.ndv, vo.ndv, 1) AS BIGINT) AS est_lo
+        |       FROM cnt cl, cnt co, ndv vl, ndv vo
+        |       WHERE cl.s = 'lo' AND co.s = 'oo'
+        |         AND vl.s = 'lo' AND vo.s = 'oo'),
+        |e2 AS (SELECT CAST(CAST(cc.n AS HUGEINT) * cb2.n
+        |              // greatest(vc.ndv, vb.ndv, 1) AS BIGINT) AS est_oc
+        |       FROM cnt cc, cnt cb2, ndv vc, ndv vb
+        |       WHERE cc.s = 'oc' AND cb2.s = 'cb'
+        |         AND vc.s = 'oc' AND vb.s = 'cb'),
+        |x1 AS (SELECT CAST(count(*) AS BIGINT) AS exact_lo
+        |       FROM lk JOIN ok USING (k)),
+        |x2 AS (SELECT CAST(count(*) AS BIGINT) AS exact_oc
+        |       FROM oc JOIN cbk USING (k))
+        |SELECT e1.est_lo, e2.est_oc,
+        |       CASE WHEN e2.est_oc <= e1.est_lo THEN 'oc_first'
+        |            ELSE 'lo_first' END AS chosen_order,
+        |       x1.exact_lo, x2.exact_oc
+        |FROM e1, e2, x1, x2""".stripMargin))
   )
 }

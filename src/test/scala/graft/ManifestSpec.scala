@@ -464,4 +464,39 @@ class ManifestSpec extends AnyFunSuite {
     assert(wh.readPrunedEq("src", "u", "u123").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("u123", 123L)))
   }
+
+  test("readPrunedSemi: dim-driven file pruning, identity, over-cap fallback, NULL and empty dims") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(root, spark)
+    val fact = (0L until 4096L).map(k => (k, k * 2L)).toDF("k", "x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    wh.writeSwap("f", fact, statsCols = Seq("k"), bloomCols = Seq("k"))
+    assert(wh.dataFileCount("f") === 8L)
+    // 3 surviving dim keys live in 2 of the 8 range files: the routed
+    // read must list ONLY those
+    val dim = Seq((5L, "a"), (7L, "b"), (3999L, "c")).toDF("dk", "pad")
+    val got = wh.readPrunedSemi("f", "k", dim, "dk", maxKeys = 10)
+    assert(got.inputFiles.nonEmpty && got.inputFiles.length <= 2,
+      s"expected <=2 kept files, read ${got.inputFiles.length}")
+    val expected = wh.read("f")
+      .join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expected && expected.size === 3)
+    // a build side wider than the cap degrades to the full-scan semi
+    // join — row-identical, no raise (file pruning buys nothing there)
+    val wide = (0L until 64L).toDF("dk")
+    val fb = wh.readPrunedSemi("f", "k", wide, "dk", maxKeys = 10)
+    assert(fb.count() === 64L)
+    // NULL keys never match an equi-join: dropped before the bound
+    val withNull = Seq(Some(5L), None).toDF("dk")
+    assert(wh.readPrunedSemi("f", "k", withNull, "dk", maxKeys = 10)
+      .count() === 1L)
+    // an empty build side reads zero rows AND zero files
+    val e = wh.readPrunedSemi("f", "k",
+      Seq.empty[Long].toDF("dk"), "dk", maxKeys = 10)
+    assert(e.count() === 0L)
+    assert(e.inputFiles.isEmpty,
+      s"empty-dim read listed files: ${e.inputFiles.mkString(",")}")
+  }
 }
