@@ -234,6 +234,39 @@ object TableStats {
     case other => throw new IllegalArgumentException(s"join_plan: $other")
   }
 
+  /** ANALYZE as a model post-hook — statistics as a DECLARED part of the
+    * materialization lifecycle (dbt post_hook; Snowflake keeps the
+    * equivalent metadata automatically behind every micro-partition,
+    * Spark CBO behind a separate ANALYZE TABLE command a pipeline must
+    * remember to run): `postHooks = Seq(TableStats.analyzeHook(cols))`
+    * (re)writes the two profile sidecar tables
+    * `<model>__stats_counts` / `<model>__stats_regs` after EVERY
+    * materialization of the model — CTAS, incremental merge, microbatch
+    * window — over the full materialized relation the hook receives
+    * (the reference's hook position: main DML, then hooks, then commit;
+    * dbt-snowflake incremental.sql:172-182). Consumers read the profile
+    * by table name through [[readProfile]]; the swap protocol makes the
+    * refresh atomic. This is the recompute form; the O(new partitions)
+    * incremental form is the period-layout register composition (the
+    * q489 shape), which a microbatch model gets by pointing the hook's
+    * cost at its own slice sizes.
+    */
+  def analyzeHook(cols: Seq[String], k: Int = 256): Hook.Hook = ctx => {
+    val name = ctx.model.getOrElse(throw new IllegalArgumentException(
+      "analyzeHook is a MODEL hook — run-level contexts carry no relation"))
+    val rel = ctx.relation.getOrElse(ctx.wh.read(name))
+    ctx.wh.writeSwap(s"${name}__stats_counts", columnCounts(rel, cols))
+    ctx.wh.writeSwap(s"${name}__stats_regs", columnRegisters(rel, cols, k))
+  }
+
+  /** One side's `(n_<suffix>, ndv_<suffix>)` profile row for a HOOK-
+    * analyzed table, by name — the planner-facing read.
+    */
+  def readProfile(wh: Warehouse, tableName: String, column: String,
+      suffix: String, k: Int = 256): DataFrame =
+    sideProfile(wh.read(s"${tableName}__stats_counts"),
+      ndvEstimate(wh.read(s"${tableName}__stats_regs"), k), column, suffix)
+
   /** Range selectivity `count(rows with value in [lo, hi])` from a
     * STORED quantile summary ([[graft.functions.QuantileSketch]]), never
     * touching the data: the summary's cumulative weight at each endpoint

@@ -2066,6 +2066,217 @@ object Round14Queries extends QuerySet {
         |       CASE WHEN e2.est_oc <= e1.est_lo THEN 'oc_first'
         |            ELSE 'lo_first' END AS chosen_order,
         |       x1.exact_lo, x2.exact_oc
-        |FROM e1, e2, x1, x2""".stripMargin))
+        |FROM e1, e2, x1, x2""".stripMargin)),
+
+    QueryDef("q494_analyze_hook", (s, d) => {
+      // ANALYZE as part of the MATERIALIZATION LIFECYCLE
+      // (TableStats.analyzeHook — dbt post_hook position: main DML, then
+      // hooks, then commit; Snowflake keeps this metadata automatically,
+      // Spark CBO needs a separate ANALYZE command a pipeline must
+      // remember to run): the model DECLARES its profiled columns, every
+      // materialization — the initial CTAS and the incremental MERGE
+      // alike — atomically rewrites the `<model>__stats_*` sidecar
+      // tables, and the planner reads them by table name
+      // (TableStats.readProfile), never rescanning data at plan time.
+      // Two-run lifecycle over a buyers dimension: run 1 admits buyers
+      // before 1995-07-01 (777 keys at sf0.01 — under the 1100-row
+      // broadcast budget -> broadcast_right), run 2's merge admits the
+      // rest (1500 keys -> the SAME hook-refreshed read now says
+      // shuffle). RegistrySpec pins the hook firing on both
+      // materialization kinds and the sidecar swap atomicity.
+      import graft.engine.{Incremental, IncrementalMat, Model, Registry,
+        TableStats}
+      val wh = Scratch.warehouse("q494", d, s,
+        Seq("buyers", "buyers__stats_counts", "buyers__stats_regs",
+          "fact_counts", "fact_regs"))
+      val reg = new Registry(s, wh)
+      reg.source("ord_src", table(s, d, "orders").select(
+        col("o_custkey").cast("long").as("ck"),
+        to_date(col("o_orderdate")).as("day")))
+      reg.register(Model("buyers", Seq("ord_src"),
+        IncrementalMat(Incremental.Merge, Seq("ck")),
+        ctx => {
+          val cut = lit("1995-07-01").cast("date")
+          val w = if (ctx.isIncremental)
+            ctx.ref("ord_src").filter(col("day") >= cut)
+          else ctx.ref("ord_src").filter(col("day") < cut)
+          w.groupBy(col("ck")).agg(min(col("day")).as("first_day"))
+        },
+        postHooks = Seq(TableStats.analyzeHook(Seq("ck")))))
+      val ordK = table(s, d, "orders")
+        .select(col("o_custkey").cast("long").as("ck"))
+      wh.writeSwap("fact_counts", TableStats.columnCounts(ordK, Seq("ck")))
+      wh.writeSwap("fact_regs",
+        TableStats.columnRegisters(ordK, Seq("ck"), 256))
+      def advise(run: String) = {
+        val aProf = TableStats.sideProfile(wh.read("fact_counts"),
+          TableStats.ndvEstimate(wh.read("fact_regs"), 256), "ck", "a")
+        val bProf = TableStats.readProfile(wh, "buyers", "ck", "b")
+        val exact = ordK
+          .join(wh.read("buyers").select(col("ck")), Seq("ck"))
+          .agg(count(lit(1)).cast("long").as("exact_join_rows"))
+        TableStats.adviseEquiJoin(aProf, bProf, broadcastMaxRows = 1100L)
+          .crossJoin(exact).withColumn("run", lit(run))
+          // EAGER: run 1's row must materialize before run 2's merge
+          // and hook rewrite the stored stats it reads
+          .localCheckpoint()
+      }
+      reg.run()
+      val r1 = advise("run1_initial")
+      reg.run() // merge admits the rest; the post-hook re-profiles
+      r1.unionByName(advise("run2_merged"))
+    }, Some(
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |                  CAST(o_orderdate AS DATE) AS day FROM orders),
+        |b1 AS (SELECT DISTINCT ck FROM o WHERE day < DATE '1995-07-01'),
+        |b2 AS (SELECT DISTINCT ck FROM o),
+        |fa AS (SELECT CAST(count(ck) AS BIGINT) AS n_a FROM o),
+        |fn AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_a
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(ck AS VARCHAR)) AS key
+        |                         FROM (SELECT DISTINCT ck FROM o))) t
+        |             WHERE rn <= 256)),
+        |c1 AS (SELECT CAST(count(ck) AS BIGINT) AS n_b FROM b1),
+        |c2 AS (SELECT CAST(count(ck) AS BIGINT) AS n_b FROM b2),
+        |v1 AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_b
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(ck AS VARCHAR)) AS key
+        |                         FROM b1)) t
+        |             WHERE rn <= 256)),
+        |v2 AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_b
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(ck AS VARCHAR)) AS key
+        |                         FROM b2)) t
+        |             WHERE rn <= 256)),
+        |x1 AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM o JOIN b1 USING (ck)),
+        |x2 AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM o JOIN b2 USING (ck)),
+        |r1 AS (SELECT fa.n_a, fn.ndv_a, c1.n_b, v1.ndv_b,
+        |              CAST(CAST(fa.n_a AS HUGEINT) * c1.n_b
+        |                   // greatest(fn.ndv_a, v1.ndv_b, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(fa.n_a, c1.n_b) > 1100 THEN 'shuffle'
+        |                   WHEN fa.n_a <= c1.n_b THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              x1.exact_join_rows, 'run1_initial' AS run
+        |       FROM fa, fn, c1, v1, x1),
+        |r2 AS (SELECT fa.n_a, fn.ndv_a, c2.n_b, v2.ndv_b,
+        |              CAST(CAST(fa.n_a AS HUGEINT) * c2.n_b
+        |                   // greatest(fn.ndv_a, v2.ndv_b, 1) AS BIGINT)
+        |                AS est_join_rows,
+        |              CASE WHEN least(fa.n_a, c2.n_b) > 1100 THEN 'shuffle'
+        |                   WHEN fa.n_a <= c2.n_b THEN 'broadcast_left'
+        |                   ELSE 'broadcast_right' END AS join_plan,
+        |              x2.exact_join_rows, 'run2_merged' AS run
+        |       FROM fa, fn, c2, v2, x2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin)),
+
+    QueryDef("q495_point_selectivity_interval", (s, d) => {
+      // point-predicate selectivity as a CERTIFIED INTERVAL from two
+      // stored sketches — `WHERE col = v` priced without data: Count-Min
+      // NEVER underestimates (upper bound, deterministic given the
+      // registers), the Misra-Gries stored count NEVER overestimates
+      // (lower bound) and self-certifies its ceiling mg_count +
+      // (n_total - stored_mass) div (k+1) — so the truth provably lies
+      // in [mg_lo, min(cm_est, mg_ceiling)], and a value ABSENT from
+      // the MG summary is provably below the ceiling alone ([0, err]).
+      // documents.lang at k=3 keeps {en, zh, es} past the cut-at-70 and
+      // drops {de, fr}; the probe set exercises stored keys, dropped
+      // keys and a never-seen key ('xx': CM reads its collision noise,
+      // interval collapses toward [0, ~0]). Exact counts sit alongside
+      // with the inside-interval flag — 1 on every probe BY THEOREM,
+      // not luck; the oracle replays both sketches and every bound.
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q495", d, s,
+        Seq("cm_regs", "mg_regs", "lang_tot"))
+      val langs = table(s, d, "documents").select(col("lang"))
+      wh.writeSwap("cm_regs",
+        Sketches.cmRegisters(langs, Nil, col("lang"), d = 4, w = 256))
+      wh.writeSwap("mg_regs",
+        Sketches.mgRegisters(langs, Nil, col("lang"), 3))
+      wh.writeSwap("lang_tot",
+        langs.agg(count(col("lang")).cast("long").as("n_total")))
+      import s.implicits._
+      val probes = Seq("en", "zh", "es", "de", "fr", "xx").toDF("key")
+      val cm = Sketches.cmEstimate(wh.read("cm_regs"), probes, col("key"),
+        d = 4, w = 256)
+      val bound = Sketches.mgBound(wh.read("mg_regs"), Nil,
+        wh.read("lang_tot"), 3)
+        .select(col("n_total"), col("err_bound"))
+      val exact = langs.groupBy(col("lang").as("key"))
+        .agg(count(lit(1)).cast("long").as("exact_count"))
+      cm.join(wh.read("mg_regs").withColumnRenamed("mg_value", "key"),
+          Seq("key"), "left")
+        .crossJoin(bound)
+        .join(exact, Seq("key"), "left")
+        .withColumn("exact_count", coalesce(col("exact_count"), lit(0L)))
+        .withColumn("sel_lo", coalesce(col("mg_count"), lit(0L)))
+        .withColumn("mg_ceiling", col("sel_lo") + col("err_bound"))
+        .withColumn("sel_up", least(col("cm_est"), col("mg_ceiling")))
+        .withColumn("inside",
+          when(col("exact_count") >= col("sel_lo") &&
+            col("exact_count") <= col("sel_up"), lit(1L)).otherwise(lit(0L)))
+        .drop("mg_count", "n_total", "err_bound")
+    }, Some(
+      """WITH l AS (SELECT lang FROM documents WHERE lang IS NOT NULL),
+        |probes AS (SELECT unnest(['en','zh','es','de','fr','xx']) AS key),
+        |cells AS (SELECT cm_row, cm_col, CAST(count(*) AS BIGINT) AS cm_count
+        |          FROM (SELECT i AS cm_row,
+        |                       CAST(('0x' || substr(md5(lang || '|cm' ||
+        |                              CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                         % 256 AS cm_col
+        |                FROM l, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) i)
+        |          GROUP BY 1, 2),
+        |pc AS (SELECT p.key, min(coalesce(c.cm_count, 0)) AS cm_est
+        |       FROM (SELECT key, i AS cm_row,
+        |                    CAST(('0x' || substr(md5(key || '|cm' ||
+        |                           CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                      % 256 AS cm_col
+        |             FROM probes, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) i)
+        |         p
+        |       LEFT JOIN cells c USING (cm_row, cm_col)
+        |       GROUP BY 1),
+        |ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1),
+        |r AS (SELECT lang, c, row_number() OVER (ORDER BY c DESC, lang) AS rn
+        |      FROM ct),
+        |cu AS (SELECT coalesce(max(CASE WHEN rn = 4 THEN c END), 0) AS cut
+        |       FROM r),
+        |mg AS (SELECT lang AS key, c - cu.cut AS mg_count FROM r, cu
+        |       WHERE c > cu.cut),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM l),
+        |bd AS (SELECT (nt.n_total
+        |               - CAST(coalesce((SELECT sum(mg_count) FROM mg), 0)
+        |                      AS BIGINT)) // 4 AS err_bound FROM nt)
+        |SELECT pc.key, pc.cm_est,
+        |       CAST(coalesce(mg.mg_count, 0) AS BIGINT) AS sel_lo,
+        |       CAST(coalesce(mg.mg_count, 0) + bd.err_bound AS BIGINT)
+        |         AS mg_ceiling,
+        |       CAST(least(pc.cm_est,
+        |                  coalesce(mg.mg_count, 0) + bd.err_bound) AS BIGINT)
+        |         AS sel_up,
+        |       CAST(coalesce(ct.c, 0) AS BIGINT) AS exact_count,
+        |       CAST(CASE WHEN coalesce(ct.c, 0)
+        |                        >= coalesce(mg.mg_count, 0)
+        |                   AND coalesce(ct.c, 0)
+        |                        <= least(pc.cm_est,
+        |                                 coalesce(mg.mg_count, 0)
+        |                                   + bd.err_bound)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS inside
+        |FROM pc LEFT JOIN mg USING (key)
+        |LEFT JOIN ct ON ct.lang = pc.key
+        |CROSS JOIN bd""".stripMargin))
   )
 }

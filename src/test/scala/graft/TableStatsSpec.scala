@@ -151,6 +151,35 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("analyzeHook: sidecars rewrite after CTAS and after the merge; run-level misuse raises") {
+    import java.nio.file.Files
+    import graft.engine.{HookContext, Incremental, IncrementalMat, Model,
+      Registry, Warehouse}
+    val wh = new Warehouse(Files.createTempDirectory("graft_wh").toString, spark)
+    val reg = new Registry(spark, wh)
+    val src = (1L to 10L).map(i => (i, i % 3L)).toDF("id", "g")
+    reg.source("src", src)
+    reg.register(Model("t", Seq("src"),
+      IncrementalMat(Incremental.Merge, Seq("id")),
+      ctx => if (ctx.isIncremental) ctx.ref("src").filter(col("id") > 4L)
+        else ctx.ref("src").filter(col("id") <= 4L),
+      postHooks = Seq(TableStats.analyzeHook(Seq("id", "g"), 16))))
+    reg.run()
+    def prof() = TableStats.readProfile(wh, "t", "id", "x", 16)
+      .collect().head
+    assert(prof().getAs[Long]("n_x") === 4L
+      && prof().getAs[Long]("ndv_x") === 4L)
+    reg.run() // merge admits ids 5..10; the hook must re-profile
+    assert(prof().getAs[Long]("n_x") === 10L
+      && prof().getAs[Long]("ndv_x") === 10L)
+    // both declared columns profiled
+    assert(wh.read("t__stats_counts").count() === 2L)
+    // a run-level context (no model) must raise, not write a sidecar
+    intercept[IllegalArgumentException] {
+      TableStats.analyzeHook(Seq("id"))(HookContext(spark, wh, None, None))
+    }
+  }
+
   test("rangeCountEstimate: exact on uncompressed registers, within the stride on compressed, grouped") {
     val vals = (1L to 1000L).toDF("v")
     val regs = QuantileSketch.qsRegisters(vals, Nil, col("v"))
