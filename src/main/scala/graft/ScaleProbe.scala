@@ -824,6 +824,55 @@ object ScaleProbe {
       }
     }
 
+    // round 14 continuation II: the optimizer-statistics family.
+    // profile_build is ONE scan + one k-bounded aggregate for ALL
+    // profiled columns (explode to (ts_col, value)) — cost ~linear in
+    // rows, state bounded at cols*k; dfp_semi_read must stay FLAT as the
+    // FILE count grows Nx (the dim's 3 keys keep O(1) files regardless);
+    // hot_cold_join vs plain_skew_join times the same skewed join both
+    // ways (one key owning a third of the fact) — the split routes the
+    // hot mass through a broadcast instead of one reducer.
+    {
+      import graft.engine.{Skew, TableStats, Warehouse}
+      for ((label, n) <- Seq("1x" -> 1000000L, s"${reps}x" -> (1000000L * reps))) {
+        val df = spark.range(n).select(col("id"),
+          (col("id") % 1000L).as("a"),
+          (col("id") * 2654435761L % 97L).as("b"),
+          concat(lit("s"), (col("id") % 5000L).cast("string")).as("c"))
+          .localCheckpoint()
+        time(s"profile_build         $label") {
+          TableStats.columnRegisters(df, Seq("a", "b", "c"), 256).count() +
+            TableStats.columnCounts(df, Seq("a", "b", "c")).count()
+        }
+      }
+      for ((label, files) <- Seq("1x" -> 16, s"${reps}x" -> (16 * reps))) {
+        val wh = new Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_probe_dfp").toString,
+          spark)
+        wh.writeSwap("f", spark.range(1000000L)
+          .select(col("id").as("k"), (col("id") * 2L).as("x"))
+          .repartitionByRange(files, col("k")).sortWithinPartitions("k"),
+          statsCols = Seq("k"), bloomCols = Seq("k"))
+        val dim = spark.range(3).select((col("id") * 400000L + 7L).as("dk"))
+        time(s"dfp_semi_read         $label") {
+          wh.readPrunedSemi("f", "k", dim, "dk", maxKeys = 16).count()
+        }
+      }
+      for ((label, n) <- Seq("1x" -> 1000000L, s"${reps}x" -> (1000000L * reps))) {
+        val fact = spark.range(n).select(
+          when(col("id") % 3L === 0L, 7L).otherwise(col("id") % 50000L)
+            .as("k"), col("id").as("x")).localCheckpoint()
+        val dim = spark.range(50000L).select(col("id").as("k"),
+          (col("id") + 1L).as("y")).localCheckpoint()
+        time(s"plain_skew_join       $label") {
+          fact.hint("shuffle_hash").join(dim, Seq("k")).count()
+        }
+        time(s"hot_cold_join         $label") {
+          Skew.hotColdJoin(fact, dim, "k", Seq(7L)).count()
+        }
+      }
+    }
+
     val json = probeRows.map { case (label, sec, rows) =>
       f"""{"probe":"$label","sec":$sec%.3f,"rows":$rows}"""
     }.mkString(
