@@ -2277,6 +2277,95 @@ object Round14Queries extends QuerySet {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS inside
         |FROM pc LEFT JOIN mg USING (key)
         |LEFT JOIN ct ON ct.lang = pc.key
-        |CROSS JOIN bd""".stripMargin))
+        |CROSS JOIN bd""".stripMargin)),
+
+    QueryDef("q496_stream_profile_advisor", (s, d) => {
+      // the STREAM x STATS cell, closing the maintenance matrix the
+      // family now spans — batch build (q487), hook-on-materialize
+      // (q494), rolling period merge (q489), and HERE the ingest stream
+      // itself maintaining the planner's statistics (no ANALYZE job
+      // anywhere): one exploded (ts_col, value) stream feeds BOTH
+      // sidecars — per-column KMV registers through the kmvSampleStream
+      // bridge (idempotent re-take-k merge, k-bounded state, stream ==
+      // batch as an IDENTITY) and per-column counts through the
+      // sum-combining aggStream bridge — and the advisor reads the
+      // stream-maintained tables exactly like any stored profile.
+      // events.user_id holds 150 distinct ids (< k), so the streamed
+      // registers ARE the distinct set and plan-time NDV reads EXACT
+      // through the stream; vs the batch-profiled customer dim:
+      // est 9398 vs exact 10000 (every event joins), broadcast_right
+      // under the 2000 budget. Whole-table replay is the oracle — the
+      // merge laws make it an identity, not an approximation check.
+      import graft.engine.TableStats
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q496", d, s,
+        Seq("sp_regs", "sp_counts", "dim_counts", "dim_regs"))
+      Scratch.resetCheckpoint(wh, "sp_regs")
+      Scratch.resetCheckpoint(wh, "sp_counts")
+      def pairs(df: org.apache.spark.sql.DataFrame) = {
+        val ps = Seq("user_id", "event_type").map(c =>
+          struct(lit(c).as("ts_col"), col(c).cast("string").as("v")))
+        df.select(explode(array(ps: _*)).as("e"))
+          .select(col("e.ts_col").as("ts_col"), col("e.v").as("v"))
+      }
+      val st = pairs(EventsStream.readEvents(s, d))
+      EventsStream.kmvSampleStream(st.filter(col("v").isNotNull), wh,
+        "sp_regs", Seq("ts_col"), col("v"), 256).awaitTermination()
+      EventsStream.aggStream(st, wh, "sp_counts", Seq("ts_col"),
+        Seq("n_rows" -> "sum", "n_notnull" -> "sum"))(b =>
+        b.groupBy(col("ts_col"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            count(col("v")).cast("long").as("n_notnull")))
+        .awaitTermination()
+      val dim = table(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+      wh.writeSwap("dim_counts", TableStats.columnCounts(dim, Seq("ck")))
+      wh.writeSwap("dim_regs", TableStats.columnRegisters(dim, Seq("ck"), 256))
+      val aProf = TableStats.sideProfile(wh.read("sp_counts"),
+        TableStats.ndvEstimate(wh.read("sp_regs"), 256), "user_id", "a")
+      val bProf = TableStats.sideProfile(wh.read("dim_counts"),
+        TableStats.ndvEstimate(wh.read("dim_regs"), 256), "ck", "b")
+      val exact = events(s, d)
+        .select(col("user_id").cast("long").as("ck"))
+        .join(dim, Seq("ck"))
+        .agg(count(lit(1)).cast("long").as("exact_join_rows"))
+      TableStats.adviseEquiJoin(aProf, bProf, broadcastMaxRows = 2000L)
+        .crossJoin(exact)
+    }, Some(
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS uid FROM events),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |              CAST(count(uid) AS BIGINT) AS nn_a FROM e),
+        |va AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_a
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(uid AS VARCHAR)) AS key
+        |                         FROM (SELECT DISTINCT uid FROM e
+        |                               WHERE uid IS NOT NULL))) t
+        |             WHERE rn <= 256)),
+        |cb AS (SELECT CAST(count(ck) AS BIGINT) AS n_b FROM c),
+        |vb AS (SELECT CASE WHEN n_regs < 256 THEN n_regs
+        |              ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |                   // CAST(concat('0x', substr(kth, 1, 15)) AS BIGINT)
+        |                   AS BIGINT) END AS ndv_b
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_regs, max(key) AS kth
+        |             FROM (SELECT key, row_number() OVER (ORDER BY key) AS rn
+        |                   FROM (SELECT md5(CAST(ck AS VARCHAR)) AS key
+        |                         FROM (SELECT DISTINCT ck FROM c))) t
+        |             WHERE rn <= 256)),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+        |       FROM e JOIN c ON e.uid = c.ck)
+        |SELECT ca.nn_a AS n_a, va.ndv_a, cb.n_b, vb.ndv_b,
+        |       CAST(CAST(ca.nn_a AS HUGEINT) * cb.n_b
+        |            // greatest(va.ndv_a, vb.ndv_b, 1) AS BIGINT)
+        |         AS est_join_rows,
+        |       CASE WHEN least(ca.nn_a, cb.n_b) > 2000 THEN 'shuffle'
+        |            WHEN ca.nn_a <= cb.n_b THEN 'broadcast_left'
+        |            ELSE 'broadcast_right' END AS join_plan,
+        |       ex.exact_join_rows
+        |FROM ca, va, cb, vb, ex""".stripMargin))
   )
 }
