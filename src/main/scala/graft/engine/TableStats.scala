@@ -221,6 +221,33 @@ object TableStats {
         "__mcv_mass_a", "__mcv_mass_b")
   }
 
+  /** Cardinality feedback — the LEO loop (Stillger et al., "LEO — DB2's
+    * LEarning Optimizer", VLDB 2001): executed queries RECORD their
+    * (estimated, actual) cardinalities per predicate family into a
+    * feedback table, and future estimates for that family multiply by
+    * the observed aggregate ratio `sum(actual) div sum(est)` — one
+    * truncating DECIMAL(38,0) division, digit-replayable. This is the
+    * correction for what the stored statistics cannot see: correlated
+    * and derived predicates, where the independence product is wrong by
+    * a constant FACTOR the workload itself measures. The ratio
+    * aggregates over the family's observations (mass-weighted, so large
+    * predicates dominate — the robust integer form); an empty feedback
+    * table leaves the estimate unchanged (ratio guard 0/0 -> raw).
+    */
+  def feedbackAdjust(raw: DataFrame, feedback: DataFrame,
+      estCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val fb = feedback.agg(
+      coalesce(sum(col("fb_actual")), lit(0L)).cast("long").as("fb_actual_sum"),
+      coalesce(sum(col("fb_est")), lit(0L)).cast("long").as("fb_est_sum"))
+    raw.crossJoin(fb)
+      .withColumn(s"${estCol}_adjusted",
+        when(col("fb_est_sum") > 0L, call_function("div",
+          dec(col(estCol)) * dec(col("fb_actual_sum")),
+          dec(col("fb_est_sum"))).cast("long"))
+          .otherwise(col(estCol)))
+  }
+
   /** Apply an advised plan: the driver-side hint the decision bought.
     * "shuffle" plants NO hint (Catalyst/AQE keep their own judgement —
     * advice never FORBIDS a broadcast Spark's size stats justify, it

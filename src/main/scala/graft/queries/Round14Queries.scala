@@ -2366,6 +2366,104 @@ object Round14Queries extends QuerySet {
         |            WHEN ca.nn_a <= cb.n_b THEN 'broadcast_left'
         |            ELSE 'broadcast_right' END AS join_plan,
         |       ex.exact_join_rows
-        |FROM ca, va, cb, vb, ex""".stripMargin))
+        |FROM ca, va, cb, vb, ex""".stripMargin)),
+
+    QueryDef("q497_cardinality_feedback", (s, d) => {
+      // cardinality FEEDBACK — the LEO loop (Stillger et al., VLDB 2001:
+      // DB2's LEarning Optimizer), TableStats.feedbackAdjust: executed
+      // queries record (estimated, actual) per predicate family into a
+      // stored feedback table, and future estimates multiply by the
+      // observed sum(actual) div sum(est). The case statistics cannot
+      // see: a DERIVED column (price band = cents div 2M — the paper's
+      // Make/Model shape; this testdata is deliberately independent
+      // everywhere else, value-inspected per the r11 lesson, so the
+      // functional dependency is the honest correlation available). The
+      // independence product for `cents <= c AND band = 0` with c under
+      // the band edge is wrong by exactly W/w(band0) = 5.44x BY
+      // CONSTRUCTION (the band predicate is implied). Feedback must be
+      // keyed by predicate FAMILY — same column pair AND same
+      // containment structure (LEO's keying): a first draft trained on
+      // a (c, band=1) predicate with a different containment degree and
+      // the blended ratio corrected only half the error. Two same-family
+      // training predicates (c = 500k, 1M on band 0) against the
+      // held-out c = 1.5M: raw 1468 (-82%) -> adjusted 8258 vs exact
+      // 8104 (+1.9%) — from stored summaries + 2 feedback rows, never
+      // rescanning at estimate time; all integer arithmetic, oracle-
+      // replayed through the same compressed summary. Value-inspected.
+      import graft.engine.TableStats
+      import graft.functions.QuantileSketch
+      val wh = Scratch.warehouse("q497", d, s,
+        Seq("cents_sum", "band_sum", "feedback"))
+      val li = table(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5)
+          .cast("long").as("cents"))
+        .withColumn("band", call_function("div", col("cents"), lit(2000000L)))
+      wh.writeSwap("cents_sum", QuantileSketch.qsCompress(
+        QuantileSketch.qsRegisters(li, Nil, col("cents")), Nil, 256))
+      wh.writeSwap("band_sum",
+        QuantileSketch.qsRegisters(li, Nil, col("band")))
+      def estFor(c: Long, b: Long) = TableStats
+        .rangeCountEstimate(wh.read("cents_sum"), Nil, 0L, c, 256)
+        .select(col("est_in_range").as("__rc"))
+        .crossJoin(TableStats
+          .rangeCountEstimate(wh.read("band_sum"), Nil, b, b, 256)
+          .select(col("est_in_range").as("__rb"), col("w_total")))
+        .withColumn("est_ind", call_function("div",
+          col("__rc").cast("decimal(38,0)") * col("__rb").cast("decimal(38,0)"),
+          greatest(col("w_total"), lit(1L)).cast("decimal(38,0)"))
+          .cast("long"))
+        .select(col("est_ind"))
+      def actualFor(c: Long, b: Long) = li
+        .filter(col("cents") <= c && col("band") === b)
+        .agg(count(lit(1)).cast("long").as("actual"))
+      for ((c, b) <- Seq((500000L, 0L), (1000000L, 0L)))
+        wh.append("feedback",
+          estFor(c, b).withColumnRenamed("est_ind", "fb_est")
+            .crossJoin(actualFor(c, b).withColumnRenamed("actual", "fb_actual")))
+      TableStats.feedbackAdjust(estFor(1500000L, 0L),
+        wh.read("feedback"), "est_ind")
+        .crossJoin(actualFor(1500000L, 0L)
+          .withColumnRenamed("actual", "exact_joint"))
+    }, Some(
+      """WITH e AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                    AS v FROM lineitem),
+        |r AS (SELECT v, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1),
+        |cb AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum,
+        |              (SELECT sum(w) FROM r) AS tot FROM r),
+        |kb AS (SELECT v, cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS w
+        |       FROM (SELECT v, cum FROM cb
+        |             WHERE (cum // ((tot + 255) // 256))
+        |                     > ((cum - w) // ((tot + 255) // 256))
+        |                OR cum = tot) t),
+        |bc AS (SELECT v // 2000000 AS b, CAST(count(*) AS BIGINT) AS w
+        |       FROM e GROUP BY 1),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM bc),
+        |est AS (SELECT c, b,
+        |               CAST(CAST((SELECT sum(w) FROM kb WHERE v <= c)
+        |                         AS HUGEINT)
+        |                    * (SELECT w FROM bc WHERE b = t.b)
+        |                    // greatest((SELECT w_total FROM wt), 1)
+        |                    AS BIGINT) AS est_ind
+        |        FROM (VALUES (500000, 0), (1000000, 0), (1500000, 0))
+        |             t(c, b)),
+        |act AS (SELECT c, b, CAST(count(*) AS BIGINT) AS actual
+        |        FROM (VALUES (500000, 0), (1000000, 0), (1500000, 0))
+        |             t(c, b)
+        |        LEFT JOIN e ON e.v <= t.c AND e.v // 2000000 = t.b
+        |        GROUP BY 1, 2),
+        |fb AS (SELECT CAST(sum(est.est_ind) AS BIGINT) AS fb_est_sum,
+        |              CAST(sum(act.actual) AS BIGINT) AS fb_actual_sum
+        |       FROM est JOIN act USING (c, b)
+        |       WHERE NOT (est.c = 1500000 AND est.b = 0)),
+        |tst AS (SELECT est.est_ind, act.actual AS exact_joint
+        |        FROM est JOIN act USING (c, b)
+        |        WHERE est.c = 1500000 AND est.b = 0)
+        |SELECT tst.est_ind, fb.fb_actual_sum, fb.fb_est_sum,
+        |       CASE WHEN fb.fb_est_sum > 0
+        |            THEN CAST(CAST(tst.est_ind AS HUGEINT) * fb.fb_actual_sum
+        |                      // fb.fb_est_sum AS BIGINT)
+        |            ELSE tst.est_ind END AS est_ind_adjusted,
+        |       tst.exact_joint
+        |FROM tst, fb""".stripMargin))
   )
 }

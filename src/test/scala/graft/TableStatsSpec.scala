@@ -180,6 +180,19 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("feedbackAdjust: mass-weighted ratio correction, empty-feedback passthrough") {
+    val raw = Seq(100L).toDF("est_ind")
+    val fb = Seq((10L, 55L), (30L, 145L)).toDF("fb_est", "fb_actual")
+    val r = TableStats.feedbackAdjust(raw, fb, "est_ind").collect().head
+    // ratio = (55+145) div (10+30) = 5 -> 100 * 200 div 40 = 500
+    assert(r.getAs[Long]("est_ind_adjusted") === 500L)
+    assert(r.getAs[Long]("fb_actual_sum") === 200L)
+    // no observations: the raw estimate passes through unchanged
+    val empty = fb.filter(lit(false))
+    assert(TableStats.feedbackAdjust(raw, empty, "est_ind")
+      .collect().head.getAs[Long]("est_ind_adjusted") === 100L)
+  }
+
   test("rangeCountEstimate: exact on uncompressed registers, within the stride on compressed, grouped") {
     val vals = (1L to 1000L).toDF("v")
     val regs = QuantileSketch.qsRegisters(vals, Nil, col("v"))
