@@ -248,6 +248,95 @@ object TableStats {
           .otherwise(col(estCol)))
   }
 
+  /** Per-column quantile summaries in ONE scan — the histogram half of
+    * the profile beside [[columnRegisters]]' NDV half: each row explodes
+    * to `(ts_col, long value)` and one grouped register build + one
+    * k-compression bounds every column's summary at k+1 rows. Integral
+    * columns only (the quantize-first discipline —
+    * [[graft.functions.QuantileSketch]]); NULLs carry no rank mass.
+    */
+  def columnSummaries(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    import graft.functions.QuantileSketch
+    require(cols.nonEmpty, "no columns to summarize")
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"column not in the input: $c"))
+      require(Seq("byte", "short", "integer", "long")
+        .contains(f.dataType.typeName),
+        s"columnSummaries column '$c' is ${f.dataType.typeName} — " +
+          "quantize to an integral column first (epoch days / cents)")
+    }
+    val pairs = cols.map(c =>
+      struct(lit(c).as("ts_col"), col(c).cast("long").as("__v")))
+    val exploded = df.select(explode(array(pairs: _*)).as("__e"))
+      .select(col("__e.ts_col").as("ts_col"), col("__e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    QuantileSketch.qsCompress(
+      QuantileSketch.qsRegistersBy(exploded, Seq(col("ts_col")), col("__v")),
+      Seq("ts_col"), k)
+  }
+
+  /** Cluster-column advisor — the LAYOUT question the pruning surface
+    * creates (q454's manifest made range-clustered layouts skippable;
+    * this decides WHICH column earns the clustering, from stored
+    * summaries + a declared workload): for a range predicate on the
+    * cluster column, a clustered table scans ~its selectivity's worth
+    * of files (the min/max sidecar keeps only covering files); for any
+    * other predicate it scans everything (fraction 1e6 ppm). The
+    * advisor prices each candidate as the workload-weighted scan
+    * fraction `sum_w(weight * frac) div sum(weight)` where frac =
+    * predicate selectivity from the column's stored quantile summary if
+    * the predicate column matches the candidate, else 1e6 — and picks
+    * the minimum (ties: candidate name asc). `workload` rows:
+    * (wl_col, wl_lo, wl_hi, wl_weight); `summaries`: the per-column
+    * register tables keyed by ts_col. Everything reads register-grain
+    * stored state; the layout itself is built ONCE after the decision
+    * (the spec pins that the chosen layout actually prunes).
+    */
+  def clusterAdvisor(summaries: DataFrame, workload: DataFrame,
+      candidates: Seq[String]): DataFrame = {
+    require(candidates.nonEmpty, "no candidate cluster columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // one pin for the 2-per-candidate reads below: the summary table is
+    // cols * (k+1) rows by construction, so the checkpoint is free and
+    // the stored sidecar is scanned ONCE (the bounded-frame discipline)
+    val sums = summaries.localCheckpoint(false)
+    val perCand = candidates.map { cand =>
+      // selectivity per workload row AGAINST this candidate: matching
+      // column -> summary mass in [lo, hi] over total; else full scan
+      val wl = workload.crossJoin(
+        sums.filter(col("ts_col") === cand)
+          .agg(sum(col("qs_weight")).cast("long").as("__w_total")))
+      val scored = wl.join(
+        sums.filter(col("ts_col") === cand)
+          .select(col("qs_value"), col("qs_weight")),
+        col("wl_col") === lit(cand), "left")
+        .groupBy(col("wl_col"), col("wl_lo"), col("wl_hi"),
+          col("wl_weight"), col("__w_total"))
+        .agg(coalesce(sum(when(col("qs_value") <= col("wl_hi") &&
+          col("qs_value") >= col("wl_lo"), col("qs_weight"))), lit(0L))
+          .cast("long").as("__in_range"))
+        .withColumn("__frac_ppm",
+          when(col("wl_col") === lit(cand), call_function("div",
+            dec(col("__in_range")) * lit(1000000L),
+            greatest(dec(col("__w_total")), lit(1L).cast("decimal(38,0)")))
+            .cast("long"))
+            .otherwise(lit(1000000L)))
+      scored.agg(
+        call_function("div",
+          dec(sum(col("wl_weight") * col("__frac_ppm"))),
+          greatest(dec(sum(col("wl_weight"))), lit(1L).cast("decimal(38,0)")))
+          .cast("long").as("est_scan_ppm"))
+        .select(lit(cand).as("cluster_col"), col("est_scan_ppm"))
+      // sel unused beyond documentation of the API shape
+    }
+    val all = perCand.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("est_scan_ppm").asc, col("cluster_col").asc)
+    all.withColumn("chosen",
+      when(row_number().over(w) === 1, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Apply an advised plan: the driver-side hint the decision bought.
     * "shuffle" plants NO hint (Catalyst/AQE keep their own judgement —
     * advice never FORBIDS a broadcast Spark's size stats justify, it

@@ -2464,6 +2464,86 @@ object Round14Queries extends QuerySet {
         |                      // fb.fb_est_sum AS BIGINT)
         |            ELSE tst.est_ind END AS est_ind_adjusted,
         |       tst.exact_joint
-        |FROM tst, fb""".stripMargin))
+        |FROM tst, fb""".stripMargin)),
+
+    QueryDef("q498_cluster_advisor", (s, d) => {
+      // the LAYOUT question the pruning surface creates
+      // (TableStats.clusterAdvisor + columnSummaries): q454's manifest
+      // made range-clustered layouts skippable — but WHICH column earns
+      // the clustering? Answered from stored per-column quantile
+      // summaries (one scan, one k-compression for all candidates) plus
+      // a DECLARED workload: a range predicate on the cluster column
+      // scans ~its selectivity's worth of files, any other predicate
+      // scans everything, so each candidate is priced as the
+      // workload-weighted scan fraction. Workload: 9 weight on the
+      // cents range [$10k, $50k] (sel ~38%), 1 weight on an okey range
+      // [100, 5000] (sel ~33% — okeys are DENSE 0..14999 here, probed
+      // per the value-inspection lesson): clustering by cents prices
+      // 445449 ppm of the workload's scan mass, by okey 932510 — cents
+      // chosen, value-inspected. The spec
+      // closes the loop physically: the chosen layout's manifest prunes
+      // the dominant predicate's files, the rejected layout reads all.
+      // All estimate arithmetic replayed through both compressed
+      // summaries.
+      import graft.engine.TableStats
+      import s.implicits._
+      val wh = Scratch.warehouse("q498", d, s, Seq("wl_sum"))
+      val li = table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      wh.writeSwap("wl_sum",
+        TableStats.columnSummaries(li, Seq("okey", "cents"), 256))
+      val workload = Seq(
+        ("cents", 1000000L, 5000000L, 9L),
+        ("okey", 100L, 5000L, 1L))
+        .toDF("wl_col", "wl_lo", "wl_hi", "wl_weight")
+      TableStats.clusterAdvisor(wh.read("wl_sum"), workload,
+        Seq("cents", "okey"))
+    }, Some(
+      """WITH e AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                    AS cents FROM lineitem),
+        |rc AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       GROUP BY 1),
+        |cc AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum,
+        |              (SELECT sum(w) FROM rc) AS tot FROM rc),
+        |kc AS (SELECT v, cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS w
+        |       FROM (SELECT v, cum FROM cc
+        |             WHERE (cum // ((tot + 255) // 256))
+        |                     > ((cum - w) // ((tot + 255) // 256))
+        |                OR cum = tot) t),
+        |ro AS (SELECT okey AS v, CAST(count(*) AS BIGINT) AS w FROM e
+        |       GROUP BY 1),
+        |co AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum,
+        |              (SELECT sum(w) FROM ro) AS tot FROM ro),
+        |ko AS (SELECT v, cum - coalesce(lag(cum) OVER (ORDER BY v), 0) AS w
+        |       FROM (SELECT v, cum FROM co
+        |             WHERE (cum // ((tot + 255) // 256))
+        |                     > ((cum - w) // ((tot + 255) // 256))
+        |                OR cum = tot) t),
+        |selc AS (SELECT CAST(sum(CASE WHEN v >= 1000000 AND v <= 5000000
+        |                              THEN w ELSE 0 END) AS HUGEINT)
+        |                  * 1000000
+        |                // greatest(CAST(sum(w) AS HUGEINT), 1) AS frac
+        |         FROM kc),
+        |selo AS (SELECT CAST(sum(CASE WHEN v >= 100 AND v <= 5000
+        |                              THEN w ELSE 0 END) AS HUGEINT)
+        |                  * 1000000
+        |                // greatest(CAST(sum(w) AS HUGEINT), 1) AS frac
+        |         FROM ko),
+        |cand AS (SELECT 'cents' AS cluster_col,
+        |                CAST((9 * selc.frac + 1 * 1000000) // 10 AS BIGINT)
+        |                  AS est_scan_ppm
+        |         FROM selc
+        |         UNION ALL
+        |         SELECT 'okey',
+        |                CAST((9 * 1000000 + 1 * selo.frac) // 10 AS BIGINT)
+        |         FROM selo)
+        |SELECT cluster_col, est_scan_ppm,
+        |       CAST(CASE WHEN row_number() OVER
+        |                        (ORDER BY est_scan_ppm ASC, cluster_col ASC)
+        |                      = 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM cand""".stripMargin))
   )
 }

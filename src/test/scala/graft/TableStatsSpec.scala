@@ -193,6 +193,40 @@ class TableStatsSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("est_ind_adjusted") === 100L)
   }
 
+  test("clusterAdvisor: workload-weighted pricing, and the chosen layout actually prunes") {
+    import java.nio.file.Files
+    import graft.engine.Warehouse
+    // a: uniform 0..999; b: uniform 0..99 — workload is a tight range
+    // on a (sel 10%) with weight 4 and a half-domain range on b with
+    // weight 1
+    val df = spark.range(0, 1000)
+      .select(col("id").as("a"), (col("id") % 100L).as("b"))
+    val summaries = TableStats.columnSummaries(df, Seq("a", "b"), 100)
+    val workload = Seq(("a", 0L, 99L, 4L), ("b", 0L, 49L, 1L))
+      .toDF("wl_col", "wl_lo", "wl_hi", "wl_weight")
+    val got = TableStats.clusterAdvisor(summaries, workload, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("est_scan_ppm"), r.getAs[Long]("chosen")))).toMap
+    // a: (4*100000 + 1*1000000) / 5 = 280000; b: (4*1e6 + 1*500000)/5
+    assert(got("a") === ((280000L, 1L)), s"got $got")
+    assert(got("b") === ((900000L, 0L)), s"got $got")
+    // the physical loop: the advised layout's manifest prunes the
+    // dominant predicate; the rejected layout reads every file
+    val wh = new Warehouse(Files.createTempDirectory("graft_wh").toString, spark)
+    wh.writeSwap("by_a", df.repartitionByRange(8, col("a"))
+      .sortWithinPartitions("a"), statsCols = Seq("a"))
+    wh.writeSwap("by_b", df.repartitionByRange(8, col("b"))
+      .sortWithinPartitions("b"), statsCols = Seq("a"))
+    val Some((keptA, nA)) = wh.statsPrunedFiles("by_a", "a", 0L, 99L)
+    val Some((keptB, nB)) = wh.statsPrunedFiles("by_b", "a", 0L, 99L)
+    assert(keptA.size < nA, s"advised layout kept ${keptA.size} of $nA")
+    assert(keptB.size === nB, s"rejected layout pruned ${keptB.size} of $nB")
+    // integral-only contract
+    intercept[IllegalArgumentException] {
+      TableStats.columnSummaries(df.withColumn("s", lit("x")), Seq("s"), 10)
+    }
+  }
+
   test("rangeCountEstimate: exact on uncompressed registers, within the stride on compressed, grouped") {
     val vals = (1L to 1000L).toDF("v")
     val regs = QuantileSketch.qsRegisters(vals, Nil, col("v"))
