@@ -2544,6 +2544,104 @@ object Round14Queries extends QuerySet {
         |                        (ORDER BY est_scan_ppm ASC, cluster_col ASC)
         |                      = 1
         |                 THEN 1 ELSE 0 END AS BIGINT) AS chosen
-        |FROM cand""".stripMargin))
+        |FROM cand""".stripMargin)),
+
+    QueryDef("q499_planned_q3", (s, d) => {
+      // CAPSTONE: TPC-H Q3 planned END TO END by the engine's own
+      // machinery — every plan-time decision reads STORED state, never
+      // the data: (1) both date ranges route through min/max manifests
+      // on epoch-day clustered layouts (readPruned — file set decided
+      // before Spark lists anything); (2) the JOIN ORDER is the q493
+      // stored-stats comparison, collected as two one-row estimates
+      // (oc_first wins ~20x here) and branched on at build time — the
+      // Selinger pick as driver code; (3) the dim side broadcasts
+      // because its hook-maintained profile row proves it small
+      // (TableStats.applyAdvice with the stored decision). Semantics
+      // are exactly Q3 over this schema (no o_shippriority column):
+      // top-10 orders by revenue cents among BUILDING customers,
+      // ordered before the cutoff, shipped after it. The oracle is the
+      // plain three-way join — pruning, ordering and broadcasting must
+      // be invisible to the result.
+      import graft.engine.TableStats
+      val wh = Scratch.warehouse("q499", d, s, Seq(
+        "c_b", "c_b__stats_counts", "c_b__stats_regs",
+        "ord", "ord__stats_counts", "ord__stats_regs",
+        "li", "li__stats_counts", "li__stats_regs"))
+      val day = (c: Column) => datediff(to_date(c), lit("1970-01-01").cast("date"))
+      val cutoff = java.time.LocalDate.parse("1996-06-01").toEpochDay
+      // --- ingest: clustered layouts + manifests + ANALYZE profiles
+      wh.writeSwap("c_b", table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("ck")))
+      wh.writeSwap("ord", table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("ck"),
+        day(col("o_orderdate")).as("od_day"))
+        .repartitionByRange(16, col("od_day")).sortWithinPartitions("od_day"),
+        statsCols = Seq("od_day"))
+      wh.writeSwap("li", table(s, d, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        day(col("l_shipdate")).as("ship_day"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+          + 0.5).cast("long").as("rev_cents"))
+        .repartitionByRange(16, col("ship_day"))
+        .sortWithinPartitions("ship_day"),
+        statsCols = Seq("ship_day"))
+      TableStats.analyzeHook(Seq("ck"))(graft.engine.HookContext(
+        s, wh, Some("c_b"), Some(wh.read("c_b"))))
+      TableStats.analyzeHook(Seq("ck", "okey"))(graft.engine.HookContext(
+        s, wh, Some("ord"), Some(wh.read("ord"))))
+      TableStats.analyzeHook(Seq("okey"))(graft.engine.HookContext(
+        s, wh, Some("li"), Some(wh.read("li"))))
+      // --- plan time: stored stats only (two 1-row collects + profiles)
+      val ordPruned = wh.readPruned("ord", "od_day", Long.MinValue + 1L,
+        cutoff - 1L)
+      val liPruned = wh.readPruned("li", "ship_day", cutoff + 1L,
+        Long.MaxValue - 1L)
+      val ocEst = TableStats.adviseEquiJoin(
+        TableStats.readProfile(wh, "ord", "ck", "a"),
+        TableStats.readProfile(wh, "c_b", "ck", "b"),
+        broadcastMaxRows = 1000L).head() // 1-row plan-time collect
+      val estOc = ocEst.getAs[Long]("est_join_rows")
+      val estLo = TableStats.adviseEquiJoin(
+        TableStats.readProfile(wh, "li", "okey", "a"),
+        TableStats.readProfile(wh, "ord", "okey", "b"),
+        broadcastMaxRows = 1000L)
+        .head().getAs[Long]("est_join_rows") // the q493 lo-estimate
+      val ocFirst = estOc <= estLo
+      val joined =
+        if (ocFirst)
+          liPruned.join(TableStats.applyAdvice(
+            ordPruned, wh.read("c_b"), Seq("ck"),
+            ocEst.getAs[String]("join_plan")).select(col("okey")), Seq("okey"))
+        else TableStats.applyAdvice(
+          liPruned.join(ordPruned, Seq("okey")), wh.read("c_b"), Seq("ck"),
+          ocEst.getAs[String]("join_plan"))
+      joined
+        .groupBy(col("okey"))
+        .agg(sum(col("rev_cents")).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue_cents").desc, col("okey").asc)
+        .limit(10)
+        .withColumn("planned_order",
+          lit(if (ocFirst) "oc_first" else "lo_first"))
+    }, Some(
+      """WITH j AS (
+        |  SELECT CAST(l.l_orderkey AS BIGINT) AS okey,
+        |         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
+        |                    + 0.5) AS BIGINT) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON CAST(l.l_orderkey AS BIGINT)
+        |                     = CAST(o.o_orderkey AS BIGINT)
+        |  JOIN customer c ON CAST(o.o_custkey AS BIGINT)
+        |                       = CAST(c.c_custkey AS BIGINT)
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-01'
+        |    AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-01')
+        |SELECT okey, CAST(sum(rev) AS BIGINT) AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       'oc_first' AS planned_order
+        |FROM j GROUP BY 1
+        |ORDER BY revenue_cents DESC, okey ASC LIMIT 10""".stripMargin))
   )
 }
