@@ -2642,6 +2642,108 @@ object Round14Queries extends QuerySet {
         |       CAST(count(*) AS BIGINT) AS n_lines,
         |       'oc_first' AS planned_order
         |FROM j GROUP BY 1
-        |ORDER BY revenue_cents DESC, okey ASC LIMIT 10""".stripMargin))
+        |ORDER BY revenue_cents DESC, okey ASC LIMIT 10""".stripMargin)),
+
+    QueryDef("q500_corpus_nightly", (s, d) => {
+      // MILESTONE CAPSTONE: the nightly pretraining-corpus build as a
+      // Registry DAG — the LLM-pipeline surface composed end to end
+      // with a MATERIALIZED, profiled table at each stage: raw crawl
+      // (documents + a documented planted re-crawl of doc_id % 7 == 0
+      // under shifted ids — this corpus has zero natural exact dupes,
+      // probed per the saturation lesson) -> `clean` (quality gate
+      // n_chars >= 100, exact dedup on md5(text) keeping the smallest
+      // doc_id, whitespace token counts; ANALYZE post-hook profiles
+      // lang) -> `sample` (mixture-weighted bottom-32 KMV registers,
+      // en = 1 / others x4 — the q476 upweight as a DAG stage) ->
+      // `card` (the dataset card: per-lang raw/gated/clean/dupes/token
+      // masses joined with the sample's realized composition). One
+      // reg.run() materializes the DAG in dependency order; the oracle
+      // replays every stage — gates, keep-min dedup, token split,
+      // weighted sub-key order statistics, sample join — digit for
+      // digit.
+      import graft.engine.{Model, Registry, TableMat, TableStats, ViewMat}
+      import graft.functions.Sketches
+      val wh = Scratch.warehouse("q500", d, s,
+        Seq("clean", "clean__stats_counts", "clean__stats_regs",
+          "sample", "card"))
+      val reg = new Registry(s, wh)
+      val docs = table(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+      reg.source("docs_raw", docs.unionByName(
+        docs.filter(col("doc_id") % 7L === 0L)
+          .withColumn("doc_id", col("doc_id") + 10000L)))
+      reg.register(Model("clean", Seq("docs_raw"), TableMat(),
+        ctx => ctx.ref("docs_raw")
+          .filter(col("n_chars") >= 100L)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), max(col("lang")).as("lang"),
+            max(col("text")).as("text"))
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks")),
+        postHooks = Seq(TableStats.analyzeHook(Seq("lang")))))
+      reg.register(Model("sample", Seq("clean"), TableMat(),
+        ctx => Sketches.kmvWeightedRegisters(ctx.ref("clean"), Nil,
+          col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(4L), 32, maxWeight = 4)))
+      reg.register(Model("card", Seq("docs_raw", "clean", "sample"), ViewMat,
+        ctx => {
+          val raw = ctx.ref("docs_raw").groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_raw"),
+              sum(when(col("n_chars") >= 100L, 1L).otherwise(0L))
+                .cast("long").as("n_gated"))
+          val clean = ctx.ref("clean").groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_clean"),
+              sum(col("n_toks")).cast("long").as("tokens_total"))
+          val sampled = ctx.ref("sample")
+            .select(col("kmv_id").cast("long").as("doc_id"))
+            .join(ctx.ref("clean").select(col("doc_id"), col("lang")),
+              Seq("doc_id"))
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+          raw.join(clean, Seq("lang"))
+            .join(sampled, Seq("lang"), "left")
+            .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+            .withColumn("dupes_removed", col("n_gated") - col("n_clean"))
+        }))
+      reg.run()
+      reg.relation("card")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+        |         CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000, text, lang,
+        |         CAST(n_chars AS BIGINT) FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+        |             CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_gated
+        |      FROM raw GROUP BY 1),
+        |cl AS (SELECT min(doc_id) AS doc_id, max(lang) AS lang,
+        |              CAST(len(string_split(max(text), ' ')) AS BIGINT)
+        |                AS n_toks
+        |       FROM raw WHERE n_chars >= 100 GROUP BY md5(text)),
+        |ca AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_clean,
+        |              CAST(sum(n_toks) AS BIGINT) AS tokens_total
+        |       FROM cl GROUP BY 1),
+        |w AS (SELECT doc_id, lang,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 4 END AS wt FROM cl),
+        |sk AS (SELECT doc_id, lang,
+        |              md5(CAST(doc_id AS VARCHAR) || '#'
+        |                  || CAST(j AS VARCHAR)) AS kmv_key,
+        |              CAST(doc_id AS VARCHAR) AS kmv_id
+        |       FROM (SELECT doc_id, lang, wt,
+        |                    unnest(range(0, CAST(wt AS BIGINT))) AS j
+        |             FROM w) t),
+        |sm AS (SELECT doc_id, lang FROM (
+        |         SELECT doc_id, lang,
+        |                row_number() OVER (ORDER BY kmv_key, kmv_id) AS rn
+        |         FROM sk) t WHERE rn <= 32),
+        |sc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |       FROM sm GROUP BY 1)
+        |SELECT r.lang, r.n_raw, r.n_gated, ca.n_clean, ca.tokens_total,
+        |       CAST(coalesce(sc.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |       r.n_gated - ca.n_clean AS dupes_removed
+        |FROM r JOIN ca USING (lang) LEFT JOIN sc USING (lang)""".stripMargin))
   )
 }
