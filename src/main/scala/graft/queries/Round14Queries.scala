@@ -2744,6 +2744,62 @@ object Round14Queries extends QuerySet {
         |SELECT r.lang, r.n_raw, r.n_gated, ca.n_clean, ca.tokens_total,
         |       CAST(coalesce(sc.n_sampled, 0) AS BIGINT) AS n_sampled,
         |       r.n_gated - ca.n_clean AS dupes_removed
-        |FROM r JOIN ca USING (lang) LEFT JOIN sc USING (lang)""".stripMargin))
+        |FROM r JOIN ca USING (lang) LEFT JOIN sc USING (lang)""".stripMargin)),
+
+    QueryDef("q501_stream_hot_routing", (s, d) => {
+      // the skew router fed by the LIVE STREAM (EventsStream.mgStream +
+      // Skew.hotColdJoin): the ingest stream maintains the Misra-Gries
+      // heavy-hitter registers and their represented total; at plan
+      // time the router reads <= k register rows + one total row and
+      // certifies the hot set. MG counter VALUES are merge-tree-
+      // dependent (batch boundaries shed different mass), so the
+      // routing threshold reads the summary through its LAW: a planted
+      // hot key owning a third of the stream keeps stored >= true -
+      // (n - stored_mass)/(k+1) >= ~2200 under ANY batch split, while
+      // cold keys' stored counts never exceed their ~45 true counts —
+      // the certified set {1} is deterministic BY THEOREM even though
+      // the digits are not. The routed join's RESULT is exactly the
+      // plain join (batch-split-invariant), which is the oracle;
+      // n_hot_certified rides along as the pinned plan readout.
+      // Skew planted and documented: event_id % 3 = 0 remaps to user 1
+      // (~3333 of 10000 rows at sf0.01 — the honest-shape discipline).
+      import graft.engine.Skew
+      import graft.streaming.EventsStream
+      val wh = Scratch.warehouse("q501", d, s,
+        Seq("hh_regs", "hh_regs__n"))
+      Scratch.resetCheckpoint(wh, "hh_regs")
+      val hk = (idc: Column, uc: Column) =>
+        when(idc % 3L === 0L, 1L).otherwise(uc.cast("long"))
+      EventsStream.mgStream(
+        EventsStream.readEvents(s, d)
+          .select(hk(col("event_id"), col("user_id")).as("hkey")),
+        wh, "hh_regs", col("hkey"), 8).awaitTermination()
+      val n = wh.read("hh_regs__n").head().getAs[Long]("n_total")
+      val hot = wh.read("hh_regs")
+        .filter(col("mg_count") >= lit(n / 10L))
+        .select(col("mg_value")).collect().map(_.getString(0).toLong).toSeq
+      val fact = events(s, d).select(
+        hk(col("event_id"), col("user_id")).as("hk"),
+        col("event_type"))
+      val dim = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("hk"),
+        col("c_nationkey").cast("long").as("nation"))
+      Skew.hotColdJoin(fact, dim, "hk", hot)
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .withColumn("n_hot_certified", lit(hot.size.toLong))
+    }, Some(
+      """WITH f AS (SELECT CASE WHEN event_id % 3 = 0 THEN 1
+        |                       ELSE CAST(user_id AS BIGINT) END AS hk,
+        |                  event_type
+        |           FROM events),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS hk,
+        |             CAST(c_nationkey AS BIGINT) AS nation FROM customer)
+        |SELECT c.nation, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT f.event_type) AS BIGINT) AS n_types,
+        |       CAST(1 AS BIGINT) AS n_hot_certified
+        |FROM f JOIN c USING (hk)
+        |GROUP BY 1""".stripMargin))
   )
 }

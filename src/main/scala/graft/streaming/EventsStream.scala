@@ -250,6 +250,49 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming heavy-hitter bridge: each micro-batch's Misra-Gries
+    * summary merges into the stored register table by
+    * [[graft.functions.Sketches.mgCompress]] (bag union + the
+    * deterministic order-statistic cut — the guarantee-preserving merge
+    * of Agarwal et al. 2012), and the represented row count rides along
+    * in `<table>__n` as one additive register. Counter VALUES are
+    * merge-tree-dependent (unlike the idempotent KMV bridge, a replayed
+    * batch re-sheds mass), so consumers must read the summary through
+    * its LAW, not its digits: every key above the
+    * `(n_total - stored_mass) div (k+1)` residual is certainly present
+    * (no false negatives under ANY tree) and stored counts never
+    * overestimate — hot-key CERTIFICATION is therefore robust to batch
+    * boundaries, which is exactly the planner-facing readout
+    * ([[graft.engine.Skew.hotColdJoin]] routes on it). Same offset
+    * semantics as [[aggStream]]: exactly-once per committed batch via
+    * the checkpoint, at-least-once across an uncommitted-crash replay.
+    */
+  def mgStream(events: DataFrame, wh: graft.engine.Warehouse,
+      table: String, v: Column,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"${wh.root}/_checkpoints/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val regs = graft.functions.Sketches.mgRegisters(batch, Nil, v, k)
+        val n = batch.agg(count(v).cast("long").as("n_total"))
+        val (merged, total) = if (wh.exists(table))
+          (graft.functions.Sketches.mgCompress(
+            wh.read(table).unionByName(regs), Nil, k),
+            wh.read(s"${table}__n").unionByName(n)
+              .agg(coalesce(sum(col("n_total")), lit(0L)).cast("long")
+                .as("n_total")))
+        else (regs, n)
+        // total FIRST: a crash between the writes leaves n_total >= the
+        // summarized mass, which only WIDENS the residual bound — the
+        // certificate stays sound (the reverse order could understate it)
+        wh.writeSwap(s"${table}__n", total)
+        wh.writeSwap(table, merged)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming distinct-count sketch: HLL registers as a WINDOWED streaming
     * aggregate — the register table (bucket -> max rho) is exactly the
     * mergeable state a stream can maintain incrementally; the estimate is a

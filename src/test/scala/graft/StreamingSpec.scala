@@ -616,6 +616,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rebuilt("d") === ((1L, 2L)))
   }
 
+  test("mgStream: certificate law survives batch boundaries; totals ride along; k-bounded state") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val wh = new graft.engine.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft_mgstream").toString, spark)
+    val mem = MemoryStream[Long]
+    def run() = EventsStream.mgStream(mem.toDF().toDF("hk"), wh,
+      "hh", $"hk", 4).awaitTermination()
+    // phase 1: key 7 hot (60 of 100), tail spread over 20 cold keys
+    mem.addData((0L until 60L).map(_ => 7L) ++ (0L until 40L).map(_ % 20L): _*)
+    run()
+    // phase 2: a DIFFERENT batch boundary adds 30 more hot + 20 cold
+    mem.addData((0L until 30L).map(_ => 7L) ++ (0L until 20L).map(_ % 10L + 100L): _*)
+    run()
+    val regs = wh.read("hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = wh.read("hh__n").head().getLong(0)
+    assert(n === 150L, s"total must sum both batches, got $n")
+    assert(regs.size <= 4, s"register bound violated: ${regs.size}")
+    // the law, not the digits: stored counts are lower bounds, and every
+    // key above the residual must be present — key 7 (true 90 of 150)
+    // is certainly certified at the n/5 = 30 threshold under ANY tree
+    val storedMass = regs.values.sum
+    val residual = (n - storedMass) / 5L
+    assert(regs.contains("7"), s"hot key missing: $regs")
+    assert(regs("7") <= 90L && regs("7") >= 90L - residual,
+      s"stored ${regs("7")} outside [${90L - residual}, 90]")
+    assert(regs.filter(_._1 != "7").values.forall(_ < 30L),
+      "a cold key crossed the certification threshold")
+  }
+
   test("stream-static enrichment == batch join, left-NULL passthrough") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
